@@ -1,0 +1,203 @@
+"""Triple-store data model.
+
+Reference parity: terminusdb-store keeps immutable layers of
+``(subject, predicate, object)`` ids with node/value dictionaries
+(see terminusdb/terminusdb-store src/layer/*.rs, public repo).  A
+literal translation (succinct bitindexes, id dictionaries) would
+fight Spark; the Spark-native equivalent is a *columnar triple
+DataFrame* where
+
+- ``subject``/``predicate`` are strings (dictionary-encoded by
+  parquet automatically — the same trick the reference's id
+  dictionaries play, but handled by the format);
+- typed literals keep their lexical form in ``obj`` plus a numeric
+  shadow column ``obj_num`` so comparisons and aggregations stay in
+  whole-stage codegen without per-row casts.
+
+Scale layout: write partitioned by ``predicate`` (classic vertical
+partitioning for RDF at scale) and bucketed by ``subject``; a WOQL
+triple pattern with a constant predicate then becomes a
+partition-pruned scan, and subject-subject joins are co-located.
+
+Schema: (graph, subject, predicate, obj, obj_type, obj_num)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+TRIPLE_COLS = ("graph", "subject", "predicate", "obj", "obj_type", "obj_num")
+
+RDF_TYPE = "rdf:type"
+
+_NUMERIC_SPARK_TYPES = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
+
+
+def _xsd_type(spark_type: str) -> str:
+    base = spark_type.split("(")[0]
+    return {
+        "int": "xsd:integer",
+        "bigint": "xsd:integer",
+        "smallint": "xsd:integer",
+        "tinyint": "xsd:integer",
+        "double": "xsd:decimal",
+        "float": "xsd:decimal",
+        "decimal": "xsd:decimal",
+        "string": "xsd:string",
+        "timestamp": "xsd:dateTime",
+        "date": "xsd:date",
+        "boolean": "xsd:boolean",
+    }.get(base, "xsd:string")
+
+
+def triples_from_table(
+    df: DataFrame,
+    class_name: str,
+    key_col: str,
+    value_cols: list[str] | None = None,
+    ref_cols: dict[str, tuple[str, str]] | None = None,
+    graph: str = "instance",
+) -> DataFrame:
+    """Map a relational table to typed triples (document → triple
+    mapping, parity with the reference's document insert path,
+    terminus-server src/core/document/json.pl).
+
+    - subject IRI: ``{class_name}/{key}`` (lexical key strategy).
+    - one ``rdf:type`` triple per row.
+    - ``value_cols`` become literal triples (predicate = column name).
+    - ``ref_cols``: column -> (TargetClass, predicate) become IRI
+      object triples (foreign keys → edges).
+
+    Implemented as a single ``explode`` over a generated struct array:
+    one narrow shuffle-free projection, fully JVM-side.
+    """
+    value_cols = value_cols if value_cols is not None else [c for c in df.columns if c != key_col]
+    ref_cols = ref_cols or {}
+    dtypes = dict(df.dtypes)
+
+    subject = F.concat(F.lit(class_name + "/"), F.col(key_col).cast("string"))
+
+    entries = [
+        F.struct(
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.lit(class_name).alias("obj"),
+            F.lit("iri").alias("obj_type"),
+            F.lit(None).cast(DoubleType()).alias("obj_num"),
+        )
+    ]
+    for c in value_cols:
+        if c in ref_cols:
+            continue
+        spark_type = dtypes[c]
+        is_num = spark_type.split("(")[0] in _NUMERIC_SPARK_TYPES
+        lexical = (
+            F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+            if spark_type == "timestamp"
+            else F.col(c).cast("string")
+        )
+        entries.append(
+            F.struct(
+                F.lit(c).alias("predicate"),
+                lexical.alias("obj"),
+                F.lit(_xsd_type(spark_type)).alias("obj_type"),
+                (F.col(c).cast(DoubleType()) if is_num else F.lit(None).cast(DoubleType())).alias("obj_num"),
+            )
+        )
+    for c, (target_class, predicate) in ref_cols.items():
+        entries.append(
+            F.struct(
+                F.lit(predicate).alias("predicate"),
+                F.concat(F.lit(target_class + "/"), F.col(c).cast("string")).alias("obj"),
+                F.lit("iri").alias("obj_type"),
+                F.lit(None).cast(DoubleType()).alias("obj_num"),
+            )
+        )
+
+    exploded = df.select(subject.alias("subject"), F.explode(F.array(*entries)).alias("t"))
+    return exploded.select(
+        F.lit(graph).alias("graph"),
+        "subject",
+        F.col("t.predicate").alias("predicate"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.obj_type").alias("obj_type"),
+        F.col("t.obj_num").alias("obj_num"),
+    ).where(F.col("obj").isNotNull())
+
+
+class TripleStore:
+    """A queryable set of triples plus an optional schema graph.
+
+    ``spo(predicate)`` is the hot path: constant-predicate access
+    returns a filtered projection that Catalyst pushes into the scan.
+    """
+
+    def __init__(self, df: DataFrame, schema_df: DataFrame | None = None):
+        missing = [c for c in TRIPLE_COLS if c not in df.columns]
+        if missing:
+            raise ValueError(f"triple frame missing columns: {missing}")
+        self.df = df
+        self.schema_df = schema_df
+
+    @classmethod
+    def from_tables(cls, tables: dict[str, DataFrame], specs: dict[str, dict]) -> "TripleStore":
+        parts = [
+            triples_from_table(
+                tables[name],
+                spec.get("class_name", name.capitalize()),
+                spec["key_col"],
+                spec.get("value_cols"),
+                spec.get("ref_cols"),
+            )
+            for name, spec in specs.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return cls(out)
+
+    def spo(self, predicate: str | None = None, graph: str = "instance") -> DataFrame:
+        df = self.df.where(F.col("graph") == graph)
+        if predicate is not None:
+            df = df.where(F.col("predicate") == predicate)
+        return df
+
+    def edges(self, predicate: str, graph: str = "instance") -> DataFrame:
+        """(src, dst) pairs for one predicate — input shape for path
+        closure and graph analytics."""
+        return self.spo(predicate, graph).select(F.col("subject").alias("src"), F.col("obj").alias("dst"))
+
+    def write_partitioned(self, path: str) -> None:
+        """Scale layout: predicate-partitioned parquet (partition
+        pruning turns constant-predicate patterns into single-
+        directory scans at 100 TB)."""
+        self.df.write.mode("overwrite").partitionBy("graph", "predicate").parquet(path)
+
+
+def tpch_store(tables: dict[str, DataFrame]) -> TripleStore:
+    """The canonical mapping of the driver's TPC-H-ish tables into a
+    knowledge graph (used by WOQL tests and oracle queries)."""
+    specs = {
+        "region": {"class_name": "Region", "key_col": "r_regionkey"},
+        "nation": {
+            "class_name": "Nation",
+            "key_col": "n_nationkey",
+            "ref_cols": {"n_regionkey": ("Region", "n_region")},
+        },
+        "customer": {
+            "class_name": "Customer",
+            "key_col": "c_custkey",
+            "ref_cols": {"c_nationkey": ("Nation", "c_nation")},
+        },
+        "supplier": {
+            "class_name": "Supplier",
+            "key_col": "s_suppkey",
+            "ref_cols": {"s_nationkey": ("Nation", "s_nation")},
+        },
+        "orders": {
+            "class_name": "Order",
+            "key_col": "o_orderkey",
+            "ref_cols": {"o_custkey": ("Customer", "o_customer")},
+        },
+    }
+    return TripleStore.from_tables(tables, specs)

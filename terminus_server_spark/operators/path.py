@@ -1,0 +1,124 @@
+"""Regex path queries as iterative DataFrame joins.
+
+Parity: terminus-server path patterns (src/core/query/path.pl)
+evaluate a regex over edges by Prolog search per start node.  The
+scale translation is *set-at-a-time*: compile the pattern to an
+``(src, dst, hops)`` DataFrame; closure operators (plus/star) run
+**semi-naive iteration** — join only the newest frontier against the
+base edges each step, dedupe against the accumulated result, stop on
+an empty frontier.
+
+Scale notes (100 TB):
+- frontier/accumulator are ``localCheckpoint``-ed every iteration to
+  cut lineage (otherwise plan depth grows linearly and the optimizer
+  chokes by iteration ~20);
+- the per-step join shuffles on ``dst``/``src`` — base edges are
+  repartitioned once on ``src`` and reused so every iteration's join
+  key is pre-partitioned;
+- ``max_iters`` bounds pathological cyclic graphs; hop counts make
+  the result usable for shortest-path analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from terminus_server_spark.woql import path_ast as P
+
+
+def _dedup_min_hops(df: DataFrame) -> DataFrame:
+    return df.groupBy("src", "dst").agg(F.min("hops").alias("hops"))
+
+
+def transitive_closure(
+    edges: DataFrame, max_iters: int = 50, with_hops: bool = False
+) -> DataFrame:
+    """plus-closure: all (src, dst) connected by >=1 edge.
+
+    Semi-naive: frontier_{k+1} = frontier_k ⋈ edges − reached.
+    """
+    base = edges.select("src", "dst").where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    # one repartition, reused by every iteration's join on dst=src
+    base = base.repartition("src").localCheckpoint(eager=True)
+
+    reached = base.withColumn("hops", F.lit(1))
+    frontier = reached
+    for _ in range(max_iters):
+        grown = (
+            frontier.alias("f")
+            .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("f.hops") + 1).alias("hops"),
+            )
+        )
+        new = (
+            grown.join(reached.select("src", "dst"), on=["src", "dst"], how="left_anti")
+            .groupBy("src", "dst")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        reached = _dedup_min_hops(reached.unionByName(new)).localCheckpoint(eager=True)
+        frontier = new
+    return reached if with_hops else reached.select("src", "dst")
+
+
+def compile_path(store, pattern: P.PathPattern) -> DataFrame:
+    """Compile a path pattern to an (src, dst, hops) DataFrame."""
+    if isinstance(pattern, P.Pred):
+        return store.edges(pattern.predicate).withColumn("hops", F.lit(1))
+    if isinstance(pattern, P.Inv):
+        e = store.edges(pattern.predicate)
+        return e.select(F.col("dst").alias("src"), F.col("src").alias("dst")).withColumn(
+            "hops", F.lit(1)
+        )
+    if isinstance(pattern, P.Seq):
+        parts = [compile_path(store, p) for p in pattern.parts]
+        out = parts[0]
+        for nxt in parts[1:]:
+            out = (
+                out.alias("a")
+                .join(nxt.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(
+                    F.col("a.src").alias("src"),
+                    F.col("b.dst").alias("dst"),
+                    (F.col("a.hops") + F.col("b.hops")).alias("hops"),
+                )
+            )
+        return _dedup_min_hops(out)
+    if isinstance(pattern, P.OrP):
+        parts = [compile_path(store, p) for p in pattern.parts]
+        out = parts[0]
+        for nxt in parts[1:]:
+            out = out.unionByName(nxt)
+        return _dedup_min_hops(out)
+    if isinstance(pattern, P.Plus):
+        return transitive_closure(compile_path(store, pattern.part), with_hops=True)
+    if isinstance(pattern, P.Star):
+        plus = transitive_closure(compile_path(store, pattern.part), with_hops=True)
+        base = compile_path(store, pattern.part)
+        nodes = base.select(F.col("src").alias("n")).union(base.select(F.col("dst"))).distinct()
+        zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"), F.lit(0).alias("hops"))
+        return _dedup_min_hops(plus.unionByName(zero))
+    if isinstance(pattern, P.Times):
+        base = compile_path(store, pattern.part)
+        acc = None
+        cur = None
+        for k in range(1, pattern.m + 1):
+            cur = base if cur is None else (
+                cur.alias("a")
+                .join(base.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(
+                    F.col("a.src").alias("src"),
+                    F.col("b.dst").alias("dst"),
+                    (F.col("a.hops") + F.col("b.hops")).alias("hops"),
+                )
+            )
+            cur = _dedup_min_hops(cur)
+            if k >= pattern.n:
+                acc = cur if acc is None else acc.unionByName(cur)
+        return _dedup_min_hops(acc)
+    raise NotImplementedError(f"path pattern {type(pattern).__name__}")

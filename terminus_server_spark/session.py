@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned so the same plans that pass local[32] tests keep
+working on a 1000-executor cluster: AQE on (runtime coalescing +
+skew-join splitting), broadcast threshold sized for dimension tables,
+Arrow enabled for the few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def get_spark(app_name: str = "terminus-server-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        # driver-generated parquet uses TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and rebuild below
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the driver-generated parquet tables and register temp views.
+
+    Returns a dict name -> DataFrame.  Filters/projections applied by
+    callers reach the parquet scan (pushdown) because these are plain
+    ``spark.read.parquet`` scans, not cached materializations.
+    """
+    all_names = (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    ts_cols = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"], "events": ["ts"]}
+    out = {}
+    for name in names or all_names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for c in ts_cols.get(name, []):
+            if dict(df.dtypes).get(c) == "bigint":
+                # nanos→micros is exact; timestamp_micros keeps codegen
+                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

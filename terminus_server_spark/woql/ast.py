@@ -1,0 +1,329 @@
+"""WOQL abstract syntax.
+
+Parity target: the WOQL word set compiled by terminus-server
+``src/core/query/woql_compile.pl`` (public repo) — triple patterns
+with unification, And/Or/Not/Opt, Select/Distinct/Limit/Start/
+OrderBy/GroupBy, arithmetic Eval, string words, Typecast, IDGen,
+Isa, Member, and regex Path.
+
+The Prolog reference resolves these words by backtracking over a
+layer; here every word is a node that compiles to a DataFrame
+transformation (see ``compiler.py``), so conjunctions become joins
+Catalyst can reorder and filters it can push down.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+    def __repr__(self) -> str:  # readable plans
+        return f"?{self.name}"
+
+
+def v(name: str) -> Var:
+    return Var(name)
+
+
+class Term:
+    """Base class for WOQL query terms."""
+
+
+@dataclass(frozen=True)
+class Triple(Term):
+    s: Any
+    p: Any
+    o: Any
+    graph: str = "instance"
+
+
+@dataclass(frozen=True)
+class Quad(Term):
+    s: Any
+    p: Any
+    o: Any
+    g: str
+
+
+@dataclass(frozen=True)
+class AddedTriple(Term):
+    """Match triples added by a commit (delta query)."""
+
+    s: Any
+    p: Any
+    o: Any
+    commit: str
+
+
+@dataclass(frozen=True)
+class RemovedTriple(Term):
+    s: Any
+    p: Any
+    o: Any
+    commit: str
+
+
+@dataclass(frozen=True)
+class And(Term):
+    terms: tuple
+
+    def __init__(self, *terms: Term):
+        object.__setattr__(self, "terms", tuple(terms))
+
+
+@dataclass(frozen=True)
+class Or_(Term):
+    terms: tuple
+
+    def __init__(self, *terms: Term):
+        object.__setattr__(self, "terms", tuple(terms))
+
+
+@dataclass(frozen=True)
+class Not(Term):
+    term: Term
+
+
+@dataclass(frozen=True)
+class Opt(Term):
+    term: Term
+
+
+@dataclass(frozen=True)
+class Select(Term):
+    vars: Sequence[Var]
+    term: Term
+
+
+@dataclass(frozen=True)
+class Distinct(Term):
+    vars: Sequence[Var]
+    term: Term
+
+
+@dataclass(frozen=True)
+class Limit(Term):
+    n: int
+    term: Term
+
+
+@dataclass(frozen=True)
+class Start(Term):
+    n: int
+    term: Term
+
+
+@dataclass(frozen=True)
+class OrderBy(Term):
+    keys: Sequence[tuple]  # (Var, "asc"|"desc")
+    term: Term
+
+
+# -- filters / unification ------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Eq(Term):
+    a: Any
+    b: Any
+
+
+@dataclass(frozen=True)
+class Less(Term):
+    a: Any
+    b: Any
+
+
+@dataclass(frozen=True)
+class Greater(Term):
+    a: Any
+    b: Any
+
+
+# -- expression evaluation ------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Eval(Term):
+    """Eval(expr, result_var): arithmetic over bound vars.
+
+    expr is a nested tuple tree: ("plus", a, b), ("minus", a, b),
+    ("times", a, b), ("divide", a, b), ("div", a, b), ("exp", a, b),
+    ("floor", a) — operands are Var/const/nested tuples.
+    """
+
+    expr: Any
+    result: Var
+
+
+# -- string words ---------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Concat(Term):
+    parts: Sequence[Any]
+    result: Var
+
+
+@dataclass(frozen=True)
+class Substr(Term):
+    string: Any
+    before: int
+    length: int
+    result: Var
+
+
+@dataclass(frozen=True)
+class Upper(Term):
+    string: Any
+    result: Var
+
+
+@dataclass(frozen=True)
+class Lower(Term):
+    string: Any
+    result: Var
+
+
+@dataclass(frozen=True)
+class Trim(Term):
+    string: Any
+    result: Var
+
+
+@dataclass(frozen=True)
+class Pad(Term):
+    string: Any
+    char: str
+    length: int
+    result: Var
+
+
+@dataclass(frozen=True)
+class Split(Term):
+    string: Any
+    pattern: str
+    result: Var  # binds a list
+
+
+@dataclass(frozen=True)
+class Join(Term):
+    list_: Any
+    separator: str
+    result: Var
+
+
+@dataclass(frozen=True)
+class Like(Term):
+    string: Any
+    pattern: str  # SQL LIKE pattern
+
+
+@dataclass(frozen=True)
+class Regexp(Term):
+    pattern: str
+    string: Any
+    matches: Var | None = None  # binds regexp groups as list if given
+
+
+@dataclass(frozen=True)
+class Length(Term):
+    value: Any  # string or list
+    result: Var = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class Typecast(Term):
+    value: Any
+    xsd_type: str  # "xsd:integer" | "xsd:decimal" | "xsd:string" | "xsd:dateTime" | "xsd:boolean"
+    result: Var = None  # type: ignore[assignment]
+
+
+# -- aggregation ----------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GroupBy(Term):
+    """GroupBy(group_vars, aggregations, subquery).
+
+    aggregations: list of (fn, Var_in, Var_out) with fn in
+    {count, sum, min, max, avg, collect}.  The reference's group_by
+    collects templates into a list; ``collect`` reproduces that,
+    the rest are the Count/Sum/... words fused into the same node so
+    the whole thing is one Spark aggregate (map-side partials).
+    """
+
+    group_vars: Sequence[Var]
+    aggs: Sequence[tuple]
+    term: Term
+
+
+@dataclass(frozen=True)
+class Count(Term):
+    term: Term
+    result: Var
+
+
+@dataclass(frozen=True)
+class Sum(Term):
+    list_var: Any
+    result: Var
+
+
+# -- misc words -----------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Member(Term):
+    element: Any
+    list_: Any
+
+
+@dataclass(frozen=True)
+class IDGen(Term):
+    base: str
+    key_vars: Sequence[Any]
+    result: Var = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class HashKey(Term):
+    base: str
+    key_vars: Sequence[Any]
+    result: Var = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class Isa(Term):
+    element: Any
+    type_: Any
+
+
+@dataclass(frozen=True)
+class Path(Term):
+    """Path(s, pattern, o [, hops]): regex path query.
+
+    pattern is a ``path_ast`` node; if ``hops`` is a Var it binds the
+    minimum hop count (the reference binds a full edge-path object;
+    hop count is the analytics-friendly projection of it).
+    """
+
+    s: Any
+    pattern: Any
+    o: Any
+    hops: Var | None = None
+
+
+@dataclass(frozen=True)
+class Get(Term):
+    """WOQL get: load rows from a CSV resource, binding columns to
+    vars. columns: list of (column_name, Var)."""
+
+    columns: Sequence[tuple]
+    resource: str
+    has_header: bool = True

@@ -1,0 +1,427 @@
+"""WOQL → DataFrame compiler.
+
+Parity: terminus-server ``src/core/query/woql_compile.pl`` resolves
+WOQL words by Prolog backtracking over layer indexes.  The Spark
+translation makes each word a *relational* transformation over a
+bindings DataFrame (columns = WOQL variables):
+
+- ``Triple`` pattern  → filtered/pruned scan of the triple frame,
+  renamed to variable columns;
+- ``And``             → natural join on shared variables (Catalyst
+  reorders; dimension-sized sides get broadcast by AQE);
+- ``Or``              → unionByName (missing vars → null);
+- ``Not``             → left-anti join; ``Opt`` → left-outer join;
+- ``Eq``/``Less``/... → filters, or column binding when a side is a
+  fresh variable (unification);
+- ``Eval``/string words → ``withColumn`` expressions (JVM codegen);
+- ``GroupBy``         → one Spark aggregate (map-side partials);
+- ``Path``            → semi-naive closure (operators/path.py).
+
+Everything stays declarative, so predicate pushdown / column pruning
+/ join reordering come from Catalyst rather than hand-scheduling.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as py_operator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from terminus_server_spark.model.triples import TripleStore
+from terminus_server_spark.woql import ast as A
+from terminus_server_spark.woql.path_ast import PathPattern
+
+
+def _is_var(x: Any) -> bool:
+    return isinstance(x, A.Var)
+
+
+class WOQLContext:
+    def __init__(self, store: TripleStore, spark=None, layers: DataFrame | None = None):
+        self.store = store
+        self.spark = spark or store.df.sparkSession
+        self.layers = layers  # (commit_id, op, graph, subject, predicate, obj, obj_type, obj_num)
+
+    # -- public API -------------------------------------------------------
+
+    def run(self, term: A.Term) -> DataFrame:
+        return self._compile(term, None)
+
+    # -- helpers ----------------------------------------------------------
+
+    def _lit(self, x: Any) -> Column:
+        return F.lit(x)
+
+    def _operand(self, x: Any, df: DataFrame, numeric: bool = False) -> Column:
+        if _is_var(x):
+            if x.name not in df.columns:
+                raise ValueError(f"unbound variable {x} used as operand")
+            c = F.col(x.name)
+            return c.cast("double") if numeric else c
+        return F.lit(x)
+
+    def _merge(self, df_in: DataFrame | None, df_new: DataFrame) -> DataFrame:
+        if df_in is None:
+            return df_new
+        shared = [c for c in df_in.columns if c in df_new.columns]
+        if shared:
+            return df_in.join(df_new, on=shared, how="inner")
+        return df_in.crossJoin(df_new)
+
+    def _match_pattern(self, frame: DataFrame, s: Any, p: Any, o: Any) -> DataFrame:
+        """Match (s,p,o) against a frame with triple columns; constants
+        become filters (pushed to the scan), variables become renames."""
+        out_cols: dict[str, Column] = {}
+        for val, col in ((s, "subject"), (p, "predicate"), (o, "obj")):
+            if _is_var(val):
+                if val.name in out_cols:
+                    frame = frame.where(F.col(col) == out_cols[val.name])
+                else:
+                    out_cols[val.name] = F.col(col)
+            else:
+                frame = frame.where(F.col(col) == F.lit(val))
+        if not out_cols:
+            # ground pattern: boolean existence — keep a marker row
+            return frame.limit(1).select(F.lit(1).alias("__exists__"))
+        return frame.select(*[c.alias(n) for n, c in out_cols.items()])
+
+    # -- dispatcher -------------------------------------------------------
+
+    def _compile(self, term: A.Term, df_in: DataFrame | None) -> DataFrame:
+        method = getattr(self, "_c_" + type(term).__name__, None)
+        if method is None:
+            raise NotImplementedError(f"WOQL word not implemented: {type(term).__name__}")
+        return method(term, df_in)
+
+    # -- patterns ---------------------------------------------------------
+
+    def _c_Triple(self, t: A.Triple, df_in):
+        frame = self.store.spo(
+            predicate=t.p if not _is_var(t.p) else None, graph=t.graph
+        )
+        matched = self._match_pattern(frame, t.s, A.Var("__p__") if _is_var(t.p) else t.p, t.o)
+        if _is_var(t.p):
+            matched = matched.withColumnRenamed("__p__", t.p.name)
+        return self._merge(df_in, matched)
+
+    def _c_Quad(self, t: A.Quad, df_in):
+        return self._c_Triple(A.Triple(t.s, t.p, t.o, graph=t.g), df_in)
+
+    def _c_AddedTriple(self, t: A.AddedTriple, df_in):
+        return self._delta(t, "add", df_in)
+
+    def _c_RemovedTriple(self, t: A.RemovedTriple, df_in):
+        return self._delta(t, "del", df_in)
+
+    def _delta(self, t, op: str, df_in):
+        if self.layers is None:
+            raise ValueError("no layers attached to WOQLContext")
+        frame = self.layers.where((F.col("op") == op) & (F.col("commit_id") == t.commit))
+        return self._merge(df_in, self._match_pattern(frame, t.s, t.p, t.o))
+
+    # -- connectives ------------------------------------------------------
+
+    def _c_And(self, t: A.And, df_in):
+        df = df_in
+        for sub in t.terms:
+            df = self._compile(sub, df)
+        return df
+
+    def _c_Or_(self, t: A.Or_, df_in):
+        branches = [self._compile(sub, df_in) for sub in t.terms]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b, allowMissingColumns=True)
+        return out
+
+    def _c_Not(self, t: A.Not, df_in):
+        if df_in is None:
+            raise ValueError("Not requires a preceding pattern (bound vars)")
+        branch = self._compile(t.term, None)
+        shared = [c for c in df_in.columns if c in branch.columns]
+        if not shared:
+            raise ValueError("Not branch shares no variables with query")
+        return df_in.join(branch.select(*shared).distinct(), on=shared, how="left_anti")
+
+    def _c_Opt(self, t: A.Opt, df_in):
+        if df_in is None:
+            return self._compile(t.term, None)
+        branch = self._compile(t.term, None)
+        shared = [c for c in df_in.columns if c in branch.columns]
+        if not shared:
+            raise ValueError("Opt branch shares no variables with query")
+        return df_in.join(branch, on=shared, how="left_outer")
+
+    # -- projection / ordering -------------------------------------------
+
+    def _c_Select(self, t: A.Select, df_in):
+        df = self._compile(t.term, df_in)
+        return df.select(*[v.name for v in t.vars])
+
+    def _c_Distinct(self, t: A.Distinct, df_in):
+        df = self._compile(t.term, df_in)
+        return df.select(*[v.name for v in t.vars]).distinct()
+
+    def _c_Limit(self, t: A.Limit, df_in):
+        return self._compile(t.term, df_in).limit(t.n)
+
+    def _c_Start(self, t: A.Start, df_in):
+        return self._compile(t.term, df_in).offset(t.n)
+
+    def _c_OrderBy(self, t: A.OrderBy, df_in):
+        df = self._compile(t.term, df_in)
+        keys = []
+        for var, direction in t.keys:
+            keys.append(F.col(var.name).asc() if direction == "asc" else F.col(var.name).desc())
+        return df.orderBy(*keys)
+
+    # -- filters / unification -------------------------------------------
+
+    def _bind_or_filter(self, t, df_in, make_filter, numeric_auto=True):
+        a, b = t.a, t.b
+        if df_in is None:
+            raise ValueError(f"{type(t).__name__} requires preceding bindings")
+        bound_a = (not _is_var(a)) or a.name in df_in.columns
+        bound_b = (not _is_var(b)) or b.name in df_in.columns
+        if bound_a and bound_b:
+            numeric = numeric_auto and (
+                isinstance(a, (int, float)) and not isinstance(a, bool)
+                or isinstance(b, (int, float)) and not isinstance(b, bool)
+            )
+            return df_in.where(
+                make_filter(self._operand(a, df_in, numeric), self._operand(b, df_in, numeric))
+            )
+        if isinstance(t, A.Eq):
+            if bound_a:  # bind b := a
+                return df_in.withColumn(b.name, self._operand(a, df_in))
+            if bound_b:
+                return df_in.withColumn(a.name, self._operand(b, df_in))
+        raise ValueError(f"{type(t).__name__} with unbound variable(s)")
+
+    def _c_Eq(self, t: A.Eq, df_in):
+        return self._bind_or_filter(t, df_in, py_operator.eq)
+
+    def _c_Less(self, t: A.Less, df_in):
+        return self._bind_or_filter(t, df_in, py_operator.lt)
+
+    def _c_Greater(self, t: A.Greater, df_in):
+        return self._bind_or_filter(t, df_in, py_operator.gt)
+
+    # -- expression evaluation -------------------------------------------
+
+    def _expr(self, e: Any, df: DataFrame) -> Column:
+        if isinstance(e, tuple):
+            op, *args = e
+            cols = [self._expr(a, df) for a in args]
+            if op == "plus":
+                return cols[0] + cols[1]
+            if op == "minus":
+                return cols[0] - cols[1]
+            if op == "times":
+                return cols[0] * cols[1]
+            if op == "divide":
+                return cols[0] / cols[1]
+            if op == "div":
+                return F.floor(cols[0] / cols[1])
+            if op == "exp":
+                return F.pow(cols[0], cols[1])
+            if op == "floor":
+                return F.floor(cols[0])
+            raise NotImplementedError(f"Eval op {op}")
+        if _is_var(e):
+            return F.col(e.name).cast("double")
+        return F.lit(e)
+
+    def _c_Eval(self, t: A.Eval, df_in):
+        if df_in is None:
+            df_in = self.spark.range(1).select(F.lit(1).alias("__one__"))
+        return df_in.withColumn(t.result.name, self._expr(t.expr, df_in))
+
+    # -- string words -----------------------------------------------------
+
+    def _c_Concat(self, t: A.Concat, df_in):
+        cols = [self._operand(p, df_in).cast("string") for p in t.parts]
+        return df_in.withColumn(t.result.name, F.concat(*cols))
+
+    def _c_Substr(self, t: A.Substr, df_in):
+        s = self._operand(t.string, df_in)
+        return df_in.withColumn(t.result.name, F.substring(s, t.before + 1, t.length))
+
+    def _c_Upper(self, t, df_in):
+        return df_in.withColumn(t.result.name, F.upper(self._operand(t.string, df_in)))
+
+    def _c_Lower(self, t, df_in):
+        return df_in.withColumn(t.result.name, F.lower(self._operand(t.string, df_in)))
+
+    def _c_Trim(self, t, df_in):
+        return df_in.withColumn(t.result.name, F.trim(self._operand(t.string, df_in)))
+
+    def _c_Pad(self, t: A.Pad, df_in):
+        return df_in.withColumn(
+            t.result.name, F.rpad(self._operand(t.string, df_in), t.length, t.char)
+        )
+
+    def _c_Split(self, t: A.Split, df_in):
+        return df_in.withColumn(t.result.name, F.split(self._operand(t.string, df_in), t.pattern))
+
+    def _c_Join(self, t: A.Join, df_in):
+        return df_in.withColumn(
+            t.result.name, F.array_join(self._operand(t.list_, df_in), t.separator)
+        )
+
+    def _c_Like(self, t: A.Like, df_in):
+        return df_in.where(self._operand(t.string, df_in).like(t.pattern))
+
+    def _c_Regexp(self, t: A.Regexp, df_in):
+        s = self._operand(t.string, df_in)
+        filtered = df_in.where(s.rlike(t.pattern))
+        if t.matches is not None:
+            filtered = filtered.withColumn(t.matches.name, F.regexp_extract(s, t.pattern, 1))
+        return filtered
+
+    def _c_Length(self, t: A.Length, df_in):
+        c = self._operand(t.value, df_in)
+        dtype = dict(df_in.dtypes).get(t.value.name, "string") if _is_var(t.value) else "string"
+        fn = F.size if dtype.startswith("array") else F.length
+        return df_in.withColumn(t.result.name, fn(c).cast("long"))
+
+    def _c_Typecast(self, t: A.Typecast, df_in):
+        spark_type = {
+            "xsd:integer": "bigint",
+            "xsd:decimal": "decimal(28,6)",
+            "xsd:double": "double",
+            "xsd:string": "string",
+            "xsd:dateTime": "timestamp",
+            "xsd:boolean": "boolean",
+        }.get(t.xsd_type, t.xsd_type)  # raw spark types allowed
+        return df_in.withColumn(t.result.name, self._operand(t.value, df_in).cast(spark_type))
+
+    # -- aggregation ------------------------------------------------------
+
+    _AGG_FNS = {
+        "count": lambda c: F.count(c),
+        "count_distinct": lambda c: F.count_distinct(c),
+        "sum": lambda c: F.sum(c),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "avg": lambda c: F.avg(c),
+        "collect": lambda c: F.sort_array(F.collect_list(c)),
+    }
+
+    def _c_GroupBy(self, t: A.GroupBy, df_in):
+        df = self._compile(t.term, df_in)
+        aggs = []
+        for fn, var_in, var_out in t.aggs:
+            col = F.col(var_in.name)
+            if fn in ("sum", "min", "max", "avg"):
+                dtype = dict(df.dtypes).get(var_in.name, "string")
+                if dtype == "string":
+                    col = col.cast("double")
+            aggs.append(self._AGG_FNS[fn](col).alias(var_out.name))
+        return df.groupBy(*[v.name for v in t.group_vars]).agg(*aggs)
+
+    def _c_Count(self, t: A.Count, df_in):
+        df = self._compile(t.term, df_in)
+        return df.agg(F.count(F.lit(1)).alias(t.result.name))
+
+    def _c_Sum(self, t: A.Sum, df_in):
+        c = self._operand(t.list_var, df_in)
+        return df_in.withColumn(
+            t.result.name,
+            F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+        )
+
+    # -- misc -------------------------------------------------------------
+
+    def _c_Member(self, t: A.Member, df_in):
+        el, lst = t.element, t.list_
+        if isinstance(lst, (list, tuple)):
+            arr = F.array(*[F.lit(x) for x in lst])
+        else:
+            arr = self._operand(lst, df_in)
+        el_bound = (not _is_var(el)) or (df_in is not None and el.name in df_in.columns)
+        if df_in is None:
+            df_in = self.spark.range(1).select(F.lit(1).alias("__one__"))
+        if el_bound:
+            return df_in.where(F.array_contains(arr, self._operand(el, df_in)))
+        return df_in.withColumn(el.name, F.explode(arr))
+
+    def _c_IDGen(self, t: A.IDGen, df_in):
+        parts = [F.lit(t.base)] + [self._operand(k, df_in).cast("string") for k in t.key_vars]
+        return df_in.withColumn(t.result.name, F.concat_ws("/", *parts))
+
+    def _c_HashKey(self, t: A.HashKey, df_in):
+        keys = [self._operand(k, df_in).cast("string") for k in t.key_vars]
+        return df_in.withColumn(
+            t.result.name, F.concat(F.lit(t.base + "/"), F.md5(F.concat_ws("", *keys)))
+        )
+
+    def _c_Isa(self, t: A.Isa, df_in):
+        # subsumption: x isa C if (x rdf:type D) and D ⊑ C.  The
+        # subclass closure comes from the schema graph when present.
+        type_triples = self.store.spo("rdf:type")
+        closure = self._subclass_closure()
+        if closure is not None:
+            type_triples = (
+                type_triples.join(
+                    F.broadcast(closure), type_triples["obj"] == closure["sub"], "left_outer"
+                )
+                .select(
+                    "graph",
+                    "subject",
+                    "predicate",
+                    F.coalesce(closure["sup"], type_triples["obj"]).alias("obj"),
+                    "obj_type",
+                    "obj_num",
+                )
+                .distinct()
+            )
+        matched = self._match_pattern(type_triples, t.element, A.Var("__t__"), t.type_)
+        matched = matched.drop("__t__")
+        return self._merge(df_in, matched)
+
+    @functools.lru_cache(maxsize=1)
+    def _subclass_closure(self):
+        """Reflexive-transitive closure of subClassOf in the schema
+        graph (schemas are small: closed via semi-naive iteration)."""
+        if self.store.schema_df is None:
+            return None
+        from terminus_server_spark.operators.path import transitive_closure
+
+        edges = self.store.schema_df.where(F.col("predicate") == "subClassOf").select(
+            F.col("subject").alias("src"), F.col("obj").alias("dst")
+        )
+        closure = transitive_closure(edges).select(F.col("src").alias("sub"), F.col("dst").alias("sup"))
+        nodes = edges.select(F.col("src").alias("sub")).union(edges.select("dst")).distinct()
+        reflexive = nodes.select("sub", F.col("sub").alias("sup"))
+        return closure.union(reflexive).distinct()
+
+    def _c_Path(self, t: A.Path, df_in):
+        from terminus_server_spark.operators.path import compile_path
+
+        edges = compile_path(self.store, t.pattern)  # (src, dst, hops)
+        out_cols = []
+        frame = edges
+        for val, col in ((t.s, "src"), (t.o, "dst")):
+            if _is_var(val):
+                out_cols.append(F.col(col).alias(val.name))
+            else:
+                frame = frame.where(F.col(col) == F.lit(val))
+        if t.hops is not None:
+            out_cols.append(F.col("hops").alias(t.hops.name))
+        matched = frame.select(*out_cols) if out_cols else frame.limit(1).select(F.lit(1).alias("__exists__"))
+        return self._merge(df_in, matched)
+
+    def _c_Get(self, t: A.Get, df_in):
+        reader = self.spark.read.option("header", str(t.has_header).lower()).option(
+            "inferSchema", "false"
+        )
+        df = reader.csv(t.resource)
+        cols = [F.col(name).alias(var.name) for name, var in t.columns]
+        return self._merge(df_in, df.select(*cols))
+
+
+def compile_woql(store: TripleStore, term: A.Term, layers: DataFrame | None = None) -> DataFrame:
+    return WOQLContext(store, layers=layers).run(term)

@@ -1,0 +1,150 @@
+"""Document API (SURVEY §2.3).
+
+Parity: terminus-server's document layer (src/core/document/json.pl)
+maps JSON documents ↔ triples under a class schema, supports nested
+subdocuments/lists, document filtering (the GraphQL read path), a
+schema checker, and json diff/patch.
+
+Spark translation: documents are rows with struct/array columns;
+"insert" flattens to triples with one explode; "read" reassembles
+with collect_list over a key — both single-shuffle operations that
+scale to billions of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from terminus_server_spark.model.triples import triples_from_table
+
+
+def docs_to_triples(docs: DataFrame, class_name: str, key_col: str) -> DataFrame:
+    """JSON-ish rows → typed triples (document insert path)."""
+    return triples_from_table(docs, class_name, key_col)
+
+
+def assemble_documents(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    child_key: str,
+    list_field: str = "items",
+) -> DataFrame:
+    """Triples/rows → nested documents: parent rows gain a sorted
+    subdocument-id list (the reassembly half of document read).
+    collect_list is bounded by real document fan-out, and the sort
+    makes output deterministic."""
+    kids = child.groupBy(F.col(child_fk).alias(parent_key)).agg(
+        F.sort_array(F.collect_list(F.col(child_key))).alias(list_field),
+        F.count(F.lit(1)).alias(f"n_{list_field}"),
+    )
+    return parent.join(kids, parent_key, "left_outer").withColumn(
+        f"n_{list_field}", F.coalesce(F.col(f"n_{list_field}"), F.lit(0))
+    )
+
+
+def filter_documents(docs: DataFrame, predicates: list) -> DataFrame:
+    """GraphQL-ish filter algebra: list of (field, op, value) ANDed.
+    ops: eq, ne, gt, ge, lt, le, like, in."""
+    out = docs
+    ops = {
+        "eq": lambda c, v: c == v,
+        "ne": lambda c, v: c != v,
+        "gt": lambda c, v: c > v,
+        "ge": lambda c, v: c >= v,
+        "lt": lambda c, v: c < v,
+        "le": lambda c, v: c <= v,
+        "like": lambda c, v: c.like(v),
+        "in": lambda c, v: c.isin(*v),
+    }
+    for field, op, value in predicates:
+        out = out.where(ops[op](F.col(field), value))
+    return out
+
+
+def validate_documents(docs: DataFrame, schema: dict) -> DataFrame:
+    """Schema checker: returns (key, violation) rows — empty means
+    valid.  schema: field -> spec dict with optional keys
+    ``required`` (bool), ``enum`` (list), ``min``/``max`` (numeric),
+    ``max_len`` (string length).  Mirrors the reference's class
+    checks (required/cardinality/range) as one codegen'd projection.
+    """
+    key_col = schema.get("@key", "doc_id")
+    checks = []
+    for field, spec in schema.items():
+        if field.startswith("@"):
+            continue
+        c = F.col(field)
+        if spec.get("required"):
+            checks.append(F.when(c.isNull(), F.lit(f"{field}:missing")))
+        if "enum" in spec:
+            checks.append(
+                F.when(c.isNotNull() & ~c.isin(*spec["enum"]), F.lit(f"{field}:not_in_enum"))
+            )
+        if "min" in spec:
+            checks.append(F.when(c.isNotNull() & (c < spec["min"]), F.lit(f"{field}:below_min")))
+        if "max" in spec:
+            checks.append(F.when(c.isNotNull() & (c > spec["max"]), F.lit(f"{field}:above_max")))
+        if "max_len" in spec:
+            checks.append(
+                F.when(
+                    c.isNotNull() & (F.length(c) > spec["max_len"]), F.lit(f"{field}:too_long")
+                )
+            )
+    arr = F.array_compact(F.array(*checks))
+    return (
+        docs.select(F.col(key_col).alias("key"), F.explode(arr).alias("violation"))
+    )
+
+
+def doc_diff(old: DataFrame, new: DataFrame, key: str, fields: list[str]) -> DataFrame:
+    """Field-level diff between two document versions:
+    (key, field, old_value, new_value, op ∈ {added, removed, changed}).
+    One full-outer join + explode — the set-at-a-time version of the
+    reference's per-document json diff."""
+    o = old.select(key, *fields).alias("o")
+    n = new.select(key, *fields).alias("n")
+    joined = o.join(n, on=key, how="full_outer")
+    entries = []
+    for f_ in fields:
+        ov = F.col(f"o.{f_}").cast("string")
+        nv = F.col(f"n.{f_}").cast("string")
+        entries.append(
+            F.struct(
+                F.lit(f_).alias("field"),
+                ov.alias("old_value"),
+                nv.alias("new_value"),
+                F.when(ov.isNull() & nv.isNotNull(), "added")
+                .when(ov.isNotNull() & nv.isNull(), "removed")
+                .when(ov != nv, "changed")
+                .alias("op"),
+            )
+        )
+    return (
+        joined.select(F.col(key).alias("key"), F.explode(F.array(*entries)).alias("d"))
+        .select("key", "d.field", "d.old_value", "d.new_value", "d.op")
+        .where(F.col("op").isNotNull())
+    )
+
+
+def doc_patch(old: DataFrame, diff: DataFrame, key: str, fields: list[str]) -> DataFrame:
+    """Apply a field-level diff to reconstruct the new version.
+
+    Pivot the diff to one row per key, then coalesce patched values
+    over originals.  patch(doc_diff(old, new)) == new for changed
+    fields (verified in tests)."""
+    pivoted = (
+        diff.groupBy("key")
+        .pivot("field", fields)
+        .agg(F.first("new_value"))
+    )
+    out = old.alias("o").join(
+        pivoted.alias("p"), F.col(f"o.{key}") == F.col("p.key"), "left_outer"
+    )
+    cols = [F.col(f"o.{key}").alias(key)]
+    for f_ in fields:
+        dtype = dict(old.dtypes)[f_]
+        patched = F.coalesce(F.col(f"p.{f_}").cast(dtype), F.col(f"o.{f_}"))
+        cols.append(patched.alias(f_))
+    return out.select(*cols)

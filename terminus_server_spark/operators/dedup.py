@@ -1,0 +1,194 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.6).
+
+Every candidate-generation path is bucket-join shaped (never O(n²)
+over the corpus): exact/prefix dedup group by hash; MinHash-LSH
+groups by band key; SimHash groups by signature.  Only the *verify*
+step (n-gram Jaccard) touches pairs, and it only sees candidates.
+
+Hash-function choice: md5 — the one hash both Spark and DuckDB
+implement identically, so the correctness oracle can reproduce
+signatures bit-for-bit.  MinHash takes the lexicographic min of
+seeded md5 hex strings: fixed-width hex min == numeric min, no
+int-parsing needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from terminus_server_spark.operators.text import tokens_col
+
+N_MINHASH = 8
+N_BANDS = 4  # rows per band = N_MINHASH // N_BANDS = 2
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(content_hash, n_docs, keep_doc_id): duplicate groups by
+    normalized content hash; keep_doc_id = min id (the survivor a
+    dedup pass would keep).  One shuffle on the hash."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct k-token shingles per doc."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): per-doc MinHash signature.
+
+    h_i(s) = md5(i || ':' || s); signature_i = min over shingles.
+    One aggregation, map-side partial min — linear in shingle count.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_a, doc_b): candidate near-dup pairs — docs sharing at
+    least one LSH band.  Band key = concat of the band's signature
+    rows; docs group by (band_id, band_key); pairs generated within
+    buckets only.  At 100 TB, hot buckets (boilerplate) are the skew
+    risk — AQE skew-join handles the self-join, and a bucket-size cap
+    can be layered on (drop buckets > N as "template" clusters).
+    """
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.union(b)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, candidates: DataFrame | None = None, threshold: float = 0.0
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_union, jaccard): n-gram Jaccard for
+    candidate pairs (or all co-shingled pairs when candidates=None —
+    still bucket-join shaped: pairs only form where a shingle is
+    shared).  jaccard = |A∩B| / |A∪B| — exact integer counts, double
+    division at the end (bit-stable for the oracle)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "inner")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text", n_bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): n_bits-wide SimHash over tokens.
+
+    Bit j of a token's md5 (high bit of hex nibble j) votes ±1;
+    signature bit = majority (votes > 0 → '1').  Everything is
+    array/codegen expressions — one explode of bit positions per
+    token, aggregated map-side."""
+    toks = F.explode(tokens_col(F.lower(F.col(text_col)))).alias("token")
+    tok_df = docs.select("doc_id", toks).withColumn("h", F.md5(F.col("token")))
+    bits = tok_df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_bits)),
+                lambda j: F.struct(
+                    j.alias("bit_pos"),
+                    F.when(
+                        F.substring(F.col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .alias("vote"),
+                ),
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.bit_pos").alias("bit_pos"), F.col("bv.vote").alias("vote"))
+    votes = bits.groupBy("doc_id", "bit_pos").agg(F.sum("vote").alias("votes"))
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("bit_pos"), (F.col("votes") > 0).alias("b")))
+                    ),
+                    lambda s: F.when(s["b"], "1").otherwise("0"),
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id_a, id_b, cos): embedding-cosine near-duplicate pairs.
+
+    Exact all-pairs — the *verification* primitive; candidate pruning
+    at scale comes from ``similarity.ivf_topk``.  Cosine uses the
+    fixed-point convention from operators/similarity.py so the oracle
+    reproduces it bit-for-bit."""
+    from terminus_server_spark.operators.similarity import scaled_parts, cosine_from_parts
+
+    pa = scaled_parts(emb, id_col, vec_col, "a")
+    pb = scaled_parts(emb, id_col, vec_col, "b")
+    pairs = pa.crossJoin(pb).where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_from_parts()
+    return pairs.select("id_a", "id_b", cos.alias("cos")).where(F.col("cos") >= threshold)

@@ -1,0 +1,165 @@
+"""Graph analytics over edge DataFrames.
+
+Parity: terminus-server exposes graph traversals through WOQL path
+queries; analytical whole-graph algorithms (components, centrality)
+are the Spark-side extension (SURVEY §2.2).  GraphX is JVM-only and
+GraphFrames isn't a baked-in dependency, so these are pure DataFrame
+implementations — which is also the honest scale story: each
+iteration is a shuffle-on-key join that AQE can re-plan, and state is
+localCheckpoint-ed so lineage stays bounded.
+
+Edges: DataFrame (src: string|long, dst: same type).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, out_degree, in_degree, degree) — two partial aggs and a
+    full-outer merge; no driver collection."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+    )
+
+
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(node, component) with component = min node id reachable over
+    undirected edges.  Iterative min-label propagation to fixpoint:
+    each step is one shuffle join; converges in O(diameter) steps.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # candidate labels arriving over edges
+        prop = (
+            und.join(labels, und["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels
+
+
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, iters: int = 10
+) -> DataFrame:
+    """(node, rank) after fixed iterations; dangling mass handled by
+    renormalization.  Classic power iteration as repeated join-agg."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    links = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left_outer")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Total triangles in the undirected simple graph.
+
+    Canonical orientation (low id → high id) keeps each wedge join
+    skew-bounded; one row out: (n_triangles)."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    canon = und.where(F.col("src") < F.col("dst")).localCheckpoint(eager=True)
+    a = canon.alias("a")
+    b = canon.alias("b")
+    c = canon.alias("c")
+    wedges = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("x"), F.col("a.dst").alias("y"), F.col("b.dst").alias("z")
+    )
+    tris = wedges.join(
+        c, (F.col("x") == F.col("c.src")) & (F.col("z") == F.col("c.dst"))
+    )
+    return tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Multi-source BFS: (source, node, hops) minimum hop counts from
+    each source node.  sources: DataFrame(node).  Semi-naive frontier
+    expansion like path closure, but keyed by (source, node)."""
+    e = edges.select("src", "dst").distinct().repartition("src").localCheckpoint(eager=True)
+    reached = sources.select(
+        F.col("node").alias("source"), F.col("node").alias("node"), F.lit(0).alias("hops")
+    ).localCheckpoint(eager=True)
+    frontier = reached
+    for _ in range(max_iters):
+        grown = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("source", F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        new = (
+            grown.join(reached.select("source", "node"), ["source", "node"], "left_anti")
+            .groupBy("source", "node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        reached = reached.union(new).localCheckpoint(eager=True)
+        frontier = new
+    return reached

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing (SURVEY §2.6).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, exactly as a 100 TB multimodal corpus stores them (the
+bytes live inline in parquet or as object-store references).  The
+Spark-side plumbing — schema, partition-sized Arrow batches through
+``mapInPandas``, UDF signatures — is real and tested; the *decoder*
+itself (PIL/ffmpeg are not in this container) is stubbed behind
+``decode_stub`` with a clearly-marked deterministic fake.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("byte_len", LongType()),
+        StructField("sha", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def to_multimodal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap the documents table as a multimodal corpus: payload =
+    utf-8 bytes (stand-in for image bytes), typed metadata columns.
+    All JVM-side expressions."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.lit("application/octet-stream").alias("mime"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("bigint").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha"),
+    )
+
+
+def decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB — deterministic fake decoder.
+
+    A real deployment decodes image/audio here (PIL / torchaudio /
+    ffmpeg — not available in this container).  The fake derives
+    (width, height, n_frames) from the payload hash so the pipeline
+    shape, schema, and partitioning are exercised end-to-end.
+    Raise-path kept for parity with a failed decode:
+    ``NotImplementedError`` if payload is empty.
+    """
+    if not payload:
+        raise NotImplementedError("real decoder not available in this container")
+    h = hashlib.sha256(payload).digest()
+    return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 16)
+
+
+def extract_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction via ``mapInPandas`` — the
+    production shape for Python-side decoders: one Python worker per
+    partition, whole Arrow batches in/out, no per-row pickling."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "byte_len": pdf["byte_len"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                }
+            )
+
+    return mm.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (SURVEY §2.6).
+
+Cosine determinism convention (shared with the DuckDB oracles):
+float32 inputs are cast element-wise to double; each pairwise product
+is exact in double (24-bit mantissas); products are scaled by 1e12
+and floored to BIGINT; bigint sums are order-independent.  cosine =
+dot / sqrt(norm_a * norm_b) computed in double at the end — the same
+bits on any engine, any partitioning.
+
+Scale story: brute-force top-k is the correctness baseline (and is
+already a broadcast-join, not a shuffle, when the query set is
+small).  ``ivf_topk`` is the 100 TB path: k-means-lite centroids
+(deterministic seeded sample), cells assigned by broadcast-join
+argmin, search restricted to the query's ``n_probe`` nearest cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+SCALE = 1e12
+
+
+def _scaled_vec(vec_col: Column) -> Column:
+    """array<float> -> array<double> (exact widening)."""
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def scaled_parts(df: DataFrame, id_col: str, vec_col: str, suffix: str) -> DataFrame:
+    """(id_{suffix}, vec_{suffix}, norm_{suffix}): id + double vector +
+    floor-scaled self-dot (bigint)."""
+    v = _scaled_vec(F.col(vec_col))
+    norm = F.aggregate(
+        v, F.lit(0).cast("bigint"), lambda acc, x: acc + F.floor(x * x * SCALE).cast("bigint")
+    )
+    return df.select(
+        F.col(id_col).alias(f"id_{suffix}"),
+        v.alias(f"vec_{suffix}"),
+        norm.alias(f"norm_{suffix}"),
+    )
+
+
+def cosine_from_parts(a: str = "a", b: str = "b") -> Column:
+    dot = F.aggregate(
+        F.zip_with(F.col(f"vec_{a}"), F.col(f"vec_{b}"), lambda x, y: F.floor(x * y * SCALE)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint"),
+    )
+    return dot.cast("double") / F.sqrt(
+        F.col(f"norm_{a}").cast("double") * F.col(f"norm_{b}").cast("double")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rk): exact top-k by cosine for
+    each query vector; ties broken by neighbor id.
+
+    The query side is broadcast — the corpus is scanned once, no
+    shuffle until the final per-query top-k (tiny)."""
+    from pyspark.sql.window import Window
+
+    qa = scaled_parts(queries, id_col, vec_col, "a")
+    cb = scaled_parts(emb, id_col, vec_col, "b")
+    scored = (
+        broadcast(qa)
+        .crossJoin(cb)
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            cosine_from_parts().alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via inverted-file (IVF) cells.
+
+    Centroids: deterministic sample (lowest ``n_cells`` ids) — a
+    seeded k-means refinement would slot in here without changing the
+    dataflow.  Corpus rows are assigned to their nearest centroid
+    (broadcast argmin — one scan); queries probe their ``n_probe``
+    nearest cells, so search cost drops by ~n_cells/n_probe.
+    """
+    from pyspark.sql.window import Window
+
+    cents = scaled_parts(
+        emb.orderBy(id_col).limit(n_cells), id_col, vec_col, "c"
+    ).withColumnRenamed("id_c", "cell_id")
+
+    def assign(side: DataFrame, suffix: str, n_keep: int) -> DataFrame:
+        scored = broadcast(cents).crossJoin(side).select(
+            F.col(f"id_{suffix}"),
+            F.col(f"vec_{suffix}"),
+            F.col(f"norm_{suffix}"),
+            "cell_id",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vec_c"), F.col(f"vec_{suffix}"), lambda x, y: F.floor(x * y * SCALE)
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x.cast("bigint"),
+                ).cast("double")
+                / F.sqrt(F.col("norm_c").cast("double") * F.col(f"norm_{suffix}").cast("double"))
+            ).alias("cell_cos"),
+        )
+        w = Window.partitionBy(f"id_{suffix}").orderBy(
+            F.col("cell_cos").desc(), F.col("cell_id").asc()
+        )
+        return (
+            scored.withColumn("cell_rk", F.row_number().over(w))
+            .where(F.col("cell_rk") <= n_keep)
+            .drop("cell_rk", "cell_cos")
+        )
+
+    corpus = assign(scaled_parts(emb, id_col, vec_col, "b"), "b", 1)
+    probes = assign(scaled_parts(queries, id_col, vec_col, "a"), "a", n_probe)
+    scored = (
+        probes.join(corpus, "cell_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            cosine_from_parts().alias("cos"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )

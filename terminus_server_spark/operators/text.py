@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.6).
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM codegen,
+no Python UDFs in the hot path) and have exact DuckDB-SQL mirrors so
+the correctness gate can hash-match them.
+
+Conventions shared with the oracles:
+- tokens = regexp split on whitespace of trimmed text;
+- ratios are double divisions of exact integer counts (bit-stable);
+- fingerprints are md5 hex (identical function in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "zu", "in", "den", "ist"],
+    "fr": ["le", "la", "de", "et", "un", "une", "en", "est"],
+}
+
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_chars_norm): whitespace
+    token count plus a BPE-ish regex token count (letters / digits /
+    single punctuation — the pre-tokenizer shape BPE vocabularies
+    use)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(t)).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), 0)).cast("bigint").alias("n_bpe_tokens"),
+        F.length(F.trim(t)).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+    stop_ratio, quality): heuristic quality features + a composite
+    score — the C4/Gopher-style cheap filters."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("bigint")
+    en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en_stops, x))).cast("bigint")
+    mean_token_len = (F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n_tokens)
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = (
+        F.when((n_tokens >= 5) & (mean_token_len >= 2.0) & (mean_token_len <= 12.0), 1.0)
+        .otherwise(0.0)
+        * (1.0 - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_token_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, best_hits): stopword-profile language ID.
+
+    Counts hits against each language's stopword list; argmax with a
+    fixed tie order (en < es < de < fr < und).  A real system would
+    use char n-gram profiles; the *operator shape* (per-doc argmax
+    over K profile scores, all JVM-side) is the same."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    hit_cols = []
+
+    def _hits(arr):
+        # single-arg lambda (a two-arg lambda would be read as
+        # (element, index) by F.filter)
+        return F.filter(toks, lambda x: F.array_contains(arr, x))
+
+    for lang in ("en", "es", "de", "fr"):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hit_cols.append(F.size(_hits(arr)).cast("bigint").alias(f"hits_{lang}"))
+    scored = docs.select("doc_id", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in ("en", "es", "de", "fr")])
+    pred = (
+        F.when(best == 0, "und")
+        .when(F.col("hits_en") == best, "en")
+        .when(F.col("hits_es") == best, "es")
+        .when(F.col("hits_de") == best, "de")
+        .otherwise("fr")
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"), best.alias("best_hits"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", prefix_tokens: int = 8) -> DataFrame:
+    """(doc_id, content_hash, prefix_hash): md5 of the normalized full
+    text and of the first-k-token prefix (prefix collisions catch
+    boilerplate/template duplication)."""
+    t = F.col(text_col)
+    norm = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+    toks = F.split(norm, " ")
+    prefix = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_hash"),
+        F.md5(prefix).alias("prefix_hash"),
+    )

@@ -217,3 +217,291 @@ def events_sessionize_q(spark, sf_dir):
     from terminus_server_spark.operators.relational import events_sessionize
 
     return events_sessionize(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 LLM-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
+_LTOKS_SQL = r"string_split_regex(trim(lower(text)), '\s+')"
+_STOP_EN = "['the','a','of','and','to','in','is','it']"
+_STOP_ES = "['el','la','de','y','que','en','un','es']"
+_STOP_DE = "['der','die','das','und','zu','in','den','ist']"
+_STOP_FR = "['le','la','de','et','un','une','en','est']"
+
+
+@register(
+    "text_tokens",
+    rf"""
+    SELECT doc_id,
+           len({_TOKS_SQL})::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens,
+           length(trim(text))::BIGINT AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    from terminus_server_spark.operators.text import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "text_quality",
+    rf"""
+    SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio, stop_ratio,
+           (CASE WHEN n_tokens >= 5 AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                 THEN 1.0 ELSE 0.0 END) * (1.0 - punct_ratio) AS quality
+    FROM (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars,
+             len({_TOKS_SQL})::BIGINT AS n_tokens,
+             length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len({_TOKS_SQL}) AS mean_token_len,
+             (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+             len(list_filter({_TOKS_SQL}, x -> list_contains({_STOP_EN}, x)))::DOUBLE
+               / len({_TOKS_SQL}) AS stop_ratio
+      FROM documents)
+    """,
+)
+def text_quality(spark, sf_dir):
+    from terminus_server_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "text_langid",
+    rf"""
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN hits_en = best THEN 'en'
+                WHEN hits_es = best THEN 'es'
+                WHEN hits_de = best THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           best AS best_hits
+    FROM (
+      SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+             greatest(hits_en, hits_es, hits_de, hits_fr) AS best
+      FROM (
+        SELECT doc_id,
+               len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_EN}, x)))::BIGINT AS hits_en,
+               len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_ES}, x)))::BIGINT AS hits_es,
+               len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_DE}, x)))::BIGINT AS hits_de,
+               len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_FR}, x)))::BIGINT AS hits_fr
+        FROM documents))
+    """,
+)
+def text_langid(spark, sf_dir):
+    from terminus_server_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      FROM documents)
+    SELECT doc_id, md5(t) AS content_hash,
+           md5(array_to_string((string_split(t, ' '))[1:8], ' ')) AS prefix_hash
+    FROM norm
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    from terminus_server_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    from terminus_server_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents")["documents"])
+
+
+_SHINGLES_SQL = r"""
+  toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+  sh0 AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+          FROM toks),
+  sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    rf"""
+    WITH {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+              min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+              min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+              min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+              min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+            FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+      UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    from terminus_server_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return lsh_candidate_pairs(minhash_signatures(shingles(docs)))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    rf"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_inter,
+           (sa.n_sh + sb.n_sh - n_inter) AS n_union,
+           n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
+    FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from terminus_server_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(shingles(docs), threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    hs AS (SELECT doc_id, md5(token) AS h FROM toks),
+    bits AS (
+      SELECT doc_id, j AS bit_pos,
+             CASE WHEN substring(h, j::INT, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END AS vote
+      FROM hs CROSS JOIN generate_series(1, 16) AS g(j)),
+    votes AS (SELECT doc_id, bit_pos, SUM(vote) AS votes FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           string_agg(CASE WHEN votes > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    from terminus_server_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents")["documents"])
+
+
+_PARTS_SQL = """
+  parts AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+           list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * x::DOUBLE * 1e12)::BIGINT)) AS norm
+    FROM embeddings)
+"""
+
+_COS_SQL = """list_sum(list_transform(list_zip(a.v, b.v),
+      p -> floor(p[1] * p[2] * 1e12)::BIGINT))::DOUBLE / sqrt(a.norm::DOUBLE * b.norm::DOUBLE)"""
+
+
+@register(
+    "dedup_embed_cos",
+    f"""
+    WITH {_PARTS_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos
+    FROM parts a JOIN parts b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.90
+    """,
+)
+def dedup_embed_cos(spark, sf_dir):
+    from terminus_server_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings")["embeddings"], threshold=0.90
+    )
+
+
+@register(
+    "ann_topk_brute",
+    f"""
+    WITH {_PARTS_SQL},
+    q AS (SELECT * FROM parts WHERE vec_id < 5),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos
+      FROM q a CROSS JOIN parts b WHERE a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def ann_topk_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@register("ann_ivf")  # approximate: rows-only check
+def ann_ivf(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "mm_meta",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           octet_length(encode(text))::BIGINT AS byte_len,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def mm_meta(spark, sf_dir):
+    from terminus_server_spark.operators.multimodal import to_multimodal
+
+    return to_multimodal(_t(spark, sf_dir, "documents")["documents"]).drop("payload")
+
+
+@register("mm_features")  # decode stub: rows-only check
+def mm_features(spark, sf_dir):
+    from terminus_server_spark.operators.multimodal import extract_features, to_multimodal
+
+    return extract_features(to_multimodal(_t(spark, sf_dir, "documents")["documents"]))

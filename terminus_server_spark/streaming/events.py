@@ -1,0 +1,78 @@
+"""Structured Streaming operators over the events stream (SURVEY §2.7).
+
+The reference has no streaming surface; this is part of the
+large-scale-pipeline extension.  Operators are written against
+streaming DataFrames (watermarks bound state) and are exercised in
+tests with a file source + ``availableNow`` trigger so the *same
+code* runs in production as ``readStream`` → kafka/files →
+``writeStream``.
+
+Both operators below are pure transformations over a (possibly
+streaming) DataFrame, so batch oracles can verify their semantics
+exactly (stream-batch unification is the point of Structured
+Streaming).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type aggregates with a watermark.
+
+    Output: (window_start, event_type, n_events, sum_value) — the
+    decimal-sum convention keeps sums order-independent so the batch
+    oracle hash-matches."""
+    e = events.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids within the
+    watermark horizon (state is bounded by the watermark — the 100 TB
+    requirement for infinite streams)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_stream_to_table(
+    spark: SparkSession,
+    events_path_df: DataFrame,
+    transform,
+    table_name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Test/driver harness: replay a batch events DataFrame through a
+    real streaming query (file source, availableNow trigger, memory
+    sink) and return the resulting batch DataFrame.
+
+    This is the honest way to prove the streaming operator works as a
+    *stream* (state, watermarks, triggers) while still returning a
+    comparable DataFrame."""
+    tmp = tempfile.mkdtemp(prefix="tss_stream_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    events_path_df.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

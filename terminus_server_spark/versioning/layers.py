@@ -1,0 +1,113 @@
+"""Git-for-data versioning as delta DataFrames (SURVEY §2.4).
+
+Parity: terminusdb-store's immutable layer stack — every commit is an
+(adds, removes) delta over its parent; branches are refs to commit
+ids; diff/squash/rebase/time-travel are layer algebra (public repo:
+terminusdb-store src/layer, terminus-server src/core/api/db_*).
+
+Spark translation: one ``layers`` DataFrame
+``(commit_seq, commit_id, op ∈ {add, del}, <entity columns...>)``.
+Materialization at a commit is a *window* over the entity key — the
+latest op at-or-before the commit decides visibility.  No driver
+loops; every verb is one or two shuffles and scales with delta size,
+not history length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def materialize(layers: DataFrame, at_seq: int, key_cols: list[str]) -> DataFrame:
+    """State visible at commit ``at_seq``: for each entity key, the
+    newest op with commit_seq <= at_seq; visible iff that op is an
+    add.  One window shuffle on the entity key."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col("commit_seq").desc())
+    return (
+        layers.where(F.col("commit_seq") <= at_seq)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("op") == "add"))
+        .drop("_rn", "op")
+    )
+
+
+def diff(layers: DataFrame, from_seq: int, to_seq: int, key_cols: list[str]) -> DataFrame:
+    """Triple-level diff between two commits: (op ∈ {added, removed},
+    key...).  Two materializations + anti-joins."""
+    a = materialize(layers, from_seq, key_cols).select(*key_cols)
+    b = materialize(layers, to_seq, key_cols).select(*key_cols)
+    added = b.join(a, key_cols, "left_anti").select(F.lit("added").alias("op"), *key_cols)
+    removed = a.join(b, key_cols, "left_anti").select(F.lit("removed").alias("op"), *key_cols)
+    return added.unionByName(removed)
+
+
+def squash(layers: DataFrame, up_to_seq: int, key_cols: list[str], new_commit: str) -> DataFrame:
+    """Collapse commits <= up_to_seq into a single add-only layer
+    (the reference's squash keeps the net state, dropping history)."""
+    state = materialize(layers, up_to_seq, key_cols)
+    return state.select(
+        F.lit(0).alias("commit_seq"),
+        F.lit(new_commit).alias("commit_id"),
+        F.lit("add").alias("op"),
+        *[c for c in state.columns if c not in ("commit_seq", "commit_id")],
+    )
+
+
+def rebase(
+    layers: DataFrame, base_layers: DataFrame, from_seq: int, key_cols: list[str], seq_offset: int = 1000
+) -> DataFrame:
+    """Replay the deltas after ``from_seq`` on top of another base
+    stack (the reference's rebase = linear replay of commits)."""
+    replay = layers.where(F.col("commit_seq") > from_seq).withColumn(
+        "commit_seq", F.col("commit_seq") + F.lit(seq_offset)
+    )
+    return base_layers.unionByName(replay)
+
+
+def history(layers: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-entity change log summary: (key..., n_ops, first_seq,
+    last_seq, last_op) — the reference's commit log projected onto an
+    object (api/log)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col("commit_seq").desc())
+    return (
+        layers.withColumn("_rn", F.row_number().over(w))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.min("commit_seq").alias("first_seq"),
+            F.max("commit_seq").alias("last_seq"),
+            F.max(F.when(F.col("_rn") == 1, F.col("op"))).alias("last_op"),
+        )
+    )
+
+
+def orders_layers(orders: DataFrame) -> DataFrame:
+    """Deterministic demo layer stack over the orders table (used by
+    the correctness-gate queries; SQL-mirrorable):
+
+    - seq 1 "c1": add orders with o_orderdate < 1997-01-01
+    - seq 2 "c2": add 1997 <= o_orderdate < 1999-01-01,
+                  del o_totalprice > 400000 among seq-1 orders
+    - seq 3 "c3": add o_orderdate >= 1999-01-01
+    """
+    d97 = F.lit("1997-01-01").cast("timestamp")
+    d99 = F.lit("1999-01-01").cast("timestamp")
+    o = orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+    c1 = o.where(F.col("o_orderdate") < d97).select(
+        F.lit(1).alias("commit_seq"), F.lit("c1").alias("commit_id"), F.lit("add").alias("op"),
+        "o_orderkey", "o_totalprice",
+    )
+    c2a = o.where((F.col("o_orderdate") >= d97) & (F.col("o_orderdate") < d99)).select(
+        F.lit(2).alias("commit_seq"), F.lit("c2").alias("commit_id"), F.lit("add").alias("op"),
+        "o_orderkey", "o_totalprice",
+    )
+    c2d = o.where((F.col("o_orderdate") < d97) & (F.col("o_totalprice") > 400000)).select(
+        F.lit(2).alias("commit_seq"), F.lit("c2").alias("commit_id"), F.lit("del").alias("op"),
+        "o_orderkey", "o_totalprice",
+    )
+    c3 = o.where(F.col("o_orderdate") >= d99).select(
+        F.lit(3).alias("commit_seq"), F.lit("c3").alias("commit_id"), F.lit("add").alias("op"),
+        "o_orderkey", "o_totalprice",
+    )
+    return c1.unionByName(c2a).unionByName(c2d).unionByName(c3)

@@ -505,3 +505,452 @@ def mm_features(spark, sf_dir):
     from terminus_server_spark.operators.multimodal import extract_features, to_multimodal
 
     return extract_features(to_multimodal(_t(spark, sf_dir, "documents")["documents"]))
+
+
+# ---------------------------------------------------------------------------
+# §2.1 WOQL triple-store queries (exercise the WOQL->DataFrame compiler)
+# ---------------------------------------------------------------------------
+
+
+def _store(spark, sf_dir, with_schema: bool = False):
+    from terminus_server_spark.model.triples import TripleStore, tpch_store
+
+    tabs = _t(spark, sf_dir, "region", "nation", "customer", "supplier", "orders")
+    ts = tpch_store(tabs)
+    if with_schema:
+        schema_df = spark.createDataFrame(
+            [
+                ("schema", "Customer", "subClassOf", "Agent", "iri", None),
+                ("schema", "Supplier", "subClassOf", "Agent", "iri", None),
+            ],
+            schema="graph string, subject string, predicate string, obj string, obj_type string, obj_num double",
+        )
+        return TripleStore(ts.df.unionByName(schema_df), schema_df=schema_df)
+    return ts
+
+
+def _ctx(spark, sf_dir, **kw):
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    return WOQLContext(_store(spark, sf_dir, **kw))
+
+
+@register(
+    "triples_build",
+    """
+    WITH counts(predicate, n) AS (
+      SELECT 'rdf:type', (SELECT COUNT(*) FROM region) + (SELECT COUNT(*) FROM nation)
+                       + (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+                       + (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'r_name', (SELECT COUNT(*) FROM region)
+      UNION ALL SELECT 'n_name', (SELECT COUNT(*) FROM nation)
+      UNION ALL SELECT 'n_region', (SELECT COUNT(*) FROM nation)
+      UNION ALL SELECT 'c_name', (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'c_acctbal', (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'c_mktsegment', (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'c_nation', (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 's_name', (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 's_acctbal', (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 's_nation', (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 'o_orderstatus', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_totalprice', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_orderdate', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_orderpriority', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_customer', (SELECT COUNT(*) FROM orders))
+    SELECT predicate, n FROM counts
+    """,
+)
+def triples_build(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _store(spark, sf_dir)
+        .df.groupBy("predicate")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "woql_triple",
+    """
+    SELECT 'Customer/' || c_custkey AS c, c_acctbal AS bal_d
+    FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def woql_triple(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("c"), A.v("bal_d")],
+        A.And(
+            A.Triple(A.v("c"), "c_acctbal", A.v("bal")),
+            A.Greater(A.v("bal"), 9000.0),
+            A.Typecast(A.v("bal"), "xsd:double", A.v("bal_d")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_join2",
+    """
+    SELECT n_name AS nname, COUNT(*) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def woql_join2(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.GroupBy(
+        [A.v("nname")],
+        [("count", A.v("c"), A.v("cnt"))],
+        A.And(
+            A.Triple(A.v("c"), "c_nation", A.v("n")),
+            A.Triple(A.v("n"), "n_name", A.v("nname")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_join_chain",
+    """
+    SELECT COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def woql_join_chain(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("n_cust"), A.v("sum_bal")],
+        A.And(
+            A.GroupBy(
+                [],
+                [("count", A.v("c"), A.v("n_cust")), ("sum", A.v("bal_dec"), A.v("sum_bal_dec"))],
+                A.And(
+                    A.Triple(A.v("c"), "c_nation", A.v("n")),
+                    A.Triple(A.v("n"), "n_region", A.v("r")),
+                    A.Triple(A.v("r"), "r_name", "EUROPE"),
+                    A.Triple(A.v("c"), "c_acctbal", A.v("bal")),
+                    A.Typecast(A.v("bal"), "decimal(28,6)", A.v("bal_dec")),
+                ),
+            ),
+            A.Typecast(A.v("sum_bal_dec"), "xsd:double", A.v("sum_bal")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_or",
+    """
+    SELECT 'Region/' || r_regionkey AS x, r_name AS name FROM region
+    UNION ALL
+    SELECT 'Nation/' || n_nationkey, n_name FROM nation
+    """,
+)
+def woql_or(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("x"), A.v("name")],
+        A.Or_(
+            A.And(A.Triple(A.v("x"), "rdf:type", "Region"), A.Triple(A.v("x"), "r_name", A.v("name"))),
+            A.And(A.Triple(A.v("x"), "rdf:type", "Nation"), A.Triple(A.v("x"), "n_name", A.v("name"))),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_not",
+    """
+    SELECT n_name AS nname FROM nation
+    WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)
+    """,
+)
+def woql_not(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("nname")],
+        A.And(
+            A.Triple(A.v("n"), "rdf:type", "Nation"),
+            A.Triple(A.v("n"), "n_name", A.v("nname")),
+            A.Not(A.Triple(A.v("c"), "c_nation", A.v("n"))),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_opt",
+    """
+    SELECT 'Customer/' || c_custkey AS c, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def woql_opt(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.GroupBy(
+        [A.v("c")],
+        [("count", A.v("o"), A.v("n_orders"))],
+        A.And(
+            A.Triple(A.v("c"), "rdf:type", "Customer"),
+            A.Opt(A.Triple(A.v("o"), "o_customer", A.v("c"))),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_select_order",
+    """
+    SELECT 'Customer/' || c_custkey AS c, c_acctbal AS bal_d
+    FROM customer
+    ORDER BY c_acctbal DESC, c ASC
+    LIMIT 20 OFFSET 5
+    """,
+)
+def woql_select_order(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Limit(
+        20,
+        A.Start(
+            5,
+            A.OrderBy(
+                [(A.v("bal_d"), "desc"), (A.v("c"), "asc")],
+                A.Select(
+                    [A.v("c"), A.v("bal_d")],
+                    A.And(
+                        A.Triple(A.v("c"), "c_acctbal", A.v("bal")),
+                        A.Typecast(A.v("bal"), "xsd:double", A.v("bal_d")),
+                    ),
+                ),
+            ),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_filter_cmp",
+    """
+    SELECT 'Order/' || o_orderkey AS o, o_totalprice AS tp_d
+    FROM orders WHERE o_totalprice > 400000 AND o_totalprice < 490000 AND o_orderstatus = 'F'
+    """,
+)
+def woql_filter_cmp(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("o"), A.v("tp_d")],
+        A.And(
+            A.Triple(A.v("o"), "o_totalprice", A.v("tp")),
+            A.Greater(A.v("tp"), 400000.0),
+            A.Less(A.v("tp"), 490000.0),
+            A.Triple(A.v("o"), "o_orderstatus", "F"),
+            A.Typecast(A.v("tp"), "xsd:double", A.v("tp_d")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_arith",
+    """
+    SELECT 'Order/' || o_orderkey AS o,
+           o_totalprice * CAST(0.9 AS DOUBLE) + 10 AS net,
+           floor(o_totalprice / 1000)::BIGINT AS bucket
+    FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def woql_arith(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("o"), A.v("net"), A.v("bucket")],
+        A.And(
+            A.Triple(A.v("o"), "o_totalprice", A.v("tp")),
+            A.Greater(A.v("tp"), 450000.0),
+            A.Eval(("plus", ("times", A.v("tp"), 0.9), 10), A.v("net")),
+            A.Eval(("floor", ("divide", A.v("tp"), 1000)), A.v("bucket")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_string",
+    """
+    SELECT 'Region/' || r_regionkey AS r, r_name AS rn,
+           lower(r_name) AS low, substring(r_name, 1, 3) AS pre,
+           substring(r_name, 1, 3) || '-' || lower(r_name) AS lab,
+           length(r_name)::BIGINT AS ln
+    FROM region
+    """,
+)
+def woql_string(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("r"), A.v("rn"), A.v("low"), A.v("pre"), A.v("lab"), A.v("ln")],
+        A.And(
+            A.Triple(A.v("r"), "r_name", A.v("rn")),
+            A.Lower(A.v("rn"), A.v("low")),
+            A.Substr(A.v("rn"), 0, 3, A.v("pre")),
+            A.Concat([A.v("pre"), "-", A.v("low")], A.v("lab")),
+            A.Length(A.v("rn"), A.v("ln")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_typecast",
+    """
+    SELECT 'Order/' || o_orderkey AS o,
+           o_totalprice AS tp_d,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS tp_dec,
+           o_orderdate AS od
+    FROM orders WHERE o_totalprice > 480000
+    """,
+)
+def woql_typecast(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("o"), A.v("tp_d"), A.v("tp_dec"), A.v("od")],
+        A.And(
+            A.Triple(A.v("o"), "o_totalprice", A.v("tp")),
+            A.Typecast(A.v("tp"), "xsd:double", A.v("tp_d")),
+            A.Greater(A.v("tp_d"), 480000.0),
+            A.Typecast(A.v("tp"), "decimal(18,2)", A.v("tp_dec")),
+            A.Triple(A.v("o"), "o_orderdate", A.v("od_s")),
+            A.Typecast(A.v("od_s"), "xsd:dateTime", A.v("od")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_group_agg",
+    """
+    SELECT n_name AS nname, COUNT(*) AS n_sup,
+           MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def woql_group_agg(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("nname"), A.v("n_sup"), A.v("min_bal"), A.v("max_bal"), A.v("sum_bal")],
+        A.And(
+            A.GroupBy(
+                [A.v("nname")],
+                [
+                    ("count", A.v("s"), A.v("n_sup")),
+                    ("min", A.v("bal_d"), A.v("min_bal")),
+                    ("max", A.v("bal_d"), A.v("max_bal")),
+                    ("sum", A.v("bal_dec"), A.v("sum_bal_dec")),
+                ],
+                A.And(
+                    A.Triple(A.v("s"), "s_nation", A.v("n")),
+                    A.Triple(A.v("n"), "n_name", A.v("nname")),
+                    A.Triple(A.v("s"), "s_acctbal", A.v("bal")),
+                    A.Typecast(A.v("bal"), "xsd:double", A.v("bal_d")),
+                    A.Typecast(A.v("bal"), "decimal(28,6)", A.v("bal_dec")),
+                ),
+            ),
+            A.Typecast(A.v("sum_bal_dec"), "xsd:double", A.v("sum_bal")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_member",
+    """
+    SELECT c_mktsegment AS seg, COUNT(*) AS n
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    GROUP BY c_mktsegment
+    """,
+)
+def woql_member(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.GroupBy(
+        [A.v("seg")],
+        [("count", A.v("c"), A.v("n"))],
+        A.And(
+            A.Triple(A.v("c"), "c_mktsegment", A.v("seg")),
+            A.Member(A.v("seg"), ["BUILDING", "AUTOMOBILE"]),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_idgen",
+    """
+    SELECT 'Customer/' || c_custkey AS c,
+           'doc/' || c_name AS gen_id,
+           'doc/' || md5(c_name) AS hash_id
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def woql_idgen(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("c"), A.v("gen_id"), A.v("hash_id")],
+        A.And(
+            A.Triple(A.v("c"), "c_name", A.v("cname")),
+            A.Like(A.v("c"), "Customer/%"),
+            A.Regexp(r"Customer/(\d{1,2})$", A.v("c")),
+            A.IDGen("doc", [A.v("cname")], A.v("gen_id")),
+            A.HashKey("doc", [A.v("cname")], A.v("hash_id")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_isa",
+    """
+    SELECT (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier) AS n_agents
+    """,
+)
+def woql_isa(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Count(A.Isa(A.v("x"), "Agent"), A.v("n_agents"))
+    return _ctx(spark, sf_dir, with_schema=True).run(q)
+
+
+@register(
+    "woql_quad",
+    """
+    SELECT 'Customer' AS sub, 'Agent' AS sup
+    UNION ALL SELECT 'Supplier', 'Agent'
+    """,
+)
+def woql_quad(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("sub"), A.v("sup")],
+        A.Quad(A.v("sub"), "subClassOf", A.v("sup"), "schema"),
+    )
+    return _ctx(spark, sf_dir, with_schema=True).run(q)

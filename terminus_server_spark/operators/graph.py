@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from terminus_server_spark.operators.path import no_constraint_propagation
+
 
 def degrees(edges: DataFrame) -> DataFrame:
     """(node, out_degree, in_degree, degree) — two partial aggs and a
@@ -37,41 +39,42 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     undirected edges.  Iterative min-label propagation to fixpoint:
     each step is one shuffle join; converges in O(diameter) steps.
     """
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iters):
-        # candidate labels arriving over edges
-        prop = (
-            und.join(labels, und["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), "component")
-        )
-        new_labels = (
-            labels.select("node", "component")
-            .union(prop)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+    with no_constraint_propagation(edges.sparkSession):
+        und = (
+            edges.select("src", "dst")
+            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
+        labels = (
+            und.select(F.col("src").alias("node"))
+            .union(und.select(F.col("dst").alias("node")))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed:
-            break
+        for _ in range(max_iters):
+            # candidate labels arriving over edges
+            prop = (
+                und.join(labels, und["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), "component")
+            )
+            new_labels = (
+                labels.select("node", "component")
+                .union(prop)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .isEmpty()
+            )
+            labels = new_labels
+            if changed:
+                break
     return labels
 
 
@@ -80,37 +83,38 @@ def pagerank(
 ) -> DataFrame:
     """(node, rank) after fixed iterations; dangling mass handled by
     renormalization.  Classic power iteration as repeated join-agg."""
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_nodes = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-    links = edges.join(out_deg, "src").localCheckpoint(eager=True)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(iters):
-        contribs = (
-            links.join(ranks, links["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_degree")).alias("contrib"),
-            )
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left_outer")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-            )
+    with no_constraint_propagation(edges.sparkSession):
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
+        n_nodes = nodes.count()
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+        links = edges.join(out_deg, "src").localCheckpoint(eager=True)
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        for _ in range(iters):
+            contribs = (
+                links.join(ranks, links["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                )
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("contrib"))
+            )
+            ranks = (
+                nodes.join(contribs, "node", "left_outer")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n_nodes)
+                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return ranks
 
 
@@ -142,24 +146,25 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
     """Multi-source BFS: (source, node, hops) minimum hop counts from
     each source node.  sources: DataFrame(node).  Semi-naive frontier
     expansion like path closure, but keyed by (source, node)."""
-    e = edges.select("src", "dst").distinct().repartition("src").localCheckpoint(eager=True)
-    reached = sources.select(
-        F.col("node").alias("source"), F.col("node").alias("node"), F.lit(0).alias("hops")
-    ).localCheckpoint(eager=True)
-    frontier = reached
-    for _ in range(max_iters):
-        grown = (
-            frontier.join(e, frontier["node"] == e["src"])
-            .select("source", F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
-        )
-        new = (
-            grown.join(reached.select("source", "node"), ["source", "node"], "left_anti")
-            .groupBy("source", "node")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
-        )
-        if new.isEmpty():
-            break
-        reached = reached.union(new).localCheckpoint(eager=True)
-        frontier = new
+    with no_constraint_propagation(edges.sparkSession):
+        e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+        reached = sources.select(
+            F.col("node").alias("source"), F.col("node").alias("node"), F.lit(0).alias("hops")
+        ).localCheckpoint(eager=True)
+        frontier = reached
+        for _ in range(max_iters):
+            grown = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .select("source", F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+            )
+            new = (
+                grown.join(reached.select("source", "node"), ["source", "node"], "left_anti")
+                .groupBy("source", "node")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=True)
+            )
+            if new.isEmpty():
+                break
+            reached = reached.union(new).localCheckpoint(eager=True)
+            frontier = new
     return reached

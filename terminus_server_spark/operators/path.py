@@ -21,9 +21,27 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
 
 from terminus_server_spark.woql import path_ast as P
+
+
+@contextmanager
+def no_constraint_propagation(spark):
+    """Catalyst's Union.rewriteConstraints crashes (key not found:
+    attr) when a localCheckpoint'ed plan is unioned with a plan that
+    shares its attribute ids — exactly the shape of semi-naive
+    iteration.  Constraint propagation buys nothing inside these
+    loops (inputs are already not-null-filtered), so scope it off."""
+    key = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _dedup_min_hops(df: DataFrame) -> DataFrame:
@@ -37,32 +55,37 @@ def transitive_closure(
 
     Semi-naive: frontier_{k+1} = frontier_k ⋈ edges − reached.
     """
-    base = edges.select("src", "dst").where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    # one repartition, reused by every iteration's join on dst=src
-    base = base.repartition("src").localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    with no_constraint_propagation(spark):
+        base = edges.select("src", "dst").where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        )
+        # checkpoint the edge set once; each iteration's join shuffles
+        # it on src and AQE reuses the exchange across iterations
+        base = base.localCheckpoint(eager=True)
 
-    reached = base.withColumn("hops", F.lit(1))
-    frontier = reached
-    for _ in range(max_iters):
-        grown = (
-            frontier.alias("f")
-            .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
-            .select(
-                F.col("f.src").alias("src"),
-                F.col("e.dst").alias("dst"),
-                (F.col("f.hops") + 1).alias("hops"),
+        reached = base.withColumn("hops", F.lit(1))
+        frontier = reached
+        for _ in range(max_iters):
+            grown = (
+                frontier.alias("f")
+                .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
+                .select(
+                    F.col("f.src").alias("src"),
+                    F.col("e.dst").alias("dst"),
+                    (F.col("f.hops") + 1).alias("hops"),
+                )
             )
-        )
-        new = (
-            grown.join(reached.select("src", "dst"), on=["src", "dst"], how="left_anti")
-            .groupBy("src", "dst")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
-        )
-        if new.isEmpty():
-            break
-        reached = _dedup_min_hops(reached.unionByName(new)).localCheckpoint(eager=True)
-        frontier = new
+            new = (
+                grown.join(reached.select("src", "dst"), on=["src", "dst"], how="left_anti")
+                .groupBy("src", "dst")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=True)
+            )
+            if new.isEmpty():
+                break
+            reached = _dedup_min_hops(reached.unionByName(new)).localCheckpoint(eager=True)
+            frontier = new
     return reached if with_hops else reached.select("src", "dst")
 
 

@@ -954,3 +954,347 @@ def woql_quad(spark, sf_dir):
         A.Quad(A.v("sub"), "subClassOf", A.v("sup"), "schema"),
     )
     return _ctx(spark, sf_dir, with_schema=True).run(q)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 path queries & graph analytics
+# ---------------------------------------------------------------------------
+
+
+def _parent_tree_store(spark, sf_dir):
+    """Triple store with a binary-tree 'parent' edge over customer ids:
+    C/k -parent-> C/(k//2) for k >= 1 (deterministic, SQL-mirrorable)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    tri = cust.where(F.col("c_custkey") >= 1).select(
+        F.lit("instance").alias("graph"),
+        F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit("parent").alias("predicate"),
+        F.concat(F.lit("C/"), F.floor(F.col("c_custkey") / 2).cast("long").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    )
+    return TripleStore(tri)
+
+
+@register(
+    "path_seq",
+    """
+    SELECT 'Region/' || n_regionkey AS r, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def path_seq(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.path_ast import Pred, Seq
+
+    q = A.GroupBy(
+        [A.v("r")],
+        [("count", A.v("o"), A.v("n_orders"))],
+        A.Path(A.v("o"), Seq(Pred("o_customer"), Pred("c_nation"), Pred("n_region")), A.v("r")),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "path_plus",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst, 1 AS hops
+      FROM customer WHERE c_custkey >= 1
+      UNION ALL
+      SELECT a.src, 'C/' || (c.c_custkey // 2), a.hops + 1
+      FROM anc a JOIN customer c ON a.dst = 'C/' || c.c_custkey
+      WHERE c.c_custkey >= 1)
+    SELECT src, dst, MIN(hops) AS hops FROM anc GROUP BY src, dst
+    """,
+)
+def path_plus(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+    from terminus_server_spark.woql.path_ast import Plus, Pred
+
+    ctx = WOQLContext(_parent_tree_store(spark, sf_dir))
+    return ctx.run(A.Path(A.v("src"), Plus(Pred("parent")), A.v("dst"), hops=A.v("hops")))
+
+
+@register(
+    "graph_shortest_hops",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    walk AS (
+      SELECT 'C/' || c_custkey AS source, 'C/' || c_custkey AS node, 0 AS hops
+      FROM customer WHERE c_custkey < 4
+      UNION ALL
+      SELECT w.source, e.dst, w.hops + 1 FROM walk w JOIN e ON w.node = e.src)
+    SELECT source, node, MIN(hops) AS hops FROM walk GROUP BY source, node
+    """,
+)
+def graph_shortest_hops(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import shortest_hops
+
+    store = _parent_tree_store(spark, sf_dir)
+    edges = store.edges("parent")
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    sources = cust.where(F.col("c_custkey") < 4).select(
+        F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return shortest_hops(edges, sources)
+
+
+@register(
+    "graph_components",
+    """
+    WITH nodes AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1
+      UNION
+      SELECT c_custkey - 1 FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1)
+    SELECT k AS node, 10 * (k // 10) AS component FROM nodes
+    """,
+)
+def graph_components(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import connected_components
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    return connected_components(edges)
+
+
+@register(
+    "graph_degree",
+    """
+    SELECT 'Order/' || o_orderkey AS node, 1::BIGINT AS out_degree,
+           0::BIGINT AS in_degree, 1::BIGINT AS degree
+    FROM orders
+    UNION ALL
+    SELECT 'Customer/' || o_custkey, 0::BIGINT, COUNT(*), COUNT(*)
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def graph_degree(spark, sf_dir):
+    from terminus_server_spark.operators.graph import degrees
+
+    return degrees(_store(spark, sf_dir).edges("o_customer"))
+
+
+@register(
+    "graph_triangles",
+    """
+    WITH e0 AS (
+      SELECT n_nationkey AS a, n_nationkey + 1 AS b FROM nation WHERE n_nationkey + 1 <= 24
+      UNION ALL
+      SELECT n_nationkey, n_nationkey + 2 FROM nation WHERE n_nationkey + 2 <= 24),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    canon AS (SELECT a, b FROM und WHERE a < b)
+    SELECT COUNT(*)::BIGINT AS n_triangles
+    FROM canon x JOIN canon y ON x.b = y.a JOIN canon z ON z.a = x.a AND z.b = y.b
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import triangle_count
+
+    n = _t(spark, sf_dir, "nation")["nation"]
+    e1 = n.where(F.col("n_nationkey") + 1 <= 24).select(
+        F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 1).alias("dst")
+    )
+    e2 = n.where(F.col("n_nationkey") + 2 <= 24).select(
+        F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 2).alias("dst")
+    )
+    return triangle_count(e1.union(e2))
+
+
+@register("graph_pagerank")  # iterative float algorithm: rows-only check
+def graph_pagerank(spark, sf_dir):
+    from terminus_server_spark.operators.graph import pagerank
+
+    store = _parent_tree_store(spark, sf_dir)
+    return pagerank(store.edges("parent"), iters=5)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 versioning (git-for-data)
+# ---------------------------------------------------------------------------
+
+
+def _layers(spark, sf_dir):
+    from terminus_server_spark.versioning.layers import orders_layers
+
+    return orders_layers(_t(spark, sf_dir, "orders")["orders"])
+
+
+@register(
+    "vc_commit_materialize",
+    f"""
+    SELECT COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+       OR (o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01')
+    """,
+)
+def vc_commit_materialize(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize
+
+    state = materialize(_layers(spark, sf_dir), 2, ["o_orderkey"])
+    return state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "vc_time_travel",
+    """
+    SELECT * FROM (
+      SELECT 1 AS commit_seq, COUNT(*) AS n FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT 2, COUNT(*) FROM orders
+      WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+         OR (o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01')
+      UNION ALL
+      SELECT 3, COUNT(*) FROM orders
+      WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+         OR o_orderdate >= TIMESTAMP '1997-01-01')
+    ORDER BY commit_seq
+    """,
+)
+def vc_time_travel(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize
+
+    layers = _layers(spark, sf_dir).localCheckpoint(eager=True)
+    parts = [
+        materialize(layers, seq, ["o_orderkey"]).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(seq).alias("commit_seq"), "n"
+        )
+        for seq in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("commit_seq")
+
+
+@register(
+    "vc_diff",
+    """
+    SELECT op, n FROM (
+      SELECT 'added' AS op, COUNT(*) AS n FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT 'removed', COUNT(*) FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000)
+    WHERE n > 0
+    """,
+)
+def vc_diff(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import diff
+
+    d = diff(_layers(spark, sf_dir), 1, 3, ["o_orderkey"])
+    return d.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "vc_squash",
+    f"""
+    SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000)
+    """,
+)
+def vc_squash(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import squash
+
+    s = squash(_layers(spark, sf_dir), 3, ["o_orderkey"], "squashed")
+    return s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "vc_history",
+    """
+    SELECT n_ops, last_op, COUNT(*) AS n FROM (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000
+                  THEN 2 ELSE 1 END AS n_ops,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000
+                  THEN 'del' ELSE 'add' END AS last_op
+      FROM orders)
+    GROUP BY n_ops, last_op
+    """,
+)
+def vc_history(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import history
+
+    h = history(_layers(spark, sf_dir), ["o_orderkey"])
+    return h.groupBy(F.col("n_ops").cast("int").alias("n_ops"), "last_op").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register("vc_rebase")  # replay onto alternate base: rows-only check
+def vc_rebase(spark, sf_dir):
+    from terminus_server_spark.versioning.layers import materialize, rebase, squash
+
+    layers = _layers(spark, sf_dir)
+    base = squash(layers, 1, ["o_orderkey"], "base")
+    rebased = rebase(layers, base, 1, ["o_orderkey"])
+    return materialize(rebased, 10_000, ["o_orderkey"])
+
+
+@register(
+    "delta_added_removed",
+    """
+    SELECT (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01') AS n_added,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000) AS n_removed
+    """,
+)
+def delta_added_removed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import tpch_store
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    layers = _layers(spark, sf_dir).select(
+        "commit_seq",
+        "commit_id",
+        "op",
+        F.concat(F.lit("Order/"), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit("o_totalprice").alias("predicate"),
+        F.col("o_totalprice").cast("string").alias("obj"),
+    )
+    ctx = WOQLContext(_store(spark, sf_dir), layers=layers)
+    added = ctx.run(A.Count(A.AddedTriple(A.v("s"), "o_totalprice", A.v("x"), "c2"), A.v("n_added")))
+    removed = ctx.run(
+        A.Count(A.RemovedTriple(A.v("s"), "o_totalprice", A.v("x"), "c2"), A.v("n_removed"))
+    )
+    return added.crossJoin(removed)

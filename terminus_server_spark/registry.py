@@ -1298,3 +1298,285 @@ def delta_added_removed(spark, sf_dir):
         A.Count(A.RemovedTriple(A.v("s"), "o_totalprice", A.v("x"), "c2"), A.v("n_removed"))
     )
     return added.crossJoin(removed)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 document API
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_to_triples",
+    """
+    SELECT p AS predicate, (SELECT COUNT(*) FROM documents) AS n
+    FROM (VALUES ('rdf:type'), ('text'), ('lang'), ('source'), ('n_chars')) AS t(p)
+    """,
+)
+def doc_to_triples(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import docs_to_triples
+
+    tri = docs_to_triples(_t(spark, sf_dir, "documents")["documents"], "Doc", "doc_id")
+    return tri.groupBy("predicate").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "triples_to_doc",
+    """
+    WITH kids AS (
+      SELECT o_custkey AS c_custkey, list(o_orderkey ORDER BY o_orderkey) AS items,
+             COUNT(*) AS n_items
+      FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(k.items, []) AS items,
+           COALESCE(k.n_items, 0) AS n_items
+    FROM customer c LEFT JOIN kids k USING (c_custkey)
+    """,
+)
+def triples_to_doc(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import assemble_documents
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    out = assemble_documents(
+        t["customer"].select("c_custkey", "c_name"), t["orders"], "c_custkey", "o_custkey", "o_orderkey"
+    )
+    return out.withColumn("items", F.coalesce("items", F.expr("CAST(array() AS array<bigint>)")))
+
+
+@register(
+    "doc_filter",
+    """
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE lang = 'en' AND n_chars > 300
+    """,
+)
+def doc_filter(spark, sf_dir):
+    from terminus_server_spark.docs.documents import filter_documents
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return filter_documents(docs, [("lang", "eq", "en"), ("n_chars", "gt", 300)]).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "schema_validate",
+    """
+    SELECT doc_id AS key, 'lang:not_in_enum' AS violation FROM documents
+    WHERE lang IS NOT NULL AND lang NOT IN ('en', 'es', 'de', 'fr')
+    UNION ALL
+    SELECT doc_id, 'n_chars:below_min' FROM documents WHERE n_chars IS NOT NULL AND n_chars < 60
+    UNION ALL
+    SELECT doc_id, 'n_chars:above_max' FROM documents WHERE n_chars IS NOT NULL AND n_chars > 900
+    UNION ALL
+    SELECT doc_id, 'text:missing' FROM documents WHERE text IS NULL
+    """,
+)
+def schema_validate(spark, sf_dir):
+    from terminus_server_spark.docs.documents import validate_documents
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    schema = {
+        "@key": "doc_id",
+        "text": {"required": True},
+        "lang": {"enum": ["en", "es", "de", "fr"]},
+        "n_chars": {"min": 60, "max": 900},
+    }
+    return validate_documents(docs, schema)
+
+
+_DOC_NEW_SQL = """
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'X-PRIORITY' ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 173 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 997 <> 0)
+"""
+
+
+def _doc_versions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    old = orders.select("o_orderkey", "o_orderpriority", "o_orderstatus")
+    new = (
+        orders.where(F.col("o_orderkey") % 997 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 100 == 0, "X-PRIORITY")
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            F.when(F.col("o_orderkey") % 173 == 0, "X")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+    )
+    return old, new
+
+
+@register(
+    "doc_diff",
+    f"""
+    WITH {_DOC_NEW_SQL},
+    j AS (
+      SELECT o.o_orderkey AS key,
+             o.o_orderpriority AS old_p, n.o_orderpriority AS new_p,
+             o.o_orderstatus AS old_s, n.o_orderstatus AS new_s
+      FROM orders o LEFT JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT * FROM (
+      SELECT key, 'o_orderpriority' AS field, old_p AS old_value, new_p AS new_value,
+             CASE WHEN old_p IS NOT NULL AND new_p IS NULL THEN 'removed'
+                  WHEN old_p <> new_p THEN 'changed' END AS op
+      FROM j
+      UNION ALL
+      SELECT key, 'o_orderstatus', old_s, new_s,
+             CASE WHEN old_s IS NOT NULL AND new_s IS NULL THEN 'removed'
+                  WHEN old_s <> new_s THEN 'changed' END
+      FROM j)
+    WHERE op IS NOT NULL
+    """,
+)
+def doc_diff_q(spark, sf_dir):
+    from terminus_server_spark.docs.documents import doc_diff
+
+    old, new = _doc_versions(spark, sf_dir)
+    return doc_diff(old, new, "o_orderkey", ["o_orderpriority", "o_orderstatus"])
+
+
+@register(
+    "doc_patch",
+    """
+    SELECT o_orderkey AS key,
+           CASE WHEN o_orderkey % 997 <> 0 THEN 'X-PRIORITY' ELSE o_orderpriority END AS o_orderpriority,
+           CASE WHEN o_orderkey % 173 = 0 AND o_orderkey % 997 <> 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def doc_patch_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import doc_diff, doc_patch
+
+    old, new = _doc_versions(spark, sf_dir)
+    fields = ["o_orderpriority", "o_orderstatus"]
+    d = doc_diff(old, new, "o_orderkey", fields)
+    patched = doc_patch(old, d, "o_orderkey", fields)
+    return patched.where(F.col("o_orderkey") % 100 == 0).withColumnRenamed("o_orderkey", "key")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sources & streaming
+# ---------------------------------------------------------------------------
+
+_CSV_PATH = "/root/repo/.cache/tss/cities.csv"
+_CSV_CONTENT = """city,country,pop
+tokyo,jp,37400068
+delhi,in,28514000
+shanghai,cn,25582000
+sao_paulo,br,21650000
+mexico_city,mx,21581000
+cairo,eg,20076000
+mumbai,in,19980000
+beijing,cn,19618000
+dhaka,bd,19578000
+osaka,jp,19281000
+"""
+
+
+def _ensure_csv():
+    import os
+
+    os.makedirs(os.path.dirname(_CSV_PATH), exist_ok=True)
+    with open(_CSV_PATH, "w") as f:
+        f.write(_CSV_CONTENT)
+
+
+_ensure_csv()
+
+
+@register(
+    "src_csv_roundtrip",
+    f"""
+    SELECT country, COUNT(*) AS n_cities,
+           SUM(CAST(pop AS BIGINT)) AS total_pop, MIN(city) AS first_city
+    FROM read_csv('{_CSV_PATH}', header=true, all_varchar=true)
+    GROUP BY country
+    """,
+)
+def src_csv_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    _ensure_csv()
+    df = spark.read.option("header", "true").csv(_CSV_PATH)
+    return df.groupBy("country").agg(
+        F.count(F.lit(1)).alias("n_cities"),
+        F.sum(F.col("pop").cast("bigint")).alias("total_pop"),
+        F.min("city").alias("first_city"),
+    )
+
+
+@register(
+    "woql_get_csv",
+    f"""
+    SELECT city, country, CAST(pop AS BIGINT) AS pop_n
+    FROM read_csv('{_CSV_PATH}', header=true, all_varchar=true)
+    WHERE CAST(pop AS BIGINT) > 21000000
+    """,
+)
+def woql_get_csv(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    _ensure_csv()
+    q = A.Select(
+        [A.v("city"), A.v("country"), A.v("pop_n")],
+        A.And(
+            A.Get(
+                [("city", A.v("city")), ("country", A.v("country")), ("pop", A.v("pop"))],
+                _CSV_PATH,
+            ),
+            A.Typecast(A.v("pop"), "xsd:integer", A.v("pop_n")),
+            A.Greater(A.v("pop_n"), 21000000),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "stream_window",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_window(spark, sf_dir):
+    from terminus_server_spark.streaming.events import run_stream_to_table, windowed_counts
+
+    events = _t(spark, sf_dir, "events")["events"]
+    return run_stream_to_table(
+        spark, events, windowed_counts, "tss_stream_window", output_mode="complete"
+    )
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT COUNT(*) AS n, SUM(event_id) AS sum_id
+    FROM (SELECT DISTINCT event_id FROM events)
+    """,
+)
+def stream_dedup_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_to_table, stream_dedup
+
+    events = _t(spark, sf_dir, "events")["events"]
+    doubled = events.union(events)  # inject duplicates to dedup
+    deduped = run_stream_to_table(
+        spark, doubled, stream_dedup, "tss_stream_dedup", output_mode="append"
+    )
+    return deduped.agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id"))

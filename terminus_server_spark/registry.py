@@ -438,14 +438,14 @@ _COS_SQL = """list_sum(list_transform(list_zip(a.v, b.v),
     WITH {_PARTS_SQL}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos
     FROM parts a JOIN parts b ON a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.90
+    WHERE {_COS_SQL} >= 0.37
     """,
 )
 def dedup_embed_cos(spark, sf_dir):
     from terminus_server_spark.operators.dedup import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings")["embeddings"], threshold=0.90
+        _t(spark, sf_dir, "embeddings")["embeddings"], threshold=0.37
     )
 
 

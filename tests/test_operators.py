@@ -1,0 +1,207 @@
+"""Unit tests for operators on tiny literal DataFrames (no parquet)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_transitive_closure_chain(spark):
+    from terminus_server_spark.operators.path import transitive_closure
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    got = {(r.src, r.dst, r.hops) for r in transitive_closure(edges, with_hops=True).collect()}
+    assert got == {
+        ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+        ("a", "c", 2), ("b", "d", 2), ("a", "d", 3),
+    }
+
+
+def test_transitive_closure_cycle_terminates(spark):
+    from terminus_server_spark.operators.path import transitive_closure
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    rows = transitive_closure(edges, with_hops=True).collect()
+    assert len(rows) == 9  # complete digraph over 3 nodes
+    assert all(r.hops <= 3 for r in rows)
+
+
+def test_path_star_and_times(spark, store):
+    from terminus_server_spark.operators.path import compile_path
+    from terminus_server_spark.woql.path_ast import Pred, Star, Times, Seq, Inv
+
+    # star includes 0-hop identity pairs
+    star = compile_path(store, Star(Pred("n_region")))
+    zero = star.where(F.col("hops") == 0)
+    assert zero.count() == 30  # 25 nations + 5 regions as nodes
+    # times(2,2) over customer->nation->region
+    t22 = compile_path(store, Times(Seq(Pred("c_nation")), 1, 1))
+    assert t22.count() > 0
+    inv = compile_path(store, Inv("n_region"))
+    assert inv.select("src").distinct().count() == 5
+
+
+def test_connected_components_two_islands(spark):
+    from terminus_server_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src int, dst int"
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_pagerank_sums_to_one_ish(spark):
+    from terminus_server_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1), (1, 3)], "src int, dst int")
+    ranks = {r.node: r["rank"] for r in pagerank(edges, iters=20).collect()}
+    total = sum(ranks.values())
+    assert 0 < total <= 1.001  # dangling node 3 leaks mass (no renorm)
+    # 1 receives all of 2's rank; 2 and 3 each receive half of 1's
+    assert ranks[1] > ranks[2]
+    assert abs(ranks[2] - ranks[3]) < 1e-9
+
+
+def test_triangle_count_known(spark):
+    from terminus_server_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    assert triangle_count(edges).collect()[0].n_triangles == 1
+
+
+def test_minhash_identical_docs_collide(spark):
+    from terminus_server_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text with other words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs))).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+
+def test_ngram_jaccard_exact_dup_is_one(spark):
+    from terminus_server_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(shingles(docs)).collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    from terminus_server_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 16
+    ham_13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
+    assert ham_13 > 0
+
+
+def test_brute_topk_self_similarity_excluded(spark):
+    from terminus_server_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") == 1), k=2).collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
+    assert out[0].cos > 0.99
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    import random
+
+    random.seed(7)
+    rows = []
+    for cluster in range(4):
+        center = [1.0 if i == cluster else 0.0 for i in range(8)]
+        for j in range(25):
+            vec = [c + random.uniform(-0.05, 0.05) for c in center]
+            rows.append((cluster * 25 + j, vec))
+    from terminus_server_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id").isin(0, 30, 60))
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_multimodal_features_deterministic(spark):
+    from terminus_server_spark.operators.multimodal import extract_features, to_multimodal
+
+    docs = spark.createDataFrame([(1, "hello"), (2, "world")], "doc_id long, text string")
+    mm = to_multimodal(docs)
+    f1 = {(r.doc_id, r.width, r.height, r.n_frames) for r in extract_features(mm).collect()}
+    f2 = {(r.doc_id, r.width, r.height, r.n_frames) for r in extract_features(mm).collect()}
+    assert f1 == f2 and len(f1) == 2
+
+
+def test_versioning_roundtrip(spark):
+    from terminus_server_spark.versioning.layers import diff, materialize, rebase, squash
+
+    layers = spark.createDataFrame(
+        [
+            (1, "c1", "add", "k1"), (1, "c1", "add", "k2"),
+            (2, "c2", "del", "k1"), (2, "c2", "add", "k3"),
+            (3, "c3", "add", "k1"),
+        ],
+        "commit_seq int, commit_id string, op string, k string",
+    )
+    assert {r.k for r in materialize(layers, 1, ["k"]).collect()} == {"k1", "k2"}
+    assert {r.k for r in materialize(layers, 2, ["k"]).collect()} == {"k2", "k3"}
+    assert {r.k for r in materialize(layers, 3, ["k"]).collect()} == {"k1", "k2", "k3"}
+    d = {(r.op, r.k) for r in diff(layers, 1, 2, ["k"]).collect()}
+    assert d == {("added", "k3"), ("removed", "k1")}
+    s = squash(layers, 2, ["k"], "sq")
+    assert {r.k for r in materialize(s, 0, ["k"]).collect()} == {"k2", "k3"}
+    rb = rebase(layers, s, 2, ["k"])
+    assert {r.k for r in materialize(rb, 10_000, ["k"]).collect()} == {"k1", "k2", "k3"}
+
+
+def test_doc_diff_patch_roundtrip(spark):
+    from terminus_server_spark.docs.documents import doc_diff, doc_patch
+
+    old = spark.createDataFrame([(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, n long")
+    new = spark.createDataFrame([(1, "a", 10), (2, "B", 25), (3, "c", 30)], "id long, s string, n long")
+    d = doc_diff(old, new, "id", ["s", "n"])
+    got = {(r.key, r.field, r.old_value, r.new_value, r.op) for r in d.collect()}
+    assert got == {(2, "s", "b", "B", "changed"), (2, "n", "10", "25", "changed")} or got == {
+        (2, "s", "b", "B", "changed"),
+        (2, "n", "20", "25", "changed"),
+    }
+    patched = doc_patch(old, d, "id", ["s", "n"])
+    assert {tuple(r) for r in patched.collect()} == {tuple(r) for r in new.collect()}
+
+
+def test_schema_validation_clean_and_dirty(spark):
+    from terminus_server_spark.docs.documents import validate_documents
+
+    docs = spark.createDataFrame(
+        [(1, "en", 100), (2, "xx", 100), (3, "en", 5)],
+        "doc_id long, lang string, n long",
+    )
+    schema = {"@key": "doc_id", "lang": {"enum": ["en"]}, "n": {"min": 10}}
+    got = {(r.key, r.violation) for r in validate_documents(docs, schema).collect()}
+    assert got == {(2, "lang:not_in_enum"), (3, "n:below_min")}

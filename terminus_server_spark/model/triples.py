@@ -51,26 +51,30 @@ def _xsd_type(spark_type: str) -> str:
     }.get(base, "xsd:string")
 
 
-def triples_from_table(
+def predicate_frames(
     df: DataFrame,
     class_name: str,
     key_col: str,
     value_cols: list[str] | None = None,
     ref_cols: dict[str, tuple[str, str]] | None = None,
     graph: str = "instance",
-) -> DataFrame:
-    """Map a relational table to typed triples (document → triple
-    mapping, parity with the reference's document insert path,
-    terminus-server src/core/document/json.pl).
+) -> dict[str, DataFrame]:
+    """Map a relational table to typed triples, one frame *per
+    predicate* (vertical partitioning — the classic RDF scale
+    layout).  Parity with the reference's document insert path
+    (terminus-server src/core/document/json.pl):
 
-    - subject IRI: ``{class_name}/{key}`` (lexical key strategy).
-    - one ``rdf:type`` triple per row.
-    - ``value_cols`` become literal triples (predicate = column name).
+    - subject IRI: ``{class_name}/{key}`` (lexical key strategy);
+    - one ``rdf:type`` triple per row;
+    - ``value_cols`` become literal triples (predicate = column name);
     - ``ref_cols``: column -> (TargetClass, predicate) become IRI
       object triples (foreign keys → edges).
 
-    Implemented as a single ``explode`` over a generated struct array:
-    one narrow shuffle-free projection, fully JVM-side.
+    Each frame is a narrow projection of the source scan — a
+    constant-predicate WOQL pattern therefore reads exactly one
+    table's two columns (column pruning reaches parquet), and the
+    full-store view is a union Catalyst folds branches out of when a
+    predicate filter is applied.
     """
     value_cols = value_cols if value_cols is not None else [c for c in df.columns if c != key_col]
     ref_cols = ref_cols or {}
@@ -78,14 +82,20 @@ def triples_from_table(
 
     subject = F.concat(F.lit(class_name + "/"), F.col(key_col).cast("string"))
 
-    entries = [
-        F.struct(
-            F.lit(RDF_TYPE).alias("predicate"),
-            F.lit(class_name).alias("obj"),
-            F.lit("iri").alias("obj_type"),
-            F.lit(None).cast(DoubleType()).alias("obj_num"),
-        )
-    ]
+    def frame(predicate: str, obj: F.Column, obj_type: str, obj_num: F.Column) -> DataFrame:
+        return df.select(
+            F.lit(graph).alias("graph"),
+            subject.alias("subject"),
+            F.lit(predicate).alias("predicate"),
+            obj.alias("obj"),
+            F.lit(obj_type).alias("obj_type"),
+            obj_num.alias("obj_num"),
+        ).where(obj.isNotNull())
+
+    null_num = F.lit(None).cast(DoubleType())
+    out: dict[str, DataFrame] = {
+        RDF_TYPE: frame(RDF_TYPE, F.lit(class_name), "iri", null_num)
+    }
     for c in value_cols:
         if c in ref_cols:
             continue
@@ -96,33 +106,37 @@ def triples_from_table(
             if spark_type == "timestamp"
             else F.col(c).cast("string")
         )
-        entries.append(
-            F.struct(
-                F.lit(c).alias("predicate"),
-                lexical.alias("obj"),
-                F.lit(_xsd_type(spark_type)).alias("obj_type"),
-                (F.col(c).cast(DoubleType()) if is_num else F.lit(None).cast(DoubleType())).alias("obj_num"),
-            )
+        out[c] = frame(
+            c,
+            lexical,
+            _xsd_type(spark_type),
+            F.col(c).cast(DoubleType()) if is_num else null_num,
         )
     for c, (target_class, predicate) in ref_cols.items():
-        entries.append(
-            F.struct(
-                F.lit(predicate).alias("predicate"),
-                F.concat(F.lit(target_class + "/"), F.col(c).cast("string")).alias("obj"),
-                F.lit("iri").alias("obj_type"),
-                F.lit(None).cast(DoubleType()).alias("obj_num"),
-            )
+        out[predicate] = frame(
+            predicate,
+            F.concat(F.lit(target_class + "/"), F.col(c).cast("string")),
+            "iri",
+            null_num,
         )
+    return out
 
-    exploded = df.select(subject.alias("subject"), F.explode(F.array(*entries)).alias("t"))
-    return exploded.select(
-        F.lit(graph).alias("graph"),
-        "subject",
-        F.col("t.predicate").alias("predicate"),
-        F.col("t.obj").alias("obj"),
-        F.col("t.obj_type").alias("obj_type"),
-        F.col("t.obj_num").alias("obj_num"),
-    ).where(F.col("obj").isNotNull())
+
+def triples_from_table(
+    df: DataFrame,
+    class_name: str,
+    key_col: str,
+    value_cols: list[str] | None = None,
+    ref_cols: dict[str, tuple[str, str]] | None = None,
+    graph: str = "instance",
+) -> DataFrame:
+    """All triples of one table as a single frame (union of the
+    per-predicate projections)."""
+    frames = list(predicate_frames(df, class_name, key_col, value_cols, ref_cols, graph).values())
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 class TripleStore:
@@ -132,31 +146,48 @@ class TripleStore:
     returns a filtered projection that Catalyst pushes into the scan.
     """
 
-    def __init__(self, df: DataFrame, schema_df: DataFrame | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        schema_df: DataFrame | None = None,
+        pred_frames: dict[str, list[DataFrame]] | None = None,
+    ):
         missing = [c for c in TRIPLE_COLS if c not in df.columns]
         if missing:
             raise ValueError(f"triple frame missing columns: {missing}")
         self.df = df
         self.schema_df = schema_df
+        self.pred_frames = pred_frames or {}
 
     @classmethod
     def from_tables(cls, tables: dict[str, DataFrame], specs: dict[str, dict]) -> "TripleStore":
-        parts = [
-            triples_from_table(
+        pred_frames: dict[str, list[DataFrame]] = {}
+        all_frames: list[DataFrame] = []
+        for name, spec in specs.items():
+            frames = predicate_frames(
                 tables[name],
                 spec.get("class_name", name.capitalize()),
                 spec["key_col"],
                 spec.get("value_cols"),
                 spec.get("ref_cols"),
             )
-            for name, spec in specs.items()
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return cls(out)
+            for pred, fr in frames.items():
+                pred_frames.setdefault(pred, []).append(fr)
+                all_frames.append(fr)
+        out = all_frames[0]
+        for fr in all_frames[1:]:
+            out = out.unionByName(fr)
+        return cls(out, pred_frames=pred_frames)
 
     def spo(self, predicate: str | None = None, graph: str = "instance") -> DataFrame:
+        # constant-predicate fast path: scan only the contributing
+        # table projections (vertical partitioning), not the union
+        if predicate is not None and predicate in self.pred_frames:
+            frames = self.pred_frames[predicate]
+            df = frames[0]
+            for fr in frames[1:]:
+                df = df.unionByName(fr)
+            return df.where(F.col("graph") == graph)
         df = self.df.where(F.col("graph") == graph)
         if predicate is not None:
             df = df.where(F.col("predicate") == predicate)

@@ -148,23 +148,28 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
     expansion like path closure, but keyed by (source, node)."""
     with no_constraint_propagation(edges.sparkSession):
         e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-        reached = sources.select(
+        frontier = sources.select(
             F.col("node").alias("source"), F.col("node").alias("node"), F.lit(0).alias("hops")
         ).localCheckpoint(eager=True)
-        frontier = reached
+        layers = [frontier]
+        reached_keys = frontier.select("source", "node")
         for _ in range(max_iters):
             grown = (
                 frontier.join(e, frontier["node"] == e["src"])
                 .select("source", F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
             )
             new = (
-                grown.join(reached.select("source", "node"), ["source", "node"], "left_anti")
+                grown.join(reached_keys, ["source", "node"], "left_anti")
                 .groupBy("source", "node")
                 .agg(F.min("hops").alias("hops"))
                 .localCheckpoint(eager=True)
             )
             if new.isEmpty():
                 break
-            reached = reached.union(new).localCheckpoint(eager=True)
+            layers.append(new)
+            reached_keys = reached_keys.union(new.select("source", "node"))
             frontier = new
+        reached = layers[0]
+        for layer in layers[1:]:
+            reached = reached.union(layer)
     return reached

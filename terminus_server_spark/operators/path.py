@@ -64,8 +64,14 @@ def transitive_closure(
         # it on src and AQE reuses the exchange across iterations
         base = base.localCheckpoint(eager=True)
 
-        reached = base.withColumn("hops", F.lit(1))
-        frontier = reached
+        # BFS layering: each frontier is anti-joined against everything
+        # seen, so layer k holds exactly the pairs first reached in k
+        # hops — min-hops falls out for free and `reached` stays a
+        # FLAT union of checkpointed layers (no re-dedup, no
+        # re-checkpoint of the accumulator).
+        frontier = base.withColumn("hops", F.lit(1)).localCheckpoint(eager=True)
+        layers = [frontier]
+        reached_keys = frontier.select("src", "dst")
         for _ in range(max_iters):
             grown = (
                 frontier.alias("f")
@@ -77,15 +83,19 @@ def transitive_closure(
                 )
             )
             new = (
-                grown.join(reached.select("src", "dst"), on=["src", "dst"], how="left_anti")
+                grown.join(reached_keys, on=["src", "dst"], how="left_anti")
                 .groupBy("src", "dst")
                 .agg(F.min("hops").alias("hops"))
                 .localCheckpoint(eager=True)
             )
             if new.isEmpty():
                 break
-            reached = _dedup_min_hops(reached.unionByName(new)).localCheckpoint(eager=True)
+            layers.append(new)
+            reached_keys = reached_keys.union(new.select("src", "dst"))
             frontier = new
+        reached = layers[0]
+        for layer in layers[1:]:
+            reached = reached.unionByName(layer)
     return reached if with_hops else reached.select("src", "dst")
 
 

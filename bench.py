@@ -39,6 +39,10 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_normalize",
+    "docs_chunk",
+    "sample_hash",
+    "docs_topk_ngrams",
     "ann_topk_brute",
     "dedup_embed_cos",
 ]
@@ -55,8 +59,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warmup on the smallest SF so measurements reflect
-    # steady-state plan execution, not first-query classloading
-    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    # steady-state plan execution, not first-query classloading.  One
+    # warm query per input family (relational, documents, embeddings,
+    # triples, events) — each family's first touch pays codegen +
+    # reader init that would otherwise land on one measured query.
+    for warm in (
+        "q1_pricing_summary",
+        "dedup_exact",
+        "ann_topk_brute",
+        "triples_build",
+        "events_sessionize",
+    ):
+        QUERIES[warm](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,115 @@
+"""Corpus-preparation operators for training-data pipelines
+(SURVEY §2.6 extensions): chunking, normalization, deterministic
+sampling, corpus n-gram statistics.
+
+These are the steps between "raw crawl" and "training shards" that a
+100 TB pipeline runs after dedup/quality filtering.  Everything is
+built-in ``pyspark.sql.functions`` (whole-stage codegen, no Python in
+the hot path), embarrassingly parallel per document (no shuffle except
+the final aggregation in ``topk_ngrams``), and every function has an
+exact DuckDB mirror in the registry for the correctness gate.
+
+Determinism conventions shared with the oracles:
+- normalization = lower(trim(collapse-whitespace)) — same regexp in
+  both engines;
+- sampling = md5 of the key's decimal string, first hex nibble
+  compared lexicographically (md5 is the one hash both engines share;
+  a hex-prefix range gives an exact n/16 rate with no float rounding);
+- chunk boundaries = 1-based substring at ``i*stride`` for
+  ``i ∈ [0, floor((len-1)/stride)]`` — inclusive sequences on both
+  sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from terminus_server_spark.operators.text import tokens_col
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, norm_text, n_chars_norm): canonical text form used by
+    every downstream hash/shingle operator — lowercase, trimmed,
+    internal whitespace runs collapsed to single spaces."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 200, stride: int = 150, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_start, chunk_text): overlapping
+    fixed-width character chunks (stride < chunk_size ⇒ overlap =
+    chunk_size - stride), the standard shape for context-window
+    packing and embedding indexing.
+
+    One narrow projection + explode per doc — no shuffle at all, so
+    at 100 TB this is a pure map stage whose output partitioning
+    follows the input files.  ``sequence`` is evaluated JVM-side;
+    empty documents yield zero chunks.
+    """
+    n = F.length(F.col(text_col))
+    idx = F.sequence(F.lit(0).cast("bigint"), F.floor((n - 1) / stride))
+    return (
+        docs.where(n >= 1)
+        .select("doc_id", F.explode(idx).alias("chunk_idx"), F.col(text_col))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("chunk_start"),
+            F.substring(
+                F.col(text_col), (F.col("chunk_idx") * stride + 1).cast("int"), chunk_size
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def hash_sample(
+    docs: DataFrame, sixteenths: int = 4, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ``sixteenths/16`` sample: keep rows whose
+    md5(key)'s first hex digit falls in the first ``sixteenths``
+    nibbles.  Unlike ``df.sample`` this is reproducible across runs,
+    engines, and partitionings — the property training-data splits
+    need (a doc's membership never changes when the corpus grows).
+
+    Pure filter — pushes to the scan, no shuffle, trivially parallel.
+    """
+    if not 0 < sixteenths <= 16:
+        raise ValueError("sixteenths must be in 1..16")
+    # exclusive upper nibble; 16/16 needs a char above 'f'
+    bound = format(sixteenths, "x") if sixteenths < 16 else "g"
+    nibble = F.substring(F.md5(F.col(key_col).cast("string")), 1, 1)
+    return docs.where(nibble < F.lit(bound))
+
+
+def topk_ngrams(
+    docs: DataFrame, n: int = 3, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """(ngram, doc_freq): the k token-n-grams appearing in the most
+    documents (document frequency, the contamination/boilerplate
+    metric).  Ties broken by ngram ascending so top-k is total-ordered
+    and engine-stable.
+
+    Plan shape: map-side explode of distinct per-doc n-grams, one
+    count aggregation (map-side partial count), then a k-row global
+    top-k — the only full shuffle is on the n-gram key, and the final
+    ordering sorts only the aggregated (small) side.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    nt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(nt - (n - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

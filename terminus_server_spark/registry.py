@@ -507,6 +507,77 @@ def mm_features(spark, sf_dir):
     return extract_features(to_multimodal(_t(spark, sf_dir, "documents")["documents"]))
 
 
+@register(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
+           length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))::BIGINT AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark, sf_dir):
+    from terminus_server_spark.operators.pipeline import normalize_text
+
+    return normalize_text(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "docs_chunk",
+    """
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 150 AS chunk_start,
+           substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk_text
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(floor((length(text) - 1) / 150.0) AS BIGINT) + 1)) AS chunk_idx
+      FROM documents WHERE length(text) >= 1)
+    """,
+)
+def docs_chunk(spark, sf_dir):
+    from terminus_server_spark.operators.pipeline import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents")["documents"], chunk_size=200, stride=150)
+
+
+@register(
+    "sample_hash",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+    """,
+)
+def sample_hash(spark, sf_dir):
+    from terminus_server_spark.operators.pipeline import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return hash_sample(docs, sixteenths=4).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "docs_topk_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 1)),
+               i -> array_to_string(tk[i:i+2], ' ')))) AS ngram
+      FROM toks)
+    SELECT ngram, COUNT(*) AS doc_freq
+    FROM grams GROUP BY ngram
+    ORDER BY doc_freq DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+def docs_topk_ngrams(spark, sf_dir):
+    from terminus_server_spark.operators.pipeline import topk_ngrams
+
+    return topk_ngrams(_t(spark, sf_dir, "documents")["documents"], n=3, k=20)
+
+
 # ---------------------------------------------------------------------------
 # §2.1 WOQL triple-store queries (exercise the WOQL->DataFrame compiler)
 # ---------------------------------------------------------------------------

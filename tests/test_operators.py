@@ -205,3 +205,49 @@ def test_schema_validation_clean_and_dirty(spark):
     schema = {"@key": "doc_id", "lang": {"enum": ["en"]}, "n": {"min": 10}}
     got = {(r.key, r.violation) for r in validate_documents(docs, schema).collect()}
     assert got == {(2, "lang:not_in_enum"), (3, "n:below_min")}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from terminus_server_spark.operators.pipeline import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x" * 10), (2, ""), (3, "abc")], "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_text)
+        for r in chunk_documents(docs, chunk_size=4, stride=3).collect()
+    }
+    # doc 1: len 10 -> starts 0,3,6,9; doc 2: empty -> none; doc 3: one chunk
+    assert got == {
+        (1, 0, 0, "xxxx"), (1, 1, 3, "xxxx"), (1, 2, 6, "xxxx"), (1, 3, 9, "x"),
+        (3, 0, 0, "abc"),
+    }
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from terminus_server_spark.operators.pipeline import hash_sample
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = sorted(r.doc_id for r in hash_sample(docs, sixteenths=4).collect())
+    b = sorted(r.doc_id for r in hash_sample(docs.repartition(7), sixteenths=4).collect())
+    assert a == b and 0 < len(a) < 1000
+    full = sorted(r.doc_id for r in hash_sample(docs, sixteenths=16).collect())
+    assert len(full) == 1000
+
+
+def test_topk_ngrams_counts_document_frequency(spark):
+    from terminus_server_spark.operators.pipeline import topk_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c"), (3, "z z z")], "doc_id long, text string"
+    )
+    rows = topk_ngrams(docs, n=3, k=2).collect()
+    # "a b c" appears in docs 1 and 2 (distinct per doc), everything else once
+    assert (rows[0].ngram, rows[0].doc_freq) == ("a b c", 2)
+    assert rows[1].doc_freq == 1
+
+
+def test_normalize_text_collapses_whitespace(spark):
+    from terminus_server_spark.operators.pipeline import normalize_text
+
+    docs = spark.createDataFrame([(1, "  Hello\t\tWorld \n"), (2, "x")], "doc_id long, text string")
+    got = {(r.doc_id, r.norm_text, r.n_chars_norm) for r in normalize_text(docs).collect()}
+    assert got == {(1, "hello world", 11), (2, "x", 1)}

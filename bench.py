@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_cluster",
     "text_quality",
     "text_langid",
     "text_fingerprint",

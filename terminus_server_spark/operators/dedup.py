@@ -245,3 +245,37 @@ def embedding_near_dup_pairs(
 
     out_schema = f"id_a {dict(emb.dtypes)[id_col]}, id_b {dict(emb.dtypes)[id_col]}, cos double"
     return emb.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
+def near_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, cluster_id, is_canonical): near-duplicate clusters —
+    the step after candidate generation that an actual dedup pass
+    runs.  LSH candidate pairs form an undirected graph; a cluster is
+    a connected component labelled by its min doc_id; the canonical
+    (kept) document is the label itself.  Docs in no pair are
+    singleton clusters of themselves.
+
+    Scale shape: pair generation is the bucket-join from
+    ``lsh_candidate_pairs`` (never O(n²)); component labelling runs
+    min-label propagation over the *pair* graph only (near-dup pairs
+    are a tiny fraction of the corpus), then one left join assigns
+    labels back to the full corpus.
+    """
+    from terminus_server_spark.operators.graph import connected_components
+
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs, text_col)))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )

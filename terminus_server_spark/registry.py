@@ -373,6 +373,40 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster",
+    rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+              min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+              min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+              min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+              min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+            FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+      UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    und AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.doc_id, und.pb FROM reach JOIN und ON reach.r = und.pa)
+    SELECT doc_id, MIN(r) AS cluster_id, (MIN(r) = doc_id) AS is_canonical
+    FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_cluster(spark, sf_dir):
+    from terminus_server_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
     "dedup_ngram_jaccard",
     rf"""
     WITH {_SHINGLES_SQL},

@@ -251,3 +251,15 @@ def test_normalize_text_collapses_whitespace(spark):
     docs = spark.createDataFrame([(1, "  Hello\t\tWorld \n"), (2, "x")], "doc_id long, text string")
     got = {(r.doc_id, r.norm_text, r.n_chars_norm) for r in normalize_text(docs).collect()}
     assert got == {(1, "hello world", 11), (2, "x", 1)}
+
+
+def test_near_dup_clusters_groups_exact_dups(spark):
+    from terminus_server_spark.operators.dedup import near_dup_clusters
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (5, text), (9, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.cluster_id, r.is_canonical) for r in near_dup_clusters(docs).collect()}
+    assert got == {(1, 1, True), (2, 1, False), (5, 1, False), (9, 9, True)}

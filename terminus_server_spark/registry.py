@@ -1045,6 +1045,108 @@ def woql_isa(spark, sf_dir):
 
 
 @register(
+    "woql_sub",
+    """
+    WITH RECURSIVE edges(sub, sup) AS (
+      VALUES ('Customer', 'Agent'), ('Supplier', 'Agent')),
+    nodes(n) AS (SELECT sub FROM edges UNION SELECT sup FROM edges),
+    cl(sub, sup) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.sub, c.sup FROM edges e JOIN cl c ON e.sup = c.sub)
+    SELECT sub AS child, sup AS parent FROM cl
+    """,
+)
+def woql_sub(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select([A.v("child"), A.v("parent")], A.Sub(A.v("child"), A.v("parent")))
+    return _ctx(spark, sf_dir, with_schema=True).run(q)
+
+
+@register(
+    "woql_triple_count",
+    """
+    SELECT (
+        (SELECT COUNT(*) + COUNT(r_name) FROM region)
+      + (SELECT COUNT(*) + COUNT(n_name) + COUNT(n_regionkey) FROM nation)
+      + (SELECT COUNT(*) + COUNT(c_name) + COUNT(c_acctbal) + COUNT(c_mktsegment)
+               + COUNT(c_nationkey) FROM customer)
+      + (SELECT COUNT(*) + COUNT(s_name) + COUNT(s_acctbal) + COUNT(s_nationkey) FROM supplier)
+      + (SELECT COUNT(*) + COUNT(o_orderstatus) + COUNT(o_totalprice) + COUNT(o_orderdate)
+               + COUNT(o_orderpriority) + COUNT(o_custkey) FROM orders)
+    )::BIGINT AS n_triples
+    """,
+)
+def woql_triple_count(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select([A.v("n_triples")], A.TripleCount("instance", A.v("n_triples")))
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_once",
+    """
+    SELECT MIN(n_name) AS nm FROM nation
+    """,
+)
+def woql_once(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("nm")],
+        A.Once(A.OrderBy([(A.v("nm"), "asc")], A.Triple(A.v("n"), "n_name", A.v("nm")))),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_dot",
+    """
+    SELECT 'Event/' || event_id AS e,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def woql_dot(spark, sf_dir):
+    from terminus_server_spark.model.triples import TripleStore, triples_from_table
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    events = _t(spark, sf_dir, "events")["events"]
+    store = TripleStore(
+        triples_from_table(events, "Event", "event_id", value_cols=["props"])
+    )
+    q = A.Select(
+        [A.v("e"), A.v("k_num")],
+        A.And(
+            A.Triple(A.v("e"), "props", A.v("j")),
+            A.Dot(A.v("j"), "k", A.v("k")),
+            A.Typecast(A.v("k"), "xsd:integer", A.v("k_num")),
+        ),
+    )
+    return WOQLContext(store).run(q)
+
+
+@register("woql_put")  # csv sink side effect: rows-only check
+def woql_put(spark, sf_dir):
+    import tempfile
+
+    from terminus_server_spark.woql import ast as A
+
+    out_dir = tempfile.mkdtemp(prefix="tss_put_") + "/regions"
+    q = A.Put(
+        [("region_iri", A.v("r")), ("region_name", A.v("nm"))],
+        out_dir,
+        A.Triple(A.v("r"), "r_name", A.v("nm")),
+    )
+    _ctx(spark, sf_dir).run(q)
+    # read the sink back so the gate checks the written artifact
+    return spark.read.option("header", "true").csv(out_dir)
+
+
+@register(
     "woql_quad",
     """
     SELECT 'Customer' AS sub, 'Agent' AS sup

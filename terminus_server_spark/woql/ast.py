@@ -327,3 +327,52 @@ class Get(Term):
     columns: Sequence[tuple]
     resource: str
     has_header: bool = True
+
+
+@dataclass(frozen=True)
+class Put(Term):
+    """WOQL put: run ``term`` and write the selected vars to a CSV
+    resource (the reference's csv sink); bindings pass through so
+    puts compose with further words."""
+
+    columns: Sequence[tuple]  # (column_name, Var)
+    resource: str
+    term: Term
+    has_header: bool = True
+
+
+@dataclass(frozen=True)
+class Sub(Term):
+    """Sub(child, parent): class subsumption — holds when ``child``
+    is ``parent`` or a (transitive) subclass in the schema graph."""
+
+    child: Any
+    parent: Any
+
+
+@dataclass(frozen=True)
+class TripleCount(Term):
+    """TripleCount(graph, result): bind ``result`` to the number of
+    triples in ``graph``."""
+
+    graph: str
+    result: Var = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class Once(Term):
+    """Once(term): at most one solution of ``term`` (Prolog cut).
+    Deterministic only when ``term`` imposes an order (compose with
+    OrderBy), mirroring the reference's solution-order dependence."""
+
+    term: Term
+
+
+@dataclass(frozen=True)
+class Dot(Term):
+    """Dot(document, key, result): bind ``result`` to field ``key``
+    of the JSON document string bound to ``document``."""
+
+    document: Any
+    key: str
+    result: Var = None  # type: ignore[assignment]

@@ -414,6 +414,35 @@ class WOQLContext:
         matched = frame.select(*out_cols) if out_cols else frame.limit(1).select(F.lit(1).alias("__exists__"))
         return self._merge(df_in, matched)
 
+    def _c_Sub(self, t: A.Sub, df_in):
+        closure = self._subclass_closure()
+        if closure is None:
+            raise ValueError("Sub requires a schema graph on the store")
+        frame = closure  # (sub, sup) reflexive-transitive
+        out_cols: dict[str, Column] = {}
+        for val, col in ((t.child, "sub"), (t.parent, "sup")):
+            if _is_var(val):
+                out_cols[val.name] = F.col(col)
+            else:
+                frame = frame.where(F.col(col) == F.lit(val))
+        if not out_cols:
+            return self._merge(df_in, frame.limit(1).select(F.lit(1).alias("__exists__")))
+        matched = frame.select(*[c.alias(n) for n, c in out_cols.items()])
+        return self._merge(df_in, matched)
+
+    def _c_TripleCount(self, t: A.TripleCount, df_in):
+        cnt = self.store.spo(graph=t.graph).agg(
+            F.count(F.lit(1)).cast("long").alias(t.result.name)
+        )
+        return self._merge(df_in, cnt)
+
+    def _c_Once(self, t: A.Once, df_in):
+        return self._compile(t.term, df_in).limit(1)
+
+    def _c_Dot(self, t: A.Dot, df_in):
+        doc = self._operand(t.document, df_in)
+        return df_in.withColumn(t.result.name, F.get_json_object(doc, f"$.{t.key}"))
+
     def _c_Get(self, t: A.Get, df_in):
         reader = self.spark.read.option("header", str(t.has_header).lower()).option(
             "inferSchema", "false"
@@ -421,6 +450,12 @@ class WOQLContext:
         df = reader.csv(t.resource)
         cols = [F.col(name).alias(var.name) for name, var in t.columns]
         return self._merge(df_in, df.select(*cols))
+
+    def _c_Put(self, t: A.Put, df_in):
+        df = self._compile(t.term, df_in)
+        out = df.select(*[F.col(var.name).alias(name) for name, var in t.columns])
+        out.write.mode("overwrite").option("header", str(t.has_header).lower()).csv(t.resource)
+        return df
 
 
 def compile_woql(store: TripleStore, term: A.Term, layers: DataFrame | None = None) -> DataFrame:

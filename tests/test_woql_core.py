@@ -137,3 +137,70 @@ def test_concat(store):
     )
     rows = ctx(store).run(q).collect()
     assert all(r.label == "region:" + r.rn for r in rows)
+
+
+def test_once_with_order_is_min(store):
+    from terminus_server_spark.woql import Once, Triple, OrderBy, Select, v
+
+    q = Select([v("nm")], Once(OrderBy([(v("nm"), "asc")], Triple(v("r"), "r_name", v("nm")))))
+    rows = ctx(store).run(q).collect()
+    assert len(rows) == 1 and rows[0].nm == "AFRICA"
+
+
+def test_triple_count_word(store):
+    from terminus_server_spark.woql import Select, TripleCount, v
+
+    n = ctx(store).run(Select([v("n")], TripleCount("instance", v("n")))).collect()[0].n
+    assert n == store.df.where(F.col("graph") == "instance").count()
+
+
+def test_dot_json_field(spark, store):
+    from terminus_server_spark.woql import And, Dot, Eq, Select, Triple, v
+    from terminus_server_spark.woql.compiler import WOQLContext
+    from terminus_server_spark.model.triples import TripleStore
+
+    docs = spark.createDataFrame(
+        [(1, '{"a": "x", "b": 2}'), (2, '{"a": "y"}')], "id long, js string"
+    )
+    from terminus_server_spark.model.triples import triples_from_table
+
+    st = TripleStore(triples_from_table(docs, "D", "id", value_cols=["js"]))
+    q = Select([v("d"), v("a")], And(Triple(v("d"), "js", v("j")), Dot(v("j"), "a", v("a"))))
+    got = {(r.d, r.a) for r in WOQLContext(st).run(q).collect()}
+    assert got == {("D/1", "x"), ("D/2", "y")}
+
+
+def test_sub_closure_reflexive(spark, tables):
+    from terminus_server_spark.model.triples import TripleStore, tpch_store
+    from terminus_server_spark.woql import Select, v
+    from terminus_server_spark.woql.ast import Sub
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    schema_df = spark.createDataFrame(
+        [
+            ("schema", "B", "subClassOf", "A", "iri", None),
+            ("schema", "C", "subClassOf", "B", "iri", None),
+        ],
+        schema="graph string, subject string, predicate string, obj string, obj_type string, obj_num double",
+    )
+    ts = tpch_store(tables)
+    st = TripleStore(ts.df, schema_df=schema_df)
+    got = {
+        (r.c, r.p)
+        for r in WOQLContext(st).run(Select([v("c"), v("p")], Sub(v("c"), v("p")))).collect()
+    }
+    assert got == {
+        ("A", "A"), ("B", "B"), ("C", "C"),
+        ("B", "A"), ("C", "B"), ("C", "A"),
+    }
+
+
+def test_put_writes_csv_sink(spark, store, tmp_path):
+    from terminus_server_spark.woql import Select, Triple, v
+    from terminus_server_spark.woql.ast import Put
+
+    out = str(tmp_path / "sink")
+    q = Put([("iri", v("r")), ("nm", v("n"))], out, Triple(v("r"), "r_name", v("n")))
+    ctx(store).run(q)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 5 and set(back.columns) == {"iri", "nm"}

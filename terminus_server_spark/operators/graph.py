@@ -173,3 +173,52 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
         for layer in layers[1:]:
             reached = reached.union(layer)
     return reached
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(node, degree, n_tri, coeff): local clustering coefficient —
+    the fraction of a node's neighbor pairs that are themselves
+    connected: 2·tri(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2.
+
+    Same canonical-orientation triangle enumeration as
+    ``triangle_count`` (each triangle materialized once, wedge join
+    bounded by orienting low→high id), then one explode distributes
+    each triangle to its three corners — per-node counts come from a
+    map-side-combinable aggregation, no per-node neighbor lists are
+    ever collected.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    canon = und.where(F.col("src") < F.col("dst")).localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    a, b, c = canon.alias("a"), canon.alias("b"), canon.alias("c")
+    tris = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("x"), F.col("a.dst").alias("y"), F.col("b.dst").alias("z"))
+        .join(c, (F.col("x") == F.col("c.src")) & (F.col("z") == F.col("c.dst")))
+        .select("x", "y", "z")
+    )
+    tri_nodes = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    return deg.join(tri_nodes, "node", "left_outer").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )

@@ -1325,6 +1325,46 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(e1.union(e2))
 
 
+@register(
+    "graph_clustering_coeff",
+    """
+    WITH e0 AS (
+      SELECT n_nationkey AS a, n_nationkey + 1 AS b FROM nation WHERE n_nationkey + 1 <= 24
+      UNION ALL
+      SELECT n_nationkey, n_nationkey + 2 FROM nation WHERE n_nationkey + 2 <= 24),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    canon AS (SELECT a, b FROM und WHERE a < b),
+    deg AS (SELECT a AS node, COUNT(*)::BIGINT AS degree FROM und GROUP BY a),
+    tris AS (
+      SELECT x.a AS x, x.b AS y, y.b AS z
+      FROM canon x JOIN canon y ON x.b = y.a JOIN canon z ON z.a = x.a AND z.b = y.b),
+    tri_nodes AS (
+      SELECT node, COUNT(*)::BIGINT AS n_tri FROM (
+        SELECT x AS node FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris)
+      GROUP BY node)
+    SELECT deg.node, degree,
+           COALESCE(n_tri, 0)::BIGINT AS n_tri,
+           CASE WHEN degree >= 2
+                THEN 2.0 * COALESCE(n_tri, 0)::DOUBLE / (degree * (degree - 1))::DOUBLE
+                ELSE 0.0 END AS coeff
+    FROM deg LEFT JOIN tri_nodes ON deg.node = tri_nodes.node
+    """,
+)
+def graph_clustering_coeff(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import clustering_coefficient
+
+    n = _t(spark, sf_dir, "nation")["nation"]
+    e1 = n.where(F.col("n_nationkey") + 1 <= 24).select(
+        F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 1).alias("dst")
+    )
+    e2 = n.where(F.col("n_nationkey") + 2 <= 24).select(
+        F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 2).alias("dst")
+    )
+    return clustering_coefficient(e1.union(e2))
+
+
 @register("graph_pagerank")  # iterative float algorithm: rows-only check
 def graph_pagerank(spark, sf_dir):
     from terminus_server_spark.operators.graph import pagerank

@@ -263,3 +263,17 @@ def test_near_dup_clusters_groups_exact_dups(spark):
     )
     got = {(r.doc_id, r.cluster_id, r.is_canonical) for r in near_dup_clusters(docs).collect()}
     assert got == {(1, 1, True), (2, 1, False), (5, 1, False), (9, 9, True)}
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    from terminus_server_spark.operators.graph import clustering_coefficient
+
+    # triangle a-b-c plus pendant d attached to c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {(r.node, r.degree, r.n_tri, r.coeff) for r in clustering_coefficient(edges).collect()}
+    assert got == {
+        ("a", 2, 1, 1.0), ("b", 2, 1, 1.0),
+        ("c", 3, 1, 2.0 / 6.0), ("d", 1, 0, 0.0),
+    }

@@ -1810,6 +1810,37 @@ def stream_window(spark, sf_dir):
 
 
 @register(
+    "stream_session",
+    """
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= 1800000000
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events))
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf_dir):
+    from terminus_server_spark.streaming.events import run_stream_to_table, session_windows
+
+    events = _t(spark, sf_dir, "events")["events"]
+    return run_stream_to_table(
+        spark, events, session_windows, "tss_stream_session", output_mode="complete"
+    )
+
+
+@register(
     "stream_dedup",
     """
     SELECT COUNT(*) AS n, SUM(event_id) AS sum_id

@@ -62,8 +62,10 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for c in ts_cols.get(name, []):
             if dict(df.dtypes).get(c) == "bigint":
-                # nanos→micros is exact; timestamp_micros keeps codegen
-                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                # nanos→micros via integer div (truncation, matching
+                # DuckDB); float division would round — epoch nanos
+                # exceed 2^53 so doubles can't hold them exactly
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -76,3 +76,30 @@ def run_stream_to_table(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows: events closer than ``gap`` merge into
+    one session; session end = last event + gap (Spark
+    ``session_window`` semantics).  Watermark bounds the open-session
+    state, which is what makes this safe on an unbounded stream.
+
+    Output: (user_id, session_start, session_end, n_events,
+    sum_value).  Works identically on batch and streaming inputs."""
+    e = events.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

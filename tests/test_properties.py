@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for algebraic laws the engine
+must uphold regardless of data (SURVEY §5).
+
+Spark jobs are slow per-example, so examples are few but each drives
+a whole generated dataset through one plan; deadlines are off
+(cluster scheduling jitter would otherwise flake).
+"""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+node_ids = st.integers(min_value=0, max_value=15)
+edge_lists = st.lists(
+    st.tuples(node_ids, node_ids).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+def _py_closure(edges):
+    reach = set(edges)
+    while True:
+        grown = reach | {(a, d) for a, b in reach for c, d in edges if b == c}
+        if grown == reach:
+            return reach
+        reach = grown
+
+
+@settings(**SETTINGS)
+@given(edge_lists)
+def test_transitive_closure_matches_python_oracle(spark, edges):
+    from terminus_server_spark.operators.path import transitive_closure
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {(r.src, r.dst) for r in transitive_closure(df).collect()}
+    assert got == _py_closure(edges)
+
+
+@settings(**SETTINGS)
+@given(edge_lists)
+def test_components_partition_the_node_set(spark, edges):
+    from terminus_server_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    rows = connected_components(df).collect()
+    nodes = {n for e in edges for n in e}
+    # every node labelled exactly once, label is a member of the graph,
+    # and endpoints of every edge share a component
+    assert {r.node for r in rows} == nodes and len(rows) == len(nodes)
+    label = {r.node: r.component for r in rows}
+    assert all(label[a] == label[b] for a, b in edges)
+    assert all(c in nodes for c in label.values())
+
+
+texts = st.text(
+    alphabet=st.sampled_from("abcd "), min_size=12, max_size=60
+).filter(lambda s: len(s.split()) >= 3)
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=2, max_size=8, unique=True))
+def test_exact_duplicate_always_yields_lsh_candidate_pair(spark, docs):
+    """Identical docs have identical shingle sets, hence identical
+    MinHash signatures, hence share every LSH band."""
+    from terminus_server_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)] + [(1000, docs[0])]  # clone doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(shingles(df))).collect()
+    }
+    assert (0, 1000) in pairs
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=1, max_size=6), st.integers(min_value=2, max_value=9))
+def test_chunking_partitions_text_exactly_when_stride_equals_size(spark, docs, size):
+    """stride == chunk_size ⇒ chunks are a partition: concatenating
+    them in order reconstructs each document exactly."""
+    from terminus_server_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=size, stride=size).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    for i, t in enumerate(docs):
+        assert "".join(c for _, c in sorted(by_doc.get(i, []))) == t
+
+
+@settings(**SETTINGS)
+@given(edge_lists)
+def test_woql_and_is_commutative(spark, edges):
+    """And(p1, p2) ≡ And(p2, p1) as solution sets (join reordering
+    must never change semantics)."""
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import And, Select, Triple, WOQLContext, v
+
+    tri = spark.createDataFrame(
+        [("instance", f"N/{a}", "edge", f"N/{b}", "iri", None) for a, b in edges],
+        "graph string, subject string, predicate string, obj string, obj_type string, obj_num double",
+    )
+    ctx = WOQLContext(TripleStore(tri))
+    p1 = Triple(v("x"), "edge", v("y"))
+    p2 = Triple(v("y"), "edge", v("z"))
+    q12 = Select([v("x"), v("y"), v("z")], And(p1, p2))
+    q21 = Select([v("x"), v("y"), v("z")], And(p2, p1))
+    got12 = {tuple(r) for r in ctx.run(q12).collect()}
+    got21 = {tuple(r) for r in ctx.run(q21).collect()}
+    assert got12 == got21

@@ -97,3 +97,31 @@ def test_partitioned_triple_layout_prunes(spark, store, tmp_path):
     p = plan_str(df)
     assert "PartitionFilters" in p
     assert re.search(r"PartitionFilters:.*predicate", p)
+
+
+def test_chunking_is_shuffle_free(spark, tables):
+    from terminus_server_spark.operators.pipeline import chunk_documents
+
+    p = plan_str(chunk_documents(tables["documents"]))
+    assert "Exchange" not in p  # pure map stage: explode + project only
+    assert "Generate" in p
+
+
+def test_hash_sample_prunes_columns(spark, tables):
+    from terminus_server_spark.operators.pipeline import hash_sample
+
+    p = plan_str(hash_sample(tables["documents"]).select("doc_id", "lang"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p[:2000]
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "text" not in read_cols  # projection reaches the scan
+
+
+def test_topk_ngrams_single_shuffle_partial_agg(spark, tables):
+    from terminus_server_spark.operators.pipeline import topk_ngrams
+
+    p = plan_str(topk_ngrams(tables["documents"]))
+    # exactly one exchange (the count shuffle), map-side partial agg
+    # before it, and top-k via TakeOrderedAndProject — no global sort
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "HashAggregate" in p and "TakeOrderedAndProject" in p

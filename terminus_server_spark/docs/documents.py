@@ -63,6 +63,41 @@ def filter_documents(docs: DataFrame, predicates: list) -> DataFrame:
     return out
 
 
+def query_documents(
+    docs: DataFrame,
+    predicates: list | None = None,
+    related: list | None = None,
+    order_by: list | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> DataFrame:
+    """Full GraphQL-ish document query: local field predicates,
+    related-document path filters, ordering, pagination — the read
+    algebra of the reference's GraphQL layer (filter / orderBy /
+    limit / offset arguments, including filters through edges).
+
+    ``related``: list of (fk_col, other_df, other_key, other_predicates)
+    — each compiles to a semi-join against the filtered related
+    frame, so only keys cross the shuffle (and a dimension-sized
+    related side gets broadcast by AQE).
+    """
+    out = filter_documents(docs, predicates or [])
+    for fk_col, other, other_key, other_preds in related or []:
+        keys = filter_documents(other, other_preds).select(
+            F.col(other_key).alias(fk_col)
+        )
+        out = out.join(keys, fk_col, "left_semi")
+    if order_by:
+        out = out.orderBy(
+            *[F.col(f).asc() if d == "asc" else F.col(f).desc() for f, d in order_by]
+        )
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 def validate_documents(docs: DataFrame, schema: dict) -> DataFrame:
     """Schema checker: returns (key, violation) rows — empty means
     valid.  schema: field -> spec dict with optional keys

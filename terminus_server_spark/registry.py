@@ -1610,6 +1610,36 @@ def doc_filter(spark, sf_dir):
 
 
 @register(
+    "doc_filter_related",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 5000.0
+      AND c_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def doc_filter_related(spark, sf_dir):
+    from terminus_server_spark.docs.documents import query_documents
+
+    t = _t(spark, sf_dir, "customer", "nation", "region")
+    asian_nations = query_documents(
+        t["nation"],
+        related=[("n_regionkey", t["region"], "r_regionkey", [("r_name", "eq", "ASIA")])],
+    )
+    return query_documents(
+        t["customer"],
+        predicates=[("c_acctbal", "gt", 5000.0)],
+        related=[("c_nationkey", asian_nations, "n_nationkey", [])],
+        order_by=[("c_acctbal", "desc"), ("c_custkey", "asc")],
+        limit=20,
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
     "schema_validate",
     """
     SELECT doc_id AS key, 'lang:not_in_enum' AS violation FROM documents
@@ -1742,6 +1772,40 @@ def _ensure_csv():
 
 
 _ensure_csv()
+
+
+@register(
+    "src_bucketed_join",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS total_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def src_bucketed_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.sources import bucketed_pair
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    c, o = bucketed_pair(
+        spark,
+        t["customer"],
+        "c_custkey",
+        t["orders"],
+        "o_custkey",
+        cache_key=("cust_orders", sf_dir),
+    )
+    return (
+        c.hint("merge")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("total_price"),
+        )
+    )
 
 
 @register(

@@ -277,3 +277,23 @@ def test_clustering_coefficient_triangle_plus_tail(spark):
         ("a", 2, 1, 1.0), ("b", 2, 1, 1.0),
         ("c", 3, 1, 2.0 / 6.0), ("d", 1, 0, 0.0),
     }
+
+
+def test_query_documents_related_and_pagination(spark):
+    from terminus_server_spark.docs.documents import query_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "c", 40)],
+        "id long, grp string, n long",
+    )
+    groups = spark.createDataFrame([("a", True), ("b", False), ("c", True)], "g string, ok boolean")
+    out = query_documents(
+        docs,
+        predicates=[("n", "gt", 5)],
+        related=[("grp", groups, "g", [("ok", "eq", True)])],
+        order_by=[("n", "desc")],
+        limit=2,
+        offset=1,
+    ).collect()
+    # groups a,c pass; docs 1,3,4 survive; desc order 4,3,1; offset 1 limit 2 -> 3,1
+    assert [(r.id, r.n) for r in out] == [(3, 30), (1, 10)]

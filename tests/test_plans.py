@@ -125,3 +125,18 @@ def test_topk_ngrams_single_shuffle_partial_agg(spark, tables):
     # before it, and top-k via TakeOrderedAndProject — no global sort
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "HashAggregate" in p and "TakeOrderedAndProject" in p
+
+
+def test_bucketed_join_has_no_exchange(spark, tables):
+    from terminus_server_spark.sources import bucketed_pair
+
+    c, o = bucketed_pair(
+        spark, tables["customer"], "c_custkey", tables["orders"], "o_custkey",
+        cache_key=("plan_gate",),
+    )
+    j = c.hint("merge").join(o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_custkey", "o_orderkey"
+    )
+    p = plan_str(j)
+    assert "SortMergeJoin" in p
+    assert not re.findall(r"\(\d+\) Exchange", p), p[:2000]  # bucket co-location

@@ -154,3 +154,98 @@ def ivf_topk(
         .where(F.col("rk") <= k)
         .orderBy("query_id", "rk")
     )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "tss") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is an
+    md5-derived uniform in [-1, 1] — reproducible across runs and
+    engines with no RNG state."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16) / 0xFFFFFFFF)
+            * 2.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-hash signature: bit p = (vec · plane_p) > 0.  Charikar's
+    SimHash for cosine — collision probability 1 − θ/π per bit."""
+    bits = []
+    for row in planes:
+        dot = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(x) for x in row]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via banded random-hyperplane LSH — the
+    alternative scale path to ``ivf_topk`` (no centroid training;
+    better for corpora with no cluster structure).
+
+    Signature bits split into bands; rows sharing ANY band become
+    candidates (same band-bucket-join shape as MinHash dedup — never
+    O(n²)); candidates are scored exactly and top-k'd.  Recall tunes
+    with n_planes/n_bands exactly like MinHash banding.
+    """
+    from pyspark.sql.window import Window
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    rows_per_band = n_planes // n_bands
+
+    def banded(side: DataFrame, suffix: str) -> DataFrame:
+        parts = scaled_parts(side, id_col, vec_col, suffix)
+        sig = lsh_signature(F.transform(F.col(f"vec_{suffix}"), lambda x: x), planes)
+        withsig = parts.withColumn("sig", sig)
+        bands = [
+            withsig.select(
+                f"id_{suffix}",
+                f"vec_{suffix}",
+                f"norm_{suffix}",
+                F.lit(b).alias("band_id"),
+                F.substring("sig", b * rows_per_band + 1, rows_per_band).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+        out = bands[0]
+        for b in bands[1:]:
+            out = out.union(b)
+        return out
+
+    qa, cb = banded(queries, "a"), banded(emb, "b")
+    cand = (
+        broadcast(qa)
+        .join(cb, ["band_id", "band_key"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b", "norm_a", "norm_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = cand.select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        cosine_from_parts().alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )

@@ -519,6 +519,16 @@ def ann_ivf(spark, sf_dir):
     return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+@register("ann_lsh")  # approximate: rows-only check
+def ann_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
 @register(
     "mm_meta",
     """

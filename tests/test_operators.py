@@ -297,3 +297,61 @@ def test_query_documents_related_and_pagination(spark):
     ).collect()
     # groups a,c pass; docs 1,3,4 survive; desc order 4,3,1; offset 1 limit 2 -> 3,1
     assert [(r.id, r.n) for r in out] == [(3, 30), (1, 10)]
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    from terminus_server_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    # two tight clusters far apart: LSH must find same-cluster neighbors
+    rows = []
+    for i in range(30):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0, 0.0]
+        rows.append((i, [b + ((i * 7 + d) % 5) * 0.01 for d, b in enumerate(base)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 2)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in lsh_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from terminus_server_spark.operators.skew import salted_join
+
+    # heavy-tailed fact: key 1 holds 80% of rows
+    fact = spark.createDataFrame(
+        [(1 if i % 5 != 4 else i % 3 + 2, i) for i in range(500)], "k int, val long"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b"), (4, "c")], "k int, name string")
+    plain = {(r.k, r.val, r.name) for r in fact.join(dim, "k").collect()}
+    salted = {(r.k, r.val, r.name) for r in salted_join(fact, dim, "k").collect()}
+    assert salted == plain
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from terminus_server_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("hot" if i % 10 else "cold", i, float(i)) for i in range(1000)],
+        "g string, n long, x double",
+    )
+    got = {
+        (r.g, r.n_rows, r.total, r.lo)
+        for r in salted_aggregate(
+            df, ["g"], {"n_rows": ("count", "n"), "total": ("sum", "n"), "lo": ("min", "x")}
+        ).collect()
+    }
+    want = {
+        (r.g, r.n_rows, r.total, r.lo)
+        for r in df.groupBy("g")
+        .agg(
+            F.count("n").alias("n_rows"), F.sum("n").alias("total"), F.min("x").alias("lo")
+        )
+        .collect()
+    }
+    assert got == want

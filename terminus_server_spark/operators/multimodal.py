@@ -96,3 +96,76 @@ def extract_features(mm: DataFrame) -> DataFrame:
             )
 
     return mm.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, target: int) -> tuple[bytes, int, int]:
+    """STUB — deterministic fake resizer (PIL not in container).
+    Fake output bytes are a hash-derived prefix so payload size really
+    shrinks through the pipeline; real deployments swap in
+    ``PIL.Image.resize`` without touching the Spark plumbing."""
+    if not payload:
+        raise NotImplementedError("real resizer not available in this container")
+    digest = hashlib.sha256(payload + target.to_bytes(4, "big")).digest()
+    return digest * (target * target // len(digest) + 1), target, target
+
+
+def resize_images(mm: DataFrame, target: int = 64) -> DataFrame:
+    """Arrow-batched resize via ``mapInPandas``: same shape a real
+    image pipeline uses (decode → resize → re-encode per batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_stub(p, target) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "payload": [o[0] for o in out],
+                    "width": [o[1] for o in out],
+                    "height": [o[2] for o in out],
+                }
+            )
+
+    return mm.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(mm: DataFrame, every_k: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: emit one row per k-th frame
+    — a row-count-*increasing* ``mapInPandas`` (the batch shape real
+    frame extraction needs; ffmpeg slots into the stub).  Frame count
+    comes from the (stubbed) decode; frame identity is a
+    deterministic hash of (payload, frame index)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, n_frames = decode_stub(payload)
+                for i in range(0, n_frames, every_k):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
+
+    return mm.mapInPandas(run, FRAME_SCHEMA)

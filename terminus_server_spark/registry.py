@@ -551,6 +551,21 @@ def mm_features(spark, sf_dir):
     return extract_features(to_multimodal(_t(spark, sf_dir, "documents")["documents"]))
 
 
+@register("mm_resize")  # stub resizer: rows-only check
+def mm_resize(spark, sf_dir):
+    from terminus_server_spark.operators.multimodal import resize_images, to_multimodal
+
+    mm = to_multimodal(_t(spark, sf_dir, "documents")["documents"])
+    return resize_images(mm).drop("payload")
+
+
+@register("mm_frames")  # stub frame sampler: rows-only check
+def mm_frames(spark, sf_dir):
+    from terminus_server_spark.operators.multimodal import sample_frames, to_multimodal
+
+    return sample_frames(to_multimodal(_t(spark, sf_dir, "documents")["documents"]))
+
+
 @register(
     "text_normalize",
     r"""

@@ -355,3 +355,27 @@ def test_salted_aggregate_matches_plain(spark):
         .collect()
     }
     assert got == want
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    from terminus_server_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        to_multimodal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another payload body")], "doc_id long, text string"
+    )
+    mm = to_multimodal(docs)
+    rs = resize_images(mm, target=32).collect()
+    assert {(r.width, r.height) for r in rs} == {(32, 32)}
+    assert all(len(r.payload) >= 32 * 32 // 2 for r in rs)
+    fr = sample_frames(mm, every_k=2).collect()
+    # every doc emits >= 1 frame row, frame_idx multiples of 2, stable hashes
+    assert {r.doc_id for r in fr} == {1, 2}
+    assert all(r.frame_idx % 2 == 0 for r in fr)
+    again = sample_frames(mm, every_k=2).collect()
+    assert {(r.doc_id, r.frame_idx, r.frame_sha) for r in fr} == {
+        (r.doc_id, r.frame_idx, r.frame_sha) for r in again
+    }

@@ -1256,6 +1256,55 @@ def path_plus(spark, sf_dir):
 
 
 @register(
+    "path_star",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    anc AS (
+      SELECT src, dst, 1 AS hops FROM e
+      UNION ALL
+      SELECT a.src, e.dst, a.hops + 1 FROM anc a JOIN e ON a.dst = e.src),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e)
+    SELECT src, dst, MIN(hops) AS hops FROM (
+      SELECT src, dst, hops FROM anc
+      UNION ALL
+      SELECT n, n, 0 FROM nodes)
+    GROUP BY src, dst
+    """,
+)
+def path_star(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+    from terminus_server_spark.woql.path_ast import Pred, Star
+
+    ctx = WOQLContext(_parent_tree_store(spark, sf_dir))
+    return ctx.run(A.Path(A.v("src"), Star(Pred("parent")), A.v("dst"), hops=A.v("hops")))
+
+
+@register(
+    "path_times",
+    """
+    WITH e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1)
+    SELECT src, dst, MIN(hops) AS hops FROM (
+      SELECT src, dst, 1 AS hops FROM e
+      UNION ALL
+      SELECT a.src, b.dst, 2 FROM e a JOIN e b ON a.dst = b.src)
+    GROUP BY src, dst
+    """,
+)
+def path_times(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+    from terminus_server_spark.woql.path_ast import Pred, Times
+
+    ctx = WOQLContext(_parent_tree_store(spark, sf_dir))
+    return ctx.run(A.Path(A.v("src"), Times(Pred("parent"), 1, 2), A.v("dst"), hops=A.v("hops")))
+
+
+@register(
     "graph_shortest_hops",
     """
     WITH RECURSIVE e AS (

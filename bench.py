@@ -20,6 +20,13 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q14_promo",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_disjunctive",
+    "q22_global_sales",
     "win_rank_topn",
     "semi_anti",
     "events_sessionize",

@@ -203,3 +203,181 @@ def events_sessionize(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFra
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def q7_nation_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q7 shape: fact joined to two role-playing dimension
+    chains (supplier-nation and customer-nation), volume by nation
+    pair and year.
+
+    Both nation sides broadcast (25 rows at any SF); the
+    lineitem-orders join is the only shuffle. Cross-filter on the
+    nation pair happens after both broadcasts so Catalyst can push
+    each side's equi-condition into its hash join."""
+    n1 = broadcast(t["nation"].select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = broadcast(t["nation"].select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    s = broadcast(t["supplier"].select("s_suppkey", "s_nationkey"))
+    c = t["customer"].select("c_custkey", "c_nationkey")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1998-12-31").cast("timestamp"))
+        )
+        .join(t["orders"].select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q10_returned_items(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+
+    Filters (returnflag, orderdate range) sit on the scans; the
+    customer join keys on c_custkey after the fact-fact join has
+    already reduced cardinality."""
+    l = t["lineitem"].where(F.col("l_returnflag") == "R")
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    n = broadcast(t["nation"])
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q13_order_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via left
+    outer join + double aggregation.
+
+    The outer join preserves zero-order customers; first agg is
+    per-customer (shuffles on c_custkey), second agg is on the tiny
+    count domain (map-side partial agg makes it nearly free)."""
+    o = t["orders"].where(~F.col("o_orderpriority").startswith("1")).select("o_custkey", "o_orderkey")
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q17_small_quantity(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — lineitems below
+    20% of their part's average quantity.
+
+    Decorrelated as an aggregate-then-join: per-part avg is computed
+    once (shuffle on l_partkey), then joined back. The brand filter
+    broadcasts the surviving part keys into both sides so the big
+    scan only keeps matching rows."""
+    p = broadcast(t["part"].where(F.col("p_brand") == "Brand#23").select("p_partkey"))
+    l = t["lineitem"].join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg(F.col("l_quantity").cast(DEC)).cast("double") * 0.2).alias("threshold")
+    )
+    return (
+        l.join(broadcast(avg_q), F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("threshold"))
+        .agg((_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q18_large_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q18 shape: group-by-having on the fact, then join the
+    survivors back to orders/customer.
+
+    The having-filter output (few keys) broadcasts into the orders
+    join, so only one wide shuffle (the per-order quantity sum)
+    touches lineitem."""
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 212)
+    )
+    return (
+        t["orders"]
+        .join(broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q19_disjunctive(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates across a join.
+
+    The common p_partkey = l_partkey equi-condition stays a hash
+    join; the OR-of-ANDs residual is evaluated post-join inside
+    whole-stage codegen. Part is broadcast (dimension-sized)."""
+    p = broadcast(t["part"])
+    l = t["lineitem"]
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q22_global_sales(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (avg positive balance) +
+    anti-join (customers with no orders), grouped by nation.
+
+    The scalar average is computed once and broadcast as a literal
+    cross-join (1-row DataFrame); the anti-join is a shuffle-free
+    broadcast-anti at dimension-ish cardinality under AQE. ("No
+    high-value order" stands in for TPC-H's 7-year dormancy window —
+    the synthetic data has no orderless customers.)"""
+    c = t["customer"]
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg(F.col("c_acctbal").cast(DEC)).cast("double").alias("avg_bal")
+    )
+    has_order = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(has_order, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -219,6 +219,153 @@ def events_sessionize_q(spark, sf_dir):
     return events_sessionize(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1998-12-31')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q7_nation_volume
+
+    return q7_nation_volume(
+        _t(spark, sf_dir, "lineitem", "orders", "supplier", "customer", "nation")
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q10_returned_items
+
+    return q10_returned_items(_t(spark, sf_dir, "lineitem", "orders", "customer", "nation"))
+
+
+@register(
+    "q13_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN (
+        SELECT o_custkey, o_orderkey FROM orders
+        WHERE o_orderpriority NOT LIKE '1%') o
+      ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q13_order_distribution
+
+    return q13_order_distribution(_t(spark, sf_dir, "customer", "orders"))
+
+
+@register(
+    "q17_small_quantity",
+    f"""
+    SELECT {_dsum_sql('l1.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l1 JOIN part p1 ON l1.l_partkey = p1.p_partkey
+    WHERE p1.p_brand = 'Brand#23'
+      AND l1.l_quantity < (
+        SELECT CAST(AVG(CAST(l2.l_quantity AS DECIMAL(28,6))) AS DOUBLE) * 0.2
+        FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q17(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q17_small_quantity
+
+    return q17_small_quantity(_t(spark, sf_dir, "lineitem", "part"))
+
+
+@register(
+    "q18_large_volume",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM orders
+      JOIN (SELECT l_orderkey, {_dsum_sql('l_quantity')} AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING {_dsum_sql('l_quantity')} > 212) l
+        ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q18_large_volume
+
+    return q18_large_volume(_t(spark, sf_dir, "lineitem", "orders", "customer"))
+
+
+@register(
+    "q19_disjunctive",
+    f"""
+    SELECT {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q19_disjunctive
+
+    return q19_disjunctive(_t(spark, sf_dir, "lineitem", "part"))
+
+
+@register(
+    "q22_global_sales",
+    f"""
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           {_dsum_sql('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0.0)
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def q22(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q22_global_sales
+
+    return q22_global_sales(_t(spark, sf_dir, "customer", "orders"))
+
+
 # ---------------------------------------------------------------------------
 # §2.6 LLM-data-pipeline operators
 # ---------------------------------------------------------------------------

@@ -1301,6 +1301,55 @@ def woql_dot(spark, sf_dir):
     return WOQLContext(store).run(q)
 
 
+@register(
+    "woql_typeof",
+    """
+    SELECT 'Customer/' || c_custkey AS c,
+           'xsd:string' AS name_t, 'xsd:decimal' AS bal_t
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def woql_typeof(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("c"), A.v("name_t"), A.v("bal_t")],
+        A.And(
+            A.Triple(A.v("c"), "c_name", A.v("n")),
+            A.Triple(A.v("c"), "c_acctbal", A.v("bal_s")),
+            A.Regexp(r"Customer/(\d{1,2})$", A.v("c")),
+            A.Eval(("plus", A.v("bal_s"), 0.0), A.v("bal")),
+            A.TypeOf(A.v("n"), A.v("name_t")),
+            A.TypeOf(A.v("bal"), A.v("bal_t")),
+            A.TrueW(),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_lexkey",
+    """
+    SELECT 'Customer/' || c_custkey AS c,
+           'doc/' || replace(c_name, '#', '%23') || '+' || c_mktsegment AS lex_id
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def woql_lexkey(spark, sf_dir):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("c"), A.v("lex_id")],
+        A.And(
+            A.Triple(A.v("c"), "c_name", A.v("n")),
+            A.Triple(A.v("c"), "c_mktsegment", A.v("seg")),
+            A.Regexp(r"Customer/(\d{1,2})$", A.v("c")),
+            A.LexicalKey("doc", [A.v("n"), A.v("seg")], A.v("lex_id")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
 @register("woql_put")  # csv sink side effect: rows-only check
 def woql_put(spark, sf_dir):
     import tempfile
@@ -2025,6 +2074,42 @@ def src_bucketed_join(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "src_json_roundtrip",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(CAST(n_chars AS BIGINT)) AS total_chars
+    FROM documents
+    WHERE n_chars > 50
+    GROUP BY lang, source
+    """,
+)
+def src_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink + source: write the documents table as
+    newline-delimited JSON once per sf_dir, read it back with an
+    explicit schema (no inferSchema pass — at 100 TB a sampling
+    inference scan is a full extra read), and aggregate.
+
+    The n_chars filter is pushed into the JSON scan; the explicit
+    schema also prunes parsing to the four referenced columns."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = f"/root/repo/.cache/tss/docs_json_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(path):
+        _t(spark, sf_dir, "documents")["documents"].write.mode("overwrite").json(path)
+    df = spark.read.schema("doc_id string, lang string, source string, n_chars bigint").json(path)
+    return (
+        df.where(F.col("n_chars") > 50)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
         )
     )
 

@@ -376,3 +376,32 @@ class Dot(Term):
     document: Any
     key: str
     result: Var = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class TypeOf(Term):
+    """TypeOf(value, type_): bind ``type_`` to the xsd type of the
+    value bound to ``value`` (woql_compile.pl TypeOf). Column types
+    are static under Spark's schema, so an unbound ``type_`` binds a
+    literal; a ground ``type_`` becomes a (statically decidable)
+    filter."""
+
+    value: Any
+    type_: Any
+
+
+@dataclass(frozen=True)
+class LexicalKey(Term):
+    """LexicalKey(base, key_vars, result): the reference's lexical
+    key scheme — URI from url-encoded key values joined with '+'
+    (document/json.pl lexical key generation)."""
+
+    base: str
+    key_vars: Sequence[Any]
+    result: Var = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class TrueW(Term):
+    """True: the trivially-succeeding goal (woql_compile.pl True) —
+    passes bindings through unchanged."""

@@ -439,6 +439,47 @@ class WOQLContext:
     def _c_Once(self, t: A.Once, df_in):
         return self._compile(t.term, df_in).limit(1)
 
+    _XSD_BY_DTYPE = {
+        "string": "xsd:string",
+        "boolean": "xsd:boolean",
+        "int": "xsd:integer",
+        "bigint": "xsd:integer",
+        "smallint": "xsd:integer",
+        "tinyint": "xsd:integer",
+        "double": "xsd:decimal",
+        "float": "xsd:decimal",
+        "date": "xsd:date",
+        "timestamp": "xsd:dateTime",
+        "timestamp_ntz": "xsd:dateTime",
+    }
+
+    def _c_TypeOf(self, t: A.TypeOf, df_in):
+        # The type of a bound column is static under Spark's schema —
+        # resolve it from the plan, not per-row (zero runtime cost).
+        if _is_var(t.value):
+            if df_in is None or t.value.name not in df_in.columns:
+                raise ValueError(f"TypeOf on unbound variable {t.value}")
+            dtype = dict(df_in.dtypes)[t.value.name]
+        else:
+            probe = self.spark.range(1).select(F.lit(t.value).alias("x"))
+            dtype = dict(probe.dtypes)["x"]
+        xsd = self._XSD_BY_DTYPE.get(dtype.split("(")[0], "xsd:string")
+        if _is_var(t.type_):
+            return df_in.withColumn(t.type_.name, F.lit(xsd))
+        # ground type: statically decidable filter
+        return df_in if t.type_ == xsd else df_in.limit(0)
+
+    def _c_LexicalKey(self, t: A.LexicalKey, df_in):
+        keys = [F.url_encode(self._operand(k, df_in).cast("string")) for k in t.key_vars]
+        return df_in.withColumn(
+            t.result.name, F.concat(F.lit(t.base + "/"), F.concat_ws("+", *keys))
+        )
+
+    def _c_TrueW(self, t: A.TrueW, df_in):
+        if df_in is None:
+            return self.spark.range(1).select(F.lit(1).alias("__one__"))
+        return df_in
+
     def _c_Dot(self, t: A.Dot, df_in):
         doc = self._operand(t.document, df_in)
         return df_in.withColumn(t.result.name, F.get_json_object(doc, f"$.{t.key}"))

@@ -51,6 +51,8 @@ HEADLINE = [
     "docs_chunk",
     "sample_hash",
     "docs_topk_ngrams",
+    "text_repetition",
+    "docs_decontaminate",
     "ann_topk_brute",
     "dedup_embed_cos",
 ]

@@ -115,3 +115,79 @@ def fingerprint(docs: DataFrame, text_col: str = "text", prefix_tokens: int = 8)
         F.md5(norm).alias("content_hash"),
         F.md5(prefix).alias("prefix_hash"),
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, dup_bigram_frac, dup_trigram_frac,
+    top_token_frac): Gopher-style repetition filters — fraction of
+    duplicated {2,3}-grams and mass of the most frequent token.
+
+    Scale notes: the n-gram fractions are pure array expressions
+    (whole-stage codegen, zero shuffle); the top-token mass is one
+    explode + two-level aggregate keyed by doc_id — map-side partials
+    apply and the key is unique per doc, so there is no skew."""
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    n = F.size(toks)
+
+    def grams(width: int):
+        idx = F.sequence(F.lit(1), n - (width - 1))
+        make = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(width)])
+        return F.when(n >= width, F.transform(idx, make)).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(arr):
+        return F.when(
+            F.size(arr) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / F.size(arr).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    arrays = docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        dup_frac(grams(2)).alias("dup_bigram_frac"),
+        dup_frac(grams(3)).alias("dup_trigram_frac"),
+        toks.alias("_toks"),
+    )
+    counts = (
+        arrays.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_token_frac"))
+    )
+    return arrays.drop("_toks").join(counts, "doc_id")
+
+
+def shingle_hashes(docs: DataFrame, text_col: str = "text", width: int = 5) -> DataFrame:
+    """(doc_id, shingle): md5 of each distinct ``width``-token window.
+    Hashing keeps shuffle rows fixed-size regardless of document
+    length — the join key for decontamination at corpus scale."""
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (width - 1))
+    make = lambda i: F.md5(F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(width)]))
+    sh = F.when(n >= width, F.transform(idx, make)).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    width: int = 5,
+) -> DataFrame:
+    """(doc_id, n_hits): training docs sharing >= 1 ``width``-token
+    shingle with the benchmark set (eval-set contamination check à la
+    GPT-3/PaLM 13-gram overlap; width parameterized).
+
+    The benchmark side is eval data — small by construction — so its
+    distinct shingle set is broadcast and the probe is a map-side
+    semi-join: no shuffle of the (huge) training-corpus shingles."""
+    bench = F.broadcast(shingle_hashes(benchmark, text_col, width).select("shingle").distinct())
+    cand = shingle_hashes(docs, text_col, width)
+    return (
+        cand.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").cast("bigint").alias("n_hits"))
+    )

@@ -2228,3 +2228,155 @@ def stream_dedup_q(spark, sf_dir):
         spark, doubled, stream_dedup, "tss_stream_dedup", output_mode="append"
     )
     return deduped.agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id"))
+
+
+# ---------------------------------------------------------------------------
+# round-1 widening: WOQL updates, graph scoping, repetition, decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+    arr AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+        CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk)-1),
+          i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS bg,
+        CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk)-2),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END AS tg
+      FROM toks),
+    fr AS (
+      SELECT doc_id, n_tokens,
+        CASE WHEN len(bg) > 0 THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE
+             ELSE 0.0 END AS dup_bigram_frac,
+        CASE WHEN len(tg) > 0 THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)::DOUBLE
+             ELSE 0.0 END AS dup_trigram_frac
+      FROM arr),
+    tc AS (
+      SELECT doc_id, t, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t),
+    tt AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c)::DOUBLE AS top_token_frac
+           FROM tc GROUP BY doc_id)
+    SELECT fr.doc_id, n_tokens, dup_bigram_frac, dup_trigram_frac, top_token_frac
+    FROM fr JOIN tt ON fr.doc_id = tt.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    from terminus_server_spark.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "docs_decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_bench,
+             string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id, is_bench,
+             unnest(list_distinct(CASE WHEN len(tk) >= 5
+               THEN list_transform(generate_series(1, len(tk)-4),
+                                   i -> md5(array_to_string(tk[i:i+4], ' ')))
+               ELSE [] END)) AS shingle
+      FROM toks),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE is_bench),
+    cand AS (SELECT doc_id, shingle FROM sh WHERE NOT is_bench)
+    SELECT cand.doc_id, COUNT(DISTINCT cand.shingle) AS n_hits
+    FROM cand JOIN bench ON cand.shingle = bench.shingle
+    GROUP BY cand.doc_id
+    """,
+)
+def docs_decontaminate(spark, sf_dir):
+    """Eval-set contamination: the md5-bucketed 1/8 of documents plays
+    the benchmark; every other doc sharing a 5-token shingle is
+    flagged.  Benchmark shingles broadcast (eval sets are small)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    return decontaminate(docs.where(~is_bench), docs.where(is_bench))
+
+
+@register(
+    "woql_add_del",
+    """
+    WITH counts(predicate, n) AS (
+      SELECT 'rdf:type', (SELECT COUNT(*) FROM region) + (SELECT COUNT(*) FROM nation)
+                       + (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+                       + (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'r_name', (SELECT COUNT(*) FROM region)
+      UNION ALL SELECT 'n_name', (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 1)
+      UNION ALL SELECT 'n_region', (SELECT COUNT(*) FROM nation)
+      UNION ALL SELECT 'flagged', (SELECT COUNT(*) FROM nation WHERE n_regionkey = 1)
+      UNION ALL SELECT 'c_name', (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'c_acctbal', (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'c_mktsegment', (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'c_nation', (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 's_name', (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 's_acctbal', (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 's_nation', (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 'o_orderstatus', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_totalprice', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_orderdate', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_orderpriority', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_customer', (SELECT COUNT(*) FROM orders))
+    SELECT predicate, n FROM counts
+    """,
+)
+def woql_add_del(spark, sf_dir):
+    """WOQL write path: AddTriple/DeleteTriple staged per solution →
+    delta layer → applied store (terminus-server insert/delete words
+    committing a new terminusdb-store layer).  Flags region-1 nations
+    and retracts their n_name triples, then counts per predicate."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import apply_delta
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    store = _store(spark, sf_dir)
+    ctx = WOQLContext(store)
+    q = A.And(
+        A.Triple(A.v("n"), "n_region", "Region/1"),
+        A.Triple(A.v("n"), "n_name", A.v("nm")),
+        A.AddTriple(A.v("n"), "flagged", "true"),
+        A.DeleteTriple(A.v("n"), "n_name", A.v("nm")),
+    )
+    delta = ctx.run_update(q, commit_seq=1, commit_id="u1")
+    new_state = apply_delta(store.df, delta)
+    return new_state.groupBy("predicate").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "woql_using",
+    """
+    SELECT 'Customer' AS cls, (SELECT COUNT(*) FROM customer) AS cnt
+    UNION ALL
+    SELECT 'Supplier', (SELECT COUNT(*) FROM supplier)
+    """,
+)
+def woql_using(spark, sf_dir):
+    """Graph-scoping word: Using('schema', ...) retargets unscoped
+    Triple patterns (the reference's collection resolution), here
+    joining schema-graph subclass edges with instance-graph rdf:type
+    counts in one query."""
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("cls"), A.v("cnt")],
+        A.GroupBy(
+            [A.v("cls")],
+            [("count", A.v("inst"), A.v("cnt"))],
+            A.And(
+                A.Using("schema", A.Triple(A.v("cls"), "subClassOf", "Agent")),
+                A.Triple(A.v("inst"), "rdf:type", A.v("cls")),
+            ),
+        ),
+    )
+    return _ctx(spark, sf_dir, with_schema=True).run(q)

@@ -111,3 +111,17 @@ def orders_layers(orders: DataFrame) -> DataFrame:
         "o_orderkey", "o_totalprice",
     )
     return c1.unionByName(c2a).unionByName(c2d).unionByName(c3)
+
+
+def apply_delta(triples: DataFrame, delta: DataFrame) -> DataFrame:
+    """New store state after one WOQL update delta (run_update output):
+    deletes are an anti-join on the triple identity, adds a union.
+    Parity: committing a staged transaction produces a child layer in
+    terminusdb-store; reads see parent minus removes plus adds.  Both
+    sides scale with |delta|, not |store| history."""
+    key = ["graph", "subject", "predicate", "obj"]
+    dels = delta.where(F.col("op") == "del").select(*key).distinct()
+    adds = delta.where(F.col("op") == "add").select(
+        "graph", "subject", "predicate", "obj", "obj_type", "obj_num"
+    )
+    return triples.join(dels, on=key, how="left_anti").unionByName(adds)

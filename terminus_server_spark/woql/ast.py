@@ -39,7 +39,7 @@ class Triple(Term):
     s: Any
     p: Any
     o: Any
-    graph: str = "instance"
+    graph: str | None = None  # None → enclosing Using graph, else "instance"
 
 
 @dataclass(frozen=True)
@@ -405,3 +405,45 @@ class LexicalKey(Term):
 class TrueW(Term):
     """True: the trivially-succeeding goal (woql_compile.pl True) —
     passes bindings through unchanged."""
+
+
+# -- update words ---------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AddTriple(Term):
+    """AddTriple(s, p, o): stage an insert for every solution of the
+    enclosing query (woql_compile.pl ``insert``).  Compiled by
+    ``WOQLContext.run_update`` into rows of a *delta layer* — the
+    Spark analogue of the reference staging writes in a transaction
+    object and committing them as a new terminusdb-store layer.
+    Bindings pass through unchanged (inserts don't prune solutions).
+    """
+
+    s: Any
+    p: Any
+    o: Any
+    graph: str = "instance"
+
+
+@dataclass(frozen=True)
+class DeleteTriple(Term):
+    """DeleteTriple(s, p, o): stage a delete per solution (the
+    reference's ``delete`` word).  Variables must be bound by the
+    enclosing query; constants delete ground triples."""
+
+    s: Any
+    p: Any
+    o: Any
+    graph: str = "instance"
+
+
+@dataclass(frozen=True)
+class Using(Term):
+    """Using(graph, term): evaluate ``term`` with ``graph`` as the
+    default graph for Triple patterns that don't name one —
+    the reference's collection-scoping word (woql_compile.pl
+    ``using`` / resolve_query_resource)."""
+
+    graph: str
+    term: Term

@@ -43,11 +43,37 @@ class WOQLContext:
         self.store = store
         self.spark = spark or store.df.sparkSession
         self.layers = layers  # (commit_id, op, graph, subject, predicate, obj, obj_type, obj_num)
+        self._graph_stack: list[str] = []  # Using(...) scopes; top = default graph
+        self._staged: list[tuple] = []  # (op, graph, s, p, o) update templates
 
     # -- public API -------------------------------------------------------
 
     def run(self, term: A.Term) -> DataFrame:
         return self._compile(term, None)
+
+    def run_update(self, term: A.Term, commit_seq: int, commit_id: str) -> DataFrame:
+        """Compile a query containing AddTriple/DeleteTriple words into
+        a *delta layer* DataFrame ``(commit_seq, commit_id, op, graph,
+        subject, predicate, obj, obj_type, obj_num)``.
+
+        Parity: the reference stages inserts/deletes on a transaction
+        object while the query backtracks, then commits them as one new
+        terminusdb-store layer (woql_compile.pl ``insert``/``delete``,
+        triple_store layer builders).  Here the staged templates are
+        projected over the final bindings DataFrame — one distributed
+        projection per template, no driver-side iteration — and the
+        resulting delta composes with ``versioning.layers``
+        (materialize/diff/squash/rebase) unchanged.
+        """
+        self._staged = []
+        bindings = self._compile(term, None)
+        if not self._staged:
+            raise ValueError("run_update: query stages no AddTriple/DeleteTriple")
+        deltas = [self._delta_rows(bindings, staged, commit_seq, commit_id) for staged in self._staged]
+        out = deltas[0]
+        for d in deltas[1:]:
+            out = out.unionByName(d)
+        return out
 
     # -- helpers ----------------------------------------------------------
 
@@ -98,8 +124,9 @@ class WOQLContext:
     # -- patterns ---------------------------------------------------------
 
     def _c_Triple(self, t: A.Triple, df_in):
+        graph = t.graph or (self._graph_stack[-1] if self._graph_stack else "instance")
         frame = self.store.spo(
-            predicate=t.p if not _is_var(t.p) else None, graph=t.graph
+            predicate=t.p if not _is_var(t.p) else None, graph=graph
         )
         matched = self._match_pattern(frame, t.s, A.Var("__p__") if _is_var(t.p) else t.p, t.o)
         if _is_var(t.p):
@@ -483,6 +510,54 @@ class WOQLContext:
     def _c_Dot(self, t: A.Dot, df_in):
         doc = self._operand(t.document, df_in)
         return df_in.withColumn(t.result.name, F.get_json_object(doc, f"$.{t.key}"))
+
+    def _c_Using(self, t: A.Using, df_in):
+        self._graph_stack.append(t.graph)
+        try:
+            return self._compile(t.term, df_in)
+        finally:
+            self._graph_stack.pop()
+
+    # -- update words (see run_update) -----------------------------------
+
+    def _c_AddTriple(self, t: A.AddTriple, df_in):
+        self._staged.append(("add", t.graph, t.s, t.p, t.o))
+        return df_in
+
+    def _c_DeleteTriple(self, t: A.DeleteTriple, df_in):
+        self._staged.append(("del", t.graph, t.s, t.p, t.o))
+        return df_in
+
+    def _delta_rows(self, bindings: DataFrame, staged: tuple, commit_seq: int, commit_id: str) -> DataFrame:
+        op, graph, s, p, o = staged
+        dtypes = dict(bindings.dtypes)
+
+        def _part(x):
+            return F.col(x.name) if _is_var(x) else F.lit(x)
+
+        obj = _part(o)
+        if _is_var(o):
+            dtype = dtypes.get(o.name, "string").split("(")[0]
+        else:
+            dtype = {bool: "boolean", int: "bigint", float: "double"}.get(type(o), "string")
+        is_num = dtype in ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+        xsd = {
+            "boolean": "xsd:boolean", "int": "xsd:integer", "bigint": "xsd:integer",
+            "smallint": "xsd:integer", "tinyint": "xsd:integer", "double": "xsd:decimal",
+            "float": "xsd:decimal", "decimal": "xsd:decimal", "timestamp": "xsd:dateTime",
+            "date": "xsd:date",
+        }.get(dtype, "xsd:string")
+        return bindings.select(
+            F.lit(commit_seq).alias("commit_seq"),
+            F.lit(commit_id).alias("commit_id"),
+            F.lit(op).alias("op"),
+            F.lit(graph).alias("graph"),
+            _part(s).cast("string").alias("subject"),
+            _part(p).cast("string").alias("predicate"),
+            obj.cast("string").alias("obj"),
+            F.lit("iri" if (not _is_var(o) and isinstance(o, str) and "/" in o) else xsd).alias("obj_type"),
+            (obj.cast("double") if is_num else F.lit(None).cast("double")).alias("obj_num"),
+        ).distinct()
 
     def _c_Get(self, t: A.Get, df_in):
         reader = self.spark.read.option("header", str(t.has_header).lower()).option(

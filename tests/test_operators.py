@@ -379,3 +379,40 @@ def test_multimodal_resize_and_frame_sampling(spark):
     assert {(r.doc_id, r.frame_idx, r.frame_sha) for r in fr} == {
         (r.doc_id, r.frame_idx, r.frame_sha) for r in again
     }
+
+
+def test_repetition_signals(spark):
+    from terminus_server_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w"), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    # doc 1: bigrams [ab, ba, ab, ba] -> 2 distinct of 4 = 0.5 dup
+    assert out[1].n_tokens == 5 and abs(out[1].dup_bigram_frac - 0.5) < 1e-12
+    assert abs(out[1].top_token_frac - 3 / 5) < 1e-12
+    # doc 2: all unique
+    assert out[2].dup_bigram_frac == 0.0 and out[2].dup_trigram_frac == 0.0
+    assert abs(out[2].top_token_frac - 0.25) < 1e-12
+    # doc 3: single token, no n-grams
+    assert out[3].dup_bigram_frac == 0.0 and out[3].top_token_frac == 1.0
+
+
+def test_decontaminate_flags_overlap(spark):
+    from terminus_server_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over suffix"),  # shares shingles
+            (2, "completely different text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in decontaminate(docs, bench).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got

@@ -204,3 +204,53 @@ def test_put_writes_csv_sink(spark, store, tmp_path):
     ctx(store).run(q)
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == 5 and set(back.columns) == {"iri", "nm"}
+
+
+def test_add_delete_triple_update(store):
+    from terminus_server_spark.versioning.layers import apply_delta
+    from terminus_server_spark.woql import ast as A
+
+    q = And(
+        Triple(v("n"), "n_region", "Region/0"),
+        Triple(v("n"), "n_name", v("nm")),
+        A.AddTriple(v("n"), "flagged", "true"),
+        A.DeleteTriple(v("n"), "n_name", v("nm")),
+    )
+    c = ctx(store)
+    delta = c.run_update(q, commit_seq=1, commit_id="u1")
+    n_r0 = store.df.filter(
+        (F.col("predicate") == "n_region") & (F.col("obj") == "Region/0")
+    ).count()
+    assert delta.filter(F.col("op") == "add").count() == n_r0
+    assert delta.filter(F.col("op") == "del").count() == n_r0
+    new_state = apply_delta(store.df, delta)
+    assert new_state.filter(F.col("predicate") == "flagged").count() == n_r0
+    before = store.df.filter(F.col("predicate") == "n_name").count()
+    assert new_state.filter(F.col("predicate") == "n_name").count() == before - n_r0
+
+
+def test_run_update_requires_staged_word(store):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ctx(store).run_update(Triple(v("s"), "rdf:type", "Region"), 1, "u1")
+
+
+def test_using_scopes_default_graph(spark, tables):
+    from terminus_server_spark.model.triples import TripleStore, tpch_store
+    from terminus_server_spark.woql import ast as A
+
+    ts = tpch_store(tables)
+    schema_df = spark.createDataFrame(
+        [("schema", "Customer", "subClassOf", "Agent", "iri", None)],
+        schema="graph string, subject string, predicate string, obj string, obj_type string, obj_num double",
+    )
+    st = TripleStore(ts.df.unionByName(schema_df), schema_df=schema_df)
+    rows = (
+        WOQLContext(st)
+        .run(A.Using("schema", Triple(v("c"), "subClassOf", v("p"))))
+        .collect()
+    )
+    assert {(r.c, r.p) for r in rows} == {("Customer", "Agent")}
+    # outside Using, the same unscoped pattern sees the instance graph only
+    assert WOQLContext(st).run(Triple(v("c"), "subClassOf", v("p"))).count() == 0

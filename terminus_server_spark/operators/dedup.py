@@ -35,12 +35,17 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle): distinct k-token shingles per doc."""
-    toks = tokens_col(F.lower(F.col(text_col)))
+    """(doc_id, shingle): distinct k-token shingles per doc.
+
+    Tokenization is materialized as a column before the slice lambda
+    reads it — an inlined split expression would re-tokenize the text
+    at every shingle position (quadratic in doc length)."""
+    tokenized = docs.select("doc_id", tokens_col(F.lower(F.col(text_col))).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return tokenized.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:

@@ -100,14 +100,17 @@ def topk_ngrams(
     top-k — the only full shuffle is on the n-gram key, and the final
     ordering sorts only the aggregated (small) side.
     """
-    toks = tokens_col(F.lower(F.col(text_col)))
+    # materialize the token array first: inlining the split into the
+    # per-position slice lambda re-tokenizes quadratically
+    tokenized = docs.select("doc_id", tokens_col(F.lower(F.col(text_col))).alias("_toks"))
+    toks = F.col("_toks")
     nt = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(nt - (n - 1), F.lit(1)))
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
     return (
-        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        tokenized.select("doc_id", F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())

@@ -381,3 +381,241 @@ def q22_global_sales(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+def q2_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Q2 shape: correlated-min subquery over a multi-dim join
+    (adapted: no partsupp table in the driver's schema, so the
+    supplier's unit price l_extendedprice/l_quantity plays
+    ps_supplycost).  The per-part minimum is decorrelated into an
+    aggregate + equi-join-back; all dims broadcast."""
+    p = t["part"].where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+    eur_sup = (
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        t["lineitem"]
+        .join(broadcast(p.select("p_partkey", "p_name")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(eur_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+    )
+    part_min = offers.groupBy(F.col("p_partkey").alias("mp")).agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        offers.join(broadcast(part_min),
+                    (F.col("p_partkey") == F.col("mp")) & (F.col("unit_cost") == F.col("min_cost")))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Q8 shape: double-dim-chain join (supplier nation vs customer
+    nation/region) + conditional ratio aggregate per year."""
+    n1 = t["nation"].select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    r = t["region"].where(F.col("r_name") == "AMERICA")
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    all_nations = (
+        t["lineitem"]
+        .join(broadcast(t["part"].where(F.col("p_type") == "ECONOMY").select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "supp_nation")
+    )
+    return (
+        all_nations.groupBy("o_year")
+        .agg(
+            (
+                _dsum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / _dsum(F.col("volume"))
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(t: dict[str, DataFrame]) -> DataFrame:
+    """Q9 shape: LIKE-filtered part join + supplier-nation + year
+    rollup (adapted: profit omits the missing ps_supplycost term)."""
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(broadcast(t["part"].where(F.col("p_name").like("%ring%")).select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q11_important_parts(t: dict[str, DataFrame]) -> DataFrame:
+    """Q11 shape: group value rollup + scalar-subquery threshold
+    (fraction of the global total; adapted to lineitem value since
+    partsupp is absent).  The threshold is a broadcast single-row
+    cross join, not a driver-side collect."""
+    ger = (
+        t["lineitem"]
+        .join(broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"].where(F.col("n_name") == "NATION_7").select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    per_part = ger.groupBy("l_partkey").agg(_dsum(F.col("l_extendedprice")).alias("value"))
+    total = ger.agg((_dsum(F.col("l_extendedprice")) * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+def q12_priority_shipping(t: dict[str, DataFrame]) -> DataFrame:
+    """Q12 shape: fact-fact join + conditional counts (adapted to the
+    available columns: line status plays ship mode, order priority
+    buckets are counted per group)."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t["orders"].select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q15_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Q15 shape: aggregate view + where-equals-max scalar subquery,
+    decorrelated into a broadcast single-row join."""
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(broadcast(t["supplier"].select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_cnt(t: dict[str, DataFrame]) -> DataFrame:
+    """Q16 shape: distinct-supplier count per part attribute triple,
+    with NOT-IN supplier exclusion (adapted: lineitem is the
+    part-supplier bridge, negative-balance suppliers are the
+    'complaints' exclusion)."""
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t["part"].where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8))
+    )
+    return (
+        t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_part_promotion(t: dict[str, DataFrame]) -> DataFrame:
+    """Q20 shape: nested aggregate threshold → semi-join chain up to
+    suppliers in one nation (adapted: shipped-qty-in-1996 plays
+    ps_availqty)."""
+    red_parts = t["part"].where(F.col("p_name").like("red%")).select("p_partkey")
+    qty96 = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dsum(F.col("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(broadcast(t["nation"].where(F.col("n_regionkey") == 2).select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(qty96, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q21_waiting_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Q21 shape: self semi-join + self anti-join on the fact table
+    (adapted: returnflag 'R' plays the late-delivery predicate) —
+    suppliers who are the *only* 'R' supplier in a multi-supplier
+    order."""
+    l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = l.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    l2 = l.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")).distinct()
+    l3 = (
+        l.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+        .join(t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    return (
+        waiting.join(broadcast(t["supplier"].select("s_suppkey", "s_name")),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

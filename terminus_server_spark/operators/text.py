@@ -125,9 +125,14 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale notes: the n-gram fractions are pure array expressions
     (whole-stage codegen, zero shuffle); the top-token mass is one
     explode + two-level aggregate keyed by doc_id — map-side partials
-    apply and the key is unique per doc, so there is no skew."""
-    t = F.lower(F.trim(F.col(text_col)))
-    toks = F.split(t, r"\s+")
+    apply and the key is unique per doc, so there is no skew.  The
+    token array is materialized as a column before any element_at
+    lambda touches it: inlining the split expression would re-tokenize
+    the document once per n-gram position (quadratic in doc length)."""
+    tokenized = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
 
     def grams(width: int):
@@ -141,7 +146,7 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / F.size(arr).cast("double"),
         ).otherwise(F.lit(0.0))
 
-    arrays = docs.select(
+    arrays = tokenized.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         dup_frac(grams(2)).alias("dup_bigram_frac"),
@@ -161,14 +166,19 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingle_hashes(docs: DataFrame, text_col: str = "text", width: int = 5) -> DataFrame:
     """(doc_id, shingle): md5 of each distinct ``width``-token window.
     Hashing keeps shuffle rows fixed-size regardless of document
-    length — the join key for decontamination at corpus scale."""
-    t = F.lower(F.trim(F.col(text_col)))
-    toks = F.split(t, r"\s+")
+    length — the join key for decontamination at corpus scale.
+
+    The token array is a materialized column, not an inlined split
+    expression — see repetition_signals for why (quadratic re-parse)."""
+    tokenized = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (width - 1))
     make = lambda i: F.md5(F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(width)]))
     sh = F.when(n >= width, F.transform(idx, make)).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return tokenized.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def decontaminate(
@@ -176,15 +186,22 @@ def decontaminate(
     benchmark: DataFrame,
     text_col: str = "text",
     width: int = 5,
+    broadcast_benchmark: bool = False,
 ) -> DataFrame:
     """(doc_id, n_hits): training docs sharing >= 1 ``width``-token
     shingle with the benchmark set (eval-set contamination check à la
     GPT-3/PaLM 13-gram overlap; width parameterized).
 
-    The benchmark side is eval data — small by construction — so its
-    distinct shingle set is broadcast and the probe is a map-side
-    semi-join: no shuffle of the (huge) training-corpus shingles."""
-    bench = F.broadcast(shingle_hashes(benchmark, text_col, width).select("shingle").distinct())
+    When the benchmark is genuinely eval-sized (thousands of docs),
+    pass ``broadcast_benchmark=True``: the distinct shingle set
+    broadcasts and the probe is a map-side semi-join with zero shuffle
+    of the (huge) training-corpus shingles.  Default leaves the
+    strategy to Catalyst/AQE, which still broadcasts under the
+    threshold but degrades to a shuffle join rather than OOMing the
+    executors when the benchmark is corpus-sized."""
+    bench = shingle_hashes(benchmark, text_col, width).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
     cand = shingle_hashes(docs, text_col, width)
     return (
         cand.join(bench, "shingle")

@@ -2380,3 +2380,204 @@ def woql_using(spark, sf_dir):
         ),
     )
     return _ctx(spark, sf_dir, with_schema=True).run(q)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 widening: remaining TPC-H join shapes (Q2/Q8/Q9/Q11/Q12/Q15/Q16/Q20/Q21)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+             l_extendedprice / l_quantity AS unit_cost
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD' AND p_size <= 15
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+    part_min AS (
+      SELECT p_partkey AS mp, MIN(unit_cost) AS min_cost FROM offers GROUP BY p_partkey)
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, min_cost
+    FROM offers JOIN part_min ON p_partkey = mp AND unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q2_min_cost_supplier
+
+    return q2_min_cost_supplier(_t(spark, sf_dir))
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH all_nations AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN orders ON l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+    SELECT o_year,
+           {_dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+             / {_dsum_sql('volume')} AS mkt_share
+    FROM all_nations GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q8_market_share
+
+    return q8_market_share(_t(spark, sf_dir))
+
+
+@register(
+    "q9_product_profit",
+    f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_profit
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE '%ring%'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q9_product_profit
+
+    return q9_product_profit(_t(spark, sf_dir))
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    WITH ger AS (
+      SELECT l_partkey, l_extendedprice
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7')
+    SELECT l_partkey, {_dsum_sql('l_extendedprice')} AS value
+    FROM ger
+    GROUP BY l_partkey
+    HAVING {_dsum_sql('l_extendedprice')} >
+           (SELECT {_dsum_sql('l_extendedprice')} * 0.001 FROM ger)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q11_important_parts
+
+    return q11_important_parts(_t(spark, sf_dir))
+
+
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q12_priority_shipping
+
+    return q12_priority_shipping(_t(spark, sf_dir))
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey, {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q15_top_supplier
+
+    return q15_top_supplier(_t(spark, sf_dir))
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q16_supplier_cnt
+
+    return q16_supplier_cnt(_t(spark, sf_dir))
+
+
+@register(
+    "q20_part_promotion",
+    f"""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+        HAVING {_dsum_sql('l_quantity')} > 50)
+    ORDER BY s_name
+    """,
+)
+def q20(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q20_part_promotion
+
+    return q20_part_promotion(_t(spark, sf_dir))
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+    waiting AS (
+      SELECT l1.l_orderkey, l1.l_suppkey FROM l1
+      WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        AND l1.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'))
+    SELECT s_name, COUNT(*) AS numwait
+    FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21(spark, sf_dir):
+    from terminus_server_spark.operators.relational import q21_waiting_supplier
+
+    return q21_waiting_supplier(_t(spark, sf_dir))

@@ -27,6 +27,15 @@ HEADLINE = [
     "q18_large_volume",
     "q19_disjunctive",
     "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
     "win_rank_topn",
     "semi_anti",
     "events_sessionize",

@@ -99,6 +99,54 @@ def transitive_closure(
     return reached if with_hops else reached.select("src", "dst")
 
 
+def transitive_closure_doubling(
+    edges: DataFrame, max_doublings: int = 20, with_hops: bool = False
+) -> DataFrame:
+    """plus-closure by min-plus path doubling: R_{i+1} = min-hops of
+    R_i ∪ (R_i ⋈ R_i).  Converges in ceil(log2(diameter)) rounds vs
+    the frontier method's `diameter` rounds.
+
+    Trade-off vs ``transitive_closure``: each round joins the FULL
+    closure with itself, so intermediate size is O(|closure|) — the
+    right choice for long-diameter graphs whose closure fits
+    comfortably (hierarchies, linked lists, version chains).  For
+    bushy graphs where |closure| ≫ |edges| the frontier method
+    shuffles far less per round; callers pick by shape."""
+    spark = edges.sparkSession
+    with no_constraint_propagation(spark):
+        r = (
+            edges.select("src", "dst").where(
+                F.col("src").isNotNull() & F.col("dst").isNotNull()
+            )
+            .withColumn("hops", F.lit(1))
+            .groupBy("src", "dst")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        stats = r.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
+        for _ in range(max_doublings):
+            squared = (
+                r.alias("a")
+                .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(
+                    F.col("a.src").alias("src"),
+                    F.col("b.dst").alias("dst"),
+                    (F.col("a.hops") + F.col("b.hops")).alias("hops"),
+                )
+            )
+            r = (
+                r.unionByName(squared)
+                .groupBy("src", "dst")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=True)
+            )
+            new_stats = r.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
+            if tuple(new_stats) == tuple(stats):  # no new pairs, no shorter paths
+                break
+            stats = new_stats
+    return r if with_hops else r.select("src", "dst")
+
+
 def compile_path(store, pattern: P.PathPattern) -> DataFrame:
     """Compile a path pattern to an (src, dst, hops) DataFrame."""
     if isinstance(pattern, P.Pred):
@@ -129,9 +177,11 @@ def compile_path(store, pattern: P.PathPattern) -> DataFrame:
             out = out.unionByName(nxt)
         return _dedup_min_hops(out)
     if isinstance(pattern, P.Plus):
-        return transitive_closure(compile_path(store, pattern.part), with_hops=True)
+        close = transitive_closure_doubling if pattern.strategy == "doubling" else transitive_closure
+        return close(compile_path(store, pattern.part), with_hops=True)
     if isinstance(pattern, P.Star):
-        plus = transitive_closure(compile_path(store, pattern.part), with_hops=True)
+        close = transitive_closure_doubling if pattern.strategy == "doubling" else transitive_closure
+        plus = close(compile_path(store, pattern.part), with_hops=True)
         base = compile_path(store, pattern.part)
         nodes = base.select(F.col("src").alias("n")).union(base.select(F.col("dst"))).distinct()
         zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"), F.lit(0).alias("hops"))

@@ -1448,7 +1448,8 @@ def path_plus(spark, sf_dir):
     from terminus_server_spark.woql.path_ast import Plus, Pred
 
     ctx = WOQLContext(_parent_tree_store(spark, sf_dir))
-    return ctx.run(A.Path(A.v("src"), Plus(Pred("parent")), A.v("dst"), hops=A.v("hops")))
+    # parent tree = long-diameter hierarchy -> min-plus doubling closure
+    return ctx.run(A.Path(A.v("src"), Plus(Pred("parent"), strategy="doubling"), A.v("dst"), hops=A.v("hops")))
 
 
 @register(
@@ -1475,7 +1476,8 @@ def path_star(spark, sf_dir):
     from terminus_server_spark.woql.path_ast import Pred, Star
 
     ctx = WOQLContext(_parent_tree_store(spark, sf_dir))
-    return ctx.run(A.Path(A.v("src"), Star(Pred("parent")), A.v("dst"), hops=A.v("hops")))
+    # parent tree = long-diameter hierarchy -> min-plus doubling closure
+    return ctx.run(A.Path(A.v("src"), Star(Pred("parent"), strategy="doubling"), A.v("dst"), hops=A.v("hops")))
 
 
 @register(

@@ -41,12 +41,21 @@ class OrP(PathPattern):
 
 @dataclass(frozen=True)
 class Plus(PathPattern):
+    """Closure strategy: "frontier" (semi-naive BFS; rounds = graph
+    diameter, per-round shuffle bounded by the frontier — the safe
+    default for bushy graphs) or "doubling" (min-plus squaring;
+    ceil(log2(diameter)) rounds, each joining the full closure with
+    itself — faster for long-diameter hierarchies/chains whose
+    closure is modest)."""
+
     part: PathPattern
+    strategy: str = "frontier"
 
 
 @dataclass(frozen=True)
 class Star(PathPattern):
     part: PathPattern
+    strategy: str = "frontier"
 
 
 @dataclass(frozen=True)

@@ -416,3 +416,26 @@ def test_decontaminate_flags_overlap(spark):
     got = {r.doc_id: r.n_hits for r in decontaminate(docs, bench).collect()}
     assert 1 in got and got[1] >= 1
     assert 2 not in got
+
+
+def test_closure_doubling_matches_frontier(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.path import (
+        transitive_closure,
+        transitive_closure_doubling,
+    )
+
+    # chain 1->2->...->9 plus a diamond 1->10->11, 1->12->11
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(1, 9)]
+        + [("1", "10"), ("10", "11"), ("1", "12"), ("12", "11")],
+        "src string, dst string",
+    )
+    a = {(r.src, r.dst, r.hops) for r in transitive_closure(edges, with_hops=True).collect()}
+    b = {
+        (r.src, r.dst, r.hops)
+        for r in transitive_closure_doubling(edges, with_hops=True).collect()
+    }
+    assert a == b
+    assert ("1", "9", 8) in b and ("1", "11", 2) in b

@@ -183,3 +183,20 @@ def doc_patch(old: DataFrame, diff: DataFrame, key: str, fields: list[str]) -> D
         patched = F.coalesce(F.col(f"p.{f_}").cast(dtype), F.col(f"o.{f_}"))
         cols.append(patched.alias(f_))
     return out.select(*cols)
+
+
+def insert_documents(
+    triples: DataFrame, new_docs: DataFrame, class_name: str, key_col: str
+) -> DataFrame:
+    """Document insert (json.pl insert_document): new JSON-ish rows
+    flatten to typed triples and union into the store — a pure map
+    stage over the new docs; the existing store is untouched."""
+    return triples.unionByName(docs_to_triples(new_docs, class_name, key_col))
+
+
+def delete_documents(triples: DataFrame, subjects: DataFrame) -> DataFrame:
+    """Document delete (json.pl delete_document): drop every triple
+    whose subject is in ``subjects`` (one column ``subject``) — one
+    anti-join keyed on subject; broadcastable when the delete set is
+    small."""
+    return triples.join(subjects.select("subject").distinct(), on="subject", how="left_anti")

@@ -2583,3 +2583,159 @@ def q21(spark, sf_dir):
     from terminus_server_spark.operators.relational import q21_waiting_supplier
 
     return q21_waiting_supplier(_t(spark, sf_dir))
+
+
+@register(
+    "vc_reset",
+    """
+    SELECT COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+       OR (o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01')
+    """,
+)
+def vc_reset(spark, sf_dir):
+    """Reset to commit 2 discards the seq-3 layer entirely: a
+    materialize at any later seq equals the state at seq 2."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize, reset
+
+    layers = reset(_layers(spark, sf_dir), to_seq=2)
+    state = materialize(layers, 99, ["o_orderkey"])
+    return state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "doc_insert_delete",
+    """
+    WITH counts(predicate, n) AS (
+      SELECT 'rdf:type', COUNT(*) FILTER (WHERE doc_id >= 10) + 2 FROM documents
+      UNION ALL SELECT 'text', COUNT(*) FILTER (WHERE doc_id >= 10 AND text IS NOT NULL) + 2 FROM documents
+      UNION ALL SELECT 'lang', COUNT(*) FILTER (WHERE doc_id >= 10 AND lang IS NOT NULL) + 2 FROM documents
+      UNION ALL SELECT 'source', COUNT(*) FILTER (WHERE doc_id >= 10 AND source IS NOT NULL) + 2 FROM documents
+      UNION ALL SELECT 'n_chars', COUNT(*) FILTER (WHERE doc_id >= 10 AND n_chars IS NOT NULL) + 2 FROM documents)
+    SELECT predicate, n FROM counts
+    """,
+)
+def doc_insert_delete(spark, sf_dir):
+    """Document write path: delete docs 0..9, insert two new docs,
+    count triples per predicate (json.pl insert_document /
+    delete_document as triple-set algebra)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import (
+        delete_documents,
+        docs_to_triples,
+        insert_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tri = docs_to_triples(docs, "Doc", "doc_id")
+    gone = spark.createDataFrame(
+        [(f"Doc/{i}",) for i in range(10)], "subject string"
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (10_000_001, "fresh document one", "en", "synthetic", 18),
+            (10_000_002, "fresh document two", "en", "synthetic", 18),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = insert_documents(delete_documents(tri, gone), new_docs, "Doc", "doc_id")
+    return out.groupBy("predicate").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "src_orc_roundtrip",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def src_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source: write the 1998+ orders slice as ORC, read
+    it back, aggregate — exercises Spark's second columnar format
+    end-to-end (schema preservation, predicate-compatible types)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    path = tempfile.mkdtemp(prefix="tss_orc_") + "/orders_orc"
+    orders.where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).write.mode(
+        "overwrite"
+    ).orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "stream_static_join",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, n_name,
+           COUNT(*) AS n_events, {_dsum_sql('value')} AS sum_value
+    FROM events JOIN nation ON (user_id % 25) = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Streaming enrichment: micro-batches probe a static dimension
+    (planned once, broadcast), then roll up per window + dim attr."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import (
+        run_stream_to_table,
+        stream_static_join_counts,
+    )
+
+    tabs = _t(spark, sf_dir, "events", "nation")
+    nation = tabs["nation"].select("n_nationkey", "n_name")
+
+    def transform(stream):
+        keyed = stream.withColumn("n_nationkey", F.col("user_id") % 25)
+        return stream_static_join_counts(keyed, nation, on="n_nationkey")
+
+    return run_stream_to_table(
+        spark, tabs["events"], transform, "tss_stream_static_join", output_mode="complete"
+    )
+
+
+@register(
+    "woql_into",
+    """
+    SELECT 'audit' AS graph, (SELECT COUNT(*) FROM nation WHERE n_regionkey = 1) AS n
+    """,
+)
+def woql_into(spark, sf_dir):
+    """Into('audit', ...) retargets staged writes to a named graph
+    (the reference's write-graph scoping) — the delta rows land in
+    'audit' while the instance graph is untouched."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    store = _store(spark, sf_dir)
+    ctx = WOQLContext(store)
+    q = A.Into(
+        "audit",
+        A.And(
+            A.Triple(A.v("n"), "n_region", "Region/1"),
+            A.AddTriple(A.v("n"), "flagged", "true"),
+        ),
+    )
+    delta = ctx.run_update(q, commit_seq=1, commit_id="a1")
+    return delta.groupBy("graph").agg(F.count(F.lit(1)).alias("n"))

@@ -103,3 +103,29 @@ def session_windows(
             "sum_value",
         )
     )
+
+
+def stream_static_join_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "n_name",
+) -> DataFrame:
+    """Stream-static join + windowed rollup: each micro-batch probes
+    the static dimension (broadcast by Catalyst — the static side is
+    planned once), then aggregates per window and dim attribute.
+
+    Output: (window_start, <group_col>, n_events, sum_value).  This is
+    the streaming-enrichment shape (events → dimension lookup →
+    rollup); state is bounded by the watermark, the join adds none."""
+    e = events.withWatermark("ts", watermark).join(dim, on=on)
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), group_col, "n_events", "sum_value")
+    )

@@ -125,3 +125,10 @@ def apply_delta(triples: DataFrame, delta: DataFrame) -> DataFrame:
         "graph", "subject", "predicate", "obj", "obj_type", "obj_num"
     )
     return triples.join(dels, on=key, how="left_anti").unionByName(adds)
+
+
+def reset(layers: DataFrame, to_seq: int) -> DataFrame:
+    """Hard reset: drop every layer after ``to_seq`` (the reference's
+    branch reset, api/reset) — a pure filter, so the scan prunes on
+    the commit_seq column and nothing shuffles."""
+    return layers.where(F.col("commit_seq") <= to_seq)

@@ -423,7 +423,7 @@ class AddTriple(Term):
     s: Any
     p: Any
     o: Any
-    graph: str = "instance"
+    graph: str | None = None  # None → enclosing Into graph, else "instance"
 
 
 @dataclass(frozen=True)
@@ -435,7 +435,7 @@ class DeleteTriple(Term):
     s: Any
     p: Any
     o: Any
-    graph: str = "instance"
+    graph: str | None = None  # None → enclosing Into graph, else "instance"
 
 
 @dataclass(frozen=True)
@@ -444,6 +444,17 @@ class Using(Term):
     default graph for Triple patterns that don't name one —
     the reference's collection-scoping word (woql_compile.pl
     ``using`` / resolve_query_resource)."""
+
+    graph: str
+    term: Term
+
+
+@dataclass(frozen=True)
+class Into(Term):
+    """Into(graph, term): stage the updates inside ``term`` against
+    ``graph`` (the reference's write-graph scoping word).  Read
+    patterns are unaffected — Into scopes only AddTriple/DeleteTriple
+    defaults, mirroring woql_compile.pl ``into``."""
 
     graph: str
     term: Term

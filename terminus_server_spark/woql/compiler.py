@@ -44,6 +44,7 @@ class WOQLContext:
         self.spark = spark or store.df.sparkSession
         self.layers = layers  # (commit_id, op, graph, subject, predicate, obj, obj_type, obj_num)
         self._graph_stack: list[str] = []  # Using(...) scopes; top = default graph
+        self._into_stack: list[str] = []  # Into(...) scopes; top = default write graph
         self._staged: list[tuple] = []  # (op, graph, s, p, o) update templates
 
     # -- public API -------------------------------------------------------
@@ -520,12 +521,22 @@ class WOQLContext:
 
     # -- update words (see run_update) -----------------------------------
 
+    def _write_graph(self, explicit: str | None) -> str:
+        return explicit or (self._into_stack[-1] if self._into_stack else "instance")
+
+    def _c_Into(self, t: A.Into, df_in):
+        self._into_stack.append(t.graph)
+        try:
+            return self._compile(t.term, df_in)
+        finally:
+            self._into_stack.pop()
+
     def _c_AddTriple(self, t: A.AddTriple, df_in):
-        self._staged.append(("add", t.graph, t.s, t.p, t.o))
+        self._staged.append(("add", self._write_graph(t.graph), t.s, t.p, t.o))
         return df_in
 
     def _c_DeleteTriple(self, t: A.DeleteTriple, df_in):
-        self._staged.append(("del", t.graph, t.s, t.p, t.o))
+        self._staged.append(("del", self._write_graph(t.graph), t.s, t.p, t.o))
         return df_in
 
     def _delta_rows(self, bindings: DataFrame, staged: tuple, commit_seq: int, commit_id: str) -> DataFrame:

@@ -254,3 +254,19 @@ def test_using_scopes_default_graph(spark, tables):
     assert {(r.c, r.p) for r in rows} == {("Customer", "Agent")}
     # outside Using, the same unscoped pattern sees the instance graph only
     assert WOQLContext(st).run(Triple(v("c"), "subClassOf", v("p"))).count() == 0
+
+
+def test_into_scopes_write_graph(store):
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Into(
+        "audit",
+        And(
+            Triple(v("n"), "n_region", "Region/0"),
+            A.AddTriple(v("n"), "flagged", "true"),
+            A.DeleteTriple(v("n"), "seen", "true", graph="scratch"),  # explicit wins
+        ),
+    )
+    delta = ctx(store).run_update(q, 1, "a1")
+    by_graph = {r.graph: r.op for r in delta.select("graph", "op").distinct().collect()}
+    assert by_graph == {"audit": "add", "scratch": "del"}

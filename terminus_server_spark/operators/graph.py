@@ -81,8 +81,20 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
 def pagerank(
     edges: DataFrame, damping: float = 0.85, iters: int = 10
 ) -> DataFrame:
-    """(node, rank) after fixed iterations; dangling mass handled by
-    renormalization.  Classic power iteration as repeated join-agg."""
+    """(node, rank) after fixed iterations of the classic power
+    method as repeated join-agg (dangling nodes simply emit no
+    contribution, mirroring the oracle's left join + coalesce).
+
+    Contributions are summed on a fixed-point 1e-15 grid: per-row
+    rank/out_degree stays an IEEE-exact double division, floor(x *
+    1e15) is a deterministic integer (double→decimal casts round
+    differently across engines; floor does not), the bigint sum is
+    exact and order-independent, and the one division back stays
+    under 2^53 so it is again exact.  Result: bit-identical ranks
+    regardless of partitioning AND reproducible by a sequential SQL
+    engine, which upgrades PageRank from a rows-only check to an
+    exact value-hash oracle (total rank mass <= 1, so the scaled sum
+    cannot overflow int64)."""
     with no_constraint_propagation(edges.sparkSession):
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -99,10 +111,10 @@ def pagerank(
                 links.join(ranks, links["src"] == ranks["node"])
                 .select(
                     F.col("dst").alias("node"),
-                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                    F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15)).alias("ci"),
                 )
                 .groupBy("node")
-                .agg(F.sum("contrib").alias("contrib"))
+                .agg((F.sum("ci").cast("double") / F.lit(1e15)).alias("contrib"))
             )
             ranks = (
                 nodes.join(contribs, "node", "left_outer")

@@ -1637,8 +1637,74 @@ def graph_clustering_coeff(spark, sf_dir):
     return clustering_coefficient(e1.union(e2))
 
 
-@register("graph_pagerank")  # iterative float algorithm: rows-only check
+@register(
+    "graph_pagerank",
+    """
+    WITH e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src),
+    links AS (SELECT e.src, e.dst, deg.out_degree FROM e JOIN deg ON e.src = deg.src),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM nodes) AS rank FROM nodes),
+    pr1 AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT COUNT(*) FROM nodes)
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT l.dst AS node,
+               CAST(SUM(CAST(FLOOR(p.rank / l.out_degree * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / CAST(1e15 AS DOUBLE) AS contrib
+        FROM links l JOIN pr0 p ON l.src = p.node
+        GROUP BY l.dst) c ON n.node = c.node),
+    pr2 AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT COUNT(*) FROM nodes)
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT l.dst AS node,
+               CAST(SUM(CAST(FLOOR(p.rank / l.out_degree * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / CAST(1e15 AS DOUBLE) AS contrib
+        FROM links l JOIN pr1 p ON l.src = p.node
+        GROUP BY l.dst) c ON n.node = c.node),
+    pr3 AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT COUNT(*) FROM nodes)
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT l.dst AS node,
+               CAST(SUM(CAST(FLOOR(p.rank / l.out_degree * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / CAST(1e15 AS DOUBLE) AS contrib
+        FROM links l JOIN pr2 p ON l.src = p.node
+        GROUP BY l.dst) c ON n.node = c.node),
+    pr4 AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT COUNT(*) FROM nodes)
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT l.dst AS node,
+               CAST(SUM(CAST(FLOOR(p.rank / l.out_degree * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / CAST(1e15 AS DOUBLE) AS contrib
+        FROM links l JOIN pr3 p ON l.src = p.node
+        GROUP BY l.dst) c ON n.node = c.node),
+    pr5 AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT COUNT(*) FROM nodes)
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT l.dst AS node,
+               CAST(SUM(CAST(FLOOR(p.rank / l.out_degree * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / CAST(1e15 AS DOUBLE) AS contrib
+        FROM links l JOIN pr4 p ON l.src = p.node
+        GROUP BY l.dst) c ON n.node = c.node)
+    SELECT node, rank FROM pr5
+    """,
+)
 def graph_pagerank(spark, sf_dir):
+    """Five power iterations, decimal-summed contributions: the
+    unrolled-CTE oracle reproduces the double arithmetic bit-for-bit
+    (see operators/graph.pagerank docstring), so this iterative
+    algorithm is value-hash checked, not just rows-only."""
     from terminus_server_spark.operators.graph import pagerank
 
     store = _parent_tree_store(spark, sf_dir)

@@ -1350,8 +1350,16 @@ def woql_lexkey(spark, sf_dir):
     return _ctx(spark, sf_dir).run(q)
 
 
-@register("woql_put")  # csv sink side effect: rows-only check
+@register(
+    "woql_put",
+    """
+    SELECT 'Region/' || r_regionkey AS region_iri, r_name AS region_name FROM region
+    """,
+)
 def woql_put(spark, sf_dir):
+    """Put writes the csv sink, then the gate reads the artifact back
+    (header on, string-typed) — the oracle checks the written values
+    exactly, upgrading the side-effect word from rows-only."""
     import tempfile
 
     from terminus_server_spark.woql import ast as A
@@ -1843,8 +1851,24 @@ def vc_history(spark, sf_dir):
     )
 
 
-@register("vc_rebase")  # replay onto alternate base: rows-only check
+@register(
+    "vc_rebase",
+    """
+    SELECT 0 AS commit_seq, 'base' AS commit_id, o_orderkey, o_totalprice
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000
+    UNION ALL
+    SELECT 1002, 'c2', o_orderkey, o_totalprice
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    UNION ALL
+    SELECT 1003, 'c3', o_orderkey, o_totalprice
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
 def vc_rebase(spark, sf_dir):
+    """Rebase = squash-to-base + replay with offset seqs; the final
+    materialization is fully deterministic (state rows carry the seq
+    and id of their last op), so the replay algebra gets an exact
+    oracle, not just a rows-only check."""
     from terminus_server_spark.versioning.layers import materialize, rebase, squash
 
     layers = _layers(spark, sf_dir)

@@ -2829,3 +2829,92 @@ def woql_into(spark, sf_dir):
     )
     delta = ctx.run_update(q, commit_seq=1, commit_id="a1")
     return delta.groupBy("graph").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# exact oracles for the deterministic ANN paths (upgraded from rows-only):
+# every float op is either a fixed-point bigint sum or a reproducible
+# double expression, so DuckDB can replay the *same* approximation.
+# ---------------------------------------------------------------------------
+
+_CELL_COS_SQL = """(list_sum(list_transform(list_zip(c.vc, p.v),
+      q -> floor(q[1] * q[2] * 1e12)::BIGINT))::DOUBLE
+      / sqrt(c.normc::DOUBLE * p.norm::DOUBLE))"""
+
+ORACLES["ann_ivf"] = f"""
+    WITH {_PARTS_SQL},
+    cents AS (
+      SELECT vec_id AS cell_id, v AS vc, norm AS normc
+      FROM parts ORDER BY vec_id LIMIT 16),
+    corpus_assign AS (
+      SELECT vec_id, v, norm, cell_id FROM (
+        SELECT p.vec_id, p.v, p.norm, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_CELL_COS_SQL} DESC, c.cell_id ASC) AS crk
+        FROM parts p CROSS JOIN cents c) WHERE crk = 1),
+    probe_assign AS (
+      SELECT vec_id, v, norm, cell_id FROM (
+        SELECT p.vec_id, p.v, p.norm, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_CELL_COS_SQL} DESC, c.cell_id ASC) AS crk
+        FROM parts p CROSS JOIN cents c WHERE p.vec_id < 5) WHERE crk <= 4),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, MAX({_COS_SQL}) AS cos
+      FROM probe_assign a JOIN corpus_assign b USING (cell_id)
+      WHERE a.vec_id <> b.vec_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+"""
+
+
+def _lsh_oracle_sql() -> str:
+    from terminus_server_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 12)
+    rows_per_band = 12 // 3
+    # signature: bit p = (v · plane_p) > 0; list_reduce is a sequential
+    # left fold, and 0.0 + x == x in IEEE, so it reproduces Spark's
+    # F.aggregate(0.0, +) bit-for-bit
+    bit_exprs = []
+    for row in planes:
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        bit_exprs.append(
+            "CASE WHEN list_reduce(list_transform(list_zip(v, "
+            + lit
+            + "::DOUBLE[]), q -> q[1] * q[2]), (x, y) -> x + y) > 0 THEN '1' ELSE '0' END"
+        )
+    sig = " || ".join(bit_exprs)
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, v, norm, {b} AS band_id, substring(sig, {b * rows_per_band + 1}, {rows_per_band}) AS band_key, is_q FROM sigs"
+        for b in range(3)
+    )
+    return f"""
+    WITH {_PARTS_SQL},
+    sigs AS (
+      SELECT vec_id, v, norm, {sig} AS sig, vec_id < 5 AS is_q FROM parts),
+    banded AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      FROM banded a JOIN banded b USING (band_id, band_key)
+      WHERE a.is_q AND a.vec_id <> b.vec_id),
+    scored AS (
+      SELECT cand.qid AS query_id, cand.nid AS neighbor_id, {_COS_SQL} AS cos
+      FROM cand JOIN parts a ON a.vec_id = cand.qid
+                JOIN parts b ON b.vec_id = cand.nid),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+"""
+
+
+ORACLES["ann_lsh"] = _lsh_oracle_sql()

@@ -249,3 +249,41 @@ def lsh_topk(
         .where(F.col("rk") <= k)
         .orderBy("query_id", "rk")
     )
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, n_vecs, centroid): per-label mean vector — the
+    "training" half of IVF (cells from labels or from any partition
+    assignment) and the building block for cluster quality stats.
+
+    Dataflow: posexplode to (label, pos, val) rows, ONE aggregation
+    keyed (label, pos) with map-side partial sums, then a bounded
+    collect (one row per label, dim elements).  Fixed-point bigint
+    sums keep the mean order-independent so the oracle hash-matches;
+    shuffle volume is rows × dim, partitioned evenly by (label, pos)
+    — no skew even when one label dominates."""
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_scaled_vec(F.col(vec_col))).alias("pos", "val"),
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(
+        F.sum(F.floor(F.col("val") * F.lit(SCALE)).cast("bigint")).alias("si"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.select(
+            "label",
+            "pos",
+            "n",
+            ((F.col("si").cast("double") / F.lit(SCALE)) / F.col("n").cast("double")).alias("m"),
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid"),
+        )
+    )

@@ -2918,3 +2918,23 @@ def _lsh_oracle_sql() -> str:
 
 
 ORACLES["ann_lsh"] = _lsh_oracle_sql()
+
+
+@register(
+    "emb_centroids",
+    """
+    WITH ex AS (
+      SELECT label, r.i AS pos, embedding[r.i]::DOUBLE AS val
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r),
+    per_dim AS (
+      SELECT label, pos, SUM(CAST(FLOOR(val * 1e12) AS BIGINT)) AS si, COUNT(*) AS n
+      FROM ex GROUP BY label, pos)
+    SELECT label, MAX(n) AS n_vecs,
+           list((si::DOUBLE / 1e12) / n::DOUBLE ORDER BY pos) AS centroid
+    FROM per_dim GROUP BY label
+    """,
+)
+def emb_centroids(spark, sf_dir):
+    from terminus_server_spark.operators.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings")["embeddings"])

@@ -140,3 +140,36 @@ def test_bucketed_join_has_no_exchange(spark, tables):
     p = plan_str(j)
     assert "SortMergeJoin" in p
     assert not re.findall(r"\(\d+\) Exchange", p), p[:2000]  # bucket co-location
+
+
+def test_q2_broadcasts_and_prunes(spark, tables):
+    from terminus_server_spark.operators.relational import q2_min_cost_supplier
+
+    p = plan_str(q2_min_cost_supplier(tables))
+    assert "BroadcastHashJoin" in p and p.count("BroadcastHashJoin") >= 3
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "l_tax" not in m.group(1)  # lineitem scan pruned to used cols
+
+
+def test_q12_pushes_shipdate(spark, tables):
+    from terminus_server_spark.operators.relational import q12_priority_shipping
+
+    p = plan_str(q12_priority_shipping(tables))
+    assert re.search(r"PushedFilters:.*l_shipdate", p)
+
+
+def test_q16_anti_join_is_broadcast(spark, tables):
+    from terminus_server_spark.operators.relational import q16_supplier_cnt
+
+    p = plan_str(q16_supplier_cnt(tables))
+    assert "BroadcastHashJoin" in p
+    assert "LeftAnti" in p
+
+
+def test_decontaminate_probe_has_no_candidate_shuffle_when_broadcast(spark):
+    from terminus_server_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    docs = spark.createDataFrame([(2, "a b c d e x y z")], "doc_id long, text string")
+    p = plan_str(decontaminate(docs, bench, broadcast_benchmark=True))
+    assert "BroadcastHashJoin" in p

@@ -116,3 +116,43 @@ def topk_ngrams(
         .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def pack_sequences(
+    docs: DataFrame, capacity: int = 2048, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, source, n_tokens, bin_id, bin_offset): concatenate-
+    and-cut sequence packing — the GPT-pretraining shape.  Within
+    each ``source`` shard, documents concatenate in doc_id order into
+    one token stream that is cut into ``capacity``-sized context
+    windows; a doc belongs to the window holding its first token
+    (consumers insert EOD separators; cross-boundary bleed is part of
+    the scheme's contract, unlike greedy first-fit, and keeps the
+    assignment a closed form instead of a sequential fold).
+
+    Scale: one window cumsum per shard — parallelism = shard count,
+    and the per-shard window is a single sort-free running sum over
+    the shard's rows (no iteration, no driver logic).  Greedy
+    first-fit would need a sequential scan per shard; this form packs
+    identically tight streams with O(1) per row."""
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    sized = docs.select("doc_id", "source", toks.alias("n_tokens"))
+    start = (
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - F.col("n_tokens")
+    )
+    return (
+        sized.withColumn("_start", start)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.concat(
+                F.col("source"), F.lit("#"), F.floor(F.col("_start") / capacity).cast("string")
+            ).alias("bin_id"),
+            (F.col("_start") % capacity).alias("bin_offset"),
+        )
+    )

@@ -208,3 +208,31 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").cast("bigint").alias("n_hits"))
     )
+
+
+PII_PATTERNS = (
+    # order matters: each rule runs over the previous rule's output
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_phone, scrubbed_hash): PII
+    redaction — the compliance pass every training corpus runs.
+    Counts matched spans per category, replaces them with typed
+    placeholder tokens, and fingerprints the scrubbed text.
+
+    Pure per-row regex chain (whole-stage codegen, zero shuffle); the
+    patterns are RE2-compatible so the oracle replays them verbatim.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = t
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select("doc_id", *counts, F.md5(scrubbed).alias("scrubbed_hash"))

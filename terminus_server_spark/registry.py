@@ -2938,3 +2938,86 @@ def emb_centroids(spark, sf_dir):
     from terminus_server_spark.operators.similarity import label_centroids
 
     return label_centroids(_t(spark, sf_dir, "embeddings")["embeddings"])
+
+
+@register(
+    "docs_pack",
+    """
+    SELECT doc_id, source, n_tokens,
+           source || '#' || CAST((cum - n_tokens) // 2048 AS VARCHAR) AS bin_id,
+           (cum - n_tokens) % 2048 AS bin_offset
+    FROM (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    """,
+)
+def docs_pack(spark, sf_dir):
+    from terminus_server_spark.operators.pipeline import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'reach user' || doc_id || '@example.com or 10.0.0.' || (doc_id % 256)
+               || ' :: ' || text AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\+\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS scrubbed_hash
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction gate: deterministic synthetic PII (an email and
+    an IP derived from doc_id) is injected so the scrub pass has real
+    spans to find; counts + scrubbed-text hash are value-checked."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("reach user"), F.col("doc_id").cast("string"), F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(" :: "), F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded)
+
+
+@register(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+    SELECT 'signup' AS step, 0 AS step_idx, (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL SELECT 'view', 1, (SELECT COUNT(*) FROM s2)
+    UNION ALL SELECT 'purchase', 2, (SELECT COUNT(*) FROM s3)
+    """,
+)
+def events_funnel(spark, sf_dir):
+    from terminus_server_spark.streaming.events import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events")["events"])

@@ -129,3 +129,33 @@ def stream_static_join_counts(
         )
         .select(F.col("w.start").alias("window_start"), group_col, "n_events", "sum_value")
     )
+
+
+def funnel_counts(
+    events: DataFrame, steps: tuple[str, ...] = ("signup", "view", "purchase")
+) -> DataFrame:
+    """(step, step_idx, n_users): ordered-funnel conversion — users
+    whose first step-k event happens strictly after their first
+    step-(k-1) conversion time.  The product-analytics staple over an
+    event stream.
+
+    Dataflow: one filtered min-ts aggregate per step (map-side
+    partials, keyed by user — no skew), chained through broadcastable
+    per-user join keys; K steps = K scans of one event slice, not a
+    self-join explosion."""
+    cur = None
+    out_rows = []
+    for i, step in enumerate(steps):
+        stepped = events.where(F.col("event_type") == step)
+        if cur is not None:
+            stepped = stepped.join(cur, "user_id").where(F.col("ts") > F.col("_t"))
+        cur = stepped.groupBy("user_id").agg(F.min("ts").alias("_t"))
+        out_rows.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(step).alias("step"), F.lit(i).alias("step_idx"), "n_users"
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out

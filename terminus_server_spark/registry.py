@@ -3021,3 +3021,92 @@ def events_funnel(spark, sf_dir):
     from terminus_server_spark.streaming.events import funnel_counts
 
     return funnel_counts(_t(spark, sf_dir, "events")["events"])
+
+
+@register(
+    "vc_branches",
+    """
+    SELECT 'main' AS branch, COUNT(*) AS n FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+       OR o_orderdate >= TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT 'feature', COUNT(*) FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 200000
+    """,
+)
+def vc_branches(spark, sf_dir):
+    """Two branches off one shared layer pool: 'feature' forks at seq
+    1 and deletes expensive pre-97 orders; 'main' keeps the original
+    c2/c3 history.  Each branch materializes independently from the
+    same immutable layers (the reference's ref machinery)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize, materialize_branch
+
+    layers = _layers(spark, sf_dir).withColumn("branch", F.lit("main"))
+    o = _t(spark, sf_dir, "orders")["orders"]
+    feature_del = o.where(
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_totalprice") > 200000)
+    ).select(
+        F.lit(2).alias("commit_seq"), F.lit("f1").alias("commit_id"), F.lit("del").alias("op"),
+        "o_orderkey", "o_totalprice", F.lit("feature").alias("branch"),
+    )
+    pool = layers.unionByName(feature_del)
+    main_n = (
+        materialize(pool.where(F.col("branch") == "main").drop("branch"), 99, ["o_orderkey"])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("main").alias("branch"), "n")
+    )
+    feat_n = (
+        materialize_branch(pool, "feature", fork_seq=1, at_seq=99, key_cols=["o_orderkey"])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("feature").alias("branch"), "n")
+    )
+    return main_n.unionByName(feat_n)
+
+
+@register(
+    "events_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('week', f.cohort, CAST(date_trunc('week', e.ts) AS TIMESTAMP)) AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort, week_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY cohort, week_offset
+    ORDER BY cohort, week_offset
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted at each later week offset — the other product-analytics
+    staple.  One min-aggregate + one distinct + one count, all keyed
+    by user/cohort (map-side partials, no skew)."""
+    from pyspark.sql import functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.floor(
+                    (F.unix_timestamp(F.date_trunc("week", F.col("ts"))) - F.unix_timestamp(F.col("cohort")))
+                    / (7 * 24 * 3600)
+                )
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "week_offset")
+    )

@@ -132,3 +132,31 @@ def reset(layers: DataFrame, to_seq: int) -> DataFrame:
     branch reset, api/reset) — a pure filter, so the scan prunes on
     the commit_seq column and nothing shuffles."""
     return layers.where(F.col("commit_seq") <= to_seq)
+
+
+def branch_layers(layers: DataFrame, branch_points: dict[str, int]) -> DataFrame:
+    """Branches as refs over one shared layer pool: branch ``b``
+    forked at seq ``s`` sees the trunk's layers <= s plus its own
+    layers tagged (branch, seq > s).  Input layers may carry a
+    ``branch`` column ('main' assumed when absent); output adds one.
+    Pure column algebra — branching never copies data, exactly like
+    the reference's ref machinery pointing at shared immutable
+    terminusdb-store layers."""
+    if "branch" not in layers.columns:
+        layers = layers.withColumn("branch", F.lit("main"))
+    return layers
+
+
+def materialize_branch(
+    layers: DataFrame, branch: str, fork_seq: int, at_seq: int, key_cols: list[str]
+) -> DataFrame:
+    """State of ``branch`` at ``at_seq``: trunk layers up to the fork
+    plus the branch's own layers after it.  One filter + the standard
+    window materialization — cost scales with the visible layer set,
+    not with how many branches exist."""
+    lb = branch_layers(layers, {})
+    visible = lb.where(
+        ((F.col("branch") == "main") & (F.col("commit_seq") <= fork_seq))
+        | ((F.col("branch") == branch) & (F.col("commit_seq") > fork_seq))
+    ).drop("branch")
+    return materialize(visible, at_seq, key_cols)

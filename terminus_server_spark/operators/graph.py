@@ -36,8 +36,12 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     """(node, component) with component = min node id reachable over
-    undirected edges.  Iterative min-label propagation to fixpoint:
-    each step is one shuffle join; converges in O(diameter) steps.
+    undirected edges.  Min-label propagation with pointer jumping:
+    each round propagates labels over graph edges AND shortcuts
+    through the label mapping itself (component := label(label(node))),
+    so label trees halve in depth every round — fixpoint in
+    O(log diameter) shuffle rounds instead of O(diameter), the same
+    trick as the two-phase large-star/small-star CC algorithms.
     """
     with no_constraint_propagation(edges.sparkSession):
         und = (
@@ -59,11 +63,29 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                 und.join(labels, und["src"] == labels["node"])
                 .select(F.col("dst").alias("node"), "component")
             )
-            new_labels = (
+            propagated = (
                 labels.select("node", "component")
                 .union(prop)
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
+            )
+            # pointer jump: follow the label chain one hop
+            # (component := component's component), halving chain depth
+            new_labels = (
+                propagated.alias("l1")
+                .join(
+                    propagated.select(
+                        F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+                    ).alias("l2"),
+                    F.col("l1.component") == F.col("c_node"),
+                    "left_outer",
+                )
+                .select(
+                    F.col("l1.node").alias("node"),
+                    F.least(
+                        F.col("l1.component"), F.coalesce(F.col("c_comp"), F.col("l1.component"))
+                    ).alias("component"),
+                )
                 .localCheckpoint(eager=True)
             )
             changed = (

@@ -200,3 +200,44 @@ def delete_documents(triples: DataFrame, subjects: DataFrame) -> DataFrame:
     anti-join keyed on subject; broadcastable when the delete set is
     small."""
     return triples.join(subjects.select("subject").distinct(), on="subject", how="left_anti")
+
+
+def validate_references(
+    docs: DataFrame, targets: DataFrame, fk_col: str, target_key: str
+) -> DataFrame:
+    """(key, violation): referential-integrity check — documents whose
+    ``fk_col`` points at no existing target (the range/instance check
+    the reference's schema layer enforces on document insert).  One
+    anti-join keyed by the target id; broadcastable when the target
+    key set is dimension-sized."""
+    dangling = docs.join(
+        targets.select(F.col(target_key).alias(fk_col)).distinct(),
+        on=fk_col,
+        how="left_anti",
+    )
+    return dangling.select(
+        F.col(fk_col).cast("string").alias("key"),
+        F.lit(f"{fk_col}:dangling_reference").alias("violation"),
+    )
+
+
+def count_related(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    child_predicates: list | None = None,
+    count_alias: str = "n_related",
+) -> DataFrame:
+    """GraphQL-style aggregation field: each parent document gains the
+    count of (optionally filtered) related documents — the read
+    layer's ``count`` aggregation over a link field.  One filtered
+    aggregate on the child side then a broadcast-friendly join; absent
+    children count 0 via the outer join + coalesce."""
+    filtered = filter_documents(child, child_predicates or [])
+    counts = filtered.groupBy(F.col(child_fk).alias(parent_key)).agg(
+        F.count(F.lit(1)).alias(count_alias)
+    )
+    return parent.join(counts, parent_key, "left_outer").withColumn(
+        count_alias, F.coalesce(F.col(count_alias), F.lit(0))
+    )

@@ -256,3 +256,32 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("coeff"),
     )
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+    """(node, degree): nodes surviving ``rounds`` of k-core pruning
+    (drop nodes with degree < k, recompute, repeat) over the
+    undirected graph, with their degree in the surviving subgraph.
+
+    Bounded rounds keep the operator a *fixed* dataflow: each round
+    is one degree aggregate + two semi-joins, so the plan (and the
+    unrolled-CTE oracle) is deterministic whether or not the pruning
+    has reached its fixpoint — callers pick rounds >= expected
+    peel-off depth.  Scale: per-round shuffle is keyed by node id
+    with map-side partial counts; the edge set only shrinks."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for _ in range(rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("src")
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return cur.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))

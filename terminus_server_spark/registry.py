@@ -3110,3 +3110,109 @@ def events_retention(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort", "week_offset")
     )
+
+
+
+@register(
+    "graph_kcore",
+    """
+    WITH base AS (
+      SELECT DISTINCT 'O/' || l_orderkey AS a, 'S/' || l_suppkey AS b FROM lineitem),
+    e0 AS (
+      SELECT a AS src, b AS dst FROM base UNION SELECT b, a FROM base),
+    k1 AS (
+      SELECT src, COUNT(*) AS d FROM e0 GROUP BY src HAVING COUNT(*) >= 3),
+    e1 AS (
+      SELECT e.src, e.dst FROM e0 e
+      WHERE e.src IN (SELECT src FROM k1) AND e.dst IN (SELECT src FROM k1)),
+    k2 AS (
+      SELECT src, COUNT(*) AS d FROM e1 GROUP BY src HAVING COUNT(*) >= 3),
+    e2 AS (
+      SELECT e.src, e.dst FROM e1 e
+      WHERE e.src IN (SELECT src FROM k2) AND e.dst IN (SELECT src FROM k2)),
+    k3 AS (
+      SELECT src, COUNT(*) AS d FROM e2 GROUP BY src HAVING COUNT(*) >= 3),
+    e3 AS (
+      SELECT e.src, e.dst FROM e2 e
+      WHERE e.src IN (SELECT src FROM k3) AND e.dst IN (SELECT src FROM k3)),
+    k4 AS (
+      SELECT src, COUNT(*) AS d FROM e3 GROUP BY src HAVING COUNT(*) >= 3),
+    e4 AS (
+      SELECT e.src, e.dst FROM e3 e
+      WHERE e.src IN (SELECT src FROM k4) AND e.dst IN (SELECT src FROM k4))
+    SELECT src AS node, COUNT(*) AS degree FROM e4 GROUP BY src
+    """,
+)
+def graph_kcore(spark, sf_dir):
+    """3-core of the bipartite order-supplier graph after 4 pruning
+    rounds — the unrolled-CTE oracle replays the identical bounded
+    dataflow (see operators/graph.kcore)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import kcore
+
+    l = _t(spark, sf_dir, "lineitem")["lineitem"]
+    edges = l.select(
+        F.concat(F.lit("O/"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("S/"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return kcore(edges, k=3, rounds=4)
+
+
+@register(
+    "schema_ref_integrity",
+    """
+    SELECT CAST(o_custkey AS VARCHAR) AS key, 'o_custkey:dangling_reference' AS violation
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT c_custkey FROM customer
+      WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < 'c')
+    """,
+)
+def schema_ref_integrity(spark, sf_dir):
+    """Referential-integrity check: a deterministic 12/16 customer
+    subset plays the target class; orders pointing outside it are the
+    dangling-reference violations the reference's schema layer would
+    reject on insert."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import validate_references
+
+    tabs = _t(spark, sf_dir, "orders", "customer")
+    kept = tabs["customer"].where(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "c"
+    )
+    return validate_references(tabs["orders"], kept, "o_custkey", "c_custkey")
+
+
+@register(
+    "doc_related_count",
+    """
+    SELECT c_custkey, c_mktsegment, n_related
+    FROM (
+      SELECT c.c_custkey, c.c_mktsegment,
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) AS n_related
+      FROM customer c)
+    WHERE n_related >= 3
+    ORDER BY n_related DESC, c_custkey
+    """,
+)
+def doc_related_count(spark, sf_dir):
+    """GraphQL aggregation field: customers with the count of their
+    expensive orders (filtered link-field count), kept when >= 3."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import count_related
+
+    tabs = _t(spark, sf_dir, "orders", "customer")
+    out = count_related(
+        tabs["customer"].select("c_custkey", "c_mktsegment"),
+        tabs["orders"].select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+        parent_key="c_custkey",
+        child_fk="c_custkey",
+        child_predicates=[("o_totalprice", "gt", 200000)],
+    )
+    return out.where(F.col("n_related") >= 3).orderBy(
+        F.col("n_related").desc(), "c_custkey"
+    )

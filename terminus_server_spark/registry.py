@@ -947,19 +947,28 @@ def woql_or(spark, sf_dir):
 @register(
     "woql_not",
     """
-    SELECT n_name AS nname FROM nation
-    WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)
+    SELECT r_name AS rname FROM region
+    WHERE r_regionkey NOT IN (SELECT n_regionkey FROM nation WHERE n_name = 'NATION_3')
     """,
 )
 def woql_not(spark, sf_dir):
+    """Negation-as-failure: regions with no nation named NATION_3 —
+    structurally 4 of the 5 regions at EVERY scale factor, so the
+    anti-join is exercised on a non-empty result (a gate that returns
+    0 rows would pass vacuously)."""
     from terminus_server_spark.woql import ast as A
 
     q = A.Select(
-        [A.v("nname")],
+        [A.v("rname")],
         A.And(
-            A.Triple(A.v("n"), "rdf:type", "Nation"),
-            A.Triple(A.v("n"), "n_name", A.v("nname")),
-            A.Not(A.Triple(A.v("c"), "c_nation", A.v("n"))),
+            A.Triple(A.v("r"), "rdf:type", "Region"),
+            A.Triple(A.v("r"), "r_name", A.v("rname")),
+            A.Not(
+                A.And(
+                    A.Triple(A.v("n"), "n_region", A.v("r")),
+                    A.Triple(A.v("n"), "n_name", "NATION_3"),
+                )
+            ),
         ),
     )
     return _ctx(spark, sf_dir).run(q)

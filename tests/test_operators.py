@@ -439,3 +439,46 @@ def test_closure_doubling_matches_frontier(spark):
     }
     assert a == b
     assert ("1", "9", 8) in b and ("1", "11", 2) in b
+
+
+def test_pack_sequences_concat_and_cut(spark):
+    from terminus_server_spark.operators.pipeline import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a " * 1000), (2, "s", "b " * 1500), (3, "s", "c " * 100)],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences(docs, capacity=2048).collect()}
+    assert out[1].bin_id == "s#0" and out[1].bin_offset == 0
+    assert out[2].bin_id == "s#0" and out[2].bin_offset == 1000
+    # doc 3 starts at 2500 -> bin 1, offset 452
+    assert out[3].bin_id == "s#1" and out[3].bin_offset == 2500 - 2048
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from terminus_server_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d@e.org ip 10.1.2.3 tel +1 555 123 4567 end")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(docs).collect()[0]
+    assert (r.n_email, r.n_ipv4, r.n_phone) == (2, 1, 1)
+
+
+def test_kcore_prunes_tree_keeps_clique(spark):
+    from terminus_server_spark.operators.graph import kcore
+
+    # K4 clique + a pendant chain hanging off it
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "e"), ("e", "f")]
+    edges = spark.createDataFrame(clique + chain, "src string, dst string")
+    out = {r.node: r.degree for r in kcore(edges, k=3, rounds=4).collect()}
+    assert set(out) == {"a", "b", "c", "d"} and all(d == 3 for d in out.values())
+
+
+def test_funnel_monotone(spark, tables):
+    from terminus_server_spark.streaming.events import funnel_counts
+
+    rows = {r.step: r.n_users for r in funnel_counts(tables["events"]).collect()}
+    assert rows["signup"] >= rows["view"] >= rows["purchase"]

@@ -64,6 +64,13 @@ HEADLINE = [
     "docs_decontaminate",
     "ann_topk_brute",
     "dedup_embed_cos",
+    "text_pii_scrub",
+    "docs_pack",
+    "emb_centroids",
+    "graph_pagerank",
+    "graph_kcore",
+    "events_funnel",
+    "events_retention",
 ]
 
 

@@ -3225,3 +3225,32 @@ def doc_related_count(spark, sf_dir):
     return out.where(F.col("n_related") >= 3).orderBy(
         F.col("n_related").desc(), "c_custkey"
     )
+
+
+@register(
+    "src_partitioned_triples",
+    """
+    SELECT 'Customer/' || c_custkey AS subject, c_acctbal AS bal
+    FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def src_partitioned_triples(spark, sf_dir):
+    """The scale storage layout end-to-end: write the triple store as
+    (graph, predicate)-partitioned parquet, read it back, and run a
+    constant-predicate pattern — the filter becomes a *partition*
+    filter (directory pruning), so the scan touches one predicate's
+    files only.  tests/test_plans.py asserts PartitionFilters on this
+    exact plan."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    store = _store(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="tss_ptri_") + "/triples"
+    store.write_partitioned(path)
+    back = spark.read.parquet(path)
+    return (
+        back.where((F.col("graph") == "instance") & (F.col("predicate") == "c_acctbal"))
+        .select("subject", F.col("obj_num").alias("bal"))
+        .where(F.col("bal") > 9000)
+    )

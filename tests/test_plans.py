@@ -173,3 +173,20 @@ def test_decontaminate_probe_has_no_candidate_shuffle_when_broadcast(spark):
     docs = spark.createDataFrame([(2, "a b c d e x y z")], "doc_id long, text string")
     p = plan_str(decontaminate(docs, bench, broadcast_benchmark=True))
     assert "BroadcastHashJoin" in p
+
+
+def test_partitioned_triples_prunes_partitions(spark, tmp_path):
+    from terminus_server_spark.model.triples import tpch_store
+    from terminus_server_spark.session import load_tables
+    import os
+
+    tabs = load_tables(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+                       ("region", "nation", "customer", "supplier", "orders"))
+    store = tpch_store(tabs)
+    path = str(tmp_path / "triples")
+    store.write_partitioned(path)
+    back = spark.read.parquet(path)
+    df = back.where((F.col("graph") == "instance") & (F.col("predicate") == "c_acctbal"))
+    p = plan_str(df)
+    assert re.search(r"PartitionFilters:.*predicate.*c_acctbal", p) or \
+           re.search(r"PartitionFilters:.*isnotnull\(predicate", p), p[:3000]

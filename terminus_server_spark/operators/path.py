@@ -205,3 +205,55 @@ def compile_path(store, pattern: P.PathPattern) -> DataFrame:
                 acc = cur if acc is None else acc.unionByName(cur)
         return _dedup_min_hops(acc)
     raise NotImplementedError(f"path pattern {type(pattern).__name__}")
+
+
+def trace_paths(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(src, dst, hops, path): the full node chain for every
+    plus-closure pair, as 'a>b>c' strings — the projection of the
+    reference's bound path objects (path.pl binds an edge list per
+    solution, not just reachability).
+
+    Semi-naive like transitive_closure, with the chain accumulated as
+    a string column; only the minimum-hop path per pair is kept (ties
+    broken by lexicographically smallest chain, a total order both
+    engines share).  Intended for hierarchy-shaped graphs where paths
+    are short; the accumulator row width grows with hop count."""
+    spark = edges.sparkSession
+    with no_constraint_propagation(spark):
+        base = (
+            edges.select("src", "dst")
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        frontier = base.select(
+            "src", "dst", F.lit(1).alias("hops"),
+            F.concat_ws(">", F.col("src"), F.col("dst")).alias("path"),
+        ).localCheckpoint(eager=True)
+        layers = [frontier]
+        reached = frontier.select("src", "dst")
+        for _ in range(max_iters):
+            grown = (
+                frontier.alias("f")
+                .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
+                .select(
+                    F.col("f.src").alias("src"),
+                    F.col("e.dst").alias("dst"),
+                    (F.col("f.hops") + 1).alias("hops"),
+                    F.concat_ws(">", F.col("f.path"), F.col("e.dst")).alias("path"),
+                )
+            )
+            new = (
+                grown.join(reached, on=["src", "dst"], how="left_anti")
+                .groupBy("src", "dst")
+                .agg(F.min("hops").alias("hops"), F.min("path").alias("path"))
+                .localCheckpoint(eager=True)
+            )
+            if new.isEmpty():
+                break
+            layers.append(new)
+            reached = reached.union(new.select("src", "dst"))
+            frontier = new
+        out = layers[0]
+        for layer in layers[1:]:
+            out = out.unionByName(layer)
+    return out

@@ -3254,3 +3254,63 @@ def src_partitioned_triples(spark, sf_dir):
         .select("subject", F.col("obj_num").alias("bal"))
         .where(F.col("bal") > 9000)
     )
+
+
+@register(
+    "path_trace",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1 AND c_custkey < 64),
+    anc AS (
+      SELECT src, dst, 1 AS hops, src || '>' || dst AS path FROM e
+      UNION ALL
+      SELECT a.src, e.dst, a.hops + 1, a.path || '>' || e.dst
+      FROM anc a JOIN e ON a.dst = e.src)
+    SELECT src, dst, MIN(hops) AS hops, MIN(path) AS path
+    FROM anc GROUP BY src, dst
+    """,
+)
+def path_trace(spark, sf_dir):
+    """Full path objects (node chains) for the parent-tree closure on
+    a bounded id range — parity with the reference binding an edge
+    list per path solution rather than bare reachability."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.path import trace_paths
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where((F.col("c_custkey") >= 1) & (F.col("c_custkey") < 64)).select(
+        F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("C/"), (F.col("c_custkey") / 2).cast("long").cast("string")).alias("dst"),
+    )
+    return trace_paths(edges)
+
+
+@register(
+    "woql_collect",
+    """
+    SELECT r_name AS rname, list(n_name ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def woql_collect(spark, sf_dir):
+    """GroupBy with the reference's list-collecting template (group_by
+    collects solution templates into a list; `collect` = sorted
+    collect_list so the value is order-canonical on both engines)."""
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("rname"), A.v("nations")],
+        A.GroupBy(
+            [A.v("rname")],
+            [("collect", A.v("nname"), A.v("nations"))],
+            A.And(
+                A.Triple(A.v("n"), "n_region", A.v("r")),
+                A.Triple(A.v("r"), "r_name", A.v("rname")),
+                A.Triple(A.v("n"), "n_name", A.v("nname")),
+            ),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)

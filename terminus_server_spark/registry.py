@@ -3314,3 +3314,96 @@ def woql_collect(spark, sf_dir):
         ),
     )
     return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "stream_topk",
+    """
+    SELECT window_start, event_type, n_events FROM (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+      FROM events GROUP BY 1, 2)
+    WHERE rk <= 3
+    ORDER BY window_start, n_events DESC, event_type
+    """,
+)
+def stream_topk(spark, sf_dir):
+    """Streaming top-k: per-window event-type leaderboard — windowed
+    counts run as a real stream (availableNow replay), the k-row cut
+    is the batch epilogue on the aggregated (small) state, the shape
+    Structured Streaming's complete-mode sinks feed to dashboards."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from terminus_server_spark.streaming.events import run_stream_to_table, windowed_counts
+
+    events = _t(spark, sf_dir, "events")["events"]
+    counts = run_stream_to_table(
+        spark, events, windowed_counts, "tss_stream_topk", output_mode="complete"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n_events")
+        .orderBy("window_start", F.col("n_events").desc(), "event_type")
+    )
+
+
+@register(
+    "path_star_seq",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1 AND c_custkey < 256),
+    hop2 AS (
+      SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+    anc AS (
+      SELECT src, dst, 1 AS steps FROM hop2
+      UNION ALL
+      SELECT a.src, h.dst, a.steps + 1 FROM anc a JOIN hop2 h ON a.dst = h.src),
+    closure AS (
+      SELECT src, dst, MIN(steps) AS steps FROM anc GROUP BY src, dst),
+    nodes AS (SELECT src AS n FROM hop2 UNION SELECT dst FROM hop2)
+    SELECT src, dst, MIN(steps) AS steps FROM (
+      SELECT src, dst, steps FROM closure
+      UNION ALL SELECT n, n, 0 FROM nodes)
+    GROUP BY src, dst
+    """,
+)
+def path_star_seq(spark, sf_dir):
+    """Composite path regex: star over a sequence — (parent/parent)*,
+    i.e. even-length ancestor chains.  Exercises closure over a
+    *compound* inner pattern (the regex algebra composes, not just
+    single predicates); 'steps' counts grandparent hops."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.path_ast import Pred, Seq, Star
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    tri = (
+        cust.where((F.col("c_custkey") >= 1) & (F.col("c_custkey") < 256))
+        .select(
+            F.lit("instance").alias("graph"),
+            F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("subject"),
+            F.lit("parent").alias("predicate"),
+            F.concat(F.lit("C/"), (F.col("c_custkey") / 2).cast("long").cast("string")).alias("obj"),
+            F.lit("iri").alias("obj_type"),
+            F.lit(None).cast("double").alias("obj_num"),
+        )
+    )
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    ctx = WOQLContext(TripleStore(tri))
+    q = A.Path(
+        A.v("src"),
+        Star(Seq(Pred("parent"), Pred("parent")), strategy="doubling"),
+        A.v("dst"),
+        hops=A.v("steps"),
+    )
+    return ctx.run(q)

@@ -278,10 +278,13 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
     cur = und
     for _ in range(rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.where(F.col("d") >= k).select("src")
+        # node sets are ~sqrt of edge volume — broadcast both probes so
+        # each round is one map-side-filtered pass over the edges, not
+        # two edge-set shuffles
+        keep = F.broadcast(deg.where(F.col("d") >= k).select("src"))
         cur = (
             cur.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .join(F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
     return cur.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))

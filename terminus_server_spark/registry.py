@@ -3407,3 +3407,54 @@ def path_star_seq(spark, sf_dir):
         hops=A.v("steps"),
     )
     return ctx.run(q)
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation on a 5-value key (the worst-case
+    skew shape: group count << partition count).  Semantics are
+    identical to the plain GROUP BY — the oracle proves it — while
+    the reduce of any one hot group spreads over 16 partitions."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.skew import salted_aggregate
+
+    events = _t(spark, sf_dir, "events")["events"].withColumn(
+        "value_dec", F.col("value").cast("decimal(28,6)")
+    )
+    out = salted_aggregate(
+        events,
+        ["event_type"],
+        {"n": ("count", "event_id"), "sum_dec": ("sum", "value_dec")},
+    )
+    return out.select("event_type", "n", F.col("sum_dec").cast("double").alias("sum_value"))
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT n_name, COUNT(*) AS n
+    FROM events JOIN nation ON (user_id % 5) = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted fact-dim join on a 5-value hot key (every fact row maps
+    to one of five dims — the canonical straggler shape).  The dim is
+    replicated 16× on a salt column so the hot keys spread; results
+    equal the unsalted join exactly."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.skew import salted_join
+
+    tabs = _t(spark, sf_dir, "events", "nation")
+    fact = tabs["events"].withColumn("n_nationkey", F.col("user_id") % 5)
+    out = salted_join(fact, tabs["nation"].select("n_nationkey", "n_name"), "n_nationkey")
+    return out.groupBy("n_name").agg(F.count(F.lit(1)).alias("n")).orderBy("n_name")

@@ -3458,3 +3458,31 @@ def skew_salted_join(spark, sf_dir):
     fact = tabs["events"].withColumn("n_nationkey", F.col("user_id") % 5)
     out = salted_join(fact, tabs["nation"].select("n_nationkey", "n_name"), "n_nationkey")
     return out.groupBy("n_name").agg(F.count(F.lit(1)).alias("n")).orderBy("n_name")
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured payload parsing: the JSON props column is
+    schema-projected JVM-side (get_json_object → bigint) and rolled
+    up — the Dot word's bulk-analytics cousin.  At scale the JSON
+    parse is the per-row cost; it stays inside whole-stage codegen
+    with no Python involvement."""
+    from pyspark.sql import functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("sum_k"))
+        .orderBy("k_bucket")
+    )

@@ -691,26 +691,66 @@ def mm_meta(spark, sf_dir):
     return to_multimodal(_t(spark, sf_dir, "documents")["documents"]).drop("payload")
 
 
-@register("mm_features")  # decode stub: rows-only check
+@register(
+    "mm_features",
+    """
+    WITH hx AS (
+      SELECT doc_id, sha256(text) AS h,
+             octet_length(encode(text))::BIGINT AS byte_len
+      FROM documents)
+    SELECT doc_id, 'application/octet-stream' AS mime, byte_len,
+           (64 + ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)) % 192)::BIGINT AS width,
+           (64 + ((strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 192)::BIGINT AS height,
+           (1 + ((strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1)) % 16)::BIGINT AS n_frames
+    FROM hx
+    """,
+)
 def mm_features(spark, sf_dir):
+    """The decode STUB derives (width, height, n_frames) from sha256
+    bytes, so the oracle replays the same hex arithmetic — the
+    mapInPandas plumbing is value-checked end-to-end even though the
+    real codec is stubbed."""
     from terminus_server_spark.operators.multimodal import extract_features, to_multimodal
 
     return extract_features(to_multimodal(_t(spark, sf_dir, "documents")["documents"]))
 
 
-@register("mm_resize")  # stub resizer: rows-only check
+@register(
+    "mm_resize",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           64::BIGINT AS width, 64::BIGINT AS height
+    FROM documents WHERE octet_length(encode(text)) > 0
+    """,
+)
 def mm_resize(spark, sf_dir):
+    """Resize emits fixed target dims per surviving row; the oracle
+    checks exactly which rows flow through the Arrow batches (the
+    payload bytes stay rows-only — DuckDB cannot sha256 blobs)."""
     from terminus_server_spark.operators.multimodal import resize_images, to_multimodal
 
     mm = to_multimodal(_t(spark, sf_dir, "documents")["documents"])
     return resize_images(mm).drop("payload")
 
 
-@register("mm_frames")  # stub frame sampler: rows-only check
+@register(
+    "mm_frames",
+    """
+    WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    nf AS (SELECT doc_id, (1 + ((strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1)) % 16)::BIGINT AS n_frames FROM hx)
+    SELECT doc_id, unnest(range(0, n_frames, 4))::BIGINT AS frame_idx FROM nf
+    """,
+)
 def mm_frames(spark, sf_dir):
+    """Frame sampling multiplies rows (one per k-th frame); the oracle
+    reproduces the frame index set exactly from the stub's sha-derived
+    frame count.  The per-frame sha stays Spark-side only (blob
+    hashing is not portable to the oracle engine)."""
     from terminus_server_spark.operators.multimodal import sample_frames, to_multimodal
 
-    return sample_frames(to_multimodal(_t(spark, sf_dir, "documents")["documents"]))
+    return sample_frames(
+        to_multimodal(_t(spark, sf_dir, "documents")["documents"])
+    ).select("doc_id", "frame_idx")
 
 
 @register(

@@ -3526,3 +3526,49 @@ def events_json_props(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("sum_k"))
         .orderBy("k_bucket")
     )
+
+
+@register(
+    "woql_list_ops",
+    """
+    SELECT o_orderpriority AS pri,
+           CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS rank_num,
+           len(string_split(o_orderpriority, '-'))::BIGINT AS n_parts
+    FROM orders WHERE o_orderkey % 997 = 0
+    """,
+)
+def woql_list_ops(spark, sf_dir):
+    """List words end-to-end: Split binds a list variable, Length
+    measures it, Member+Typecast consume its head — the reference's
+    list manipulation vocabulary over bound solutions."""
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    tri = o.where(F.col("o_orderkey") % 997 == 0).select(
+        F.lit("instance").alias("graph"),
+        F.concat(F.lit("Order/"), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit("o_orderpriority").alias("predicate"),
+        F.col("o_orderpriority").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    )
+    from terminus_server_spark.model.triples import TripleStore
+
+    ctx = WOQLContext(TripleStore(tri))
+    df = ctx.run(
+        A.And(
+            A.Triple(A.v("o"), "o_orderpriority", A.v("pri")),
+            A.Split(A.v("pri"), "-", A.v("parts")),
+            A.Length(A.v("parts"), A.v("n_parts")),
+        )
+    )
+    # list-head access (the Member word explodes; here the solution
+    # keeps the list bound and projects its head)
+    return df.select(
+        "pri",
+        F.element_at("parts", 1).cast("bigint").alias("rank_num"),
+        "n_parts",
+    )

@@ -57,6 +57,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "embeddings",
     )
     ts_cols = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"], "events": ["ts"]}
+    # the events table stores TIMESTAMP(NANOS), which the vectorized
+    # reader rejects unless read as long — set the conf here (not just
+    # in get_spark) so the contract also works under a caller-provided
+    # session; it must land before the first read of the file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names or all_names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -3572,3 +3572,200 @@ def woql_list_ops(spark, sf_dir):
         F.element_at("parts", 1).cast("bigint").alias("rank_num"),
         "n_parts",
     )
+
+
+# ---------------------------------------------------------------------------
+# windowing / grouping-set breadth (WOQL-equivalent analytics shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_moving_sum",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS seq
+    FROM orders WHERE o_custkey % 100 = 0
+    """,
+)
+def win_moving_sum(spark, sf_dir):
+    """Sliding-frame window aggregate (3-order moving spend per
+    customer) — ROWS frame with a total order (date, key) so the
+    frame contents are engine-stable; decimal sum inside the frame
+    keeps the value bit-stable."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"].where(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(w.rowsBetween(-2, 0))
+        .cast("double")
+        .alias("moving_sum"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@register(
+    "win_group_median",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority, MAX(n) AS n,
+           (MAX(CASE WHEN rk = (n + 1) // 2 THEN o_totalprice END)
+            + MAX(CASE WHEN rk = n // 2 + 1 THEN o_totalprice END)) / 2 AS median_price
+    FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def win_group_median(spark, sf_dir):
+    """Exact per-group median via rank selection (no approx
+    percentile): the lower/upper middle elements are picked by
+    row_number, and (v + v) / 2 is IEEE-exact for the odd case, so
+    one formula covers both parities bit-stably."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo = F.max(F.when(F.col("rk") == (F.col("n") + 1) / 2, F.col("o_totalprice")).otherwise(F.lit(None)))
+    hi = F.max(F.when(F.col("rk") == F.col("n") / 2 + 1, F.col("o_totalprice")).otherwise(F.lit(None)))
+    return (
+        r.withColumn("lo_rk", F.floor((F.col("n") + 1) / 2))
+        .withColumn("hi_rk", F.floor(F.col("n") / 2) + 1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            (
+                (
+                    F.max(F.when(F.col("rk") == F.col("lo_rk"), F.col("o_totalprice")))
+                    + F.max(F.when(F.col("rk") == F.col("hi_rk"), F.col("o_totalprice")))
+                )
+                / 2
+            ).alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical grouping sets (ROLLUP): subtotal rows materialize
+    in the same single aggregate pass (Spark expands grouping sets
+    map-side — no extra scan per level)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE) AS qty_f,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE) AS qty_o
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivoted aggregation (wide conditional aggregates — the shape
+    Spark's df.pivot lowers to): one pass, map-side partials, no
+    per-pivot-value scan."""
+    from pyspark.sql import functions as F
+
+    l = _t(spark, sf_dir, "lineitem")["lineitem"]
+    def qty(status):
+        return F.sum(
+            F.when(F.col("l_linestatus") == status, F.col("l_quantity")).otherwise(0.0).cast("decimal(28,6)")
+        ).cast("double")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_f"),
+            F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("n_o"),
+            qty("F").alias("qty_f"),
+            qty("O").alias("qty_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "stream_sliding_window",
+    f"""
+    WITH expanded AS (
+      SELECT e.*, CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL (h.x) HOUR AS window_start
+      FROM events e, (SELECT 0 AS x UNION ALL SELECT 1) h
+      WHERE CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL (h.x) HOUR > ts - INTERVAL 2 HOUR)
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           {_dsum_sql('value')} AS sum_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding windows (2h length, 1h slide) as a real stream: each
+    event lands in two overlapping windows; watermark bounds state to
+    the window length + lateness, the standard overlapping-rollup
+    shape for rate dashboards."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_to_table
+
+    events = _t(spark, sf_dir, "events")["events"]
+
+    def transform(stream):
+        e = stream.withWatermark("ts", "4 hours")
+        return (
+            e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        )
+
+    return run_stream_to_table(
+        spark, events, transform, "tss_stream_sliding", output_mode="complete"
+    )

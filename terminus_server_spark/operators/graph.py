@@ -276,6 +276,7 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     cur = und
+    n_edges = cur.count()
     for _ in range(rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         # node sets are ~sqrt of edge volume — broadcast both probes so
@@ -287,4 +288,11 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
             .join(F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        # pruning is monotone (edges only ever leave), so an unchanged
+        # count IS the fixpoint — identical output to running the
+        # remaining rounds, at zero cost
+        new_n = cur.count()
+        if new_n == n_edges:
+            break
+        n_edges = new_n
     return cur.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))

@@ -3201,10 +3201,13 @@ def graph_kcore(spark, sf_dir):
     from terminus_server_spark.operators.graph import kcore
 
     l = _t(spark, sf_dir, "lineitem")["lineitem"]
-    edges = l.select(
+    # dedupe on the int pair BEFORE building strings: the distinct
+    # shuffles 16-byte rows instead of ~25-byte concatenated keys
+    pairs = l.select("l_orderkey", "l_suppkey").distinct()
+    edges = pairs.select(
         F.concat(F.lit("O/"), F.col("l_orderkey").cast("string")).alias("src"),
         F.concat(F.lit("S/"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
+    )
     return kcore(edges, k=3, rounds=4)
 
 

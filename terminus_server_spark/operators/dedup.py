@@ -249,7 +249,10 @@ def embedding_near_dup_pairs(
                 )
 
     out_schema = f"id_a {dict(emb.dtypes)[id_col]}, id_b {dict(emb.dtypes)[id_col]}, cos double"
-    return emb.select(id_col, vec_col).mapInPandas(run, out_schema)
+    # a small corpus often arrives as ONE input split — spread the
+    # query rows so the blocked numpy scan uses every core, not one
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    return emb.select(id_col, vec_col).repartition(n_parts).mapInPandas(run, out_schema)
 
 
 def near_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:

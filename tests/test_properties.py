@@ -120,3 +120,61 @@ def test_woql_and_is_commutative(spark, edges):
     got12 = {tuple(r) for r in ctx.run(q12).collect()}
     got21 = {tuple(r) for r in ctx.run(q21).collect()}
     assert got12 == got21
+
+
+@given(edges=edge_lists)
+@settings(**SETTINGS)
+def test_doubling_closure_equals_frontier_closure(spark, edges):
+    from terminus_server_spark.operators.path import (
+        transitive_closure,
+        transitive_closure_doubling,
+    )
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+    a = {(r.src, r.dst, r.hops) for r in transitive_closure(df, with_hops=True).collect()}
+    b = {
+        (r.src, r.dst, r.hops)
+        for r in transitive_closure_doubling(df, with_hops=True).collect()
+    }
+    assert a == b
+
+
+@given(edges=edge_lists, k=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_kcore_all_degrees_at_least_k(spark, edges, k):
+    from terminus_server_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+    out = kcore(df, k=k, rounds=8).collect()
+    # bounded rounds with early fixpoint: surviving nodes all have
+    # degree >= k within the surviving subgraph
+    assert all(r.degree >= k for r in out)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.sampled_from(["s1", "s2"]),
+            st.text(alphabet="ab ", min_size=1, max_size=40),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda d: d[0],
+    ),
+    capacity=st.integers(min_value=2, max_value=16),
+)
+@settings(**SETTINGS)
+def test_pack_offsets_within_capacity_and_monotone(spark, docs, capacity):
+    from terminus_server_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = pack_sequences(df, capacity=capacity).collect()
+    assert len(out) == len(docs)  # every doc lands somewhere
+    for r in out:
+        assert 0 <= r.bin_offset < capacity
+        assert r.bin_id.startswith(r.source + "#")

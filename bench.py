@@ -37,6 +37,10 @@ HEADLINE = [
     "q20_part_promotion",
     "q21_waiting_supplier",
     "win_rank_topn",
+    "win_moving_sum",
+    "win_group_median",
+    "agg_rollup",
+    "agg_pivot",
     "semi_anti",
     "events_sessionize",
     # WOQL engine over triples
@@ -71,6 +75,9 @@ HEADLINE = [
     "graph_kcore",
     "events_funnel",
     "events_retention",
+    "events_json_props",
+    "woql_add_del",
+    "skew_salted_agg",
 ]
 
 

@@ -3772,3 +3772,81 @@ def stream_sliding_window(spark, sf_dir):
     return run_stream_to_table(
         spark, events, transform, "tss_stream_sliding", output_mode="complete"
     )
+
+
+@register(
+    "corpus_survivors",
+    rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+              min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+              min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+              min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+              min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+            FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+      UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    und AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.doc_id, und.pb FROM reach JOIN und ON reach.r = und.pa),
+    canon AS (
+      SELECT doc_id FROM (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+      WHERE cluster_id = doc_id),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN hits_en = best THEN 'en' WHEN hits_es = best THEN 'es'
+                  WHEN hits_de = best THEN 'de' ELSE 'fr' END AS pred_lang
+      FROM (
+        SELECT doc_id, greatest(hits_en, hits_es, hits_de, hits_fr) AS best,
+               hits_en, hits_es, hits_de, hits_fr
+        FROM (
+          SELECT doc_id,
+                 len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_EN}, x)))::BIGINT AS hits_en,
+                 len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_ES}, x)))::BIGINT AS hits_es,
+                 len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_DE}, x)))::BIGINT AS hits_de,
+                 len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_FR}, x)))::BIGINT AS hits_fr
+          FROM documents)))
+    SELECT d.source, COUNT(*) AS n_docs,
+           SUM(CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)) AS sum_tokens
+    FROM documents d
+      JOIN canon ON d.doc_id = canon.doc_id
+      JOIN lang ON d.doc_id = lang.doc_id
+    WHERE lang.pred_lang = 'en'
+      AND len(string_split_regex(trim(d.text), '\s+')) >= 30
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def corpus_survivors(spark, sf_dir):
+    """The end-to-end corpus-prep pipeline in one plan: near-dup
+    clustering keeps canonical docs, language-ID keeps English,
+    token-count filters shorts — survivors rolled up per source.
+    Each stage is the already-gated operator; this gate proves they
+    COMPOSE (one DAG, no materialization between stages)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.dedup import near_dup_clusters
+    from terminus_server_spark.operators.text import lang_id, tokens_col
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    canon = near_dup_clusters(docs).where(F.col("is_canonical")).select("doc_id")
+    english = lang_id(docs).where(F.col("pred_lang") == "en").select("doc_id")
+    toks = F.size(tokens_col(F.col("text"))).cast("bigint")
+    return (
+        docs.join(canon, "doc_id")
+        .join(english, "doc_id")
+        .withColumn("n_tokens", toks)
+        .where(F.col("n_tokens") >= 30)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+        .orderBy("source")
+    )

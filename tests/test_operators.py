@@ -482,3 +482,41 @@ def test_funnel_monotone(spark, tables):
 
     rows = {r.step: r.n_users for r in funnel_counts(tables["events"]).collect()}
     assert rows["signup"] >= rows["view"] >= rows["purchase"]
+
+
+def test_asof_join_strict_vs_inclusive(spark):
+    from terminus_server_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2020-01-01 10:00:00"), (1, "2020-01-01 12:00:00")],
+        "k long, lts string",
+    ).selectExpr("k", "CAST(lts AS TIMESTAMP) AS lts")
+    right = spark.createDataFrame(
+        [(1, "2020-01-01 10:00:00", 5.0), (1, "2020-01-01 11:00:00", 7.0)],
+        "k long, rts string, v double",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "v")
+    strict = {r.lts.hour: r.asof_v for r in asof_join(
+        left, right, "k", "lts", "rts", ["v"], strict=True).collect()}
+    incl = {r.lts.hour: r.asof_v for r in asof_join(
+        left, right, "k", "lts", "rts", ["v"], strict=False).collect()}
+    assert strict[10] is None          # simultaneous row invisible when strict
+    assert incl[10] == 5.0             # visible when inclusive
+    assert strict[12] == 7.0 and incl[12] == 7.0
+
+
+def test_bucketed_range_join_spans_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(1, "2020-03-15 00:00:00"), (2, "2020-07-01 00:00:00")],
+        "pid long, ts string",
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    # interval spans several 30-day buckets
+    ivals = spark.createDataFrame(
+        [("long", "2020-01-01 00:00:00", "2020-06-01 00:00:00")],
+        "name string, s string, e string",
+    ).select("name", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    got = {r.pid for r in bucketed_range_join(points, ivals, "ts", "s", "e").collect()}
+    assert got == {1}  # point 2 is outside despite bucket adjacency

@@ -156,3 +156,35 @@ def pack_sequences(
             (F.col("_start") % capacity).alias("bin_offset"),
         )
     )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """(n_exact_sample, theta, est_distinct): K-minimum-values
+    distinct-count sketch — keep the k smallest md5-derived hash
+    fractions; estimate = (k-1)/theta where theta is the k-th
+    smallest fraction.  The KMV estimator is the mergeable-sketch
+    building block (union = merge min-sets) used where
+    approx_count_distinct's HLL binary isn't portable: md5 is shared
+    by every engine, so THIS sketch's estimate is bit-identical on
+    Spark and the SQL oracle — a deterministic, testable sketch.
+
+    One pass, one k-row top-k (map-side partial sort), no full
+    distinct shuffle: at 100 TB the sketch costs a scan plus a k-row
+    reduction."""
+    frac = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(16 ** 8))
+    )
+    mins = (
+        df.select(frac.alias("f"))
+        .distinct()
+        .orderBy("f")
+        .limit(k)
+    )
+    return mins.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("f").alias("theta"),
+        ((F.count(F.lit(1)) - 1).cast("double") / F.max("f")).alias("est_distinct"),
+    )

@@ -4023,3 +4023,28 @@ def events_gapfill(spark, sf_dir):
     return gap_fill(
         hourly, "ts", 3600, ["event_type"], {"n_events": 0, "sum_value": 0.0}
     ).select("event_type", "ts", "n_events", "sum_value")
+
+
+@register(
+    "sketch_kmv_distinct",
+    """
+    WITH fr AS (
+      SELECT DISTINCT
+             CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+               / 4294967296.0 AS f
+      FROM orders),
+    mins AS (SELECT f FROM fr ORDER BY f LIMIT 256)
+    SELECT COUNT(*) AS n_kept, MAX(f) AS theta,
+           (COUNT(*) - 1)::DOUBLE / MAX(f) AS est_distinct
+    FROM mins
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch over order custkeys: unlike HLL
+    binaries, the md5-derived min-set is engine-portable, so the
+    *approximate* estimate itself is exactly reproduced by the
+    oracle."""
+    from terminus_server_spark.operators.pipeline import kmv_distinct_estimate
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return kmv_distinct_estimate(orders, "o_custkey", k=256)

@@ -78,6 +78,11 @@ HEADLINE = [
     "events_json_props",
     "woql_add_del",
     "skew_salted_agg",
+    "asof_join",
+    "range_join",
+    "events_gapfill",
+    "sketch_kmv_distinct",
+    "corpus_survivors",
 ]
 
 

@@ -210,3 +210,35 @@ def test_relational_and_text_plans_have_no_python_eval(spark, tables):
     ):
         p = plan_str(df)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark, tables):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import bucketed_range_join
+
+    promos = spark.createDataFrame(
+        [("a", "1995-03-01", "1995-09-01")], "promo string, s string, e string"
+    ).select("promo", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    df = bucketed_range_join(tables["orders"], promos, "o_orderdate", "s", "e")
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p  # equi-join on bucket instead
+    # while a NAIVE non-equi join would nested-loop:
+    naive = tables["orders"].join(
+        promos, (F.col("o_orderdate") >= F.col("s")) & (F.col("o_orderdate") < F.col("e"))
+    )
+    assert "BroadcastNestedLoopJoin" in plan_str(naive)
+
+
+def test_asof_join_single_shuffle_on_key(spark, tables):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import asof_join
+
+    ev = tables["events"]
+    left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    p = plan_str(asof_join(left, right, "user_id", "ts", "ts", ["value"]))
+    # union-window formulation: no join operator at all, one window
+    assert "Join" not in p or "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange") <= 2  # union sides coalesce into the window shuffle

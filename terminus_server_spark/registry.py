@@ -4048,3 +4048,72 @@ def sketch_kmv_distinct(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")["orders"]
     return kmv_distinct_estimate(orders, "o_custkey", k=256)
+
+
+@register(
+    "vc_log",
+    """
+    SELECT 1 AS commit_seq, 'c1' AS commit_id,
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') AS n_adds,
+           0 AS n_dels
+    UNION ALL
+    SELECT 2, 'c2',
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'),
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+              AND o_totalprice > 400000)
+    UNION ALL
+    SELECT 3, 'c3',
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'), 0
+    """,
+)
+def vc_log(spark, sf_dir):
+    """Commit-level log (api/log at database granularity): one row per
+    commit with add/delete counts — the metadata view a UI's history
+    pane reads; one aggregate over the layer pool."""
+    from pyspark.sql import functions as F
+
+    return (
+        _layers(spark, sf_dir)
+        .groupBy("commit_seq", "commit_id")
+        .agg(
+            F.sum(F.when(F.col("op") == "add", 1).otherwise(0)).alias("n_adds"),
+            F.sum(F.when(F.col("op") == "del", 1).otherwise(0)).alias("n_dels"),
+        )
+        .orderBy("commit_seq")
+    )
+
+
+@register(
+    "corpus_vocab_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+    SELECT COUNT(*) AS vocab_size,
+           SUM(c) AS n_tokens,
+           COUNT(*)::DOUBLE / SUM(c)::DOUBLE AS type_token_ratio,
+           MAX(c) AS top_token_count
+    FROM counts
+    """,
+)
+def corpus_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics (vocab size, token mass,
+    type-token ratio, modal token count) — the tokenizer-training /
+    Zipf sanity pass.  One explode + two aggregates, both with
+    map-side partials."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    counts = (
+        docs.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("n_tokens"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias("type_token_ratio"),
+        F.max("c").alias("top_token_count"),
+    )

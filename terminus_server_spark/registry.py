@@ -4117,3 +4117,36 @@ def corpus_vocab_stats(spark, sf_dir):
         (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias("type_token_ratio"),
         F.max("c").alias("top_token_count"),
     )
+
+
+@register(
+    "stream_spend_alerts",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(floor(value * 1e6) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events),
+    crossing AS (
+      SELECT user_id, ts, cum,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      FROM c WHERE cum >= 1000000000)
+    SELECT user_id, ts AS alert_ts, cum::DOUBLE / 1e6 AS total_at_alert
+    FROM crossing WHERE rk = 1
+    """,
+)
+def stream_spend_alerts(spark, sf_dir):
+    """Custom stateful streaming: emit-once threshold alerts per user
+    via applyInPandasWithState, replayed through a real streaming
+    query; the oracle replays the same fixed-point cumsum crossing."""
+    from terminus_server_spark.streaming.events import run_stream_to_table, spend_alerts
+
+    events = _t(spark, sf_dir, "events")["events"]
+    return run_stream_to_table(
+        spark,
+        events,
+        lambda s: spend_alerts(s, threshold=1000.0),
+        "tss_spend_alerts",
+        output_mode="append",
+    )

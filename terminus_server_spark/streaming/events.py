@@ -159,3 +159,60 @@ def funnel_counts(
     for o in out_rows[1:]:
         out = out.unionByName(o)
     return out
+
+
+def spend_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
+    """(user_id, alert_ts, total_at_alert): one alert per user at the
+    FIRST event where their cumulative spend reaches ``threshold`` —
+    a custom stateful operator no built-in aggregation expresses
+    (emit-once semantics + per-key running state), implemented with
+    ``applyInPandasWithState``.
+
+    State per key: (scaled running total, emitted flag) — a few bytes,
+    so an unbounded user population stays cheap; watermarks would
+    bound it further if keys churned.  Totals accumulate as
+    floor(value * 1e6) bigints, so the crossing decision (and the
+    reported total) is order-independent and exactly reproducible by
+    the SQL oracle's window cumsum.
+
+    Works identically on a batch DataFrame (groupBy.applyInPandas
+    shape) and a stream; the gate replays it through a real streaming
+    query via run_stream_to_table."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    thr_scaled = int(threshold * 1e6)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import math
+
+        total, emitted = state.get if state.exists else (0, 0)
+        rows = []
+        if not emitted:
+            chunks = [pdf for pdf in pdf_iter]
+            if chunks:
+                pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+                for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                    total += int(math.floor(val * 1e6))
+                    if total >= thr_scaled:
+                        rows.append((key[0], ts, total / 1e6))
+                        emitted = 1
+                        break
+        else:
+            for _ in pdf_iter:  # drain
+                pass
+        state.update((total, emitted))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "alert_ts", "total_at_alert"])
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id bigint, alert_ts timestamp, total_at_alert double",
+            stateStructType="total bigint, emitted int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -520,3 +520,26 @@ def test_bucketed_range_join_spans_buckets(spark):
     ).select("name", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
     got = {r.pid for r in bucketed_range_join(points, ivals, "ts", "s", "e").collect()}
     assert got == {1}  # point 2 is outside despite bucket adjacency
+
+
+def test_spend_alerts_emit_once_at_first_crossing(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_to_table, spend_alerts
+
+    events = spark.createDataFrame(
+        [
+            (1, "2020-01-01 10:00:00", 7, 600.0, "view"),
+            (2, "2020-01-01 11:00:00", 7, 500.0, "view"),   # crosses 1000 here
+            (3, "2020-01-01 12:00:00", 7, 500.0, "view"),   # no second alert
+            (4, "2020-01-01 10:00:00", 8, 100.0, "view"),   # never crosses
+        ],
+        "event_id long, ts_s string, user_id long, value double, event_type string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value", "event_type")
+    out = run_stream_to_table(
+        spark, events, lambda s: spend_alerts(s, threshold=1000.0),
+        "tss_alert_unit", output_mode="append",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 7 and r.alert_ts.hour == 11 and abs(r.total_at_alert - 1100.0) < 1e-9

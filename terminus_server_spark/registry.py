@@ -4150,3 +4150,45 @@ def stream_spend_alerts(spark, sf_dir):
         "tss_spend_alerts",
         output_mode="append",
     )
+
+
+@register(
+    "woql_from_json",
+    """
+    SELECT n_name AS nname, COUNT(*) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def woql_from_json(spark, sf_dir):
+    """The serialized query path: a JSON-LD-ish WOQL document (the
+    form terminus clients POST) parsed to the AST and compiled — same
+    answer as the hand-built woql_join2, proving the wire format
+    round-trips."""
+    from terminus_server_spark.woql.json import from_json
+
+    q = from_json(
+        {
+            "@type": "Select",
+            "variables": ["nname", "cnt"],
+            "query": {
+                "@type": "GroupBy",
+                "group_by": ["nname"],
+                "aggregations": [{"agg": "count", "input": "c", "output": "cnt"}],
+                "query": {
+                    "@type": "And",
+                    "and": [
+                        {"@type": "Triple",
+                         "subject": {"variable": "c"},
+                         "predicate": "c_nation",
+                         "object": {"variable": "n"}},
+                        {"@type": "Triple",
+                         "subject": {"variable": "n"},
+                         "predicate": "n_name",
+                         "object": {"variable": "nname"}},
+                    ],
+                },
+            },
+        }
+    )
+    return _ctx(spark, sf_dir).run(q)

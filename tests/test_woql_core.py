@@ -270,3 +270,47 @@ def test_into_scopes_write_graph(store):
     delta = ctx(store).run_update(q, 1, "a1")
     by_graph = {r.graph: r.op for r in delta.select("graph", "op").distinct().collect()}
     assert by_graph == {"audit": "add", "scratch": "del"}
+
+
+def test_json_woql_roundtrip_matches_ast(store):
+    from terminus_server_spark.woql.json import from_json
+
+    json_q = from_json(
+        {
+            "@type": "Select",
+            "variables": ["r", "nm"],
+            "query": {
+                "@type": "And",
+                "and": [
+                    {"@type": "Triple", "subject": {"variable": "r"},
+                     "predicate": "r_name", "object": {"variable": "nm"}},
+                    {"@type": "Triple", "subject": {"variable": "r"},
+                     "predicate": "rdf:type", "object": "Region"},
+                ],
+            },
+        }
+    )
+    got = {(r.r, r.nm) for r in ctx(store).run(json_q).collect()}
+    want = {
+        (r.r, r.nm)
+        for r in ctx(store)
+        .run(Select([v("r"), v("nm")], And(
+            Triple(v("r"), "r_name", v("nm")),
+            Triple(v("r"), "rdf:type", "Region"))))
+        .collect()
+    }
+    assert got == want and len(got) == 5
+
+
+def test_json_woql_eval_and_path(store):
+    from terminus_server_spark.woql.json import from_json
+
+    q = from_json(
+        {
+            "@type": "Eval",
+            "expression": {"@type": "Plus", "left": 2,
+                           "right": {"@type": "Times", "left": 3, "right": 4}},
+            "result": {"variable": "x"},
+        }
+    )
+    assert ctx(store).run(q).collect()[0].x == 14.0

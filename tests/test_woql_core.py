@@ -314,3 +314,43 @@ def test_json_woql_eval_and_path(store):
         }
     )
     assert ctx(store).run(q).collect()[0].x == 14.0
+
+
+def test_json_woql_path_and_update(spark, tables, store):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import WOQLContext
+    from terminus_server_spark.woql.json import from_json
+
+    # path over the parent tree, via the wire format
+    cust = tables["customer"]
+    tri = cust.where((F.col("c_custkey") >= 1) & (F.col("c_custkey") < 16)).select(
+        F.lit("instance").alias("graph"),
+        F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit("parent").alias("predicate"),
+        F.concat(F.lit("C/"), (F.col("c_custkey") / 2).cast("long").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    )
+    pctx = WOQLContext(TripleStore(tri))
+    pq = from_json(
+        {"@type": "Path", "subject": "C/15",
+         "pattern": {"@type": "PathPlus", "plus": {"@type": "PathPredicate", "predicate": "parent"}},
+         "object": {"variable": "anc"}, "path": {"variable": "hops"}}
+    )
+    got = {(r.anc, r.hops) for r in pctx.run(pq).collect()}
+    assert got == {("C/7", 1), ("C/3", 2), ("C/1", 3), ("C/0", 4)}
+
+    # update via the wire format, scoped by Into
+    uq = from_json(
+        {"@type": "Into", "graph": "audit",
+         "query": {"@type": "And", "and": [
+             {"@type": "Triple", "subject": {"variable": "n"},
+              "predicate": "n_region", "object": "Region/0"},
+             {"@type": "AddTriple", "subject": {"variable": "n"},
+              "predicate": "flagged", "object": "true"}]}}
+    )
+    delta = ctx(store).run_update(uq, 1, "j1")
+    assert delta.select("graph").distinct().collect()[0].graph == "audit"
+    assert delta.count() == 5

@@ -4192,3 +4192,79 @@ def woql_from_json(spark, sf_dir):
         }
     )
     return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "src_compaction",
+    f"""
+    SELECT COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price,
+           COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def src_compaction(spark, sf_dir):
+    """Small-file compaction round trip: the 1998+ orders slice is
+    written as many tiny files, compacted to even target-size files,
+    and read back — values must survive exactly (the oracle checks
+    content; tests/test_operators.py checks the file count drops)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.sources import compact_small_files
+
+    orders = _t(spark, sf_dir, "orders")["orders"].where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    tmp = tempfile.mkdtemp(prefix="tss_compact_")
+    orders.repartition(64).write.mode("overwrite").parquet(tmp + "/small")
+    compact_small_files(spark, tmp + "/small", tmp + "/compact", target_rows_per_file=500_000)
+    back = spark.read.parquet(tmp + "/compact")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+    )
+
+
+@register(
+    "src_upsert",
+    f"""
+    WITH updates AS (
+      SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT -1, CAST(123.45 AS DOUBLE)
+      UNION ALL
+      SELECT -2, CAST(678.90 AS DOUBLE)),
+    merged AS (
+      SELECT o_orderkey,
+             COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice
+      FROM orders o FULL OUTER JOIN updates u USING (o_orderkey))
+    SELECT COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM merged
+    """,
+)
+def src_upsert(spark, sf_dir):
+    """Keyed merge: 10% of orders get a price bump, two new keys
+    append; newest-version-wins window produces exactly the FULL
+    OUTER JOIN + COALESCE the oracle states."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.sources import upsert_by_key
+
+    base = _t(spark, sf_dir, "orders")["orders"].select("o_orderkey", "o_totalprice")
+    updates = (
+        base.where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 1.1).alias("o_totalprice"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, 123.45), (-2, 678.90)], "o_orderkey long, o_totalprice double"
+            )
+        )
+    )
+    merged = upsert_by_key(base, updates, ["o_orderkey"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 _BUCKET_CACHE: dict[tuple, str] = {}
@@ -62,3 +62,41 @@ def bucketed_pair(
         if cache_key is not None:
             _BUCKET_CACHE[cache_key] = names[0]
     return spark.table(names[0]), spark.table(names[1])
+
+
+def compact_small_files(
+    spark, src_path: str, dst_path: str, target_rows_per_file: int = 1_000_000
+) -> None:
+    """Small-file compaction: rewrite a directory of many small
+    parquet files into ceil(rows/target) evenly-sized files — the
+    table-maintenance pass every long-lived ingest needs (file-count
+    explosion is the classic 100 TB operational failure: NameNode/
+    listing pressure + per-file open cost dominate scans).
+
+    repartition (round-robin) rather than coalesce: coalesce would
+    skip the shuffle but chain small inputs unevenly; compaction runs
+    rarely and wants even output sizes."""
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+
+
+def upsert_by_key(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keyed upsert (merge): update rows replace base rows with the
+    same key, new keys append — the lakehouse MERGE INTO expressed as
+    a plain DataFrame op for engines without a table format: one
+    window over the key, newest version wins.  Cost scales with
+    |base|+|updates| in one shuffle; at scale the same expression
+    runs partition-pruned when base is date-partitioned."""
+    from pyspark.sql.window import Window
+
+    tagged = base.withColumn("__v__", F.lit(0)).unionByName(
+        updates.withColumn("__v__", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__v__").desc())
+    return (
+        tagged.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__v__", "__rn__")
+    )

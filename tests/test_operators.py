@@ -543,3 +543,18 @@ def test_spend_alerts_emit_once_at_first_crossing(spark):
     assert len(out) == 1
     r = out[0]
     assert r.user_id == 7 and r.alert_ts.hour == 11 and abs(r.total_at_alert - 1100.0) < 1e-9
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    import os
+
+    from terminus_server_spark.sources import compact_small_files
+
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    src = str(tmp_path / "small"); dst = str(tmp_path / "compact")
+    df.repartition(40).write.parquet(src)
+    compact_small_files(spark, src, dst, target_rows_per_file=500_000)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_src == 40 and n_dst == 1
+    assert spark.read.parquet(dst).count() == 10_000

@@ -188,3 +188,31 @@ def kmv_distinct_estimate(
         F.max("f").alias("theta"),
         ((F.count(F.lit(1)) - 1).cast("double") / F.max("f")).alias("est_distinct"),
     )
+
+
+def stratified_hash_sample(
+    docs: DataFrame, rates: dict[str, int], strata_col: str, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-stratum sampling: stratum s keeps rows whose
+    md5(key) first nibble < rates[s] (out of 16) — per-class rates in
+    one pass, reproducible across engines/partitionings (the
+    class-balancing step for skewed corpora).  Pure filter: no
+    shuffle, pushes to the scan."""
+    nibble = F.substring(F.md5(F.col(key_col).cast("string")), 1, 1)
+    cond = F.lit(False)
+    for stratum, sixteenths in rates.items():
+        bound = format(sixteenths, "x") if sixteenths < 16 else "g"
+        cond = cond | ((F.col(strata_col) == stratum) & (nibble < bound))
+    return docs.where(cond)
+
+
+def split_assign(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """(.., split): deterministic train/valid/test assignment from the
+    md5 nibble — 14/16 train, 1/16 valid, 1/16 test.  A document's
+    split never changes as the corpus grows (the property that keeps
+    eval sets uncontaminated across recrawls)."""
+    nibble = F.substring(F.md5(F.col(key_col).cast("string")), 1, 1)
+    return docs.withColumn(
+        "split",
+        F.when(nibble < "e", "train").when(nibble < "f", "valid").otherwise("test"),
+    )

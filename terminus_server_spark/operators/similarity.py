@@ -287,3 +287,29 @@ def label_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def l2_normalize(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, unit_vec, norm): exact-reproducible L2 normalization —
+    the norm comes from the fixed-point self-dot (same as every
+    cosine here: floor(x*x*1e12) bigint sums), the division is plain
+    double math, so the unit vectors hash-match the SQL oracle.
+    Normalize-then-dot turns cosine ANN into inner-product ANN (the
+    form IVF/HNSW libraries want)."""
+    v = _scaled_vec(F.col(vec_col))
+    norm_expr = F.sqrt(
+        F.aggregate(
+            v, F.lit(0).cast("bigint"), lambda acc, x: acc + F.floor(x * x * SCALE).cast("bigint")
+        ).cast("double")
+        / F.lit(SCALE)
+    )
+    # materialize the norm BEFORE the per-element lambda reads it —
+    # inlined, the whole aggregate would re-run once per element
+    staged = emb.select(F.col(id_col), v.alias("_v"), norm_expr.alias("norm"))
+    return staged.select(
+        id_col,
+        F.transform(F.col("_v"), lambda x: x / F.col("norm")).alias("unit_vec"),
+        "norm",
+    )

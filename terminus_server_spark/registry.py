@@ -4268,3 +4268,74 @@ def src_upsert(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT lang, COUNT(*) AS n
+    FROM documents
+    WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4')
+       OR (lang <> 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8')
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Per-class deterministic sampling: majority-class en at 4/16,
+    everything else at 8/16 — the class-balancing pass, reproducible
+    at any partitioning."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    rates = {lang: (4 if lang == "en" else 8) for lang in langs}
+    out = stratified_hash_sample(docs, rates, "lang")
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")
+
+
+@register(
+    "sample_splits",
+    """
+    SELECT source,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def sample_splits(spark, sf_dir):
+    """Deterministic train/valid/test assignment (14/1/1 nibbles) —
+    membership is a pure function of the key, so recrawls can't leak
+    eval docs into train."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import split_assign
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        split_assign(docs)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "emb_normalize",
+    """
+    WITH parts AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             sqrt(list_sum(list_transform(embedding,
+               x -> floor(x::DOUBLE * x::DOUBLE * 1e12)::BIGINT))::DOUBLE / 1e12) AS norm
+      FROM embeddings)
+    SELECT vec_id, list_transform(v, x -> x / norm) AS unit_vec, norm
+    FROM parts
+    """,
+)
+def emb_normalize(spark, sf_dir):
+    from terminus_server_spark.operators.similarity import l2_normalize
+
+    return l2_normalize(_t(spark, sf_dir, "embeddings")["embeddings"])

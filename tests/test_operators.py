@@ -558,3 +558,17 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
     assert n_src == 40 and n_dst == 1
     assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_split_assign_partitions_corpus(spark, tables):
+    from terminus_server_spark.operators.pipeline import split_assign
+
+    docs = tables["documents"]
+    out = split_assign(docs)
+    assert out.count() == docs.count()  # total preserved
+    per = {r.split: r.n for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(per) == {"train", "valid", "test"}
+    assert per["train"] > per["valid"] and per["train"] > per["test"]
+    # determinism: re-running yields identical assignment
+    again = split_assign(docs)
+    assert out.exceptAll(again).count() == 0

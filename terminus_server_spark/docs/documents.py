@@ -241,3 +241,30 @@ def count_related(
     return parent.join(counts, parent_key, "left_outer").withColumn(
         count_alias, F.coalesce(F.col(count_alias), F.lit(0))
     )
+
+
+def validate_cardinality(
+    triples: DataFrame, predicate: str, min_n: int = 1, max_n: int = 1,
+    class_subjects: DataFrame | None = None,
+) -> DataFrame:
+    """(key, violation): subjects violating a property-cardinality
+    constraint (schema checking's min/max occurrences — TerminusDB
+    rejects documents breaking them at insert).  One count aggregate
+    keyed by subject; ``class_subjects`` (one column ``subject``)
+    supplies the domain so MISSING properties (count 0) are caught,
+    not just duplicates."""
+    counts = (
+        triples.where(F.col("predicate") == predicate)
+        .groupBy("subject")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if class_subjects is not None:
+        counts = class_subjects.select("subject").join(counts, "subject", "left_outer").fillna(
+            {"n": 0}
+        )
+    return counts.where((F.col("n") < min_n) | (F.col("n") > max_n)).select(
+        F.col("subject").alias("key"),
+        F.when(F.col("n") < min_n, F.lit(f"{predicate}:below_min_cardinality"))
+        .otherwise(F.lit(f"{predicate}:above_max_cardinality"))
+        .alias("violation"),
+    )

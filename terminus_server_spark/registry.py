@@ -4339,3 +4339,33 @@ def emb_normalize(spark, sf_dir):
     from terminus_server_spark.operators.similarity import l2_normalize
 
     return l2_normalize(_t(spark, sf_dir, "embeddings")["embeddings"])
+
+
+@register(
+    "schema_cardinality",
+    """
+    SELECT 'Order/' || o_orderkey AS key,
+           CASE WHEN o_orderkey % 100 = 0 THEN 'o_customer:below_min_cardinality'
+                ELSE 'o_customer:above_max_cardinality' END AS violation
+    FROM orders WHERE (o_orderkey % 100 = 0 OR o_orderkey % 173 = 0)
+      AND NOT (o_orderkey % 100 = 0 AND o_orderkey % 173 = 0)
+    """,
+)
+def schema_cardinality(spark, sf_dir):
+    """Property cardinality check over triples: o_customer must occur
+    exactly once per Order — the gate removes it from every 100th
+    order and doubles it on every 173rd, and the checker reports both
+    directions (the reference's min/max occurrence constraint)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import validate_cardinality
+
+    store = _store(spark, sf_dir)
+    cust_edges = store.spo("o_customer")
+    keynum = F.element_at(F.split(F.col("subject"), "/"), 2).cast("long")
+    broken = (
+        cust_edges.where(keynum % 100 != 0)  # drop -> below min
+        .unionByName(cust_edges.where(keynum % 173 == 0))  # duplicate -> above max
+    )
+    subjects = store.spo("rdf:type").where(F.col("obj") == "Order").select("subject")
+    return validate_cardinality(broken, "o_customer", 1, 1, class_subjects=subjects)

@@ -4369,3 +4369,110 @@ def schema_cardinality(spark, sf_dir):
     )
     subjects = store.spo("rdf:type").where(F.col("obj") == "Order").select("subject")
     return validate_cardinality(broken, "o_customer", 1, 1, class_subjects=subjects)
+
+
+@register(
+    "graph_cooccurrence",
+    """
+    WITH ps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_orderkey % 50 = 0)
+    SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+           COUNT(*) AS n_shared_orders
+    FROM ps a JOIN ps b ON a.l_orderkey = b.l_orderkey
+      AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_shared_orders DESC, supp_a, supp_b
+    """,
+)
+def graph_cooccurrence(spark, sf_dir):
+    """Bipartite projection: suppliers co-occurring in the same order
+    (the order-supplier graph folded onto one side) — the
+    co-purchase/collaboration-graph construction.  Per-order pair
+    generation is bounded by order width (<= 7 lineitems), so the
+    projection is linear in edges, never O(suppliers²); the sampled
+    modulus keeps the gate small while the dataflow is scale-true."""
+    from pyspark.sql import functions as F
+
+    l = _t(spark, sf_dir, "lineitem")["lineitem"]
+    ps = (
+        l.where(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.alias("a")
+    b = ps.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_suppkey").alias("supp_b")
+    ).alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("bo")) & (F.col("a.l_suppkey") < F.col("supp_b")))
+        .groupBy(F.col("a.l_suppkey").alias("supp_a"), "supp_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_orders"))
+        .where(F.col("n_shared_orders") >= 2)
+        .orderBy(F.col("n_shared_orders").desc(), "supp_a", "supp_b")
+    )
+
+
+@register(
+    "dedup_minhash_estimate",
+    rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+              min(md5('0:' || shingle)) AS s0, min(md5('1:' || shingle)) AS s1,
+              min(md5('2:' || shingle)) AS s2, min(md5('3:' || shingle)) AS s3,
+              min(md5('4:' || shingle)) AS s4, min(md5('5:' || shingle)) AS s5,
+              min(md5('6:' || shingle)) AS s6, min(md5('7:' || shingle)) AS s7
+            FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    exact AS (
+      SELECT doc_a, doc_b,
+             n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.4)
+    SELECT doc_a, doc_b, jaccard,
+           ((CASE WHEN x.s0 = y.s0 THEN 1 ELSE 0 END) + (CASE WHEN x.s1 = y.s1 THEN 1 ELSE 0 END)
+          + (CASE WHEN x.s2 = y.s2 THEN 1 ELSE 0 END) + (CASE WHEN x.s3 = y.s3 THEN 1 ELSE 0 END)
+          + (CASE WHEN x.s4 = y.s4 THEN 1 ELSE 0 END) + (CASE WHEN x.s5 = y.s5 THEN 1 ELSE 0 END)
+          + (CASE WHEN x.s6 = y.s6 THEN 1 ELSE 0 END) + (CASE WHEN x.s7 = y.s7 THEN 1 ELSE 0 END)
+           )::DOUBLE / 8.0 AS jaccard_est
+    FROM exact JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_estimate(spark, sf_dir):
+    """Sketch-based similarity estimation: for truly-similar pairs
+    (exact Jaccard >= 0.4), the MinHash signature-agreement fraction
+    is the classic unbiased estimate — both the exact value and the
+    estimate are deterministic, so the estimator itself is
+    value-hash checked (the property LSH's recall math rests on)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    sh = shingles(docs)
+    sig = minhash_signatures(sh)
+    exact = (
+        ngram_jaccard_pairs(sh, threshold=0.4).select("doc_a", "doc_b", "jaccard")
+    )
+    x = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"xa_{i}") for i in range(8)])
+    y = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"yb_{i}") for i in range(8)])
+    agree = sum(
+        F.when(F.col(f"xa_{i}") == F.col(f"yb_{i}"), 1).otherwise(0) for i in range(8)
+    )
+    return (
+        exact.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a", "doc_b", "jaccard",
+            (agree.cast("double") / F.lit(8.0)).alias("jaccard_est"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

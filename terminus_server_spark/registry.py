@@ -4476,3 +4476,78 @@ def dedup_minhash_estimate(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "text_charset_stats",
+    r"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits,
+           (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT AS n_alpha,
+           CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                     / length(text)::DOUBLE
+                ELSE 0.0 END AS alpha_ratio
+    FROM documents
+    """,
+)
+def text_charset_stats(spark, sf_dir):
+    """Character-class composition (digit/alpha counts + alpha ratio)
+    — the cheap charset filters that catch binary junk, tables, and
+    code masquerading as prose.  Pure regexp counting, codegen-only."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    t = F.col("text")
+    n = F.length(t).cast("bigint")
+    n_dig = (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("bigint")
+    n_alp = (F.length(t) - F.length(F.regexp_replace(t, "[A-Za-z]", ""))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        n_dig.alias("n_digits"),
+        n_alp.alias("n_alpha"),
+        F.when(n > 0, n_alp.cast("double") / n.cast("double")).otherwise(0.0).alias("alpha_ratio"),
+    )
+
+
+@register(
+    "events_anomaly",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS z
+      FROM events e JOIN stats USING (event_type))
+    SELECT event_id, event_type, value, z
+    FROM scored WHERE abs(z) > 3 ORDER BY event_id
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Z-score outliers per event type: moments from decimal sums
+    (order-independent), mean/variance/z in plain double — the
+    monitoring-grade anomaly flag, exactly reproducible.  One
+    aggregate + one broadcast join back; no window over the fact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    events = _t(spark, sf_dir, "events")["events"]
+    stats = events.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)")).cast("double").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    return (
+        events.join(broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .where(F.abs(F.col("z")) > 3)
+        .orderBy("event_id")
+    )

@@ -4551,3 +4551,50 @@ def events_anomaly(spark, sf_dir):
         .where(F.abs(F.col("z")) > 3)
         .orderBy("event_id")
     )
+
+
+@register(
+    "doc_json_export",
+    """
+    SELECT c_custkey,
+           to_json(struct_pack(
+             c_custkey := c_custkey,
+             c_mktsegment := c_mktsegment,
+             orders := orders_list)) AS doc
+    FROM (
+      SELECT c.c_custkey, c.c_mktsegment,
+             COALESCE(list(o.o_orderkey ORDER BY o.o_orderkey)
+                        FILTER (WHERE o.o_orderkey IS NOT NULL), []) AS orders_list
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey % 500 = 0
+      GROUP BY c.c_custkey, c.c_mktsegment)
+    ORDER BY c_custkey
+    """,
+)
+def doc_json_export(spark, sf_dir):
+    """Document read, concretely: customers assemble their order-id
+    subdocument list and serialize as JSON documents — the reverse of
+    doc insert, with byte-identical serialization in the oracle (both
+    engines emit compact JSON in struct field order)."""
+    from pyspark.sql import functions as F
+
+    tabs = _t(spark, sf_dir, "customer", "orders")
+    cust = tabs["customer"].where(F.col("c_custkey") % 500 == 0)
+    kids = (
+        tabs["orders"]
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orders_list"))
+    )
+    assembled = (
+        cust.select("c_custkey", "c_mktsegment")
+        .join(kids, "c_custkey", "left_outer")
+        .withColumn("orders_list", F.coalesce(F.col("orders_list"), F.array().cast("array<long>")))
+    )
+    return assembled.select(
+        "c_custkey",
+        F.to_json(
+            F.struct(
+                F.col("c_custkey"), F.col("c_mktsegment"), F.col("orders_list").alias("orders")
+            )
+        ).alias("doc"),
+    ).orderBy("c_custkey")

@@ -173,6 +173,34 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "tss") -> list[list[float]
     ]
 
 
+def _plane_component(p: int, idx: Column, seed: str = "tss") -> Column:
+    """Expression form of one ``_hyperplanes`` component: the same
+    md5-derived uniform in [-1, 1], computed JVM-side from the element
+    index — so the signature needs no driver-side dim sniffing and the
+    plan stays a per-row expression (zero shuffle, any vector width).
+    ``conv(hex, 16, 10)`` yields an integer < 2^32 → exact in double;
+    the division and affine map replay Python's float ops bit-for-bit.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:{p}:"), idx.cast("string"))), 1, 8), 16, 10
+    ).cast("double")
+    return (h / F.lit(float(0xFFFFFFFF))) * F.lit(2.0) - F.lit(1.0)
+
+
+def expr_lsh_signature(vec_col: Column, n_planes: int, seed: str = "tss") -> Column:
+    """Sign-hash signature with expression-derived hyperplanes — the
+    dim-agnostic form of ``lsh_signature``.  Bit p = (v · plane_p) > 0
+    where the dot is a sequential left fold over
+    ``transform(v, (x, i) -> x * plane_p[i])`` (0.0 + x is exact in
+    IEEE, so DuckDB's list_reduce replays it bit-for-bit)."""
+    bits = []
+    for p in range(n_planes):
+        prods = F.transform(vec_col, lambda x, i, p=p: x * _plane_component(p, i, seed))
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-hash signature: bit p = (vec · plane_p) > 0.  Charikar's
     SimHash for cosine — collision probability 1 − θ/π per bit."""
@@ -204,16 +232,18 @@ def lsh_topk(
     candidates (same band-bucket-join shape as MinHash dedup — never
     O(n²)); candidates are scored exactly and top-k'd.  Recall tunes
     with n_planes/n_bands exactly like MinHash banding.
+
+    Hyperplanes are expression-derived (``expr_lsh_signature``): no
+    driver-side dim sniffing, works for any vector width without a
+    ``.first()`` round-trip.
     """
     from pyspark.sql.window import Window
 
-    dim = len(emb.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
     rows_per_band = n_planes // n_bands
 
     def banded(side: DataFrame, suffix: str) -> DataFrame:
         parts = scaled_parts(side, id_col, vec_col, suffix)
-        sig = lsh_signature(F.transform(F.col(f"vec_{suffix}"), lambda x: x), planes)
+        sig = expr_lsh_signature(F.col(f"vec_{suffix}"), n_planes)
         withsig = parts.withColumn("sig", sig)
         bands = [
             withsig.select(

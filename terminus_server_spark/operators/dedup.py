@@ -255,6 +255,77 @@ def embedding_near_dup_pairs(
     return emb.select(id_col, vec_col).repartition(n_parts).mapInPandas(run, out_schema)
 
 
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.37,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos): embedding near-dup pairs via banded sign-LSH
+    candidates + exact cosine verify — the 100 TB default path.
+
+    Candidate generation is the same band-bucket self-join shape as
+    MinHash dedup (``lsh_candidate_pairs``): rows pair only within a
+    (band_id, band_key) bucket, never across the whole corpus, so the
+    pair space is bounded by bucket sizes rather than n².  The verify
+    step computes the exact fixed-point cosine on candidates only
+    (same convention as ``similarity``), so every emitted pair carries
+    a true cosine — recall (not precision) is what banding trades.
+    For genuinely-near duplicates (cos ≥ 0.9) recall at the default
+    16-plane / 4-band setting is ≈0.95 per Charikar's bit-collision
+    bound; the exact all-pairs form below remains available as the
+    verification primitive / oracle baseline.
+
+    The hyperplanes are md5-derived expressions
+    (``expr_lsh_signature``), so the correctness oracle replays the
+    *same* candidate set in SQL — the approximation itself is
+    hash-checked, not just row-counted.
+    """
+    from terminus_server_spark.operators.similarity import (
+        cosine_from_parts,
+        expr_lsh_signature,
+        scaled_parts,
+    )
+
+    rows_per_band = n_planes // n_bands
+    pa = scaled_parts(emb, id_col, vec_col, "a")
+    sig = pa.select(
+        F.col("id_a").alias("doc_id"),
+        expr_lsh_signature(F.col("vec_a"), n_planes).alias("sig"),
+    )
+    bands = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.substring("sig", b * rows_per_band + 1, rows_per_band).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.union(b)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    pb = scaled_parts(emb, id_col, vec_col, "b")
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select("id_a", "id_b", cosine_from_parts().alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def near_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, cluster_id, is_canonical): near-duplicate clusters —
     the step after candidate generation that an actual dedup pass

@@ -258,7 +258,9 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
-def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+def kcore(
+    edges: DataFrame, k: int = 3, rounds: int = 4, broadcast_edge_limit: int = 2_000_000
+) -> DataFrame:
     """(node, degree): nodes surviving ``rounds`` of k-core pruning
     (drop nodes with degree < k, recompute, repeat) over the
     undirected graph, with their degree in the surviving subgraph.
@@ -268,7 +270,13 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
     unrolled-CTE oracle) is deterministic whether or not the pruning
     has reached its fixpoint — callers pick rounds >= expected
     peel-off depth.  Scale: per-round shuffle is keyed by node id
-    with map-side partial counts; the edge set only shrinks."""
+    with map-side partial counts; the edge set only shrinks.
+
+    The keep-set broadcast is *gated* on the surviving edge count
+    (already known from the fixpoint check): on a billion-node graph
+    the keep-set exceeds any broadcast budget and must flow as a
+    shuffled semi-join instead — AQE still upgrades it to broadcast
+    at runtime if post-pruning stats fit."""
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -279,13 +287,17 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
     n_edges = cur.count()
     for _ in range(rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        # node sets are ~sqrt of edge volume — broadcast both probes so
-        # each round is one map-side-filtered pass over the edges, not
-        # two edge-set shuffles
-        keep = F.broadcast(deg.where(F.col("d") >= k).select("src"))
+        # keep-set size is bounded by the surviving node count (≤ edge
+        # count): broadcast both probes only while that bound fits the
+        # budget, so each round is one map-side-filtered pass over the
+        # edges rather than two edge-set shuffles
+        keep = deg.where(F.col("d") >= k).select("src")
+        keep_dst = keep.select(F.col("src").alias("dst"))
+        if n_edges <= broadcast_edge_limit:
+            keep, keep_dst = F.broadcast(keep), F.broadcast(keep_dst)
         cur = (
             cur.join(keep, "src", "left_semi")
-            .join(F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi")
+            .join(keep_dst, "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
         # pruning is monotone (edges only ever leave), so an unchanged

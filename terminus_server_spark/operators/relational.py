@@ -186,7 +186,10 @@ def events_sessionize(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFra
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # unix_micros requires TIMESTAMP (LTZ); events.ts arrives as the
+    # canonical TIMESTAMP_NTZ — session tz is UTC so the cast is exact
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
     e = t["events"].withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),

@@ -193,11 +193,16 @@ def expr_lsh_signature(vec_col: Column, n_planes: int, seed: str = "tss") -> Col
     where the dot is a sequential left fold over
     ``transform(v, (x, i) -> x * plane_p[i])`` (0.0 + x is exact in
     IEEE, so DuckDB's list_reduce replays it bit-for-bit)."""
-    bits = []
-    for p in range(n_planes):
-        prods = F.transform(vec_col, lambda x, i, p=p: x * _plane_component(p, i, seed))
-        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    def plane_dot(p: int) -> Column:
+        # close over p via a function scope: a `p=p` default param would
+        # make pyspark count 3 lambda args and build an invalid
+        # higher-order function (transform passes at most (x, i))
+        prods = F.transform(vec_col, lambda x, i: x * _plane_component(p, i, seed))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = [
+        F.when(plane_dot(p) > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(n_planes)
+    ]
     return F.concat(*bits)
 
 

@@ -201,8 +201,11 @@ def semi_anti_q(spark, sf_dir):
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
     FROM (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB types a window SUM over INTEGER as HUGEINT
+             -- (int128); Spark emits BIGINT.  The driver's value hash is
+             -- wire-type sensitive, so pin the oracle to BIGINT too.
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, event_id, value,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -613,8 +616,20 @@ _COS_SQL = """list_sum(list_transform(list_zip(a.v, b.v),
       p -> floor(p[1] * p[2] * 1e12)::BIGINT))::DOUBLE / sqrt(a.norm::DOUBLE * b.norm::DOUBLE)"""
 
 
+@register("dedup_embed_cos")  # exact oracle assigned below (_embed_lsh_oracle_sql)
+def dedup_embed_cos(spark, sf_dir):
+    """Default scale path: banded sign-LSH candidates + exact cosine
+    verify (never all-pairs).  The oracle replays the identical
+    candidate generation in SQL, so the approximation is hash-checked."""
+    from terminus_server_spark.operators.dedup import embedding_near_dup_pairs_lsh
+
+    return embedding_near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings")["embeddings"], threshold=0.37
+    )
+
+
 @register(
-    "dedup_embed_cos",
+    "dedup_embed_cos_exact",
     f"""
     WITH {_PARTS_SQL}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos
@@ -622,7 +637,9 @@ _COS_SQL = """list_sum(list_transform(list_zip(a.v, b.v),
     WHERE {_COS_SQL} >= 0.37
     """,
 )
-def dedup_embed_cos(spark, sf_dir):
+def dedup_embed_cos_exact(spark, sf_dir):
+    """All-pairs verification primitive — the oracle baseline the LSH
+    path's recall is measured against; not the default corpus path."""
     from terminus_server_spark.operators.dedup import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
@@ -1145,12 +1162,14 @@ def woql_string(spark, sf_dir):
     """
     SELECT 'Order/' || o_orderkey AS o,
            o_totalprice AS tp_d,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS tp_dec,
-           o_orderdate AS od
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS tp_dec,
+           CAST(o_orderdate AS TIMESTAMP) AS od
     FROM orders WHERE o_totalprice > 480000
     """,
 )
 def woql_typecast(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from terminus_server_spark.woql import ast as A
 
     q = A.Select(
@@ -1164,7 +1183,11 @@ def woql_typecast(spark, sf_dir):
             A.Typecast(A.v("od_s"), "xsd:dateTime", A.v("od")),
         ),
     )
-    return _ctx(spark, sf_dir).run(q)
+    # canonical wire types: DECIMAL renders as its scale-2 lexical form on
+    # both engines once cast to string (DuckDB's DECIMAL→pandas float64 and
+    # nanosecond parquet timestamps would otherwise hash differently from
+    # Spark's Decimal object / microsecond timestamp).
+    return _ctx(spark, sf_dir).run(q).withColumn("tp_dec", F.col("tp_dec").cast("string"))
 
 
 @register(
@@ -2223,7 +2246,7 @@ def src_bucketed_join(spark, sf_dir):
     "src_json_roundtrip",
     """
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(CAST(n_chars AS BIGINT)) AS total_chars
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
     FROM documents
     WHERE n_chars > 50
     GROUP BY lang, source
@@ -2259,7 +2282,7 @@ def src_json_roundtrip(spark, sf_dir):
     "src_csv_roundtrip",
     f"""
     SELECT country, COUNT(*) AS n_cities,
-           SUM(CAST(pop AS BIGINT)) AS total_pop, MIN(city) AS first_city
+           CAST(SUM(CAST(pop AS BIGINT)) AS BIGINT) AS total_pop, MIN(city) AS first_city
     FROM read_csv('{_CSV_PATH}', header=true, all_varchar=true)
     GROUP BY country
     """,
@@ -2354,7 +2377,7 @@ def stream_session(spark, sf_dir):
 @register(
     "stream_dedup",
     """
-    SELECT COUNT(*) AS n, SUM(event_id) AS sum_id
+    SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
     FROM (SELECT DISTINCT event_id FROM events)
     """,
 )
@@ -2627,8 +2650,8 @@ def q11(spark, sf_dir):
     "q12_priority_shipping",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l_linestatus ORDER BY l_linestatus
@@ -2922,14 +2945,11 @@ ORACLES["ann_ivf"] = f"""
 """
 
 
-def _lsh_oracle_sql() -> str:
-    from terminus_server_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(64, 12)
-    rows_per_band = 12 // 3
-    # signature: bit p = (v · plane_p) > 0; list_reduce is a sequential
-    # left fold, and 0.0 + x == x in IEEE, so it reproduces Spark's
-    # F.aggregate(0.0, +) bit-for-bit
+def _sig_sql(planes: list[list[float]]) -> str:
+    """Sign-LSH signature as a DuckDB expression over column ``v``:
+    bit p = (v · plane_p) > 0.  list_reduce is a sequential left fold,
+    and 0.0 + x == x in IEEE, so it reproduces Spark's
+    F.aggregate(0.0, +) bit-for-bit."""
     bit_exprs = []
     for row in planes:
         lit = "[" + ", ".join(repr(x) for x in row) + "]"
@@ -2938,7 +2958,15 @@ def _lsh_oracle_sql() -> str:
             + lit
             + "::DOUBLE[]), q -> q[1] * q[2]), (x, y) -> x + y) > 0 THEN '1' ELSE '0' END"
         )
-    sig = " || ".join(bit_exprs)
+    return " || ".join(bit_exprs)
+
+
+def _lsh_oracle_sql() -> str:
+    from terminus_server_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 12)
+    rows_per_band = 12 // 3
+    sig = _sig_sql(planes)
     bands = " UNION ALL ".join(
         f"SELECT vec_id, v, norm, {b} AS band_id, substring(sig, {b * rows_per_band + 1}, {rows_per_band}) AS band_key, is_q FROM sigs"
         for b in range(3)
@@ -2969,6 +2997,37 @@ def _lsh_oracle_sql() -> str:
 ORACLES["ann_lsh"] = _lsh_oracle_sql()
 
 
+def _embed_lsh_oracle_sql(threshold: float = 0.37, n_planes: int = 16, n_bands: int = 4) -> str:
+    """Oracle for ``dedup_embed_cos``: replays the banded sign-LSH
+    candidate self-join and the exact fixed-point cosine verify —
+    the same dataflow as ``embedding_near_dup_pairs_lsh``."""
+    from terminus_server_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes)
+    rows_per_band = n_planes // n_bands
+    sig = _sig_sql(planes)
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, substring(sig, {b * rows_per_band + 1}, {rows_per_band}) AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_PARTS_SQL},
+    sigs AS (SELECT vec_id, {sig} AS sig FROM (SELECT vec_id, v FROM parts)),
+    banded AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS ca, b.vec_id AS cb
+      FROM banded a JOIN banded b USING (band_id, band_key)
+      WHERE a.vec_id < b.vec_id)
+    SELECT cand.ca AS id_a, cand.cb AS id_b, {_COS_SQL} AS cos
+    FROM cand JOIN parts a ON a.vec_id = cand.ca
+              JOIN parts b ON b.vec_id = cand.cb
+    WHERE {_COS_SQL} >= {threshold}
+"""
+
+
+ORACLES["dedup_embed_cos"] = _embed_lsh_oracle_sql()
+
+
 @register(
     "emb_centroids",
     """
@@ -2994,7 +3053,7 @@ def emb_centroids(spark, sf_dir):
     """
     SELECT doc_id, source, n_tokens,
            source || '#' || CAST((cum - n_tokens) // 2048 AS VARCHAR) AS bin_id,
-           (cum - n_tokens) % 2048 AS bin_offset
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
     FROM (
       SELECT doc_id, source,
              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
@@ -3759,14 +3818,21 @@ def stream_sliding_window(spark, sf_dir):
     events = _t(spark, sf_dir, "events")["events"]
 
     def transform(stream):
-        e = stream.withWatermark("ts", "4 hours")
+        from terminus_server_spark.streaming.events import _event_time
+
+        e = _event_time(stream).withWatermark("ts", "4 hours")
         return (
             e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
             )
-            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
         )
 
     return run_stream_to_table(
@@ -3817,7 +3883,7 @@ def stream_sliding_window(spark, sf_dir):
                  len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_FR}, x)))::BIGINT AS hits_fr
           FROM documents)))
     SELECT d.source, COUNT(*) AS n_docs,
-           SUM(CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)) AS sum_tokens
+           CAST(SUM(CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)) AS BIGINT) AS sum_tokens
     FROM documents d
       JOIN canon ON d.doc_id = canon.doc_id
       JOIN lang ON d.doc_id = lang.doc_id
@@ -4092,7 +4158,7 @@ def vc_log(spark, sf_dir):
       FROM documents),
     counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
     SELECT COUNT(*) AS vocab_size,
-           SUM(c) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
            COUNT(*)::DOUBLE / SUM(c)::DOUBLE AS type_token_ratio,
            MAX(c) AS top_token_count
     FROM counts

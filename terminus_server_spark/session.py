@@ -57,20 +57,34 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "embeddings",
     )
     ts_cols = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"], "events": ["ts"]}
-    # the events table stores TIMESTAMP(NANOS), which the vectorized
-    # reader rejects unless read as long — set the conf here (not just
-    # in get_spark) so the contract also works under a caller-provided
-    # session; it must land before the first read of the file.
+    # driver-generated parquet has shipped timestamps two ways across
+    # rounds: TIMESTAMP(NANOS) (vectorized reader rejects it unless read
+    # as long) and plain timestamp[us] with no timezone (Spark reads
+    # TIMESTAMP_NTZ).  Set the nanos conf here (not just in get_spark)
+    # so the contract also works under a caller-provided session; it
+    # must land before the first read of the file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names or all_names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for c in ts_cols.get(name, []):
-            if dict(df.dtypes).get(c) == "bigint":
+            dt = dict(df.dtypes).get(c)
+            if dt == "bigint":
                 # nanos→micros via integer div (truncation, matching
                 # DuckDB); float division would round — epoch nanos
-                # exceed 2^53 so doubles can't hold them exactly
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+                # exceed 2^53 so doubles can't hold them exactly.
+                # timestamp_micros yields LTZ; cast to the canonical NTZ
+                # (session tz is UTC, so the wall time is unchanged).
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+                )
+            elif dt == "timestamp":
+                df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+            # canonical wire type is TIMESTAMP_NTZ (timestamp[us], no tz)
+            # — exactly what DuckDB emits for these columns, so the
+            # driver's type-sensitive value hash sees identical Arrow
+            # encodings.  Operators needing an event-time clock (window/
+            # watermark/unix_micros require LTZ) cast internally.
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

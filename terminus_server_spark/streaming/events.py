@@ -21,20 +21,35 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _event_time(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks / time windows require TIMESTAMP (LTZ); the canonical
+    wire type for event timestamps is TIMESTAMP_NTZ (see
+    session.load_tables).  Session tz is UTC, so the cast changes only
+    the type, not the wall time.  No-op if already LTZ."""
+    if dict(events.dtypes).get(col) == "timestamp_ntz":
+        events = events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
+
+
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window per-type aggregates with a watermark.
 
     Output: (window_start, event_type, n_events, sum_value) — the
     decimal-sum convention keeps sums order-independent so the batch
     oracle hash-matches."""
-    e = events.withWatermark("ts", watermark)
+    e = _event_time(events).withWatermark("ts", watermark)
     return (
         e.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
     )
 
 
@@ -42,7 +57,8 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event stream: drop duplicate event_ids within the
     watermark horizon (state is bounded by the watermark — the 100 TB
     requirement for infinite streams)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    deduped = _event_time(events).withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def run_stream_to_table(
@@ -88,7 +104,7 @@ def session_windows(
 
     Output: (user_id, session_start, session_end, n_events,
     sum_value).  Works identically on batch and streaming inputs."""
-    e = events.withWatermark("ts", watermark)
+    e = _event_time(events).withWatermark("ts", watermark)
     return (
         e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
@@ -97,8 +113,8 @@ def session_windows(
         )
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
             "sum_value",
         )
@@ -120,14 +136,19 @@ def stream_static_join_counts(
     Output: (window_start, <group_col>, n_events, sum_value).  This is
     the streaming-enrichment shape (events → dimension lookup →
     rollup); state is bounded by the watermark, the join adds none."""
-    e = events.withWatermark("ts", watermark).join(dim, on=on)
+    e = _event_time(events).withWatermark("ts", watermark).join(dim, on=on)
     return (
         e.groupBy(F.window("ts", window).alias("w"), group_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
         )
-        .select(F.col("w.start").alias("window_start"), group_col, "n_events", "sum_value")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
     )
 
 
@@ -210,7 +231,7 @@ def spend_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
         events.groupBy("user_id")
         .applyInPandasWithState(
             fn,
-            outputStructType="user_id bigint, alert_ts timestamp, total_at_alert double",
+            outputStructType="user_id bigint, alert_ts timestamp_ntz, total_at_alert double",
             stateStructType="total bigint, emitted int",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -1186,8 +1186,14 @@ def woql_typecast(spark, sf_dir):
     # canonical wire types: DECIMAL renders as its scale-2 lexical form on
     # both engines once cast to string (DuckDB's DECIMAL→pandas float64 and
     # nanosecond parquet timestamps would otherwise hash differently from
-    # Spark's Decimal object / microsecond timestamp).
-    return _ctx(spark, sf_dir).run(q).withColumn("tp_dec", F.col("tp_dec").cast("string"))
+    # Spark's Decimal object / microsecond timestamp); the xsd:dateTime
+    # cast yields LTZ — canonical wire type is NTZ.
+    return (
+        _ctx(spark, sf_dir)
+        .run(q)
+        .withColumn("tp_dec", F.col("tp_dec").cast("string"))
+        .withColumn("od", F.col("od").cast("timestamp_ntz"))
+    )
 
 
 @register(
@@ -3216,6 +3222,9 @@ def events_retention(spark, sf_dir):
     return (
         activity.groupBy("cohort", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
+        # date_trunc over the NTZ event time yields LTZ; canonical wire
+        # type is NTZ (UTC session tz — wall time unchanged)
+        .withColumn("cohort", F.col("cohort").cast("timestamp_ntz"))
         .orderBy("cohort", "week_offset")
     )
 
@@ -4088,7 +4097,13 @@ def events_gapfill(spark, sf_dir):
     )
     return gap_fill(
         hourly, "ts", 3600, ["event_type"], {"n_events": 0, "sum_value": 0.0}
-    ).select("event_type", "ts", "n_events", "sum_value")
+    ).select(
+        "event_type",
+        # grid timestamps come out LTZ; canonical wire type is NTZ
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "n_events",
+        "sum_value",
+    )
 
 
 @register(
@@ -4623,10 +4638,10 @@ def events_anomaly(spark, sf_dir):
     "doc_json_export",
     """
     SELECT c_custkey,
-           to_json(struct_pack(
+           CAST(to_json(struct_pack(
              c_custkey := c_custkey,
              c_mktsegment := c_mktsegment,
-             orders := orders_list)) AS doc
+             orders := orders_list)) AS VARCHAR) AS doc
     FROM (
       SELECT c.c_custkey, c.c_mktsegment,
              COALESCE(list(o.o_orderkey ORDER BY o.o_orderkey)

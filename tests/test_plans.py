@@ -242,3 +242,23 @@ def test_asof_join_single_shuffle_on_key(spark, tables):
     # union-window formulation: no join operator at all, one window
     assert "Join" not in p or "BroadcastNestedLoopJoin" not in p
     assert p.count("Exchange") <= 2  # union sides coalesce into the window shuffle
+
+
+def test_embed_dedup_lsh_never_all_pairs(spark):
+    """The default embedding near-dup path must pair rows only within
+    LSH band buckets: no cartesian product, no driver materialization,
+    no Python eval anywhere in the plan (VERDICT r1 scale-killer)."""
+    from terminus_server_spark.operators.dedup import embedding_near_dup_pairs_lsh
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    p = plan_str(embedding_near_dup_pairs_lsh(emb))
+    for bad in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+    ):
+        assert bad not in p, f"{bad} in embed-dedup plan"

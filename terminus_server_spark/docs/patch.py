@@ -1,0 +1,273 @@
+"""Recursive JSON document diff / patch (SURVEY §2.3 rows 29/30, deep).
+
+Parity: terminus-server's patch engine (public locus:
+src/core/document/patch.pl) diffs arbitrarily *nested* documents —
+subdocument fields yield diffs at a path (SwapValue), list fields
+yield list patches (swap / append / truncate).  The round-1 verdict
+named the flat-field-only diff the biggest real-user gap; this module
+is the deep version.
+
+Spark-first design: the document schema is known at plan time, so the
+recursive walk over subdocuments and lists unrolls into pure built-in
+column expressions — higher-order functions (`transform`, `filter`,
+`flatten`) over arrays and struct rebuilds.  No UDF, no driver
+round-trip; diff is a single full-outer join on the document key,
+patch is one aggregate over the diff plus one join.  Both scale as
+ordinary shuffles keyed by document id.
+
+Path grammar (JSON-pointer-ish, 0-based list indices)::
+
+    customer.name        subdocument field
+    items[3].quantity    field of the 4th list element
+    tags[0]              atom list element
+    items#len            list-resize sentinel (op='resized')
+
+List diffs are index-aligned: element i compares to element i; a
+longer new list yields ``added`` entries at the tail, a shorter one
+``removed`` — the swap/append/truncate core of the reference's list
+patch.  A ``#len`` sentinel records every size change so patch can
+rebuild lists at the correct length without inferring it from leaf
+paths (which would conflate field-nulling with element removal).
+
+Supported document shape: subdocuments (structs) at any depth, lists
+of atoms, lists of subdocuments.  Lists directly inside lists are
+unsupported (the reference's schema language likewise interposes a
+subdocument class between nested collections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DataType, StructType
+
+def _nsize(c: Column) -> Column:
+    """NULL-propagating list size (Spark's legacy ``size(NULL)`` is -1;
+    DuckDB's ``len(NULL)`` is NULL — diffs compare against the latter)."""
+    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(F.size(c))
+
+
+def _guarded_range(n: Column) -> Column:
+    """[0, n) as an array column; empty when n <= 0 (a bare
+    ``sequence(0, -1)`` would count downward)."""
+    return F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _diff_leaf(path: Column, ov: Column, nv: Column) -> Column:
+    ovs, nvs = ov.cast("string"), nv.cast("string")
+    op = (
+        F.when(ovs.isNull() & nvs.isNotNull(), F.lit("added"))
+        .when(ovs.isNotNull() & nvs.isNull(), F.lit("removed"))
+        .when(ovs != nvs, F.lit("changed"))
+    )
+    return F.struct(
+        path.alias("path"),
+        op.alias("op"),
+        ovs.alias("old_value"),
+        nvs.alias("new_value"),
+    )
+
+
+def _diff_walk(ov: Column, nv: Column, dtype: DataType, path: Column) -> Column:
+    """array<struct<path,op,old_value,new_value>> for the subtree at
+    ``path`` — entries for unchanged leaves carry op=NULL and are
+    filtered once at the top."""
+    if isinstance(dtype, StructType):
+        parts = [
+            _diff_walk(
+                ov[f.name], nv[f.name], f.dataType, F.concat(path, F.lit("." + f.name))
+            )
+            for f in dtype.fields
+        ]
+        return F.concat(*parts)
+    if isinstance(dtype, ArrayType):
+        et = dtype.elementType
+        if isinstance(et, ArrayType):
+            raise TypeError("lists directly inside lists are not supported")
+        # null-propagating sizes: IS DISTINCT FROM catches 3→NULL and
+        # NULL→3 as well as 3→5
+        o_n = _nsize(ov)
+        n_n = _nsize(nv)
+        sentinel = F.when(
+            ~o_n.eqNullSafe(n_n),
+            F.struct(
+                F.concat(path, F.lit("#len")).alias("path"),
+                F.lit("resized").alias("op"),
+                o_n.cast("string").alias("old_value"),
+                n_n.cast("string").alias("new_value"),
+            ),
+        )
+        span = _guarded_range(
+            F.greatest(F.coalesce(o_n, F.lit(0)), F.coalesce(n_n, F.lit(0)))
+        )
+
+        def per_index(i: Column) -> Column:
+            p = F.concat(path, F.lit("["), i.cast("string"), F.lit("]"))
+            oe = F.try_element_at(ov, i + F.lit(1))
+            ne = F.try_element_at(nv, i + F.lit(1))
+            if isinstance(et, StructType):
+                return _diff_walk(oe, ne, et, p)
+            return F.array(_diff_leaf(p, oe, ne))
+
+        return F.concat(
+            F.array(sentinel), F.flatten(F.transform(span, per_index))
+        )
+    return F.array(_diff_leaf(path, ov, nv))
+
+
+def doc_diff_nested(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """(key, path, op, old_value, new_value): recursive diff between
+    two document versions sharing a schema.
+
+    op ∈ {added, removed, changed, resized}; values are the string
+    renderings of the leaves (resized rows carry the list lengths).
+    Documents present on only one side diff as all-added /
+    all-removed leaf sets — the whole-document insert/delete case.
+    One full-outer join on the key; the walk is pure projection."""
+    fields = [f for f in old.schema.fields if f.name != key]
+    joined = old.alias("o").join(new.alias("n"), on=key, how="full_outer")
+    parts = [
+        _diff_walk(
+            F.col("o." + f.name), F.col("n." + f.name), f.dataType, F.lit(f.name)
+        )
+        for f in fields
+    ]
+    entries = F.filter(F.concat(*parts), lambda e: e["op"].isNotNull())
+    return joined.select(F.col(key), F.explode(entries).alias("d")).select(
+        key, "d.path", "d.op", "d.old_value", "d.new_value"
+    )
+
+
+def _leaf_rows(col: Column, dtype: DataType, path: Column) -> Column:
+    """array<struct<path,value>> of the non-null leaves under ``col``
+    (NULL leaves are skipped by the caller's filter)."""
+    if isinstance(dtype, StructType):
+        return F.concat(
+            *[
+                _leaf_rows(col[f.name], f.dataType, F.concat(path, F.lit("." + f.name)))
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, ArrayType):
+        et = dtype.elementType
+        if isinstance(et, ArrayType):
+            raise TypeError("lists directly inside lists are not supported")
+        span = _guarded_range(F.coalesce(_nsize(col), F.lit(0)))
+
+        def per_index(i: Column) -> Column:
+            p = F.concat(path, F.lit("["), i.cast("string"), F.lit("]"))
+            e = F.try_element_at(col, i + F.lit(1))
+            if isinstance(et, StructType):
+                return _leaf_rows(e, et, p)
+            return F.array(
+                F.struct(p.alias("path"), e.cast("string").alias("value"))
+            )
+
+        return F.flatten(F.transform(span, per_index))
+    return F.array(
+        F.struct(path.alias("path"), col.cast("string").alias("value"))
+    )
+
+
+def flatten_documents(docs: DataFrame, key: str) -> DataFrame:
+    """(key, path, value): every non-null leaf of every document —
+    the canonical flat rendering used to value-compare nested shapes
+    across engines (and a useful export/indexing primitive: path-value
+    rows feed inverted indexes and diff displays)."""
+    fields = [f for f in docs.schema.fields if f.name != key]
+    parts = [_leaf_rows(F.col(f.name), f.dataType, F.lit(f.name)) for f in fields]
+    rows = F.filter(F.concat(*parts), lambda r: r["value"].isNotNull())
+    return docs.select(F.col(key), F.explode(rows).alias("l")).select(
+        key, "l.path", "l.value"
+    )
+
+
+def doc_patch_nested(old: DataFrame, diff: DataFrame, key: str) -> DataFrame:
+    """Apply a ``doc_diff_nested`` diff to ``old``, reconstructing the
+    new version: ``patch(old, diff(old, new)) == new`` for every
+    document present in ``old`` (documents added only in ``new``
+    cannot be patched into existence — same contract as the
+    reference's patch, which addresses documents by id).
+
+    Dataflow: the diff aggregates to one row per document (a
+    path→new_value map for added/changed/resized plus a removed-path
+    list), joins back to ``old``, and a schema-driven rebuild emits
+    the patched columns.  Removed leaves become NULL; lists are
+    rebuilt at the ``#len`` sentinel length, so truncation and append
+    both land exactly."""
+    fields = [f for f in old.schema.fields if f.name != key]
+    up = F.col("__upserts")
+    rm = F.col("__removed")
+    agg = diff.groupBy(key).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("op") != "removed",
+                    F.struct(F.col("path"), F.col("new_value")),
+                )
+            )
+        ).alias("__upserts"),
+        F.collect_list(
+            F.when(F.col("op") == "removed", F.col("path"))
+        ).alias("__removed"),
+    )
+    joined = old.join(agg, on=key, how="left_outer")
+
+    def patch_leaf(oc: Column, dtype: DataType, path: Column) -> Column:
+        return (
+            F.when(F.array_contains(rm, path), F.lit(None).cast(dtype))
+            .when(
+                F.try_element_at(up, path).isNotNull(),
+                F.try_element_at(up, path).cast(dtype),
+            )
+            .otherwise(oc)
+        )
+
+    def patch_dyn(oc: Column, dtype: DataType, path: Column) -> Column:
+        """Rebuild below a list element — the path is a runtime column
+        (it embeds the index); only structs and atoms can appear."""
+        if isinstance(dtype, StructType):
+            return F.struct(
+                *[
+                    patch_dyn(
+                        oc[f.name], f.dataType, F.concat(path, F.lit("." + f.name))
+                    ).alias(f.name)
+                    for f in dtype.fields
+                ]
+            )
+        return patch_leaf(oc, dtype, path)
+
+    def patch_walk(oc: Column, dtype: DataType, path: str) -> Column:
+        if isinstance(dtype, StructType):
+            return F.struct(
+                *[
+                    patch_walk(oc[f.name], f.dataType, f"{path}.{f.name}").alias(f.name)
+                    for f in dtype.fields
+                ]
+            )
+        if isinstance(dtype, ArrayType):
+            et = dtype.elementType
+            if isinstance(et, ArrayType):
+                raise TypeError("lists directly inside lists are not supported")
+            # list length: the #len sentinel wins; otherwise unchanged.
+            # (Leaf paths can't size the list — a removed leaf may be a
+            # field nulled in place, not an element dropped.)
+            new_n = F.coalesce(
+                F.try_element_at(up, F.lit(path + "#len")).cast("int"),
+                _nsize(oc),
+            )
+
+            def per_index(i: Column) -> Column:
+                p = F.concat(F.lit(path + "["), i.cast("string"), F.lit("]"))
+                return patch_dyn(F.try_element_at(oc, i + F.lit(1)), et, p)
+
+            return F.when(new_n.isNull(), F.lit(None).cast(dtype)).otherwise(
+                F.transform(_guarded_range(new_n), per_index)
+            )
+        return patch_leaf(oc, dtype, F.lit(path))
+
+    out = [F.col(key)] + [
+        patch_walk(F.col(f.name), f.dataType, f.name).alias(f.name) for f in fields
+    ]
+    return joined.select(*out)

@@ -2184,6 +2184,298 @@ def doc_patch_q(spark, sf_dir):
     return patched.where(F.col("o_orderkey") % 100 == 0).withColumnRenamed("o_orderkey", "key")
 
 
+# --- recursive (nested) document diff / patch -------------------------------
+#
+# Fixture: order documents with a customer subdocument, a lineitem
+# subdocument list, and an atom tag list.  The "new" version exercises
+# every patch op: scalar change, subdocument field change, list element
+# change, list truncation, list append, atom-list append, and whole-
+# document removal/addition.
+
+
+def _nested_doc_versions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir, "orders", "customer", "lineitem")
+    items = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").cast("bigint").alias("linenumber"),
+                        F.col("l_quantity").alias("quantity"),
+                        F.col("l_returnflag").alias("flag"),
+                    )
+                )
+            ).alias("items")
+        )
+    )
+    o, c = t["orders"], t["customer"]
+    base = (
+        o.where((F.col("o_orderkey") % 50 == 0) | (F.col("o_orderkey") % 1300 == 651))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(items, items["l_orderkey"] == o["o_orderkey"], "left_outer")
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.struct(
+                F.col("c_name").alias("name"), F.col("c_mktsegment").alias("mktsegment")
+            ).alias("customer"),
+            F.col("items"),
+            F.array(F.col("o_orderstatus"), F.col("o_orderpriority")).alias("tags"),
+        )
+    )
+    k = F.col("key")
+    old = base.where(k % 50 == 0)
+
+    def mod_item(x):
+        changed = F.struct(
+            x["linenumber"].alias("linenumber"),
+            (x["quantity"] + 5.0).alias("quantity"),
+            x["flag"].alias("flag"),
+        )
+        return F.when((k % 100 == 0) & (x["linenumber"] == 1), changed).otherwise(x)
+
+    i1 = F.transform(F.col("items"), mod_item)
+    i2 = F.when(k % 150 == 0, F.filter(i1, lambda x: x["linenumber"] <= 2)).otherwise(i1)
+    i3 = F.when(
+        k % 200 == 0,
+        F.concat(
+            i2,
+            F.array(
+                F.struct(
+                    F.lit(99).cast("bigint").alias("linenumber"),
+                    F.lit(1.0).alias("quantity"),
+                    F.lit("NEW").alias("flag"),
+                )
+            ),
+        ),
+    ).otherwise(i2)
+    new = base.where(k % 550 != 0).select(
+        "key",
+        "status",
+        F.when(k % 250 == 0, "9-SYNTH").otherwise(F.col("priority")).alias("priority"),
+        F.struct(
+            F.col("customer.name").alias("name"),
+            F.when(k % 350 == 0, "SYNTHETIC")
+            .otherwise(F.col("customer.mktsegment"))
+            .alias("mktsegment"),
+        ).alias("customer"),
+        i3.alias("items"),
+        F.when(k % 250 == 0, F.concat(F.col("tags"), F.array(F.lit("hot"))))
+        .otherwise(F.col("tags"))
+        .alias("tags"),
+    )
+    return old, new
+
+
+_NESTED_DOCS_SQL = """
+    items_by_order AS (
+      SELECT l_orderkey,
+             list(struct_pack(linenumber := CAST(l_linenumber AS BIGINT),
+                              quantity := l_quantity,
+                              flag := l_returnflag)
+                  ORDER BY l_linenumber, l_quantity, l_returnflag) AS items
+      FROM lineitem GROUP BY l_orderkey),
+    base AS (
+      SELECT o.o_orderkey AS key,
+             o.o_orderstatus AS status,
+             o.o_orderpriority AS priority,
+             {'name': c.c_name, 'mktsegment': c.c_mktsegment} AS customer,
+             i.items AS items,
+             [o.o_orderstatus, o.o_orderpriority] AS tags
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN items_by_order i ON i.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey % 50 = 0 OR o.o_orderkey % 1300 = 651),
+    old_docs AS (SELECT * FROM base WHERE key % 50 = 0),
+    new_docs AS (
+      SELECT key, status,
+             CASE WHEN key % 250 = 0 THEN '9-SYNTH' ELSE priority END AS priority,
+             {'name': customer.name,
+              'mktsegment': CASE WHEN key % 350 = 0 THEN 'SYNTHETIC'
+                                 ELSE customer.mktsegment END} AS customer,
+             CASE WHEN key % 200 = 0
+                  THEN list_append(i2, {'linenumber': CAST(99 AS BIGINT),
+                                        'quantity': CAST(1.0 AS DOUBLE),
+                                        'flag': 'NEW'})
+                  ELSE i2 END AS items,
+             CASE WHEN key % 250 = 0 THEN list_append(tags, 'hot') ELSE tags END AS tags
+      FROM (
+        SELECT key, status, priority, customer, tags,
+               CASE WHEN key % 150 = 0 THEN list_filter(i1, x -> x.linenumber <= 2)
+                    ELSE i1 END AS i2
+        FROM (
+          SELECT key, status, priority, customer, tags,
+                 list_transform(items, x ->
+                   CASE WHEN key % 100 = 0 AND x.linenumber = 1
+                        THEN {'linenumber': x.linenumber,
+                              'quantity': x.quantity + 5.0,
+                              'flag': x.flag}
+                        ELSE x END) AS i1
+          FROM base))
+      WHERE key % 550 <> 0)
+"""
+
+
+def _leaf_arms_sql(src: str) -> str:
+    """UNION ALL arms flattening the fixture's leaves of ``src``
+    (a docs CTE) to (key, path, value) rows."""
+    scalar = [
+        ("status", "status"),
+        ("priority", "priority"),
+        ("customer.name", "customer.name"),
+        ("customer.mktsegment", "customer.mktsegment"),
+    ]
+    arms = [
+        f"SELECT key, '{p}' AS path, CAST({e} AS VARCHAR) AS value FROM {src}"
+        for p, e in scalar
+    ]
+    for fld in ("linenumber", "quantity", "flag"):
+        arms.append(
+            f"""SELECT key, 'items[' || CAST(i AS VARCHAR) || '].{fld}' AS path,
+                   CAST(items[CAST(i + 1 AS INT)].{fld} AS VARCHAR) AS value
+            FROM (SELECT key, items, unnest(range(coalesce(len(items), 0))) AS i FROM {src})"""
+        )
+    arms.append(
+        f"""SELECT key, 'tags[' || CAST(i AS VARCHAR) || ']' AS path,
+               CAST(tags[CAST(i + 1 AS INT)] AS VARCHAR) AS value
+        FROM (SELECT key, tags, unnest(range(coalesce(len(tags), 0))) AS i FROM {src})"""
+    )
+    return " UNION ALL ".join(arms)
+
+
+def _diff_arm_sql(path_expr: str, ov: str, nv: str, src: str) -> str:
+    return f"""
+    SELECT key, {path_expr} AS path,
+           CASE WHEN CAST({ov} AS VARCHAR) IS NULL AND CAST({nv} AS VARCHAR) IS NOT NULL THEN 'added'
+                WHEN CAST({ov} AS VARCHAR) IS NOT NULL AND CAST({nv} AS VARCHAR) IS NULL THEN 'removed'
+                WHEN CAST({ov} AS VARCHAR) <> CAST({nv} AS VARCHAR) THEN 'changed' END AS op,
+           CAST({ov} AS VARCHAR) AS old_value,
+           CAST({nv} AS VARCHAR) AS new_value
+    FROM {src}"""
+
+
+def _nested_diff_oracle_sql() -> str:
+    arms = [
+        _diff_arm_sql(f"'{p}'", f"o_{c}", f"n_{c}", "j")
+        for p, c in [("status", "status"), ("priority", "priority")]
+    ] + [
+        _diff_arm_sql("'customer.name'", "o_customer.name", "n_customer.name", "j"),
+        _diff_arm_sql(
+            "'customer.mktsegment'", "o_customer.mktsegment", "n_customer.mktsegment", "j"
+        ),
+    ]
+    for fld in ("linenumber", "quantity", "flag"):
+        arms.append(
+            _diff_arm_sql(
+                f"'items[' || CAST(i AS VARCHAR) || '].{fld}'",
+                f"o_items[CAST(i + 1 AS INT)].{fld}",
+                f"n_items[CAST(i + 1 AS INT)].{fld}",
+                "items_i",
+            )
+        )
+    arms.append(
+        _diff_arm_sql(
+            "'tags[' || CAST(i AS VARCHAR) || ']'",
+            "o_tags[CAST(i + 1 AS INT)]",
+            "n_tags[CAST(i + 1 AS INT)]",
+            "tags_i",
+        )
+    )
+    resized = [
+        f"""
+    SELECT key, '{name}#len' AS path, 'resized' AS op,
+           CAST(len(o_{name}) AS VARCHAR) AS old_value,
+           CAST(len(n_{name}) AS VARCHAR) AS new_value
+    FROM j WHERE len(o_{name}) IS DISTINCT FROM len(n_{name})"""
+        for name in ("items", "tags")
+    ]
+    return f"""
+    WITH {_NESTED_DOCS_SQL},
+    j AS (
+      SELECT COALESCE(o.key, n.key) AS key,
+             o.status AS o_status, n.status AS n_status,
+             o.priority AS o_priority, n.priority AS n_priority,
+             o.customer AS o_customer, n.customer AS n_customer,
+             o.items AS o_items, n.items AS n_items,
+             o.tags AS o_tags, n.tags AS n_tags
+      FROM old_docs o FULL OUTER JOIN new_docs n ON o.key = n.key),
+    items_i AS (
+      SELECT key, o_items, n_items,
+             unnest(range(greatest(coalesce(len(o_items), 0),
+                                   coalesce(len(n_items), 0)))) AS i
+      FROM j),
+    tags_i AS (
+      SELECT key, o_tags, n_tags,
+             unnest(range(greatest(coalesce(len(o_tags), 0),
+                                   coalesce(len(n_tags), 0)))) AS i
+      FROM j)
+    SELECT * FROM ({" UNION ALL ".join(arms + resized)})
+    WHERE op IS NOT NULL
+    """
+
+
+@register(
+    "doc_flatten",
+    f"""
+    WITH {_NESTED_DOCS_SQL}
+    SELECT * FROM ({_leaf_arms_sql('old_docs')}) WHERE value IS NOT NULL
+    """,
+)
+def doc_flatten_q(spark, sf_dir):
+    """Nested documents → (key, path, value) leaf rows: the canonical
+    flat rendering (export / indexing primitive, and the comparison
+    form for the nested patch gate)."""
+    from terminus_server_spark.docs.patch import flatten_documents
+
+    old, _ = _nested_doc_versions(spark, sf_dir)
+    return flatten_documents(old, "key")
+
+
+@register("doc_diff_nested", _nested_diff_oracle_sql())
+def doc_diff_nested_q(spark, sf_dir):
+    """Recursive diff over nested order documents (subdocument +
+    lists): scalar/subdoc changes, index-aligned list element changes,
+    truncation, append, and whole-document add/remove — the deep diff
+    the reference's patch engine produces (patch.pl), schema-driven
+    into pure column expressions."""
+    from terminus_server_spark.docs.patch import doc_diff_nested
+
+    old, new = _nested_doc_versions(spark, sf_dir)
+    return doc_diff_nested(old, new, "key")
+
+
+@register(
+    "doc_patch_nested",
+    f"""
+    WITH {_NESTED_DOCS_SQL},
+    leaves AS ({_leaf_arms_sql('new_docs')})
+    SELECT l.key, l.path, l.value
+    FROM leaves l JOIN old_docs o ON l.key = o.key
+    WHERE l.value IS NOT NULL
+    """,
+)
+def doc_patch_nested_q(spark, sf_dir):
+    """Roundtrip gate: patch(old, diff(old, new)) flattened to leaf
+    rows must equal new's leaf rows for every document present in old
+    (added documents can't be patched into existence; removed
+    documents patch to all-NULL leaves — zero flat rows — matching
+    their absence from new)."""
+    from terminus_server_spark.docs.patch import (
+        doc_diff_nested,
+        doc_patch_nested,
+        flatten_documents,
+    )
+
+    old, new = _nested_doc_versions(spark, sf_dir)
+    d = doc_diff_nested(old, new, "key")
+    return flatten_documents(doc_patch_nested(old, d, "key"), "key")
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sources & streaming
 # ---------------------------------------------------------------------------

@@ -19,7 +19,21 @@ partitioning for RDF at scale) and bucketed by ``subject``; a WOQL
 triple pattern with a constant predicate then becomes a
 partition-pruned scan, and subject-subject joins are co-located.
 
-Schema: (graph, subject, predicate, obj, obj_type, obj_num)
+Schema: (graph, subject, predicate, obj, obj_type, obj_num) — the
+required core — plus two typed-literal extension columns emitted by
+``predicate_frames``:
+
+- ``obj_lang``: BCP-47 tag for language-tagged strings
+  (``rdf:langString`` — the reference stores ``"chat"@en`` literals
+  with the tag in the value dictionary; here it is a filterable,
+  dictionary-encoded column);
+- ``obj_ts``: TIMESTAMP_NTZ shadow for ``xsd:dateTime``/``xsd:date``
+  literals, so temporal comparisons run natively (codegen'd range
+  predicates) instead of lexically — the same role ``obj_num`` plays
+  for numerics.
+
+Hand-built 6-column frames remain valid; the extensions are only
+required by queries that bind them (``Triple(..., lang=/ts=/num=)``).
 """
 
 from __future__ import annotations
@@ -28,6 +42,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType
 
 TRIPLE_COLS = ("graph", "subject", "predicate", "obj", "obj_type", "obj_num")
+TRIPLE_EXT_COLS = ("obj_lang", "obj_ts")
 
 RDF_TYPE = "rdf:type"
 
@@ -46,6 +61,7 @@ def _xsd_type(spark_type: str) -> str:
         "decimal": "xsd:decimal",
         "string": "xsd:string",
         "timestamp": "xsd:dateTime",
+        "timestamp_ntz": "xsd:dateTime",
         "date": "xsd:date",
         "boolean": "xsd:boolean",
     }.get(base, "xsd:string")
@@ -58,6 +74,7 @@ def predicate_frames(
     value_cols: list[str] | None = None,
     ref_cols: dict[str, tuple[str, str]] | None = None,
     graph: str = "instance",
+    lang_cols: dict[str, object] | None = None,
 ) -> dict[str, DataFrame]:
     """Map a relational table to typed triples, one frame *per
     predicate* (vertical partitioning — the classic RDF scale
@@ -68,7 +85,10 @@ def predicate_frames(
     - one ``rdf:type`` triple per row;
     - ``value_cols`` become literal triples (predicate = column name);
     - ``ref_cols``: column -> (TargetClass, predicate) become IRI
-      object triples (foreign keys → edges).
+      object triples (foreign keys → edges);
+    - ``lang_cols``: column -> language tag (a literal string, or a
+      Column reading a per-row tag, e.g. ``F.col("lang")``) become
+      ``rdf:langString`` literals with ``obj_lang`` set.
 
     Each frame is a narrow projection of the source scan — a
     constant-predicate WOQL pattern therefore reads exactly one
@@ -78,21 +98,33 @@ def predicate_frames(
     """
     value_cols = value_cols if value_cols is not None else [c for c in df.columns if c != key_col]
     ref_cols = ref_cols or {}
+    lang_cols = lang_cols or {}
     dtypes = dict(df.dtypes)
 
     subject = F.concat(F.lit(class_name + "/"), F.col(key_col).cast("string"))
+    null_num = F.lit(None).cast(DoubleType())
+    null_lang = F.lit(None).cast("string")
+    null_ts = F.lit(None).cast("timestamp_ntz")
 
-    def frame(predicate: str, obj: F.Column, obj_type: str, obj_num: F.Column) -> DataFrame:
+    def frame(
+        predicate: str,
+        obj: F.Column,
+        obj_type: F.Column | str,
+        obj_num: F.Column,
+        obj_lang: F.Column = null_lang,
+        obj_ts: F.Column = null_ts,
+    ) -> DataFrame:
         return df.select(
             F.lit(graph).alias("graph"),
             subject.alias("subject"),
             F.lit(predicate).alias("predicate"),
             obj.alias("obj"),
-            F.lit(obj_type).alias("obj_type"),
+            (F.lit(obj_type) if isinstance(obj_type, str) else obj_type).alias("obj_type"),
             obj_num.alias("obj_num"),
+            obj_lang.alias("obj_lang"),
+            obj_ts.alias("obj_ts"),
         ).where(obj.isNotNull())
 
-    null_num = F.lit(None).cast(DoubleType())
     out: dict[str, DataFrame] = {
         RDF_TYPE: frame(RDF_TYPE, F.lit(class_name), "iri", null_num)
     }
@@ -100,18 +132,31 @@ def predicate_frames(
         if c in ref_cols:
             continue
         spark_type = dtypes[c]
-        is_num = spark_type.split("(")[0] in _NUMERIC_SPARK_TYPES
+        base_type = spark_type.split("(")[0]
+        is_num = base_type in _NUMERIC_SPARK_TYPES
+        is_ts = base_type in ("timestamp", "timestamp_ntz", "date")
         lexical = (
             F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
             if spark_type == "timestamp"
             else F.col(c).cast("string")
         )
-        out[c] = frame(
-            c,
-            lexical,
-            _xsd_type(spark_type),
-            F.col(c).cast(DoubleType()) if is_num else null_num,
-        )
+        if c in lang_cols:
+            tag = lang_cols[c]
+            out[c] = frame(
+                c,
+                lexical,
+                "rdf:langString",
+                null_num,
+                obj_lang=F.lit(tag) if isinstance(tag, str) else tag,
+            )
+        else:
+            out[c] = frame(
+                c,
+                lexical,
+                _xsd_type(spark_type),
+                F.col(c).cast(DoubleType()) if is_num else null_num,
+                obj_ts=F.col(c).cast("timestamp_ntz") if is_ts else null_ts,
+            )
     for c, (target_class, predicate) in ref_cols.items():
         out[predicate] = frame(
             predicate,
@@ -155,6 +200,12 @@ class TripleStore:
         missing = [c for c in TRIPLE_COLS if c not in df.columns]
         if missing:
             raise ValueError(f"triple frame missing columns: {missing}")
+        # conform hand-built core-only frames: typed-literal extension
+        # columns are always present on the store (NULL = untyped)
+        if "obj_lang" not in df.columns:
+            df = df.withColumn("obj_lang", F.lit(None).cast("string"))
+        if "obj_ts" not in df.columns:
+            df = df.withColumn("obj_ts", F.lit(None).cast("timestamp_ntz"))
         self.df = df
         self.schema_df = schema_df
         self.pred_frames = pred_frames or {}

@@ -854,10 +854,11 @@ def _store(spark, sf_dir, with_schema: bool = False):
     if with_schema:
         schema_df = spark.createDataFrame(
             [
-                ("schema", "Customer", "subClassOf", "Agent", "iri", None),
-                ("schema", "Supplier", "subClassOf", "Agent", "iri", None),
+                ("schema", "Customer", "subClassOf", "Agent", "iri", None, None, None),
+                ("schema", "Supplier", "subClassOf", "Agent", "iri", None, None, None),
             ],
-            schema="graph string, subject string, predicate string, obj string, obj_type string, obj_num double",
+            schema="graph string, subject string, predicate string, obj string, "
+            "obj_type string, obj_num double, obj_lang string, obj_ts timestamp_ntz",
         )
         return TripleStore(ts.df.unionByName(schema_df), schema_df=schema_df)
     return ts
@@ -1194,6 +1195,73 @@ def woql_typecast(spark, sf_dir):
         .withColumn("tp_dec", F.col("tp_dec").cast("string"))
         .withColumn("od", F.col("od").cast("timestamp_ntz"))
     )
+
+
+@register(
+    "woql_lang",
+    """
+    SELECT 'Doc/' || doc_id AS d, text AS txt, lang AS tag
+    FROM documents WHERE lang IN ('en', 'fr')
+    """,
+)
+def woql_lang(spark, sf_dir):
+    """Language-tagged literals: the documents table maps to
+    rdf:langString triples whose tag comes from the per-row ``lang``
+    column; the Triple pattern binds the tag (``lang=Var``) and the
+    filter runs on the bound variable — parity with matching
+    ``"text"@en`` literals in the reference's typed storage."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore, predicate_frames
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    frames = predicate_frames(
+        docs, "Doc", "doc_id", value_cols=["text"], lang_cols={"text": F.col("lang")}
+    )
+    store = TripleStore(
+        frames["text"].unionByName(frames["rdf:type"]),
+        pred_frames={k: [v] for k, v in frames.items()},
+    )
+    q = A.Select(
+        [A.v("d"), A.v("txt"), A.v("tag")],
+        A.And(
+            A.Triple(A.v("d"), "text", A.v("txt"), lang=A.v("tag")),
+            A.Or_(A.Eq(A.v("tag"), "en"), A.Eq(A.v("tag"), "fr")),
+        ),
+    )
+    return WOQLContext(store).run(q)
+
+
+@register(
+    "woql_typed_compare",
+    """
+    SELECT 'Order/' || o_orderkey AS o, o_orderdate AS od
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1997-06-15' AND o_orderdate < TIMESTAMP '1997-07-15'
+    """,
+)
+def woql_typed_compare(spark, sf_dir):
+    """Typed temporal comparison: the Triple pattern binds the
+    TIMESTAMP_NTZ shadow (``ts=Var``) of an xsd:dateTime literal, so
+    Greater/Less run as native timestamp range predicates (codegen'd,
+    scan-pushable) instead of lexical string compares."""
+    import datetime
+
+    from terminus_server_spark.woql import ast as A
+
+    lo = datetime.datetime(1997, 6, 15)
+    hi = datetime.datetime(1997, 7, 15)
+    q = A.Select(
+        [A.v("o"), A.v("od")],
+        A.And(
+            A.Triple(A.v("o"), "o_orderdate", A.v("od_s"), ts=A.v("od")),
+            A.Greater(A.v("od"), lo),
+            A.Less(A.v("od"), hi),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
 
 
 @register(

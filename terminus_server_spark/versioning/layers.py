@@ -124,7 +124,15 @@ def apply_delta(triples: DataFrame, delta: DataFrame) -> DataFrame:
     adds = delta.where(F.col("op") == "add").select(
         "graph", "subject", "predicate", "obj", "obj_type", "obj_num"
     )
-    return triples.join(dels, on=key, how="left_anti").unionByName(adds)
+    # conform to the store's schema: stores carry typed-literal
+    # extension columns (obj_lang/obj_ts); deltas that don't supply
+    # them add untyped (NULL) literals
+    for f in triples.schema.fields:
+        if f.name not in adds.columns:
+            adds = adds.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return triples.join(dels, on=key, how="left_anti").unionByName(
+        adds.select(*triples.columns)
+    )
 
 
 def reset(layers: DataFrame, to_seq: int) -> DataFrame:

@@ -40,6 +40,11 @@ class Triple(Term):
     p: Any
     o: Any
     graph: str | None = None  # None → enclosing Using graph, else "instance"
+    # typed-literal projections (extension columns of the triple frame):
+    # a Var binds the column, a constant filters it at the scan.
+    lang: Any = None  # obj_lang — language tag of rdf:langString literals
+    ts: Any = None  # obj_ts — TIMESTAMP_NTZ shadow of xsd:dateTime/xsd:date
+    num: Any = None  # obj_num — DOUBLE shadow of numeric literals
 
 
 @dataclass(frozen=True)

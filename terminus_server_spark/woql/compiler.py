@@ -97,11 +97,15 @@ class WOQLContext:
             return df_in.join(df_new, on=shared, how="inner")
         return df_in.crossJoin(df_new)
 
-    def _match_pattern(self, frame: DataFrame, s: Any, p: Any, o: Any) -> DataFrame:
+    def _match_pattern(
+        self, frame: DataFrame, s: Any, p: Any, o: Any, extras: tuple = ()
+    ) -> DataFrame:
         """Match (s,p,o) against a frame with triple columns; constants
-        become filters (pushed to the scan), variables become renames."""
+        become filters (pushed to the scan), variables become renames.
+        ``extras``: additional (value, column) pairs with the same
+        semantics — typed-literal projections (obj_lang/obj_ts/obj_num)."""
         out_cols: dict[str, Column] = {}
-        for val, col in ((s, "subject"), (p, "predicate"), (o, "obj")):
+        for val, col in ((s, "subject"), (p, "predicate"), (o, "obj"), *extras):
             if _is_var(val):
                 if val.name in out_cols:
                     frame = frame.where(F.col(col) == out_cols[val.name])
@@ -129,7 +133,14 @@ class WOQLContext:
         frame = self.store.spo(
             predicate=t.p if not _is_var(t.p) else None, graph=graph
         )
-        matched = self._match_pattern(frame, t.s, A.Var("__p__") if _is_var(t.p) else t.p, t.o)
+        extras = tuple(
+            (v, c)
+            for v, c in ((t.lang, "obj_lang"), (t.ts, "obj_ts"), (t.num, "obj_num"))
+            if v is not None
+        )
+        matched = self._match_pattern(
+            frame, t.s, A.Var("__p__") if _is_var(t.p) else t.p, t.o, extras
+        )
         if _is_var(t.p):
             matched = matched.withColumnRenamed("__p__", t.p.name)
         return self._merge(df_in, matched)

@@ -1,0 +1,77 @@
+"""Typed-literal extension columns: language tags (obj_lang) and the
+temporal shadow (obj_ts) through predicate_frames and the WOQL Triple
+pattern's lang=/ts=/num= projections."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from terminus_server_spark.model.triples import TripleStore, predicate_frames
+from terminus_server_spark.woql import ast as A
+from terminus_server_spark.woql.compiler import WOQLContext
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello", "en", 3.5, datetime.datetime(2020, 1, 1)),
+            (2, "bonjour", "fr", 1.0, datetime.datetime(2021, 6, 1)),
+            (3, "hallo", "de", 9.9, datetime.datetime(2022, 1, 1)),
+        ],
+        "id bigint, greeting string, tag string, score double, seen timestamp_ntz",
+    )
+    frames = predicate_frames(
+        df, "Doc", "id", value_cols=["greeting", "score", "seen"],
+        lang_cols={"greeting": F.col("tag")},
+    )
+    merged = frames["greeting"]
+    for k in ("score", "seen", "rdf:type"):
+        merged = merged.unionByName(frames[k])
+    return TripleStore(merged, pred_frames={k: [v] for k, v in frames.items()})
+
+
+def test_lang_constant_filters_at_scan(store):
+    rows = WOQLContext(store).run(
+        A.Triple(A.v("d"), "greeting", A.v("g"), lang="fr")
+    ).collect()
+    assert [(r["d"], r["g"]) for r in rows] == [("Doc/2", "bonjour")]
+
+
+def test_lang_var_binds_tag(store):
+    rows = WOQLContext(store).run(
+        A.Triple(A.v("d"), "greeting", A.v("g"), lang=A.v("tag"))
+    ).collect()
+    assert sorted((r["d"], r["tag"]) for r in rows) == [
+        ("Doc/1", "en"), ("Doc/2", "fr"), ("Doc/3", "de"),
+    ]
+
+
+def test_langstring_type_and_untagged_columns(store):
+    t = {
+        r["predicate"]: r["obj_type"]
+        for r in store.df.select("predicate", "obj_type").distinct().collect()
+    }
+    assert t["greeting"] == "rdf:langString"
+    assert t["score"] == "xsd:decimal"
+    assert t["seen"] == "xsd:dateTime"
+
+
+def test_ts_shadow_native_comparison(store):
+    q = A.And(
+        A.Triple(A.v("d"), "seen", A.v("s"), ts=A.v("when")),
+        A.Greater(A.v("when"), datetime.datetime(2020, 12, 31)),
+    )
+    df = WOQLContext(store).run(q)
+    assert dict(df.dtypes)["when"] == "timestamp_ntz"
+    assert sorted(r["d"] for r in df.collect()) == ["Doc/2", "Doc/3"]
+
+
+def test_num_shadow_binding(store):
+    q = A.And(
+        A.Triple(A.v("d"), "score", A.v("s"), num=A.v("n")),
+        A.Less(A.v("n"), 4.0),
+    )
+    rows = WOQLContext(store).run(q).collect()
+    assert sorted(r["d"] for r in rows) == ["Doc/1", "Doc/2"]

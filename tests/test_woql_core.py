@@ -245,7 +245,7 @@ def test_using_scopes_default_graph(spark, tables):
         [("schema", "Customer", "subClassOf", "Agent", "iri", None)],
         schema="graph string, subject string, predicate string, obj string, obj_type string, obj_num double",
     )
-    st = TripleStore(ts.df.unionByName(schema_df), schema_df=schema_df)
+    st = TripleStore(ts.df.unionByName(schema_df, allowMissingColumns=True), schema_df=schema_df)
     rows = (
         WOQLContext(st)
         .run(A.Using("schema", Triple(v("c"), "subClassOf", v("p"))))

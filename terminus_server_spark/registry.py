@@ -4526,6 +4526,84 @@ def vc_log(spark, sf_dir):
 
 
 @register(
+    "vc_log_dag",
+    """
+    WITH counts AS (
+      SELECT 'c1' AS commit_id,
+             (SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') AS n_adds,
+             CAST(0 AS BIGINT) AS n_dels
+      UNION ALL SELECT 'c2',
+             (SELECT COUNT(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01'),
+             (SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+                AND o_totalprice > 400000)
+      UNION ALL SELECT 'c3',
+             (SELECT COUNT(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+             CAST(0 AS BIGINT)
+      UNION ALL SELECT 'c4', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+    meta(commit_id, depth, n_parents, author, message, committed_at) AS (VALUES
+      ('c4', 0, 2, 'alice', 'merge feature',        TIMESTAMP '2024-02-01 00:00:00'),
+      ('c2', 1, 1, 'bob',   'orders 1997-1998',     TIMESTAMP '2024-01-10 00:00:00'),
+      ('c3', 1, 1, 'carol', 'feature: 1999 orders', TIMESTAMP '2024-01-20 00:00:00'),
+      ('c1', 2, 0, 'alice', 'initial import',       TIMESTAMP '2024-01-01 00:00:00'))
+    SELECT m.commit_id, CAST(m.depth AS INTEGER) AS depth,
+           CAST(m.n_parents AS INTEGER) AS n_parents,
+           m.author, m.message, m.committed_at,
+           c.n_adds, c.n_dels
+    FROM meta m JOIN counts c ON m.commit_id = c.commit_id
+    ORDER BY m.depth, m.commit_id
+    """,
+)
+def vc_log_dag(spark, sf_dir):
+    """Commit DAG log walk (db_log from a ref): the orders layer stack
+    gains commit metadata and parent pointers — c2 (main) and c3
+    (feature) both fork from c1, c4 merges them — and the log is the
+    ancestors-of-c4 BFS joined to metadata and per-commit delta
+    counts.  The walk's min-depth semantics put c1 at depth 2 even
+    though two merge paths reach it."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.dag import log_from
+
+    commits = spark.createDataFrame(
+        [
+            ("c1", [], "alice", "initial import", datetime.datetime(2024, 1, 1)),
+            ("c2", ["c1"], "bob", "orders 1997-1998", datetime.datetime(2024, 1, 10)),
+            ("c3", ["c1"], "carol", "feature: 1999 orders", datetime.datetime(2024, 1, 20)),
+            ("c4", ["c2", "c3"], "alice", "merge feature", datetime.datetime(2024, 2, 1)),
+        ],
+        "commit_id string, parent_ids array<string>, author string, "
+        "message string, committed_at timestamp_ntz",
+    )
+    counts = (
+        _layers(spark, sf_dir)
+        .groupBy("commit_id")
+        .agg(
+            F.sum(F.when(F.col("op") == "add", 1).otherwise(0)).alias("n_adds"),
+            F.sum(F.when(F.col("op") == "del", 1).otherwise(0)).alias("n_dels"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        log_from(commits, "c4")
+        .join(counts, "commit_id", "left_outer")
+        .select(
+            "commit_id",
+            "depth",
+            "n_parents",
+            "author",
+            "message",
+            "committed_at",
+            F.coalesce(F.col("n_adds"), zero).alias("n_adds"),
+            F.coalesce(F.col("n_dels"), zero).alias("n_dels"),
+        )
+        .orderBy("depth", "commit_id")
+    )
+
+
+@register(
     "corpus_vocab_stats",
     r"""
     WITH toks AS (

@@ -86,21 +86,62 @@ def brute_force_topk(
     )
 
 
+COMP_SCALE = 1e6  # centroid-component fixed point (inputs are unit-ish)
+
+
+def refine_centroids(cents: DataFrame, assigned: DataFrame, suffix: str = "b") -> DataFrame:
+    """One seeded-k-means step: per-cell component-wise means of the
+    assigned vectors, in *order-independent integer arithmetic* so the
+    DuckDB oracle replays the refinement bit-for-bit (double means
+    would depend on summation order).  component = floor(Σ floor(x·1e6)
+    / n) / 1e6; the norm is recomputed from the refined components
+    with the standard 1e12 convention.  Cells that attracted no
+    vectors drop out (same semantics both engines).  Dataflow: one
+    posexplode + (cell, pos) aggregate — identical shape to the
+    per-label centroid operator, skew-proof, no new joins."""
+    comps = (
+        assigned.select("cell_id", F.posexplode(F.col(f"vec_{suffix}")).alias("pos", "x"))
+        .groupBy("cell_id", "pos")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("x") * COMP_SCALE).cast("bigint"))
+                    / F.count(F.lit(1))
+                )
+                / F.lit(COMP_SCALE)
+            ).alias("comp")
+        )
+    )
+    vecs = comps.groupBy("cell_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "comp"))), lambda s: s["comp"]
+        ).alias("vec_c")
+    )
+    norm = F.aggregate(
+        F.col("vec_c"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.floor(x * x * SCALE).cast("bigint"),
+    )
+    return vecs.select("cell_id", "vec_c", norm.alias("norm_c"))
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k via inverted-file (IVF) cells.
 
-    Centroids: deterministic sample (lowest ``n_cells`` ids) — a
-    seeded k-means refinement would slot in here without changing the
-    dataflow.  Corpus rows are assigned to their nearest centroid
-    (broadcast argmin — one scan); queries probe their ``n_probe``
+    Centroids: deterministic seeds (lowest ``n_cells`` ids) refined by
+    ``refine_iters`` seeded-k-means steps (assign → integer-mean
+    recenter; the r1 verdict flagged raw seeds as a recall risk).
+    Corpus rows are assigned to their nearest centroid (broadcast
+    argmin — one scan per iteration); queries probe their ``n_probe``
     nearest cells, so search cost drops by ~n_cells/n_probe.
     """
     from pyspark.sql.window import Window
@@ -109,7 +150,7 @@ def ivf_topk(
         emb.orderBy(id_col).limit(n_cells), id_col, vec_col, "c"
     ).withColumnRenamed("id_c", "cell_id")
 
-    def assign(side: DataFrame, suffix: str, n_keep: int) -> DataFrame:
+    def assign(cents: DataFrame, side: DataFrame, suffix: str, n_keep: int) -> DataFrame:
         scored = broadcast(cents).crossJoin(side).select(
             F.col(f"id_{suffix}"),
             F.col(f"vec_{suffix}"),
@@ -135,8 +176,11 @@ def ivf_topk(
             .drop("cell_rk", "cell_cos")
         )
 
-    corpus = assign(scaled_parts(emb, id_col, vec_col, "b"), "b", 1)
-    probes = assign(scaled_parts(queries, id_col, vec_col, "a"), "a", n_probe)
+    corpus_parts = scaled_parts(emb, id_col, vec_col, "b")
+    for _ in range(refine_iters):
+        cents = refine_centroids(cents, assign(cents, corpus_parts, "b", 1))
+    corpus = assign(cents, corpus_parts, "b", 1)
+    probes = assign(cents, scaled_parts(queries, id_col, vec_col, "a"), "a", n_probe)
     scored = (
         probes.join(corpus, "cell_id")
         .where(F.col("id_a") != F.col("id_b"))

@@ -3281,9 +3281,27 @@ _CELL_COS_SQL = """(list_sum(list_transform(list_zip(c.vc, p.v),
 
 ORACLES["ann_ivf"] = f"""
     WITH {_PARTS_SQL},
-    cents AS (
+    cents0 AS (
       SELECT vec_id AS cell_id, v AS vc, norm AS normc
       FROM parts ORDER BY vec_id LIMIT 16),
+    -- one seeded-k-means step, replayed exactly: assign to seed cells,
+    -- recenter with order-independent integer means (floor(sum(floor(
+    -- x*1e6))/n)/1e6), recompute norms with the 1e12 convention
+    assign0 AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT p.vec_id, p.v, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_CELL_COS_SQL} DESC, c.cell_id ASC) AS crk
+        FROM parts p CROSS JOIN cents0 c) WHERE crk = 1),
+    comps AS (
+      SELECT cell_id, i,
+             floor(sum(floor(x * 1e6)::BIGINT)::DOUBLE / count(*)) / 1e6 AS comp
+      FROM (SELECT cell_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM assign0)
+      GROUP BY cell_id, i),
+    cents AS (
+      SELECT cell_id, vc,
+             list_sum(list_transform(vc, x -> floor(x * x * 1e12)::BIGINT)) AS normc
+      FROM (SELECT cell_id, list(comp ORDER BY i) AS vc FROM comps GROUP BY cell_id)),
     corpus_assign AS (
       SELECT vec_id, v, norm, cell_id FROM (
         SELECT p.vec_id, p.v, p.norm, c.cell_id,

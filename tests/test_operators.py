@@ -586,3 +586,36 @@ def test_every_query_key_is_in_survey():
     assert set(os_) <= set(qs)
     # the entry contract: flagship runs and the callables are callables
     assert all(callable(f) for f in qs.values())
+
+
+def test_ivf_refinement_does_not_hurt_recall(spark):
+    """Seeded-k-means recentering must match or beat raw lowest-id
+    seeds — on this fixture every seed starts inside cluster 0, the
+    worst case the r1 verdict flagged."""
+    import random
+
+    random.seed(7)
+    rows = []
+    for cluster in range(4):
+        center = [1.0 if i == cluster else 0.0 for i in range(8)]
+        for j in range(25):
+            vec = [c + random.uniform(-0.05, 0.05) for c in center]
+            rows.append((cluster * 25 + j, vec))
+    from terminus_server_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id").isin(10, 40, 70))
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(iters):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, queries, k=5, n_cells=8, n_probe=2, refine_iters=iters
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, f"refinement hurt recall: {r0} -> {r2}"
+    assert r2 >= 0.8, f"refined IVF recall too low: {r2}"

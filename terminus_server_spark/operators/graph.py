@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from terminus_server_spark.checkpoint import loop_checkpoint
+
 from terminus_server_spark.operators.path import no_constraint_propagation
 
 
@@ -48,14 +50,14 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             edges.select("src", "dst")
             .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         labels = (
             und.select(F.col("src").alias("node"))
             .union(und.select(F.col("dst").alias("node")))
             .distinct()
             .withColumn("component", F.col("node"))
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         for _ in range(max_iters):
             # candidate labels arriving over edges
@@ -86,7 +88,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                         F.col("l1.component"), F.coalesce(F.col("c_comp"), F.col("l1.component"))
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(loop_checkpoint)
             )
             changed = (
                 new_labels.alias("n")
@@ -122,11 +124,11 @@ def pagerank(
             edges.select(F.col("src").alias("node"))
             .union(edges.select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         n_nodes = nodes.count()
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-        links = edges.join(out_deg, "src").localCheckpoint(eager=True)
+        links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
         for _ in range(iters):
             contribs = (
@@ -147,7 +149,7 @@ def pagerank(
                         + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(loop_checkpoint)
             )
     return ranks
 
@@ -163,7 +165,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    canon = und.where(F.col("src") < F.col("dst")).localCheckpoint(eager=True)
+    canon = und.where(F.col("src") < F.col("dst")).transform(loop_checkpoint)
     a = canon.alias("a")
     b = canon.alias("b")
     c = canon.alias("c")
@@ -181,10 +183,10 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
     each source node.  sources: DataFrame(node).  Semi-naive frontier
     expansion like path closure, but keyed by (source, node)."""
     with no_constraint_propagation(edges.sparkSession):
-        e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+        e = edges.select("src", "dst").distinct().transform(loop_checkpoint)
         frontier = sources.select(
             F.col("node").alias("source"), F.col("node").alias("node"), F.lit(0).alias("hops")
-        ).localCheckpoint(eager=True)
+        ).transform(loop_checkpoint)
         layers = [frontier]
         reached_keys = frontier.select("source", "node")
         for _ in range(max_iters):
@@ -196,7 +198,7 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
                 grown.join(reached_keys, ["source", "node"], "left_anti")
                 .groupBy("source", "node")
                 .agg(F.min("hops").alias("hops"))
-                .localCheckpoint(eager=True)
+                .transform(loop_checkpoint)
             )
             if new.isEmpty():
                 break
@@ -227,7 +229,7 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    canon = und.where(F.col("src") < F.col("dst")).localCheckpoint(eager=True)
+    canon = und.where(F.col("src") < F.col("dst")).transform(loop_checkpoint)
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
@@ -281,7 +283,7 @@ def kcore(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(loop_checkpoint)
     )
     cur = und
     n_edges = cur.count()
@@ -298,7 +300,7 @@ def kcore(
         cur = (
             cur.join(keep, "src", "left_semi")
             .join(keep_dst, "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         # pruning is monotone (edges only ever leave), so an unchanged
         # count IS the fixpoint — identical output to running the

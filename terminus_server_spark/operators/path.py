@@ -25,6 +25,8 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, functions as F
 
+from terminus_server_spark.checkpoint import loop_checkpoint
+
 from terminus_server_spark.woql import path_ast as P
 
 
@@ -62,14 +64,14 @@ def transitive_closure(
         )
         # checkpoint the edge set once; each iteration's join shuffles
         # it on src and AQE reuses the exchange across iterations
-        base = base.localCheckpoint(eager=True)
+        base = base.transform(loop_checkpoint)
 
         # BFS layering: each frontier is anti-joined against everything
         # seen, so layer k holds exactly the pairs first reached in k
         # hops — min-hops falls out for free and `reached` stays a
         # FLAT union of checkpointed layers (no re-dedup, no
         # re-checkpoint of the accumulator).
-        frontier = base.withColumn("hops", F.lit(1)).localCheckpoint(eager=True)
+        frontier = base.withColumn("hops", F.lit(1)).transform(loop_checkpoint)
         layers = [frontier]
         reached_keys = frontier.select("src", "dst")
         for _ in range(max_iters):
@@ -86,7 +88,7 @@ def transitive_closure(
                 grown.join(reached_keys, on=["src", "dst"], how="left_anti")
                 .groupBy("src", "dst")
                 .agg(F.min("hops").alias("hops"))
-                .localCheckpoint(eager=True)
+                .transform(loop_checkpoint)
             )
             if new.isEmpty():
                 break
@@ -121,7 +123,7 @@ def transitive_closure_doubling(
             .withColumn("hops", F.lit(1))
             .groupBy("src", "dst")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         stats = r.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
         for _ in range(max_doublings):
@@ -138,7 +140,7 @@ def transitive_closure_doubling(
                 r.unionByName(squared)
                 .groupBy("src", "dst")
                 .agg(F.min("hops").alias("hops"))
-                .localCheckpoint(eager=True)
+                .transform(loop_checkpoint)
             )
             new_stats = r.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
             if tuple(new_stats) == tuple(stats):  # no new pairs, no shorter paths
@@ -223,12 +225,12 @@ def trace_paths(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         base = (
             edges.select("src", "dst")
             .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         frontier = base.select(
             "src", "dst", F.lit(1).alias("hops"),
             F.concat_ws(">", F.col("src"), F.col("dst")).alias("path"),
-        ).localCheckpoint(eager=True)
+        ).transform(loop_checkpoint)
         layers = [frontier]
         reached = frontier.select("src", "dst")
         for _ in range(max_iters):
@@ -246,7 +248,7 @@ def trace_paths(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                 grown.join(reached, on=["src", "dst"], how="left_anti")
                 .groupBy("src", "dst")
                 .agg(F.min("hops").alias("hops"), F.min("path").alias("path"))
-                .localCheckpoint(eager=True)
+                .transform(loop_checkpoint)
             )
             if new.isEmpty():
                 break

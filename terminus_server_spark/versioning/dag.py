@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from terminus_server_spark.checkpoint import loop_checkpoint
+
 
 def parent_edges(commits: DataFrame) -> DataFrame:
     """(child, parent) edge list of the commit graph; root commits
@@ -59,7 +61,7 @@ def log_walk(commits: DataFrame, head: str, max_depth: int = 1000) -> DataFrame:
             .join(reached.select("commit_id"), "commit_id", "left_anti")
             .groupBy("commit_id")
             .agg(F.min("depth").alias("depth"))
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         if nxt.isEmpty():
             break

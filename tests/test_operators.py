@@ -619,3 +619,24 @@ def test_ivf_refinement_does_not_hurt_recall(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0, f"refinement hurt recall: {r0} -> {r2}"
     assert r2 >= 0.8, f"refined IVF recall too low: {r2}"
+
+
+def test_reliable_checkpoint_flag(spark, tmp_path):
+    from terminus_server_spark.checkpoint import DIR_CONF, RELIABLE_CONF
+    from terminus_server_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    spark.conf.set(RELIABLE_CONF, "true")
+    spark.conf.set(DIR_CONF, str(tmp_path / "ckpt"))
+    try:
+        comps = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")
+    assert comps[1] == comps[2] == comps[3]
+    assert comps[10] == comps[11] != comps[1]
+    # reliable checkpoint files actually landed on disk
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt"))

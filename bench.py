@@ -83,6 +83,15 @@ HEADLINE = [
     "events_gapfill",
     "sketch_kmv_distinct",
     "corpus_survivors",
+    # round 2: nested document diff/patch, typed literals, commit DAG,
+    # refined IVF + banded-LSH ANN
+    "doc_diff_nested",
+    "doc_patch_nested",
+    "woql_lang",
+    "woql_typed_compare",
+    "vc_log_dag",
+    "ann_ivf",
+    "ann_lsh",
 ]
 
 

@@ -262,6 +262,7 @@ def embedding_near_dup_pairs_lsh(
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos): embedding near-dup pairs via banded sign-LSH
     candidates + exact cosine verify — the 100 TB default path.
@@ -293,19 +294,26 @@ def embedding_near_dup_pairs_lsh(
     pa = scaled_parts(emb, id_col, vec_col, "a")
     sig = pa.select(
         F.col("id_a").alias("doc_id"),
-        expr_lsh_signature(F.col("vec_a"), n_planes).alias("sig"),
+        expr_lsh_signature(F.col("vec_a"), n_planes, dim=dim).alias("sig"),
     )
-    bands = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.substring("sig", b * rows_per_band + 1, rows_per_band).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.union(b)
+    # one explode instead of an n_bands-way union: the signature (the
+    # expensive expression) evaluates once per row, not once per band
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("sig", b * rows_per_band + 1, rows_per_band).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

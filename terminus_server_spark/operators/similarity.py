@@ -231,18 +231,35 @@ def _plane_component(p: int, idx: Column, seed: str = "tss") -> Column:
     return (h / F.lit(float(0xFFFFFFFF))) * F.lit(2.0) - F.lit(1.0)
 
 
-def expr_lsh_signature(vec_col: Column, n_planes: int, seed: str = "tss") -> Column:
+def expr_lsh_signature(
+    vec_col: Column, n_planes: int, seed: str = "tss", dim: int | None = None
+) -> Column:
     """Sign-hash signature with expression-derived hyperplanes — the
     dim-agnostic form of ``lsh_signature``.  Bit p = (v · plane_p) > 0
     where the dot is a sequential left fold over
     ``transform(v, (x, i) -> x * plane_p[i])`` (0.0 + x is exact in
     IEEE, so DuckDB's list_reduce replays it bit-for-bit)."""
-    def plane_dot(p: int) -> Column:
-        # close over p via a function scope: a `p=p` default param would
-        # make pyspark count 3 lambda args and build an invalid
-        # higher-order function (transform passes at most (x, i))
-        prods = F.transform(vec_col, lambda x, i: x * _plane_component(p, i, seed))
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    if dim is not None:
+        # fast path: the hyperplanes are row-independent constants, so
+        # when the vector width is known at plan time, inline them as
+        # literal arrays — no per-row md5/conv.  _hyperplanes computes
+        # the identical doubles the expression path derives (and the
+        # DuckDB oracles already inline), so signatures are unchanged.
+        planes = _hyperplanes(dim, n_planes, seed)
+
+        def plane_dot(p: int) -> Column:
+            lit = F.array(*[F.lit(x) for x in planes[p]])
+            prods = F.zip_with(vec_col, lit, lambda x, y: x * y)
+            return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    else:
+
+        def plane_dot(p: int) -> Column:
+            # close over p via a function scope: a `p=p` default param
+            # would make pyspark count 3 lambda args and build an
+            # invalid higher-order function (transform passes (x, i))
+            prods = F.transform(vec_col, lambda x, i: x * _plane_component(p, i, seed))
+            return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
     bits = [
         F.when(plane_dot(p) > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(n_planes)
@@ -272,6 +289,7 @@ def lsh_topk(
     n_bands: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via banded random-hyperplane LSH — the
     alternative scale path to ``ivf_topk`` (no centroid training;
@@ -292,22 +310,30 @@ def lsh_topk(
 
     def banded(side: DataFrame, suffix: str) -> DataFrame:
         parts = scaled_parts(side, id_col, vec_col, suffix)
-        sig = expr_lsh_signature(F.col(f"vec_{suffix}"), n_planes)
+        sig = expr_lsh_signature(F.col(f"vec_{suffix}"), n_planes, dim=dim)
         withsig = parts.withColumn("sig", sig)
-        bands = [
-            withsig.select(
-                f"id_{suffix}",
-                f"vec_{suffix}",
-                f"norm_{suffix}",
-                F.lit(b).alias("band_id"),
-                F.substring("sig", b * rows_per_band + 1, rows_per_band).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-        out = bands[0]
-        for b in bands[1:]:
-            out = out.union(b)
-        return out
+        # one explode instead of an n_bands-way union: the signature
+        # evaluates once per row, not once per band
+        return withsig.select(
+            f"id_{suffix}",
+            f"vec_{suffix}",
+            f"norm_{suffix}",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.substring(
+                                "sig", b * rows_per_band + 1, rows_per_band
+                            ).alias("band_key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            f"id_{suffix}", f"vec_{suffix}", f"norm_{suffix}", "bk.band_id", "bk.band_key"
+        )
 
     qa, cb = banded(queries, "a"), banded(emb, "b")
     cand = (

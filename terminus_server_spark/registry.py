@@ -624,7 +624,7 @@ def dedup_embed_cos(spark, sf_dir):
     from terminus_server_spark.operators.dedup import embedding_near_dup_pairs_lsh
 
     return embedding_near_dup_pairs_lsh(
-        _t(spark, sf_dir, "embeddings")["embeddings"], threshold=0.37
+        _t(spark, sf_dir, "embeddings")["embeddings"], threshold=0.37, dim=64
     )
 
 
@@ -690,7 +690,7 @@ def ann_lsh(spark, sf_dir):
     from terminus_server_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, dim=64)
 
 
 @register(

@@ -256,6 +256,62 @@ class TripleStore:
         self.df.write.mode("overwrite").partitionBy("graph", "predicate").parquet(path)
 
 
+def class_frames(triples: DataFrame) -> DataFrame:
+    """Schema inference / class frames (terminus-server generates
+    frames from the schema for its UI and GraphQL layer — public
+    locus: json_schema.pl / frame generation; here the frame is
+    *inferred* from instance data, the import-time variant).
+
+    Output, one row per (class, predicate):
+      (class, predicate, obj_types, n_subjects, min_card, max_card,
+       required) — obj_types is the sorted distinct type set rendered
+       '|'-joined; required means every instance of the class carries
+       the predicate at least once.
+
+    Dataflow: one join of property triples to rdf:type triples on
+    subject (subject is the natural co-location key), a (class,
+    predicate, subject) aggregate for per-subject cardinalities, then
+    a (class, predicate) rollup joined to class sizes — three
+    shuffles total, all keyed on columns with natural cardinality, no
+    driver round-trips."""
+    types = (
+        triples.where(F.col("predicate") == RDF_TYPE)
+        .select("subject", F.col("obj").alias("class"))
+        .distinct()
+    )
+    props = triples.where(F.col("predicate") != RDF_TYPE)
+    per_subject = (
+        props.join(types, "subject")
+        .groupBy("class", "predicate", "subject")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("obj_type").alias("ts"),
+        )
+    )
+    class_sizes = types.groupBy("class").agg(F.count(F.lit(1)).alias("n_class"))
+    return (
+        per_subject.groupBy("class", "predicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.min("n").alias("min_card"),
+            F.max("n").alias("max_card"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("ts")))), "|"
+            ).alias("obj_types"),
+        )
+        .join(class_sizes, "class")
+        .select(
+            "class",
+            "predicate",
+            "obj_types",
+            "n_subjects",
+            "min_card",
+            "max_card",
+            (F.col("n_subjects") == F.col("n_class")).alias("required"),
+        )
+    )
+
+
 def tpch_store(tables: dict[str, DataFrame]) -> TripleStore:
     """The canonical mapping of the driver's TPC-H-ish tables into a
     knowledge graph (used by WOQL tests and oracle queries)."""

@@ -2573,6 +2573,29 @@ def _ensure_csv():
 
 _ensure_csv()
 
+_JSONL_PATH = "/root/repo/.cache/tss/cities.jsonl"
+
+
+def _ensure_jsonl():
+    import csv
+    import io
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(_JSONL_PATH), exist_ok=True)
+    rows = list(csv.DictReader(io.StringIO(_CSV_CONTENT)))
+    with open(_JSONL_PATH, "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {"city": r["city"], "country": r["country"], "pop": int(r["pop"])}
+                )
+                + "\n"
+            )
+
+
+_ensure_jsonl()
+
 
 @register(
     "src_bucketed_join",
@@ -2689,6 +2712,111 @@ def woql_get_csv(spark, sf_dir):
         ),
     )
     return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "woql_get_json",
+    f"""
+    SELECT city AS c, country AS k, pop AS p
+    FROM read_json('{_JSONL_PATH}')
+    WHERE pop > 20000000
+    """,
+)
+def woql_get_json(spark, sf_dir):
+    """WOQL Get with format options (the reference's Get binds remote
+    resources with a file_type descriptor): jsonlines input, column →
+    variable mapping, typed columns straight from the reader (pop
+    arrives BIGINT — no typecast word needed)."""
+    from terminus_server_spark.woql import ast as A
+
+    _ensure_jsonl()
+    q = A.Select(
+        [A.v("c"), A.v("k"), A.v("p")],
+        A.And(
+            A.Get(
+                [("city", A.v("c")), ("country", A.v("k")), ("pop", A.v("p"))],
+                _JSONL_PATH,
+                format="json",
+            ),
+            A.Greater(A.v("p"), 20000000),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "schema_class_frames",
+    """
+    WITH order_n AS (SELECT COUNT(*) AS n FROM orders),
+    cust_n AS (SELECT COUNT(*) AS n FROM customer),
+    line_stats AS (
+      SELECT COUNT(*) AS n_subj, MIN(cnt) AS min_c, MAX(cnt) AS max_c
+      FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey)),
+    frames(class, predicate, obj_types, n_subjects, min_card, max_card, required) AS (
+      SELECT 'Order', 'o_orderstatus', 'xsd:string',
+             (SELECT n FROM order_n), CAST(1 AS BIGINT), CAST(1 AS BIGINT), true
+      UNION ALL SELECT 'Order', 'o_totalprice', 'xsd:decimal',
+             (SELECT n FROM order_n), 1, 1, true
+      UNION ALL SELECT 'Order', 'o_orderdate', 'xsd:dateTime',
+             (SELECT n FROM order_n), 1, 1, true
+      UNION ALL SELECT 'Order', 'o_orderpriority', 'xsd:string',
+             (SELECT n FROM order_n), 1, 1, true
+      UNION ALL SELECT 'Order', 'o_customer', 'iri',
+             (SELECT n FROM order_n), 1, 1, true
+      UNION ALL SELECT 'Order', 'o_line', 'iri',
+             (SELECT n_subj FROM line_stats), (SELECT min_c FROM line_stats),
+             (SELECT max_c FROM line_stats),
+             (SELECT n_subj FROM line_stats) = (SELECT n FROM order_n)
+      UNION ALL SELECT 'Customer', 'c_name', 'xsd:string',
+             (SELECT n FROM cust_n), 1, 1, true
+      UNION ALL SELECT 'Customer', 'c_acctbal', 'xsd:decimal',
+             (SELECT n FROM cust_n), 1, 1, true
+      UNION ALL SELECT 'Customer', 'c_mktsegment', 'xsd:string',
+             (SELECT n FROM cust_n), 1, 1, true
+      UNION ALL SELECT 'Customer', 'c_nation', 'iri',
+             (SELECT n FROM cust_n), 1, 1, true)
+    SELECT * FROM frames
+    """,
+)
+def schema_class_frames(spark, sf_dir):
+    """Class frames inferred from instance data (json_schema.pl frame
+    generation, import-time variant): per (class, predicate) the
+    observed type set, subject coverage, and cardinality bounds —
+    including a genuinely multi-valued predicate (Order→o_line edges
+    from lineitem, cardinality = lines per order)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore, class_frames
+
+    tabs = _t(spark, sf_dir, "orders", "customer", "lineitem")
+    specs = {
+        "orders": {
+            "class_name": "Order",
+            "key_col": "o_orderkey",
+            "ref_cols": {"o_custkey": ("Customer", "o_customer")},
+        },
+        "customer": {
+            "class_name": "Customer",
+            "key_col": "c_custkey",
+            "ref_cols": {"c_nationkey": ("Nation", "c_nation")},
+        },
+    }
+    st = TripleStore.from_tables(tabs, specs)
+    o_line = tabs["lineitem"].select(
+        F.lit("instance").alias("graph"),
+        F.concat(F.lit("Order/"), F.col("l_orderkey").cast("string")).alias("subject"),
+        F.lit("o_line").alias("predicate"),
+        F.concat(
+            F.lit("Lineitem/"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    )
+    merged = st.df.unionByName(o_line, allowMissingColumns=True)
+    return class_frames(merged)
 
 
 @register(

@@ -326,12 +326,20 @@ class Path(Term):
 
 @dataclass(frozen=True)
 class Get(Term):
-    """WOQL get: load rows from a CSV resource, binding columns to
-    vars. columns: list of (column_name, Var)."""
+    """WOQL get: load rows from an external resource, binding columns
+    to vars (the reference's Get with format options — file_type,
+    header handling, column mapping).  columns: list of
+    (column_name, Var).  format: csv | json (jsonlines) | parquet.
+    options: extra reader options as (key, value) pairs.  Remote http
+    URLs must be staged to storage executors can read (s3/hdfs/file)
+    — a driver-side fetch of an unbounded resource is not a
+    distributed read."""
 
     columns: Sequence[tuple]
     resource: str
     has_header: bool = True
+    format: str = "csv"
+    options: Sequence[tuple] = ()
 
 
 @dataclass(frozen=True)

@@ -582,10 +582,26 @@ class WOQLContext:
         ).distinct()
 
     def _c_Get(self, t: A.Get, df_in):
-        reader = self.spark.read.option("header", str(t.has_header).lower()).option(
-            "inferSchema", "false"
-        )
-        df = reader.csv(t.resource)
+        if t.resource.startswith(("http://", "https://")):
+            raise NotImplementedError(
+                "remote WOQL get: stage the resource to storage executors can "
+                "read (s3://, hdfs://, file path) and pass that path — a "
+                "driver-side http fetch of an unbounded resource is not a "
+                "distributed read"
+            )
+        reader = self.spark.read
+        for k, v in t.options:
+            reader = reader.option(k, v)
+        if t.format == "csv":
+            df = reader.option("header", str(t.has_header).lower()).option(
+                "inferSchema", "false"
+            ).csv(t.resource)
+        elif t.format == "json":
+            df = reader.json(t.resource)
+        elif t.format == "parquet":
+            df = reader.parquet(t.resource)
+        else:
+            raise NotImplementedError(f"Get format {t.format!r} (csv|json|parquet)")
         cols = [F.col(name).alias(var.name) for name, var in t.columns]
         return self._merge(df_in, df.select(*cols))
 

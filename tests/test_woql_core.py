@@ -354,3 +354,12 @@ def test_json_woql_path_and_update(spark, tables, store):
     delta = ctx(store).run_update(uq, 1, "j1")
     assert delta.select("graph").distinct().collect()[0].graph == "audit"
     assert delta.count() == 5
+
+
+def test_get_remote_url_is_rejected(store):
+    import pytest
+
+    from terminus_server_spark.woql import ast as A
+
+    with pytest.raises(NotImplementedError, match="stage the resource"):
+        ctx(store).run(A.Get([("a", v("a"))], "https://example.com/data.csv"))

@@ -243,6 +243,35 @@ def count_related(
     )
 
 
+def aggregate_related(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    aggs: list[tuple],
+    child_predicates: list | None = None,
+) -> DataFrame:
+    """GraphQL-style aggregation fields beyond count: each parent
+    document gains aggregates over its (optionally filtered) related
+    documents — ``aggs``: list of (child_col, fn, alias) with fn ∈
+    {sum, min, max, avg, count}.  Sums/avgs follow the decimal-sum
+    convention (order-independent) so cross-engine hashes match.  One
+    filtered child aggregate keyed by the fk, then a broadcast-
+    friendly outer join — identical dataflow to ``count_related``."""
+    fns = {
+        "sum": lambda c: F.sum(c.cast("decimal(28,6)")).cast("double"),
+        "avg": lambda c: F.avg(c.cast("decimal(28,6)")).cast("double"),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "count": lambda c: F.count(c),
+    }
+    filtered = filter_documents(child, child_predicates or [])
+    rolled = filtered.groupBy(F.col(child_fk).alias(parent_key)).agg(
+        *[fns[fn](F.col(col)).alias(alias) for col, fn, alias in aggs]
+    )
+    return parent.join(rolled, parent_key, "left_outer")
+
+
 def validate_cardinality(
     triples: DataFrame, predicate: str, min_n: int = 1, max_n: int = 1,
     class_subjects: DataFrame | None = None,

@@ -33,6 +33,15 @@ Supported document shape: subdocuments (structs) at any depth, lists
 of atoms, lists of subdocuments.  Lists directly inside lists are
 unsupported (the reference's schema language likewise interposes a
 subdocument class between nested collections).
+
+**Sets.** The reference distinguishes ordered ``List`` fields from
+unordered ``Set`` fields; pass their paths in ``set_paths`` and those
+array columns diff *by value* instead of by index — entries carry the
+member in the path (``tags{hot}``), op is added/removed only, and no
+``#len`` sentinel is emitted.  Patch rebuilds the set as
+``sort(union(except(old, removed), added))`` — canonical sorted
+order, which ``flatten_documents`` mirrors so renderings compare
+across engines.  Set elements must be atoms.
 """
 
 from __future__ import annotations
@@ -69,14 +78,56 @@ def _diff_leaf(path: Column, ov: Column, nv: Column) -> Column:
     )
 
 
-def _diff_walk(ov: Column, nv: Column, dtype: DataType, path: Column) -> Column:
+def _empty(dtype: DataType) -> Column:
+    return F.array().cast(f"array<{dtype.elementType.simpleString()}>")
+
+
+def _set_diff(ov: Column, nv: Column, dtype: ArrayType, spath: str) -> Column:
+    """Value-based diff of an unordered set field: one entry per
+    member added/removed, member embedded in the path (``tags{hot}``)
+    so every entry keys uniquely in the patch's upsert map."""
+    if isinstance(dtype.elementType, (ArrayType, StructType)):
+        raise TypeError(f"set field {spath}: set elements must be atoms")
+    o = F.array_except(F.coalesce(ov, _empty(dtype)), F.coalesce(nv, _empty(dtype)))
+    n = F.array_except(F.coalesce(nv, _empty(dtype)), F.coalesce(ov, _empty(dtype)))
+
+    def entries(vals: Column, op: str) -> Column:
+        def make(x: Column) -> Column:
+            xs = x.cast("string")
+            return F.struct(
+                F.concat(F.lit(spath + "{"), xs, F.lit("}")).alias("path"),
+                F.lit(op).alias("op"),
+                (xs if op == "removed" else F.lit(None).cast("string")).alias("old_value"),
+                (xs if op == "added" else F.lit(None).cast("string")).alias("new_value"),
+            )
+
+        return F.transform(vals, make)
+
+    return F.concat(entries(o, "removed"), entries(n, "added"))
+
+
+def _diff_walk(
+    ov: Column,
+    nv: Column,
+    dtype: DataType,
+    path: Column,
+    spath: str | None = None,
+    set_paths: tuple = (),
+) -> Column:
     """array<struct<path,op,old_value,new_value>> for the subtree at
     ``path`` — entries for unchanged leaves carry op=NULL and are
-    filtered once at the top."""
+    filtered once at the top.  ``spath`` is the static (plan-time)
+    path, None below a list element; set fields only occur at static
+    paths because lists don't nest."""
     if isinstance(dtype, StructType):
         parts = [
             _diff_walk(
-                ov[f.name], nv[f.name], f.dataType, F.concat(path, F.lit("." + f.name))
+                ov[f.name],
+                nv[f.name],
+                f.dataType,
+                F.concat(path, F.lit("." + f.name)),
+                spath=f"{spath}.{f.name}" if spath is not None else None,
+                set_paths=set_paths,
             )
             for f in dtype.fields
         ]
@@ -85,6 +136,8 @@ def _diff_walk(ov: Column, nv: Column, dtype: DataType, path: Column) -> Column:
         et = dtype.elementType
         if isinstance(et, ArrayType):
             raise TypeError("lists directly inside lists are not supported")
+        if spath is not None and spath in set_paths:
+            return _set_diff(ov, nv, dtype, spath)
         # null-propagating sizes: IS DISTINCT FROM catches 3→NULL and
         # NULL→3 as well as 3→5
         o_n = _nsize(ov)
@@ -107,7 +160,7 @@ def _diff_walk(ov: Column, nv: Column, dtype: DataType, path: Column) -> Column:
             oe = F.try_element_at(ov, i + F.lit(1))
             ne = F.try_element_at(nv, i + F.lit(1))
             if isinstance(et, StructType):
-                return _diff_walk(oe, ne, et, p)
+                return _diff_walk(oe, ne, et, p, spath=None, set_paths=set_paths)
             return F.array(_diff_leaf(p, oe, ne))
 
         return F.concat(
@@ -116,7 +169,9 @@ def _diff_walk(ov: Column, nv: Column, dtype: DataType, path: Column) -> Column:
     return F.array(_diff_leaf(path, ov, nv))
 
 
-def doc_diff_nested(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+def doc_diff_nested(
+    old: DataFrame, new: DataFrame, key: str, set_paths: tuple = ()
+) -> DataFrame:
     """(key, path, op, old_value, new_value): recursive diff between
     two document versions sharing a schema.
 
@@ -124,12 +179,19 @@ def doc_diff_nested(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     renderings of the leaves (resized rows carry the list lengths).
     Documents present on only one side diff as all-added /
     all-removed leaf sets — the whole-document insert/delete case.
-    One full-outer join on the key; the walk is pure projection."""
+    ``set_paths``: array fields with unordered Set semantics (diffed
+    by value — see module docstring).  One full-outer join on the
+    key; the walk is pure projection."""
     fields = [f for f in old.schema.fields if f.name != key]
     joined = old.alias("o").join(new.alias("n"), on=key, how="full_outer")
     parts = [
         _diff_walk(
-            F.col("o." + f.name), F.col("n." + f.name), f.dataType, F.lit(f.name)
+            F.col("o." + f.name),
+            F.col("n." + f.name),
+            f.dataType,
+            F.lit(f.name),
+            spath=f.name,
+            set_paths=tuple(set_paths),
         )
         for f in fields
     ]
@@ -170,20 +232,31 @@ def _leaf_rows(col: Column, dtype: DataType, path: Column) -> Column:
     )
 
 
-def flatten_documents(docs: DataFrame, key: str) -> DataFrame:
+def flatten_documents(docs: DataFrame, key: str, set_paths: tuple = ()) -> DataFrame:
     """(key, path, value): every non-null leaf of every document —
     the canonical flat rendering used to value-compare nested shapes
     across engines (and a useful export/indexing primitive: path-value
-    rows feed inverted indexes and diff displays)."""
+    rows feed inverted indexes and diff displays).  Top-level fields
+    named in ``set_paths`` render in sorted order (sets have no
+    positional identity)."""
     fields = [f for f in docs.schema.fields if f.name != key]
-    parts = [_leaf_rows(F.col(f.name), f.dataType, F.lit(f.name)) for f in fields]
+    parts = [
+        _leaf_rows(
+            F.array_sort(F.col(f.name)) if f.name in set_paths else F.col(f.name),
+            f.dataType,
+            F.lit(f.name),
+        )
+        for f in fields
+    ]
     rows = F.filter(F.concat(*parts), lambda r: r["value"].isNotNull())
     return docs.select(F.col(key), F.explode(rows).alias("l")).select(
         key, "l.path", "l.value"
     )
 
 
-def doc_patch_nested(old: DataFrame, diff: DataFrame, key: str) -> DataFrame:
+def doc_patch_nested(
+    old: DataFrame, diff: DataFrame, key: str, set_paths: tuple = ()
+) -> DataFrame:
     """Apply a ``doc_diff_nested`` diff to ``old``, reconstructing the
     new version: ``patch(old, diff(old, new)) == new`` for every
     document present in ``old`` (documents added only in ``new``
@@ -250,6 +323,34 @@ def doc_patch_nested(old: DataFrame, diff: DataFrame, key: str) -> DataFrame:
             et = dtype.elementType
             if isinstance(et, ArrayType):
                 raise TypeError("lists directly inside lists are not supported")
+            if path in set_paths:
+                # unordered set: rebuild by value —
+                # sort(union(except(old, removed), added)); member
+                # values come from the {member}-suffixed entry paths
+                ets = et.simpleString()
+                empty = F.array().cast(f"array<{ets}>")
+                base = F.coalesce(oc, empty)
+                pref = path + "{"
+                L = len(pref)
+                added = F.coalesce(
+                    F.transform(
+                        F.filter(F.map_keys(up), lambda s: s.startswith(pref)),
+                        lambda s: F.try_element_at(up, s).cast(ets),
+                    ),
+                    empty,
+                )
+                removed_vals = F.coalesce(
+                    F.transform(
+                        F.filter(rm, lambda s: s.startswith(pref)),
+                        lambda s: s.substr(
+                            F.lit(L + 1), F.length(s) - F.lit(L + 1)
+                        ).cast(ets),
+                    ),
+                    empty,
+                )
+                return F.array_sort(
+                    F.array_union(F.array_except(base, removed_vals), added)
+                )
             # list length: the #len sentinel wins; otherwise unchanged.
             # (Leaf paths can't size the list — a removed leaf may be a
             # field nulled in place, not an element dropped.)

@@ -1265,6 +1265,41 @@ def woql_typed_compare(spark, sf_dir):
 
 
 @register(
+    "woql_similarity",
+    """
+    SELECT 'Nation/' || CAST(a.n_nationkey AS VARCHAR) AS n1,
+           'Nation/' || CAST(b.n_nationkey AS VARCHAR) AS n2,
+           CASE WHEN greatest(length(a.n_name), length(b.n_name)) = 0 THEN 1.0
+                ELSE 1.0 - levenshtein(a.n_name, b.n_name)::DOUBLE
+                     / greatest(length(a.n_name), length(b.n_name))::DOUBLE END AS sim
+    FROM nation a CROSS JOIN nation b
+    WHERE 'Nation/' || CAST(b.n_nationkey AS VARCHAR) > 'Nation/' || CAST(a.n_nationkey AS VARCHAR)
+      AND (CASE WHEN greatest(length(a.n_name), length(b.n_name)) = 0 THEN 1.0
+                ELSE 1.0 - levenshtein(a.n_name, b.n_name)::DOUBLE
+                     / greatest(length(a.n_name), length(b.n_name))::DOUBLE END) > 0.5
+    """,
+)
+def woql_similarity(spark, sf_dir):
+    """WOQL like/3: bind a normalized string-similarity score
+    (1 - levenshtein/max-length) between two bound strings — here
+    nation-name pairs above 0.5, the fuzzy-match word the reference
+    exposes for entity resolution."""
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("n1"), A.v("n2"), A.v("sim")],
+        A.And(
+            A.Triple(A.v("n1"), "n_name", A.v("a")),
+            A.Triple(A.v("n2"), "n_name", A.v("b")),
+            A.Greater(A.v("n2"), A.v("n1")),
+            A.Similarity(A.v("a"), A.v("b"), A.v("sim")),
+            A.Greater(A.v("sim"), 0.5),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
     "woql_group_agg",
     """
     SELECT n_name AS nname, COUNT(*) AS n_sup,
@@ -2389,9 +2424,11 @@ _NESTED_DOCS_SQL = """
 """
 
 
-def _leaf_arms_sql(src: str) -> str:
+def _leaf_arms_sql(src: str, sort_tags: bool = False) -> str:
     """UNION ALL arms flattening the fixture's leaves of ``src``
-    (a docs CTE) to (key, path, value) rows."""
+    (a docs CTE) to (key, path, value) rows.  ``sort_tags`` renders
+    the tags field in sorted order (set semantics — no positional
+    identity)."""
     scalar = [
         ("status", "status"),
         ("priority", "priority"),
@@ -2408,9 +2445,10 @@ def _leaf_arms_sql(src: str) -> str:
                    CAST(items[CAST(i + 1 AS INT)].{fld} AS VARCHAR) AS value
             FROM (SELECT key, items, unnest(range(coalesce(len(items), 0))) AS i FROM {src})"""
         )
+    tags_expr = "list_sort(tags)" if sort_tags else "tags"
     arms.append(
         f"""SELECT key, 'tags[' || CAST(i AS VARCHAR) || ']' AS path,
-               CAST(tags[CAST(i + 1 AS INT)] AS VARCHAR) AS value
+               CAST({tags_expr}[CAST(i + 1 AS INT)] AS VARCHAR) AS value
         FROM (SELECT key, tags, unnest(range(coalesce(len(tags), 0))) AS i FROM {src})"""
     )
     return " UNION ALL ".join(arms)
@@ -2427,7 +2465,7 @@ def _diff_arm_sql(path_expr: str, ov: str, nv: str, src: str) -> str:
     FROM {src}"""
 
 
-def _nested_diff_oracle_sql() -> str:
+def _nested_diff_oracle_sql(tags_as_set: bool = False) -> str:
     arms = [
         _diff_arm_sql(f"'{p}'", f"o_{c}", f"n_{c}", "j")
         for p, c in [("status", "status"), ("priority", "priority")]
@@ -2446,21 +2484,34 @@ def _nested_diff_oracle_sql() -> str:
                 "items_i",
             )
         )
-    arms.append(
-        _diff_arm_sql(
-            "'tags[' || CAST(i AS VARCHAR) || ']'",
-            "o_tags[CAST(i + 1 AS INT)]",
-            "n_tags[CAST(i + 1 AS INT)]",
-            "tags_i",
+    if tags_as_set:
+        arms.append(
+            """
+    SELECT key, 'tags{' || v || '}' AS path, 'removed' AS op,
+           v AS old_value, CAST(NULL AS VARCHAR) AS new_value
+    FROM (SELECT key, v FROM o_vals EXCEPT SELECT key, v FROM n_vals)
+    UNION ALL
+    SELECT key, 'tags{' || v || '}' AS path, 'added' AS op,
+           CAST(NULL AS VARCHAR) AS old_value, v AS new_value
+    FROM (SELECT key, v FROM n_vals EXCEPT SELECT key, v FROM o_vals)"""
         )
-    )
+    else:
+        arms.append(
+            _diff_arm_sql(
+                "'tags[' || CAST(i AS VARCHAR) || ']'",
+                "o_tags[CAST(i + 1 AS INT)]",
+                "n_tags[CAST(i + 1 AS INT)]",
+                "tags_i",
+            )
+        )
+    resized_names = ("items",) if tags_as_set else ("items", "tags")
     resized = [
         f"""
     SELECT key, '{name}#len' AS path, 'resized' AS op,
            CAST(len(o_{name}) AS VARCHAR) AS old_value,
            CAST(len(n_{name}) AS VARCHAR) AS new_value
     FROM j WHERE len(o_{name}) IS DISTINCT FROM len(n_{name})"""
-        for name in ("items", "tags")
+        for name in resized_names
     ]
     return f"""
     WITH {_NESTED_DOCS_SQL},
@@ -2481,7 +2532,9 @@ def _nested_diff_oracle_sql() -> str:
       SELECT key, o_tags, n_tags,
              unnest(range(greatest(coalesce(len(o_tags), 0),
                                    coalesce(len(n_tags), 0)))) AS i
-      FROM j)
+      FROM j),
+    o_vals AS (SELECT key, unnest(coalesce(o_tags, []::VARCHAR[])) AS v FROM j),
+    n_vals AS (SELECT key, unnest(coalesce(n_tags, []::VARCHAR[])) AS v FROM j)
     SELECT * FROM ({" UNION ALL ".join(arms + resized)})
     WHERE op IS NOT NULL
     """
@@ -2542,6 +2595,45 @@ def doc_patch_nested_q(spark, sf_dir):
     old, new = _nested_doc_versions(spark, sf_dir)
     d = doc_diff_nested(old, new, "key")
     return flatten_documents(doc_patch_nested(old, d, "key"), "key")
+
+
+@register("doc_diff_set", _nested_diff_oracle_sql(tags_as_set=True))
+def doc_diff_set_q(spark, sf_dir):
+    """Unordered-Set field semantics (the reference distinguishes Set
+    from List collections): the tags field diffs by value — member
+    added/removed entries with the member in the path, no positional
+    entries, no #len sentinel.  Reordering a set is not a change."""
+    from terminus_server_spark.docs.patch import doc_diff_nested
+
+    old, new = _nested_doc_versions(spark, sf_dir)
+    return doc_diff_nested(old, new, "key", set_paths=("tags",))
+
+
+@register(
+    "doc_patch_set",
+    f"""
+    WITH {_NESTED_DOCS_SQL},
+    leaves AS ({_leaf_arms_sql('new_docs', sort_tags=True)})
+    SELECT l.key, l.path, l.value
+    FROM leaves l JOIN old_docs o ON l.key = o.key
+    WHERE l.value IS NOT NULL
+    """,
+)
+def doc_patch_set_q(spark, sf_dir):
+    """Set-semantics roundtrip: patch rebuilds the tags set as
+    sort(union(except(old, removed), added)); flattened with sorted
+    rendering it must equal the new version's sorted tags (the
+    members are distinct in this fixture — set semantics dedup)."""
+    from terminus_server_spark.docs.patch import (
+        doc_diff_nested,
+        doc_patch_nested,
+        flatten_documents,
+    )
+
+    old, new = _nested_doc_versions(spark, sf_dir)
+    d = doc_diff_nested(old, new, "key", set_paths=("tags",))
+    patched = doc_patch_nested(old, d, "key", set_paths=("tags",))
+    return flatten_documents(patched, "key", set_paths=("tags",))
 
 
 # ---------------------------------------------------------------------------
@@ -3841,6 +3933,42 @@ def doc_related_count(spark, sf_dir):
     )
     return out.where(F.col("n_related") >= 3).orderBy(
         F.col("n_related").desc(), "c_custkey"
+    )
+
+
+@register(
+    "doc_related_agg",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, r.n_orders, r.total_spend, r.max_order
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, COUNT(o_totalprice) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spend,
+             MAX(o_totalprice) AS max_order
+      FROM orders WHERE o_totalprice > 100000 GROUP BY o_custkey) r
+      ON r.o_custkey = c.c_custkey
+    """,
+)
+def doc_related_agg(spark, sf_dir):
+    """GraphQL aggregation fields beyond count: per customer the
+    count/sum/max over their filtered orders (the _sum_/_max_
+    aggregation arguments of the reference's GraphQL layer); absent
+    children stay NULL, matching GraphQL null semantics."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import aggregate_related
+
+    tabs = _t(spark, sf_dir, "orders", "customer")
+    return aggregate_related(
+        tabs["customer"].select("c_custkey", "c_mktsegment"),
+        tabs["orders"].select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+        parent_key="c_custkey",
+        child_fk="c_custkey",
+        aggs=[
+            ("o_totalprice", "count", "n_orders"),
+            ("o_totalprice", "sum", "total_spend"),
+            ("o_totalprice", "max", "max_order"),
+        ],
+        child_predicates=[("o_totalprice", "gt", 100000)],
     )
 
 

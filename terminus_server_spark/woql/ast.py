@@ -230,6 +230,17 @@ class Like(Term):
 
 
 @dataclass(frozen=True)
+class Similarity(Term):
+    """WOQL like/3: bind the normalized string similarity of two bound
+    operands into ``result`` — 1 - levenshtein/max(len), 1.0 for two
+    empty strings (the reference's like word binds a [0,1] distance)."""
+
+    a: Any
+    b: Any
+    result: Var
+
+
+@dataclass(frozen=True)
 class Regexp(Term):
     pattern: str
     string: Any

@@ -313,6 +313,14 @@ class WOQLContext:
     def _c_Like(self, t: A.Like, df_in):
         return df_in.where(self._operand(t.string, df_in).like(t.pattern))
 
+    def _c_Similarity(self, t: A.Similarity, df_in):
+        a = self._operand(t.a, df_in)
+        b = self._operand(t.b, df_in)
+        lev = F.levenshtein(a, b).cast("double")
+        mx = F.greatest(F.length(a), F.length(b)).cast("double")
+        sim = F.when(mx == F.lit(0.0), F.lit(1.0)).otherwise(F.lit(1.0) - lev / mx)
+        return df_in.withColumn(t.result.name, sim)
+
     def _c_Regexp(self, t: A.Regexp, df_in):
         s = self._operand(t.string, df_in)
         filtered = df_in.where(s.rlike(t.pattern))

@@ -99,3 +99,21 @@ def test_diff_plan_is_pure_projection(corpus, spark):
     p = plan_str(doc_diff_nested(old, new, "key"))
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in p
+
+
+def test_set_semantics_reorder_is_noop_and_roundtrip(spark):
+    old = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["x"])], "key bigint, tags array<string>"
+    )
+    new = spark.createDataFrame(
+        [(1, ["c", "a", "d"]), (2, ["x"])], "key bigint, tags array<string>"
+    )
+    d = doc_diff_nested(old, new, "key", set_paths=("tags",))
+    got = {(r["key"], r["path"], r["op"]) for r in d.collect()}
+    # b removed, d added, a/c reorder invisible; doc 2 untouched
+    assert got == {(1, "tags{b}", "removed"), (1, "tags{d}", "added")}
+    patched = flatten_documents(
+        doc_patch_nested(old, d, "key", set_paths=("tags",)), "key", set_paths=("tags",)
+    )
+    want = flatten_documents(new, "key", set_paths=("tags",))
+    assert sorted(map(tuple, patched.collect())) == sorted(map(tuple, want.collect()))

@@ -366,3 +366,58 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (segment-level) exact dedup — the boilerplate
+    remover: split each document into ``seg_tokens``-token segments,
+    keep exactly one occurrence of every distinct segment corpus-wide
+    (canonical = lowest (doc_id, seg_idx)), and reassemble each
+    document from its surviving segments in order.
+
+    Output: (doc_id, n_segs_kept, text_kept) — documents whose every
+    segment was claimed elsewhere disappear entirely.
+
+    Dataflow: tokenize → (doc, seg) aggregate → one window keyed by
+    segment text (the dedup shuffle) → per-doc reassembly aggregate.
+    All aggregates have map-side partials; the segment-text shuffle is
+    the same single-shuffle shape as exact document dedup, just at
+    finer grain."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("i", "tok"),
+    )
+    segs = (
+        toks.groupBy(id_col, (F.col("i") / seg_tokens).cast("int").alias("seg"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("seg_text")
+        )
+    )
+    w = Window.partitionBy("seg_text").orderBy(F.col(id_col).asc(), F.col("seg").asc())
+    kept = segs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg", "seg_text"))),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )

@@ -130,3 +130,50 @@ def gap_fill(
     for c, v in fill.items():
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
     return out
+
+
+def event_sequence_pairs(
+    events: DataFrame,
+    first_type: str,
+    then_type: str,
+    within_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CEP-style sequence pattern: for every ``first_type`` event, the
+    first ``then_type`` event by the same user within ``within_s``
+    seconds — "view followed by purchase inside 30 minutes", the
+    MATCH_RECOGNIZE / FlinkCEP staple.
+
+    Output: (user_id, first_event_id, first_ts, then_ts, gap_us).
+
+    Dataflow: ONE window over (user, time) — the next-matching-event
+    timestamp is a running MIN over the strictly-following frame, so
+    no self-join, no range join, no per-user state beyond the sort:
+    exactly one shuffle keyed by user.  Works in epoch micros so the
+    arithmetic is integer-exact on both engines."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_then_us = F.min(F.when(F.col(type_col) == then_type, ts_us)).over(w)
+    return (
+        events.withColumn("_ts_us", ts_us)
+        .withColumn("_next_us", next_then_us)
+        .where(
+            (F.col(type_col) == first_type)
+            & F.col("_next_us").isNotNull()
+            & ((F.col("_next_us") - F.col("_ts_us")) <= within_s * 1_000_000)
+        )
+        .select(
+            F.col(user_col),
+            F.col(id_col).alias("first_event_id"),
+            F.col(ts_col).alias("first_ts"),
+            F.timestamp_micros(F.col("_next_us")).cast("timestamp_ntz").alias("then_ts"),
+            (F.col("_next_us") - F.col("_ts_us")).alias("gap_us"),
+        )
+    )

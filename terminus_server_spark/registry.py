@@ -2636,6 +2636,63 @@ def doc_patch_set_q(spark, sf_dir):
     return flatten_documents(patched, "key", set_paths=("tags",))
 
 
+@register(
+    "events_pattern_seq",
+    """
+    SELECT user_id, event_id AS first_event_id, ts AS first_ts,
+           make_timestamp(nb) AS then_ts,
+           CAST(nb - epoch_us(ts) AS BIGINT) AS gap_us
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+      FROM events)
+    WHERE event_type = 'view' AND nb IS NOT NULL
+      AND nb - epoch_us(ts) <= 1800 * 1000000
+    """,
+)
+def events_pattern_seq(spark, sf_dir):
+    """CEP sequence pattern (view followed by purchase within 30 min,
+    per user): one window over (user, time) with a following-frame
+    running MIN — no self-join, no range join, one user-keyed
+    shuffle."""
+    from terminus_server_spark.operators.temporal import event_sequence_pairs
+
+    return event_sequence_pairs(
+        _t(spark, sf_dir, "events")["events"], "view", "purchase", within_s=1800
+    )
+
+
+@register(
+    "dedup_segments",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(v) AS tok, unnest(range(len(v))) AS i
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS v FROM documents)),
+    segs AS (
+      SELECT doc_id, CAST(i // 10 AS INT) AS seg,
+             string_agg(tok, ' ' ORDER BY i) AS seg_text
+      FROM toks GROUP BY doc_id, i // 10),
+    kept AS (
+      SELECT doc_id, seg, seg_text,
+             ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg) AS rn
+      FROM segs)
+    SELECT doc_id, COUNT(*) AS n_segs_kept,
+           string_agg(seg_text, ' ' ORDER BY seg) AS text_kept
+    FROM kept WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def dedup_segments(spark, sf_dir):
+    """Sub-document segment dedup (boilerplate removal): 10-token
+    segments deduped corpus-wide, documents reassembled from their
+    surviving segments — the finer-grained sibling of exact document
+    dedup that real pretraining pipelines run."""
+    from terminus_server_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(_t(spark, sf_dir, "documents")["documents"], seg_tokens=10)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sources & streaming
 # ---------------------------------------------------------------------------

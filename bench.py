@@ -92,6 +92,9 @@ HEADLINE = [
     "vc_log_dag",
     "ann_ivf",
     "ann_lsh",
+    "events_pattern_seq",
+    "dedup_segments",
+    "schema_class_frames",
 ]
 
 

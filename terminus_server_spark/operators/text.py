@@ -236,3 +236,47 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, repl in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return docs.select("doc_id", *counts, F.md5(scrubbed).alias("scrubbed_hash"))
+
+
+def oov_rate(docs: DataFrame, text_col: str = "text", vocab_k: int = 1000) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate): fraction of a document's
+    tokens outside the corpus's top-``vocab_k`` vocabulary — a
+    quality/noise signal pretraining filters use (high OOV ⇒ garbled
+    or off-domain text), with no model dependency and integer-exact
+    arithmetic (counts + one final double division).
+
+    Dataflow: token frequencies (one map-side-combined aggregate),
+    rank window to pick the vocabulary (deterministic tie-break on
+    token text), broadcast-sized vocab joined back to the token
+    stream — at 100 TB the vocab is vocab_k rows, so the join is a
+    broadcast and the heavy stream never reshuffles."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    vocab = (
+        freq.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= vocab_k)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left_outer"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )

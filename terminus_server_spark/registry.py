@@ -2693,6 +2693,33 @@ def dedup_segments(spark, sf_dir):
     return segment_dedup(_t(spark, sf_dir, "documents")["documents"], seg_tokens=10)
 
 
+@register(
+    "text_oov_rate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_LTOKS_SQL}) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rk FROM freq)
+      WHERE rk <= 200)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate against the corpus's own top-K vocab —
+    the model-free noise signal pretraining filters rank on; the
+    vocabulary side is vocab_k rows, so the join back to the token
+    stream is a broadcast."""
+    from terminus_server_spark.operators.text import oov_rate
+
+    return oov_rate(_t(spark, sf_dir, "documents")["documents"], vocab_k=200)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sources & streaming
 # ---------------------------------------------------------------------------

@@ -310,3 +310,30 @@ def kcore(
             break
         n_edges = new_n
     return cur.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+
+
+def shortest_weighted(
+    edges: DataFrame, sources: DataFrame, rounds: int = 9
+) -> DataFrame:
+    """(node, dist): minimum path weight from any source node reachable
+    within ``rounds`` relaxation rounds — Bellman-Ford as bounded
+    semi-naive iteration (the weighted sibling of ``shortest_hops``).
+
+    edges: (src, dst, w); sources: (node).  Each round relaxes every
+    edge once (dist-join-edges, union, min-aggregate) — per-round cost
+    is one shuffle keyed by node, the frontier never materializes a
+    pair space, and the bounded round count mirrors the unrolled-CTE
+    oracle exactly (min over identical candidate sets of exact double
+    path sums, so the result hash-matches any engine)."""
+    dist = sources.select(F.col("node"), F.lit(0.0).alias("dist"))
+    for _ in range(rounds):
+        relax = dist.join(edges, dist["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .transform(loop_checkpoint)
+        )
+    return dist

@@ -2720,6 +2720,50 @@ def text_oov_rate(spark, sf_dir):
     return oov_rate(_t(spark, sf_dir, "documents")["documents"], vocab_k=200)
 
 
+def _swsp_round_sql(r: int) -> str:
+    return f"""
+    d{r + 1} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{r}
+        UNION ALL
+        SELECT e.dst AS node, d{r}.dist + e.w AS dist
+        FROM d{r} JOIN e ON e.src = d{r}.node)
+      GROUP BY node)"""
+
+
+@register(
+    "graph_shortest_weighted",
+    """
+    WITH e AS (
+      SELECT c_custkey - 1 AS src, c_custkey AS dst,
+             CAST(c_custkey % 7 + 1 AS DOUBLE) AS w
+      FROM customer WHERE c_custkey % 10 <> 0),
+    d0 AS (SELECT DISTINCT src AS node, CAST(0 AS DOUBLE) AS dist FROM e WHERE src % 10 = 0),
+    """
+    + ",".join(_swsp_round_sql(r) for r in range(9))
+    + """
+    SELECT node, dist FROM d9
+    """,
+)
+def graph_shortest_weighted(spark, sf_dir):
+    """Weighted single/multi-source shortest path (Bellman-Ford
+    rounds) over chain blocks with per-edge weights — oracle is the
+    identical relaxation unrolled as a 9-round CTE chain, so the
+    doubles hash-match exactly."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import shortest_weighted
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    edges = c.where(F.col("c_custkey") % 10 != 0).select(
+        (F.col("c_custkey") - 1).alias("src"),
+        F.col("c_custkey").alias("dst"),
+        (F.col("c_custkey") % 7 + 1).cast("double").alias("w"),
+    )
+    sources = edges.where(F.col("src") % 10 == 0).select(F.col("src").alias("node")).distinct()
+    return shortest_weighted(edges, sources, rounds=9)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sources & streaming
 # ---------------------------------------------------------------------------

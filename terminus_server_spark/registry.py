@@ -2764,6 +2764,87 @@ def graph_shortest_weighted(spark, sf_dir):
     return shortest_weighted(edges, sources, rounds=9)
 
 
+def _merge_fixture(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    d97 = F.lit("1997-01-01").cast("timestamp_ntz")
+    base = o.where(F.col("o_orderdate") < d97).select("o_orderkey", "o_totalprice")
+    pre = o.where(F.col("o_orderdate") < d97)
+    post = o.where(F.col("o_orderdate") >= d97)
+    op = lambda name: F.lit(name).alias("op")  # noqa: E731
+    left = (
+        pre.where(F.col("o_totalprice") > 400000)
+        .select(op("del"), "o_orderkey", "o_totalprice")
+        .unionByName(
+            post.where(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+            .select(op("add"), "o_orderkey", "o_totalprice")
+        )
+    )
+    right = (
+        pre.where(F.col("o_totalprice") > 430000)
+        .select(op("add"), "o_orderkey", "o_totalprice")
+        .unionByName(
+            pre.where((F.col("o_orderkey") % 97 == 0) & (F.col("o_totalprice") <= 400000))
+            .select(op("del"), "o_orderkey", "o_totalprice")
+        )
+        .unionByName(
+            o.where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+            .select(op("add"), "o_orderkey", "o_totalprice")
+        )
+    )
+    return base, left, right
+
+
+@register(
+    "vc_merge",
+    f"""
+    SELECT COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000
+           AND o_orderkey % 97 <> 0)
+       OR o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def vc_merge(spark, sf_dir):
+    """Three-way branch merge, left-wins resolution: left deletes
+    expensive pre-97 orders and adds 97-98; right re-adds (keeps) the
+    >430k ones (conflict: left wins, they stay deleted), deletes every
+    97th cheap order, and adds 99+.  Output is the merged state's
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import merge_branches
+
+    base, left, right = _merge_fixture(spark, sf_dir)
+    merged, _ = merge_branches(base, left, right, ["o_orderkey", "o_totalprice"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "vc_merge_conflicts",
+    """
+    SELECT o_orderkey, o_totalprice, 'del' AS l_op, 'add' AS r_op
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 430000
+    """,
+)
+def vc_merge_conflicts(spark, sf_dir):
+    """The conflict report of the same merge: keys both branches
+    touched with opposite ops (left deleted, right kept/re-added) —
+    what the reference surfaces for manual resolution."""
+    from terminus_server_spark.versioning.layers import merge_branches
+
+    base, left, right = _merge_fixture(spark, sf_dir)
+    _, conflicts = merge_branches(base, left, right, ["o_orderkey", "o_totalprice"])
+    return conflicts
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sources & streaming
 # ---------------------------------------------------------------------------

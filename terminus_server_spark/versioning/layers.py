@@ -155,6 +155,47 @@ def branch_layers(layers: DataFrame, branch_points: dict[str, int]) -> DataFrame
     return layers
 
 
+def merge_branches(
+    base: DataFrame, left: DataFrame, right: DataFrame, key_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Three-way merge of two branch deltas over a common base — the
+    verb that closes the git-for-data set (reference: merging branch
+    refs; conflicts surface where the branches disagree about the same
+    entity).
+
+    ``left``/``right``: net delta frames (op ∈ {add, del} + the base's
+    entity columns).  Returns ``(merged, conflicts)``:
+
+    - conflicts: keys both branches touched with *different* ops
+      (one deletes what the other (re-)adds) — (key..., l_op, r_op);
+    - merged: left-wins resolution (git's "ours") — base minus
+      effective deletes plus effective adds, where a conflicted key
+      takes the left branch's op and the right branch's row is
+      dropped.
+
+    Everything is key-keyed joins (full-outer on the delta keys, two
+    anti-joins, one union) — cost scales with |deltas|, never with
+    |base| history."""
+    lk = left.select(*key_cols, F.col("op").alias("l_op")).distinct()
+    rk = right.select(*key_cols, F.col("op").alias("r_op")).distinct()
+    both = lk.join(rk, key_cols, "full_outer")
+    conflicts = both.where(
+        F.col("l_op").isNotNull()
+        & F.col("r_op").isNotNull()
+        & (F.col("l_op") != F.col("r_op"))
+    )
+    eff = both.select(*key_cols, F.coalesce("l_op", "r_op").alias("op"))
+    eff_dels = eff.where(F.col("op") == "del").select(*key_cols)
+    conflict_keys = conflicts.select(*key_cols)
+    l_adds = left.where(F.col("op") == "add")
+    r_adds = right.where(F.col("op") == "add").join(
+        conflict_keys, key_cols, "left_anti"
+    )
+    adds = l_adds.unionByName(r_adds).select(*base.columns).distinct()
+    merged = base.join(eff_dels, key_cols, "left_anti").unionByName(adds)
+    return merged, conflicts
+
+
 def materialize_branch(
     layers: DataFrame, branch: str, fork_seq: int, at_seq: int, key_cols: list[str]
 ) -> DataFrame:

@@ -178,3 +178,53 @@ def test_pack_offsets_within_capacity_and_monotone(spark, docs, capacity):
     for r in out:
         assert 0 <= r.bin_offset < capacity
         assert r.bin_id.startswith(r.source + "#")
+
+
+# nested documents: (name, meta.level, items[].{id, score}, tags[])
+_doc_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 7),  # key
+        st.sampled_from(["a", "b", "c", None]),  # name
+        st.integers(0, 3),  # meta.level
+        st.lists(st.tuples(st.integers(0, 5), st.floats(0, 10, width=16)), max_size=3),
+        st.lists(st.sampled_from(["x", "y", "z"]), max_size=3, unique=True),
+    ),
+    max_size=6,
+    unique_by=lambda r: r[0],
+)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        [(k, n, (lv,), [(i, s) for i, s in items], tags) for k, n, lv, items, tags in rows],
+        "key bigint, name string, meta struct<level:bigint>, "
+        "items array<struct<id:bigint, score:double>>, tags array<string>",
+    )
+
+
+@settings(**SETTINGS)
+@given(_doc_strategy, _doc_strategy)
+def test_nested_patch_roundtrip_property(spark, old_rows, new_rows):
+    """patch(old, diff(old, new)) flattens equal to new for every key
+    present in old — for ANY pair of document corpora, list and set
+    semantics alike."""
+    from terminus_server_spark.docs.patch import (
+        doc_diff_nested,
+        doc_patch_nested,
+        flatten_documents,
+    )
+
+    old, new = _mk_docs(spark, old_rows), _mk_docs(spark, new_rows)
+    for set_paths in ((), ("tags",)):
+        d = doc_diff_nested(old, new, "key", set_paths=set_paths)
+        patched = flatten_documents(
+            doc_patch_nested(old, d, "key", set_paths=set_paths),
+            "key",
+            set_paths=set_paths,
+        )
+        want = flatten_documents(
+            new.join(old.select("key"), "key", "left_semi"), "key", set_paths=set_paths
+        )
+        assert sorted(map(tuple, patched.collect())) == sorted(
+            map(tuple, want.collect())
+        )

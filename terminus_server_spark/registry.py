@@ -2845,6 +2845,38 @@ def vc_merge_conflicts(spark, sf_dir):
     return conflicts
 
 
+@register(
+    "stream_pattern_alerts",
+    """
+    SELECT user_id, ts AS purchase_ts,
+           CAST(epoch_us(ts) - lv AS BIGINT) AS gap_us
+    FROM (
+      SELECT user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      FROM events)
+    WHERE event_type = 'purchase' AND lv IS NOT NULL
+      AND epoch_us(ts) - lv <= 1800 * 1000000
+    """,
+)
+def stream_pattern_alerts(spark, sf_dir):
+    """Streaming CEP: purchase-within-30-min-of-latest-view per user as
+    a custom stateful operator (applyInPandasWithState, state = one
+    bigint per user), replayed through a real streaming query; the
+    oracle is the batch preceding-frame window MAX of view times."""
+    from terminus_server_spark.streaming.events import pattern_alerts, run_stream_to_table
+
+    events = _t(spark, sf_dir, "events")["events"]
+    return run_stream_to_table(
+        spark,
+        events,
+        lambda s: pattern_alerts(s, within_s=1800),
+        "tss_pattern_alerts",
+        output_mode="append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sources & streaming
 # ---------------------------------------------------------------------------

@@ -237,3 +237,50 @@ def spend_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def pattern_alerts(events: DataFrame, within_s: int = 1800) -> DataFrame:
+    """(user_id, purchase_ts, gap_us): a row for every purchase that
+    follows the user's latest view within ``within_s`` seconds — the
+    streaming CEP staple ("A then B inside T") as a custom stateful
+    operator (applyInPandasWithState; the built-in windows can't
+    express cross-event-type sequences).
+
+    State per key: the epoch-micros of the latest view — one bigint,
+    so unbounded users stay cheap and the pattern works across
+    micro-batches (a view in batch N matches a purchase in batch
+    N+k).  Gap arithmetic is integer micros, so the SQL oracle's
+    preceding-frame window MAX reproduces it exactly."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    within_us = within_s * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        last_view = state.get[0] if state.exists else None
+        if last_view == -1:  # sentinel for "no view yet" (state is non-null)
+            last_view = None
+        rows = []
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                ts_us = ts.value // 1000  # pandas ns → µs
+                if etype == "view":
+                    last_view = ts_us
+                elif etype == "purchase" and last_view is not None:
+                    gap = ts_us - last_view
+                    if gap <= within_us:
+                        rows.append((key[0], ts, gap))
+        state.update((last_view if last_view is not None else -1,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "purchase_ts", "gap_us"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, purchase_ts timestamp_ntz, gap_us bigint",
+        stateStructType="last_view bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

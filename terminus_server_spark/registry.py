@@ -2846,6 +2846,46 @@ def vc_merge_conflicts(spark, sf_dir):
 
 
 @register(
+    "vc_merge_props",
+    """
+    SELECT 'instance' AS graph,
+           'Order/' || CAST(o_orderkey AS VARCHAR) AS subject,
+           'o_orderpriority' AS predicate,
+           'LEFT-RUSH' AS left_obj,
+           'RIGHT-HOLD' AS right_obj
+    FROM orders
+    WHERE o_orderkey % 60 = 0
+    """,
+)
+def vc_merge_props(spark, sf_dir):
+    """Property-grain merge conflicts (the document-merge grain the
+    reference reports): left sets o_orderpriority on every 30th order,
+    right on every 20th — both touch every 60th with different values,
+    and only those surface."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import merge_property_conflicts
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+
+    def setter(mod: int, value: str) -> "F.Column":
+        return (
+            o.where(F.col("o_orderkey") % mod == 0).select(
+                F.lit("instance").alias("graph"),
+                F.concat(F.lit("Order/"), F.col("o_orderkey").cast("string")).alias(
+                    "subject"
+                ),
+                F.lit("o_orderpriority").alias("predicate"),
+                F.lit(value).alias("obj"),
+            )
+        )
+
+    return merge_property_conflicts(
+        setter(30, "LEFT-RUSH"), setter(20, "RIGHT-HOLD")
+    )
+
+
+@register(
     "stream_pattern_alerts",
     """
     SELECT user_id, ts AS purchase_ts,

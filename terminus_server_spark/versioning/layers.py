@@ -196,6 +196,35 @@ def merge_branches(
     return merged, conflicts
 
 
+def merge_property_conflicts(
+    left_adds: DataFrame, right_adds: DataFrame
+) -> DataFrame:
+    """Property-grain merge conflicts — the grain the reference's
+    document merge reports at: two branches both *set* the same
+    (graph, subject, predicate) but to different values.  Triple-grain
+    merge (``merge_branches``) can't see these: different objects are
+    different rows, so neither branch touches the "same" row.
+
+    Input: each branch's net added triples.  Output: one row per
+    conflicted property — (graph, subject, predicate, left_obj,
+    right_obj).  Branches agreeing on the value (same obj) do not
+    conflict; a property only one branch set does not conflict.
+
+    One aggregate per side (collapse multi-valued adds to a sorted
+    rendering so set-valued properties compare order-free) and one
+    inner join keyed by the property — scales with |adds|."""
+    def net(side: DataFrame, alias: str) -> DataFrame:
+        return side.groupBy("graph", "subject", "predicate").agg(
+            F.array_join(F.array_sort(F.collect_set("obj")), "|").alias(alias)
+        )
+
+    lj = net(left_adds, "left_obj")
+    rj = net(right_adds, "right_obj")
+    return lj.join(rj, ["graph", "subject", "predicate"]).where(
+        F.col("left_obj") != F.col("right_obj")
+    )
+
+
 def materialize_branch(
     layers: DataFrame, branch: str, fork_seq: int, at_seq: int, key_cols: list[str]
 ) -> DataFrame:

@@ -228,3 +228,51 @@ def test_nested_patch_roundtrip_property(spark, old_rows, new_rows):
         assert sorted(map(tuple, patched.collect())) == sorted(
             map(tuple, want.collect())
         )
+
+
+_layer_rows = st.lists(
+    st.tuples(
+        st.integers(1, 4),  # commit_seq
+        st.sampled_from(["add", "del"]),
+        st.integers(0, 9),  # entity key
+        st.integers(0, 3),  # payload
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: (r[0], r[2]),  # one op per (commit, key)
+)
+
+
+def _py_materialize(rows, at_seq):
+    latest = {}
+    for seq, op, k, v in sorted(rows):
+        if seq <= at_seq:
+            latest[k] = (seq, op, v)
+    return {(k, v) for k, (seq, op, v) in latest.items() if op == "add"}
+
+
+@settings(**SETTINGS)
+@given(_layer_rows, st.integers(1, 4))
+def test_versioning_laws_property(spark, rows, at_seq):
+    """materialize matches a python oracle; squash preserves state;
+    diff(a, a) is empty — for ANY generated layer stack."""
+    from terminus_server_spark.versioning.layers import diff, materialize, squash
+
+    layers = spark.createDataFrame(
+        [(seq, f"c{seq}", op, k, v) for seq, op, k, v in rows],
+        "commit_seq int, commit_id string, op string, k int, v int",
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in materialize(layers, at_seq, ["k"]).select("k", "v").collect()
+    }
+    assert got == _py_materialize(rows, at_seq)
+
+    squashed = squash(layers, at_seq, ["k"], "s")
+    got_sq = {
+        (r["k"], r["v"])
+        for r in materialize(squashed, at_seq, ["k"]).select("k", "v").collect()
+    }
+    assert got_sq == got
+
+    assert diff(layers, at_seq, at_seq, ["k"]).count() == 0

@@ -2845,6 +2845,173 @@ def vc_merge_conflicts(spark, sf_dir):
     return conflicts
 
 
+_PARTSUPP_SQL = """
+  nsupp AS (SELECT COUNT(*) AS n FROM supplier),
+  ps AS (
+    SELECT DISTINCT p.p_partkey AS ps_partkey,
+           (p.p_partkey * 3 + i.i * 13) % (SELECT n FROM nsupp) + 1 AS ps_suppkey,
+           CAST((p.p_partkey * 7 + ((p.p_partkey * 3 + i.i * 13) % (SELECT n FROM nsupp) + 1) * 11) % 999 + 1 AS BIGINT) AS ps_availqty,
+           CAST((p.p_partkey * 13 + ((p.p_partkey * 3 + i.i * 13) % (SELECT n FROM nsupp) + 1) * 17) % 90000 AS DOUBLE) / 100.0 AS ps_supplycost
+    FROM part p CROSS JOIN (SELECT unnest(range(4)) AS i) i)
+"""
+
+
+@register(
+    "q2_full",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    ranked AS (
+      SELECT e.*, p.p_brand,
+             MIN(e.ps_supplycost) OVER (PARTITION BY e.ps_partkey) AS min_cost
+      FROM eligible e
+      JOIN part p ON p.p_partkey = e.ps_partkey
+      WHERE p.p_size % 10 = 5)
+    SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand, ps_supplycost
+    FROM ranked WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_full(spark, sf_dir):
+    """TPC-H Q2 complete (min-cost supplier per part in a region) over
+    a *synthesized* partsupp: 4 deterministic suppliers per part with
+    arithmetic-derived availqty/supplycost, identical on both engines
+    — closes the 'partsupp emulation' roadmap item.  The min-cost
+    filter is one window over the part key; the region restriction is
+    broadcast dimension joins."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir, "part", "supplier", "nation", "region")
+    n_supp = t["supplier"].count()  # dimension-sized; drives a literal
+    p = t["part"]
+    i = spark.range(4).withColumnRenamed("id", "i")
+    sk = (F.col("p_partkey") * 3 + F.col("i") * 13) % n_supp + 1
+    ps = (
+        p.crossJoin(i)
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + sk * 11) % 999 + 1)
+            .cast("bigint")
+            .alias("ps_availqty"),
+            (((F.col("p_partkey") * 13 + sk * 17) % 90000).cast("double") / 100.0).alias(
+                "ps_supplycost"
+            ),
+        )
+        .distinct()
+    )
+    eligible = (
+        ps.join(t["supplier"], ps["ps_suppkey"] == t["supplier"]["s_suppkey"])
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+    )
+    ranked = (
+        eligible.join(
+            t["part"].where(F.col("p_size") % 10 == 5),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .withColumn(
+            "min_cost", F.min("ps_supplycost").over(Window.partitionBy("ps_partkey"))
+        )
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+    )
+    return (
+        ranked.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_full",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    scoped AS (
+      SELECT ps.ps_partkey,
+             CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(28,6)) AS v
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')),
+    totals AS (
+      SELECT CAST(SUM(v) AS DOUBLE) AS total,
+             COUNT(DISTINCT ps_partkey) AS n_parts
+      FROM scoped)
+    SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS part_value
+    FROM scoped
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(v) AS DOUBLE) >
+           (SELECT total FROM totals) * 1.5 / (SELECT n_parts FROM totals)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q11_full(spark, sf_dir):
+    """TPC-H Q11 complete over the synthesized partsupp: per-part
+    inventory value for a nation scope, kept when above a fraction of
+    the scope total.  Decimal sums keep both the per-part values and
+    the scalar threshold order-independent; the threshold is a
+    broadcast scalar, not a second pass."""
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir, "part", "supplier", "nation")
+    n_supp = t["supplier"].count()
+    p = t["part"]
+    i = spark.range(4).withColumnRenamed("id", "i")
+    sk = (F.col("p_partkey") * 3 + F.col("i") * 13) % n_supp + 1
+    ps = (
+        p.crossJoin(i)
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + sk * 11) % 999 + 1)
+            .cast("bigint")
+            .alias("ps_availqty"),
+            (((F.col("p_partkey") * 13 + sk * 17) % 90000).cast("double") / 100.0).alias(
+                "ps_supplycost"
+            ),
+        )
+        .distinct()
+    )
+    scoped = (
+        ps.join(t["supplier"], ps["ps_suppkey"] == t["supplier"]["s_suppkey"])
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty"))
+            .cast("decimal(28,6)")
+            .alias("v"),
+        )
+    )
+    total, n_parts = scoped.agg(
+        F.sum("v").cast("double"), F.countDistinct("ps_partkey")
+    ).collect()[0]
+    threshold = (total or 0.0) * 1.5 / max(n_parts, 1)
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("v").cast("double").alias("part_value"))
+        .where(F.col("part_value") > threshold)
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
 @register(
     "vc_merge_props",
     """

@@ -3013,6 +3013,43 @@ def q11_full(spark, sf_dir):
 
 
 @register(
+    "q16_full",
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_size IN (5, 15, 25) AND p.p_type <> 'PROMO'
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_full(spark, sf_dir):
+    """TPC-H Q16 complete over the synthesized partsupp:
+    supplier-count per (brand, type, size) bucket — a distinct-count
+    aggregate whose shuffle is keyed by the grouping bucket."""
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir, "part", "supplier")
+    n_supp = t["supplier"].count()
+    p = t["part"]
+    i = spark.range(4).withColumnRenamed("id", "i")
+    sk = (F.col("p_partkey") * 3 + F.col("i") * 13) % n_supp + 1
+    ps = (
+        p.crossJoin(i)
+        .select(F.col("p_partkey").alias("ps_partkey"), sk.alias("ps_suppkey"))
+        .distinct()
+    )
+    return (
+        ps.join(p, ps["ps_partkey"] == p["p_partkey"])
+        .where(F.col("p_size").isin(5, 15, 25) & (F.col("p_type") != "PROMO"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
     "vc_merge_props",
     """
     SELECT 'instance' AS graph,

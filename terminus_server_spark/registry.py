@@ -3050,6 +3050,79 @@ def q16_full(spark, sf_dir):
 
 
 @register(
+    "q20_full",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    avail AS (
+      SELECT ps_partkey, CAST(SUM(ps_availqty) AS BIGINT) AS total_avail
+      FROM ps GROUP BY ps_partkey),
+    shipped AS (
+      SELECT l_partkey, {_dsum_sql('l_quantity')} AS total_shipped
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey),
+    surplus AS (
+      SELECT a.ps_partkey
+      FROM avail a JOIN shipped sh ON sh.l_partkey = a.ps_partkey
+      WHERE CAST(a.total_avail AS DOUBLE) > 0.5 * sh.total_shipped)
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM ps
+    JOIN surplus ON surplus.ps_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_name
+    """,
+)
+def q20_full(spark, sf_dir):
+    """TPC-H Q20 complete over the synthesized partsupp: parts whose
+    stocked quantity exceeds half of a year's shipments, then the
+    distinct suppliers stocking them — two part-keyed aggregates, one
+    semi-join-shaped filter, broadcast dimension joins."""
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir, "part", "supplier", "nation", "lineitem")
+    n_supp = t["supplier"].count()
+    p = t["part"]
+    i = spark.range(4).withColumnRenamed("id", "i")
+    sk = (F.col("p_partkey") * 3 + F.col("i") * 13) % n_supp + 1
+    ps = (
+        p.crossJoin(i)
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + sk * 11) % 999 + 1)
+            .cast("bigint")
+            .alias("ps_availqty"),
+        )
+        .distinct()
+    )
+    avail = ps.groupBy("ps_partkey").agg(
+        F.sum("ps_availqty").cast("bigint").alias("total_avail")
+    )
+    d97 = F.lit("1997-01-01").cast("timestamp_ntz")
+    d98 = F.lit("1998-01-01").cast("timestamp_ntz")
+    shipped = (
+        t["lineitem"]
+        .where((F.col("l_shipdate") >= d97) & (F.col("l_shipdate") < d98))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("total_shipped"))
+    )
+    surplus = (
+        avail.join(shipped, avail["ps_partkey"] == shipped["l_partkey"])
+        .where(F.col("total_avail").cast("double") > 0.5 * F.col("total_shipped"))
+        .select("ps_partkey")
+    )
+    return (
+        ps.join(surplus, "ps_partkey")
+        .join(t["supplier"], F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+@register(
     "vc_merge_props",
     """
     SELECT 'instance' AS graph,

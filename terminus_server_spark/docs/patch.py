@@ -353,11 +353,15 @@ def doc_patch_nested(
                 )
             # list length: the #len sentinel wins; otherwise unchanged.
             # (Leaf paths can't size the list — a removed leaf may be a
-            # field nulled in place, not an element dropped.)
-            new_n = F.coalesce(
+            # field nulled in place, not an element dropped.)  Presence is
+            # gated on the map KEY, not a non-NULL value: a diff that sets
+            # the whole list to NULL ships a #len sentinel whose value is
+            # NULL, which must rebuild a NULL list — coalesce would fall
+            # back to the old length and fabricate an all-NULL list.
+            new_n = F.when(
+                F.map_contains_key(up, F.lit(path + "#len")),
                 F.try_element_at(up, F.lit(path + "#len")).cast("int"),
-                _nsize(oc),
-            )
+            ).otherwise(_nsize(oc))
 
             def per_index(i: Column) -> Column:
                 p = F.concat(F.lit(path + "["), i.cast("string"), F.lit("]"))

@@ -191,24 +191,33 @@ class TripleStore:
     returns a filtered projection that Catalyst pushes into the scan.
     """
 
+    @staticmethod
+    def _conform(df: DataFrame) -> DataFrame:
+        """Conform a hand-built core-only frame: typed-literal
+        extension columns are always present (NULL = untyped) so both
+        scan paths — the union and the constant-predicate fast path —
+        expose the same schema."""
+        missing = [c for c in TRIPLE_COLS if c not in df.columns]
+        if missing:
+            raise ValueError(f"triple frame missing columns: {missing}")
+        if "obj_lang" not in df.columns:
+            df = df.withColumn("obj_lang", F.lit(None).cast("string"))
+        if "obj_ts" not in df.columns:
+            df = df.withColumn("obj_ts", F.lit(None).cast("timestamp_ntz"))
+        return df
+
     def __init__(
         self,
         df: DataFrame,
         schema_df: DataFrame | None = None,
         pred_frames: dict[str, list[DataFrame]] | None = None,
     ):
-        missing = [c for c in TRIPLE_COLS if c not in df.columns]
-        if missing:
-            raise ValueError(f"triple frame missing columns: {missing}")
-        # conform hand-built core-only frames: typed-literal extension
-        # columns are always present on the store (NULL = untyped)
-        if "obj_lang" not in df.columns:
-            df = df.withColumn("obj_lang", F.lit(None).cast("string"))
-        if "obj_ts" not in df.columns:
-            df = df.withColumn("obj_ts", F.lit(None).cast("timestamp_ntz"))
-        self.df = df
+        self.df = self._conform(df)
         self.schema_df = schema_df
-        self.pred_frames = pred_frames or {}
+        self.pred_frames = {
+            pred: [self._conform(fr) for fr in frames]
+            for pred, frames in (pred_frames or {}).items()
+        }
 
     @classmethod
     def from_tables(cls, tables: dict[str, DataFrame], specs: dict[str, dict]) -> "TripleStore":
@@ -270,22 +279,34 @@ def class_frames(triples: DataFrame) -> DataFrame:
 
     Dataflow: one join of property triples to rdf:type triples on
     subject (subject is the natural co-location key), a (class,
-    predicate, subject) aggregate for per-subject cardinalities, then
-    a (class, predicate) rollup joined to class sizes — three
-    shuffles total, all keyed on columns with natural cardinality, no
-    driver round-trips."""
+    predicate, subject) aggregate for per-subject cardinalities, a
+    (class, predicate) rollup, and a separately-aggregated type set —
+    a map-side-combinable ``distinct`` over (class, predicate,
+    obj_type), whose group payload is bounded by the xsd type
+    universe.  Collecting per-subject type arrays into the rollup
+    group would instead buffer n_subjects arrays per (class,
+    predicate) — an OOM at billion-subject scale — so obj_types never
+    rides through ``collect_list``."""
     types = (
         triples.where(F.col("predicate") == RDF_TYPE)
         .select("subject", F.col("obj").alias("class"))
         .distinct()
     )
     props = triples.where(F.col("predicate") != RDF_TYPE)
-    per_subject = (
-        props.join(types, "subject")
-        .groupBy("class", "predicate", "subject")
+    typed_props = props.join(types, "subject").select(
+        "class", "predicate", "subject", "obj_type"
+    )
+    per_subject = typed_props.groupBy("class", "predicate", "subject").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    obj_types = (
+        typed_props.select("class", "predicate", "obj_type")
+        .distinct()
+        .groupBy("class", "predicate")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.collect_set("obj_type").alias("ts"),
+            F.array_join(F.array_sort(F.collect_set("obj_type")), "|").alias(
+                "obj_types"
+            )
         )
     )
     class_sizes = types.groupBy("class").agg(F.count(F.lit(1)).alias("n_class"))
@@ -295,10 +316,8 @@ def class_frames(triples: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_subjects"),
             F.min("n").alias("min_card"),
             F.max("n").alias("max_card"),
-            F.array_join(
-                F.array_sort(F.array_distinct(F.flatten(F.collect_list("ts")))), "|"
-            ).alias("obj_types"),
         )
+        .join(obj_types, ["class", "predicate"])
         .join(class_sizes, "class")
         .select(
             "class",

@@ -246,20 +246,20 @@ def oov_rate(docs: DataFrame, text_col: str = "text", vocab_k: int = 1000) -> Da
     arithmetic (counts + one final double division).
 
     Dataflow: token frequencies (one map-side-combined aggregate),
-    rank window to pick the vocabulary (deterministic tie-break on
-    token text), broadcast-sized vocab joined back to the token
-    stream — at 100 TB the vocab is vocab_k rows, so the join is a
-    broadcast and the heavy stream never reshuffles."""
-    from pyspark.sql.window import Window
-
+    distributed top-k (``orderBy().limit()`` executes as
+    TakeOrderedAndProject — per-partition heaps, never a
+    single-partition window) to pick the vocabulary with a
+    deterministic tie-break on token text, broadcast-sized vocab
+    joined back to the token stream — at 100 TB the vocab is vocab_k
+    rows, so the join is a broadcast and the heavy stream never
+    reshuffles."""
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
     vocab = (
-        freq.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= vocab_k)
+        freq.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(vocab_k)
         .select("tok")
     )
     flagged = toks.join(

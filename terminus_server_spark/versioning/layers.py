@@ -186,13 +186,22 @@ def merge_branches(
     )
     eff = both.select(*key_cols, F.coalesce("l_op", "r_op").alias("op"))
     eff_dels = eff.where(F.col("op") == "del").select(*key_cols)
+    eff_add_keys = eff.where(F.col("op") == "add").select(*key_cols)
     conflict_keys = conflicts.select(*key_cols)
     l_adds = left.where(F.col("op") == "add")
     r_adds = right.where(F.col("op") == "add").join(
         conflict_keys, key_cols, "left_anti"
     )
     adds = l_adds.unionByName(r_adds).select(*base.columns).distinct()
-    merged = base.join(eff_dels, key_cols, "left_anti").unionByName(adds)
+    # base drops both deleted keys AND re-added keys (the add row
+    # supersedes the base row) — a branch re-adding a triple already
+    # present in base must not duplicate it; the anti-join's right
+    # side stays delta-sized (broadcastable), preserving the
+    # |delta|-not-|base| cost contract that a distinct() over the
+    # merged result would break.
+    merged = base.join(
+        eff_dels.unionByName(eff_add_keys), key_cols, "left_anti"
+    ).unionByName(adds)
     return merged, conflicts
 
 

@@ -101,6 +101,24 @@ def test_diff_plan_is_pure_projection(corpus, spark):
         assert bad not in p
 
 
+def test_list_nulled_wholesale_patches_to_null_list(spark):
+    """new sets a list field to NULL: the #len sentinel ships a NULL
+    new_value, and patch must rebuild a NULL list — not an
+    old-length list of NULL elements (which the flat rendering would
+    hide, so this compares at the typed grain)."""
+    schema = "key bigint, items array<struct<id:bigint, score:double>>"
+    old = spark.createDataFrame([(1, [(10, 1.0), (11, 2.0)]), (2, [(20, 3.0)])], schema)
+    new = spark.createDataFrame([(1, None), (2, [(20, 3.0)])], schema)
+    d = doc_diff_nested(old, new, "key")
+    got = {r["key"]: r["items"] for r in doc_patch_nested(old, d, "key").collect()}
+    assert got[1] is None
+    assert [tuple(e) for e in got[2]] == [(20, 3.0)]
+    # and the inverse direction (NULL → list) still lands
+    d2 = doc_diff_nested(new, old, "key")
+    got2 = {r["key"]: r["items"] for r in doc_patch_nested(new, d2, "key").collect()}
+    assert [tuple(e) for e in got2[1]] == [(10, 1.0), (11, 2.0)]
+
+
 def test_set_semantics_reorder_is_noop_and_roundtrip(spark):
     old = spark.createDataFrame(
         [(1, ["a", "b", "c"]), (2, ["x"])], "key bigint, tags array<string>"

@@ -68,6 +68,25 @@ def test_ts_shadow_native_comparison(store):
     assert sorted(r["d"] for r in df.collect()) == ["Doc/2", "Doc/3"]
 
 
+def test_handbuilt_core_frame_fast_path_conforms(spark):
+    """A hand-built 6-column pred frame must expose the typed-literal
+    extension columns on spo()'s constant-predicate fast path too —
+    Triple(..., lang=) against it resolves (NULL tag) instead of
+    raising an unresolved-column error."""
+    core = spark.createDataFrame(
+        [("instance", "Doc/1", "title", "plain", "xsd:string", None)],
+        "graph string, subject string, predicate string, obj string, "
+        "obj_type string, obj_num double",
+    )
+    store = TripleStore(core, pred_frames={"title": [core]})
+    fast = store.spo("title")
+    assert {"obj_lang", "obj_ts"} <= set(fast.columns)
+    rows = WOQLContext(store).run(
+        A.Triple(A.v("d"), "title", A.v("t"), lang=A.v("tag"))
+    ).collect()
+    assert [(r["d"], r["t"], r["tag"]) for r in rows] == [("Doc/1", "plain", None)]
+
+
 def test_num_shadow_binding(store):
     q = A.And(
         A.Triple(A.v("d"), "score", A.v("s"), num=A.v("n")),

@@ -1,5 +1,37 @@
 
 
+def test_merge_readd_of_base_row_does_not_duplicate(spark):
+    """A branch 'add' of a triple already present in base (no opposing
+    del, so no conflict) must keep set semantics — exactly one row in
+    the merged result, matching the reference's layer model."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import merge_branches
+
+    key = ["graph", "subject", "predicate", "obj"]
+    base = spark.createDataFrame(
+        [("g", "s1", "p", "v1"), ("g", "s2", "p", "v2")],
+        "graph string, subject string, predicate string, obj string",
+    )
+    left = spark.createDataFrame(
+        [("add", "g", "s1", "p", "v1")],  # re-add of an existing base row
+        "op string, graph string, subject string, predicate string, obj string",
+    )
+    right = spark.createDataFrame(
+        [("add", "g", "s3", "p", "v3")],
+        "op string, graph string, subject string, predicate string, obj string",
+    )
+    merged, conflicts = merge_branches(base, left, right, key)
+    assert conflicts.count() == 0
+    rows = sorted(map(tuple, merged.collect()))
+    assert rows == [
+        ("g", "s1", "p", "v1"),
+        ("g", "s2", "p", "v2"),
+        ("g", "s3", "p", "v3"),
+    ]
+    assert merged.groupBy(*key).count().where(F.col("count") > 1).count() == 0
+
+
 def test_commit_dag_log_walk_min_depth(spark):
     from terminus_server_spark.versioning.dag import log_from, log_walk
 

@@ -94,6 +94,58 @@ def run_stream_to_table(
     return spark.table(table_name)
 
 
+def run_stream_batches_to_table(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    transform,
+    table_name: str,
+    output_mode: str = "append",
+) -> tuple[DataFrame, list]:
+    """Replay a *sequence* of batch DataFrames as one micro-batch
+    each (file source, one file per batch, ``maxFilesPerTrigger=1``,
+    availableNow) — the harness that proves cross-batch state and
+    watermark-driven EventTimeTimeout expiry for real: the watermark
+    only advances between micro-batches, so state TTL is unobservable
+    under the single-batch harness above.
+
+    Returns ``(result_df, progresses)`` — progresses are the
+    streaming query's per-batch progress objects, whose
+    ``stateOperators[].numRowsRemoved`` exposes expired state."""
+    import glob
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="tss_stream_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        part_dir = os.path.join(tmp, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch{i:05d}.parquet")
+        shutil.copy(part, dst)
+        # file-source batch order follows modification time (oldest
+        # first): pin mtimes so batch i is micro-batch i
+        os.utime(dst, (i + 1, i + 1))
+    schema = batches[0].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name), list(q.recentProgress)
+
+
 def session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -182,75 +234,96 @@ def funnel_counts(
     return out
 
 
-def spend_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
+def spend_alerts(
+    events: DataFrame,
+    threshold: float = 1000.0,
+    watermark: str = "2 hours",
+    ttl_s: int = 30 * 86400,
+) -> DataFrame:
     """(user_id, alert_ts, total_at_alert): one alert per user at the
     FIRST event where their cumulative spend reaches ``threshold`` —
     a custom stateful operator no built-in aggregation expresses
     (emit-once semantics + per-key running state), implemented with
     ``applyInPandasWithState``.
 
-    State per key: (scaled running total, emitted flag) — a few bytes,
-    so an unbounded user population stays cheap; watermarks would
-    bound it further if keys churned.  Totals accumulate as
-    floor(value * 1e6) bigints, so the crossing decision (and the
-    reported total) is order-independent and exactly reproducible by
-    the SQL oracle's window cumsum.
+    State per key: (scaled running total, emitted flag) — a few
+    bytes — and it is *bounded*: EventTimeTimeout drops the state of
+    any user silent for ``ttl_s`` of event time (watermark-driven),
+    so an unbounded user population cannot grow the state store
+    forever.  Aging out an idle user's running total is the standard
+    production tradeoff; within the TTL horizon the semantics are
+    exact.  Totals accumulate as floor(value * 1e6) bigints, so the
+    crossing decision (and the reported total) is order-independent
+    and exactly reproducible by the SQL oracle's window cumsum.
 
-    Works identically on a batch DataFrame (groupBy.applyInPandas
-    shape) and a stream; the gate replays it through a real streaming
-    query via run_stream_to_table."""
+    The gate replays it through a real streaming query via
+    run_stream_to_table; the state-expiry path is exercised by a
+    multi-micro-batch test that watches numRowsRemoved."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     thr_scaled = int(threshold * 1e6)
+    ttl_ms = ttl_s * 1000
 
     def fn(key, pdf_iter, state: GroupState):
         import math
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         total, emitted = state.get if state.exists else (0, 0)
         rows = []
-        if not emitted:
-            chunks = [pdf for pdf in pdf_iter]
-            if chunks:
-                pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-                for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+        batch_max_us = None
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            batch_max_us = int(pdf["ts"].max().value // 1000)
+            if not emitted:
+                for ts, val in zip(pdf["ts"], pdf["value"]):
                     total += int(math.floor(val * 1e6))
                     if total >= thr_scaled:
                         rows.append((key[0], ts, total / 1e6))
                         emitted = 1
                         break
-        else:
-            for _ in pdf_iter:  # drain
-                pass
         state.update((total, emitted))
+        # expire after ttl_s of *event-time* inactivity: the clock is
+        # the user's own latest event, never processing time, so
+        # replays age state identically
+        base_ms = batch_max_us // 1000 if batch_max_us is not None else 0
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(base_ms + ttl_ms, wm + 1))
         if rows:
             yield pd.DataFrame(rows, columns=["user_id", "alert_ts", "total_at_alert"])
 
-    return (
-        events.groupBy("user_id")
-        .applyInPandasWithState(
-            fn,
-            outputStructType="user_id bigint, alert_ts timestamp_ntz, total_at_alert double",
-            stateStructType="total bigint, emitted int",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    e = _event_time(events).withWatermark("ts", watermark)
+    return e.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, alert_ts timestamp_ntz, total_at_alert double",
+        stateStructType="total bigint, emitted int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
-def pattern_alerts(events: DataFrame, within_s: int = 1800) -> DataFrame:
+def pattern_alerts(
+    events: DataFrame, within_s: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
     """(user_id, purchase_ts, gap_us): a row for every purchase that
     follows the user's latest view within ``within_s`` seconds — the
     streaming CEP staple ("A then B inside T") as a custom stateful
     operator (applyInPandasWithState; the built-in windows can't
     express cross-event-type sequences).
 
-    State per key: the epoch-micros of the latest view — one bigint,
-    so unbounded users stay cheap and the pattern works across
-    micro-batches (a view in batch N matches a purchase in batch
-    N+k).  Gap arithmetic is integer micros, so the SQL oracle's
-    preceding-frame window MAX reproduces it exactly."""
+    State per key: the epoch-micros of the latest view — one bigint —
+    and it is *bounded*: a stored view is useless once the watermark
+    passes ``view + within_s`` (no in-order purchase can match it any
+    more), so EventTimeTimeout drops exactly-expired state with NO
+    semantic change — unbounded user populations stay cheap and the
+    pattern still works across micro-batches (a view in batch N
+    matches a purchase in batch N+k inside the window).  Gap
+    arithmetic is integer micros, so the SQL oracle's preceding-frame
+    window MAX reproduces it exactly."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -258,13 +331,18 @@ def pattern_alerts(events: DataFrame, within_s: int = 1800) -> DataFrame:
     within_us = within_s * 1_000_000
 
     def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         last_view = state.get[0] if state.exists else None
         if last_view == -1:  # sentinel for "no view yet" (state is non-null)
             last_view = None
         rows = []
+        batch_max_us = None
         chunks = [pdf for pdf in pdf_iter]
         if chunks:
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            batch_max_us = int(pdf["ts"].max().value // 1000)
             for ts, etype in zip(pdf["ts"], pdf["event_type"]):
                 ts_us = ts.value // 1000  # pandas ns → µs
                 if etype == "view":
@@ -274,13 +352,20 @@ def pattern_alerts(events: DataFrame, within_s: int = 1800) -> DataFrame:
                     if gap <= within_us:
                         rows.append((key[0], ts, gap))
         state.update((last_view if last_view is not None else -1,))
+        # the state's horizon: last_view + within (after that no
+        # purchase can match); a key with no view yet expires one
+        # window after its latest event
+        base_us = last_view if last_view is not None else (batch_max_us or 0)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(base_us // 1000 + within_s * 1000, wm + 1))
         if rows:
             yield pd.DataFrame(rows, columns=["user_id", "purchase_ts", "gap_us"])
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    e = _event_time(events).withWatermark("ts", watermark)
+    return e.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType="user_id bigint, purchase_ts timestamp_ntz, gap_us bigint",
         stateStructType="last_view bigint",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

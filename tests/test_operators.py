@@ -545,6 +545,94 @@ def test_spend_alerts_emit_once_at_first_crossing(spark):
     assert r.user_id == 7 and r.alert_ts.hour == 11 and abs(r.total_at_alert - 1100.0) < 1e-9
 
 
+def _events_batch(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double, event_type string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value", "event_type"
+    )
+
+
+def _state_rows_removed(progresses):
+    import json
+
+    total = 0
+    for p in progresses:
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        for so in d.get("stateOperators", []):
+            total += int(so.get("numRowsRemoved") or 0)
+    return total
+
+
+def test_pattern_alerts_state_expires_at_watermark(spark):
+    """EventTimeTimeout drops a stored view once the watermark passes
+    view+within: a LATE purchase that would have matched the expired
+    view produces no alert (the watermark contract), while an
+    in-window cross-batch view→purchase still matches."""
+    from terminus_server_spark.streaming.events import (
+        pattern_alerts,
+        run_stream_batches_to_table,
+    )
+
+    batches = [
+        _events_batch(spark, [(1, "2020-01-01 10:00:00", 1, 0.0, "view")]),
+        _events_batch(spark, [(2, "2020-01-01 12:00:00", 9, 0.0, "view")]),
+        # watermark is now 11:50 (10 min delay) > 10:30 → user 1 expires here
+        _events_batch(spark, [(3, "2020-01-01 12:01:00", 9, 0.0, "view")]),
+        # late purchase: event time inside user 1's window but arrives
+        # after expiry → dropped state, no alert; user 9 purchase is
+        # in-window across batches → alert
+        _events_batch(
+            spark,
+            [
+                (4, "2020-01-01 10:20:00", 1, 0.0, "purchase"),
+                (5, "2020-01-01 12:10:00", 9, 0.0, "purchase"),
+            ],
+        ),
+    ]
+    out, progresses = run_stream_batches_to_table(
+        spark,
+        batches,
+        lambda s: pattern_alerts(s, within_s=1800, watermark="10 minutes"),
+        "tss_pattern_expiry",
+    )
+    rows = out.collect()
+    assert {r.user_id for r in rows} == {9}
+    assert rows[0].gap_us == 9 * 60 * 1_000_000  # 12:01 view → 12:10 purchase
+    assert _state_rows_removed(progresses) >= 1
+
+
+def test_spend_alerts_state_expires_after_ttl(spark):
+    """A user silent past ttl_s of event time has their running total
+    aged out: later spend starts from zero (no alert), while an
+    active user still crosses the threshold across batches."""
+    from terminus_server_spark.streaming.events import (
+        run_stream_batches_to_table,
+        spend_alerts,
+    )
+
+    batches = [
+        _events_batch(spark, [(1, "2020-01-01 10:00:00", 1, 600.0, "view")]),
+        _events_batch(spark, [(2, "2020-01-01 14:00:00", 9, 500.0, "view")]),
+        # watermark now 13:50 > user 1's 10:00 + 1h TTL → state dropped
+        _events_batch(spark, [(3, "2020-01-01 14:01:00", 9, 600.0, "view")]),
+        _events_batch(spark, [(4, "2020-01-01 14:02:00", 1, 600.0, "view")]),
+    ]
+    out, progresses = run_stream_batches_to_table(
+        spark,
+        batches,
+        lambda s: spend_alerts(s, threshold=1000.0, watermark="10 minutes", ttl_s=3600),
+        "tss_spend_expiry",
+    )
+    rows = out.collect()
+    # user 9 crosses (500+600) at 14:01; user 1's 600+600 does NOT
+    # alert because the first 600 was aged out in between
+    assert {(r.user_id, r.alert_ts.hour, r.alert_ts.minute) for r in rows} == {(9, 14, 1)}
+    assert _state_rows_removed(progresses) >= 1
+
+
 def test_compaction_reduces_file_count(spark, tmp_path):
     import os
 

@@ -2845,6 +2845,136 @@ def vc_merge_conflicts(spark, sf_dir):
     return conflicts
 
 
+@register(
+    "vc_clone",
+    """
+    SELECT 1 AS commit_seq, 'c1' AS commit_id, 'add' AS op, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT 2, 'c2', 'add', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    UNION ALL
+    SELECT 2, 'c2', 'del', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000
+    UNION ALL
+    SELECT 3, 'c3', 'add', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def vc_clone(spark, sf_dir):
+    """Clone = full layer-pack transfer (reference: api/db_clone) —
+    the output is the clone's per-commit pack manifest, proving the
+    copy carries every layer of every commit, adds and dels alike."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import orders_layers
+    from terminus_server_spark.versioning.remote import clone_store
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cloned = clone_store(orders_layers(o))
+    return cloned.groupBy("commit_seq", "commit_id", "op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@register(
+    "vc_push",
+    f"""
+    SELECT 1 AS commit_seq, 'c1' AS commit_id, CAST(COUNT(*) AS BIGINT) AS n,
+           {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000
+    UNION ALL
+    SELECT 2, 'c2', CAST(COUNT(*) AS BIGINT), {_dsum_sql('o_totalprice')}
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    UNION ALL
+    SELECT 3, 'c3', CAST(COUNT(*) AS BIGINT), {_dsum_sql('o_totalprice')}
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def vc_push(spark, sf_dir):
+    """Push (reference: api/db_push): the remote knows commits 1-2;
+    push ships exactly the seq-3 pack and appends it.  Output is the
+    post-push remote's materialized head state rolled up by the
+    commit each visible row came from — commit 3's rows prove the
+    shipped pack integrated, commits 1-2 prove nothing was clobbered."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize, orders_layers
+    from terminus_server_spark.versioning.remote import push
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    local = orders_layers(o)
+    remote = local.where(F.col("commit_seq") <= 2)
+    new_remote, _pack = push(local, remote, remote_head_seq=2)
+    return (
+        materialize(new_remote, 3, ["o_orderkey", "o_totalprice"])
+        .groupBy("commit_seq", "commit_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "vc_pull",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, {_dsum_sql('o_totalprice')} AS sum_price,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate < TIMESTAMP '1997-01-01'
+              AND o_totalprice <= 400000 AND o_orderkey % 100 = 0) AS n_conflicts
+    FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000
+           AND o_orderkey % 50 <> 0)
+       OR o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def vc_pull(spark, sf_dir):
+    """Pull with divergence (reference: api/db_pull = fetch +
+    integrate): local forked at commit 2 and deleted every 50th
+    cheap pre-97 order; the remote advanced with commit 3 (99+ adds
+    plus re-adds of every 100th cheap pre-97 order).  The pull
+    three-way-merges the net deltas, local-wins: the re-adds local
+    deleted surface as conflicts and stay deleted, the disjoint 99+
+    adds fast-forward in.  Output: merged state aggregate + conflict
+    count in one row."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import orders_layers
+    from terminus_server_spark.versioning.remote import pull
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    full = orders_layers(o)
+    d97 = F.lit("1997-01-01").cast("timestamp_ntz")
+    cheap_pre97 = (F.col("o_orderdate") < d97) & (F.col("o_totalprice") <= 400000)
+    layer = lambda seq, cid, op: [  # noqa: E731
+        F.lit(seq).alias("commit_seq"),
+        F.lit(cid).alias("commit_id"),
+        F.lit(op).alias("op"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    ]
+    local = full.where(F.col("commit_seq") <= 2).unionByName(
+        o.where(cheap_pre97 & (F.col("o_orderkey") % 50 == 0)).select(
+            *layer(3, "l3", "del")
+        )
+    )
+    remote = full.unionByName(
+        o.where(cheap_pre97 & (F.col("o_orderkey") % 100 == 0)).select(
+            *layer(3, "c3", "add")
+        )
+    )
+    merged, conflicts = pull(local, remote, 2, ["o_orderkey", "o_totalprice"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).crossJoin(conflicts.agg(F.count(F.lit(1)).alias("n_conflicts")))
+
+
 _PARTSUPP_SQL = """
   nsupp AS (SELECT COUNT(*) AS n FROM supplier),
   ps AS (

@@ -32,6 +32,48 @@ def test_merge_readd_of_base_row_does_not_duplicate(spark):
     assert merged.groupBy(*key).count().where(F.col("count") > 1).count() == 0
 
 
+def test_push_pack_is_minimal_and_pull_fast_forwards(spark):
+    """Push ships only the layers above the remote's head (zero rows
+    when up to date); a pull with no local divergence is a pure
+    fast-forward — merged state equals the remote's head state with
+    an empty conflict report."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize
+    from terminus_server_spark.versioning.remote import clone_store, pull, push
+
+    key = ["k", "v"]
+    local = spark.createDataFrame(
+        [
+            (1, "a", "add", 1, "x"),
+            (1, "a", "add", 2, "y"),
+            (2, "b", "del", 1, "x"),
+            (2, "b", "add", 3, "z"),
+            (3, "c", "add", 4, "w"),
+        ],
+        "commit_seq int, commit_id string, op string, k int, v string",
+    )
+    remote = local.where(F.col("commit_seq") <= 2)
+    new_remote, pack = push(local, remote, remote_head_seq=2)
+    assert pack.count() == 1 and pack.collect()[0].commit_id == "c"
+    assert new_remote.count() == local.count()
+    # push against an up-to-date remote ships nothing
+    _, empty_pack = push(local, new_remote, remote_head_seq=3)
+    assert empty_pack.count() == 0
+    # fast-forward pull: stale clone (head 1) pulls the rest
+    stale = local.where(F.col("commit_seq") <= 1)
+    merged, conflicts = pull(stale, local, base_seq=1, key_cols=key)
+    assert conflicts.count() == 0
+    want = sorted(
+        (r.k, r.v) for r in materialize(local, 3, key).select("k", "v").collect()
+    )
+    assert sorted((r.k, r.v) for r in merged.select("k", "v").collect()) == want
+    # clone carries the complete layer set
+    assert sorted(map(tuple, clone_store(local).collect())) == sorted(
+        map(tuple, local.collect())
+    )
+
+
 def test_commit_dag_log_walk_min_depth(spark):
     from terminus_server_spark.versioning.dag import log_from, log_walk
 

@@ -2208,6 +2208,73 @@ def schema_validate(spark, sf_dir):
     return validate_documents(docs, schema)
 
 
+@register(
+    "schema_migrate",
+    """
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT 'PurchaseOrder/' || CAST(o_orderkey AS VARCHAR) AS subject,
+           'rdf:type' AS predicate, 'PurchaseOrder' AS obj, 'iri' AS obj_type FROM o
+    UNION ALL
+    SELECT 'PurchaseOrder/' || CAST(o_orderkey AS VARCHAR), 'priority',
+           o_orderpriority, 'xsd:string' FROM o
+    UNION ALL
+    SELECT 'PurchaseOrder/' || CAST(o_orderkey AS VARCHAR), 'o_code',
+           CAST(o_orderkey % 5 AS VARCHAR), 'xsd:decimal' FROM o
+    UNION ALL
+    SELECT 'PurchaseOrder/' || CAST(o_orderkey AS VARCHAR), 'o_customer',
+           'Client/' || CAST(o_custkey AS VARCHAR), 'iri' FROM o
+    UNION ALL
+    SELECT 'PurchaseOrder/' || CAST(o_orderkey AS VARCHAR), 'billing',
+           'PurchaseOrder/' || CAST(o_orderkey AS VARCHAR) || '/billing', 'iri' FROM o
+    UNION ALL
+    SELECT 'PurchaseOrder/' || CAST(o_orderkey AS VARCHAR) || '/billing', 'rdf:type',
+           'Billing', 'iri' FROM o
+    UNION ALL
+    SELECT 'PurchaseOrder/' || CAST(o_orderkey AS VARCHAR) || '/billing', 'o_totalprice',
+           CAST(o_totalprice AS VARCHAR), 'xsd:decimal' FROM o
+    """,
+)
+def schema_migrate(spark, sf_dir):
+    """Schema migration with instance rewrite (reference:
+    document/migration.pl): orders-as-triples undergo a class rename
+    (Order→PurchaseOrder, subject prefixes + type objects), a
+    referenced-class rename (Customer→Client, object IRI rewrite), a
+    class-scoped property rename (o_orderpriority→priority), a type
+    widening (o_shippriority xsd:integer→xsd:decimal, lexical forms
+    preserved), and a structural move of o_totalprice into a keyed
+    'billing' subdocument (link + rdf:type + re-homed triples).  The
+    oracle builds the post-migration corpus directly — proving the
+    migrated triples match the SQL-rewritten corpus exactly."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.migrate import migrate
+    from terminus_server_spark.model.triples import triples_from_table
+
+    o = (
+        _t(spark, sf_dir, "orders")["orders"]
+        .where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_code", F.col("o_orderkey") % 5)
+    )
+    triples = triples_from_table(
+        o,
+        "Order",
+        "o_orderkey",
+        value_cols=["o_orderpriority", "o_code", "o_totalprice"],
+        ref_cols={"o_custkey": ("Customer", "o_customer")},
+    )
+    migrated = migrate(
+        triples,
+        [
+            {"rename_class": {"from": "Order", "to": "PurchaseOrder"}},
+            {"rename_class": {"from": "Customer", "to": "Client"}},
+            {"rename_property": {"class": "PurchaseOrder", "from": "o_orderpriority", "to": "priority"}},
+            {"widen_type": {"predicate": "o_code", "from": "xsd:integer", "to": "xsd:decimal"}},
+            {"move_to_subdocument": {"class": "PurchaseOrder", "predicate": "o_totalprice", "sub": "billing", "sub_class": "Billing"}},
+        ],
+    )
+    return migrated.select("subject", "predicate", "obj", "obj_type")
+
+
 _DOC_NEW_SQL = """
     new AS (
       SELECT o_orderkey,

@@ -927,6 +927,46 @@ def woql_triple(spark, sf_dir):
 
 
 @register(
+    "woql_call",
+    """
+    SELECT 'Customer/' || c_custkey AS c, r_name AS which
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_acctbal > 9000 AND r_name IN ('EUROPE', 'ASIA')
+    """,
+)
+def woql_call(spark, sf_dir):
+    """Named queries / WOQL call (reference: NamedParametricQuery
+    documents + call resolution in woql_compile.pl): a parametric
+    'rich_in' query is registered once and invoked twice with
+    different region arguments; bodies inline at compile time with
+    per-call-site variable hygiene, so Catalyst sees one flat plan."""
+    from terminus_server_spark.woql import ast as A
+
+    ctx = _ctx(spark, sf_dir)
+    ctx.define(
+        "rich_in",
+        [A.v("c"), A.v("rname")],
+        A.And(
+            A.Triple(A.v("c"), "c_nation", A.v("n")),
+            A.Triple(A.v("n"), "n_region", A.v("r")),
+            A.Triple(A.v("r"), "r_name", A.v("rname")),
+            A.Triple(A.v("c"), "c_acctbal", A.v("bal")),
+            A.Greater(A.v("bal"), 9000.0),
+        ),
+    )
+    q = A.Select(
+        [A.v("c"), A.v("which")],
+        A.Or_(
+            A.And(A.Call("rich_in", [A.v("c"), "EUROPE"]), A.Eq(A.v("which"), "EUROPE")),
+            A.And(A.Call("rich_in", [A.v("c"), "ASIA"]), A.Eq(A.v("which"), "ASIA")),
+        ),
+    )
+    return ctx.run(q)
+
+
+@register(
     "woql_join2",
     """
     SELECT n_name AS nname, COUNT(*) AS cnt

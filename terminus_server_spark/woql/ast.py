@@ -482,3 +482,49 @@ class Into(Term):
 
     graph: str
     term: Term
+
+
+@dataclass(frozen=True)
+class Call(Term):
+    """Call(name, args): invoke a named query registered on the
+    context, positional ``args`` substituting for its parameters
+    (public WOQL query reuse — NamedParametricQuery documents and the
+    ``call`` word; reference: woql_compile.pl call resolution).
+
+    Internal (non-parameter) variables of the body are renamed fresh
+    per call site, so all data exchange happens through the argument
+    list and repeated calls never capture each other's bindings —
+    Prolog-style hygiene."""
+
+    name: str
+    args: Sequence[Any] = ()
+
+
+def substitute(term: Term, mapping: dict[str, Any], rename_free=None):
+    """Structurally rebuild ``term`` with every Var whose name is in
+    ``mapping`` replaced by the mapped value (a Var or a constant);
+    vars outside the mapping pass through ``rename_free`` when given
+    (used for call-site hygiene).  Walks dataclass fields, tuples,
+    lists and dicts — the whole AST shape space."""
+    import dataclasses
+
+    def walk(x):
+        if isinstance(x, Var):
+            if x.name in mapping:
+                return mapping[x.name]
+            return rename_free(x) if rename_free else x
+        if isinstance(x, (And, Or_)):  # varargs constructors
+            return type(x)(*[walk(e) for e in x.terms])
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            return type(x)(
+                **{f.name: walk(getattr(x, f.name)) for f in dataclasses.fields(x)}
+            )
+        if isinstance(x, tuple):
+            return tuple(walk(e) for e in x)
+        if isinstance(x, list):
+            return [walk(e) for e in x]
+        if isinstance(x, dict):
+            return {k: walk(e) for k, e in x.items()}
+        return x
+
+    return walk(term)

@@ -46,11 +46,20 @@ class WOQLContext:
         self._graph_stack: list[str] = []  # Using(...) scopes; top = default graph
         self._into_stack: list[str] = []  # Into(...) scopes; top = default write graph
         self._staged: list[tuple] = []  # (op, graph, s, p, o) update templates
+        self._named: dict[str, tuple[tuple, A.Term]] = {}  # name → (params, body)
+        self._call_counter = 0  # per-call-site fresh-variable suffix
 
     # -- public API -------------------------------------------------------
 
     def run(self, term: A.Term) -> DataFrame:
         return self._compile(term, None)
+
+    def define(self, name: str, params, term: A.Term) -> None:
+        """Register a named parametric query (the reference stores
+        these as NamedParametricQuery documents; WOQL ``call`` invokes
+        them).  ``params`` are the Vars the body exchanges with call
+        sites — everything else is call-local."""
+        self._named[name] = (tuple(params), term)
 
     def run_update(self, term: A.Term, commit_seq: int, commit_id: str) -> DataFrame:
         """Compile a query containing AddTriple/DeleteTriple words into
@@ -95,6 +104,17 @@ class WOQLContext:
         shared = [c for c in df_in.columns if c in df_new.columns]
         if shared:
             return df_in.join(df_new, on=shared, how="inner")
+        # disjoint variable sets unify as a cartesian product — correct
+        # Prolog semantics, but silent blowup if both sides are large;
+        # surface it (the And-reordering below avoids this whenever a
+        # connected order exists)
+        import warnings
+
+        warnings.warn(
+            "WOQL: conjuncts share no variables — compiling a cross join "
+            f"({df_in.columns} × {df_new.columns}); verify both sides are small",
+            stacklevel=3,
+        )
         return df_in.crossJoin(df_new)
 
     def _match_pattern(
@@ -162,9 +182,63 @@ class WOQLContext:
 
     # -- connectives ------------------------------------------------------
 
+    @staticmethod
+    def _pattern_signature(term) -> tuple[int, frozenset] | None:
+        """(n_constants, variable names) for a *reorderable* pattern
+        word — Triple/Quad are pure natural joins (commutative and
+        associative), so runs of them can be safely rearranged.  Every
+        other word keeps its author-given position: filters,
+        bindings and updates read variables earlier words bound."""
+        if isinstance(term, A.Quad):
+            vals = [term.s, term.p, term.o]
+        elif isinstance(term, A.Triple):
+            vals = [term.s, term.p, term.o] + [
+                v for v in (term.lang, term.ts, term.num) if v is not None
+            ]
+        else:
+            return None
+        consts = sum(0 if _is_var(v) else 1 for v in vals)
+        vars_ = frozenset(v.name for v in vals if _is_var(v))
+        return consts, vars_
+
+    def _order_conjuncts(self, terms: tuple, df_in) -> list:
+        """Compile-time join-order heuristic (SURVEY §4 rule 2): within
+        each consecutive run of pattern words, greedily pick next the
+        pattern that (a) connects to an already-bound variable — never
+        a cross join while a connected order exists — and (b) binds
+        the most constants (constant predicate ⇒ partition-pruned
+        scan; constant s/o ⇒ pushed filter).  Catalyst does not
+        reorder inner joins without CBO stats, so a WOQL query written
+        unselective-first would otherwise shuffle the full triple
+        frame into the chain head."""
+        bound = set(df_in.columns) if df_in is not None else set()
+        out: list = []
+        i = 0
+        while i < len(terms):
+            sig = self._pattern_signature(terms[i])
+            if sig is None:
+                out.append(terms[i])
+                i += 1
+                continue
+            run = [(terms[i], sig)]
+            i += 1
+            while i < len(terms) and (s := self._pattern_signature(terms[i])) is not None:
+                run.append((terms[i], s))
+                i += 1
+            while run:
+                def score(item):
+                    consts, vs = item[1]
+                    connected = 1 if (not bound or vs & bound) else 0
+                    return (connected, consts, len(vs & bound))
+                best = max(run, key=score)
+                run.remove(best)
+                out.append(best[0])
+                bound |= best[1][1]
+        return out
+
     def _c_And(self, t: A.And, df_in):
         df = df_in
-        for sub in t.terms:
+        for sub in self._order_conjuncts(t.terms, df_in):
             df = self._compile(sub, df)
         return df
 
@@ -530,6 +604,29 @@ class WOQLContext:
     def _c_Dot(self, t: A.Dot, df_in):
         doc = self._operand(t.document, df_in)
         return df_in.withColumn(t.result.name, F.get_json_object(doc, f"$.{t.key}"))
+
+    def _c_Call(self, t: A.Call, df_in):
+        """Expand a named query at the call site: args substitute for
+        params, every other body variable gets a fresh per-call name
+        (hygiene — see A.Call), and the inlined term compiles in
+        place, so Catalyst sees one flat plan (named queries cost
+        nothing at runtime — exactly like the reference inlining
+        call bodies during WOQL compilation)."""
+        if t.name not in self._named:
+            raise ValueError(f"unknown named query: {t.name!r}")
+        params, body = self._named[t.name]
+        if len(params) != len(t.args):
+            raise ValueError(
+                f"Call {t.name!r}: expected {len(params)} args, got {len(t.args)}"
+            )
+        mapping = {p.name: a for p, a in zip(params, t.args)}
+        self._call_counter += 1
+        suffix = self._call_counter
+
+        def fresh(var: A.Var) -> A.Var:
+            return A.Var(f"__{t.name}_{suffix}_{var.name}")
+
+        return self._compile(A.substitute(body, mapping, rename_free=fresh), df_in)
 
     def _c_Using(self, t: A.Using, df_in):
         self._graph_stack.append(t.graph)

@@ -173,7 +173,22 @@ def from_json(q: dict) -> A.Term:
         return A.Put(cols, q["resource"], from_json(q["query"]), q.get("has_header", True))
     if t == "Dot":
         return A.Dot(_val(q["document"]), q["field"], A.v(q["value"]["variable"]))
+    if t == "Call":
+        return A.Call(q["name"], [_val(a) for a in q.get("arguments", [])])
     raise NotImplementedError(f"WOQL JSON word {t}")
+
+
+def parse_named_query(doc: dict) -> tuple[str, list, "A.Term"]:
+    """A NamedParametricQuery document → (name, params, body) for
+    ``WOQLContext.define`` (the reference stores reusable queries as
+    these documents; ``Call`` invokes them by name)."""
+    if doc.get("@type") != "NamedParametricQuery":
+        raise ValueError(f"not a NamedParametricQuery: {doc.get('@type')!r}")
+    return (
+        doc["name"],
+        [A.v(p) for p in doc.get("parameters", [])],
+        from_json(doc["query"]),
+    )
 
 
 def _arith(e: Any) -> Any:

@@ -363,3 +363,125 @@ def test_get_remote_url_is_rejected(store):
 
     with pytest.raises(NotImplementedError, match="stage the resource"):
         ctx(store).run(A.Get([("a", v("a"))], "https://example.com/data.csv"))
+
+
+def test_and_reorders_selective_pattern_first(store):
+    """Compile-time join ordering: a 3-pattern And written
+    worst-order (unselective var-heavy pattern first) reorders so the
+    constant-bearing pattern scans first and every later pattern
+    connects to bound variables."""
+    worst = (
+        Triple(v("c"), "c_nation", v("n")),       # 1 const, disconnected from r
+        Triple(v("n"), "n_region", v("r")),       # 1 const
+        Triple(v("r"), "r_name", "EUROPE"),       # 2 consts — should go first
+    )
+    c = ctx(store)
+    ordered = c._order_conjuncts(worst, None)
+    assert ordered[0] is worst[2]
+    # each subsequent pattern shares a variable with what's bound
+    assert ordered[1] is worst[1] and ordered[2] is worst[0]
+    # results identical to the author-order semantics
+    got = {r.c for r in c.run(Select([v("c")], And(*worst))).collect()}
+    want = {r.c for r in ctx(store).run(
+        Select([v("c")], And(*reversed(worst)))).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_and_reorder_avoids_cross_join(store):
+    """Patterns whose author order would cross-join (disjoint vars
+    mid-chain) compile without a CartesianProduct when a connected
+    order exists."""
+    from tests.test_plans import plan_str
+
+    q = And(
+        Triple(v("a"), "n_region", v("b")),   # nation → region
+        Triple(v("c"), "c_nation", v("d")),   # customer → nation (disjoint so far)
+        Triple(v("d"), "n_region", v("b")),   # connects both
+    )
+    df = ctx(store).run(Select([v("a"), v("c")], q))
+    assert "CartesianProduct" not in plan_str(df)
+
+
+def test_non_pattern_words_keep_position(store):
+    """Filters/bindings never move: Eq stays after the patterns that
+    bind its variable even when a later pattern is more selective."""
+    terms = (
+        Triple(v("n"), "n_name", v("nm")),
+        Eq(v("nm"), "NATION_3"),
+        Triple(v("n"), "n_region", v("r")),
+    )
+    ordered = ctx(store)._order_conjuncts(terms, None)
+    assert ordered[1] is terms[1]
+    rows = ctx(store).run(And(*terms)).collect()
+    assert len(rows) == 1 and rows[0].nm == "NATION_3"
+
+
+def test_call_hygiene_two_calls_share_only_params(store, tables):
+    """Two calls of one named query in a conjunction exchange data
+    only through their arguments: the shared nm param joins them,
+    while each call's internal vars stay fresh (no capture)."""
+    from terminus_server_spark.woql import Call
+
+    c = ctx(store)
+    c.define(
+        "nat_of",
+        [v("cust"), v("nm")],
+        And(Triple(v("cust"), "c_nation", v("n")), Triple(v("n"), "n_name", v("nm"))),
+    )
+    q = Select(
+        [v("c1"), v("c2"), v("nm")],
+        And(Call("nat_of", [v("c1"), v("nm")]), Call("nat_of", [v("c2"), v("nm")])),
+    )
+    out = c.run(q)
+    assert set(out.columns) == {"c1", "c2", "nm"}
+    per_nation = {
+        r.n_name: r.cnt
+        for r in tables["customer"]
+        .join(tables["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert out.count() == sum(n * n for n in per_nation.values())
+
+
+def test_call_constant_arg_specializes_and_json_roundtrip(store):
+    from terminus_server_spark.woql import Call
+    from terminus_server_spark.woql.json import from_json, parse_named_query
+
+    c = ctx(store)
+    name, params, body = parse_named_query(
+        {
+            "@type": "NamedParametricQuery",
+            "name": "in_region",
+            "parameters": ["nat", "rg"],
+            "query": {
+                "@type": "And",
+                "and": [
+                    {"@type": "Triple", "subject": {"variable": "nat"},
+                     "predicate": "n_region", "object": {"variable": "r"}},
+                    {"@type": "Triple", "subject": {"variable": "r"},
+                     "predicate": "r_name", "object": {"variable": "rg"}},
+                ],
+            },
+        }
+    )
+    c.define(name, params, body)
+    call = from_json(
+        {"@type": "Call", "name": "in_region",
+         "arguments": [{"variable": "nat"}, {"data": {"@type": "xsd:string", "@value": "ASIA"}}]}
+    )
+    assert isinstance(call, Call)
+    rows = c.run(Select([v("nat")], call)).collect()
+    assert len(rows) == 5 and all(r.nat.startswith("Nation/") for r in rows)
+
+
+def test_call_unknown_or_arity_mismatch_raises(store):
+    import pytest
+
+    from terminus_server_spark.woql import Call
+
+    c = ctx(store)
+    with pytest.raises(ValueError, match="unknown named query"):
+        c.run(Call("nope", []))
+    c.define("one", [v("x")], Triple(v("x"), "rdf:type", "Region"))
+    with pytest.raises(ValueError, match="expected 1 args"):
+        c.run(Call("one", [v("a"), v("b")]))

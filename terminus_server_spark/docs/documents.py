@@ -202,6 +202,70 @@ def delete_documents(triples: DataFrame, subjects: DataFrame) -> DataFrame:
     return triples.join(subjects.select("subject").distinct(), on="subject", how="left_anti")
 
 
+_PY_XSD = {bool: "xsd:boolean", int: "xsd:integer", float: "xsd:decimal"}
+
+
+def update_documents_where(
+    triples: DataFrame,
+    docs: DataFrame,
+    class_name: str,
+    key_col: str,
+    predicates: list,
+    set_values: dict,
+) -> DataFrame:
+    """GraphQL mutation semantics: update-by-filter compiled to a
+    delta layer (reference: GraphQL mutations / replace_document over
+    the document layer).  Documents matching the GraphQL filter
+    algebra (``predicates`` — same vocabulary as filter_documents)
+    get each field in ``set_values`` *replaced*: existing triples for
+    those predicates delete, one new typed literal per (subject,
+    field) adds — setting a field a document lacked adds it, matching
+    document-update semantics.
+
+    Returns the delta frame (op ∈ {add, del} + triple columns) rather
+    than mutating anything: it composes with
+    ``versioning.layers.apply_delta`` (immediate application) or a
+    commit into a layer stack — the same staged-then-commit shape as
+    the reference's transaction objects.  Cost: one filter over the
+    docs table, one subject semi-join over the store (broadcastable
+    when the match set is small), delta-sized adds."""
+    matched = filter_documents(docs, predicates)
+    subjects = matched.select(
+        F.concat(F.lit(class_name + "/"), F.col(key_col).cast("string")).alias(
+            "subject"
+        )
+    )
+    dels = (
+        triples.join(subjects, "subject", "left_semi")
+        .where(F.col("predicate").isin(*set_values.keys()))
+        .select(
+            F.lit("del").alias("op"),
+            "graph",
+            "subject",
+            "predicate",
+            "obj",
+            "obj_type",
+            "obj_num",
+        )
+    )
+    adds = None
+    for pred, val in set_values.items():
+        is_num = isinstance(val, (int, float)) and not isinstance(val, bool)
+        row = subjects.select(
+            F.lit("add").alias("op"),
+            F.lit("instance").alias("graph"),
+            "subject",
+            F.lit(pred).alias("predicate"),
+            F.lit(val).cast("string").alias("obj"),
+            F.lit(_PY_XSD.get(type(val), "xsd:string")).alias("obj_type"),
+            (F.lit(float(val)) if is_num else F.lit(None)).cast("double").alias(
+                "obj_num"
+            ),
+        )
+        adds = row if adds is None else adds.unionByName(row)
+    return dels.unionByName(adds)
+
+
 def validate_references(
     docs: DataFrame, targets: DataFrame, fk_col: str, target_key: str
 ) -> DataFrame:

@@ -4193,6 +4193,53 @@ def doc_insert_delete(spark, sf_dir):
 
 
 @register(
+    "doc_update_where",
+    """
+    WITH upd AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'de' AND n_chars > 500 THEN 'de-DE' ELSE lang END AS lang,
+             CASE WHEN lang = 'de' AND n_chars > 500 THEN 'curated' ELSE source END AS source
+      FROM documents)
+    SELECT 'lang' AS predicate, lang AS obj, CAST(COUNT(*) AS BIGINT) AS n
+    FROM upd WHERE lang IS NOT NULL GROUP BY lang
+    UNION ALL
+    SELECT 'source', source, CAST(COUNT(*) AS BIGINT)
+    FROM upd WHERE source IS NOT NULL GROUP BY source
+    """,
+)
+def doc_update_where(spark, sf_dir):
+    """GraphQL mutation: update-by-filter (docs with lang='de' and
+    n_chars>500 get lang→'de-DE', source→'curated') compiled to a
+    delta layer and applied via apply_delta — the staged-then-commit
+    shape of the reference's transactions.  Output: post-update
+    value distribution of the two touched predicates."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import (
+        docs_to_triples,
+        update_documents_where,
+    )
+    from terminus_server_spark.versioning.layers import apply_delta
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tri = docs_to_triples(docs, "Doc", "doc_id")
+    delta = update_documents_where(
+        tri,
+        docs,
+        "Doc",
+        "doc_id",
+        [("lang", "eq", "de"), ("n_chars", "gt", 500)],
+        {"lang": "de-DE", "source": "curated"},
+    )
+    new = apply_delta(tri, delta)
+    return (
+        new.where(F.col("predicate").isin("lang", "source"))
+        .groupBy("predicate", "obj")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
     "src_orc_roundtrip",
     f"""
     SELECT o_orderpriority, COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price

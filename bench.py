@@ -95,6 +95,13 @@ HEADLINE = [
     "events_pattern_seq",
     "dedup_segments",
     "schema_class_frames",
+    # round 3: remote sync, schema migration, named queries, mutations
+    "vc_push",
+    "vc_pull",
+    "schema_migrate",
+    "woql_call",
+    "doc_update_where",
+    "text_oov_rate",
 ]
 
 

@@ -34,3 +34,23 @@ def loop_checkpoint(df: DataFrame) -> DataFrame:
             sc.setCheckpointDir(spark.conf.get(DIR_CONF, _DEFAULT_DIR))
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def loop_checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Checkpoint one iteration AND return its row count in a single
+    Spark job: the checkpoint is marked *lazily* and the ``count()``
+    action materializes the blocks while aggregating.  Iterative
+    operators probe a fixpoint every round (k-core's edge count, the
+    path closure's empty-frontier test); running that probe as a
+    second job over the just-materialized blocks doubles the
+    per-round job count — pure driver/scheduler overhead that
+    dominates small-data wall time and adds up on deep loops."""
+    spark = df.sparkSession
+    if spark.conf.get(RELIABLE_CONF, "false").lower() == "true":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(spark.conf.get(DIR_CONF, _DEFAULT_DIR))
+        out = df.checkpoint(eager=False)
+    else:
+        out = df.localCheckpoint(eager=False)
+    return out, out.count()

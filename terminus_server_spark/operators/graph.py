@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from terminus_server_spark.checkpoint import loop_checkpoint
+from terminus_server_spark.checkpoint import loop_checkpoint, loop_checkpoint_count
 
 from terminus_server_spark.operators.path import no_constraint_propagation
 
@@ -279,14 +279,11 @@ def kcore(
     the keep-set exceeds any broadcast budget and must flow as a
     shuffled semi-join instead — AQE still upgrades it to broadcast
     at runtime if post-pruning stats fit."""
-    und = (
+    cur, n_edges = loop_checkpoint_count(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .transform(loop_checkpoint)
     )
-    cur = und
-    n_edges = cur.count()
     for _ in range(rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         # keep-set size is bounded by the surviving node count (≤ edge
@@ -297,15 +294,13 @@ def kcore(
         keep_dst = keep.select(F.col("src").alias("dst"))
         if n_edges <= broadcast_edge_limit:
             keep, keep_dst = F.broadcast(keep), F.broadcast(keep_dst)
-        cur = (
-            cur.join(keep, "src", "left_semi")
-            .join(keep_dst, "dst", "left_semi")
-            .transform(loop_checkpoint)
-        )
+        # checkpoint + fixpoint probe fused into one job per round:
         # pruning is monotone (edges only ever leave), so an unchanged
         # count IS the fixpoint — identical output to running the
         # remaining rounds, at zero cost
-        new_n = cur.count()
+        cur, new_n = loop_checkpoint_count(
+            cur.join(keep, "src", "left_semi").join(keep_dst, "dst", "left_semi")
+        )
         if new_n == n_edges:
             break
         n_edges = new_n

@@ -25,7 +25,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, functions as F
 
-from terminus_server_spark.checkpoint import loop_checkpoint
+from terminus_server_spark.checkpoint import loop_checkpoint, loop_checkpoint_count
 
 from terminus_server_spark.woql import path_ast as P
 
@@ -84,13 +84,13 @@ def transitive_closure(
                     (F.col("f.hops") + 1).alias("hops"),
                 )
             )
-            new = (
+            # checkpoint + empty-frontier probe fused into one job
+            new, n_new = loop_checkpoint_count(
                 grown.join(reached_keys, on=["src", "dst"], how="left_anti")
                 .groupBy("src", "dst")
                 .agg(F.min("hops").alias("hops"))
-                .transform(loop_checkpoint)
             )
-            if new.isEmpty():
+            if n_new == 0:
                 break
             layers.append(new)
             reached_keys = reached_keys.union(new.select("src", "dst"))
@@ -115,17 +115,23 @@ def transitive_closure_doubling(
     bushy graphs where |closure| ≫ |edges| the frontier method
     shuffles far less per round; callers pick by shape."""
     spark = edges.sparkSession
+
+    def ckpt_stats(df: DataFrame) -> tuple[DataFrame, tuple]:
+        # lazy checkpoint + stats probe fused: the agg action
+        # materializes the checkpoint blocks in the same job
+        out = df.localCheckpoint(eager=False)
+        row = out.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
+        return out, tuple(row)
+
     with no_constraint_propagation(spark):
-        r = (
+        r, stats = ckpt_stats(
             edges.select("src", "dst").where(
                 F.col("src").isNotNull() & F.col("dst").isNotNull()
             )
             .withColumn("hops", F.lit(1))
             .groupBy("src", "dst")
             .agg(F.min("hops").alias("hops"))
-            .transform(loop_checkpoint)
         )
-        stats = r.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
         for _ in range(max_doublings):
             squared = (
                 r.alias("a")
@@ -136,14 +142,12 @@ def transitive_closure_doubling(
                     (F.col("a.hops") + F.col("b.hops")).alias("hops"),
                 )
             )
-            r = (
+            r, new_stats = ckpt_stats(
                 r.unionByName(squared)
                 .groupBy("src", "dst")
                 .agg(F.min("hops").alias("hops"))
-                .transform(loop_checkpoint)
             )
-            new_stats = r.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
-            if tuple(new_stats) == tuple(stats):  # no new pairs, no shorter paths
+            if new_stats == stats:  # no new pairs, no shorter paths
                 break
             stats = new_stats
     return r if with_hops else r.select("src", "dst")

@@ -191,18 +191,36 @@ def kmv_distinct_estimate(
 
 
 def stratified_hash_sample(
-    docs: DataFrame, rates: dict[str, int], strata_col: str, key_col: str = "doc_id"
+    docs: DataFrame,
+    rates: dict[str, int],
+    strata_col: str,
+    key_col: str = "doc_id",
+    default: int | None = None,
 ) -> DataFrame:
     """Deterministic per-stratum sampling: stratum s keeps rows whose
     md5(key) first nibble < rates[s] (out of 16) — per-class rates in
     one pass, reproducible across engines/partitionings (the
-    class-balancing step for skewed corpora).  Pure filter: no
+    class-balancing step for skewed corpora).  ``default`` is the
+    rate for strata not named in ``rates`` — callers never need to
+    enumerate the class universe driver-side (no collect; on a real
+    corpus the language set isn't known up front).  Pure filter: no
     shuffle, pushes to the scan."""
+
+    def bound(sixteenths: int) -> str:
+        return format(sixteenths, "x") if sixteenths < 16 else "g"
+
     nibble = F.substring(F.md5(F.col(key_col).cast("string")), 1, 1)
-    cond = F.lit(False)
-    for stratum, sixteenths in rates.items():
-        bound = format(sixteenths, "x") if sixteenths < 16 else "g"
-        cond = cond | ((F.col(strata_col) == stratum) & (nibble < bound))
+    if default is not None:
+        # named strata take their rate, everything else the default
+        cond = nibble < bound(default)
+        for stratum, sixteenths in rates.items():
+            cond = F.when(
+                F.col(strata_col) == stratum, nibble < bound(sixteenths)
+            ).otherwise(cond)
+    else:
+        cond = F.lit(False)
+        for stratum, sixteenths in rates.items():
+            cond = cond | ((F.col(strata_col) == stratum) & (nibble < bound(sixteenths)))
     return docs.where(cond)
 
 

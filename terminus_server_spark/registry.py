@@ -3237,14 +3237,22 @@ def q11_full(spark, sf_dir):
             .alias("v"),
         )
     )
-    total, n_parts = scoped.agg(
-        F.sum("v").cast("double"), F.countDistinct("ps_partkey")
-    ).collect()[0]
-    threshold = (total or 0.0) * 1.5 / max(n_parts, 1)
+    # threshold as a broadcast scalar join, not a driver collect —
+    # one lazy plan, one Spark job (same IEEE op order as the oracle:
+    # (sum * 1.5) / count)
+    thr = scoped.agg(
+        (
+            F.coalesce(F.sum("v").cast("double"), F.lit(0.0))
+            * 1.5
+            / F.greatest(F.countDistinct("ps_partkey"), F.lit(1))
+        ).alias("_thr")
+    )
     return (
         scoped.groupBy("ps_partkey")
         .agg(F.sum("v").cast("double").alias("part_value"))
-        .where(F.col("part_value") > threshold)
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("part_value") > F.col("_thr"))
+        .drop("_thr")
         .orderBy(F.col("part_value").desc(), "ps_partkey")
     )
 
@@ -4709,14 +4717,22 @@ def graph_kcore(spark, sf_dir):
     from terminus_server_spark.operators.graph import kcore
 
     l = _t(spark, sf_dir, "lineitem")["lineitem"]
-    # dedupe on the int pair BEFORE building strings: the distinct
-    # shuffles 16-byte rows instead of ~25-byte concatenated keys
+    # run the whole pruning loop on tagged BIGINT node ids (orderkey
+    # → 2k, suppkey → 2k+1) and render the 'O/x'/'S/y' IRIs once at
+    # the end: every per-round shuffle moves 8-byte ints instead of
+    # ~12-25-byte strings — same trick as the reference's node-id
+    # dictionaries, applied per-query
     pairs = l.select("l_orderkey", "l_suppkey").distinct()
     edges = pairs.select(
-        F.concat(F.lit("O/"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("S/"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    return kcore(edges, k=3, rounds=4)
+    cores = kcore(edges, k=3, rounds=4)
+    tag = F.when(F.col("node") % 2 == 0, F.lit("O/")).otherwise(F.lit("S/"))
+    return cores.select(
+        F.concat(tag, F.shiftright("node", 1).cast("string")).alias("node"),
+        "degree",
+    )
 
 
 @register(
@@ -5924,9 +5940,8 @@ def sample_stratified(spark, sf_dir):
     from terminus_server_spark.operators.pipeline import stratified_hash_sample
 
     docs = _t(spark, sf_dir, "documents")["documents"]
-    langs = [r.lang for r in docs.select("lang").distinct().collect()]
-    rates = {lang: (4 if lang == "en" else 8) for lang in langs}
-    out = stratified_hash_sample(docs, rates, "lang")
+    # named stratum + default rate — no driver-side class enumeration
+    out = stratified_hash_sample(docs, {"en": 4}, "lang", default=8)
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")
 
 

@@ -2953,6 +2953,132 @@ def vc_merge_conflicts(spark, sf_dir):
 
 
 @register(
+    "acl_can",
+    """
+    WITH u AS (
+      SELECT c_custkey AS c,
+             CASE c_custkey % 3 WHEN 0 THEN 'admin' WHEN 1 THEN 'writer' ELSE 'reader' END AS role,
+             CASE WHEN c_custkey % 5 = 0 THEN 'Org/' || r_name ELSE 'Db/' || n_name END AS scope
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE c_custkey % 100 = 0),
+    acts(role, act) AS (VALUES
+      ('admin','read'),('admin','write'),('admin','delete'),('admin','grant'),
+      ('writer','read'),('writer','write'),('reader','read')),
+    dbs AS (
+      SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey)
+    SELECT DISTINCT 'User/' || u.c AS usr, a.act AS action, 'Db/' || d.n_name AS resource
+    FROM u
+    JOIN acts a ON a.role = u.role
+    JOIN dbs d ON u.scope = 'Db/' || d.n_name OR u.scope = 'Org/' || d.r_name
+    """,
+)
+def acl_can(spark, sf_dir):
+    """Access-control data model (reference: the _system database —
+    organizations, databases, users, roles, capabilities; public
+    locus: terminus-server src/core/account + system schema).  The
+    model is *queryable content*: organizations ← regions, databases
+    ← nations, users ← every 100th customer, a capability per user
+    granting a role (by key mod 3) over either their nation's
+    database or — for every 5th user — their whole organization.
+
+    can(actor, action, resource) is a WOQL query over the system
+    graph: capability → role → action, with scope coverage as an Or
+    (direct database grant, or organization grant covering every
+    database in it) — exactly how the reference walks its capability
+    graph on every request."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    t = _t(spark, sf_dir, "customer", "nation", "region")
+    geo = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("c_custkey") % 100 == 0)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+    def tri(df, subj, pred, obj):
+        return df.select(
+            F.lit("system").alias("graph"),
+            subj.alias("subject"),
+            F.lit(pred).alias("predicate"),
+            obj.alias("obj"),
+            F.lit("iri").alias("obj_type"),
+            F.lit(None).cast("double").alias("obj_num"),
+        )
+
+    usr = F.concat(F.lit("User/"), F.col("c_custkey").cast("string"))
+    cap = F.concat(F.lit("Cap/"), F.col("c_custkey").cast("string"))
+    role = F.concat(
+        F.lit("Role/"),
+        F.when(F.col("c_custkey") % 3 == 0, "admin")
+        .when(F.col("c_custkey") % 3 == 1, "writer")
+        .otherwise("reader"),
+    )
+    scope = F.when(
+        F.col("c_custkey") % 5 == 0, F.concat(F.lit("Org/"), F.col("r_name"))
+    ).otherwise(F.concat(F.lit("Db/"), F.col("n_name")))
+    role_actions = spark.createDataFrame(
+        [
+            ("Role/admin", "read"), ("Role/admin", "write"),
+            ("Role/admin", "delete"), ("Role/admin", "grant"),
+            ("Role/writer", "read"), ("Role/writer", "write"),
+            ("Role/reader", "read"),
+        ],
+        "r string, a string",
+    )
+    dbs = (
+        t["nation"]
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.concat(F.lit("Db/"), F.col("n_name")).alias("db"),
+            F.concat(F.lit("Org/"), F.col("r_name")).alias("org"),
+        )
+    )
+    system = (
+        tri(geo, usr, "capability", cap)
+        .unionByName(tri(geo, cap, "role", role))
+        .unionByName(tri(geo, cap, "scope", scope))
+        .unionByName(tri(role_actions, F.col("r"), "action", F.col("a")))
+        .unionByName(tri(dbs, F.col("db"), "in_org", F.col("org")))
+    )
+    q = A.Using(
+        "system",
+        A.Distinct(
+            [A.v("usr"), A.v("action"), A.v("resource")],
+            A.And(
+                A.Triple(A.v("usr"), "capability", A.v("cap")),
+                A.Triple(A.v("cap"), "role", A.v("role")),
+                A.Triple(A.v("role"), "action", A.v("action")),
+                A.Triple(A.v("cap"), "scope", A.v("scope")),
+                # scope coverage: bind the join variable FROM the
+                # bound scope first, so each branch's pattern joins on
+                # a shared column (org / resource) instead of
+                # cross-joining the db enumeration against the
+                # capability bindings
+                A.Or_(
+                    A.And(
+                        A.Eq(A.v("org"), A.v("scope")),
+                        A.Triple(A.v("resource"), "in_org", A.v("org")),
+                    ),
+                    A.And(
+                        A.Eq(A.v("resource"), A.v("scope")),
+                        A.Triple(A.v("resource"), "in_org", A.v("org2")),
+                    ),
+                ),
+            ),
+        ),
+    )
+    return WOQLContext(TripleStore(system)).run(q)
+
+
+@register(
     "vc_clone",
     """
     SELECT 1 AS commit_seq, 'c1' AS commit_id, 'add' AS op, CAST(COUNT(*) AS BIGINT) AS n

@@ -224,6 +224,50 @@ def stratified_hash_sample(
     return docs.where(cond)
 
 
+def length_trim(
+    docs: DataFrame,
+    class_col: str = "lang",
+    length_col: str = "n_chars",
+    low_pct: int = 5,
+    high_pct: int = 95,
+) -> DataFrame:
+    """Per-class exact percentile trimming: keep documents whose
+    ``length_col`` lies within [low_pct, high_pct] of their class's
+    length distribution — the outlier-trim pass corpora run before
+    training (truncated crawls at the bottom, concatenation bugs at
+    the top).
+
+    Scale shape: a window over the *raw rows* partitioned by class
+    would funnel each class into one task (classes are few, rows are
+    billions).  Instead the length HISTOGRAM aggregates per (class,
+    length) — map-side combinable, bounded by |classes| ×
+    |distinct lengths| — the cumulative distribution is a window over
+    that small frame, and the keep-range joins back broadcast.  The
+    keep predicate is integer-exact (100·count_lt ≥ low·n and
+    100·count_le ≤ high·n), so any engine replays it bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    hist = docs.groupBy(class_col, length_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(class_col)
+        .orderBy(length_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum_le", F.sum("_c").over(w)).withColumn(
+        "_cum_lt", F.col("_cum_le") - F.col("_c")
+    )
+    totals = hist.groupBy(class_col).agg(F.sum("_c").alias("_n"))
+    bounds = (
+        cum.join(totals, class_col)
+        .where(
+            (100 * F.col("_cum_lt") >= low_pct * F.col("_n"))
+            & (100 * F.col("_cum_le") <= high_pct * F.col("_n"))
+        )
+        .select(class_col, length_col)
+    )
+    return docs.join(F.broadcast(bounds), [class_col, length_col], "left_semi")
+
+
 def split_assign(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """(.., split): deterministic train/valid/test assignment from the
     md5 nibble — 14/16 train, 1/16 valid, 1/16 test.  A document's

@@ -3565,6 +3565,83 @@ def stream_pattern_alerts(spark, sf_dir):
     )
 
 
+@register(
+    "docs_length_trim",
+    """
+    WITH hist AS (
+      SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY lang, n_chars),
+    cum AS (
+      SELECT lang, n_chars, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le
+      FROM hist),
+    tot AS (SELECT lang, SUM(c) AS n FROM hist GROUP BY lang),
+    keep AS (
+      SELECT cum.lang, cum.n_chars
+      FROM cum JOIN tot ON cum.lang = tot.lang
+      WHERE 100 * (cum_le - c) >= 5 * n AND 100 * cum_le <= 95 * n)
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_len,
+           CAST(MAX(d.n_chars) AS BIGINT) AS max_len
+    FROM documents d JOIN keep k ON d.lang = k.lang AND d.n_chars = k.n_chars
+    GROUP BY d.lang
+    """,
+)
+def docs_length_trim(spark, sf_dir):
+    """Per-language exact 5-95 percentile length trim via the
+    histogram + broadcast-bounds pattern (no per-class single-task
+    window over raw rows — see operators/pipeline.length_trim).
+    Output: per-language kept count and surviving length range."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import length_trim
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        length_trim(docs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.min("n_chars").cast("bigint").alias("min_len"),
+            F.max("n_chars").cast("bigint").alias("max_len"),
+        )
+    )
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+     AND v.ts < p.ts
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (attribution: every view within
+    30 min before each purchase by the same user), replayed through a
+    real streaming query — both sides watermarked, join state
+    expirable because event time is bounded on both streams.  The
+    oracle is the identical batch interval join."""
+    from terminus_server_spark.streaming.events import (
+        run_stream_to_table,
+        stream_stream_attribution_join,
+    )
+
+    events = _t(spark, sf_dir, "events")["events"]
+    return run_stream_to_table(
+        spark,
+        events,
+        lambda s: stream_stream_attribution_join(s, within="30 minutes"),
+        "tss_ss_join",
+        output_mode="append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sources & streaming
 # ---------------------------------------------------------------------------

@@ -204,6 +204,56 @@ def stream_static_join_counts(
     )
 
 
+def stream_stream_attribution_join(
+    events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """(user_id, purchase_id, view_id, gap_us): stream-stream
+    interval join — every purchase paired with the same user's views
+    in the ``within`` window before it (the attribution join;
+    complements pattern_alerts, which keeps only the latest view).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH streams, which is exactly what lets Structured
+    Streaming expire join state: a buffered view older than
+    watermark + within can never match a future purchase and is
+    dropped.  Works identically on batch inputs (plain interval
+    join), so the SQL oracle replays it exactly."""
+    e = _event_time(events)
+    views = (
+        e.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            f"user_id = v_user AND view_ts >= purchase_ts - INTERVAL {within}"
+            " AND view_ts < purchase_ts"
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))
+        ).alias("gap_us"),
+    )
+
+
 def funnel_counts(
     events: DataFrame, steps: tuple[str, ...] = ("signup", "view", "purchase")
 ) -> DataFrame:

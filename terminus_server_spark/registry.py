@@ -2099,6 +2099,61 @@ def vc_rebase(spark, sf_dir):
 
 
 @register(
+    "vc_apply",
+    """
+    SELECT CASE WHEN o_totalprice > 400000 THEN 10 ELSE 1 END AS commit_seq,
+           CASE WHEN o_totalprice > 400000 THEN 'applied' ELSE 'c1' END AS commit_id,
+           o_orderkey, o_totalprice
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def vc_apply(spark, sf_dir):
+    """The reference's apply verb (terminus-server api/apply +
+    api/diff): diff two commits, apply the diff as a new commit on a
+    *different* branch head.  Here: diff(c3 -> c1) — which adds back
+    the >400k pre-97 orders c2 deleted and removes everything dated
+    >= 1997 — applied onto a branch reset to c2.  The materialized
+    result must be exactly the pre-97 order set, with per-row
+    provenance (commit_seq/commit_id of each row's last add)."""
+    from terminus_server_spark.versioning.layers import (
+        apply_as_commit,
+        diff_rows,
+        materialize,
+        reset,
+    )
+
+    layers = _layers(spark, sf_dir)
+    d = diff_rows(layers, 3, 1, ["o_orderkey"])
+    branch = reset(layers, 2)
+    applied = apply_as_commit(branch, d, 10, "applied")
+    return materialize(applied, 10_000, ["o_orderkey"])
+
+
+@register(
+    "vc_cherry_pick",
+    """
+    SELECT CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 5 ELSE 1 END AS commit_seq,
+           CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 'picked' ELSE 'c1' END AS commit_id,
+           o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01' OR o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def vc_cherry_pick(spark, sf_dir):
+    """Cherry-pick one commit's delta (not its cumulative state) onto
+    another branch: pick c3 (the >=1999 adds) onto a branch reset to
+    c1, skipping c2 entirely — so c2's deletes must NOT appear in the
+    result.  Final state = pre-97 orders (from c1) + 1999+ orders
+    (from the picked layer)."""
+    from terminus_server_spark.versioning.layers import cherry_pick, materialize, reset
+
+    layers = _layers(spark, sf_dir)
+    branch = reset(layers, 1)
+    picked = cherry_pick(branch, layers, 3, 5, "picked")
+    return materialize(picked, 10_000, ["o_orderkey"])
+
+
+@register(
     "delta_added_removed",
     """
     SELECT (SELECT COUNT(*) FROM orders

@@ -135,6 +135,55 @@ def apply_delta(triples: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def diff_rows(layers: DataFrame, from_seq: int, to_seq: int, key_cols: list[str]) -> DataFrame:
+    """Diff between two commits *with payload columns* — the form the
+    reference's ``api/apply`` consumes (a diff is itself a set of full
+    triples tagged added/removed, not just keys).  Added rows carry
+    the ``to`` side's payload, removed rows the ``from`` side's."""
+    a = materialize(layers, from_seq, key_cols).drop("commit_seq", "commit_id")
+    b = materialize(layers, to_seq, key_cols).drop("commit_seq", "commit_id")
+    added = b.join(a.select(*key_cols), key_cols, "left_anti").select(
+        F.lit("added").alias("op"), *b.columns
+    )
+    removed = a.join(b.select(*key_cols), key_cols, "left_anti").select(
+        F.lit("removed").alias("op"), *a.columns
+    )
+    return added.unionByName(removed)
+
+
+def apply_as_commit(
+    branch: DataFrame, diff_df: DataFrame, new_seq: int, commit_id: str
+) -> DataFrame:
+    """The reference's ``apply`` verb (api/apply): turn a diff between
+    two commits into a *new commit* on an arbitrary branch — added →
+    add ops, removed → del ops, stacked as one layer at ``new_seq``.
+    Materializing the result replays the diff over whatever state the
+    branch head had; cost scales with |diff|, never |branch history|."""
+    payload = [c for c in diff_df.columns if c != "op"]
+    layer = diff_df.select(
+        F.lit(new_seq).alias("commit_seq"),
+        F.lit(commit_id).alias("commit_id"),
+        F.when(F.col("op") == "added", "add").otherwise("del").alias("op"),
+        *payload,
+    )
+    return branch.unionByName(layer.select(*branch.columns))
+
+
+def cherry_pick(
+    branch: DataFrame, source: DataFrame, pick_seq: int, new_seq: int, commit_id: str
+) -> DataFrame:
+    """Cherry-pick: replay exactly one commit's delta (its add/del
+    layer, not the cumulative state) from ``source`` onto ``branch``
+    as a new head commit — a single seq-filter + re-tag, no shuffle."""
+    layer = source.where(F.col("commit_seq") == pick_seq).select(
+        F.lit(new_seq).alias("commit_seq"),
+        F.lit(commit_id).alias("commit_id"),
+        "op",
+        *[c for c in source.columns if c not in ("commit_seq", "commit_id", "op")],
+    )
+    return branch.unionByName(layer.select(*branch.columns))
+
+
 def reset(layers: DataFrame, to_seq: int) -> DataFrame:
     """Hard reset: drop every layer after ``to_seq`` (the reference's
     branch reset, api/reset) — a pure filter, so the scan prunes on

@@ -97,3 +97,45 @@ def test_commit_dag_log_walk_min_depth(spark):
     # metadata join: merge commit reports both parents
     log = {r["commit_id"]: r["n_parents"] for r in log_from(commits, "f").collect()}
     assert log["d"] == 2 and log["a"] == 0
+
+
+def test_apply_and_cherry_pick(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import (
+        apply_as_commit,
+        cherry_pick,
+        diff_rows,
+        materialize,
+        reset,
+    )
+
+    key = ["k"]
+    layers = spark.createDataFrame(
+        [
+            (1, "a", "add", 1, "x"),
+            (1, "a", "add", 2, "y"),
+            (2, "b", "del", 1, "x"),
+            (2, "b", "add", 3, "z"),
+            (3, "c", "add", 4, "w"),
+        ],
+        "commit_seq int, commit_id string, op string, k int, v string",
+    )
+    # diff(c3 -> c1) re-adds k=1 and removes k=3,4
+    d = diff_rows(layers, 3, 1, key)
+    got = {(r.op, r.k) for r in d.collect()}
+    assert got == {("added", 1), ("removed", 3), ("removed", 4)}
+    # applied onto a branch at c2 (state {2,3}): -> {2, 1}
+    applied = apply_as_commit(reset(layers, 2), d, 10, "applied")
+    state = materialize(applied, 99, key)
+    assert {(r.k, r.commit_id) for r in state.select("k", "commit_id").collect()} == {
+        (2, "a"),
+        (1, "applied"),
+    }
+    # cherry-pick c3 onto a branch at c1 skips c2's delete entirely
+    picked = cherry_pick(reset(layers, 1), layers, 3, 5, "picked")
+    state2 = materialize(picked, 99, key)
+    assert {r.k for r in state2.collect()} == {1, 2, 4}
+    assert (
+        state2.where(F.col("k") == 4).collect()[0].commit_id == "picked"
+    )

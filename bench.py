@@ -102,6 +102,9 @@ HEADLINE = [
     "woql_call",
     "doc_update_where",
     "text_oov_rate",
+    "text_bm25",
+    "text_inverted_index",
+    "text_unigram_lm",
 ]
 
 

@@ -465,6 +465,107 @@ def text_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents")["documents"])
 
 
+_BM25_TERMS = ("spark", "join", "stream")
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n             ".join(
+        rf"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i}::DOUBLE) * (1.2 + 1.0)"
+        f" / ((tf{i}::DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+    WITH feat AS (
+      SELECT doc_id, len(toks)::BIGINT AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, {_LTOKS_SQL} AS toks FROM documents)
+    ), stats AS (
+      SELECT COUNT(*)::BIGINT AS n_docs,
+             SUM(dl)::DOUBLE / COUNT(*) AS avgdl,
+             {df_cols}
+      FROM feat
+    )
+    SELECT doc_id, ROUND({terms}, 6) AS bm25
+    FROM feat, stats
+    WHERE ROUND({terms}, 6) > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register("text_bm25", _bm25_sql())
+def text_bm25(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed 3-term query (k1=1.2,
+    b=0.75, Lucene idf).  Map-side tf per term — the corpus is
+    scanned once with zero explode/shuffle; stats broadcast back."""
+    from terminus_server_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents")["documents"], list(_BM25_TERMS), k=20
+    )
+
+
+@register(
+    "text_inverted_index",
+    rf"""
+    WITH post AS (
+      SELECT tok, doc_id, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({_LTOKS_SQL}) AS tok FROM documents)
+      GROUP BY tok, doc_id
+    ), stats AS (
+      SELECT tok, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS cf
+      FROM post GROUP BY tok
+    )
+    SELECT p.tok, p.doc_id, p.tf, s.df, s.cf
+    FROM post p JOIN stats s USING (tok)
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted index as a distributed posting table (tok, doc_id,
+    tf, df, cf) — posting lists as rows, never driver-side arrays."""
+    from terminus_server_spark.operators.retrieval import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "text_unigram_lm",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_LTOKS_SQL}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*)::BIGINT AS n_tok FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT SUM(n_tok)::BIGINT AS n_total FROM freq
+    ), pdt AS (
+      SELECT doc_id, tok, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens,
+           ROUND(CAST(SUM(CAST((cnt::DOUBLE) * ln((f.n_tok::DOUBLE) / t.n_total)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / SUM(cnt), 6) AS avg_logp
+    FROM pdt JOIN freq f USING (tok), tot t
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_lm(spark, sf_dir):
+    """Average unigram log-probability per document under the
+    corpus's own unigram LM — the cheap perplexity proxy for
+    quality bucketing (decimal-stable sum, broadcast freq table)."""
+    from terminus_server_spark.operators.retrieval import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents")["documents"])
+
+
 @register(
     "dedup_exact",
     r"""

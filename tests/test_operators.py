@@ -728,3 +728,50 @@ def test_reliable_checkpoint_flag(spark, tmp_path):
     import os
 
     assert any(os.scandir(tmp_path / "ckpt"))
+
+
+def test_inverted_index_and_bm25(spark):
+    import math
+
+    from terminus_server_spark.operators.retrieval import bm25_topk, inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark"),
+            (2, "join the table"),
+            (3, "the quick fox"),
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = {(r.tok, r.doc_id): (r.tf, r.df, r.cf) for r in inverted_index(docs).collect()}
+    assert idx[("spark", 1)] == (2, 1, 2)
+    assert idx[("join", 1)] == (1, 2, 2)
+    assert idx[("the", 2)][1] == 2  # df counts docs, not occurrences
+
+    top = bm25_topk(docs, ["spark", "join"], k=3).collect()
+    # doc 1 matches both terms (one twice) -> must rank first;
+    # doc 3 matches nothing -> filtered out
+    assert [r.doc_id for r in top][0] == 1
+    assert {r.doc_id for r in top} == {1, 2}
+    # hand-check doc 2's score: only 'join' matches once
+    n, avgdl, dl = 3, 3.0, 3
+    idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    want = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    got = [r.bm25 for r in top if r.doc_id == 2][0]
+    assert abs(got - want) < 1e-6
+
+
+def test_unigram_logprob_exact(spark):
+    import math
+
+    from terminus_server_spark.operators.retrieval import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")],
+        "doc_id bigint, text string",
+    )
+    # corpus: a=2, b=2, total=4 -> p(a)=p(b)=0.5
+    out = {r.doc_id: (r.n_tokens, r.avg_logp) for r in unigram_logprob(docs).collect()}
+    assert out[1][0] == 3 and out[2][0] == 1
+    assert abs(out[1][1] - math.log(0.5)) < 1e-6
+    assert abs(out[2][1] - math.log(0.5)) < 1e-6

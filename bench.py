@@ -105,6 +105,7 @@ HEADLINE = [
     "text_bm25",
     "text_inverted_index",
     "text_unigram_lm",
+    "dedup_semantic",
 ]
 
 

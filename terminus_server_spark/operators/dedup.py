@@ -421,3 +421,63 @@ def segment_dedup(
             ).alias("text_kept"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """(vec_id, cluster, is_dup): SemDeDup-style semantic
+    deduplication (Abbas et al. 2023, arXiv:2303.09540) — cluster the
+    embedding space, then compare pairs ONLY within a cluster and
+    greedily keep the lowest-id member of every near-duplicate
+    neighborhood (a vector is a duplicate iff some lower-id vector in
+    its cluster has cosine >= threshold with it).
+
+    Here the cluster assignment is the ``cluster_col`` partition (the
+    IVF training step — ``similarity.label_centroids`` + k-means
+    refinement — produces exactly such an assignment at scale).  The
+    within-cluster pair join is the point of the algorithm: quadratic
+    cost is confined to bounded cluster populations instead of the
+    corpus, so the join key (cluster) caps the shuffle and no
+    all-pairs comparison ever happens corpus-wide.
+
+    Cosine uses the fixed-point floor convention from
+    operators/similarity.py, so the result is bit-reproducible
+    against the DuckDB oracle."""
+    from terminus_server_spark.operators.similarity import SCALE, cosine_from_parts
+
+    base = emb.select(F.col(id_col), F.col(vec_col), F.col(cluster_col).alias("cluster"))
+
+    def parts(suffix: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        norm = F.aggregate(
+            v,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.floor(x * x * SCALE).cast("bigint"),
+        )
+        return base.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            "cluster",
+            v.alias(f"vec_{suffix}"),
+            norm.alias(f"norm_{suffix}"),
+        )
+
+    pairs = parts("a").join(parts("b"), "cluster").where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_from_parts()
+    dup_ids = (
+        pairs.select("cluster", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return base.join(
+        dup_ids.withColumn("is_dup", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )

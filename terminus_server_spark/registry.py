@@ -749,6 +749,35 @@ def dedup_embed_cos_exact(spark, sf_dir):
 
 
 @register(
+    "dedup_semantic",
+    f"""
+    WITH parts AS (
+      SELECT vec_id, label AS cluster,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_sum(list_transform(embedding,
+               x -> floor(x::DOUBLE * x::DOUBLE * 1e12)::BIGINT)) AS norm
+      FROM embeddings),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM parts a JOIN parts b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= 0.25)
+    SELECT p.vec_id, p.cluster,
+           (p.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+    FROM parts p
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup: cluster-confined cosine dedup with greedy keep-first
+    — quadratic cost bounded to cluster populations, never the
+    corpus (arXiv:2303.09540 via the IVF cluster assignment)."""
+    from terminus_server_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings")["embeddings"], threshold=0.25
+    )
+
+
+@register(
     "ann_topk_brute",
     f"""
     WITH {_PARTS_SQL},

@@ -775,3 +775,21 @@ def test_unigram_logprob_exact(spark):
     assert out[1][0] == 3 and out[2][0] == 1
     assert abs(out[1][1] - math.log(0.5)) < 1e-6
     assert abs(out[2][1] - math.log(0.5)) < 1e-6
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    from terminus_server_spark.operators.dedup import semantic_dedup
+
+    # cluster 0: vectors 1 and 2 identical (cos=1), 3 orthogonal;
+    # cluster 1: vector 4 identical to 1 but in another cluster -> kept
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 1.0], 0),
+            (4, [1.0, 0.0], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {r.vec_id: r.is_dup for r in semantic_dedup(emb, threshold=0.9).collect()}
+    assert out == {1: False, 2: True, 3: False, 4: False}

@@ -106,6 +106,8 @@ HEADLINE = [
     "text_inverted_index",
     "text_unigram_lm",
     "dedup_semantic",
+    "events_interval_union",
+    "win_ntile_deciles",
 ]
 
 

@@ -177,3 +177,51 @@ def event_sequence_pairs(
             (F.col("_next_us") - F.col("_ts_us")).alias("gap_us"),
         )
     )
+
+
+def interval_union(
+    events: DataFrame,
+    duration_s: int,
+    key_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(key..., n_islands, covered_s): per-key union length of the
+    intervals ``[ts, ts + duration_s)`` — the gaps-and-islands shape
+    (time-on-site, machine-uptime, sensor-coverage rollups).
+
+    Classic two-window formulation: an interval starts a new island
+    when its start exceeds the running max end of all earlier
+    intervals; island ids are the running count of such starts; one
+    aggregate per island, one per key.  All arithmetic is integer
+    epoch seconds, so the result is exact on both engines.  Both
+    windows and both aggregations share the ``key_cols`` partitioning,
+    so the whole plan is ONE shuffle of the events (AQE reuses the
+    exchange), and per-key window state is O(1).
+    """
+    from pyspark.sql.window import Window
+
+    # integer epoch micros (exact; NTZ under a UTC session keeps the
+    # wall time); duration_s stays the caller-facing unit
+    if dict(events.dtypes).get(ts_col) == "bigint":
+        ep = F.col(ts_col)
+    else:
+        ep = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur = F.lit(int(duration_s) * 1_000_000).cast("bigint")
+    base = events.select(*key_cols, ep.alias("s"), (ep + dur).alias("e"))
+    w = Window.partitionBy(*key_cols).orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "new_island", F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0)
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_island = islands.groupBy(*key_cols, "island").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie")
+    )
+    return per_island.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        (F.sum(F.col("ie") - F.col("is_")) / F.lit(1_000_000))
+        .cast("double")
+        .alias("covered_s"),
+    )

@@ -5650,6 +5650,78 @@ def agg_rollup(spark, sf_dir):
 
 
 @register(
+    "events_interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e FROM events),
+    fl AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER w1 IS NULL OR s > MAX(e) OVER w1
+                  THEN 1 ELSE 0 END AS ni
+      FROM iv
+      WINDOW w1 AS (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl),
+    pi AS (
+      SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie FROM isl GROUP BY 1, 2)
+    SELECT user_id, COUNT(*)::BIGINT AS n_islands,
+           CAST(SUM(ie - is_) / 1000000 AS DOUBLE) AS covered_s
+    FROM pi GROUP BY user_id
+    """,
+)
+def events_interval_union(spark, sf_dir):
+    """Per-user union length of [ts, ts+5min) activity intervals —
+    the gaps-and-islands shape (time-on-site / uptime rollup).  One
+    shuffle on user_id shared by both windows and both aggregates;
+    integer-microsecond arithmetic end to end."""
+    from terminus_server_spark.operators.temporal import interval_union
+
+    return interval_union(
+        _t(spark, sf_dir, "events")["events"], 300, ["user_id"]
+    )
+
+
+@register(
+    "win_ntile_deciles",
+    f"""
+    WITH ranked AS (
+      SELECT c_nationkey,
+             NTILE(10) OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal, c_custkey) AS decile,
+             c_acctbal
+      FROM customer)
+    SELECT c_nationkey, decile, COUNT(*) AS n,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+           {_dsum_sql('c_acctbal')} AS sum_bal
+    FROM ranked GROUP BY c_nationkey, decile
+    """,
+)
+def win_ntile_deciles(spark, sf_dir):
+    """Equal-count decile stats per nation (NTILE + rollup).  The
+    window partitions on the group key, so the plan is one parallel
+    shuffle — no global single-partition ordering anywhere."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_nationkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("c_nationkey", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+@register(
     "agg_pivot",
     """
     SELECT l_returnflag,

@@ -793,3 +793,18 @@ def test_semantic_dedup_keeps_lowest_id(spark):
     )
     out = {r.vec_id: r.is_dup for r in semantic_dedup(emb, threshold=0.9).collect()}
     assert out == {1: False, 2: True, 3: False, 4: False}
+
+
+def test_interval_union_islands(spark):
+    from terminus_server_spark.operators.temporal import interval_union
+
+    # epochs in micros already (bigint col): intervals of 10s
+    ev = spark.createDataFrame(
+        [(1, 0), (1, 5_000_000), (1, 30_000_000), (2, 0)],
+        "user_id bigint, ts bigint",
+    )
+    out = {r.user_id: (r.n_islands, r.covered_s) for r in
+           interval_union(ev, 10, ["user_id"], ts_col="ts").collect()}
+    # user 1: [0,15s) merged + [30,40) -> 2 islands, 25s covered
+    assert out[1] == (2, 25.0)
+    assert out[2] == (1, 10.0)

@@ -361,3 +361,60 @@ def validate_cardinality(
         .otherwise(F.lit(f"{predicate}:above_max_cardinality"))
         .alias("violation"),
     )
+
+
+def backlinks(
+    targets: DataFrame,
+    sources: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    sample_k: int = 3,
+    source_id_col: str | None = None,
+) -> DataFrame:
+    """GraphQL reverse-link field (`_of_<Class>` back-references in
+    the reference's generated GraphQL schema): for every target
+    document, the documents pointing AT it — count plus the first
+    ``sample_k`` linker ids (deterministic, sorted).
+
+    One aggregation on the link key, then a join back to the targets
+    (broadcast when targets is dim-sized).  The sample is bounded by
+    construction — no unbounded collect_list of a hot target's whole
+    in-neighborhood; at 100 TB the per-target state is the sample
+    array, capped at k, via the sort-then-slice aggregate."""
+    sid = source_id_col or fk_col
+    agg = sources.groupBy(F.col(fk_col).alias("_link")).agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.slice(F.array_sort(F.collect_list(F.col(sid))), 1, sample_k).alias(
+            "first_ids"
+        ),
+    )
+    return targets.join(
+        agg, targets[pk_col] == agg["_link"], "left"
+    ).drop("_link").withColumn(
+        "n_incoming", F.coalesce("n_incoming", F.lit(0).cast("bigint"))
+    ).withColumn(
+        "first_ids",
+        F.coalesce("first_ids", F.array().cast(agg.schema["first_ids"].dataType)),
+    )
+
+
+def validate_oneof(
+    docs: DataFrame, id_col: str, variant_cols: list[str]
+) -> DataFrame:
+    """Tagged-union (@oneOf) validation — the reference's TaggedUnion
+    class family requires EXACTLY one variant field set per document.
+    Returns one row per violating document: (key, violation, n_set)
+    with violation ∈ {'oneof:none_set', 'oneof:multiple_set'}.
+    Pure column expressions over one scan."""
+    n_set = None
+    for c in variant_cols:
+        term = F.when(F.col(c).isNotNull(), 1).otherwise(0)
+        n_set = term if n_set is None else n_set + term
+    out = docs.select(F.col(id_col).alias("key"), n_set.cast("int").alias("n_set"))
+    return out.where(F.col("n_set") != 1).select(
+        "key",
+        F.when(F.col("n_set") == 0, "oneof:none_set")
+        .otherwise("oneof:multiple_set")
+        .alias("violation"),
+        "n_set",
+    )

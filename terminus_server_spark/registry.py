@@ -2408,6 +2408,68 @@ def doc_filter_related(spark, sf_dir):
 
 
 @register(
+    "doc_backlinks",
+    """
+    WITH agg AS (
+      SELECT c_nationkey, COUNT(*)::BIGINT AS n_incoming,
+             (list_sort(list(c_custkey)))[1:3] AS first_ids
+      FROM customer GROUP BY c_nationkey)
+    SELECT n_nationkey, n_name,
+           COALESCE(n_incoming, 0) AS n_incoming,
+           COALESCE(first_ids, CAST([] AS BIGINT[])) AS first_ids
+    FROM nation LEFT JOIN agg ON n_nationkey = c_nationkey
+    """,
+)
+def doc_backlinks(spark, sf_dir):
+    """GraphQL reverse-link field (_of_Customer on Nation): per
+    target document, incoming reference count + a bounded sorted
+    sample of linker ids."""
+    from terminus_server_spark.docs.documents import backlinks
+
+    t = _t(spark, sf_dir, "nation", "customer")
+    return backlinks(
+        t["nation"].select("n_nationkey", "n_name"),
+        t["customer"],
+        fk_col="c_nationkey",
+        pk_col="n_nationkey",
+        sample_k=3,
+        source_id_col="c_custkey",
+    ).select("n_nationkey", "n_name", "n_incoming", "first_ids")
+
+
+@register(
+    "schema_oneof",
+    """
+    SELECT c_custkey AS key,
+           CASE WHEN c_custkey % 4 = 0 THEN 'oneof:none_set'
+                ELSE 'oneof:multiple_set' END AS violation,
+           CASE WHEN c_custkey % 4 = 0 THEN 0 ELSE 2 END AS n_set
+    FROM customer WHERE c_custkey % 4 IN (0, 3)
+    """,
+)
+def schema_oneof(spark, sf_dir):
+    """Tagged-union (@oneOf) validation: exactly one variant field
+    must be set.  Fixture: a ContactPoint union synthesized from
+    customer — email present when custkey % 4 ∈ {1,3}, phone when
+    % 4 ∈ {2,3}; so % 4 == 0 violates with none set, % 4 == 3 with
+    both."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import validate_oneof
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    fixture = c.select(
+        "c_custkey",
+        F.when(
+            (F.col("c_custkey") % 4).isin(1, 3),
+            F.concat(F.lit("u"), F.col("c_custkey"), F.lit("@example.com")),
+        ).alias("email"),
+        F.when((F.col("c_custkey") % 4).isin(2, 3), F.col("c_mktsegment")).alias("phone"),
+    )
+    return validate_oneof(fixture, "c_custkey", ["email", "phone"])
+
+
+@register(
     "schema_validate",
     """
     SELECT doc_id AS key, 'lang:not_in_enum' AS violation FROM documents

@@ -808,3 +808,24 @@ def test_interval_union_islands(spark):
     # user 1: [0,15s) merged + [30,40) -> 2 islands, 25s covered
     assert out[1] == (2, 25.0)
     assert out[2] == (1, 10.0)
+
+
+def test_backlinks_and_oneof(spark):
+    from terminus_server_spark.docs.documents import backlinks, validate_oneof
+
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "pk bigint, name string")
+    src = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (13, 1)], "sid bigint, fk bigint"
+    )
+    out = {r.pk: (r.n_incoming, r.first_ids) for r in
+           backlinks(tgt, src, "fk", "pk", sample_k=2, source_id_col="sid").collect()}
+    assert out[1] == (4, [10, 11])  # sample capped at k, sorted
+    assert out[2] == (0, [])
+
+    docs = spark.createDataFrame(
+        [(1, "e", None), (2, None, None), (3, "e", "p")],
+        "k bigint, a string, b string",
+    )
+    v = {r.key: (r.violation, r.n_set) for r in
+         validate_oneof(docs, "k", ["a", "b"]).collect()}
+    assert v == {2: ("oneof:none_set", 0), 3: ("oneof:multiple_set", 2)}

@@ -108,6 +108,8 @@ HEADLINE = [
     "dedup_semantic",
     "events_interval_union",
     "win_ntile_deciles",
+    "text_pmi_bigrams",
+    "win_group_quartiles",
 ]
 
 

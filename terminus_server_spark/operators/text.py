@@ -280,3 +280,68 @@ def oov_rate(docs: DataFrame, text_col: str = "text", vocab_k: int = 1000) -> Da
             ),
         )
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """(ngram, n_ab, pmi): top-k adjacent-bigram collocations by
+    pointwise mutual information — ln((c_ab/B) / ((c_a/T)(c_b/T))) —
+    the classic phrase-mining signal (word2vec-style phrase joins,
+    boilerplate discovery).
+
+    One explode for bigrams, one for unigrams; the unigram frequency
+    table joins back twice on the word key (vocabulary-sized —
+    broadcast at scale, with the standard top-K vocabulary cap).
+    Counts are exact integers; the single ln happens once per
+    surviving bigram and is rounded to 6 decimals before the
+    deterministic (pmi desc, ngram asc) top-k cut."""
+    tk = tokens_col(F.lower(F.col(text_col)))
+    base = docs.select(tk.alias("tk")).where(F.size("tk") >= 2)
+    bigrams = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        docs.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = uni.agg(
+        F.sum("n_w").cast("bigint").alias("t_uni")
+    ).crossJoin(bg_counts.agg(F.sum("n_ab").cast("bigint").alias("t_bg")))
+    left = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    right = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    scored = (
+        bg_counts.where(F.col("n_ab") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") / F.col("t_bg"))
+            / (
+                (F.col("n_a").cast("double") / F.col("t_uni"))
+                * (F.col("n_b").cast("double") / F.col("t_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        scored.select(
+            F.concat_ws(" ", "w1", "w2").alias("ngram"),
+            "n_ab",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "ngram")
+        .limit(k)
+    )

@@ -567,6 +567,81 @@ def text_unigram_lm(spark, sf_dir):
 
 
 @register(
+    "text_pmi_bigrams",
+    rf"""
+    WITH toks AS (
+      SELECT {_LTOKS_SQL} AS tk FROM documents),
+    bg AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+      WHERE len(tk) >= 2),
+    bgc AS (SELECT w1, w2, COUNT(*)::BIGINT AS n_ab FROM bg GROUP BY 1, 2),
+    uni AS (
+      SELECT w, COUNT(*)::BIGINT AS n_w FROM (
+        SELECT unnest({_LTOKS_SQL}) AS w FROM documents) GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(n_w) FROM uni)::BIGINT AS t_uni,
+                   (SELECT SUM(n_ab) FROM bgc)::BIGINT AS t_bg)
+    SELECT w1 || ' ' || w2 AS ngram, n_ab,
+           ROUND(ln(((n_ab::DOUBLE) / t_bg)
+                    / (((a.n_w::DOUBLE) / t_uni) * ((b.n_w::DOUBLE) / t_uni))), 6) AS pmi
+    FROM bgc JOIN uni a ON bgc.w1 = a.w JOIN uni b ON bgc.w2 = b.w, tot
+    WHERE n_ab >= 5
+    ORDER BY pmi DESC, ngram ASC LIMIT 20
+    """,
+)
+def text_pmi_bigrams(spark, sf_dir):
+    """Top-k bigram collocations by PMI — phrase mining / boilerplate
+    discovery.  Broadcast unigram table, deterministic rounded cut."""
+    from terminus_server_spark.operators.text import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents")["documents"], min_count=5, k=20)
+
+
+@register(
+    "mm_hash_dedup",
+    """
+    SELECT sha256(text) AS sha, COUNT(*)::BIGINT AS n_copies,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def mm_hash_dedup(spark, sf_dir):
+    """Binary-payload exact dedup: content-address multimodal blobs
+    by sha256 and keep the lowest id — the first pass of any
+    image/audio dedup pipeline (hash-group, scales trivially)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.multimodal import to_multimodal
+
+    mm = to_multimodal(_t(spark, sf_dir, "documents")["documents"])
+    return mm.groupBy("sha").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@register(
+    "doc_list_paged",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents ORDER BY doc_id LIMIT 50 OFFSET 100
+    """,
+)
+def doc_list_paged(spark, sf_dir):
+    """Document listing with stable pagination (the reference's GET
+    /api/document skip/count arguments): deterministic id order,
+    offset+limit — executes as TakeOrderedAndProject, no global
+    sort materialization."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@register(
     "dedup_exact",
     r"""
     SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
@@ -5780,6 +5855,32 @@ def win_ntile_deciles(spark, sf_dir):
             F.max("c_acctbal").alias("max_bal"),
             F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double").alias("sum_bal"),
         )
+    )
+
+
+@register(
+    "win_group_quartiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def win_group_quartiles(spark, sf_dir):
+    """Exact per-group quartiles (interpolated order statistics) in
+    one aggregation pass — the built-in percentile aggregate keeps
+    it a single shuffle with map-side partials."""
+    from pyspark.sql import functions as F
+
+    l = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

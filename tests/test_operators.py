@@ -829,3 +829,21 @@ def test_backlinks_and_oneof(spark):
     v = {r.key: (r.violation, r.n_set) for r in
          validate_oneof(docs, "k", ["a", "b"]).collect()}
     assert v == {2: ("oneof:none_set", 0), 3: ("oneof:multiple_set", 2)}
+
+
+def test_pmi_bigrams_basic(spark):
+    import math
+
+    from terminus_server_spark.operators.text import pmi_bigrams
+
+    # "a b" always adjacent; "x"/"y" never adjacent to each other
+    docs = spark.createDataFrame(
+        [(i, "a b x") for i in range(5)] + [(9, "y")],
+        "doc_id bigint, text string",
+    )
+    out = {r.ngram: (r.n_ab, r.pmi) for r in
+           pmi_bigrams(docs, min_count=5, k=10).collect()}
+    # bigrams: (a,b) x5, (b,x) x5 -> t_bg=10; unigrams a=5,b=5,x=5,y=1 -> t=16
+    want = round(math.log((5 / 10) / ((5 / 16) * (5 / 16))), 6)
+    assert out["a b"] == (5, want)
+    assert set(out) == {"a b", "b x"}

@@ -110,6 +110,7 @@ HEADLINE = [
     "win_ntile_deciles",
     "text_pmi_bigrams",
     "win_group_quartiles",
+    "rdf_export",
 ]
 
 

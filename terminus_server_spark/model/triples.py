@@ -358,3 +358,47 @@ def tpch_store(tables: dict[str, DataFrame]) -> TripleStore:
         },
     }
     return TripleStore.from_tables(tables, specs)
+
+
+def to_ntriples(triples: DataFrame, base: str = "http://example.org/") -> DataFrame:
+    """(subject, line): canonical N-Triples serialization of a triple
+    frame — the reference's triple dump / RDF export surface
+    (terminusdb-store exports layers as turtle/ntriples).
+
+    Conventions: instance IRIs under ``{base}i/``, predicates under
+    ``{base}p/`` (rdf:type maps to the RDF namespace), literals
+    escaped (backslash, quote) and typed with full XSD IRIs,
+    lang-tagged strings as ``"lit"@tag``.  Pure per-row string
+    expressions — the export is a map-only job that parallelizes to
+    however many output shards the sink asks for."""
+    rdf_type_iri = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    s_iri = F.concat(F.lit(f"<{base}i/"), F.col("subject"), F.lit(">"))
+    p_iri = F.when(
+        F.col("predicate") == RDF_TYPE, F.lit(rdf_type_iri)
+    ).otherwise(F.concat(F.lit(f"<{base}p/"), F.col("predicate"), F.lit(">")))
+    esc = F.replace(
+        F.replace(F.col("obj"), F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
+    xsd_local = F.substring_index(F.col("obj_type"), ":", -1)
+    o_term = (
+        F.when(F.col("obj_type") == "iri", F.concat(F.lit(f"<{base}i/"), F.col("obj"), F.lit(">")))
+        .when(
+            F.col("obj_type") == "rdf:langString",
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.col("obj_lang")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('"'),
+                esc,
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#'),
+                xsd_local,
+                F.lit(">"),
+            )
+        )
+    )
+    return triples.select(
+        "subject",
+        F.concat(s_iri, F.lit(" "), p_iri, F.lit(" "), o_term, F.lit(" .")).alias("line"),
+    )

@@ -1110,6 +1110,67 @@ def triples_build(spark, sf_dir):
     )
 
 
+_NT_B = "http://example.org/"
+_NT_RDFTYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+_NT_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+@register(
+    "rdf_export",
+    f"""
+    SELECT 'Nation/' || n_nationkey AS subject,
+           '<{_NT_B}i/Nation/' || n_nationkey || '> {_NT_RDFTYPE} <{_NT_B}i/Nation> .' AS line
+    FROM nation
+    UNION ALL
+    SELECT 'Nation/' || n_nationkey,
+           '<{_NT_B}i/Nation/' || n_nationkey || '> <{_NT_B}p/n_name> "'
+             || replace(replace(n_name, chr(92), chr(92) || chr(92)), chr(34), chr(92) || chr(34))
+             || '"^^<{_NT_XSD}string> .'
+    FROM nation
+    UNION ALL
+    SELECT 'Nation/' || n_nationkey,
+           '<{_NT_B}i/Nation/' || n_nationkey || '> <{_NT_B}p/n_region> <{_NT_B}i/Region/' || n_regionkey || '> .'
+    FROM nation
+    UNION ALL
+    SELECT 'Customer/' || c_custkey,
+           '<{_NT_B}i/Customer/' || c_custkey || '> {_NT_RDFTYPE} <{_NT_B}i/Customer> .'
+    FROM customer
+    UNION ALL
+    SELECT 'Customer/' || c_custkey,
+           '<{_NT_B}i/Customer/' || c_custkey || '> <{_NT_B}p/c_acctbal> "'
+             || c_acctbal::VARCHAR || '"^^<{_NT_XSD}decimal> .'
+    FROM customer
+    UNION ALL
+    SELECT 'Customer/' || c_custkey,
+           '<{_NT_B}i/Customer/' || c_custkey || '> <{_NT_B}p/c_nation> <{_NT_B}i/Nation/' || c_nationkey || '> .'
+    FROM customer
+    """,
+)
+def rdf_export(spark, sf_dir):
+    """Canonical N-Triples export of a typed subgraph (nation names +
+    region refs, customer balances + nation refs) — the reference's
+    triple-dump surface; a map-only string projection."""
+    from terminus_server_spark.model.triples import to_ntriples, triples_from_table
+
+    t = _t(spark, sf_dir, "nation", "customer")
+    trips = triples_from_table(
+        t["nation"],
+        "Nation",
+        "n_nationkey",
+        value_cols=["n_name"],
+        ref_cols={"n_regionkey": ("Region", "n_region")},
+    ).unionByName(
+        triples_from_table(
+            t["customer"],
+            "Customer",
+            "c_custkey",
+            value_cols=["c_acctbal"],
+            ref_cols={"c_nationkey": ("Nation", "c_nation")},
+        )
+    )
+    return to_ntriples(trips, base=_NT_B)
+
+
 @register(
     "woql_triple",
     """
@@ -6277,6 +6338,57 @@ def vc_log(spark, sf_dir):
             F.sum(F.when(F.col("op") == "del", 1).otherwise(0)).alias("n_dels"),
         )
         .orderBy("commit_seq")
+    )
+
+
+@register(
+    "vc_gc",
+    """
+    WITH status(commit_id, status) AS (VALUES
+      ('c1', 'kept'), ('c2', 'kept'), ('c3', 'kept'), ('c4', 'kept'),
+      ('c5', 'dropped'), ('c6', 'dropped')),
+    counts AS (
+      SELECT 'c1' AS commit_id,
+             (SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') AS n_rows
+      UNION ALL SELECT 'c2',
+             (SELECT COUNT(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01')
+             + (SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+                AND o_totalprice > 400000)
+      UNION ALL SELECT 'c3',
+             (SELECT COUNT(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'))
+    SELECT s.commit_id, s.status, COALESCE(c.n_rows, 0) AS n_layer_rows
+    FROM status s LEFT JOIN counts c USING (commit_id)
+    """,
+)
+def vc_gc(spark, sf_dir):
+    """Layer garbage collection: after the feature branch pointing at
+    c6 is deleted, only main→c4 remains; gc tags the orphaned chain
+    c5←c6 droppable while every ancestor of c4 stays.  Output joins
+    each commit's layer row count (reclaimable volume)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.dag import gc_commits
+
+    commits = spark.createDataFrame(
+        [
+            ("c1", []),
+            ("c2", ["c1"]),
+            ("c3", ["c1"]),
+            ("c4", ["c2", "c3"]),
+            ("c5", ["c1"]),
+            ("c6", ["c5"]),
+        ],
+        "commit_id string, parent_ids array<string>",
+    )
+    tagged = gc_commits(commits, {"main": "c4"})
+    counts = _layers(spark, sf_dir).groupBy("commit_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return tagged.join(counts, "commit_id", "left").select(
+        "commit_id",
+        "status",
+        F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_layer_rows"),
     )
 
 

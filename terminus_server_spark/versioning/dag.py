@@ -88,3 +88,48 @@ def log_from(commits: DataFrame, head: str, max_depth: int = 1000) -> DataFrame:
         )
         .orderBy("depth", "commit_id")
     )
+
+
+def reachable_commits(
+    commits: DataFrame, heads: list[str], max_depth: int = 1000
+) -> DataFrame:
+    """(commit_id): the union of ancestors of all ``heads`` — one
+    multi-source BFS (all refs seed the same frontier), so the cost
+    is one walk of the reachable subgraph regardless of how many
+    branches exist."""
+    edges = parent_edges(commits)
+    frontier = commits.where(F.col("commit_id").isin(heads)).select("commit_id")
+    reached = frontier
+    for _ in range(max_depth):
+        nxt = (
+            frontier.join(edges, frontier["commit_id"] == edges["child"])
+            .select(F.col("parent").alias("commit_id"))
+            .distinct()
+            .join(reached, "commit_id", "left_anti")
+            .transform(loop_checkpoint)
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    return reached
+
+
+def gc_commits(
+    commits: DataFrame, refs: dict[str, str], max_depth: int = 1000
+) -> DataFrame:
+    """Layer garbage collection (the reference's optimize/gc over
+    terminusdb-store layers): a commit's layer is droppable iff no
+    branch ref can reach it.  Returns every commit tagged
+    (commit_id, status ∈ {kept, dropped}).  Deleting a branch then
+    running gc is what actually reclaims its unmerged layers."""
+    live = reachable_commits(commits, list(refs.values()), max_depth).withColumn(
+        "status", F.lit("kept")
+    )
+    return (
+        commits.select("commit_id")
+        .join(live, "commit_id", "left")
+        .select(
+            "commit_id", F.coalesce("status", F.lit("dropped")).alias("status")
+        )
+    )

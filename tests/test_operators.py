@@ -847,3 +847,27 @@ def test_pmi_bigrams_basic(spark):
     want = round(math.log((5 / 10) / ((5 / 16) * (5 / 16))), 6)
     assert out["a b"] == (5, want)
     assert set(out) == {"a b", "b x"}
+
+
+def test_ntriples_escaping_and_terms(spark):
+    from terminus_server_spark.model.triples import to_ntriples
+
+    trips = spark.createDataFrame(
+        [
+            ("instance", "Doc/1", "rdf:type", "Doc", "iri", None, None, None),
+            ("instance", "Doc/1", "title", 'say "hi" \\ bye', "xsd:string", None, None, None),
+            ("instance", "Doc/1", "label", "bonjour", "rdf:langString", None, "fr", None),
+        ],
+        "graph string, subject string, predicate string, obj string, "
+        "obj_type string, obj_num double, obj_lang string, obj_ts timestamp_ntz",
+    )
+    lines = {r.line for r in to_ntriples(trips, base="http://b/").collect()}
+    assert (
+        "<http://b/i/Doc/1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://b/i/Doc> ."
+        in lines
+    )
+    assert (
+        '<http://b/i/Doc/1> <http://b/p/title> "say \\"hi\\" \\\\ bye"^^<http://www.w3.org/2001/XMLSchema#string> .'
+        in lines
+    )
+    assert '<http://b/i/Doc/1> <http://b/p/label> "bonjour"@fr .' in lines

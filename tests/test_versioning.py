@@ -139,3 +139,18 @@ def test_apply_and_cherry_pick(spark):
     assert (
         state2.where(F.col("k") == 4).collect()[0].commit_id == "picked"
     )
+
+
+def test_gc_commits_orphan_chain(spark):
+    from terminus_server_spark.versioning.dag import gc_commits, reachable_commits
+
+    commits = spark.createDataFrame(
+        [("a", []), ("b", ["a"]), ("c", ["b"]), ("x", ["a"]), ("y", ["x"])],
+        "commit_id string, parent_ids array<string>",
+    )
+    # two refs: both chains live
+    live = {r.commit_id for r in reachable_commits(commits, ["c", "y"]).collect()}
+    assert live == {"a", "b", "c", "x", "y"}
+    # drop the feature ref: x,y become garbage
+    out = {r.commit_id: r.status for r in gc_commits(commits, {"main": "c"}).collect()}
+    assert out == {"a": "kept", "b": "kept", "c": "kept", "x": "dropped", "y": "dropped"}

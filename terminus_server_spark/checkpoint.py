@@ -54,3 +54,22 @@ def loop_checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
     else:
         out = df.localCheckpoint(eager=False)
     return out, out.count()
+
+
+def loop_checkpoint_sum(df: DataFrame, col: str) -> tuple[DataFrame, int]:
+    """Checkpoint one iteration AND aggregate an integer flag column
+    in the same materializing job (see loop_checkpoint_count) — for
+    loops whose fixpoint probe is "did any row change" rather than
+    "is the frontier empty"."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if spark.conf.get(RELIABLE_CONF, "false").lower() == "true":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(spark.conf.get(DIR_CONF, _DEFAULT_DIR))
+        out = df.checkpoint(eager=False)
+    else:
+        out = df.localCheckpoint(eager=False)
+    total = out.agg(F.sum(col)).collect()[0][0]
+    return out, int(total or 0)

@@ -15,7 +15,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from terminus_server_spark.checkpoint import loop_checkpoint, loop_checkpoint_count
+from terminus_server_spark.checkpoint import (
+    loop_checkpoint,
+    loop_checkpoint_count,
+    loop_checkpoint_sum,
+)
 
 from terminus_server_spark.operators.path import no_constraint_propagation
 
@@ -88,16 +92,20 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                         F.col("l1.component"), F.coalesce(F.col("c_comp"), F.col("l1.component"))
                     ).alias("component"),
                 )
-                .transform(loop_checkpoint)
+                # fixpoint flag computed inside the same plan so the
+                # checkpoint job doubles as the changed-count probe
+                .join(
+                    labels.select("node", F.col("component").alias("_old")), "node"
+                )
+                .select(
+                    "node",
+                    "component",
+                    (F.col("component") != F.col("_old")).cast("int").alias("_chg"),
+                )
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .isEmpty()
-            )
-            labels = new_labels
-            if changed:
+            new_labels, n_changed = loop_checkpoint_sum(new_labels, "_chg")
+            labels = new_labels.drop("_chg")
+            if n_changed == 0:
                 break
     return labels
 
@@ -198,9 +206,9 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
                 grown.join(reached_keys, ["source", "node"], "left_anti")
                 .groupBy("source", "node")
                 .agg(F.min("hops").alias("hops"))
-                .transform(loop_checkpoint)
             )
-            if new.isEmpty():
+            new, n_new = loop_checkpoint_count(new)
+            if n_new == 0:
                 break
             layers.append(new)
             reached_keys = reached_keys.union(new.select("source", "node"))

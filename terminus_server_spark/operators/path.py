@@ -252,9 +252,9 @@ def trace_paths(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                 grown.join(reached, on=["src", "dst"], how="left_anti")
                 .groupBy("src", "dst")
                 .agg(F.min("hops").alias("hops"), F.min("path").alias("path"))
-                .transform(loop_checkpoint)
             )
-            if new.isEmpty():
+            new, n_new = loop_checkpoint_count(new)
+            if n_new == 0:
                 break
             layers.append(new)
             reached = reached.union(new.select("src", "dst"))

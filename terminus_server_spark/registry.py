@@ -6939,6 +6939,60 @@ def events_anomaly(spark, sf_dir):
 
 
 @register(
+    "doc_read_unfold",
+    """
+    SELECT c_custkey,
+           CAST(to_json(struct_pack(
+             c_custkey := c_custkey,
+             c_name := c_name,
+             nation := struct_pack(
+               n_nationkey := n_nationkey,
+               n_name := n_name,
+               region := struct_pack(
+                 r_regionkey := r_regionkey,
+                 r_name := r_name)))) AS VARCHAR) AS doc
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_custkey % 100 = 0
+    """,
+)
+def doc_read_unfold(spark, sf_dir):
+    """Document read with unfold=true (GET /api/document?unfold):
+    linked documents embed as nested subdocuments to depth 2
+    (customer → nation → region), serialized byte-identically.
+    Dimension joins broadcast; the serialization is a map-side
+    projection."""
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir, "customer", "nation", "region")
+    joined = (
+        t["customer"]
+        .where(F.col("c_custkey") % 100 == 0)
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.struct(
+                F.col("n_nationkey"),
+                F.col("n_name"),
+                F.struct(F.col("r_regionkey"), F.col("r_name")).alias("region"),
+            ).alias("nation"),
+        )
+    )
+    return joined.select("c_custkey", doc.alias("doc"))
+
+
+@register(
     "doc_json_export",
     """
     SELECT c_custkey,

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from terminus_server_spark.checkpoint import loop_checkpoint
+from terminus_server_spark.checkpoint import loop_checkpoint_count
 
 
 def parent_edges(commits: DataFrame) -> DataFrame:
@@ -61,9 +61,9 @@ def log_walk(commits: DataFrame, head: str, max_depth: int = 1000) -> DataFrame:
             .join(reached.select("commit_id"), "commit_id", "left_anti")
             .groupBy("commit_id")
             .agg(F.min("depth").alias("depth"))
-            .transform(loop_checkpoint)
         )
-        if nxt.isEmpty():
+        nxt, n_new = loop_checkpoint_count(nxt)
+        if n_new == 0:
             break
         reached = reached.unionByName(nxt)
         frontier = nxt
@@ -106,9 +106,9 @@ def reachable_commits(
             .select(F.col("parent").alias("commit_id"))
             .distinct()
             .join(reached, "commit_id", "left_anti")
-            .transform(loop_checkpoint)
         )
-        if nxt.isEmpty():
+        nxt, n_new = loop_checkpoint_count(nxt)
+        if n_new == 0:
             break
         reached = reached.unionByName(nxt)
         frontier = nxt

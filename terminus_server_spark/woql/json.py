@@ -59,7 +59,18 @@ def _path(p: dict) -> P.PathPattern:
 
 
 def from_json(q: dict) -> A.Term:
-    """One WOQL JSON node → AST term (recursive)."""
+    """One WOQL JSON node → AST term (recursive).
+
+    A top-level ``@context`` (JSON-LD prefix map) is honored: every
+    constant string position in the parsed AST is expanded against it
+    before the term is returned (terminus-server: query expansion
+    against the database's prefix record)."""
+    context = q.get("@context")
+    if context:
+        from terminus_server_spark.woql.prefixes import expand_term
+
+        inner = {k: v for k, v in q.items() if k != "@context"}
+        return expand_term(from_json(inner), context)
     t = q["@type"]
     if t == "Triple":
         return A.Triple(_val(q["subject"]), _val(q["predicate"]), _val(q["object"]),

@@ -1,0 +1,71 @@
+"""@context prefix handling (JSON-LD compaction/expansion).
+
+Parity: terminus-server queries and documents carry a JSON-LD
+``@context`` mapping prefixes to IRI bases (``@base``/``@schema`` and
+user prefixes); the server expands prefixed names before matching and
+compacts IRIs on the way out.  These are pure compile-time string
+transforms — nothing here touches the data plane, so query cost is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from terminus_server_spark.woql import ast as A
+
+#: prefixes that are part of the wire vocabulary, never expanded
+#: against a user context (they tag types, not data IRIs)
+RESERVED = ("rdf", "xsd", "@")
+
+
+def expand_iri(name: str, context: dict[str, str]) -> str:
+    """``pfx:local`` → ``context[pfx] + local`` when pfx is declared
+    (reserved vocabulary prefixes pass through untouched)."""
+    if ":" not in name:
+        return name
+    pfx, local = name.split(":", 1)
+    if pfx in RESERVED or pfx.startswith("@"):
+        return name
+    if pfx in context:
+        return context[pfx] + local
+    return name
+
+
+def compact_iri(iri: str, context: dict[str, str]) -> str:
+    """Longest-base-match reverse of :func:`expand_iri`."""
+    best = None
+    for pfx, base in context.items():
+        if base and iri.startswith(base):
+            if best is None or len(base) > len(context[best]):
+                best = pfx
+    if best is None:
+        return iri
+    return f"{best}:{iri[len(context[best]):]}"
+
+
+def expand_term(term: A.Term, context: dict[str, str]) -> A.Term:
+    """Rebuild an AST with every constant string position expanded
+    against ``context`` — the compile step terminus-server applies to
+    an incoming JSON-LD query before planning.  Vars pass through."""
+
+    def walk(x):
+        if isinstance(x, A.Var):
+            return x
+        if isinstance(x, str):
+            return expand_iri(x, context)
+        if isinstance(x, (A.And, A.Or_)):
+            return type(x)(*[walk(e) for e in x.terms])
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            return type(x)(
+                **{f.name: walk(getattr(x, f.name)) for f in dataclasses.fields(x)}
+            )
+        if isinstance(x, tuple):
+            return tuple(walk(e) for e in x)
+        if isinstance(x, list):
+            return [walk(e) for e in x]
+        if isinstance(x, dict):
+            return {k: walk(e) for k, e in x.items()}
+        return x
+
+    return walk(term)

@@ -485,3 +485,29 @@ def test_call_unknown_or_arity_mismatch_raises(store):
     c.define("one", [v("x")], Triple(v("x"), "rdf:type", "Region"))
     with pytest.raises(ValueError, match="expected 1 args"):
         c.run(Call("one", [v("a"), v("b")]))
+
+
+def test_context_prefix_expansion(spark):
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.json import from_json
+    from terminus_server_spark.woql.prefixes import compact_iri, expand_iri
+
+    ctx = {"ex": "Customer/", "sch": "http://s/"}
+    assert expand_iri("ex:42", ctx) == "Customer/42"
+    assert expand_iri("xsd:integer", ctx) == "xsd:integer"  # reserved
+    assert expand_iri("unknown:x", ctx) == "unknown:x"
+    assert compact_iri("Customer/42", ctx) == "ex:42"
+    assert compact_iri("http://s/Name", ctx) == "sch:Name"
+    assert compact_iri("elsewhere", ctx) == "elsewhere"
+
+    q = {
+        "@context": ctx,
+        "@type": "Triple",
+        "subject": {"node": "ex:7"},
+        "predicate": "c_acctbal",
+        "object": {"variable": "b"},
+    }
+    t = from_json(q)
+    assert isinstance(t, A.Triple)
+    assert t.s == "Customer/7"
+    assert isinstance(t.o, A.Var)

@@ -82,9 +82,10 @@ def bm25_topk(
         "doc_id",
         F.size(toks).cast("bigint").alias("dl"),
         *[
-            # single-arg lambda: a two-arg lambda is read as
-            # (element, index) by F.filter
-            F.size(F.filter(toks, (lambda t: lambda x: x == F.lit(t))(t)))
+            # size - size(array_remove) == term count, but stays in
+            # whole-stage codegen (a filter() higher-order function
+            # is interpreted per element — ~10x slower on this path)
+            (F.size(toks) - F.size(F.array_remove(toks, t)))
             .cast("bigint")
             .alias(f"tf{i}")
             for i, t in enumerate(query_terms)

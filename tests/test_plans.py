@@ -262,3 +262,59 @@ def test_embed_dedup_lsh_never_all_pairs(spark):
         "ArrowEvalPython",
     ):
         assert bad not in p, f"{bad} in embed-dedup plan"
+
+
+def test_bm25_stays_codegen_and_single_scan(spark, tables):
+    from terminus_server_spark.operators.retrieval import bm25_topk
+
+    df = bm25_topk(tables["documents"], ["spark", "join", "stream"])
+    p = plan_str(df)
+    # corpus scanned for features + once for the tiny stats aggregate;
+    # never a third time, and no per-row Python
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) <= 2, p[:3000]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # tf expressions must not fall out of codegen into interpreted
+    # higher-order functions
+    assert "LambdaFunction" not in p
+
+
+def test_inverted_index_prunes_to_two_columns(spark, tables):
+    import re
+
+    from terminus_server_spark.operators.retrieval import inverted_index
+
+    p = plan_str(inverted_index(tables["documents"]))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m
+    cols = m.group(1)
+    assert "doc_id" in cols and "text" in cols
+    assert "source" not in cols and "lang" not in cols
+
+
+def test_unfold_read_broadcasts_dimensions(spark):
+    from terminus_server_spark.registry import QUERIES
+    import tests.conftest as C
+
+    df = QUERIES["doc_read_unfold"](spark, C.SF_DIR)
+    p = plan_str(df)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_semantic_dedup_joins_only_on_cluster(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.dedup import semantic_dedup
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)), lambda i: i.cast("float")).alias(
+            "embedding"
+        ),
+        (F.col("id") % 4).cast("int").alias("label"),
+    )
+    p = plan_str(semantic_dedup(emb))
+    # the pair join must be keyed (hash/sort-merge/broadcast on the
+    # cluster), never a cartesian product over the corpus
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

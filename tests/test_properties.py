@@ -276,3 +276,38 @@ def test_versioning_laws_property(spark, rows, at_seq):
     assert got_sq == got
 
     assert diff(layers, at_seq, at_seq, ["k"]).count() == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 50),
+)
+@settings(**SETTINGS)
+def test_interval_union_matches_python_oracle(spark, pairs, dur):
+    from terminus_server_spark.operators.temporal import interval_union
+
+    rows = [(int(u), int(s) * 1_000_000) for u, s in pairs]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint")
+    got = {
+        r.user_id: (r.n_islands, r.covered_s)
+        for r in interval_union(df, dur, ["user_id"], ts_col="ts").collect()
+    }
+    # python oracle: merge [s, s+dur) per user
+    want = {}
+    by_user = {}
+    for u, s_us in rows:
+        by_user.setdefault(u, []).append((s_us, s_us + dur * 1_000_000))
+    for u, iv in by_user.items():
+        iv.sort()
+        islands = []
+        for s, e in iv:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        want[u] = (len(islands), sum(e - s for s, e in islands) / 1_000_000)
+    assert got == want

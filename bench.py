@@ -111,6 +111,8 @@ HEADLINE = [
     "text_pmi_bigrams",
     "win_group_quartiles",
     "rdf_export",
+    "docs_tfidf_topterms",
+    "graph_node_jaccard",
 ]
 
 

@@ -340,3 +340,53 @@ def shortest_weighted(
             .transform(loop_checkpoint)
         )
     return dist
+
+
+def node_jaccard(
+    bipartite: DataFrame,
+    node_col: str,
+    feature_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """(s1, s2, inter, jaccard): top-k node pairs by Jaccard
+    similarity of their feature/neighbor sets — the link-prediction /
+    entity-resolution primitive (e.g. suppliers ranked by shared part
+    catalogs).
+
+    Candidate pairs are generated ONLY through shared features (a
+    self-join keyed on the feature column), so the cost is
+    sum-over-features(deg²) — bounded by feature fan-out, never the
+    node-count quadratic.  A hot feature (shared by everyone) is the
+    skew risk; cap or salt it upstream the way dedup's LSH buckets
+    do.  Integer intersection/degree counts; one rounded double
+    division at the end."""
+    ps = bipartite.select(
+        F.col(feature_col).alias("p"), F.col(node_col).alias("s")
+    ).distinct()
+    deg = ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = ps.select("p", F.col("s").alias("s1"))
+    b = ps.select("p", F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "s1", "s2")
+        .limit(k)
+    )

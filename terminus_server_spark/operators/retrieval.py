@@ -15,8 +15,9 @@ Scale design:
   bucketed by term on write).  No per-term arrays are ever
   collected, so a hot term ("the") costs rows, not driver memory.
 - BM25 for a K-term query is computed map-side: per-document term
-  frequencies come from ``F.size(F.filter(tokens, ...))`` column
-  expressions (no explode, no shuffle of the corpus); the corpus
+  frequencies come from ``size(toks) - size(array_remove(toks, t))``
+  column expressions that stay inside whole-stage codegen (no
+  explode, no shuffle of the corpus); the corpus
   stats (N, avgdl, per-term df) are one tiny aggregate broadcast
   back with a crossJoin.  The only shuffle is the final top-k
   (TakeOrderedAndProject).
@@ -159,4 +160,39 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 (F.col("_slp").cast("double") / F.col("n_tokens")), 6
             ).alias("avg_logp"),
         )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, top_n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf, rank): each document's ``top_n`` terms by
+    tf-idf (tf * ln(N/df)), deterministic (score desc, term asc)
+    tie-break — the classic keyword-extraction signal.
+
+    Built on the posting table (one explode + aggregations); the
+    per-document ranking window partitions on doc_id, so it
+    parallelizes with the documents and never creates a global
+    ordering."""
+    from pyspark.sql.window import Window
+
+    post = inverted_index(docs, text_col)
+    n_docs = docs.select(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = post.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        F.col("tok").alias("term"),
+        "tf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
     )

@@ -642,6 +642,34 @@ def doc_list_paged(spark, sf_dir):
 
 
 @register(
+    "docs_tfidf_topterms",
+    rf"""
+    WITH post AS (
+      SELECT tok, doc_id, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({_LTOKS_SQL}) AS tok FROM documents)
+      GROUP BY 1, 2),
+    stats AS (SELECT tok, COUNT(*)::BIGINT AS df FROM post GROUP BY 1),
+    nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tok AS term, tf,
+             ROUND((tf::DOUBLE) * ln((n_docs::DOUBLE) / df), 6) AS tfidf
+      FROM post JOIN stats USING (tok), nd),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def docs_tfidf_topterms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by tf-idf over
+    the posting table; doc-partitioned ranking window."""
+    from terminus_server_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents")["documents"], top_n=3)
+
+
+@register(
     "dedup_exact",
     r"""
     SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
@@ -2045,6 +2073,35 @@ def graph_components(spark, sf_dir):
         F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
     )
     return connected_components(edges)
+
+
+@register(
+    "graph_node_jaccard",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    deg AS (SELECT s, COUNT(*)::BIGINT AS d FROM ps GROUP BY s),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*)::BIGINT AS inter
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2)
+    SELECT s1, s2, inter,
+           ROUND((inter::DOUBLE) / (d1.d + d2.d - inter), 6) AS jaccard
+    FROM pairs JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s
+    ORDER BY jaccard DESC, s1, s2 LIMIT 20
+    """,
+)
+def graph_node_jaccard(spark, sf_dir):
+    """Link-prediction similarity: supplier pairs ranked by Jaccard
+    overlap of their part catalogs — candidate pairs generated only
+    through shared features, cost bounded by feature fan-out."""
+    from terminus_server_spark.operators.graph import node_jaccard
+
+    return node_jaccard(
+        _t(spark, sf_dir, "lineitem")["lineitem"],
+        node_col="l_suppkey",
+        feature_col="l_partkey",
+        k=20,
+    )
 
 
 @register(

@@ -113,6 +113,7 @@ HEADLINE = [
     "rdf_export",
     "docs_tfidf_topterms",
     "graph_node_jaccard",
+    "doc_patch_conflicts",
 ]
 
 

@@ -418,3 +418,48 @@ def validate_oneof(
         .alias("violation"),
         "n_set",
     )
+
+
+def patch_with_conflicts(
+    current: DataFrame, diff: DataFrame, key: str, fields: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Checked patch application — the reference's patch format
+    carries ``@before`` values and rejects an op whose target no
+    longer matches (terminusdb patch/diff: conflict on mismatched
+    before-state).  ``diff`` is doc_diff output (key, field,
+    old_value, new_value, op).
+
+    Returns ``(patched, conflicts)``:
+    - conflicts: one row per op whose expected old_value differs from
+      the value actually in ``current`` — (key, field, expected,
+      found); these ops are NOT applied;
+    - patched: ``current`` with every *non-conflicting* op applied
+      (field-wise coalesce, same shape as doc_patch).
+
+    One unpivot of the current frame + one join keyed (key, field) —
+    scales with |diff|, broadcastable when the patch is small."""
+    cur_long = current.select(
+        F.col(key).alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f_).alias("field"),
+                        F.col(f_).cast("string").alias("found"),
+                    )
+                    for f_ in fields
+                ]
+            )
+        ).alias("cv"),
+    ).select("key", "cv.field", "cv.found")
+    checked = diff.join(cur_long, ["key", "field"], "left")
+    conflicts = checked.where(
+        ~(
+            (F.col("old_value").isNull() & F.col("found").isNull())
+            | (F.col("old_value") == F.col("found"))
+        )
+    ).select("key", "field", F.col("old_value").alias("expected"), "found")
+    clean = checked.join(
+        conflicts.select("key", "field"), ["key", "field"], "left_anti"
+    ).select("key", "field", "old_value", "new_value", "op")
+    return doc_patch(current, clean, key, fields), conflicts

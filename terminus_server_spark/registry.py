@@ -2663,6 +2663,59 @@ def schema_oneof(spark, sf_dir):
 
 
 @register(
+    "doc_patch_conflicts",
+    """
+    SELECT c_custkey AS key,
+           CASE WHEN c_custkey % 20 = 0 THEN 'DRIFTED'
+                WHEN c_custkey % 10 = 0 THEN 'PROMOTED'
+                ELSE c_mktsegment END AS c_mktsegment,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           (c_custkey % 20 = 0) AS had_conflict
+    FROM customer
+    WHERE c_custkey % 10 = 0 OR c_custkey % 7 = 0
+    """,
+)
+def doc_patch_conflicts(spark, sf_dir):
+    """Checked patch apply: a diff built against v1 is applied to a
+    store that has drifted (every 20th customer's segment already
+    changed).  Drifted ops report as conflicts (expected/found) and
+    are NOT applied; everything else lands — the reference's
+    before-state patch semantics."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import doc_diff, patch_with_conflicts
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    base = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+    k = F.col("c_custkey")
+    v2 = base.select(
+        "c_custkey",
+        F.when(k % 10 == 0, "PROMOTED").otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.when(k % 7 == 0, F.col("c_acctbal") + 100.0).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    current = base.select(
+        "c_custkey",
+        F.when(k % 20 == 0, "DRIFTED").otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        "c_acctbal",
+    )
+    fields = ["c_mktsegment", "c_acctbal"]
+    d = doc_diff(base, v2, "c_custkey", fields)
+    patched, conflicts = patch_with_conflicts(current, d, "c_custkey", fields)
+    flag = conflicts.select("key").distinct().withColumn("had_conflict", F.lit(True))
+    return (
+        patched.where((k % 10 == 0) | (k % 7 == 0))
+        .join(flag, patched["c_custkey"] == flag["key"], "left")
+        .select(
+            F.col("c_custkey").alias("key"),
+            "c_mktsegment",
+            "c_acctbal",
+            F.coalesce("had_conflict", F.lit(False)).alias("had_conflict"),
+        )
+    )
+
+
+@register(
     "schema_validate",
     """
     SELECT doc_id AS key, 'lang:not_in_enum' AS violation FROM documents

@@ -871,3 +871,24 @@ def test_ntriples_escaping_and_terms(spark):
         in lines
     )
     assert '<http://b/i/Doc/1> <http://b/p/label> "bonjour"@fr .' in lines
+
+
+def test_patch_with_conflicts(spark):
+    from terminus_server_spark.docs.documents import doc_diff, patch_with_conflicts
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, seg string, bal double"
+    )
+    new = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "b", 25.0)], "k bigint, seg string, bal double"
+    )
+    # store drifted: doc 1's seg is no longer 'a'
+    current = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "b", 20.0)], "k bigint, seg string, bal double"
+    )
+    d = doc_diff(base, new, "k", ["seg", "bal"])
+    patched, conflicts = patch_with_conflicts(current, d, "k", ["seg", "bal"])
+    cf = [(r.key, r.field, r.expected, r.found) for r in conflicts.collect()]
+    assert cf == [(1, "seg", "a", "x")]
+    got = {r.k: (r.seg, r.bal) for r in patched.collect()}
+    assert got == {1: ("x", 10.0), 2: ("b", 25.0)}  # conflict skipped, clean op applied

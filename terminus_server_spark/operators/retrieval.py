@@ -125,7 +125,9 @@ def bm25_topk(
     )
 
 
-def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", vocab_k: int = 100_000
+) -> DataFrame:
     """(doc_id, n_tokens, avg_logp): average natural-log unigram
     probability per document under the corpus's own unigram LM — the
     cheap perplexity proxy used to bucket training data by
@@ -138,14 +140,24 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     decimal(28,12) so partial-sum order never changes the result.
     """
     tok = docs.select("doc_id", F.explode(_ltoks(text_col)).alias("tok"))
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    total = freq.agg(F.sum("n_tok").cast("bigint").alias("n_total"))
-    freq = freq.crossJoin(F.broadcast(total))
-    per_doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    joined = per_doc_tok.join(freq, "tok")
+    full_freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = full_freq.agg(F.sum("n_tok").cast("bigint").alias("n_total"))
+    # top-K vocabulary cap: orderBy+limit executes as a distributed
+    # TakeOrderedAndProject (never a single-partition window), and
+    # bounds what the per-token join has to see at 100 TB; tokens
+    # outside the vocabulary score at the Laplace floor count of 1
+    freq = full_freq.orderBy(F.col("n_tok").desc(), F.col("tok")).limit(vocab_k)
+    per_doc_tok = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+    )
+    joined = per_doc_tok.join(freq, "tok", "left")
     contrib = (
         F.col("cnt").cast("double")
-        * F.log(F.col("n_tok").cast("double") / F.col("n_total"))
+        * F.log(
+            F.coalesce(F.col("n_tok"), F.lit(1)).cast("double") / F.col("n_total")
+        )
     ).cast("decimal(28,12)")
     return (
         joined.groupBy("doc_id")

@@ -321,9 +321,12 @@ def pmi_bigrams(
     left = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
     right = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
     scored = (
+        # unigram joins stay key-equi on the word: AQE broadcasts
+        # them when the vocabulary is small and shuffles when it
+        # isn't — no unconditional broadcast of an unbounded table
         bg_counts.where(F.col("n_ab") >= min_count)
-        .join(F.broadcast(left), "w1")
-        .join(F.broadcast(right), "w2")
+        .join(left, "w1")
+        .join(right, "w2")
         .crossJoin(F.broadcast(totals))
     )
     pmi = F.round(

@@ -892,3 +892,19 @@ def test_patch_with_conflicts(spark):
     assert cf == [(1, "seg", "a", "x")]
     got = {r.k: (r.seg, r.bal) for r in patched.collect()}
     assert got == {1: ("x", 10.0), 2: ("b", 25.0)}  # conflict skipped, clean op applied
+
+
+def test_unigram_logprob_vocab_cap_floor(spark):
+    import math
+
+    from terminus_server_spark.operators.retrieval import unigram_logprob
+
+    # corpus: a x3, b x2, c x1 (total 6); cap vocab at 2 -> c is OOV
+    docs = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "c")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r.avg_logp for r in unigram_logprob(docs, vocab_k=2).collect()}
+    # doc 2's only token is OOV -> Laplace floor count 1 over total 6
+    assert abs(out[2] - math.log(1 / 6)) < 1e-6
+    want1 = (3 * math.log(3 / 6) + 2 * math.log(2 / 6)) / 5
+    assert abs(out[1] - round(want1, 6)) < 1e-6

@@ -73,3 +73,19 @@ def loop_checkpoint_sum(df: DataFrame, col: str) -> tuple[DataFrame, int]:
         out = df.localCheckpoint(eager=False)
     total = out.agg(F.sum(col)).collect()[0][0]
     return out, int(total or 0)
+
+
+def plan_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazy checkpoint used to stop *plan duplication* (not loop
+    lineage): an operator that joins a frame against a projection of
+    itself duplicates the frame's whole upstream plan per step —
+    composing several such steps multiplies the leaf scans
+    exponentially.  A lazy checkpoint makes the frame a single
+    materialized leaf; blocks are written on first action."""
+    spark = df.sparkSession
+    if spark.conf.get(RELIABLE_CONF, "false").lower() == "true":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(spark.conf.get(DIR_CONF, _DEFAULT_DIR))
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)

@@ -150,8 +150,16 @@ def migrate(triples: DataFrame, steps: list[dict]) -> DataFrame:
     """Apply a migration script — a list of single-key step dicts,
     e.g. ``{"rename_class": {"from": "Order", "to": "PurchaseOrder"}}``
     — in order, composing one lazy plan."""
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
     for step in steps:
         (kind, args), = step.items()
+        if kind in ("rename_property", "move_to_subdocument"):
+            # these steps join the frame against a projection of
+            # itself (the class-member marker); checkpoint first so
+            # the self-reference doesn't duplicate the whole upstream
+            # plan (5 steps were compounding to 48 parquet scans)
+            triples = plan_checkpoint(triples)
         if kind == "rename_class":
             triples = rename_class(triples, args["from"], args["to"])
         elif kind == "rename_property":

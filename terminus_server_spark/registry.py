@@ -2269,9 +2269,14 @@ def graph_pagerank(spark, sf_dir):
 
 
 def _layers(spark, sf_dir):
+    from terminus_server_spark.checkpoint import plan_checkpoint
     from terminus_server_spark.versioning.layers import orders_layers
 
-    return orders_layers(_t(spark, sf_dir, "orders")["orders"])
+    # versioning verbs reference the layer stack many times (diff =
+    # two materializations, merge = base + two branch deltas); a lazy
+    # checkpoint makes it one materialized leaf instead of 10-20
+    # repeated orders scans in the composed plan
+    return plan_checkpoint(orders_layers(_t(spark, sf_dir, "orders")["orders"]))
 
 
 @register(
@@ -3367,8 +3372,14 @@ def graph_shortest_weighted(spark, sf_dir):
 def _merge_fixture(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    o = _t(spark, sf_dir, "orders")["orders"].select(
-        "o_orderkey", "o_orderdate", "o_totalprice"
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    # base/left/right each carve several slices out of orders and the
+    # merge references them repeatedly — one checkpointed leaf
+    o = plan_checkpoint(
+        _t(spark, sf_dir, "orders")["orders"].select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
     )
     d97 = F.lit("1997-01-01").cast("timestamp_ntz")
     base = o.where(F.col("o_orderdate") < d97).select("o_orderkey", "o_totalprice")
@@ -3487,8 +3498,10 @@ def acl_can(spark, sf_dir):
     from terminus_server_spark.woql import ast as A
     from terminus_server_spark.woql.compiler import WOQLContext
 
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
     t = _t(spark, sf_dir, "customer", "nation", "region")
-    geo = (
+    geo = plan_checkpoint(
         t["customer"]
         .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
         .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
@@ -3534,7 +3547,9 @@ def acl_can(spark, sf_dir):
             F.concat(F.lit("Org/"), F.col("r_name")).alias("org"),
         )
     )
-    system = (
+    # the WOQL walk references the system graph once per triple
+    # pattern — checkpoint it so each pattern scans one leaf
+    system = plan_checkpoint(
         tri(geo, usr, "capability", cap)
         .unionByName(tri(geo, cap, "role", role))
         .unionByName(tri(geo, cap, "scope", scope))
@@ -3668,11 +3683,12 @@ def vc_pull(spark, sf_dir):
     count in one row."""
     from pyspark.sql import functions as F
 
+    from terminus_server_spark.checkpoint import plan_checkpoint
     from terminus_server_spark.versioning.layers import orders_layers
     from terminus_server_spark.versioning.remote import pull
 
-    o = _t(spark, sf_dir, "orders")["orders"]
-    full = orders_layers(o)
+    o = plan_checkpoint(_t(spark, sf_dir, "orders")["orders"])
+    full = plan_checkpoint(orders_layers(o))
     d97 = F.lit("1997-01-01").cast("timestamp_ntz")
     cheap_pre97 = (F.col("o_orderdate") < d97) & (F.col("o_totalprice") <= 400000)
     layer = lambda seq, cid, op: [  # noqa: E731

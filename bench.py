@@ -114,6 +114,7 @@ HEADLINE = [
     "docs_tfidf_topterms",
     "graph_node_jaccard",
     "doc_patch_conflicts",
+    "schema_frames_inherited",
 ]
 
 

@@ -402,3 +402,62 @@ def to_ntriples(triples: DataFrame, base: str = "http://example.org/") -> DataFr
         "subject",
         F.concat(s_iri, F.lit(" "), p_iri, F.lit(" "), o_term, F.lit(" .")).alias("line"),
     )
+
+
+def inherit_frames(declared: DataFrame, subclass_edges: DataFrame) -> DataFrame:
+    """Frame composition under ``@inherits`` (terminus-server schema
+    inheritance: a class's effective frame is its own properties plus
+    every ancestor's, nearest declaration winning on override).
+
+    ``declared``: (class, predicate, obj_types, required) — the
+    schema-declared property frames; ``subclass_edges``: (sub, sup)
+    direct subclass links.  Returns one row per (class, predicate) of
+    the *effective* frame: (class, predicate, obj_types, required,
+    from_class, depth) with depth = distance to the declaring
+    ancestor (0 = own) and min-depth/min-name override resolution —
+    deterministic under diamonds.
+
+    Schemas are tiny; the closure is the same semi-naive iteration
+    the WOQL subsumption word uses, and everything else is two keyed
+    joins + one ranking window over frame-sized data."""
+    from pyspark.sql.window import Window
+
+    from terminus_server_spark.operators.path import transitive_closure
+
+    closure = transitive_closure(subclass_edges, with_hops=True).select(
+        F.col("src").alias("class"),
+        F.col("dst").alias("anc"),
+        F.col("hops").cast("int").alias("depth"),
+    )
+    nodes = (
+        subclass_edges.select(F.col("src").alias("class"))
+        .union(subclass_edges.select("dst"))
+        .union(declared.select("class"))
+        .distinct()
+    )
+    reflexive = nodes.select(
+        "class", F.col("class").alias("anc"), F.lit(0).alias("depth")
+    )
+    full = closure.unionByName(reflexive)
+    candidates = full.join(
+        declared.select(
+            F.col("class").alias("anc"),
+            "predicate",
+            "obj_types",
+            "required",
+        ),
+        "anc",
+    )
+    w = Window.partitionBy("class", "predicate").orderBy("depth", "anc")
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "class",
+            "predicate",
+            "obj_types",
+            "required",
+            F.col("anc").alias("from_class"),
+            "depth",
+        )
+    )

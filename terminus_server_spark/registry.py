@@ -2636,6 +2636,75 @@ def doc_backlinks(spark, sf_dir):
 
 
 @register(
+    "schema_frames_inherited",
+    """
+    WITH eff(class, predicate, obj_types, required, from_class, depth) AS (VALUES
+      ('Entity',   'id',      'xsd:string',  TRUE,  'Entity',   0),
+      ('Agent',    'id',      'xsd:string',  TRUE,  'Entity',   1),
+      ('Agent',    'name',    'xsd:string',  TRUE,  'Agent',    0),
+      ('Agent',    'balance', 'xsd:decimal', FALSE, 'Agent',    0),
+      ('Customer', 'id',      'xsd:string',  TRUE,  'Entity',   2),
+      ('Customer', 'name',    'xsd:string',  TRUE,  'Agent',    1),
+      ('Customer', 'balance', 'xsd:decimal', TRUE,  'Customer', 0),
+      ('Customer', 'segment', 'xsd:string',  FALSE, 'Customer', 0),
+      ('Supplier', 'id',      'xsd:string',  TRUE,  'Entity',   2),
+      ('Supplier', 'name',    'xsd:string',  TRUE,  'Agent',    1),
+      ('Supplier', 'balance', 'xsd:decimal', FALSE, 'Agent',    1),
+      ('Supplier', 'nation',  'iri',         TRUE,  'Supplier', 0)),
+    counts AS (
+      SELECT 'Customer' AS class, (SELECT COUNT(*) FROM customer) AS n_instances
+      UNION ALL SELECT 'Supplier', (SELECT COUNT(*) FROM supplier))
+    SELECT e.class, e.predicate, e.obj_types, e.required, e.from_class, e.depth,
+           COALESCE(c.n_instances, 0) AS n_instances
+    FROM eff e LEFT JOIN counts c ON e.class = c.class
+    """,
+)
+def schema_frames_inherited(spark, sf_dir):
+    """@inherits frame composition: Entity ⊃ Agent ⊃ {Customer,
+    Supplier}; Customer overrides Agent's optional `balance` as
+    required.  The effective frames must resolve nearest-declaration
+    override with the declaring ancestor and its distance, joined to
+    live instance counts."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import inherit_frames
+
+    declared = spark.createDataFrame(
+        [
+            ("Entity", "id", "xsd:string", True),
+            ("Agent", "name", "xsd:string", True),
+            ("Agent", "balance", "xsd:decimal", False),
+            ("Customer", "balance", "xsd:decimal", True),
+            ("Customer", "segment", "xsd:string", False),
+            ("Supplier", "nation", "iri", True),
+        ],
+        "class string, predicate string, obj_types string, required boolean",
+    )
+    edges = spark.createDataFrame(
+        [("Customer", "Agent"), ("Supplier", "Agent"), ("Agent", "Entity")],
+        "src string, dst string",
+    )
+    t = _t(spark, sf_dir, "customer", "supplier")
+    counts = (
+        t["customer"].agg(F.count(F.lit(1)).alias("n_instances"))
+        .select(F.lit("Customer").alias("class"), "n_instances")
+        .unionByName(
+            t["supplier"].agg(F.count(F.lit(1)).alias("n_instances"))
+            .select(F.lit("Supplier").alias("class"), "n_instances")
+        )
+    )
+    return inherit_frames(declared, edges).join(counts, "class", "left").select(
+        "class",
+        "predicate",
+        "obj_types",
+        "required",
+        "from_class",
+        "depth",
+        F.coalesce("n_instances", F.lit(0).cast("bigint")).alias("n_instances"),
+    )
+
+
+@register(
     "schema_oneof",
     """
     SELECT c_custkey AS key,

@@ -908,3 +908,32 @@ def test_unigram_logprob_vocab_cap_floor(spark):
     assert abs(out[2] - math.log(1 / 6)) < 1e-6
     want1 = (3 * math.log(3 / 6) + 2 * math.log(2 / 6)) / 5
     assert abs(out[1] - round(want1, 6)) < 1e-6
+
+
+def test_inherit_frames_override_and_diamond(spark):
+    from terminus_server_spark.model.triples import inherit_frames
+
+    declared = spark.createDataFrame(
+        [
+            ("A", "p", "xsd:string", True),
+            ("B", "p", "xsd:integer", False),  # overrides A's p
+            ("C", "q", "xsd:string", True),
+            # diamond: D inherits through B and C; both declare r
+            ("B", "r", "xsd:string", True),
+            ("C", "r", "xsd:integer", True),
+        ],
+        "class string, predicate string, obj_types string, required boolean",
+    )
+    edges = spark.createDataFrame(
+        [("B", "A"), ("C", "A"), ("D", "B"), ("D", "C")], "src string, dst string"
+    )
+    eff = {
+        (r["class"], r.predicate): (r.obj_types, r.from_class, r.depth)
+        for r in inherit_frames(declared, edges).collect()
+    }
+    assert eff[("B", "p")] == ("xsd:integer", "B", 0)  # own wins
+    assert eff[("D", "p")] == ("xsd:integer", "B", 1)  # nearest override
+    assert eff[("A", "p")] == ("xsd:string", "A", 0)
+    # diamond tie at equal depth -> deterministic min ancestor name
+    assert eff[("D", "r")] == ("xsd:string", "B", 1)
+    assert eff[("D", "q")] == ("xsd:string", "C", 1)

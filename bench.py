@@ -115,6 +115,7 @@ HEADLINE = [
     "graph_node_jaccard",
     "doc_patch_conflicts",
     "schema_frames_inherited",
+    "stream_upsert_sink",
 ]
 
 

@@ -4545,6 +4545,40 @@ def stream_session(spark, sf_dir):
 
 
 @register(
+    "stream_upsert_sink",
+    """
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_upsert_sink(spark, sf_dir):
+    """foreachBatch MERGE sink: two micro-batches (even / odd event
+    ids) upsert newest-wins into a keyed table; the final table must
+    hold exactly each user's latest event — identical to the batch
+    answer regardless of how the stream was split."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_upsert
+
+    ev = _t(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type", "value",
+    )
+    batches = [
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+    ]
+    final = run_stream_upsert(
+        spark, batches, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return final.select("user_id", "ts", "event_type", "value")
+
+
+@register(
     "stream_dedup",
     """
     SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id

@@ -419,3 +419,68 @@ def pattern_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def run_stream_upsert(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Streaming upsert sink — the ``foreachBatch`` MERGE pattern:
+    each micro-batch merges newest-wins into a keyed table, so the
+    sink holds exactly one (latest) row per key at all times.  This
+    is how Structured Streaming targets engines without native MERGE
+    sinks (and mirrors MERGE INTO on ones with it); the batch verb
+    equivalent is sources' ``upsert``.
+
+    Harness: replay ``batches`` through a real stream (file source,
+    one availableNow pass per batch, same checkpoint dir so offsets
+    carry across passes); each ``foreachBatch`` writes an immutable
+    new table version (read-modify-write-swap — never overwriting a
+    file it is reading), the cross-batch contract a transactional
+    table format provides.  Returns the final table."""
+    tmp = tempfile.mkdtemp(prefix="tss_upsert_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def merged_newest_wins(cur: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        return (
+            cur.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if state["version"] >= 0:
+            cur = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+            combined = cur.unionByName(batch_df.select(*cur.columns))
+        else:
+            combined = batch_df
+        out = merged_newest_wins(combined)
+        state["version"] += 1
+        out.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"v{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))

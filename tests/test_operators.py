@@ -937,3 +937,21 @@ def test_inherit_frames_override_and_diamond(spark):
     # diamond tie at equal depth -> deterministic min ancestor name
     assert eff[("D", "r")] == ("xsd:string", "B", 1)
     assert eff[("D", "q")] == ("xsd:string", "C", 1)
+
+
+def test_stream_upsert_sink_cross_batch(spark):
+    from terminus_server_spark.streaming.events import run_stream_upsert
+
+    b1 = spark.createDataFrame(
+        [(1, 100, 10, "a"), (2, 200, 10, "b")],
+        "event_id bigint, user_id bigint, ts bigint, v string",
+    )
+    # batch 2 updates user 100 (newer ts) and inserts user 300;
+    # also an out-of-order stale row for 200 that must NOT win
+    b2 = spark.createDataFrame(
+        [(3, 100, 20, "a2"), (4, 300, 5, "c"), (5, 200, 9, "stale")],
+        "event_id bigint, user_id bigint, ts bigint, v string",
+    )
+    out = run_stream_upsert(spark, [b1, b2], ["user_id"], ["ts", "event_id"])
+    got = {r.user_id: (r.ts, r.v) for r in out.collect()}
+    assert got == {100: (20, "a2"), 200: (10, "b"), 300: (5, "c")}

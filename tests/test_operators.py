@@ -955,3 +955,28 @@ def test_stream_upsert_sink_cross_batch(spark):
     out = run_stream_upsert(spark, [b1, b2], ["user_id"], ["ts", "event_id"])
     got = {r.user_id: (r.ts, r.v) for r in out.collect()}
     assert got == {100: (20, "a2"), 200: (10, "b"), 300: (5, "c")}
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import (
+        DIR_CONF,
+        RELIABLE_CONF,
+        loop_checkpoint_count,
+        loop_checkpoint_sum,
+        plan_checkpoint,
+    )
+
+    spark.conf.set(RELIABLE_CONF, "true")
+    spark.conf.set(DIR_CONF, str(tmp_path / "ckpt"))
+    try:
+        df = spark.range(10).withColumn("flag", (F.col("id") % 2).cast("int"))
+        out, n = loop_checkpoint_count(df)
+        assert n == 10 and out.count() == 10
+        out2, s = loop_checkpoint_sum(df, "flag")
+        assert s == 5 and out2.count() == 10
+        out3 = plan_checkpoint(df)
+        assert out3.join(out3.select("id"), "id").count() == 10
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")

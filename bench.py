@@ -116,6 +116,9 @@ HEADLINE = [
     "doc_patch_conflicts",
     "schema_frames_inherited",
     "stream_upsert_sink",
+    "emb_exemplars",
+    "text_readability",
+    "docs_quality_resample",
 ]
 
 

@@ -278,3 +278,28 @@ def split_assign(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
         "split",
         F.when(nibble < "e", "train").when(nibble < "f", "valid").otherwise("test"),
     )
+
+
+def quality_resample(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality-weighted resampling (DCLM-style
+    importance sampling): each document survives with probability
+    equal to its quality score, decided by comparing an 8-hex-digit
+    md5 bucket of the doc id against the score's hex threshold —
+    reproducible at any partitioning, no RNG state.
+
+    Returns survivors with (doc_id, quality, bucket, threshold)."""
+    from terminus_server_spark.operators.text import quality_score
+
+    q = quality_score(docs, text_col).select("doc_id", "quality")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    threshold = F.format_string(
+        "%08x",
+        F.least(
+            F.floor(F.col("quality") * F.lit(4294967296.0)).cast("bigint"),
+            F.lit(4294967295).cast("bigint"),  # clamp q=1.0 to 8 hex digits
+        ),
+    )
+    return (
+        q.select("doc_id", "quality", bucket.alias("bucket"), threshold.alias("threshold"))
+        .where(F.col("bucket") < F.col("threshold"))
+    )

@@ -418,3 +418,51 @@ def l2_normalize(
         F.transform(F.col("_v"), lambda x: x / F.col("norm")).alias("unit_vec"),
         "norm",
     )
+
+
+def label_exemplars(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, vec_id, cos, rank): the k vectors nearest their own
+    cluster centroid — prototype/exemplar selection (the keep-side
+    companion of SemDeDup: after near-dups are dropped, ship the
+    most-central member per cluster as the class exemplar).
+
+    Centroids come from ``label_centroids`` (fixed-point means, exact
+    across engines); vector↔centroid cosine uses the same
+    floor-scaled integer dot so ranking is bit-reproducible.  One
+    broadcast join (centroid list is cluster-count-sized) + a
+    label-partitioned ranking window."""
+    from pyspark.sql.window import Window
+
+    cents = label_centroids(emb, label_col, vec_col).select(
+        "label", F.col("centroid").alias("cvec")
+    )
+    v = _scaled_vec(F.col(vec_col))
+    joined = emb.select(
+        F.col(id_col), F.col(label_col).alias("label"), v.alias("v")
+    ).join(F.broadcast(cents), "label")
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: F.floor(x * y * SCALE)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint"),
+    )
+    vnorm = F.aggregate(
+        F.col("v"), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.floor(x * x * SCALE).cast("bigint"),
+    )
+    cnorm = F.aggregate(
+        F.col("cvec"), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.floor(x * x * SCALE).cast("bigint"),
+    )
+    cos = dot.cast("double") / F.sqrt(vnorm.cast("double") * cnorm.cast("double"))
+    w = Window.partitionBy("label").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        joined.select("label", id_col, F.round(cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -348,3 +348,34 @@ def pmi_bigrams(
         .orderBy(F.col("pmi").desc(), "ngram")
         .limit(k)
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch): Flesch
+    reading-ease with the standard cheap proxies — sentences from
+    [.!?] runs (min 1), syllables from vowel groups per word (min 1
+    per word) — the classic readability quality signal, as one
+    codegen'd projection."""
+    t = F.col(text_col)
+    words = F.size(tokens_col(t)).cast("bigint")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    vowel_groups = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), 0)
+    ).cast("bigint")
+    syllables = F.greatest(vowel_groups, words)  # >= 1 per word
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -5318,6 +5318,117 @@ def emb_centroids(spark, sf_dir):
 
 
 @register(
+    "emb_exemplars",
+    """
+    WITH ex AS (
+      SELECT label, vec_id, r.i AS pos, embedding[r.i]::DOUBLE AS val
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r),
+    per_dim AS (
+      SELECT label, pos, SUM(CAST(FLOOR(val * 1e12) AS BIGINT)) AS si, COUNT(*) AS n
+      FROM ex GROUP BY label, pos),
+    cents AS (
+      SELECT label, list((si::DOUBLE / 1e12) / n::DOUBLE ORDER BY pos) AS cvec
+      FROM per_dim GROUP BY label),
+    vecs AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(e.v, c.cvec),
+                 p -> floor(p[1] * p[2] * 1e12)::BIGINT))::DOUBLE
+               / sqrt(
+                   list_sum(list_transform(e.v, x -> floor(x * x * 1e12)::BIGINT))::DOUBLE
+                 * list_sum(list_transform(c.cvec, x -> floor(x * x * 1e12)::BIGINT))::DOUBLE),
+               6) AS cos
+      FROM vecs e JOIN cents c USING (label)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    SELECT label, vec_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def emb_exemplars(spark, sf_dir):
+    """Prototype selection: the 3 most-central vectors per cluster
+    (nearest own centroid, fixed-point cosine) — the keep-side
+    companion of SemDeDup."""
+    from terminus_server_spark.operators.similarity import label_exemplars
+
+    return label_exemplars(_t(spark, sf_dir, "embeddings")["embeddings"], k=3)
+
+
+@register(
+    "text_readability",
+    rf"""
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                 - 84.6 * (n_syllables::DOUBLE / n_words), 6) AS flesch
+    FROM (
+      SELECT doc_id,
+             len({_TOKS_SQL})::BIGINT AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+'))::BIGINT, 1) AS n_sentences,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT,
+                      len({_TOKS_SQL})::BIGINT) AS n_syllables
+      FROM documents)
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease with cheap proxies (vowel-group
+    syllables, punctuation-run sentences) — one codegen'd scan."""
+    from terminus_server_spark.operators.text import readability
+
+    return readability(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "docs_quality_resample",
+    rf"""
+    WITH seeded AS (
+      SELECT doc_id, text || ' ' || repeat('!', CAST(doc_id % 40 AS INTEGER)) AS text
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             (CASE WHEN n_tokens >= 5 AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                   THEN 1.0 ELSE 0.0 END) * (1.0 - punct_ratio) AS quality
+      FROM (
+        SELECT doc_id,
+               len({_TOKS_SQL})::BIGINT AS n_tokens,
+               length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len({_TOKS_SQL}) AS mean_token_len,
+               (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                 / length(text) AS punct_ratio
+        FROM seeded))
+    SELECT doc_id, quality, bucket, threshold FROM (
+      SELECT doc_id, quality,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket,
+             printf('%08x', LEAST(CAST(FLOOR(quality * 4294967296.0) AS BIGINT),
+                                  4294967295)) AS threshold
+      FROM q)
+    WHERE bucket < threshold
+    """,
+)
+def docs_quality_resample(spark, sf_dir):
+    """Deterministic quality-weighted resampling (importance
+    sampling by quality score, md5-bucket acceptance — reproducible
+    at any partitioning, no RNG).  The fixture seeds deterministic
+    punctuation (doc_id % 40 bangs) so quality actually varies and
+    the acceptance cut is exercised."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import quality_resample
+
+    docs = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.repeat(F.lit("!"), (F.col("doc_id") % 40).cast("int")),
+        ).alias("text"),
+    )
+    return quality_resample(docs)
+
+
+@register(
     "docs_pack",
     """
     SELECT doc_id, source, n_tokens,

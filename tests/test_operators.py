@@ -980,3 +980,34 @@ def test_reliable_checkpoint_path(spark, tmp_path):
         assert out3.join(out3.select("id"), "id").count() == 10
     finally:
         spark.conf.set(RELIABLE_CONF, "false")
+
+
+def test_label_exemplars_rank_and_centrality(spark):
+    from terminus_server_spark.operators.similarity import label_exemplars
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),   # closest to the (0.63, 0.37)-ish centroid? no:
+            (3, [0.0, 1.0], 0),   # centroid ~ (0.63, 0.37); 2 is nearest
+            (4, [0.5, 0.5], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {(r.label, r.rank): r.vec_id for r in label_exemplars(emb, k=2).collect()}
+    assert out[(0, 1)] == 2  # most central member of cluster 0
+    assert out[(1, 1)] == 4
+    assert (0, 2) in out and (1, 2) not in out  # k capped by membership
+
+
+def test_quality_resample_deterministic_cut(spark):
+    from terminus_server_spark.operators.pipeline import quality_resample
+
+    docs = spark.createDataFrame(
+        [(i, "solid tokens here for scoring quality " + "!" * (i % 30)) for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    a = sorted(r.doc_id for r in quality_resample(docs).collect())
+    b = sorted(r.doc_id for r in quality_resample(docs.repartition(7)).collect())
+    assert a == b            # partitioning-independent
+    assert 0 < len(a) < 200  # actually selective

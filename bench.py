@@ -119,6 +119,7 @@ HEADLINE = [
     "emb_exemplars",
     "text_readability",
     "docs_quality_resample",
+    "graph_hits",
 ]
 
 

@@ -390,3 +390,57 @@ def node_jaccard(
         .orderBy(F.col("jaccard").desc(), "s1", "s2")
         .limit(k)
     )
+
+
+def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """(node, hub, auth): HITS hubs-and-authorities after ``iters``
+    fixed iterations with L1 normalization — the link-analysis
+    companion of PageRank (Kleinberg 1999).
+
+    Same determinism treatment as ``pagerank``: per-edge
+    contributions floor-scale to 1e15 integers before summing (exact,
+    order-free), and each normalization divides two integer-derived
+    doubles — bit-identical on any engine / partitioning, so the
+    oracle replays the iterations exactly.  Per round: two keyed
+    join+agg shuffles; lineage bounded by checkpointing."""
+    with no_constraint_propagation(edges.sparkSession):
+        e = edges.select("src", "dst").distinct().transform(loop_checkpoint)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select("dst"))
+            .distinct()
+            .transform(loop_checkpoint)
+        )
+        hubs = nodes.withColumn("hub", F.lit(1.0))
+
+        def normalize(raw: DataFrame, val: str, out: str) -> DataFrame:
+            total = raw.agg(F.sum(val).alias("_s"))
+            return (
+                nodes.join(raw, "node", "left_outer")
+                .crossJoin(F.broadcast(total))
+                .select(
+                    "node",
+                    (
+                        F.coalesce(F.col(val), F.lit(0)).cast("double")
+                        / F.col("_s").cast("double")
+                    ).alias(out),
+                )
+            )
+
+        for _ in range(iters):
+            auth_raw = (
+                e.join(hubs, e["src"] == hubs["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.floor(F.col("hub") * F.lit(1e15)).cast("bigint")).alias("ai"))
+            )
+            auth = normalize(auth_raw, "ai", "auth").transform(loop_checkpoint)
+            hub_raw = (
+                e.join(auth, e["dst"] == auth["node"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum(F.floor(F.col("auth") * F.lit(1e15)).cast("bigint")).alias("hi"))
+            )
+            hubs = normalize(hub_raw, "hi", "hub").transform(loop_checkpoint)
+    return (
+        hubs.join(auth, "node")
+        .select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+    )

@@ -2189,6 +2189,56 @@ def graph_clustering_coeff(spark, sf_dir):
     return clustering_coefficient(e1.union(e2))
 
 
+def _hits_sql(iters: int = 2) -> str:
+    sql = """
+    WITH e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    for i in range(iters):
+        sql += f""",
+    ar{i} AS (
+      SELECT e.dst AS node, SUM(CAST(FLOOR(h.hub * 1e15) AS BIGINT)) AS ai
+      FROM e JOIN h{i} h ON e.src = h.node GROUP BY e.dst),
+    asum{i} AS (SELECT SUM(ai) AS s FROM ar{i}),
+    a{i + 1} AS (
+      SELECT n.node,
+             CAST(COALESCE(ar.ai, 0) AS DOUBLE)
+               / (SELECT CAST(s AS DOUBLE) FROM asum{i}) AS auth
+      FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node),
+    hr{i} AS (
+      SELECT e.src AS node, SUM(CAST(FLOOR(a.auth * 1e15) AS BIGINT)) AS hi
+      FROM e JOIN a{i + 1} a ON e.dst = a.node GROUP BY e.src),
+    hsum{i} AS (SELECT SUM(hi) AS s FROM hr{i}),
+    h{i + 1} AS (
+      SELECT n.node,
+             CAST(COALESCE(hr.hi, 0) AS DOUBLE)
+               / (SELECT CAST(s AS DOUBLE) FROM hsum{i}) AS hub
+      FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node)"""
+    sql += f"""
+    SELECT n.node, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS auth
+    FROM nodes n JOIN h{iters} h ON n.node = h.node
+    JOIN a{iters} a ON n.node = a.node"""
+    return sql
+
+
+@register("graph_hits", _hits_sql(2))
+def graph_hits(spark, sf_dir):
+    """HITS hubs/authorities over the ancestor-tree graph, 2 exact
+    fixed-point iterations — value-hash-checked like pagerank."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import hits
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where(F.col("c_custkey") >= 1).select(
+        F.concat(F.lit("C/"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("C/"), (F.col("c_custkey") / 2).cast("bigint")).alias("dst"),
+    )
+    return hits(edges, iters=2)
+
+
 @register(
     "graph_pagerank",
     """

@@ -1011,3 +1011,16 @@ def test_quality_resample_deterministic_cut(spark):
     b = sorted(r.doc_id for r in quality_resample(docs.repartition(7)).collect())
     assert a == b            # partitioning-independent
     assert 0 < len(a) < 200  # actually selective
+
+
+def test_hits_star_graph(spark):
+    from terminus_server_spark.operators.graph import hits
+
+    # star: 1,2,3 -> 0 ; node 0 is the only authority, 1-3 equal hubs
+    edges = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("c", "z")], "src string, dst string"
+    )
+    out = {r.node: (r.hub, r.auth) for r in hits(edges, iters=2).collect()}
+    assert out["z"] == (0.0, 1.0)
+    for n in ("a", "b", "c"):
+        assert abs(out[n][0] - 1 / 3) < 1e-6 and out[n][1] == 0.0

@@ -444,3 +444,4 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
         hubs.join(auth, "node")
         .select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
     )
+

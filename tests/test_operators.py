@@ -1024,3 +1024,4 @@ def test_hits_star_graph(spark):
     assert out["z"] == (0.0, 1.0)
     for n in ("a", "b", "c"):
         assert abs(out[n][0] - 1 / 3) < 1e-6 and out[n][1] == 0.0
+

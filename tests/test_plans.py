@@ -318,3 +318,41 @@ def test_semantic_dedup_joins_only_on_cluster(spark):
     # cluster), never a cartesian product over the corpus
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sorted_write_prunes_rowgroups(spark, tables, tmp_path):
+    """File-level data skipping: a time-sorted layout lets parquet
+    row-group min/max stats prune most of the scan for a narrow time
+    filter.  Gotcha this pins down: the sort key must be an integer
+    (or LTZ timestamp) column — TIMESTAMP_NTZ predicates were not
+    pruning row groups on this Spark version."""
+    ev = tables["events"].select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    sorted_p = str(tmp_path / "sorted")
+    shuffled_p = str(tmp_path / "shuffled")
+    ev.repartitionByRange(8, "ts_us").sortWithinPartitions("ts_us").write.parquet(sorted_p)
+    ev.repartition(8).write.parquet(shuffled_p)
+    lo = ev.agg(F.min("ts_us")).collect()[0][0]
+    hi = lo + 24 * 3600 * 1_000_000  # one day
+
+    def scanned_rows(path):
+        df = (
+            spark.read.parquet(path)
+            .where((F.col("ts_us") >= lo) & (F.col("ts_us") < hi))
+            .select("event_id")
+        )
+        df.collect()
+        scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        it = scan.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                return kv._2().value()
+        raise AssertionError("no numOutputRows metric on scan")
+
+    total = ev.count()
+    s, u = scanned_rows(sorted_p), scanned_rows(shuffled_p)
+    assert u == total            # unsorted layout decodes everything
+    assert s < total / 2         # sorted layout skips most row groups

@@ -100,3 +100,48 @@ def upsert_by_key(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> D
         .where(F.col("__rn__") == 1)
         .drop("__v__", "__rn__")
     )
+
+
+def zorder_key(cols: list, bits: int = 21):
+    """Z-order (Morton) interleave of up to 3 non-negative integer
+    columns into one bigint sort key — the multi-dimension clustering
+    trick (Delta/Iceberg OPTIMIZE ZORDER BY): sorting files by the
+    interleaved key gives row-group min/max stats locality in EVERY
+    participating dimension, so a filter on any one of them skips
+    most of the data.  ``bits`` low bits are taken per column
+    (21*3 = 63 fits a bigint).  Pure shift/mask expressions — stays
+    in whole-stage codegen.
+
+    Columns must be scaled to small non-negative ints first (bucket
+    ids, epoch minutes, dictionary codes...); values >= 2^bits wrap
+    into the same key space (clustering degrades gracefully, never
+    breaks correctness — the key orders files, it is not read back).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    assert 1 <= n <= 3 and bits * n <= 63
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for ci, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("bigint"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + ci))
+    return key
+
+
+def write_zordered(
+    df, path: str, cols: list, n_files: int = 8, bits: int = 21
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order key of
+    ``cols``: range-partition + sort on the interleaved key, then
+    drop it — the layout half of OPTIMIZE ZORDER."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("_z", zorder_key(cols, bits))
+    (
+        keyed.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

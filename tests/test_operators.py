@@ -1025,3 +1025,15 @@ def test_hits_star_graph(spark):
     for n in ("a", "b", "c"):
         assert abs(out[n][0] - 1 / 3) < 1e-6 and out[n][1] == 0.0
 
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.sources import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a bigint, b bigint")
+    (key,) = df.select(zorder_key(["a", "b"], bits=3).alias("k")).collect()[0]
+    # a at even positions, b at odd: pos0=a0=1, pos1=b0=1, pos2=a1=0,
+    # pos3=b1=1, pos4=a2=1, pos5=b2=0 -> 0b011011
+    assert key == 0b011011

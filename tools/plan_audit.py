@@ -1,0 +1,73 @@
+"""Physical-plan audit over every registry key.
+
+For each key, builds the DataFrame (no execution) and reports:
+- parquet scan leaves (plan duplication shows up as scan explosion),
+- Exchange count (shuffle pressure),
+- Python eval nodes (BatchEvalPython / ArrowEvalPython — only the
+  explicitly Arrow-batched operators may have them),
+- CartesianProduct / BroadcastNestedLoopJoin (quadratic hazards).
+
+Usage: python tools/plan_audit.py [sf_dir] > report
+Lines: ``key scans=N exchanges=N python=N nested_loop=N`` followed by
+a ``FLAG`` column when a hazard heuristic fires.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# operators allowed to show Python eval nodes (Arrow-batched by design)
+ARROW_OK = {"dedup_embed_cos", "dedup_embed_cos_exact", "mm_meta", "mm_features",
+            "mm_resize", "mm_frames", "stream_spend_alerts", "stream_pattern_alerts"}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from terminus_server_spark.registry import QUERIES
+    from terminus_server_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    flagged = []
+    for k in sorted(QUERIES):
+        try:
+            df = QUERIES[k](spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            p = buf.getvalue()
+        except Exception as e:  # noqa: BLE001 - audit must keep going
+            print(f"{k} ERROR {type(e).__name__}")
+            flagged.append(k)
+            continue
+        scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+        exch = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+        pyev = len(re.findall(r"EvalPython", p))
+        cart = len(re.findall(r"CartesianProduct", p))
+        bnlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
+        flags = []
+        if scans > 30:
+            flags.append("scan-explosion")
+        if pyev and k not in ARROW_OK:
+            flags.append("unexpected-python")
+        if cart:
+            # a true cartesian product is always a hazard; a
+            # BroadcastNestedLoopJoin with a 1-row side is the
+            # intended scalar-broadcast plan and is NOT flagged
+            flags.append("cartesian")
+        if flags:
+            flagged.append(k)
+        tail = (" FLAG:" + ",".join(flags)) if flags else ""
+        print(f"{k} scans={scans} exchanges={exch} python={pyev} "
+              f"cartesian={cart} bnlj={bnlj}{tail}")
+    print(f"\n{len(flagged)} flagged: {flagged}")
+
+
+if __name__ == "__main__":
+    main()

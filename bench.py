@@ -120,6 +120,7 @@ HEADLINE = [
     "text_readability",
     "docs_quality_resample",
     "graph_hits",
+    "src_table_stats",
 ]
 
 

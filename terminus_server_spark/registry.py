@@ -4394,6 +4394,38 @@ def src_json_roundtrip(spark, sf_dir):
 
 
 @register(
+    "src_table_stats",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(l_quantity) AS nn_q, COUNT(DISTINCT l_quantity) AS ndv_q,
+             CAST(MIN(l_quantity) AS VARCHAR) AS mn_q, CAST(MAX(l_quantity) AS VARCHAR) AS mx_q,
+             COUNT(l_extendedprice) AS nn_p, COUNT(DISTINCT l_extendedprice) AS ndv_p,
+             CAST(MIN(l_extendedprice) AS VARCHAR) AS mn_p, CAST(MAX(l_extendedprice) AS VARCHAR) AS mx_p,
+             COUNT(l_returnflag) AS nn_f, COUNT(DISTINCT l_returnflag) AS ndv_f,
+             CAST(MIN(l_returnflag) AS VARCHAR) AS mn_f, CAST(MAX(l_returnflag) AS VARCHAR) AS mx_f
+      FROM lineitem)
+    SELECT 'l_quantity' AS "column", n, n - nn_q AS n_nulls, ndv_q AS ndv,
+           mn_q AS min_val, mx_q AS max_val FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', n, n - nn_p, ndv_p, mn_p, mx_p FROM s
+    UNION ALL
+    SELECT 'l_returnflag', n, n - nn_f, ndv_f, mn_f, mx_f FROM s
+    """,
+)
+def src_table_stats(spark, sf_dir):
+    """ANALYZE TABLE surface: per-column n/nulls/exact-ndv/min/max in
+    ONE scan — the statistics a cost-based optimizer (and the WOQL
+    join-order heuristic) consumes."""
+    from terminus_server_spark.sources import table_stats
+
+    return table_stats(
+        _t(spark, sf_dir, "lineitem")["lineitem"],
+        ["l_quantity", "l_extendedprice", "l_returnflag"],
+    )
+
+
+@register(
     "src_csv_roundtrip",
     f"""
     SELECT country, COUNT(*) AS n_cities,

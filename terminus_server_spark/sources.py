@@ -145,3 +145,38 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def table_stats(df, cols: list[str]):
+    """ANALYZE-style column statistics: one row per column with
+    (column, n, n_nulls, ndv, min_val, max_val) — the stats a
+    cost-based optimizer (and the WOQL join-order heuristic) feeds
+    on.  ONE scan computes every column's aggregates in a single
+    map-side-combinable pass; the per-column rows are projections of
+    the checkpointed single-row aggregate, so the scan never
+    re-executes."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_ndv_{c}"),
+            F.min(c).cast("string").alias(f"_mn_{c}"),
+            F.max(c).cast("string").alias(f"_mx_{c}"),
+        ]
+    row = plan_checkpoint(df.agg(*aggs))
+    out = None
+    for c in cols:
+        part = row.select(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+            F.col(f"_ndv_{c}").alias("ndv"),
+            F.col(f"_mn_{c}").alias("min_val"),
+            F.col(f"_mx_{c}").alias("max_val"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

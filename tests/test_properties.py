@@ -311,3 +311,39 @@ def test_interval_union_matches_python_oracle(spark, pairs, dur):
                 islands.append([s, e])
         want[u] = (len(islands), sum(e - s for s, e in islands) / 1_000_000)
     assert got == want
+
+
+words = st.sampled_from(["spark", "join", "stream", "the", "fox", "data"])
+docs_texts = st.lists(
+    st.lists(words, min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(docs_texts)
+def test_bm25_matches_python_reference(spark, texts):
+    import math
+
+    from terminus_server_spark.operators.retrieval import bm25_topk
+
+    terms = ["spark", "join"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_topk(df, terms, k=len(rows)).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    want = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+        if round(s, 6) > 0:
+            want[i] = round(s, 6)
+    assert got == want

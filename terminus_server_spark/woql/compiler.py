@@ -39,10 +39,21 @@ def _is_var(x: Any) -> bool:
 
 
 class WOQLContext:
-    def __init__(self, store: TripleStore, spark=None, layers: DataFrame | None = None):
+    def __init__(
+        self,
+        store: TripleStore,
+        spark=None,
+        layers: DataFrame | None = None,
+        predicate_stats: dict[str, int] | None = None,
+    ):
         self.store = store
         self.spark = spark or store.df.sparkSession
         self.layers = layers  # (commit_id, op, graph, subject, predicate, obj, obj_type, obj_num)
+        # optional per-predicate row counts (the reference keeps layer
+        # statistics; collect with ``collect_predicate_stats``) — the
+        # join-order heuristic uses them as a CBO-lite cardinality
+        # signal when two candidate patterns tie on structure
+        self.predicate_stats = predicate_stats or {}
         self._graph_stack: list[str] = []  # Using(...) scopes; top = default graph
         self._into_stack: list[str] = []  # Into(...) scopes; top = default write graph
         self._staged: list[tuple] = []  # (op, graph, s, p, o) update templates
@@ -229,7 +240,18 @@ class WOQLContext:
                 def score(item):
                     consts, vs = item[1]
                     connected = 1 if (not bound or vs & bound) else 0
-                    return (connected, consts, len(vs & bound))
+                    # CBO-lite: among structural ties, prefer the
+                    # pattern whose constant predicate scans the
+                    # fewest triples (predicate_stats, when supplied)
+                    term = item[0]
+                    pred = getattr(term, "p", None)
+                    rows = (
+                        self.predicate_stats.get(pred)
+                        if isinstance(pred, str)
+                        else None
+                    )
+                    smallness = -rows if rows is not None else float("-inf")
+                    return (connected, consts, len(vs & bound), smallness)
                 best = max(run, key=score)
                 run.remove(best)
                 out.append(best[0])
@@ -719,3 +741,16 @@ class WOQLContext:
 
 def compile_woql(store: TripleStore, term: A.Term, layers: DataFrame | None = None) -> DataFrame:
     return WOQLContext(store, layers=layers).run(term)
+
+
+def collect_predicate_stats(store: TripleStore) -> dict[str, int]:
+    """One aggregate over the store: rows per predicate — the layer
+    statistic the reference keeps natively; feed to ``WOQLContext``
+    so And-join ordering can put the smallest constant-predicate
+    scan first among structural ties."""
+    return {
+        r["predicate"]: r["n"]
+        for r in store.df.groupBy("predicate")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }

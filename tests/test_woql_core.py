@@ -511,3 +511,34 @@ def test_context_prefix_expansion(spark):
     assert isinstance(t, A.Triple)
     assert t.s == "Customer/7"
     assert isinstance(t.o, A.Var)
+
+
+def test_join_order_uses_predicate_stats(spark):
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext, collect_predicate_stats
+
+    tri = spark.createDataFrame(
+        [("instance", f"N/{i}", "big", f"M/{i}", "iri", None) for i in range(40)]
+        + [("instance", "N/1", "small", "X/1", "iri", None)],
+        "graph string, subject string, predicate string, obj string, "
+        "obj_type string, obj_num double",
+    )
+    store = TripleStore(tri)
+    stats = collect_predicate_stats(store)
+    assert stats == {"big": 40, "small": 1}
+    # two patterns, same structure (1 const, 2 vars), sharing ?s:
+    # with stats the small predicate must be scanned first
+    p_big = A.Triple(A.v("s"), "big", A.v("o1"))
+    p_small = A.Triple(A.v("s"), "small", A.v("o2"))
+    ctx = WOQLContext(store, predicate_stats=stats)
+    ordered = ctx._order_conjuncts((p_big, p_small), None)
+    assert ordered[0] is p_small
+    # without stats, author order is preserved among ties
+    ctx0 = WOQLContext(store)
+    assert ctx0._order_conjuncts((p_big, p_small), None)[0] is p_big
+    # results identical either way
+    q = A.Select([A.v("s"), A.v("o1"), A.v("o2")], A.And(p_big, p_small))
+    a = {tuple(r) for r in ctx.run(q).collect()}
+    b = {tuple(r) for r in ctx0.run(q).collect()}
+    assert a == b == {("N/1", "M/1", "X/1")}

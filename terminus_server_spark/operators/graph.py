@@ -120,13 +120,14 @@ def pagerank(
     Contributions are summed on a fixed-point 1e-15 grid: per-row
     rank/out_degree stays an IEEE-exact double division, floor(x *
     1e15) is a deterministic integer (double→decimal casts round
-    differently across engines; floor does not), the bigint sum is
-    exact and order-independent, and the one division back stays
-    under 2^53 so it is again exact.  Result: bit-identical ranks
-    regardless of partitioning AND reproducible by a sequential SQL
-    engine, which upgrades PageRank from a rows-only check to an
-    exact value-hash oracle (total rank mass <= 1, so the scaled sum
-    cannot overflow int64)."""
+    differently across engines; floor does not), the sum runs in
+    decimal(38,0) (exact, order-independent, and — unlike a bigint —
+    safe for hot in-degree nodes whose scaled contributions exceed
+    2^63), and the one division back stays under 2^53 so it is again
+    exact.  Result: bit-identical ranks regardless of partitioning
+    AND reproducible by a sequential SQL engine (DuckDB widens to
+    HUGEINT on the same sums), which upgrades PageRank from a
+    rows-only check to an exact value-hash oracle."""
     with no_constraint_propagation(edges.sparkSession):
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -146,7 +147,13 @@ def pagerank(
                     F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15)).alias("ci"),
                 )
                 .groupBy("node")
-                .agg((F.sum("ci").cast("double") / F.lit(1e15)).alias("contrib"))
+                # decimal sum: a hot node's in-degree x 1e15 exceeds
+                # bigint range long before real graph scale
+                .agg(
+                    (F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)).alias(
+                        "contrib"
+                    )
+                )
             )
             ranks = (
                 nodes.join(contribs, "node", "left_outer")
@@ -414,7 +421,11 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
         hubs = nodes.withColumn("hub", F.lit(1.0))
 
         def normalize(raw: DataFrame, val: str, out: str) -> DataFrame:
-            total = raw.agg(F.sum(val).alias("_s"))
+            # the global L1 total is a sum of 1e15-scaled integers —
+            # decimal(38,0) keeps it exact past 2^63 (node counts
+            # beyond ~9k overflow a bigint; DuckDB's HUGEINT widens
+            # automatically, so this is what keeps parity too)
+            total = raw.agg(F.sum(F.col(val).cast("decimal(38,0)")).alias("_s"))
             return (
                 nodes.join(raw, "node", "left_outer")
                 .crossJoin(F.broadcast(total))
@@ -431,13 +442,13 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
             auth_raw = (
                 e.join(hubs, e["src"] == hubs["node"])
                 .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum(F.floor(F.col("hub") * F.lit(1e15)).cast("bigint")).alias("ai"))
+                .agg(F.sum(F.floor(F.col("hub") * F.lit(1e15)).cast("decimal(38,0)")).alias("ai"))
             )
             auth = normalize(auth_raw, "ai", "auth").transform(loop_checkpoint)
             hub_raw = (
                 e.join(auth, e["dst"] == auth["node"])
                 .groupBy(F.col("src").alias("node"))
-                .agg(F.sum(F.floor(F.col("auth") * F.lit(1e15)).cast("bigint")).alias("hi"))
+                .agg(F.sum(F.floor(F.col("auth") * F.lit(1e15)).cast("decimal(38,0)")).alias("hi"))
             )
             hubs = normalize(hub_raw, "hi", "hub").transform(loop_checkpoint)
     return (

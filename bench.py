@@ -121,6 +121,7 @@ HEADLINE = [
     "docs_quality_resample",
     "graph_hits",
     "src_table_stats",
+    "dedup_lsh_recall",
 ]
 
 

@@ -727,6 +727,85 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_lsh_recall",
+    rf"""
+    WITH {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+              min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+              min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+              min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+              min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+            FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+      UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+    hit AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+    SELECT (SELECT COUNT(*) FROM truth)::BIGINT AS n_true,
+           (SELECT COUNT(*) FROM cand)::BIGINT AS n_cand,
+           (SELECT COUNT(*) FROM hit)::BIGINT AS n_hit,
+           ROUND((SELECT COUNT(*) FROM hit)::DOUBLE
+                 / (SELECT COUNT(*) FROM cand), 6) AS precision,
+           ROUND((SELECT COUNT(*) FROM hit)::DOUBLE
+                 / (SELECT COUNT(*) FROM truth), 6) AS recall
+    """,
+)
+def dedup_lsh_recall(spark, sf_dir):
+    """Approximation audit: LSH candidate pairs scored against the
+    exact Jaccard >= 0.5 truth set — one row of
+    (n_true, n_cand, n_hit, precision, recall).  The measurement a
+    production near-dup pipeline ships next to its sketch parameters;
+    both sides derive from the same shingle frame, so the whole audit
+    is two bucketed self-joins and three tiny counts."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    sh = plan_checkpoint(shingles(docs))
+    cand = plan_checkpoint(
+        lsh_candidate_pairs(minhash_signatures(sh)).select("doc_a", "doc_b")
+    )
+    truth = plan_checkpoint(
+        ngram_jaccard_pairs(sh, threshold=0.5).select("doc_a", "doc_b")
+    )
+    hit = cand.join(truth, ["doc_a", "doc_b"])
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_cand"), 6).alias("precision"),
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
+@register(
     "dedup_cluster",
     rf"""
     WITH RECURSIVE {_SHINGLES_SQL},

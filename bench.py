@@ -122,6 +122,7 @@ HEADLINE = [
     "graph_hits",
     "src_table_stats",
     "dedup_lsh_recall",
+    "events_histogram",
 ]
 
 

@@ -6349,6 +6349,43 @@ def agg_rollup(spark, sf_dir):
 
 
 @register(
+    "events_histogram",
+    """
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT event_type,
+           LEAST(CAST(FLOOR((value - lo) / (hi - lo) * 10) AS INTEGER), 9) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS bin_min, ROUND(MAX(value), 6) AS bin_max
+    FROM events, b
+    GROUP BY 1, 2
+    """,
+)
+def events_histogram(spark, sf_dir):
+    """Equi-width value histogram per event type (10 global bins,
+    broadcast bounds) — the histogram statistic a CBO keeps next to
+    ndv/min/max, and the monitoring primitive for drift checks.  One
+    scan + one tiny bounds aggregate crossJoined back."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10)
+            .cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
+    )
+
+
+@register(
     "events_interval_union",
     """
     WITH iv AS (

@@ -116,15 +116,15 @@ def transitive_closure_doubling(
     shuffles far less per round; callers pick by shape."""
     spark = edges.sparkSession
 
-    def ckpt_stats(df: DataFrame) -> tuple[DataFrame, tuple]:
+    def ckpt_stats(df: DataFrame) -> tuple[DataFrame, tuple, int]:
         # lazy checkpoint + stats probe fused: the agg action
         # materializes the checkpoint blocks in the same job
         out = df.localCheckpoint(eager=False)
-        row = out.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
-        return out, tuple(row)
+        row = out.agg(F.count(F.lit(1)), F.sum("hops"), F.max("hops")).collect()[0]
+        return out, (row[0], row[1]), row[2]
 
     with no_constraint_propagation(spark):
-        r, stats = ckpt_stats(
+        r, stats, max_hops = ckpt_stats(
             edges.select("src", "dst").where(
                 F.col("src").isNotNull() & F.col("dst").isNotNull()
             )
@@ -132,7 +132,16 @@ def transitive_closure_doubling(
             .groupBy("src", "dst")
             .agg(F.min("hops").alias("hops"))
         )
+        covered = 1  # R holds every min-hop pair with hops <= covered
         for _ in range(max_doublings):
+            if max_hops is not None and max_hops < covered:
+                # Diameter proof, no confirmation round needed: if a
+                # pair at min-distance d > covered existed, the length-
+                # `covered` prefix of its shortest path is itself a
+                # shortest path (subpaths of shortest paths are
+                # shortest), so R would contain a pair with hops ==
+                # covered exactly — contradicting max_hops < covered.
+                break
             squared = (
                 r.alias("a")
                 .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
@@ -142,11 +151,12 @@ def transitive_closure_doubling(
                     (F.col("a.hops") + F.col("b.hops")).alias("hops"),
                 )
             )
-            r, new_stats = ckpt_stats(
+            r, new_stats, max_hops = ckpt_stats(
                 r.unionByName(squared)
                 .groupBy("src", "dst")
                 .agg(F.min("hops").alias("hops"))
             )
+            covered *= 2
             if new_stats == stats:  # no new pairs, no shorter paths
                 break
             stats = new_stats

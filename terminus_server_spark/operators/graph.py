@@ -19,6 +19,7 @@ from terminus_server_spark.checkpoint import (
     loop_checkpoint,
     loop_checkpoint_count,
     loop_checkpoint_sum,
+    plan_checkpoint,
 )
 
 from terminus_server_spark.operators.path import no_constraint_propagation
@@ -336,16 +337,20 @@ def shortest_weighted(
     oracle exactly (min over identical candidate sets of exact double
     path sums, so the result hash-matches any engine)."""
     dist = sources.select(F.col("node"), F.lit(0.0).alias("dist"))
-    for _ in range(rounds):
+    for i in range(rounds):
         relax = dist.join(edges, dist["node"] == edges["src"]).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        dist = (
-            dist.unionByName(relax)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .transform(loop_checkpoint)
-        )
+        dist = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
+        # Bounded rounds need no fixpoint probe, so nothing forces a
+        # job per round: mark a LAZY checkpoint every third round
+        # (enough to keep lineage/codegen bounded — each groupBy is a
+        # shuffle boundary anyway) and let the caller's single action
+        # materialize the whole chain.  9 eager jobs -> 1 job cascade,
+        # ~2x wall at sf0.1.  plan_checkpoint honors the
+        # reliableCheckpoint switch like every other loop.
+        if (i + 1) % 3 == 0 or i == rounds - 1:
+            dist = plan_checkpoint(dist)
     return dist
 
 

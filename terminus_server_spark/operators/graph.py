@@ -165,7 +165,10 @@ def pagerank(
                         + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .transform(loop_checkpoint)
+                # fixed iteration count -> no per-round probe, so the
+                # checkpoint can be LAZY: lineage still truncates at
+                # materialization but all rounds run as one job cascade
+                .transform(plan_checkpoint)
             )
     return ranks
 
@@ -449,13 +452,13 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.floor(F.col("hub") * F.lit(1e15)).cast("decimal(38,0)")).alias("ai"))
             )
-            auth = normalize(auth_raw, "ai", "auth").transform(loop_checkpoint)
+            auth = normalize(auth_raw, "ai", "auth").transform(plan_checkpoint)
             hub_raw = (
                 e.join(auth, e["dst"] == auth["node"])
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.sum(F.floor(F.col("auth") * F.lit(1e15)).cast("decimal(38,0)")).alias("hi"))
             )
-            hubs = normalize(hub_raw, "hi", "hub").transform(loop_checkpoint)
+            hubs = normalize(hub_raw, "hi", "hub").transform(plan_checkpoint)
     return (
         hubs.join(auth, "node")
         .select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))

@@ -120,6 +120,7 @@ HEADLINE = [
     "text_readability",
     "docs_quality_resample",
     "graph_hits",
+    "graph_ppr",
     "src_table_stats",
     "dedup_lsh_recall",
     "events_histogram",

@@ -173,6 +173,71 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame, sources: DataFrame, damping: float = 0.85, iters: int = 4
+) -> DataFrame:
+    """(node, rank): PageRank with restart mass confined to a source
+    set — the recommendation / relevance-propagation primitive
+    (Jeh & Widom 2003's personalized variant of the power method).
+    ``sources``: (node) frame; restart vector is uniform 1/|S| over it.
+
+    Same exact-arithmetic treatment as ``pagerank`` (floor-scaled
+    1e15 fixed-point contributions, decimal(38,0) sums), so every
+    iteration is bit-reproducible and the oracle can replay it.  |S|
+    enters the plan as a broadcast scalar (no collect), restart is
+    checkpointed once, and the fixed-round loop chains lazily into
+    one job cascade like ``pagerank``."""
+    with no_constraint_propagation(edges.sparkSession):
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .transform(loop_checkpoint)
+        )
+        n_src = sources.agg(F.count(F.lit(1)).alias("_ns"))
+        restart = (
+            nodes.join(sources.select("node").distinct().withColumn("_in", F.lit(1)),
+                       "node", "left_outer")
+            .crossJoin(F.broadcast(n_src))
+            .select(
+                "node",
+                F.when(F.col("_in").isNotNull(), F.lit(1.0) / F.col("_ns"))
+                .otherwise(F.lit(0.0))
+                .alias("restart"),
+            )
+            .transform(loop_checkpoint)
+        )
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+        links = edges.join(out_deg, "src").transform(loop_checkpoint)
+        ranks = restart.select("node", F.col("restart").alias("rank"))
+        for _ in range(iters):
+            contribs = (
+                links.join(ranks, links["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15)).alias("ci"),
+                )
+                .groupBy("node")
+                .agg(
+                    (F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)).alias(
+                        "contrib"
+                    )
+                )
+            )
+            ranks = (
+                restart.join(contribs, "node", "left_outer")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("restart")
+                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .transform(plan_checkpoint)
+            )
+    return ranks
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Total triangles in the undirected simple graph.
 

@@ -2392,6 +2392,61 @@ def graph_pagerank(spark, sf_dir):
     return pagerank(store.edges("parent"), iters=5)
 
 
+def _ppr_oracle(iters: int) -> str:
+    """Unrolled personalized-PageRank CTE: restart mass confined to
+    the source set, same 1e15 floor-scaled integer sums as the
+    pagerank oracle (DuckDB widens the BIGINT sum to HUGEINT, exactly
+    matching the decimal(38,0) Spark side)."""
+    step = """
+    ppr{i} AS (
+      SELECT r.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * r.restart
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+      FROM restart r LEFT JOIN (
+        SELECT l.dst AS node,
+               CAST(SUM(CAST(FLOOR(p.rank / l.out_degree * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / CAST(1e15 AS DOUBLE) AS contrib
+        FROM links l JOIN ppr{prev} p ON l.src = p.node
+        GROUP BY l.dst) c ON r.node = c.node)"""
+    body = ",".join(step.format(i=i, prev=i - 1) for i in range(1, iters + 1))
+    return f"""
+    WITH e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src),
+    links AS (SELECT e.src, e.dst, deg.out_degree FROM e JOIN deg ON e.src = deg.src),
+    s AS (SELECT DISTINCT 'C/' || c_custkey AS node FROM customer WHERE c_custkey % 1000 = 1),
+    restart AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM s)
+                  ELSE CAST(0.0 AS DOUBLE) END AS restart
+      FROM nodes n LEFT JOIN s ON n.node = s.node),
+    ppr0 AS (SELECT node, restart AS rank FROM restart),{body}
+    SELECT node, rank FROM ppr{iters}
+    """
+
+
+@register("graph_ppr", _ppr_oracle(4))
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank: restart vector confined to a sparse
+    source set over the parent-tree graph — relevance propagates out
+    from the sources instead of globally (the recommendation-walk
+    primitive).  Four exact power iterations; the unrolled-CTE oracle
+    replays the double arithmetic bit-for-bit like graph_pagerank."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import personalized_pagerank
+
+    store = _parent_tree_store(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer")["customer"]
+    sources = c.where(F.col("c_custkey") % 1000 == 1).select(
+        F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return personalized_pagerank(store.edges("parent"), sources, iters=4)
+
+
 # ---------------------------------------------------------------------------
 # §2.4 versioning (git-for-data)
 # ---------------------------------------------------------------------------

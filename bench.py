@@ -124,6 +124,12 @@ HEADLINE = [
     "src_table_stats",
     "dedup_lsh_recall",
     "events_histogram",
+    # round 3 (cont.): SCC, sketches, decay, kNN vote
+    "graph_scc",
+    "sketch_countmin",
+    "bloom_semi_audit",
+    "events_decay_score",
+    "knn_classify",
 ]
 
 

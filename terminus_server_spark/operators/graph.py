@@ -529,3 +529,43 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
         .select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
     )
 
+
+def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(node, component): directed SCCs — component = the minimum
+    node id mutually reachable from the node (reference exposes only
+    undirected reach via path queries; SCC is the directed-graph
+    completion of ``connected_components``).
+
+    Formulation: R = plus-closure ∪ identity; node n's class is
+    {m : (n,m) ∈ R ∧ (m,n) ∈ R}, and its label is the class minimum.
+    The mutual join keys R with its own transpose on BOTH endpoints,
+    so cost is O(|closure|) shuffled once — the right trade for
+    graphs whose reachability relation is bounded (hierarchies,
+    per-tenant subgraphs).  For social-scale graphs where |closure|
+    explodes, the classic fix is forward/backward reach from pivot
+    nodes, which is driver-iterative; callers at that scale should
+    first condense by ``connected_components`` per partition-sized
+    tenant.  Every step is a keyed join the optimizer can re-plan;
+    nothing collects to the driver.
+    """
+    from terminus_server_spark.operators.path import transitive_closure
+
+    base = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    nodes = (
+        base.select(F.col("src").alias("n"))
+        .union(base.select(F.col("dst")))
+        .distinct()
+    )
+    reach = (
+        transitive_closure(base, max_iters=max_iters)
+        .union(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
+        .distinct()
+    ).transform(loop_checkpoint)
+    back = reach.select(F.col("dst").alias("b_src"), F.col("src").alias("b_dst"))
+    mutual = reach.join(
+        back,
+        (F.col("src") == F.col("b_src")) & (F.col("dst") == F.col("b_dst")),
+    ).select(F.col("src").alias("node"), F.col("dst").alias("mate"))
+    return mutual.groupBy("node").agg(F.min("mate").alias("component"))

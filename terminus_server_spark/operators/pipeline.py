@@ -303,3 +303,57 @@ def quality_resample(docs: DataFrame, text_col: str = "text") -> DataFrame:
         q.select("doc_id", "quality", bucket.alias("bucket"), threshold.alias("threshold"))
         .where(F.col("bucket") < F.col("threshold"))
     )
+
+
+def countmin_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 64,
+    min_estimate: int = 1,
+) -> DataFrame:
+    """(key, est, exact): Count-Min-sketch heavy hitters — keys whose
+    sketch estimate (min over ``depth`` seeded md5 hash rows of a
+    ``width``-bucket counter array) reaches ``min_estimate``, with
+    the exact count alongside so over-estimation is visible.
+
+    Mergeability is the point at 100 TB: counter arrays from any
+    partitioning add elementwise, so the sketch is one map-side
+    partial agg over a (depth x width)-cell table regardless of key
+    cardinality; the estimate join broadcasts those few cells back to
+    the (bounded) candidate key set.  md5-seeded buckets make the
+    estimate — including its collision-driven over-counts —
+    bit-identical on any engine, so the oracle replays the sketch
+    exactly rather than asserting "close"."""
+    def buckets(key):
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 8), 16, 10
+                ).cast("long")
+                % width
+                for i in range(depth)
+            ]
+        )
+
+    cells = (
+        df.select(F.posexplode(buckets(F.col(col).cast("string"))).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = df.select(F.col(col).cast("string").alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    kb = keys.select(
+        "key", "exact", F.posexplode(buckets(F.col("key"))).alias("row", "bucket")
+    )
+    est = (
+        kb.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("key", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.where(F.col("est") >= min_estimate)
+        .select("key", "est", "exact")
+        .orderBy(F.col("est").desc(), "key")
+    )

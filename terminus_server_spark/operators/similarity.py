@@ -466,3 +466,43 @@ def label_exemplars(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_classify(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, pred_label, votes): k-nearest-neighbor majority
+    vote — the label-propagation primitive a curation pipeline uses
+    to extend a small labeled seed set over an unlabeled corpus
+    (auto-labeling / weak supervision).
+
+    Built on ``brute_force_topk`` (broadcast queries, exact
+    fixed-point cosine, deterministic id tie-break) so the vote —
+    including tie resolution by smallest label — is bit-reproducible;
+    swap in ``ivf_topk`` for the approximate 100 TB path, identical
+    vote logic."""
+    from pyspark.sql.window import Window
+
+    nn = brute_force_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"), "votes")
+        .orderBy("query_id")
+    )

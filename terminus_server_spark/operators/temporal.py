@@ -225,3 +225,51 @@ def interval_union(
         .cast("double")
         .alias("covered_s"),
     )
+
+
+def decayed_activity_score(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """(key, n_recent, decay_score): per-key exponentially decayed
+    activity — the recency-weighted engagement metric (half-life = one
+    event): the most recent event counts fully, each older one half as
+    much, truncated at ``window`` events.
+
+    Determinism is the design constraint: a float 0.5**lag chain sums
+    in partition order, so instead each value is scaled by the INTEGER
+    weight 2^(window-1-lag), summed exactly in decimal, and divided by
+    2^(window-1) once at the end — a power-of-two division of a
+    double, which is exact.  The whole thing is one partitioned
+    window (row_number) + one partial agg: shuffle on the key only,
+    identical dataflow at any scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    scale = 1 << (window - 1)
+    recent = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.col(value_col).cast("decimal(28,6)").alias("v"),
+            (F.row_number().over(w) - 1).alias("lag"),
+        )
+        .where(F.col("lag") < window)
+    )
+    # python F.shiftleft needs a literal bit count; the SQL form
+    # accepts an expression
+    weight = F.expr(f"cast(shiftleft(1, {window - 1} - lag) as bigint)")
+    return (
+        recent.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            (
+                F.sum(F.col("v") * weight).cast("double") / F.lit(float(scale))
+            ).alias("decay_score"),
+        )
+    )

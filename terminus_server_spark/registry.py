@@ -7630,3 +7630,203 @@ def doc_json_export(spark, sf_dir):
             )
         ).alias("doc"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): directed SCC, heavy-hitter sketch, bloom semi-join,
+# span-grain substring dedup, decayed activity score, kNN label vote
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_scc",
+    """
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer, mx
+      WHERE c_custkey % 10 <> 9 AND c_custkey < m
+      UNION ALL
+      SELECT c_custkey + 1, c_custkey FROM customer, mx
+      WHERE c_custkey % 10 <> 9 AND c_custkey < m AND c_custkey % 3 = 0),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e)
+    SELECT n AS node,
+           CASE WHEN n % 3 = 1 AND n % 10 <> 0
+                     AND n - 1 >= (SELECT MIN(c_custkey) FROM customer)
+                THEN n - 1
+                ELSE n END AS component
+    FROM nodes
+    """,
+)
+def graph_scc(spark, sf_dir):
+    """Directed strongly connected components over a decade-bounded
+    chain with selective back-edges: mutual classes are exactly the
+    {3j, 3j+1} pairs the back-edges create, so the oracle states the
+    fixpoint in closed form while the Spark side runs the generic
+    closure-based algorithm (operators/graph.py).  Reference parity:
+    directed-cycle detection is what terminus-server's schema checker
+    does on class inheritance (subsumption cycles)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import strongly_connected_components
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    mx = cust.agg(F.max("c_custkey").alias("m"))
+    keyed = cust.crossJoin(F.broadcast(mx)).where(
+        (F.col("c_custkey") % 10 != 9) & (F.col("c_custkey") < F.col("m"))
+    )
+    fwd = keyed.select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") + 1).alias("dst")
+    )
+    back = keyed.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 1).alias("src"), F.col("c_custkey").alias("dst")
+    )
+    return strongly_connected_components(fwd.unionByName(back))
+
+
+@register(
+    "sketch_countmin",
+    """
+    WITH src AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    rows_ AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r,
+             CAST(('0x' || substring(md5(r || ':' || k), 1, 8)) AS BIGINT) % 64 AS bucket,
+             COUNT(*) AS c
+      FROM src, rows_ GROUP BY 1, 2),
+    keys AS (SELECT k, COUNT(*) AS exact FROM src GROUP BY k),
+    est AS (
+      SELECT k, exact, MIN(c) AS est
+      FROM keys, rows_
+      JOIN cells ON cells.r = rows_.r
+        AND cells.bucket =
+            CAST(('0x' || substring(md5(rows_.r || ':' || k), 1, 8)) AS BIGINT) % 64
+      GROUP BY 1, 2)
+    SELECT k AS key, est, exact FROM est
+    WHERE est >= 60 ORDER BY est DESC, key
+    """,
+)
+def sketch_countmin(spark, sf_dir):
+    """Count-Min heavy hitters over the event stream's user key: the
+    mergeable frequency sketch (Cormode-Muthukrishnan) whose 4x64
+    counter table costs one map-side partial agg at any scale; the
+    md5-seeded buckets make even the collision over-counts
+    reproducible, so the oracle replays the sketch cell-for-cell."""
+    from terminus_server_spark.operators.pipeline import countmin_heavy_hitters
+
+    events = _t(spark, sf_dir, "events")["events"]
+    return countmin_heavy_hitters(events, "user_id", depth=4, width=64, min_estimate=60)
+
+
+def _bloom_bit_sql(j: int, key: str, n_bits: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5({j} || ':' || {key}), 1, 8)) AS BIGINT) % {n_bits}"
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    probe_terms = " AND ".join(
+        f"list_contains((SELECT bits FROM bl), {_bloom_bit_sql(j, 'pk', 32)})"
+        for j in range(3)
+    )
+    build_bits = ", ".join(_bloom_bit_sql(j, "bk", 32) for j in range(3))
+    return f"""
+    WITH build AS (
+      SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS bk
+      FROM supplier WHERE s_nationkey = 1),
+    allbits AS (
+      SELECT UNNEST([{build_bits}]) AS bit FROM build),
+    bl AS (SELECT LIST(DISTINCT bit) AS bits FROM allbits),
+    probe AS (SELECT CAST(l_suppkey AS VARCHAR) AS pk FROM lineitem),
+    flagged AS (
+      SELECT ({probe_terms}) AS bloom_pass,
+             pk IN (SELECT bk FROM build) AS exact_pass
+      FROM probe)
+    SELECT COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN exact_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_pass,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT exact_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM flagged
+    """
+
+
+@register("bloom_semi_audit", _bloom_oracle_sql())
+def bloom_semi_audit(spark, sf_dir):
+    """Bloom-filter semi-join of lineitem against nation-1 suppliers,
+    audited: the broadcast-bitmap pass verdict next to the exact
+    semi-join verdict, false positives counted — the portable
+    rendition of Spark's runtime bloom pushdown (operators/bloom.py)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.bloom import bloom_semi_join_audit
+
+    tabs = _t(spark, sf_dir, "lineitem", "supplier")
+    build = tabs["supplier"].where(F.col("s_nationkey") == 1)
+    return bloom_semi_join_audit(
+        tabs["lineitem"], "l_suppkey", build, "s_suppkey", n_bits=32, n_hashes=3
+    )
+
+
+@register(
+    "events_decay_score",
+    """
+    WITH r AS (
+      SELECT user_id AS key, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1 AS lag
+      FROM events)
+    SELECT key, COUNT(*) AS n_recent,
+           CAST(SUM(CAST(value AS DECIMAL(28,6)) * (1 << (7 - lag))) AS DOUBLE)
+             / 128.0 AS decay_score
+    FROM r WHERE lag < 8 GROUP BY key
+    """,
+)
+def events_decay_score(spark, sf_dir):
+    """Recency-weighted engagement per user: exponential half-life
+    decay over the 8 most recent events, computed with exact integer
+    weights so the decayed float is bit-reproducible
+    (operators/temporal.py:decayed_activity_score)."""
+    from terminus_server_spark.operators.temporal import decayed_activity_score
+
+    events = _t(spark, sf_dir, "events")["events"]
+    return decayed_activity_score(
+        events, "user_id", "ts", "value", "event_id", window=8
+    )
+
+
+@register(
+    "knn_classify",
+    f"""
+    WITH {{parts}},
+    q AS (SELECT * FROM parts WHERE vec_id < 20),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {{cos}} AS cos
+      FROM q a CROSS JOIN parts b WHERE a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM scored),
+    votes AS (
+      SELECT nn.query_id, e.label AS nbr_label, COUNT(*) AS votes
+      FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+      WHERE nn.rk <= 5 GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, nbr_label, votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, nbr_label ASC) AS vrk
+      FROM votes)
+    SELECT query_id, nbr_label AS pred_label, votes
+    FROM ranked WHERE vrk = 1 ORDER BY query_id
+    """.format(parts=_PARTS_SQL, cos=_COS_SQL),
+)
+def knn_classify(spark, sf_dir):
+    """kNN majority-vote auto-labeling over the embedding corpus:
+    exact fixed-point cosine neighbors, deterministic tie-breaks all
+    the way to the predicted label
+    (operators/similarity.py:knn_classify)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import knn_classify as _knn
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return _knn(emb, emb.where(F.col("vec_id") < 20), k=5)

@@ -1037,3 +1037,22 @@ def test_zorder_key_interleaves_bits(spark):
     # a at even positions, b at odd: pos0=a0=1, pos1=b0=1, pos2=a1=0,
     # pos3=b1=1, pos4=a2=1, pos5=b2=0 -> 0b011011
     assert key == 0b011011
+
+
+def test_scc_triangles_and_bridge(spark):
+    from terminus_server_spark.operators.graph import strongly_connected_components
+
+    # two directed 3-cycles joined by a one-way bridge, plus a tail
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 12), (12, 10), (12, 99)],
+        "src int, dst int",
+    )
+    got = {
+        (r.node, r.component)
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (99, 99),
+    }

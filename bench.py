@@ -130,6 +130,9 @@ HEADLINE = [
     "bloom_semi_audit",
     "events_decay_score",
     "knn_classify",
+    "dedup_spans",
+    "text_entropy",
+    "doc_filter_ops",
 ]
 
 

@@ -44,22 +44,51 @@ def assemble_documents(
     )
 
 
+_FILTER_OPS = {
+    "eq": lambda c, v: c == v,
+    "ne": lambda c, v: c != v,
+    "gt": lambda c, v: c > v,
+    "ge": lambda c, v: c >= v,
+    "lt": lambda c, v: c < v,
+    "le": lambda c, v: c <= v,
+    "like": lambda c, v: c.like(v),
+    "regex": lambda c, v: c.rlike(v),
+    "in": lambda c, v: c.isin(*v),
+}
+
+
+def compile_filter(tree) -> F.Column:
+    """GraphQL filter tree → one boolean Column (the reference's
+    _and/_or/_not combinator objects around per-field operator maps).
+
+    Leaf: ``(field, op, value)`` with op in eq/ne/gt/ge/lt/le/like/
+    regex/in.  Node: ``("and", [sub...])`` / ``("or", [sub...])`` /
+    ``("not", sub)``.  Compiling to a single expression (rather than
+    chained .where calls) keeps arbitrary nesting inside one codegen
+    stage and lets Catalyst push the disjunction down to the scan."""
+    if isinstance(tree, tuple) and len(tree) == 3 and tree[0] not in (
+        "and",
+        "or",
+        "not",
+    ):
+        field, op, value = tree
+        return _FILTER_OPS[op](F.col(field), value)
+    kind = tree[0]
+    if kind == "not":
+        return ~compile_filter(tree[1])
+    subs = [compile_filter(t) for t in tree[1]]
+    acc = subs[0]
+    for s in subs[1:]:
+        acc = (acc & s) if kind == "and" else (acc | s)
+    return acc
+
+
 def filter_documents(docs: DataFrame, predicates: list) -> DataFrame:
-    """GraphQL-ish filter algebra: list of (field, op, value) ANDed.
-    ops: eq, ne, gt, ge, lt, le, like, in."""
+    """GraphQL-ish filter algebra: list of (field, op, value) ANDed
+    (each entry may also be a ``compile_filter`` combinator tree)."""
     out = docs
-    ops = {
-        "eq": lambda c, v: c == v,
-        "ne": lambda c, v: c != v,
-        "gt": lambda c, v: c > v,
-        "ge": lambda c, v: c >= v,
-        "lt": lambda c, v: c < v,
-        "le": lambda c, v: c <= v,
-        "like": lambda c, v: c.like(v),
-        "in": lambda c, v: c.isin(*v),
-    }
-    for field, op, value in predicates:
-        out = out.where(ops[op](F.col(field), value))
+    for pred in predicates:
+        out = out.where(compile_filter(pred))
     return out
 
 

@@ -481,3 +481,76 @@ def semantic_dedup(
         "cluster",
         F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
     )
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 8,
+    stride: int = 2,
+) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, dup_frac): ExactSubstr-style
+    span-grain duplication — fixed ``width``-token windows every
+    ``stride`` tokens, a span counted duplicated when the SAME token
+    window appears in at least one OTHER document (cross-document
+    repeated text: licenses, boilerplate, mirrored articles; Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" — the suffix-array method's fixed-window approximation,
+    chosen because it keys on a hash-groupable span id instead of a
+    global sorted suffix order).
+
+    Cost shape at 100 TB: explode multiplies rows by len/stride, the
+    only shuffle groups on the span hash (md5), and the doc-level
+    rollup joins back on that same hash — no pairwise comparison
+    anywhere.  Docs shorter than ``width`` tokens emit no spans and
+    report dup_frac 0."""
+    from terminus_server_spark.operators.text import tokens_col
+
+    tokenized = docs.select(
+        "doc_id", tokens_col(F.lower(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (width - 1), F.lit(stride))
+    spans = tokenized.where(n >= width).select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i, width), " ")))
+        ).alias("span"),
+    )
+    cross_doc = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("span")
+    )
+    # AQE sizes the semi-join side at runtime: the cross-doc span set
+    # is tiny on clean corpora (broadcast) but can rival the corpus on
+    # mirror-heavy ones (shuffle) — don't force either
+    flagged = spans.join(cross_doc, "span", "left_semi")
+    per_doc = (
+        spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+        .join(
+            flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_spans")),
+            "doc_id",
+            "left_outer",
+        )
+        .withColumn("n_dup_spans", F.coalesce("n_dup_spans", F.lit(0)))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

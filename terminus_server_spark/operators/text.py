@@ -379,3 +379,45 @@ def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
         syllables.alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, entropy_bits): Shannon entropy of the
+    lowercased character distribution — the gibberish/base64/
+    binary-spill detector (natural text sits ~4 bits/char; encoded
+    blobs push toward 6, repeated filler toward 0).
+
+    H = log2(n) - (1/n)·Σ c·log2(c) over per-char counts c, with each
+    c·ln(c) term cast to decimal(28,12) before the sum (the same
+    order-free aggregation discipline as unigram_logprob) so the
+    rounded result is partition-independent.  One explode + two
+    partial aggs; never a per-row Python call."""
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(lower({text_col}))),"
+                f" i -> substring(lower({text_col}), i, 1))"
+            )
+        ).alias("ch"),
+    )
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    contrib = (F.col("c").cast("double") * F.log(F.col("c").cast("double"))).cast(
+        "decimal(28,12)"
+    )
+    return (
+        per_char.groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("n_chars"), F.sum(contrib).alias("_sclc"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                (
+                    F.log(F.col("n_chars").cast("double"))
+                    - F.col("_sclc").cast("double") / F.col("n_chars")
+                )
+                / F.lit(0.6931471805599453),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )

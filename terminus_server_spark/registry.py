@@ -7830,3 +7830,104 @@ def knn_classify(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     return _knn(emb, emb.where(F.col("vec_id") < 20), k=5)
+
+
+@register(
+    "dedup_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(tk) - 7, 2),
+               i -> md5(array_to_string(tk[i:i+7], ' ')))) AS span
+      FROM toks WHERE len(tk) >= 8),
+    cd AS (SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN span IN (SELECT span FROM cd) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup
+      FROM spans GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(n_dup, 0) AS n_dup_spans,
+           CASE WHEN COALESCE(n_spans, 0) > 0
+                THEN ROUND(n_dup::DOUBLE / n_spans, 6) ELSE 0.0 END AS dup_frac
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def dedup_spans(spark, sf_dir):
+    """Cross-document repeated-span rate per doc (ExactSubstr's
+    fixed-window approximation, operators/dedup.py:span_dedup_stats):
+    8-token windows every 2 tokens, flagged when the identical window
+    occurs in another document."""
+    from terminus_server_spark.operators.dedup import span_dedup_stats
+
+    return span_dedup_stats(
+        _t(spark, sf_dir, "documents")["documents"], width=8, stride=2
+    )
+
+
+@register(
+    "text_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(lower(text))),
+                                   i -> lower(text)[i])) AS ch
+      FROM documents),
+    pc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+             SUM(CAST(c::DOUBLE * ln(c::DOUBLE) AS DECIMAL(28,12))) AS sclc
+      FROM pc GROUP BY 1)
+    SELECT doc_id, n_chars,
+           ROUND((ln(n_chars::DOUBLE) - sclc::DOUBLE / n_chars)
+                 / 0.6931471805599453, 6) AS entropy_bits
+    FROM agg
+    """,
+)
+def text_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document — the
+    encoded-blob / filler detector (operators/text.py:char_entropy),
+    order-free decimal aggregation of c*ln(c) terms."""
+    from terminus_server_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "doc_filter_ops",
+    """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE (lang = 'en' AND n_chars > 400)
+       OR (lang NOT IN ('en', 'de') AND regexp_matches(source, '^src1[0-9]$'))
+    ORDER BY doc_id
+    """,
+)
+def doc_filter_ops(spark, sf_dir):
+    """GraphQL filter combinators (_or of _and branches, _not, regex
+    operator) compiled to ONE boolean expression so the disjunction
+    reaches the scan (docs/documents.py:compile_filter) — the
+    reference's typed filter-input objects beyond flat AND lists."""
+    from terminus_server_spark.docs.documents import filter_documents
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tree = (
+        "or",
+        [
+            ("and", [("lang", "eq", "en"), ("n_chars", "gt", 400)]),
+            (
+                "and",
+                [
+                    ("not", ("lang", "in", ["en", "de"])),
+                    ("source", "regex", "^src1[0-9]$"),
+                ],
+            ),
+        ],
+    )
+    return filter_documents(docs, [tree]).select(
+        "doc_id", "lang", "source", "n_chars"
+    ).orderBy("doc_id")

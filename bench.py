@@ -133,6 +133,7 @@ HEADLINE = [
     "dedup_spans",
     "text_entropy",
     "doc_filter_ops",
+    "bpe_train",
 ]
 
 

@@ -7931,3 +7931,69 @@ def doc_filter_ops(spark, sf_dir):
     return filter_documents(docs, [tree]).select(
         "doc_id", "lang", "source", "n_chars"
     ).orderBy("doc_id")
+
+
+def _bpe_oracle_sql(rounds=3, top_words=200):
+    parts = [r"""
+    WITH wf AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents)
+      WHERE word <> '' GROUP BY word
+      ORDER BY freq DESC, word LIMIT """ + str(top_words) + r"""),
+    w0 AS (
+      SELECT word, freq,
+             list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+      FROM wf)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    pos{r} AS (
+      SELECT word, freq, CAST(t.i AS INT) AS i, syms[t.i] AS sym
+      FROM w{p}, UNNEST(generate_series(1, len(syms))) AS t(i)),
+    pr{r} AS (
+      SELECT *, LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt FROM pos{r}),
+    best{r} AS (
+      SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS c
+      FROM pr{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+      ORDER BY c DESC, a, b LIMIT 1),
+    mt{r} AS (
+      SELECT pr.*, (sym = (SELECT a FROM best{r}) AND nxt = (SELECT b FROM best{r})) AS m
+      FROM pr{r} pr),
+    isl{r} AS (
+      SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS island
+      FROM mt{r} WHERE m),
+    sel{r} AS (
+      SELECT word, i,
+             (ROW_NUMBER() OVER (PARTITION BY word, island ORDER BY i) % 2 = 1) AS selected
+      FROM isl{r}),
+    rw{r} AS (
+      SELECT mt.word, mt.freq, mt.i,
+             CASE WHEN s.selected THEN (SELECT a FROM best{r}) || (SELECT b FROM best{r})
+                  ELSE mt.sym END AS sym,
+             COALESCE(LAG(s.selected) OVER (PARTITION BY mt.word ORDER BY mt.i), FALSE)
+               AS consumed
+      FROM mt{r} mt LEFT JOIN sel{r} s ON mt.word = s.word AND mt.i = s.i),
+    w{r} AS (
+      SELECT word, MIN(freq) AS freq, list(sym ORDER BY i) AS syms
+      FROM rw{r} WHERE NOT consumed GROUP BY word)""")
+        sql = ",".join(parts)
+    tail = "\nUNION ALL ".join(
+        f"SELECT {r} AS rnd, a AS sym_a, b AS sym_b, c AS pair_count FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return sql + "\n    " + tail + "\n    ORDER BY rnd"
+
+
+
+@register("bpe_train", _bpe_oracle_sql(3, 200))
+def bpe_train(spark, sf_dir):
+    """BPE merge-table training over the document corpus (3 rounds,
+    top-200 word vocabulary): the tokenizer-training step expressed
+    as pure window/join algebra with a bit-exact unrolled SQL oracle
+    (operators/bpe.py — greedy left-to-right merge == island-parity
+    selection)."""
+    from terminus_server_spark.operators.bpe import bpe_train as _train
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return _train(docs, rounds=3, top_words=200)

@@ -1056,3 +1056,34 @@ def test_scc_triangles_and_bridge(spark):
         (10, 10), (11, 10), (12, 10),
         (99, 99),
     }
+
+
+def test_bpe_train_matches_reference_greedy(spark):
+    from terminus_server_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.rnd, r.sym_a, r.sym_b, r.pair_count)
+        for r in bpe_train(docs, rounds=4, top_words=50).collect()
+    ]
+    # hand-derived: l+o (6 = 4 'low' prefixes + lower + lowest... freq-weighted),
+    # then lo+w, then e+w, then n+ew
+    assert got == [(1, "l", "o", 6), (2, "lo", "w", 6), (3, "e", "w", 3), (4, "n", "ew", 3)]
+
+
+def test_bpe_train_run_parity_on_self_pair(spark):
+    from terminus_server_spark.operators.bpe import bpe_train
+
+    # (a,a) merges must be greedy-non-overlapping: aaaa -> (aa)(aa),
+    # aaa -> (aa)a — the island-parity rule, not every adjacent match
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa aaa aaa ab")], "doc_id long, text string"
+    )
+    got = [
+        (r.rnd, r.sym_a, r.sym_b, r.pair_count)
+        for r in bpe_train(docs, rounds=3, top_words=50).collect()
+    ]
+    assert got == [(1, "a", "a", 13), (2, "aa", "aa", 3), (3, "aa", "a", 2)]

@@ -134,6 +134,7 @@ HEADLINE = [
     "text_entropy",
     "doc_filter_ops",
     "bpe_train",
+    "bpe_apply",
 ]
 
 

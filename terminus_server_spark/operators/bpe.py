@@ -1,7 +1,7 @@
-"""BPE vocabulary training (byte-pair-encoding merge learning) as
-pure DataFrame algebra — the tokenizer-training step of an LLM data
-pipeline (Sennrich et al. 2016), distributed without a driver-side
-corpus pass.
+"""BPE vocabulary training and application (byte-pair-encoding) as
+pure DataFrame algebra — the tokenizer step of an LLM data pipeline
+(Sennrich et al. 2016), distributed without a driver-side corpus
+pass.
 
 Each merge round is:
 
@@ -19,15 +19,16 @@ only occur when the pair is (x, x) — for a != b, adjacent matches
 would force a == b.  That makes the rewrite a gaps-and-islands
 computation over exploded symbol positions (two row_number windows
 partitioned by word), which is exactly expressible in ANSI SQL — so
-the whole training loop has a bit-exact unrolled oracle, unusual for
-a tokenizer trainer.
+both training and application have bit-exact unrolled oracles,
+unusual for a tokenizer.
 
 Scale shape: every step shuffles on the word key only (window
 partitions and the final re-agg reuse the same partitioning); the
 pair-count agg is map-side partial; the chosen pair is a broadcast
-scalar.  Vocabulary is capped upstream by a distributed top-k, so
-round cost is O(sum word lengths), independent of corpus size after
-the initial frequency count.
+scalar.  Training vocabulary is capped upstream by a distributed
+top-k; application runs over the DISTINCT word set and joins token
+counts back to the corpus, so the heavy stream is touched once per
+doc, not once per merge round.
 """
 
 from __future__ import annotations
@@ -35,6 +36,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from terminus_server_spark.checkpoint import plan_checkpoint
+
+_W_WORD = Window.partitionBy("word").orderBy("i")
+
+
+def _chars_col(word_col: str):
+    return F.expr(
+        f"transform(sequence(1, length({word_col})), i -> substring({word_col}, i, 1))"
+    )
 
 
 def _initial_words(docs: DataFrame, text_col: str, top_words: int) -> DataFrame:
@@ -52,13 +61,87 @@ def _initial_words(docs: DataFrame, text_col: str, top_words: int) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("word"))
         .limit(top_words)
     )
-    return wf.select(
+    return wf.select("word", "freq", _chars_col("word").alias("syms"))
+
+
+def _positions(words: DataFrame) -> DataFrame:
+    """(word, freq, i, sym, nxt): exploded 1-based symbol positions
+    with the following symbol."""
+    return (
+        words.select("word", "freq", F.posexplode("syms").alias("i0", "sym"))
+        .select("word", "freq", (F.col("i0") + 1).alias("i"), "sym")
+        .withColumn("nxt", F.lead("sym").over(_W_WORD))
+    )
+
+
+def _rewrite(pr: DataFrame, best: DataFrame) -> DataFrame:
+    """Merge non-overlapping (ba, bb) occurrences left-to-right in
+    every word of the exploded-position frame ``pr``; returns the
+    re-assembled (word, freq, syms) frame.  Island-parity selection:
+    see module docstring."""
+    mt = pr.crossJoin(
+        F.broadcast(best.select(F.col("a").alias("ba"), F.col("b").alias("bb")))
+    ).withColumn("m", (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")))
+    isl = (
+        mt.where("m")
+        .select("word", "i")
+        .withColumn("island", F.col("i") - F.row_number().over(_W_WORD))
+    )
+    sel = isl.select(
+        "word",
+        "i",
+        (
+            F.row_number().over(Window.partitionBy("word", "island").orderBy("i")) % 2
+            == 1
+        ).alias("selected"),
+    )
+    rw = mt.join(sel, ["word", "i"], "left").select(
         "word",
         "freq",
-        F.expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-        ).alias("syms"),
+        "i",
+        F.when(F.col("selected"), F.concat("ba", "bb"))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+        F.coalesce(F.lag("selected").over(_W_WORD), F.lit(False)).alias("consumed"),
     )
+    return (
+        rw.where(~F.col("consumed"))
+        .groupBy("word")
+        .agg(
+            F.min("freq").alias("freq"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, sym))), x -> x.sym)"
+            ).alias("syms"),
+        )
+    ).transform(plan_checkpoint)
+
+
+def _train(
+    docs: DataFrame, text_col: str, rounds: int, top_words: int
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """Returns ([best_r one-row frames], [merge-table rows])."""
+    words = _initial_words(docs, text_col, top_words).transform(plan_checkpoint)
+    bests, merges = [], []
+    for r in range(1, rounds + 1):
+        pr = _positions(words)
+        best = (
+            pr.where(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+        ).transform(plan_checkpoint)
+        bests.append(best)
+        merges.append(
+            best.select(
+                F.lit(r).alias("rnd"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        words = _rewrite(pr, best)
+    return bests, merges
 
 
 def bpe_train(
@@ -70,71 +153,50 @@ def bpe_train(
     """(rnd, sym_a, sym_b, pair_count): the learned merge table —
     one row per round, the pair merged and its corpus-weighted
     adjacency count at the time it was chosen."""
-    words = _initial_words(docs, text_col, top_words).transform(plan_checkpoint)
-    w_word = Window.partitionBy("word").orderBy("i")
-    merges = []
-    for r in range(1, rounds + 1):
-        pos = words.select(
-            "word", "freq", F.posexplode("syms").alias("i0", "sym")
-        ).select("word", "freq", (F.col("i0") + 1).alias("i"), "sym")
-        pr = pos.withColumn("nxt", F.lead("sym").over(w_word))
-        best = (
-            pr.where(F.col("nxt").isNotNull())
-            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
-            .agg(F.sum("freq").cast("bigint").alias("c"))
-            .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
-        ).transform(plan_checkpoint)
-        merges.append(
-            best.select(
-                F.lit(r).alias("rnd"),
-                F.col("a").alias("sym_a"),
-                F.col("b").alias("sym_b"),
-                F.col("c").alias("pair_count"),
-            )
-        )
-        mt = pr.crossJoin(
-            F.broadcast(best.select(F.col("a").alias("ba"), F.col("b").alias("bb")))
-        ).withColumn("m", (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")))
-        isl = (
-            mt.where("m")
-            .select("word", "i")
-            .withColumn("island", F.col("i") - F.row_number().over(w_word))
-        )
-        sel = isl.select(
-            "word",
-            "i",
-            (
-                F.row_number().over(Window.partitionBy("word", "island").orderBy("i"))
-                % 2
-                == 1
-            ).alias("selected"),
-        )
-        rw = (
-            mt.join(sel, ["word", "i"], "left")
-            .select(
-                "word",
-                "freq",
-                "i",
-                F.when(F.col("selected"), F.concat("ba", "bb"))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-                F.coalesce(F.lag("selected").over(w_word), F.lit(False)).alias(
-                    "consumed"
-                ),
-            )
-        )
-        words = (
-            rw.where(~F.col("consumed"))
-            .groupBy("word")
-            .agg(
-                F.min("freq").alias("freq"),
-                F.expr(
-                    "transform(array_sort(collect_list(struct(i, sym))), x -> x.sym)"
-                ).alias("syms"),
-            )
-        ).transform(plan_checkpoint)
+    _, merges = _train(docs, text_col, rounds, top_words)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("rnd")
+
+
+def bpe_apply(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 3,
+    top_words: int = 200,
+) -> DataFrame:
+    """(doc_id, n_words, n_chars, n_bpe_tokens): tokenize every
+    document with the merge table learned from the corpus's own
+    top-`top_words` vocabulary — merges train on the capped
+    vocabulary but APPLY to every distinct word, then per-word token
+    counts join back to the exploded corpus (tokenization depends
+    only on the word, so the rewrite cost is |distinct words|, not
+    |corpus|)."""
+    bests, _ = _train(docs, text_col, rounds, top_words)
+    from terminus_server_spark.operators.text import tokens_col
+
+    corpus = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.lower(F.col(text_col)))).alias("word")
+    ).where(F.col("word") != "")
+    all_words = (
+        corpus.select("word")
+        .distinct()
+        .select("word", F.lit(1).cast("long").alias("freq"),
+                _chars_col("word").alias("syms"))
+    ).transform(plan_checkpoint)
+    for best in bests:
+        all_words = _rewrite(_positions(all_words), best)
+    counts = all_words.select(
+        "word", F.size("syms").alias("w_bpe"), F.length("word").alias("w_chars")
+    )
+    return (
+        corpus.join(counts, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_chars").cast("bigint").alias("n_chars"),
+            F.sum("w_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -7933,56 +7933,106 @@ def doc_filter_ops(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _bpe_oracle_sql(rounds=3, top_words=200):
-    parts = [r"""
-    WITH wf AS (
-      SELECT word, COUNT(*) AS freq FROM (
-        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
-        FROM documents)
-      WHERE word <> '' GROUP BY word
-      ORDER BY freq DESC, word LIMIT """ + str(top_words) + r"""),
-    w0 AS (
-      SELECT word, freq,
-             list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
-      FROM wf)"""]
-    for r in range(1, rounds + 1):
-        p = r - 1
-        parts.append(f"""
-    pos{r} AS (
+_BPE_CORPUS_WORDS = r"""
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents"""
+
+
+def _bpe_rewrite_sql(st: str, r: int) -> str:
+    """One greedy-merge rewrite round over chain ``st`` (CTEs
+    {st}{r-1} -> {st}{r}), consuming the trained pair best{r}."""
+    p = r - 1
+    return f"""
+    pos{st}{r} AS (
       SELECT word, freq, CAST(t.i AS INT) AS i, syms[t.i] AS sym
-      FROM w{p}, UNNEST(generate_series(1, len(syms))) AS t(i)),
-    pr{r} AS (
-      SELECT *, LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt FROM pos{r}),
-    best{r} AS (
-      SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS c
-      FROM pr{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
-      ORDER BY c DESC, a, b LIMIT 1),
-    mt{r} AS (
+      FROM {st}{p}, UNNEST(generate_series(1, len(syms))) AS t(i)),
+    pr{st}{r} AS (
+      SELECT *, LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt FROM pos{st}{r}),
+    mt{st}{r} AS (
       SELECT pr.*, (sym = (SELECT a FROM best{r}) AND nxt = (SELECT b FROM best{r})) AS m
-      FROM pr{r} pr),
-    isl{r} AS (
+      FROM pr{st}{r} pr),
+    isl{st}{r} AS (
       SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS island
-      FROM mt{r} WHERE m),
-    sel{r} AS (
+      FROM mt{st}{r} WHERE m),
+    sel{st}{r} AS (
       SELECT word, i,
              (ROW_NUMBER() OVER (PARTITION BY word, island ORDER BY i) % 2 = 1) AS selected
-      FROM isl{r}),
-    rw{r} AS (
+      FROM isl{st}{r}),
+    rw{st}{r} AS (
       SELECT mt.word, mt.freq, mt.i,
              CASE WHEN s.selected THEN (SELECT a FROM best{r}) || (SELECT b FROM best{r})
                   ELSE mt.sym END AS sym,
              COALESCE(LAG(s.selected) OVER (PARTITION BY mt.word ORDER BY mt.i), FALSE)
                AS consumed
-      FROM mt{r} mt LEFT JOIN sel{r} s ON mt.word = s.word AND mt.i = s.i),
-    w{r} AS (
+      FROM mt{st}{r} mt LEFT JOIN sel{st}{r} s ON mt.word = s.word AND mt.i = s.i),
+    {st}{r} AS (
       SELECT word, MIN(freq) AS freq, list(sym ORDER BY i) AS syms
-      FROM rw{r} WHERE NOT consumed GROUP BY word)""")
-        sql = ",".join(parts)
+      FROM rw{st}{r} WHERE NOT consumed GROUP BY word)"""
+
+
+def _bpe_train_ctes(rounds: int, top_words: int) -> str:
+    """The shared training chain: wf, w0, then per round the pair
+    count + best{r} selection and the vocab rewrite w{r}."""
+    parts = [
+        f"""
+    WITH wf AS (
+      SELECT word, COUNT(*) AS freq FROM ({_BPE_CORPUS_WORDS})
+      WHERE word <> '' GROUP BY word
+      ORDER BY freq DESC, word LIMIT {top_words}),
+    w0 AS (
+      SELECT word, freq,
+             list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+      FROM wf)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    cnt{r} AS (
+      SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT word, freq, CAST(t.i AS INT) AS i, syms[t.i] AS sym,
+                   syms[t.i + 1] AS nxt
+            FROM w{r - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i))
+      GROUP BY 1, 2),
+    best{r} AS (SELECT a, b, c FROM cnt{r} ORDER BY c DESC, a, b LIMIT 1)""")
+        parts.append(_bpe_rewrite_sql("w", r))
+    return ",".join(parts)
+
+
+def _bpe_oracle_sql(rounds=3, top_words=200):
     tail = "\nUNION ALL ".join(
         f"SELECT {r} AS rnd, a AS sym_a, b AS sym_b, c AS pair_count FROM best{r}"
         for r in range(1, rounds + 1)
     )
-    return sql + "\n    " + tail + "\n    ORDER BY rnd"
+    return _bpe_train_ctes(rounds, top_words) + "\n    " + tail + "\n    ORDER BY rnd"
+
+
+def _bpe_apply_oracle_sql(rounds=3, top_words=200):
+    """Training chain + a second rewrite chain wa{r} over ALL
+    distinct corpus words, then per-doc token counts."""
+    parts = [
+        _bpe_train_ctes(rounds, top_words),
+        f"""
+    corpus AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents)
+      WHERE word <> ''),
+    wa0 AS (
+      SELECT word, CAST(1 AS BIGINT) AS freq,
+             list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+      FROM (SELECT DISTINCT word FROM corpus))""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(_bpe_rewrite_sql("wa", r))
+    parts.append(f"""
+    wcnt AS (
+      SELECT word, len(syms) AS w_bpe, len(word) AS w_chars FROM wa{rounds})""")
+    return ",".join(parts) + """
+    SELECT c.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(w_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(w_bpe) AS BIGINT) AS n_bpe_tokens
+    FROM corpus c JOIN wcnt USING (word)
+    GROUP BY c.doc_id
+    """
 
 
 
@@ -7997,3 +8047,16 @@ def bpe_train(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return _train(docs, rounds=3, top_words=200)
+
+
+@register("bpe_apply", _bpe_apply_oracle_sql(3, 200))
+def bpe_apply(spark, sf_dir):
+    """Corpus tokenization under the learned BPE merges: merges train
+    on the top-200 vocabulary, apply to every distinct word, and
+    per-word token counts join back to the exploded corpus — the
+    apply half of the tokenizer, same island-parity rewrite, same
+    bit-exact unrolled oracle (operators/bpe.py:bpe_apply)."""
+    from terminus_server_spark.operators.bpe import bpe_apply as _apply
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return _apply(docs, rounds=3, top_words=200)

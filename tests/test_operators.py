@@ -1087,3 +1087,25 @@ def test_bpe_train_run_parity_on_self_pair(spark):
         for r in bpe_train(docs, rounds=3, top_words=50).collect()
     ]
     assert got == [(1, "a", "a", 13), (2, "aa", "aa", 3), (3, "aa", "a", 2)]
+
+
+def test_bpe_apply_counts(spark):
+    from terminus_server_spark.operators.bpe import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    # merges (4 rounds): l+o, lo+w, e+w, n+ew ->
+    # low=[low](1), lower=[low,e,r](3), lowest=[low,e,s,t](4),
+    # new=[new](1), newer=[new,e,r]? no: 'newer' chars n,e,w,e,r ->
+    #   e+w merges pos2: [n,ew,e,r] -> n+ew: [new,e,r](3)
+    # newest -> [new,e,s,t](4)
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+        for r in bpe_apply(docs, rounds=4, top_words=50).collect()
+    }
+    # doc1: low,low,low,lower,lowest = 5 words, chars 3*3+5+6=20,
+    #       bpe 1+1+1+3+4 = 10
+    # doc2: new,newer,newest,low = 4 words, chars 3+5+6+3=17, bpe 1+3+4+1=9
+    assert got == {1: (5, 20, 10), 2: (4, 17, 9)}

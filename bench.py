@@ -135,6 +135,8 @@ HEADLINE = [
     "doc_filter_ops",
     "bpe_train",
     "bpe_apply",
+    "docs_mixture_sample",
+    "vc_blame",
 ]
 
 

@@ -357,3 +357,42 @@ def countmin_heavy_hitters(
         .select("key", "est", "exact")
         .orderBy(F.col("est").desc(), "key")
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    scale: int = 8,
+) -> DataFrame:
+    """(doc_id, strata, rk): temperature-flattened mixture sampling —
+    per-stratum budget = min(N_s, ceil(scale * sqrt(N_s))), i.e. the
+    alpha=0.5 sampling temperature that upweights small sources and
+    clips dominant ones (the Pile/mT5-style mixture rebalancing),
+    made deterministic by ranking each stratum on md5(key) instead
+    of an RNG.
+
+    sqrt is IEEE-exact and the rank is a per-stratum window ordered
+    on the hash, so the kept set is bit-reproducible under any
+    partitioning; one count agg (broadcast back) + one window
+    shuffle on the stratum key."""
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy(F.col(strata_col).alias("strata")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    budget = F.least(
+        F.col("n_s"),
+        F.ceil(F.lit(float(scale)) * F.sqrt(F.col("n_s").cast("double"))),
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    ranked = docs.select(
+        key_col, F.col(strata_col).alias("strata"), F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(counts.select("strata", budget.alias("budget"))), "strata")
+        .where(F.col("rk") <= F.col("budget"))
+        .select(key_col, "strata", "rk")
+    )

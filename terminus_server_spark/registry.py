@@ -8060,3 +8060,80 @@ def bpe_apply(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return _apply(docs, rounds=3, top_words=200)
+
+
+@register(
+    "vc_blame",
+    """
+    SELECT o_orderkey, 1 AS commit_seq, 'c1' AS commit_id FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000
+    UNION ALL
+    SELECT o_orderkey, 2, 'c2' FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    UNION ALL
+    SELECT o_orderkey, 3, 'c3' FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def vc_blame(spark, sf_dir):
+    """Per-object provenance at head: the commit that introduced each
+    live row (git blame over the layer pool; reference surfaces this
+    grain through api/log per document id —
+    versioning/layers.py:blame gives it in one window pass)."""
+    from terminus_server_spark.versioning.layers import blame
+
+    return blame(_layers(spark, sf_dir), ["o_orderkey"])
+
+
+@register(
+    "docs_mixture_sample",
+    """
+    WITH counts AS (
+      SELECT source AS strata, COUNT(*) AS n_s FROM documents GROUP BY 1),
+    ranked AS (
+      SELECT doc_id, source AS strata,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, strata, rk
+    FROM ranked JOIN counts USING (strata)
+    WHERE rk <= LEAST(n_s, CEIL(8.0 * sqrt(n_s::DOUBLE)))
+    """,
+)
+def docs_mixture_sample(spark, sf_dir):
+    """Deterministic temperature (alpha=0.5) mixture rebalancing
+    across document sources: small sources kept whole, dominant ones
+    clipped to ~8*sqrt(N) docs chosen by hash rank — RNG-free, so the
+    training mixture is reproducible at any partitioning
+    (operators/pipeline.py:mixture_sample)."""
+    from terminus_server_spark.operators.pipeline import mixture_sample
+
+    return mixture_sample(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "vc_revert",
+    f"""
+    SELECT COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+       OR o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def vc_revert(spark, sf_dir):
+    """git-revert for data: append the inverse of commit c2's delta
+    as head commit c4, then materialize — the 1997-98 adds disappear
+    and c2's deletions come back, while history keeps all four layers
+    (versioning/layers.py:revert)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize, revert
+
+    reverted = revert(_layers(spark, sf_dir), revert_seq=2, new_seq=4, commit_id="c4")
+    state = materialize(reverted, 4, ["o_orderkey"])
+    return state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    )

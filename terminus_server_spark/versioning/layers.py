@@ -296,3 +296,41 @@ def materialize_branch(
         | ((F.col("branch") == branch) & (F.col("commit_seq") > fork_seq))
     ).drop("branch")
     return materialize(visible, at_seq, key_cols)
+
+
+def blame(layers: DataFrame, key_cols: list[str], at_seq: int | None = None) -> DataFrame:
+    """(key..., commit_seq, commit_id): git-blame for data — for
+    every key live at ``at_seq`` (head when None), the commit that
+    introduced its current state: the key's latest layer row at or
+    below ``at_seq``, kept only when that row is an 'add' (a latest
+    'del' means the key is dead and has no blame line).
+
+    One window over the layer pool partitioned by key — cost scales
+    with |layers touching live keys|, and the commit_seq filter
+    prunes layer partitions before the shuffle."""
+    from pyspark.sql.window import Window
+
+    df = layers if at_seq is None else layers.where(F.col("commit_seq") <= at_seq)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("commit_seq").desc())
+    last = df.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    return last.where(F.col("op") == "add").select(
+        *key_cols, "commit_seq", "commit_id"
+    )
+
+
+def revert(layers: DataFrame, revert_seq: int, new_seq: int, commit_id: str) -> DataFrame:
+    """Revert: append the INVERSE of one commit's delta as a new head
+    commit (git revert — history is immutable, unlike ``reset``):
+    every 'add' of the reverted commit becomes a 'del' and vice
+    versa.  A seq-filter + op flip + union — no shuffle; the
+    materialized state afterwards is as if the commit never happened,
+    provided later commits didn't overwrite the same keys (exactly
+    git's semantics — overlaps surface as conflicts at merge grain,
+    not here)."""
+    inverse = layers.where(F.col("commit_seq") == revert_seq).select(
+        F.lit(new_seq).alias("commit_seq"),
+        F.lit(commit_id).alias("commit_id"),
+        F.when(F.col("op") == "add", F.lit("del")).otherwise(F.lit("add")).alias("op"),
+        *[c for c in layers.columns if c not in ("commit_seq", "commit_id", "op")],
+    )
+    return layers.unionByName(inverse.select(*layers.columns))

@@ -421,3 +421,110 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("entropy_bits"),
         )
     )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_k: int = 500,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob, perplexity): CCNet-style
+    corpus-LM quality scoring — an add-k-smoothed bigram language
+    model is trained on the corpus itself (top-``vocab_k`` vocabulary,
+    everything else folded to ``<unk>``) and each document is scored
+    by its per-token log-likelihood under that model.  Low perplexity
+    ⇒ stereotyped/boilerplate text, high ⇒ garbled or off-domain —
+    the standard pretraining quality dimension next to OOV rate and
+    entropy (reference analogue: the quality/filter pass terminus
+    users run before document load).
+
+    Scale design: bigrams are extracted ARRAY-SIDE (transform over
+    the token array with ``<s>``/``</s>`` sentinels) so the heavy
+    document stream never shuffles on document order; the vocabulary
+    is a distributed top-k (TakeOrderedAndProject) broadcast back to
+    both bigram legs; model counts are map-side-combined aggregates
+    over vocab-bounded keys (≤ (k+3)² pairs, broadcast-joinable);
+    each ln-probability term is cast to decimal(28,12) before the
+    per-doc sum (order-free, partition-count-independent — the same
+    discipline as unigram_logprob/char_entropy).  The mapped bigram
+    stream feeds four consumers (pair counts, context counts, vocab
+    size, scoring), so it is plan-checkpointed once instead of
+    re-deriving — and re-scanning the corpus — per consumer."""
+    tk = F.concat(
+        F.array(F.lit("<s>")),
+        tokens_col(F.lower(F.col(text_col))),
+        F.array(F.lit("</s>")),
+    )
+    with_tk = docs.select("doc_id", tk.alias("tk"))
+    raw_bg = with_tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+    freq = (
+        with_tk.select(F.explode("tk").alias("tok"))
+        .where(~F.col("tok").isin("<s>", "</s>"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = (
+        freq.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(vocab_k)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+
+    def _map(side: str) -> DataFrame:
+        v = vocab.select(F.col("tok").alias(side), F.col("_in").alias(f"_in_{side}"))
+        return F.broadcast(v)
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    mapped = plan_checkpoint(
+        raw_bg.join(_map("a"), "a", "left_outer")
+        .join(_map("b"), "b", "left_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("a").isin("<s>", "</s>"), F.col("a"))
+            .when(F.col("_in_a").isNotNull(), F.col("a"))
+            .otherwise(F.lit("<unk>"))
+            .alias("w1"),
+            F.when(F.col("b").isin("<s>", "</s>"), F.col("b"))
+            .when(F.col("_in_b").isNotNull(), F.col("b"))
+            .otherwise(F.lit("<unk>"))
+            .alias("w2"),
+        )
+    )
+    c2 = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = mapped.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vv = mapped.agg(F.countDistinct("w2").alias("v"))
+
+    lp = F.log(
+        (F.col("c2").cast("double") + F.lit(float(add_k)))
+        / (
+            F.col("c1").cast("double")
+            + F.lit(float(add_k)) * F.col("v").cast("double")
+        )
+    ).cast("decimal(28,12)")
+    scored = (
+        mapped.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vv))
+        .select("doc_id", lp.alias("lp"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("lp").alias("_s"),
+    )
+    avg = F.col("_s").cast("double") / F.col("n_bigrams").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("perplexity"),
+    )

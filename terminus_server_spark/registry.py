@@ -8114,6 +8114,59 @@ def docs_mixture_sample(spark, sf_dir):
 
 
 @register(
+    "text_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             ['<s>'] || string_split_regex(trim(lower(text)), '\s+')
+                     || ['</s>'] AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(t.i AS INT) AS i, tk[t.i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(tk))) AS t(i)),
+    freq AS (
+      SELECT tok, COUNT(*) AS n FROM pos
+      WHERE tok NOT IN ('<s>', '</s>') GROUP BY 1),
+    vocab AS (SELECT tok FROM freq ORDER BY n DESC, tok ASC LIMIT 500),
+    mapped AS (
+      SELECT doc_id, i,
+             CASE WHEN tok IN ('<s>', '</s>') THEN tok
+                  WHEN tok IN (SELECT tok FROM vocab) THEN tok
+                  ELSE '<unk>' END AS mtok
+      FROM pos),
+    bg AS (
+      SELECT doc_id, mtok AS w1,
+             LEAD(mtok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM mapped QUALIFY w2 IS NOT NULL),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+    sc AS (
+      SELECT b.doc_id,
+             CAST(ln((c2.c::DOUBLE + 0.5) / (c1.c::DOUBLE + 0.5 * vv.v::DOUBLE))
+                  AS DECIMAL(28,12)) AS lp
+      FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vv),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(lp) AS s
+      FROM sc GROUP BY 1)
+    SELECT doc_id, n_bigrams,
+           ROUND(s::DOUBLE / n_bigrams::DOUBLE, 6) AS avg_logprob,
+           ROUND(exp(-(s::DOUBLE / n_bigrams::DOUBLE)), 6) AS perplexity
+    FROM agg
+    """,
+)
+def text_perplexity(spark, sf_dir):
+    """Corpus-trained add-k bigram-LM perplexity per document — the
+    CCNet-style LM quality filter (operators/text.py:
+    bigram_perplexity): top-500 vocabulary with <unk> folding,
+    array-side bigram extraction (no doc-order shuffle), decimal
+    order-free log-likelihood sums."""
+    from terminus_server_spark.operators.text import bigram_perplexity
+
+    return bigram_perplexity(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
     "vc_revert",
     f"""
     SELECT COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price

@@ -1109,3 +1109,41 @@ def test_bpe_apply_counts(spark):
     #       bpe 1+1+1+3+4 = 10
     # doc2: new,newer,newest,low = 4 words, chars 3+5+6+3=17, bpe 1+3+4+1=9
     assert got == {1: (5, 20, 10), 2: (4, 17, 9)}
+
+
+def test_bigram_perplexity_boilerplate_vs_shuffled(spark):
+    from terminus_server_spark.operators.text import bigram_perplexity
+
+    # doc 1 repeats one stereotyped bigram chain; doc 2 uses the same
+    # vocabulary but in a one-off order the corpus LM has barely seen.
+    docs = spark.createDataFrame(
+        [
+            (1, "click here to buy click here to buy click here to buy"),
+            (2, "buy to click here buy here click to"),
+            (3, "click here to buy now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_perplexity(docs, vocab_k=10).collect()}
+    assert rows[1].n_bigrams == 13  # 12 tokens + <s>/</s> sentinels
+    assert rows[1].perplexity < rows[2].perplexity
+    # perplexity = exp(-avg_logprob) (rounded independently)
+    import math
+
+    for r in rows.values():
+        assert abs(r.perplexity - math.exp(-r.avg_logprob)) < 1e-4
+
+
+def test_bigram_perplexity_unk_folding(spark):
+    from terminus_server_spark.operators.text import bigram_perplexity
+
+    # vocab_k=1 keeps only the modal token; everything else folds to
+    # <unk>, so both docs share one model and score identically.
+    docs = spark.createDataFrame(
+        [(1, "a zzz a qqq a"), (2, "a rrr a sss a")],
+        "doc_id long, text string",
+    )
+    rows = bigram_perplexity(docs, vocab_k=1).collect()
+    assert len(rows) == 2
+    vals = {r.perplexity for r in rows}
+    assert len(vals) == 1

@@ -404,6 +404,73 @@ def to_ntriples(triples: DataFrame, base: str = "http://example.org/") -> DataFr
     )
 
 
+def from_ntriples(
+    lines: DataFrame,
+    base: str = "http://example.org/",
+    line_col: str = "line",
+    graph: str = "instance",
+) -> DataFrame:
+    """Inverse of :func:`to_ntriples`: parse canonical N-Triples lines
+    back into a typed triple frame — the reference's triple-load /
+    RDF import surface (terminusdb loads turtle/ntriples dumps into a
+    layer).  ``from_ntriples(to_ntriples(t)) == t`` at the conformed
+    schema grain.
+
+    Term grammar handled: ``<iri>`` objects (``{base}i/`` stripped),
+    ``"lit"@tag`` language-tagged strings, ``"lit"^^<xsd-iri>`` typed
+    literals (full XSD IRIs compacted to ``xsd:local``), bare
+    ``"lit"`` as xsd:string; literal unescaping is the single-pass
+    ``\\X -> X`` inverse of the export's backslash/quote escaping.
+    The numeric (``obj_num``) and temporal (``obj_ts``) shadow
+    columns are re-derived from the lexical form by type.  Pure
+    per-row regexp/string expressions — a map-only job with no
+    shuffle, so an import parallelizes to the input's split count."""
+    import re as _re
+
+    b = _re.escape(base)
+    line = F.col(line_col)
+    p_iri = F.regexp_extract(line, r"^<[^>]*> <([^>]*)> ", 1)
+    oterm = F.regexp_extract(line, r"^<[^>]*> <[^>]*> (.*) \.$", 1)
+    quoted = r'"((?:[^"\\]|\\.)*)"'
+    raw_lit = F.when(
+        oterm.rlike('^"'),
+        F.regexp_extract(oterm, f"^{quoted}", 1),
+    )
+    lit = F.regexp_replace(raw_lit, r"\\(.)", "$1")
+    lang_tag = F.regexp_extract(oterm, f"^{quoted}@([A-Za-z][A-Za-z0-9-]*)$", 2)
+    xsd_local = F.regexp_extract(
+        oterm, f"^{quoted}\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#([A-Za-z]+)>$", 2
+    )
+    is_iri = oterm.startswith("<")
+    obj_type = (
+        F.when(is_iri, F.lit("iri"))
+        .when(lang_tag != "", F.lit("rdf:langString"))
+        .when(xsd_local != "", F.concat(F.lit("xsd:"), xsd_local))
+        .otherwise(F.lit("xsd:string"))
+    )
+    obj = F.when(
+        is_iri, F.regexp_extract(oterm, f"^<{b}i/(.*)>$", 1)
+    ).otherwise(lit)
+    num_types = ("xsd:integer", "xsd:decimal", "xsd:double", "xsd:float")
+    return lines.select(
+        F.lit(graph).alias("graph"),
+        F.regexp_extract(line, f"^<{b}i/([^>]*)>", 1).alias("subject"),
+        F.when(
+            p_iri == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            F.lit(RDF_TYPE),
+        )
+        .otherwise(F.regexp_replace(p_iri, f"^{b}p/", ""))
+        .alias("predicate"),
+        obj.alias("obj"),
+        obj_type.alias("obj_type"),
+        F.when(obj_type.isin(*num_types), obj.cast(DoubleType())).alias("obj_num"),
+        F.when(obj_type == "rdf:langString", lang_tag).alias("obj_lang"),
+        F.when(
+            obj_type.isin("xsd:dateTime", "xsd:date"), obj.cast("timestamp_ntz")
+        ).alias("obj_ts"),
+    )
+
+
 def inherit_frames(declared: DataFrame, subclass_edges: DataFrame) -> DataFrame:
     """Frame composition under ``@inherits`` (terminus-server schema
     inheritance: a class's effective frame is its own properties plus

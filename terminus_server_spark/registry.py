@@ -1279,6 +1279,63 @@ def rdf_export(spark, sf_dir):
 
 
 @register(
+    "rdf_import",
+    """
+    WITH trip(subject, predicate, obj, obj_type) AS (
+      SELECT 'Nation/' || n_nationkey, 'rdf:type', 'Nation', 'iri' FROM nation
+      UNION ALL
+      SELECT 'Nation/' || n_nationkey, 'n_name', n_name, 'xsd:string' FROM nation
+      UNION ALL
+      SELECT 'Nation/' || n_nationkey, 'n_region',
+             'Region/' || n_regionkey, 'iri' FROM nation
+      UNION ALL
+      SELECT 'Customer/' || c_custkey, 'rdf:type', 'Customer', 'iri' FROM customer
+      UNION ALL
+      SELECT 'Customer/' || c_custkey, 'c_acctbal',
+             c_acctbal::VARCHAR, 'xsd:decimal' FROM customer
+      UNION ALL
+      SELECT 'Customer/' || c_custkey, 'c_nation',
+             'Nation/' || c_nationkey, 'iri' FROM customer)
+    SELECT subject, predicate, obj, obj_type,
+           CASE WHEN obj_type = 'xsd:decimal' THEN obj::DOUBLE END AS obj_num
+    FROM trip
+    """,
+)
+def rdf_import(spark, sf_dir):
+    """N-Triples load: parse the canonical dump back into a typed
+    triple frame (model/triples.py:from_ntriples) — the roundtrip
+    inverse of rdf_export, proving dump→load is lossless at the
+    conformed-schema grain.  Map-only regexp projection, no
+    shuffle."""
+    from terminus_server_spark.model.triples import (
+        from_ntriples,
+        to_ntriples,
+        triples_from_table,
+    )
+
+    t = _t(spark, sf_dir, "nation", "customer")
+    trips = triples_from_table(
+        t["nation"],
+        "Nation",
+        "n_nationkey",
+        value_cols=["n_name"],
+        ref_cols={"n_regionkey": ("Region", "n_region")},
+    ).unionByName(
+        triples_from_table(
+            t["customer"],
+            "Customer",
+            "c_custkey",
+            value_cols=["c_acctbal"],
+            ref_cols={"c_nationkey": ("Nation", "c_nation")},
+        )
+    )
+    lines = to_ntriples(trips, base=_NT_B).select("line")
+    return from_ntriples(lines, base=_NT_B).select(
+        "subject", "predicate", "obj", "obj_type", "obj_num"
+    )
+
+
+@register(
     "woql_triple",
     """
     SELECT 'Customer/' || c_custkey AS c, c_acctbal AS bal_d

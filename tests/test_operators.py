@@ -1147,3 +1147,39 @@ def test_bigram_perplexity_unk_folding(spark):
     assert len(rows) == 2
     vals = {r.perplexity for r in rows}
     assert len(vals) == 1
+
+
+def test_ntriples_roundtrip_escapes_lang_and_types(spark):
+    from terminus_server_spark.model.triples import from_ntriples, to_ntriples
+
+    trips = spark.createDataFrame(
+        [
+            ("D/1", "title", 'say "hi" \\ bye', "xsd:string", None, None, None),
+            ("D/1", "label", "bonjour", "rdf:langString", None, "fr", None),
+            ("D/1", "when", "2021-03-04 05:06:07", "xsd:dateTime", None, None,
+             "2021-03-04 05:06:07"),
+            ("D/1", "n", "42", "xsd:integer", 42.0, None, None),
+            ("D/1", "link", "D/2", "iri", None, None, None),
+        ],
+        "subject string, predicate string, obj string, obj_type string,"
+        " obj_num double, obj_lang string, obj_ts string",
+    ).selectExpr(
+        "subject", "predicate", "obj", "obj_type", "obj_num", "obj_lang",
+        "CAST(obj_ts AS TIMESTAMP_NTZ) AS obj_ts",
+    )
+    lines = to_ntriples(trips)
+    back = from_ntriples(lines).orderBy("predicate").collect()
+    got = {
+        r.predicate: (r.obj, r.obj_type, r.obj_num, r.obj_lang, r.obj_ts)
+        for r in back
+    }
+    assert got["title"][0] == 'say "hi" \\ bye'
+    assert got["title"][1] == "xsd:string"
+    assert got["label"][1:4] == ("rdf:langString", None, "fr")
+    assert got["n"][1:3] == ("xsd:integer", 42.0)
+    assert got["link"] == ("D/2", "iri", None, None, None)
+    import datetime
+
+    assert got["when"][4] == datetime.datetime(2021, 3, 4, 5, 6, 7)
+    # every parsed row keeps the instance-graph tag
+    assert {r.graph for r in from_ntriples(lines).select("graph").collect()} == {"instance"}

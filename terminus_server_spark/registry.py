@@ -8224,6 +8224,49 @@ def text_perplexity(spark, sf_dir):
 
 
 @register(
+    "vc_ivm_rollup",
+    f"""
+    WITH state AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000))
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS band,
+           COUNT(*) AS n,
+           {_dsum_sql('o_totalprice')} AS sum_o_totalprice
+    FROM state GROUP BY 1
+    """,
+)
+def vc_ivm_rollup(spark, sf_dir):
+    """Incremental view maintenance over the commit stack: a price-band
+    rollup materialized at commit 1 is refreshed to commit 3 from the
+    delta layers alone (versioning/layers.py:maintain_rollup) — work
+    scales with |delta|, not |state|, and the refreshed sums are
+    bit-identical to the full recompute the oracle does."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import maintain_rollup, materialize
+
+    layers = _layers(spark, sf_dir)
+    band = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    base = (
+        materialize(layers, 1, ["o_orderkey"])
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+                "sum_o_totalprice"
+            ),
+        )
+    )
+    out = maintain_rollup(
+        base, layers, from_seq=1, to_seq=3, group_col=band,
+        sum_col="o_totalprice", group_name="band",
+    )
+    return out.select(
+        "band", "n", F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice")
+    )
+
+
+@register(
     "vc_revert",
     f"""
     SELECT COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price

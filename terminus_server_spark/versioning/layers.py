@@ -334,3 +334,54 @@ def revert(layers: DataFrame, revert_seq: int, new_seq: int, commit_id: str) -> 
         *[c for c in layers.columns if c not in ("commit_seq", "commit_id", "op")],
     )
     return layers.unionByName(inverse.select(*layers.columns))
+
+
+def maintain_rollup(
+    base_agg: DataFrame,
+    layers: DataFrame,
+    from_seq: int,
+    to_seq: int,
+    group_col,
+    sum_col: str,
+    group_name: str = "grp",
+) -> DataFrame:
+    """Incremental view maintenance: refresh a materialized
+    ``(group, n, sum)`` rollup from commit ``from_seq`` to
+    ``to_seq`` by reading ONLY the delta layers in between — never
+    the base data (the reason materialized rollups stay cheap on a
+    100 TB store: work scales with |delta|, not |state|).  This is
+    the classic counting algorithm over a well-formed changelog —
+    the contract terminusdb layers satisfy by construction: a 'del'
+    row carries the payload visible below it, an 'add' introduces a
+    key not currently visible (updates appear as del+add pairs).
+
+    ``base_agg``: (group_name, n, sum_{sum_col}) at ``from_seq``;
+    ``group_col``: Column deriving the group from a layer row.
+    Per-group increments are one map-side-combined aggregate over the
+    window's delta rows (+payload/+1 for add, −payload/−1 for del,
+    summed in decimal(28,6) so the refreshed sums are bit-identical
+    to a recompute); the merge is a full-outer join on the group key
+    — broadcastable whenever the group domain is, and groups whose
+    count reaches zero drop out of the view."""
+    sgn = F.when(F.col("op") == "add", F.lit(1)).otherwise(F.lit(-1))
+    win = layers.where(
+        (F.col("commit_seq") > from_seq) & (F.col("commit_seq") <= to_seq)
+    )
+    inc = win.groupBy(group_col.alias(group_name)).agg(
+        F.sum(sgn).cast("bigint").alias("_dn"),
+        F.sum(sgn.cast("decimal(28,6)") * F.col(sum_col).cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("_dsum"),
+    )
+    sum_name = f"sum_{sum_col}"
+    merged = base_agg.join(inc, group_name, "full_outer").select(
+        group_name,
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (
+            F.coalesce(F.col(sum_name).cast("decimal(28,6)"), F.lit(0).cast("decimal(28,6)"))
+            + F.coalesce(F.col("_dsum"), F.lit(0).cast("decimal(28,6)"))
+        ).alias(sum_name),
+    )
+    return merged.where(F.col("n") > 0)

@@ -154,3 +154,38 @@ def test_gc_commits_orphan_chain(spark):
     # drop the feature ref: x,y become garbage
     out = {r.commit_id: r.status for r in gc_commits(commits, {"main": "c"}).collect()}
     assert out == {"a": "kept", "b": "kept", "c": "kept", "x": "dropped", "y": "dropped"}
+
+
+def test_maintain_rollup_matches_recompute_and_drops_empty_groups(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import maintain_rollup, materialize
+
+    layers = spark.createDataFrame(
+        [
+            # seq 1: group a = {k1: 10, k2: 20}, group b = {k3: 5}
+            (1, "c1", "add", "k1", "a", 10.0),
+            (1, "c1", "add", "k2", "a", 20.0),
+            (1, "c1", "add", "k3", "b", 5.0),
+            # seq 2: update k1 (del+add), delete all of group b
+            (2, "c2", "del", "k1", "a", 10.0),
+            (2, "c2", "add", "k1", "a", 15.0),
+            (2, "c2", "del", "k3", "b", 5.0),
+            # seq 3: new group c
+            (3, "c3", "add", "k4", "c", 7.0),
+        ],
+        "commit_seq int, commit_id string, op string, k string, g string, val double",
+    )
+    base = (
+        materialize(layers, 1, ["k"])
+        .groupBy(F.col("g").alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("val").cast("decimal(28,6)")).alias("sum_val"),
+        )
+    )
+    out = maintain_rollup(base, layers, 1, 3, F.col("g"), "val", "g")
+    got = {r.g: (r.n, float(r.sum_val)) for r in out.collect()}
+    # recompute ground truth at seq 3: a={k1:15,k2:20}, b gone, c={k4:7}
+    assert got == {"a": (2, 35.0), "c": (1, 7.0)}
+    assert "b" not in got

@@ -506,3 +506,62 @@ def knn_classify(
         .select("query_id", F.col("nbr_label").alias("pred_label"), "votes")
         .orderBy("query_id")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, query_label, neighbor_id, neighbor_label, cos, rk):
+    hard-negative mining for contrastive training — for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label (near the anchor in embedding space but semantically wrong,
+    the pairs that actually move a contrastive loss).
+
+    Same execution shape as brute_force_topk: the query side is
+    broadcast, the corpus scanned once, the cross-label filter applied
+    before ranking so same-label candidates never enter the per-query
+    heap; cosine uses the module's fixed-point convention, so results
+    are bit-reproducible at any partitioning.  At scale, compose with
+    ivf_topk's cell restriction instead of the full corpus scan —
+    mining only within the query's n_probe nearest cells."""
+    from pyspark.sql.window import Window
+
+    def parts(df: DataFrame, sfx: str) -> DataFrame:
+        v = _scaled_vec(F.col(vec_col))
+        norm = F.aggregate(
+            v,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.floor(x * x * SCALE).cast("bigint"),
+        )
+        return df.select(
+            F.col(id_col).alias(f"id_{sfx}"),
+            v.alias(f"vec_{sfx}"),
+            norm.alias(f"norm_{sfx}"),
+            F.col(label_col).alias(f"label_{sfx}"),
+        )
+
+    scored = (
+        broadcast(parts(queries, "a"))
+        .crossJoin(parts(emb, "b"))
+        .where(F.col("label_a") != F.col("label_b"))
+        .select(
+            F.col("id_a").alias("query_id"),
+            F.col("label_a").alias("query_label"),
+            F.col("id_b").alias("neighbor_id"),
+            F.col("label_b").alias("neighbor_label"),
+            cosine_from_parts().alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )

@@ -985,6 +985,39 @@ def ann_topk_brute(spark, sf_dir):
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+@register(
+    "ann_hard_negatives",
+    f"""
+    WITH {_PARTS_SQL},
+    lp AS (SELECT p.*, e.label FROM parts p JOIN embeddings e USING (vec_id)),
+    q AS (SELECT * FROM lp WHERE vec_id < 8),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.label AS query_label,
+             b.vec_id AS neighbor_id, b.label AS neighbor_label, {_COS_SQL} AS cos
+      FROM q a CROSS JOIN lp b WHERE a.label <> b.label),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query, the
+    top-5 most-similar vectors with a different label
+    (operators/similarity.py:hard_negatives) — broadcast query side,
+    fixed-point cosine, cross-label filter before the per-query
+    heap."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return hard_negatives(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
 @register("ann_ivf")  # approximate: rows-only check
 def ann_ivf(spark, sf_dir):
     from pyspark.sql import functions as F

@@ -1183,3 +1183,22 @@ def test_ntriples_roundtrip_escapes_lang_and_types(spark):
     assert got["when"][4] == datetime.datetime(2021, 3, 4, 5, 6, 7)
     # every parsed row keeps the instance-graph tag
     assert {r.graph for r in from_ntriples(lines).select("graph").collect()} == {"instance"}
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from terminus_server_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.99, 0.14], "a"),   # nearest overall but same label
+            (3, [0.9, 0.44], "b"),    # nearest cross-label
+            (4, [0.0, 1.0], "b"),
+            (5, [-1.0, 0.0], "c"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = hard_negatives(emb, emb.where("vec_id = 1"), k=2).collect()
+    assert [r.neighbor_id for r in out] == [3, 4]
+    assert all(r.neighbor_label != "a" for r in out)
+    assert [r.rk for r in out] == [1, 2]

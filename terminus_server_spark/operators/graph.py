@@ -569,3 +569,39 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
         (F.col("src") == F.col("b_src")) & (F.col("dst") == F.col("b_dst")),
     ).select(F.col("src").alias("node"), F.col("dst").alias("mate"))
     return mutual.groupBy("node").agg(F.min("mate").alias("component"))
+
+
+def harmonic_centrality(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """(node, n_reached, harmonic): bounded-radius harmonic centrality
+    — Σ 1/d(v,u) over nodes u reachable from v within ``max_hops``
+    (the standard practical form: unbounded closeness needs the full
+    all-pairs diameter; a 2-4 hop radius captures the local influence
+    signal and bounds state at |V|·|ball| instead of |V|²).
+
+    Built on the multi-source BFS (shortest_hops) from every source
+    at once — frontier rows are (source, node) pairs, so the work is
+    the neighborhood function's, not |V| sequential BFS runs.  Each
+    1/d term is cast to decimal(28,12) before the per-source sum so
+    the centrality is partition-independent.  At extreme scale swap
+    the exact ball for a HyperBall/HLL neighborhood sketch; this
+    operator is the exact form that validates it."""
+    sp = shortest_hops(edges, sources, max_iters=max_hops)
+    term = (F.lit(1.0) / F.col("hops").cast("double")).cast("decimal(28,12)")
+    agg = (
+        sp.where(F.col("hops") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum(term).alias("_h"),
+        )
+        .withColumnRenamed("source", "node")
+    )
+    return sources.select("node").join(agg, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_reached"), F.lit(0)).cast("bigint").alias("n_reached"),
+        F.round(F.coalesce(F.col("_h").cast("double"), F.lit(0.0)), 6).alias(
+            "harmonic"
+        ),
+    )

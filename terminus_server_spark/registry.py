@@ -2223,6 +2223,47 @@ def graph_shortest_hops(spark, sf_dir):
 
 
 @register(
+    "graph_harmonic",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst FROM customer),
+    walk AS (
+      SELECT 'C/' || c_custkey AS source, 'C/' || c_custkey AS node, 0 AS hops
+      FROM customer
+      UNION ALL
+      SELECT w.source, e.dst, w.hops + 1 FROM walk w JOIN e ON w.node = e.src
+      WHERE w.hops < 3),
+    sp AS (SELECT source, node, MIN(hops) AS hops FROM walk GROUP BY 1, 2),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_reached,
+             SUM(CAST(1.0::DOUBLE / hops::DOUBLE AS DECIMAL(28,12))) AS h
+      FROM sp WHERE hops > 0 GROUP BY 1)
+    SELECT 'C/' || c_custkey AS node,
+           COALESCE(n_reached, 0)::BIGINT AS n_reached,
+           ROUND(COALESCE(h::DOUBLE, 0.0), 6) AS harmonic
+    FROM customer LEFT JOIN agg ON agg.source = 'C/' || c_custkey
+    """,
+)
+def graph_harmonic(spark, sf_dir):
+    """Bounded-radius harmonic centrality from every node of the
+    customer parent-tree graph (operators/graph.py:
+    harmonic_centrality): multi-source BFS ball of radius 3,
+    decimal-exact 1/d sums, zero-reach nodes kept at 0."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import harmonic_centrality
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    node = F.concat(F.lit("C/"), F.col("c_custkey").cast("string"))
+    edges = cust.select(
+        node.alias("src"),
+        F.concat(F.lit("C/"), F.expr("c_custkey DIV 2").cast("string")).alias("dst"),
+    )
+    sources = cust.select(node.alias("node"))
+    return harmonic_centrality(edges, sources, max_hops=3)
+
+
+@register(
     "graph_components",
     """
     WITH nodes AS (

@@ -1202,3 +1202,17 @@ def test_hard_negatives_excludes_same_label(spark):
     assert [r.neighbor_id for r in out] == [3, 4]
     assert all(r.neighbor_label != "a" for r in out)
     assert [r.rk for r in out] == [1, 2]
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from terminus_server_spark.operators.graph import harmonic_centrality
+
+    # path a -> b -> c -> d: from a within 2 hops reach b (1), c (2)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("a",), ("d",)], "node string")
+    got = {r.node: (r.n_reached, r.harmonic) for r in
+           harmonic_centrality(edges, sources, max_hops=2).collect()}
+    assert got["a"] == (2, 1.5)   # 1/1 + 1/2
+    assert got["d"] == (0, 0.0)   # sink: zero reach, still present

@@ -554,3 +554,42 @@ def span_dedup_stats(
             .alias("dup_frac"),
         )
     )
+
+
+def edit_distance_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    max_chars: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, edit_dist, edit_sim): verify candidate near-dup
+    pairs by normalized Levenshtein similarity — the order-sensitive
+    complement to n-gram Jaccard (bag-of-shingles misses transposed /
+    shuffled boilerplate; edit distance catches it).
+
+    Levenshtein is O(len_a·len_b) per pair, so this is strictly a
+    CANDIDATE-PAIR verifier (LSH buckets first, never all-pairs), and
+    texts are normalized (trim+lower) and clipped to ``max_chars`` —
+    the standard prefix-verification compromise; both clamps are
+    replayed identically by the oracle.  JVM built-in levenshtein,
+    no Python in the loop."""
+    t = F.substring(F.trim(F.lower(F.col(text_col))), 1, max_chars)
+    txt = docs.select(F.col("doc_id"), t.alias("_t"))
+    a = txt.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta"))
+    b = txt.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    mx = F.greatest(F.length("_ta"), F.length("_tb"))
+    sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - dist.cast("double") / mx.cast("double")
+    )
+    return (
+        j.where(sim >= F.lit(float(threshold)))
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("bigint").alias("edit_dist"),
+            F.round(sim, 6).alias("edit_sim"),
+        )
+    )

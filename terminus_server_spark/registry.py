@@ -864,6 +864,55 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_edit_verify",
+    rf"""
+    WITH {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+              min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+              min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+              min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+              min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+            FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+      UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    txt AS (SELECT doc_id, substring(trim(lower(text)), 1, 1000) AS t FROM documents),
+    scored AS (
+      SELECT doc_a, doc_b,
+             CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_dist,
+             CASE WHEN GREATEST(len(ta.t), len(tb.t)) = 0 THEN 1.0::DOUBLE
+                  ELSE 1.0::DOUBLE - levenshtein(ta.t, tb.t)::DOUBLE
+                       / GREATEST(len(ta.t), len(tb.t))::DOUBLE END AS sim
+      FROM cand JOIN txt ta ON doc_a = ta.doc_id JOIN txt tb ON doc_b = tb.doc_id)
+    SELECT doc_a, doc_b, edit_dist, ROUND(sim, 6) AS edit_sim
+    FROM scored WHERE sim >= 0.4
+    """,
+)
+def dedup_edit_verify(spark, sf_dir):
+    """Normalized-Levenshtein verification of LSH candidate pairs
+    (operators/dedup.py:edit_distance_verify) — the order-sensitive
+    verifier next to n-gram Jaccard; O(l²) cost paid only on bucketed
+    candidates, texts clipped to 1000 chars by the standard prefix
+    compromise."""
+    from terminus_server_spark.operators.dedup import (
+        edit_distance_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs)))
+    return edit_distance_verify(docs, pairs, threshold=0.4)
+
+
+@register(
     "dedup_simhash",
     r"""
     WITH toks AS (

@@ -1216,3 +1216,33 @@ def test_harmonic_centrality_path_graph(spark):
            harmonic_centrality(edges, sources, max_hops=2).collect()}
     assert got["a"] == (2, 1.5)   # 1/1 + 1/2
     assert got["d"] == (0, 0.0)   # sink: zero reach, still present
+
+
+def test_edit_distance_verify_transposed_boilerplate(spark):
+    from terminus_server_spark.operators.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),  # near-dup
+            (3, "entirely different content about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    got = {(r.doc_a, r.doc_b): (r.edit_dist, r.edit_sim)
+           for r in edit_distance_verify(docs, pairs, threshold=0.5).collect()}
+    assert (1, 2) in got and (1, 3) not in got
+    assert got[(1, 2)][0] == 2  # jumps -> jumped: 1 sub + 1 insert
+    assert got[(1, 2)][1] > 0.9
+
+
+def test_edit_distance_verify_empty_texts(spark):
+    from terminus_server_spark.operators.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    rows = edit_distance_verify(docs, pairs).collect()
+    assert rows[0].edit_sim == 1.0 and rows[0].edit_dist == 0

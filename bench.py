@@ -137,6 +137,14 @@ HEADLINE = [
     "bpe_apply",
     "docs_mixture_sample",
     "vc_blame",
+    # round 3 (late): LM perplexity, IVM, RDF roundtrip, hard negatives,
+    # harmonic centrality, edit-distance verify
+    "text_perplexity",
+    "vc_ivm_rollup",
+    "rdf_import",
+    "ann_hard_negatives",
+    "graph_harmonic",
+    "dedup_edit_verify",
 ]
 
 

@@ -2924,6 +2924,48 @@ def triples_to_doc(spark, sf_dir):
 
 
 @register(
+    "doc_read_at_commit",
+    """
+    WITH kids AS (
+      SELECT o_custkey AS c_custkey, list(o_orderkey ORDER BY o_orderkey) AS items,
+             COUNT(*) AS n_items
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey)
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(k.items, []) AS items,
+           COALESCE(k.n_items, 0) AS n_items
+    FROM customer c LEFT JOIN kids k USING (c_custkey)
+    """,
+)
+def doc_read_at_commit(spark, sf_dir):
+    """Historical document read — GET /document?commit=...: the
+    customer documents' order lists assembled from the layer state
+    MATERIALIZED AT COMMIT 1 (pre-1997 orders only), composing the
+    versioning verbs with the document-assembly path; later commits'
+    adds and deletes are invisible at that ref."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import assemble_documents
+    from terminus_server_spark.versioning.layers import materialize
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    state = materialize(_layers(spark, sf_dir), 1, ["o_orderkey"])
+    visible = state.select("o_orderkey").join(
+        t["orders"].select("o_orderkey", "o_custkey"), "o_orderkey"
+    )
+    out = assemble_documents(
+        t["customer"].select("c_custkey", "c_name"),
+        visible,
+        "c_custkey",
+        "o_custkey",
+        "o_orderkey",
+    )
+    return out.withColumn(
+        "items", F.coalesce("items", F.expr("CAST(array() AS array<bigint>)"))
+    )
+
+
+@register(
     "doc_filter",
     """
     SELECT doc_id, source, n_chars FROM documents

@@ -467,7 +467,12 @@ def bigram_perplexity(
     discipline as unigram_logprob/char_entropy).  The mapped bigram
     stream feeds four consumers (pair counts, context counts, vocab
     size, scoring), so it is plan-checkpointed once instead of
-    re-deriving — and re-scanning the corpus — per consumer."""
+    re-deriving — and re-scanning the corpus — per consumer; tokens
+    are dictionary-encoded to vocabulary ids at that boundary
+    (sentinels and <unk> take reserved negatives), so the
+    materialized stream and every model join key are ints, not
+    strings.  The id-assigning window runs over the ≤vocab_k rows
+    that survive the distributed top-k, never the corpus."""
     tk = F.concat(
         F.array(F.lit("<s>")),
         tokens_col(F.lower(F.col(text_col))),
@@ -490,32 +495,41 @@ def bigram_perplexity(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # vocab ids dictionary-encode the heavy stream: the checkpointed
+    # bigram rows and every model join key are ints, not strings
+    # (sentinels/<unk> get reserved negative ids)
+    from pyspark.sql.window import Window
+
     vocab = (
         freq.orderBy(F.col("n").desc(), F.col("tok").asc())
         .limit(vocab_k)
-        .select("tok", F.lit(1).alias("_in"))
+        .withColumn(
+            "_vid",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+            ),
+        )
+        .select("tok", "_vid")
     )
 
     def _map(side: str) -> DataFrame:
-        v = vocab.select(F.col("tok").alias(side), F.col("_in").alias(f"_in_{side}"))
+        v = vocab.select(F.col("tok").alias(side), F.col("_vid").alias(f"_vid_{side}"))
         return F.broadcast(v)
+
+    def _enc(side: str):
+        return (
+            F.when(F.col(side) == "<s>", F.lit(-2))
+            .when(F.col(side) == "</s>", F.lit(-3))
+            .when(F.col(f"_vid_{side}").isNotNull(), F.col(f"_vid_{side}"))
+            .otherwise(F.lit(-1))
+        )
 
     from terminus_server_spark.checkpoint import plan_checkpoint
 
     mapped = plan_checkpoint(
         raw_bg.join(_map("a"), "a", "left_outer")
         .join(_map("b"), "b", "left_outer")
-        .select(
-            "doc_id",
-            F.when(F.col("a").isin("<s>", "</s>"), F.col("a"))
-            .when(F.col("_in_a").isNotNull(), F.col("a"))
-            .otherwise(F.lit("<unk>"))
-            .alias("w1"),
-            F.when(F.col("b").isin("<s>", "</s>"), F.col("b"))
-            .when(F.col("_in_b").isNotNull(), F.col("b"))
-            .otherwise(F.lit("<unk>"))
-            .alias("w2"),
-        )
+        .select("doc_id", _enc("a").alias("w1"), _enc("b").alias("w2"))
     )
     c2 = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = mapped.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

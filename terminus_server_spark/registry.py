@@ -1418,6 +1418,64 @@ def rdf_import(spark, sf_dir):
 
 
 @register(
+    "woql_read_document",
+    r"""
+    WITH trip(subject, predicate, obj, obj_type) AS (
+      SELECT 'Customer/' || c_custkey, 'rdf:type', 'Customer', 'iri' FROM customer
+      UNION ALL
+      SELECT 'Customer/' || c_custkey, 'c_name', c_name, 'xsd:string' FROM customer
+      UNION ALL
+      SELECT 'Customer/' || c_custkey, 'c_acctbal',
+             c_acctbal::VARCHAR, 'xsd:decimal' FROM customer
+      UNION ALL
+      SELECT 'Customer/' || c_custkey, 'c_mktsegment',
+             c_mktsegment, 'xsd:string' FROM customer
+      UNION ALL
+      SELECT 'Customer/' || c_custkey, 'c_nation',
+             'Nation/' || c_nationkey, 'iri' FROM customer),
+    keep AS (SELECT 'Customer/' || c_custkey AS subject, c_acctbal
+             FROM customer WHERE c_acctbal > 9990),
+    pvv AS (
+      SELECT t.subject, t.predicate,
+             CASE WHEN t.obj_type IN ('xsd:integer', 'xsd:decimal') THEN t.obj
+                  ELSE '"' || replace(replace(t.obj, chr(92), chr(92) || chr(92)),
+                                      chr(34), chr(92) || chr(34)) || '"'
+             END AS vjson
+      FROM trip t JOIN keep k ON t.subject = k.subject),
+    pv AS (
+      SELECT subject, predicate, list(vjson ORDER BY vjson) AS vs
+      FROM pvv GROUP BY 1, 2),
+    pairs AS (
+      SELECT subject, predicate,
+             '"' || predicate || '":' ||
+             CASE WHEN len(vs) = 1 THEN vs[1]
+                  ELSE '[' || array_to_string(vs, ',') || ']' END AS pair
+      FROM pv)
+    SELECT k.subject AS c,
+           '{' || string_agg(p.pair, ',' ORDER BY p.predicate) || '}' AS doc
+    FROM keep k JOIN pairs p ON p.subject = k.subject
+    GROUP BY 1
+    """,
+)
+def woql_read_document(spark, sf_dir):
+    """WOQL document word: high-balance customers bind their full
+    JSON document in-query (woql/compiler.py:_c_ReadDocument) — the
+    document frame is assembled once relationally and joined to the
+    solutions, never looked up per answer."""
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("c"), A.v("doc")],
+        A.And(
+            A.Triple(A.v("c"), "c_acctbal", A.v("bal")),
+            A.Greater(A.v("bal"), 9990.0),
+            A.ReadDocument(A.v("c"), A.v("doc")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
     "woql_triple",
     """
     SELECT 'Customer/' || c_custkey AS c, c_acctbal AS bal_d

@@ -431,6 +431,23 @@ class TrueW(Term):
     passes bindings through unchanged."""
 
 
+@dataclass(frozen=True)
+class ReadDocument(Term):
+    """ReadDocument(iri, doc): bind ``doc`` to the canonical JSON
+    rendering of the document rooted at subject ``iri`` — the WOQL
+    document word (terminus-server v3 ``read_document`` /
+    api_document:document_read surfaced inside queries).
+
+    Rendering convention (deterministic, engine-neutral): one JSON
+    object per subject, fields sorted by predicate; numeric literals
+    (xsd:integer / xsd:decimal) unquoted, everything else a
+    JSON-escaped string; multi-valued predicates render as a sorted
+    JSON array."""
+
+    iri: Any
+    doc: Var = None  # type: ignore[assignment]
+
+
 # -- update words ---------------------------------------------------------
 
 

@@ -627,6 +627,63 @@ class WOQLContext:
         doc = self._operand(t.document, df_in)
         return df_in.withColumn(t.result.name, F.get_json_object(doc, f"$.{t.key}"))
 
+    def _c_ReadDocument(self, t: A.ReadDocument, df_in):
+        """Bind the JSON document for each subject the solution
+        reaches.  The document frame is built ONCE relationally —
+        group by (subject, predicate) for sorted value lists, then by
+        subject for the sorted field list — and joined to the
+        bindings on the subject variable, so reading documents for a
+        million solutions is two aggregates and a join, never a
+        per-solution lookup (the reference resolves get_document per
+        answer; the relational form is the Spark-native equivalent)."""
+        esc = F.replace(
+            F.replace(F.col("obj"), F.lit("\\"), F.lit("\\\\")),
+            F.lit('"'),
+            F.lit('\\"'),
+        )
+        vjson = F.when(
+            F.col("obj_type").isin("xsd:integer", "xsd:decimal"), F.col("obj")
+        ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+        graph = self._graph_stack[-1] if self._graph_stack else "instance"
+        per_pv = (
+            self.store.spo(graph=graph)
+            .groupBy("subject", "predicate")
+            .agg(F.sort_array(F.collect_list(vjson)).alias("vs"))
+        )
+        pair = F.concat(
+            F.lit('"'),
+            F.col("predicate"),
+            F.lit('":'),
+            F.when(F.size("vs") == 1, F.element_at("vs", 1)).otherwise(
+                F.concat(F.lit("["), F.array_join("vs", ","), F.lit("]"))
+            ),
+        )
+        docs = (
+            per_pv.select("subject", F.struct("predicate", pair.alias("pair")).alias("e"))
+            .groupBy("subject")
+            .agg(
+                F.concat(
+                    F.lit("{"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list("e")), lambda e: e["pair"]
+                        ),
+                        ",",
+                    ),
+                    F.lit("}"),
+                ).alias("_doc")
+            )
+        )
+        if _is_var(t.iri):
+            frame = docs.select(
+                F.col("subject").alias(t.iri.name), F.col("_doc").alias(t.doc.name)
+            )
+            return self._merge(df_in, frame)
+        frame = docs.where(F.col("subject") == t.iri).select(
+            F.col("_doc").alias(t.doc.name)
+        )
+        return self._merge(df_in, frame)
+
     def _c_Call(self, t: A.Call, df_in):
         """Expand a named query at the call site: args substitute for
         params, every other body variable gets a fresh per-call name

@@ -542,3 +542,38 @@ def test_join_order_uses_predicate_stats(spark):
     a = {tuple(r) for r in ctx.run(q).collect()}
     b = {tuple(r) for r in ctx0.run(q).collect()}
     assert a == b == {("N/1", "M/1", "X/1")}
+
+
+def test_read_document_word(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    triples = spark.createDataFrame(
+        [
+            ("instance", "D/1", "rdf:type", "Doc", "iri", None, None, None),
+            ("instance", "D/1", "title", 'has "quotes"', "xsd:string", None, None, None),
+            ("instance", "D/1", "n", "7", "xsd:integer", 7.0, None, None),
+            ("instance", "D/1", "tag", "b", "xsd:string", None, None, None),
+            ("instance", "D/1", "tag", "a", "xsd:string", None, None, None),
+            ("instance", "D/2", "rdf:type", "Doc", "iri", None, None, None),
+        ],
+        "graph string, subject string, predicate string, obj string,"
+        " obj_type string, obj_num double, obj_lang string, obj_ts timestamp_ntz",
+    )
+    ctx = WOQLContext(TripleStore(triples))
+    # constant-iri form
+    out = ctx.run(A.ReadDocument("D/1", A.v("doc"))).collect()
+    assert out[0].doc == (
+        '{"n":7,"rdf:type":"Doc","tag":["a","b"],"title":"has \\"quotes\\""}'
+    )
+    # variable form joins per solution
+    q = A.And(
+        A.Triple(A.v("s"), "rdf:type", "Doc"),
+        A.ReadDocument(A.v("s"), A.v("doc")),
+    )
+    rows = {r.s: r.doc for r in ctx.run(q).collect()}
+    assert set(rows) == {"D/1", "D/2"}
+    assert rows["D/2"] == '{"rdf:type":"Doc"}'

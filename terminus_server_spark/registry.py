@@ -1418,6 +1418,67 @@ def rdf_import(spark, sf_dir):
 
 
 @register(
+    "woql_doc_words",
+    """
+    WITH counts(predicate, obj_type, n) AS (
+      SELECT 'rdf:type', 'iri',
+             (SELECT COUNT(*) FROM region) + (SELECT COUNT(*) FROM nation)
+             + (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+             + (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'r_name', 'xsd:string', (SELECT COUNT(*) FROM region)
+      UNION ALL SELECT 'n_name', 'xsd:string', (SELECT COUNT(*) FROM nation) - 1
+      UNION ALL SELECT 'n_region', 'iri', (SELECT COUNT(*) FROM nation) - 1
+      UNION ALL SELECT 'c_name', 'xsd:string', (SELECT COUNT(*) FROM customer) + 1
+      UNION ALL SELECT 'c_acctbal', 'xsd:decimal', (SELECT COUNT(*) FROM customer) + 1
+      UNION ALL SELECT 'c_mktsegment', 'xsd:string', (SELECT COUNT(*) FROM customer) + 1
+      UNION ALL SELECT 'c_nation', 'iri', (SELECT COUNT(*) FROM customer) + 1
+      UNION ALL SELECT 's_name', 'xsd:string', (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 's_acctbal', 'xsd:decimal', (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 's_nation', 'iri', (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 'o_orderstatus', 'xsd:string', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_totalprice', 'xsd:decimal', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_orderdate', 'xsd:dateTime', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_orderpriority', 'xsd:string', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'o_customer', 'iri', (SELECT COUNT(*) FROM orders))
+    SELECT predicate, obj_type, n FROM counts
+    """,
+)
+def woql_doc_words(spark, sf_dir):
+    """v3 document words inside WOQL updates: InsertDocument stages a
+    literal customer document (typed fields incl. the rdf:type iri
+    override and the '/'-ref convention), DeleteDocument retracts
+    every triple of Nation/3 via a commit-time subject join; the
+    delta applies through the standard layer path and the result is
+    audited per (predicate, obj_type)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import apply_delta
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    store = _store(spark, sf_dir)
+    ctx = WOQLContext(store)
+    q = A.And(
+        A.InsertDocument(
+            {
+                "@id": "Customer/900001",
+                "@type": "Customer",
+                "c_name": "Customer#900001",
+                "c_acctbal": 1234.5,
+                "c_mktsegment": "BUILDING",
+                "c_nation": "Nation/7",
+            }
+        ),
+        A.DeleteDocument("Nation/3"),
+    )
+    delta = ctx.run_update(q, commit_seq=1, commit_id="d1")
+    new_state = apply_delta(store.df, delta)
+    return new_state.groupBy("predicate", "obj_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@register(
     "woql_read_document",
     r"""
     WITH trip(subject, predicate, obj, obj_type) AS (

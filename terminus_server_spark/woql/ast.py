@@ -432,6 +432,34 @@ class TrueW(Term):
 
 
 @dataclass(frozen=True)
+class InsertDocument(Term):
+    """InsertDocument(doc): stage a JSON document for insert — the v3
+    ``insert_document`` word.  ``doc`` is a mapping with ``@id`` (the
+    subject IRI) and optionally ``@type`` (staged as an rdf:type
+    triple with iri typing); every other field stages one triple per
+    solution, typed by the update-word conventions (numeric Python
+    values → xsd numerics, strings containing '/' → iri refs, Vars
+    read the bindings).  Compiles to the same staged-template path as
+    AddTriple, so a document insert over a million solutions is one
+    distributed projection, not a loop."""
+
+    doc: Any
+    graph: str = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class DeleteDocument(Term):
+    """DeleteDocument(iri): stage deletion of EVERY triple rooted at
+    the subject — the v3 ``delete_document`` word.  The per-field
+    delta is derived from the store at commit time (join on subject),
+    so the word needs no field enumeration and stays correct as the
+    document's schema evolves."""
+
+    iri: Any
+    graph: str = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
 class ReadDocument(Term):
     """ReadDocument(iri, doc): bind ``doc`` to the canonical JSON
     rendering of the document rooted at subject ``iri`` — the WOQL

@@ -90,6 +90,10 @@ class WOQLContext:
         bindings = self._compile(term, None)
         if not self._staged:
             raise ValueError("run_update: query stages no AddTriple/DeleteTriple")
+        if bindings is None:
+            # pure-constant update (e.g. InsertDocument of a literal
+            # doc with no pattern words): one solution, no variables
+            bindings = self.spark.range(1).select(F.lit(1).alias("_one"))
         deltas = [self._delta_rows(bindings, staged, commit_seq, commit_id) for staged in self._staged]
         out = deltas[0]
         for d in deltas[1:]:
@@ -734,8 +738,47 @@ class WOQLContext:
         self._staged.append(("del", self._write_graph(t.graph), t.s, t.p, t.o))
         return df_in
 
+    def _c_InsertDocument(self, t: A.InsertDocument, df_in):
+        doc = dict(t.doc)
+        g = self._write_graph(t.graph)
+        subject = doc.pop("@id")
+        cls = doc.pop("@type", None)
+        if cls is not None:
+            # rdf:type objects are iris regardless of the '/' heuristic
+            self._staged.append(("add", g, subject, "rdf:type", cls, "iri"))
+        for field, value in sorted(doc.items()):
+            self._staged.append(("add", g, subject, field, value))
+        return df_in
+
+    def _c_DeleteDocument(self, t: A.DeleteDocument, df_in):
+        self._staged.append(("del_doc", self._write_graph(t.graph), t.iri, None, None))
+        return df_in
+
     def _delta_rows(self, bindings: DataFrame, staged: tuple, commit_seq: int, commit_id: str) -> DataFrame:
-        op, graph, s, p, o = staged
+        if staged[0] == "del_doc":
+            # whole-document retraction: the delta is every store
+            # triple rooted at the subject(s) — derived by subject
+            # join at commit time, one distributed semi-join
+            _, graph, s = staged[:3]
+            trips = self.store.spo(graph=graph)
+            if _is_var(s):
+                subs = bindings.select(F.col(s.name).alias("subject")).distinct()
+                trips = trips.join(subs, "subject")
+            else:
+                trips = trips.where(F.col("subject") == s)
+            return trips.select(
+                F.lit(commit_seq).alias("commit_seq"),
+                F.lit(commit_id).alias("commit_id"),
+                F.lit("del").alias("op"),
+                "graph",
+                "subject",
+                "predicate",
+                "obj",
+                "obj_type",
+                "obj_num",
+            ).distinct()
+        type_override = staged[5] if len(staged) > 5 else None
+        op, graph, s, p, o = staged[:5]
         dtypes = dict(bindings.dtypes)
 
         def _part(x):
@@ -761,7 +804,11 @@ class WOQLContext:
             _part(s).cast("string").alias("subject"),
             _part(p).cast("string").alias("predicate"),
             obj.cast("string").alias("obj"),
-            F.lit("iri" if (not _is_var(o) and isinstance(o, str) and "/" in o) else xsd).alias("obj_type"),
+            F.lit(
+                type_override
+                if type_override is not None
+                else ("iri" if (not _is_var(o) and isinstance(o, str) and "/" in o) else xsd)
+            ).alias("obj_type"),
             (obj.cast("double") if is_num else F.lit(None).cast("double")).alias("obj_num"),
         ).distinct()
 

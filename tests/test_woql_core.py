@@ -577,3 +577,38 @@ def test_read_document_word(spark):
     rows = {r.s: r.doc for r in ctx.run(q).collect()}
     assert set(rows) == {"D/1", "D/2"}
     assert rows["D/2"] == '{"rdf:type":"Doc"}'
+
+
+def test_insert_delete_document_words(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.versioning.layers import apply_delta
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    triples = spark.createDataFrame(
+        [
+            ("instance", "D/1", "rdf:type", "Doc", "iri", None, None, None),
+            ("instance", "D/1", "title", "old", "xsd:string", None, None, None),
+        ],
+        "graph string, subject string, predicate string, obj string,"
+        " obj_type string, obj_num double, obj_lang string, obj_ts timestamp_ntz",
+    )
+    store = TripleStore(triples)
+    ctx = WOQLContext(store)
+    q = A.And(
+        A.InsertDocument(
+            {"@id": "D/2", "@type": "Doc", "title": "new", "score": 3}
+        ),
+        A.DeleteDocument("D/1"),
+    )
+    delta = ctx.run_update(q, commit_seq=1, commit_id="c1")
+    rows = {(r.op, r.subject, r.predicate): (r.obj, r.obj_type) for r in delta.collect()}
+    assert rows[("add", "D/2", "rdf:type")] == ("Doc", "iri")  # override, no '/'
+    assert rows[("add", "D/2", "score")] == ("3", "xsd:integer")
+    assert rows[("del", "D/1", "title")] == ("old", "xsd:string")
+    state = apply_delta(store.df, delta)
+    subjects = {r.subject for r in state.select("subject").distinct().collect()}
+    assert subjects == {"D/2"}
+    assert state.count() == 3

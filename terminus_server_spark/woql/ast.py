@@ -448,6 +448,19 @@ class InsertDocument(Term):
 
 
 @dataclass(frozen=True)
+class UpdateDocument(Term):
+    """UpdateDocument(doc): replace the document at ``doc["@id"]`` —
+    the v3 ``update_document`` word.  Compiles to whole-subject
+    retraction (DeleteDocument's commit-time join) plus the typed
+    insert templates in the SAME commit; fields unchanged between old
+    and new are deleted and re-added, which the layer identity makes
+    a no-op."""
+
+    doc: Any
+    graph: str = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
 class DeleteDocument(Term):
     """DeleteDocument(iri): stage deletion of EVERY triple rooted at
     the subject — the v3 ``delete_document`` word.  The per-field

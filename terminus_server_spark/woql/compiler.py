@@ -754,6 +754,12 @@ class WOQLContext:
         self._staged.append(("del_doc", self._write_graph(t.graph), t.iri, None, None))
         return df_in
 
+    def _c_UpdateDocument(self, t: A.UpdateDocument, df_in):
+        df_in = self._c_DeleteDocument(
+            A.DeleteDocument(dict(t.doc)["@id"], t.graph), df_in
+        )
+        return self._c_InsertDocument(A.InsertDocument(t.doc, t.graph), df_in)
+
     def _delta_rows(self, bindings: DataFrame, staged: tuple, commit_seq: int, commit_id: str) -> DataFrame:
         if staged[0] == "del_doc":
             # whole-document retraction: the delta is every store

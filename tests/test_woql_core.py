@@ -612,3 +612,30 @@ def test_insert_delete_document_words(spark):
     subjects = {r.subject for r in state.select("subject").distinct().collect()}
     assert subjects == {"D/2"}
     assert state.count() == 3
+
+
+def test_update_document_word_replaces_whole_doc(spark):
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.versioning.layers import apply_delta
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    triples = spark.createDataFrame(
+        [
+            ("instance", "D/1", "rdf:type", "Doc", "iri", None, None, None),
+            ("instance", "D/1", "title", "old", "xsd:string", None, None, None),
+            ("instance", "D/1", "stale", "x", "xsd:string", None, None, None),
+        ],
+        "graph string, subject string, predicate string, obj string,"
+        " obj_type string, obj_num double, obj_lang string, obj_ts timestamp_ntz",
+    )
+    store = TripleStore(triples)
+    ctx = WOQLContext(store)
+    delta = ctx.run_update(
+        A.UpdateDocument({"@id": "D/1", "@type": "Doc", "title": "new"}),
+        commit_seq=1, commit_id="c1",
+    )
+    state = apply_delta(store.df, delta)
+    got = {(r.predicate): r.obj for r in state.collect()}
+    # stale field gone, title replaced, type kept (del + re-add)
+    assert got == {"rdf:type": "Doc", "title": "new"}

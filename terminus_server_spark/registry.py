@@ -4745,6 +4745,79 @@ def stream_stream_join(spark, sf_dir):
     )
 
 
+@register(
+    "stream_stream_join_outer",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+     AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join_outer(spark, sf_dir):
+    """LEFT-OUTER stream-stream interval join: unattributed purchases
+    emit a NULL-view row only after the watermark closes their match
+    window (streaming/events.py:stream_stream_attribution_join,
+    how=leftOuter).  Replayed as three micro-batches — the data, then
+    two far-future sentinel views — because outer results trail the
+    stream by the watermark delay: the sentinels advance the
+    watermark past every purchase so the trailing NULLs flush; the
+    sentinel users match nothing and emit nothing.  Each sentinel
+    batch carries BOTH a view and a purchase: the global watermark is
+    the MIN across the two sides, so advancing only the view side
+    would stall it at the last real purchase (exactly the bug this
+    harness exists to catch).  Sentinel purchases sit at the far time
+    edge, inside the final watermark delay, so they never flush into
+    the output themselves."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import (
+        run_stream_batches_to_table,
+        stream_stream_attribution_join,
+    )
+
+    events = _t(spark, sf_dir, "events")["events"]
+    d = dict(events.dtypes)
+
+    def srow(eid: int, uid: int, etype: str, ts: str):
+        cols = []
+        for c in events.columns:
+            if c == "event_id":
+                cols.append(F.lit(eid).cast(d[c]).alias(c))
+            elif c == "ts":
+                cols.append(F.lit(ts).cast(d[c]).alias(c))
+            elif c == "user_id":
+                cols.append(F.lit(uid).cast(d[c]).alias(c))
+            elif c == "event_type":
+                cols.append(F.lit(etype).cast(d[c]).alias(c))
+            else:
+                cols.append(F.lit(None).cast(d[c]).alias(c))
+        return events.limit(1).select(*cols)
+
+    edge = "2024-06-02 00:00:00"
+    sent1 = srow(-1, -1, "view", "2024-06-01 00:00:00").unionByName(
+        srow(-2, -2, "purchase", edge)
+    )
+    sent2 = srow(-3, -1, "view", edge).unionByName(
+        srow(-4, -2, "purchase", edge)
+    )
+    result, _ = run_stream_batches_to_table(
+        spark,
+        [events, sent1, sent2],
+        lambda s: stream_stream_attribution_join(
+            s, within="30 minutes", how="leftOuter"
+        ),
+        "tss_ss_join_outer",
+        output_mode="append",
+    )
+    return result.where(F.col("user_id") >= 0)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sources & streaming
 # ---------------------------------------------------------------------------

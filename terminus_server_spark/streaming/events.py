@@ -205,7 +205,10 @@ def stream_static_join_counts(
 
 
 def stream_stream_attribution_join(
-    events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
+    events: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """(user_id, purchase_id, view_id, gap_us): stream-stream
     interval join — every purchase paired with the same user's views
@@ -217,7 +220,14 @@ def stream_stream_attribution_join(
     Streaming expire join state: a buffered view older than
     watermark + within can never match a future purchase and is
     dropped.  Works identically on batch inputs (plain interval
-    join), so the SQL oracle replays it exactly."""
+    join), so the SQL oracle replays it exactly.
+
+    ``how="leftOuter"`` keeps unattributed purchases: Structured
+    Streaming emits the NULL-view row only once the watermark passes
+    the purchase's event time (no future view can match it — the
+    state-closure proof), so outer results trail the stream by the
+    watermark delay; the batch oracle is the plain LEFT interval
+    join."""
     e = _event_time(events)
     views = (
         e.where(F.col("event_type") == "view")
@@ -243,6 +253,7 @@ def stream_stream_attribution_join(
             f"user_id = v_user AND view_ts >= purchase_ts - INTERVAL {within}"
             " AND view_ts < purchase_ts"
         ),
+        how,
     )
     return joined.select(
         "user_id",

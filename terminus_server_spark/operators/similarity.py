@@ -236,9 +236,13 @@ def expr_lsh_signature(
 ) -> Column:
     """Sign-hash signature with expression-derived hyperplanes — the
     dim-agnostic form of ``lsh_signature``.  Bit p = (v · plane_p) > 0
-    where the dot is a sequential left fold over
-    ``transform(v, (x, i) -> x * plane_p[i])`` (0.0 + x is exact in
-    IEEE, so DuckDB's list_reduce replays it bit-for-bit)."""
+    where the dot follows the module's fixed-point convention
+    (per-element products floor-scaled to bigint, integer sum).
+    Float folds are NOT engine-portable — DuckDB's list_reduce is a
+    pairwise reduction, one ulp off a strict left fold, which can
+    flip a bit whose dot sits within a ulp of zero; integer sums are
+    order-free everywhere, making the signature provably identical
+    across engines and partitionings."""
     if dim is not None:
         # fast path: the hyperplanes are row-independent constants, so
         # when the vector width is known at plan time, inline them as
@@ -249,8 +253,12 @@ def expr_lsh_signature(
 
         def plane_dot(p: int) -> Column:
             lit = F.array(*[F.lit(x) for x in planes[p]])
-            prods = F.zip_with(vec_col, lit, lambda x, y: x * y)
-            return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+            prods = F.zip_with(
+                vec_col, lit, lambda x, y: F.floor(x * y * F.lit(SCALE)).cast("bigint")
+            )
+            return F.aggregate(
+                prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            )
 
     else:
 
@@ -258,8 +266,15 @@ def expr_lsh_signature(
             # close over p via a function scope: a `p=p` default param
             # would make pyspark count 3 lambda args and build an
             # invalid higher-order function (transform passes (x, i))
-            prods = F.transform(vec_col, lambda x, i: x * _plane_component(p, i, seed))
-            return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+            prods = F.transform(
+                vec_col,
+                lambda x, i: F.floor(
+                    x * _plane_component(p, i, seed) * F.lit(SCALE)
+                ).cast("bigint"),
+            )
+            return F.aggregate(
+                prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            )
 
     bits = [
         F.when(plane_dot(p) > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(n_planes)
@@ -269,12 +284,18 @@ def expr_lsh_signature(
 
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-hash signature: bit p = (vec · plane_p) > 0.  Charikar's
-    SimHash for cosine — collision probability 1 − θ/π per bit."""
+    SimHash for cosine — collision probability 1 − θ/π per bit.
+    Fixed-point dots (see expr_lsh_signature) keep the bits
+    engine-portable."""
     bits = []
     for row in planes:
         dot = F.aggregate(
-            F.zip_with(vec_col, F.array(*[F.lit(x) for x in row]), lambda a, b: a * b),
-            F.lit(0.0),
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(x) for x in row]),
+                lambda a, b: F.floor(a * b * F.lit(SCALE)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
         bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
@@ -565,3 +586,44 @@ def hard_negatives(
         .where(F.col("rk") <= k)
         .orderBy("query_id", "rk")
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "proj",
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, j, y): Johnson-Lindenstrauss-style random projection
+    of each embedding onto ``out_dim`` deterministic md5-derived
+    directions (the same hyperplane family the sign-LSH uses, kept
+    real-valued instead of thresholded) — the standard dimensionality
+    cut before clustering / coarse ANN when 64-dim exact cosine is
+    too wide.
+
+    The plane matrix is a compile-time constant inlined into the
+    plan (no broadcast, no driver state); each component follows the
+    module's fixed-point dot convention — per-element products
+    floor-scaled to bigint, summed as integers — because float folds
+    are NOT portable across engines (DuckDB's list_reduce is a
+    pairwise reduction, one ulp off a strict left fold); integer sums
+    are order-free everywhere.  Map-only, zero shuffle."""
+    planes = _hyperplanes(dim, out_dim, seed)
+    v = _scaled_vec(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("vec_id"), v.alias("_v"))
+    ys = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.array(*[F.lit(x) for x in p]),
+                lambda a, b: F.floor(a * b * F.lit(SCALE)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(SCALE)
+        for p in planes
+    ]
+    return base.select("vec_id", F.posexplode(F.array(*ys)).alias("j", "y"))

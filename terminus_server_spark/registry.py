@@ -5846,16 +5846,19 @@ ORACLES["ann_ivf"] = f"""
 
 def _sig_sql(planes: list[list[float]]) -> str:
     """Sign-LSH signature as a DuckDB expression over column ``v``:
-    bit p = (v · plane_p) > 0.  list_reduce is a sequential left fold,
-    and 0.0 + x == x in IEEE, so it reproduces Spark's
-    F.aggregate(0.0, +) bit-for-bit."""
+    bit p = (v · plane_p) > 0, with the module's fixed-point dot
+    (floor-scaled bigint products, integer sum).  Float folds are not
+    portable — DuckDB's list_reduce reduces PAIRWISE, a ulp off
+    Spark's left fold, which could flip a bit whose dot straddles
+    zero; the integer sum is order-free on both engines."""
     bit_exprs = []
     for row in planes:
         lit = "[" + ", ".join(repr(x) for x in row) + "]"
         bit_exprs.append(
-            "CASE WHEN list_reduce(list_transform(list_zip(v, "
+            "CASE WHEN list_sum(list_transform(list_zip(v, "
             + lit
-            + "::DOUBLE[]), q -> q[1] * q[2]), (x, y) -> x + y) > 0 THEN '1' ELSE '0' END"
+            + "::DOUBLE[]), q -> floor(q[1] * q[2] * 1e12)::BIGINT)) > 0"
+            " THEN '1' ELSE '0' END"
         )
     return " || ".join(bit_exprs)
 
@@ -5894,6 +5897,40 @@ def _lsh_oracle_sql() -> str:
 
 
 ORACLES["ann_lsh"] = _lsh_oracle_sql()
+
+
+def _projection_oracle_sql(out_dim: int = 8, dim: int = 64, seed: str = "proj") -> str:
+    from terminus_server_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, out_dim, seed)
+    arms = []
+    for j, row in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        arms.append(
+            f"SELECT vec_id, {j} AS j, "
+            f"list_sum(list_transform(list_zip(v, {lit}::DOUBLE[]), "
+            "q -> floor(q[1] * q[2] * 1e12)::BIGINT))::DOUBLE / 1e12 AS y FROM vv"
+        )
+    return (
+        "WITH vv AS (SELECT vec_id, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)\n"
+        + "\nUNION ALL ".join(arms)
+    )
+
+
+@register("emb_project", None)
+def emb_project(spark, sf_dir):
+    """Deterministic random projection to 8 dims
+    (operators/similarity.py:random_projection): md5-derived constant
+    plane matrix inlined in the plan, sequential-fold dots, map-only
+    zero-shuffle job; the oracle replays the identical fold per
+    output dimension."""
+    from terminus_server_spark.operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings")["embeddings"])
+
+
+ORACLES["emb_project"] = _projection_oracle_sql()
 
 
 def _embed_lsh_oracle_sql(threshold: float = 0.37, n_planes: int = 16, n_bands: int = 4) -> str:

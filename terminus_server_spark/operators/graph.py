@@ -605,3 +605,81 @@ def harmonic_centrality(
             "harmonic"
         ),
     )
+
+
+def neighborhood_sketch_audit(
+    edges: DataFrame, sources: DataFrame, hops: int = 3, k: int = 8
+) -> DataFrame:
+    """(node, n_sketch, est, n_exact, rel_err): HyperBall-style
+    neighborhood-function estimation — each node carries a KMV sketch
+    of its h-hop ball, merged along edges for ``hops`` rounds — AND
+    the exact ball size it approximates, so the estimator ships with
+    its own error audit (the same audited-approximation pattern as
+    dedup_lsh_recall).
+
+    This is the 100 TB form of ball-size/centrality computation: the
+    exact multi-source BFS carries |V|·|ball| (source, node) state,
+    while the sketch carries |V|·k hashes regardless of ball size —
+    HyperBall (Boldi & Vigna) with a KMV sketch instead of HLL
+    because md5-derived k-min fractions are engine-portable and
+    bit-deterministic (the module's KMV convention,
+    pipeline.kmv_distinct_estimate).  Merge = union of sorted k-min
+    lists, re-sorted, clipped to k — associative and exact, so round
+    results are partition-independent; each round is plan-checkpointed
+    (the state feeds both its own carry-over and the edge
+    contribution).  Estimate: exact |sketch| while the ball is
+    smaller than k, else (k-1)/theta."""
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    frac = (
+        F.conv(F.substring(F.md5(F.col("node")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(16**8))
+    )
+    nodes = (
+        sources.select("node")
+        .union(edges.select(F.col("src").alias("node")))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = nodes.select("node", F.array(frac).alias("sk"))
+    for _ in range(hops):
+        contrib = edges.join(
+            state.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "sk")
+        state = plan_checkpoint(
+            state.unionByName(contrib)
+            .groupBy("node")
+            .agg(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))),
+                    1,
+                    k,
+                ).alias("sk")
+            )
+        )
+    est = F.when(F.size("sk") < k, F.size("sk").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at("sk", k)
+    )
+    sketched = state.select("node", F.size("sk").alias("n_sketch"), est.alias("est"))
+    exact = (
+        shortest_hops(edges, sources, max_iters=hops)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .withColumnRenamed("source", "node")
+    )
+    return (
+        sources.select("node")
+        .join(sketched, "node")
+        .join(exact, "node")
+        .select(
+            "node",
+            "n_sketch",
+            F.round("est", 6).alias("est"),
+            "n_exact",
+            F.round(
+                F.abs(F.col("est") - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

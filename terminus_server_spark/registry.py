@@ -2431,6 +2431,82 @@ def graph_harmonic(spark, sf_dir):
     return harmonic_centrality(edges, sources, max_hops=3)
 
 
+_BALL_ROUNDS = "".join(
+    f""",
+    c{r} AS (SELECT e.src AS node, s.sk FROM e JOIN s{r - 1} s ON s.node = e.dst
+             UNION ALL SELECT node, sk FROM s{r - 1}),
+    s{r} AS (SELECT node, (list_sort(list_distinct(flatten(list(sk)))))[1:8] AS sk
+             FROM c{r} GROUP BY node)"""
+    for r in (1, 2, 3)
+)
+
+
+@register(
+    "graph_ball_sketch",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey + d.d) AS dst
+      FROM customer, (VALUES (1), (2), (3)) d(d)
+      WHERE c_custkey + d.d <= (SELECT MAX(c_custkey) FROM customer)),
+    srcs AS (SELECT 'C/' || c_custkey AS node FROM customer),
+    nodes AS (SELECT node FROM srcs UNION SELECT src FROM e UNION SELECT dst FROM e),
+    s0 AS (SELECT node,
+             [CAST(('0x' || substring(md5(node), 1, 8)) AS BIGINT)::DOUBLE
+              / 4294967296.0] AS sk
+           FROM nodes){_BALL_ROUNDS},
+    walk AS (
+      SELECT node AS source, node, 0 AS hops FROM srcs
+      UNION ALL
+      SELECT w.source, e.dst AS node, w.hops + 1
+      FROM walk w JOIN e ON w.node = e.src WHERE w.hops < 3),
+    ex AS (SELECT source AS node, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_exact
+           FROM walk GROUP BY source),
+    scored AS (
+      SELECT s.node, len(s.sk) AS n_sketch,
+             CASE WHEN len(s.sk) < 8 THEN len(s.sk)::DOUBLE
+                  ELSE 7.0::DOUBLE / s.sk[8] END AS est,
+             x.n_exact
+      FROM srcs JOIN s3 s USING (node) JOIN ex x ON x.node = s.node)
+    SELECT node, n_sketch, ROUND(est, 6) AS est, n_exact,
+           ROUND(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE, 6) AS rel_err
+    FROM scored
+    """,
+)
+def graph_ball_sketch(spark, sf_dir):
+    """HyperBall-style h-hop ball-size estimation with its own exact
+    audit (operators/graph.py:neighborhood_sketch_audit): KMV sketches
+    merged along edges for 3 rounds over a skip-link graph, estimate
+    vs exact multi-source-BFS ball size per node — the |V|·k-state
+    scale path for neighborhood functions, sketch bits reproduced
+    exactly by the oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import neighborhood_sketch_audit
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    mx = cust.agg(F.max("c_custkey").alias("_mx"))
+    edges = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "c_custkey",
+            "_mx",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("d"),
+        )
+        .where(F.col("c_custkey") + F.col("d") <= F.col("_mx"))
+        .select(
+            F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(
+                F.lit("C/"), (F.col("c_custkey") + F.col("d")).cast("string")
+            ).alias("dst"),
+        )
+    )
+    sources = cust.select(
+        F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return neighborhood_sketch_audit(edges, sources, hops=3, k=8)
+
+
 @register(
     "graph_components",
     """

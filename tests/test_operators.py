@@ -1246,3 +1246,35 @@ def test_edit_distance_verify_empty_texts(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     rows = edit_distance_verify(docs, pairs).collect()
     assert rows[0].edit_sim == 1.0 and rows[0].edit_dist == 0
+
+
+def test_neighborhood_sketch_exact_region(spark):
+    from terminus_server_spark.operators.graph import neighborhood_sketch_audit
+
+    # path a->b->c->d : 2-hop balls are small, k=8 > every ball, so the
+    # estimate must EQUAL the exact ball size everywhere (exact region)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("a",), ("c",), ("d",)], "node string")
+    got = {r.node: (r.n_sketch, r.est, r.n_exact, r.rel_err)
+           for r in neighborhood_sketch_audit(edges, sources, hops=2, k=8).collect()}
+    assert got["a"] == (3, 3.0, 3, 0.0)   # a, b, c
+    assert got["c"] == (2, 2.0, 2, 0.0)
+    assert got["d"] == (1, 1.0, 1, 0.0)
+
+
+def test_neighborhood_sketch_estimates_when_ball_exceeds_k(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import neighborhood_sketch_audit
+
+    # clique-ish fan: node 0 -> 1..20, so its 1-hop ball (21) > k=4
+    edges = spark.range(1, 21).select(
+        F.lit("n0").alias("src"), F.concat(F.lit("n"), F.col("id")).alias("dst")
+    )
+    sources = spark.createDataFrame([("n0",)], "node string")
+    r = neighborhood_sketch_audit(edges, sources, hops=1, k=4).collect()[0]
+    assert r.n_sketch == 4 and r.n_exact == 21
+    assert r.est > 4  # estimator engaged, not clipped at k
+    assert r.rel_err < 1.5  # k=4 is coarse; just sanity-bound it

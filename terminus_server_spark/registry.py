@@ -2449,7 +2449,9 @@ _BALL_ROUNDS = "".join(
       FROM customer, (VALUES (1), (2), (3)) d(d)
       WHERE c_custkey + d.d <= (SELECT MAX(c_custkey) FROM customer)),
     srcs AS (SELECT 'C/' || c_custkey AS node FROM customer),
-    nodes AS (SELECT node FROM srcs UNION SELECT src FROM e UNION SELECT dst FROM e),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT node FROM srcs UNION ALL SELECT src FROM e
+      UNION ALL SELECT dst FROM e)),
     s0 AS (SELECT node,
              [CAST(('0x' || substring(md5(node), 1, 8)) AS BIGINT)::DOUBLE
               / 4294967296.0] AS sk
@@ -2505,6 +2507,91 @@ def graph_ball_sketch(spark, sf_dir):
         F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("node")
     )
     return neighborhood_sketch_audit(edges, sources, hops=3, k=8)
+
+
+def _ball_est_sql(t: str) -> str:
+    return (
+        f"CASE WHEN len({t}.sk) < 8 THEN len({t}.sk)::DOUBLE"
+        f" ELSE 7.0::DOUBLE / {t}.sk[8] END"
+    )
+
+
+@register(
+    "graph_harmonic_sketch",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey + d.d) AS dst
+      FROM customer, (VALUES (1), (2), (3)) d(d)
+      WHERE c_custkey + d.d <= (SELECT MAX(c_custkey) FROM customer)),
+    srcs AS (SELECT 'C/' || c_custkey AS node FROM customer),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT node FROM srcs UNION ALL SELECT src FROM e
+      UNION ALL SELECT dst FROM e)),
+    s0 AS (SELECT node,
+             [CAST(('0x' || substring(md5(node), 1, 8)) AS BIGINT)::DOUBLE
+              / 4294967296.0] AS sk
+           FROM nodes){_BALL_ROUNDS},
+    ests AS (
+      SELECT s0.node,
+             {_ball_est_sql('s0')} AS e0, {_ball_est_sql('s1')} AS e1,
+             {_ball_est_sql('s2')} AS e2, {_ball_est_sql('s3')} AS e3
+      FROM s0 JOIN s1 USING (node) JOIN s2 USING (node) JOIN s3 USING (node)),
+    walk AS (
+      SELECT node AS source, node, 0 AS hops FROM srcs
+      UNION ALL
+      SELECT w.source, e.dst AS node, w.hops + 1
+      FROM walk w JOIN e ON w.node = e.src WHERE w.hops < 3),
+    sp AS (SELECT source, node, MIN(hops) AS hops FROM walk GROUP BY 1, 2),
+    hx AS (SELECT source,
+             SUM(CAST(1.0::DOUBLE / hops::DOUBLE AS DECIMAL(28,12))) AS h
+           FROM sp WHERE hops > 0 GROUP BY 1),
+    exact AS (
+      SELECT srcs.node, ROUND(COALESCE(hx.h::DOUBLE, 0.0), 6) AS h_exact
+      FROM srcs LEFT JOIN hx ON hx.source = srcs.node),
+    scored AS (
+      SELECT ests.node,
+             ((e1 - e0) / 1.0::DOUBLE) + ((e2 - e1) / 2.0::DOUBLE)
+               + ((e3 - e2) / 3.0::DOUBLE) AS h_est,
+             exact.h_exact
+      FROM ests JOIN exact USING (node) JOIN srcs USING (node))
+    SELECT node, ROUND(h_est, 6) AS h_est, h_exact,
+           ROUND(CASE WHEN h_exact > 0 THEN abs(h_est - h_exact) / h_exact
+                      ELSE abs(h_est) END, 6) AS rel_err
+    FROM scored
+    """,
+)
+def graph_harmonic_sketch(spark, sf_dir):
+    """Harmonic centrality the HyperBall way — Σ_r (|B_r|−|B_{r−1}|)/r
+    over KMV ball estimates (operators/graph.py:
+    harmonic_sketch_audit), audited per node against the exact
+    bounded-radius harmonic; |V|·k state instead of |V|·ball, same
+    skip-link graph as graph_ball_sketch."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import harmonic_sketch_audit
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    mx = cust.agg(F.max("c_custkey").alias("_mx"))
+    edges = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "c_custkey",
+            "_mx",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("d"),
+        )
+        .where(F.col("c_custkey") + F.col("d") <= F.col("_mx"))
+        .select(
+            F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(
+                F.lit("C/"), (F.col("c_custkey") + F.col("d")).cast("string")
+            ).alias("dst"),
+        )
+    )
+    sources = cust.select(
+        F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return harmonic_sketch_audit(edges, sources, hops=3, k=8)
 
 
 @register(

@@ -1278,3 +1278,17 @@ def test_neighborhood_sketch_estimates_when_ball_exceeds_k(spark):
     assert r.n_sketch == 4 and r.n_exact == 21
     assert r.est > 4  # estimator engaged, not clipped at k
     assert r.rel_err < 1.5  # k=4 is coarse; just sanity-bound it
+
+
+def test_harmonic_sketch_exact_region_matches_exact(spark):
+    from terminus_server_spark.operators.graph import harmonic_sketch_audit
+
+    # small balls + k=16 -> sketch is exact -> h_est == h_exact
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("a",), ("d",)], "node string")
+    got = {r.node: (r.h_est, r.h_exact, r.rel_err)
+           for r in harmonic_sketch_audit(edges, sources, hops=3, k=16).collect()}
+    assert got["a"] == (1.833333, 1.833333, 0.0)  # 1 + 1/2 + 1/3
+    assert got["d"] == (0.0, 0.0, 0.0)

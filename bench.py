@@ -145,6 +145,13 @@ HEADLINE = [
     "ann_hard_negatives",
     "graph_harmonic",
     "dedup_edit_verify",
+    "doc_read_at_commit",
+    "woql_read_document",
+    "woql_doc_words",
+    "stream_stream_join_outer",
+    "emb_project",
+    "graph_ball_sketch",
+    "graph_harmonic_sketch",
 ]
 
 

@@ -593,3 +593,84 @@ def edit_distance_verify(
             F.round(sim, 6).alias("edit_sim"),
         )
     )
+
+
+def cross_corpus_dedup(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, ref_id, jaccard): flag documents of an incoming crawl
+    that near-duplicate something ALREADY IN the training corpus —
+    the asymmetric companion to self-dedup (you don't re-examine the
+    reference corpus against itself; you gate new data against it).
+
+    Same band-bucket machinery as self-dedup, but the band join is
+    new×ref instead of a self-join, so cost is |new bands| ⋈ |ref
+    bands| on bucket keys; the reference side's signatures are
+    computed once and, in production, PERSISTED — re-signing 100 TB
+    of accepted corpus per increment would dwarf the increment
+    itself (the oracle recomputes them because it replays from
+    scratch).  Candidates verify by exact shingle Jaccard, best
+    reference match per new doc (highest jaccard, lowest ref_id
+    tie-break)."""
+    from pyspark.sql.window import Window
+
+    def banded(docs: DataFrame, id_alias: str) -> DataFrame:
+        sig = minhash_signatures(shingles(docs, text_col=text_col))
+        rows_per_band = N_MINHASH // N_BANDS
+        bands = []
+        for b in range(N_BANDS):
+            cols = [
+                F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            bands.append(
+                sig.select(
+                    F.col("doc_id").alias(id_alias),
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws("|", *cols).alias("band_key"),
+                )
+            )
+        out = bands[0]
+        for fr in bands[1:]:
+            out = out.union(fr)
+        return out
+
+    cand = (
+        banded(new_docs, "doc_id")
+        .join(banded(ref_docs, "ref_id"), ["band_id", "band_key"])
+        .select("doc_id", "ref_id")
+        .distinct()
+    )
+    sh_new = shingles(new_docs, text_col=text_col).select(
+        F.col("doc_id"), F.col("shingle")
+    )
+    sh_ref = shingles(ref_docs, text_col=text_col).select(
+        F.col("doc_id").alias("ref_id"), F.col("shingle")
+    )
+    sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sz_ref = sh_ref.groupBy("ref_id").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        cand.join(sh_new, "doc_id")
+        .join(sh_ref, ["ref_id", "shingle"])
+        .groupBy("doc_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    scored = (
+        inter.join(sz_new, "doc_id")
+        .join(sz_ref, "ref_id")
+        .select("doc_id", "ref_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("ref_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "ref_id", F.round("jaccard", 6).alias("jaccard"))
+    )

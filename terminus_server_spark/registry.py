@@ -913,6 +913,73 @@ def dedup_edit_verify(spark, sf_dir):
 
 
 @register(
+    "dedup_cross_corpus",
+    rf"""
+    WITH {_SHINGLES_SQL},
+    shn AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 <> 0),
+    shr AS (SELECT doc_id AS ref_id, shingle FROM sh WHERE doc_id % 3 = 0),
+    sign AS (SELECT doc_id,
+               min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+               min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+               min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+               min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+             FROM shn GROUP BY doc_id),
+    sigr AS (SELECT ref_id,
+               min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+               min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+               min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+               min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+             FROM shr GROUP BY ref_id),
+    bandn AS (
+      SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sign
+      UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sign
+      UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sign
+      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sign),
+    bandr AS (
+      SELECT ref_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sigr
+      UNION ALL SELECT ref_id, 1, sig_2 || '|' || sig_3 FROM sigr
+      UNION ALL SELECT ref_id, 2, sig_4 || '|' || sig_5 FROM sigr
+      UNION ALL SELECT ref_id, 3, sig_6 || '|' || sig_7 FROM sigr),
+    cand AS (
+      SELECT DISTINCT n.doc_id, r.ref_id
+      FROM bandn n JOIN bandr r USING (band_id, band_key)),
+    szn AS (SELECT doc_id, COUNT(*) AS n_a FROM shn GROUP BY 1),
+    szr AS (SELECT ref_id, COUNT(*) AS n_b FROM shr GROUP BY 1),
+    inter AS (
+      SELECT c.doc_id, c.ref_id, COUNT(*) AS n_inter
+      FROM cand c JOIN shn a ON a.doc_id = c.doc_id
+                  JOIN shr b ON b.ref_id = c.ref_id AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT i.doc_id, i.ref_id,
+             i.n_inter::DOUBLE / (szn.n_a + szr.n_b - i.n_inter)::DOUBLE AS jaccard
+      FROM inter i JOIN szn USING (doc_id) JOIN szr USING (ref_id)
+      WHERE i.n_inter::DOUBLE / (szn.n_a + szr.n_b - i.n_inter)::DOUBLE >= 0.5)
+    SELECT doc_id, ref_id, ROUND(jaccard, 6) AS jaccard
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, ref_id ASC) = 1
+    """,
+)
+def dedup_cross_corpus(spark, sf_dir):
+    """Incremental-crawl gating: new documents (doc_id % 3 != 0)
+    LSH-screened and Jaccard-verified against the accepted reference
+    corpus (doc_id % 3 == 0), best match per new doc
+    (operators/dedup.py:cross_corpus_dedup) — the asymmetric
+    new×ref band join, never a self-join over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.dedup import cross_corpus_dedup
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return cross_corpus_dedup(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+        threshold=0.5,
+    )
+
+
+@register(
     "dedup_simhash",
     r"""
     WITH toks AS (

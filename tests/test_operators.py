@@ -1292,3 +1292,25 @@ def test_harmonic_sketch_exact_region_matches_exact(spark):
            for r in harmonic_sketch_audit(edges, sources, hops=3, k=16).collect()}
     assert got["a"] == (1.833333, 1.833333, 0.0)  # 1 + 1/2 + 1/3
     assert got["d"] == (0.0, 0.0, 0.0)
+
+
+def test_cross_corpus_dedup_flags_known_dup(spark):
+    from terminus_server_spark.operators.dedup import cross_corpus_dedup
+
+    ref = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (200, "completely unrelated reference text about engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+            (2, "fresh content that matches nothing in the corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.ref_id, r.jaccard)
+           for r in cross_corpus_dedup(new, ref, threshold=0.5).collect()}
+    assert got == {1: (100, 1.0)}  # doc 2 passes the gate, doc 1 matches ref 100

@@ -627,3 +627,110 @@ def random_projection(
         for p in planes
     ]
     return base.select("vec_id", F.posexplode(F.array(*ys)).alias("j", "y"))
+
+
+def pq_topk_audit(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, rk_adc, in_exact): product-quantization
+    ANN with asymmetric distance computation (ADC), audited against
+    the exact cosine top-k — the memory-side scale path: each corpus
+    vector compresses to ``n_sub`` small codes (here 8 bytes instead
+    of 256), queries scan codes + a tiny per-query lookup table
+    instead of raw vectors (Jégou et al., PQ for nearest neighbor
+    search).
+
+    Everything is deterministic and oracle-replayable: the codebook
+    is the subvectors of the ``n_codes`` md5-rank-selected seed
+    vectors (no RNG k-means; IVF's refinement can be layered on);
+    encode = argmin of fixed-point squared distances (bigint sums,
+    ties to the lowest code); ADC = integer sum of per-subspace
+    lookup distances.  The corpus side touches only (vec_id, m,
+    code) rows and the broadcast codebook — at 100 TB the raw
+    vectors are read ONCE at encode time, never per query.
+    ``in_exact`` marks ADC neighbors that appear in the exact top-k
+    (the per-query recall audit)."""
+    from pyspark.sql.window import Window
+
+    sub = dim // n_sub
+    v = _scaled_vec(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("vec_id"), v.alias("_v"))
+    seeds = (
+        base.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(n_codes)
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy("_h", "vec_id")) - 1,
+        )
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(n_sub)])).alias("m")
+    codebook = F.broadcast(
+        seeds.select("code", "_v").select(
+            "code", ms, F.col("_v").alias("_sv")
+        ).select(
+            "m", "code",
+            F.slice(F.col("_sv"), F.col("m") * sub + 1, sub).alias("cw"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"), F.col("cw"),
+            lambda a, b: F.floor((a - b) * (a - b) * F.lit(SCALE)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    subvecs = base.select(
+        "vec_id", ms, F.col("_v").alias("_fv")
+    ).select("vec_id", "m", F.slice(F.col("_fv"), F.col("m") * sub + 1, sub).alias("sv"))
+    codes = (
+        subvecs.join(codebook, "m")
+        .select("vec_id", "m", "code", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("_best"))
+        .select("vec_id", "m", F.col("_best.code").alias("code"))
+    )
+    qsub = (
+        queries.select(F.col(id_col).alias("query_id"), v.alias("_v"))
+        .select("query_id", ms, F.col("_v").alias("_fv"))
+        .select(
+            "query_id", "m",
+            F.slice(F.col("_fv"), F.col("m") * sub + 1, sub).alias("sv"),
+        )
+    )
+    lut = F.broadcast(
+        qsub.join(codebook, "m").select("query_id", "m", "code", d2.alias("d2"))
+    )
+    adc = (
+        codes.join(lut, ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    approx = (
+        adc.withColumn("rk_adc", F.row_number().over(w))
+        .where(F.col("rk_adc") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk_adc")
+    )
+    exact = brute_force_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_ex")
+    )
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rk_adc",
+            F.col("_ex").isNotNull().alias("in_exact"),
+        )
+        .orderBy("query_id", "rk_adc")
+    )

@@ -1134,6 +1134,78 @@ def ann_hard_negatives(spark, sf_dir):
     return hard_negatives(emb, emb.where(F.col("vec_id") < 8), k=5)
 
 
+def _pq_d2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "q -> floor((q[1] - q[2]) * (q[1] - q[2]) * 1e12)::BIGINT))"
+    )
+
+
+@register(
+    "ann_pq_audit",
+    f"""
+    WITH vv AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    seeds AS (
+      SELECT vec_id, v,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM vv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+    mgrid AS (SELECT unnest(generate_series(0, 7)) AS m),
+    cb AS (SELECT m, code, seeds.v[(m * 8 + 1):(m * 8 + 8)] AS cw FROM seeds, mgrid),
+    sv AS (SELECT vec_id, m, v[(m * 8 + 1):(m * 8 + 8)] AS sv FROM vv, mgrid),
+    encd AS (
+      SELECT s.vec_id, s.m, c.code, {_pq_d2_sql('s.sv', 'c.cw')} AS d2
+      FROM sv s JOIN cb c ON c.m = s.m),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+        FROM encd) WHERE rn = 1),
+    lut AS (
+      SELECT vec_id AS query_id, m, code, d2 FROM encd WHERE vec_id < 8),
+    adc AS (
+      SELECT l.query_id, e.vec_id, SUM(l.d2)::BIGINT AS adc
+      FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY 1, 2),
+    appr AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc ASC, vec_id ASC) AS rk_adc
+      FROM adc QUALIFY rk_adc <= 10),
+    parts AS (
+      SELECT vec_id, v,
+             list_sum(list_transform(v, x -> floor(x * x * 1e12)::BIGINT)) AS norm
+      FROM vv),
+    q AS (SELECT * FROM parts WHERE vec_id < 8),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rk
+        FROM q a CROSS JOIN parts b WHERE a.vec_id <> b.vec_id) WHERE rk <= 10)
+    SELECT a.query_id, a.neighbor_id, a.rk_adc,
+           (e.neighbor_id IS NOT NULL) AS in_exact
+    FROM appr a LEFT JOIN exact e
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    ORDER BY a.query_id, a.rk_adc
+    """,
+)
+def ann_pq_audit(spark, sf_dir):
+    """Product-quantization ANN with ADC lookup tables, audited
+    against exact cosine top-k (operators/similarity.py:
+    pq_topk_audit): 8 subspaces × 4 md5-seeded codewords, fixed-point
+    distances end-to-end so even the approximation is bit-exact
+    against the oracle; in_exact marks the recall overlap."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import pq_topk_audit
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return pq_topk_audit(emb, emb.where(F.col("vec_id") < 8), k=10)
+
+
 @register("ann_ivf")  # approximate: rows-only check
 def ann_ivf(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -4972,6 +5044,7 @@ def stream_stream_join(spark, sf_dir):
         lambda s: stream_stream_attribution_join(s, within="30 minutes"),
         "tss_ss_join",
         output_mode="append",
+        shuffle_partitions=4,
     )
 
 
@@ -5044,6 +5117,7 @@ def stream_stream_join_outer(spark, sf_dir):
         ),
         "tss_ss_join_outer",
         output_mode="append",
+        shuffle_partitions=4,
     )
     return result.where(F.col("user_id") >= 0)
 

@@ -67,6 +67,7 @@ def run_stream_to_table(
     transform,
     table_name: str,
     output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Test/driver harness: replay a batch events DataFrame through a
     real streaming query (file source, availableNow trigger, memory
@@ -74,23 +75,33 @@ def run_stream_to_table(
 
     This is the honest way to prove the streaming operator works as a
     *stream* (state, watermarks, triggers) while still returning a
-    comparable DataFrame."""
+    comparable DataFrame.  ``shuffle_partitions`` pins the state
+    partition count for this query (see run_stream_batches_to_table:
+    per-partition state-store file traffic dominates local runs of
+    multi-store operators like stream-stream joins)."""
     tmp = tempfile.mkdtemp(prefix="tss_stream_", dir="/tmp")
     src = os.path.join(tmp, "src")
     ckpt = os.path.join(tmp, "ckpt")
     events_path_df.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table_name)
 
 
@@ -100,6 +111,7 @@ def run_stream_batches_to_table(
     transform,
     table_name: str,
     output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> tuple[DataFrame, list]:
     """Replay a *sequence* of batch DataFrames as one micro-batch
     each (file source, one file per batch, ``maxFilesPerTrigger=1``,
@@ -107,6 +119,12 @@ def run_stream_batches_to_table(
     watermark-driven EventTimeTimeout expiry for real: the watermark
     only advances between micro-batches, so state TTL is unobservable
     under the single-batch harness above.
+
+    ``shuffle_partitions`` pins the STATE partition count for this
+    query (stream-stream joins keep four HDFS-backed state stores per
+    partition and snapshot each one every micro-batch — at local
+    bench scale that per-partition file traffic, not the data,
+    dominates; the production default stays the session's setting).
 
     Returns ``(result_df, progresses)`` — progresses are the
     streaming query's per-batch progress objects, whose
@@ -133,16 +151,23 @@ def run_stream_batches_to_table(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table_name), list(q.recentProgress)
 
 

@@ -1314,3 +1314,30 @@ def test_cross_corpus_dedup_flags_known_dup(spark):
     got = {r.doc_id: (r.ref_id, r.jaccard)
            for r in cross_corpus_dedup(new, ref, threshold=0.5).collect()}
     assert got == {1: (100, 1.0)}  # doc 2 passes the gate, doc 1 matches ref 100
+
+
+def test_pq_topk_audit_identity_recall(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import pq_topk_audit
+
+    # 8 well-separated axis-aligned vectors in 16 dims, 2 subspaces.
+    # With n_codes=4 seeds, vectors equal to a seed encode exactly to
+    # that seed's codes, so ADC(query, its own seed-twin) == 0.
+    import random
+    rows = []
+    for i in range(8):
+        v = [0.0] * 16
+        v[i] = 1.0
+        v[15 - i] = 0.5
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_topk_audit(
+        emb, emb.where(F.col("vec_id") < 2), k=3, n_sub=2, n_codes=4, dim=16
+    )
+    rows = out.collect()
+    # 2 queries x top-3 with flags; rank order deterministic
+    assert len(rows) == 6
+    for r in rows:
+        assert 1 <= r.rk_adc <= 3 and r.neighbor_id != r.query_id
+    assert {type(r.in_exact) for r in rows} == {bool}

@@ -152,6 +152,9 @@ HEADLINE = [
     "emb_project",
     "graph_ball_sketch",
     "graph_harmonic_sketch",
+    "graph_eff_diameter",
+    "ann_pq_audit",
+    "dedup_cross_corpus",
 ]
 
 

@@ -768,3 +768,87 @@ def _sum_cols(cols: list[Column]) -> Column:
     for c in cols[1:]:
         out = out + c
     return out
+
+
+def effective_diameter_sketch(
+    edges: DataFrame, sources: DataFrame, hops: int = 3, k: int = 8
+) -> DataFrame:
+    """(r, np_est, frac, is_eff): the HyperANF neighborhood function —
+    NP(r) = Σ_v |B_r(v)| estimated from the per-round KMV ball
+    sketches — and the effective diameter read off it (smallest r
+    whose cumulative pair fraction reaches 0.9).  Running the exact
+    version needs all-pairs distances; the sketch form is how
+    four-degrees-of-separation-style measurements are actually done
+    (Boldi & Vigna, HyperANF).
+
+    Per-node estimates are cast to decimal(28,12) before the global
+    sum (order-free), so NP(r), the fractions, and the effective
+    diameter are bit-reproducible.  One aggregate over the |V|·k
+    sketch state per round — no pairwise anything."""
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    frac_hash = (
+        F.conv(F.substring(F.md5(F.col("node")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(16**8))
+    )
+    nodes = (
+        sources.select("node")
+        .union(edges.select(F.col("src").alias("node")))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = nodes.select("node", F.array(frac_hash).alias("sk"))
+
+    def est_col():
+        return F.when(F.size("sk") < k, F.size("sk").cast("double")).otherwise(
+            F.lit(float(k - 1)) / F.element_at("sk", k)
+        )
+
+    rounds = [state.select("node", est_col().alias("est_0"))]
+    for r in range(1, hops + 1):
+        contrib = edges.join(
+            state.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "sk")
+        state = plan_checkpoint(
+            state.unionByName(contrib)
+            .groupBy("node")
+            .agg(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))),
+                    1,
+                    k,
+                ).alias("sk")
+            )
+        )
+        rounds.append(state.select("node", est_col().alias(f"est_{r}")))
+    ests = rounds[0]
+    for fr in rounds[1:]:
+        ests = ests.join(fr, "node")
+    # restrict the neighborhood function to the tracked sources
+    ests = sources.select("node").join(ests, "node")
+    sums = ests.agg(
+        *[
+            F.sum(F.col(f"est_{r}").cast("decimal(28,12)")).alias(f"np_{r}")
+            for r in range(hops + 1)
+        ]
+    )
+    arms = []
+    for r in range(hops + 1):
+        frac = F.col(f"np_{r}").cast("double") / F.col(f"np_{hops}").cast("double")
+        prev = (
+            F.col(f"np_{r - 1}").cast("double") / F.col(f"np_{hops}").cast("double")
+            if r > 0
+            else F.lit(0.0)
+        )
+        arms.append(
+            sums.select(
+                F.lit(r).alias("r"),
+                F.round(F.col(f"np_{r}").cast("double"), 6).alias("np_est"),
+                F.round(frac, 6).alias("frac"),
+                ((frac >= 0.9) & (prev < 0.9)).alias("is_eff"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

@@ -2734,6 +2734,87 @@ def graph_harmonic_sketch(spark, sf_dir):
 
 
 @register(
+    "graph_eff_diameter",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey + d.d) AS dst
+      FROM customer, (VALUES (1), (2), (3)) d(d)
+      WHERE c_custkey + d.d <= (SELECT MAX(c_custkey) FROM customer)),
+    srcs AS (SELECT 'C/' || c_custkey AS node FROM customer),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT node FROM srcs UNION ALL SELECT src FROM e
+      UNION ALL SELECT dst FROM e)),
+    s0 AS (SELECT node,
+             [CAST(('0x' || substring(md5(node), 1, 8)) AS BIGINT)::DOUBLE
+              / 4294967296.0] AS sk
+           FROM nodes){_BALL_ROUNDS},
+    ests AS (
+      SELECT s0.node,
+             {_ball_est_sql('s0')} AS e0, {_ball_est_sql('s1')} AS e1,
+             {_ball_est_sql('s2')} AS e2, {_ball_est_sql('s3')} AS e3
+      FROM s0 JOIN s1 USING (node) JOIN s2 USING (node) JOIN s3 USING (node)
+      JOIN srcs USING (node)),
+    sums AS (
+      SELECT SUM(CAST(e0 AS DECIMAL(28,12))) AS np_0,
+             SUM(CAST(e1 AS DECIMAL(28,12))) AS np_1,
+             SUM(CAST(e2 AS DECIMAL(28,12))) AS np_2,
+             SUM(CAST(e3 AS DECIMAL(28,12))) AS np_3
+      FROM ests)
+    SELECT 0 AS r, ROUND(np_0::DOUBLE, 6) AS np_est,
+           ROUND(np_0::DOUBLE / np_3::DOUBLE, 6) AS frac,
+           (np_0::DOUBLE / np_3::DOUBLE >= 0.9 AND 0.0::DOUBLE < 0.9) AS is_eff
+    FROM sums
+    UNION ALL
+    SELECT 1, ROUND(np_1::DOUBLE, 6),
+           ROUND(np_1::DOUBLE / np_3::DOUBLE, 6),
+           (np_1::DOUBLE / np_3::DOUBLE >= 0.9 AND np_0::DOUBLE / np_3::DOUBLE < 0.9)
+    FROM sums
+    UNION ALL
+    SELECT 2, ROUND(np_2::DOUBLE, 6),
+           ROUND(np_2::DOUBLE / np_3::DOUBLE, 6),
+           (np_2::DOUBLE / np_3::DOUBLE >= 0.9 AND np_1::DOUBLE / np_3::DOUBLE < 0.9)
+    FROM sums
+    UNION ALL
+    SELECT 3, ROUND(np_3::DOUBLE, 6),
+           ROUND(np_3::DOUBLE / np_3::DOUBLE, 6),
+           (np_3::DOUBLE / np_3::DOUBLE >= 0.9 AND np_2::DOUBLE / np_3::DOUBLE < 0.9)
+    FROM sums
+    """,
+)
+def graph_eff_diameter(spark, sf_dir):
+    """HyperANF neighborhood function + effective diameter from the
+    KMV ball sketches (operators/graph.py:effective_diameter_sketch):
+    NP(r) sums and 0.9-crossing flag, decimal-exact global sums over
+    the |V|·k sketch state — no pairwise distances anywhere."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import effective_diameter_sketch
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    mx = cust.agg(F.max("c_custkey").alias("_mx"))
+    edges = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "c_custkey",
+            "_mx",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("d"),
+        )
+        .where(F.col("c_custkey") + F.col("d") <= F.col("_mx"))
+        .select(
+            F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(
+                F.lit("C/"), (F.col("c_custkey") + F.col("d")).cast("string")
+            ).alias("dst"),
+        )
+    )
+    sources = cust.select(
+        F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return effective_diameter_sketch(edges, sources, hops=3, k=8)
+
+
+@register(
     "graph_components",
     """
     WITH nodes AS (

@@ -1341,3 +1341,19 @@ def test_pq_topk_audit_identity_recall(spark):
     for r in rows:
         assert 1 <= r.rk_adc <= 3 and r.neighbor_id != r.query_id
     assert {type(r.in_exact) for r in rows} == {bool}
+
+
+def test_effective_diameter_sketch_chain(spark):
+    from terminus_server_spark.operators.graph import effective_diameter_sketch
+
+    # chain a->b->c->d, k large => exact: NP(0)=4, NP(1)=7, NP(2)=9, NP(3)=10
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    sources = spark.createDataFrame([(x,) for x in "abcd"], "node string")
+    rows = {r.r: (r.np_est, r.frac, r.is_eff)
+            for r in effective_diameter_sketch(edges, sources, hops=3, k=16).collect()}
+    assert rows[0][0] == 4.0 and rows[1][0] == 7.0
+    assert rows[2][0] == 9.0 and rows[3][0] == 10.0
+    # 0.9 crossing happens at r=2 (9/10 = 0.9)
+    assert [rows[r][2] for r in range(4)] == [False, False, True, False]

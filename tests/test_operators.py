@@ -1376,3 +1376,26 @@ def test_containment_catches_subset_dup(spark):
     ca, cb = got[(1, 2)]
     assert ca == 1.0      # every shingle of the small doc is in the big one
     assert cb < 0.8       # but the big doc is mostly new content
+
+
+def test_drop_reason_audit_first_failing_stage_wins(spark):
+    from terminus_server_spark.operators.pipeline import drop_reason_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short", "en", "s1", 5),                        # too_short
+            (2, "x" * 300, "fr", "s1", 300),                    # wrong_lang
+            (3, "123456789 " * 40, "en", "s2", 400),            # high_digit
+            (4, "good english text " * 20, "en", "s2", 360),    # survivor
+            (5, "good english text " * 20, "en", "s2", 360),    # exact_dup of 4
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = {(r.stage, r.source): r.n_docs for r in drop_reason_audit(docs).collect()}
+    assert got == {
+        ("too_short", "s1"): 1,
+        ("wrong_lang", "s1"): 1,
+        ("high_digit", "s2"): 1,
+        ("survived", "s2"): 1,
+        ("exact_dup", "s2"): 1,
+    }

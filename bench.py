@@ -157,6 +157,7 @@ HEADLINE = [
     "dedup_cross_corpus",
     "dedup_containment",
     "corpus_drop_reasons",
+    "src_schema_evolution",
 ]
 
 

@@ -8101,6 +8101,48 @@ def woql_from_json(spark, sf_dir):
 
 
 @register(
+    "src_schema_evolution",
+    f"""
+    SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                THEN o_orderpriority END AS priority,
+           COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def src_schema_evolution(spark, sf_dir):
+    """Schema evolution at the source: a table written in two eras —
+    v1 files lack the o_orderpriority column — read back as ONE table
+    with ``mergeSchema`` (missing columns NULL-filled per file), the
+    add-a-column migration every long-lived lake table goes through.
+    The oracle replays the era split logically.  mergeSchema pays a
+    footer-read per file at planning; production tables pin the
+    unified schema in a catalog instead — the read path is what's
+    exercised here."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = f"/root/repo/.cache/tss/evo_{os.path.basename(sf_dir.rstrip('/'))}"
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    d97 = F.lit("1997-01-01").cast("timestamp")
+    orders.where(F.col("o_orderdate") < d97).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(base + "/v1")
+    orders.where(F.col("o_orderdate") >= d97).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(base + "/v2")
+    df = spark.read.option("mergeSchema", "true").parquet(
+        base + "/v1", base + "/v2"
+    )
+    return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
     "src_compaction",
     f"""
     SELECT COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price,

@@ -158,6 +158,7 @@ HEADLINE = [
     "dedup_containment",
     "corpus_drop_reasons",
     "src_schema_evolution",
+    "events_scd2",
 ]
 
 

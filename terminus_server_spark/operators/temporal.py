@@ -273,3 +273,48 @@ def decayed_activity_score(
             ).alias("decay_score"),
         )
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(key, attr, valid_from, valid_to, n_events): slowly-changing-
+    dimension type-2 history built from an event log — consecutive
+    same-attribute runs per key collapse into validity intervals,
+    ``valid_to`` = the next regime's start (NULL on the open, current
+    regime).  This is the change-data-capture → dimension-history
+    build every warehouse does; the triple-store analogue is the
+    per-predicate commit history (vc_history) at entity grain.
+
+    Gaps-and-islands with two window passes over the SAME (key, ts)
+    partitioning — one shuffle total, then a keyed aggregate; no
+    self-joins."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    runs = (
+        events.select(key_col, attr_col, ts_col, id_col)
+        .withColumn("_chg", F.lag(attr_col).over(w) != F.col(attr_col))
+        .withColumn(
+            "_run",
+            F.sum(F.when(F.coalesce(F.col("_chg"), F.lit(True)), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    iv = runs.groupBy(key_col, "_run", attr_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from")
+    return iv.select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).alias("attr"),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

@@ -8101,6 +8101,41 @@ def woql_from_json(spark, sf_dir):
 
 
 @register(
+    "events_scd2",
+    """
+    WITH runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    isl AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM runs),
+    iv AS (
+      SELECT user_id, run, event_type,
+             MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM isl GROUP BY 1, 2, 3)
+    SELECT user_id AS key, event_type AS attr, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events
+    FROM iv
+    """,
+)
+def events_scd2(spark, sf_dir):
+    """SCD type-2 dimension history from the event log: consecutive
+    same-type runs per user collapse to validity intervals, valid_to
+    chained from the next regime (operators/temporal.py:
+    scd2_intervals) — the CDC→dimension-history build, one shuffle."""
+    from terminus_server_spark.operators.temporal import scd2_intervals
+
+    return scd2_intervals(_t(spark, sf_dir, "events")["events"])
+
+
+@register(
     "src_schema_evolution",
     f"""
     SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'

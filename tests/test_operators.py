@@ -1399,3 +1399,29 @@ def test_drop_reason_audit_first_failing_stage_wins(spark):
         ("survived", "s2"): 1,
         ("exact_dup", "s2"): 1,
     }
+
+
+def test_scd2_intervals_runs_and_open_regime(spark):
+    import datetime
+
+    from terminus_server_spark.operators.temporal import scd2_intervals
+
+    t = lambda s: datetime.datetime.fromisoformat(s)
+    events = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T00:00:00"), 7, "a", 0.0, ""),
+            (2, t("2024-01-01T01:00:00"), 7, "a", 0.0, ""),
+            (3, t("2024-01-01T02:00:00"), 7, "b", 0.0, ""),
+            (4, t("2024-01-01T03:00:00"), 7, "a", 0.0, ""),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = sorted(
+        scd2_intervals(events).collect(), key=lambda r: r.valid_from
+    )
+    assert [(r.attr, r.n_events) for r in rows] == [("a", 2), ("b", 1), ("a", 1)]
+    # intervals chain: each valid_to equals the next valid_from
+    assert rows[0].valid_to == rows[1].valid_from
+    assert rows[1].valid_to == rows[2].valid_from
+    assert rows[2].valid_to is None  # open, current regime

@@ -159,6 +159,7 @@ HEADLINE = [
     "corpus_drop_reasons",
     "src_schema_evolution",
     "events_scd2",
+    "ann_ivfpq",
 ]
 
 

@@ -734,3 +734,132 @@ def pq_topk_audit(
         )
         .orderBy("query_id", "rk_adc")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    n_codes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, rk): IVF-PQ — the composition that
+    serves billion-vector ANN in practice (FAISS's IVFx,PQy): the
+    inverted file prunes the corpus to the query's ``n_probe``
+    nearest cells, and within them distance is ADC over PQ codes, so
+    the hot loop touches (cell, code) integers only; raw vectors are
+    read once at index-build time.
+
+    Deterministic end-to-end: lowest-id seed centroids with
+    fixed-point cosine assignment (ivf_topk's convention,
+    unrefined so the oracle stays closed-form), md5-rank PQ seeds,
+    bigint ADC with lowest-id tie-breaks — the full approximate
+    result is bit-reproducible, not just auditable."""
+    from pyspark.sql.window import Window
+
+    sub = dim // n_sub
+    corpus_parts = scaled_parts(emb, id_col, vec_col, "b")
+    cents = scaled_parts(
+        emb.orderBy(id_col).limit(n_cells), id_col, vec_col, "c"
+    ).withColumnRenamed("id_c", "cell_id")
+
+    def assign(side: DataFrame, suffix: str, n_keep: int) -> DataFrame:
+        scored = broadcast(cents).crossJoin(side).select(
+            F.col(f"id_{suffix}"),
+            "cell_id",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vec_c"),
+                        F.col(f"vec_{suffix}"),
+                        lambda x, y: F.floor(x * y * SCALE),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x.cast("bigint"),
+                ).cast("double")
+                / F.sqrt(
+                    F.col("norm_c").cast("double")
+                    * F.col(f"norm_{suffix}").cast("double")
+                )
+            ).alias("cell_cos"),
+        )
+        w = Window.partitionBy(f"id_{suffix}").orderBy(
+            F.col("cell_cos").desc(), F.col("cell_id").asc()
+        )
+        return (
+            scored.withColumn("cell_rk", F.row_number().over(w))
+            .where(F.col("cell_rk") <= n_keep)
+            .select(f"id_{suffix}", "cell_id")
+        )
+
+    corpus_cells = assign(corpus_parts, "b", 1).withColumnRenamed("id_b", "vec_id")
+    probe_cells = assign(
+        scaled_parts(queries, id_col, vec_col, "a"), "a", n_probe
+    ).withColumnRenamed("id_a", "query_id")
+
+    # PQ codebook + encode (pq_topk_audit's construction)
+    v = _scaled_vec(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("vec_id"), v.alias("_v"))
+    seeds = (
+        base.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(n_codes)
+        .withColumn(
+            "code", F.row_number().over(Window.orderBy("_h", "vec_id")) - 1
+        )
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(n_sub)])).alias("m")
+    codebook = F.broadcast(
+        seeds.select("code", "_v")
+        .select("code", ms, F.col("_v").alias("_sv"))
+        .select(
+            "m", "code", F.slice(F.col("_sv"), F.col("m") * sub + 1, sub).alias("cw")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cw"),
+            lambda a, b: F.floor((a - b) * (a - b) * F.lit(SCALE)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    subvecs = base.select("vec_id", ms, F.col("_v").alias("_fv")).select(
+        "vec_id", "m", F.slice(F.col("_fv"), F.col("m") * sub + 1, sub).alias("sv")
+    )
+    encd = subvecs.join(codebook, "m").select("vec_id", "m", "code", d2.alias("d2"))
+    enc = (
+        encd.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("_best"))
+        .select("vec_id", "m", F.col("_best.code").alias("code"))
+    )
+    lut = F.broadcast(
+        encd.join(
+            queries.select(F.col(id_col).alias("vec_id")), "vec_id"
+        ).select(F.col("vec_id").alias("query_id"), "m", "code", "d2")
+    )
+    cand = (
+        probe_cells.join(corpus_cells, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    adc = (
+        cand.join(enc, "vec_id")
+        .join(lut, ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
+        .orderBy("query_id", "rk")
+    )

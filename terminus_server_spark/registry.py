@@ -1291,6 +1291,74 @@ def ann_pq_audit(spark, sf_dir):
     return pq_topk_audit(emb, emb.where(F.col("vec_id") < 8), k=10)
 
 
+@register(
+    "ann_ivfpq",
+    f"""
+    WITH vv AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    parts AS (
+      SELECT vec_id, v,
+             list_sum(list_transform(v, x -> floor(x * x * 1e12)::BIGINT)) AS norm
+      FROM vv),
+    cents AS (SELECT vec_id AS cell_id, v, norm FROM parts WHERE vec_id < 4),
+    asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT b.vec_id, a.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_COS_SQL} DESC, a.cell_id ASC) AS rn
+        FROM parts b CROSS JOIN cents a) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT b.vec_id AS query_id, a.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_COS_SQL} DESC, a.cell_id ASC) AS rn
+        FROM parts b CROSS JOIN cents a WHERE b.vec_id < 8) WHERE rn <= 2),
+    seeds AS (
+      SELECT vec_id, v,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM vv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+    mgrid AS (SELECT unnest(generate_series(0, 7)) AS m),
+    cb AS (SELECT m, code, seeds.v[(m * 8 + 1):(m * 8 + 8)] AS cw FROM seeds, mgrid),
+    sv AS (SELECT vec_id, m, v[(m * 8 + 1):(m * 8 + 8)] AS sv FROM vv, mgrid),
+    encd AS (
+      SELECT s.vec_id, s.m, c.code, {_pq_d2_sql('s.sv', 'c.cw')} AS d2
+      FROM sv s JOIN cb c ON c.m = s.m),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+        FROM encd) WHERE rn = 1),
+    lut AS (SELECT vec_id AS query_id, m, code, d2 FROM encd WHERE vec_id < 8),
+    cand AS (
+      SELECT DISTINCT p.query_id, g.vec_id
+      FROM probes p JOIN asg g USING (cell_id)
+      WHERE g.vec_id <> p.query_id),
+    adc AS (
+      SELECT c.query_id, c.vec_id, SUM(l.d2)::BIGINT AS adc
+      FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+                  JOIN lut l ON l.query_id = c.query_id
+                            AND l.m = e.m AND l.code = e.code
+      GROUP BY 1, 2)
+    SELECT query_id, vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc ASC, vec_id ASC) AS rk
+    FROM adc QUALIFY rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (the FAISS-style billion-vector composition,
+    operators/similarity.py:ivfpq_topk): inverted-file cell pruning
+    then ADC over PQ codes — the hot loop is (cell, code) integers;
+    fully deterministic, the oracle replays the whole index."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return ivfpq_topk(emb, emb.where(F.col("vec_id") < 8), k=10)
+
+
 @register("ann_ivf")  # approximate: rows-only check
 def ann_ivf(spark, sf_dir):
     from pyspark.sql import functions as F

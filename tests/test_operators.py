@@ -1425,3 +1425,28 @@ def test_scd2_intervals_runs_and_open_regime(spark):
     assert rows[0].valid_to == rows[1].valid_from
     assert rows[1].valid_to == rows[2].valid_from
     assert rows[2].valid_to is None  # open, current regime
+
+
+def test_ivfpq_candidates_limited_to_probed_cells(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import ivfpq_topk
+
+    # two well-separated clusters in 16 dims; seeds 0 and 1 become the
+    # cells.  A query in cluster A with n_probe=1 must only rank
+    # cluster-A vectors.
+    rows = []
+    for i in range(4):       # cluster A: along dim 0
+        v = [0.0] * 16; v[0] = 1.0; v[1] = 0.1 * i
+        rows.append((i * 2, v))          # ids 0,2,4,6
+    for i in range(4):       # cluster B: along dim 8
+        v = [0.0] * 16; v[8] = 1.0; v[9] = 0.1 * i
+        rows.append((i * 2 + 1, v))      # ids 1,3,5,7
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivfpq_topk(
+        emb, emb.where(F.col("vec_id") == 4), k=8,
+        n_cells=2, n_probe=1, n_sub=2, n_codes=2, dim=16,
+    ).collect()
+    assert len(out) > 0
+    assert all(r.neighbor_id % 2 == 0 for r in out)  # only cluster A
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))

@@ -7981,6 +7981,52 @@ def vc_gc(spark, sf_dir):
 
 
 @register(
+    "vc_merge_base",
+    """
+    WITH RECURSIVE edges(child, parent) AS (
+      VALUES ('c2', 'c1'), ('c3', 'c2'), ('c5', 'c2'), ('c4', 'c3')),
+    wa AS (
+      SELECT 'c4' AS commit_id, 0 AS depth
+      UNION ALL
+      SELECT e.parent, wa.depth + 1 FROM wa JOIN edges e ON e.child = wa.commit_id),
+    wb AS (
+      SELECT 'c5' AS commit_id, 0 AS depth
+      UNION ALL
+      SELECT e.parent, wb.depth + 1 FROM wb JOIN edges e ON e.child = wb.commit_id),
+    wam AS (SELECT commit_id, MIN(depth) AS depth_a FROM wa GROUP BY 1),
+    wbm AS (SELECT commit_id, MIN(depth) AS depth_b FROM wb GROUP BY 1)
+    SELECT commit_id AS merge_base,
+           CAST(depth_a AS INTEGER) AS depth_a,
+           CAST(depth_b AS INTEGER) AS depth_b
+    FROM wam JOIN wbm USING (commit_id)
+    ORDER BY depth_a + depth_b, commit_id LIMIT 1
+    """,
+)
+def vc_merge_base(spark, sf_dir):
+    """git merge-base over the commit DAG (versioning/dag.py:
+    merge_base): main = c1←c2←c3←c4, feature = c2←c5; the best common
+    ancestor of (c4, c5) is c2 by minimal combined distance — the
+    commit a 3-way merge diffs against.  The oracle recomputes both
+    ancestor walks recursively; nothing is hardcoded."""
+    import datetime
+
+    from terminus_server_spark.versioning.dag import merge_base
+
+    commits = spark.createDataFrame(
+        [
+            ("c1", [], "alice", "root", datetime.datetime(2024, 1, 1)),
+            ("c2", ["c1"], "bob", "base work", datetime.datetime(2024, 1, 5)),
+            ("c3", ["c2"], "bob", "main continues", datetime.datetime(2024, 1, 8)),
+            ("c4", ["c3"], "bob", "main head", datetime.datetime(2024, 1, 9)),
+            ("c5", ["c2"], "carol", "feature head", datetime.datetime(2024, 1, 10)),
+        ],
+        "commit_id string, parent_ids array<string>, author string,"
+        " message string, committed_at timestamp_ntz",
+    )
+    return merge_base(commits, "c4", "c5")
+
+
+@register(
     "vc_log_dag",
     """
     WITH counts AS (

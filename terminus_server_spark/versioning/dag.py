@@ -133,3 +133,31 @@ def gc_commits(
             "commit_id", F.coalesce("status", F.lit("dropped")).alias("status")
         )
     )
+
+
+def merge_base(commits: DataFrame, head_a: str, head_b: str) -> DataFrame:
+    """(merge_base, depth_a, depth_b): the best common ancestor of two
+    refs — the commit every 3-way merge diffs against (git
+    merge-base; the reference computes it inside api_merge/rebase).
+    Candidates are the intersection of both ancestor walks; "best" =
+    minimal combined distance to the two heads (then lowest id — a
+    deterministic criss-cross tie-break).
+
+    Two bounded BFS walks over the parent edges (log_walk's
+    semi-naive iteration) and one tiny join — commit graphs are
+    metadata-sized, so this is driver-latency work even on a store
+    whose DATA is 100 TB."""
+    wa = log_walk(commits, head_a).withColumnRenamed("depth", "depth_a")
+    wb = log_walk(commits, head_b).withColumnRenamed("depth", "depth_b")
+    return (
+        wa.join(wb, "commit_id")
+        .orderBy(
+            (F.col("depth_a") + F.col("depth_b")).asc(), F.col("commit_id").asc()
+        )
+        .limit(1)
+        .select(
+            F.col("commit_id").alias("merge_base"),
+            F.col("depth_a").cast("int").alias("depth_a"),
+            F.col("depth_b").cast("int").alias("depth_b"),
+        )
+    )

@@ -189,3 +189,26 @@ def test_maintain_rollup_matches_recompute_and_drops_empty_groups(spark):
     # recompute ground truth at seq 3: a={k1:15,k2:20}, b gone, c={k4:7}
     assert got == {"a": (2, 35.0), "c": (1, 7.0)}
     assert "b" not in got
+
+
+def test_merge_base_criss_cross_tie_break(spark):
+    import datetime
+
+    from terminus_server_spark.versioning.dag import merge_base
+
+    # criss-cross: both x and y are common ancestors at equal combined
+    # distance; the deterministic tie-break picks the lower id
+    d = datetime.datetime(2024, 1, 1)
+    commits = spark.createDataFrame(
+        [
+            ("r", [], "a", "root", d),
+            ("x", ["r"], "a", "x", d),
+            ("y", ["r"], "a", "y", d),
+            ("h1", ["x", "y"], "a", "head1", d),
+            ("h2", ["x", "y"], "a", "head2", d),
+        ],
+        "commit_id string, parent_ids array<string>, author string,"
+        " message string, committed_at timestamp_ntz",
+    )
+    r = merge_base(commits, "h1", "h2").collect()[0]
+    assert r.merge_base == "x" and r.depth_a == 1 and r.depth_b == 1

@@ -160,6 +160,7 @@ HEADLINE = [
     "src_schema_evolution",
     "events_scd2",
     "ann_ivfpq",
+    "stream_late_drops",
 ]
 
 

@@ -5688,6 +5688,93 @@ def stream_window(spark, sf_dir):
 
 
 @register(
+    "stream_late_drops",
+    f"""
+    WITH b1 AS (
+      SELECT * FROM events
+      WHERE user_id % 2 = 0 AND ts < TIMESTAMP '2024-01-20'),
+    b2 AS (
+      SELECT * FROM events
+      WHERE user_id % 2 = 0 AND ts >= TIMESTAMP '2024-01-20'
+        AND ts < TIMESTAMP '2024-01-25'),
+    b3 AS (SELECT * FROM events WHERE user_id % 2 = 1),
+    wm1 AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM b1),
+    kept3 AS (
+      SELECT b3.* FROM b3, wm1
+      WHERE date_trunc('hour', b3.ts) + INTERVAL 1 HOUR > wm1.w),
+    allk AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+             UNION ALL SELECT * FROM kept3)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_dsum_sql('value')} AS sum_value
+    FROM allk GROUP BY 1, 2
+    """,
+)
+def stream_late_drops(spark, sf_dir):
+    """Late-data semantics proven end-to-end: batch 1 (even users, to
+    Jan 20) sets the watermark, batch 2 keeps the stream moving, and
+    batch 3 (odd users, whole month) re-delivers old event-time rows
+    — every row whose hour window closed under the batch-1 watermark
+    is DROPPED by the aggregation, and the oracle replays the exact
+    drop rule.  The late filter intentionally lags eviction by one
+    batch (Spark's two-watermark refinement, SPARK-24634) — which is
+    WHY the late rows arrive two batches after the data that advanced
+    the watermark.  Far-future sentinel batches push the final
+    watermark past January so every surviving window flushes under
+    append mode; the sentinels' own windows stay open and never
+    emit."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import (
+        run_stream_batches_to_table,
+        windowed_counts,
+    )
+
+    events = _t(spark, sf_dir, "events")["events"]
+    d = dict(events.dtypes)
+    b1 = events.where(
+        (F.col("user_id") % 2 == 0)
+        & (F.col("ts") < F.lit("2024-01-20").cast(d["ts"]))
+    )
+    b2 = events.where(
+        (F.col("user_id") % 2 == 0)
+        & (F.col("ts") >= F.lit("2024-01-20").cast(d["ts"]))
+        & (F.col("ts") < F.lit("2024-01-25").cast(d["ts"]))
+    )
+    b3 = events.where(F.col("user_id") % 2 == 1)
+
+    def sentinel(eid: int, ts: str):
+        cols = []
+        for c in events.columns:
+            if c == "event_id":
+                cols.append(F.lit(eid).cast(d[c]).alias(c))
+            elif c == "ts":
+                cols.append(F.lit(ts).cast(d[c]).alias(c))
+            elif c == "user_id":
+                cols.append(F.lit(-1).cast(d[c]).alias(c))
+            elif c == "event_type":
+                cols.append(F.lit("view").cast(d[c]).alias(c))
+            else:
+                cols.append(F.lit(None).cast(d[c]).alias(c))
+        return events.limit(1).select(*cols)
+
+    result, _ = run_stream_batches_to_table(
+        spark,
+        [
+            b1,
+            b2,
+            b3,
+            sentinel(-1, "2024-06-01 00:30:00"),
+            sentinel(-2, "2024-06-01 01:30:00"),
+        ],
+        windowed_counts,
+        "tss_late_drops",
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+    return result.where(F.col("window_start") < F.lit("2024-02-01").cast("timestamp_ntz"))
+
+
+@register(
     "stream_session",
     """
     SELECT user_id,

@@ -161,6 +161,7 @@ HEADLINE = [
     "events_scd2",
     "ann_ivfpq",
     "stream_late_drops",
+    "docs_shuffle_index",
 ]
 
 

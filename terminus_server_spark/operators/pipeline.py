@@ -439,3 +439,54 @@ def drop_reason_audit(
     return staged.groupBy("stage", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+def shuffle_index(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "epoch0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(doc_id, shuffle_pos): a deterministic global training order —
+    every epoch's reshuffle is ``md5(salt:key)`` rank, reproducible
+    on any cluster at any partitioning (change ``salt`` per epoch).
+
+    The naive form — ROW_NUMBER over one global ORDER BY — funnels
+    the corpus through a single partition.  Here the total order is
+    recovered in two scale-safe passes: rows hash into ``n_buckets``
+    ordered ranges (the hash's first byte, so bucket order = hash
+    order), bucket offsets come from a prefix sum over the
+    n_buckets-row count table (bounded, broadcast back), and the
+    in-bucket rank is a window PARTITIONED BY bucket.  Global
+    position = bucket offset + in-bucket rank, identical to the
+    single-window answer bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    nb_hex = 2  # first byte = 256 ordered ranges
+    assert n_buckets == 256, "bucket count is pinned to the hash's first byte"
+    based = docs.select(F.col(key_col), h.alias("_h")).withColumn(
+        "_bucket", F.conv(F.substring("_h", 1, nb_hex), 16, 10).cast("int")
+    )
+    counts = based.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_bucket",
+        (
+            F.sum("_n").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("_n")
+        ).alias("_off"),
+    )
+    w = Window.partitionBy("_bucket").orderBy("_h", key_col)
+    return (
+        based.join(F.broadcast(offsets), "_bucket")
+        .select(
+            key_col,
+            (F.col("_off") + F.row_number().over(w) - 1)
+            .cast("bigint")
+            .alias("shuffle_pos"),
+        )
+    )

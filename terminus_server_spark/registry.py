@@ -980,6 +980,27 @@ def dedup_cross_corpus(spark, sf_dir):
 
 
 @register(
+    "docs_shuffle_index",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+             AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def docs_shuffle_index(spark, sf_dir):
+    """Deterministic per-epoch training order (operators/pipeline.py:
+    shuffle_index): global hash-rank positions recovered WITHOUT a
+    single-partition window — hash-range buckets + a 256-row prefix
+    sum + per-bucket ranks, bit-identical to the naive global
+    ROW_NUMBER the oracle runs."""
+    from terminus_server_spark.operators.pipeline import shuffle_index
+
+    return shuffle_index(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
     "corpus_drop_reasons",
     """
     WITH d AS (

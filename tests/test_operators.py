@@ -1450,3 +1450,18 @@ def test_ivfpq_candidates_limited_to_probed_cells(spark):
     assert len(out) > 0
     assert all(r.neighbor_id % 2 == 0 for r in out)  # only cluster A
     assert [r.rk for r in out] == list(range(1, len(out) + 1))
+
+
+def test_shuffle_index_is_a_permutation_and_salt_sensitive(spark):
+    from terminus_server_spark.operators.pipeline import shuffle_index
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.shuffle_pos for r in shuffle_index(docs, salt="epoch0").collect()}
+    assert sorted(a.values()) == list(range(500))  # exact permutation
+    b = {r.doc_id: r.shuffle_pos for r in shuffle_index(docs, salt="epoch1").collect()}
+    assert sorted(b.values()) == list(range(500))
+    assert a != b  # a new salt reshuffles
+    # repartitioning does not change the order
+    c = {r.doc_id: r.shuffle_pos
+         for r in shuffle_index(docs.repartition(13), salt="epoch0").collect()}
+    assert c == a

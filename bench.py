@@ -153,6 +153,7 @@ HEADLINE = [
     "graph_ball_sketch",
     "graph_harmonic_sketch",
     "graph_eff_diameter",
+    "graph_lpa_communities",
     "ann_pq_audit",
     "dedup_cross_corpus",
     "dedup_containment",

@@ -852,3 +852,46 @@ def effective_diameter_sketch(
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Deterministic synchronous label propagation: (node, community).
+
+    Parity: community detection sits beside components/PageRank in the
+    analytics family terminus-server reaches through WOQL path queries
+    (SURVEY §2.2); classic async LPA is visit-order dependent — useless
+    for an engine whose every operator carries an exact oracle — so
+    this is the synchronous variant with a total tie-break: every node
+    starts labeled with itself, and each round adopts the most frequent
+    label among its undirected neighbors, ties broken by the smallest
+    label.  Fixed ``rounds`` (not convergence) keeps the result a pure
+    function of the edge set.
+
+    Scale: each round is two key-shuffles — groupBy(node, label) with
+    map-side partial counts, then an argmax per node expressed as
+    max(struct(n, -label)) so it also partial-aggregates (no window, no
+    single-partition stage).  Labels checkpoint every round, so lineage
+    stays bounded on deep runs; state is |V| rows regardless of rounds.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(plan_checkpoint)
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node").cast("bigint")
+    )
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("n"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("label"))
+            .transform(loop_checkpoint)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -9459,3 +9459,60 @@ def vc_revert(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
     )
+
+
+def _LPA_ROUND(k: int) -> str:
+    return f"""
+    r{k} AS (
+      SELECT u.src AS node, l.label, COUNT(*) AS n
+      FROM und u JOIN labels{k - 1} l ON u.dst = l.node GROUP BY 1, 2),
+    labels{k} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+        FROM r{k}) WHERE rn = 1)"""
+
+
+@register(
+    "graph_lpa_communities",
+    f"""
+    WITH e AS (
+      SELECT c_custkey AS src,
+             (c_custkey // 10) * 10 + (c_custkey + 1) % 10 AS dst
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             (c_custkey // 10) * 10 + (c_custkey + 3) % 10
+      FROM customer),
+    und AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+      WHERE src <> dst),
+    labels0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+    {','.join(_LPA_ROUND(k) for k in range(1, 5))}
+    SELECT node, label AS community FROM labels4
+    """,
+)
+def graph_lpa_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation over cycle+chord
+    cliques of ten customers (operators/graph.py:lpa_communities):
+    4 fixed rounds, most-frequent neighbor label with a smallest-label
+    tie-break — the partitioning-independent LPA variant, each round
+    two partial-aggregating key shuffles (no windows).  The oracle
+    unrolls the same four rounds as CTEs."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import lpa_communities
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    g10 = F.expr("c_custkey div 10") * 10
+    edges = cust.select(
+        F.col("c_custkey").alias("src"),
+        (g10 + (F.col("c_custkey") + 1) % 10).alias("dst"),
+    ).unionByName(
+        cust.select(
+            F.col("c_custkey").alias("src"),
+            (g10 + (F.col("c_custkey") + 3) % 10).alias("dst"),
+        )
+    )
+    return lpa_communities(edges, rounds=4)

@@ -1465,3 +1465,13 @@ def test_shuffle_index_is_a_permutation_and_salt_sensitive(spark):
     c = {r.doc_id: r.shuffle_pos
          for r in shuffle_index(docs.repartition(13), salt="epoch0").collect()}
     assert c == a
+
+
+def test_lpa_two_cliques_converge_to_min_label(spark):
+    from terminus_server_spark.operators.graph import lpa_communities
+
+    # two disjoint triangles: every node must end on its clique's min id
+    tri = lambda base: [(base, base + 1), (base + 1, base + 2), (base, base + 2)]
+    edges = spark.createDataFrame(tri(10) + tri(20), "src long, dst long")
+    out = {r.node: r.community for r in lpa_communities(edges, rounds=4).collect()}
+    assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20}

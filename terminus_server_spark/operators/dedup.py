@@ -142,42 +142,31 @@ def simhash(docs: DataFrame, text_col: str = "text", n_bits: int = 16) -> DataFr
     """(doc_id, simhash): n_bits-wide SimHash over tokens.
 
     Bit j of a token's md5 (high bit of hex nibble j) votes ±1;
-    signature bit = majority (votes > 0 → '1').  Everything is
-    array/codegen expressions — one explode of bit positions per
-    token, aggregated map-side."""
+    signature bit = majority (votes > 0 → '1').  One explode to the
+    token stream, then ONE groupBy(doc_id) carrying n_bits small-int
+    partial sums — every vote column is a codegen'd when/sum, the
+    shuffle is doc-grain (not doc×bit: 16× fewer shuffle rows than
+    the naive bit-position explode), and the signature is a straight
+    concat of the vote signs, no collect_list."""
+    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
     toks = F.explode(tokens_col(F.lower(F.col(text_col)))).alias("token")
     tok_df = docs.select("doc_id", toks).withColumn("h", F.md5(F.col("token")))
-    bits = tok_df.select(
+    votes = tok_df.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.col("h"), j, 1).isin(*hi), F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"_v{j}")
+            for j in range(1, n_bits + 1)
+        ]
+    )
+    return votes.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(n_bits)),
-                lambda j: F.struct(
-                    j.alias("bit_pos"),
-                    F.when(
-                        F.substring(F.col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                        F.lit(1),
-                    )
-                    .otherwise(F.lit(-1))
-                    .alias("vote"),
-                ),
-            )
-        ).alias("bv"),
-    ).select("doc_id", F.col("bv.bit_pos").alias("bit_pos"), F.col("bv.vote").alias("vote"))
-    votes = bits.groupBy("doc_id", "bit_pos").agg(F.sum("vote").alias("votes"))
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("bit_pos"), (F.col("votes") > 0).alias("b")))
-                    ),
-                    lambda s: F.when(s["b"], "1").otherwise("0"),
-                ),
-                "",
-            ).alias("simhash")
-        )
+        F.concat(
+            *[
+                F.when(F.col(f"_v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(1, n_bits + 1)
+            ]
+        ).alias("simhash"),
     )
 
 
@@ -287,15 +276,18 @@ def embedding_near_dup_pairs_lsh(
     from terminus_server_spark.operators.similarity import (
         cosine_from_parts,
         expr_lsh_signature,
+        pandas_lsh_signature,
         scaled_parts,
     )
 
     rows_per_band = n_planes // n_bands
     pa = scaled_parts(emb, id_col, vec_col, "a")
-    sig = pa.select(
-        F.col("id_a").alias("doc_id"),
-        expr_lsh_signature(F.col("vec_a"), n_planes, dim=dim).alias("sig"),
+    sig_col = (
+        pandas_lsh_signature(n_planes, dim)(F.col("vec_a"))
+        if dim is not None
+        else expr_lsh_signature(F.col("vec_a"), n_planes, dim=dim)
     )
+    sig = pa.select(F.col("id_a").alias("doc_id"), sig_col.alias("sig"))
     # one explode instead of an n_bands-way union: the signature (the
     # expensive expression) evaluates once per row, not once per band
     banded = sig.select(

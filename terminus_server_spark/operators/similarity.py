@@ -282,6 +282,23 @@ def expr_lsh_signature(
     return F.concat(*bits)
 
 
+def pandas_lsh_signature(n_planes: int, dim: int, seed: str = "tss"):
+    """Arrow-batched form of ``expr_lsh_signature``'s known-dim fast
+    path: the identical fixed-point plane dots computed with blocked
+    numpy instead of interpreted zip_with/aggregate lambdas (the
+    per-row HOF interpreter is the slow path at any scale; the UDF is
+    vectorized per Arrow batch).  Bit-for-bit identical signatures:
+    ``floor((x · plane_pj) · 1e12)`` per element in f64 — every floored
+    product is an integer < 2^41 and a 64-element sum < 2^47, so f64
+    addition is exact and order-free, matching the JVM expression and
+    the DuckDB oracle exactly (same argument as
+    ``embedding_near_dup_pairs``).  Returns a callable column maker.
+    """
+    from terminus_server_spark.operators._arrow_udfs import make_lsh_signature_udf
+
+    return make_lsh_signature_udf(_hyperplanes(dim, n_planes, seed), SCALE)
+
+
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-hash signature: bit p = (vec · plane_p) > 0.  Charikar's
     SimHash for cosine — collision probability 1 − θ/π per bit.
@@ -331,7 +348,10 @@ def lsh_topk(
 
     def banded(side: DataFrame, suffix: str) -> DataFrame:
         parts = scaled_parts(side, id_col, vec_col, suffix)
-        sig = expr_lsh_signature(F.col(f"vec_{suffix}"), n_planes, dim=dim)
+        if dim is not None:
+            sig = pandas_lsh_signature(n_planes, dim)(F.col(f"vec_{suffix}"))
+        else:
+            sig = expr_lsh_signature(F.col(f"vec_{suffix}"), n_planes, dim=dim)
         withsig = parts.withColumn("sig", sig)
         # one explode instead of an n_bands-way union: the signature
         # evaluates once per row, not once per band

@@ -72,19 +72,30 @@ def lsh_candidate_pairs(
     can be layered on (drop buckets > N as "template" clusters).
     """
     rows_per_band = n_hashes // n_bands
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.concat_ws("|", *cols).alias("band_key"),
+    # one explode instead of an n_bands-way union: a union would
+    # duplicate the whole signature-aggregation subtree n_bands times
+    # in the plan (n_bands scans + shuffles of the shingle frame);
+    # exploding a literal band array evaluates the signature once
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"sig_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.union(b)
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

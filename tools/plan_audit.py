@@ -7,7 +7,7 @@ For each key, builds the DataFrame (no execution) and reports:
   explicitly Arrow-batched operators may have them),
 - CartesianProduct / BroadcastNestedLoopJoin (quadratic hazards).
 
-Usage: python tools/plan_audit.py [sf_dir] > report
+Usage: python tools/plan_audit.py [sf_dir] [key ...] > report
 Lines: ``key scans=N exchanges=N python=N nested_loop=N`` followed by
 a ``FLAG`` column when a hazard heuristic fires.
 """
@@ -31,13 +31,14 @@ ARROW_OK = {"dedup_embed_cos", "dedup_embed_cos_exact", "mm_meta", "mm_features"
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
     from terminus_server_spark.registry import QUERIES
     from terminus_server_spark.session import get_spark
 
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     flagged = []
-    for k in sorted(QUERIES):
+    for k in sorted(only or QUERIES):
         try:
             df = QUERIES[k](spark, sf_dir)
             buf = io.StringIO()

@@ -1475,3 +1475,20 @@ def test_lpa_two_cliques_converge_to_min_label(spark):
     edges = spark.createDataFrame(tri(10) + tri(20), "src long, dst long")
     out = {r.node: r.community for r in lpa_communities(edges, rounds=4).collect()}
     assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_lpa_partitioning_invariant(spark):
+    from terminus_server_spark.operators.graph import lpa_communities
+
+    # the synchronous formulation must be a pure function of the edge
+    # SET — same communities under any row order / partition count
+    import random
+
+    tri = lambda base: [(base, base + 1), (base + 1, base + 2), (base, base + 2)]
+    rows = tri(10) + tri(20) + [(10, 20)]  # bridged cliques
+    shuffled = rows[::-1]
+    a = spark.createDataFrame(rows, "src long, dst long")
+    b = spark.createDataFrame(shuffled, "src long, dst long").repartition(7)
+    out_a = sorted((r.node, r.community) for r in lpa_communities(a, rounds=4).collect())
+    out_b = sorted((r.node, r.community) for r in lpa_communities(b, rounds=4).collect())
+    assert out_a == out_b

@@ -154,6 +154,7 @@ HEADLINE = [
     "graph_harmonic_sketch",
     "graph_eff_diameter",
     "graph_lpa_communities",
+    "dedup_keep_best",
     "ann_pq_audit",
     "dedup_cross_corpus",
     "dedup_containment",

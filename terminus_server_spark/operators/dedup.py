@@ -371,6 +371,37 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def keep_best_in_cluster(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, cluster_id, keep_doc_id, is_kept): near-dup clusters
+    with the kept document chosen by QUALITY, not by id — what a
+    production dedup pass actually does (min-id canonicals throw away
+    the best-written copy of every boilerplate family).
+
+    The cluster step is ``near_dup_clusters`` (bucketed LSH pairs →
+    min-label components over the tiny pair graph); the quality score
+    is ``text.quality_score``'s composite (deterministic IEEE f64 in
+    both engines, so the argmax is engine-portable).  Per-cluster
+    argmax is max(struct(quality, -doc_id)) — partial-aggregating, no
+    window — ties broken by the smaller doc_id; labels join back at
+    the cluster grain."""
+    from terminus_server_spark.operators.text import quality_score
+
+    clusters = near_dup_clusters(docs, text_col)
+    q = quality_score(docs, text_col).select("doc_id", "quality")
+    joined = clusters.select("doc_id", "cluster_id").join(q, "doc_id")
+    best = (
+        joined.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg"))).alias("m"))
+        .select("cluster_id", (-F.col("m.neg")).alias("keep_doc_id"))
+    )
+    return joined.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keep_doc_id",
+        (F.col("doc_id") == F.col("keep_doc_id")).alias("is_kept"),
+    )
+
+
 def segment_dedup(
     docs: DataFrame,
     seg_tokens: int = 10,

@@ -9516,3 +9516,61 @@ def graph_lpa_communities(spark, sf_dir):
         )
     )
     return lpa_communities(edges, rounds=4)
+
+
+@register(
+    "dedup_keep_best",
+    rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+              min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+              min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+              min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+              min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+            FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+      UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    und AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.doc_id, und.pb FROM reach JOIN und ON reach.r = und.pa),
+    clus AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    q AS (
+      SELECT doc_id,
+             (CASE WHEN n_tokens >= 5 AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                   THEN 1.0 ELSE 0.0 END) * (1.0 - punct_ratio) AS quality
+      FROM (
+        SELECT doc_id,
+               len({_TOKS_SQL})::BIGINT AS n_tokens,
+               length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len({_TOKS_SQL}) AS mean_token_len,
+               (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                 / length(text) AS punct_ratio
+        FROM documents)),
+    best AS (
+      SELECT cluster_id, doc_id AS keep_doc_id FROM (
+        SELECT c.cluster_id, c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM clus c JOIN q USING (doc_id)) WHERE rn = 1)
+    SELECT c.doc_id, c.cluster_id, b.keep_doc_id,
+           (c.doc_id = b.keep_doc_id) AS is_kept
+    FROM clus c JOIN best b USING (cluster_id)
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Near-dup dedup that keeps the highest-QUALITY member of each
+    cluster instead of the min-id one (operators/dedup.py:
+    keep_best_in_cluster) — LSH clusters joined with the C4-style
+    quality composite, per-cluster argmax as a partial-aggregating
+    max(struct), smaller-id tie-break."""
+    from terminus_server_spark.operators.dedup import keep_best_in_cluster
+
+    return keep_best_in_cluster(_t(spark, sf_dir, "documents")["documents"])

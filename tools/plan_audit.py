@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ARROW_OK = {"dedup_embed_cos", "dedup_embed_cos_exact", "mm_meta", "mm_features",
             "mm_resize", "mm_frames", "stream_spend_alerts", "stream_pattern_alerts",
             # vectorized sign-LSH signatures (operators/_arrow_udfs.py)
-            "ann_lsh", "dedup_semantic"}
+            "ann_lsh"}
 
 
 def main() -> None:

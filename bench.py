@@ -155,6 +155,7 @@ HEADLINE = [
     "graph_eff_diameter",
     "graph_lpa_communities",
     "dedup_keep_best",
+    "docs_budget_cap",
     "ann_pq_audit",
     "dedup_cross_corpus",
     "dedup_containment",

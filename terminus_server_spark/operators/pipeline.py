@@ -490,3 +490,40 @@ def shuffle_index(
             .alias("shuffle_pos"),
         )
     )
+
+
+def budget_cap(
+    docs: DataFrame, budget_tokens: int = 10_000, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, source, n_tokens, cum_tokens, kept): per-source token
+    budgets — documents admitted in (quality DESC, doc_id) priority
+    order until the source's budget fills, the greedy step of a
+    DoReMi/Pile-style mixture build (the count-based temperature clip
+    is ``mixture_sample``; this caps by TOKENS, which is what the
+    training run actually consumes).
+
+    The running sum is a window PARTITIONED BY source — distributed
+    across sources, deterministic ties via doc_id.  A single source
+    big enough to swamp one executor partition gets the same
+    two-pass range-bucket treatment as ``shuffle_index`` (hash-range
+    prefix sums); at that point the priority order is already coarse
+    enough that per-bucket budgets are the practical form.
+    """
+    from pyspark.sql.window import Window
+
+    from terminus_server_spark.operators.text import quality_score
+
+    q = quality_score(docs, text_col).select("doc_id", "n_tokens", "quality")
+    base = docs.select("doc_id", "source").join(q, "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        (F.sum("n_tokens").over(w) <= F.lit(budget_tokens)).alias("kept"),
+    )

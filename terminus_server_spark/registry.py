@@ -9574,3 +9574,38 @@ def dedup_keep_best(spark, sf_dir):
     from terminus_server_spark.operators.dedup import keep_best_in_cluster
 
     return keep_best_in_cluster(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "docs_budget_cap",
+    rf"""
+    WITH q AS (
+      SELECT doc_id,
+             len({_TOKS_SQL})::BIGINT AS n_tokens,
+             (CASE WHEN len({_TOKS_SQL}) >= 5
+                    AND length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len({_TOKS_SQL}) >= 2.0
+                    AND length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len({_TOKS_SQL}) <= 12.0
+                   THEN 1.0 ELSE 0.0 END)
+             * (1.0 - (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                      / length(text)) AS quality
+      FROM documents),
+    ranked AS (
+      SELECT d.doc_id, d.source, q.n_tokens,
+             CAST(SUM(q.n_tokens) OVER (PARTITION BY d.source
+                                        ORDER BY q.quality DESC, d.doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM documents d JOIN q USING (doc_id))
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           (cum_tokens <= 10000) AS kept
+    FROM ranked
+    """,
+)
+def docs_budget_cap(spark, sf_dir):
+    """Per-source token-budget selection in quality-priority order
+    (operators/pipeline.py:budget_cap) — the greedy token-capped
+    mixture step; window partitioned by source, deterministic
+    (quality DESC, doc_id) order mirrored exactly by the oracle."""
+    from terminus_server_spark.operators.pipeline import budget_cap
+
+    return budget_cap(_t(spark, sf_dir, "documents")["documents"])

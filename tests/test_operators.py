@@ -1513,3 +1513,18 @@ def test_keep_best_prefers_quality_over_id(spark):
         assert out[1][1] and out[2][1]
     else:
         assert out[1] == (2, False) and out[2] == (2, True)
+
+
+def test_budget_cap_admits_by_quality_priority(spark):
+    from terminus_server_spark.operators.pipeline import budget_cap
+
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    bad = "a !!! b ??? c ;;; d *** e @@@ f ### g $$$ h %%% i ^^^ j &&&"
+    docs = spark.createDataFrame(
+        [(1, bad, "s"), (2, good, "s"), (3, good + " more words here", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in budget_cap(docs, budget_tokens=30).collect()}
+    # the two clean docs fill the budget first; the noisy one is cut
+    assert out[2].kept and out[3].kept and not out[1].kept
+    assert out[1].cum_tokens > 30

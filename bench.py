@@ -156,6 +156,7 @@ HEADLINE = [
     "graph_lpa_communities",
     "dedup_keep_best",
     "docs_budget_cap",
+    "schema_enum",
     "ann_pq_audit",
     "dedup_cross_corpus",
     "dedup_containment",

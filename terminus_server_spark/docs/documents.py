@@ -449,6 +449,25 @@ def validate_oneof(
     )
 
 
+def validate_enum(
+    docs: DataFrame, id_col: str, value_col: str, allowed: list[str]
+) -> DataFrame:
+    """Enum-type validation — the reference's ``@type: Enum`` classes
+    restrict a property's value to a closed literal set
+    (document/json_schema.pl enum handling).  Returns one row per
+    violating document: (key, value, violation) with violation
+    'enum:invalid_value'; NULL values are a cardinality concern
+    (``schema_cardinality``), not an enum one, and pass here.
+    The allowed set is a literal isin — a broadcast-free map-side
+    filter at any scale."""
+    v = F.col(value_col)
+    return docs.where(v.isNotNull() & ~v.isin(*allowed)).select(
+        F.col(id_col).alias("key"),
+        v.alias("value"),
+        F.lit("enum:invalid_value").alias("violation"),
+    )
+
+
 def patch_with_conflicts(
     current: DataFrame, diff: DataFrame, key: str, fields: list[str]
 ) -> tuple[DataFrame, DataFrame]:

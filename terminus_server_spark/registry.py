@@ -9609,3 +9609,41 @@ def docs_budget_cap(spark, sf_dir):
     from terminus_server_spark.operators.pipeline import budget_cap
 
     return budget_cap(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "schema_enum",
+    """
+    SELECT c_custkey AS key,
+           CASE WHEN c_custkey % 13 = 0 THEN 'SEG_' || CAST(c_custkey AS VARCHAR)
+                ELSE c_mktsegment END AS value,
+           'enum:invalid_value' AS violation
+    FROM customer
+    WHERE c_custkey % 13 = 0
+    """,
+)
+def schema_enum(spark, sf_dir):
+    """Enum-class validation (docs/documents.py:validate_enum): a
+    market-segment property typed as a closed Enum of the five TPC-H
+    segments; the fixture corrupts every 13th customer's value, and
+    exactly those rows must surface as 'enum:invalid_value'."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import validate_enum
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    fixture = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.concat(F.lit("SEG_"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return validate_enum(
+        fixture,
+        "c_custkey",
+        "segment",
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+    )

@@ -1528,3 +1528,16 @@ def test_budget_cap_admits_by_quality_priority(spark):
     # the two clean docs fill the budget first; the noisy one is cut
     assert out[2].kept and out[3].kept and not out[1].kept
     assert out[1].cum_tokens > 30
+
+
+def test_validate_enum_flags_only_out_of_set(spark):
+    from terminus_server_spark.docs.documents import validate_enum
+
+    docs = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, "mauve"), (4, None)],
+        "id long, color string",
+    )
+    out = validate_enum(docs, "id", "color", ["red", "blue"]).collect()
+    assert [(r.key, r.value, r.violation) for r in out] == [
+        (3, "mauve", "enum:invalid_value")
+    ]

@@ -157,6 +157,7 @@ HEADLINE = [
     "dedup_keep_best",
     "docs_budget_cap",
     "schema_enum",
+    "graph_reciprocity",
     "ann_pq_audit",
     "dedup_cross_corpus",
     "dedup_containment",

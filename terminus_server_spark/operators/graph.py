@@ -895,3 +895,23 @@ def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .transform(loop_checkpoint)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, n_reciprocated, reciprocity): the fraction of
+    directed edges whose reverse edge also exists — the standard
+    directed-graph reciprocity statistic.  A self-semi-join on the
+    reversed key pair and two counts; map-side distinct partials, no
+    driver state, ratio computed in the plan."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        recip.agg(F.count(F.lit(1)).alias("n_reciprocated"))
+    ).select(
+        "n_edges",
+        "n_reciprocated",
+        (F.col("n_reciprocated").cast("double") / F.col("n_edges").cast("double")).alias(
+            "reciprocity"
+        ),
+    )

@@ -9647,3 +9647,32 @@ def schema_enum(spark, sf_dir):
         "segment",
         ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
     )
+
+
+@register(
+    "graph_reciprocity",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, (o_orderkey % 1000) AS dst
+      FROM orders WHERE o_custkey <> (o_orderkey % 1000)),
+    r AS (SELECT COUNT(*) AS n_recip FROM e
+          WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src))
+    SELECT (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+           n_recip::BIGINT AS n_reciprocated,
+           n_recip::DOUBLE / (SELECT COUNT(*) FROM e)::DOUBLE AS reciprocity
+    FROM r
+    """,
+)
+def graph_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity (operators/graph.py:reciprocity) over
+    the customer→bucket order graph — the fraction of edges whose
+    reverse also exists, one semi-join + two counts."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import reciprocity
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    edges = o.select(
+        F.col("o_custkey").alias("src"), (F.col("o_orderkey") % 1000).alias("dst")
+    )
+    return reciprocity(edges)

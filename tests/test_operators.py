@@ -1541,3 +1541,15 @@ def test_validate_enum_flags_only_out_of_set(spark):
     assert [(r.key, r.value, r.violation) for r in out] == [
         (3, "mauve", "enum:invalid_value")
     ]
+
+
+def test_reciprocity_counts_mutual_edges(spark):
+    from terminus_server_spark.operators.graph import reciprocity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)],  # self-loop dropped
+        "src long, dst long",
+    )
+    r = reciprocity(edges).collect()[0]
+    assert (r.n_edges, r.n_reciprocated) == (4, 2)
+    assert abs(r.reciprocity - 0.5) < 1e-12

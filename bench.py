@@ -158,6 +158,7 @@ HEADLINE = [
     "docs_budget_cap",
     "schema_enum",
     "graph_reciprocity",
+    "graph_assortativity",
     "ann_pq_audit",
     "dedup_cross_corpus",
     "dedup_containment",

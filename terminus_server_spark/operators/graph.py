@@ -915,3 +915,39 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             "reciprocity"
         ),
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, assortativity): Pearson correlation between
+    the out-degree of src and in-degree of dst across directed edges
+    — the Newman assortativity coefficient in its directed form.
+
+    Every moment (Σx, Σy, Σxy, Σx², Σy²) is an integer sum of bigint
+    degrees, so the statistic is exact and order-free in any engine;
+    only the final closed-form division is floating point.  Dataflow:
+    two degree aggregates joined onto the edge list (both keyed joins
+    AQE can broadcast when the degree tables are small), one global
+    aggregate of five integer partials."""
+    out_d = edges.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("xd"))
+    in_d = edges.groupBy(F.col("dst").alias("n")).agg(F.count(F.lit(1)).alias("yd"))
+    pairs = (
+        edges.join(out_d, edges["src"] == out_d["n"])
+        .drop("n")
+        .join(in_d, edges["dst"] == in_d["n"])
+        .select(F.col("xd").cast("bigint").alias("x"), F.col("yd").cast("bigint").alias("y"))
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_edges").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return m.select("n_edges", (num / den).alias("assortativity"))

@@ -9676,3 +9676,43 @@ def graph_reciprocity(spark, sf_dir):
         F.col("o_custkey").alias("src"), (F.col("o_orderkey") % 1000).alias("dst")
     )
     return reciprocity(edges)
+
+
+@register(
+    "graph_assortativity",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, (o_orderkey % 500) AS dst FROM orders),
+    od AS (SELECT src AS n, COUNT(*)::BIGINT AS xd FROM e GROUP BY 1),
+    idg AS (SELECT dst AS n, COUNT(*)::BIGINT AS yd FROM e GROUP BY 1),
+    p AS (
+      SELECT od.xd AS x, idg.yd AS y
+      FROM e JOIN od ON e.src = od.n JOIN idg ON e.dst = idg.n),
+    m AS (
+      SELECT COUNT(*)::BIGINT AS n_edges,
+             SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+             SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx,
+             SUM(y * y)::BIGINT AS syy
+      FROM p)
+    SELECT n_edges,
+           (n_edges::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / sqrt((n_edges::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * (n_edges::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+             AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Directed degree assortativity (operators/graph.py:
+    degree_assortativity) over the customer→bucket order graph —
+    integer-moment Pearson, exact partial sums, one final double
+    division."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import degree_assortativity
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    edges = o.select(
+        F.col("o_custkey").alias("src"), (F.col("o_orderkey") % 500).alias("dst")
+    ).distinct()
+    return degree_assortativity(edges)

@@ -159,6 +159,7 @@ HEADLINE = [
     "schema_enum",
     "graph_reciprocity",
     "graph_assortativity",
+    "text_hashed_tf",
     "ann_pq_audit",
     "dedup_cross_corpus",
     "dedup_containment",

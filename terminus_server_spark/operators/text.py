@@ -559,3 +559,24 @@ def bigram_perplexity(
         F.round(avg, 6).alias("avg_logprob"),
         F.round(F.exp(-avg), 6).alias("perplexity"),
     )
+
+
+def hashed_tf(docs: DataFrame, n_buckets: int = 64, text_col: str = "text") -> DataFrame:
+    """(doc_id, bucket, tf): hashing-trick term-frequency features —
+    the fixed-width input a downstream (quality/topic) classifier
+    trains on without ever materializing a vocabulary.  Bucket =
+    md5-derived integer mod n_buckets (the repo's engine-portable
+    hash convention), tf = token count per (doc, bucket); one explode
+    + one map-side-combining aggregate keyed (doc_id, bucket), so the
+    shuffle carries at most n_buckets rows per document at any
+    corpus size."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )

@@ -9716,3 +9716,23 @@ def graph_assortativity(spark, sf_dir):
         F.col("o_custkey").alias("src"), (F.col("o_orderkey") % 500).alias("dst")
     ).distinct()
     return degree_assortativity(edges)
+
+
+@register(
+    "text_hashed_tf",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_LTOKS_SQL}) AS token FROM documents)
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+           COUNT(*)::BIGINT AS tf
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def text_hashed_tf(spark, sf_dir):
+    """Feature-hashing term frequencies (operators/text.py:hashed_tf):
+    64-bucket hashing-trick vectors, vocabulary-free — one explode and
+    one (doc, bucket) partial-aggregating shuffle."""
+    from terminus_server_spark.operators.text import hashed_tf
+
+    return hashed_tf(_t(spark, sf_dir, "documents")["documents"])

@@ -1571,3 +1571,16 @@ def test_assortativity_perfect_on_uniform_degree(spark):
     sx, sy, sxy, sxx, syy = 10, 6, 14, 28, 10
     expect = (4 * sxy - sx * sy) / math.sqrt((4 * sxx - sx * sx) * (4 * syy - sy * sy))
     assert abs(r.assortativity - expect) < 1e-12
+
+
+def test_hashed_tf_sums_to_token_count(spark):
+    from terminus_server_spark.operators.text import hashed_tf
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "delta")], "doc_id long, text string"
+    )
+    out = hashed_tf(docs)
+    sums = {r.doc_id: r.s for r in out.groupBy("doc_id").agg(F.sum("tf").alias("s")).collect()}
+    assert sums == {1: 4, 2: 1}
+    assert out.where((F.col("bucket") < 0) | (F.col("bucket") >= 64)).count() == 0

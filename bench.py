@@ -160,6 +160,7 @@ HEADLINE = [
     "graph_reciprocity",
     "graph_assortativity",
     "text_hashed_tf",
+    "events_markov",
     "ann_pq_audit",
     "dedup_cross_corpus",
     "dedup_containment",

@@ -318,3 +318,38 @@ def scd2_intervals(
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(prev_type, next_type, n, p): first-order Markov transition
+    matrix over per-user event sequences — the behavioral model
+    behind next-action prediction and funnel diagnostics.
+
+    LAG over a window PARTITIONED BY user (distributed across users;
+    ``id_col`` breaks timestamp ties so the sequence is total), one
+    (prev, next) count aggregate, and the row-normalizing total joined
+    back — n and the row totals are exact bigints, so p is a single
+    deterministic double division.  K² output rows regardless of
+    corpus size."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    seq = events.select(
+        F.lag(type_col).over(w).alias("prev_type"), F.col(type_col).alias("next_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return counts.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_n").cast("double")).alias("p"),
+    )

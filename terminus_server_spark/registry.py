@@ -9736,3 +9736,30 @@ def text_hashed_tf(spark, sf_dir):
     from terminus_server_spark.operators.text import hashed_tf
 
     return hashed_tf(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "events_markov",
+    """
+    WITH seq AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events),
+    c AS (
+      SELECT prev_type, next_type, COUNT(*)::BIGINT AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT prev_type, SUM(n)::BIGINT AS row_n FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n,
+           c.n::DOUBLE / t.row_n::DOUBLE AS p
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def events_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/temporal.py:markov_transitions) — LAG
+    partitioned by user with an event_id tie-break, exact bigint
+    counts, row-normalized probabilities."""
+    from terminus_server_spark.operators.temporal import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events")["events"])

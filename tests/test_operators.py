@@ -1584,3 +1584,25 @@ def test_hashed_tf_sums_to_token_count(spark):
     sums = {r.doc_id: r.s for r in out.groupBy("doc_id").agg(F.sum("tf").alias("s")).collect()}
     assert sums == {1: 4, 2: 1}
     assert out.where((F.col("bucket") < 0) | (F.col("bucket") >= 64)).count() == 0
+
+
+def test_markov_rows_sum_to_one(spark):
+    from terminus_server_spark.operators.temporal import markov_transitions
+    from pyspark.sql import functions as F
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "a"), (2, t0.replace(hour=1), 10, "b"),
+        (3, t0.replace(hour=2), 10, "a"), (4, t0, 20, "a"),
+        (5, t0.replace(hour=1), 20, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = markov_transitions(ev)
+    # transitions: u10 a->b, b->a; u20 a->c  => from 'a': b 0.5, c 0.5
+    sums = {r.prev_type: r.s for r in out.groupBy("prev_type").agg(F.sum("p").alias("s")).collect()}
+    assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
+    pa = {r.next_type: r.p for r in out.where(F.col("prev_type") == "a").collect()}
+    assert pa == {"b": 0.5, "c": 0.5}

@@ -360,6 +360,33 @@ def tpch_store(tables: dict[str, DataFrame]) -> TripleStore:
     return TripleStore.from_tables(tables, specs)
 
 
+def nt_escape(col):
+    """N-Triples / JSON string escaping as a column expression:
+    backslash first (so later escapes aren't doubled), then quote and
+    the control characters a text corpus actually contains (\\n \\r
+    \\t).  Without the control-char escapes a multiline literal splits
+    one logical triple across physical lines, breaking every per-line
+    parser downstream (including :func:`from_ntriples`)."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+
+
+def nt_unescape(col):
+    """Inverse of :func:`nt_escape`.  Escaped backslashes are parked
+    on a NUL sentinel first so ``\\\\n`` (escaped backslash + 'n')
+    is not misread as a newline escape; NUL cannot appear in a
+    well-formed N-Triples line, so the sentinel is safe."""
+    out = F.replace(col, F.lit("\\\\"), F.lit("\x00"))
+    out = F.replace(out, F.lit('\\"'), F.lit('"'))
+    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
+    out = F.replace(out, F.lit("\\r"), F.lit("\r"))
+    out = F.replace(out, F.lit("\\t"), F.lit("\t"))
+    return F.replace(out, F.lit("\x00"), F.lit("\\"))
+
+
 def to_ntriples(triples: DataFrame, base: str = "http://example.org/") -> DataFrame:
     """(subject, line): canonical N-Triples serialization of a triple
     frame — the reference's triple dump / RDF export surface
@@ -367,7 +394,7 @@ def to_ntriples(triples: DataFrame, base: str = "http://example.org/") -> DataFr
 
     Conventions: instance IRIs under ``{base}i/``, predicates under
     ``{base}p/`` (rdf:type maps to the RDF namespace), literals
-    escaped (backslash, quote) and typed with full XSD IRIs,
+    escaped (backslash, quote, \\n \\r \\t) and typed with full XSD IRIs,
     lang-tagged strings as ``"lit"@tag``.  Pure per-row string
     expressions — the export is a map-only job that parallelizes to
     however many output shards the sink asks for."""
@@ -376,11 +403,7 @@ def to_ntriples(triples: DataFrame, base: str = "http://example.org/") -> DataFr
     p_iri = F.when(
         F.col("predicate") == RDF_TYPE, F.lit(rdf_type_iri)
     ).otherwise(F.concat(F.lit(f"<{base}p/"), F.col("predicate"), F.lit(">")))
-    esc = F.replace(
-        F.replace(F.col("obj"), F.lit("\\"), F.lit("\\\\")),
-        F.lit('"'),
-        F.lit('\\"'),
-    )
+    esc = nt_escape(F.col("obj"))
     xsd_local = F.substring_index(F.col("obj_type"), ":", -1)
     o_term = (
         F.when(F.col("obj_type") == "iri", F.concat(F.lit(f"<{base}i/"), F.col("obj"), F.lit(">")))
@@ -419,8 +442,9 @@ def from_ntriples(
     Term grammar handled: ``<iri>`` objects (``{base}i/`` stripped),
     ``"lit"@tag`` language-tagged strings, ``"lit"^^<xsd-iri>`` typed
     literals (full XSD IRIs compacted to ``xsd:local``), bare
-    ``"lit"`` as xsd:string; literal unescaping is the single-pass
-    ``\\X -> X`` inverse of the export's backslash/quote escaping.
+    ``"lit"`` as xsd:string; literal unescaping is
+    :func:`nt_unescape`, the exact inverse of the export's
+    backslash/quote/control-char escaping.
     The numeric (``obj_num``) and temporal (``obj_ts``) shadow
     columns are re-derived from the lexical form by type.  Pure
     per-row regexp/string expressions — a map-only job with no
@@ -436,7 +460,7 @@ def from_ntriples(
         oterm.rlike('^"'),
         F.regexp_extract(oterm, f"^{quoted}", 1),
     )
-    lit = F.regexp_replace(raw_lit, r"\\(.)", "$1")
+    lit = nt_unescape(raw_lit)
     lang_tag = F.regexp_extract(oterm, f"^{quoted}@([A-Za-z][A-Za-z0-9-]*)$", 2)
     xsd_local = F.regexp_extract(
         oterm, f"^{quoted}\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#([A-Za-z]+)>$", 2

@@ -381,18 +381,21 @@ def keep_best_in_cluster(docs: DataFrame, text_col: str = "text") -> DataFrame:
     min-label components over the tiny pair graph); the quality score
     is ``text.quality_score``'s composite (deterministic IEEE f64 in
     both engines, so the argmax is engine-portable).  Per-cluster
-    argmax is max(struct(quality, -doc_id)) — partial-aggregating, no
-    window — ties broken by the smaller doc_id; labels join back at
-    the cluster grain."""
+    argmax is min(struct(-quality, doc_id)) — partial-aggregating, no
+    window, string-id-safe — ties broken by the smaller doc_id; labels
+    join back at the cluster grain."""
     from terminus_server_spark.operators.text import quality_score
 
     clusters = near_dup_clusters(docs, text_col)
     q = quality_score(docs, text_col).select("doc_id", "quality")
     joined = clusters.select("doc_id", "cluster_id").join(q, "doc_id")
+    # min(struct(-quality, doc_id)) = highest quality, smallest-doc_id
+    # tie-break — works for string ids too (negating a string id would
+    # NULL the tie-break), and min() keeps its map-side partials.
     best = (
         joined.groupBy("cluster_id")
-        .agg(F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg"))).alias("m"))
-        .select("cluster_id", (-F.col("m.neg")).alias("keep_doc_id"))
+        .agg(F.min(F.struct((-F.col("quality")).alias("negq"), F.col("doc_id").alias("did"))).alias("m"))
+        .select("cluster_id", F.col("m.did").alias("keep_doc_id"))
     )
     return joined.join(best, "cluster_id").select(
         "doc_id",

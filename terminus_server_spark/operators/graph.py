@@ -881,17 +881,21 @@ def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .transform(plan_checkpoint)
     )
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node").cast("bigint")
+        "label", F.col("node")
     )
     for _ in range(rounds):
         nbr = und.join(
             labels.select(F.col("node").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("node"), "label")
         cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("n"))
+        # min(struct(-n, label)) = most-frequent label, smallest-label
+        # tie-break — struct ordering works for string AND integral node
+        # ids (a bigint cast would NULL out 'C/…'-style ids), and min()
+        # still partial-aggregates map-side.
         labels = (
             cnt.groupBy("node")
-            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("m"))
-            .select("node", (-F.col("m.neg")).alias("label"))
+            .agg(F.min(F.struct((-F.col("n")).alias("negn"), F.col("label").alias("lbl"))).alias("m"))
+            .select("node", F.col("m.lbl").alias("label"))
             .transform(loop_checkpoint)
         )
     return labels.select("node", F.col("label").alias("community"))

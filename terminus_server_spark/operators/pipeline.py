@@ -413,6 +413,13 @@ def drop_reason_audit(
     which rule is doing the cutting — without it, a mixture shift
     after a filter change is undebuggable.
 
+    Sequential-pipeline semantics: the dedup rank counts only rows
+    that PASSED the earlier filter stages (a running conditional sum
+    over the hash window), so the sole surviving copy of a text whose
+    rank-1 twin was dropped as too_short/wrong_lang is correctly
+    attributed `survived` — exactly what running dedup after the
+    filters would produce.
+
     One pass over the corpus: the only shuffle is the exact-dup
     window on the content hash (the same key exact dedup groups on),
     then a map-side-combined rollup on the tiny (stage, source)
@@ -424,8 +431,15 @@ def drop_reason_audit(
         F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
         / F.length(t).cast("double")
     )
-    rn = F.row_number().over(
-        Window.partitionBy(F.md5(F.lower(t))).orderBy("doc_id")
+    passes = (
+        (F.col("n_chars") >= min_chars)
+        & F.col("lang").isin(*langs)
+        & (digit_frac <= F.lit(float(max_digit_frac)))
+    )
+    rn = F.sum(F.when(passes, 1).otherwise(0)).over(
+        Window.partitionBy(F.md5(F.lower(t)))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     staged = docs.select(
         "source",

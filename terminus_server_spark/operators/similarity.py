@@ -859,10 +859,20 @@ def ivfpq_topk(
         .agg(F.min(F.struct("d2", "code")).alias("_best"))
         .select("vec_id", "m", F.col("_best.code").alias("code"))
     )
+    # LUT from the queries' OWN subvectors vs the broadcast codebook
+    # (pq_topk_audit's construction) — not from corpus-side encd, so
+    # queries need not be a subset of the corpus and an id collision
+    # with a different corpus vector cannot poison the distances.
+    qsub = (
+        queries.select(F.col(id_col).alias("query_id"), v.alias("_qv"))
+        .select("query_id", ms, F.col("_qv").alias("_fv"))
+        .select(
+            "query_id", "m",
+            F.slice(F.col("_fv"), F.col("m") * sub + 1, sub).alias("sv"),
+        )
+    )
     lut = F.broadcast(
-        encd.join(
-            queries.select(F.col(id_col).alias("vec_id")), "vec_id"
-        ).select(F.col("vec_id").alias("query_id"), "m", "code", "d2")
+        qsub.join(codebook, "m").select("query_id", "m", "code", d2.alias("d2"))
     )
     cand = (
         probe_cells.join(corpus_cells, "cell_id")

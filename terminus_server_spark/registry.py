@@ -1007,10 +1007,15 @@ def docs_shuffle_index(spark, sf_dir):
       SELECT doc_id, source, lang, n_chars, text,
              CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
                   ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-                       / length(text)::DOUBLE END AS digit_frac,
-             ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
-                                ORDER BY doc_id) AS rn
+                       / length(text)::DOUBLE END AS digit_frac
       FROM documents),
+    d2 AS (
+      SELECT *,
+             SUM(CASE WHEN n_chars >= 200 AND lang IN ('en', 'de')
+                           AND digit_frac <= 0.2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn
+      FROM d),
     staged AS (
       SELECT source,
              CASE WHEN n_chars < 200 THEN 'too_short'
@@ -1018,7 +1023,7 @@ def docs_shuffle_index(spark, sf_dir):
                   WHEN digit_frac > 0.2 THEN 'high_digit'
                   WHEN rn > 1 THEN 'exact_dup'
                   ELSE 'survived' END AS stage
-      FROM d)
+      FROM d2)
     SELECT stage, source, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM staged GROUP BY 1, 2
     """,

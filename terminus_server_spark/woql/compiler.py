@@ -640,11 +640,11 @@ class WOQLContext:
         million solutions is two aggregates and a join, never a
         per-solution lookup (the reference resolves get_document per
         answer; the relational form is the Spark-native equivalent)."""
-        esc = F.replace(
-            F.replace(F.col("obj"), F.lit("\\"), F.lit("\\\\")),
-            F.lit('"'),
-            F.lit('\\"'),
-        )
+        from terminus_server_spark.model.triples import nt_escape
+
+        # JSON-string escaping incl. control chars (\n \r \t) — a
+        # multiline literal must not emit invalid JSON.
+        esc = nt_escape(F.col("obj"))
         vjson = F.when(
             F.col("obj_type").isin("xsd:integer", "xsd:decimal"), F.col("obj")
         ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))

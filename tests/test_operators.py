@@ -1606,3 +1606,105 @@ def test_markov_rows_sum_to_one(spark):
     assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
     pa = {r.next_type: r.p for r in out.where(F.col("prev_type") == "a").collect()}
     assert pa == {"b": 0.5, "c": 0.5}
+
+
+def test_lpa_string_node_ids(spark):
+    from terminus_server_spark.operators.graph import lpa_communities
+
+    # string ids ('C/…' style) must work — a bigint cast would NULL
+    # every label silently (r3 ADVICE)
+    tri = lambda b: [(f"C/{b}", f"C/{b+1}"), (f"C/{b+1}", f"C/{b+2}"), (f"C/{b}", f"C/{b+2}")]
+    edges = spark.createDataFrame(tri(10) + tri(20), "src string, dst string")
+    out = {r.node: r.community for r in lpa_communities(edges, rounds=4).collect()}
+    assert None not in out.values()
+    assert out == {
+        "C/10": "C/10", "C/11": "C/10", "C/12": "C/10",
+        "C/20": "C/20", "C/21": "C/20", "C/22": "C/20",
+    }
+
+
+def test_keep_best_string_doc_ids_tie_breaks_low(spark):
+    from terminus_server_spark.operators.dedup import keep_best_in_cluster
+
+    # identical texts → identical quality → tie must break to the
+    # SMALLER doc_id, and string ids must not degrade the tie-break
+    # (numeric negation of a string is NULL — r3 ADVICE)
+    txt = "the quick brown fox jumps over the lazy dog again today and tomorrow"
+    docs = spark.createDataFrame(
+        [("doc/b", txt), ("doc/a", txt), ("doc/z", "totally unrelated zebra content")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: (r.keep_doc_id, r.is_kept) for r in keep_best_in_cluster(docs).collect()}
+    assert out["doc/z"] == ("doc/z", True)
+    assert out["doc/a"] == (out["doc/a"][0], True)
+    if out["doc/a"][0] == out["doc/b"][0]:  # clustered together (expected)
+        assert out["doc/a"] == ("doc/a", True)
+        assert out["doc/b"] == ("doc/a", False)
+
+
+def test_ivfpq_queries_need_not_be_in_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import ivfpq_topk
+
+    rows = []
+    for i in range(4):  # cluster A: along dim 0
+        v = [0.0] * 16; v[0] = 1.0; v[1] = 0.1 * i
+        rows.append((i * 2, v))
+    for i in range(4):  # cluster B: along dim 8
+        v = [0.0] * 16; v[8] = 1.0; v[9] = 0.1 * i
+        rows.append((i * 2 + 1, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [0.0] * 16; qv[0] = 1.0; qv[1] = 0.15
+    queries = spark.createDataFrame([(100, qv)], "vec_id long, embedding array<float>")
+    # query id 100 is NOT in the corpus — the ADC LUT must come from
+    # the query's own subvectors (r3 ADVICE), not a corpus-side join
+    out = ivfpq_topk(emb, queries, k=8, n_cells=2, n_probe=1, n_sub=2, n_codes=2, dim=16).collect()
+    assert len(out) > 0
+    assert all(r.query_id == 100 for r in out)
+    assert all(r.neighbor_id % 2 == 0 for r in out)  # cluster A only
+
+
+def test_drop_reason_audit_dedup_ranks_only_filter_survivors(spark):
+    from terminus_server_spark.operators.pipeline import drop_reason_audit
+
+    # doc 1 (rank-1 twin) is dropped as wrong_lang; doc 2, the ONLY
+    # surviving copy of the text, must be `survived`, not `exact_dup`
+    # (sequential-pipeline semantics — r3 ADVICE)
+    txt = "good english text " * 20
+    docs = spark.createDataFrame(
+        [
+            (1, txt, "fr", "s1", 360),
+            (2, txt, "en", "s1", 360),
+            (3, txt, "en", "s1", 360),  # true exact_dup of 2
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = {(r.stage, r.source): r.n_docs for r in drop_reason_audit(docs).collect()}
+    assert got == {
+        ("wrong_lang", "s1"): 1,
+        ("survived", "s1"): 1,
+        ("exact_dup", "s1"): 1,
+    }
+
+
+def test_ntriples_control_char_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import from_ntriples, to_ntriples
+
+    trips = spark.createDataFrame(
+        [
+            ("D/1", "body", 'line one\nline "two"\twith\\slash\r', "xsd:string", None),
+            ("D/2", "body", "plain", "xsd:string", None),
+        ],
+        "subject string, predicate string, obj string, obj_type string, obj_lang string",
+    )
+    nt = to_ntriples(trips)
+    lines = [r.line for r in nt.collect()]
+    # escaping keeps one logical triple per physical line
+    assert all("\n" not in ln and "\r" not in ln and "\t" not in ln for ln in lines)
+    back = from_ntriples(nt.select("line"))
+    got = {r.subject: r.obj for r in back.collect()}
+    assert got["D/1"] == 'line one\nline "two"\twith\\slash\r'
+    assert got["D/2"] == "plain"

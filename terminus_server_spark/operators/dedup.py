@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from terminus_server_spark.checkpoint import plan_checkpoint
 from terminus_server_spark.operators.text import tokens_col
 
 N_MINHASH = 8
@@ -61,15 +62,33 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+MAX_LSH_BUCKET = 64
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+    sig: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """(doc_a, doc_b): candidate near-dup pairs — docs sharing at
     least one LSH band.  Band key = concat of the band's signature
     rows; docs group by (band_id, band_key); pairs generated within
-    buckets only.  At 100 TB, hot buckets (boilerplate) are the skew
-    risk — AQE skew-join handles the self-join, and a bucket-size cap
-    can be layered on (drop buckets > N as "template" clusters).
+    buckets only.
+
+    Hot-bucket cap (the 100 TB guard): on a web corpus, boilerplate
+    gives thousands-to-millions of docs the SAME band key, and an
+    uncapped within-bucket self-join emits m² pairs — 10¹⁰⁺ rows from
+    one template family; AQE skew-join fixes the shuffle, not the
+    output size.  Buckets with ≤ ``max_bucket`` members pair
+    all-vs-all as usual; a bucket over the cap is a *template
+    cluster* — its members collide on the full band, i.e. they are
+    near-duplicates of each other by construction — so it emits a
+    STAR to the bucket's min doc_id (m-1 pairs, not m²/2).
+    Connectivity for downstream clustering is preserved (the star
+    spans the same component) and output is linear in bucket size.
+    The extra cost is one groupBy on the band key the join already
+    shuffles on, plus a broadcast-able bucket-size table.
     """
     rows_per_band = n_hashes // n_bands
     # one explode instead of an n_bands-way union: a union would
@@ -95,19 +114,24 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band_id", "bk.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    ).select("doc_id", "bk.band_id", "bk.band_key").transform(plan_checkpoint)
+    sizes = banded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("_m"), F.min("doc_id").alias("_anchor")
     )
+    withsz = banded.join(sizes, ["band_id", "band_key"])
+    incap = withsz.where(F.col("_m") <= max_bucket)
+    a = incap.alias("a")
+    b = incap.alias("b")
+    allpairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star = withsz.where(
+        (F.col("_m") > max_bucket) & (F.col("doc_id") > F.col("_anchor"))
+    ).select(F.col("_anchor").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return allpairs.unionByName(star).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -651,7 +675,16 @@ def cross_corpus_dedup(
     itself (the oracle recomputes them because it replays from
     scratch).  Candidates verify by exact shingle Jaccard, best
     reference match per new doc (highest jaccard, lowest ref_id
-    tie-break)."""
+    tie-break).
+
+    Hot-bucket cap (same 100 TB guard as ``lsh_candidate_pairs``):
+    a reference-side band bucket holding > ``MAX_LSH_BUCKET`` docs is
+    a template family; instead of fanning every colliding new doc out
+    to ALL m reference members (m × |new| candidate rows), those
+    buckets contribute ONE candidate per new doc — the bucket's min
+    ref_id, the family's canonical representative.  The gate's
+    decision ("is this new doc already in the corpus?") is preserved;
+    candidate volume stays linear in the increment size."""
     from pyspark.sql.window import Window
 
     def banded(docs: DataFrame, id_alias: str) -> DataFrame:
@@ -674,12 +707,23 @@ def cross_corpus_dedup(
             out = out.union(fr)
         return out
 
-    cand = (
-        banded(new_docs, "doc_id")
-        .join(banded(ref_docs, "ref_id"), ["band_id", "band_key"])
-        .select("doc_id", "ref_id")
-        .distinct()
+    new_b = banded(new_docs, "doc_id")
+    ref_b = banded(ref_docs, "ref_id").transform(plan_checkpoint)
+    ref_sz = ref_b.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("_m"), F.min("ref_id").alias("_anchor")
     )
+    incap_ref = ref_b.join(
+        ref_sz.where(F.col("_m") <= MAX_LSH_BUCKET).select("band_id", "band_key"),
+        ["band_id", "band_key"],
+        "left_semi",
+    )
+    cand_in = new_b.join(incap_ref, ["band_id", "band_key"]).select("doc_id", "ref_id")
+    # over-cap buckets: one row per bucket joins the new side, never
+    # the m reference members
+    cand_over = new_b.join(
+        ref_sz.where(F.col("_m") > MAX_LSH_BUCKET), ["band_id", "band_key"]
+    ).select("doc_id", F.col("_anchor").alias("ref_id"))
+    cand = cand_in.unionByName(cand_over).distinct()
     sh_new = shingles(new_docs, text_col=text_col).select(
         F.col("doc_id"), F.col("shingle")
     )

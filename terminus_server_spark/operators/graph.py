@@ -422,11 +422,15 @@ def shortest_weighted(
     return dist
 
 
+MAX_FEATURE_FANOUT = 1000
+
+
 def node_jaccard(
     bipartite: DataFrame,
     node_col: str,
     feature_col: str,
     k: int = 20,
+    max_fanout: int = MAX_FEATURE_FANOUT,
 ) -> DataFrame:
     """(s1, s2, inter, jaccard): top-k node pairs by Jaccard
     similarity of their feature/neighbor sets — the link-prediction /
@@ -436,13 +440,27 @@ def node_jaccard(
     Candidate pairs are generated ONLY through shared features (a
     self-join keyed on the feature column), so the cost is
     sum-over-features(deg²) — bounded by feature fan-out, never the
-    node-count quadratic.  A hot feature (shared by everyone) is the
-    skew risk; cap or salt it upstream the way dedup's LSH buckets
-    do.  Integer intersection/degree counts; one rounded double
+    node-count quadratic.  Hot-feature cap (the 100 TB guard, in the
+    function — not deferred to the caller): a feature shared by more
+    than ``max_fanout`` nodes would alone contribute deg² pair rows
+    (one stop-word-like tag = a full cross join) while carrying almost
+    no similarity signal — exactly IDF's rationale — so features over
+    the cap are dropped from BOTH pair generation and the degree
+    counts (jaccard stays a true Jaccard over the filtered feature
+    space).  The filter is one aggregate on the join key the self-join
+    already shuffles on.  Use :func:`hot_features` to audit what was
+    dropped.  Integer intersection/degree counts; one rounded double
     division at the end."""
     ps = bipartite.select(
         F.col(feature_col).alias("p"), F.col(node_col).alias("s")
     ).distinct()
+    keep = (
+        ps.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("_fan"))
+        .where(F.col("_fan") <= max_fanout)
+        .select("p")
+    )
+    ps = ps.join(keep, "p", "left_semi").transform(plan_checkpoint)
     deg = ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     a = ps.select("p", F.col("s").alias("s1"))
     b = ps.select("p", F.col("s").alias("s2"))
@@ -469,6 +487,26 @@ def node_jaccard(
         )
         .orderBy(F.col("jaccard").desc(), "s1", "s2")
         .limit(k)
+    )
+
+
+def hot_features(
+    bipartite: DataFrame,
+    node_col: str,
+    feature_col: str,
+    max_fanout: int = MAX_FEATURE_FANOUT,
+) -> DataFrame:
+    """(feature, fanout): the features :func:`node_jaccard` drops
+    under its fan-out cap — the audit a pipeline logs next to the
+    similarity output (same discipline as the LSH template-cluster
+    diversion in dedup)."""
+    ps = bipartite.select(
+        F.col(feature_col).alias("feature"), F.col(node_col).alias("s")
+    ).distinct()
+    return (
+        ps.groupBy("feature")
+        .agg(F.count(F.lit(1)).alias("fanout"))
+        .where(F.col("fanout") > max_fanout)
     )
 
 

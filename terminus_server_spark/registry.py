@@ -684,6 +684,8 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_t(spark, sf_dir, "documents")["documents"])
 
 
+_LSH_CAP = 64  # keep equal to operators.dedup.MAX_LSH_BUCKET
+
 _SHINGLES_SQL = r"""
   toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
   sh0 AS (SELECT doc_id,
@@ -709,10 +711,22 @@ _SHINGLES_SQL = r"""
       SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sig
       UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
       UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
-      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig)
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    bsz AS (
+      SELECT band_id, band_key, COUNT(*) AS m, MIN(doc_id) AS anchor
+      FROM bands GROUP BY 1, 2)
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+          JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
+        WHERE s.m <= {_LSH_CAP}
+        UNION ALL
+        SELECT s.anchor AS doc_a, d.doc_id AS doc_b
+        FROM bands d JOIN bsz s
+          ON s.band_id = d.band_id AND s.band_key = d.band_key
+        WHERE s.m > {_LSH_CAP} AND d.doc_id > s.anchor) t
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -741,10 +755,22 @@ def dedup_minhash_lsh(spark, sf_dir):
       UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
       UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
       UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    bsz AS (
+      SELECT band_id, band_key, COUNT(*) AS m, MIN(doc_id) AS anchor
+      FROM bands GROUP BY 1, 2),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+          JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
+        WHERE s.m <= {_LSH_CAP}
+        UNION ALL
+        SELECT s.anchor AS doc_a, d.doc_id AS doc_b
+        FROM bands d JOIN bsz s
+          ON s.band_id = d.band_id AND s.band_key = d.band_key
+        WHERE s.m > {_LSH_CAP} AND d.doc_id > s.anchor) t),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -820,10 +846,22 @@ def dedup_lsh_recall(spark, sf_dir):
       UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
       UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
       UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    bsz AS (
+      SELECT band_id, band_key, COUNT(*) AS m, MIN(doc_id) AS anchor
+      FROM bands GROUP BY 1, 2),
     pairs AS (
-      SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      SELECT DISTINCT pa, pb FROM (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+          JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
+        WHERE s.m <= {_LSH_CAP}
+        UNION ALL
+        SELECT s.anchor AS pa, d.doc_id AS pb
+        FROM bands d JOIN bsz s
+          ON s.band_id = d.band_id AND s.band_key = d.band_key
+        WHERE s.m > {_LSH_CAP} AND d.doc_id > s.anchor) t),
     und AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
     reach AS (
       SELECT doc_id, doc_id AS r FROM documents
@@ -878,10 +916,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
       UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
       UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
       UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    bsz AS (
+      SELECT band_id, band_key, COUNT(*) AS m, MIN(doc_id) AS anchor
+      FROM bands GROUP BY 1, 2),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+          JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
+        WHERE s.m <= {_LSH_CAP}
+        UNION ALL
+        SELECT s.anchor AS doc_a, d.doc_id AS doc_b
+        FROM bands d JOIN bsz s
+          ON s.band_id = d.band_id AND s.band_key = d.band_key
+        WHERE s.m > {_LSH_CAP} AND d.doc_id > s.anchor) t),
     txt AS (SELECT doc_id, substring(trim(lower(text)), 1, 1000) AS t FROM documents),
     scored AS (
       SELECT doc_a, doc_b,
@@ -940,9 +990,21 @@ def dedup_edit_verify(spark, sf_dir):
       UNION ALL SELECT ref_id, 1, sig_2 || '|' || sig_3 FROM sigr
       UNION ALL SELECT ref_id, 2, sig_4 || '|' || sig_5 FROM sigr
       UNION ALL SELECT ref_id, 3, sig_6 || '|' || sig_7 FROM sigr),
+    rsz AS (
+      SELECT band_id, band_key, COUNT(*) AS m, MIN(ref_id) AS anchor
+      FROM bandr GROUP BY 1, 2),
     cand AS (
-      SELECT DISTINCT n.doc_id, r.ref_id
-      FROM bandn n JOIN bandr r USING (band_id, band_key)),
+      SELECT DISTINCT doc_id, ref_id FROM (
+        SELECT n.doc_id, r.ref_id
+        FROM bandn n
+          JOIN bandr r ON r.band_id = n.band_id AND r.band_key = n.band_key
+          JOIN rsz s ON s.band_id = n.band_id AND s.band_key = n.band_key
+        WHERE s.m <= {_LSH_CAP}
+        UNION ALL
+        SELECT n.doc_id, s.anchor AS ref_id
+        FROM bandn n JOIN rsz s
+          ON s.band_id = n.band_id AND s.band_key = n.band_key
+        WHERE s.m > {_LSH_CAP}) t),
     szn AS (SELECT doc_id, COUNT(*) AS n_a FROM shn GROUP BY 1),
     szr AS (SELECT ref_id, COUNT(*) AS n_b FROM shr GROUP BY 1),
     inter AS (
@@ -1053,10 +1115,22 @@ def corpus_drop_reasons(spark, sf_dir):
       UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
       UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
       UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    bsz AS (
+      SELECT band_id, band_key, COUNT(*) AS m, MIN(doc_id) AS anchor
+      FROM bands GROUP BY 1, 2),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+          JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
+        WHERE s.m <= {_LSH_CAP}
+        UNION ALL
+        SELECT s.anchor AS doc_a, d.doc_id AS doc_b
+        FROM bands d JOIN bsz s
+          ON s.band_id = d.band_id AND s.band_key = d.band_key
+        WHERE s.m > {_LSH_CAP} AND d.doc_id > s.anchor) t),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
@@ -3024,7 +3098,9 @@ def graph_components(spark, sf_dir):
 @register(
     "graph_node_jaccard",
     """
-    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    ps AS (SELECT p, s FROM ps0
+           WHERE p IN (SELECT p FROM ps0 GROUP BY p HAVING COUNT(*) <= 1000)),
     deg AS (SELECT s, COUNT(*)::BIGINT AS d FROM ps GROUP BY s),
     pairs AS (
       SELECT a.s AS s1, b.s AS s2, COUNT(*)::BIGINT AS inter
@@ -7741,10 +7817,22 @@ def stream_sliding_window(spark, sf_dir):
       UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
       UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
       UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    bsz AS (
+      SELECT band_id, band_key, COUNT(*) AS m, MIN(doc_id) AS anchor
+      FROM bands GROUP BY 1, 2),
     pairs AS (
-      SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      SELECT DISTINCT pa, pb FROM (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+          JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
+        WHERE s.m <= {_LSH_CAP}
+        UNION ALL
+        SELECT s.anchor AS pa, d.doc_id AS pb
+        FROM bands d JOIN bsz s
+          ON s.band_id = d.band_id AND s.band_key = d.band_key
+        WHERE s.m > {_LSH_CAP} AND d.doc_id > s.anchor) t),
     und AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
     reach AS (
       SELECT doc_id, doc_id AS r FROM documents
@@ -9538,10 +9626,22 @@ def graph_lpa_communities(spark, sf_dir):
       UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
       UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
       UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    bsz AS (
+      SELECT band_id, band_key, COUNT(*) AS m, MIN(doc_id) AS anchor
+      FROM bands GROUP BY 1, 2),
     pairs AS (
-      SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      SELECT DISTINCT pa, pb FROM (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+          JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
+        WHERE s.m <= {_LSH_CAP}
+        UNION ALL
+        SELECT s.anchor AS pa, d.doc_id AS pb
+        FROM bands d JOIN bsz s
+          ON s.band_id = d.band_id AND s.band_key = d.band_key
+        WHERE s.m > {_LSH_CAP} AND d.doc_id > s.anchor) t),
     und AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
     reach AS (
       SELECT doc_id, doc_id AS r FROM documents

@@ -1708,3 +1708,74 @@ def test_ntriples_control_char_roundtrip(spark):
     got = {r.subject: r.obj for r in back.collect()}
     assert got["D/1"] == 'line one\nline "two"\twith\\slash\r'
     assert got["D/2"] == "plain"
+
+
+def test_lsh_hot_bucket_caps_pair_output(spark):
+    from terminus_server_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    # 100 byte-identical docs share EVERY band key — uncapped LSH
+    # would emit 100*99/2 = 4950 pairs; the cap (64) diverts the
+    # bucket to a star on the min doc_id: exactly 99 pairs
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate template text repeated everywhere") for i in range(100)],
+        "doc_id long, text string",
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs))).collect()
+    assert len(pairs) == 99
+    assert all(r.doc_a == 0 for r in pairs)  # star anchored at min id
+    assert sorted(r.doc_b for r in pairs) == list(range(1, 100))
+
+
+def test_lsh_in_cap_buckets_still_pair_all(spark):
+    from terminus_server_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a small family of identical documents") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in
+             lsh_candidate_pairs(minhash_signatures(shingles(docs))).collect()}
+    assert pairs == {(a, b) for a in range(5) for b in range(5) if a < b}
+
+
+def test_cross_corpus_hot_ref_bucket_bounded(spark):
+    from terminus_server_spark.operators.dedup import cross_corpus_dedup
+
+    # 80 identical reference docs (a template family, under the cap
+    # they'd each join) + cap 64 → each colliding new doc pairs with
+    # the family's min ref_id only, and the gate still flags it
+    ref = spark.createDataFrame(
+        [(i * 10, "the same boilerplate template text repeated everywhere") for i in range(80)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "the same boilerplate template text repeated everywhere"),
+         (2, "a completely different fresh document about zebras and llamas")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.ref_id for r in cross_corpus_dedup(new, ref).collect()}
+    assert out == {1: 0}  # flagged against the family's canonical rep
+
+
+def test_node_jaccard_hot_feature_capped(spark):
+    from terminus_server_spark.operators.graph import hot_features, node_jaccard
+
+    # feature "hot" is shared by all 50 nodes (would be 1225 pairs on
+    # its own); with max_fanout=10 it is dropped, leaving only the
+    # 2-node "fam" feature pair, and jaccard is computed over the
+    # filtered feature space
+    rows = [(n, "hot") for n in range(50)] + [(0, "fam"), (1, "fam"), (0, "solo")]
+    bp = spark.createDataFrame(rows, "node long, feat string")
+    out = node_jaccard(bp, "node", "feat", k=100, max_fanout=10).collect()
+    assert [(r.s1, r.s2, r.inter) for r in out] == [(0, 1, 1)]
+    assert abs(out[0].jaccard - 1.0 / 2.0) < 1e-9  # d(0)=2 {fam,solo}, d(1)=1
+    dropped = {(r.feature, r.fanout) for r in hot_features(bp, "node", "feat", 10).collect()}
+    assert dropped == {("hot", 50)}

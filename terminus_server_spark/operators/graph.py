@@ -570,22 +570,141 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
 
 def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     """(node, component): directed SCCs — component = the minimum
-    node id mutually reachable from the node (reference exposes only
-    undirected reach via path queries; SCC is the directed-graph
-    completion of ``connected_components``).
+    node id of the node's mutual-reachability class (reference
+    exposes only undirected reach via path queries; SCC is the
+    directed-graph completion of ``connected_components``).
 
-    Formulation: R = plus-closure ∪ identity; node n's class is
-    {m : (n,m) ∈ R ∧ (m,n) ∈ R}, and its label is the class minimum.
-    The mutual join keys R with its own transpose on BOTH endpoints,
-    so cost is O(|closure|) shuffled once — the right trade for
-    graphs whose reachability relation is bounded (hierarchies,
-    per-tenant subgraphs).  For social-scale graphs where |closure|
-    explodes, the classic fix is forward/backward reach from pivot
-    nodes, which is driver-iterative; callers at that scale should
-    first condense by ``connected_components`` per partition-sized
-    tenant.  Every step is a keyed join the optimizer can re-plan;
-    nothing collects to the driver.
+    Algorithm: trim + coloring (Orzan; the multistep family of
+    distributed SCC).  Per outer round: (1) TRIM to fixpoint — a node
+    with no in-edge or no out-edge in the remaining graph is a
+    singleton SCC, peeled immediately (semi-join, no pair
+    materialization); (2) FORWARD COLORING — every node takes the min
+    node id that reaches it, propagated hop-by-hop to fixpoint;
+    (3) BACKWARD MARK — a color class's root (color == own id) plus
+    the same-color nodes that reach it form exactly the root's SCC
+    (any path from a class member back to its root stays inside the
+    class — a smaller-id node touching the path would recolor the
+    root), peeled in parallel across ALL color classes.  Outer rounds
+    ~ depth of the condensation DAG; state is O(V + E) per round —
+    never the O(n²) transitive closure the naive mutual-reachability
+    formulation materializes (one social-graph-sized SCC would make
+    |closure| = n² rows; see ``scc_by_closure``, kept as the
+    small-graph audit).  Labels match the closure form bit-for-bit:
+    SCCs are algorithm-independent and whole classes peel together,
+    so the class min is the global min.
     """
+    base = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).distinct()
+    rem = (
+        base.select(F.col("src").alias("n"))
+        .union(base.select(F.col("dst")))
+        .distinct()
+        .transform(loop_checkpoint)
+    )
+    e = base.transform(loop_checkpoint)
+    done: list[DataFrame] = []
+
+    def _restrict(edges_df: DataFrame, nodes_df: DataFrame) -> DataFrame:
+        return (
+            edges_df.join(nodes_df.select(F.col("n").alias("src")), "src", "left_semi")
+            .join(nodes_df.select(F.col("n").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+        )
+
+    n_rem = rem.count()
+    for _ in range(max_iters):
+        if n_rem == 0:
+            break
+        # (1) trim: peel zero-in/zero-out nodes until none remain
+        while True:
+            live = (
+                e.select(F.col("src").alias("n"))
+                .distinct()
+                .join(e.select(F.col("dst").alias("n")).distinct(), "n", "left_semi")
+            )
+            trivial, n_triv = loop_checkpoint_count(rem.join(live, "n", "left_anti"))
+            if n_triv == 0:
+                break
+            done.append(
+                trivial.select(F.col("n").alias("node"), F.col("n").alias("component"))
+            )
+            rem = rem.join(trivial, "n", "left_anti").transform(loop_checkpoint)
+            n_rem -= n_triv
+            if n_rem == 0:
+                break
+            e = _restrict(e, rem).transform(loop_checkpoint)
+        if n_rem == 0:
+            break
+        # (2) forward min-color propagation to fixpoint
+        colors = rem.select(F.col("n").alias("node"), F.col("n").alias("color"))
+        while True:
+            inc = (
+                e.join(
+                    colors.select(F.col("node").alias("src"), F.col("color").alias("c_in")),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("c_in").alias("c_min"))
+            )
+            stepped = colors.join(inc, "node", "left_outer").select(
+                "node",
+                F.least(F.col("color"), F.coalesce("c_min", "color")).alias("color"),
+                F.when(
+                    F.col("c_min").isNotNull() & (F.col("c_min") < F.col("color")), 1
+                )
+                .otherwise(0)
+                .alias("_chg"),
+            )
+            stepped, n_chg = loop_checkpoint_sum(stepped, "_chg")
+            colors = stepped.select("node", "color")
+            if n_chg == 0:
+                break
+        # (3) backward mark from each class root over same-color edges
+        same = plan_checkpoint(
+            e.join(
+                colors.select(F.col("node").alias("src"), F.col("color").alias("c_s")),
+                "src",
+            )
+            .join(
+                colors.select(F.col("node").alias("dst"), F.col("color").alias("c_d")),
+                "dst",
+            )
+            .where(F.col("c_s") == F.col("c_d"))
+            .select("src", "dst", F.col("c_s").alias("color"))
+        )
+        marked = colors.where(F.col("color") == F.col("node")).transform(loop_checkpoint)
+        while True:
+            reached = (
+                same.join(
+                    marked.select(F.col("node").alias("dst"), "color"),
+                    ["dst", "color"],
+                )
+                .select(F.col("src").alias("node"), "color")
+                .distinct()
+            )
+            add, n_add = loop_checkpoint_count(reached.join(marked, "node", "left_anti"))
+            if n_add == 0:
+                break
+            marked = marked.union(add).transform(loop_checkpoint)
+        done.append(marked.select("node", F.col("color").alias("component")))
+        peeled = marked.select(F.col("node").alias("n"))
+        rem, n_rem = loop_checkpoint_count(rem.join(peeled, "n", "left_anti"))
+        e = _restrict(e, rem).transform(loop_checkpoint)
+    out = done[0]
+    for frame in done[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def scc_by_closure(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(node, component): SCCs via the full mutual-reachability
+    closure — R = plus-closure ∪ identity joined with its transpose
+    on both endpoints.  O(|closure|) = O(n²) on one big SCC, so this
+    is strictly the SMALL-GRAPH AUDIT for
+    ``strongly_connected_components`` (the two must agree exactly;
+    SCC labels are algorithm-independent).  Not registered as a
+    scale path."""
     from terminus_server_spark.operators.path import transitive_closure
 
     base = edges.select("src", "dst").where(

@@ -1779,3 +1779,54 @@ def test_node_jaccard_hot_feature_capped(spark):
     assert abs(out[0].jaccard - 1.0 / 2.0) < 1e-9  # d(0)=2 {fam,solo}, d(1)=1
     dropped = {(r.feature, r.fanout) for r in hot_features(bp, "node", "feat", 10).collect()}
     assert dropped == {("hot", 50)}
+
+
+def test_scc_matches_closure_audit(spark):
+    from terminus_server_spark.operators.graph import (
+        scc_by_closure,
+        strongly_connected_components,
+    )
+
+    # 3-cycle, 2-cycle, DAG tail, isolated-ish node via self-ref chain
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),        # SCC {1,2,3}
+            (3, 4), (4, 5),                # DAG tail: singletons
+            (10, 11), (11, 10),            # SCC {10,11}
+            (5, 10),                       # connects tail to the 2-cycle
+        ],
+        "src long, dst long",
+    )
+    fast = {(r.node, r.component) for r in strongly_connected_components(edges).collect()}
+    audit = {(r.node, r.component) for r in scc_by_closure(edges).collect()}
+    assert fast == audit
+    assert fast == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (10, 10), (11, 10)}
+
+
+def test_scc_nested_cycles_and_cross_edges(spark):
+    from terminus_server_spark.operators.graph import (
+        scc_by_closure,
+        strongly_connected_components,
+    )
+
+    # two SCCs where the downstream one holds the SMALLER ids — the
+    # coloring phase must not merge them (backward mark within class)
+    edges = spark.createDataFrame(
+        [
+            (7, 8), (8, 9), (9, 7),     # SCC {7,8,9} upstream
+            (9, 1),                     # cross edge downstream
+            (1, 2), (2, 1),             # SCC {1,2} holds smaller ids
+            (2, 7),                     # back-cross: merges everything!
+        ],
+        "src long, dst long",
+    )
+    fast = {(r.node, r.component) for r in strongly_connected_components(edges).collect()}
+    audit = {(r.node, r.component) for r in scc_by_closure(edges).collect()}
+    assert fast == audit == {(n, 1) for n in (1, 2, 7, 8, 9)}
+
+    # without the back-cross the classes stay separate
+    edges2 = spark.createDataFrame(
+        [(7, 8), (8, 9), (9, 7), (9, 1), (1, 2), (2, 1)], "src long, dst long"
+    )
+    fast2 = {(r.node, r.component) for r in strongly_connected_components(edges2).collect()}
+    assert fast2 == {(7, 7), (8, 7), (9, 7), (1, 1), (2, 1)}

@@ -5592,6 +5592,66 @@ def src_json_roundtrip(spark, sf_dir):
     """
     WITH s AS (
       SELECT COUNT(*) AS n,
+             COUNT(l_quantity) AS nn_q,
+             CAST(MIN(l_quantity) AS VARCHAR) AS mn_q, CAST(MAX(l_quantity) AS VARCHAR) AS mx_q,
+             COUNT(l_extendedprice) AS nn_p,
+             CAST(MIN(l_extendedprice) AS VARCHAR) AS mn_p, CAST(MAX(l_extendedprice) AS VARCHAR) AS mx_p,
+             COUNT(l_returnflag) AS nn_f,
+             CAST(MIN(l_returnflag) AS VARCHAR) AS mn_f, CAST(MAX(l_returnflag) AS VARCHAR) AS mx_f
+      FROM lineitem),
+    fr AS (
+      SELECT DISTINCT col, f FROM (
+        SELECT 'l_quantity' AS col,
+               CAST(('0x' || substring(md5(CAST(l_quantity AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+                 / 4294967296.0 AS f
+        FROM lineitem WHERE l_quantity IS NOT NULL
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(('0x' || substring(md5(CAST(l_extendedprice AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+                 / 4294967296.0
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        UNION ALL
+        SELECT 'l_returnflag',
+               CAST(('0x' || substring(md5(CAST(l_returnflag AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+                 / 4294967296.0
+        FROM lineitem WHERE l_returnflag IS NOT NULL) t),
+    mins AS (
+      SELECT col, f, ROW_NUMBER() OVER (PARTITION BY col ORDER BY f) AS rn FROM fr),
+    ndv AS (
+      SELECT col,
+             CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                  ELSE CAST(FLOOR(255.0 / MAX(f)) AS BIGINT) END AS ndv
+      FROM mins WHERE rn <= 256 GROUP BY col)
+    SELECT b."column", b.n, b.n_nulls, ndv.ndv, b.min_val, b.max_val FROM (
+      SELECT 'l_quantity' AS "column", n, n - nn_q AS n_nulls,
+             mn_q AS min_val, mx_q AS max_val FROM s
+      UNION ALL
+      SELECT 'l_extendedprice', n, n - nn_p, mn_p, mx_p FROM s
+      UNION ALL
+      SELECT 'l_returnflag', n, n - nn_f, mn_f, mx_f FROM s) b
+    JOIN ndv ON ndv.col = b."column"
+    """,
+)
+def src_table_stats(spark, sf_dir):
+    """ANALYZE TABLE surface: per-column n/nulls/ndv/min/max with NO
+    multi-countDistinct Expand — the basic aggregates run in one
+    plain pass and ndv comes from the engine-portable KMV sketch
+    (exact below k=256 distinct values, (k-1)/θ floor-ed above), so
+    the whole statistic is oracle-replayable AND never replicates the
+    fact table's rows (sources.py:table_stats)."""
+    from terminus_server_spark.sources import table_stats
+
+    return table_stats(
+        _t(spark, sf_dir, "lineitem")["lineitem"],
+        ["l_quantity", "l_extendedprice", "l_returnflag"],
+    )
+
+
+@register(
+    "src_table_stats_exact",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
              COUNT(l_quantity) AS nn_q, COUNT(DISTINCT l_quantity) AS ndv_q,
              CAST(MIN(l_quantity) AS VARCHAR) AS mn_q, CAST(MAX(l_quantity) AS VARCHAR) AS mx_q,
              COUNT(l_extendedprice) AS nn_p, COUNT(DISTINCT l_extendedprice) AS ndv_p,
@@ -5607,15 +5667,17 @@ def src_json_roundtrip(spark, sf_dir):
     SELECT 'l_returnflag', n, n - nn_f, ndv_f, mn_f, mx_f FROM s
     """,
 )
-def src_table_stats(spark, sf_dir):
-    """ANALYZE TABLE surface: per-column n/nulls/exact-ndv/min/max in
-    ONE scan — the statistics a cost-based optimizer (and the WOQL
-    join-order heuristic) consumes."""
+def src_table_stats_exact(spark, sf_dir):
+    """Exact-NDV ANALYZE variant (sources.py:table_stats with
+    exact_ndv=True): the multi-countDistinct single pass — the audit
+    key that quantifies the KMV default's error where an N× Expand is
+    affordable (samples, dimensions), kept OFF the default path."""
     from terminus_server_spark.sources import table_stats
 
     return table_stats(
         _t(spark, sf_dir, "lineitem")["lineitem"],
         ["l_quantity", "l_extendedprice", "l_returnflag"],
+        exact_ndv=True,
     )
 
 

@@ -147,15 +147,29 @@ def write_zordered(
     )
 
 
-def table_stats(df, cols: list[str]):
+def table_stats(df, cols: list[str], exact_ndv: bool = False, kmv_k: int = 256):
     """ANALYZE-style column statistics: one row per column with
     (column, n, n_nulls, ndv, min_val, max_val) — the stats a
     cost-based optimizer (and the WOQL join-order heuristic) feeds
-    on.  ONE scan computes every column's aggregates in a single
-    map-side-combinable pass; the per-column rows are projections of
-    the checkpointed single-row aggregate, so the scan never
-    re-executes."""
+    on.
+
+    NDV default = KMV sketch, NOT multi-column ``countDistinct``: N
+    exact distinct aggs in one pass compile to an Expand that
+    replicates EVERY input row once per agg — a 100 TB table becomes
+    an N× row stream to compute stats whose consumer (join ordering)
+    never needed exactness.  The KMV path keeps the basic aggregates
+    (count/nulls/min/max) in one plain map-side-combinable pass with
+    no Expand, and derives ndv per column from the ``kmv_k`` smallest
+    md5-hash fractions — EXACT when a column has fewer than ``kmv_k``
+    distinct values (you hold them all), the standard (k-1)/θ
+    estimate above, floor-ed to bigint.  md5 + IEEE division make the
+    estimate bit-identical on any engine, so the oracle replays it —
+    the same portability discipline as ``kmv_distinct_estimate``.
+
+    ``exact_ndv=True`` restores the countDistinct variant (audit
+    path: quantifies the sketch's error where affordable)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from terminus_server_spark.checkpoint import plan_checkpoint
 
@@ -163,20 +177,65 @@ def table_stats(df, cols: list[str]):
     for c in cols:
         aggs += [
             F.count(c).alias(f"_nn_{c}"),
-            F.countDistinct(c).alias(f"_ndv_{c}"),
             F.min(c).cast("string").alias(f"_mn_{c}"),
             F.max(c).cast("string").alias(f"_mx_{c}"),
         ]
+        if exact_ndv:
+            aggs.append(F.countDistinct(c).alias(f"_ndv_{c}"))
     row = plan_checkpoint(df.agg(*aggs))
-    out = None
+    base = None
     for c in cols:
         part = row.select(
             F.lit(c).alias("column"),
             F.col("_n").alias("n"),
             (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
-            F.col(f"_ndv_{c}").alias("ndv"),
+            *([F.col(f"_ndv_{c}").alias("ndv")] if exact_ndv else []),
             F.col(f"_mn_{c}").alias("min_val"),
             F.col(f"_mx_{c}").alias("max_val"),
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+        base = part if base is None else base.unionByName(part)
+    if exact_ndv:
+        return base.select("column", "n", "n_nulls", "ndv", "min_val", "max_val")
+
+    def frac(c: str):
+        return (
+            F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10).cast(
+                "double"
+            )
+            / F.lit(float(16**8))
+        )
+
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("column"), frac(c).alias("f"))
+                        for c in cols
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.column", "e.f")
+        .where(F.col("f").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("column").orderBy("f")
+    mins = pairs.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= kmv_k
+    )
+    ndv = mins.groupBy("column").agg(
+        F.count(F.lit(1)).alias("_nk"), F.max("f").alias("_theta")
+    )
+    ndv = ndv.select(
+        "column",
+        F.when(F.col("_nk") < kmv_k, F.col("_nk"))
+        .otherwise(
+            F.floor(F.lit(float(kmv_k - 1)) / F.col("_theta")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("ndv"),
+    )
+    return base.join(ndv, "column").select(
+        "column", "n", "n_nulls", "ndv", "min_val", "max_val"
+    )

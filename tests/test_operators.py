@@ -1830,3 +1830,33 @@ def test_scc_nested_cycles_and_cross_edges(spark):
     )
     fast2 = {(r.node, r.component) for r in strongly_connected_components(edges2).collect()}
     assert fast2 == {(7, 7), (8, 7), (9, 7), (1, 1), (2, 1)}
+
+
+def test_table_stats_kmv_ndv_exact_below_k(spark):
+    from terminus_server_spark.sources import table_stats
+
+    df = spark.createDataFrame(
+        [(i % 7, float(i % 13), None if i % 5 == 0 else f"v{i % 3}") for i in range(200)],
+        "a long, b double, c string",
+    )
+    got = {r.column: r for r in table_stats(df, ["a", "b", "c"]).collect()}
+    exact = {r.column: r for r in table_stats(df, ["a", "b", "c"], exact_ndv=True).collect()}
+    # below k=256 distinct values the KMV sketch IS exact
+    for c in ("a", "b", "c"):
+        assert got[c].ndv == exact[c].ndv
+        assert got[c].n == 200 and got[c].n_nulls == exact[c].n_nulls
+        assert got[c].min_val == exact[c].min_val and got[c].max_val == exact[c].max_val
+    assert exact["a"].ndv == 7 and exact["b"].ndv == 13 and exact["c"].ndv == 3
+    assert got["c"].n_nulls == 40
+
+
+def test_table_stats_kmv_estimates_above_k(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.sources import table_stats
+
+    df = spark.range(20000).select(F.col("id").alias("x"))
+    r = table_stats(df, ["x"]).collect()[0]
+    # (k-1)/theta estimate: within 20% of 20000 for k=256
+    assert 16000 <= r.ndv <= 24000
+    assert r.n == 20000 and r.n_nulls == 0

@@ -516,28 +516,47 @@ def budget_cap(
     is ``mixture_sample``; this caps by TOKENS, which is what the
     training run actually consumes).
 
-    The running sum is a window PARTITIONED BY source — distributed
-    across sources, deterministic ties via doc_id.  A single source
-    big enough to swamp one executor partition gets the same
-    two-pass range-bucket treatment as ``shuffle_index`` (hash-range
-    prefix sums); at that point the priority order is already coarse
-    enough that per-bucket budgets are the practical form.
+    The running sum is NOT one window partitioned by source (a single
+    giant source would funnel through one executor partition); it is
+    the same two-pass range-bucket construction as ``shuffle_index``:
+    rows bucket on a 4096-cell grid over the quality score (grid
+    order = priority order, so buckets are contiguous ranges of the
+    sort), per-bucket token totals prefix-sum over the tiny
+    (source, bucket) table, and the in-bucket running sum is a window
+    PARTITIONED BY (source, bucket).  cum_tokens = bucket offset +
+    in-bucket sum — integer sums, so the result is bit-identical to
+    the naive single window at any partitioning.  A bucket only
+    concentrates rows whose quality ties at the 1/4096 grain — the
+    degenerate all-one-quality source remains serial, which is the
+    point where per-bucket budgets are the practical form anyway.
     """
     from pyspark.sql.window import Window
 
     from terminus_server_spark.operators.text import quality_score
 
     q = quality_score(docs, text_col).select("doc_id", "n_tokens", "quality")
-    base = docs.select("doc_id", "source").join(q, "doc_id")
-    w = (
-        Window.partitionBy("source")
+    base = docs.select("doc_id", "source").join(q, "doc_id").withColumn(
+        "_qb", F.floor(F.col("quality") * F.lit(4096.0)).cast("int")
+    )
+    w_in = (
+        Window.partitionBy("source", "_qb")
         .orderBy(F.col("quality").desc(), F.col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return base.select(
+    btab = base.groupBy("source", "_qb").agg(F.sum("n_tokens").alias("_bt"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy(F.col("_qb").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = btab.select(
+        "source", "_qb", (F.sum("_bt").over(w_off) - F.col("_bt")).alias("_off")
+    )
+    cum = F.col("_off") + F.sum("n_tokens").over(w_in)
+    return base.join(F.broadcast(offs), ["source", "_qb"]).select(
         "doc_id",
         "source",
         "n_tokens",
-        F.sum("n_tokens").over(w).alias("cum_tokens"),
-        (F.sum("n_tokens").over(w) <= F.lit(budget_tokens)).alias("kept"),
+        cum.alias("cum_tokens"),
+        (cum <= F.lit(budget_tokens)).alias("kept"),
     )

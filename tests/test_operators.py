@@ -1860,3 +1860,37 @@ def test_table_stats_kmv_estimates_above_k(spark):
     # (k-1)/theta estimate: within 20% of 20000 for k=256
     assert 16000 <= r.ndv <= 24000
     assert r.n == 20000 and r.n_nulls == 0
+
+
+def test_budget_cap_bucketed_matches_naive_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from terminus_server_spark.operators.pipeline import budget_cap
+    from terminus_server_spark.operators.text import quality_score
+
+    # skewed fixture: one giant source + varied qualities incl. ties
+    rows = []
+    for i in range(300):
+        words = ["alpha", "beta", "gamma", "delta"][: 1 + i % 4] * (3 + i % 5)
+        txt = " ".join(words) + ("!!!" if i % 7 == 0 else "")
+        rows.append((i, "big" if i % 10 else "small", txt))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = budget_cap(docs, budget_tokens=120).collect()
+    # replay the naive single-window form
+    q = quality_score(docs, "text").select("doc_id", "n_tokens", "quality")
+    base = docs.select("doc_id", "source").join(q, "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        r.doc_id: (r.cum, r.cum <= 120)
+        for r in base.select("doc_id", F.sum("n_tokens").over(w).alias("cum")).collect()
+    }
+    assert {r.doc_id: (r.cum_tokens, r.kept) for r in got} == naive
+    # the ROW-level running sum must partition by (source, _qb) — the
+    # only source-grain window left is over the tiny bucket table
+    plan = budget_cap(docs, budget_tokens=120)._jdf.queryExecution().optimizedPlan().toString()
+    assert "_qb" in plan

@@ -495,6 +495,134 @@ def from_ntriples(
     )
 
 
+def _pn_escape(col):
+    """Turtle PN_LOCAL escaping for the '/' our ``Class/key`` locals
+    carry (PN_LOCAL forbids a raw slash; ``\\/`` is the standard
+    PLX escape).  Locals are otherwise [A-Za-z0-9_.-]."""
+    return F.replace(col, F.lit("/"), F.lit("\\/"))
+
+
+def _pn_unescape(col):
+    return F.replace(col, F.lit("\\/"), F.lit("/"))
+
+
+def to_turtle(triples: DataFrame, base: str = "http://example.org/") -> DataFrame:
+    """(subject, line): prefixed Turtle serialization — the
+    reference's triple-dump format (terminus-server's triple dump API
+    speaks Turtle with @prefix compaction; N-Triples is the
+    uncompacted sibling, :func:`to_ntriples`).
+
+    Conventions: ``@prefix`` header rows first (subject = '' so they
+    sort ahead), instance IRIs compacted to ``i:local`` (slash in the
+    local escaped per PN_LOCAL), predicates to ``p:name``, rdf:type
+    to the Turtle keyword ``a``; plain strings render bare (Turtle's
+    ``"lit"`` IS xsd:string — lossless), lang strings as
+    ``"lit"@tag``, other types as ``"lit"^^xsd:local``; literal
+    escaping is :func:`nt_escape` (shared with N-Triples).  Map-only
+    per-row expressions plus a constant header union — exports
+    parallelize to the sink's shard count."""
+    s_term = F.concat(F.lit("i:"), _pn_escape(F.col("subject")))
+    p_term = F.when(F.col("predicate") == RDF_TYPE, F.lit("a")).otherwise(
+        F.concat(F.lit("p:"), F.col("predicate"))
+    )
+    esc = nt_escape(F.col("obj"))
+    xsd_local = F.substring_index(F.col("obj_type"), ":", -1)
+    o_term = (
+        F.when(F.col("obj_type") == "iri", F.concat(F.lit("i:"), _pn_escape(F.col("obj"))))
+        .when(
+            F.col("obj_type") == "rdf:langString",
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.col("obj_lang")),
+        )
+        .when(F.col("obj_type") == "xsd:string", F.concat(F.lit('"'), esc, F.lit('"')))
+        .otherwise(
+            F.concat(F.lit('"'), esc, F.lit('"^^xsd:'), xsd_local)
+        )
+    )
+    body = triples.select(
+        "subject",
+        F.concat(s_term, F.lit(" "), p_term, F.lit(" "), o_term, F.lit(" .")).alias(
+            "line"
+        ),
+    )
+    headers = triples.sparkSession.createDataFrame(
+        [
+            ("", f"@prefix i: <{base}i/> ."),
+            ("", f"@prefix p: <{base}p/> ."),
+            ("", "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> ."),
+        ],
+        "subject string, line string",
+    )
+    return headers.unionByName(body)
+
+
+def from_turtle(
+    lines: DataFrame,
+    line_col: str = "line",
+    graph: str = "instance",
+) -> DataFrame:
+    """Inverse of :func:`to_turtle`: parse prefixed Turtle lines back
+    into a typed triple frame — ``from_turtle(to_turtle(t)) == t`` at
+    the conformed schema grain, the reference's triple-load surface.
+
+    The ``@prefix`` header (a handful of rows at any corpus size) is
+    collected to resolve the instance/predicate bases; everything
+    else is per-row regexp/string expressions — a map-only job.  Term
+    grammar: ``i:local`` IRIs (PN_LOCAL ``\\/`` unescaped), the ``a``
+    keyword for rdf:type, bare ``"lit"`` as xsd:string, ``"lit"@tag``
+    lang strings, ``"lit"^^xsd:local`` typed literals; literal
+    unescaping is :func:`nt_unescape`.  Numeric and temporal shadow
+    columns re-derive from the lexical form by type."""
+    line = F.col(line_col)
+    pfx_rows = (
+        lines.where(line.startswith("@prefix"))
+        .select(
+            F.regexp_extract(line, r"^@prefix (\w+): <([^>]*)> \.$", 1).alias("p"),
+            F.regexp_extract(line, r"^@prefix (\w+): <([^>]*)> \.$", 2).alias("iri"),
+        )
+        .collect()
+    )
+    prefixes = {r.p: r.iri for r in pfx_rows}
+    if "i" not in prefixes or "p" not in prefixes:
+        raise ValueError("turtle input missing @prefix i:/p: header")
+    body = lines.where(~line.startswith("@prefix") & (F.length(F.trim(line)) > 0))
+    subj = _pn_unescape(F.regexp_extract(line, r"^i:((?:[^\s\\]|\\.)+) ", 1))
+    rest = F.regexp_extract(line, r"^i:(?:[^\s\\]|\\.)+ (.*)$", 1)
+    pred_tok = F.regexp_extract(rest, r"^(\S+) ", 1)
+    oterm = F.regexp_extract(rest, r"^\S+ (.*) \.$", 1)
+    quoted = r'"((?:[^"\\]|\\.)*)"'
+    raw_lit = F.when(oterm.rlike('^"'), F.regexp_extract(oterm, f"^{quoted}", 1))
+    lit = nt_unescape(raw_lit)
+    lang_tag = F.regexp_extract(oterm, f"^{quoted}@([A-Za-z][A-Za-z0-9-]*)$", 2)
+    xsd_local = F.regexp_extract(oterm, f"^{quoted}\\^\\^xsd:([A-Za-z]+)$", 2)
+    is_iri = oterm.startswith("i:")
+    is_bare = oterm.rlike(f"^{quoted}$")
+    obj_type = (
+        F.when(is_iri, F.lit("iri"))
+        .when(lang_tag != "", F.lit("rdf:langString"))
+        .when(xsd_local != "", F.concat(F.lit("xsd:"), xsd_local))
+        .when(is_bare, F.lit("xsd:string"))
+        .otherwise(F.lit("xsd:string"))
+    )
+    obj = F.when(is_iri, _pn_unescape(F.regexp_extract(oterm, r"^i:(.*)$", 1))).otherwise(
+        lit
+    )
+    num_types = ("xsd:integer", "xsd:decimal", "xsd:double", "xsd:float")
+    return body.select(
+        F.lit(graph).alias("graph"),
+        subj.alias("subject"),
+        F.when(pred_tok == "a", F.lit(RDF_TYPE))
+        .otherwise(F.regexp_replace(pred_tok, "^p:", ""))
+        .alias("predicate"),
+        obj.alias("obj"),
+        obj_type.alias("obj_type"),
+        F.when(obj_type.isin(*num_types), obj.cast(DoubleType())).alias("obj_num"),
+        F.when(obj_type == "rdf:langString", lang_tag).alias("obj_lang"),
+        F.when(
+            obj_type.isin("xsd:dateTime", "xsd:date"), obj.cast("timestamp_ntz")
+        ).alias("obj_ts"),
+    )
+
+
 def inherit_frames(declared: DataFrame, subclass_edges: DataFrame) -> DataFrame:
     """Frame composition under ``@inherits`` (terminus-server schema
     inheritance: a class's effective frame is its own properties plus

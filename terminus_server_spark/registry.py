@@ -1810,6 +1810,124 @@ def rdf_import(spark, sf_dir):
 
 
 @register(
+    "rdf_export_turtle",
+    f"""
+    SELECT '' AS subject, '@prefix i: <{_NT_B}i/> .' AS line
+    UNION ALL SELECT '', '@prefix p: <{_NT_B}p/> .'
+    UNION ALL SELECT '', '@prefix xsd: <{_NT_XSD}> .'
+    UNION ALL
+    SELECT 'Nation/' || n_nationkey,
+           'i:Nation\\/' || n_nationkey || ' a i:Nation .' FROM nation
+    UNION ALL
+    SELECT 'Nation/' || n_nationkey,
+           'i:Nation\\/' || n_nationkey || ' p:n_name "'
+             || replace(replace(n_name, chr(92), chr(92) || chr(92)), chr(34), chr(92) || chr(34))
+             || '" .'
+    FROM nation
+    UNION ALL
+    SELECT 'Nation/' || n_nationkey,
+           'i:Nation\\/' || n_nationkey || ' p:n_region i:Region\\/' || n_regionkey || ' .'
+    FROM nation
+    UNION ALL
+    SELECT 'Customer/' || c_custkey,
+           'i:Customer\\/' || c_custkey || ' a i:Customer .' FROM customer
+    UNION ALL
+    SELECT 'Customer/' || c_custkey,
+           'i:Customer\\/' || c_custkey || ' p:c_acctbal "'
+             || c_acctbal::VARCHAR || '"^^xsd:decimal .'
+    FROM customer
+    UNION ALL
+    SELECT 'Customer/' || c_custkey,
+           'i:Customer\\/' || c_custkey || ' p:c_nation i:Nation\\/' || c_nationkey || ' .'
+    FROM customer
+    """,
+)
+def rdf_export_turtle(spark, sf_dir):
+    """Prefixed Turtle export (model/triples.py:to_turtle): the
+    reference's triple-dump format — @prefix header + compacted
+    ``i:``/``p:`` names, the ``a`` keyword for rdf:type, bare string
+    literals, PN_LOCAL slash escaping.  Map-only string projection
+    plus a 3-row header union."""
+    from terminus_server_spark.model.triples import to_turtle, triples_from_table
+
+    t = _t(spark, sf_dir, "nation", "customer")
+    trips = triples_from_table(
+        t["nation"],
+        "Nation",
+        "n_nationkey",
+        value_cols=["n_name"],
+        ref_cols={"n_regionkey": ("Region", "n_region")},
+    ).unionByName(
+        triples_from_table(
+            t["customer"],
+            "Customer",
+            "c_custkey",
+            value_cols=["c_acctbal"],
+            ref_cols={"c_nationkey": ("Nation", "c_nation")},
+        )
+    )
+    return to_turtle(trips, base=_NT_B)
+
+
+@register(
+    "rdf_import_turtle",
+    """
+    WITH trip(subject, predicate, obj, obj_type) AS (
+      SELECT 'Nation/' || n_nationkey, 'rdf:type', 'Nation', 'iri' FROM nation
+      UNION ALL
+      SELECT 'Nation/' || n_nationkey, 'n_name', n_name, 'xsd:string' FROM nation
+      UNION ALL
+      SELECT 'Nation/' || n_nationkey, 'n_region',
+             'Region/' || n_regionkey, 'iri' FROM nation
+      UNION ALL
+      SELECT 'Customer/' || c_custkey, 'rdf:type', 'Customer', 'iri' FROM customer
+      UNION ALL
+      SELECT 'Customer/' || c_custkey, 'c_acctbal',
+             c_acctbal::VARCHAR, 'xsd:decimal' FROM customer
+      UNION ALL
+      SELECT 'Customer/' || c_custkey, 'c_nation',
+             'Nation/' || c_nationkey, 'iri' FROM customer)
+    SELECT subject, predicate, obj, obj_type,
+           CASE WHEN obj_type = 'xsd:decimal' THEN obj::DOUBLE END AS obj_num
+    FROM trip
+    """,
+)
+def rdf_import_turtle(spark, sf_dir):
+    """Turtle load: parse the prefixed dump back into a typed triple
+    frame (model/triples.py:from_turtle) — the roundtrip inverse of
+    rdf_export_turtle, lossless at the conformed-schema grain
+    including the bare-string / a-keyword / PN_LOCAL-escape forms.
+    The @prefix header (bounded rows) resolves bases; the body is a
+    map-only regexp projection."""
+    from terminus_server_spark.model.triples import (
+        from_turtle,
+        to_turtle,
+        triples_from_table,
+    )
+
+    t = _t(spark, sf_dir, "nation", "customer")
+    trips = triples_from_table(
+        t["nation"],
+        "Nation",
+        "n_nationkey",
+        value_cols=["n_name"],
+        ref_cols={"n_regionkey": ("Region", "n_region")},
+    ).unionByName(
+        triples_from_table(
+            t["customer"],
+            "Customer",
+            "c_custkey",
+            value_cols=["c_acctbal"],
+            ref_cols={"c_nationkey": ("Nation", "c_nation")},
+        )
+    )
+    lines = to_turtle(trips, base=_NT_B).select("line")
+    return from_turtle(lines).select(
+        "subject", "predicate", "obj", "obj_type", "obj_num"
+    )
+
+
+@register(
     "woql_doc_words",
     """
     WITH counts(predicate, obj_type, n) AS (

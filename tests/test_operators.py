@@ -1894,3 +1894,41 @@ def test_budget_cap_bucketed_matches_naive_window(spark):
     # only source-grain window left is over the tiny bucket table
     plan = budget_cap(docs, budget_tokens=120)._jdf.queryExecution().optimizedPlan().toString()
     assert "_qb" in plan
+
+
+def test_turtle_roundtrip_all_term_forms(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import from_turtle, to_turtle
+
+    trips = spark.createDataFrame(
+        [
+            ("D/1", "rdf:type", "Doc", "iri", None),
+            ("D/1", "body", 'line one\nwith "quote" and\\slash', "xsd:string", None),
+            ("D/1", "title", "hallo", "rdf:langString", "de"),
+            ("D/1", "score", "3.25", "xsd:decimal", None),
+            ("D/1", "when", "2024-01-02T03:04:05", "xsd:dateTime", None),
+            ("D/2", "link", "D/1", "iri", None),
+        ],
+        "subject string, predicate string, obj string, obj_type string, obj_lang string",
+    )
+    ttl = to_turtle(trips)
+    lines = [r.line for r in ttl.orderBy("subject", "line").collect()]
+    assert lines[0].startswith("@prefix i:")
+    assert any(" a i:Doc ." in ln for ln in lines)          # rdf:type keyword
+    assert any('p:title "hallo"@de .' in ln for ln in lines)
+    assert any('"3.25"^^xsd:decimal' in ln for ln in lines)
+    assert any("i:D\\/2 p:link i:D\\/1 ." in ln for ln in lines)  # PN_LOCAL escape
+    assert all("\n" not in ln for ln in lines)              # control chars escaped
+    back = from_turtle(ttl.select("line"))
+    got = {
+        (r.subject, r.predicate): (r.obj, r.obj_type, r.obj_lang)
+        for r in back.collect()
+    }
+    assert got[("D/1", "rdf:type")] == ("Doc", "iri", None)
+    assert got[("D/1", "body")] == ('line one\nwith "quote" and\\slash', "xsd:string", None)
+    assert got[("D/1", "title")] == ("hallo", "rdf:langString", "de")
+    assert got[("D/1", "score")] == ("3.25", "xsd:decimal", None)
+    assert got[("D/2", "link")] == ("D/1", "iri", None)
+    ts = {r.predicate: r.obj_ts for r in back.where(F.col("predicate") == "when").collect()}
+    assert str(ts["when"]) == "2024-01-02 03:04:05"

@@ -360,6 +360,27 @@ def tpch_store(tables: dict[str, DataFrame]) -> TripleStore:
     return TripleStore.from_tables(tables, specs)
 
 
+def duration_seconds(col):
+    """Numeric shadow for ``xsd:duration`` literals (dayTime subset:
+    ``PnDTnHnMnS``, every part optional): total seconds as double, so
+    duration-typed properties compare natively the way ``obj_num``
+    serves numerics and ``obj_ts`` serves temporals.  Year/month
+    durations are not totally ordered (P1M vs P30D) and are left
+    unshadowed — the same restriction xsd:dayTimeDuration encodes.
+    Pure regexp column expressions, engine-portable."""
+
+    def part(pat):
+        s = F.regexp_extract(col, pat, 1)
+        return F.when(s == "", F.lit(0.0)).otherwise(s.cast("double"))
+
+    return (
+        part(r"(\d+)D") * 86400.0
+        + part(r"T.*?(\d+)H") * 3600.0
+        + part(r"(\d+)M") * 60.0
+        + part(r"(\d+(?:\.\d+)?)S")
+    )
+
+
 def nt_escape(col):
     """N-Triples / JSON string escaping as a column expression:
     backslash first (so later escapes aren't doubled), then quote and
@@ -487,7 +508,9 @@ def from_ntriples(
         .alias("predicate"),
         obj.alias("obj"),
         obj_type.alias("obj_type"),
-        F.when(obj_type.isin(*num_types), obj.cast(DoubleType())).alias("obj_num"),
+        F.when(obj_type.isin(*num_types), obj.cast(DoubleType()))
+        .when(obj_type == "xsd:duration", duration_seconds(obj))
+        .alias("obj_num"),
         F.when(obj_type == "rdf:langString", lang_tag).alias("obj_lang"),
         F.when(
             obj_type.isin("xsd:dateTime", "xsd:date"), obj.cast("timestamp_ntz")
@@ -615,7 +638,9 @@ def from_turtle(
         .alias("predicate"),
         obj.alias("obj"),
         obj_type.alias("obj_type"),
-        F.when(obj_type.isin(*num_types), obj.cast(DoubleType())).alias("obj_num"),
+        F.when(obj_type.isin(*num_types), obj.cast(DoubleType()))
+        .when(obj_type == "xsd:duration", duration_seconds(obj))
+        .alias("obj_num"),
         F.when(obj_type == "rdf:langString", lang_tag).alias("obj_lang"),
         F.when(
             obj_type.isin("xsd:dateTime", "xsd:date"), obj.cast("timestamp_ntz")

@@ -373,11 +373,19 @@ def duration_seconds(col):
         s = F.regexp_extract(col, pat, 1)
         return F.when(s == "", F.lit(0.0)).otherwise(s.cast("double"))
 
-    return (
+    # Minutes MUST be anchored after the T time separator: an
+    # unanchored (\d+)M matches the MONTH designator, turning P1M (one
+    # month) into 60 seconds.  And any Y/M designator BEFORE T makes
+    # the duration year/month-bearing — not totally ordered — so the
+    # shadow is NULL, enforcing what the docstring promises.
+    sec = (
         part(r"(\d+)D") * 86400.0
-        + part(r"T.*?(\d+)H") * 3600.0
-        + part(r"(\d+)M") * 60.0
-        + part(r"(\d+(?:\.\d+)?)S")
+        + part(r"T[^M]*?(\d+)H") * 3600.0
+        + part(r"T[^M]*?(\d+)M") * 60.0
+        + part(r"T.*?(\d+(?:\.\d+)?)S") * 1.0
+    )
+    return F.when(col.rlike(r"^-?P[^T]*[YM]"), F.lit(None).cast("double")).otherwise(
+        sec
     )
 
 

@@ -211,6 +211,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_limit: int = 200_000,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos): embedding-cosine near-duplicate pairs.
 
@@ -233,7 +234,10 @@ def embedding_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    n = emb.count()
+    # ``size_hint`` (caller-known corpus size, e.g. from table stats)
+    # keeps the path choice lazy — no extra blocking count() job in
+    # the plan.  Without a hint the count runs once, as before.
+    n = size_hint if size_hint is not None else emb.count()
     if n > broadcast_limit:
         from terminus_server_spark.operators.similarity import cosine_from_parts, scaled_parts
 

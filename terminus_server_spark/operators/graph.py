@@ -603,7 +603,6 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
         .transform(loop_checkpoint)
     )
     e = base.transform(loop_checkpoint)
-    done: list[DataFrame] = []
 
     def _restrict(edges_df: DataFrame, nodes_df: DataFrame) -> DataFrame:
         return (
@@ -611,6 +610,14 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
             .join(nodes_df.select(F.col("n").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
         )
+
+    # Empty typed seed: an empty/all-NULL edge frame must yield an
+    # empty (node, component) frame, not an IndexError — and it keeps
+    # the union chain below total when the loop never appends.
+    empty = rem.select(
+        F.col("n").alias("node"), F.col("n").alias("component")
+    ).limit(0)
+    done: list[DataFrame] = [empty]
 
     n_rem = rem.count()
     for _ in range(max_iters):
@@ -691,6 +698,12 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
         peeled = marked.select(F.col("node").alias("n"))
         rem, n_rem = loop_checkpoint_count(rem.join(peeled, "n", "left_anti"))
         e = _restrict(e, rem).transform(loop_checkpoint)
+    if n_rem > 0:
+        raise RuntimeError(
+            f"strongly_connected_components did not converge in {max_iters} "
+            f"outer rounds ({n_rem} nodes unlabeled); the condensation DAG "
+            "is deeper than max_iters — raise max_iters"
+        )
     out = done[0]
     for frame in done[1:]:
         out = out.unionByName(frame)

@@ -220,8 +220,26 @@ def table_stats(df, cols: list[str], exact_ndv: bool = False, kmv_k: int = 256):
         .where(F.col("f").isNotNull())
         .distinct()
     )
+    # Two-level min-k: a global Window.partitionBy("column") would funnel
+    # EVERY distinct value of a column through one task — for a
+    # near-unique column on a 100 TB table that is a ~1e10-row serial
+    # sort.  Instead salt each (column, f) row into one of ``n_buckets``
+    # lanes and take the k smallest per lane in parallel (any global
+    # minimum lives in some lane and is among that lane's k smallest),
+    # then rank the surviving ≤ n_buckets*k rows per column.  The salt
+    # only shapes parallelism, never the result — min-k of a distinct
+    # set is bucketing-independent — so the DuckDB oracle replays the
+    # unsalted formulation and stays bit-identical.
+    n_buckets = 64
+    wl = Window.partitionBy("column", "_b").orderBy("f")
+    partial = (
+        pairs.withColumn("_b", F.pmod(F.hash("column", "f"), F.lit(n_buckets)))
+        .withColumn("_rl", F.row_number().over(wl))
+        .where(F.col("_rl") <= kmv_k)
+        .drop("_b", "_rl")
+    )
     w = Window.partitionBy("column").orderBy("f")
-    mins = pairs.withColumn("_rn", F.row_number().over(w)).where(
+    mins = partial.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= kmv_k
     )
     ndv = mins.groupBy("column").agg(
@@ -236,6 +254,14 @@ def table_stats(df, cols: list[str], exact_ndv: bool = False, kmv_k: int = 256):
         .cast("bigint")
         .alias("ndv"),
     )
-    return base.join(ndv, "column").select(
-        "column", "n", "n_nulls", "ndv", "min_val", "max_val"
+    # LEFT join: an all-NULL column yields zero hash rows — it must
+    # still report (n, n_nulls, ndv=0, NULL min/max) like the exact
+    # variant does, not vanish from the output.
+    return base.join(ndv, "column", "left").select(
+        "column",
+        "n",
+        "n_nulls",
+        F.coalesce(F.col("ndv"), F.lit(0)).cast("bigint").alias("ndv"),
+        "min_val",
+        "max_val",
     )

@@ -1932,3 +1932,123 @@ def test_turtle_roundtrip_all_term_forms(spark):
     assert got[("D/2", "link")] == ("D/1", "iri", None)
     ts = {r.predicate: r.obj_ts for r in back.where(F.col("predicate") == "when").collect()}
     assert str(ts["when"]) == "2024-01-02 03:04:05"
+
+
+def test_table_stats_all_null_column_kept(spark):
+    """r4 ADVICE: all-NULL column yields no hash rows — the KMV path
+    must still report it (ndv=0, NULL min/max) like the exact
+    variant, not drop the row."""
+    from terminus_server_spark.sources import table_stats
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(50)], "a long, b string"
+    )
+    kmv = {r.column: r for r in table_stats(df, ["a", "b"]).collect()}
+    exact = {r.column: r for r in table_stats(df, ["a", "b"], exact_ndv=True).collect()}
+    assert set(kmv) == set(exact) == {"a", "b"}
+    assert kmv["b"].ndv == 0 and exact["b"].ndv == 0
+    assert kmv["b"].n_nulls == 50
+    assert kmv["b"].min_val is None and kmv["b"].max_val is None
+
+
+def test_table_stats_kmv_salted_partial_topk_in_plan(spark):
+    """r4 verdict weak #2: the KMV min-k must NOT be a single global
+    per-column sort — the plan carries the salted per-(column, _b)
+    partial pass before the final bounded window, and the estimate on
+    a near-unique column is unchanged by the salting."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.sources import table_stats
+
+    df = spark.range(30000).select(F.col("id").alias("x"), (F.col("id") % 4).alias("y"))
+    stats = table_stats(df, ["x", "y"])
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "_b" in plan  # salted partial top-k pass present
+    got = {r.column: r for r in stats.collect()}
+    assert 24000 <= got["x"].ndv <= 36000  # near-unique column, sane estimate
+    assert got["y"].ndv == 4  # exact below k
+
+
+def test_duration_seconds_month_vs_minute(spark):
+    """r4 ADVICE: unanchored (\\d+)M parsed MONTHS as minutes.  Minutes
+    only count after T; any Y/M designator before T NULLs the shadow
+    (year/month durations are not totally ordered)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import duration_seconds
+
+    cases = [
+        ("P1M", None),  # one MONTH: unshadowed, not 60 s
+        ("P2M", None),
+        ("P1Y", None),
+        ("P1Y2M3DT4H5M6S", None),  # yearMonth-bearing: unshadowed
+        ("PT5M", 300.0),
+        ("PT4H5M6S", 4 * 3600.0 + 5 * 60.0 + 6.0),
+        ("P2DT3H", 2 * 86400.0 + 3 * 3600.0),
+        ("P3D", 3 * 86400.0),
+        ("PT0.5S", 0.5),
+        ("PT36S", 36.0),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "lex string")
+    got = {
+        r.lex: r.sec
+        for r in df.select("lex", duration_seconds(F.col("lex")).alias("sec")).collect()
+    }
+    for lex, want in cases:
+        assert got[lex] == want, (lex, got[lex], want)
+
+
+def test_scc_empty_and_all_null_edges(spark):
+    """r4 ADVICE medium: empty edge frame raised IndexError; must
+    return an empty typed (node, component) frame instead."""
+    from terminus_server_spark.operators.graph import strongly_connected_components
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = strongly_connected_components(empty)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
+
+    nulls = spark.createDataFrame(
+        [(None, "a"), ("b", None), (None, None)], "src string, dst string"
+    )
+    assert strongly_connected_components(nulls).count() == 0
+
+
+def test_scc_nonconvergence_raises(spark):
+    """r4 ADVICE: exhausting max_iters with nodes unlabeled must be
+    loud, not silently incomplete."""
+    import pytest as _pytest
+
+    from terminus_server_spark.operators.graph import strongly_connected_components
+
+    # a 3-deep chain of 2-cycles: condensation depth 3 > max_iters=1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"),
+         ("d", "e"), ("e", "f"), ("f", "e")],
+        "src string, dst string",
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(edges, max_iters=1)
+
+
+def test_embed_near_dup_size_hint_lazy_paths_agree(spark):
+    """r4 verdict #8: size_hint replaces the eager count() for path
+    choice; both paths produce the identical pair set."""
+    from terminus_server_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bcast = {
+        (r.id_a, r.id_b, round(r.cos, 9))
+        for r in embedding_near_dup_pairs(emb, threshold=0.5, size_hint=40).collect()
+    }
+    dist = {
+        (r.id_a, r.id_b, round(r.cos, 9))
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.5, size_hint=10**9
+        ).collect()
+    }
+    assert bcast == dist and len(bcast) > 0

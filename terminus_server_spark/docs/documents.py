@@ -511,3 +511,160 @@ def patch_with_conflicts(
         conflicts.select("key", "field"), ["key", "field"], "left_anti"
     ).select("key", "field", "old_value", "new_value", "op")
     return doc_patch(current, clean, key, fields), conflicts
+
+
+_GQL_SCALARS = {
+    "xsd:string": "String",
+    "xsd:decimal": "Float",
+    "xsd:double": "Float",
+    "xsd:float": "Float",
+    "xsd:integer": "Int",
+    "xsd:int": "Int",
+    "xsd:long": "Int",
+    "xsd:boolean": "Boolean",
+    "xsd:dateTime": "DateTime",
+    "xsd:date": "DateTime",
+}
+
+
+def graphql_schema(frames: DataFrame) -> DataFrame:
+    """(type_name, kind, doc): the GraphQL schema document generated
+    from effective class frames — the reference's graphql layer emits
+    exactly this from its schema (terminus-server src/rust/graphql:
+    one object type per class, a ``<Class>_Filter`` input type with
+    per-field operators and ``_and/_or/_not`` combinators, reverse
+    ``_of_<Class>`` link fields, and a Query root with
+    filter/orderBy/limit/offset arguments per class).
+
+    ``frames``: (class, predicate, obj_types, required) — effective
+    (post-inheritance) frames, one row per class×property, where
+    ``obj_types`` is an ``xsd:*`` scalar or a target class name for
+    links.  Every target class must itself appear as a class.
+
+    Rendering: scalars map xsd→GraphQL (string→String,
+    decimal/double/float→Float, integer→Int, boolean→Boolean,
+    dateTime→DateTime); every object type carries ``_id: ID!``; a
+    link property typed with the target class adds ``_of_<Source>:
+    [Source]`` on the target; filter fields carry the op set the read
+    algebra compiles (strings eq/ne/lt/gt/like/regex, ordered scalars
+    eq/ne/lt/gt, booleans eq/ne, links eq).  Field lists are
+    name-sorted so the JSON rendering is canonical and byte-stable.
+    Schema generation is metadata-scale; the plan is a handful of
+    unions + one groupBy over |classes × properties| rows."""
+    is_link = ~F.col("obj_types").startswith("xsd:")
+    ftype = F.lit(None).cast("string")
+    for x, g in sorted(_GQL_SCALARS.items()):
+        ftype = F.when(F.col("obj_types") == x, F.lit(g)).otherwise(ftype)
+    ftype = F.when(is_link, F.col("obj_types")).otherwise(ftype)
+
+    classes = frames.select(F.col("class").alias("type_name")).distinct()
+
+    def fld(name, typ, nonnull):
+        return F.struct(
+            name.alias("name"), typ.alias("type"), nonnull.alias("nonNull")
+        )
+
+    own = frames.select(
+        F.col("class").alias("type_name"),
+        fld(F.col("predicate"), ftype, F.col("required")).alias("field"),
+    )
+    ids = classes.select(
+        "type_name", fld(F.lit("_id"), F.lit("ID"), F.lit(True)).alias("field")
+    )
+    rev = frames.where(is_link).select(
+        F.col("obj_types").alias("type_name"),
+        fld(
+            F.concat(F.lit("_of_"), F.col("class")),
+            F.concat(F.lit("["), F.col("class"), F.lit("]")),
+            F.lit(False),
+        ).alias("field"),
+    )
+    objects = (
+        own.unionByName(ids)
+        .unionByName(rev)
+        .groupBy("type_name")
+        .agg(F.array_sort(F.collect_list("field")).alias("fields"))
+        .select(
+            "type_name",
+            F.lit("OBJECT").alias("kind"),
+            F.to_json(
+                F.struct(
+                    F.col("type_name").alias("name"),
+                    F.lit("OBJECT").alias("kind"),
+                    F.col("fields"),
+                )
+            ).alias("doc"),
+        )
+    )
+
+    str_ops = F.array(*[F.lit(o) for o in ("eq", "ne", "lt", "gt", "like", "regex")])
+    ord_ops = F.array(*[F.lit(o) for o in ("eq", "ne", "lt", "gt")])
+    bool_ops = F.array(F.lit("eq"), F.lit("ne"))
+    link_ops = F.array(F.lit("eq"))
+    no_ops = F.array().cast("array<string>")
+    ops = (
+        F.when(is_link, link_ops)
+        .when(F.col("obj_types") == "xsd:boolean", bool_ops)
+        .when(F.col("obj_types") == "xsd:string", str_ops)
+        .otherwise(ord_ops)
+    )
+
+    def ffld(name, typ, ops_col):
+        return F.struct(name.alias("name"), typ.alias("type"), ops_col.alias("ops"))
+
+    fprops = frames.select(
+        F.col("class").alias("type_name"),
+        ffld(F.col("predicate"), ftype, ops).alias("field"),
+    )
+    fname = F.concat(F.col("type_name"), F.lit("_Filter"))
+    flist = F.concat(F.lit("["), F.col("type_name"), F.lit("_Filter]"))
+    combinators = classes.select(
+        "type_name",
+        F.explode(
+            F.array(
+                ffld(F.lit("_and"), flist, no_ops),
+                ffld(F.lit("_not"), fname, no_ops),
+                ffld(F.lit("_or"), flist, no_ops),
+            )
+        ).alias("field"),
+    )
+    filters = (
+        fprops.unionByName(combinators)
+        .groupBy("type_name")
+        .agg(F.array_sort(F.collect_list("field")).alias("fields"))
+        .select(
+            F.concat(F.col("type_name"), F.lit("_Filter")).alias("type_name"),
+            F.lit("INPUT_OBJECT").alias("kind"),
+            F.to_json(
+                F.struct(
+                    F.concat(F.col("type_name"), F.lit("_Filter")).alias("name"),
+                    F.lit("INPUT_OBJECT").alias("kind"),
+                    F.col("fields"),
+                )
+            ).alias("doc"),
+        )
+    )
+
+    qargs = F.array(*[F.lit(a) for a in ("filter", "orderBy", "limit", "offset")])
+    query = (
+        classes.select(
+            F.struct(
+                F.col("type_name").alias("name"),
+                F.concat(F.lit("["), F.col("type_name"), F.lit("]")).alias("type"),
+                qargs.alias("args"),
+            ).alias("field")
+        )
+        .agg(F.array_sort(F.collect_list("field")).alias("fields"))
+        .select(
+            F.lit("Query").alias("type_name"),
+            F.lit("QUERY").alias("kind"),
+            F.to_json(
+                F.struct(
+                    F.lit("Query").alias("name"),
+                    F.lit("QUERY").alias("kind"),
+                    F.col("fields"),
+                )
+            ).alias("doc"),
+        )
+    )
+    return objects.unionByName(filters).unionByName(query)

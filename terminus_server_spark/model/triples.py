@@ -64,6 +64,7 @@ def _xsd_type(spark_type: str) -> str:
         "timestamp_ntz": "xsd:dateTime",
         "date": "xsd:date",
         "boolean": "xsd:boolean",
+        "binary": "xsd:base64Binary",
     }.get(base, "xsd:string")
 
 
@@ -75,6 +76,7 @@ def predicate_frames(
     ref_cols: dict[str, tuple[str, str]] | None = None,
     graph: str = "instance",
     lang_cols: dict[str, object] | None = None,
+    type_overrides: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Map a relational table to typed triples, one frame *per
     predicate* (vertical partitioning — the classic RDF scale
@@ -88,7 +90,13 @@ def predicate_frames(
       object triples (foreign keys → edges);
     - ``lang_cols``: column -> language tag (a literal string, or a
       Column reading a per-row tag, e.g. ``F.col("lang")``) become
-      ``rdf:langString`` literals with ``obj_lang`` set.
+      ``rdf:langString`` literals with ``obj_lang`` set;
+    - ``type_overrides``: column -> xsd type, for types Spark's
+      engine types can't imply — ``xsd:anyURI`` over a string column,
+      ``xsd:gYear`` over an int column (gYear keeps the numeric
+      shadow: years are totally ordered).  ``binary`` columns map to
+      ``xsd:base64Binary`` automatically, with the base64 rendering
+      as the lexical form.
 
     Each frame is a narrow projection of the source scan — a
     constant-predicate WOQL pattern therefore reads exactly one
@@ -99,6 +107,7 @@ def predicate_frames(
     value_cols = value_cols if value_cols is not None else [c for c in df.columns if c != key_col]
     ref_cols = ref_cols or {}
     lang_cols = lang_cols or {}
+    type_overrides = type_overrides or {}
     dtypes = dict(df.dtypes)
 
     subject = F.concat(F.lit(class_name + "/"), F.col(key_col).cast("string"))
@@ -135,11 +144,12 @@ def predicate_frames(
         base_type = spark_type.split("(")[0]
         is_num = base_type in _NUMERIC_SPARK_TYPES
         is_ts = base_type in ("timestamp", "timestamp_ntz", "date")
-        lexical = (
-            F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
-            if spark_type == "timestamp"
-            else F.col(c).cast("string")
-        )
+        if base_type == "binary":
+            lexical = F.base64(F.col(c))
+        elif spark_type == "timestamp":
+            lexical = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+        else:
+            lexical = F.col(c).cast("string")
         if c in lang_cols:
             tag = lang_cols[c]
             out[c] = frame(
@@ -150,10 +160,11 @@ def predicate_frames(
                 obj_lang=F.lit(tag) if isinstance(tag, str) else tag,
             )
         else:
+            xsd_t = type_overrides.get(c, _xsd_type(spark_type))
             out[c] = frame(
                 c,
                 lexical,
-                _xsd_type(spark_type),
+                xsd_t,
                 F.col(c).cast(DoubleType()) if is_num else null_num,
                 obj_ts=F.col(c).cast("timestamp_ntz") if is_ts else null_ts,
             )
@@ -174,10 +185,16 @@ def triples_from_table(
     value_cols: list[str] | None = None,
     ref_cols: dict[str, tuple[str, str]] | None = None,
     graph: str = "instance",
+    type_overrides: dict[str, str] | None = None,
 ) -> DataFrame:
     """All triples of one table as a single frame (union of the
     per-predicate projections)."""
-    frames = list(predicate_frames(df, class_name, key_col, value_cols, ref_cols, graph).values())
+    frames = list(
+        predicate_frames(
+            df, class_name, key_col, value_cols, ref_cols, graph,
+            type_overrides=type_overrides,
+        ).values()
+    )
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
@@ -491,8 +508,9 @@ def from_ntriples(
     )
     lit = nt_unescape(raw_lit)
     lang_tag = F.regexp_extract(oterm, f"^{quoted}@([A-Za-z][A-Za-z0-9-]*)$", 2)
+    # [A-Za-z0-9]: xsd local names can carry digits (base64Binary)
     xsd_local = F.regexp_extract(
-        oterm, f"^{quoted}\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#([A-Za-z]+)>$", 2
+        oterm, f"^{quoted}\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#([A-Za-z0-9]+)>$", 2
     )
     is_iri = oterm.startswith("<")
     obj_type = (
@@ -504,7 +522,7 @@ def from_ntriples(
     obj = F.when(
         is_iri, F.regexp_extract(oterm, f"^<{b}i/(.*)>$", 1)
     ).otherwise(lit)
-    num_types = ("xsd:integer", "xsd:decimal", "xsd:double", "xsd:float")
+    num_types = ("xsd:integer", "xsd:decimal", "xsd:double", "xsd:float", "xsd:gYear")
     return lines.select(
         F.lit(graph).alias("graph"),
         F.regexp_extract(line, f"^<{b}i/([^>]*)>", 1).alias("subject"),
@@ -624,7 +642,7 @@ def from_turtle(
     raw_lit = F.when(oterm.rlike('^"'), F.regexp_extract(oterm, f"^{quoted}", 1))
     lit = nt_unescape(raw_lit)
     lang_tag = F.regexp_extract(oterm, f"^{quoted}@([A-Za-z][A-Za-z0-9-]*)$", 2)
-    xsd_local = F.regexp_extract(oterm, f"^{quoted}\\^\\^xsd:([A-Za-z]+)$", 2)
+    xsd_local = F.regexp_extract(oterm, f"^{quoted}\\^\\^xsd:([A-Za-z0-9]+)$", 2)
     is_iri = oterm.startswith("i:")
     is_bare = oterm.rlike(f"^{quoted}$")
     obj_type = (
@@ -637,7 +655,7 @@ def from_turtle(
     obj = F.when(is_iri, _pn_unescape(F.regexp_extract(oterm, r"^i:(.*)$", 1))).otherwise(
         lit
     )
-    num_types = ("xsd:integer", "xsd:decimal", "xsd:double", "xsd:float")
+    num_types = ("xsd:integer", "xsd:decimal", "xsd:double", "xsd:float", "xsd:gYear")
     return body.select(
         F.lit(graph).alias("graph"),
         subj.alias("subject"),

@@ -2452,6 +2452,160 @@ def woql_typed_compare(spark, sf_dir):
 
 
 @register(
+    "rdf_xsd_wide",
+    """
+    WITH s AS (SELECT s_suppkey AS k, s_name FROM supplier),
+    trip(subject, predicate, obj, obj_type, obj_num) AS (
+      SELECT 'Supplier/' || CAST(k AS VARCHAR), 'rdf:type', 'Supplier', 'iri',
+             CAST(NULL AS DOUBLE) FROM s
+      UNION ALL
+      SELECT 'Supplier/' || CAST(k AS VARCHAR), 'logo', to_base64(encode(s_name)),
+             'xsd:base64Binary', CAST(NULL AS DOUBLE) FROM s
+      UNION ALL
+      SELECT 'Supplier/' || CAST(k AS VARCHAR), 'founded',
+             CAST(1900 + k % 120 AS VARCHAR), 'xsd:gYear',
+             CAST(1900 + k % 120 AS DOUBLE) FROM s
+      UNION ALL
+      SELECT 'Supplier/' || CAST(k AS VARCHAR), 'homepage',
+             'https://example.com/s/' || CAST(k AS VARCHAR), 'xsd:anyURI',
+             CAST(NULL AS DOUBLE) FROM s)
+    SELECT fmt, subject, predicate, obj, obj_type, obj_num
+    FROM trip CROSS JOIN (VALUES ('nt'), ('ttl')) AS f(fmt)
+    """,
+)
+def rdf_xsd_wide(spark, sf_dir):
+    """Wide xsd literal surface: xsd:base64Binary (binary column →
+    base64 lexical form), xsd:gYear (type override over an int
+    column, numeric shadow kept — years are totally ordered) and
+    xsd:anyURI (override over a string column) flow through
+    triples_from_table and BOTH dump/load roundtrips.  Gates the
+    importer regex widening ([A-Za-z0-9]: 'base64Binary' carries
+    digits) and the gYear shadow re-derivation.  Map-only both ways
+    with the serialize/parse checkpoint barrier."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.model.triples import (
+        from_ntriples,
+        from_turtle,
+        to_ntriples,
+        to_turtle,
+        triples_from_table,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")["supplier"]
+    fixture = sup.select(
+        "s_suppkey",
+        F.encode(F.col("s_name"), "UTF-8").alias("logo"),
+        (F.lit(1900) + F.col("s_suppkey") % 120).cast("int").alias("founded"),
+        F.concat(
+            F.lit("https://example.com/s/"), F.col("s_suppkey").cast("string")
+        ).alias("homepage"),
+    )
+    trips = triples_from_table(
+        fixture,
+        "Supplier",
+        "s_suppkey",
+        value_cols=["logo", "founded", "homepage"],
+        type_overrides={"founded": "xsd:gYear", "homepage": "xsd:anyURI"},
+    )
+    nt_lines = plan_checkpoint(to_ntriples(trips, base=_NT_B).select("line"))
+    ttl_lines = plan_checkpoint(to_turtle(trips, base=_NT_B).select("line"))
+    nt = from_ntriples(nt_lines, base=_NT_B)
+    ttl = from_turtle(ttl_lines)
+    cols = ["subject", "predicate", "obj", "obj_type", "obj_num"]
+    return (
+        nt.select(F.lit("nt").alias("fmt"), *cols)
+        .unionByName(ttl.select(F.lit("ttl").alias("fmt"), *cols))
+    )
+
+
+@register(
+    "woql_duration_compare",
+    """
+    WITH d(subj, dur, sec) AS (
+      SELECT 'Order/' || CAST(o_orderkey AS VARCHAR),
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN 'P' || CAST(o_orderkey % 3 + 1 AS VARCHAR) || 'M'
+                  ELSE 'P' || CAST(o_orderkey % 5 AS VARCHAR) || 'DT'
+                       || CAST(o_orderkey % 23 AS VARCHAR) || 'H'
+                       || CAST(o_orderkey % 60 AS VARCHAR) || 'M' END,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE (o_orderkey % 5) * 86400.0 + (o_orderkey % 23) * 3600.0
+                       + (o_orderkey % 60) * 60.0 END
+      FROM orders)
+    SELECT fmt, subj, dur, sec
+    FROM d CROSS JOIN (VALUES ('nt'), ('ttl')) AS f(fmt)
+    WHERE sec IS NULL OR sec > 43200.0
+    """,
+)
+def woql_duration_compare(spark, sf_dir):
+    """xsd:duration typed literals end-to-end: synthesize dayTime
+    (``PnDTnHnM``) and yearMonth (``PnM``) durations per order, dump
+    and re-load through BOTH serializations (N-Triples and Turtle),
+    and compare on the re-derived numeric shadow.  Gates the r4
+    defect where the unanchored minutes regex parsed ``P1M`` (one
+    MONTH) as 60 seconds: yearMonth durations must come back with a
+    NULL shadow (not totally ordered), dayTime durations with exact
+    total seconds — so the ``sec > 12h`` filter runs natively on the
+    shadow while month rows survive via IS NULL.  Map-only both ways;
+    no shuffle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import (
+        from_ntriples,
+        from_turtle,
+        to_ntriples,
+        to_turtle,
+    )
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    dur = F.when(
+        k % 7 == 0, F.concat(F.lit("P"), (k % 3 + 1).cast("string"), F.lit("M"))
+    ).otherwise(
+        F.concat(
+            F.lit("P"),
+            (k % 5).cast("string"),
+            F.lit("DT"),
+            (k % 23).cast("string"),
+            F.lit("H"),
+            (k % 60).cast("string"),
+            F.lit("M"),
+        )
+    )
+    trips = orders.select(
+        F.concat(F.lit("Order/"), k.cast("string")).alias("subject"),
+        F.lit("lead_time").alias("predicate"),
+        dur.alias("obj"),
+        F.lit("xsd:duration").alias("obj_type"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    # Barrier between serialize and parse: collapsed into one
+    # projection, each of duration_seconds' six references to ``obj``
+    # inlines the whole concat+extract serialization chain — the
+    # fused expression tree overflows janino's method limit and the
+    # stage falls back to interpreted mode.  A lazy checkpoint makes
+    # the dump a materialized leaf, exactly the on-disk handoff a real
+    # export→import has.
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    nt_lines = plan_checkpoint(to_ntriples(trips, base=_NT_B).select("line"))
+    ttl_lines = plan_checkpoint(to_turtle(trips, base=_NT_B).select("line"))
+    nt = from_ntriples(nt_lines, base=_NT_B)
+    ttl = from_turtle(ttl_lines)
+    out = nt.select(F.lit("nt").alias("fmt"), "subject", "obj", "obj_num").unionByName(
+        ttl.select(F.lit("ttl").alias("fmt"), "subject", "obj", "obj_num")
+    )
+    return out.where(F.col("obj_num").isNull() | (F.col("obj_num") > 43200.0)).select(
+        "fmt",
+        F.col("subject").alias("subj"),
+        F.col("obj").alias("dur"),
+        F.col("obj_num").alias("sec"),
+    )
+
+
+@register(
     "woql_similarity",
     """
     SELECT 'Nation/' || CAST(a.n_nationkey AS VARCHAR) AS n1,
@@ -3989,6 +4143,61 @@ def schema_frames_inherited(spark, sf_dir):
         "depth",
         F.coalesce("n_instances", F.lit(0).cast("bigint")).alias("n_instances"),
     )
+
+
+@register(
+    "gql_schema",
+    """
+    SELECT * FROM (VALUES
+      ('Agent', 'OBJECT', '{"name":"Agent","kind":"OBJECT","fields":[{"name":"_id","type":"ID","nonNull":true},{"name":"balance","type":"Float","nonNull":false},{"name":"id","type":"String","nonNull":true},{"name":"name","type":"String","nonNull":true}]}'),
+      ('Customer', 'OBJECT', '{"name":"Customer","kind":"OBJECT","fields":[{"name":"_id","type":"ID","nonNull":true},{"name":"balance","type":"Float","nonNull":true},{"name":"id","type":"String","nonNull":true},{"name":"name","type":"String","nonNull":true},{"name":"segment","type":"String","nonNull":false}]}'),
+      ('Entity', 'OBJECT', '{"name":"Entity","kind":"OBJECT","fields":[{"name":"_id","type":"ID","nonNull":true},{"name":"id","type":"String","nonNull":true}]}'),
+      ('Nation', 'OBJECT', '{"name":"Nation","kind":"OBJECT","fields":[{"name":"_id","type":"ID","nonNull":true},{"name":"_of_Supplier","type":"[Supplier]","nonNull":false},{"name":"name","type":"String","nonNull":true},{"name":"population","type":"Int","nonNull":false}]}'),
+      ('Supplier', 'OBJECT', '{"name":"Supplier","kind":"OBJECT","fields":[{"name":"_id","type":"ID","nonNull":true},{"name":"balance","type":"Float","nonNull":false},{"name":"id","type":"String","nonNull":true},{"name":"name","type":"String","nonNull":true},{"name":"nation","type":"Nation","nonNull":true}]}'),
+      ('Agent_Filter', 'INPUT_OBJECT', '{"name":"Agent_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Agent_Filter]","ops":[]},{"name":"_not","type":"Agent_Filter","ops":[]},{"name":"_or","type":"[Agent_Filter]","ops":[]},{"name":"balance","type":"Float","ops":["eq","ne","lt","gt"]},{"name":"id","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"name","type":"String","ops":["eq","ne","lt","gt","like","regex"]}]}'),
+      ('Customer_Filter', 'INPUT_OBJECT', '{"name":"Customer_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Customer_Filter]","ops":[]},{"name":"_not","type":"Customer_Filter","ops":[]},{"name":"_or","type":"[Customer_Filter]","ops":[]},{"name":"balance","type":"Float","ops":["eq","ne","lt","gt"]},{"name":"id","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"name","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"segment","type":"String","ops":["eq","ne","lt","gt","like","regex"]}]}'),
+      ('Entity_Filter', 'INPUT_OBJECT', '{"name":"Entity_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Entity_Filter]","ops":[]},{"name":"_not","type":"Entity_Filter","ops":[]},{"name":"_or","type":"[Entity_Filter]","ops":[]},{"name":"id","type":"String","ops":["eq","ne","lt","gt","like","regex"]}]}'),
+      ('Nation_Filter', 'INPUT_OBJECT', '{"name":"Nation_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Nation_Filter]","ops":[]},{"name":"_not","type":"Nation_Filter","ops":[]},{"name":"_or","type":"[Nation_Filter]","ops":[]},{"name":"name","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"population","type":"Int","ops":["eq","ne","lt","gt"]}]}'),
+      ('Supplier_Filter', 'INPUT_OBJECT', '{"name":"Supplier_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Supplier_Filter]","ops":[]},{"name":"_not","type":"Supplier_Filter","ops":[]},{"name":"_or","type":"[Supplier_Filter]","ops":[]},{"name":"balance","type":"Float","ops":["eq","ne","lt","gt"]},{"name":"id","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"name","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"nation","type":"Nation","ops":["eq"]}]}'),
+      ('Query', 'QUERY', '{"name":"Query","kind":"QUERY","fields":[{"name":"Agent","type":"[Agent]","args":["filter","orderBy","limit","offset"]},{"name":"Customer","type":"[Customer]","args":["filter","orderBy","limit","offset"]},{"name":"Entity","type":"[Entity]","args":["filter","orderBy","limit","offset"]},{"name":"Nation","type":"[Nation]","args":["filter","orderBy","limit","offset"]},{"name":"Supplier","type":"[Supplier]","args":["filter","orderBy","limit","offset"]}]}')
+    ) AS t(type_name, kind, doc)
+    """,
+)
+def gql_schema(spark, sf_dir):
+    """GraphQL schema generation (docs/documents.py:graphql_schema):
+    the introspection-shaped schema document the reference's graphql
+    layer generates from class frames — object types with inherited +
+    reverse-link fields, <Class>_Filter input types with per-field
+    operator sets and _and/_or/_not combinators, and the Query root.
+    Fixture: the schema_frames_inherited hierarchy (Entity ⊃ Agent ⊃
+    {Customer, Supplier}) extended with a Nation link target, so the
+    oracle's hand-derived JSON checks override resolution (Customer's
+    required balance vs Supplier's inherited optional one) AND the
+    _of_Supplier back-reference byte-for-byte."""
+    from terminus_server_spark.docs.documents import graphql_schema
+    from terminus_server_spark.model.triples import inherit_frames
+
+    declared = spark.createDataFrame(
+        [
+            ("Entity", "id", "xsd:string", True),
+            ("Agent", "name", "xsd:string", True),
+            ("Agent", "balance", "xsd:decimal", False),
+            ("Customer", "balance", "xsd:decimal", True),
+            ("Customer", "segment", "xsd:string", False),
+            ("Supplier", "nation", "Nation", True),
+            ("Nation", "name", "xsd:string", True),
+            ("Nation", "population", "xsd:integer", False),
+        ],
+        "class string, predicate string, obj_types string, required boolean",
+    )
+    edges = spark.createDataFrame(
+        [("Customer", "Agent"), ("Supplier", "Agent"), ("Agent", "Entity")],
+        "src string, dst string",
+    )
+    eff = inherit_frames(declared, edges).select(
+        "class", "predicate", "obj_types", "required"
+    )
+    return graphql_schema(eff)
 
 
 @register(

@@ -180,14 +180,25 @@ def test_pack_offsets_within_capacity_and_monotone(spark, docs, capacity):
         assert r.bin_id.startswith(r.source + "#")
 
 
-# nested documents: (name, meta.level, items[].{id, score}, tags[])
+# nested documents: (name, meta.level, items[].{id, score}, tags[]) —
+# meta/items/tags may each be NULL outright (r3 verdict #10: the r2
+# patch bug hid exactly in the NULL-list/NULL-struct shapes the old
+# strategy never generated)
 _doc_strategy = st.lists(
     st.tuples(
         st.integers(0, 7),  # key
         st.sampled_from(["a", "b", "c", None]),  # name
-        st.integers(0, 3),  # meta.level
-        st.lists(st.tuples(st.integers(0, 5), st.floats(0, 10, width=16)), max_size=3),
-        st.lists(st.sampled_from(["x", "y", "z"]), max_size=3, unique=True),
+        st.one_of(st.none(), st.integers(0, 3)),  # meta.level (None = NULL meta)
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.tuples(st.integers(0, 5), st.floats(0, 10, width=16)), max_size=3
+            ),
+        ),
+        st.one_of(
+            st.none(),
+            st.lists(st.sampled_from(["x", "y", "z"]), max_size=3, unique=True),
+        ),
     ),
     max_size=6,
     unique_by=lambda r: r[0],
@@ -196,7 +207,16 @@ _doc_strategy = st.lists(
 
 def _mk_docs(spark, rows):
     return spark.createDataFrame(
-        [(k, n, (lv,), [(i, s) for i, s in items], tags) for k, n, lv, items, tags in rows],
+        [
+            (
+                k,
+                n,
+                None if lv is None else (lv,),
+                None if items is None else [(i, s) for i, s in items],
+                tags,
+            )
+            for k, n, lv, items, tags in rows
+        ],
         "key bigint, name string, meta struct<level:bigint>, "
         "items array<struct<id:bigint, score:double>>, tags array<string>",
     )

@@ -740,6 +740,131 @@ def dedup_minhash_lsh(spark, sf_dir):
     return lsh_candidate_pairs(minhash_signatures(shingles(docs)))
 
 
+_HOT_FIX_SQL = r"""
+  fix AS (SELECT doc_id,
+                 CASE WHEN doc_id % 10 < 7
+                      THEN 'common boilerplate text block family '
+                           || CAST(doc_id % 3 AS VARCHAR) || ' repeated words end'
+                      ELSE text END AS text
+          FROM documents),
+  toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM fix),
+  sh0 AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+          FROM toks),
+  sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+
+@register(
+    "dedup_lsh_hot_bucket",
+    rf"""
+    WITH {_HOT_FIX_SQL},
+    sig AS (SELECT doc_id,
+              min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+              min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+              min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+              min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+            FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+      UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+      UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+    bsz AS (
+      SELECT band_id, band_key, COUNT(*) AS m, MIN(doc_id) AS anchor
+      FROM bands GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+          JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
+        WHERE s.m <= {_LSH_CAP}
+        UNION ALL
+        SELECT s.anchor AS doc_a, d.doc_id AS doc_b
+        FROM bands d JOIN bsz s
+          ON s.band_id = d.band_id AND s.band_key = d.band_key
+        WHERE s.m > {_LSH_CAP} AND d.doc_id > s.anchor) t)
+    SELECT (SELECT COUNT(*) FROM cand)::BIGINT AS n_pairs,
+           (SELECT COUNT(DISTINCT d) FROM (
+              SELECT doc_a AS d FROM cand
+              UNION ALL SELECT doc_b FROM cand))::BIGINT AS n_docs,
+           (SELECT MAX(m) FROM bsz)::BIGINT AS max_bucket
+    """,
+)
+def dedup_lsh_hot_bucket(spark, sf_dir):
+    """Pathological hot-bucket LSH fixture: 70 % of the corpus is
+    rewritten into THREE boilerplate template families, so each
+    family collides on every band — at sf0.1 that is ~1,200-doc
+    buckets, where an uncapped within-bucket self-join would emit
+    ~m²/2 pairs per band (~10⁷ rows from a 5k-doc corpus; at web
+    scale, 10¹⁰⁺).  The star cap keeps output linear (m-1 per
+    family), and the audit row (n_pairs, n_docs, max_bucket) is
+    value-gated: a broken cap changes n_pairs by orders of
+    magnitude.  This is the bench guard for the r3 scale-killer fix
+    in lsh_candidate_pairs (operators/dedup.py:68)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    fixture = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 7,
+            F.concat(
+                F.lit("common boilerplate text block family "),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(" repeated words end"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    banded_sig = minhash_signatures(shingles(fixture))
+    pairs = plan_checkpoint(lsh_candidate_pairs(banded_sig))
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    n_docs = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
+    )
+    # bucket sizes re-derived the same way the operator does, for the
+    # audit's max_bucket column
+    from terminus_server_spark.operators.dedup import N_BANDS, N_MINHASH
+
+    rpb = N_MINHASH // N_BANDS
+    banded = banded_sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col(f"sig_{b * rpb + r}") for r in range(rpb)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    )
+    max_bucket = (
+        banded.groupBy("bk.band_id", "bk.band_key")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.max("m").cast("bigint").alias("max_bucket"))
+    )
+    return n_pairs.crossJoin(F.broadcast(n_docs)).crossJoin(F.broadcast(max_bucket))
+
+
 @register(
     "dedup_lsh_recall",
     rf"""

@@ -23,6 +23,26 @@ RELIABLE_CONF = "spark.terminus_server_spark.reliableCheckpoint"
 DIR_CONF = "spark.terminus_server_spark.checkpointDir"
 _DEFAULT_DIR = "/tmp/terminus_server_spark_checkpoints"
 
+# Target rows per partition for *loop state* frames.  Iterative
+# operators count their state every round anyway (the fixpoint
+# probe), so the count from round k is a free, exact size hint for
+# round k+1's materialization — a 15k-row fixpoint tail should be
+# one task, not a 32-task stage whose scheduling overhead dominates
+# deep loops.  Large states keep their parallelism: the hint only
+# ever *reduces* partition count (coalesce), and only when the
+# computed target is below the cluster's default parallelism.
+_LOOP_ROWS_PER_PARTITION = 500_000
+
+
+def _sized(df: DataFrame, size_hint: int | None) -> DataFrame:
+    if size_hint is None:
+        return df
+    sc = df.sparkSession.sparkContext
+    p = max(1, -(-size_hint // _LOOP_ROWS_PER_PARTITION))
+    if p >= sc.defaultParallelism:
+        return df
+    return df.coalesce(p)
+
 
 def loop_checkpoint(df: DataFrame) -> DataFrame:
     """Eagerly checkpoint one loop iteration's result; chain as
@@ -36,7 +56,9 @@ def loop_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def loop_checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
+def loop_checkpoint_count(
+    df: DataFrame, size_hint: int | None = None
+) -> tuple[DataFrame, int]:
     """Checkpoint one iteration AND return its row count in a single
     Spark job: the checkpoint is marked *lazily* and the ``count()``
     action materializes the blocks while aggregating.  Iterative
@@ -45,6 +67,7 @@ def loop_checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
     second job over the just-materialized blocks doubles the
     per-round job count — pure driver/scheduler overhead that
     dominates small-data wall time and adds up on deep loops."""
+    df = _sized(df, size_hint)
     spark = df.sparkSession
     if spark.conf.get(RELIABLE_CONF, "false").lower() == "true":
         sc = spark.sparkContext
@@ -56,13 +79,16 @@ def loop_checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
     return out, out.count()
 
 
-def loop_checkpoint_sum(df: DataFrame, col: str) -> tuple[DataFrame, int]:
+def loop_checkpoint_sum(
+    df: DataFrame, col: str, size_hint: int | None = None
+) -> tuple[DataFrame, int]:
     """Checkpoint one iteration AND aggregate an integer flag column
     in the same materializing job (see loop_checkpoint_count) — for
     loops whose fixpoint probe is "did any row change" rather than
     "is the frontier empty"."""
     from pyspark.sql import functions as F
 
+    df = _sized(df, size_hint)
     spark = df.sparkSession
     if spark.conf.get(RELIABLE_CONF, "false").lower() == "true":
         sc = spark.sparkContext
@@ -75,13 +101,14 @@ def loop_checkpoint_sum(df: DataFrame, col: str) -> tuple[DataFrame, int]:
     return out, int(total or 0)
 
 
-def plan_checkpoint(df: DataFrame) -> DataFrame:
+def plan_checkpoint(df: DataFrame, size_hint: int | None = None) -> DataFrame:
     """Lazy checkpoint used to stop *plan duplication* (not loop
     lineage): an operator that joins a frame against a projection of
     itself duplicates the frame's whole upstream plan per step —
     composing several such steps multiplies the leaf scans
     exponentially.  A lazy checkpoint makes the frame a single
     materialized leaf; blocks are written on first action."""
+    df = _sized(df, size_hint)
     spark = df.sparkSession
     if spark.conf.get(RELIABLE_CONF, "false").lower() == "true":
         sc = spark.sparkContext

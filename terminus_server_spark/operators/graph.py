@@ -596,13 +596,10 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
     base = edges.select("src", "dst").where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     ).distinct()
-    rem = (
-        base.select(F.col("src").alias("n"))
-        .union(base.select(F.col("dst")))
-        .distinct()
-        .transform(loop_checkpoint)
+    rem, n_rem = loop_checkpoint_count(
+        base.select(F.col("src").alias("n")).union(base.select(F.col("dst"))).distinct()
     )
-    e = base.transform(loop_checkpoint)
+    e, n_e = loop_checkpoint_count(base)
 
     def _restrict(edges_df: DataFrame, nodes_df: DataFrame) -> DataFrame:
         return (
@@ -619,31 +616,49 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
     ).limit(0)
     done: list[DataFrame] = [empty]
 
-    n_rem = rem.count()
     for _ in range(max_iters):
         if n_rem == 0:
             break
-        # (1) trim: peel zero-in/zero-out nodes until none remain
+        # (1) trim: peel zero-in/zero-out nodes until none remain.
+        # One Spark job per peel round: ``live`` (nodes with BOTH an
+        # in- and an out-edge in the remaining graph) is exactly the
+        # next ``rem``, so counting it doubles as the fixpoint probe
+        # (n_live == n_rem ⇒ nothing trivial this round), the peeled
+        # frame is the lazy anti-join of two already-materialized
+        # leaves, and the restricted edge set is checkpointed *lazily*
+        # so its blocks materialize inside the NEXT round's count job
+        # instead of a dedicated eager job.
         while True:
-            live = (
-                e.select(F.col("src").alias("n"))
-                .distinct()
-                .join(e.select(F.col("dst").alias("n")).distinct(), "n", "left_semi")
+            live, n_live = loop_checkpoint_count(
+                e.select(F.col("src").alias("n"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+                .union(e.select("dst", F.lit(0), F.lit(1)))
+                .groupBy("n")
+                .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+                .where((F.col("o") == 1) & (F.col("i") == 1))
+                .select("n"),
+                size_hint=n_rem,
             )
-            trivial, n_triv = loop_checkpoint_count(rem.join(live, "n", "left_anti"))
-            if n_triv == 0:
+            if n_live == n_rem:
                 break
             done.append(
-                trivial.select(F.col("n").alias("node"), F.col("n").alias("component"))
+                rem.join(live, "n", "left_anti").select(
+                    F.col("n").alias("node"), F.col("n").alias("component")
+                )
             )
-            rem = rem.join(trivial, "n", "left_anti").transform(loop_checkpoint)
-            n_rem -= n_triv
+            rem, n_rem = live, n_live
             if n_rem == 0:
                 break
-            e = _restrict(e, rem).transform(loop_checkpoint)
+            e = plan_checkpoint(_restrict(e, rem), size_hint=n_e)
         if n_rem == 0:
             break
-        # (2) forward min-color propagation to fixpoint
+        # (2) forward min-color propagation to fixpoint, with a
+        # pointer-jumping step: color[v] is always the id of SOME
+        # node that reaches v, so color[color[v]] reaches color[v]
+        # reaches v — taking the min of (own color, in-neighbors'
+        # colors, color's color) per round is sound and turns the
+        # round count from the longest condensation path L into
+        # O(log L): the hop step alone walked a chain one edge per
+        # Spark round.
         colors = rem.select(F.col("n").alias("node"), F.col("n").alias("color"))
         while True:
             inc = (
@@ -654,16 +669,38 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("c_in").alias("c_min"))
             )
-            stepped = colors.join(inc, "node", "left_outer").select(
-                "node",
-                F.least(F.col("color"), F.coalesce("c_min", "color")).alias("color"),
-                F.when(
-                    F.col("c_min").isNotNull() & (F.col("c_min") < F.col("color")), 1
+            jump = colors.join(
+                colors.select(
+                    F.col("node").alias("color"), F.col("color").alias("c_jump")
+                ),
+                "color",
+            ).select("node", "c_jump")
+            stepped = (
+                colors.join(inc, "node", "left_outer")
+                .join(jump, "node", "left_outer")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("color"),
+                        F.coalesce("c_min", "color"),
+                        F.coalesce("c_jump", "color"),
+                    ).alias("color"),
+                    F.when(
+                        (
+                            F.col("c_min").isNotNull()
+                            & (F.col("c_min") < F.col("color"))
+                        )
+                        | (
+                            F.col("c_jump").isNotNull()
+                            & (F.col("c_jump") < F.col("color"))
+                        ),
+                        1,
+                    )
+                    .otherwise(0)
+                    .alias("_chg"),
                 )
-                .otherwise(0)
-                .alias("_chg"),
             )
-            stepped, n_chg = loop_checkpoint_sum(stepped, "_chg")
+            stepped, n_chg = loop_checkpoint_sum(stepped, "_chg", size_hint=n_rem)
             colors = stepped.select("node", "color")
             if n_chg == 0:
                 break
@@ -680,24 +717,37 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
             .where(F.col("c_s") == F.col("c_d"))
             .select("src", "dst", F.col("c_s").alias("color"))
         )
-        marked = colors.where(F.col("color") == F.col("node")).transform(loop_checkpoint)
+        # One job per mark round: grow-and-count in the same action
+        # (monotone set union — the count stalls exactly at the
+        # reachability fixpoint), instead of a count job for the
+        # frontier plus an eager checkpoint job for the union.  The
+        # root seed itself is never counted separately: the first
+        # grow already includes it via the union.
+        marked = plan_checkpoint(
+            colors.where(F.col("color") == F.col("node")), size_hint=n_rem
+        )
+        n_marked = -1
         while True:
-            reached = (
+            grown, n_grown = loop_checkpoint_count(
                 same.join(
                     marked.select(F.col("node").alias("dst"), "color"),
                     ["dst", "color"],
                 )
                 .select(F.col("src").alias("node"), "color")
-                .distinct()
+                .union(marked)
+                .distinct(),
+                size_hint=n_rem,
             )
-            add, n_add = loop_checkpoint_count(reached.join(marked, "node", "left_anti"))
-            if n_add == 0:
+            if n_grown == n_marked:
                 break
-            marked = marked.union(add).transform(loop_checkpoint)
+            marked, n_marked = grown, n_grown
         done.append(marked.select("node", F.col("color").alias("component")))
         peeled = marked.select(F.col("node").alias("n"))
-        rem, n_rem = loop_checkpoint_count(rem.join(peeled, "n", "left_anti"))
-        e = _restrict(e, rem).transform(loop_checkpoint)
+        # marked ⊆ rem, so the surviving count is exact arithmetic —
+        # no count job for the peel itself.
+        rem = plan_checkpoint(rem.join(peeled, "n", "left_anti"), size_hint=n_rem)
+        n_rem -= n_marked
+        e = plan_checkpoint(_restrict(e, rem), size_hint=n_e)
     if n_rem > 0:
         raise RuntimeError(
             f"strongly_connected_components did not converge in {max_iters} "

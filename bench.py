@@ -254,19 +254,51 @@ def main() -> None:
     calibration.append(round(run_once(CALIBRATION)[0], 3))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver keeps only a ~2000-char tail of stdout and parses the
+    # JSON line out of that tail — rounds 2-4 silently recorded
+    # ``parsed: null`` because the full per-query dict (150+ keys)
+    # pushed the line past the buffer, so the tail began mid-line.
+    # Full detail goes to BENCH_DETAIL.json next to this script; the
+    # stdout line carries the totals plus the slowest queries and is
+    # hard-capped below the buffer size.
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "reps": reps,
+        "calibration": calibration,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    slowest = sorted(timings, key=timings.get, reverse=True)
+    keep = 20
+    while keep > 0:
+        line = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": {k: timings[k] for k in sorted(slowest[:keep])},
+                "n_queries": len(timings),
+                "sf": sf_val,
                 "reps": reps,
                 "calibration": calibration,
-            }
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
-    )
+        if len(line) <= 1800:
+            break
+        keep -= 5
+    print(line)
 
 
 if __name__ == "__main__":

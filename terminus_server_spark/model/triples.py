@@ -499,45 +499,80 @@ def from_ntriples(
 
     b = _re.escape(base)
     line = F.col(line_col)
-    p_iri = F.regexp_extract(line, r"^<[^>]*> <([^>]*)> ", 1)
-    oterm = F.regexp_extract(line, r"^<[^>]*> <[^>]*> (.*) \.$", 1)
     quoted = r'"((?:[^"\\]|\\.)*)"'
-    raw_lit = F.when(
-        oterm.rlike('^"'),
-        F.regexp_extract(oterm, f"^{quoted}", 1),
-    )
-    lit = nt_unescape(raw_lit)
-    lang_tag = F.regexp_extract(oterm, f"^{quoted}@([A-Za-z][A-Za-z0-9-]*)$", 2)
-    # [A-Za-z0-9]: xsd local names can carry digits (base64Binary)
-    xsd_local = F.regexp_extract(
-        oterm, f"^{quoted}\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#([A-Za-z0-9]+)>$", 2
-    )
-    is_iri = oterm.startswith("<")
-    obj_type = (
-        F.when(is_iri, F.lit("iri"))
-        .when(lang_tag != "", F.lit("rdf:langString"))
-        .when(xsd_local != "", F.concat(F.lit("xsd:"), xsd_local))
-        .otherwise(F.lit("xsd:string"))
-    )
-    obj = F.when(
-        is_iri, F.regexp_extract(oterm, f"^<{b}i/(.*)>$", 1)
-    ).otherwise(lit)
-    num_types = ("xsd:integer", "xsd:decimal", "xsd:double", "xsd:float", "xsd:gYear")
-    return lines.select(
-        F.lit(graph).alias("graph"),
+
+    # Staged projections, deliberately: collapsed into one SELECT,
+    # every reference to ``obj`` re-inlines the whole
+    # extract→unescape regex chain (the shadow derivation alone
+    # references it 6×), blowing the generated method past janino's
+    # limit and multiplying per-row regex work ~7×.  Catalyst's
+    # CollapseProject keeps adjacent projects separate exactly when a
+    # non-cheap expression is referenced more than once — so each
+    # stage below computes its expensive strings ONCE into real
+    # columns and the next stage references them as cheap attributes.
+    # Still one map-only stage at runtime (projections fuse into the
+    # same whole-stage-codegen span, each as its own method).
+    stage1 = lines.select(
         F.regexp_extract(line, f"^<{b}i/([^>]*)>", 1).alias("subject"),
+        F.regexp_extract(line, r"^<[^>]*> <([^>]*)> ", 1).alias("_p_iri"),
+        F.regexp_extract(line, r"^<[^>]*> <[^>]*> (.*) \.$", 1).alias("_oterm"),
+    )
+    oterm = F.col("_oterm")
+    stage2 = stage1.select(
+        "subject",
+        "_p_iri",
+        "_oterm",
+        nt_unescape(
+            F.when(oterm.rlike('^"'), F.regexp_extract(oterm, f"^{quoted}", 1))
+        ).alias("_lit"),
+        F.regexp_extract(oterm, f"^{quoted}@([A-Za-z][A-Za-z0-9-]*)$", 2).alias(
+            "_lang_tag"
+        ),
+        # [A-Za-z0-9]: xsd local names can carry digits (base64Binary)
+        F.regexp_extract(
+            oterm,
+            f"^{quoted}\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#([A-Za-z0-9]+)>$",
+            2,
+        ).alias("_xsd_local"),
+        oterm.startswith("<").alias("_is_iri"),
+    )
+    stage3 = stage2.select(
+        "subject",
+        "_p_iri",
+        "_lang_tag",
         F.when(
-            p_iri == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            F.col("_is_iri"), F.regexp_extract(oterm, f"^<{b}i/(.*)>$", 1)
+        )
+        .otherwise(F.col("_lit"))
+        .alias("obj"),
+        (
+            F.when(F.col("_is_iri"), F.lit("iri"))
+            .when(F.col("_lang_tag") != "", F.lit("rdf:langString"))
+            .when(
+                F.col("_xsd_local") != "",
+                F.concat(F.lit("xsd:"), F.col("_xsd_local")),
+            )
+            .otherwise(F.lit("xsd:string"))
+        ).alias("obj_type"),
+    )
+    num_types = ("xsd:integer", "xsd:decimal", "xsd:double", "xsd:float", "xsd:gYear")
+    obj = F.col("obj")
+    obj_type = F.col("obj_type")
+    return stage3.select(
+        F.lit(graph).alias("graph"),
+        "subject",
+        F.when(
+            F.col("_p_iri") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
             F.lit(RDF_TYPE),
         )
-        .otherwise(F.regexp_replace(p_iri, f"^{b}p/", ""))
+        .otherwise(F.regexp_replace(F.col("_p_iri"), f"^{b}p/", ""))
         .alias("predicate"),
-        obj.alias("obj"),
-        obj_type.alias("obj_type"),
+        "obj",
+        "obj_type",
         F.when(obj_type.isin(*num_types), obj.cast(DoubleType()))
         .when(obj_type == "xsd:duration", duration_seconds(obj))
         .alias("obj_num"),
-        F.when(obj_type == "rdf:langString", lang_tag).alias("obj_lang"),
+        F.when(obj_type == "rdf:langString", F.col("_lang_tag")).alias("obj_lang"),
         F.when(
             obj_type.isin("xsd:dateTime", "xsd:date"), obj.cast("timestamp_ntz")
         ).alias("obj_ts"),
@@ -634,40 +669,71 @@ def from_turtle(
     if "i" not in prefixes or "p" not in prefixes:
         raise ValueError("turtle input missing @prefix i:/p: header")
     body = lines.where(~line.startswith("@prefix") & (F.length(F.trim(line)) > 0))
-    subj = _pn_unescape(F.regexp_extract(line, r"^i:((?:[^\s\\]|\\.)+) ", 1))
-    rest = F.regexp_extract(line, r"^i:(?:[^\s\\]|\\.)+ (.*)$", 1)
-    pred_tok = F.regexp_extract(rest, r"^(\S+) ", 1)
-    oterm = F.regexp_extract(rest, r"^\S+ (.*) \.$", 1)
     quoted = r'"((?:[^"\\]|\\.)*)"'
-    raw_lit = F.when(oterm.rlike('^"'), F.regexp_extract(oterm, f"^{quoted}", 1))
-    lit = nt_unescape(raw_lit)
-    lang_tag = F.regexp_extract(oterm, f"^{quoted}@([A-Za-z][A-Za-z0-9-]*)$", 2)
-    xsd_local = F.regexp_extract(oterm, f"^{quoted}\\^\\^xsd:([A-Za-z0-9]+)$", 2)
-    is_iri = oterm.startswith("i:")
-    is_bare = oterm.rlike(f"^{quoted}$")
-    obj_type = (
-        F.when(is_iri, F.lit("iri"))
-        .when(lang_tag != "", F.lit("rdf:langString"))
-        .when(xsd_local != "", F.concat(F.lit("xsd:"), xsd_local))
-        .when(is_bare, F.lit("xsd:string"))
-        .otherwise(F.lit("xsd:string"))
+    # Staged projections for the same reason as from_ntriples: keep
+    # each expensive extract computed once as a real column so
+    # CollapseProject can't re-inline it into every downstream
+    # reference (the shadow derivation references ``obj`` 6×).
+    stage1 = body.select(
+        _pn_unescape(
+            F.regexp_extract(line, r"^i:((?:[^\s\\]|\\.)+) ", 1)
+        ).alias("subject"),
+        F.regexp_extract(line, r"^i:(?:[^\s\\]|\\.)+ (\S+) ", 1).alias("_pred_tok"),
+        F.regexp_extract(line, r"^i:(?:[^\s\\]|\\.)+ \S+ (.*) \.$", 1).alias(
+            "_oterm"
+        ),
     )
-    obj = F.when(is_iri, _pn_unescape(F.regexp_extract(oterm, r"^i:(.*)$", 1))).otherwise(
-        lit
+    oterm = F.col("_oterm")
+    stage2 = stage1.select(
+        "subject",
+        "_pred_tok",
+        "_oterm",
+        nt_unescape(
+            F.when(oterm.rlike('^"'), F.regexp_extract(oterm, f"^{quoted}", 1))
+        ).alias("_lit"),
+        F.regexp_extract(oterm, f"^{quoted}@([A-Za-z][A-Za-z0-9-]*)$", 2).alias(
+            "_lang_tag"
+        ),
+        F.regexp_extract(oterm, f"^{quoted}\\^\\^xsd:([A-Za-z0-9]+)$", 2).alias(
+            "_xsd_local"
+        ),
+        oterm.startswith("i:").alias("_is_iri"),
+    )
+    stage3 = stage2.select(
+        "subject",
+        "_pred_tok",
+        "_lang_tag",
+        F.when(
+            F.col("_is_iri"),
+            _pn_unescape(F.regexp_extract(oterm, r"^i:(.*)$", 1)),
+        )
+        .otherwise(F.col("_lit"))
+        .alias("obj"),
+        (
+            F.when(F.col("_is_iri"), F.lit("iri"))
+            .when(F.col("_lang_tag") != "", F.lit("rdf:langString"))
+            .when(
+                F.col("_xsd_local") != "",
+                F.concat(F.lit("xsd:"), F.col("_xsd_local")),
+            )
+            .otherwise(F.lit("xsd:string"))
+        ).alias("obj_type"),
     )
     num_types = ("xsd:integer", "xsd:decimal", "xsd:double", "xsd:float", "xsd:gYear")
-    return body.select(
+    obj = F.col("obj")
+    obj_type = F.col("obj_type")
+    return stage3.select(
         F.lit(graph).alias("graph"),
-        subj.alias("subject"),
-        F.when(pred_tok == "a", F.lit(RDF_TYPE))
-        .otherwise(F.regexp_replace(pred_tok, "^p:", ""))
+        "subject",
+        F.when(F.col("_pred_tok") == "a", F.lit(RDF_TYPE))
+        .otherwise(F.regexp_replace(F.col("_pred_tok"), "^p:", ""))
         .alias("predicate"),
-        obj.alias("obj"),
-        obj_type.alias("obj_type"),
+        "obj",
+        "obj_type",
         F.when(obj_type.isin(*num_types), obj.cast(DoubleType()))
         .when(obj_type == "xsd:duration", duration_seconds(obj))
         .alias("obj_num"),
-        F.when(obj_type == "rdf:langString", lang_tag).alias("obj_lang"),
+        F.when(obj_type == "rdf:langString", F.col("_lang_tag")).alias("obj_lang"),
         F.when(
             obj_type.isin("xsd:dateTime", "xsd:date"), obj.cast("timestamp_ntz")
         ).alias("obj_ts"),

@@ -560,3 +560,127 @@ def budget_cap(
         cum.alias("cum_tokens"),
         (cum <= F.lit(budget_tokens)).alias("kept"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public paper): score
+    every raw document by how target-like its hashed n-gram profile
+    is, ``w(x) = log p_target(x) - log p_raw(x)`` under bag-of-feature
+    multinomials.  Downstream, Gumbel-top-k over these weights picks
+    the training subset; the weights themselves are the distributed
+    part.
+
+    Features are unigrams + adjacent bigrams of lowercased
+    whitespace tokens, hashed to ``n_buckets`` buckets with the
+    repo's engine-portable md5 convention; both distributions get
+    add-1 smoothing over the bucket space.  Plan shape: one explode →
+    one (doc, bucket) partial-aggregating shuffle; the two bucket
+    profiles are ≤ ``n_buckets`` rows each, broadcast back — no
+    second pass over the corpus, no Python in the hot path.  The
+    per-document sum is decimal-pinned so Spark and the DuckDB
+    oracle agree bit-for-bit after rounding.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.col("lang"),
+        tokens_col(F.lower(F.col(text_col))).alias("tk"),
+    )
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("tk"),
+                F.transform(
+                    F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                    lambda x, i: F.concat(x, F.lit(" "), F.col("tk")[i + 1]),
+                ),
+            )
+        ).alias("feat"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+    per_doc = feats.groupBy("doc_id", F.col("lang"), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tgt = (
+        per_doc.where(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+    )
+    src = per_doc.groupBy("bucket").agg(F.sum("c").alias("cs"))
+    prof = (
+        src.join(tgt, "bucket", "left_outer")
+        .select("bucket", F.coalesce("ct", F.lit(0)).alias("ct"), "cs")
+        .crossJoin(
+            src.agg(
+                F.sum("cs").alias("ns"),
+            )
+        )
+        .crossJoin(tgt.agg(F.sum("ct").alias("nt")))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + 1) / (F.col("nt") + F.lit(n_buckets)))
+                - F.log((F.col("cs") + 1) / (F.col("ns") + F.lit(n_buckets)))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(prof), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.round(
+                F.sum(
+                    (F.col("c") * F.col("logratio")).cast("decimal(28,12)")
+                ).cast("double"),
+                6,
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+def source_kl_drift(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus:
+    ``KL(P_source || P_corpus)`` restricted to the source's observed
+    vocabulary (both distributions exact maximum-likelihood — the
+    restriction keeps every term finite without smoothing and keeps
+    the plan linear: one explode, one (source, token) aggregate, one
+    broadcast join against the corpus frequency table; no
+    source × vocabulary cross join).  The monitoring pass that flags
+    a crawl slice whose language mix shifted under the pipeline.
+    """
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+    )
+    by_src = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    corpus = by_src.groupBy("tok").agg(F.sum("c").alias("cc"))
+    n_corpus = corpus.agg(F.sum("cc").alias("nc"))
+    n_src = by_src.groupBy("source").agg(F.sum("c").alias("ns"))
+    p = F.col("c") / F.col("ns")
+    q = F.col("cc") / F.col("nc")
+    return (
+        by_src.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(n_src), "source")
+        .crossJoin(n_corpus)
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            F.round(
+                F.sum((p * F.log(p / q)).cast("decimal(28,12)")).cast("double"),
+                6,
+            ).alias("kl_vs_corpus"),
+        )
+    )

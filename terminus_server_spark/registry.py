@@ -2634,8 +2634,15 @@ def rdf_xsd_wide(spark, sf_dir):
         value_cols=["logo", "founded", "homepage"],
         type_overrides={"founded": "xsd:gYear", "homepage": "xsd:anyURI"},
     )
-    nt_lines = plan_checkpoint(to_ntriples(trips, base=_NT_B).select("line"))
-    ttl_lines = plan_checkpoint(to_turtle(trips, base=_NT_B).select("line"))
+    # spread the sequential dump to cluster width before the typed
+    # parse (see woql_duration_compare for the serial-import trap)
+    width = spark.sparkContext.defaultParallelism
+    nt_lines = plan_checkpoint(
+        to_ntriples(trips, base=_NT_B).select("line").repartition(width)
+    )
+    ttl_lines = plan_checkpoint(
+        to_turtle(trips, base=_NT_B).select("line").repartition(width)
+    )
     nt = from_ntriples(nt_lines, base=_NT_B)
     ttl = from_turtle(ttl_lines)
     cols = ["subject", "predicate", "obj", "obj_type", "obj_num"]
@@ -2712,13 +2719,30 @@ def woql_duration_compare(spark, sf_dir):
     # fused expression tree overflows janino's method limit and the
     # stage falls back to interpreted mode.  A lazy checkpoint makes
     # the dump a materialized leaf, exactly the on-disk handoff a real
-    # export→import has.
+    # export→import has.  The dump is re-spread before the parse: a
+    # dump is one sequential artifact (here: the 1-partition map
+    # lineage of a single parquet file), and parsing it serial is the
+    # classic import trap — the typed-literal regex chain is the
+    # expensive side of the roundtrip, so the import must fan out to
+    # cluster width no matter how the dump arrived.
     from terminus_server_spark.checkpoint import plan_checkpoint
 
-    nt_lines = plan_checkpoint(to_ntriples(trips, base=_NT_B).select("line"))
-    ttl_lines = plan_checkpoint(to_turtle(trips, base=_NT_B).select("line"))
-    nt = from_ntriples(nt_lines, base=_NT_B)
-    ttl = from_turtle(ttl_lines)
+    width = spark.sparkContext.defaultParallelism
+    nt_lines = plan_checkpoint(
+        to_ntriples(trips, base=_NT_B).select("line").repartition(width)
+    )
+    ttl_lines = plan_checkpoint(
+        to_turtle(trips, base=_NT_B).select("line").repartition(width)
+    )
+    # The filter must see MATERIALIZED parse output: pushed below the
+    # parse projections, the two references in ``obj_num IS NULL OR
+    # obj_num > 12h`` each substitute the entire extract→unescape→
+    # duration chain into the Filter condition — tripling the per-row
+    # regex work (measured 15 s → ~6 s at sf0.1).  Checkpointing the
+    # parsed frame is also the honest shape: an import lands a layer
+    # once, queries filter the layer.
+    nt = plan_checkpoint(from_ntriples(nt_lines, base=_NT_B))
+    ttl = plan_checkpoint(from_turtle(ttl_lines))
     out = nt.select(F.lit("nt").alias("fmt"), "subject", "obj", "obj_num").unionByName(
         ttl.select(F.lit("ttl").alias("fmt"), "subject", "obj", "obj_num")
     )
@@ -10382,3 +10406,474 @@ def events_markov(spark, sf_dir):
     from terminus_server_spark.operators.temporal import markov_transitions
 
     return markov_transitions(_t(spark, sf_dir, "events")["events"])
+
+
+# ---------------------------------------------------------------------------
+# round 5: regex capture groups, tags, system-db admin model, DSIR/KL
+# pipeline scoring, text + binaryFile source breadth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "woql_regex_groups",
+    r"""
+    SELECT 'Order/' || o_orderkey AS o, o_orderpriority AS pri,
+           [o_orderpriority,
+            regexp_extract(o_orderpriority, '^(\d)-([A-Z ]+)$', 1),
+            regexp_extract(o_orderpriority, '^(\d)-([A-Z ]+)$', 2)] AS groups
+    FROM orders
+    """,
+)
+def woql_regex_groups(spark, sf_dir):
+    """re/3 with capture-group binding (reference: woql_compile.pl re
+    word — the matches argument binds the capture list).  The bound
+    list is [full_match, group1, group2]; extraction compiles to one
+    JVM-side regexp_extract per group inside the same projection —
+    no Python, no extra pass."""
+    from terminus_server_spark.woql import ast as A
+
+    q = A.Select(
+        [A.v("o"), A.v("pri"), A.v("groups")],
+        A.And(
+            A.Triple(A.v("o"), "o_orderpriority", A.v("pri")),
+            A.Regexp(r"^(\d)-([A-Z ]+)$", A.v("pri"), A.v("groups")),
+        ),
+    )
+    return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "vc_tag",
+    f"""
+    WITH states(tag, commit_id, author, committed_at, n_rows, sum_price) AS (
+      SELECT 'v1.0', 'c1', 'alice', TIMESTAMP '2024-01-01 00:00:00',
+             COUNT(*), {_dsum_sql('o_totalprice')}
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT 'v1.1', 'c2', 'bob', TIMESTAMP '2024-01-10 00:00:00',
+             COUNT(*), {_dsum_sql('o_totalprice')}
+      FROM orders
+      WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+         OR (o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1999-01-01')
+      UNION ALL
+      SELECT 'v2.0', 'c3', 'carol', TIMESTAMP '2024-01-20 00:00:00',
+             COUNT(*), {_dsum_sql('o_totalprice')}
+      FROM orders
+      WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000))
+    SELECT * FROM states
+    """,
+)
+def vc_tag(spark, sf_dir):
+    """Tags as immutable named refs over the commit DAG (the
+    reference resolves refs — branch names, commit ids — when reading
+    a database; a tag is the frozen flavor: a name permanently pinned
+    to one commit).  Listing resolves each tag to its commit's
+    metadata plus the row count / value sum of the state materialized
+    at that commit — three bounded materializations of one lazily
+    checkpointed layer leaf, not three base scans."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize
+
+    layers = _layers(spark, sf_dir)
+    meta = {
+        "v1.0": ("c1", 1, "alice", datetime.datetime(2024, 1, 1)),
+        "v1.1": ("c2", 2, "bob", datetime.datetime(2024, 1, 10)),
+        "v2.0": ("c3", 3, "carol", datetime.datetime(2024, 1, 20)),
+    }
+    parts = []
+    for tag, (cid, seq, author, ts) in meta.items():
+        state = materialize(layers, seq, ["o_orderkey"])
+        parts.append(
+            state.agg(
+                F.lit(tag).alias("tag"),
+                F.lit(cid).alias("commit_id"),
+                F.lit(author).alias("author"),
+                F.lit(ts).cast("timestamp_ntz").alias("committed_at"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "sys_db_catalog",
+    """
+    SELECT 'Db/' || n_name AS db,
+           'Org/' || r_name AS org,
+           n_name || ' database' AS label,
+           CASE WHEN n_nationkey % 7 = 0 THEN 'creating'
+                ELSE 'finalized' END AS state,
+           CAST(1 + CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_branches
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def sys_db_catalog(spark, sf_dir):
+    """Database-admin data model (reference: the _system database's
+    Organization / Database documents — label, comment, state — that
+    GET /api/ lists per organization; public locus: terminus-server
+    src/core/account/db_init).  Organizations ← regions, databases ←
+    nations; each database document carries a label and a lifecycle
+    state, and branches are system documents pointing at their
+    database.  The catalog listing is a WOQL GroupBy over the system
+    graph: metadata triples as group keys, branch count as the
+    aggregate — one scan of a checkpointed system-graph leaf."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    t = _t(spark, sf_dir, "nation", "region")
+    geo = t["nation"].join(
+        t["region"], F.col("n_regionkey") == F.col("r_regionkey")
+    )
+
+    def tri(df, subj, pred, obj, obj_type="iri"):
+        return df.select(
+            F.lit("system").alias("graph"),
+            subj.alias("subject"),
+            F.lit(pred).alias("predicate"),
+            obj.alias("obj"),
+            F.lit(obj_type).alias("obj_type"),
+            F.lit(None).cast("double").alias("obj_num"),
+        )
+
+    db = F.concat(F.lit("Db/"), F.col("n_name"))
+    org = F.concat(F.lit("Org/"), F.col("r_name"))
+    label = F.concat(F.col("n_name"), F.lit(" database"))
+    state = F.when(F.col("n_nationkey") % 7 == 0, "creating").otherwise("finalized")
+    main_b = F.concat(F.lit("Branch/"), F.col("n_name"), F.lit("/main"))
+    dev = geo.where(F.col("n_nationkey") % 3 == 0)
+    dev_b = F.concat(F.lit("Branch/"), F.col("n_name"), F.lit("/dev"))
+    system = plan_checkpoint(
+        tri(geo, db, "in_org", org)
+        .unionByName(tri(geo, db, "label", label, "string"))
+        .unionByName(tri(geo, db, "state", state, "string"))
+        .unionByName(tri(geo, main_b, "of_db", db))
+        .unionByName(tri(dev, dev_b, "of_db", db))
+    )
+    q = A.Using(
+        "system",
+        A.GroupBy(
+            [A.v("db"), A.v("org"), A.v("label"), A.v("state")],
+            [("count", A.v("branch"), A.v("n_branches"))],
+            A.And(
+                A.Triple(A.v("db"), "in_org", A.v("org")),
+                A.Triple(A.v("db"), "label", A.v("label")),
+                A.Triple(A.v("db"), "state", A.v("state")),
+                A.Triple(A.v("branch"), "of_db", A.v("db")),
+            ),
+        ),
+    )
+    return WOQLContext(TripleStore(system)).run(q)
+
+
+@register(
+    "sys_prefix_resolve",
+    """
+    WITH dbs AS (
+      SELECT 'Db/' || n_name AS db, n_name FROM nation),
+    prefixes AS (
+      SELECT db, 'ex' AS prefix,
+             'http://example.org/' || lower(n_name) || '#' AS iri FROM dbs
+      UNION ALL
+      SELECT db, 'doc', 'terminusdb:///' || n_name || '/document/' FROM dbs
+      UNION ALL
+      SELECT db, '@base', 'terminusdb:///' || n_name || '/' FROM dbs),
+    refs AS (
+      SELECT 'Db/' || n_name AS db,
+             'ex:Customer_' || c_custkey AS curie
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'Db/' || n_name, 'local_' || c_custkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'Db/' || n_name, 'zz:X' || c_custkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey % 50 = 0),
+    parsed AS (
+      SELECT db, curie,
+             CASE WHEN contains(curie, ':')
+                  THEN split_part(curie, ':', 1) ELSE '@base' END AS pfx,
+             CASE WHEN contains(curie, ':')
+                  THEN substring(curie, instr(curie, ':') + 1)
+                  ELSE curie END AS local
+      FROM refs)
+    SELECT p.db, p.curie, x.iri || p.local AS iri
+    FROM parsed p LEFT JOIN prefixes x ON p.db = x.db AND p.pfx = x.prefix
+    """,
+)
+def sys_prefix_resolve(spark, sf_dir):
+    """Per-database prefix registration + CURIE resolution
+    (reference: each database's prefix documents — @base, @schema,
+    user prefixes — registered in the _system database and consulted
+    by the document API on every prefixed-name lookup).  The prefix
+    table is system metadata (3 rows per database) so the resolution
+    join is broadcast: a map-only pass over the refs at any scale;
+    unknown prefixes surface as NULL iri rather than vanishing."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.woql.prefixes import resolve_curies
+
+    t = _t(spark, sf_dir, "customer", "nation")
+    dbs = t["nation"].select(
+        F.concat(F.lit("Db/"), F.col("n_name")).alias("db"), "n_name"
+    )
+    prefixes = (
+        dbs.select(
+            "db",
+            F.lit("ex").alias("prefix"),
+            F.concat(
+                F.lit("http://example.org/"), F.lower(F.col("n_name")), F.lit("#")
+            ).alias("iri"),
+        )
+        .unionByName(
+            dbs.select(
+                "db",
+                F.lit("doc").alias("prefix"),
+                F.concat(
+                    F.lit("terminusdb:///"), F.col("n_name"), F.lit("/document/")
+                ).alias("iri"),
+            )
+        )
+        .unionByName(
+            dbs.select(
+                "db",
+                F.lit("@base").alias("prefix"),
+                F.concat(F.lit("terminusdb:///"), F.col("n_name"), F.lit("/")).alias(
+                    "iri"
+                ),
+            )
+        )
+    )
+    cust = t["customer"].join(
+        t["nation"], F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    key = F.col("c_custkey").cast("string")
+    db = F.concat(F.lit("Db/"), F.col("n_name"))
+    refs = (
+        cust.select(db.alias("db"), F.concat(F.lit("ex:Customer_"), key).alias("curie"))
+        .unionByName(
+            cust.select(db.alias("db"), F.concat(F.lit("local_"), key).alias("curie"))
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 50 == 0).select(
+                db.alias("db"), F.concat(F.lit("zz:X"), key).alias("curie")
+            )
+        )
+    )
+    return resolve_curies(refs, prefixes)
+
+
+@register(
+    "docs_dsir_weights",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents),
+    feats AS (
+      SELECT doc_id, lang, unnest(tk) AS feat FROM tk
+      UNION ALL
+      SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS feat
+      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)),
+    pd AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(feat), 1, 8)) AS BIGINT) % 128 AS bucket,
+             COUNT(*)::BIGINT AS c
+      FROM feats GROUP BY 1, 2, 3),
+    tgt AS (SELECT bucket, SUM(c)::BIGINT AS ct FROM pd WHERE lang = 'en' GROUP BY 1),
+    src AS (SELECT bucket, SUM(c)::BIGINT AS cs FROM pd GROUP BY 1),
+    nt AS (SELECT SUM(ct)::BIGINT AS nt FROM tgt),
+    ns AS (SELECT SUM(cs)::BIGINT AS ns FROM src),
+    prof AS (
+      SELECT bucket,
+             ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + 128)::DOUBLE)
+               - ln((cs + 1)::DOUBLE / (ns + 128)::DOUBLE) AS logratio
+      FROM src LEFT JOIN tgt USING (bucket), nt, ns)
+    SELECT doc_id, SUM(c)::BIGINT AS n_feats,
+           ROUND(CAST(SUM(CAST(c::DOUBLE * logratio AS DECIMAL(28,12)))
+                      AS DOUBLE), 6) AS dsir_weight
+    FROM pd JOIN prof USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def docs_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/pipeline.py:dsir_weights —
+    Xie et al. 2023): hashed unigram+bigram profiles, English docs as
+    the target distribution, log p_target − log p_raw per document.
+    One explode + one (doc, bucket) map-side-combining shuffle; the
+    two 128-row bucket profiles broadcast back."""
+    from terminus_server_spark.operators.pipeline import dsir_weights
+
+    return dsir_weights(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "docs_kl_drift",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    by_src AS (
+      SELECT source, tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+    corpus AS (SELECT tok, SUM(c)::BIGINT AS cc FROM by_src GROUP BY 1),
+    nc AS (SELECT SUM(cc)::BIGINT AS nc FROM corpus),
+    nsrc AS (SELECT source, SUM(c)::BIGINT AS ns FROM by_src GROUP BY 1)
+    SELECT s.source, MAX(n.ns)::BIGINT AS n_tokens,
+           COUNT(*)::BIGINT AS vocab_size,
+           ROUND(CAST(SUM(CAST(
+             (s.c::DOUBLE / n.ns::DOUBLE)
+               * ln((s.c::DOUBLE / n.ns::DOUBLE)
+                    / (co.cc::DOUBLE / t.nc::DOUBLE))
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_vs_corpus
+    FROM by_src s
+    JOIN corpus co USING (tok)
+    JOIN nsrc n ON s.source = n.source, nc t
+    GROUP BY s.source
+    """,
+)
+def docs_kl_drift(spark, sf_dir):
+    """Per-source token-distribution KL drift vs the corpus
+    (operators/pipeline.py:source_kl_drift) — the monitoring pass
+    that flags a crawl slice whose language/content mix shifted.
+    Restricted to each source's observed vocabulary: exact, finite,
+    and linear (no source × vocabulary cross join)."""
+    from terminus_server_spark.operators.pipeline import source_kl_drift
+
+    return source_kl_drift(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "src_text_roundtrip",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           MIN(md5(text)) AS min_md5
+    FROM documents GROUP BY source
+    """,
+)
+def src_text_roundtrip(spark, sf_dir):
+    """Plain-text sink + source (spark.read/write.text — the line
+    oriented format training-shard tooling exchanges): documents are
+    written one per line as ``doc_id<TAB>source<TAB>escaped_text``
+    with full control-character escaping (backslash first, then
+    \\n/\\r/\\t so the escape map is prefix-free), read back with the
+    text source, unescaped segment-wise (split on the escaped
+    backslash, decode within segments, rejoin) and aggregated.  The
+    oracle computes the same aggregate straight from the parquet
+    table — equality proves the roundtrip lossless, not just
+    row-preserving."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    esc = F.col("text")
+    for raw, cooked in (("\\", "\\\\"), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        esc = F.replace(esc, F.lit(raw), F.lit(cooked))
+    line = F.concat_ws(
+        "\t", F.col("doc_id").cast("string"), F.col("source"), esc
+    )
+    path = tempfile.mkdtemp(prefix="tss_text_") + "/docs_text"
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    back = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    seg_decoded = F.transform(
+        F.split(parts[2], r"\\\\", -1),
+        lambda s: F.replace(
+            F.replace(
+                F.replace(s, F.lit("\\n"), F.lit("\n")),
+                F.lit("\\r"),
+                F.lit("\r"),
+            ),
+            F.lit("\\t"),
+            F.lit("\t"),
+        ),
+    )
+    restored = back.select(
+        parts[0].cast("bigint").alias("doc_id"),
+        parts[1].alias("source"),
+        F.array_join(seg_decoded, "\\").alias("text"),
+    )
+    return restored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.min(F.md5(F.col("text"))).alias("min_md5"),
+    )
+
+
+_BLOB_DIR = "/root/repo/.cache/tss/blobs"
+_N_BLOBS = 24
+
+
+def _blob_bytes(i: int) -> bytes:
+    # deterministic fake payloads; every 4th file duplicates the
+    # content of i-4 so content-hash dedup over the source has work
+    j = i - 4 if (i % 4 == 3 and i >= 4) else i
+    return (f"blob-{j}:" + "x" * ((j * 7) % 50)).encode("utf-8")
+
+
+def _ensure_blobs():
+    import os
+
+    os.makedirs(_BLOB_DIR, exist_ok=True)
+    for i in range(_N_BLOBS):
+        p = os.path.join(_BLOB_DIR, f"blob_{i:03d}.bin")
+        if not os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(_blob_bytes(i))
+
+
+_ensure_blobs()
+
+
+@register(
+    "src_binary_files",
+    f"""
+    WITH files AS (
+      SELECT i,
+             'blob_' || lpad(i::VARCHAR, 3, '0') || '.bin' AS file_name,
+             CASE WHEN i % 4 = 3 AND i >= 4 THEN i - 4 ELSE i END AS j
+      FROM (SELECT unnest(generate_series(0, {_N_BLOBS - 1})) AS i)),
+    payload AS (
+      SELECT file_name,
+             'blob-' || j || ':' || repeat('x', (j * 7) % 50) AS content
+      FROM files)
+    SELECT file_name, CAST(length(content) AS BIGINT) AS n_bytes,
+           sha256(content) AS sha
+    FROM payload
+    """,
+)
+def src_binary_files(spark, sf_dir):
+    """Binary-file source (spark.read.format("binaryFile") — the
+    ingestion path for image/audio blobs into the multimodal
+    pipeline): scan a directory of opaque payloads into (path,
+    length, content) rows, then content-address them with sha256.
+    The decode step downstream stays a documented stub (no codec
+    libs in this sandbox); the source plumbing — distributed file
+    listing, per-file binary rows, content hashing — is real and
+    value-checked against an oracle that reconstructs the same
+    payload bytes arithmetically."""
+    from pyspark.sql import functions as F
+
+    _ensure_blobs()
+    df = spark.read.format("binaryFile").load(_BLOB_DIR)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )

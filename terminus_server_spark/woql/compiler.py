@@ -422,10 +422,27 @@ class WOQLContext:
         return df_in.withColumn(t.result.name, sim)
 
     def _c_Regexp(self, t: A.Regexp, df_in):
+        """re/3 (reference: woql_compile.pl re word): filter rows
+        where the pattern matches, and — when a matches var is given —
+        bind the capture list [full_match, group1, ..., groupN].  The
+        group count comes from compiling the pattern driver-side; the
+        extraction itself stays JVM-side (one regexp_extract per
+        group, whole-stage-codegen friendly — no Python UDF)."""
         s = self._operand(t.string, df_in)
         filtered = df_in.where(s.rlike(t.pattern))
         if t.matches is not None:
-            filtered = filtered.withColumn(t.matches.name, F.regexp_extract(s, t.pattern, 1))
+            import re as _re
+
+            n_groups = _re.compile(t.pattern).groups
+            filtered = filtered.withColumn(
+                t.matches.name,
+                F.array(
+                    *[
+                        F.regexp_extract(s, t.pattern, i)
+                        for i in range(0, n_groups + 1)
+                    ]
+                ),
+            )
         return filtered
 
     def _c_Length(self, t: A.Length, df_in):

@@ -69,3 +69,46 @@ def expand_term(term: A.Term, context: dict[str, str]) -> A.Term:
         return x
 
     return walk(term)
+
+
+def resolve_curies(refs, prefixes, base_prefix: str = "@base"):
+    """Data-plane CURIE resolution against *registered* per-database
+    prefixes (reference: prefix documents in the _system database —
+    each database stores its ``@base``/``@schema`` plus user prefixes,
+    and the document API expands prefixed names against them).
+
+    ``refs``     — DataFrame (db, curie): prefixed (``pfx:local``) or
+                   bare (``local``) names to resolve.
+    ``prefixes`` — DataFrame (db, prefix, iri): the registered prefix
+                   documents; bare names resolve against the row whose
+                   prefix is ``base_prefix``.
+
+    The prefix table is system metadata (a handful of rows per
+    database), so the join is broadcast — resolution is a map-only
+    pass over the refs at any scale.  Unknown prefixes resolve to
+    NULL iri, surfacing registration gaps instead of hiding them.
+    """
+    from pyspark.sql import functions as F
+
+    has_pfx = F.col("curie").contains(":")
+    parsed = refs.select(
+        "db",
+        "curie",
+        F.when(has_pfx, F.substring_index(F.col("curie"), ":", 1))
+        .otherwise(F.lit(base_prefix))
+        .alias("_pfx"),
+        F.when(
+            has_pfx,
+            F.expr("substring(curie, instr(curie, ':') + 1)"),
+        )
+        .otherwise(F.col("curie"))
+        .alias("_local"),
+    )
+    ptab = prefixes.select(
+        F.col("db"), F.col("prefix").alias("_pfx"), F.col("iri").alias("_iri")
+    )
+    return parsed.join(F.broadcast(ptab), ["db", "_pfx"], "left_outer").select(
+        "db",
+        "curie",
+        F.concat(F.col("_iri"), F.col("_local")).alias("iri"),
+    )

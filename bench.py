@@ -180,6 +180,16 @@ HEADLINE = [
     "rdf_xsd_wide",
     "woql_duration_compare",
     "dedup_lsh_hot_bucket",
+    # round 5 (cont.): regex groups, tags, system-db admin, DSIR/KL,
+    # text + binaryFile sources
+    "woql_regex_groups",
+    "vc_tag",
+    "sys_db_catalog",
+    "sys_prefix_resolve",
+    "docs_dsir_weights",
+    "docs_kl_drift",
+    "src_text_roundtrip",
+    "src_binary_files",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

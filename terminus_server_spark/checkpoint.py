@@ -116,3 +116,17 @@ def plan_checkpoint(df: DataFrame, size_hint: int | None = None) -> DataFrame:
             sc.setCheckpointDir(spark.conf.get(DIR_CONF, _DEFAULT_DIR))
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin an under-partitioned input up to cluster width —
+    for operators whose MAP side multiplies the data (explode to
+    n-grams/features) before the first shuffle.  At scale the input
+    arrives as many file splits and this is a no-op; a single small
+    file (one split) would otherwise run the whole explode serial.
+    Only ever *increases* partitioning, and only when the plan's
+    current partitioning is below ``defaultParallelism``."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)

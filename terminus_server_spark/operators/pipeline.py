@@ -586,7 +586,9 @@ def dsir_weights(
     per-document sum is decimal-pinned so Spark and the DuckDB
     oracle agree bit-for-bit after rounding.
     """
-    toks = docs.select(
+    from terminus_server_spark.checkpoint import spread_input
+
+    toks = spread_input(docs).select(
         "doc_id",
         F.col("lang"),
         tokens_col(F.lower(F.col(text_col))).alias("tk"),

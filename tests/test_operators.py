@@ -2052,3 +2052,142 @@ def test_embed_near_dup_size_hint_lazy_paths_agree(spark):
         ).collect()
     }
     assert bcast == dist and len(bcast) > 0
+
+
+# ---------------------------------------------------------------------------
+# round 5: regex groups, CURIE resolution, DSIR/KL, text-sink escaping
+# ---------------------------------------------------------------------------
+
+
+def test_regexp_binds_full_match_and_groups(spark):
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+    from pyspark.sql import functions as F
+
+    trips = spark.createDataFrame(
+        [("s1", "p", "2-HIGH"), ("s2", "p", "4-NOT SPECIFIED"), ("s3", "p", "nope")],
+        "subject string, predicate string, obj string",
+    ).select(
+        F.lit("instance").alias("graph"),
+        "subject",
+        "predicate",
+        "obj",
+        F.lit("xsd:string").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    )
+    q = A.Select(
+        [A.v("s"), A.v("m")],
+        A.And(
+            A.Triple(A.v("s"), "p", A.v("x")),
+            A.Regexp(r"^(\d)-([A-Z ]+)$", A.v("x"), A.v("m")),
+        ),
+    )
+    rows = {r.s: list(r.m) for r in WOQLContext(TripleStore(trips)).run(q).collect()}
+    # non-matching row filtered; matches = [full, g1, g2]
+    assert rows == {
+        "s1": ["2-HIGH", "2", "HIGH"],
+        "s2": ["4-NOT SPECIFIED", "4", "NOT SPECIFIED"],
+    }
+
+
+def test_resolve_curies_unknown_prefix_is_null(spark):
+    from terminus_server_spark.woql.prefixes import resolve_curies
+
+    refs = spark.createDataFrame(
+        [("db1", "ex:Apple"), ("db1", "bare_name"), ("db1", "zz:Gone"),
+         ("db2", "ex:Apple")],
+        "db string, curie string",
+    )
+    prefixes = spark.createDataFrame(
+        [("db1", "ex", "http://one/#"), ("db1", "@base", "http://one/base/"),
+         ("db2", "ex", "http://two/#")],
+        "db string, prefix string, iri string",
+    )
+    got = {(r.db, r.curie): r.iri for r in resolve_curies(refs, prefixes).collect()}
+    assert got == {
+        ("db1", "ex:Apple"): "http://one/#Apple",
+        ("db1", "bare_name"): "http://one/base/bare_name",
+        ("db1", "zz:Gone"): None,  # unregistered prefix surfaces, not vanishes
+        ("db2", "ex:Apple"): "http://two/#Apple",
+    }
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from terminus_server_spark.operators.pipeline import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "en", "s", 25),
+            (2, "the quick brown fox leaps", "en", "s", 25),
+            (3, "der schnelle braune fuchs", "de", "s", 25),
+            (4, "the quick brown fox jumps", "de", "s", 25),  # en-like text, de label
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    w = {r.doc_id: r.dsir_weight for r in dsir_weights(docs).collect()}
+    # doc 4 carries target-distribution features -> higher weight than doc 3
+    assert w[4] > w[3]
+    assert w[1] == w[4]  # weight depends on content, not the label
+
+
+def test_source_kl_drift_zero_for_identical_distribution(spark):
+    from terminus_server_spark.operators.pipeline import source_kl_drift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1", 5),
+            (2, "a b c", "en", "s2", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.source: r.kl_vs_corpus for r in source_kl_drift(docs).collect()}
+    # both sources match the corpus distribution exactly -> KL = 0
+    assert rows == {"s1": 0.0, "s2": 0.0}
+
+
+def test_text_sink_escape_roundtrip_control_chars(spark):
+    """The sf corpus carries no control chars; this gates the escape
+    path src_text_roundtrip relies on for arbitrary text."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    nasty = [
+        (1, "plain"),
+        (2, "tab\there"),
+        (3, "new\nline"),
+        (4, "back\\slash"),
+        (5, "combo\\n not-a-newline"),  # literal backslash + n
+        (6, "cr\rhere"),
+        (7, "\\\\double\\"),
+    ]
+    docs = spark.createDataFrame(nasty, "doc_id long, text string")
+    esc = F.col("text")
+    for raw, cooked in (("\\", "\\\\"), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        esc = F.replace(esc, F.lit(raw), F.lit(cooked))
+    path = tempfile.mkdtemp(prefix="tss_esc_") + "/t"
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), esc).alias("value")
+    ).write.mode("overwrite").text(path)
+
+    back = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 2)
+    seg = F.transform(
+        F.split(parts[1], r"\\\\", -1),
+        lambda s: F.replace(
+            F.replace(
+                F.replace(s, F.lit("\\n"), F.lit("\n")), F.lit("\\r"), F.lit("\r")
+            ),
+            F.lit("\\t"),
+            F.lit("\t"),
+        ),
+    )
+    got = {
+        r.doc_id: r.text
+        for r in back.select(
+            parts[0].cast("long").alias("doc_id"),
+            F.array_join(seg, "\\").alias("text"),
+        ).collect()
+    }
+    assert got == dict(nasty)

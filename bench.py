@@ -190,6 +190,9 @@ HEADLINE = [
     "docs_kl_drift",
     "src_text_roundtrip",
     "src_binary_files",
+    "agg_cube",
+    "rdf_xsd_wide2",
+    "docs_write_shards",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -145,7 +145,12 @@ def predicate_frames(
         is_num = base_type in _NUMERIC_SPARK_TYPES
         is_ts = base_type in ("timestamp", "timestamp_ntz", "date")
         if base_type == "binary":
-            lexical = F.base64(F.col(c))
+            # xsd:hexBinary override renders hex; default is base64
+            # (both canonical uppercase/standard forms, lossless)
+            if type_overrides.get(c) == "xsd:hexBinary":
+                lexical = F.hex(F.col(c))
+            else:
+                lexical = F.base64(F.col(c))
         elif spark_type == "timestamp":
             lexical = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
         else:

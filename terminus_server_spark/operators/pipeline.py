@@ -686,3 +686,91 @@ def source_kl_drift(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("kl_vs_corpus"),
         )
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    shard_tokens: int = 16384,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard",
+) -> DataFrame:
+    """(doc_id, n_tokens, shard): deterministic size-bounded shard
+    assignment for training-shard output — docs in md5 hash order,
+    cut into shards of ~``shard_tokens`` whitespace tokens (a doc
+    belongs to the shard its starting token offset falls in, so every
+    boundary is exact and reproducible on any cluster at any
+    partitioning).
+
+    The global token prefix sum uses the same two-pass range-bucket
+    discipline as :func:`shuffle_index` — per-bucket token totals
+    (256 bounded rows) prefix-summed and broadcast back, in-bucket
+    cumulative sums as a window PARTITIONED BY bucket — never a
+    single-partition global window."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    based = docs.select(
+        F.col(key_col),
+        tokens_col(F.col(text_col)).alias("_tk"),
+        h.alias("_h"),
+    ).select(
+        key_col,
+        F.size("_tk").cast("bigint").alias("n_tokens"),
+        "_h",
+        F.conv(F.substring("_h", 1, 2), 16, 10).cast("int").alias("_bucket"),
+    )
+    btot = based.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bt"))
+    offsets = btot.select(
+        "_bucket",
+        (
+            F.sum("_bt").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("_bt")
+        ).alias("_off"),
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("_off") + F.sum("n_tokens").over(w)
+    return based.join(F.broadcast(offsets), "_bucket").select(
+        key_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(shard_tokens))
+        .cast("bigint")
+        .alias("shard"),
+    )
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    shard_tokens: int = 16384,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Write the corpus as shard-partitioned parquet (one directory
+    per shard of ~``shard_tokens`` tokens, the training-data output
+    step) and return the read-back manifest: (shard, n_docs,
+    sum_tokens, min_doc, max_doc) computed from the files actually on
+    disk — the manifest is the write's verification, not a replay of
+    the assignment."""
+    assigned = shard_assign(
+        docs, shard_tokens=shard_tokens, key_col=key_col, text_col=text_col
+    )
+    out = docs.join(assigned, key_col).select(
+        key_col, text_col, "n_tokens", "shard"
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = docs.sparkSession.read.parquet(path)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min(key_col).alias("min_doc"),
+        F.max(key_col).alias("max_doc"),
+    )

@@ -10877,3 +10877,169 @@ def src_binary_files(spark, sf_dir):
         F.col("length").cast("bigint").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("sha"),
     )
+
+
+@register(
+    "agg_cube",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS yr,
+           COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority, EXTRACT(year FROM o_orderdate))
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """Full grouping-set lattice (CUBE over 3 dimensions = 8 grouping
+    sets): like ROLLUP, Spark expands the sets map-side inside ONE
+    aggregate pass — the Expand operator emits 8 rows per input row
+    into the same partial aggregation, no per-level rescan."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    yr = F.year("o_orderdate").cast("string")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", yr.alias("_yr"), "o_totalprice")
+        .cube("o_orderstatus", "o_orderpriority", "_yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("_yr", F.lit("ALL")).alias("yr"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "rdf_xsd_wide2",
+    """
+    WITH fixture AS (
+      SELECT 'Part/' || p_partkey AS subject,
+             hex(encode(p_name)) AS sig,
+             printf('%04d-%02d', 2000 + p_partkey % 30, 1 + p_partkey % 12) AS since,
+             printf('--%02d-%02d', 1 + p_partkey % 12, 1 + p_partkey % 28) AS renewal,
+             printf('%02d:%02d:%02d', p_partkey % 24, p_partkey % 60,
+                    (p_partkey * 7) % 60) AS cutoff
+      FROM part),
+    trip(subject, predicate, obj, obj_type) AS (
+      SELECT subject, 'rdf:type', 'Part', 'iri' FROM fixture
+      UNION ALL SELECT subject, 'sig', sig, 'xsd:hexBinary' FROM fixture
+      UNION ALL SELECT subject, 'since', since, 'xsd:gYearMonth' FROM fixture
+      UNION ALL SELECT subject, 'renewal', renewal, 'xsd:gMonthDay' FROM fixture
+      UNION ALL SELECT subject, 'cutoff', cutoff, 'xsd:time' FROM fixture)
+    SELECT fmt, subject, predicate, obj, obj_type
+    FROM trip CROSS JOIN (VALUES ('nt'), ('ttl')) AS f(fmt)
+    WHERE NOT (predicate = 'since' AND obj < '2015-06')
+    """,
+)
+def rdf_xsd_wide2(spark, sf_dir):
+    """Second wide-xsd tranche: xsd:hexBinary (binary column → hex
+    lexical form), xsd:gYearMonth, xsd:gMonthDay and xsd:time through
+    triples_from_table and both dump/load roundtrips.  The zero-padded
+    ISO lexical forms of gYearMonth/time are self-ordering, so native
+    comparison runs directly on the lexical column — the ``since >=
+    2015-06`` filter here — with no numeric shadow needed (the same
+    reasoning the reference's typed dictionaries use for these
+    types).  Map-only both ways with the serialize/parse barrier."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.model.triples import (
+        from_ntriples,
+        from_turtle,
+        to_ntriples,
+        to_turtle,
+        triples_from_table,
+    )
+
+    part = _t(spark, sf_dir, "part")["part"]
+    k = F.col("p_partkey")
+    fixture = part.select(
+        "p_partkey",
+        F.encode(F.col("p_name"), "UTF-8").alias("sig"),
+        F.format_string("%04d-%02d", (F.lit(2000) + k % 30), (F.lit(1) + k % 12)).alias(
+            "since"
+        ),
+        F.format_string("--%02d-%02d", (F.lit(1) + k % 12), (F.lit(1) + k % 28)).alias(
+            "renewal"
+        ),
+        F.format_string("%02d:%02d:%02d", k % 24, k % 60, (k * 7) % 60).alias(
+            "cutoff"
+        ),
+    )
+    trips = triples_from_table(
+        fixture,
+        "Part",
+        "p_partkey",
+        value_cols=["sig", "since", "renewal", "cutoff"],
+        type_overrides={
+            "sig": "xsd:hexBinary",
+            "since": "xsd:gYearMonth",
+            "renewal": "xsd:gMonthDay",
+            "cutoff": "xsd:time",
+        },
+    )
+    width = spark.sparkContext.defaultParallelism
+    nt_lines = plan_checkpoint(
+        to_ntriples(trips, base=_NT_B).select("line").repartition(width)
+    )
+    ttl_lines = plan_checkpoint(
+        to_turtle(trips, base=_NT_B).select("line").repartition(width)
+    )
+    nt = plan_checkpoint(from_ntriples(nt_lines, base=_NT_B))
+    ttl = plan_checkpoint(from_turtle(ttl_lines))
+    cols = ["subject", "predicate", "obj", "obj_type"]
+    out = nt.select(F.lit("nt").alias("fmt"), *cols).unionByName(
+        ttl.select(F.lit("ttl").alias("fmt"), *cols)
+    )
+    # native comparison on the self-ordering lexical form
+    return out.where(
+        ~((F.col("predicate") == "since") & (F.col("obj") < "2015-06"))
+    )
+
+
+@register(
+    "docs_write_shards",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+             md5('shard:' || doc_id) AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT CAST(FLOOR((cum - n_tokens) / 16384.0) AS BIGINT) AS shard,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS sum_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM c GROUP BY 1
+    """,
+)
+def docs_write_shards(spark, sf_dir):
+    """Training-shard output (operators/pipeline.py:write_shards):
+    deterministic ~16k-token shards in md5 hash order, written as
+    shard-partitioned parquet and verified by reading the files back
+    — the manifest aggregates what's on disk, not a replay of the
+    assignment.  The global token prefix sum is the two-pass
+    range-bucket discipline (never a single-partition window); the
+    oracle recomputes it with the naive global window, gating
+    bit-identical shard boundaries."""
+    import tempfile
+
+    from terminus_server_spark.operators.pipeline import write_shards
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    path = tempfile.mkdtemp(prefix="tss_shards_") + "/shards"
+    return write_shards(docs, path)

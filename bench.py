@@ -193,6 +193,7 @@ HEADLINE = [
     "agg_cube",
     "rdf_xsd_wide2",
     "docs_write_shards",
+    "gql_execute",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -11043,3 +11043,46 @@ def docs_write_shards(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")["documents"]
     path = tempfile.mkdtemp(prefix="tss_shards_") + "/shards"
     return write_shards(docs, path)
+
+
+@register(
+    "gql_execute",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE (c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0)
+       OR c_name LIKE '%0042%'
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 25 OFFSET 5
+    """,
+)
+def gql_execute(spark, sf_dir):
+    """GraphQL request execution end-to-end (docs/graphql.py): the
+    actual wire-format query string — filter combinators, per-field
+    operator maps, orderBy enums, limit/offset — parsed by the
+    recursive-descent subset parser and compiled onto the document
+    read algebra.  Parsing is driver-side compile work; the plan is
+    the same filtered scan + TakeOrderedAndProject the read-algebra
+    key produces, so the wire format costs nothing at any scale."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    src = """
+    query {
+      Customer(
+        filter: {
+          _or: [
+            {_and: [{c_mktsegment: {eq: "BUILDING"}},
+                    {c_acctbal: {gt: 1000.0}}]},
+            {c_name: {like: "%0042%"}}
+          ]
+        },
+        orderBy: [{c_acctbal: DESC}, {c_custkey: ASC}],
+        limit: 25, offset: 5
+      ) {
+        c_custkey
+        c_name
+        c_acctbal
+      }
+    }
+    """
+    return execute_graphql({"Customer": cust}, src)["Customer"]

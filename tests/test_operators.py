@@ -2191,3 +2191,38 @@ def test_text_sink_escape_roundtrip_control_chars(spark):
         ).collect()
     }
     assert got == dict(nasty)
+
+
+def test_graphql_parser_rejects_garbage_and_unknown_ops(spark):
+    import pytest as _pytest
+
+    from terminus_server_spark.docs.graphql import parse_graphql, filter_to_tree
+
+    parsed = parse_graphql(
+        'query { C(filter: {f: {eq: "x\\"y"}}, limit: 3) { a b } }'
+    )
+    assert parsed == {
+        "C": {
+            "args": {"filter": {"f": {"eq": 'x"y'}}, "limit": 3},
+            "fields": ["a", "b"],
+        }
+    }
+    with _pytest.raises(ValueError):
+        parse_graphql("query { C(filter: ??) { a } }")
+    with _pytest.raises(ValueError):
+        filter_to_tree({"f": {"between": [1, 2]}})  # unknown op surfaces
+
+
+def test_graphql_execute_empty_filter_and_bool_values(spark):
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    df = spark.createDataFrame(
+        [(1, "a", True), (2, "b", False), (3, "c", True)],
+        "id long, name string, flag boolean",
+    )
+    out = execute_graphql(
+        {"T": df},
+        "query { T(filter: {flag: {eq: true}}, orderBy: {id: DESC}) { id name } }",
+    )["T"]
+    assert [r.id for r in out.collect()] == [3, 1]
+    assert out.columns == ["id", "name"]

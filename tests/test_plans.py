@@ -413,3 +413,61 @@ def test_zorder_layout_skips_in_both_dimensions(spark, tables, tmp_path):
     # the time dimension must not be lost either: still well under a
     # full decode (single-column sort remains better on its own axis)
     assert z_time < total
+
+
+def test_gql_execute_pushes_filter_and_prunes(spark):
+    """The GraphQL wire format must cost nothing: the compiled plan
+    pushes the filter disjunction to the parquet scan and prunes to
+    the selected fields (+ filter columns)."""
+    import os
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+    from terminus_server_spark.session import load_tables
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    cust = load_tables(spark, sf, ("customer",))["customer"]
+    out = execute_graphql(
+        {"Customer": cust},
+        'query { Customer(filter: {c_acctbal: {gt: 1000.0}}, '
+        "orderBy: {c_acctbal: DESC}, limit: 10) { c_custkey c_name } }",
+    )["Customer"]
+    p = plan_str(out)
+    assert re.search(r"PushedFilters:.*c_acctbal", p), p[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "c_mktsegment" not in m.group(1)  # unselected, unfiltered
+    assert "TakeOrderedAndProject" in p  # orderBy+limit never a global sort
+
+
+def test_resolve_curies_broadcasts_prefix_table(spark):
+    from terminus_server_spark.woql.prefixes import resolve_curies
+
+    refs = spark.createDataFrame(
+        [("db1", "ex:A")] * 10, "db string, curie string"
+    )
+    prefixes = spark.createDataFrame(
+        [("db1", "ex", "http://x/#")], "db string, prefix string, iri string"
+    )
+    p = plan_str(resolve_curies(refs, prefixes))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_shard_assign_has_no_global_window(spark):
+    """The token prefix sum must never be a single-partition window:
+    every Window's partition spec is non-empty except over the
+    bounded 256-row bucket table (which sits under a tiny exchange)."""
+    from terminus_server_spark.operators.pipeline import shard_assign
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(100)], "doc_id long, text string"
+    )
+    p = plan_str(shard_assign(docs))
+    # the only empty-partition-spec window is the bucket-offset prefix
+    # sum, whose input is the <=256-row aggregate — identified by its
+    # rows coming from a HashAggregate on _bucket
+    wins = re.findall(r"Window .*?partitionBy=\[([^\]]*)\]", p) or re.findall(
+        r"\bWindow\b[^\n]*", p
+    )
+    # cheap structural check: a windowed sort over the full docs input
+    # would show 'Sort [_h' without a partition key; assert absent
+    assert not re.search(r"Sort \[_h[^\]]*\], true", p.split("Window")[0]), p[:3000]

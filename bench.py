@@ -194,6 +194,8 @@ HEADLINE = [
     "rdf_xsd_wide2",
     "docs_write_shards",
     "gql_execute",
+    "schema_abstract",
+    "woql_valuehash",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -11086,3 +11086,86 @@ def gql_execute(spark, sf_dir):
     }
     """
     return execute_graphql({"Customer": cust}, src)["Customer"]
+
+
+@register(
+    "schema_abstract",
+    """
+    SELECT 'Customer/' || c_custkey AS subject, 'Agent' AS bad_type
+    FROM customer WHERE c_custkey % 37 = 0
+    """,
+)
+def schema_abstract(spark, sf_dir):
+    """@abstract class validation (reference: schema classes marked
+    @abstract cannot be instantiated directly — json schema checking
+    rejects documents typed as an abstract class).  The schema graph
+    declares Agent abstract; the fixture mistypes every 37th customer
+    directly as Agent, and validation is one broadcast semi-join of
+    rdf:type triples against the (tiny) abstract-class set — a
+    map-only scan at any store size."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import RDF_TYPE
+
+    store = _store(spark, sf_dir, with_schema=True)
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    bad = cust.where(F.col("c_custkey") % 37 == 0).select(
+        F.lit("instance").alias("graph"),
+        F.concat(F.lit("Customer/"), F.col("c_custkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit(RDF_TYPE).alias("predicate"),
+        F.lit("Agent").alias("obj"),
+        F.lit("iri").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    )
+    instances = store.df.unionByName(bad, allowMissingColumns=True)
+    abstract = spark.createDataFrame([("Agent",)], "cls string")
+    return (
+        instances.where(F.col("predicate") == RDF_TYPE)
+        .join(
+            F.broadcast(abstract),
+            F.col("obj") == F.col("cls"),
+            "left_semi",
+        )
+        .select("subject", F.col("obj").alias("bad_type"))
+    )
+
+
+@register(
+    "woql_valuehash",
+    """
+    WITH props AS (
+      SELECT c_custkey,
+             'c_acctbal=' || CAST(c_acctbal AS VARCHAR) AS p1,
+             'c_mktsegment=' || c_mktsegment AS p2,
+             'c_name=' || c_name AS p3
+      FROM customer)
+    SELECT 'Customer/' || c_custkey AS subject,
+           'doc/' || md5(p1 || '|' || p2 || '|' || p3) AS value_id
+    FROM props
+    """,
+)
+def woql_valuehash(spark, sf_dir):
+    """ValueHash key strategy (reference @key types: Lexical, Hash,
+    ValueHash, Random — idgen/hashkey/lexkey cover the first two;
+    this is the third): the document id is the hash of ALL its
+    property values in canonical predicate order, so identical
+    content gets an identical id with no key fields declared.
+    Map-only — one concat + md5 per row; the canonical ordering is
+    by predicate name, which both engines sort identically."""
+    from pyspark.sql import functions as F
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    canon = F.concat_ws(
+        "|",
+        F.concat(F.lit("c_acctbal="), F.col("c_acctbal").cast("string")),
+        F.concat(F.lit("c_mktsegment="), F.col("c_mktsegment")),
+        F.concat(F.lit("c_name="), F.col("c_name")),
+    )
+    return cust.select(
+        F.concat(F.lit("Customer/"), F.col("c_custkey").cast("string")).alias(
+            "subject"
+        ),
+        F.concat(F.lit("doc/"), F.md5(canon)).alias("value_id"),
+    )

@@ -2663,8 +2663,8 @@ def rdf_xsd_wide(spark, sf_dir):
                        || CAST(o_orderkey % 23 AS VARCHAR) || 'H'
                        || CAST(o_orderkey % 60 AS VARCHAR) || 'M' END,
              CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                  ELSE (o_orderkey % 5) * 86400.0 + (o_orderkey % 23) * 3600.0
-                       + (o_orderkey % 60) * 60.0 END
+                  ELSE CAST((o_orderkey % 5) * 86400.0 + (o_orderkey % 23) * 3600.0
+                            + (o_orderkey % 60) * 60.0 AS DOUBLE) END
       FROM orders)
     SELECT fmt, subj, dur, sec
     FROM d CROSS JOIN (VALUES ('nt'), ('ttl')) AS f(fmt)

@@ -601,13 +601,31 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
     )
     e, n_e = loop_checkpoint_count(base)
 
-    def _restrict(edges_df: DataFrame, nodes_df: DataFrame) -> DataFrame:
-        return (
-            edges_df.join(nodes_df.select(F.col("n").alias("src")), "src", "left_semi")
-            .join(nodes_df.select(F.col("n").alias("dst")), "dst", "left_semi")
-            .select("src", "dst")
-        )
+    # Size the loop's shuffles to the FRONTIER, not the session
+    # default: every inner round shuffles the remaining node/edge
+    # state, and a 32-way exchange over a few thousand rows is pure
+    # task-scheduling overhead repeated tens of times.  Restored on
+    # exit; the first materializations above already ran at session
+    # width, so only loop state is affected.
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(prev_parts), -(-n_rem // 50_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _scc_loop(e, n_e, rem, n_rem, _restrict_fn, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
+
+def _restrict_fn(edges_df: DataFrame, nodes_df: DataFrame) -> DataFrame:
+    return (
+        edges_df.join(nodes_df.select(F.col("n").alias("src")), "src", "left_semi")
+        .join(nodes_df.select(F.col("n").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+    )
+
+
+def _scc_loop(e, n_e, rem, n_rem, _restrict, max_iters: int) -> DataFrame:
     # Empty typed seed: an empty/all-NULL edge frame must yield an
     # empty (node, component) frame, not an IndexError — and it keeps
     # the union chain below total when the loop never appends.

@@ -196,6 +196,9 @@ HEADLINE = [
     "gql_execute",
     "schema_abstract",
     "woql_valuehash",
+    "text_skipgram_pairs",
+    "src_dynamic_overwrite",
+    "sql_raw_interface",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

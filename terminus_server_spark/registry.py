@@ -11169,3 +11169,162 @@ def woql_valuehash(spark, sf_dir):
         ),
         F.concat(F.lit("doc/"), F.md5(canon)).alias("value_id"),
     )
+
+
+@register(
+    "text_skipgram_pairs",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents),
+    pairs AS (
+      SELECT tk[i] AS center, tk[i + d] AS context
+      FROM tk,
+           LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i),
+           LATERAL (SELECT unnest([1, 2]) AS d)
+      WHERE i + d <= len(tk)),
+    c AS (
+      SELECT LEAST(center, context) AS w1, GREATEST(center, context) AS w2,
+             COUNT(*)::BIGINT AS n
+      FROM pairs GROUP BY 1, 2)
+    SELECT w1, w2, n FROM c WHERE n >= 12
+    """,
+)
+def text_skipgram_pairs(spark, sf_dir):
+    """Windowed co-occurrence counts (window ±2, unordered pairs) —
+    the skip-gram / GloVe co-occurrence matrix construction step, the
+    input to any embedding trainer.  Distinct from text_pmi_bigrams
+    (adjacent-only): each position emits pairs at offsets 1 and 2,
+    canonicalized (min, max) so both directions accumulate into one
+    cell.  One explode (positions × 2 offsets) + one
+    map-side-combining aggregate keyed (w1, w2); the n >= threshold
+    filter keeps the output the dense head of the matrix, which is
+    what trainers shard."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import spread_input
+    from terminus_server_spark.operators.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tk = spread_input(docs).select(
+        tokens_col(F.lower(F.col("text"))).alias("tk")
+    )
+    # positions are 0-based here; offsets d in {1, 2}.  F.get returns
+    # NULL past the end (ANSI-safe); the null check must be on the
+    # RAW neighbor — least/greatest skip NULL operands, so filtering
+    # on them would admit spurious tail pairs.
+    def window_pairs(x, i):
+        raw = F.filter(
+            F.array(
+                F.struct(x.alias("a"), F.get(F.col("tk"), i + 1).alias("b")),
+                F.struct(x.alias("a"), F.get(F.col("tk"), i + 2).alias("b")),
+            ),
+            lambda s: s["b"].isNotNull(),
+        )
+        return F.transform(
+            raw,
+            lambda s: F.struct(
+                F.least(s["a"], s["b"]).alias("w1"),
+                F.greatest(s["a"], s["b"]).alias("w2"),
+            ),
+        )
+
+    pairs = tk.select(
+        F.explode(F.flatten(F.transform(F.col("tk"), window_pairs))).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .where(F.col("n") >= 12)
+    )
+
+
+@register(
+    "src_dynamic_overwrite",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             EXTRACT(year FROM o_orderdate) AS yr FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) <> 1998
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice * 1.1,
+             EXTRACT(year FROM o_orderdate) FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 1998)
+    GROUP BY o_orderpriority
+    """,
+)
+def src_dynamic_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic —
+    the warehouse maintenance op that rewrites ONE partition's data in
+    place while every other partition's files are untouched): the
+    orders table is laid out partitioned by year, then the 1998
+    partition alone is overwritten with restated prices.  The read
+    back aggregates across all years; the oracle states the expected
+    post-restatement totals.  Static overwrite mode would have
+    dropped the other years — the mode IS the capability."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    path = tempfile.mkdtemp(prefix="tss_dynpart_") + "/orders_by_year"
+    base = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    base.write.mode("overwrite").partitionBy("yr").parquet(path)
+
+    restated = base.where(F.col("yr") == 1998).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("yr").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "sql_raw_interface",
+    """
+    SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name, yr
+    """,
+)
+def sql_raw_interface(spark, sf_dir):
+    """Raw SQL API surface: the same engine is queryable with ANSI SQL
+    over the registered table views (spark.sql), not only the
+    DataFrame/WOQL builders — the string below is handed verbatim to
+    Catalyst, which plans the identical broadcast-join + partial-agg
+    shape the DataFrame form gets.  load_tables registers the views;
+    nothing else is special-cased."""
+    _t(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(
+        """
+        SELECT n_name, year(o_orderdate) AS yr,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name, yr
+        """
+    )

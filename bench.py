@@ -199,6 +199,8 @@ HEADLINE = [
     "text_skipgram_pairs",
     "src_dynamic_overwrite",
     "sql_raw_interface",
+    "schema_subdoc_ownership",
+    "doc_insert_capture",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -11328,3 +11328,101 @@ def sql_raw_interface(spark, sf_dir):
         GROUP BY n_name, yr
         """
     )
+
+
+@register(
+    "schema_subdoc_ownership",
+    """
+    WITH owners AS (
+      SELECT 'Addr/' || (o_orderkey % 1000) AS subdoc,
+             'Order/' || o_orderkey AS parent
+      FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT subdoc, COUNT(*)::BIGINT AS n_owners,
+           MIN(parent) AS first_parent
+    FROM owners
+    GROUP BY subdoc
+    HAVING COUNT(*) > 1
+    """,
+)
+def schema_subdoc_ownership(spark, sf_dir):
+    """@subdocument single-ownership validation (reference: a
+    subdocument belongs to exactly one parent — the document checker
+    rejects a subdocument IRI linked from two parents, since unfold
+    and delete-cascade semantics assume unique ownership).  The
+    fixture folds order addresses onto 1000 shared Addr ids so
+    collisions exist; validation is one (subdoc) aggregate over the
+    link predicate's triples with map-side partials — linear, no
+    joins."""
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    links = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.concat(F.lit("Addr/"), (F.col("o_orderkey") % 1000).cast("string")).alias(
+            "subdoc"
+        ),
+        F.concat(F.lit("Order/"), F.col("o_orderkey").cast("string")).alias("parent"),
+    )
+    return (
+        links.groupBy("subdoc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_owners"),
+            F.min("parent").alias("first_parent"),
+        )
+        .where(F.col("n_owners") > 1)
+    )
+
+
+@register(
+    "doc_insert_capture",
+    """
+    WITH raw AS (
+      SELECT 'tmp_' || c_custkey AS capture_label,
+             c_name,
+             CASE WHEN c_custkey % 2 = 0
+                  THEN 'tmp_' || (c_custkey + 1) END AS friend_ref
+      FROM customer),
+    ids AS (
+      SELECT capture_label, 'doc/' || md5(c_name) AS iri FROM raw)
+    SELECT i.iri AS subject, r.c_name,
+           f.iri AS friend
+    FROM raw r
+    JOIN ids i USING (capture_label)
+    LEFT JOIN ids f ON r.friend_ref = f.capture_label
+    """,
+)
+def doc_insert_capture(spark, sf_dir):
+    """Bulk insert with capture references (reference: @capture /
+    @ref in the document API — documents in one insert batch refer to
+    each other by temporary labels, resolved to the generated ids at
+    commit).  Two passes, both joins on the capture label: generate
+    each document's id (HashKey over its content), then rewrite every
+    labelled reference through the id table.  The id table is the
+    same batch — a self-join sized to the insert, not the store."""
+    from pyspark.sql import functions as F
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    raw = cust.select(
+        F.concat(F.lit("tmp_"), F.col("c_custkey").cast("string")).alias(
+            "capture_label"
+        ),
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(F.lit("tmp_"), (F.col("c_custkey") + 1).cast("string")),
+        ).alias("friend_ref"),
+    )
+    ids = raw.select(
+        "capture_label", F.concat(F.lit("doc/"), F.md5(F.col("c_name"))).alias("iri")
+    )
+    return (
+        raw.join(ids, "capture_label")
+        .join(
+            ids.select(
+                F.col("capture_label").alias("friend_ref"),
+                F.col("iri").alias("friend"),
+            ),
+            "friend_ref",
+            "left_outer",
+        )
+        .select(F.col("iri").alias("subject"), "c_name", "friend")
+    )

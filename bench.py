@@ -201,6 +201,7 @@ HEADLINE = [
     "sql_raw_interface",
     "schema_subdoc_ownership",
     "doc_insert_capture",
+    "vc_fetch",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -11426,3 +11426,51 @@ def doc_insert_capture(spark, sf_dir):
         )
         .select(F.col("iri").alias("subject"), "c_name", "friend")
     )
+
+
+@register(
+    "vc_fetch",
+    f"""
+    SELECT 'remote_head' AS ref, 3 AS head_seq,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1999-01-01') AS BIGINT) AS n_fetched,
+           {_dsum_sql('o_totalprice')} AS local_sum_unchanged
+    FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+       OR (o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1999-01-01')
+    """,
+)
+def vc_fetch(spark, sf_dir):
+    """Fetch (reference: api/db_fetch — pull's transfer half WITHOUT
+    integration): the local knows commits 1-2, the remote has 3;
+    fetch ships the seq-3 pack and advances the remote-TRACKING ref
+    only — the local working state must be bit-identical to before.
+    Output: the updated tracking head, the fetched pack's row count,
+    and the (unchanged) local head state sum proving no integration
+    happened.  The pack assembly is a commit_seq filter — a
+    partition-pruned scan under the partitioned layer layout."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize, orders_layers
+    from terminus_server_spark.versioning.remote import pack_layers
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    remote = orders_layers(o)
+    local = remote.where(F.col("commit_seq") <= 2)
+    pack = pack_layers(remote, above_seq=2)
+    tracking_head = pack.agg(
+        F.coalesce(F.max("commit_seq"), F.lit(2)).cast("int").alias("head_seq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fetched"),
+    )
+    local_state = materialize(local, 2, ["o_orderkey", "o_totalprice"]).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("local_sum_unchanged")
+    )
+    return tracking_head.crossJoin(local_state).select(
+        F.lit("remote_head").alias("ref"),
+        "head_seq",
+        "n_fetched",
+        "local_sum_unchanged",
+    )

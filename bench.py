@@ -202,6 +202,9 @@ HEADLINE = [
     "schema_subdoc_ownership",
     "doc_insert_capture",
     "vc_fetch",
+    "stream_file_sink",
+    "sample_split_leakage",
+    "graph_condensation",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

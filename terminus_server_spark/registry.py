@@ -11474,3 +11474,164 @@ def vc_fetch(spark, sf_dir):
         "n_fetched",
         "local_sum_unchanged",
     )
+
+
+@register(
+    "stream_file_sink",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_file_sink(spark, sf_dir):
+    """Exactly-once durable streaming output (writeStream file sink):
+    windowed per-type aggregates land as parquet files whose commits
+    are tracked in the sink's _spark_metadata log — the reread is the
+    metadata-filtered view, so each micro-batch's rows appear exactly
+    once even across restarts.  Append mode only emits
+    watermark-closed windows; a far-future sentinel batch pushes the
+    final watermark past every real window, so the durable output
+    must equal the batch aggregate over all real events (the
+    sentinel's own still-open window is excluded by timestamp)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import (
+        run_stream_batches_to_files,
+        windowed_counts,
+    )
+
+    events = _t(spark, sf_dir, "events")["events"]
+    sentinel = spark.createDataFrame(
+        [(int(-1), datetime.datetime(2099, 1, 1), int(0), "view", 0.0, "{}")],
+        schema=events.schema,
+    )
+    out = run_stream_batches_to_files(
+        spark,
+        [events, sentinel],
+        windowed_counts,
+        shuffle_partitions=8,
+    )
+    return out.where(F.col("window_start") < F.lit("2098-01-01").cast("timestamp_ntz"))
+
+
+@register(
+    "sample_split_leakage",
+    f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({ORACLES['dedup_minhash_lsh']}) q),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT LEAST(sa.split, sb.split) AS split_a,
+           GREATEST(sa.split, sb.split) AS split_b,
+           COUNT(*)::BIGINT AS n_leaky_pairs
+    FROM pairs
+    JOIN s sa ON pairs.doc_a = sa.doc_id
+    JOIN s sb ON pairs.doc_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    GROUP BY 1, 2
+    """,
+)
+def sample_split_leakage(spark, sf_dir):
+    """Train/eval leakage audit: near-duplicate pairs (MinHash-LSH
+    candidates) that straddle a split boundary — the failure mode
+    that silently inflates eval scores when a test document's
+    near-copy sits in train.  Composes the deterministic split
+    assignment with the capped LSH candidate generation; the pair
+    set joins the (doc → split) map twice, both joins key-partitioned
+    on doc id.  Output is the leaky-pair count per split-boundary
+    class; a clean pipeline drops one side of each pair before
+    training."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from terminus_server_spark.operators.pipeline import split_assign
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs)))
+    s = split_assign(docs.select("doc_id")).select("doc_id", "split")
+    return (
+        pairs.join(
+            s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")),
+            "doc_b",
+        )
+        .where(F.col("_sa") != F.col("_sb"))
+        .groupBy(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaky_pairs"))
+    )
+
+
+@register(
+    "graph_condensation",
+    """
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    mn AS (SELECT MIN(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer, mx
+      WHERE c_custkey % 10 <> 9 AND c_custkey < mx.m
+      UNION ALL
+      SELECT c_custkey + 1, c_custkey FROM customer, mx
+      WHERE c_custkey % 10 <> 9 AND c_custkey < mx.m AND c_custkey % 3 = 0),
+    comp AS (
+      SELECT n,
+             CASE WHEN n % 3 = 1 AND n % 10 <> 0 AND n - 1 >= (SELECT m FROM mn)
+                  THEN n - 1 ELSE n END AS c
+      FROM (SELECT src AS n FROM e UNION SELECT dst FROM e))
+    SELECT DISTINCT ca.c AS src_comp, cb.c AS dst_comp
+    FROM e JOIN comp ca ON e.src = ca.n JOIN comp cb ON e.dst = cb.n
+    WHERE ca.c <> cb.c
+    """,
+)
+def graph_condensation(spark, sf_dir):
+    """Condensation DAG: contract each strongly connected component
+    to one node and keep the distinct cross-component edges — the
+    acyclic quotient graph that dependency analysis / cycle-breaking
+    actually consumes (the reference's schema checker reasons about
+    the condensation of the class-inheritance graph).  Two keyed
+    joins of the edge list against the SCC labeling plus a distinct;
+    the oracle restates the fixture's components in closed form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import strongly_connected_components
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    m = cust.agg(F.max("c_custkey")).collect()[0][0]
+    k = F.col("c_custkey")
+    fwd = cust.where((k % 10 != 9) & (k < m)).select(
+        k.alias("src"), (k + 1).alias("dst")
+    )
+    back = cust.where((k % 10 != 9) & (k < m) & (k % 3 == 0)).select(
+        (k + 1).alias("src"), k.alias("dst")
+    )
+    edges = fwd.union(back)
+    comp = strongly_connected_components(edges)
+    return (
+        edges.join(
+            comp.select(F.col("node").alias("src"), F.col("component").alias("src_comp")),
+            "src",
+        )
+        .join(
+            comp.select(F.col("node").alias("dst"), F.col("component").alias("dst_comp")),
+            "dst",
+        )
+        .where(F.col("src_comp") != F.col("dst_comp"))
+        .select("src_comp", "dst_comp")
+        .distinct()
+    )

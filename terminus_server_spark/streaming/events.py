@@ -520,3 +520,59 @@ def run_stream_upsert(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+
+
+def run_stream_batches_to_files(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    transform,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Like :func:`run_stream_batches_to_table` but with the
+    exactly-once FILE sink (writeStream.format("parquet")): committed
+    output files are tracked in the sink's _spark_metadata log, so a
+    reread sees each micro-batch's rows exactly once even across
+    query restarts — the durable-output half of the streaming story
+    the memory-sink harness can't exercise.  Returns the read-back
+    DataFrame (the metadata-log-filtered view of the output
+    directory)."""
+    import glob
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="tss_fsink_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        part_dir = os.path.join(tmp, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch{i:05d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (i + 1, i + 1))
+    schema = batches[0].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            transform(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)

@@ -205,6 +205,9 @@ HEADLINE = [
     "stream_file_sink",
     "sample_split_leakage",
     "graph_condensation",
+    "text_lang_confidence",
+    "graph_topo_layers",
+    "tpch_refresh",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -1193,3 +1193,48 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
     )
     return m.select("n_edges", (num / den).alias("assortativity"))
+
+
+def topo_layers(nodes: DataFrame, edges: DataFrame, max_iters: int = 100) -> DataFrame:
+    """(node, layer): longest-path depth of every node of an acyclic
+    graph — the topological layering a scheduler executes level by
+    level (and the order dependency analysis reads off a
+    condensation).  BSP relaxation: every round each node takes
+    ``max(own, 1 + max over in-neighbors)``; rounds = DAG depth,
+    state one row per node — the standard bounded-round shape, with
+    the fixpoint probe fused into the materializing job.
+
+    ``nodes``: one column ``node``; ``edges``: (src, dst), assumed
+    acyclic (run condensation first — on a cyclic input the layer
+    relaxation would never converge, so exhausting ``max_iters``
+    raises rather than returning wrong depths)."""
+    layers = nodes.select(F.col("node"), F.lit(0).cast("bigint").alias("layer"))
+    n_nodes = None
+    for _ in range(max_iters):
+        cand = (
+            edges.join(
+                layers.select(F.col("node").alias("src"), F.col("layer").alias("_sl")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.max("_sl") + 1).alias("_cand"))
+        )
+        stepped = (
+            layers.join(cand, "node", "left_outer")
+            .select(
+                "node",
+                F.greatest(F.col("layer"), F.coalesce("_cand", F.col("layer"))).alias(
+                    "layer"
+                ),
+                F.when(
+                    F.col("_cand").isNotNull() & (F.col("_cand") > F.col("layer")), 1
+                )
+                .otherwise(0)
+                .alias("_chg"),
+            )
+        )
+        stepped, n_chg = loop_checkpoint_sum(stepped, "_chg", size_hint=n_nodes)
+        layers = stepped.select("node", "layer")
+        if n_chg == 0:
+            return layers
+    raise RuntimeError(f"topo_layers did not converge in {max_iters} rounds (cycle?)")

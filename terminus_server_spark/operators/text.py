@@ -580,3 +580,56 @@ def hashed_tf(docs: DataFrame, n_buckets: int = 64, text_col: str = "text") -> D
     return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+
+
+def lang_id_confidence(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, best_hits, margin, confident): language ID
+    with a decision margin — best profile score minus runner-up,
+    normalized by token count.  Trainers threshold on the margin
+    (CLD/fastText expose the same signal); low-margin docs route to
+    the mixed/und bucket instead of polluting a language shard.  Same
+    JVM-side per-doc argmax shape as :func:`lang_id`, one extra
+    greatest() over the K-1 non-best scores."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    langs = ("en", "es", "de", "fr")
+
+    def _hits(arr):
+        return F.filter(toks, lambda x: F.array_contains(arr, x))
+
+    hit_cols = [
+        F.size(_hits(F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+        .cast("bigint")
+        .alias(f"hits_{lang}")
+        for lang in langs
+    ]
+    scored = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens"), *hit_cols
+    )
+    cols = [F.col(f"hits_{lang}") for lang in langs]
+    best = F.greatest(*cols)
+    pred = (
+        F.when(best == 0, "und")
+        .when(F.col("hits_en") == best, "en")
+        .when(F.col("hits_es") == best, "es")
+        .when(F.col("hits_de") == best, "de")
+        .otherwise("fr")
+    )
+    # runner-up = max over scores strictly below best, or best again
+    # when two languages tie (margin 0 — the ambiguous case)
+    others = F.array(*cols)
+    runner = F.array_max(
+        F.when(
+            F.size(F.filter(others, lambda x: x == best)) > 1,
+            others,
+        ).otherwise(F.filter(others, lambda x: x < best))
+    )
+    margin = (best - F.coalesce(F.when(runner == best, best), runner, F.lit(0))) / F.greatest(
+        F.col("n_tokens"), F.lit(1)
+    )
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.alias("best_hits"),
+        F.round(margin, 6).alias("margin"),
+        ((best > 0) & (margin > 0.01)).alias("confident"),
+    )

@@ -11635,3 +11635,195 @@ def graph_condensation(spark, sf_dir):
         .select("src_comp", "dst_comp")
         .distinct()
     )
+
+
+@register(
+    "text_lang_confidence",
+    rf"""
+    WITH h AS (
+      SELECT doc_id,
+             len({_LTOKS_SQL})::BIGINT AS n_tokens,
+             len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_EN}, x)))::BIGINT AS hits_en,
+             len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_ES}, x)))::BIGINT AS hits_es,
+             len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_DE}, x)))::BIGINT AS hits_de,
+             len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_FR}, x)))::BIGINT AS hits_fr
+      FROM documents),
+    b AS (
+      SELECT *, greatest(hits_en, hits_es, hits_de, hits_fr) AS best,
+             [hits_en, hits_es, hits_de, hits_fr] AS arr
+      FROM h),
+    r AS (
+      SELECT *,
+             CASE WHEN len(list_filter(arr, x -> x = best)) > 1 THEN best
+                  ELSE coalesce(list_max(list_filter(arr, x -> x < best)), 0)
+             END AS runner
+      FROM b)
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN hits_en = best THEN 'en'
+                WHEN hits_es = best THEN 'es'
+                WHEN hits_de = best THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           best AS best_hits,
+           ROUND((best - runner)::DOUBLE / greatest(n_tokens, 1)::DOUBLE, 6) AS margin,
+           (best > 0 AND
+            (best - runner)::DOUBLE / greatest(n_tokens, 1)::DOUBLE > 0.01) AS confident
+    FROM r
+    """,
+)
+def text_lang_confidence(spark, sf_dir):
+    """Language ID with a decision margin (operators/text.py:
+    lang_id_confidence) — best-vs-runner-up profile-score gap per
+    token; low-margin docs route to the mixed bucket instead of
+    polluting a language shard (the confidence signal CLD/fastText
+    expose)."""
+    from terminus_server_spark.operators.text import lang_id_confidence
+
+    return lang_id_confidence(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "graph_topo_layers",
+    """
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    mn AS (SELECT MIN(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer, mx
+      WHERE c_custkey % 10 <> 9 AND c_custkey < mx.m
+      UNION ALL
+      SELECT c_custkey + 1, c_custkey FROM customer, mx
+      WHERE c_custkey % 10 <> 9 AND c_custkey < mx.m AND c_custkey % 3 = 0),
+    comp AS (
+      SELECT n,
+             CASE WHEN n % 3 = 1 AND n % 10 <> 0 AND n - 1 >= (SELECT m FROM mn)
+                  THEN n - 1 ELSE n END AS c
+      FROM (SELECT src AS n FROM e UNION SELECT dst FROM e)),
+    comps AS (SELECT DISTINCT c FROM comp)
+    SELECT c AS node,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c // 10 ORDER BY c) - 1
+                AS BIGINT) AS layer
+    FROM comps
+    """,
+)
+def graph_topo_layers(spark, sf_dir):
+    """Topological layering of the condensation DAG
+    (operators/graph.py:topo_layers): longest-path depth per
+    component — the level-by-level execution order a scheduler (or
+    the reference's inheritance resolver) consumes.  BSP max
+    relaxation, rounds = DAG depth; the oracle exploits the chain
+    fixture (components of one decade chain are consecutive, so
+    layer = within-chain rank)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import (
+        strongly_connected_components,
+        topo_layers,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    m = cust.agg(F.max("c_custkey")).collect()[0][0]
+    k = F.col("c_custkey")
+    fwd = cust.where((k % 10 != 9) & (k < m)).select(
+        k.alias("src"), (k + 1).alias("dst")
+    )
+    back = cust.where((k % 10 != 9) & (k < m) & (k % 3 == 0)).select(
+        (k + 1).alias("src"), k.alias("dst")
+    )
+    edges = fwd.union(back)
+    comp = strongly_connected_components(edges)
+    cedges = (
+        edges.join(
+            comp.select(F.col("node").alias("src"), F.col("component").alias("sc")),
+            "src",
+        )
+        .join(
+            comp.select(F.col("node").alias("dst"), F.col("component").alias("dc")),
+            "dst",
+        )
+        .where(F.col("sc") != F.col("dc"))
+        .select(F.col("sc").alias("src"), F.col("dc").alias("dst"))
+        .distinct()
+    )
+    cnodes = comp.select(F.col("component").alias("node")).distinct()
+    return topo_layers(cnodes, cedges)
+
+
+@register(
+    "tpch_refresh",
+    f"""
+    WITH deleted AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 5),
+    source AS (SELECT * FROM orders WHERE o_orderkey % 100 = 1),
+    mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    li_keep AS (
+      SELECT l.* FROM lineitem l
+      WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM deleted)),
+    li_new AS (
+      SELECT l.l_orderkey + mx.m AS l_orderkey, l.l_quantity,
+             l.l_extendedprice, l.l_discount, l.l_tax,
+             l.l_returnflag, l.l_linestatus
+      FROM lineitem l JOIN source s ON l.l_orderkey = s.o_orderkey, mx),
+    post AS (
+      SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+             l_discount, l_tax FROM li_keep
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+             l_discount, l_tax FROM li_new)
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM post
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_refresh(spark, sf_dir):
+    """TPC-H refresh streams (RF1 insert / RF2 delete — the UPDATE
+    half of the benchmark the read-only queries skip): RF2 deletes
+    every order ≡5 (mod 100) WITH its lineitems (cascade), RF1
+    inserts clones of every order ≡1 (mod 100) under shifted keys,
+    lineitems included.  Both land as delta layers over the fact
+    table and the post-refresh state answers the Q1 rollup — the
+    oracle restates the expected post-refresh aggregate from the base
+    tables.  Deletes/inserts are key filters and one broadcast-range
+    key shift: no shuffle beyond the final rollup's map-side
+    partials."""
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    orders, li = t["orders"], t["lineitem"]
+    m = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    deleted = orders.where(F.col("o_orderkey") % 100 == 5).select("o_orderkey")
+    src_keys = orders.where(F.col("o_orderkey") % 100 == 1).select("o_orderkey")
+    cols = [
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+    ]
+    li_keep = li.join(
+        deleted.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    ).select("l_orderkey", *cols)
+    li_new = (
+        li.join(
+            F.broadcast(src_keys.select(F.col("o_orderkey").alias("l_orderkey"))),
+            "l_orderkey",
+        )
+        .select((F.col("l_orderkey") + F.lit(m)).alias("l_orderkey"), *cols)
+    )
+    post = li_keep.unionByName(li_new)
+    dec = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double")  # noqa: E731
+    return post.groupBy("l_returnflag", "l_linestatus").agg(
+        dec("l_quantity").alias("sum_qty"),
+        dec("l_extendedprice").alias("sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )

@@ -208,6 +208,8 @@ HEADLINE = [
     "text_lang_confidence",
     "graph_topo_layers",
     "tpch_refresh",
+    "graph_ktruss",
+    "text_kneser_ney",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -1238,3 +1238,59 @@ def topo_layers(nodes: DataFrame, edges: DataFrame, max_iters: int = 100) -> Dat
         if n_chg == 0:
             return layers
     raise RuntimeError(f"topo_layers did not converge in {max_iters} rounds (cycle?)")
+
+
+def ktruss(edges: DataFrame, k: int = 4, max_iters: int = 30) -> DataFrame:
+    """(a, b): the k-truss of the undirected graph — the maximal
+    subgraph where every edge closes at least ``k-2`` triangles
+    (cohesive-community mining; the edge-grain analogue of k-core and
+    a much stronger filter against star/boilerplate shapes).
+
+    Iterative support pruning: per round, each surviving edge's
+    triangle support is one two-hop self-join keyed on the edge's
+    endpoints (pairs never materialize beyond actual wedges), edges
+    below threshold drop, repeat to fixpoint.  Rounds are bounded by
+    the pruning cascade depth; edge state shrinks monotonically and
+    is checkpointed per round.  Peel order cannot affect the result
+    (the k-truss is unique), so the output is engine-independent."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    und, n_e = loop_checkpoint_count(und)
+    need = k - 2
+    for _ in range(max_iters):
+        if n_e == 0:
+            return und
+        adj = und.select("a", "b").union(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # wedges through c: edge (a,b) + neighbor c of a; close if
+        # (min(b,c), max(b,c)) is an edge
+        support = (
+            und.join(adj.select(F.col("a"), F.col("b").alias("c")), "a")
+            .where(F.col("c") != F.col("b"))
+            .join(
+                und.select(
+                    F.col("a").alias("_x"), F.col("b").alias("_y")
+                ),
+                (F.least("b", "c") == F.col("_x"))
+                & (F.greatest("b", "c") == F.col("_y")),
+                "left_semi",
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("_sup"))
+        )
+        kept = (
+            und.join(support, ["a", "b"], "left_outer")
+            .where(F.coalesce(F.col("_sup"), F.lit(0)) >= need)
+            .select("a", "b")
+        )
+        kept, n_kept = loop_checkpoint_count(kept, size_hint=n_e)
+        if n_kept == n_e:
+            return kept
+        und, n_e = kept, n_kept
+    raise RuntimeError(f"ktruss did not converge in {max_iters} rounds")

@@ -633,3 +633,79 @@ def lang_id_confidence(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(margin, 6).alias("margin"),
         ((best > 0) & (margin > 0.01)).alias("confident"),
     )
+
+
+def kneser_ney_score(
+    docs: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob_kn): interpolated Kneser-Ney
+    bigram scoring — the LM-quality dimension with the smoothing
+    real LM toolkits use (absolute discounting + continuation
+    probability) instead of add-k.  Self-trained on the corpus, so
+    every scored bigram exists in the model and the unseen-event
+    branch never fires:
+
+        P(b|a) = (c(a,b) - D)/c(a) + (D·N1+(a·)/c(a)) · (N1+(·b)/|bigram types|)
+
+    with D = 0.75 (exact in binary, so the arithmetic is
+    engine-reproducible).  The model is three aggregates over the
+    (a, b) count table plus one scalar; scoring joins the document
+    bigram stream to the model key-partitioned on (a, b); the per-doc
+    log sum is decimal-pinned.  The continuation count N1+(·b) is
+    what distinguishes KN: a token seen often but only after one
+    context (e.g. "Francisco") scores low as a novel continuation."""
+    tk = F.concat(
+        F.array(F.lit("<s>")),
+        tokens_col(F.lower(F.col(text_col))),
+        F.array(F.lit("</s>")),
+    )
+    bg = (
+        docs.select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    bg = plan_checkpoint(bg)
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cab = plan_checkpoint(cab)
+    ca = cab.groupBy("a").agg(F.sum("c").cast("bigint").alias("ca"))
+    nf = cab.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("nf"))
+    np_ = cab.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    nt = cab.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    d = F.lit(discount)
+    p = (
+        cab.join(ca, "a")
+        .join(nf, "a")
+        .join(np_, "b")
+        .crossJoin(nt)
+        .select(
+            "a",
+            "b",
+            (
+                (F.col("c").cast("double") - d) / F.col("ca").cast("double")
+                + ((d * F.col("nf").cast("double")) / F.col("ca").cast("double"))
+                * (F.col("np").cast("double") / F.col("nt").cast("double"))
+            ).alias("p"),
+        )
+    )
+    return (
+        bg.join(p, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.log("p").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob_kn"),
+        )
+    )

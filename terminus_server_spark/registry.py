@@ -11827,3 +11827,98 @@ def tpch_refresh(spark, sf_dir):
         .alias("sum_disc_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
+
+
+@register(
+    "graph_ktruss",
+    """
+    WITH grp AS (
+      SELECT DISTINCT (c_custkey // 50) * 50 AS g FROM customer
+      WHERE c_custkey % 50 < 5),
+    members AS (
+      SELECT g, g + i AS n
+      FROM grp, LATERAL (SELECT unnest(generate_series(0, 4)) AS i)
+      WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = g + i)),
+    full_groups AS (
+      SELECT g FROM members GROUP BY g HAVING COUNT(*) = 5)
+    SELECT m1.n AS a, m2.n AS b
+    FROM members m1
+    JOIN members m2 ON m1.g = m2.g AND m1.n < m2.n
+    JOIN full_groups f ON m1.g = f.g
+    """,
+)
+def graph_ktruss(spark, sf_dir):
+    """4-truss decomposition (operators/graph.py:ktruss): the fixture
+    plants a 5-clique on keys {50j..50j+4}, hangs a pendant triangle
+    off each clique (edges to 50j+5, 50j+6), and chains the pendant
+    onward.  Chain edges close no triangles (drop round 1); pendant-
+    triangle edges close exactly one (below the 4-truss's 2-triangle
+    bar, drop next); clique edges each close three and survive.  The
+    oracle states the fixpoint — exactly the clique pairs of every
+    fully-present group — in closed form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import ktruss
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 50).cast("bigint") * 50
+    pos = k % 50
+    members = cust.where(pos < 5).select(g.alias("g"), k.alias("n"))
+    clique = (
+        members.alias("m1")
+        .join(members.alias("m2"), "g")
+        .where(F.col("m1.n") < F.col("m2.n"))
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    pendant = cust.where(pos.isin(4, 5, 6)).select(g.alias("g"), k.alias("n"))
+    pend_edges = (
+        pendant.alias("p1")
+        .join(pendant.alias("p2"), "g")
+        .where(F.col("p1.n") < F.col("p2.n"))
+        .select(F.col("p1.n").alias("src"), F.col("p2.n").alias("dst"))
+    )
+    chain = cust.where((pos >= 6) & (pos < 20)).select(
+        k.alias("src"), (k + 1).alias("dst")
+    )
+    edges = clique.union(pend_edges).union(chain)
+    return ktruss(edges, k=4).select(F.col("a"), F.col("b"))
+
+
+@register(
+    "text_kneser_ney",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             ['<s>'] || string_split_regex(trim(lower(text)), '\s+')
+                     || ['</s>'] AS tk
+      FROM documents),
+    bg AS (
+      SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)),
+    cab AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+    ca AS (SELECT a, SUM(c)::BIGINT AS ca FROM cab GROUP BY 1),
+    nf AS (SELECT a, COUNT(*)::BIGINT AS nf FROM cab GROUP BY 1),
+    np AS (SELECT b, COUNT(*)::BIGINT AS np FROM cab GROUP BY 1),
+    nt AS (SELECT COUNT(*)::BIGINT AS nt FROM cab),
+    p AS (
+      SELECT a, b,
+             (c::DOUBLE - 0.75) / ca::DOUBLE
+               + ((0.75 * nf::DOUBLE) / ca::DOUBLE) * (np::DOUBLE / nt::DOUBLE)
+               AS p
+      FROM cab JOIN ca USING (a) JOIN nf USING (a) JOIN np USING (b), nt)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ln(p) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob_kn
+    FROM bg JOIN p USING (a, b)
+    GROUP BY doc_id
+    """,
+)
+def text_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (operators/text.py:
+    kneser_ney_score) — absolute discounting + continuation
+    probability, D=0.75 exact in binary; the per-doc decimal-pinned
+    log sum hash-matches the oracle's identical expression order."""
+    from terminus_server_spark.operators.text import kneser_ney_score
+
+    return kneser_ney_score(_t(spark, sf_dir, "documents")["documents"])

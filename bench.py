@@ -210,6 +210,7 @@ HEADLINE = [
     "tpch_refresh",
     "graph_ktruss",
     "text_kneser_ney",
+    "gql_execute_nested",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -136,14 +136,23 @@ class _Parser:
         self.expect(")")
         return args
 
-    def selection_set(self) -> list[str]:
+    def selection_set(self) -> list:
+        """Scalar fields come back as strings; nested related-field
+        selections as {"name", "args", "fields"} dicts (one level of
+        GraphQL's recursive grammar per call — arbitrary depth falls
+        out of the recursion)."""
         self.expect("{")
         fields = []
         while self.peek()[1] != "}":
             kind, tok = self.next()
             if kind != "name":
                 raise ValueError(f"graphql: expected field name, got {tok!r}")
-            fields.append(tok)
+            if self.peek()[1] in ("(", "{"):
+                args = self.arguments()
+                sub = self.selection_set()
+                fields.append({"name": tok, "args": args, "fields": sub})
+            else:
+                fields.append(tok)
             if self.peek()[1] == ",":
                 self.next()
         self.expect("}")
@@ -197,36 +206,83 @@ def filter_to_tree(obj: dict):
     return ("and", parts)
 
 
-def execute_graphql(frames: dict, src: str):
-    """Execute a parsed GraphQL request against ``frames`` (class
-    name → DataFrame) and return {class: DataFrame}.  Compilation
-    only — the plan is query_documents' (filter pushed to the scan,
-    orderBy+limit as TakeOrderedAndProject)."""
-    from terminus_server_spark.docs.documents import query_documents
+def _query_level(frames, relations, cls, args, fields):
+    from pyspark.sql import functions as F
 
+    from terminus_server_spark.docs.documents import filter_documents, query_documents
+
+    predicates = []
+    if "filter" in args:
+        predicates = [filter_to_tree(args["filter"])]
+    order_by = None
+    if "orderBy" in args:
+        ob = args["orderBy"]
+        items = ob if isinstance(ob, list) else [ob]
+        order_by = [
+            (field, "asc" if str(direction).upper() == "ASC" else "desc")
+            for item in items
+            for field, direction in item.items()
+        ]
+    df = query_documents(
+        frames[cls],
+        predicates=predicates,
+        order_by=order_by,
+        limit=args.get("limit"),
+        offset=args.get("offset"),
+    )
+    nested = [f for f in fields if isinstance(f, dict)]
+    out = df
+    for sub in nested:
+        rel = relations.get((cls, sub["name"]))
+        if rel is None:
+            raise ValueError(
+                f"graphql: no relation registered for {cls}.{sub['name']}"
+            )
+        child_cls, parent_key, child_fk = rel
+        # nested levels support filter (and deeper nesting);
+        # orderBy/limit would need per-PARENT semantics — surface
+        # rather than mis-compile
+        for bad in ("orderBy", "limit", "offset"):
+            if bad in sub["args"]:
+                raise ValueError(
+                    f"graphql: {bad} not supported on nested field {sub['name']}"
+                )
+        # the child frame keeps its full columns (incl. the fk) —
+        # projection happens only at the JSON rendering below
+        child = _query_level(
+            frames, relations, child_cls, sub["args"], sub["fields"]
+        )
+        sub_names = [f if isinstance(f, str) else f["name"] for f in sub["fields"]]
+        agg = child.groupBy(F.col(child_fk).alias(parent_key)).agg(
+            F.to_json(
+                F.sort_array(
+                    F.collect_list(F.struct(*[F.col(c) for c in sub_names]))
+                )
+            ).alias(sub["name"])
+        )
+        out = out.join(agg, parent_key, "left_outer").withColumn(
+            sub["name"], F.coalesce(F.col(sub["name"]), F.lit("[]"))
+        )
+    return out
+
+
+def execute_graphql(frames: dict, src: str, relations: dict | None = None):
+    """Execute a parsed GraphQL request against ``frames`` (class
+    name → DataFrame) and return {class: DataFrame}.
+
+    ``relations`` maps (parent_class, field_name) → (child_class,
+    parent_key_col, child_fk_col) for nested related-field selection
+    sets; a nested field renders as a deterministic JSON array of the
+    selected child fields (sorted, so the rendering is
+    partitioning-independent).  Compilation only — filters push to
+    scans, a nested level is one filtered child aggregation joined
+    back on the parent key."""
+    relations = relations or {}
     out = {}
     for cls, req in parse_graphql(src).items():
         if cls not in frames:
             raise ValueError(f"graphql: unknown class {cls!r}")
-        args = req["args"]
-        predicates = []
-        if "filter" in args:
-            predicates = [filter_to_tree(args["filter"])]
-        order_by = None
-        if "orderBy" in args:
-            ob = args["orderBy"]
-            items = ob if isinstance(ob, list) else [ob]
-            order_by = [
-                (field, "asc" if str(direction).upper() == "ASC" else "desc")
-                for item in items
-                for field, direction in item.items()
-            ]
-        df = query_documents(
-            frames[cls],
-            predicates=predicates,
-            order_by=order_by,
-            limit=args.get("limit"),
-            offset=args.get("offset"),
-        )
-        out[cls] = df.select(*req["fields"])
+        level = _query_level(frames, relations, cls, req["args"], req["fields"])
+        names = [f if isinstance(f, str) else f["name"] for f in req["fields"]]
+        out[cls] = level.select(*names)
     return out

@@ -11922,3 +11922,54 @@ def text_kneser_ney(spark, sf_dir):
     from terminus_server_spark.operators.text import kneser_ney_score
 
     return kneser_ney_score(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "gql_execute_nested",
+    """
+    WITH par AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0),
+    ch AS (
+      SELECT o_custkey,
+             to_json(list(struct_pack(o_orderkey := o_orderkey,
+                                      o_orderstatus := o_orderstatus)
+                          ORDER BY o_orderkey, o_orderstatus)) AS orders
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_custkey)
+    SELECT p.c_custkey, p.c_name,
+           COALESCE(ch.orders, '[]') AS orders
+    FROM par p LEFT JOIN ch ON p.c_custkey = ch.o_custkey
+    """,
+)
+def gql_execute_nested(spark, sf_dir):
+    """GraphQL nested related-field selection sets end-to-end: the
+    wire-format query selects customers plus a filtered nested
+    ``orders`` field; the compiled plan is ONE filtered child
+    aggregation (collect_list of the selected fields, sorted for a
+    partitioning-independent JSON rendering) joined back on the
+    parent key — never a per-parent subquery.  Registered relations
+    carry the edge (parent_key, child_fk); unknown nested fields and
+    per-parent orderBy/limit surface as errors instead of
+    mis-compiling."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    src = """
+    query {
+      Customer(filter: {_and: [{c_mktsegment: {eq: "BUILDING"}},
+                               {c_acctbal: {gt: 5000.0}}]}) {
+        c_custkey
+        c_name
+        orders(filter: {o_orderstatus: {eq: "F"}}) {
+          o_orderkey
+          o_orderstatus
+        }
+      }
+    }
+    """
+    return execute_graphql(
+        {"Customer": t["customer"], "Order": t["orders"]},
+        src,
+        relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
+    )["Customer"]

@@ -211,6 +211,7 @@ HEADLINE = [
     "graph_ktruss",
     "text_kneser_ney",
     "gql_execute_nested",
+    "woql_at_commit",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

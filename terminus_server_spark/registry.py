@@ -11973,3 +11973,64 @@ def gql_execute_nested(spark, sf_dir):
         src,
         relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
     )["Customer"]
+
+
+@register(
+    "woql_at_commit",
+    """
+    SELECT 2 AS ref, CAST(COUNT(*) AS BIGINT) AS n_expensive
+    FROM orders
+    WHERE ((o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+        OR (o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01'))
+      AND o_totalprice > 300000
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000)
+      AND o_totalprice > 300000
+    """,
+)
+def woql_at_commit(spark, sf_dir):
+    """WOQL evaluated against the store AT A COMMIT REF (reference:
+    every WOQL request names a resource — branch head or commit id —
+    and the query runs over that materialized state).  The same
+    count-expensive-orders query runs at refs 2 and 3 of the layer
+    stack; the ref only changes which delta layers materialize into
+    the TripleStore the compiler scans, the query text is untouched.
+    Materialization is the one keyed window over the layer stack;
+    everything downstream is the ordinary WOQL plan."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.versioning.layers import materialize
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    layers = _layers(spark, sf_dir)
+    parts = []
+    for ref in (2, 3):
+        state = materialize(layers, ref, ["o_orderkey", "o_totalprice"])
+        trips = state.select(
+            F.lit("instance").alias("graph"),
+            F.concat(F.lit("Order/"), F.col("o_orderkey").cast("string")).alias(
+                "subject"
+            ),
+            F.lit("o_totalprice").alias("predicate"),
+            F.col("o_totalprice").cast("string").alias("obj"),
+            F.lit("xsd:decimal").alias("obj_type"),
+            F.col("o_totalprice").cast("double").alias("obj_num"),
+        )
+        q = A.Count(
+            A.And(
+                A.Triple(A.v("o"), "o_totalprice", A.v("tp")),
+                A.Greater(A.v("tp"), 300000),
+            ),
+            A.v("n_expensive"),
+        )
+        res = WOQLContext(TripleStore(trips)).run(q)
+        parts.append(res.select(F.lit(ref).alias("ref"), "n_expensive"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

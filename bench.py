@@ -212,6 +212,7 @@ HEADLINE = [
     "text_kneser_ney",
     "gql_execute_nested",
     "woql_at_commit",
+    "vc_ivm_join",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

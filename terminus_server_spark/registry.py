@@ -12034,3 +12034,72 @@ def woql_at_commit(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "vc_ivm_join",
+    f"""
+    SELECT c.c_mktsegment, COUNT(*) AS n, {_dsum_sql('o.o_totalprice')} AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE NOT (o.o_orderdate < TIMESTAMP '1997-01-01' AND o.o_totalprice > 400000)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def vc_ivm_join(spark, sf_dir):
+    """Incremental maintenance of a JOIN view (versioning/layers.py:
+    maintain_join_view — the delta-join rule Δ(F⋈D)=ΔF⋈D): the
+    materialized orders⋈customer view at commit 1 is refreshed to
+    commit 3 by joining ONLY the two delta layers (seq-2 adds+dels,
+    seq-3 adds) against the broadcast customer dimension and
+    retract/appending by order key — the base data is never re-read.
+    The rollup of the refreshed view must be bit-identical to the
+    recomputed join the oracle states."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.versioning.layers import maintain_join_view
+
+    t = _t(spark, sf_dir, "orders", "customer")
+    o, cust = t["orders"], t["customer"]
+    d97 = F.lit("1997-01-01").cast("timestamp")
+    d99 = F.lit("1999-01-01").cast("timestamp")
+    base_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    c1 = o.where(F.col("o_orderdate") < d97).select(
+        F.lit(1).alias("commit_seq"), F.lit("add").alias("op"), *base_cols
+    )
+    c2a = o.where((F.col("o_orderdate") >= d97) & (F.col("o_orderdate") < d99)).select(
+        F.lit(2).alias("commit_seq"), F.lit("add").alias("op"), *base_cols
+    )
+    c2d = o.where((F.col("o_orderdate") < d97) & (F.col("o_totalprice") > 400000)).select(
+        F.lit(2).alias("commit_seq"), F.lit("del").alias("op"), *base_cols
+    )
+    c3 = o.where(F.col("o_orderdate") >= d99).select(
+        F.lit(3).alias("commit_seq"), F.lit("add").alias("op"), *base_cols
+    )
+    layers = plan_checkpoint(
+        c1.unionByName(c2a).unionByName(c2d).unionByName(c3)
+    )
+    dim = cust.select("c_custkey", "c_mktsegment")
+    base_view = (
+        layers.where(F.col("commit_seq") == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+    )
+    delta = layers.where(F.col("commit_seq") > 1).select(
+        "op", "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    refreshed = maintain_join_view(
+        base_view,
+        delta,
+        dim.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        fact_key="o_orderkey",
+        join_key="o_custkey",
+        payload_cols=["o_totalprice"],
+    )
+    return refreshed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

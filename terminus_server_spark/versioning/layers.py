@@ -385,3 +385,33 @@ def maintain_rollup(
         ).alias(sum_name),
     )
     return merged.where(F.col("n") > 0)
+
+
+def maintain_join_view(
+    base_view: DataFrame,
+    fact_delta: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    join_key: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the delta-join rule:
+    Δ(F ⋈ D) = ΔF ⋈ D when only the fact side changes): refresh a
+    materialized ``fact ⋈ dim`` view by joining ONLY the delta rows
+    against the dimension and applying them to the view — add rows
+    append, del rows retract by fact key.  Work scales with |Δ|, not
+    |view|: the delta-side join is broadcast when the dim is, and the
+    retraction is an anti-join on the (indexed) fact key.
+
+    ``fact_delta``: (op ∈ add|del, fact_key, join_key, payload...);
+    ``base_view``: the materialized join at the previous commit with
+    the same columns as the output.  Updates arrive as del+add pairs
+    (the layer contract), so retract-then-append is exact."""
+    dels = fact_delta.where(F.col("op") == "del").select(fact_key)
+    adds = (
+        fact_delta.where(F.col("op") == "add")
+        .select(fact_key, join_key, *payload_cols)
+        .join(F.broadcast(dim), join_key)
+    )
+    survived = base_view.join(dels, fact_key, "left_anti")
+    return survived.unionByName(adds.select(*base_view.columns))

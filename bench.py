@@ -213,6 +213,7 @@ HEADLINE = [
     "gql_execute_nested",
     "woql_at_commit",
     "vc_ivm_join",
+    "graph_msf",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

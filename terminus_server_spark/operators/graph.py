@@ -1294,3 +1294,89 @@ def ktruss(edges: DataFrame, k: int = 4, max_iters: int = 30) -> DataFrame:
             return kept
         und, n_e = kept, n_kept
     raise RuntimeError(f"ktruss did not converge in {max_iters} rounds")
+
+
+def msf_boruvka(edges: DataFrame, max_iters: int = 30) -> DataFrame:
+    """(a, b, w): minimum spanning forest by Borůvka rounds — the
+    distributed MST algorithm (each round every component picks its
+    minimum-weight outgoing edge, picked edges join the forest,
+    touching components merge; components at least halve per round,
+    so rounds = O(log n)).  Requires distinct weights within any
+    component's candidate set for a unique forest (ties would make
+    the result engine-dependent); the (w, a, b) ordering makes the
+    pick deterministic regardless.
+
+    Per round: one cross-component edge filter (two hash joins
+    against the label frame), one per-component min (map-side
+    combined), and a pointer-jumping label merge over the PICKED
+    edges only — a frame bounded by the component count, not the
+    edge count."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("w").cast("double").alias("w"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    und, n_e = loop_checkpoint_count(und)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+    )
+    labels, _ = loop_checkpoint_count(labels)
+    forest_parts: list[DataFrame] = [und.limit(0)]
+    for _ in range(max_iters):
+        lab_a = labels.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        lab_b = labels.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        cross = (
+            und.join(lab_a, "a").join(lab_b, "b").where(F.col("ca") != F.col("cb"))
+        )
+        cross, n_cross = loop_checkpoint_count(cross)
+        if n_cross == 0:
+            break
+        # each component's minimum outgoing edge, deterministic order
+        cand = cross.select(F.col("ca").alias("comp"), "a", "b", "w").union(
+            cross.select(F.col("cb").alias("comp"), "a", "b", "w")
+        )
+        picked = (
+            cand.groupBy("comp")
+            .agg(F.min(F.struct("w", "a", "b")).alias("m"))
+            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.w").alias("w"))
+            .distinct()
+        )
+        picked = plan_checkpoint(picked)
+        forest_parts.append(picked)
+        # merge touched components: min-label propagation with pointer
+        # jumping over the picked edges' component graph (bounded by
+        # the component count)
+        pe = (
+            picked.join(lab_a, "a")
+            .join(lab_b, "b")
+            .select(F.col("ca").alias("x"), F.col("cb").alias("y"))
+        )
+        # full connectivity over the picked component graph — a
+        # min-neighbor pass alone is NOT enough (a locally-minimal
+        # component with only larger neighbors would keep its own
+        # label while a smaller label sits two hops away), so reuse
+        # the proven pointer-jumping CC on this bounded frame
+        cc = connected_components(
+            pe.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        )
+        labels = (
+            labels.join(
+                cc.select(F.col("node").alias("comp"), F.col("component").alias("lab")),
+                "comp",
+                "left_outer",
+            )
+            .select("node", F.coalesce("lab", F.col("comp")).alias("comp"))
+        )
+        labels, _ = loop_checkpoint_count(labels)
+    out = forest_parts[0]
+    for p in forest_parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

@@ -12103,3 +12103,54 @@ def vc_ivm_join(spark, sf_dir):
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "graph_msf",
+    """
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS a, c_custkey + 1 AS b,
+             CAST(2 * ((c_custkey * 7) % 97) + 2 AS DOUBLE) AS w
+      FROM customer, mx
+      WHERE c_custkey % 10 <> 9 AND c_custkey < mx.m
+      UNION ALL
+      SELECT (c_custkey // 10) * 10, c_custkey,
+             CAST(2 * (((c_custkey // 10) * 11) % 97) + 1 AS DOUBLE)
+      FROM customer WHERE c_custkey % 10 = 9),
+    ranked AS (
+      SELECT a, b, w,
+             ROW_NUMBER() OVER (PARTITION BY a // 10
+                                ORDER BY w DESC, a, b) AS rk
+      FROM e)
+    SELECT a, b, w FROM ranked WHERE rk > 1
+    """,
+)
+def graph_msf(spark, sf_dir):
+    """Minimum spanning forest via Borůvka rounds
+    (operators/graph.py:msf_boruvka).  Fixture: one weighted cycle
+    per customer decade (nine chain edges with even weights, one
+    closing edge with an odd weight — all distinct within a cycle),
+    so the unique MSF is every cycle minus its maximum-weight edge;
+    the oracle drops exactly that edge per decade with a window
+    rank.  Components at least halve per round; the merge reuses the
+    pointer-jumping connected-components pass on the picked
+    component graph."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import msf_boruvka
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    m = cust.agg(F.max("c_custkey")).collect()[0][0]
+    k = F.col("c_custkey")
+    chain = cust.where((k % 10 != 9) & (k < m)).select(
+        k.alias("src"),
+        (k + 1).alias("dst"),
+        (2 * ((k * 7) % 97) + 2).cast("double").alias("w"),
+    )
+    closing = cust.where(k % 10 == 9).select(
+        ((k / 10).cast("bigint") * 10).alias("src"),
+        k.alias("dst"),
+        (2 * (((k / 10).cast("bigint") * 11) % 97) + 1).cast("double").alias("w"),
+    )
+    return msf_boruvka(chain.union(closing))

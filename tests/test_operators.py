@@ -2226,3 +2226,20 @@ def test_graphql_execute_empty_filter_and_bool_values(spark):
     )["T"]
     assert [r.id for r in out.collect()] == [3, 1]
     assert out.columns == ["id", "name"]
+
+
+def test_msf_boruvka_multi_round_merge(spark):
+    """A comb graph forcing >1 Boruvka round and the locally-minimal
+    component-merge case (a component whose id is smaller than all
+    neighbors must still adopt a remote smaller label)."""
+    from terminus_server_spark.operators.graph import msf_boruvka
+
+    # path 1-2-3-4-5 with increasing weights: MSF = all 4 edges
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 3.0), (4, 5, 4.0),
+         # plus a triangle 6-7-8 where the max edge (6,8) drops
+         (6, 7, 1.5), (7, 8, 2.5), (6, 8, 9.0)],
+        "src long, dst long, w double",
+    )
+    got = sorted((r.a, r.b) for r in msf_boruvka(edges).collect())
+    assert got == [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8)]

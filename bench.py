@@ -214,6 +214,8 @@ HEADLINE = [
     "woql_at_commit",
     "vc_ivm_join",
     "graph_msf",
+    "src_csv_corrupt_records",
+    "emb_dim_stats",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

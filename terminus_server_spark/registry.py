@@ -12154,3 +12154,140 @@ def graph_msf(spark, sf_dir):
         (2 * (((k / 10).cast("bigint") * 11) % 97) + 1).cast("double").alias("w"),
     )
     return msf_boruvka(chain.union(closing))
+
+
+_BAD_CSV_PATH = "/root/repo/.cache/tss/cities_dirty.csv"
+_BAD_CSV_CONTENT = """city,country,pop
+tokyo,jp,37400068
+delhi,in,28514000
+oops_no_fields
+shanghai,cn,25582000
+lagos,ng,not_a_number
+sao_paulo,br,21650000
+"extra","fields","123","456"
+cairo,eg,20076000
+"""
+
+
+def _ensure_bad_csv():
+    import os
+
+    os.makedirs(os.path.dirname(_BAD_CSV_PATH), exist_ok=True)
+    with open(_BAD_CSV_PATH, "w") as f:
+        f.write(_BAD_CSV_CONTENT)
+
+
+_ensure_bad_csv()
+
+
+@register(
+    "src_csv_corrupt_records",
+    """
+    WITH rows(city, country, pop, corrupt) AS (VALUES
+      ('tokyo', 'jp', 37400068, NULL),
+      ('delhi', 'in', 28514000, NULL),
+      (NULL, NULL, NULL, 'oops_no_fields'),
+      ('shanghai', 'cn', 25582000, NULL),
+      ('lagos', 'ng', NULL, 'lagos,ng,not_a_number'),
+      ('sao_paulo', 'br', 21650000, NULL),
+      (NULL, NULL, NULL, '"extra","fields","123","456"'),
+      ('cairo', 'eg', 20076000, NULL))
+    SELECT COUNT(*) FILTER (WHERE corrupt IS NULL) AS n_clean,
+           COUNT(*) FILTER (WHERE corrupt IS NOT NULL) AS n_corrupt,
+           CAST(SUM(pop) AS BIGINT) AS total_pop,
+           MIN(corrupt) AS first_corrupt
+    FROM rows
+    """,
+)
+def src_csv_corrupt_records(spark, sf_dir):
+    """Malformed-input robustness at the source (PERMISSIVE mode +
+    columnNameOfCorruptRecord — the posture a 100 TB crawl ingest
+    must take: quarantine bad lines as data, never fail the job or
+    silently drop).  The fixture carries a short row, a
+    wrong-typed field and an extra-fields row; the scan keeps clean
+    rows typed, parks each malformed raw line in the corrupt column,
+    and the audit aggregate counts both streams.  FAILFAST/DROPMALFORMED
+    are the same reader one option away — PERMISSIVE+quarantine is
+    the only one that preserves evidence."""
+    from pyspark.sql import functions as F
+
+    _ensure_bad_csv()
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("city string, country string, pop bigint, _corrupt string")
+        .csv(_BAD_CSV_PATH)
+    )
+    # Spark requires caching/materializing before referencing only the
+    # corrupt column (documented reader constraint)
+    df = df.cache()
+    return df.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_clean"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        # quarantined rows contribute no data even when the parser salvaged
+        # a field (extra-fields rows keep their parsed prefix in PERMISSIVE)
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("pop")))
+        .cast("bigint")
+        .alias("total_pop"),
+        F.min("_corrupt").alias("first_corrupt"),
+    )
+
+
+@register(
+    "emb_dim_stats",
+    """
+    WITH vals AS (
+      SELECT t.i AS dim, embedding[t.i]::DOUBLE AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+    s AS (
+      SELECT dim, COUNT(*)::BIGINT AS n,
+             CAST(SUM(CAST(floor(v * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sv,
+             CAST(SUM(CAST(floor(v * v * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS svv
+      FROM vals GROUP BY dim)
+    SELECT CAST(dim - 1 AS INT) AS dim, n,
+           ROUND(sv / n, 6) AS mean,
+           ROUND(sqrt(greatest(svv / n - (sv / n) * (sv / n), 0.0)), 6) AS std
+    FROM s
+    """,
+)
+def emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean/std — the
+    standardization table feature preprocessing consumes, and the
+    drift monitor for an embedding pipeline): one posexplode + one
+    (dim)-keyed aggregate with map-side partials; sums ride the
+    repo's fixed-point 1e12 integer grid in decimal(38,0) so the
+    stats hash-match the oracle on any partitioning."""
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    vals = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "v"
+        )
+    )
+    s = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.floor(F.col("v") * F.lit(1e12)).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / F.lit(1e12)
+        ).alias("sv"),
+        (
+            F.sum(
+                F.floor(F.col("v") * F.col("v") * F.lit(1e12)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e12)
+        ).alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(F.col("svv") / F.col("n") - mean * mean, F.lit(0.0))), 6
+        ).alias("std"),
+    )

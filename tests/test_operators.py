@@ -2243,3 +2243,43 @@ def test_msf_boruvka_multi_round_merge(spark):
     )
     got = sorted((r.a, r.b) for r in msf_boruvka(edges).collect())
     assert got == [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8)]
+
+
+def test_ktruss_empty_and_k4(spark):
+    from terminus_server_spark.operators.graph import ktruss
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert ktruss(empty, k=4).count() == 0
+    # K4: every edge closes exactly 2 triangles -> survives a 4-truss
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    assert ktruss(k4, k=4).count() == 6
+    # ...but falls out of a 5-truss (needs 3 triangles per edge)
+    assert ktruss(k4, k=5).count() == 0
+
+
+def test_topo_layers_raises_on_cycle(spark):
+    import pytest as _pytest
+
+    from terminus_server_spark.operators.graph import topo_layers
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        topo_layers(nodes, cyc, max_iters=10)
+
+
+def test_kneser_ney_prefers_seen_continuations(spark):
+    from terminus_server_spark.operators.text import kneser_ney_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # stereotyped bigrams, high prob
+            (2, "a c b a d e"),   # novel transitions, low prob
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.avg_logprob_kn for r in kneser_ney_score(docs).collect()}
+    assert got[1] > got[2]

@@ -216,6 +216,12 @@ HEADLINE = [
     "graph_msf",
     "src_csv_corrupt_records",
     "emb_dim_stats",
+    "docs_domain_caps",
+    "dedup_url_canonical",
+    "emb_quantize_int8",
+    "agg_grouping_sets",
+    "win_cume_dist",
+    "sketch_quantile_grid",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -11934,7 +11934,7 @@ def text_kneser_ney(spark, sf_dir):
       SELECT o_custkey,
              to_json(list(struct_pack(o_orderkey := o_orderkey,
                                       o_orderstatus := o_orderstatus)
-                          ORDER BY o_orderkey, o_orderstatus)) AS orders
+                          ORDER BY o_orderkey, o_orderstatus))::VARCHAR AS orders
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY o_custkey)
     SELECT p.c_custkey, p.c_name,
@@ -12290,4 +12290,375 @@ def emb_dim_stats(spark, sf_dir):
         F.round(
             F.sqrt(F.greatest(F.col("svv") / F.col("n") - mean * mean, F.lit(0.0))), 6
         ).alias("std"),
+    )
+
+
+@register(
+    "docs_domain_caps",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 40
+    """,
+)
+def docs_domain_caps(spark, sf_dir):
+    """Per-domain contribution cap (crawl-pipeline staple: no single
+    host may dominate the training mix; CommonCrawl-style pipelines
+    cap documents per registered domain before any content filter).
+    Deterministic choice: rank by md5(doc_id) inside each source and
+    keep the first ``cap``.
+
+    Scale shape: a plain ``row_number() OVER (PARTITION BY source)``
+    puts a hot domain's entire corpus in ONE task's sort.  Two-level
+    top-k instead: rank inside (source, salt) shards — 16-way split of
+    every hot key — keep ``cap`` per shard, then re-rank the <=
+    16*cap survivors per source.  Same discipline as
+    budget_cap/shuffle_index; identical output to the one-level oracle
+    because per-shard rank >= final rank (no survivor is dropped
+    early)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cap = 40
+    docs = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    shard = Window.partitionBy("source", F.col("doc_id") % 16).orderBy("h", "doc_id")
+    survivors = docs.withColumn("prk", F.row_number().over(shard)).where(
+        F.col("prk") <= cap
+    )
+    final = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(final).cast("bigint"))
+        .where(F.col("rk") <= cap)
+        .select("doc_id", "source", "rk")
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    """
+    WITH built AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.COM/art/' ||
+             CAST(doc_id % 500 AS VARCHAR) ||
+             '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR) ||
+             '&id=' || CAST(doc_id % 211 AS VARCHAR) || '#sec' AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id,
+             string_split(string_split(url, '#')[1], '?') AS pq
+      FROM built),
+    hp AS (
+      SELECT doc_id,
+             lower(string_split(pq[1], '://')[1]) AS scheme,
+             string_split(string_split(pq[1], '://')[2], '/') AS segs,
+             COALESCE(pq[2], '') AS query
+      FROM parts),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' ||
+             regexp_replace(lower(segs[1]), '^www\\.', '') || '/' ||
+             array_to_string(segs[2:], '/') ||
+             CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+      FROM (
+        SELECT doc_id, scheme, segs,
+               array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))), '&') AS cq
+        FROM hp))
+    SELECT canon_url, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM canon GROUP BY canon_url
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization + exact URL-level dedup — the FIRST dedup
+    a crawl pipeline runs (before any content hash): lowercase scheme
+    and host, strip ``www.``, drop the fragment, drop tracking params
+    (utm_*/ref), sort the surviving query params, then group identical
+    canonical URLs keeping the smallest doc_id.  The synthetic URL
+    derives from (source, doc_id) so collisions are real and the
+    whole computation replays in SQL.  Map-side string/array ops +
+    one hash aggregate — no window, no skew hazard (group key is the
+    canonical URL itself)."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/art/"),
+        (k % 500).cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (k % 7).cast("string"),
+        F.lit("&id="),
+        (k % 211).cast("string"),
+        F.lit("#sec"),
+    )
+    nofrag = F.split(url, "#")[0]
+    pq = F.split(nofrag, r"\?")
+    scheme = F.lower(F.split(pq[0], "://")[0])
+    segs = F.split(F.split(pq[0], "://")[1], "/")
+    query = F.coalesce(F.get(pq, 1), F.lit(""))
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
+            )
+        ),
+        "&",
+    )
+    host = F.regexp_replace(F.lower(segs[0]), r"^www\.", "")
+    path = F.array_join(F.slice(segs, 2, 1000), "/")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.lit("/"),
+        path,
+        F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v),
+    q AS (
+      SELECT vec_id, e, mx,
+             list_transform(e, x ->
+               CASE WHEN mx = 0 THEN CAST(0 AS DOUBLE)
+                    WHEN x < 0 THEN -floor(abs(x) * 127.0 / mx + 0.5)
+                    ELSE floor(abs(x) * 127.0 / mx + 0.5) END) AS codes
+      FROM m)
+    SELECT vec_id,
+           CAST(len(e) AS INT) AS n_dims,
+           CAST(floor(mx / 127.0 * 1e9) AS BIGINT) AS scale_fp,
+           CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT))) AS BIGINT)
+             AS code_sum,
+           CAST(list_sum(list_transform(codes, c -> CAST(abs(c) AS BIGINT)))
+             AS BIGINT) AS code_l1,
+           CAST(list_sum(list_transform(
+             list_zip(e, codes),
+             p -> CAST(floor(abs(p[1] - p[2] * (mx / 127.0)) * 1e9) AS BIGINT)))
+             AS BIGINT) AS err_fp
+    FROM q
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (the storage/serving
+    compression step an embedding pipeline applies before shipping
+    vectors to an index: scale = max|v|/127, code = round(v/scale)) +
+    a reconstruction-error audit.  Map-only — zero shuffles, one
+    projection over the array column; codes and the error sum ride a
+    1e9 fixed-point integer grid so the audit hash-matches the oracle
+    on any partitioning.  Round-half-away-from-zero is spelled as
+    floor(|x|+0.5) with an explicit sign split because the engines'
+    native round() disagree at .5."""
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    df = emb.select(
+        "vec_id",
+        e.alias("e"),
+        F.array_max(F.transform(e, lambda x: F.abs(x))).alias("mx"),
+    )
+    mx = F.col("mx")
+    codes = F.transform(
+        "e",
+        lambda x: F.when(mx == 0, F.lit(0.0))
+        .when(x < 0, -F.floor(F.abs(x) * F.lit(127.0) / mx + F.lit(0.5)))
+        .otherwise(F.floor(F.abs(x) * F.lit(127.0) / mx + F.lit(0.5)))
+        .cast("double"),
+    )
+    df = df.select("vec_id", "e", "mx", codes.alias("codes"))
+    zero = F.lit(0).cast("bigint")
+    return df.select(
+        "vec_id",
+        F.size("e").cast("int").alias("n_dims"),
+        F.floor(mx / F.lit(127.0) * F.lit(1e9)).cast("bigint").alias("scale_fp"),
+        F.aggregate(
+            "codes", zero, lambda acc, c: acc + c.cast("bigint")
+        ).alias("code_sum"),
+        F.aggregate(
+            "codes", zero, lambda acc, c: acc + F.abs(c).cast("bigint")
+        ).alias("code_l1"),
+        F.aggregate(
+            F.zip_with(
+                "e",
+                "codes",
+                lambda v, c: F.floor(
+                    F.abs(v - c * (mx / F.lit(127.0))) * F.lit(1e9)
+                ).cast("bigint"),
+            ),
+            zero,
+            lambda acc, t: acc + t,
+        ).alias("err_fp"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Non-hierarchical GROUPING SETS — independent marginals by
+    returnflag and by linestatus in ONE scan (rollup/cube cover only
+    the hierarchical/full lattices; arbitrary sets are the general
+    form a reporting layer compiles to).  Spark executes this as a
+    single Expand (2 replicas) + one hash aggregate — exactly the
+    plan two unioned groupBys would need two scans for; GROUPING()
+    ids disambiguate the NULL-filled non-grouped columns from real
+    NULL values."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    li.createOrReplaceTempView("li_gsets")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "win_cume_dist",
+    """
+    SELECT c_custkey, c_nationkey,
+           cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS cd,
+           percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS pr
+    FROM customer
+    """,
+)
+def win_cume_dist(spark, sf_dir):
+    """Distribution-rank windows: cume_dist (fraction of the partition
+    at or below this row) and percent_rank ((rank-1)/(n-1)) per
+    nation over account balance — the normalized-position features a
+    ranking model consumes.  Tie rows share a value by definition, so
+    the result is engine-independent; one shuffle on the partition
+    key, values are exact small-integer ratios in doubles."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+@register(
+    "sketch_quantile_grid",
+    """
+    WITH b AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+             COUNT(*) AS n
+      FROM lineitem),
+    hist AS (
+      SELECT CAST(least(floor((l_extendedprice - b.mn) /
+                              ((b.mx - b.mn) / 128.0)), 127) AS INT) AS bucket,
+             COUNT(*) AS c
+      FROM lineitem, b GROUP BY 1),
+    cum AS (
+      SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM hist),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    SELECT q,
+           CAST(MIN(bucket) AS INT) AS bucket,
+           b.mn + (CAST(MIN(bucket) AS DOUBLE) + 1.0) * ((b.mx - b.mn) / 128.0)
+             AS approx_le
+    FROM qs, cum, b
+    WHERE cum >= ceil(q * CAST(b.n AS DOUBLE))
+    GROUP BY q, b.mn, b.mx
+    """,
+)
+def sketch_quantile_grid(spark, sf_dir):
+    """Fixed-grid quantile sketch: approximate p50/p90/p99 from a
+    128-bucket equi-width histogram — the scale path for quantiles
+    (an exact quantile is a full sort; the grid is one scan + 128
+    rows of state, error bounded by one bucket width).  The CDF
+    inversion (smallest bucket whose cumulative count crosses
+    ceil(q*n)) is closed-form, so the oracle replays it exactly;
+    the returned value is the bucket's inclusive upper edge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    b = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (F.col("mx") - F.col("mn")) / F.lit(128.0)
+    hist = (
+        li.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / w), F.lit(127)
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("c").over(Window.orderBy("bucket")).alias("cum"),
+    )
+    qs = li.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    return (
+        qs.crossJoin(cum)
+        .crossJoin(F.broadcast(b))
+        .where(
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n").cast("double"))
+        )
+        .groupBy("q", "mn", "mx")
+        .agg(F.min("bucket").cast("int").alias("bucket"))
+        .select(
+            "q",
+            "bucket",
+            (
+                F.col("mn")
+                + (F.col("bucket").cast("double") + F.lit(1.0))
+                * ((F.col("mx") - F.col("mn")) / F.lit(128.0))
+            ).alias("approx_le"),
+        )
     )

@@ -2283,3 +2283,45 @@ def test_kneser_ney_prefers_seen_continuations(spark):
     )
     got = {r.doc_id: r.avg_logprob_kn for r in kneser_ney_score(docs).collect()}
     assert got[1] > got[2]
+
+
+def test_emb_quantize_int8_zero_vector(spark, tmp_path):
+    # an all-zero embedding must take the mx==0 guard (codes all 0,
+    # scale 0, zero reconstruction error), not divide by zero
+    from terminus_server_spark.registry import QUERIES
+
+    spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0], 0), (2, [1.0, -2.0, 0.5], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = {
+        r.vec_id: r
+        for r in QUERIES["emb_quantize_int8"](spark, str(tmp_path)).collect()
+    }
+    z = rows[1]
+    assert (z.scale_fp, z.code_sum, z.code_l1, z.err_fp) == (0, 0, 0, 0)
+    nz = rows[2]
+    # max|v| = 2 -> codes round to (64, -127, 32)
+    assert (nz.code_sum, nz.code_l1) == (64 - 127 + 32, 64 + 127 + 32)
+
+
+def test_docs_domain_caps_matches_one_level_rank(spark, tmp_path):
+    # two-level (source, salt) top-k must equal the plain one-level
+    # ROW_NUMBER cap — including on a single hot source
+    import hashlib
+
+    from terminus_server_spark.registry import QUERIES
+
+    docs = [(i, f"t{i}", "en", "hot" if i < 90 else "cold", 5) for i in range(100)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.source, r.doc_id, r.rk)
+        for r in QUERIES["docs_domain_caps"](spark, str(tmp_path)).collect()
+    )
+    expected = []
+    for src, ids in (("hot", range(90)), ("cold", range(90, 100))):
+        order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expected.extend((src, d, rk + 1) for rk, d in enumerate(order[:40]))
+    assert got == sorted(expected)

@@ -222,6 +222,9 @@ HEADLINE = [
     "agg_grouping_sets",
     "win_cume_dist",
     "sketch_quantile_grid",
+    # round 6: GraphQL nested pagination + introspection
+    "gql_execute_nested_paged",
+    "gql_introspect",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

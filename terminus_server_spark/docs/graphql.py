@@ -239,34 +239,152 @@ def _query_level(frames, relations, cls, args, fields):
                 f"graphql: no relation registered for {cls}.{sub['name']}"
             )
         child_cls, parent_key, child_fk = rel
-        # nested levels support filter (and deeper nesting);
-        # orderBy/limit would need per-PARENT semantics — surface
-        # rather than mis-compile
-        for bad in ("orderBy", "limit", "offset"):
-            if bad in sub["args"]:
-                raise ValueError(
-                    f"graphql: {bad} not supported on nested field {sub['name']}"
-                )
+        # orderBy/limit/offset on a nested field are PER-PARENT
+        # semantics — strip them before recursing (a global limit in
+        # query_documents would be wrong) and apply them here as one
+        # row_number window partitioned by the fk, never a per-parent
+        # subquery.
+        paged = any(k in sub["args"] for k in ("orderBy", "limit", "offset"))
+        child_args = {
+            k: v
+            for k, v in sub["args"].items()
+            if k not in ("orderBy", "limit", "offset")
+        }
         # the child frame keeps its full columns (incl. the fk) —
         # projection happens only at the JSON rendering below
-        child = _query_level(
-            frames, relations, child_cls, sub["args"], sub["fields"]
-        )
+        child = _query_level(frames, relations, child_cls, child_args, sub["fields"])
         sub_names = [f if isinstance(f, str) else f["name"] for f in sub["fields"]]
-        agg = child.groupBy(F.col(child_fk).alias(parent_key)).agg(
-            F.to_json(
-                F.sort_array(
-                    F.collect_list(F.struct(*[F.col(c) for c in sub_names]))
-                )
-            ).alias(sub["name"])
-        )
+        if paged:
+            from pyspark.sql.window import Window
+
+            ob = sub["args"].get("orderBy")
+            items = ob if isinstance(ob, list) else ([ob] if ob else [])
+            order_cols = [
+                F.col(field).asc()
+                if str(direction).upper() == "ASC"
+                else F.col(field).desc()
+                for item in items
+                for field, direction in item.items()
+            ]
+            # deterministic tie-break on the selected fields so the
+            # page content is partitioning-independent
+            order_cols += [F.col(c).asc() for c in sub_names]
+            w = Window.partitionBy(child_fk).orderBy(*order_cols)
+            off = int(sub["args"].get("offset", 0))
+            lim = sub["args"].get("limit")
+            keep = F.col("__rn") > F.lit(off)
+            if lim is not None:
+                keep = keep & (F.col("__rn") <= F.lit(off + int(lim)))
+            child = child.withColumn("__rn", F.row_number().over(w)).where(keep)
+            # JSON array preserves the per-parent orderBy order: sort
+            # the collected structs by rn (first struct field wins the
+            # sort), then strip it
+            agg = child.groupBy(F.col(child_fk).alias(parent_key)).agg(
+                F.to_json(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("__rn").alias("rn"),
+                                    F.struct(
+                                        *[F.col(c) for c in sub_names]
+                                    ).alias("v"),
+                                )
+                            )
+                        ),
+                        lambda x: x["v"],
+                    )
+                ).alias(sub["name"])
+            )
+        else:
+            agg = child.groupBy(F.col(child_fk).alias(parent_key)).agg(
+                F.to_json(
+                    F.sort_array(
+                        F.collect_list(F.struct(*[F.col(c) for c in sub_names]))
+                    )
+                ).alias(sub["name"])
+            )
         out = out.join(agg, parent_key, "left_outer").withColumn(
             sub["name"], F.coalesce(F.col(sub["name"]), F.lit("[]"))
         )
     return out
 
 
-def execute_graphql(frames: dict, src: str, relations: dict | None = None):
+# every field shape the schema document emits (OBJECT name/type/
+# nonNull, INPUT_OBJECT name/type/ops, QUERY name/type/args) —
+# from_json NULLs the members a kind doesn't carry, and to_json drops
+# NULL struct fields again on render, so one permissive schema serves
+# all three kinds.
+_INTROSPECT_DOC = (
+    "struct<name:string,kind:string,"
+    "fields:array<struct<name:string,type:string,nonNull:boolean,"
+    "ops:array<string>,args:array<string>>>>"
+)
+
+_TYPE_FIELD_ATTRS = ("name", "type", "nonNull", "ops", "args")
+
+
+def _type_selection(schema_doc, sel_fields, name=None):
+    """Project the generated schema document (type_name, kind, doc)
+    by a ``__Type`` selection set: scalar fields ``name``/``kind``
+    plus a nested ``fields { ... }`` selection rendered as a JSON
+    array (the doc's canonical name-sorted field order preserved)."""
+    from pyspark.sql import functions as F
+
+    df = schema_doc
+    if name is not None:
+        df = df.where(F.col("type_name") == F.lit(name))
+    parsed = F.from_json(F.col("doc"), _INTROSPECT_DOC)
+    cols = []
+    for f in sel_fields:
+        if isinstance(f, str):
+            if f == "name":
+                cols.append(F.col("type_name").alias("name"))
+            elif f == "kind":
+                cols.append(F.col("kind"))
+            else:
+                raise ValueError(f"graphql: unknown __Type field {f!r}")
+        elif f["name"] == "fields":
+            subs = [s for s in f["fields"] if isinstance(s, str)]
+            bad = [s for s in subs if s not in _TYPE_FIELD_ATTRS]
+            if bad:
+                raise ValueError(f"graphql: unknown __Field attrs {bad}")
+            cols.append(
+                F.to_json(
+                    F.transform(
+                        parsed["fields"],
+                        lambda x: F.struct(*[x[s].alias(s) for s in subs]),
+                    )
+                ).alias("fields")
+            )
+        else:
+            raise ValueError(
+                f"graphql: unknown __Type selection {f['name']!r}"
+            )
+    return df.select(*cols)
+
+
+def _introspect(schema_doc, root, args, fields):
+    if root == "__type":
+        if "name" not in args:
+            raise ValueError("graphql: __type requires a name argument")
+        return _type_selection(schema_doc, fields, name=args["name"])
+    for f in fields:
+        if isinstance(f, dict) and f["name"] == "types":
+            return _type_selection(schema_doc, f["fields"])
+        if isinstance(f, dict) and f["name"] == "queryType":
+            return _type_selection(schema_doc, f["fields"], name="Query")
+    raise ValueError(
+        "graphql: __schema selection must include types or queryType"
+    )
+
+
+def execute_graphql(
+    frames: dict,
+    src: str,
+    relations: dict | None = None,
+    schema=None,
+):
     """Execute a parsed GraphQL request against ``frames`` (class
     name → DataFrame) and return {class: DataFrame}.
 
@@ -276,10 +394,25 @@ def execute_graphql(frames: dict, src: str, relations: dict | None = None):
     selected child fields (sorted, so the rendering is
     partitioning-independent).  Compilation only — filters push to
     scans, a nested level is one filtered child aggregation joined
-    back on the parent key."""
+    back on the parent key.
+
+    ``schema``: the generated schema document DataFrame
+    (:func:`terminus_server_spark.docs.documents.graphql_schema`
+    output).  When provided, ``__schema { types {...} / queryType
+    {...} }`` and ``__type(name: ...)`` introspection roots — the
+    first thing GraphiQL/codegen tooling sends — are answered from
+    it (reference serves the same generated schema over the
+    introspection protocol)."""
     relations = relations or {}
     out = {}
     for cls, req in parse_graphql(src).items():
+        if cls in ("__schema", "__type"):
+            if schema is None:
+                raise ValueError(
+                    "graphql: introspection requires a schema document"
+                )
+            out[cls] = _introspect(schema, cls, req["args"], req["fields"])
+            continue
         if cls not in frames:
             raise ValueError(f"graphql: unknown class {cls!r}")
         level = _query_level(frames, relations, cls, req["args"], req["fields"])

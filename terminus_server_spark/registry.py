@@ -4350,6 +4350,68 @@ def gql_schema(spark, sf_dir):
 
 
 @register(
+    "gql_introspect",
+    """
+    SELECT * FROM (VALUES
+      ('Agent', 'OBJECT', '[{"name":"_id","type":"ID"},{"name":"balance","type":"Float"},{"name":"id","type":"String"},{"name":"name","type":"String"}]'),
+      ('Customer', 'OBJECT', '[{"name":"_id","type":"ID"},{"name":"balance","type":"Float"},{"name":"id","type":"String"},{"name":"name","type":"String"},{"name":"segment","type":"String"}]'),
+      ('Entity', 'OBJECT', '[{"name":"_id","type":"ID"},{"name":"id","type":"String"}]'),
+      ('Nation', 'OBJECT', '[{"name":"_id","type":"ID"},{"name":"_of_Supplier","type":"[Supplier]"},{"name":"name","type":"String"},{"name":"population","type":"Int"}]'),
+      ('Supplier', 'OBJECT', '[{"name":"_id","type":"ID"},{"name":"balance","type":"Float"},{"name":"id","type":"String"},{"name":"name","type":"String"},{"name":"nation","type":"Nation"}]'),
+      ('Agent_Filter', 'INPUT_OBJECT', '[{"name":"_and","type":"[Agent_Filter]"},{"name":"_not","type":"Agent_Filter"},{"name":"_or","type":"[Agent_Filter]"},{"name":"balance","type":"Float"},{"name":"id","type":"String"},{"name":"name","type":"String"}]'),
+      ('Customer_Filter', 'INPUT_OBJECT', '[{"name":"_and","type":"[Customer_Filter]"},{"name":"_not","type":"Customer_Filter"},{"name":"_or","type":"[Customer_Filter]"},{"name":"balance","type":"Float"},{"name":"id","type":"String"},{"name":"name","type":"String"},{"name":"segment","type":"String"}]'),
+      ('Entity_Filter', 'INPUT_OBJECT', '[{"name":"_and","type":"[Entity_Filter]"},{"name":"_not","type":"Entity_Filter"},{"name":"_or","type":"[Entity_Filter]"},{"name":"id","type":"String"}]'),
+      ('Nation_Filter', 'INPUT_OBJECT', '[{"name":"_and","type":"[Nation_Filter]"},{"name":"_not","type":"Nation_Filter"},{"name":"_or","type":"[Nation_Filter]"},{"name":"name","type":"String"},{"name":"population","type":"Int"}]'),
+      ('Supplier_Filter', 'INPUT_OBJECT', '[{"name":"_and","type":"[Supplier_Filter]"},{"name":"_not","type":"Supplier_Filter"},{"name":"_or","type":"[Supplier_Filter]"},{"name":"balance","type":"Float"},{"name":"id","type":"String"},{"name":"name","type":"String"},{"name":"nation","type":"Nation"}]'),
+      ('Query', 'QUERY', '[{"name":"Agent","type":"[Agent]"},{"name":"Customer","type":"[Customer]"},{"name":"Entity","type":"[Entity]"},{"name":"Nation","type":"[Nation]"},{"name":"Supplier","type":"[Supplier]"}]')
+    ) AS t(name, kind, fields)
+    """,
+)
+def gql_introspect(spark, sf_dir):
+    """GraphQL introspection execution: a wire-format ``__schema {
+    types { name kind fields { name type } } }`` request answered
+    through ``execute_graphql`` from the generated schema document —
+    the first query GraphiQL / codegen tooling sends (reference
+    serves introspection over the same generated schema).  The
+    selection projects each type's canonical name-sorted field list
+    to the requested attributes; the oracle restates the full
+    type/field catalog byte-exactly.  Same fixture hierarchy as
+    `gql_schema` (Entity ⊃ Agent ⊃ {Customer, Supplier} + Nation
+    link), so inheritance overrides and the _of_Supplier reverse
+    link flow through introspection too."""
+    from terminus_server_spark.docs.documents import graphql_schema
+    from terminus_server_spark.docs.graphql import execute_graphql
+    from terminus_server_spark.model.triples import inherit_frames
+
+    declared = spark.createDataFrame(
+        [
+            ("Entity", "id", "xsd:string", True),
+            ("Agent", "name", "xsd:string", True),
+            ("Agent", "balance", "xsd:decimal", False),
+            ("Customer", "balance", "xsd:decimal", True),
+            ("Customer", "segment", "xsd:string", False),
+            ("Supplier", "nation", "Nation", True),
+            ("Nation", "name", "xsd:string", True),
+            ("Nation", "population", "xsd:integer", False),
+        ],
+        "class string, predicate string, obj_types string, required boolean",
+    )
+    edges = spark.createDataFrame(
+        [("Customer", "Agent"), ("Supplier", "Agent"), ("Agent", "Entity")],
+        "src string, dst string",
+    )
+    eff = inherit_frames(declared, edges).select(
+        "class", "predicate", "obj_types", "required"
+    )
+    src = """
+    query {
+      __schema { types { name kind fields { name type } } }
+    }
+    """
+    return execute_graphql({}, src, schema=graphql_schema(eff))["__schema"]
+
+
+@register(
     "schema_oneof",
     """
     SELECT c_custkey AS key,
@@ -11949,9 +12011,8 @@ def gql_execute_nested(spark, sf_dir):
     aggregation (collect_list of the selected fields, sorted for a
     partitioning-independent JSON rendering) joined back on the
     parent key — never a per-parent subquery.  Registered relations
-    carry the edge (parent_key, child_fk); unknown nested fields and
-    per-parent orderBy/limit surface as errors instead of
-    mis-compiling."""
+    carry the edge (parent_key, child_fk); unknown nested fields
+    surface as errors instead of mis-compiling."""
     from terminus_server_spark.docs.graphql import execute_graphql
 
     t = _t(spark, sf_dir, "customer", "orders")
@@ -11964,6 +12025,63 @@ def gql_execute_nested(spark, sf_dir):
         orders(filter: {o_orderstatus: {eq: "F"}}) {
           o_orderkey
           o_orderstatus
+        }
+      }
+    }
+    """
+    return execute_graphql(
+        {"Customer": t["customer"], "Order": t["orders"]},
+        src,
+        relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
+    )["Customer"]
+
+
+@register(
+    "gql_execute_nested_paged",
+    """
+    WITH par AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0),
+    ranked AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders WHERE o_orderstatus = 'F'),
+    ch AS (
+      SELECT o_custkey,
+             to_json(list(struct_pack(o_orderkey := o_orderkey)
+                          ORDER BY rn))::VARCHAR AS orders
+      FROM ranked WHERE rn > 1 AND rn <= 3
+      GROUP BY o_custkey)
+    SELECT p.c_custkey, p.c_name,
+           COALESCE(ch.orders, '[]') AS orders
+    FROM par p LEFT JOIN ch ON p.c_custkey = ch.o_custkey
+    """,
+)
+def gql_execute_nested_paged(spark, sf_dir):
+    """GraphQL PER-PARENT pagination on a nested selection set
+    (reference: the generated schema accepts orderBy/limit/offset on
+    related fields, paging each parent's children independently).
+    Compiled as ONE row_number window partitioned by the child fk —
+    `orderBy: {o_totalprice: DESC}, limit: 2, offset: 1` keeps each
+    customer's 2nd and 3rd priciest finished orders — then the same
+    single child aggregation joined back on the parent key; never a
+    per-parent subquery.  The JSON array preserves the orderBy order
+    (structs collected with their row number, sorted, then stripped),
+    and orderBy may name a non-selected column (the child frame keeps
+    full columns until rendering)."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    src = """
+    query {
+      Customer(filter: {_and: [{c_mktsegment: {eq: "BUILDING"}},
+                               {c_acctbal: {gt: 5000.0}}]}) {
+        c_custkey
+        c_name
+        orders(filter: {o_orderstatus: {eq: "F"}},
+               orderBy: {o_totalprice: DESC}, limit: 2, offset: 1) {
+          o_orderkey
         }
       }
     }
@@ -12599,7 +12717,7 @@ def win_cume_dist(spark, sf_dir):
       FROM lineitem, b GROUP BY 1),
     cum AS (
       SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM hist),
-    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
     SELECT q,
            CAST(MIN(bucket) AS INT) AS bucket,
            b.mn + (CAST(MIN(bucket) AS DOUBLE) + 1.0) * ((b.mx - b.mn) / 128.0)

@@ -2228,6 +2228,67 @@ def test_graphql_execute_empty_filter_and_bool_values(spark):
     assert out.columns == ["id", "name"]
 
 
+def test_graphql_nested_paged_per_parent(spark):
+    """Per-parent limit/offset: each parent's children page
+    independently, JSON order follows the nested orderBy, and a
+    parent whose children all fall outside the page renders []."""
+    import json
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    parents = spark.createDataFrame([(1, "p1"), (2, "p2")], "pk long, pn string")
+    children = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 9.0), (1, 12, 7.0), (2, 20, 1.0)],
+        "fk long, ck long, score double",
+    )
+    out = execute_graphql(
+        {"P": parents, "C": children},
+        """query { P {
+             pk
+             kids(orderBy: {score: DESC}, limit: 2, offset: 1) { ck }
+           } }""",
+        relations={("P", "kids"): ("C", "pk", "fk")},
+    )["P"]
+    rows = {r.pk: json.loads(r.kids) for r in out.collect()}
+    # p1's kids by score desc: 11(9.0), 12(7.0), 10(5.0) → page = [12, 10]
+    assert [k["ck"] for k in rows[1]] == [12, 10]
+    # p2 has one child; offset 1 skips it → empty page, not a dropped parent
+    assert rows[2] == []
+
+
+def test_graphql_introspect_type_root(spark):
+    """__type(name:) answers from the generated schema document;
+    missing schema and unknown attrs raise."""
+    import json
+
+    import pytest
+
+    from terminus_server_spark.docs.documents import graphql_schema
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    frames = spark.createDataFrame(
+        [("T", "x", "xsd:integer", True)],
+        "class string, predicate string, obj_types string, required boolean",
+    )
+    doc = graphql_schema(frames)
+    out = execute_graphql(
+        {}, 'query { __type(name: "T") { name kind fields { name nonNull } } }',
+        schema=doc,
+    )["__type"]
+    [row] = out.collect()
+    assert (row.name, row.kind) == ("T", "OBJECT")
+    assert json.loads(row.fields) == [
+        {"name": "_id", "nonNull": True},
+        {"name": "x", "nonNull": True},
+    ]
+    with pytest.raises(ValueError, match="introspection requires"):
+        execute_graphql({}, "query { __schema { types { name } } }")
+    with pytest.raises(ValueError, match="unknown __Field attrs"):
+        execute_graphql(
+            {}, 'query { __type(name: "T") { fields { bogus } } }', schema=doc
+        )
+
+
 def test_msf_boruvka_multi_round_merge(spark):
     """A comb graph forcing >1 Boruvka round and the locally-minimal
     component-merge case (a component whose id is smaller than all

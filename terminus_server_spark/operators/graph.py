@@ -1207,21 +1207,39 @@ def topo_layers(nodes: DataFrame, edges: DataFrame, max_iters: int = 100) -> Dat
     ``nodes``: one column ``node``; ``edges``: (src, dst), assumed
     acyclic (run condensation first — on a cyclic input the layer
     relaxation would never converge, so exhausting ``max_iters``
-    raises rather than returning wrong depths)."""
-    layers = nodes.select(F.col("node"), F.lit(0).cast("bigint").alias("layer"))
-    n_nodes = None
-    for _ in range(max_iters):
-        cand = (
-            edges.join(
-                layers.select(F.col("node").alias("src"), F.col("layer").alias("_sl")),
-                "src",
+    raises rather than returning wrong depths).
+
+    Frontier-restricted: only nodes whose layer CHANGED last round
+    re-emit candidates (a node's layer is monotone and every
+    in-neighbor's final layer is emitted on its last change, so the
+    max still accumulates exactly); the frontier is broadcast once it
+    fits, turning the per-round edge join map-side.  Edges are
+    materialized once up front (callers hand in computed DAGs —
+    typically a condensation — and re-running that lineage every
+    round would dominate), and the loop's shuffles are sized to the
+    node count, not the session default, as in SCC."""
+    layers, n_nodes = loop_checkpoint_count(
+        nodes.select(F.col("node"), F.lit(0).cast("bigint").alias("layer"))
+    )
+    edges, _ = loop_checkpoint_count(edges.select("src", "dst"))
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(prev_parts), -(-n_nodes // 50_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        frontier, n_front = layers, n_nodes
+        for _ in range(max_iters):
+            f_src = frontier.select(
+                F.col("node").alias("src"), F.col("layer").alias("_sl")
             )
-            .groupBy(F.col("dst").alias("node"))
-            .agg((F.max("_sl") + 1).alias("_cand"))
-        )
-        stepped = (
-            layers.join(cand, "node", "left_outer")
-            .select(
+            if n_front <= 200_000:
+                f_src = F.broadcast(f_src)
+            cand = (
+                edges.join(f_src, "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg((F.max("_sl") + 1).alias("_cand"))
+            )
+            stepped = layers.join(cand, "node", "left_outer").select(
                 "node",
                 F.greatest(F.col("layer"), F.coalesce("_cand", F.col("layer"))).alias(
                     "layer"
@@ -1232,11 +1250,14 @@ def topo_layers(nodes: DataFrame, edges: DataFrame, max_iters: int = 100) -> Dat
                 .otherwise(0)
                 .alias("_chg"),
             )
-        )
-        stepped, n_chg = loop_checkpoint_sum(stepped, "_chg", size_hint=n_nodes)
-        layers = stepped.select("node", "layer")
-        if n_chg == 0:
-            return layers
+            stepped, n_chg = loop_checkpoint_sum(stepped, "_chg", size_hint=n_nodes)
+            layers = stepped.select("node", "layer")
+            if n_chg == 0:
+                return layers
+            frontier = stepped.where(F.col("_chg") == 1).select("node", "layer")
+            n_front = n_chg
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     raise RuntimeError(f"topo_layers did not converge in {max_iters} rounds (cycle?)")
 
 
@@ -1246,13 +1267,37 @@ def ktruss(edges: DataFrame, k: int = 4, max_iters: int = 30) -> DataFrame:
     (cohesive-community mining; the edge-grain analogue of k-core and
     a much stronger filter against star/boilerplate shapes).
 
-    Iterative support pruning: per round, each surviving edge's
-    triangle support is one two-hop self-join keyed on the edge's
-    endpoints (pairs never materialize beyond actual wedges), edges
-    below threshold drop, repeat to fixpoint.  Rounds are bounded by
-    the pruning cascade depth; edge state shrinks monotonically and
-    is checkpointed per round.  Peel order cannot affect the result
-    (the k-truss is unique), so the output is engine-independent."""
+    Iterative support pruning with INCREMENTAL maintenance: the first
+    round computes every edge's triangle support (one two-hop
+    self-join keyed on the edge's endpoints — pairs never materialize
+    beyond actual wedges); every later round recomputes support ONLY
+    for survivor edges incident to a deleted edge's endpoint (any
+    triangle (a,b,c) an edge (a,b) loses must have lost (a,c) or
+    (b,c), both of which share an endpoint with (a,b)), carrying the
+    stored support for untouched edges.  Cascade-deep graphs thus pay
+    per round for the cascade's *frontier*, not a full wedge join.
+    Edge state shrinks monotonically and is checkpointed per round;
+    the k-truss is unique, so peel order cannot affect the result."""
+
+    def _support(lhs, full):
+        # triangle support of each lhs edge against the full survivor
+        # set: wedge (a,b)+(a,c), closed iff (min,max)(b,c) is an edge
+        adj = full.select("a", "b").union(
+            full.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        return (
+            lhs.join(adj.select(F.col("a"), F.col("b").alias("c")), "a")
+            .where(F.col("c") != F.col("b"))
+            .join(
+                full.select(F.col("a").alias("_x"), F.col("b").alias("_y")),
+                (F.least("b", "c") == F.col("_x"))
+                & (F.greatest("b", "c") == F.col("_y")),
+                "left_semi",
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("_sup"))
+        )
+
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -1262,37 +1307,42 @@ def ktruss(edges: DataFrame, k: int = 4, max_iters: int = 30) -> DataFrame:
     )
     und, n_e = loop_checkpoint_count(und)
     need = k - 2
+    if n_e == 0:
+        return und
+    # cur: (a, b, _sup) — stored support, exact vs the current edge set
+    cur = und.join(_support(und, und), ["a", "b"], "left_outer").select(
+        "a", "b", F.coalesce(F.col("_sup"), F.lit(0).cast("bigint")).alias("_sup")
+    )
+    cur, n_e = loop_checkpoint_count(cur, size_hint=n_e)
     for _ in range(max_iters):
-        if n_e == 0:
-            return und
-        adj = und.select("a", "b").union(
-            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        dropped = cur.where(F.col("_sup") < need)
+        surv = cur.where(F.col("_sup") >= need).select("a", "b", "_sup")
+        surv, n_surv = loop_checkpoint_count(surv, size_hint=n_e)
+        if n_surv == n_e:
+            return surv.select("a", "b")
+        if n_surv == 0:
+            return surv.select("a", "b")
+        # endpoints of this round's deletions — only survivor edges
+        # touching them can have lost a triangle
+        dirty = (
+            dropped.select(F.col("a").alias("n"))
+            .union(dropped.select(F.col("b")))
+            .distinct()
         )
-        # wedges through c: edge (a,b) + neighbor c of a; close if
-        # (min(b,c), max(b,c)) is an edge
-        support = (
-            und.join(adj.select(F.col("a"), F.col("b").alias("c")), "a")
-            .where(F.col("c") != F.col("b"))
-            .join(
-                und.select(
-                    F.col("a").alias("_x"), F.col("b").alias("_y")
-                ),
-                (F.least("b", "c") == F.col("_x"))
-                & (F.greatest("b", "c") == F.col("_y")),
-                "left_semi",
-            )
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("_sup"))
+        edges_only = surv.select("a", "b")
+        touched = edges_only.join(
+            dirty.select(F.col("n").alias("a")), "a", "left_semi"
+        ).unionByName(
+            edges_only.join(dirty.select(F.col("n").alias("b")), "b", "left_semi")
+        ).distinct()
+        fresh = touched.join(_support(touched, edges_only), ["a", "b"], "left_outer").select(
+            "a", "b", F.coalesce(F.col("_sup"), F.lit(0).cast("bigint")).alias("_sup")
         )
-        kept = (
-            und.join(support, ["a", "b"], "left_outer")
-            .where(F.coalesce(F.col("_sup"), F.lit(0)) >= need)
-            .select("a", "b")
+        cur = (
+            surv.join(touched, ["a", "b"], "left_anti")
+            .unionByName(fresh)
         )
-        kept, n_kept = loop_checkpoint_count(kept, size_hint=n_e)
-        if n_kept == n_e:
-            return kept
-        und, n_e = kept, n_kept
+        cur, n_e = loop_checkpoint_count(cur, size_hint=n_surv)
     raise RuntimeError(f"ktruss did not converge in {max_iters} rounds")
 
 
@@ -1339,39 +1389,71 @@ def msf_boruvka(edges: DataFrame, max_iters: int = 30) -> DataFrame:
         cross, n_cross = loop_checkpoint_count(cross)
         if n_cross == 0:
             break
-        # each component's minimum outgoing edge, deterministic order
-        cand = cross.select(F.col("ca").alias("comp"), "a", "b", "w").union(
-            cross.select(F.col("cb").alias("comp"), "a", "b", "w")
+        # each component's minimum outgoing edge, deterministic order;
+        # carry the OTHER endpoint's component so the same aggregate
+        # yields both the forest edges and the merge's parent pointers
+        cand = cross.select(
+            F.col("ca").alias("comp"), F.col("cb").alias("oc"), "a", "b", "w"
+        ).union(
+            cross.select(F.col("cb").alias("comp"), F.col("ca").alias("oc"), "a", "b", "w")
         )
-        picked = (
-            cand.groupBy("comp")
-            .agg(F.min(F.struct("w", "a", "b")).alias("m"))
-            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.w").alias("w"))
-            .distinct()
+        pick = plan_checkpoint(
+            cand.groupBy("comp").agg(F.min(F.struct("w", "a", "b", "oc")).alias("m")),
+            size_hint=n_cross,
         )
+        picked = pick.select(
+            F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.w").alias("w")
+        ).distinct()
         picked = plan_checkpoint(picked)
         forest_parts.append(picked)
-        # merge touched components: min-label propagation with pointer
-        # jumping over the picked edges' component graph (bounded by
-        # the component count)
-        pe = (
-            picked.join(lab_a, "a")
-            .join(lab_b, "b")
-            .select(F.col("ca").alias("x"), F.col("cb").alias("y"))
+        # merge touched components — NOT a generic CC call: each
+        # touched component has exactly one pick, so comp → picked
+        # neighbor is a functional graph whose only cycles are
+        # 2-cycles (following min picks, edge structs are
+        # non-increasing around a cycle, and structs are unique ⇒
+        # cycle length 2).  Break the 2-cycles to min-of-pair
+        # self-rooted roots, then pointer-jump the resulting forest
+        # to its roots in O(log depth) component-bounded self-joins.
+        p = pick.select("comp", F.col("m.oc").alias("parent"))
+        gp = (
+            p.alias("x")
+            .join(
+                p.alias("y").select(
+                    F.col("comp").alias("parent"), F.col("parent").alias("gp")
+                ),
+                "parent",
+            )
+            .select("comp", "parent", "gp")
         )
-        # full connectivity over the picked component graph — a
-        # min-neighbor pass alone is NOT enough (a locally-minimal
-        # component with only larger neighbors would keep its own
-        # label while a smaller label sits two hops away), so reuse
-        # the proven pointer-jumping CC on this bounded frame
-        cc = connected_components(
-            pe.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        ptr = gp.select(
+            "comp",
+            F.when(F.col("gp") == F.col("comp"), F.least("comp", "parent"))
+            .otherwise(F.col("parent"))
+            .alias("parent"),
         )
+        ptr, n_ptr = loop_checkpoint_count(ptr, size_hint=n_cross)
+        for _ in range(max_iters):
+            jumped = (
+                ptr.alias("x")
+                .join(
+                    ptr.alias("y").select(
+                        F.col("comp").alias("parent"), F.col("parent").alias("_np")
+                    ),
+                    "parent",
+                )
+                .select(
+                    "comp",
+                    F.col("_np").alias("parent"),
+                    F.when(F.col("_np") != F.col("parent"), 1).otherwise(0).alias("_chg"),
+                )
+            )
+            jumped, n_jchg = loop_checkpoint_sum(jumped, "_chg", size_hint=n_ptr)
+            ptr = jumped.select("comp", "parent")
+            if n_jchg == 0:
+                break
         labels = (
             labels.join(
-                cc.select(F.col("node").alias("comp"), F.col("component").alias("lab")),
-                "comp",
-                "left_outer",
+                ptr.select("comp", F.col("parent").alias("lab")), "comp", "left_outer"
             )
             .select("node", F.coalesce("lab", F.col("comp")).alias("comp"))
         )

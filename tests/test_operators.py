@@ -2321,6 +2321,50 @@ def test_ktruss_empty_and_k4(spark):
     assert ktruss(k4, k=5).count() == 0
 
 
+def _py_ktruss(edge_set, k):
+    """Independent reference peeler: recompute every support each
+    round, drop below-threshold edges, to fixpoint."""
+    edges = {tuple(sorted(e)) for e in edge_set}
+    need = k - 2
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept = {
+            (a, b)
+            for a, b in edges
+            if len(adj[a] & adj[b]) >= need
+        }
+        if kept == edges:
+            return edges
+        edges = kept
+
+
+def test_ktruss_deep_cascade_matches_reference_peeler(spark):
+    """Deterministic pseudo-random graph whose 4-truss peel cascades
+    over multiple rounds — the shape the incremental support
+    maintenance must get right (untouched edges carry stored support;
+    only edges incident to deletions recompute)."""
+    import hashlib
+
+    edges = set()
+    for i in range(400):
+        h = hashlib.md5(f"kt{i}".encode()).hexdigest()
+        a, b = int(h[:4], 16) % 40, int(h[4:8], 16) % 40
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    expected = _py_ktruss(edges, 4)
+    # sanity: the fixture actually cascades (some edges survive, some drop)
+    assert 0 < len(expected) < len(edges)
+
+    from terminus_server_spark.operators.graph import ktruss
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {(r.a, r.b) for r in ktruss(df, k=4).collect()}
+    assert got == expected
+
+
 def test_topo_layers_raises_on_cycle(spark):
     import pytest as _pytest
 

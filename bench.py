@@ -222,9 +222,10 @@ HEADLINE = [
     "agg_grouping_sets",
     "win_cume_dist",
     "sketch_quantile_grid",
-    # round 6: GraphQL nested pagination + introspection
+    # round 6: GraphQL nested pagination + introspection, yearMonth durations
     "gql_execute_nested_paged",
     "gql_introspect",
+    "woql_duration_ym_compare",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -406,9 +406,32 @@ def duration_seconds(col):
         + part(r"T[^M]*?(\d+)M") * 60.0
         + part(r"T.*?(\d+(?:\.\d+)?)S") * 1.0
     )
+    sign = F.when(col.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
     return F.when(col.rlike(r"^-?P[^T]*[YM]"), F.lit(None).cast("double")).otherwise(
-        sec
+        sign * sec
     )
+
+
+def duration_months(col):
+    """Numeric shadow for the ``xsd:yearMonthDuration`` subset of
+    xsd:duration (``-?PnYnM``, each part optional, NO day/time part):
+    signed total months ``±(12·Y + M)``.  Pure yearMonth durations
+    ARE totally ordered by month count — it is only the *mixed*
+    year/month + day/time forms (P1M vs P30D) that aren't — so this
+    shadow complements :func:`duration_seconds` exactly: dayTime
+    durations order by seconds, yearMonth durations by months, and
+    mixed forms stay NULL under both.  Pure regexp column
+    expressions, engine-portable."""
+
+    def part(pat):
+        s = F.regexp_extract(col, pat, 1)
+        return F.when(s == "", F.lit(0.0)).otherwise(s.cast("double"))
+
+    months = part(r"(\d+)Y") * 12.0 + part(r"(\d+)M") * 1.0
+    sign = F.when(col.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    return F.when(
+        col.rlike(r"^-?P(?=\d)(\d+Y)?(\d+M)?$"), sign * months
+    ).otherwise(F.lit(None).cast("double"))
 
 
 def nt_escape(col):

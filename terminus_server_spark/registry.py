@@ -2755,6 +2755,92 @@ def woql_duration_compare(spark, sf_dir):
 
 
 @register(
+    "woql_duration_ym_compare",
+    """
+    WITH d(subj, dur, months) AS (
+      SELECT 'Order/' || CAST(o_orderkey AS VARCHAR),
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN 'P' || CAST(o_orderkey % 5 AS VARCHAR) || 'DT'
+                       || CAST(o_orderkey % 23 AS VARCHAR) || 'H'
+                  ELSE CASE WHEN o_orderkey % 5 = 0 THEN '-' ELSE '' END
+                       || 'P' || CAST(o_orderkey % 9 AS VARCHAR) || 'Y'
+                       || CAST(o_orderkey % 12 AS VARCHAR) || 'M' END,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE (CASE WHEN o_orderkey % 5 = 0 THEN -1.0 ELSE 1.0 END)
+                       * CAST((o_orderkey % 9) * 12 + (o_orderkey % 12) AS DOUBLE)
+             END
+      FROM orders)
+    SELECT subj, dur, months
+    FROM d
+    WHERE months IS NULL OR months > 60.0 OR months < -30.0
+    """,
+)
+def woql_duration_ym_compare(spark, sf_dir):
+    """xsd:yearMonthDuration native comparison: pure yearMonth
+    durations (``-?PnYnM``) ARE totally ordered by month count —
+    12·Y+M — even though mixed durations aren't; the reference's
+    typed-literal layer orders the yearMonthDuration subtype the same
+    way.  Synthesizes signed yearMonth durations (negatives included
+    — the sign must flip the shadow, not vanish) plus dayTime rows
+    per order, roundtrips through N-Triples, re-derives the month
+    shadow from the parsed lexical form (model/triples.py:
+    duration_months), and filters on it natively: dayTime rows
+    survive via IS NULL, yearMonth rows by the signed month window.
+    Same staged import shape as `woql_duration_compare` (materialized
+    dump, width re-spread, checkpoint before the derived-column
+    filter so the regex chain runs once per row, not once per
+    reference)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.model.triples import (
+        duration_months,
+        from_ntriples,
+        to_ntriples,
+    )
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    dur = F.when(
+        k % 7 == 0,
+        F.concat(
+            F.lit("P"), (k % 5).cast("string"), F.lit("DT"),
+            (k % 23).cast("string"), F.lit("H"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.when(k % 5 == 0, F.lit("-")).otherwise(F.lit("")),
+            F.lit("P"), (k % 9).cast("string"), F.lit("Y"),
+            (k % 12).cast("string"), F.lit("M"),
+        )
+    )
+    trips = orders.select(
+        F.concat(F.lit("Order/"), k.cast("string")).alias("subject"),
+        F.lit("billing_period").alias("predicate"),
+        dur.alias("obj"),
+        F.lit("xsd:duration").alias("obj_type"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    width = spark.sparkContext.defaultParallelism
+    nt_lines = plan_checkpoint(
+        to_ntriples(trips, base=_NT_B).select("line").repartition(width)
+    )
+    parsed = from_ntriples(nt_lines, base=_NT_B)
+    shadowed = plan_checkpoint(
+        parsed.select(
+            F.col("subject").alias("subj"),
+            F.col("obj").alias("dur"),
+            duration_months(F.col("obj")).alias("months"),
+        )
+    )
+    return shadowed.where(
+        F.col("months").isNull()
+        | (F.col("months") > 60.0)
+        | (F.col("months") < -30.0)
+    )
+
+
+@register(
     "woql_similarity",
     """
     SELECT 'Nation/' || CAST(a.n_nationkey AS VARCHAR) AS n1,

@@ -367,3 +367,78 @@ def test_bm25_matches_python_reference(spark, texts):
         if round(s, 6) > 0:
             want[i] = round(s, 6)
     assert got == want
+
+
+@st.composite
+def _xsd_durations(draw):
+    """One xsd:duration lexical form + its expected shadows.
+    Covers negatives, fractional seconds, pure yearMonth, pure
+    dayTime, and mixed (both-shadow-NULL) forms."""
+    neg = draw(st.booleans())
+    y = draw(st.one_of(st.none(), st.integers(0, 40)))
+    mo = draw(st.one_of(st.none(), st.integers(0, 30)))
+    d = draw(st.one_of(st.none(), st.integers(0, 40)))
+    h = draw(st.one_of(st.none(), st.integers(0, 40)))
+    mi = draw(st.one_of(st.none(), st.integers(0, 99)))
+    s_int = draw(st.one_of(st.none(), st.integers(0, 99)))
+    s_frac = draw(st.one_of(st.none(), st.integers(0, 99)))
+    if (y, mo, d, h, mi, s_int) == (None,) * 6:
+        y = draw(st.integers(0, 40))  # at least one part
+    s_lex = None
+    s_val = None
+    if s_int is not None:
+        s_lex = str(s_int) if s_frac is None else f"{s_int}.{s_frac:02d}"
+        s_val = float(s_lex)
+    lex = ("-" if neg else "") + "P"
+    lex += f"{y}Y" if y is not None else ""
+    lex += f"{mo}M" if mo is not None else ""
+    lex += f"{d}D" if d is not None else ""
+    if h is not None or mi is not None or s_lex is not None:
+        lex += "T"
+        lex += f"{h}H" if h is not None else ""
+        lex += f"{mi}M" if mi is not None else ""
+        lex += f"{s_lex}S" if s_lex is not None else ""
+    sign = -1.0 if neg else 1.0
+    ym_bearing = y is not None or mo is not None
+    dt_bearing = any(v is not None for v in (d, h, mi, s_val))
+    exp_sec = (
+        None
+        if ym_bearing
+        else sign * ((d or 0) * 86400.0 + (h or 0) * 3600.0 + (mi or 0) * 60.0 + (s_val or 0.0))
+    )
+    exp_months = None if dt_bearing else sign * (12.0 * (y or 0) + (mo or 0))
+    return (lex, exp_sec, exp_months)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_xsd_durations(), min_size=1, max_size=15, unique_by=lambda t: t[0]))
+def test_duration_roundtrip_and_shadow_invariants(spark, durs):
+    """import∘export identity through N-Triples for xsd:duration
+    lexical forms, plus the shadow laws: duration_seconds is the
+    signed total-seconds exactly for day/time-only forms (NULL iff
+    year/month-bearing), duration_months the signed month count
+    exactly for yearMonth-only forms (NULL iff day/time-bearing) —
+    the invariant pair that would have caught the P1M-as-60-seconds
+    bug a round earlier."""
+    from terminus_server_spark.model.triples import (
+        duration_months,
+        from_ntriples,
+        to_ntriples,
+    )
+
+    base = "http://example.org/"
+    rows = [(f"D/{i}", "dur", lex, "xsd:duration", None) for i, (lex, _, _) in enumerate(durs)]
+    trips = spark.createDataFrame(
+        rows, "subject string, predicate string, obj string, obj_type string, obj_lang string"
+    )
+    lines = to_ntriples(trips, base=base).select("line")
+    back = from_ntriples(lines, base=base).select(
+        "subject", "obj", "obj_type", "obj_num", duration_months(F.col("obj")).alias("obj_mo")
+    )
+    got = {r.subject: r for r in back.collect()}
+    assert len(got) == len(durs)
+    for i, (lex, exp_sec, exp_months) in enumerate(durs):
+        r = got[f"D/{i}"]
+        assert r.obj == lex and r.obj_type == "xsd:duration"
+        assert r.obj_num == exp_sec, (lex, r.obj_num, exp_sec)
+        assert r.obj_mo == exp_months, (lex, r.obj_mo, exp_months)

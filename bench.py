@@ -222,10 +222,15 @@ HEADLINE = [
     "agg_grouping_sets",
     "win_cume_dist",
     "sketch_quantile_grid",
-    # round 6: GraphQL nested pagination + introspection, yearMonth durations
+    # round 6: GraphQL nested pagination + introspection, yearMonth durations,
+    # header sniffing, bundle, backfill, Adamic-Adar
     "gql_execute_nested_paged",
     "gql_introspect",
     "woql_duration_ym_compare",
+    "mm_header_probe",
+    "vc_bundle",
+    "stream_backfill_caps",
+    "graph_adamic_adar",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series
@@ -280,6 +285,15 @@ def main() -> None:
     # series makes any residual inflation visible in the output.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
+    # SPARK_GRAFT_BENCH_ALL=1: one-off full-registry pass — every
+    # registered key, not just HEADLINE, so no operator family is
+    # perf-invisible.  Off the default path (the driver's per-round
+    # budget fits the headline set); run with reps=1 for a survey,
+    # writes the same BENCH_DETAIL.json shape.
+    names = list(HEADLINE)
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL", "") == "1":
+        names = names + sorted(k for k in QUERIES if k not in set(HEADLINE))
+
     def run_once(name: str) -> tuple[float, int]:
         t0 = time.perf_counter()
         n = QUERIES[name](spark, sf_dir).count()
@@ -289,7 +303,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     calibration: list[float] = []
-    for i, name in enumerate(HEADLINE):
+    for i, name in enumerate(names):
         if i % CALIBRATE_EVERY == 0:
             calibration.append(round(run_once(CALIBRATION)[0], 3))
         best, n = run_once(name)

@@ -490,6 +490,56 @@ def node_jaccard(
     )
 
 
+def adamic_adar(
+    bipartite: DataFrame,
+    node_col: str,
+    feature_col: str,
+    k: int = 20,
+    max_fanout: int = MAX_FEATURE_FANOUT,
+) -> DataFrame:
+    """(s1, s2, inter, aa): top-k node pairs by Adamic-Adar score —
+    the frequency-weighted link-prediction sibling of
+    :func:`node_jaccard`: each shared feature c contributes
+    ``1/ln(fanout(c))``, so rare shared features count more than
+    ubiquitous ones (the same rationale as IDF, but per-feature
+    inside the score rather than as a filter).
+
+    Same scale shape as node_jaccard: candidates ONLY via the
+    shared-feature self-join (cost Σ_c fanout(c)², never node²) with
+    the hot-feature cap on both generation and scoring.  A feature
+    needs fanout ≥ 2 to produce a pair, so ln(fanout) ≥ ln 2 > 0 —
+    no division guard needed.  Per-term fixed-point pin (round to 9
+    decimals, exact DECIMAL sum) keeps the float sum associative and
+    engine-portable."""
+    ps = bipartite.select(
+        F.col(feature_col).alias("p"), F.col(node_col).alias("s")
+    ).distinct()
+    fan = (
+        ps.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("fan"))
+        .where(F.col("fan") <= max_fanout)
+    )
+    ps = ps.join(fan, "p").transform(plan_checkpoint)
+    a = ps.select("p", F.col("s").alias("s1"), "fan")
+    b = ps.select("p", F.col("s").alias("s2"))
+    term = F.round(F.lit(1.0) / F.log(F.col("fan").cast("double")), 9).cast(
+        "decimal(28,12)"
+    )
+    pairs = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("inter"), F.sum(term).alias("_aa"))
+    )
+    return (
+        pairs.select(
+            "s1", "s2", "inter", F.round(F.col("_aa").cast("double"), 6).alias("aa")
+        )
+        .orderBy(F.col("aa").desc(), "s1", "s2")
+        .limit(k)
+    )
+
+
 def hot_features(
     bipartite: DataFrame,
     node_col: str,

@@ -148,6 +148,62 @@ def resize_images(mm: DataFrame, target: int = 64) -> DataFrame:
     return mm.mapInPandas(run, RESIZE_SCHEMA)
 
 
+def _hx(p, pos: int, n: int):
+    return F.hex(F.substring(p, pos, n))
+
+
+def _be(p, pos: int, n: int):
+    """Big-endian unsigned int from n payload bytes at 1-based pos."""
+    return F.conv(_hx(p, pos, n), 16, 10).cast("bigint")
+
+
+def _le(p, pos: int, n: int):
+    """Little-endian unsigned int: reverse the hex byte pairs, then
+    parse as base-16 — still a pure JVM expression."""
+    h = _hx(p, pos, n)
+    pairs = [F.substring(h, i * 2 + 1, 2) for i in range(n)][::-1]
+    return F.conv(F.concat(*pairs), 16, 10).cast("bigint")
+
+
+def sniff_headers(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-format sniffing + header-field extraction over
+    opaque binary payloads with BUILT-IN byte expressions only
+    (``substring`` on binary, ``hex``, ``conv``) — no codec library,
+    no Python worker: the real 100 TB path for "what is this blob"
+    classification, which must run on every object before any decode
+    is scheduled.  Magic numbers are the public container specs:
+
+    - PNG  ``89 50 4E 47 0D 0A 1A 0A``; width/height are the IHDR
+      chunk's first two big-endian u32s (bytes 17-24).
+    - GIF  ``GIF89a``; width/height are little-endian u16s at 7-10.
+    - WAV  ``RIFF`` .... ``WAVE``; sample rate is the fmt chunk's
+      little-endian u32 at bytes 25-28.
+    - JPEG ``FF D8 FF``; dimensions live in a variable-offset SOF
+      marker, so mime is detected but dims stay NULL (a real scan
+      walks the marker chain — decoder territory, not sniffing).
+
+    Unknown payloads keep ``application/octet-stream`` with NULL
+    fields.  Output: (doc_id, mime, width, height, sample_rate)."""
+    p = F.col(payload_col)
+    is_png = _hx(p, 1, 8) == "89504E470D0A1A0A"
+    is_gif = _hx(p, 1, 6) == "474946383961"
+    is_wav = (_hx(p, 1, 4) == "52494646") & (_hx(p, 9, 4) == "57415645")
+    is_jpg = _hx(p, 1, 3) == "FFD8FF"
+    null_i = F.lit(None).cast("bigint")
+    return mm.select(
+        "doc_id",
+        F.when(is_png, F.lit("image/png"))
+        .when(is_gif, F.lit("image/gif"))
+        .when(is_wav, F.lit("audio/wav"))
+        .when(is_jpg, F.lit("image/jpeg"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime"),
+        F.when(is_png, _be(p, 17, 4)).when(is_gif, _le(p, 7, 2)).otherwise(null_i).alias("width"),
+        F.when(is_png, _be(p, 21, 4)).when(is_gif, _le(p, 9, 2)).otherwise(null_i).alias("height"),
+        F.when(is_wav, _le(p, 25, 4)).otherwise(null_i).alias("sample_rate"),
+    )
+
+
 def sample_frames(mm: DataFrame, every_k: int = 4) -> DataFrame:
     """Frame sampling for video payloads: emit one row per k-th frame
     — a row-count-*increasing* ``mapInPandas`` (the batch shape real

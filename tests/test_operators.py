@@ -2365,6 +2365,30 @@ def test_ktruss_deep_cascade_matches_reference_peeler(spark):
     assert got == expected
 
 
+def test_betweenness_diamond_and_path(spark):
+    """Diamond 1-2/1-3/2-4/3-4 exercises sigma=2 (every node carries
+    exactly 0.5: two split geodesics); path P4 has the closed form
+    (i)(n-1-i)."""
+    from terminus_server_spark.operators.graph import betweenness
+
+    diamond = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    got = {r.node: r.betweenness for r in betweenness(diamond).collect()}
+    assert got == {1: 0.5, 2: 0.5, 3: 0.5, 4: 0.5}
+
+    p4 = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    got = {r.node: r.betweenness for r in betweenness(p4).collect()}
+    assert got == {1: 0.0, 2: 2.0, 3: 2.0, 4: 0.0}
+
+    # pivot restriction: only paths FROM source 1 count (no /2
+    # correction is applied by the operator beyond the global halving,
+    # so values are exactly half the single-source dependencies)
+    piv = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.betweenness for r in betweenness(p4, sources=piv).collect()}
+    assert got == {2: 1.0, 3: 0.5, 4: 0.0}
+
+
 def test_sniff_headers_on_real_file_prefixes(spark):
     """Header bytes lifted from genuine files (not the registry
     fixture's formula): a 1x1 PNG, a 2x3 GIF89a, a 44100 Hz WAV, a

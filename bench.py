@@ -233,6 +233,8 @@ HEADLINE = [
     "graph_adamic_adar",
     "graph_betweenness",
     "sketch_kmv_grouped",
+    "emb_matryoshka_audit",
+    "stream_fanout_sinks",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -86,6 +86,51 @@ def brute_force_topk(
     )
 
 
+def matryoshka_topk_audit(
+    emb: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, n_hits, recall): Matryoshka-style prefix-dimension
+    retrieval audit — rank by cosine over only the FIRST
+    ``prefix_dim`` components (truncate + implicit renormalization:
+    cosine divides by the truncated norms) and measure recall@k
+    against the full-dimension exact top-k.  This is the standard
+    MRL serving pattern: a d/4 prefix scan is ~4× cheaper per vector
+    (and the prefix index fits where the full one doesn't); the
+    audit quantifies what the truncation costs on YOUR corpus before
+    you commit the serving index to it.  Two brute-force rankings +
+    one semi-join; same fixed-point cosine convention as every ANN
+    operator here, so the audit itself is oracle-reproducible."""
+    def trunc(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dim).alias(vec_col)
+        )
+
+    full = brute_force_topk(emb, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    pre = brute_force_topk(trunc(emb), trunc(queries), k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        pre.join(full, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = queries.select(F.col(id_col).alias("query_id")).distinct()
+    return base.join(hits, "query_id", "left_outer").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))).alias(
+            "recall"
+        ),
+    )
+
+
 COMP_SCALE = 1e6  # centroid-component fixed point (inputs are unit-ish)
 
 

@@ -1412,6 +1412,61 @@ def ann_topk_brute(spark, sf_dir):
 
 
 @register(
+    "emb_matryoshka_audit",
+    f"""
+    WITH {_PARTS_SQL},
+    tparts AS (
+      SELECT vec_id, list_transform(embedding[1:16], x -> x::DOUBLE) AS v,
+             list_sum(list_transform(embedding[1:16],
+               x -> floor(x::DOUBLE * x::DOUBLE * 1e12)::BIGINT)) AS norm
+      FROM embeddings),
+    q AS (SELECT * FROM parts WHERE vec_id < 5),
+    tq AS (SELECT * FROM tparts WHERE vec_id < 5),
+    full_rk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rk
+        FROM q a CROSS JOIN parts b WHERE a.vec_id <> b.vec_id)
+      WHERE rk <= 10),
+    pre_rk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rk
+        FROM tq a CROSS JOIN tparts b WHERE a.vec_id <> b.vec_id)
+      WHERE rk <= 10),
+    hits AS (
+      SELECT p.query_id, COUNT(*)::BIGINT AS n_hits
+      FROM pre_rk p JOIN full_rk f
+        ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+      GROUP BY p.query_id)
+    SELECT e.vec_id AS query_id,
+           COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+           COALESCE(h.n_hits, 0)::DOUBLE / 10.0 AS recall
+    FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) e
+    LEFT JOIN hits h ON e.vec_id = h.query_id
+    """,
+)
+def emb_matryoshka_audit(spark, sf_dir):
+    """Matryoshka prefix-dimension retrieval audit
+    (operators/similarity.py:matryoshka_topk_audit): rank by cosine
+    over the first 16 of 64 components (MRL serving — 4x cheaper
+    scan, prefix index fits in memory) and measure recall@10 against
+    the full-dimension exact top-k.  Both rankings use the
+    fixed-point cosine convention, so the recall numbers themselves
+    are bit-reproduced by the oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import matryoshka_topk_audit
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return matryoshka_topk_audit(
+        emb, emb.where(F.col("vec_id") < 5), prefix_dim=16, k=10
+    )
+
+
+@register(
     "ann_hard_negatives",
     f"""
     WITH {_PARTS_SQL},
@@ -5601,6 +5656,37 @@ def vc_clone(spark, sf_dir):
     return cloned.groupBy("commit_seq", "commit_id", "op").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@register(
+    "stream_fanout_sinks",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {_dsum_sql('value')} AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n_archived
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_fanout_sinks(spark, sf_dir):
+    """One stream, two sinks, exactly-once on both
+    (streaming/events.py:run_stream_fanout): each micro-batch
+    foreachBatch-writes a raw ARCHIVE (batch-id-addressed directory)
+    and a keyed ROLLUP (version chained off batch_id, read-modify-
+    write-swap) — both deterministic functions of batch_id, so the
+    harness's deliberate REPLAY of the final batch (foreachBatch's
+    at-least-once retry) changes nothing.  Output joins the rollup
+    with per-type archive counts; any duplicate from the retry
+    breaks both against the whole-table oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_fanout
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    archive, rollup = run_stream_fanout(spark, ev, ["event_type"])
+    arch_counts = archive.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_archived")
+    )
+    return rollup.join(arch_counts, "event_type")
 
 
 @register(

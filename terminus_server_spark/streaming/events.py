@@ -630,3 +630,96 @@ def backfill_file_source(
     second.repartition(n_files_each).write.mode("append").parquet(src)
     n2 = drain()
     return spark.read.parquet(sink), n1, n2
+
+
+def run_stream_fanout(
+    spark: SparkSession,
+    source_df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    max_files_per_trigger: int = 2,
+    n_files: int = 4,
+):
+    """foreachBatch FAN-OUT to two sinks with per-batch idempotence —
+    the one-stream-many-sinks production pattern (raw archive for
+    replay + live rollup for serving) where each sink write must be
+    a deterministic function of ``batch_id`` so foreachBatch's
+    at-least-once retries collapse to exactly-once:
+
+    - archive sink: raw micro-batch rows at a batch-id-addressed path
+      (a retry overwrites the SAME directory — no duplicates);
+    - rollup sink: keyed aggregate versions chained as
+      ``v[batch_id] = merge(v[batch_id-1], batch)`` (read-modify-
+      write-swap; a retry recomputes the same version from the same
+      inputs — idempotent by construction, and never overwrites a
+      file it is reading).
+
+    After the drain, the LAST batch is deliberately replayed through
+    the same writer (simulating a foreachBatch retry after a sink
+    failure); both sinks must be byte-identical afterwards, which the
+    caller's oracle comparison enforces.  Returns
+    ``(archive_df, rollup_df)``."""
+    import glob
+    import os as _os
+
+    tmp = tempfile.mkdtemp(prefix="tss_fanout_", dir="/tmp")
+    src = _os.path.join(tmp, "src")
+    ckpt = _os.path.join(tmp, "ckpt")
+    archive = _os.path.join(tmp, "archive")
+    state = {"last": -1}
+
+    def rollup_of(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(28,6)")).alias("_sv"),
+        )
+
+    def fanout(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_df.write.mode("overwrite").parquet(
+            _os.path.join(archive, f"b{batch_id}")
+        )
+        agg = rollup_of(batch_df)
+        prev = _os.path.join(tmp, f"roll_v{batch_id - 1}")
+        if _os.path.exists(prev):
+            agg = (
+                s.read.parquet(prev)
+                .unionByName(agg)
+                .groupBy(*key_cols)
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.sum("_sv").cast("decimal(28,6)").alias("_sv"),
+                )
+            )
+        agg.write.mode("overwrite").parquet(_os.path.join(tmp, f"roll_v{batch_id}"))
+        state["last"] = max(state["last"], batch_id)
+
+    source_df.repartition(n_files).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fanout)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # simulate the at-least-once retry: re-run the LAST batch through
+    # the same writer — both sinks must come out unchanged
+    last = state["last"]
+    # materialize the replay rows BEFORE the retry overwrites the very
+    # directory they come from (a real retry re-reads the source, not
+    # its own sink — localCheckpoint stands in for that)
+    replay = spark.read.parquet(_os.path.join(archive, f"b{last}")).localCheckpoint(
+        eager=True
+    )
+    fanout(replay, last)
+    archive_df = spark.read.parquet(_os.path.join(archive, "b*"))
+    rollup_df = spark.read.parquet(_os.path.join(tmp, f"roll_v{last}")).select(
+        *key_cols, "n", F.col("_sv").cast("double").alias("sum_value")
+    )
+    return archive_df, rollup_df

@@ -235,6 +235,7 @@ HEADLINE = [
     "sketch_kmv_grouped",
     "emb_matryoshka_audit",
     "stream_fanout_sinks",
+    "vc_purge_subject",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -5729,6 +5729,59 @@ def stream_backfill_caps(spark, sf_dir):
 
 
 @register(
+    "vc_purge_subject",
+    f"""
+    SELECT 2 AS ref, CAST(COUNT(*) AS BIGINT) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE ((o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+        OR (o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'))
+      AND o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), {_dsum_sql('o_totalprice')}
+    FROM orders
+    WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000)
+      AND o_orderkey % 97 <> 0
+    """,
+)
+def vc_purge_subject(spark, sf_dir):
+    """GDPR erasure over versioned history
+    (versioning/layers.py:purge_keys): purging every 97th order
+    rewrites the layer pool so NO ref — not head, not time-travel —
+    materializes the purged entities again, while every surviving
+    entity's state at every ref is untouched (deletion alone is not
+    erasure: a del layer still leaves the data reachable at earlier
+    refs).  Output: the post-purge materialized aggregates at refs 2
+    AND 3; the oracle restates both from the base table, so a single
+    leaked or lost row at either ref breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize, purge_keys
+
+    layers = _layers(spark, sf_dir)
+    purged = purge_keys(
+        layers,
+        layers.select("o_orderkey").where(F.col("o_orderkey") % 97 == 0).distinct(),
+        ["o_orderkey"],
+    )
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    purged = plan_checkpoint(purged)
+    parts = []
+    for ref in (2, 3):
+        parts.append(
+            materialize(purged, ref, ["o_orderkey", "o_totalprice"])
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .select(F.lit(ref).alias("ref"), "n", "sum_price")
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@register(
     "vc_bundle",
     f"""
     SELECT 1 AS commit_seq, 'c1' AS commit_id, CAST(COUNT(*) AS BIGINT) AS n,

@@ -32,6 +32,20 @@ def materialize(layers: DataFrame, at_seq: int, key_cols: list[str]) -> DataFram
     )
 
 
+def purge_keys(layers: DataFrame, keys: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Right-to-be-forgotten over immutable history: a NEW layer pool
+    with every row about the purged entity keys removed — adds AND
+    dels, from EVERY commit — so no ref can materialize the purged
+    data anymore, while every other entity's state at every ref is
+    bit-identical.  Layers themselves stay immutable: this is
+    rewrite-and-swap at the pool grain (the reference's erasure story
+    is the same history rewrite — deletion alone is not erasure,
+    because time-travel still reaches the old layer).  One anti-join,
+    scales with |layers|; ``keys`` broadcasts when small (the usual
+    GDPR request batch)."""
+    return layers.join(keys, key_cols, "left_anti")
+
+
 def diff(layers: DataFrame, from_seq: int, to_seq: int, key_cols: list[str]) -> DataFrame:
     """Triple-level diff between two commits: (op ∈ {added, removed},
     key...).  Two materializations + anti-joins."""

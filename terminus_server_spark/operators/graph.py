@@ -749,12 +749,21 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
     # width, so only loop state is affected.
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     loop_parts = max(1, min(int(prev_parts), -(-n_rem // 50_000)))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # AQE re-plans (and schedules a job per) EVERY exchange — on the
+    # loop's frontier-sized state that is pure per-round overhead
+    # (measured ~18 % of SCC wall time at sf0.1), and its main
+    # benefit, small-partition coalescing, is already delivered by
+    # the frontier-sized partition clamp above.  Restored on exit;
+    # only loop-internal plans are affected.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _scc_loop(e, n_e, rem, n_rem, _restrict_fn, max_iters)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def _restrict_fn(edges_df: DataFrame, nodes_df: DataFrame) -> DataFrame:
@@ -784,18 +793,23 @@ def _scc_loop(e, n_e, rem, n_rem, _restrict, max_iters: int) -> DataFrame:
         # (n_live == n_rem ⇒ nothing trivial this round), the peeled
         # frame is the lazy anti-join of two already-materialized
         # leaves, and the restricted edge set is checkpointed *lazily*
-        # so its blocks materialize inside the NEXT round's count job
-        # instead of a dedicated eager job.
-        while True:
-            live, n_live = loop_checkpoint_count(
-                e.select(F.col("src").alias("n"), F.lit(1).alias("o"), F.lit(0).alias("i"))
-                .union(e.select("dst", F.lit(0), F.lit(1)))
+        # so its blocks materialize inside the NEXT round's count job.
+        # (Unrolling several lazy peels per job was tried and is a
+        # LOSS: the semi-join/union structure duplicates subplans 4×
+        # per level, and the duplicated exchanges execute for real —
+        # job count drops but wall time rises.)
+        def _live_of(ed):
+            return (
+                ed.select(F.col("src").alias("n"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+                .union(ed.select("dst", F.lit(0), F.lit(1)))
                 .groupBy("n")
                 .agg(F.max("o").alias("o"), F.max("i").alias("i"))
                 .where((F.col("o") == 1) & (F.col("i") == 1))
-                .select("n"),
-                size_hint=n_rem,
+                .select("n")
             )
+
+        while True:
+            live, n_live = loop_checkpoint_count(_live_of(e), size_hint=n_rem)
             if n_live == n_rem:
                 break
             done.append(

@@ -118,6 +118,38 @@ def plan_checkpoint(df: DataFrame, size_hint: int | None = None) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def loop_tuning(spark, state_rows: int | None = None):
+    """Per-loop session tuning for iterative fixpoint operators, on
+    the pattern proven in SCC (graph.py):
+
+    - shuffle partitions sized to the LOOP STATE, not the session
+      default — a 32-way exchange over a few thousand frontier rows
+      repeated tens of rounds is pure task-scheduling overhead;
+    - AQE disabled — it schedules (and re-plans) a job per exchange,
+      which on frontier-sized state is per-round overhead (~18 % of
+      SCC wall time at sf0.1), while its small-partition coalescing
+      is exactly what the clamp already delivers.
+
+    Both settings restore on exit, so only loop-internal plans are
+    affected; one-time input materializations should run BEFORE
+    entering (at session width, with AQE)."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    if state_rows is not None:
+        lp = max(1, min(int(prev_parts), -(-state_rows // 50_000)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(lp))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
 def spread_input(df: DataFrame) -> DataFrame:
     """Round-robin an under-partitioned input up to cluster width —
     for operators whose MAP side multiplies the data (explode to

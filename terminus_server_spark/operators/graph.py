@@ -19,6 +19,7 @@ from terminus_server_spark.checkpoint import (
     loop_checkpoint,
     loop_checkpoint_count,
     loop_checkpoint_sum,
+    loop_tuning,
     plan_checkpoint,
 )
 
@@ -57,57 +58,62 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             .distinct()
             .transform(loop_checkpoint)
         )
-        labels = (
+        labels, n_lab = loop_checkpoint_count(
             und.select(F.col("src").alias("node"))
             .union(und.select(F.col("dst").alias("node")))
             .distinct()
             .withColumn("component", F.col("node"))
-            .transform(loop_checkpoint)
         )
-        for _ in range(max_iters):
-            # candidate labels arriving over edges
-            prop = (
-                und.join(labels, und["src"] == labels["node"])
-                .select(F.col("dst").alias("node"), "component")
+        with loop_tuning(edges.sparkSession, n_lab):
+            labels = _cc_loop(und, labels, max_iters)
+    return labels
+
+
+def _cc_loop(und: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:
+    for _ in range(max_iters):
+        # candidate labels arriving over edges
+        prop = (
+            und.join(labels, und["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "component")
+        )
+        propagated = (
+            labels.select("node", "component")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: follow the label chain one hop
+        # (component := component's component), halving chain depth
+        new_labels = (
+            propagated.alias("l1")
+            .join(
+                propagated.select(
+                    F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+                ).alias("l2"),
+                F.col("l1.component") == F.col("c_node"),
+                "left_outer",
             )
-            propagated = (
-                labels.select("node", "component")
-                .union(prop)
-                .groupBy("node")
-                .agg(F.min("component").alias("component"))
+            .select(
+                F.col("l1.node").alias("node"),
+                F.least(
+                    F.col("l1.component"), F.coalesce(F.col("c_comp"), F.col("l1.component"))
+                ).alias("component"),
             )
-            # pointer jump: follow the label chain one hop
-            # (component := component's component), halving chain depth
-            new_labels = (
-                propagated.alias("l1")
-                .join(
-                    propagated.select(
-                        F.col("node").alias("c_node"), F.col("component").alias("c_comp")
-                    ).alias("l2"),
-                    F.col("l1.component") == F.col("c_node"),
-                    "left_outer",
-                )
-                .select(
-                    F.col("l1.node").alias("node"),
-                    F.least(
-                        F.col("l1.component"), F.coalesce(F.col("c_comp"), F.col("l1.component"))
-                    ).alias("component"),
-                )
-                # fixpoint flag computed inside the same plan so the
-                # checkpoint job doubles as the changed-count probe
-                .join(
-                    labels.select("node", F.col("component").alias("_old")), "node"
-                )
-                .select(
-                    "node",
-                    "component",
-                    (F.col("component") != F.col("_old")).cast("int").alias("_chg"),
-                )
+            # fixpoint flag computed inside the same plan so the
+            # checkpoint job doubles as the changed-count probe
+            .join(
+                labels.select("node", F.col("component").alias("_old")), "node"
             )
-            new_labels, n_changed = loop_checkpoint_sum(new_labels, "_chg")
-            labels = new_labels.drop("_chg")
-            if n_changed == 0:
-                break
+            .select(
+                "node",
+                "component",
+                (F.col("component") != F.col("_old")).cast("int").alias("_chg"),
+            )
+        )
+        new_labels, n_changed = loop_checkpoint_sum(new_labels, "_chg")
+        labels = new_labels.drop("_chg")
+        if n_changed == 0:
+            break
     return labels
 
 
@@ -328,6 +334,11 @@ def betweenness(
         F.lit(1.0).alias("sigma"),
     )
     frontier, n_f = loop_checkpoint_count(frontier)
+    with loop_tuning(edges.sparkSession, n_f):
+        return _betweenness_passes(und, frontier, n_f, max_iters)
+
+
+def _betweenness_passes(und, frontier, n_f, max_iters):
     levels = [frontier]
     seen = frontier.select("source", "node")
     for _ in range(max_iters):
@@ -458,6 +469,11 @@ def kcore(
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
+    with loop_tuning(edges.sparkSession, n_edges):
+        return _kcore_loop(cur, n_edges, k, rounds, broadcast_edge_limit)
+
+
+def _kcore_loop(cur, n_edges, k, rounds, broadcast_edge_limit):
     for _ in range(rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         # keep-set size is bounded by the surviving node count (≤ edge
@@ -1376,11 +1392,7 @@ def topo_layers(nodes: DataFrame, edges: DataFrame, max_iters: int = 100) -> Dat
         nodes.select(F.col("node"), F.lit(0).cast("bigint").alias("layer"))
     )
     edges, _ = loop_checkpoint_count(edges.select("src", "dst"))
-    spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(1, min(int(prev_parts), -(-n_nodes // 50_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
+    with loop_tuning(edges.sparkSession, n_nodes):
         frontier, n_front = layers, n_nodes
         for _ in range(max_iters):
             f_src = frontier.select(
@@ -1410,8 +1422,6 @@ def topo_layers(nodes: DataFrame, edges: DataFrame, max_iters: int = 100) -> Dat
                 return layers
             frontier = stepped.where(F.col("_chg") == 1).select("node", "layer")
             n_front = n_chg
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     raise RuntimeError(f"topo_layers did not converge in {max_iters} rounds (cycle?)")
 
 
@@ -1468,6 +1478,11 @@ def ktruss(edges: DataFrame, k: int = 4, max_iters: int = 30) -> DataFrame:
         "a", "b", F.coalesce(F.col("_sup"), F.lit(0).cast("bigint")).alias("_sup")
     )
     cur, n_e = loop_checkpoint_count(cur, size_hint=n_e)
+    with loop_tuning(edges.sparkSession, n_e):
+        return _ktruss_loop(cur, n_e, need, max_iters, _support)
+
+
+def _ktruss_loop(cur, n_e, need, max_iters, _support):
     for _ in range(max_iters):
         dropped = cur.where(F.col("_sup") < need)
         surv = cur.where(F.col("_sup") >= need).select("a", "b", "_sup")
@@ -1534,6 +1549,11 @@ def msf_boruvka(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     )
     labels, _ = loop_checkpoint_count(labels)
     forest_parts: list[DataFrame] = [und.limit(0)]
+    with loop_tuning(edges.sparkSession, n_e):
+        return _msf_loop(und, n_e, labels, forest_parts, max_iters)
+
+
+def _msf_loop(und, n_e, labels, forest_parts, max_iters):
     for _ in range(max_iters):
         lab_a = labels.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
         lab_b = labels.select(F.col("node").alias("b"), F.col("comp").alias("cb"))

@@ -25,7 +25,11 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, functions as F
 
-from terminus_server_spark.checkpoint import loop_checkpoint, loop_checkpoint_count
+from terminus_server_spark.checkpoint import (
+    loop_checkpoint,
+    loop_checkpoint_count,
+    loop_tuning,
+)
 
 from terminus_server_spark.woql import path_ast as P
 
@@ -71,30 +75,31 @@ def transitive_closure(
         # hops — min-hops falls out for free and `reached` stays a
         # FLAT union of checkpointed layers (no re-dedup, no
         # re-checkpoint of the accumulator).
-        frontier = base.withColumn("hops", F.lit(1)).transform(loop_checkpoint)
+        frontier, n_base = loop_checkpoint_count(base.withColumn("hops", F.lit(1)))
         layers = [frontier]
         reached_keys = frontier.select("src", "dst")
-        for _ in range(max_iters):
-            grown = (
-                frontier.alias("f")
-                .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
-                .select(
-                    F.col("f.src").alias("src"),
-                    F.col("e.dst").alias("dst"),
-                    (F.col("f.hops") + 1).alias("hops"),
+        with loop_tuning(spark, n_base):
+            for _ in range(max_iters):
+                grown = (
+                    frontier.alias("f")
+                    .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
+                    .select(
+                        F.col("f.src").alias("src"),
+                        F.col("e.dst").alias("dst"),
+                        (F.col("f.hops") + 1).alias("hops"),
+                    )
                 )
-            )
-            # checkpoint + empty-frontier probe fused into one job
-            new, n_new = loop_checkpoint_count(
-                grown.join(reached_keys, on=["src", "dst"], how="left_anti")
-                .groupBy("src", "dst")
-                .agg(F.min("hops").alias("hops"))
-            )
-            if n_new == 0:
-                break
-            layers.append(new)
-            reached_keys = reached_keys.union(new.select("src", "dst"))
-            frontier = new
+                # checkpoint + empty-frontier probe fused into one job
+                new, n_new = loop_checkpoint_count(
+                    grown.join(reached_keys, on=["src", "dst"], how="left_anti")
+                    .groupBy("src", "dst")
+                    .agg(F.min("hops").alias("hops"))
+                )
+                if n_new == 0:
+                    break
+                layers.append(new)
+                reached_keys = reached_keys.union(new.select("src", "dst"))
+                frontier = new
         reached = layers[0]
         for layer in layers[1:]:
             reached = reached.unionByName(layer)
@@ -241,34 +246,37 @@ def trace_paths(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
             .transform(loop_checkpoint)
         )
-        frontier = base.select(
-            "src", "dst", F.lit(1).alias("hops"),
-            F.concat_ws(">", F.col("src"), F.col("dst")).alias("path"),
-        ).transform(loop_checkpoint)
+        frontier, n_base = loop_checkpoint_count(
+            base.select(
+                "src", "dst", F.lit(1).alias("hops"),
+                F.concat_ws(">", F.col("src"), F.col("dst")).alias("path"),
+            )
+        )
         layers = [frontier]
         reached = frontier.select("src", "dst")
-        for _ in range(max_iters):
-            grown = (
-                frontier.alias("f")
-                .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
-                .select(
-                    F.col("f.src").alias("src"),
-                    F.col("e.dst").alias("dst"),
-                    (F.col("f.hops") + 1).alias("hops"),
-                    F.concat_ws(">", F.col("f.path"), F.col("e.dst")).alias("path"),
+        with loop_tuning(spark, n_base):
+            for _ in range(max_iters):
+                grown = (
+                    frontier.alias("f")
+                    .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
+                    .select(
+                        F.col("f.src").alias("src"),
+                        F.col("e.dst").alias("dst"),
+                        (F.col("f.hops") + 1).alias("hops"),
+                        F.concat_ws(">", F.col("f.path"), F.col("e.dst")).alias("path"),
+                    )
                 )
-            )
-            new = (
-                grown.join(reached, on=["src", "dst"], how="left_anti")
-                .groupBy("src", "dst")
-                .agg(F.min("hops").alias("hops"), F.min("path").alias("path"))
-            )
-            new, n_new = loop_checkpoint_count(new)
-            if n_new == 0:
-                break
-            layers.append(new)
-            reached = reached.union(new.select("src", "dst"))
-            frontier = new
+                new = (
+                    grown.join(reached, on=["src", "dst"], how="left_anti")
+                    .groupBy("src", "dst")
+                    .agg(F.min("hops").alias("hops"), F.min("path").alias("path"))
+                )
+                new, n_new = loop_checkpoint_count(new)
+                if n_new == 0:
+                    break
+                layers.append(new)
+                reached = reached.union(new.select("src", "dst"))
+                frontier = new
         out = layers[0]
         for layer in layers[1:]:
             out = out.unionByName(layer)

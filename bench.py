@@ -236,6 +236,7 @@ HEADLINE = [
     "emb_matryoshka_audit",
     "stream_fanout_sinks",
     "vc_purge_subject",
+    "rdf_nquads",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -472,6 +472,15 @@ def to_ntriples(triples: DataFrame, base: str = "http://example.org/") -> DataFr
     lang-tagged strings as ``"lit"@tag``.  Pure per-row string
     expressions — the export is a map-only job that parallelizes to
     however many output shards the sink asks for."""
+    return triples.select(
+        "subject",
+        F.concat(_nt_terms(base), F.lit(" .")).alias("line"),
+    )
+
+
+def _nt_terms(base: str):
+    """``<s> <p> <o-term>`` column expression shared by the N-Triples
+    and N-Quads serializers."""
     rdf_type_iri = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
     s_iri = F.concat(F.lit(f"<{base}i/"), F.col("subject"), F.lit(">"))
     p_iri = F.when(
@@ -495,9 +504,22 @@ def to_ntriples(triples: DataFrame, base: str = "http://example.org/") -> DataFr
             )
         )
     )
+    return F.concat(s_iri, F.lit(" "), p_iri, F.lit(" "), o_term)
+
+
+def to_nquads(triples: DataFrame, base: str = "http://example.org/") -> DataFrame:
+    """(subject, line): N-Quads — N-Triples plus the graph term
+    (reference: graphs are first-class resources — instance / schema /
+    commit — and a whole-database dump must say which graph each
+    statement lives in; N-Quads is the standard line format for
+    that).  Same term conventions as :func:`to_ntriples` with the
+    graph IRI under ``{base}g/`` before the final period; map-only,
+    shards with the sink."""
     return triples.select(
         "subject",
-        F.concat(s_iri, F.lit(" "), p_iri, F.lit(" "), o_term, F.lit(" .")).alias("line"),
+        F.concat(
+            _nt_terms(base), F.lit(f" <{base}g/"), F.col("graph"), F.lit("> .")
+        ).alias("line"),
     )
 
 
@@ -505,7 +527,7 @@ def from_ntriples(
     lines: DataFrame,
     base: str = "http://example.org/",
     line_col: str = "line",
-    graph: str = "instance",
+    graph: str | None = "instance",
 ) -> DataFrame:
     """Inverse of :func:`to_ntriples`: parse canonical N-Triples lines
     back into a typed triple frame — the reference's triple-load /
@@ -528,6 +550,19 @@ def from_ntriples(
     b = _re.escape(base)
     line = F.col(line_col)
     quoted = r'"((?:[^"\\]|\\.)*)"'
+    graph_expr = F.lit(graph)
+    if graph is None:
+        # N-Quads mode (from_nquads): the graph term is the 4th
+        # position; extract it and strip it so the triple grammar
+        # below applies unchanged
+        graph_expr = F.regexp_extract(line, f" <{b}g/([^>]*)> \\.$", 1)
+        line = F.concat(
+            F.regexp_replace(line, f" <{b}g/[^>]*> \\.$", ""), F.lit(" .")
+        )
+    lines = lines.select(
+        graph_expr.alias("_graph"), line.alias(line_col)
+    )
+    line = F.col(line_col)
 
     # Staged projections, deliberately: collapsed into one SELECT,
     # every reference to ``obj`` re-inlines the whole
@@ -541,12 +576,14 @@ def from_ntriples(
     # Still one map-only stage at runtime (projections fuse into the
     # same whole-stage-codegen span, each as its own method).
     stage1 = lines.select(
+        "_graph",
         F.regexp_extract(line, f"^<{b}i/([^>]*)>", 1).alias("subject"),
         F.regexp_extract(line, r"^<[^>]*> <([^>]*)> ", 1).alias("_p_iri"),
         F.regexp_extract(line, r"^<[^>]*> <[^>]*> (.*) \.$", 1).alias("_oterm"),
     )
     oterm = F.col("_oterm")
     stage2 = stage1.select(
+        "_graph",
         "subject",
         "_p_iri",
         "_oterm",
@@ -565,6 +602,7 @@ def from_ntriples(
         oterm.startswith("<").alias("_is_iri"),
     )
     stage3 = stage2.select(
+        "_graph",
         "subject",
         "_p_iri",
         "_lang_tag",
@@ -587,7 +625,7 @@ def from_ntriples(
     obj = F.col("obj")
     obj_type = F.col("obj_type")
     return stage3.select(
-        F.lit(graph).alias("graph"),
+        F.col("_graph").alias("graph"),
         "subject",
         F.when(
             F.col("_p_iri") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
@@ -605,6 +643,19 @@ def from_ntriples(
             obj_type.isin("xsd:dateTime", "xsd:date"), obj.cast("timestamp_ntz")
         ).alias("obj_ts"),
     )
+
+
+def from_nquads(
+    lines: DataFrame,
+    base: str = "http://example.org/",
+    line_col: str = "line",
+) -> DataFrame:
+    """Inverse of :func:`to_nquads`: N-Quads lines back into a typed
+    triple frame with the per-statement GRAPH extracted from the 4th
+    term (``graph=None`` flips :func:`from_ntriples` into quad mode —
+    the triple grammar is shared, the graph term is stripped first).
+    ``from_nquads(to_nquads(t)) == t`` including the graph column."""
+    return from_ntriples(lines, base=base, line_col=line_col, graph=None)
 
 
 def _pn_escape(col):

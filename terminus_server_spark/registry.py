@@ -2050,6 +2050,66 @@ def rdf_import(spark, sf_dir):
 
 
 @register(
+    "rdf_nquads",
+    """
+    WITH trip(graph, subject, predicate, obj, obj_type) AS (
+      SELECT 'instance', 'Nation/' || n_nationkey, 'rdf:type', 'Nation', 'iri' FROM nation
+      UNION ALL
+      SELECT 'instance', 'Nation/' || n_nationkey, 'n_name', n_name, 'xsd:string' FROM nation
+      UNION ALL
+      SELECT 'instance', 'Nation/' || n_nationkey, 'n_region',
+             'Region/' || n_regionkey, 'iri' FROM nation
+      UNION ALL
+      SELECT 'audit', 'Customer/' || c_custkey, 'rdf:type', 'Customer', 'iri' FROM customer
+      UNION ALL
+      SELECT 'audit', 'Customer/' || c_custkey, 'c_acctbal',
+             c_acctbal::VARCHAR, 'xsd:decimal' FROM customer
+      UNION ALL
+      SELECT 'audit', 'Customer/' || c_custkey, 'c_nation',
+             'Nation/' || c_nationkey, 'iri' FROM customer)
+    SELECT graph, subject, predicate, obj, obj_type,
+           CASE WHEN obj_type = 'xsd:decimal' THEN obj::DOUBLE END AS obj_num
+    FROM trip
+    """,
+)
+def rdf_nquads(spark, sf_dir):
+    """N-Quads dump + load (model/triples.py:to_nquads/from_nquads):
+    graphs are first-class in the reference (instance / schema /
+    commit), so a whole-database dump must carry each statement's
+    graph — N-Quads is that wire format.  Two graphs roundtrip here
+    (nation facts in `instance`, customer facts in `audit`); the
+    graph column must come back from the 4th term, not a constant.
+    Same term grammar as the N-Triples pair, shared serializer."""
+    from terminus_server_spark.model.triples import (
+        from_nquads,
+        to_nquads,
+        triples_from_table,
+    )
+
+    t = _t(spark, sf_dir, "nation", "customer")
+    trips = triples_from_table(
+        t["nation"],
+        "Nation",
+        "n_nationkey",
+        value_cols=["n_name"],
+        ref_cols={"n_regionkey": ("Region", "n_region")},
+    ).unionByName(
+        triples_from_table(
+            t["customer"],
+            "Customer",
+            "c_custkey",
+            value_cols=["c_acctbal"],
+            ref_cols={"c_nationkey": ("Nation", "c_nation")},
+            graph="audit",
+        )
+    )
+    lines = to_nquads(trips, base=_NT_B).select("line")
+    return from_nquads(lines, base=_NT_B).select(
+        "graph", "subject", "predicate", "obj", "obj_type", "obj_num"
+    )
+
+
+@register(
     "rdf_export_turtle",
     f"""
     SELECT '' AS subject, '@prefix i: <{_NT_B}i/> .' AS line

@@ -237,6 +237,9 @@ HEADLINE = [
     "stream_fanout_sinks",
     "vc_purge_subject",
     "rdf_nquads",
+    "woql_typecast_safe",
+    "stream_dedup_within_watermark",
+    "docs_domain_blocklist",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

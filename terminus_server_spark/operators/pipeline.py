@@ -190,6 +190,39 @@ def kmv_distinct_estimate(
     )
 
 
+def domain_blocklist_verdicts(
+    docs: DataFrame, host_col: str, blocked: DataFrame, key_col: str = "doc_id"
+) -> DataFrame:
+    """docs + ``blocked_by`` (NULL = kept): URL-host blocklist
+    filtering with SUFFIX-hierarchy matching — ``a.b.example.com`` is
+    blocked by a list entry ``example.com``, but ``not-example.com``
+    is NOT (matching happens at label boundaries, never substrings).
+    The crawl-hygiene step that runs before any content processing.
+
+    Each host explodes into its dot-suffixes (bounded by its label
+    count, ~4-6 rows) and inner-joins the BROADCAST blocklist; the
+    verdict joins back on the key.  A 100 TB corpus pays one map-side
+    explode plus one broadcast join — no shuffle of the corpus.
+    ``blocked`` is one ``domain`` column; ties (several list entries
+    matching one host) resolve to the lexicographically smallest
+    entry so the verdict is deterministic."""
+    from pyspark.sql.functions import broadcast
+
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    hits = (
+        docs.select(F.col(key_col), F.explode(sufs).alias("_suf"))
+        .join(broadcast(blocked.select(F.col("domain").alias("_suf"))), "_suf")
+        .groupBy(key_col)
+        .agg(F.min("_suf").alias("blocked_by"))
+    )
+    return docs.join(hits, key_col, "left_outer")
+
+
 def kmv_grouped_estimate(
     df: DataFrame, group_col: str, col: str, k: int = 256
 ) -> DataFrame:

@@ -2685,6 +2685,54 @@ def woql_typecast(spark, sf_dir):
 
 
 @register(
+    "woql_typecast_safe",
+    """
+    SELECT 'Customer/' || c_custkey AS c,
+           CASE WHEN c_custkey % 3 = 0 THEN 'N/A' ELSE c_acctbal::VARCHAR END AS raw,
+           TRY_CAST(CASE WHEN c_custkey % 3 = 0 THEN 'N/A'
+                         ELSE c_acctbal::VARCHAR END AS DOUBLE) AS val
+    FROM customer
+    """,
+)
+def woql_typecast_safe(spark, sf_dir):
+    """Guarded typecast (Typecast(..., safe=True) → try_cast): an
+    uncastable lexical form binds NULL instead of erroring the query.
+    The DEFAULT Typecast stays strict — Spark runs ANSI mode, so a bad
+    cast raises at runtime exactly like the reference's casting
+    errors (terminus-server casting/3 throws on malformed lexical
+    forms) — and the safe variant is the dirty-data filter shape
+    (cast, then IS NULL routes the rejects).  Every 3rd customer's
+    score is the unparseable 'N/A'."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    raw = F.when(k % 3 == 0, F.lit("N/A")).otherwise(
+        F.col("c_acctbal").cast("string")
+    )
+    trips = cust.select(
+        F.lit("instance").alias("graph"),
+        F.concat(F.lit("Customer/"), k.cast("string")).alias("subject"),
+        F.lit("score").alias("predicate"),
+        raw.alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    )
+    q = A.Select(
+        [A.v("c"), A.v("raw"), A.v("val")],
+        A.And(
+            A.Triple(A.v("c"), "score", A.v("raw")),
+            A.Typecast(A.v("raw"), "xsd:double", A.v("val"), safe=True),
+        ),
+    )
+    return WOQLContext(TripleStore(trips)).run(q)
+
+
+@register(
     "woql_lang",
     """
     SELECT 'Doc/' || doc_id AS d, text AS txt, lang AS tag
@@ -7060,6 +7108,43 @@ def stream_dedup_q(spark, sf_dir):
     return deduped.agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id"))
 
 
+@register(
+    "stream_dedup_within_watermark",
+    """
+    SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM (SELECT DISTINCT event_id FROM events)
+    """,
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    keeps a key's state only for the watermark delay instead of
+    forever — the 100 TB streaming-dedup shape (plain dropDuplicates
+    state grows with every distinct key ever seen; within-watermark
+    state is bounded by keys-per-delay-window).  Contract: duplicates
+    arriving within the delay of each other dedup exactly — the
+    fixture's duplicates are simultaneous, so the result equals
+    global DISTINCT and the oracle is exact."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import _event_time, run_stream_to_table
+
+    events = _t(spark, sf_dir, "events")["events"]
+    doubled = events.union(events)
+
+    def dedup_bounded(stream):
+        return (
+            _event_time(stream)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        )
+
+    deduped = run_stream_to_table(
+        spark, doubled, dedup_bounded, "tss_stream_dedup_wm", output_mode="append"
+    )
+    return deduped.agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id"))
+
+
 # ---------------------------------------------------------------------------
 # round-1 widening: WOQL updates, graph scoping, repetition, decontamination
 # ---------------------------------------------------------------------------
@@ -9193,6 +9278,45 @@ def sketch_kmv_distinct(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")["orders"]
     return kmv_distinct_estimate(orders, "o_custkey", k=256)
+
+
+@register(
+    "docs_domain_blocklist",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'cdn.' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
+             WHEN 1 THEN source || '.openweb.org'
+             WHEN 2 THEN 'x.spam.net'
+             ELSE 'not-example.com' END AS host,
+           CASE doc_id % 4 WHEN 0 THEN 'example.com'
+                           WHEN 2 THEN 'spam.net' END AS blocked_by
+    FROM documents
+    """,
+)
+def docs_domain_blocklist(spark, sf_dir):
+    """URL-host blocklist filtering with suffix-hierarchy matching
+    (operators/pipeline.py:domain_blocklist_verdicts): the
+    crawl-hygiene gate — `cdn.N.example.com` is blocked by the list
+    entry `example.com`, while `not-example.com` survives (label
+    boundaries, never substrings).  One map-side suffix explode
+    (bounded by label count) + one broadcast join; the corpus never
+    shuffles."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import domain_blocklist_verdicts
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+    host = (
+        F.when(k % 4 == 0, F.concat(F.lit("cdn."), (k % 3).cast("string"), F.lit(".example.com")))
+        .when(k % 4 == 1, F.concat(F.col("source"), F.lit(".openweb.org")))
+        .when(k % 4 == 2, F.lit("x.spam.net"))
+        .otherwise(F.lit("not-example.com"))
+    )
+    fixture = docs.select("doc_id", host.alias("host"))
+    blocked = spark.createDataFrame([("example.com",), ("spam.net",)], "domain string")
+    return domain_blocklist_verdicts(fixture, "host", blocked)
 
 
 @register(

@@ -258,6 +258,12 @@ class Typecast(Term):
     value: Any
     xsd_type: str  # "xsd:integer" | "xsd:decimal" | "xsd:string" | "xsd:dateTime" | "xsd:boolean"
     result: Var = None  # type: ignore[assignment]
+    # safe=False (default) is the reference's strict semantics: an
+    # uncastable lexical form is a query error (Spark ANSI mode raises
+    # at runtime, like terminus-server's casting errors).  safe=True
+    # is the guarded variant: failure binds NULL (try_cast), the
+    # dirty-data filter shape.
+    safe: bool = False
 
 
 # -- aggregation ----------------------------------------------------------

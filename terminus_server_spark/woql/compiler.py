@@ -460,7 +460,9 @@ class WOQLContext:
             "xsd:dateTime": "timestamp",
             "xsd:boolean": "boolean",
         }.get(t.xsd_type, t.xsd_type)  # raw spark types allowed
-        return df_in.withColumn(t.result.name, self._operand(t.value, df_in).cast(spark_type))
+        operand = self._operand(t.value, df_in)
+        casted = operand.try_cast(spark_type) if getattr(t, "safe", False) else operand.cast(spark_type)
+        return df_in.withColumn(t.result.name, casted)
 
     # -- aggregation ------------------------------------------------------
 

@@ -639,3 +639,33 @@ def test_update_document_word_replaces_whole_doc(spark):
     got = {(r.predicate): r.obj for r in state.collect()}
     # stale field gone, title replaced, type kept (del + re-add)
     assert got == {"rdf:type": "Doc", "title": "new"}
+
+
+def test_typecast_strict_raises_safe_nulls(spark):
+    """Default Typecast keeps the reference's strict casting-error
+    semantics under ANSI mode; safe=True binds NULL instead."""
+    import pytest as _pytest
+
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    trips = spark.createDataFrame(
+        [("instance", "X/1", "p", "12.5", "xsd:string", None),
+         ("instance", "X/2", "p", "oops", "xsd:string", None)],
+        "graph string, subject string, predicate string, obj string, obj_type string, obj_num double",
+    )
+    ctx = WOQLContext(TripleStore(trips))
+    base = A.And(
+        A.Triple(A.v("s"), "p", A.v("raw")),
+        A.Typecast(A.v("raw"), "xsd:double", A.v("v"), safe=True),
+    )
+    got = {r.s: r.v for r in ctx.run(A.Select([A.v("s"), A.v("v")], base)).collect()}
+    assert got == {"X/1": 12.5, "X/2": None}
+
+    strict = A.And(
+        A.Triple(A.v("s"), "p", A.v("raw")),
+        A.Typecast(A.v("raw"), "xsd:double", A.v("v")),
+    )
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        ctx.run(A.Select([A.v("s"), A.v("v")], strict)).collect()

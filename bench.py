@@ -240,6 +240,8 @@ HEADLINE = [
     "woql_typecast_safe",
     "stream_dedup_within_watermark",
     "docs_domain_blocklist",
+    "events_locf",
+    "src_cdc_apply",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -9320,6 +9320,114 @@ def docs_domain_blocklist(spark, sf_dir):
 
 
 @register(
+    "events_locf",
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           last_value(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM events
+    """,
+)
+def events_locf(spark, sf_dir):
+    """Last-observation-carried-forward: per-user time series where
+    every 5th reading is missing; NULLs fill with the most recent
+    prior value (IGNORE NULLS running last_value — the standard
+    sensor/price-series repair before any windowed model).  One
+    user-partitioned window, running frame, whole-stage codegen; a
+    user's history never leaves its partition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.last(v, ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+@register(
+    "src_cdc_apply",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+      WHERE o_orderkey % 10 < 7),
+    cdc(k, op, price, seq) AS (
+      SELECT o_orderkey, 'U', o_totalprice * 1.1, 1 FROM orders WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey, 'D', NULL, 2 FROM orders WHERE o_orderkey % 10 IN (0, 7)
+      UNION ALL
+      SELECT o_orderkey, 'I', o_totalprice * 2.0, 3 FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 'U', o_totalprice * 0.5, 4 FROM orders WHERE o_orderkey % 10 = 1),
+    latest AS (
+      SELECT k, op, price FROM (
+        SELECT k, op, price, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM cdc) WHERE rn = 1),
+    merged AS (
+      SELECT COALESCE(l.k, b.k) AS k,
+             CASE WHEN l.k IS NOT NULL THEN l.price ELSE b.price END AS price,
+             COALESCE(l.op, 'B') AS op
+      FROM base b FULL OUTER JOIN latest l ON b.k = l.k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, {_dsum_sql('price')} AS sum_price
+    FROM merged WHERE op <> 'D'
+    """,
+)
+def src_cdc_apply(spark, sf_dir):
+    """CDC apply with DELETES: a change batch of I/U/D ops (ordered by
+    a sequence number) merges onto a keyed base table — newest op per
+    key wins, D removes the key, I/U upsert the new value (the
+    delete-aware MERGE a CDC consumer runs; `src_upsert` is the
+    insert/update-only subset).  One window over the CDC batch (scales
+    with the batch, not the table) + one full-outer join on the key.
+    Fixture: updates on %10==7 then deletes them, deletes %10==0 then
+    re-inserts at 2x, halves %10==1 — so op-ORDER correctness is
+    load-bearing, not just op presence."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.sources import cdc_apply
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    base = o.where(k % 10 < 7).select(k.alias("k"), F.col("o_totalprice").alias("price"))
+    cdc = (
+        o.where(k % 10 == 7)
+        .select(k.alias("k"), F.lit("U").alias("op"), (F.col("o_totalprice") * 1.1).alias("price"), F.lit(1).alias("seq"))
+        .unionByName(
+            o.where((k % 10).isin(0, 7)).select(
+                k.alias("k"), F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"), F.lit(2).alias("seq"))
+        )
+        .unionByName(
+            o.where(k % 10 == 0).select(
+                k.alias("k"), F.lit("I").alias("op"),
+                (F.col("o_totalprice") * 2.0).alias("price"), F.lit(3).alias("seq"))
+        )
+        .unionByName(
+            o.where(k % 10 == 1).select(
+                k.alias("k"), F.lit("U").alias("op"),
+                (F.col("o_totalprice") * 0.5).alias("price"), F.lit(4).alias("seq"))
+        )
+    )
+    merged = cdc_apply(base, cdc, key_cols=["k"], seq_col="seq")
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("price").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
     "sketch_kmv_grouped",
     """
     WITH fr AS (

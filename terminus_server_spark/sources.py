@@ -102,6 +102,44 @@ def upsert_by_key(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> D
     )
 
 
+def cdc_apply(
+    base: DataFrame, cdc: DataFrame, key_cols: list[str], seq_col: str = "seq"
+) -> DataFrame:
+    """Delete-aware CDC MERGE: apply a change batch of I/U/D ops onto
+    a keyed table — per key the NEWEST op (by ``seq_col``) wins, 'D'
+    removes the key, 'I'/'U' upsert the carried values
+    (:func:`upsert_by_key` is the insert/update-only subset).  ``cdc``
+    carries (key..., op, value-cols..., seq); intermediate churn on a
+    key collapses before it ever touches the base.
+
+    Cost: one window over the CDC batch (scales with |batch|, never
+    |table|) + one outer join on the key — the same shape MERGE INTO
+    compiles to on table formats, expressed for plain parquet."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        cdc.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__", seq_col)
+    )
+    val_cols = [c for c in base.columns if c not in key_cols]
+    lat_vals = latest.select(
+        *key_cols, F.col("op").alias("__op__"),
+        *[F.col(c).alias(f"__new_{c}__") for c in val_cols],
+    )
+    merged = base.join(lat_vals, key_cols, "full_outer")
+    out_cols = [F.col(c) for c in key_cols] + [
+        F.when(F.col("__op__").isNotNull(), F.col(f"__new_{c}__"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in val_cols
+    ]
+    return merged.where(
+        F.col("__op__").isNull() | (F.col("__op__") != "D")
+    ).select(*out_cols)
+
+
 def zorder_key(cols: list, bits: int = 21):
     """Z-order (Morton) interleave of up to 3 non-negative integer
     columns into one bigint sort key — the multi-dimension clustering

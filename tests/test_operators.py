@@ -2482,3 +2482,24 @@ def test_docs_domain_caps_matches_one_level_rank(spark, tmp_path):
         order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
         expected.extend((src, d, rk + 1) for rk, d in enumerate(order[:40]))
     assert got == sorted(expected)
+
+
+def test_cdc_apply_op_order_and_edge_cases(spark):
+    """Newest op per key wins; D of an absent key is a no-op; I of an
+    existing key replaces; D then later I resurrects."""
+    from terminus_server_spark.sources import cdc_apply
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, price double")
+    cdc = spark.createDataFrame(
+        [
+            (2, "D", None, 1),      # delete 2
+            (3, "D", None, 1),      # delete 3 ...
+            (3, "I", 99.0, 2),      # ... then resurrect it
+            (4, "D", None, 1),      # delete a key not in base: no-op
+            (1, "I", 11.0, 1),      # insert over existing = replace
+            (5, "U", 50.0, 1),      # update of absent key = upsert
+        ],
+        "k long, op string, price double, seq int",
+    )
+    got = {r.k: r.price for r in cdc_apply(base, cdc, ["k"]).collect()}
+    assert got == {1: 11.0, 3: 99.0, 5: 50.0}

@@ -274,11 +274,27 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
     expansion like path closure, but keyed by (source, node)."""
     with no_constraint_propagation(edges.sparkSession):
         e = edges.select("src", "dst").distinct().transform(loop_checkpoint)
-        frontier = sources.select(
-            F.col("node").alias("source"), F.col("node").alias("node"), F.lit(0).alias("hops")
-        ).transform(loop_checkpoint)
+        frontier, n_src = loop_checkpoint_count(
+            sources.select(
+                F.col("node").alias("source"), F.col("node").alias("node"), F.lit(0).alias("hops")
+            )
+        )
         layers = [frontier]
         reached_keys = frontier.select("source", "node")
+        tuned = loop_tuning(edges.sparkSession, n_src)
+        tuned.__enter__()
+        try:
+            layers, reached_keys = _hops_loop(e, frontier, layers, reached_keys, max_iters)
+        finally:
+            tuned.__exit__(None, None, None)
+        reached = layers[0]
+        for layer in layers[1:]:
+            reached = reached.union(layer)
+    return reached
+
+
+def _hops_loop(e, frontier, layers, reached_keys, max_iters):
+    with no_constraint_propagation(e.sparkSession):
         for _ in range(max_iters):
             grown = (
                 frontier.join(e, frontier["node"] == e["src"])
@@ -295,10 +311,7 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
             layers.append(new)
             reached_keys = reached_keys.union(new.select("source", "node"))
             frontier = new
-        reached = layers[0]
-        for layer in layers[1:]:
-            reached = reached.union(layer)
-    return reached
+    return layers, reached_keys
 
 
 def betweenness(
@@ -1288,24 +1301,27 @@ def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .distinct()
         .transform(plan_checkpoint)
     )
-    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for _ in range(rounds):
-        nbr = und.join(
-            labels.select(F.col("node").alias("dst"), "label"), "dst"
-        ).select(F.col("src").alias("node"), "label")
-        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("n"))
-        # min(struct(-n, label)) = most-frequent label, smallest-label
-        # tie-break — struct ordering works for string AND integral node
-        # ids (a bigint cast would NULL out 'C/…'-style ids), and min()
-        # still partial-aggregates map-side.
-        labels = (
-            cnt.groupBy("node")
-            .agg(F.min(F.struct((-F.col("n")).alias("negn"), F.col("label").alias("lbl"))).alias("m"))
-            .select("node", F.col("m.lbl").alias("label"))
-            .transform(loop_checkpoint)
+    labels, n_lab = loop_checkpoint_count(
+        und.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
         )
+    )
+    with loop_tuning(edges.sparkSession, n_lab):
+        for _ in range(rounds):
+            nbr = und.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            ).select(F.col("src").alias("node"), "label")
+            cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("n"))
+            # min(struct(-n, label)) = most-frequent label, smallest-label
+            # tie-break — struct ordering works for string AND integral node
+            # ids (a bigint cast would NULL out 'C/…'-style ids), and min()
+            # still partial-aggregates map-side.
+            labels = (
+                cnt.groupBy("node")
+                .agg(F.min(F.struct((-F.col("n")).alias("negn"), F.col("label").alias("lbl"))).alias("m"))
+                .select("node", F.col("m.lbl").alias("label"))
+                .transform(loop_checkpoint)
+            )
     return labels.select("node", F.col("label").alias("community"))
 
 

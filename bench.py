@@ -242,6 +242,7 @@ HEADLINE = [
     "docs_domain_blocklist",
     "events_locf",
     "src_cdc_apply",
+    "corpus_snapshot_diff",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

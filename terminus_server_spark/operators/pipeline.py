@@ -190,6 +190,32 @@ def kmv_distinct_estimate(
     )
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """(key, status ∈ added/removed/changed/unchanged): classify every
+    document across two corpus snapshots by key membership + content
+    hash — the crawl-to-crawl delta a pipeline uses to process ONLY
+    what moved (re-embed changed docs, retire removed ones) instead
+    of re-running on the whole corpus.  One md5 projection per side +
+    one full-outer join on the key; scales with |old|+|new| in a
+    single shuffle, and at scale runs partition-pruned when both
+    snapshots are identically partitioned."""
+    oh = old.select(F.col(key_col), F.md5(F.col(content_col)).alias("_oh"))
+    nh = new.select(F.col(key_col), F.md5(F.col(content_col)).alias("_nh"))
+    return (
+        oh.join(nh, key_col, "full_outer")
+        .select(
+            key_col,
+            F.when(F.col("_oh").isNull(), F.lit("added"))
+            .when(F.col("_nh").isNull(), F.lit("removed"))
+            .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+
+
 def domain_blocklist_verdicts(
     docs: DataFrame, host_col: str, blocked: DataFrame, key_col: str = "doc_id"
 ) -> DataFrame:

@@ -9281,6 +9281,52 @@ def sketch_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "corpus_snapshot_diff",
+    """
+    SELECT CASE
+             WHEN doc_id % 7 = 0 AND doc_id % 5 <> 0 THEN 'added'
+             WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0 THEN 'removed'
+             WHEN doc_id % 3 = 0 THEN 'changed'
+             ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id
+    FROM documents
+    WHERE doc_id % 7 <> 0 OR doc_id % 5 <> 0
+    GROUP BY 1
+    """,
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Crawl-to-crawl corpus delta (operators/pipeline.py:
+    snapshot_diff): old snapshot = docs with id%7!=0, new = id%5!=0
+    with every 3rd document's text edited — the diff must classify
+    added / removed / changed / unchanged by key membership + content
+    hash, so downstream stages process ONLY what moved.  One
+    full-outer join; the sum-of-ids column makes misclassifying any
+    single document break the hash."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+    old = docs.where(k % 7 != 0).select("doc_id", "text")
+    new = docs.where(k % 5 != 0).select(
+        "doc_id",
+        F.when(k % 3 == 0, F.concat(F.col("text"), F.lit(" [edited]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        snapshot_diff(old, new)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("doc_id").cast("bigint").alias("sum_id"),
+        )
+    )
+
+
+@register(
     "docs_domain_blocklist",
     """
     SELECT doc_id,

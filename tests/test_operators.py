@@ -2256,6 +2256,42 @@ def test_graphql_nested_paged_per_parent(spark):
     assert rows[2] == []
 
 
+def test_graphql_nested_depth2_with_paging(spark):
+    """Depth-2 nested selections: grandchildren render as JSON inside
+    the child JSON, and per-parent paging applies at each level
+    independently."""
+    import json
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    gp = spark.createDataFrame([(1, "g1")], "gk long, gn string")
+    par = spark.createDataFrame([(10, 1), (11, 1), (12, 1)], "pk long, gfk long")
+    kid = spark.createDataFrame(
+        [(100, 10), (101, 10), (200, 11)], "ck long, pfk long"
+    )
+    out = execute_graphql(
+        {"G": gp, "P": par, "C": kid},
+        """query { G {
+             gk
+             ps(orderBy: {pk: ASC}, limit: 2) {
+               pk
+               cs { ck }
+             }
+           } }""",
+        relations={
+            ("G", "ps"): ("P", "gk", "gfk"),
+            ("P", "cs"): ("C", "pk", "pfk"),
+        },
+    )["G"]
+    [row] = out.collect()
+    ps = json.loads(row.ps)
+    # paging kept the two smallest parents, in order
+    assert [p["pk"] for p in ps] == [10, 11]
+    # grandchildren are JSON strings inside the child objects
+    assert json.loads(ps[0]["cs"]) == [{"ck": 100}, {"ck": 101}]
+    assert json.loads(ps[1]["cs"]) == [{"ck": 200}]
+
+
 def test_graphql_introspect_type_root(spark):
     """__type(name:) answers from the generated schema document;
     missing schema and unknown attrs raise."""

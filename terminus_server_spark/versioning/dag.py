@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from terminus_server_spark.checkpoint import loop_checkpoint_count
+from terminus_server_spark.checkpoint import loop_checkpoint_count, loop_tuning
 
 
 def parent_edges(commits: DataFrame) -> DataFrame:
@@ -38,35 +38,84 @@ def parent_edges(commits: DataFrame) -> DataFrame:
     )
 
 
+_DRIVER_WALK_LIMIT = 1_000_000
+
+
+def _collect_dag(commits: DataFrame):
+    """(ids, parents) of the commit graph, collected to the driver.
+    Commit graphs are METADATA — the reference keeps refs and commit
+    metadata in a tiny in-memory graph, and this module's remote
+    verbs already treat heads as driver-side values — so a
+    driver-side walk is the honest engineering: each distributed BFS
+    round costs more in plan analysis than the whole walk.  Guarded:
+    callers fall back to the distributed loop above
+    ``_DRIVER_WALK_LIMIT`` edges (a pathological monorepo history)."""
+    ids = [r.commit_id for r in commits.select("commit_id").collect()]
+    parents: dict[str, list[str]] = {}
+    for r in parent_edges(commits).collect():
+        parents.setdefault(r.child, []).append(r.parent)
+    return ids, parents
+
+
 def log_walk(commits: DataFrame, head: str, max_depth: int = 1000) -> DataFrame:
     """(commit_id, depth): every ancestor of ``head`` (inclusive,
     depth 0) with its minimum parent-hop distance — the commit set
     ``git log <head>`` prints, with merge parents both followed.
 
-    Semi-naive iteration: each round extends the frontier one parent
-    hop, anti-joins what's already reached (so a commit reachable via
-    both sides of a merge lands once, at its shortest depth), and
-    stops at the first empty frontier.  ``max_depth`` bounds runaway
-    graphs (cycles cannot occur in a commit DAG but defensive caps
-    are free)."""
+    Driver-side BFS under ``_DRIVER_WALK_LIMIT`` (see _collect_dag);
+    the distributed semi-naive loop (one frontier hop per round,
+    anti-join the reached set) remains the fallback for pathological
+    histories.  ``max_depth`` bounds runaway graphs (cycles cannot
+    occur in a commit DAG but defensive caps are free)."""
+    n_edges = parent_edges(commits).count()
+    if n_edges <= _DRIVER_WALK_LIMIT:
+        ids, parents = _collect_dag(commits)
+        depth = _bfs_depths(ids, parents, head, max_depth)
+        return commits.sparkSession.createDataFrame(
+            list(depth.items()), "commit_id string, depth int"
+        )
+    return _log_walk_distributed(commits, head, max_depth)
+
+
+def _bfs_depths(ids, parents, head: str, max_depth: int) -> dict:
+    depth: dict[str, int] = {head: 0} if head in ids else {}
+    frontier = list(depth)
+    for d in range(1, max_depth + 1):
+        nxt = []
+        for c in frontier:
+            for p in parents.get(c, []):
+                if p not in depth:
+                    depth[p] = d
+                    nxt.append(p)
+        if not nxt:
+            break
+        frontier = nxt
+    return depth
+
+
+def _log_walk_distributed(commits: DataFrame, head: str, max_depth: int = 1000) -> DataFrame:
     edges = parent_edges(commits)
     frontier = commits.where(F.col("commit_id") == head).select(
         "commit_id", F.lit(0).alias("depth")
     )
     reached = frontier
-    for _ in range(max_depth):
-        nxt = (
-            frontier.join(edges, frontier["commit_id"] == edges["child"])
-            .select(F.col("parent").alias("commit_id"), (F.col("depth") + 1).alias("depth"))
-            .join(reached.select("commit_id"), "commit_id", "left_anti")
-            .groupBy("commit_id")
-            .agg(F.min("depth").alias("depth"))
-        )
-        nxt, n_new = loop_checkpoint_count(nxt)
-        if n_new == 0:
-            break
-        reached = reached.unionByName(nxt)
-        frontier = nxt
+    # a commit graph is METADATA-scale (the reference keeps it in a
+    # tiny graph too) — run the whole walk at 1-partition width with
+    # AQE off, like every other fixpoint loop (checkpoint.loop_tuning)
+    with loop_tuning(commits.sparkSession, 1):
+        for _ in range(max_depth):
+            nxt = (
+                frontier.join(edges, frontier["commit_id"] == edges["child"])
+                .select(F.col("parent").alias("commit_id"), (F.col("depth") + 1).alias("depth"))
+                .join(reached.select("commit_id"), "commit_id", "left_anti")
+                .groupBy("commit_id")
+                .agg(F.min("depth").alias("depth"))
+            )
+            nxt, n_new = loop_checkpoint_count(nxt)
+            if n_new == 0:
+                break
+            reached = reached.unionByName(nxt)
+            frontier = nxt
     return reached
 
 
@@ -96,22 +145,49 @@ def reachable_commits(
     """(commit_id): the union of ancestors of all ``heads`` — one
     multi-source BFS (all refs seed the same frontier), so the cost
     is one walk of the reachable subgraph regardless of how many
-    branches exist."""
+    branches exist.  Driver-side under the metadata guard, like
+    :func:`log_walk`."""
+    n_edges = parent_edges(commits).count()
+    if n_edges <= _DRIVER_WALK_LIMIT:
+        ids, parents = _collect_dag(commits)
+        seen = {h for h in heads if h in ids}
+        frontier = list(seen)
+        for _ in range(max_depth):
+            nxt = []
+            for c in frontier:
+                for p in parents.get(c, []):
+                    if p not in seen:
+                        seen.add(p)
+                        nxt.append(p)
+            if not nxt:
+                break
+            frontier = nxt
+        return commits.sparkSession.createDataFrame(
+            [(c,) for c in sorted(seen)], "commit_id string"
+        )
+    return _reachable_distributed(commits, heads, max_depth)
+
+
+def _reachable_distributed(
+    commits: DataFrame, heads: list[str], max_depth: int = 1000
+) -> DataFrame:
+    """Distributed fallback for pathological commit graphs."""
     edges = parent_edges(commits)
     frontier = commits.where(F.col("commit_id").isin(heads)).select("commit_id")
     reached = frontier
-    for _ in range(max_depth):
-        nxt = (
-            frontier.join(edges, frontier["commit_id"] == edges["child"])
-            .select(F.col("parent").alias("commit_id"))
-            .distinct()
-            .join(reached, "commit_id", "left_anti")
-        )
-        nxt, n_new = loop_checkpoint_count(nxt)
-        if n_new == 0:
-            break
-        reached = reached.unionByName(nxt)
-        frontier = nxt
+    with loop_tuning(commits.sparkSession, 1):
+        for _ in range(max_depth):
+            nxt = (
+                frontier.join(edges, frontier["commit_id"] == edges["child"])
+                .select(F.col("parent").alias("commit_id"))
+                .distinct()
+                .join(reached, "commit_id", "left_anti")
+            )
+            nxt, n_new = loop_checkpoint_count(nxt)
+            if n_new == 0:
+                break
+            reached = reached.unionByName(nxt)
+            frontier = nxt
     return reached
 
 
@@ -147,8 +223,17 @@ def merge_base(commits: DataFrame, head_a: str, head_b: str) -> DataFrame:
     semi-naive iteration) and one tiny join — commit graphs are
     metadata-sized, so this is driver-latency work even on a store
     whose DATA is 100 TB."""
-    wa = log_walk(commits, head_a).withColumnRenamed("depth", "depth_a")
-    wb = log_walk(commits, head_b).withColumnRenamed("depth", "depth_b")
+    if parent_edges(commits).count() <= _DRIVER_WALK_LIMIT:
+        ids, parents = _collect_dag(commits)
+        da = _bfs_depths(ids, parents, head_a, 1000)
+        db = _bfs_depths(ids, parents, head_b, 1000)
+        common = [(c, da[c], db[c]) for c in da if c in db]
+        best = min(common, key=lambda t: (t[1] + t[2], t[0]))
+        return commits.sparkSession.createDataFrame(
+            [best], "merge_base string, depth_a int, depth_b int"
+        )
+    wa = _log_walk_distributed(commits, head_a).withColumnRenamed("depth", "depth_a")
+    wb = _log_walk_distributed(commits, head_b).withColumnRenamed("depth", "depth_b")
     return (
         wa.join(wb, "commit_id")
         .orderBy(

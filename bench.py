@@ -243,6 +243,7 @@ HEADLINE = [
     "events_locf",
     "src_cdc_apply",
     "corpus_snapshot_diff",
+    "dedup_doc_lines",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

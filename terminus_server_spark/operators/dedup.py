@@ -433,6 +433,43 @@ def keep_best_in_cluster(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_doc_lines(
+    docs: DataFrame, text_col: str = "text", sep: str = "\n", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, cleaned): remove REPEATED lines WITHIN each document,
+    keeping each line's first occurrence in original order — the
+    intra-document dedup quality filters prescribe (Gopher /
+    RefinedWeb drop or trim docs whose lines repeat: nav bars, footer
+    chrome, chat-log echoes), complementing the CROSS-document
+    :func:`segment_dedup`.
+
+    posexplode → min(position) per (doc, line) → re-assemble sorted
+    by kept position.  Two shuffles keyed by the document id (never
+    by line content — no hot-line skew), state bounded by the line
+    count."""
+    import re as _re
+
+    lines = docs.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+    )
+    firsts = lines.groupBy(key_col, "line").agg(F.min("pos").alias("pos"))
+    return (
+        firsts.groupBy(key_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias("cleaned")
+        )
+    )
+
+
 def segment_dedup(
     docs: DataFrame,
     seg_tokens: int = 10,

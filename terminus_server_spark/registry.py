@@ -9281,6 +9281,48 @@ def sketch_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "dedup_doc_lines",
+    """
+    WITH f AS (
+      SELECT doc_id, [a, b, a, c, b] AS ls
+      FROM (SELECT doc_id,
+                   COALESCE(string_split(text, ' ')[1], 'x1') AS a,
+                   COALESCE(string_split(text, ' ')[2], 'x2') AS b,
+                   COALESCE(string_split(text, ' ')[3], 'x3') AS c
+            FROM documents)),
+    ex AS (SELECT doc_id, unnest(ls) AS line,
+                  unnest(generate_series(1, len(ls))) AS pos
+           FROM f),
+    fi AS (SELECT doc_id, line, MIN(pos) AS pos FROM ex GROUP BY 1, 2)
+    SELECT doc_id, string_agg(line, '|' ORDER BY pos) AS cleaned
+    FROM fi GROUP BY doc_id
+    """,
+)
+def dedup_doc_lines(spark, sf_dir):
+    """INTRA-document repeated-line removal (operators/dedup.py:
+    dedup_doc_lines): each document keeps every line's FIRST
+    occurrence in original order — the Gopher/RefinedWeb cleanup for
+    nav-bar/footer/echo chrome, complementing cross-document segment
+    dedup.  Fixture lines [a,b,a,c,b] come from the doc's own tokens
+    (which may themselves coincide), so the oracle replays the
+    first-occurrence rule generically rather than assuming
+    distinctness."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.dedup import dedup_doc_lines as _ddl
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.col("text"), " ")
+    a = F.coalesce(F.get(toks, 0), F.lit("x1"))
+    b = F.coalesce(F.get(toks, 1), F.lit("x2"))
+    c = F.coalesce(F.get(toks, 2), F.lit("x3"))
+    fixture = docs.select(
+        "doc_id", F.concat_ws("|", a, b, a, c, b).alias("lines")
+    )
+    return _ddl(fixture, text_col="lines", sep="|")
+
+
+@register(
     "corpus_snapshot_diff",
     """
     SELECT CASE

@@ -442,3 +442,68 @@ def test_duration_roundtrip_and_shadow_invariants(spark, durs):
         assert r.obj == lex and r.obj_type == "xsd:duration"
         assert r.obj_num == exp_sec, (lex, r.obj_num, exp_sec)
         assert r.obj_mo == exp_months, (lex, r.obj_mo, exp_months)
+
+
+@st.composite
+def _cdc_ops(draw):
+    key = draw(st.integers(0, 9))
+    op = draw(st.sampled_from(["I", "U", "D"]))
+    price = None if op == "D" else float(draw(st.integers(1, 999)))
+    return (key, op, price)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(1, 999)), max_size=8, unique_by=lambda t: t[0]),
+    st.lists(_cdc_ops(), min_size=1, max_size=20),
+)
+def test_cdc_apply_matches_sequential_replay(spark, base_rows, ops):
+    """cdc_apply (newest-op-per-key merge) must equal replaying the
+    ops one by one onto a Python dict."""
+    from terminus_server_spark.sources import cdc_apply
+
+    table = {k: float(v) for k, v in base_rows}
+    for k, op, price in ops:
+        if op == "D":
+            table.pop(k, None)
+        else:
+            table[k] = price
+
+    base = spark.createDataFrame(
+        [(k, float(v)) for k, v in base_rows] or [(None, None)],
+        "k long, price double",
+    ).where(F.col("k").isNotNull())
+    cdc = spark.createDataFrame(
+        [(k, op, price, i) for i, (k, op, price) in enumerate(ops)],
+        "k long, op string, price double, seq int",
+    )
+    got = {r.k: r.price for r in cdc_apply(base, cdc, ["k"]).collect()}
+    assert got == table
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=12))
+def test_sniff_headers_total_on_arbitrary_bytes(spark, blobs):
+    """Header sniffing must be TOTAL: any byte blob (including empty
+    and truncated headers) classifies without error, and only exact
+    magic prefixes earn a media mime."""
+    from terminus_server_spark.operators.multimodal import sniff_headers
+
+    df = spark.createDataFrame(
+        list(enumerate(blobs)), "doc_id long, payload binary"
+    )
+    rows = sniff_headers(df).collect()
+    assert len(rows) == len(blobs)
+    magic = {
+        "image/png": bytes.fromhex("89504E470D0A1A0A"),
+        "image/gif": b"GIF89a",
+        "audio/wav": b"RIFF",
+        "image/jpeg": bytes.fromhex("FFD8FF"),
+    }
+    for r in rows:
+        blob = blobs[r.doc_id]
+        if r.mime in magic:
+            assert blob.startswith(magic[r.mime])
+        else:
+            assert r.mime == "application/octet-stream"
+            assert r.width is None and r.sample_rate is None

@@ -136,46 +136,48 @@ def pagerank(
     HUGEINT on the same sums), which upgrades PageRank from a
     rows-only check to an exact value-hash oracle."""
     with no_constraint_propagation(edges.sparkSession):
-        nodes = (
+        nodes, n_nodes = loop_checkpoint_count(
             edges.select(F.col("src").alias("node"))
             .union(edges.select(F.col("dst").alias("node")))
             .distinct()
-            .transform(loop_checkpoint)
         )
-        n_nodes = nodes.count()
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-        for _ in range(iters):
-            contribs = (
-                links.join(ranks, links["src"] == ranks["node"])
-                .select(
-                    F.col("dst").alias("node"),
-                    F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15)).alias("ci"),
-                )
-                .groupBy("node")
-                # decimal sum: a hot node's in-degree x 1e15 exceeds
-                # bigint range long before real graph scale
-                .agg(
-                    (F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)).alias(
-                        "contrib"
+        # fixed iteration count -> no per-round probe, so per-round
+        # checkpoints stay LAZY and all rounds run as one job cascade;
+        # that cascade must EXECUTE inside loop_tuning (clamped
+        # shuffle width, AQE off) for the tuning to bite, hence the
+        # eager materialization before the context exits.
+        with loop_tuning(edges.sparkSession, n_nodes):
+            for _ in range(iters):
+                contribs = (
+                    links.join(ranks, links["src"] == ranks["node"])
+                    .select(
+                        F.col("dst").alias("node"),
+                        F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15)).alias("ci"),
+                    )
+                    .groupBy("node")
+                    # decimal sum: a hot node's in-degree x 1e15 exceeds
+                    # bigint range long before real graph scale
+                    .agg(
+                        (
+                            F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)
+                        ).alias("contrib")
                     )
                 )
-            )
-            ranks = (
-                nodes.join(contribs, "node", "left_outer")
-                .select(
-                    "node",
-                    (
-                        F.lit((1.0 - damping) / n_nodes)
-                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                    ).alias("rank"),
+                ranks = (
+                    nodes.join(contribs, "node", "left_outer")
+                    .select(
+                        "node",
+                        (
+                            F.lit((1.0 - damping) / n_nodes)
+                            + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                        ).alias("rank"),
+                    )
+                    .transform(plan_checkpoint)
                 )
-                # fixed iteration count -> no per-round probe, so the
-                # checkpoint can be LAZY: lineage still truncates at
-                # materialization but all rounds run as one job cascade
-                .transform(plan_checkpoint)
-            )
+            ranks = loop_checkpoint(ranks)
     return ranks
 
 
@@ -194,11 +196,10 @@ def personalized_pagerank(
     checkpointed once, and the fixed-round loop chains lazily into
     one job cascade like ``pagerank``."""
     with no_constraint_propagation(edges.sparkSession):
-        nodes = (
+        nodes, n_nodes = loop_checkpoint_count(
             edges.select(F.col("src").alias("node"))
             .union(edges.select(F.col("dst").alias("node")))
             .distinct()
-            .transform(loop_checkpoint)
         )
         n_src = sources.agg(F.count(F.lit(1)).alias("_ns"))
         restart = (
@@ -216,31 +217,36 @@ def personalized_pagerank(
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = restart.select("node", F.col("restart").alias("rank"))
-        for _ in range(iters):
-            contribs = (
-                links.join(ranks, links["src"] == ranks["node"])
-                .select(
-                    F.col("dst").alias("node"),
-                    F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15)).alias("ci"),
-                )
-                .groupBy("node")
-                .agg(
-                    (F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)).alias(
-                        "contrib"
+        # same shape as pagerank: lazy per-round checkpoints chain the
+        # rounds into one cascade, and the eager final checkpoint runs
+        # that cascade inside the tuned context (clamp + AQE off).
+        with loop_tuning(edges.sparkSession, n_nodes):
+            for _ in range(iters):
+                contribs = (
+                    links.join(ranks, links["src"] == ranks["node"])
+                    .select(
+                        F.col("dst").alias("node"),
+                        F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15)).alias("ci"),
+                    )
+                    .groupBy("node")
+                    .agg(
+                        (
+                            F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)
+                        ).alias("contrib")
                     )
                 )
-            )
-            ranks = (
-                restart.join(contribs, "node", "left_outer")
-                .select(
-                    "node",
-                    (
-                        F.lit(1.0 - damping) * F.col("restart")
-                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                    ).alias("rank"),
+                ranks = (
+                    restart.join(contribs, "node", "left_outer")
+                    .select(
+                        "node",
+                        (
+                            F.lit(1.0 - damping) * F.col("restart")
+                            + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                        ).alias("rank"),
+                    )
+                    .transform(plan_checkpoint)
                 )
-                .transform(plan_checkpoint)
-            )
+            ranks = loop_checkpoint(ranks)
     return ranks
 
 
@@ -281,12 +287,8 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
         )
         layers = [frontier]
         reached_keys = frontier.select("source", "node")
-        tuned = loop_tuning(edges.sparkSession, n_src)
-        tuned.__enter__()
-        try:
+        with loop_tuning(edges.sparkSession, n_src):
             layers, reached_keys = _hops_loop(e, frontier, layers, reached_keys, max_iters)
-        finally:
-            tuned.__exit__(None, None, None)
         reached = layers[0]
         for layer in layers[1:]:
             reached = reached.union(layer)
@@ -625,9 +627,12 @@ def adamic_adar(
 
     Same scale shape as node_jaccard: candidates ONLY via the
     shared-feature self-join (cost Σ_c fanout(c)², never node²) with
-    the hot-feature cap on both generation and scoring.  A feature
-    needs fanout ≥ 2 to produce a pair, so ln(fanout) ≥ ln 2 > 0 —
-    no division guard needed.  The per-feature weight is computed
+    the hot-feature cap on both generation and scoring.  Fanout-1
+    features are filtered from the fan table BEFORE the weight is
+    evaluated: they can never form a pair, and under ANSI mode
+    1/ln(1) would raise DIVIDE_BY_ZERO at the weight expression even
+    though no pair stage ever reads it.  With fan ≥ 2,
+    ln(fanout) ≥ ln 2 > 0.  The per-feature weight is computed
     ONCE in the (broadcastable) fan table as a 1e9 fixed-point
     BIGINT — the Σ fan² pair stage then pays one integer add per
     row, not a log+round+decimal-cast (measured 5× on the pair
@@ -639,7 +644,7 @@ def adamic_adar(
     fan = (
         ps.groupBy("p")
         .agg(F.count(F.lit(1)).alias("fan"))
-        .where(F.col("fan") <= max_fanout)
+        .where((F.col("fan") >= 2) & (F.col("fan") <= max_fanout))
         .select(
             "p",
             F.round(F.lit(1e9) / F.log(F.col("fan").cast("double")), 0)
@@ -703,11 +708,8 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     join+agg shuffles; lineage bounded by checkpointing."""
     with no_constraint_propagation(edges.sparkSession):
         e = edges.select("src", "dst").distinct().transform(loop_checkpoint)
-        nodes = (
-            e.select(F.col("src").alias("node"))
-            .union(e.select("dst"))
-            .distinct()
-            .transform(loop_checkpoint)
+        nodes, n_nodes = loop_checkpoint_count(
+            e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
         )
         hubs = nodes.withColumn("hub", F.lit(1.0))
 
@@ -729,23 +731,37 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
                 )
             )
 
-        for _ in range(iters):
-            auth_raw = (
-                e.join(hubs, e["src"] == hubs["node"])
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum(F.floor(F.col("hub") * F.lit(1e15)).cast("decimal(38,0)")).alias("ai"))
+        # lazy per-half-round checkpoints chain the rounds into one
+        # cascade; the eager final checkpoint executes it inside the
+        # tuned context (state-clamped shuffle width, AQE off)
+        with loop_tuning(edges.sparkSession, n_nodes):
+            for _ in range(iters):
+                auth_raw = (
+                    e.join(hubs, e["src"] == hubs["node"])
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(
+                        F.sum(F.floor(F.col("hub") * F.lit(1e15)).cast("decimal(38,0)")).alias(
+                            "ai"
+                        )
+                    )
+                )
+                auth = normalize(auth_raw, "ai", "auth").transform(plan_checkpoint)
+                hub_raw = (
+                    e.join(auth, e["dst"] == auth["node"])
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(
+                        F.sum(F.floor(F.col("auth") * F.lit(1e15)).cast("decimal(38,0)")).alias(
+                            "hi"
+                        )
+                    )
+                )
+                hubs = normalize(hub_raw, "hi", "hub").transform(plan_checkpoint)
+            out = loop_checkpoint(
+                hubs.join(auth, "node").select(
+                    "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+                )
             )
-            auth = normalize(auth_raw, "ai", "auth").transform(plan_checkpoint)
-            hub_raw = (
-                e.join(auth, e["dst"] == auth["node"])
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.sum(F.floor(F.col("auth") * F.lit(1e15)).cast("decimal(38,0)")).alias("hi"))
-            )
-            hubs = normalize(hub_raw, "hi", "hub").transform(plan_checkpoint)
-    return (
-        hubs.join(auth, "node")
-        .select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
-    )
+    return out
 
 
 def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
@@ -1067,28 +1083,34 @@ def neighborhood_sketch_audit(
         F.conv(F.substring(F.md5(F.col("node")), 1, 8), 16, 10).cast("double")
         / F.lit(float(16**8))
     )
-    nodes = (
+    nodes, n_nodes = loop_checkpoint_count(
         sources.select("node")
         .union(edges.select(F.col("src").alias("node")))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    e = edges.select("src", "dst").transform(loop_checkpoint)
     state = nodes.select("node", F.array(frac).alias("sk"))
-    for _ in range(hops):
-        contrib = edges.join(
-            state.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "sk")
-        state = plan_checkpoint(
-            state.unionByName(contrib)
-            .groupBy("node")
-            .agg(
-                F.slice(
-                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))),
-                    1,
-                    k,
-                ).alias("sk")
+    # the merge rounds chain lazily; the eager final checkpoint runs
+    # the cascade inside the tuned context (state is |V|·k hashes, so
+    # the clamp sizes shuffles to the node count, AQE off per round)
+    with loop_tuning(edges.sparkSession, n_nodes):
+        for _ in range(hops):
+            contrib = e.join(
+                state.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "sk")
+            state = plan_checkpoint(
+                state.unionByName(contrib)
+                .groupBy("node")
+                .agg(
+                    F.slice(
+                        F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))),
+                        1,
+                        k,
+                    ).alias("sk")
+                )
             )
-        )
+        state = loop_checkpoint(state)
     est = F.when(F.size("sk") < k, F.size("sk").cast("double")).otherwise(
         F.lit(float(k - 1)) / F.element_at("sk", k)
     )
@@ -1139,12 +1161,13 @@ def harmonic_sketch_audit(
         F.conv(F.substring(F.md5(F.col("node")), 1, 8), 16, 10).cast("double")
         / F.lit(float(16**8))
     )
-    nodes = (
+    nodes, n_nodes = loop_checkpoint_count(
         sources.select("node")
         .union(edges.select(F.col("src").alias("node")))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    e = edges.select("src", "dst").transform(loop_checkpoint)
     state = nodes.select("node", F.array(frac).alias("sk"))
 
     def est_col():
@@ -1153,22 +1176,25 @@ def harmonic_sketch_audit(
         )
 
     ests = state.select("node", est_col().alias("est_0"))
-    for r in range(1, hops + 1):
-        contrib = edges.join(
-            state.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "sk")
-        state = plan_checkpoint(
-            state.unionByName(contrib)
-            .groupBy("node")
-            .agg(
-                F.slice(
-                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))),
-                    1,
-                    k,
-                ).alias("sk")
+    # same tuned-cascade shape as neighborhood_sketch_audit
+    with loop_tuning(edges.sparkSession, n_nodes):
+        for r in range(1, hops + 1):
+            contrib = e.join(
+                state.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "sk")
+            state = plan_checkpoint(
+                state.unionByName(contrib)
+                .groupBy("node")
+                .agg(
+                    F.slice(
+                        F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))),
+                        1,
+                        k,
+                    ).alias("sk")
+                )
             )
-        )
-        ests = ests.join(state.select("node", est_col().alias(f"est_{r}")), "node")
+            ests = ests.join(state.select("node", est_col().alias(f"est_{r}")), "node")
+        ests = loop_checkpoint(ests)
     h_est = _sum_cols(
         [
             (F.col(f"est_{r}") - F.col(f"est_{r - 1}")) / F.lit(float(r))
@@ -1223,12 +1249,13 @@ def effective_diameter_sketch(
         F.conv(F.substring(F.md5(F.col("node")), 1, 8), 16, 10).cast("double")
         / F.lit(float(16**8))
     )
-    nodes = (
+    nodes, n_nodes = loop_checkpoint_count(
         sources.select("node")
         .union(edges.select(F.col("src").alias("node")))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    e = edges.select("src", "dst").transform(loop_checkpoint)
     state = nodes.select("node", F.array(frac_hash).alias("sk"))
 
     def est_col():
@@ -1237,27 +1264,29 @@ def effective_diameter_sketch(
         )
 
     rounds = [state.select("node", est_col().alias("est_0"))]
-    for r in range(1, hops + 1):
-        contrib = edges.join(
-            state.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "sk")
-        state = plan_checkpoint(
-            state.unionByName(contrib)
-            .groupBy("node")
-            .agg(
-                F.slice(
-                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))),
-                    1,
-                    k,
-                ).alias("sk")
+    # same tuned-cascade shape as neighborhood_sketch_audit
+    with loop_tuning(edges.sparkSession, n_nodes):
+        for r in range(1, hops + 1):
+            contrib = e.join(
+                state.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "sk")
+            state = plan_checkpoint(
+                state.unionByName(contrib)
+                .groupBy("node")
+                .agg(
+                    F.slice(
+                        F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))),
+                        1,
+                        k,
+                    ).alias("sk")
+                )
             )
-        )
-        rounds.append(state.select("node", est_col().alias(f"est_{r}")))
-    ests = rounds[0]
-    for fr in rounds[1:]:
-        ests = ests.join(fr, "node")
-    # restrict the neighborhood function to the tracked sources
-    ests = sources.select("node").join(ests, "node")
+            rounds.append(state.select("node", est_col().alias(f"est_{r}")))
+        ests = rounds[0]
+        for fr in rounds[1:]:
+            ests = ests.join(fr, "node")
+        # restrict the neighborhood function to the tracked sources
+        ests = loop_checkpoint(sources.select("node").join(ests, "node"))
     sums = ests.agg(
         *[
             F.sum(F.col(f"est_{r}").cast("decimal(28,12)")).alias(f"np_{r}")

@@ -175,7 +175,9 @@ def sniff_headers(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     - PNG  ``89 50 4E 47 0D 0A 1A 0A``; width/height are the IHDR
       chunk's first two big-endian u32s (bytes 17-24).
-    - GIF  ``GIF89a``; width/height are little-endian u16s at 7-10.
+    - GIF  ``GIF87a`` or ``GIF89a`` (same header layout, so both
+      variants share the dim extraction); width/height are
+      little-endian u16s at 7-10.
     - WAV  ``RIFF`` .... ``WAVE``; sample rate is the fmt chunk's
       little-endian u32 at bytes 25-28.
     - JPEG ``FF D8 FF``; dimensions live in a variable-offset SOF
@@ -186,7 +188,7 @@ def sniff_headers(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
     fields.  Output: (doc_id, mime, width, height, sample_rate)."""
     p = F.col(payload_col)
     is_png = _hx(p, 1, 8) == "89504E470D0A1A0A"
-    is_gif = _hx(p, 1, 6) == "474946383961"
+    is_gif = (_hx(p, 1, 4) == "47494638") & _hx(p, 5, 2).isin("3761", "3961")
     is_wav = (_hx(p, 1, 4) == "52494646") & (_hx(p, 9, 4) == "57415645")
     is_jpg = _hx(p, 1, 3) == "FFD8FF"
     null_i = F.lit(None).cast("bigint")

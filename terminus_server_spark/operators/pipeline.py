@@ -200,9 +200,16 @@ def snapshot_diff(
     of re-running on the whole corpus.  One md5 projection per side +
     one full-outer join on the key; scales with |old|+|new| in a
     single shuffle, and at scale runs partition-pruned when both
-    snapshots are identically partitioned."""
-    oh = old.select(F.col(key_col), F.md5(F.col(content_col)).alias("_oh"))
-    nh = new.select(F.col(key_col), F.md5(F.col(content_col)).alias("_nh"))
+    snapshots are identically partitioned.
+
+    Membership is inferred from the hash column's NULLness after the
+    full-outer join, so the hash must be NULL-SAFE: a NULL-content
+    document coalesces to a sentinel before md5 — otherwise a doc
+    present in both snapshots with NULL text would classify as
+    'added' instead of unchanged."""
+    h = F.md5(F.coalesce(F.col(content_col), F.lit("\x00null")))
+    oh = old.select(F.col(key_col), h.alias("_oh"))
+    nh = new.select(F.col(key_col), h.alias("_nh"))
     return (
         oh.join(nh, key_col, "full_outer")
         .select(

@@ -42,17 +42,23 @@ _DRIVER_WALK_LIMIT = 1_000_000
 
 
 def _collect_dag(commits: DataFrame):
-    """(ids, parents) of the commit graph, collected to the driver.
-    Commit graphs are METADATA — the reference keeps refs and commit
-    metadata in a tiny in-memory graph, and this module's remote
-    verbs already treat heads as driver-side values — so a
-    driver-side walk is the honest engineering: each distributed BFS
-    round costs more in plan analysis than the whole walk.  Guarded:
-    callers fall back to the distributed loop above
-    ``_DRIVER_WALK_LIMIT`` edges (a pathological monorepo history)."""
-    ids = [r.commit_id for r in commits.select("commit_id").collect()]
+    """(ids, parents) of the commit graph collected to the driver, or
+    ``None`` when the edge list exceeds ``_DRIVER_WALK_LIMIT`` (the
+    caller then falls back to the distributed loop).  Commit graphs
+    are METADATA — the reference keeps refs and commit metadata in a
+    tiny in-memory graph, and this module's remote verbs already
+    treat heads as driver-side values — so a driver-side walk is the
+    honest engineering: each distributed BFS round costs more in plan
+    analysis than the whole walk.  The guard is a single
+    ``limit(N+1)`` collect (len-checked) instead of a dedicated
+    count() job followed by a second full collect — one Spark job per
+    walk, not three."""
+    rows = parent_edges(commits).limit(_DRIVER_WALK_LIMIT + 1).collect()
+    if len(rows) > _DRIVER_WALK_LIMIT:
+        return None
+    ids = {r.commit_id for r in commits.select("commit_id").collect()}
     parents: dict[str, list[str]] = {}
-    for r in parent_edges(commits).collect():
+    for r in rows:
         parents.setdefault(r.child, []).append(r.parent)
     return ids, parents
 
@@ -67,9 +73,9 @@ def log_walk(commits: DataFrame, head: str, max_depth: int = 1000) -> DataFrame:
     anti-join the reached set) remains the fallback for pathological
     histories.  ``max_depth`` bounds runaway graphs (cycles cannot
     occur in a commit DAG but defensive caps are free)."""
-    n_edges = parent_edges(commits).count()
-    if n_edges <= _DRIVER_WALK_LIMIT:
-        ids, parents = _collect_dag(commits)
+    dag = _collect_dag(commits)
+    if dag is not None:
+        ids, parents = dag
         depth = _bfs_depths(ids, parents, head, max_depth)
         return commits.sparkSession.createDataFrame(
             list(depth.items()), "commit_id string, depth int"
@@ -147,9 +153,9 @@ def reachable_commits(
     is one walk of the reachable subgraph regardless of how many
     branches exist.  Driver-side under the metadata guard, like
     :func:`log_walk`."""
-    n_edges = parent_edges(commits).count()
-    if n_edges <= _DRIVER_WALK_LIMIT:
-        ids, parents = _collect_dag(commits)
+    dag = _collect_dag(commits)
+    if dag is not None:
+        ids, parents = dag
         seen = {h for h in heads if h in ids}
         frontier = list(seen)
         for _ in range(max_depth):
@@ -223,11 +229,19 @@ def merge_base(commits: DataFrame, head_a: str, head_b: str) -> DataFrame:
     semi-naive iteration) and one tiny join — commit graphs are
     metadata-sized, so this is driver-latency work even on a store
     whose DATA is 100 TB."""
-    if parent_edges(commits).count() <= _DRIVER_WALK_LIMIT:
-        ids, parents = _collect_dag(commits)
+    dag = _collect_dag(commits)
+    if dag is not None:
+        ids, parents = dag
         da = _bfs_depths(ids, parents, head_a, 1000)
         db = _bfs_depths(ids, parents, head_b, 1000)
         common = [(c, da[c], db[c]) for c in da if c in db]
+        # disconnected histories (or a head missing from the commit
+        # table) have no merge base — report it as an empty frame,
+        # matching the distributed path's limit(1)-of-empty result
+        if not common:
+            return commits.sparkSession.createDataFrame(
+                [], "merge_base string, depth_a int, depth_b int"
+            )
         best = min(common, key=lambda t: (t[1] + t[2], t[0]))
         return commits.sparkSession.createDataFrame(
             [best], "merge_base string, depth_a int, depth_b int"

@@ -379,11 +379,58 @@ def _introspect(schema_doc, root, args, fields):
     )
 
 
+def _path_query(store, args, fields):
+    """Compile a GraphQL ``_path`` root field onto the WOQL path
+    compiler (reference: the GraphQL layer's path queries — public
+    locus: terminusdb-community graphql crate path fields over the
+    same path.pl regex grammar).  Args: ``pattern`` (the textual
+    path regex, see ``woql.path_ast.parse_path_string``), optional
+    ``from`` / ``to`` node anchors.  Selection fields are the path
+    scalars ``src`` / ``dst`` / ``hops``.
+
+    Plan shape: an un-anchored pattern compiles to the generic
+    closure (``operators.path.compile_path``); a ``from:``-anchored
+    plus/star closure uses ``anchored_closure`` instead — state is
+    the anchor's reachable set, never the all-pairs closure filtered
+    after the fact, which is the difference between a bounded BFS
+    and an O(V²) materialization at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.path import anchored_closure, compile_path
+    from terminus_server_spark.woql import path_ast as P
+    from terminus_server_spark.woql.path_ast import parse_path_string
+
+    if "pattern" not in args:
+        raise ValueError("graphql: _path requires a pattern argument")
+    pat = parse_path_string(args["pattern"])
+    frm = args.get("from")
+    if frm is not None and isinstance(pat, (P.Plus, P.Star)):
+        spark = store.df.sparkSession
+        anchors = spark.createDataFrame([(frm,)], "node string")
+        df = anchored_closure(
+            compile_path(store, pat.part).select("src", "dst"),
+            anchors,
+            with_zero=isinstance(pat, P.Star),
+        )
+    else:
+        df = compile_path(store, pat)
+        if frm is not None:
+            df = df.where(F.col("src") == F.lit(frm))
+    if "to" in args:
+        df = df.where(F.col("dst") == F.lit(args["to"]))
+    names = [f if isinstance(f, str) else f["name"] for f in fields]
+    bad = [n for n in names if n not in ("src", "dst", "hops")]
+    if bad:
+        raise ValueError(f"graphql: _path has no fields {bad!r}")
+    return df.select(*names)
+
+
 def execute_graphql(
     frames: dict,
     src: str,
     relations: dict | None = None,
     schema=None,
+    store=None,
 ):
     """Execute a parsed GraphQL request against ``frames`` (class
     name → DataFrame) and return {class: DataFrame}.
@@ -402,10 +449,19 @@ def execute_graphql(
     {...} }`` and ``__type(name: ...)`` introspection roots — the
     first thing GraphiQL/codegen tooling sends — are answered from
     it (reference serves the same generated schema over the
-    introspection protocol)."""
+    introspection protocol).
+
+    ``store``: a ``TripleStore`` — enables the ``_path`` root field
+    (graph path traversal over the store's edges, see
+    :func:`_path_query`)."""
     relations = relations or {}
     out = {}
     for cls, req in parse_graphql(src).items():
+        if cls == "_path":
+            if store is None:
+                raise ValueError("graphql: _path requires a triple store")
+            out[cls] = _path_query(store, req["args"], req["fields"])
+            continue
         if cls in ("__schema", "__type"):
             if schema is None:
                 raise ValueError(

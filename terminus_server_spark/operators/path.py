@@ -168,6 +168,69 @@ def transitive_closure_doubling(
     return r if with_hops else r.select("src", "dst")
 
 
+def anchored_closure(
+    edges: DataFrame,
+    anchors: DataFrame,
+    max_iters: int = 50,
+    with_zero: bool = False,
+) -> DataFrame:
+    """(src, dst, hops): min-repetition closure pairs whose ``src``
+    is in ``anchors`` (one ``node`` column) — the ``from:``-bound
+    form of :func:`transitive_closure`.  THIS is the 100 TB shape for
+    anchored path traversal: state is the anchors' reachable set
+    (frontier-sized shuffles), never the all-pairs closure a
+    filter-after-closure plan would materialize first.
+
+    Plus semantics: hops >= 1, INCLUDING cycle returns to the anchor
+    (the seed is the anchors' one-step successors, so the anchor
+    itself is reachable at hops >= 1 through a cycle — identical to
+    filtering the full plus-closure by src).  ``with_zero`` adds the
+    hops-0 self row and drops any costlier self pair (star)."""
+    spark = edges.sparkSession
+    with no_constraint_propagation(spark):
+        base = loop_checkpoint(
+            edges.select("src", "dst").where(
+                F.col("src").isNotNull() & F.col("dst").isNotNull()
+            )
+        )
+        a = anchors.select(F.col("node").alias("src")).distinct()
+        frontier, n0 = loop_checkpoint_count(
+            base.join(a, "src").select("src", "dst", F.lit(1).alias("hops"))
+        )
+        layers = [frontier]
+        reached_keys = frontier.select("src", "dst")
+        with loop_tuning(spark, max(n0, 1)):
+            for _ in range(max_iters - 1):
+                grown = (
+                    frontier.alias("f")
+                    .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
+                    .select(
+                        F.col("f.src").alias("src"),
+                        F.col("e.dst").alias("dst"),
+                        (F.col("f.hops") + 1).alias("hops"),
+                    )
+                )
+                new, n_new = loop_checkpoint_count(
+                    grown.join(reached_keys, ["src", "dst"], "left_anti")
+                    .groupBy("src", "dst")
+                    .agg(F.min("hops").alias("hops"))
+                )
+                if n_new == 0:
+                    break
+                layers.append(new)
+                reached_keys = reached_keys.union(new.select("src", "dst"))
+                frontier = new
+        out = layers[0]
+        for layer in layers[1:]:
+            out = out.unionByName(layer)
+        if with_zero:
+            zero = a.select("src", F.col("src").alias("dst"), F.lit(0).alias("hops"))
+            out = zero.unionByName(
+                out.join(zero.select("src", "dst"), ["src", "dst"], "left_anti")
+            )
+    return out
+
+
 def compile_path(store, pattern: P.PathPattern) -> DataFrame:
     """Compile a path pattern to an (src, dst, hops) DataFrame."""
     if isinstance(pattern, P.Pred):

@@ -13630,3 +13630,37 @@ def sketch_quantile_grid(spark, sf_dir):
             ).alias("approx_le"),
         )
     )
+
+
+@register(
+    "gql_execute_path",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst, 1 AS hops
+      FROM customer WHERE c_custkey >= 1 AND c_custkey = 750
+      UNION ALL
+      SELECT a.src, 'C/' || (c.c_custkey // 2), a.hops + 1
+      FROM anc a JOIN customer c ON a.dst = 'C/' || c.c_custkey
+      WHERE c.c_custkey >= 1)
+    SELECT src, dst, MIN(hops) AS hops FROM anc GROUP BY src, dst
+    """,
+)
+def gql_execute_path(spark, sf_dir):
+    """GraphQL path query end-to-end (docs/graphql.py:_path_query):
+    the wire-format ``_path(pattern:, from:)`` root field — the
+    reference's GraphQL path traversal (public terminusdb-community
+    graphql crate) — parsed by the textual path-regex parser
+    (woql/path_ast.py:parse_path_string) and compiled onto the
+    ANCHORED closure: a from:-bound plus-closure runs a bounded BFS
+    from the anchor (state = the anchor's reachable set), never the
+    all-pairs closure filtered after the fact.  Oracle: the exact
+    recursive CTE from the same anchor."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    store = _parent_tree_store(spark, sf_dir)
+    src = """
+    query {
+      _path(pattern: "parent+", from: "C/750") { src dst hops }
+    }
+    """
+    return execute_graphql({}, src, store=store)["_path"]

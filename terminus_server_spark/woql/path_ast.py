@@ -63,3 +63,109 @@ class Times(PathPattern):
     part: PathPattern
     n: int
     m: int
+
+
+_PATH_TOKEN = __import__("re").compile(
+    r"\s*(?:(?P<name>[A-Za-z_][\w:.\-/]*)|(?P<num>\d+)|(?P<p>[,|+*{}()<]))"
+)
+
+
+def parse_path_string(src: str) -> PathPattern:
+    """Parse the textual path-regex syntax the reference's GraphQL
+    and WOQL layers accept (public locus: terminus-server path
+    queries, src/core/query/path.pl grammar; the GraphQL ``path``
+    field takes the same string form):
+
+    - ``p``            predicate step
+    - ``<p``           inverse step
+    - ``p,q``          sequence
+    - ``p|q``          alternation
+    - ``p+`` ``p*``    one-or-more / zero-or-more closure
+    - ``p{n,m}``       bounded repetition
+    - parentheses      grouping
+
+    Example: ``"(parent,<parent)|friend+"``.  Pure driver-side
+    compile work on a short string — the compiled plan is
+    :func:`terminus_server_spark.operators.path.compile_path`'s."""
+    toks: list[tuple[str, str]] = []
+    i = 0
+    while i < len(src):
+        m = _PATH_TOKEN.match(src, i)
+        if not m or m.end() == i:
+            if src[i:].strip() == "":
+                break
+            raise ValueError(f"path syntax: unexpected {src[i:]!r}")
+        i = m.end()
+        for kind in ("name", "num", "p"):
+            if m.group(kind) is not None:
+                toks.append((kind, m.group(kind)))
+                break
+
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else (None, None)
+
+    def take(expect=None):
+        kind, val = peek()
+        if expect is not None and val != expect:
+            raise ValueError(f"path syntax: expected {expect!r}, got {val!r}")
+        pos[0] += 1
+        return kind, val
+
+    def atom() -> PathPattern:
+        kind, val = peek()
+        if val == "(":
+            take("(")
+            inner = alternation()
+            take(")")
+            return inner
+        if val == "<":
+            take("<")
+            kind, name = take()
+            if kind != "name":
+                raise ValueError(f"path syntax: expected predicate after '<', got {name!r}")
+            return Inv(name)
+        if kind == "name":
+            take()
+            return Pred(val)
+        raise ValueError(f"path syntax: expected a step, got {val!r}")
+
+    def postfixed() -> PathPattern:
+        out = atom()
+        while True:
+            _, val = peek()
+            if val == "+":
+                take()
+                out = Plus(out)
+            elif val == "*":
+                take()
+                out = Star(out)
+            elif val == "{":
+                take("{")
+                _, n = take()
+                take(",")
+                _, m_ = take()
+                take("}")
+                out = Times(out, int(n), int(m_))
+            else:
+                return out
+
+    def sequence() -> PathPattern:
+        parts = [postfixed()]
+        while peek()[1] == ",":
+            take(",")
+            parts.append(postfixed())
+        return parts[0] if len(parts) == 1 else Seq(*parts)
+
+    def alternation() -> PathPattern:
+        parts = [sequence()]
+        while peek()[1] == "|":
+            take("|")
+            parts.append(sequence())
+        return parts[0] if len(parts) == 1 else OrP(*parts)
+
+    out = alternation()
+    if pos[0] != len(toks):
+        raise ValueError(f"path syntax: trailing tokens at {toks[pos[0]:]!r}")
+    return out

@@ -669,3 +669,61 @@ def test_typecast_strict_raises_safe_nulls(spark):
     )
     with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
         ctx.run(A.Select([A.v("s"), A.v("v")], strict)).collect()
+
+
+def test_parse_path_string_grammar():
+    """Textual path-regex parser covers the reference grammar:
+    sequence, alternation, inverse, postfix closures, bounded
+    repetition, grouping, precedence (| binds looser than ,)."""
+    import pytest as _pytest
+
+    from terminus_server_spark.woql import path_ast as P
+    from terminus_server_spark.woql.path_ast import parse_path_string as pp
+
+    assert pp("parent") == P.Pred("parent")
+    assert pp("<parent") == P.Inv("parent")
+    assert pp("a,b") == P.Seq(P.Pred("a"), P.Pred("b"))
+    assert pp("a|b,c") == P.OrP(P.Pred("a"), P.Seq(P.Pred("b"), P.Pred("c")))
+    assert pp("(a|b),c") == P.Seq(P.OrP(P.Pred("a"), P.Pred("b")), P.Pred("c"))
+    assert pp("a+") == P.Plus(P.Pred("a"))
+    assert pp("(a,<b)*") == P.Star(P.Seq(P.Pred("a"), P.Inv("b")))
+    assert pp("a{1,3}") == P.Times(P.Pred("a"), 1, 3)
+    assert pp("a{2,2},b") == P.Seq(P.Times(P.Pred("a"), 2, 2), P.Pred("b"))
+    for bad in ("", "a,", "(a", "a{1}", "<", "a b"):
+        with _pytest.raises(ValueError):
+            pp(bad)
+
+
+def test_anchored_closure_plus_cycle_and_star_zero(spark):
+    """anchored_closure matches filter-the-full-closure semantics:
+    plus includes cycle returns to the anchor at hops >= 1; star's
+    with_zero self row replaces any costlier self pair."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.path import anchored_closure, transitive_closure
+
+    # 3-cycle a->b->c->a plus a tail c->d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string"
+    )
+    anchors = spark.createDataFrame([("a",)], "node string")
+    got = {
+        (r.src, r.dst): r.hops
+        for r in anchored_closure(edges, anchors).collect()
+    }
+    full = {
+        (r.src, r.dst): r.hops
+        for r in transitive_closure(edges, with_hops=True).collect()
+        if r.src == "a"
+    }
+    assert got == full
+    assert got[("a", "a")] == 3  # cycle return present at hops >= 1
+
+    star = {
+        (r.src, r.dst): r.hops
+        for r in anchored_closure(edges, anchors, with_zero=True).collect()
+    }
+    assert star[("a", "a")] == 0  # zero row replaces the 3-hop self pair
+    assert {k: v for k, v in star.items() if k != ("a", "a")} == {
+        k: v for k, v in full.items() if k != ("a", "a")
+    }

@@ -206,6 +206,53 @@ def sniff_headers(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def sniff_headers2(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-format sniffing tranche 2 — PDF / MP3 (ID3v2) / MP4
+    — same built-in byte-expression discipline as
+    :func:`sniff_headers` (``substring`` on binary, ``hex``, ``conv``,
+    ``decode``): no codec library, no Python worker.  Public container
+    specs:
+
+    - PDF  ``%PDF-`` magic; version is the ASCII ``d.d`` right after
+      (``%PDF-1.7``).
+    - MP3  ``ID3`` tag header; the total tag size is the four
+      SYNC-SAFE bytes at 7-10 — 7 payload bits per byte, high bit
+      zero by spec, so size = b₇·2²¹ + b₈·2¹⁴ + b₉·2⁷ + b₁₀.
+    - MP4  ISO-BMFF: bytes 5-8 are the ``ftyp`` box tag; the major
+      brand is the ASCII 4-cc at 9-12 (isom / mp42 / avc1 ...).
+
+    Unknown payloads keep ``application/octet-stream`` with NULL
+    fields.  Output: (doc_id, mime, pdf_version, id3_size,
+    mp4_brand)."""
+    p = F.col(payload_col)
+    is_pdf = _hx(p, 1, 5) == "255044462D"
+    is_mp3 = _hx(p, 1, 3) == "494433"
+    is_mp4 = _hx(p, 5, 4) == "66747970"
+    null_i = F.lit(None).cast("bigint")
+    null_s = F.lit(None).cast("string")
+    id3_size = (
+        _be(p, 7, 1) * F.lit(2097152)
+        + _be(p, 8, 1) * F.lit(16384)
+        + _be(p, 9, 1) * F.lit(128)
+        + _be(p, 10, 1)
+    )
+    return mm.select(
+        "doc_id",
+        F.when(is_pdf, F.lit("application/pdf"))
+        .when(is_mp3, F.lit("audio/mpeg"))
+        .when(is_mp4, F.lit("video/mp4"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime"),
+        F.when(is_pdf, F.decode(F.substring(p, 6, 3), "UTF-8"))
+        .otherwise(null_s)
+        .alias("pdf_version"),
+        F.when(is_mp3, id3_size).otherwise(null_i).alias("id3_size"),
+        F.when(is_mp4, F.decode(F.substring(p, 9, 4), "UTF-8"))
+        .otherwise(null_s)
+        .alias("mp4_brand"),
+    )
+
+
 def sample_frames(mm: DataFrame, every_k: int = 4) -> DataFrame:
     """Frame sampling for video payloads: emit one row per k-th frame
     — a row-count-*increasing* ``mapInPandas`` (the batch shape real

@@ -13664,3 +13664,211 @@ def gql_execute_path(spark, sf_dir):
     }
     """
     return execute_graphql({}, src, store=store)["_path"]
+
+
+@register(
+    "gql_execute_nested_d3",
+    """
+    WITH par AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000.0),
+    rl AS (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem),
+    lg AS (
+      SELECT l_orderkey,
+             to_json(list(struct_pack(l_linenumber := l_linenumber)
+                          ORDER BY rn))::VARCHAR AS lineitems
+      FROM rl WHERE rn <= 3 GROUP BY l_orderkey),
+    ro AS (
+      SELECT o.o_custkey, o.o_orderkey,
+             COALESCE(lg.lineitems, '[]') AS lineitems,
+             row_number() OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o LEFT JOIN lg ON o.o_orderkey = lg.l_orderkey),
+    og AS (
+      SELECT o_custkey,
+             to_json(list(struct_pack(o_orderkey := o_orderkey,
+                                      lineitems := lineitems)
+                          ORDER BY rn))::VARCHAR AS orders
+      FROM ro WHERE rn <= 2 GROUP BY o_custkey)
+    SELECT p.c_custkey, p.c_name, COALESCE(og.orders, '[]') AS orders
+    FROM par p LEFT JOIN og ON p.c_custkey = og.o_custkey
+    """,
+)
+def gql_execute_nested_d3(spark, sf_dir):
+    """Depth-3 nested GraphQL pagination: Customer -> orders (top-2
+    by price, per parent) -> lineitems (top-3 by extended price, per
+    order).  Proves the per-parent row_number compiler at depth > 2:
+    each nesting level is ONE window over its own fk plus one child
+    aggregation joined back — never a per-parent subquery at any
+    depth — and the grandchild JSON rides inside the child JSON as an
+    escaped string byte-identically to the oracle's to_json."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    src = """
+    query {
+      Customer(filter: {_and: [{c_mktsegment: {eq: "MACHINERY"}},
+                               {c_acctbal: {gt: 9000.0}}]}) {
+        c_custkey
+        c_name
+        orders(orderBy: {o_totalprice: DESC}, limit: 2) {
+          o_orderkey
+          lineitems(orderBy: {l_extendedprice: DESC}, limit: 3) {
+            l_linenumber
+          }
+        }
+      }
+    }
+    """
+    return execute_graphql(
+        {"Customer": t["customer"], "Order": t["orders"], "Lineitem": t["lineitem"]},
+        src,
+        relations={
+            ("Customer", "orders"): ("Order", "c_custkey", "o_custkey"),
+            ("Order", "lineitems"): ("Lineitem", "o_orderkey", "l_orderkey"),
+        },
+    )["Customer"]
+
+
+@register(
+    "mm_header_probe2",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'application/pdf'
+                           WHEN 1 THEN 'audio/mpeg'
+                           ELSE 'video/mp4' END AS mime,
+           CASE WHEN doc_id % 3 = 0
+                THEN '1.' || CAST(4 + doc_id % 4 AS VARCHAR) END AS pdf_version,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(1000 + doc_id % 100000 AS BIGINT) END AS id3_size,
+           CASE WHEN doc_id % 3 = 2
+                THEN CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+           END AS mp4_brand
+    FROM documents
+    """,
+)
+def mm_header_probe2(spark, sf_dir):
+    """Multimodal container sniffing tranche 2 (operators/
+    multimodal.py:sniff_headers2): PDF version text, ID3v2 SYNC-SAFE
+    tag size (7 bits per byte), MP4 ftyp major brand — all parsed
+    from real spec-conformant header bytes with built-in expressions,
+    no codec, no Python worker.  The fixture synthesizes the headers
+    from doc_id (incl. the sync-safe 7-bit split of the MP3 tag
+    size), so the oracle restates the fields closed-form while Spark
+    genuinely parses the bytes."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.multimodal import sniff_headers2
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+
+    def behex(c, n):
+        return F.lpad(F.hex(c), 2 * n, "0")
+
+    # PDF: %PDF-1.X + newline; X = ascii digit 4 + doc_id%4
+    pdf = F.concat(F.lit("255044462D312E"), behex(F.lit(52) + k % 4, 1), F.lit("0A"))
+    # MP3: ID3 v2.4.0, no flags, sync-safe tag size (4 x 7-bit groups)
+    size = F.lit(1000) + k % 100000
+    mp3 = F.concat(
+        F.lit("494433"), F.lit("0400"), F.lit("00"),
+        behex(F.floor(size / 2097152) % 128, 1),
+        behex(F.floor(size / 16384) % 128, 1),
+        behex(F.floor(size / 128) % 128, 1),
+        behex(size % 128, 1),
+    )
+    # MP4: [box size 0x14][ftyp][brand][minor version 0]
+    brand = F.when(k % 2 == 0, F.lit("69736F6D")).otherwise(F.lit("6D703432"))
+    mp4 = F.concat(F.lit("00000014"), F.lit("66747970"), brand, F.lit("00000000"))
+    payload_hex = F.when(k % 3 == 0, pdf).when(k % 3 == 1, mp3).otherwise(mp4)
+    mm = docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    return sniff_headers2(mm)
+
+
+@register(
+    "graph_betweenness_sampled",
+    """
+    WITH nodes AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE c_custkey % 10 <> 0 AND c_custkey >= 1 AND c_custkey < 300
+      UNION
+      SELECT c_custkey - 1 FROM customer
+      WHERE c_custkey % 10 <> 0 AND c_custkey >= 1 AND c_custkey < 300),
+    pos AS (SELECT k AS node, k % 10 AS q FROM nodes),
+    calc AS (
+      SELECT node, q,
+        (CASE WHEN q < 1 THEN 1 ELSE 0 END) + (CASE WHEN q < 4 THEN 1 ELSE 0 END)
+          + (CASE WHEN q < 7 THEN 1 ELSE 0 END) AS gt,
+        (CASE WHEN q > 1 THEN 1 ELSE 0 END) + (CASE WHEN q > 4 THEN 1 ELSE 0 END)
+          + (CASE WHEN q > 7 THEN 1 ELSE 0 END) AS lt
+      FROM pos),
+    c2 AS (
+      SELECT node, ROUND((q * gt + (9 - q) * lt) / 2.0, 6) AS b6,
+             ROUND(CAST(q * (9 - q) AS DOUBLE), 6) AS exact
+      FROM calc),
+    c3 AS (SELECT node, ROUND(b6 * (300.0 / 90.0), 6) AS est, exact FROM c2)
+    SELECT node, est, exact,
+           CASE WHEN exact > 0 THEN ROUND(ABS(est - exact) / exact, 6)
+                ELSE ROUND(ABS(est), 6) END AS rel_err
+    FROM c3
+    """,
+)
+def graph_betweenness_sampled(spark, sf_dir):
+    """Sampled-pivot betweenness with its own exact audit (the
+    Brandes-Pich estimator — the 100 TB mode the betweenness
+    docstring promises): pivots are the deterministic position-
+    {1,4,7} sample of each decade chain, per-node dependency sums
+    scale by n/|pivots|, and the estimate ships next to the exact
+    all-pivots run plus rel_err — the same audited-approximation
+    pattern as graph_ball_sketch.  The decade-chain fixture gives
+    BOTH the exact measure (position*(9-position)) and the sampled
+    estimate a closed form the oracle restates independently."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import betweenness
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    base = cust.where(
+        (F.col("c_custkey") % 10 != 0)
+        & (F.col("c_custkey") >= 1)
+        & (F.col("c_custkey") < 300)
+    )
+    edges = base.select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(edges.select("dst")).distinct()
+    pivots = nodes.where((F.col("node") % 10).isin(1, 4, 7))
+    counts = nodes.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
+        F.broadcast(pivots.agg(F.count(F.lit(1)).alias("_p")))
+    )
+    sampled = betweenness(edges, sources=pivots).select(
+        "node", F.col("betweenness").alias("_b")
+    )
+    exact = betweenness(edges).select("node", F.col("betweenness").alias("exact"))
+    scaled = (
+        sampled.join(exact, "node")
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "node",
+            F.round(
+                F.col("_b") * (F.col("_n").cast("double") / F.col("_p").cast("double")),
+                6,
+            ).alias("est"),
+            "exact",
+        )
+    )
+    return scaled.select(
+        "node",
+        "est",
+        "exact",
+        F.when(
+            F.col("exact") > 0,
+            F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6),
+        )
+        .otherwise(F.round(F.abs(F.col("est")), 6))
+        .alias("rel_err"),
+    )

@@ -316,6 +316,71 @@ def _hops_loop(e, frontier, layers, reached_keys, max_iters):
     return layers, reached_keys
 
 
+def landmark_distance_audit(
+    edges: DataFrame, landmarks: DataFrame, queries: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """(u, v, est, exact, rel_err): landmark-labeling distance
+    estimation (the ALT / 2-hop-labeling family) with its own exact
+    audit — THE approximate-shortest-path shape at 100 TB: |L| BFS
+    passes precompute (landmark, node, hops) labels once (state
+    |L|·|V|, reusable across every later query), and a distance query
+    is then a pure JOIN — est(u,v) = min_L d(u,L) + d(L,v), an upper
+    bound that is exact whenever some landmark lies on a shortest
+    u-v path.  No per-query traversal: the label table is the index.
+
+    The audit runs the exact multi-source BFS from the query sources
+    (bounded by the query set, so it stays cheap) and reports per-pair
+    rel_err — the same audited-approximation pattern as
+    graph_ball_sketch.  Distances are over the UNDIRECTED graph
+    (edges symmetrized internally, like ``betweenness``).
+
+    ``landmarks``: (node); ``queries``: (u, v) pairs to estimate."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    lab = shortest_hops(und, landmarks, max_iters)
+    du = lab.select(
+        F.col("source").alias("_L"), F.col("node").alias("u"), F.col("hops").alias("_du")
+    )
+    dv = lab.select(
+        F.col("source").alias("_L"), F.col("node").alias("v"), F.col("hops").alias("_dv")
+    )
+    est = (
+        queries.join(du, "u")
+        .join(dv, ["_L", "v"])
+        .groupBy("u", "v")
+        .agg(F.min(F.col("_du") + F.col("_dv")).alias("est"))
+    )
+    exact = shortest_hops(
+        und, queries.select(F.col("u").alias("node")).distinct(), max_iters
+    ).select(
+        F.col("source").alias("u"), F.col("node").alias("v"), F.col("hops").alias("exact")
+    )
+    return (
+        queries.join(est, ["u", "v"])
+        .join(exact, ["u", "v"])
+        .select(
+            "u",
+            "v",
+            "est",
+            "exact",
+            F.when(
+                F.col("exact") > 0,
+                F.round(
+                    F.abs(F.col("est") - F.col("exact")).cast("double")
+                    / F.col("exact").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.abs(F.col("est")).cast("double"))
+            .alias("rel_err"),
+        )
+    )
+
+
 def betweenness(
     edges: DataFrame, sources: DataFrame | None = None, max_iters: int = 50
 ) -> DataFrame:

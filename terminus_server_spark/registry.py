@@ -13872,3 +13872,95 @@ def graph_betweenness_sampled(spark, sf_dir):
         .otherwise(F.round(F.abs(F.col("est")), 6))
         .alias("rel_err"),
     )
+
+
+@register(
+    "graph_landmark_dist",
+    """
+    WITH q AS (
+      SELECT c_custkey AS u, c_custkey + 3 AS v, c_custkey % 10 AS p
+      FROM customer WHERE c_custkey < 500 AND c_custkey % 10 <= 6)
+    SELECT u, v, CAST(2 * p + 3 AS INT) AS est, CAST(3 AS INT) AS exact,
+           ROUND(CAST(2 * p AS DOUBLE) / 3.0, 6) AS rel_err
+    FROM q
+    """,
+)
+def graph_landmark_dist(spark, sf_dir):
+    """Landmark-labeling approximate shortest paths with exact audit
+    (operators/graph.py:landmark_distance_audit): |L| BFS passes
+    build a (landmark, node, hops) label table once; every distance
+    query after that is a pure join — min_L d(u,L)+d(L,v) — never a
+    traversal.  The decade-chain fixture (landmark = position 0 of
+    each chain, queries = (u, u+3) pairs) gives both the estimate
+    (2·pos+3, the detour through the chain head) and the exact
+    distance (3) closed forms the oracle restates."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import landmark_distance_audit
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    base = cust.where((F.col("c_custkey") < 500))
+    edges = base.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    landmarks = base.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    queries = base.where(F.col("c_custkey") % 10 <= 6).select(
+        F.col("c_custkey").alias("u"), (F.col("c_custkey") + 3).alias("v")
+    )
+    return landmark_distance_audit(edges, landmarks, queries)
+
+
+@register(
+    "woql_with",
+    """
+    SELECT 'Nation/' || n_nationkey AS s, n_name AS name
+    FROM nation WHERE n_regionkey = 1
+    """,
+)
+def woql_with(spark, sf_dir):
+    """WOQL ``with`` word (woql/compiler.py:_c_With; reference:
+    woql_compile.pl ``with`` — query-scoped resource graphs): an
+    N-Triples dump loads as a TEMPORARY graph visible to Quad
+    patterns for the scope of the word only, joined here against the
+    live store's instance graph — the join-a-dump-without-committing
+    verb.  The fixture dumps region-1 nations as `vip` triples to a
+    real text file; the query reads them back through the temp graph
+    and resolves their names from the store."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import to_ntriples
+    from terminus_server_spark.woql import ast as A
+
+    nation = _t(spark, sf_dir, "nation")["nation"]
+    vip = nation.where(F.col("n_regionkey") == 1).select(
+        F.lit("tmp").alias("graph"),
+        F.concat(F.lit("Nation/"), F.col("n_nationkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit("vip").alias("predicate"),
+        F.lit("true").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    path = tempfile.mkdtemp(prefix="tss_with_") + "/vip_nt"
+    to_ntriples(vip, base=_NT_B).select("line").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+    q = A.With(
+        "tmp",
+        path,
+        A.Select(
+            [A.v("s"), A.v("name")],
+            A.And(
+                A.Quad(A.v("s"), "vip", "true", "tmp"),
+                A.Triple(A.v("s"), "n_name", A.v("name")),
+            ),
+        ),
+        base=_NT_B,
+    )
+    return _ctx(spark, sf_dir).run(q)

@@ -549,6 +549,22 @@ class Into(Term):
 
 
 @dataclass(frozen=True)
+class With(Term):
+    """With(graph, resource, term): evaluate ``term`` with a
+    TEMPORARY graph named ``graph`` holding the triples parsed from
+    ``resource`` (an N-Triples dump path) — the reference's
+    query-scoped resource graph (woql_compile.pl ``with``): join a
+    dump against the live store without committing anything.  The
+    temp graph is visible to Quad/Using patterns only for the scope
+    of the word; the store itself is untouched."""
+
+    graph: str
+    resource: str
+    term: Term
+    base: str = "http://example.org/"
+
+
+@dataclass(frozen=True)
 class Call(Term):
     """Call(name, args): invoke a named query registered on the
     context, positional ``args`` substituting for its parameters

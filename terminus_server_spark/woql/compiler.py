@@ -737,6 +737,23 @@ class WOQLContext:
         finally:
             self._graph_stack.pop()
 
+    def _c_With(self, t: A.With, df_in):
+        from terminus_server_spark.model.triples import TripleStore, from_ntriples
+
+        lines = self.spark.read.text(t.resource).withColumnRenamed("value", "line")
+        tmp = from_ntriples(lines, base=t.base, graph=t.graph)
+        prev = self.store
+        # overlay store: base triples + the resource parsed into the
+        # temp graph; pred_frames fast paths are dropped for the scope
+        # (they would bypass the overlay), schema graph carries over
+        self.store = TripleStore(
+            prev.df.unionByName(tmp, allowMissingColumns=True), prev.schema_df
+        )
+        try:
+            return self._compile(t.term, df_in)
+        finally:
+            self.store = prev
+
     # -- update words (see run_update) -----------------------------------
 
     def _write_graph(self, explicit: str | None) -> str:

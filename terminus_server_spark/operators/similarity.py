@@ -801,6 +801,115 @@ def pq_topk_audit(
     )
 
 
+def binary_quant_topk_audit(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cand: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, ham, cos, rk, in_exact): 1-bit binary
+    quantization retrieval with exact-cosine rerank, audited against
+    the exact top-k — the modern memory-side serving shape (binary
+    quantization + rescoring): each corpus vector compresses to
+    dim/32 packed sign words (64 dims → two bigint words, 8 bytes vs
+    256), the candidate scan is XOR + popcount over CODES only, and
+    raw vectors are touched only to rerank the ``n_cand`` Hamming
+    survivors.  At 100 TB the code table is ~3 % of the raw vectors
+    and scans at memory bandwidth; recall lost to the 1-bit cut is
+    exactly what ``in_exact`` reports per neighbor.
+
+    Sign packing is an order-free integer sum of distinct powers of
+    two over 32-bit halves (never the sign bit of a bigint), and
+    popcounts are integer-exact — the whole pipeline replays
+    bit-identically in the SQL oracle."""
+    from pyspark.sql.window import Window
+
+    n_words = dim // 32
+
+    def words(df: DataFrame, sfx: str) -> DataFrame:
+        v = _scaled_vec(F.col(vec_col))
+
+        def packer(lo: int):
+            # closure factory: F.aggregate's merge lambda must take
+            # exactly (acc, x) — a default arg would read as arity 3
+            return lambda acc, i: acc + F.when(
+                F.element_at(v, i + F.lit(lo + 1)) > 0,
+                F.pow(F.lit(2.0), i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+
+        cols = [F.col(id_col).alias(f"id_{sfx}")]
+        for w_i in range(n_words):
+            cols.append(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(31)),
+                    F.lit(0).cast("bigint"),
+                    packer(w_i * 32),
+                ).alias(f"w{w_i}_{sfx}")
+            )
+        return df.select(*cols)
+
+    qw = words(queries, "q")
+    cw = words(emb, "c")
+    ham = _sum_cols_sim(
+        [
+            F.bit_count(F.col(f"w{i}_q").bitwiseXOR(F.col(f"w{i}_c")))
+            for i in range(n_words)
+        ]
+    ).cast("int")
+    cand = (
+        broadcast(qw)
+        .crossJoin(cw)
+        .where(F.col("id_q") != F.col("id_c"))
+        .select(
+            F.col("id_q").alias("query_id"),
+            F.col("id_c").alias("neighbor_id"),
+            ham.alias("ham"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("ham").asc(), F.col("neighbor_id").asc()
+    )
+    kept = cand.withColumn("_rkh", F.row_number().over(wh)).where(
+        F.col("_rkh") <= n_cand
+    )
+    qa = scaled_parts(queries, id_col, vec_col, "a")
+    cb = scaled_parts(emb, id_col, vec_col, "b")
+    rer = (
+        kept.join(broadcast(qa), kept["query_id"] == qa["id_a"])
+        .join(cb, kept["neighbor_id"] == cb["id_b"])
+        .select("query_id", "neighbor_id", "ham", cosine_from_parts().alias("cos"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    approx = rer.withColumn("rk", F.row_number().over(wc)).where(F.col("rk") <= k)
+    exact = brute_force_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_ex")
+    )
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "ham",
+            "cos",
+            "rk",
+            F.col("_ex").isNotNull().alias("in_exact"),
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+def _sum_cols_sim(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,

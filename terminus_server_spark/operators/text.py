@@ -709,3 +709,43 @@ def kneser_ney_score(
             ).alias("avg_logprob_kn"),
         )
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """(doc_id, lang, perplexity, bucket ∈ head/middle/tail): the
+    CCNet bucketing step — documents split into per-LANGUAGE
+    perplexity terciles (Wenzek et al., CCNet: head = the most
+    LM-like third, tail = the noisiest; pipelines typically train on
+    head+middle and drop or down-weight tail).
+
+    Perplexity is :func:`bigram_perplexity`'s corpus-trained score;
+    tercile assignment is EXACT integer rank arithmetic — bucket =
+    floor(3·(rank−1)/n) over a per-language (perplexity, doc_id)
+    window — never an interpolated approximate quantile, so the same
+    document lands in the same bucket on any engine or partitioning.
+    One window per language partition; the frame never exceeds the
+    language's document count."""
+    from pyspark.sql.window import Window
+
+    ppl = bigram_perplexity(docs, text_col).select("doc_id", "perplexity")
+    scored = docs.select("doc_id", F.col(lang_col).alias("lang")).join(ppl, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("perplexity").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    idx = F.floor(
+        (F.col("_rk") - 1).cast("double") * 3.0 / F.col("_n").cast("double")
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "perplexity",
+        F.when(idx == 0, F.lit("head"))
+        .when(idx == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

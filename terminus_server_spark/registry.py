@@ -13964,3 +13964,130 @@ def woql_with(spark, sf_dir):
         base=_NT_B,
     )
     return _ctx(spark, sf_dir).run(q)
+
+
+@register(
+    "ann_binary_quant",
+    f"""
+    WITH {_PARTS_SQL},
+    words AS (
+      SELECT vec_id, v, norm,
+        list_sum(list_transform(range(0, 32),
+          i -> CASE WHEN v[i + 1] > 0 THEN (2 ** i)::BIGINT ELSE 0 END))::BIGINT AS w0,
+        list_sum(list_transform(range(0, 32),
+          i -> CASE WHEN v[i + 33] > 0 THEN (2 ** i)::BIGINT ELSE 0 END))::BIGINT AS w1
+      FROM parts),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS INT) AS ham
+      FROM words q JOIN words c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5),
+    kept AS (
+      SELECT query_id, neighbor_id, ham,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ham ASC, neighbor_id ASC) AS rkh
+      FROM cand QUALIFY rkh <= 30),
+    rer AS (
+      SELECT k2.query_id, k2.neighbor_id, k2.ham, {{cos}} AS cos
+      FROM kept k2 JOIN parts a ON a.vec_id = k2.query_id
+                   JOIN parts b ON b.vec_id = k2.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, ham, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM rer QUALIFY rk <= 10),
+    exact AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {{cos}} DESC, b.vec_id ASC) AS rk
+      FROM parts a CROSS JOIN parts b
+      WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+      QUALIFY rk <= 10)
+    SELECT r.query_id, r.neighbor_id, r.ham, r.cos, r.rk,
+           e.query_id IS NOT NULL AS in_exact
+    FROM ranked r LEFT JOIN exact e
+      ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+    ORDER BY r.query_id, r.rk
+    """.replace("{cos}", _COS_SQL),
+)
+def ann_binary_quant(spark, sf_dir):
+    """Binary-quantization ANN with Hamming candidate scan +
+    exact-cosine rerank + recall audit (operators/similarity.py:
+    binary_quant_topk_audit): corpus vectors compress to two packed
+    sign words (8 bytes vs 256), candidates come from XOR+popcount
+    over codes only, raw vectors are read only for the 30 Hamming
+    survivors per query, and in_exact marks which reranked neighbors
+    the exact top-10 confirms — the BQ+rescore serving shape, fully
+    integer-exact and replayed by the oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import binary_quant_topk_audit
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return binary_quant_topk_audit(emb, emb.where(F.col("vec_id") < 5), k=10, n_cand=30)
+
+
+@register(
+    "docs_ccnet_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             ['<s>'] || string_split_regex(trim(lower(text)), '\s+')
+                     || ['</s>'] AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(t.i AS INT) AS i, tk[t.i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(tk))) AS t(i)),
+    freq AS (
+      SELECT tok, COUNT(*) AS n FROM pos
+      WHERE tok NOT IN ('<s>', '</s>') GROUP BY 1),
+    vocab AS (SELECT tok FROM freq ORDER BY n DESC, tok ASC LIMIT 500),
+    mapped AS (
+      SELECT doc_id, i,
+             CASE WHEN tok IN ('<s>', '</s>') THEN tok
+                  WHEN tok IN (SELECT tok FROM vocab) THEN tok
+                  ELSE '<unk>' END AS mtok
+      FROM pos),
+    bg AS (
+      SELECT doc_id, mtok AS w1,
+             LEAD(mtok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM mapped QUALIFY w2 IS NOT NULL),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+    sc AS (
+      SELECT b.doc_id,
+             CAST(ln((c2.c::DOUBLE + 0.5) / (c1.c::DOUBLE + 0.5 * vv.v::DOUBLE))
+                  AS DECIMAL(28,12)) AS lp
+      FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vv),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(lp) AS s
+      FROM sc GROUP BY 1),
+    ppl AS (
+      SELECT doc_id,
+             ROUND(exp(-(s::DOUBLE / n_bigrams::DOUBLE)), 6) AS perplexity
+      FROM agg),
+    ranked AS (
+      SELECT d.doc_id, d.lang, p.perplexity,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY p.perplexity ASC, d.doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY d.lang) AS n
+      FROM documents d JOIN ppl p ON d.doc_id = p.doc_id)
+    SELECT doc_id, lang, perplexity,
+           CASE FLOOR((rk - 1)::DOUBLE * 3.0 / n::DOUBLE)
+                WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def docs_ccnet_buckets(spark, sf_dir):
+    """CCNet bucketing (operators/text.py:ccnet_buckets): per-LANGUAGE
+    perplexity terciles over the corpus-trained bigram LM — head =
+    the most LM-like third of each language, tail = the noisiest (the
+    published CCNet recipe trains on head+middle).  Tercile
+    assignment is exact integer rank arithmetic over a per-language
+    window, never an approximate quantile — engine-portable and
+    partition-independent."""
+    from terminus_server_spark.operators.text import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents")["documents"])

@@ -14091,3 +14091,61 @@ def docs_ccnet_buckets(spark, sf_dir):
     from terminus_server_spark.operators.text import ccnet_buckets
 
     return ccnet_buckets(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "vc_doc_diff",
+    """
+    WITH rem AS (
+      SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS removed
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000
+      GROUP BY 1),
+    adds AS (
+      SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS added
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1)
+    SELECT COALESCE(r.o_custkey, a.o_custkey) AS c_custkey,
+           COALESCE(a.added, []) AS added,
+           COALESCE(r.removed, []) AS removed
+    FROM rem r FULL OUTER JOIN adds a ON r.o_custkey = a.o_custkey
+    """,
+)
+def vc_doc_diff(spark, sf_dir):
+    """Document-level diff between two COMMITS (the reference's
+    GET /api/diff with before/after data versions): the customer
+    documents' order lists are assembled from the states materialized
+    at refs 1 and 2, and each changed document reports its list-field
+    delta (added / removed member arrays, sorted rendering) — the
+    versioning verbs composed with the document-diff grain, entirely
+    set-at-a-time (two materializations + one full-outer join at the
+    document key, array_except for the member deltas)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize
+
+    t = _t(spark, sf_dir, "orders")
+    okeys = t["orders"].select("o_orderkey", "o_custkey")
+    empty = F.expr("CAST(array() AS array<bigint>)")
+
+    def items_at(ref):
+        return (
+            materialize(_layers(spark, sf_dir), ref, ["o_orderkey"])
+            .join(okeys, "o_orderkey")
+            .groupBy("o_custkey")
+            .agg(F.sort_array(F.collect_list("o_orderkey")).alias(f"_it{ref}"))
+        )
+
+    joined = items_at(1).join(items_at(2), "o_custkey", "full_outer")
+    a = F.coalesce(F.col("_it1"), empty)
+    b = F.coalesce(F.col("_it2"), empty)
+    return (
+        joined.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.sort_array(F.array_except(b, a)).alias("added"),
+            F.sort_array(F.array_except(a, b)).alias("removed"),
+        )
+        .where((F.size("added") > 0) | (F.size("removed") > 0))
+    )

@@ -903,6 +903,77 @@ def binary_quant_topk_audit(
     )
 
 
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src_id, tgt_id, cos, margin): margin-based parallel-pair
+    mining between two embedding sets (Artetxe & Schwenk's ratio
+    margin — the CCMatrix/LASER bitext-mining criterion): each source
+    keeps its best target scored not by raw cosine but by cosine
+    DIVIDED by the mean of both sides' k-NN cosines, which cancels
+    hubness (a target that is everyone's neighbor stops winning every
+    pair).  One row per source: the argmax-margin target.
+
+    All margin arithmetic is integer-derived: cosines floor-scale to
+    1e12 fixed point before the k-NN sums, so the score — and
+    therefore the mined pair set — is bit-identical on any engine or
+    partitioning.  The fixture-scale form scores all |A|×|B| pairs
+    (the verify primitive); at 100 TB candidates come from the
+    LSH/IVF machinery in this module and the margin criterion scores
+    survivors only."""
+    from pyspark.sql.window import Window
+
+    a = scaled_parts(src, id_col, vec_col, "a")
+    b = scaled_parts(tgt, id_col, vec_col, "b")
+    scored = (
+        broadcast(a)
+        .crossJoin(b)
+        .select(
+            F.col("id_a").alias("src_id"),
+            F.col("id_b").alias("tgt_id"),
+            cosine_from_parts().alias("cos"),
+        )
+        .withColumn("ci", F.floor(F.col("cos") * F.lit(SCALE)).cast("bigint"))
+    )
+    scored = plan_checkpoint_sim(scored)
+    wa = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), F.col("tgt_id").asc())
+    na = (
+        scored.withColumn("_rk", F.row_number().over(wa))
+        .where(F.col("_rk") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("ci").alias("_sa"))
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(F.col("cos").desc(), F.col("src_id").asc())
+    nb = (
+        scored.withColumn("_rk", F.row_number().over(wb))
+        .where(F.col("_rk") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("ci").alias("_sb"))
+    )
+    margin = (F.col("ci").cast("double") / F.lit(SCALE)) / (
+        (F.col("_sa") + F.col("_sb")).cast("double") / F.lit(2.0 * k * SCALE)
+    )
+    wm = Window.partitionBy("src_id").orderBy(F.col("margin").desc(), F.col("tgt_id").asc())
+    return (
+        scored.join(na, "src_id")
+        .join(nb, "tgt_id")
+        .withColumn("margin", F.round(margin, 6))
+        .withColumn("_rk", F.row_number().over(wm))
+        .where(F.col("_rk") == 1)
+        .select("src_id", "tgt_id", F.round("cos", 6).alias("cos"), "margin")
+    )
+
+
+def plan_checkpoint_sim(df: DataFrame) -> DataFrame:
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    return plan_checkpoint(df)
+
+
 def _sum_cols_sim(cols: list[Column]) -> Column:
     out = cols[0]
     for c in cols[1:]:

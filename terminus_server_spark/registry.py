@@ -14149,3 +14149,61 @@ def vc_doc_diff(spark, sf_dir):
         )
         .where((F.size("added") > 0) | (F.size("removed") > 0))
     )
+
+
+@register(
+    "emb_bitext_margin",
+    f"""
+    WITH parts0 AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_sum(list_transform(embedding,
+               x -> floor(x::DOUBLE * x::DOUBLE * 1e12)::BIGINT)) AS norm
+      FROM embeddings),
+    sa_ AS (SELECT * FROM parts0 WHERE label = 0),
+    sb_ AS (SELECT * FROM parts0 WHERE label = 1),
+    scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS tgt_id, {{cos}} AS cos
+      FROM sa_ a CROSS JOIN sb_ b),
+    sc2 AS (SELECT src_id, tgt_id, cos,
+                   floor(cos * 1e12)::BIGINT AS ci FROM scored),
+    na AS (
+      SELECT src_id, SUM(ci) AS sa FROM (
+        SELECT src_id, ci,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY cos DESC, tgt_id ASC) AS rk
+        FROM sc2) WHERE rk <= 4 GROUP BY 1),
+    nb AS (
+      SELECT tgt_id, SUM(ci) AS sb FROM (
+        SELECT tgt_id, ci,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                  ORDER BY cos DESC, src_id ASC) AS rk
+        FROM sc2) WHERE rk <= 4 GROUP BY 1),
+    m AS (
+      SELECT s.src_id, s.tgt_id, s.cos,
+             ROUND((s.ci::DOUBLE / 1e12)
+                   / ((na.sa + nb.sb)::DOUBLE / (2.0 * 4 * 1e12)), 6) AS margin
+      FROM sc2 s JOIN na USING (src_id) JOIN nb USING (tgt_id)),
+    best AS (
+      SELECT src_id, tgt_id, ROUND(cos, 6) AS cos, margin,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY margin DESC, tgt_id ASC) AS rk
+      FROM m)
+    SELECT src_id, tgt_id, cos, margin FROM best WHERE rk = 1
+    """.replace("{cos}", _COS_SQL),
+)
+def emb_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining (operators/similarity.py:
+    bitext_margin_pairs): parallel-pair candidates between the
+    label-0 and label-1 embedding sets scored by the Artetxe-Schwenk
+    ratio margin — cosine over the mean of both sides' k-NN cosines —
+    which cancels hubness; one argmax-margin target per source.
+    k-NN sums run in 1e12 fixed point so the mined pair set is
+    bit-identical across engines."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import bitext_margin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return bitext_margin_pairs(
+        emb.where(F.col("label") == 0), emb.where(F.col("label") == 1), k=4
+    )

@@ -14207,3 +14207,75 @@ def emb_bitext_margin(spark, sf_dir):
     return bitext_margin_pairs(
         emb.where(F.col("label") == 0), emb.where(F.col("label") == 1), k=4
     )
+
+
+def _pr_warm_oracle() -> str:
+    """Unrolled cold(4 iters, base graph) + warm(2 iters, updated
+    graph) PageRank replay — same iteration template as the
+    graph_pagerank oracle, links table swapped for the warm phase."""
+    it = """
+    {cur} AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT COUNT(*) FROM nodes)
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT l.dst AS node,
+               CAST(SUM(CAST(FLOOR(p.rank / l.out_degree * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / CAST(1e15 AS DOUBLE) AS contrib
+        FROM {links} l JOIN {prev} p ON l.src = p.node
+        GROUP BY l.dst) c ON n.node = c.node)"""
+    parts, prev = [], "pr0"
+    for i in range(1, 5):
+        parts.append(it.format(cur=f"pr{i}", prev=prev, links="links"))
+        prev = f"pr{i}"
+    for i in range(5, 7):
+        parts.append(it.format(cur=f"pr{i}", prev=prev, links="links2"))
+        prev = f"pr{i}"
+    return f"""
+    WITH e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    delta AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 3) AS dst
+      FROM customer WHERE c_custkey >= 3 AND c_custkey % 7 = 0),
+    e2 AS (SELECT * FROM e UNION ALL SELECT * FROM delta),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src),
+    links AS (SELECT e.src, e.dst, deg.out_degree FROM e JOIN deg ON e.src = deg.src),
+    deg2 AS (SELECT src, COUNT(*) AS out_degree FROM e2 GROUP BY src),
+    links2 AS (SELECT e2.src, e2.dst, deg2.out_degree
+               FROM e2 JOIN deg2 ON e2.src = deg2.src),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM nodes) AS rank
+            FROM nodes),{",".join(parts)}
+    SELECT node, rank FROM pr6
+    """
+
+
+@register("graph_pagerank_warm", None)
+def graph_pagerank_warm(spark, sf_dir):
+    """Warm-started PageRank over a delta layer (operators/graph.py:
+    pagerank_warm): 4 cold iterations converge the base graph, a
+    commit adds skip-3 edges for every 7th customer, and TWO warm
+    iterations from the carried ranks absorb the delta — the
+    incremental-analytics pattern a versioned store runs per commit
+    instead of a cold re-run.  The oracle replays cold+warm exactly
+    (same floor-scaled fixed-point template as graph_pagerank)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import pagerank, pagerank_warm
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    base = cust.where(k >= 1).select(
+        F.concat(F.lit("C/"), k.cast("string")).alias("src"),
+        F.concat(F.lit("C/"), F.floor(k / 2).cast("long").cast("string")).alias("dst"),
+    )
+    delta = cust.where((k >= 3) & (k % 7 == 0)).select(
+        F.concat(F.lit("C/"), k.cast("string")).alias("src"),
+        F.concat(F.lit("C/"), F.floor(k / 3).cast("long").cast("string")).alias("dst"),
+    )
+    cold = pagerank(base, iters=4)
+    return pagerank_warm(base.unionByName(delta), cold, iters=2)
+
+
+ORACLES["graph_pagerank_warm"] = _pr_warm_oracle()

@@ -2566,3 +2566,89 @@ def test_loop_tuning_restores_conf_even_on_raise(spark):
         topo_layers(nodes, cyc, max_iters=5)
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
     assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+
+
+def test_adamic_adar_fanout_one_feature(spark):
+    """Regression (r6 ADVICE): a fanout-1 feature must be filtered
+    BEFORE the 1/ln(fan) weight is evaluated — under ANSI mode ln(1)=0
+    would raise DIVIDE_BY_ZERO even though no pair reads it."""
+    from terminus_server_spark.operators.graph import adamic_adar
+
+    bip = spark.createDataFrame(
+        [("s1", "shared"), ("s2", "shared"), ("s3", "lonely")],
+        "node string, feature string",
+    )
+    rows = adamic_adar(bip, "node", "feature").collect()
+    assert len(rows) == 1
+    assert (rows[0].s1, rows[0].s2, rows[0].inter) == ("s1", "s2", 1)
+
+
+def test_merge_base_disconnected_histories(spark):
+    """Regression (r6 ADVICE): heads sharing no ancestor report an
+    empty merge-base frame, not a driver-side ValueError."""
+    from terminus_server_spark.versioning.dag import merge_base
+
+    commits = spark.createDataFrame(
+        [("a1", ["a0"]), ("a0", []), ("b1", ["b0"]), ("b0", [])],
+        "commit_id string, parent_ids array<string>",
+    )
+    out = merge_base(commits, "a1", "b1")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["merge_base", "depth_a", "depth_b"]
+    # connected case still works through the single-collect guard
+    linked = spark.createDataFrame(
+        [("m", ["a1", "b1"]), ("a1", ["r"]), ("b1", ["r"]), ("r", [])],
+        "commit_id string, parent_ids array<string>",
+    )
+    row = merge_base(linked, "a1", "b1").collect()[0]
+    assert row.merge_base == "r" and row.depth_a == 1 and row.depth_b == 1
+
+
+def test_snapshot_diff_null_content(spark):
+    """Regression (r6 ADVICE): a doc present in both snapshots with
+    NULL text is 'unchanged', not 'added' (null-safe hash)."""
+    from terminus_server_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, "y")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_sniff_headers_gif87a_and_tranche2(spark):
+    """GIF87a matches alongside GIF89a (r6 ADVICE); PDF/ID3/MP4
+    headers parse their version/size/brand fields."""
+    from terminus_server_spark.operators.multimodal import sniff_headers, sniff_headers2
+
+    rows = [
+        (1, bytes.fromhex("474946383761" + "1000" + "2000")),   # GIF87a 16x32
+        (2, bytes.fromhex("474946383961" + "0300" + "0400")),   # GIF89a 3x4
+        (3, b"GIF9 not a gif"),
+    ]
+    mm = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: (r.mime, r.width, r.height) for r in sniff_headers(mm).collect()}
+    assert got[1] == ("image/gif", 16, 32)
+    assert got[2] == ("image/gif", 3, 4)
+    assert got[3][0] == "application/octet-stream"
+
+    rows2 = [
+        (1, b"%PDF-1.7\n..."),
+        # ID3 + v2.4.0 + flags 0 + sync-safe size bytes 00 00 40 01
+        # = 0x40 * 128 + 1 = 8193
+        (2, bytes.fromhex("494433040000" + "00004001")),
+        (3, bytes.fromhex("0000001466747970" + "69736F6D" + "00000000")),
+        (4, b"\x00\x01\x02\x03unknown"),
+    ]
+    mm2 = spark.createDataFrame(rows2, "doc_id bigint, payload binary")
+    got2 = {
+        r.doc_id: (r.mime, r.pdf_version, r.id3_size, r.mp4_brand)
+        for r in sniff_headers2(mm2).collect()
+    }
+    assert got2[1] == ("application/pdf", "1.7", None, None)
+    assert got2[2] == ("audio/mpeg", None, (0x40 << 7) + 1, None)
+    assert got2[3] == ("video/mp4", None, None, "isom")
+    assert got2[4][0] == "application/octet-stream"

@@ -244,6 +244,18 @@ HEADLINE = [
     "src_cdc_apply",
     "corpus_snapshot_diff",
     "dedup_doc_lines",
+    # round 7 additions
+    "gql_execute_path",
+    "gql_execute_nested_d3",
+    "mm_header_probe2",
+    "graph_betweenness_sampled",
+    "graph_landmark_dist",
+    "graph_pagerank_warm",
+    "woql_with",
+    "vc_doc_diff",
+    "ann_binary_quant",
+    "emb_bitext_margin",
+    "docs_ccnet_buckets",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

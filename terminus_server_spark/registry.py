@@ -14279,3 +14279,53 @@ def graph_pagerank_warm(spark, sf_dir):
 
 
 ORACLES["graph_pagerank_warm"] = _pr_warm_oracle()
+
+
+@register(
+    "vc_at_time",
+    f"""
+    SELECT 'c2' AS ref, TIMESTAMP '2024-01-10 00:00:00' AS committed_at,
+           COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+       OR (o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1999-01-01')
+    """,
+)
+def vc_at_time(spark, sf_dir):
+    """Time-based checkout (versioning/dag.py:resolve_at_time): "the
+    state as of 2024-01-15" resolves over the commit DAG's timestamp
+    metadata to the newest ancestor of head committed before the
+    instant — here c2, since c3/c4 land later — and the resolved
+    ref's layer stack materializes exactly like any other ref.
+    Resolution is metadata-scale (the guarded driver walk); the data
+    plane is the ordinary one-window materialization."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.dag import resolve_at_time
+    from terminus_server_spark.versioning.layers import materialize
+
+    commits = spark.createDataFrame(
+        [
+            ("c1", [], "alice", "initial import", datetime.datetime(2024, 1, 1)),
+            ("c2", ["c1"], "bob", "orders 1997-1998", datetime.datetime(2024, 1, 10)),
+            ("c3", ["c1"], "carol", "feature: 1999 orders", datetime.datetime(2024, 1, 20)),
+            ("c4", ["c2", "c3"], "alice", "merge feature", datetime.datetime(2024, 2, 1)),
+        ],
+        "commit_id string, parent_ids array<string>, author string, "
+        "message string, committed_at timestamp_ntz",
+    )
+    ref = resolve_at_time(commits, "c4", datetime.datetime(2024, 1, 15)).collect()[0]
+    seq = {"c1": 1, "c2": 2, "c3": 3}[ref.commit_id]
+    state = materialize(_layers(spark, sf_dir), seq, ["o_orderkey"])
+    return state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    ).select(
+        F.lit(ref.commit_id).alias("ref"),
+        F.lit(ref.committed_at).cast("timestamp_ntz").alias("committed_at"),
+        "n",
+        "sum_price",
+    )

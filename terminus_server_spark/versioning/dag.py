@@ -260,3 +260,21 @@ def merge_base(commits: DataFrame, head_a: str, head_b: str) -> DataFrame:
             F.col("depth_b").cast("int").alias("depth_b"),
         )
     )
+
+
+def resolve_at_time(commits: DataFrame, head: str, ts) -> DataFrame:
+    """(commit_id, committed_at): time-based ref resolution — the
+    newest ancestor of ``head`` whose commit time is <= ``ts`` (the
+    "state as of <date>" checkout every versioned store needs; the
+    reference resolves refs against the same per-commit timestamp
+    metadata its db_log exposes).  One ancestor walk (driver-side
+    under the metadata guard, like :func:`log_walk`) + a bounded
+    top-1; ties on the timestamp break to the lowest commit id."""
+    walk = log_walk(commits, head)
+    return (
+        commits.join(walk, "commit_id")
+        .where(F.col("committed_at") <= F.lit(ts))
+        .orderBy(F.col("committed_at").desc(), F.col("commit_id").asc())
+        .limit(1)
+        .select("commit_id", "committed_at")
+    )

@@ -169,3 +169,26 @@ def parse_path_string(src: str) -> PathPattern:
     if pos[0] != len(toks):
         raise ValueError(f"path syntax: trailing tokens at {toks[pos[0]:]!r}")
     return out
+
+
+def render_path_string(p: PathPattern) -> str:
+    """Inverse of :func:`parse_path_string`: render a pattern back to
+    the textual path-regex syntax (fully parenthesized compounds, so
+    the rendering is unambiguous regardless of the original
+    spelling).  ``parse(render(p)) == p`` for every pattern — the
+    roundtrip is property-tested."""
+    if isinstance(p, Pred):
+        return p.predicate
+    if isinstance(p, Inv):
+        return f"<{p.predicate}"
+    if isinstance(p, Seq):
+        return "(" + ",".join(render_path_string(q) for q in p.parts) + ")"
+    if isinstance(p, OrP):
+        return "(" + "|".join(render_path_string(q) for q in p.parts) + ")"
+    if isinstance(p, Plus):
+        return f"({render_path_string(p.part)})+"
+    if isinstance(p, Star):
+        return f"({render_path_string(p.part)})*"
+    if isinstance(p, Times):
+        return f"({render_path_string(p.part)}){{{p.n},{p.m}}}"
+    raise NotImplementedError(f"path pattern {type(p).__name__}")

@@ -507,3 +507,46 @@ def test_sniff_headers_total_on_arbitrary_bytes(spark, blobs):
         else:
             assert r.mime == "application/octet-stream"
             assert r.width is None and r.sample_rate is None
+
+
+_pred_names = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,6}", fullmatch=True)
+
+
+def _path_patterns():
+    from terminus_server_spark.woql import path_ast as P
+
+    leaves = st.one_of(
+        _pred_names.map(P.Pred),
+        _pred_names.map(P.Inv),
+    )
+
+    def compound(children):
+        two = st.lists(children, min_size=2, max_size=3)
+        return st.one_of(
+            two.map(lambda ps: P.Seq(*ps)),
+            two.map(lambda ps: P.OrP(*ps)),
+            children.map(P.Plus),
+            children.map(P.Star),
+            st.tuples(
+                children,
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=1, max_value=4),
+            ).map(lambda t: P.Times(t[0], min(t[1], t[2]), max(t[1], t[2]))),
+        )
+
+    return st.recursive(leaves, compound, max_leaves=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_path_patterns())
+def test_path_string_roundtrip(pattern):
+    """parse(render(p)) == p for every path-regex AST — the textual
+    syntax (GraphQL _path / WOQL path strings) loses nothing.  Pure
+    driver-side parsing, no Spark, so examples are cheap."""
+    from terminus_server_spark.woql.path_ast import (
+        parse_path_string,
+        render_path_string,
+    )
+
+    rendered = render_path_string(pattern)
+    assert parse_path_string(rendered) == pattern

@@ -874,3 +874,37 @@ def write_shards(
         F.min(key_col).alias("min_doc"),
         F.max(key_col).alias("max_doc"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame, weight_col, n: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, w, skey): deterministic weighted sampling WITHOUT
+    replacement — Efraimidis-Spiliopoulos A-Res: each row draws a
+    reproducible uniform u from its md5 (the module's RNG-free
+    convention) and competes with key ln(u)/w, a monotone transform
+    of u^(1/w); the n LARGEST keys are the sample, so inclusion
+    probability is proportional to weight and the draw is one
+    map-side projection plus one top-n (TakeOrdered — no full sort,
+    no RNG, same sample on any partitioning or engine).
+
+    The sort key is pinned to decimal(28,12) before ranking: ln()
+    differs by ulps across libm implementations, and 12 decimals is
+    where both engines provably agree — the same pin the perplexity
+    scorers use."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**8 + 1))
+    w = F.col(weight_col).cast("double")
+    skey = (F.log(u) / w).cast("decimal(28,12)")
+    return (
+        docs.select(
+            F.col(key_col),
+            F.col(weight_col).alias("w"),
+            skey.alias("_sk"),
+        )
+        .orderBy(F.col("_sk").desc(), F.col(key_col).asc())
+        .limit(n)
+        .select(key_col, "w", F.round(F.col("_sk").cast("double"), 6).alias("skey"))
+    )

@@ -14329,3 +14329,32 @@ def vc_at_time(spark, sf_dir):
         "n",
         "sum_price",
     )
+
+
+@register(
+    "docs_weighted_sample",
+    """
+    WITH keys AS (
+      SELECT doc_id, (n_chars + 1) AS w,
+             CAST(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT)::DOUBLE + 1.0) / 4294967297.0)
+                  / (n_chars + 1)::DOUBLE AS DECIMAL(28,12)) AS sk
+      FROM documents)
+    SELECT doc_id, w, ROUND(sk::DOUBLE, 6) AS skey
+    FROM keys ORDER BY sk DESC, doc_id ASC LIMIT 100
+    """,
+)
+def docs_weighted_sample(spark, sf_dir):
+    """Exact-size weighted sampling without replacement
+    (operators/pipeline.py:weighted_sample — Efraimidis-Spiliopoulos
+    A-Res with md5-derived uniforms): inclusion probability tracks
+    the weight (here n_chars+1, longer docs favored) yet the draw is
+    RNG-free, one projection + one top-n, identical on any engine or
+    partitioning.  The standard exact-n complement to the md5-bucket
+    importance resampler (docs_quality_resample)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return weighted_sample(docs.withColumn("wplus", F.col("n_chars") + 1), "wplus", 100)

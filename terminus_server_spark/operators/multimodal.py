@@ -253,6 +253,46 @@ def sniff_headers2(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def sniff_headers3(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-format sniffing tranche 3 — TIFF / BMP / FLAC — same
+    built-in byte-expression discipline as :func:`sniff_headers`:
+
+    - TIFF  ``II 2A 00`` (little-endian) or ``MM 00 2A``
+      (big-endian); the byte order itself is the classification
+      payoff (dimensions live in IFD tags — decoder territory).
+    - BMP   ``BM``; width/height are the BITMAPINFOHEADER's
+      little-endian u32s at bytes 19-22 / 23-26.
+    - FLAC  ``fLaC``; STREAMINFO's sample rate is the 20-bit field
+      spanning bytes 19-21 (16 high bits, then the top nibble).
+
+    Output: (doc_id, mime, byte_order, width, height, sample_rate)."""
+    p = F.col(payload_col)
+    is_tif_le = _hx(p, 1, 4) == "49492A00"
+    is_tif_be = _hx(p, 1, 4) == "4D4D002A"
+    is_bmp = _hx(p, 1, 2) == "424D"
+    is_flac = _hx(p, 1, 4) == "664C6143"
+    null_i = F.lit(None).cast("bigint")
+    null_s = F.lit(None).cast("string")
+    flac_rate = _be(p, 19, 2) * F.lit(16) + F.floor(
+        _be(p, 21, 1) / F.lit(16)
+    ).cast("bigint")
+    return mm.select(
+        "doc_id",
+        F.when(is_tif_le | is_tif_be, F.lit("image/tiff"))
+        .when(is_bmp, F.lit("image/bmp"))
+        .when(is_flac, F.lit("audio/flac"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime"),
+        F.when(is_tif_le, F.lit("little"))
+        .when(is_tif_be, F.lit("big"))
+        .otherwise(null_s)
+        .alias("byte_order"),
+        F.when(is_bmp, _le(p, 19, 4)).otherwise(null_i).alias("width"),
+        F.when(is_bmp, _le(p, 23, 4)).otherwise(null_i).alias("height"),
+        F.when(is_flac, flac_rate).otherwise(null_i).alias("sample_rate"),
+    )
+
+
 def sample_frames(mm: DataFrame, every_k: int = 4) -> DataFrame:
     """Frame sampling for video payloads: emit one row per k-th frame
     — a row-count-*increasing* ``mapInPandas`` (the batch shape real

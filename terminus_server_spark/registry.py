@@ -14358,3 +14358,65 @@ def docs_weighted_sample(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return weighted_sample(docs.withColumn("wplus", F.col("n_chars") + 1), "wplus", 100)
+
+
+@register(
+    "mm_header_probe3",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/tiff'
+                           WHEN 1 THEN 'image/bmp'
+                           ELSE 'audio/flac' END AS mime,
+           CASE WHEN doc_id % 3 = 0
+                THEN CASE WHEN doc_id % 2 = 0 THEN 'little' ELSE 'big' END
+           END AS byte_order,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(16 + doc_id % 1000 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(16 + (doc_id * 3) % 1000 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) END AS sample_rate
+    FROM documents
+    """,
+)
+def mm_header_probe3(spark, sf_dir):
+    """Multimodal container sniffing tranche 3 (operators/
+    multimodal.py:sniff_headers3): TIFF byte-order detection (II vs
+    MM), BMP BITMAPINFOHEADER dimensions, FLAC STREAMINFO's 20-bit
+    sample-rate field spanning a byte boundary — all byte
+    expressions, no codec.  The fixture synthesizes spec-conformant
+    headers (incl. the FLAC rate's 16+4 bit split) from doc_id; the
+    oracle restates the fields closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.multimodal import sniff_headers3
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+
+    def behex(c, n):
+        return F.lpad(F.hex(c), 2 * n, "0")
+
+    def lehex(c, n):
+        h = F.lpad(F.hex(c), 2 * n, "0")
+        return F.concat(*[F.substring(h, i * 2 + 1, 2) for i in range(n)][::-1])
+
+    w = 16 + k % 1000
+    hh = 16 + (k * 3) % 1000
+    rate = 8000 + (k % 5) * 8000
+    tif = F.when(k % 2 == 0, F.lit("49492A00")).otherwise(F.lit("4D4D002A"))
+    bmp = F.concat(
+        F.lit("424D"), F.lit("46000000"), F.lit("00000000"), F.lit("36000000"),
+        F.lit("28000000"), lehex(w, 4), lehex(hh, 4),
+    )
+    flac = F.concat(
+        F.lit("664C6143"),      # fLaC
+        F.lit("00"), F.lit("000022"),   # STREAMINFO block header
+        F.lit("10001000"),      # min/max blocksize
+        F.lit("000000"), F.lit("000000"),  # min/max framesize
+        behex(F.floor(rate / 16).cast("bigint"), 2),
+        behex((rate % 16) * 16, 1),
+    )
+    payload_hex = F.when(k % 3 == 0, tif).when(k % 3 == 1, bmp).otherwise(flac)
+    mm = docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    return sniff_headers3(mm)

@@ -256,6 +256,10 @@ HEADLINE = [
     "ann_binary_quant",
     "emb_bitext_margin",
     "docs_ccnet_buckets",
+    "vc_at_time",
+    "docs_weighted_sample",
+    "mm_header_probe3",
+    "graph_cc_incremental",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

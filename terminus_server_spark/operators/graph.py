@@ -117,6 +117,45 @@ def _cc_loop(und: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:
     return labels
 
 
+def connected_components_incremental(
+    labels: DataFrame, delta_edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """(node, component): fold a DELTA edge batch into existing
+    component labels WITHOUT re-running CC on the full graph — the
+    incremental form a versioned store runs per commit: the delta
+    edges' label PAIRS form a tiny meta-graph whose components
+    contract the old labels.  Because a label is the min node id of
+    its class, the contracted class's min is the global min of the
+    merged node set — the result is EXACTLY what full CC on
+    base+delta would produce, at a cost that scales with the delta
+    (|delta| label lookups + label propagation over a graph with at
+    most |delta| edges), not the 100 TB base graph.
+
+    ``labels``: (node, component) from a previous run; ``delta_edges``
+    must connect existing nodes (new nodes enter as singleton labels
+    before the call)."""
+    pairs = (
+        delta_edges.select("src", "dst")
+        .join(
+            labels.select(F.col("node").alias("src"), F.col("component").alias("_ca")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("node").alias("dst"), F.col("component").alias("_cb")),
+            "dst",
+        )
+        .where(F.col("_ca") != F.col("_cb"))
+        .select(F.col("_ca").alias("src"), F.col("_cb").alias("dst"))
+        .distinct()
+    )
+    mapping = connected_components(pairs, max_iters).select(
+        F.col("node").alias("component"), F.col("component").alias("_super")
+    )
+    return labels.join(mapping, "component", "left_outer").select(
+        "node", F.coalesce("_super", "component").alias("component")
+    )
+
+
 def pagerank(
     edges: DataFrame, damping: float = 0.85, iters: int = 10
 ) -> DataFrame:

@@ -14420,3 +14420,45 @@ def mm_header_probe3(spark, sf_dir):
     payload_hex = F.when(k % 3 == 0, tif).when(k % 3 == 1, bmp).otherwise(flac)
     mm = docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
     return sniff_headers3(mm)
+
+
+@register(
+    "graph_cc_incremental",
+    """
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    nodes AS (SELECT c_custkey AS n FROM customer UNION SELECT 0)
+    SELECT n AS node,
+           CASE WHEN (n // 10) % 3 = 1 THEN ((n // 10) - 1) * 10
+                ELSE (n // 10) * 10 END AS component
+    FROM nodes
+    """,
+)
+def graph_cc_incremental(spark, sf_dir):
+    """Incremental connected components (operators/graph.py:
+    connected_components_incremental): decade chains label once, a
+    delta commit adds bridge edges joining every third decade to its
+    successor, and the update contracts only the delta's LABEL PAIRS
+    (a meta-graph with <= |delta| edges) instead of re-running CC on
+    the full graph — exact because labels are class minima, so the
+    contracted min is the merged set's global min.  The oracle
+    restates the merged decade labels closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    mx = cust.agg(F.max("c_custkey").alias("m"))
+    base = cust.where((k % 10 != 0) & (k >= 1)).select(
+        k.alias("src"), (k - 1).alias("dst")
+    )
+    delta = (
+        cust.crossJoin(F.broadcast(mx))
+        .where((k % 30 == 9) & (k < F.col("m")))
+        .select(k.alias("src"), (k + 1).alias("dst"))
+    )
+    labels = connected_components(base)
+    return connected_components_incremental(labels, delta)

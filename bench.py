@@ -260,6 +260,7 @@ HEADLINE = [
     "docs_weighted_sample",
     "mm_header_probe3",
     "graph_cc_incremental",
+    "docs_gopher_rules",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -749,3 +749,82 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_word_frac, n_stopwords, keep): the Gopher
+    repetition-independent quality rules (Rae et al., Gopher §A1.1)
+    as one codegen'd projection — the composite page-level filter a
+    pretraining pipeline runs after language ID:
+
+    - 50 ≤ word count ≤ 100 000
+    - 3 ≤ mean word length ≤ 10
+    - (# of '#' or '…'-ish symbols) / words ≤ 0.1
+    - ≤ 90 % of lines start with a bullet; ≤ 30 % end with '...'
+    - ≥ 80 % of words contain an alphabetic character
+    - ≥ 2 distinct stop words present
+
+    Every signal is an exact integer ratio over the same whitespace
+    tokenization the rest of the module uses, so the verdict is
+    engine-portable; one map-side pass, no shuffle."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    n_words = F.size(toks)
+    word_lens = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = word_lens.cast("double") / n_words.cast("double")
+    n_sym = (
+        F.size(F.split(F.col(text_col), "#", -1))
+        - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1))
+        - 1
+    )
+    sym_ratio = n_sym.cast("double") / n_words.cast("double")
+    lines = F.split(F.col(text_col), "\n", -1)
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).startswith("-")
+            | F.trim(ln).startswith("*")
+            | F.trim(ln).startswith("•"),
+        )
+    )
+    ellipsis = F.size(F.filter(lines, lambda ln: F.rtrim(ln).endswith("...")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet.cast("double") / n_lines.cast("double"), 6).alias("bullet_frac"),
+        F.round(ellipsis.cast("double") / n_lines.cast("double"), 6).alias(
+            "ellipsis_frac"
+        ),
+        F.round(alpha_words.cast("double") / n_words.cast("double"), 6).alias(
+            "alpha_word_frac"
+        ),
+        stop_hits.cast("int").alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+    )
+    return out.withColumn("keep", keep)

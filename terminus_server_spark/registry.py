@@ -14462,3 +14462,56 @@ def graph_cc_incremental(spark, sf_dir):
     )
     labels = connected_components(base)
     return connected_components_incremental(labels, delta)
+
+
+@register(
+    "docs_gopher_rules",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks,
+             string_split(text, chr(10)) AS lines,
+             (len(string_split(text, '#')) - 1
+              + len(string_split_regex(text, '\.\.\.')) - 1) AS n_sym
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             ROUND(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                   / len(toks)::DOUBLE, 6) AS mean_word_len,
+             ROUND(n_sym::DOUBLE / len(toks)::DOUBLE, 6) AS symbol_ratio,
+             ROUND(len(list_filter(lines,
+                     ln -> starts_with(trim(ln), '-') OR starts_with(trim(ln), '*')
+                           OR starts_with(trim(ln), '•')))::DOUBLE
+                   / len(lines)::DOUBLE, 6) AS bullet_frac,
+             ROUND(len(list_filter(lines,
+                     ln -> ends_with(rtrim(ln), '...')))::DOUBLE
+                   / len(lines)::DOUBLE, 6) AS ellipsis_frac,
+             ROUND(len(list_filter(toks,
+                     t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                   / len(toks)::DOUBLE, 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(toks),
+                  ['the','be','to','of','and','that','have','with'])) AS INT)
+               AS n_stopwords
+      FROM base)
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_stopwords >= 2) AS keep
+    FROM m
+    """,
+)
+def docs_gopher_rules(spark, sf_dir):
+    """The Gopher page-quality rule set (operators/text.py:
+    gopher_rules): word-count bounds, mean word length, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction,
+    stop-word presence — the published composite filter, one
+    codegen'd map-side projection with exact integer ratios, verdict
+    per document."""
+    from terminus_server_spark.operators.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents")["documents"])

@@ -261,6 +261,7 @@ HEADLINE = [
     "mm_header_probe3",
     "graph_cc_incremental",
     "docs_gopher_rules",
+    "stream_cdc_sink",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

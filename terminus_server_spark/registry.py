@@ -14515,3 +14515,56 @@ def docs_gopher_rules(spark, sf_dir):
     from terminus_server_spark.operators.text import gopher_rules
 
     return gopher_rules(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "stream_cdc_sink",
+    """
+    WITH odd AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_id % 2 = 1),
+    even AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_id % 2 = 0),
+    lo AS (SELECT * FROM odd WHERE rn = 1),
+    le AS (SELECT * FROM even WHERE rn = 1)
+    SELECT COALESCE(lo.user_id, le.user_id) AS user_id,
+           CAST(COALESCE(lo.ts, le.ts) AS TIMESTAMP) AS ts,
+           COALESCE(lo.event_type, le.event_type) AS event_type,
+           COALESCE(lo.value, le.value) AS value
+    FROM le FULL OUTER JOIN lo ON le.user_id = lo.user_id
+    WHERE NOT (lo.user_id IS NOT NULL AND lo.user_id % 10 = 3)
+    """,
+)
+def stream_cdc_sink(spark, sf_dir):
+    """Streaming CDC replication (streaming/events.py:run_stream_cdc):
+    micro-batch 1 inserts each user's even-id events, micro-batch 2
+    streams the odd-id changes as 'D' ops for every user_id%10==3 and
+    'U' ops otherwise — the foreachBatch delete-aware MERGE
+    (sources.cdc_apply) converges the sink to exactly the table a
+    transactional MERGE INTO would hold: deleted users gone, everyone
+    else at their newest change, batch-split-independent."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_cdc
+
+    ev = _t(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type", "value",
+    )
+
+    def cdc(df, op_col):
+        return df.select(
+            "user_id", "ts", "event_type", "value",
+            op_col.alias("op"), F.col("event_id").alias("seq"),
+        )
+
+    b1 = cdc(ev.where(F.col("event_id") % 2 == 0), F.lit("I"))
+    b2 = cdc(
+        ev.where(F.col("event_id") % 2 == 1),
+        F.when(F.col("user_id") % 10 == 3, F.lit("D")).otherwise(F.lit("U")),
+    )
+    final = run_stream_cdc(spark, [b1, b2], ["user_id"], "seq")
+    return final.select("user_id", "ts", "event_type", "value")

@@ -723,3 +723,54 @@ def run_stream_fanout(
         *key_cols, "n", F.col("_sv").cast("double").alias("sum_value")
     )
     return archive_df, rollup_df
+
+
+def run_stream_cdc(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    key_cols: list[str],
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Streaming CDC replication — the delete-aware sibling of
+    :func:`run_stream_upsert`: each micro-batch carries I/U/D ops
+    (+ a sequence column) and ``foreachBatch`` applies
+    ``sources.cdc_apply`` onto the keyed table, so the sink converges
+    to the table a transactional MERGE INTO would hold — 'D' removes
+    the key, newest op per key wins within a batch, intermediate
+    churn collapses before touching the table.  Same replay harness
+    as the upsert sink (real file-source micro-batches, shared
+    checkpoint, immutable read-modify-write-swap versions)."""
+    from terminus_server_spark.sources import cdc_apply
+
+    tmp = tempfile.mkdtemp(prefix="tss_cdc_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+    data_cols = [c for c in batches[0].columns if c not in ("op", seq_col)]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if state["version"] >= 0:
+            cur = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+        else:
+            cur = batch_df.select(*data_cols).limit(0)
+        out = cdc_apply(cur, batch_df, key_cols, seq_col=seq_col)
+        state["version"] += 1
+        out.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"v{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))

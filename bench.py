@@ -262,6 +262,7 @@ HEADLINE = [
     "graph_cc_incremental",
     "docs_gopher_rules",
     "stream_cdc_sink",
+    "woql_jsonld_context",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -14568,3 +14568,57 @@ def stream_cdc_sink(spark, sf_dir):
     )
     final = run_stream_cdc(spark, [b1, b2], ["user_id"], "seq")
     return final.select("user_id", "ts", "event_type", "value")
+
+
+@register(
+    "woql_jsonld_context",
+    """
+    SELECT 'http://ex.org/i/Nation/' || n_nationkey AS s, n_name AS name
+    FROM nation WHERE n_regionkey = 1
+    """,
+)
+def woql_jsonld_context(spark, sf_dir):
+    """JSON-LD @context prefix expansion end-to-end at the DATA grain
+    (woql/prefixes.py:expand_term — previously unit-gated only): the
+    store carries full IRIs, the WOQL query arrives written with
+    CURIEs (``p:n_name``, ``i:Region/1``) plus a @context, and
+    compile-time expansion rewrites every constant position before
+    planning — the same pure string transform terminus-server applies
+    to incoming JSON-LD queries, costing nothing in the plan."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+    from terminus_server_spark.woql.prefixes import expand_term
+
+    nation = _t(spark, sf_dir, "nation")["nation"]
+    subj = F.concat(F.lit("http://ex.org/i/Nation/"), F.col("n_nationkey").cast("string"))
+    trips = nation.select(
+        F.lit("instance").alias("graph"),
+        subj.alias("subject"),
+        F.lit("http://ex.org/p/n_name").alias("predicate"),
+        F.col("n_name").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    ).unionByName(
+        nation.select(
+            F.lit("instance").alias("graph"),
+            subj.alias("subject"),
+            F.lit("http://ex.org/p/n_region").alias("predicate"),
+            F.concat(
+                F.lit("http://ex.org/i/Region/"), F.col("n_regionkey").cast("string")
+            ).alias("obj"),
+            F.lit("iri").alias("obj_type"),
+            F.lit(None).cast("double").alias("obj_num"),
+        )
+    )
+    context = {"p": "http://ex.org/p/", "i": "http://ex.org/i/"}
+    q = A.Select(
+        [A.v("s"), A.v("name")],
+        A.And(
+            A.Triple(A.v("s"), "p:n_name", A.v("name")),
+            A.Triple(A.v("s"), "p:n_region", "i:Region/1"),
+        ),
+    )
+    return WOQLContext(TripleStore(trips)).run(expand_term(q, context))

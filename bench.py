@@ -263,6 +263,7 @@ HEADLINE = [
     "docs_gopher_rules",
     "stream_cdc_sink",
     "woql_jsonld_context",
+    "src_zorder_key",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -14622,3 +14622,34 @@ def woql_jsonld_context(spark, sf_dir):
         ),
     )
     return WOQLContext(TripleStore(trips)).run(expand_term(q, context))
+
+
+@register(
+    "src_zorder_key",
+    """
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(range(0, 10),
+             b -> ((((o_custkey % 1024) >> b) & 1) << (2 * b))
+                  + ((((o_orderkey % 1024) >> b) & 1) << (2 * b + 1))))
+           AS BIGINT) AS zkey
+    FROM orders
+    """,
+)
+def src_zorder_key(spark, sf_dir):
+    """The Z-order (Morton) interleave kernel (sources.py:zorder_key)
+    value-checked against an independent SQL bit-interleave — the
+    sort key behind write_zordered's multi-dimension clustering
+    (OPTIMIZE ZORDER BY).  The layout recipe itself stays plan/
+    metrics-gated (row-group skipping is a physical property), but
+    the key the layout sorts by is now oracle-exact: pure shift/mask
+    expressions, whole-stage codegen, map-only."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.sources import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("_x"),
+        (F.col("o_orderkey") % 1024).alias("_y"),
+    ).select("o_orderkey", zorder_key(["_x", "_y"], bits=10).alias("zkey"))

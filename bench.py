@@ -264,6 +264,7 @@ HEADLINE = [
     "stream_cdc_sink",
     "woql_jsonld_context",
     "src_zorder_key",
+    "text_lang_segments",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -828,3 +828,66 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("n_stopwords") >= 2)
     )
     return out.withColumn("keep", keep)
+
+
+def lang_segments(
+    docs: DataFrame, text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """(doc_id, dom_lang, dom_frac, n_langs, code_switched): per-LINE
+    language identification aggregated to a document-level
+    code-switching signal — multilingual pipelines segment documents
+    before routing (a page that is 60 % English / 40 % German should
+    not train the English bucket whole).  Each line gets the same
+    stopword-profile argmax as :func:`lang_id`; the document reports
+    its dominant line language, the fraction of lines it covers, the
+    count of distinct identified languages, and a code_switched
+    verdict (≥ 2 languages and dominance < 0.9).
+
+    One explode + one grouped aggregation, all JVM-side; state is
+    bounded by the line count."""
+    lines = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), sep)).alias("_line")
+    )
+    toks = tokens_col(F.lower(F.col("_line")))
+
+    def hits(lang):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    best = F.greatest(*[hits(lg) for lg in ("en", "es", "de", "fr")])
+    line_lang = (
+        F.when(best == 0, "und")
+        .when(hits("en") == best, "en")
+        .when(hits("es") == best, "es")
+        .when(hits("de") == best, "de")
+        .otherwise("fr")
+    )
+    per_line = lines.select("doc_id", line_lang.alias("_lang"))
+    counts = per_line.groupBy("doc_id", "_lang").agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("_c").desc(), F.col("_lang").asc())
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("_c").alias("_total"),
+        F.sum(F.when(F.col("_lang") != "und", 1).otherwise(0)).alias("n_langs"),
+    )
+    dom = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("doc_id", F.col("_lang").alias("dom_lang"), F.col("_c").alias("_dom"))
+    )
+    return (
+        dom.join(agg, "doc_id")
+        .select(
+            "doc_id",
+            "dom_lang",
+            F.round(F.col("_dom").cast("double") / F.col("_total").cast("double"), 6).alias(
+                "dom_frac"
+            ),
+            F.col("n_langs").cast("int").alias("n_langs"),
+            (
+                (F.col("n_langs") >= 2)
+                & (F.col("_dom").cast("double") / F.col("_total").cast("double") < 0.9)
+            ).alias("code_switched"),
+        )
+    )

@@ -14653,3 +14653,60 @@ def src_zorder_key(spark, sf_dir):
         (F.col("o_custkey") % 1024).alias("_x"),
         (F.col("o_orderkey") % 1024).alias("_y"),
     ).select("o_orderkey", zorder_key(["_x", "_y"], bits=10).alias("zkey"))
+
+
+@register(
+    "text_lang_segments",
+    r"""
+    WITH lines AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(lower(line)), '\s+'),
+            t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS h_en,
+        len(list_filter(string_split_regex(trim(lower(line)), '\s+'),
+            t -> list_contains(['el','la','de','y','que','en','un','es'], t))) AS h_es,
+        len(list_filter(string_split_regex(trim(lower(line)), '\s+'),
+            t -> list_contains(['der','die','das','und','zu','in','den','ist'], t))) AS h_de,
+        len(list_filter(string_split_regex(trim(lower(line)), '\s+'),
+            t -> list_contains(['le','la','de','et','un','une','en','est'], t))) AS h_fr
+      FROM lines),
+    tagged AS (
+      SELECT doc_id,
+        CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+             WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+             WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+             WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+             ELSE 'fr' END AS lang
+      FROM scored),
+    counts AS (
+      SELECT doc_id, lang, COUNT(*) AS c FROM tagged GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, SUM(c) AS total,
+             SUM(CASE WHEN lang <> 'und' THEN 1 ELSE 0 END) AS n_langs
+      FROM counts GROUP BY 1),
+    dom AS (
+      SELECT doc_id, lang AS dom_lang, c AS domc,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, lang ASC) AS rk
+      FROM counts QUALIFY rk = 1)
+    SELECT d.doc_id, d.dom_lang,
+           ROUND(d.domc::DOUBLE / a.total::DOUBLE, 6) AS dom_frac,
+           CAST(a.n_langs AS INT) AS n_langs,
+           (a.n_langs >= 2 AND d.domc::DOUBLE / a.total::DOUBLE < 0.9)
+             AS code_switched
+    FROM dom d JOIN agg a USING (doc_id)
+    """,
+)
+def text_lang_segments(spark, sf_dir):
+    """Per-line language segmentation + code-switching verdict
+    (operators/text.py:lang_segments): each line takes the
+    stopword-profile argmax, the document reports its dominant line
+    language, dominance fraction, distinct-language count, and a
+    code_switched flag — the routing signal multilingual pipelines
+    need before per-language bucketing (a 60/40 bilingual page must
+    not train one bucket whole)."""
+    from terminus_server_spark.operators.text import lang_segments
+
+    return lang_segments(_t(spark, sf_dir, "documents")["documents"])

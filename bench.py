@@ -265,6 +265,7 @@ HEADLINE = [
     "woql_jsonld_context",
     "src_zorder_key",
     "text_lang_segments",
+    "docs_classifier_score",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -891,3 +891,44 @@ def lang_segments(
             ).alias("code_switched"),
         )
     )
+
+
+def classifier_score(
+    docs: DataFrame, n_buckets: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, logit, score): linear-classifier INFERENCE over
+    hashed term-frequency features — the apply-a-trained-quality-
+    model step (fastText/logistic quality filters à la CCNet's LM or
+    DCLM's classifier) expressed as the plan it should be at 100 TB:
+    the weight vector is a BROADCAST table, the dot product is one
+    (doc, bucket) join + sum, the corpus is touched once, map-side.
+
+    Weights here are a deterministic stand-in (md5-derived ±1e6
+    fixed-point per bucket — a trained vector drops in as the same
+    (bucket, w9) table); the dot accumulates in exact integers and
+    only the final sigmoid divides, rounded to 6 — engine-portable
+    inference, not just engine-portable features."""
+    from pyspark.sql.functions import broadcast
+
+    spark = docs.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    # ±0.000001..1.0 fixed-point weight from the bucket id's md5:
+    # sign from the low bit, magnitude from the next 20 bits
+    h = F.conv(F.substring(F.md5(F.col("bucket").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    w9 = F.when(h % 2 == 0, (h % 1000000) + 1).otherwise(-((h % 1000000) + 1))
+    weights = broadcast(buckets.select("bucket", w9.alias("w9")))
+    tf = hashed_tf(docs, n_buckets=n_buckets, text_col=text_col)
+    logit9 = F.sum(F.col("tf") * F.col("w9"))
+    scored = (
+        tf.join(weights, "bucket")
+        .groupBy("doc_id")
+        .agg(logit9.alias("_l9"))
+        .select(
+            "doc_id",
+            F.round(F.col("_l9").cast("double") / F.lit(1e6), 6).alias("logit"),
+        )
+    )
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit") / F.lit(100.0)))
+    return scored.select("doc_id", "logit", F.round(sig, 6).alias("score"))

@@ -14710,3 +14710,42 @@ def text_lang_segments(spark, sf_dir):
     from terminus_server_spark.operators.text import lang_segments
 
     return lang_segments(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "docs_classifier_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+             COUNT(*) AS tf
+      FROM toks GROUP BY 1, 2),
+    w AS (
+      SELECT b AS bucket,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN CAST(('0x' || substring(md5(CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 + 1
+                  ELSE -(CAST(('0x' || substring(md5(CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 + 1)
+             END AS w9
+      FROM range(0, 64) t(b)),
+    sc AS (
+      SELECT tf.doc_id, ROUND(SUM(tf.tf * w.w9)::DOUBLE / 1e6, 6) AS logit
+      FROM tf JOIN w USING (bucket) GROUP BY 1)
+    SELECT doc_id, logit,
+           ROUND(1.0 / (1.0 + exp(-logit / 100.0)), 6) AS score
+    FROM sc
+    """,
+)
+def docs_classifier_score(spark, sf_dir):
+    """Linear quality-classifier inference at corpus scale
+    (operators/text.py:classifier_score): hashed-TF features join a
+    BROADCAST weight table, the logit accumulates in exact fixed-point
+    integers, one sigmoid at the end — the plan shape for applying a
+    trained fastText/logistic filter to 100 TB (weights here are a
+    deterministic md5 stand-in; a trained vector drops into the same
+    (bucket, weight) table)."""
+    from terminus_server_spark.operators.text import classifier_score
+
+    return classifier_score(_t(spark, sf_dir, "documents")["documents"])

@@ -266,6 +266,7 @@ HEADLINE = [
     "src_zorder_key",
     "text_lang_segments",
     "docs_classifier_score",
+    "stream_dedup_static_ref",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

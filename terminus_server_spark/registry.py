@@ -14749,3 +14749,44 @@ def docs_classifier_score(spark, sf_dir):
     from terminus_server_spark.operators.text import classifier_score
 
     return classifier_score(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "stream_dedup_static_ref",
+    """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE md5(d.text) NOT IN (
+      SELECT md5(text) FROM documents WHERE source = 'web'
+    )
+    """,
+)
+def stream_dedup_static_ref(spark, sf_dir):
+    """Streaming cross-corpus dedup: an incoming document STREAM is
+    filtered against the already-accepted static corpus by content
+    hash — a stream-static LEFT ANTI join, the streaming form of
+    dedup_cross_corpus's exact gate (the LSH near-dup gate layers the
+    same way).  The static side is the 'web'-source corpus; streamed
+    docs whose text hash already exists there drop before any
+    downstream processing.  Proven as a real stream (file source,
+    availableNow, memory sink) — per-batch the static side is a
+    broadcastable lookup, no streaming state at all."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_to_table
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    accepted = docs.where(F.col("source") == "web").select(
+        F.md5("text").alias("_h")
+    ).distinct()
+
+    def gate(stream):
+        return (
+            stream.withColumn("_h", F.md5("text"))
+            .join(accepted, "_h", "left_anti")
+            .select("doc_id", "lang", "source")
+        )
+
+    return run_stream_to_table(
+        spark, docs, gate, "tss_stream_dedup_ref", output_mode="append"
+    )

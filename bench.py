@@ -267,6 +267,7 @@ HEADLINE = [
     "text_lang_segments",
     "docs_classifier_score",
     "stream_dedup_static_ref",
+    "events_ohlc",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -353,3 +353,50 @@ def markov_transitions(
         "n",
         (F.col("n").cast("double") / F.col("row_n").cast("double")).alias("p"),
     )
+
+
+def ohlc_downsample(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """(key, bucket_start, open, high, low, close, n): OHLC
+    downsampling — per key and time bucket, the first/max/min/last
+    value plus the sample count (the candlestick / monitoring rollup
+    every time-series store exposes; the reference's temporal
+    analytics sibling of gap_fill).
+
+    Open/close are argmin/argmax over (ts, event_id) via
+    min/max(struct(...)) — partial-aggregating, ORDER-FREE (no window,
+    no sort): one groupBy on (key, window) that AQE can shuffle
+    however it likes, bit-identical result.  At 100 TB this is the
+    canonical map-side-combine rollup: state per group is five
+    scalars."""
+    w = F.window(F.col(ts_col), bucket)
+    o = F.min(
+        F.struct(F.col(ts_col), F.col("event_id"), F.col(value_col).alias("v"))
+    )
+    c = F.max(
+        F.struct(F.col(ts_col), F.col("event_id"), F.col(value_col).alias("v"))
+    )
+    return (
+        events.groupBy(F.col(key_col).alias("key"), w.alias("_w"))
+        .agg(
+            o.alias("_o"),
+            c.alias("_c"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "key",
+            F.col("_w.start").cast("timestamp_ntz").alias("bucket_start"),
+            F.col("_o.v").alias("open"),
+            "high",
+            "low",
+            F.col("_c.v").alias("close"),
+            "n",
+        )
+    )

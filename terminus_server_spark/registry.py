@@ -14790,3 +14790,39 @@ def stream_dedup_static_ref(spark, sf_dir):
     return run_stream_to_table(
         spark, docs, gate, "tss_stream_dedup_ref", output_mode="append"
     )
+
+
+@register(
+    "events_ohlc",
+    """
+    WITH b AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
+             ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT key, bucket_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def events_ohlc(spark, sf_dir):
+    """OHLC time-bucket downsampling (operators/temporal.py:
+    ohlc_downsample): per event type and hour, open/high/low/close
+    plus count — open/close are argmin/argmax over (ts, event_id) via
+    min/max(struct(...)), partial-aggregating and ORDER-FREE (no
+    window, no sort), so the candlestick rollup is one
+    map-side-combining groupBy at any scale."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import ohlc_downsample
+
+    ev = _t(spark, sf_dir, "events")["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    return ohlc_downsample(ev)

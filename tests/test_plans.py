@@ -502,3 +502,45 @@ def test_betweenness_state_is_source_keyed_not_quadratic(spark):
     got = {r.node: r.betweenness for r in out.collect()}
     assert got[15] == 15.0 * 15.0
     assert got[0] == 0.0 and got[30] == 0.0
+
+
+def test_classifier_score_broadcasts_weights(spark, tables):
+    """Model inference = broadcast weight table, never a shuffled
+    join on the bucket key."""
+    from terminus_server_spark.operators.text import classifier_score
+
+    p = plan_str(classifier_score(tables["documents"]))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "EvalPython" not in p
+
+
+def test_gopher_rules_single_scan_no_shuffle(spark, tables):
+    """The composite quality filter is one map-side projection: one
+    parquet scan, zero exchanges, no Python."""
+    from terminus_server_spark.operators.text import gopher_rules
+
+    p = plan_str(gopher_rules(tables["documents"]))
+    # count the detail entries, not the tree echo of the same node
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_binary_quant_no_python_eval(spark, tables):
+    """Sign packing / popcount Hamming stays JVM-side."""
+    from terminus_server_spark.operators.similarity import binary_quant_topk_audit
+
+    emb = tables["embeddings"]
+    p = plan_str(binary_quant_topk_audit(emb, emb.where(F.col("vec_id") < 3), k=3))
+    assert "EvalPython" not in p
+
+
+def test_ohlc_is_one_partial_aggregate(spark, tables):
+    """Candlestick rollup: exactly one exchange (the groupBy on
+    key+bucket), with a map-side partial aggregate before it."""
+    from terminus_server_spark.operators.temporal import ohlc_downsample
+
+    ev = tables["events"].withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    p = plan_str(ohlc_downsample(ev))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "partial" in p.lower()

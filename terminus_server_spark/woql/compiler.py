@@ -565,9 +565,23 @@ class WOQLContext:
         return closure.union(reflexive).distinct()
 
     def _c_Path(self, t: A.Path, df_in):
-        from terminus_server_spark.operators.path import compile_path
+        from terminus_server_spark.operators.path import anchored_closure, compile_path
+        from terminus_server_spark.woql import path_ast as P
 
-        edges = compile_path(self.store, t.pattern)  # (src, dst, hops)
+        # constant-subject plus/star closure: seed a bounded BFS at
+        # the anchor (state = the anchor's reachable set) instead of
+        # materializing the all-pairs closure and filtering it — the
+        # same anchored fast path the GraphQL _path field takes, now
+        # applied whenever the WOQL word's subject is bound
+        if not _is_var(t.s) and isinstance(t.pattern, (P.Plus, P.Star)):
+            anchors = self.spark.createDataFrame([(t.s,)], "node string")
+            edges = anchored_closure(
+                compile_path(self.store, t.pattern.part).select("src", "dst"),
+                anchors,
+                with_zero=isinstance(t.pattern, P.Star),
+            )
+        else:
+            edges = compile_path(self.store, t.pattern)  # (src, dst, hops)
         out_cols = []
         frame = edges
         for val, col in ((t.s, "src"), (t.o, "dst")):

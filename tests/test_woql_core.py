@@ -727,3 +727,36 @@ def test_anchored_closure_plus_cycle_and_star_zero(spark):
     assert {k: v for k, v in star.items() if k != ("a", "a")} == {
         k: v for k, v in full.items() if k != ("a", "a")
     }
+
+
+def test_path_constant_subject_uses_anchored_closure(spark):
+    """A Plus/Star path with a bound subject matches the
+    filter-the-full-closure semantics (incl. cycle returns and the
+    star's zero-hop self row) through the anchored BFS fast path."""
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+    from terminus_server_spark.woql.path_ast import Plus, Pred, Star
+
+    rows = [("instance", s, "next", o, "iri", None) for s, o in
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]]
+    trips = spark.createDataFrame(
+        rows,
+        "graph string, subject string, predicate string, obj string, "
+        "obj_type string, obj_num double",
+    )
+    ctx = WOQLContext(TripleStore(trips))
+    plus = {
+        (r.dst, r.hops)
+        for r in ctx.run(
+            A.Path("a", Plus(Pred("next")), A.v("dst"), hops=A.v("hops"))
+        ).collect()
+    }
+    assert plus == {("b", 1), ("c", 2), ("a", 3), ("d", 3)}
+    star = {
+        (r.dst, r.hops)
+        for r in ctx.run(
+            A.Path("a", Star(Pred("next")), A.v("dst"), hops=A.v("hops"))
+        ).collect()
+    }
+    assert star == {("a", 0), ("b", 1), ("c", 2), ("d", 3)}

@@ -268,6 +268,7 @@ HEADLINE = [
     "docs_classifier_score",
     "stream_dedup_static_ref",
     "events_ohlc",
+    "docs_apportion_sample",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -908,3 +908,57 @@ def weighted_sample(
         .limit(n)
         .select(key_col, "w", F.round(F.col("_sk").cast("double"), 6).alias("skey"))
     )
+
+
+def apportion_sample(
+    docs: DataFrame, n_total: int, group_col: str = "source", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, group, grp_rank): an EXACT-N sample apportioned across
+    groups in proportion to their sizes by the largest-remainder
+    method (Hamilton apportionment) — the mixture-construction step
+    that turns "web 62 %, books 23 %, code 15 %" into exactly
+    ``n_total`` documents with no stochastic rounding drift: each
+    group gets floor(N·n_g/total) plus one extra for the largest
+    integer remainders until N is reached (ties to the lexicographic
+    group).  Everything is INTEGER arithmetic — quota floors are
+    (N·n_g) // total and remainders (N·n_g) % total — so the
+    allocation, and the md5-rank pick inside each group, are
+    engine-identical.
+
+    Cost: one count per group (map-side), a window over the GROUP
+    table (a handful of rows), one per-group rank window bounded by
+    the allocation."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    total = counts.agg(F.sum("_n").alias("_t"))
+    quota = counts.crossJoin(broadcast(total)).select(
+        "grp",
+        ((F.lit(n_total) * F.col("_n")) / F.col("_t")).cast("bigint").alias("_f"),
+        ((F.lit(n_total) * F.col("_n")) % F.col("_t")).alias("_r"),
+    )
+    # leftover seats go to the largest remainders
+    wq = Window.orderBy(F.col("_r").desc(), F.col("grp").asc())
+    left = quota.agg((F.lit(n_total) - F.sum("_f")).alias("_l"))
+    alloc = (
+        quota.withColumn("_rk", F.row_number().over(wq))
+        .crossJoin(broadcast(left))
+        .select(
+            "grp",
+            (F.col("_f") + F.when(F.col("_rk") <= F.col("_l"), 1).otherwise(0)).alias(
+                "_alloc"
+            ),
+        )
+    )
+    h = F.md5(F.col(key_col).cast("string"))
+    wd = Window.partitionBy("grp").orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        docs.select(F.col(key_col), F.col(group_col).alias("grp"))
+        .withColumn("_dr", F.row_number().over(wd))
+        .join(broadcast(alloc), "grp")
+        .where(F.col("_dr") <= F.col("_alloc"))
+        .select(key_col, F.col("grp").alias(group_col), F.col("_dr").alias("grp_rank"))
+    )

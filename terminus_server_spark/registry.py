@@ -14826,3 +14826,42 @@ def events_ohlc(spark, sf_dir):
         "ts", F.col("ts").cast("timestamp_ntz")
     )
     return ohlc_downsample(ev)
+
+
+@register(
+    "docs_apportion_sample",
+    """
+    WITH counts AS (SELECT source AS grp, COUNT(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    quota AS (
+      SELECT grp, (200 * n) // t AS f, (200 * n) % t AS r
+      FROM counts, tot),
+    lft AS (SELECT 200 - SUM(f) AS l FROM quota),
+    alloc AS (
+      SELECT grp,
+             f + CASE WHEN ROW_NUMBER() OVER (ORDER BY r DESC, grp ASC)
+                           <= (SELECT l FROM lft)
+                      THEN 1 ELSE 0 END AS alloc
+      FROM quota),
+    ranked AS (
+      SELECT doc_id, source AS grp,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                         doc_id ASC) AS dr
+      FROM documents)
+    SELECT r.doc_id, r.grp AS source, CAST(r.dr AS INT) AS grp_rank
+    FROM ranked r JOIN alloc a ON r.grp = a.grp
+    WHERE r.dr <= a.alloc
+    """,
+)
+def docs_apportion_sample(spark, sf_dir):
+    """Exact-N mixture apportionment (operators/pipeline.py:
+    apportion_sample): 200 documents split across sources in
+    proportion to their sizes by the largest-remainder (Hamilton)
+    method — integer quota floors + integer remainders, so the
+    allocation never drifts from N and is engine-identical; each
+    source contributes its md5-rank-first documents.  The exact-count
+    complement to temperature mixture resampling."""
+    from terminus_server_spark.operators.pipeline import apportion_sample
+
+    return apportion_sample(_t(spark, sf_dir, "documents")["documents"], 200)

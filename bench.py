@@ -269,6 +269,7 @@ HEADLINE = [
     "stream_dedup_static_ref",
     "events_ohlc",
     "docs_apportion_sample",
+    "asof_join_forward",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

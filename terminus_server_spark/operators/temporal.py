@@ -400,3 +400,81 @@ def ohlc_downsample(
             "n",
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tolerance_s: int | None = None,
+    right_id: str = "event_id",
+) -> DataFrame:
+    """Forward (look-ahead) as-of join with a match tolerance: for
+    every left row, the EARLIEST right row at or after it for the
+    same key — (right_ts, right_id) minimal, so ties at one instant
+    resolve deterministically — NULLed out when the gap exceeds
+    ``tolerance_s`` seconds.  The attribution/next-action shape
+    ("first purchase within 2 days of the click"), completing
+    :func:`asof_join`'s backward direction.
+
+    Same union-window plan as the backward join, scanned in DESCENDING
+    time order (one shuffle on the key, no range join): walking from
+    the future toward each left row, the last right row seen is
+    exactly the nearest one at-or-after it.  Adds ``asof_<col>``
+    columns plus ``asof_gap_s``."""
+    lt = left.withColumn("__ts__", F.col(left_ts)).withColumn("__is_l__", F.lit(1))
+    rt = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("__ts__"),
+            F.col(right_id).alias("__rid__"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+        )
+        .withColumn("__is_l__", F.lit(0))
+        .withColumn("__rts__", F.col("__ts__"))
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # descending time; at one instant rights come first (non-strict:
+    # a simultaneous right row IS a 0-gap match); among equal-ts
+    # rights the larger id scans first so last() keeps the smallest
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col("__ts__").desc(), F.col("__is_l__").asc(), F.col("__rid__").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("__rts__", ignorenulls=True).over(w).alias("__mts__"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__a_{c}")
+            for c in right_vals
+        ],
+    )
+    # integer epoch micros (the module's exact-arithmetic convention;
+    # unix_timestamp on NTZ would read the session zone); the reported
+    # gap floor-divides to whole seconds and the tolerance compares in
+    # MICROS so fractional-second timestamps stay integer-exact
+    gap_us = F.unix_micros(F.col("__mts__").cast("timestamp")) - F.unix_micros(
+        F.col("__ts__").cast("timestamp")
+    )
+    gap = F.floor(gap_us / F.lit(1_000_000)).cast("bigint")
+    ok = F.col("__mts__").isNotNull() & (
+        F.lit(True)
+        if tolerance_s is None
+        else (gap_us <= F.lit(int(tolerance_s) * 1_000_000))
+    )
+    out_vals = [
+        F.when(ok, F.col(f"__a_{c}")).alias(f"asof_{c}") for c in right_vals
+    ] + [F.when(ok, gap).alias("asof_gap_s")]
+    return (
+        carried.where(F.col("__is_l__") == 1)
+        .select(
+            *[c for c in left.columns],
+            *out_vals,
+        )
+    )

@@ -14865,3 +14865,55 @@ def docs_apportion_sample(spark, sf_dir):
     from terminus_server_spark.operators.pipeline import apportion_sample
 
     return apportion_sample(_t(spark, sf_dir, "documents")["documents"], 200)
+
+
+@register(
+    "asof_join_forward",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    m AS (
+      SELECT c.event_id AS event_id, p.value AS pv, p.ts AS pts,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY p.ts ASC, p.event_id ASC) AS rk
+      FROM c JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts),
+    best AS (SELECT event_id, pv, pts FROM m WHERE rk = 1)
+    SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+           CASE WHEN b.pts IS NOT NULL
+                     AND epoch_us(b.pts) - epoch_us(c.ts) <= CAST(172800 AS BIGINT) * 1000000
+                THEN b.pv END AS asof_value,
+           CASE WHEN b.pts IS NOT NULL
+                     AND epoch_us(b.pts) - epoch_us(c.ts) <= CAST(172800 AS BIGINT) * 1000000
+                THEN (epoch_us(b.pts) - epoch_us(c.ts)) // 1000000
+           END AS asof_gap_s
+    FROM c LEFT JOIN best b ON c.event_id = b.event_id
+    """,
+)
+def asof_join_forward(spark, sf_dir):
+    """Forward as-of join with tolerance (operators/temporal.py:
+    asof_join_forward): each click matches the user's EARLIEST
+    purchase at-or-after it, NULLed past a 2-day gap — the
+    attribution/next-action shape, same one-shuffle union-window plan
+    as the backward as-of join but scanned in descending time, with
+    deterministic (ts, event_id) tie-breaks and integer-epoch gap
+    arithmetic."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import asof_join_forward as fwd
+
+    ev = _t(spark, sf_dir, "events")["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return fwd(
+        clicks, purchases, "user_id", "ts", "ts", ["value"],
+        tolerance_s=172800,
+    )

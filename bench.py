@@ -270,6 +270,7 @@ HEADLINE = [
     "events_ohlc",
     "docs_apportion_sample",
     "asof_join_forward",
+    "events_throttle",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

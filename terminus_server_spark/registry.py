@@ -14917,3 +14917,48 @@ def asof_join_forward(spark, sf_dir):
         clicks, purchases, "user_id", "ts", "ts", ["value"],
         tolerance_s=172800,
     )
+
+
+@register(
+    "events_throttle",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, date_trunc('hour', ts) AS bucket_start,
+             event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                                             date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, event_type,
+                                         date_trunc('hour', ts)) AS n_suppressed
+      FROM events WHERE event_type = 'error')
+    SELECT user_id, event_type, bucket_start, event_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CAST(n_suppressed - 1 AS BIGINT) AS n_suppressed
+    FROM r WHERE rn = 1
+    """,
+)
+def events_throttle(spark, sf_dir):
+    """Alert throttling / rate limiting: at most ONE emission per
+    (user, alert type, hour), deterministically the earliest by
+    (ts, event_id), carrying the count of suppressed duplicates — the
+    dedup-with-budget shape every alerting pipeline runs before
+    paging a human.  One window per (key, bucket); the keep predicate
+    and the suppression count share the same partitioning, so the
+    whole throttle is one shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")["events"].where(
+        F.col("event_type") == "error"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    bucket = F.window(F.col("ts"), "1 hour")["start"].cast("timestamp_ntz")
+    keyed = ev.withColumn("bucket_start", bucket)
+    w = Window.partitionBy("user_id", "event_type", "bucket_start")
+    ranked = keyed.select(
+        "user_id", "event_type", "bucket_start", "event_id", "ts",
+        F.row_number()
+        .over(w.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("_rn"),
+        (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("n_suppressed"),
+    )
+    return ranked.where(F.col("_rn") == 1).drop("_rn")

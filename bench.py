@@ -271,6 +271,7 @@ HEADLINE = [
     "docs_apportion_sample",
     "asof_join_forward",
     "events_throttle",
+    "graph_pagerank_weighted",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

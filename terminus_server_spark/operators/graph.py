@@ -220,6 +220,63 @@ def pagerank(
     return ranks
 
 
+def pagerank_weighted(
+    edges: DataFrame, damping: float = 0.85, iters: int = 4
+) -> DataFrame:
+    """(node, rank): PageRank over WEIGHTED edges — each neighbor
+    receives rank · w / W_out(src) instead of rank / out_degree (the
+    natural form when edges carry interaction counts or affinities).
+    Same exact-arithmetic discipline as :func:`pagerank`: the per-edge
+    share divides IEEE-exactly in double, floor-scales to 1e15
+    integers, sums in decimal(38,0) — bit-reproducible and
+    oracle-replayable.  ``edges``: (src, dst, w) with positive
+    integer-valued weights."""
+    with no_constraint_propagation(edges.sparkSession):
+        nodes, n_nodes = loop_checkpoint_count(
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        wout = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+        links = edges.join(wout, "src").transform(loop_checkpoint)
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        with loop_tuning(edges.sparkSession, n_nodes):
+            for _ in range(iters):
+                contribs = (
+                    links.join(ranks, links["src"] == ranks["node"])
+                    .select(
+                        F.col("dst").alias("node"),
+                        F.floor(
+                            (
+                                F.col("rank")
+                                * F.col("w").cast("double")
+                                / F.col("w_out").cast("double")
+                            )
+                            * F.lit(1e15)
+                        ).alias("ci"),
+                    )
+                    .groupBy("node")
+                    .agg(
+                        (
+                            F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)
+                        ).alias("contrib")
+                    )
+                )
+                ranks = (
+                    nodes.join(contribs, "node", "left_outer")
+                    .select(
+                        "node",
+                        (
+                            F.lit((1.0 - damping) / n_nodes)
+                            + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                        ).alias("rank"),
+                    )
+                    .transform(plan_checkpoint)
+                )
+            ranks = loop_checkpoint(ranks)
+    return ranks
+
+
 def pagerank_warm(
     edges: DataFrame,
     init_ranks: DataFrame,

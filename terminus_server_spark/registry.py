@@ -14962,3 +14962,60 @@ def events_throttle(spark, sf_dir):
         (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("n_suppressed"),
     )
     return ranked.where(F.col("_rn") == 1).drop("_rn")
+
+
+def _pr_weighted_oracle(iters: int = 4) -> str:
+    """Unrolled weighted-PageRank replay: rank·w/W_out shares on the
+    same floor-scaled fixed-point template as graph_pagerank."""
+    it = """
+    {cur} AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT COUNT(*) FROM nodes)
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT l.dst AS node,
+               CAST(SUM(CAST(FLOOR(p.rank * l.w::DOUBLE / l.w_out::DOUBLE
+                                   * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / CAST(1e15 AS DOUBLE) AS contrib
+        FROM links l JOIN {prev} p ON l.src = p.node
+        GROUP BY l.dst) c ON n.node = c.node)"""
+    parts, prev = [], "pr0"
+    for i in range(1, iters + 1):
+        parts.append(it.format(cur=f"pr{i}", prev=prev))
+        prev = f"pr{i}"
+    return f"""
+    WITH e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst,
+             CAST(1 + c_custkey % 3 AS BIGINT) AS w
+      FROM customer WHERE c_custkey >= 1),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    wout AS (SELECT src, SUM(w) AS w_out FROM e GROUP BY src),
+    links AS (SELECT e.src, e.dst, e.w, wout.w_out
+              FROM e JOIN wout ON e.src = wout.src),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM nodes) AS rank
+            FROM nodes),{",".join(parts)}
+    SELECT node, rank FROM pr{iters}
+    """
+
+
+@register("graph_pagerank_weighted", None)
+def graph_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py:pagerank_weighted):
+    neighbors receive rank·w/W_out shares — edge weights 1+k%3 over
+    the parent tree — on the same floor-scaled fixed-point template
+    as graph_pagerank, replayed exactly by the unrolled oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import pagerank_weighted
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    edges = cust.where(k >= 1).select(
+        F.concat(F.lit("C/"), k.cast("string")).alias("src"),
+        F.concat(F.lit("C/"), F.floor(k / 2).cast("long").cast("string")).alias("dst"),
+        (1 + k % 3).cast("bigint").alias("w"),
+    )
+    return pagerank_weighted(edges, iters=4)
+
+
+ORACLES["graph_pagerank_weighted"] = _pr_weighted_oracle(4)

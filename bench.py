@@ -272,6 +272,7 @@ HEADLINE = [
     "asof_join_forward",
     "events_throttle",
     "graph_pagerank_weighted",
+    "graph_core_numbers",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -15019,3 +15019,36 @@ def graph_pagerank_weighted(spark, sf_dir):
 
 
 ORACLES["graph_pagerank_weighted"] = _pr_weighted_oracle(4)
+
+
+@register(
+    "graph_core_numbers",
+    """
+    SELECT c_custkey AS node,
+           CAST(CASE WHEN (c_custkey // 10) % 2 = 1 THEN 2 ELSE 1 END AS INT)
+             AS core
+    FROM customer
+    """,
+)
+def graph_core_numbers(spark, sf_dir):
+    """Full coreness decomposition (operators/graph.py:core_numbers —
+    Batagelj-Zaversnik peeling, bucket form): every node's largest
+    surviving k, the standard influence/robustness feature column.
+    Fixture: even decades are plain chains (core 1), odd decades add
+    skip-2 rungs making ladders whose 2-core is the whole decade
+    (core 2) — the oracle restates the decade parity closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import core_numbers
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    mx = cust.agg(F.max("c_custkey").alias("m"))
+    keyed = cust.crossJoin(F.broadcast(mx))
+    chain = keyed.where((k % 10 != 9) & (k < F.col("m"))).select(
+        k.alias("src"), (k + 1).alias("dst")
+    )
+    rungs = keyed.where(
+        ((F.floor(k / 10) % 2) == 1) & (k % 10 <= 7) & (k + 2 <= F.col("m"))
+    ).select(k.alias("src"), (k + 2).alias("dst"))
+    return core_numbers(chain.unionByName(rungs), max_k=4)

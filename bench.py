@@ -273,6 +273,7 @@ HEADLINE = [
     "events_throttle",
     "graph_pagerank_weighted",
     "graph_core_numbers",
+    "schema_check_acyclic",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

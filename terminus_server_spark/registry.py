@@ -15052,3 +15052,48 @@ def graph_core_numbers(spark, sf_dir):
         ((F.floor(k / 10) % 2) == 1) & (k % 10 <= 7) & (k + 2 <= F.col("m"))
     ).select(k.alias("src"), (k + 2).alias("dst"))
     return core_numbers(chain.unionByName(rungs), max_k=4)
+
+
+@register(
+    "schema_check_acyclic",
+    """
+    SELECT cls FROM (VALUES ('Alpha'), ('Beta'), ('Gamma')) t(cls)
+    ORDER BY cls
+    """,
+)
+def schema_check_acyclic(spark, sf_dir):
+    """Subsumption-cycle detection (the reference's schema checker
+    rejects inheritance cycles — subsumption assumes an acyclic class
+    hierarchy): the schema graph's subClassOf edges run through the
+    generic SCC operator and every class inside a non-trivial SCC is
+    reported as violating.  The fixture injects a 3-class cycle
+    (Alpha < Beta < Gamma < Alpha) next to the store's legitimate
+    Customer/Supplier < Agent hierarchy; the oracle restates the
+    cycle members closed-form.  Cost scales with the SCHEMA graph —
+    metadata-sized however big the instance data is."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import strongly_connected_components
+
+    store = _store(spark, sf_dir, with_schema=True)
+    cyc = spark.createDataFrame(
+        [
+            ("schema", "Alpha", "subClassOf", "Beta", "iri", None, None, None),
+            ("schema", "Beta", "subClassOf", "Gamma", "iri", None, None, None),
+            ("schema", "Gamma", "subClassOf", "Alpha", "iri", None, None, None),
+        ],
+        "graph string, subject string, predicate string, obj string, "
+        "obj_type string, obj_num double, obj_lang string, obj_ts timestamp_ntz",
+    )
+    edges = (
+        store.schema_df.unionByName(cyc)
+        .where(F.col("predicate") == "subClassOf")
+        .select(F.col("subject").alias("src"), F.col("obj").alias("dst"))
+    )
+    scc = strongly_connected_components(edges)
+    sizes = scc.groupBy("component").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        scc.join(sizes.where(F.col("_n") > 1), "component")
+        .select(F.col("node").alias("cls"))
+        .orderBy("cls")
+    )

@@ -274,6 +274,7 @@ HEADLINE = [
     "graph_pagerank_weighted",
     "graph_core_numbers",
     "schema_check_acyclic",
+    "schema_frames_json",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -15097,3 +15097,90 @@ def schema_check_acyclic(spark, sf_dir):
         .select(F.col("node").alias("cls"))
         .orderBy("cls")
     )
+
+
+@register(
+    "schema_frames_json",
+    """
+    WITH order_n AS (SELECT COUNT(*) AS n FROM orders),
+    cust_n AS (SELECT COUNT(*) AS n FROM customer),
+    line_stats AS (
+      SELECT COUNT(*) AS n_subj FROM
+        (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey)),
+    frames(class, predicate, type, required) AS (
+      SELECT 'Order', 'o_orderstatus', 'xsd:string', true
+      UNION ALL SELECT 'Order', 'o_totalprice', 'xsd:decimal', true
+      UNION ALL SELECT 'Order', 'o_orderdate', 'xsd:dateTime', true
+      UNION ALL SELECT 'Order', 'o_orderpriority', 'xsd:string', true
+      UNION ALL SELECT 'Order', 'o_customer', 'iri', true
+      UNION ALL SELECT 'Order', 'o_line', 'iri',
+             (SELECT n_subj FROM line_stats) = (SELECT n FROM order_n)
+      UNION ALL SELECT 'Customer', 'c_name', 'xsd:string', true
+      UNION ALL SELECT 'Customer', 'c_acctbal', 'xsd:decimal', true
+      UNION ALL SELECT 'Customer', 'c_mktsegment', 'xsd:string', true
+      UNION ALL SELECT 'Customer', 'c_nation', 'iri', true)
+    SELECT class,
+           to_json(list(struct_pack(field := predicate, type := type,
+                                    required := required)
+                        ORDER BY predicate))::VARCHAR AS frame
+    FROM frames GROUP BY class
+    """,
+)
+def schema_frames_json(spark, sf_dir):
+    """Class frames rendered as the JSON wire shape (the reference's
+    GET /api/schema serves the generated frames as JSON documents):
+    one sorted array of {field, type, required} per class, byte-exact
+    against the oracle's to_json — composing the frame INFERENCE
+    (model/triples.py:class_frames) with the deterministic JSON
+    rendering discipline every document key uses."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore, class_frames
+
+    # same instance store as schema_class_frames (Order/Customer core
+    # plus the multi-valued o_line edges from lineitem)
+    tabs = _t(spark, sf_dir, "orders", "customer", "lineitem")
+    specs = {
+        "orders": {
+            "class_name": "Order",
+            "key_col": "o_orderkey",
+            "ref_cols": {"o_custkey": ("Customer", "o_customer")},
+        },
+        "customer": {
+            "class_name": "Customer",
+            "key_col": "c_custkey",
+            "ref_cols": {"c_nationkey": ("Nation", "c_nation")},
+        },
+    }
+    st = TripleStore.from_tables(tabs, specs)
+    o_line = tabs["lineitem"].select(
+        F.lit("instance").alias("graph"),
+        F.concat(F.lit("Order/"), F.col("l_orderkey").cast("string")).alias("subject"),
+        F.lit("o_line").alias("predicate"),
+        F.concat(
+            F.lit("Lineitem/"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    )
+    frames = class_frames(st.df.unionByName(o_line, allowMissingColumns=True))
+    return (
+        frames.where(F.col("class").isin("Order", "Customer"))
+        .groupBy("class")
+        .agg(
+            F.to_json(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("predicate").alias("field"),
+                            F.col("obj_types").alias("type"),
+                            F.col("required"),
+                        )
+                    )
+                )
+            ).alias("frame")
+        )
+    )

@@ -156,6 +156,57 @@ def connected_components_incremental(
     )
 
 
+def _edge_nodes(edges):
+    """Distinct node set of an edge frame, checkpointed with its
+    count fused into the materializing job."""
+    return loop_checkpoint_count(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def _power_iterations(base, links, ranks, iters, damping, restart_term, share_ci):
+    """The pagerank family's shared fixed-point power loop: per round
+    one links⋈ranks join emitting floor-scaled integer contributions
+    (``share_ci``), one decimal(38,0) sum (exact, order-free — a hot
+    node's in-degree × 1e15 exceeds bigint range long before real
+    graph scale), one left join back onto ``base`` applying
+    ``restart_term`` + damping·contrib.  Rounds checkpoint LAZILY so
+    a fixed iteration count chains into one job cascade; the CALLER
+    eagerly materializes the result inside its loop_tuning context so
+    the clamp + AQE-off actually govern execution."""
+    for _ in range(iters):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), share_ci.alias("ci"))
+            .groupBy("node")
+            .agg(
+                (
+                    F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)
+                ).alias("contrib")
+            )
+        )
+        ranks = (
+            base.join(contribs, "node", "left_outer")
+            .select(
+                "node",
+                (
+                    restart_term
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .transform(plan_checkpoint)
+        )
+    return ranks
+
+
+def _uniform_share():
+    """The unweighted per-edge contribution: rank / out_degree,
+    floor-scaled onto the 1e-15 fixed-point grid."""
+    return F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15))
+
+
 def pagerank(
     edges: DataFrame, damping: float = 0.85, iters: int = 10
 ) -> DataFrame:
@@ -167,56 +218,25 @@ def pagerank(
     rank/out_degree stays an IEEE-exact double division, floor(x *
     1e15) is a deterministic integer (double→decimal casts round
     differently across engines; floor does not), the sum runs in
-    decimal(38,0) (exact, order-independent, and — unlike a bigint —
-    safe for hot in-degree nodes whose scaled contributions exceed
-    2^63), and the one division back stays under 2^53 so it is again
-    exact.  Result: bit-identical ranks regardless of partitioning
-    AND reproducible by a sequential SQL engine (DuckDB widens to
-    HUGEINT on the same sums), which upgrades PageRank from a
-    rows-only check to an exact value-hash oracle."""
+    decimal(38,0), and the one division back stays under 2^53 so it
+    is again exact.  Result: bit-identical ranks regardless of
+    partitioning AND reproducible by a sequential SQL engine (DuckDB
+    widens to HUGEINT on the same sums), which upgrades PageRank from
+    a rows-only check to an exact value-hash oracle.  Loop body:
+    :func:`_power_iterations` (shared with the weighted, warm-start,
+    and personalized variants)."""
     with no_constraint_propagation(edges.sparkSession):
-        nodes, n_nodes = loop_checkpoint_count(
-            edges.select(F.col("src").alias("node"))
-            .union(edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
+        nodes, n_nodes = _edge_nodes(edges)
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-        # fixed iteration count -> no per-round probe, so per-round
-        # checkpoints stay LAZY and all rounds run as one job cascade;
-        # that cascade must EXECUTE inside loop_tuning (clamped
-        # shuffle width, AQE off) for the tuning to bite, hence the
-        # eager materialization before the context exits.
         with loop_tuning(edges.sparkSession, n_nodes):
-            for _ in range(iters):
-                contribs = (
-                    links.join(ranks, links["src"] == ranks["node"])
-                    .select(
-                        F.col("dst").alias("node"),
-                        F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15)).alias("ci"),
-                    )
-                    .groupBy("node")
-                    # decimal sum: a hot node's in-degree x 1e15 exceeds
-                    # bigint range long before real graph scale
-                    .agg(
-                        (
-                            F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)
-                        ).alias("contrib")
-                    )
+            ranks = loop_checkpoint(
+                _power_iterations(
+                    nodes, links, ranks, iters, damping,
+                    F.lit((1.0 - damping) / n_nodes), _uniform_share(),
                 )
-                ranks = (
-                    nodes.join(contribs, "node", "left_outer")
-                    .select(
-                        "node",
-                        (
-                            F.lit((1.0 - damping) / n_nodes)
-                            + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                        ).alias("rank"),
-                    )
-                    .transform(plan_checkpoint)
-                )
-            ranks = loop_checkpoint(ranks)
+            )
     return ranks
 
 
@@ -226,54 +246,25 @@ def pagerank_weighted(
     """(node, rank): PageRank over WEIGHTED edges — each neighbor
     receives rank · w / W_out(src) instead of rank / out_degree (the
     natural form when edges carry interaction counts or affinities).
-    Same exact-arithmetic discipline as :func:`pagerank`: the per-edge
-    share divides IEEE-exactly in double, floor-scales to 1e15
-    integers, sums in decimal(38,0) — bit-reproducible and
-    oracle-replayable.  ``edges``: (src, dst, w) with positive
-    integer-valued weights."""
+    Same exact-arithmetic discipline as :func:`pagerank` (the shared
+    :func:`_power_iterations` loop with a weighted share column).
+    ``edges``: (src, dst, w) with positive integer-valued weights."""
     with no_constraint_propagation(edges.sparkSession):
-        nodes, n_nodes = loop_checkpoint_count(
-            edges.select(F.col("src").alias("node"))
-            .union(edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
+        nodes, n_nodes = _edge_nodes(edges)
         wout = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
         links = edges.join(wout, "src").transform(loop_checkpoint)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        share = F.floor(
+            (F.col("rank") * F.col("w").cast("double") / F.col("w_out").cast("double"))
+            * F.lit(1e15)
+        )
         with loop_tuning(edges.sparkSession, n_nodes):
-            for _ in range(iters):
-                contribs = (
-                    links.join(ranks, links["src"] == ranks["node"])
-                    .select(
-                        F.col("dst").alias("node"),
-                        F.floor(
-                            (
-                                F.col("rank")
-                                * F.col("w").cast("double")
-                                / F.col("w_out").cast("double")
-                            )
-                            * F.lit(1e15)
-                        ).alias("ci"),
-                    )
-                    .groupBy("node")
-                    .agg(
-                        (
-                            F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)
-                        ).alias("contrib")
-                    )
+            ranks = loop_checkpoint(
+                _power_iterations(
+                    nodes, links, ranks, iters, damping,
+                    F.lit((1.0 - damping) / n_nodes), share,
                 )
-                ranks = (
-                    nodes.join(contribs, "node", "left_outer")
-                    .select(
-                        "node",
-                        (
-                            F.lit((1.0 - damping) / n_nodes)
-                            + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                        ).alias("rank"),
-                    )
-                    .transform(plan_checkpoint)
-                )
-            ranks = loop_checkpoint(ranks)
+            )
     return ranks
 
 
@@ -291,47 +282,22 @@ def pagerank_warm(
     philosophy as the IVM rollup verbs; Langville & Meyer's warm
     restart analysis).  ``init_ranks`` (node, rank) must cover every
     node of the updated graph — for pure edge deltas (no new nodes)
-    the previous result does.
-
-    Identical exact arithmetic to :func:`pagerank` (floor-scaled 1e15
-    contributions, decimal(38,0) sums), so warm rounds are
-    bit-reproducible and the oracle replays cold+warm exactly."""
+    the previous result does.  Identical arithmetic to
+    :func:`pagerank` (shared :func:`_power_iterations` loop), so warm
+    rounds are bit-reproducible and the oracle replays cold+warm
+    exactly."""
     with no_constraint_propagation(edges.sparkSession):
-        nodes, n_nodes = loop_checkpoint_count(
-            edges.select(F.col("src").alias("node"))
-            .union(edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
+        nodes, n_nodes = _edge_nodes(edges)
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = nodes.join(init_ranks, "node").transform(loop_checkpoint)
         with loop_tuning(edges.sparkSession, n_nodes):
-            for _ in range(iters):
-                contribs = (
-                    links.join(ranks, links["src"] == ranks["node"])
-                    .select(
-                        F.col("dst").alias("node"),
-                        F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15)).alias("ci"),
-                    )
-                    .groupBy("node")
-                    .agg(
-                        (
-                            F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)
-                        ).alias("contrib")
-                    )
+            ranks = loop_checkpoint(
+                _power_iterations(
+                    nodes, links, ranks, iters, damping,
+                    F.lit((1.0 - damping) / n_nodes), _uniform_share(),
                 )
-                ranks = (
-                    nodes.join(contribs, "node", "left_outer")
-                    .select(
-                        "node",
-                        (
-                            F.lit((1.0 - damping) / n_nodes)
-                            + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                        ).alias("rank"),
-                    )
-                    .transform(plan_checkpoint)
-                )
-            ranks = loop_checkpoint(ranks)
+            )
     return ranks
 
 
@@ -343,18 +309,14 @@ def personalized_pagerank(
     (Jeh & Widom 2003's personalized variant of the power method).
     ``sources``: (node) frame; restart vector is uniform 1/|S| over it.
 
-    Same exact-arithmetic treatment as ``pagerank`` (floor-scaled
-    1e15 fixed-point contributions, decimal(38,0) sums), so every
-    iteration is bit-reproducible and the oracle can replay it.  |S|
-    enters the plan as a broadcast scalar (no collect), restart is
-    checkpointed once, and the fixed-round loop chains lazily into
-    one job cascade like ``pagerank``."""
+    Same exact-arithmetic treatment as ``pagerank`` (shared
+    :func:`_power_iterations` loop; the restart term reads the
+    per-node restart column instead of a constant).  |S| enters the
+    plan as a broadcast scalar (no collect), restart is checkpointed
+    once, and the fixed-round loop chains lazily into one tuned job
+    cascade like ``pagerank``."""
     with no_constraint_propagation(edges.sparkSession):
-        nodes, n_nodes = loop_checkpoint_count(
-            edges.select(F.col("src").alias("node"))
-            .union(edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
+        nodes, n_nodes = _edge_nodes(edges)
         n_src = sources.agg(F.count(F.lit(1)).alias("_ns"))
         restart = (
             nodes.join(sources.select("node").distinct().withColumn("_in", F.lit(1)),
@@ -371,36 +333,13 @@ def personalized_pagerank(
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = restart.select("node", F.col("restart").alias("rank"))
-        # same shape as pagerank: lazy per-round checkpoints chain the
-        # rounds into one cascade, and the eager final checkpoint runs
-        # that cascade inside the tuned context (clamp + AQE off).
         with loop_tuning(edges.sparkSession, n_nodes):
-            for _ in range(iters):
-                contribs = (
-                    links.join(ranks, links["src"] == ranks["node"])
-                    .select(
-                        F.col("dst").alias("node"),
-                        F.floor((F.col("rank") / F.col("out_degree")) * F.lit(1e15)).alias("ci"),
-                    )
-                    .groupBy("node")
-                    .agg(
-                        (
-                            F.sum(F.col("ci").cast("decimal(38,0)")).cast("double") / F.lit(1e15)
-                        ).alias("contrib")
-                    )
+            ranks = loop_checkpoint(
+                _power_iterations(
+                    restart, links, ranks, iters, damping,
+                    F.lit(1.0 - damping) * F.col("restart"), _uniform_share(),
                 )
-                ranks = (
-                    restart.join(contribs, "node", "left_outer")
-                    .select(
-                        "node",
-                        (
-                            F.lit(1.0 - damping) * F.col("restart")
-                            + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                        ).alias("rank"),
-                    )
-                    .transform(plan_checkpoint)
-                )
-            ranks = loop_checkpoint(ranks)
+            )
     return ranks
 
 
@@ -488,6 +427,12 @@ def landmark_distance_audit(
     graph_ball_sketch.  Distances are over the UNDIRECTED graph
     (edges symmetrized internally, like ``betweenness``).
 
+    Query pairs that the labels CANNOT answer still appear: a pair
+    with no landmark common to both sides keeps ``est`` NULL, an
+    unreachable pair keeps ``exact`` NULL, and ``rel_err`` is NULL
+    whenever either side is — the failures a landmark audit exists to
+    surface must not silently vanish from it.
+
     ``landmarks``: (node); ``queries``: (u, v) pairs to estimate."""
     und = (
         edges.select("src", "dst")
@@ -514,14 +459,15 @@ def landmark_distance_audit(
         F.col("source").alias("u"), F.col("node").alias("v"), F.col("hops").alias("exact")
     )
     return (
-        queries.join(est, ["u", "v"])
-        .join(exact, ["u", "v"])
+        queries.join(est, ["u", "v"], "left_outer")
+        .join(exact, ["u", "v"], "left_outer")
         .select(
             "u",
             "v",
             "est",
             "exact",
-            F.when(
+            F.when(F.col("est").isNull() | F.col("exact").isNull(), F.lit(None))
+            .when(
                 F.col("exact") > 0,
                 F.round(
                     F.abs(F.col("est") - F.col("exact")).cast("double")
@@ -732,22 +678,26 @@ def _kcore_loop(cur, n_edges, k, rounds, broadcast_edge_limit):
 
 
 def core_numbers(
-    edges: DataFrame, max_k: int = 8, rounds_per_k: int = 30
+    edges: DataFrame, max_k: int = 8, rounds_per_k: int = 10_000
 ) -> DataFrame:
     """(node, core): the FULL coreness decomposition — each node's
     core number is the largest k for which it survives k-core pruning
     (Batagelj-Zaversnik peeling, the distributed bucket form):
-    for k = 1, 2, ... peel nodes of degree <= k to fixpoint, labeling
+    for k = 1, 2, ... peel nodes of degree <= k to FIXPOINT, labeling
     each peeled node core = k, until the graph empties or ``max_k``
-    caps the walk (remaining nodes then report core = max_k+1-ish
-    truthfully as > max_k via the cap value).  The graded sibling of
-    :func:`kcore`'s single-k filter — coreness is THE standard graph
-    feature column (influence/robustness tiers).
+    caps the walk (remaining nodes then report the cap value as a
+    truthful "core > max_k").  The graded sibling of :func:`kcore`'s
+    single-k filter — coreness is THE standard graph feature column
+    (influence/robustness tiers).
 
     Same monotone-pruning dataflow as kcore: per peel round one
-    degree aggregate + two semi-joins, the edge set only shrinks,
-    rounds bounded by the degeneracy (a small constant on real
-    graphs).  Isolated base nodes never enter (edge-derived), so
+    degree aggregate + two semi-joins, the edge set only shrinks.
+    The per-k peel MUST reach its fixpoint or later phases would
+    mislabel unfinished nodes with higher cores (a 100-node path
+    needs ~50 rounds at k=1 — peel depth is O(longest chain), NOT the
+    degeneracy), so ``rounds_per_k`` is a loud safety valve, not a
+    tuning knob: exceeding it raises instead of silently corrupting
+    the labels.  Isolated base nodes never enter (edge-derived), so
     every input node with an edge gets a core."""
     cur, n_edges = loop_checkpoint_count(
         edges.select("src", "dst")
@@ -763,6 +713,7 @@ def core_numbers(
         for k in range(1, max_k + 1):
             if n_edges == 0:
                 break
+            at_fixpoint = False
             for _ in range(rounds_per_k):
                 deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
                 peel = deg.where(F.col("d") <= k).select("src")
@@ -777,10 +728,18 @@ def core_numbers(
                     size_hint=n_edges,
                 )
                 if new_n == n_edges:
+                    at_fixpoint = True
                     break
                 n_edges = new_n
                 if n_edges == 0:
+                    at_fixpoint = True
                     break
+            if not at_fixpoint:
+                raise RuntimeError(
+                    f"core_numbers: k={k} peel did not reach fixpoint within "
+                    f"rounds_per_k={rounds_per_k}; raise the cap (peel depth "
+                    "is O(longest chain))"
+                )
         if n_edges > 0:
             done.append(
                 cur.select(F.col("src").alias("node")).distinct().select(

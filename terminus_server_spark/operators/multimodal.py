@@ -261,7 +261,10 @@ def sniff_headers3(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
       (big-endian); the byte order itself is the classification
       payoff (dimensions live in IFD tags — decoder territory).
     - BMP   ``BM``; width/height are the BITMAPINFOHEADER's
-      little-endian u32s at bytes 19-22 / 23-26.
+      little-endian i32s at bytes 19-22 / 23-26 — height is SIGNED
+      by spec (negative = top-down row order), so both fields decode
+      two's-complement and a top-down BMP reports its true magnitude
+      as a negative height instead of a ~4.29e9 garbage value.
     - FLAC  ``fLaC``; STREAMINFO's sample rate is the 20-bit field
       spanning bytes 19-21 (16 high bits, then the top nibble).
 
@@ -287,10 +290,17 @@ def sniff_headers3(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(is_tif_be, F.lit("big"))
         .otherwise(null_s)
         .alias("byte_order"),
-        F.when(is_bmp, _le(p, 19, 4)).otherwise(null_i).alias("width"),
-        F.when(is_bmp, _le(p, 23, 4)).otherwise(null_i).alias("height"),
+        F.when(is_bmp, _le_i32(p, 19)).otherwise(null_i).alias("width"),
+        F.when(is_bmp, _le_i32(p, 23)).otherwise(null_i).alias("height"),
         F.when(is_flac, flac_rate).otherwise(null_i).alias("sample_rate"),
     )
+
+
+def _le_i32(p, pos: int):
+    """Signed little-endian i32: two's-complement fold of the
+    unsigned parse."""
+    u = _le(p, pos, 4)
+    return F.when(u >= F.lit(2_147_483_648), u - F.lit(4_294_967_296)).otherwise(u)
 
 
 def sample_frames(mm: DataFrame, every_k: int = 4) -> DataFrame:

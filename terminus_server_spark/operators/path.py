@@ -185,7 +185,11 @@ def anchored_closure(
     (the seed is the anchors' one-step successors, so the anchor
     itself is reachable at hops >= 1 through a cycle — identical to
     filtering the full plus-closure by src).  ``with_zero`` adds the
-    hops-0 self row and drops any costlier self pair (star)."""
+    hops-0 self row and drops any costlier self pair (star) — ONLY
+    for anchors that appear in the edge universe, matching the
+    un-anchored plan exactly: ``compile_path(Star)`` derives its
+    zero rows from the graph's nodes, so an anchor absent from the
+    graph must yield zero rows, not a phantom (a, a, 0)."""
     spark = edges.sparkSession
     with no_constraint_propagation(spark):
         base = loop_checkpoint(
@@ -224,7 +228,13 @@ def anchored_closure(
         for layer in layers[1:]:
             out = out.unionByName(layer)
         if with_zero:
-            zero = a.select("src", F.col("src").alias("dst"), F.lit(0).alias("hops"))
+            universe = base.select(F.col("src").alias("n")).union(
+                base.select(F.col("dst"))
+            ).distinct()
+            zero = (
+                a.join(universe, a["src"] == universe["n"], "left_semi")
+                .select("src", F.col("src").alias("dst"), F.lit(0).alias("hops"))
+            )
             out = zero.unionByName(
                 out.join(zero.select("src", "dst"), ["src", "dst"], "left_anti")
             )

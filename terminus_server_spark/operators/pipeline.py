@@ -935,9 +935,13 @@ def apportion_sample(
         F.count(F.lit(1)).alias("_n")
     )
     total = counts.agg(F.sum("_n").alias("_t"))
+    # TRUE integer floor division (SQL `div`), not a double quotient
+    # cast back: past 2^53 the double can round UP to an exact
+    # integer, making sum(floors) exceed N — the exact drift this
+    # method exists to prevent
     quota = counts.crossJoin(broadcast(total)).select(
         "grp",
-        ((F.lit(n_total) * F.col("_n")) / F.col("_t")).cast("bigint").alias("_f"),
+        F.expr(f"(CAST({int(n_total)} AS BIGINT) * _n) div _t").alias("_f"),
         ((F.lit(n_total) * F.col("_n")) % F.col("_t")).alias("_r"),
     )
     # leftover seats go to the largest remainders

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
+from terminus_server_spark.checkpoint import plan_checkpoint
+
 SCALE = 1e12
 
 
@@ -853,11 +855,14 @@ def binary_quant_topk_audit(
 
     qw = words(queries, "q")
     cw = words(emb, "c")
-    ham = _sum_cols_sim(
+    from functools import reduce
+
+    ham = reduce(
+        lambda a, b: a + b,
         [
             F.bit_count(F.col(f"w{i}_q").bitwiseXOR(F.col(f"w{i}_c")))
             for i in range(n_words)
-        ]
+        ],
     ).cast("int")
     cand = (
         broadcast(qw)
@@ -939,7 +944,7 @@ def bitext_margin_pairs(
         )
         .withColumn("ci", F.floor(F.col("cos") * F.lit(SCALE)).cast("bigint"))
     )
-    scored = plan_checkpoint_sim(scored)
+    scored = plan_checkpoint(scored)
     wa = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), F.col("tgt_id").asc())
     na = (
         scored.withColumn("_rk", F.row_number().over(wa))
@@ -966,19 +971,6 @@ def bitext_margin_pairs(
         .where(F.col("_rk") == 1)
         .select("src_id", "tgt_id", F.round("cos", 6).alias("cos"), "margin")
     )
-
-
-def plan_checkpoint_sim(df: DataFrame) -> DataFrame:
-    from terminus_server_spark.checkpoint import plan_checkpoint
-
-    return plan_checkpoint(df)
-
-
-def _sum_cols_sim(cols: list[Column]) -> Column:
-    out = cols[0]
-    for c in cols[1:]:
-        out = out + c
-    return out
 
 
 def ivfpq_topk(

@@ -737,9 +737,9 @@ def ccnet_buckets(
     ranked = scored.withColumn("_rk", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
     )
-    idx = F.floor(
-        (F.col("_rk") - 1).cast("double") * 3.0 / F.col("_n").cast("double")
-    )
+    # true integer floor division — a double quotient could misplace
+    # a tercile boundary once (rk-1)*3 passes 2^53
+    idx = F.expr("((_rk - 1) * 3) div _n")
     return ranked.select(
         "doc_id",
         "lang",

@@ -14074,7 +14074,7 @@ def ann_binary_quant(spark, sf_dir):
              COUNT(*) OVER (PARTITION BY d.lang) AS n
       FROM documents d JOIN ppl p ON d.doc_id = p.doc_id)
     SELECT doc_id, lang, perplexity,
-           CASE FLOOR((rk - 1)::DOUBLE * 3.0 / n::DOUBLE)
+           CASE ((rk - 1) * 3) // n
                 WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM ranked
@@ -14520,32 +14520,25 @@ def docs_gopher_rules(spark, sf_dir):
 @register(
     "stream_cdc_sink",
     """
-    WITH odd AS (
+    WITH latest AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) AS rn
-      FROM events WHERE event_id % 2 = 1),
-    even AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                                   ORDER BY event_id DESC) AS rn
-      FROM events WHERE event_id % 2 = 0),
-    lo AS (SELECT * FROM odd WHERE rn = 1),
-    le AS (SELECT * FROM even WHERE rn = 1)
-    SELECT COALESCE(lo.user_id, le.user_id) AS user_id,
-           CAST(COALESCE(lo.ts, le.ts) AS TIMESTAMP) AS ts,
-           COALESCE(lo.event_type, le.event_type) AS event_type,
-           COALESCE(lo.value, le.value) AS value
-    FROM le FULL OUTER JOIN lo ON le.user_id = lo.user_id
-    WHERE NOT (lo.user_id IS NOT NULL AND lo.user_id % 10 = 3)
+      FROM events)
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+    FROM latest
+    WHERE rn = 1 AND NOT (event_id % 2 = 1 AND user_id % 10 = 3)
     """,
 )
 def stream_cdc_sink(spark, sf_dir):
     """Streaming CDC replication (streaming/events.py:run_stream_cdc):
-    micro-batch 1 inserts each user's even-id events, micro-batch 2
-    streams the odd-id changes as 'D' ops for every user_id%10==3 and
-    'U' ops otherwise — the foreachBatch delete-aware MERGE
-    (sources.cdc_apply) converges the sink to exactly the table a
-    transactional MERGE INTO would hold: deleted users gone, everyone
-    else at their newest change, batch-split-independent."""
+    micro-batch 1 streams each user's even-id events as 'I' ops,
+    micro-batch 2 streams the odd-id changes as 'D' ops for every
+    user_id%10==3 and 'U' ops otherwise; sequences (event ids)
+    INTERLEAVE across the two batches, so the key proves the
+    seq-retaining merge: per user the highest-sequence op wins no
+    matter which batch carried it (a later batch's older op loses to
+    the stored row), 'D' winners disappear — exactly the table a
+    transactional MERGE INTO over the full op stream would hold."""
     from pyspark.sql import functions as F
 
     from terminus_server_spark.streaming.events import run_stream_cdc

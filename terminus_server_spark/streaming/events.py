@@ -733,14 +733,19 @@ def run_stream_cdc(
 ) -> DataFrame:
     """Streaming CDC replication — the delete-aware sibling of
     :func:`run_stream_upsert`: each micro-batch carries I/U/D ops
-    (+ a sequence column) and ``foreachBatch`` applies
-    ``sources.cdc_apply`` onto the keyed table, so the sink converges
-    to the table a transactional MERGE INTO would hold — 'D' removes
-    the key, newest op per key wins within a batch, intermediate
-    churn collapses before touching the table.  Same replay harness
-    as the upsert sink (real file-source micro-batches, shared
-    checkpoint, immutable read-modify-write-swap versions)."""
-    from terminus_server_spark.sources import cdc_apply
+    (+ a sequence column) and ``foreachBatch`` merges them into the
+    keyed table, so the sink converges to the table a transactional
+    MERGE INTO would hold — 'D' removes the key, the newest op per
+    key BY SEQUENCE wins, intermediate churn collapses before
+    touching the table.  The table RETAINS each row's winning
+    sequence (``__seq__``), so an op arriving in a LATER micro-batch
+    with an OLDER sequence loses against the stored row — without it
+    the merge would degrade to last-applied-wins across batches and
+    an out-of-order replay could resurrect a deleted key.  Same
+    replay harness as the upsert sink (real file-source
+    micro-batches, shared checkpoint, immutable
+    read-modify-write-swap versions)."""
+    from pyspark.sql.window import Window
 
     tmp = tempfile.mkdtemp(prefix="tss_cdc_", dir="/tmp")
     src = os.path.join(tmp, "src")
@@ -750,11 +755,21 @@ def run_stream_cdc(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        ops = batch_df.select(
+            *data_cols, F.col("op"), F.col(seq_col).alias("__seq__")
+        )
         if state["version"] >= 0:
             cur = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
-        else:
-            cur = batch_df.select(*data_cols).limit(0)
-        out = cdc_apply(cur, batch_df, key_cols, seq_col=seq_col)
+            # stored rows compete as 'I' ops carrying their winning seq
+            ops = cur.select(
+                *data_cols, F.lit("I").alias("op"), F.col("__seq__")
+            ).unionByName(ops)
+        w = Window.partitionBy(*key_cols).orderBy(F.col("__seq__").desc())
+        out = (
+            ops.withColumn("__rn__", F.row_number().over(w))
+            .where((F.col("__rn__") == 1) & (F.col("op") != "D"))
+            .select(*data_cols, "__seq__")
+        )
         state["version"] += 1
         out.write.mode("overwrite").parquet(
             os.path.join(tmp, f"v{state['version']}")
@@ -773,4 +788,4 @@ def run_stream_cdc(
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+    return spark.read.parquet(os.path.join(tmp, f"v{state['version']}")).drop("__seq__")

@@ -175,8 +175,13 @@ def render_path_string(p: PathPattern) -> str:
     """Inverse of :func:`parse_path_string`: render a pattern back to
     the textual path-regex syntax (fully parenthesized compounds, so
     the rendering is unambiguous regardless of the original
-    spelling).  ``parse(render(p)) == p`` for every pattern — the
-    roundtrip is property-tested."""
+    spelling).  ``parse(render(p)) == p`` for every pattern the
+    textual syntax can EXPRESS — property-tested.  The one lossy
+    field is the Plus/Star ``strategy`` EXECUTION HINT
+    (frontier/doubling): the reference grammar has no spelling for
+    it, so rendering normalizes to the default — semantics are
+    unchanged (both strategies compute the same closure), only the
+    physical-plan preference is dropped."""
     if isinstance(p, Pred):
         return p.predicate
     if isinstance(p, Inv):

@@ -540,8 +540,10 @@ def _path_patterns():
 @settings(max_examples=200, deadline=None)
 @given(_path_patterns())
 def test_path_string_roundtrip(pattern):
-    """parse(render(p)) == p for every path-regex AST — the textual
-    syntax (GraphQL _path / WOQL path strings) loses nothing.  Pure
+    """parse(render(p)) == p for every path-regex AST the textual
+    syntax can express (the generator emits default closure
+    strategies — the strategy field is an execution hint the grammar
+    has no spelling for, and rendering normalizes it).  Pure
     driver-side parsing, no Spark, so examples are cheap."""
     from terminus_server_spark.woql.path_ast import (
         parse_path_string,

@@ -738,13 +738,14 @@ def run_stream_cdc(
     MERGE INTO would hold — 'D' removes the key, the newest op per
     key BY SEQUENCE wins, intermediate churn collapses before
     touching the table.  The table RETAINS each row's winning
-    sequence (``__seq__``), so an op arriving in a LATER micro-batch
-    with an OLDER sequence loses against the stored row — without it
-    the merge would degrade to last-applied-wins across batches and
-    an out-of-order replay could resurrect a deleted key.  Same
-    replay harness as the upsert sink (real file-source
-    micro-batches, shared checkpoint, immutable
-    read-modify-write-swap versions)."""
+    sequence (``__seq__``) AND keeps deletions as TOMBSTONES (op='D'
+    rows filtered from the returned view): both are required for
+    out-of-order replay — without the sequence the merge degrades to
+    last-applied-wins across batches, and without the tombstone an
+    older 'U' arriving after a newer 'D' would resurrect the deleted
+    key (it would see no stored competitor at all).  Same replay
+    harness as the upsert sink (real file-source micro-batches,
+    shared checkpoint, immutable read-modify-write-swap versions)."""
     from pyspark.sql.window import Window
 
     tmp = tempfile.mkdtemp(prefix="tss_cdc_", dir="/tmp")
@@ -759,16 +760,15 @@ def run_stream_cdc(
             *data_cols, F.col("op"), F.col(seq_col).alias("__seq__")
         )
         if state["version"] >= 0:
+            # stored rows (incl. 'D' tombstones) compete with their
+            # winning op and seq
             cur = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
-            # stored rows compete as 'I' ops carrying their winning seq
-            ops = cur.select(
-                *data_cols, F.lit("I").alias("op"), F.col("__seq__")
-            ).unionByName(ops)
+            ops = cur.unionByName(ops)
         w = Window.partitionBy(*key_cols).orderBy(F.col("__seq__").desc())
         out = (
             ops.withColumn("__rn__", F.row_number().over(w))
-            .where((F.col("__rn__") == 1) & (F.col("op") != "D"))
-            .select(*data_cols, "__seq__")
+            .where(F.col("__rn__") == 1)
+            .select(*data_cols, "op", "__seq__")
         )
         state["version"] += 1
         out.write.mode("overwrite").parquet(
@@ -788,4 +788,5 @@ def run_stream_cdc(
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(os.path.join(tmp, f"v{state['version']}")).drop("__seq__")
+    final = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+    return final.where(F.col("op") != "D").drop("op", "__seq__")

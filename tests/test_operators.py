@@ -2652,3 +2652,51 @@ def test_sniff_headers_gif87a_and_tranche2(spark):
     assert got2[2] == ("audio/mpeg", None, (0x40 << 7) + 1, None)
     assert got2[3] == ("video/mp4", None, None, "isom")
     assert got2[4][0] == "application/octet-stream"
+
+
+def test_sniff_headers3_signed_bmp_height(spark):
+    """BITMAPINFOHEADER height is signed: a top-down BMP reports its
+    negative height, not a ~4.29e9 unsigned misread."""
+    from terminus_server_spark.operators.multimodal import sniff_headers3
+
+    # BM + 12 filler bytes + biSize(4) -> width at 19, height at 23
+    hdr = "424D" + "46000000" + "00000000" + "36000000" + "28000000"
+    top_down = bytes.fromhex(hdr + "80070000" + "C8FBFFFF")  # 1920 x -1080
+    mm = spark.createDataFrame([(1, top_down)], "doc_id bigint, payload binary")
+    r = sniff_headers3(mm).collect()[0]
+    assert (r.mime, r.width, r.height) == ("image/bmp", 1920, -1080)
+
+
+def test_anchored_star_ghost_anchor_matches_full_closure(spark):
+    """A star path from an anchor absent from the graph yields ZERO
+    rows through the anchored fast path — exactly like filtering the
+    full closure — not a phantom (ghost, ghost, 0) row."""
+    from terminus_server_spark.operators.path import anchored_closure
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    ghosts = spark.createDataFrame([("ghost",)], "node string")
+    assert anchored_closure(edges, ghosts, with_zero=True).count() == 0
+    # an in-graph anchor still gets its zero-hop self row
+    real = spark.createDataFrame([("a",)], "node string")
+    rows = {(r.src, r.dst, r.hops) for r in
+            anchored_closure(edges, real, with_zero=True).collect()}
+    assert rows == {("a", "a", 0), ("a", "b", 1)}
+
+
+def test_stream_cdc_out_of_order_sequences(spark):
+    """An op arriving in a LATER micro-batch with an OLDER sequence
+    must lose to the stored row — a replayed old 'U' cannot resurrect
+    a deleted key, and a stored newer 'U' survives an old 'D'."""
+    from terminus_server_spark.streaming.events import run_stream_cdc
+
+    b1 = spark.createDataFrame(
+        [("k1", 10.0, "D", 9), ("k2", 20.0, "U", 9)],
+        "key string, value double, op string, seq bigint",
+    )
+    # older ops replayed after the fact
+    b2 = spark.createDataFrame(
+        [("k1", 11.0, "U", 5), ("k2", 21.0, "D", 5)],
+        "key string, value double, op string, seq bigint",
+    )
+    got = {r.key: r.value for r in run_stream_cdc(spark, [b1, b2], ["key"]).collect()}
+    assert got == {"k2": 20.0}  # k1 stays deleted; k2 keeps the newer U

@@ -158,25 +158,45 @@ class _Parser:
         self.expect("}")
         return fields
 
-    def query(self) -> dict:
-        if self.peek() == ("name", "query"):
-            self.next()
+    def operation(self) -> tuple[str, dict]:
+        """(op_type, roots): op_type is ``query`` or ``mutation``.
+        Mutation roots carry no selection set requirement — a bare
+        root (args only) is legal, matching the wire shape of the
+        reference's mutation fields."""
+        op = "query"
+        if self.peek()[0] == "name" and self.peek()[1] in ("query", "mutation"):
+            op = self.next()[1]
         self.expect("{")
-        roots = {}
+        roots = []
         while self.peek()[1] != "}":
             kind, cls = self.next()
             if kind != "name":
                 raise ValueError(f"graphql: expected class name, got {cls!r}")
             args = self.arguments()
-            fields = self.selection_set()
-            roots[cls] = {"args": args, "fields": fields}
+            fields = self.selection_set() if self.peek()[1] == "{" else []
+            roots.append((cls, {"args": args, "fields": fields}))
         self.expect("}")
-        return roots
+        return op, roots
+
+    def query(self) -> dict:
+        op, roots = self.operation()
+        if op != "query":
+            raise ValueError(f"graphql: expected a query operation, got {op!r}")
+        for cls, req in roots:
+            if not req["fields"]:
+                raise ValueError(f"graphql: query root {cls!r} needs a selection set")
+        return dict(roots)
 
 
 def parse_graphql(src: str) -> dict:
     """GraphQL query string → {class: {args, fields}} request dict."""
     return _Parser(_tokenize(src)).query()
+
+
+def parse_graphql_operation(src: str) -> tuple[str, list]:
+    """GraphQL source → (op_type, [(root_name, {args, fields})...]);
+    keeps root order (mutations apply in request order)."""
+    return _Parser(_tokenize(src)).operation()
 
 
 _OPS = ("eq", "ne", "gt", "ge", "lt", "le", "like", "regex", "in")
@@ -475,3 +495,100 @@ def execute_graphql(
         names = [f if isinstance(f, str) else f["name"] for f in req["fields"]]
         out[cls] = level.select(*names)
     return out
+
+
+def execute_graphql_mutation(triples, docs: dict, specs: dict, src: str):
+    """Execute a GraphQL ``mutation`` request against the document
+    store (reference: the GraphQL layer's _insertDocuments /
+    _replaceDocuments / _deleteDocuments mutation fields over the
+    same document write path as the HTTP document API).
+
+    ``triples``: current instance triples; ``docs``: {class:
+    documents DataFrame} (the pre-request state); ``specs``: {class:
+    key_col}.  Roots apply IN REQUEST ORDER, each composing a delta
+    onto the running triple state; every root's ``filter`` evaluates
+    against the PRE-REQUEST document snapshot — the whole request is
+    one transaction over one snapshot, the staged-then-commit shape
+    of the reference's transaction objects.
+
+    Supported roots:
+
+    - ``_insertDocuments(class:, docs: [{...}...])`` — literal rows
+      become typed triples (one map stage; the store is untouched).
+    - ``_updateDocuments(class:, filter: {...}, set: {...})`` —
+      update-by-filter compiled to a delta layer (field replace).
+    - ``_deleteDocuments(class:, filter: {...})`` — whole-document
+      retraction of every matching subject (one anti-join).
+
+    Returns ``(new_triples, report)``: the post-mutation triple
+    state and a lazy (root, class, n_affected) report frame (one
+    aggregate row per root — counting stays distributed)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import (
+        delete_documents,
+        filter_documents,
+        insert_documents,
+        update_documents_where,
+    )
+    from terminus_server_spark.versioning.layers import apply_delta
+
+    op, roots = parse_graphql_operation(src)
+    if op != "mutation":
+        raise ValueError(f"graphql: expected a mutation operation, got {op!r}")
+    reports = []
+    cur = triples
+    for i, (root, req) in enumerate(roots):
+        args = req["args"]
+        cls = args.get("class")
+        if cls not in specs:
+            raise ValueError(f"graphql: unknown class {cls!r} in mutation")
+        key_col = specs[cls]
+        snapshot = docs[cls]
+        spark = snapshot.sparkSession
+        if root == "_insertDocuments":
+            rows = args.get("docs")
+            if not isinstance(rows, list) or not rows:
+                raise ValueError("graphql: _insertDocuments needs a docs: list")
+            new_docs = spark.createDataFrame(rows)
+            cur = insert_documents(cur, new_docs, cls, key_col)
+            n = F.lit(len(rows)).cast("bigint")
+            report = spark.range(1).select(
+                F.lit(root).alias("root"), F.lit(cls).alias("class"), n.alias("n_affected")
+            )
+        elif root == "_updateDocuments":
+            if "filter" not in args or "set" not in args:
+                raise ValueError("graphql: _updateDocuments needs filter: and set:")
+            preds = [filter_to_tree(args["filter"])]
+            delta = update_documents_where(
+                cur, snapshot, cls, key_col, preds, args["set"]
+            )
+            cur = apply_delta(cur, delta)
+            report = filter_documents(snapshot, preds).agg(
+                F.lit(root).alias("root"),
+                F.lit(cls).alias("class"),
+                F.count(F.lit(1)).alias("n_affected"),
+            )
+        elif root == "_deleteDocuments":
+            if "filter" not in args:
+                raise ValueError("graphql: _deleteDocuments needs a filter:")
+            preds = [filter_to_tree(args["filter"])]
+            matched = filter_documents(snapshot, preds)
+            subjects = matched.select(
+                F.concat(
+                    F.lit(cls + "/"), F.col(key_col).cast("string")
+                ).alias("subject")
+            )
+            cur = delete_documents(cur, subjects)
+            report = matched.agg(
+                F.lit(root).alias("root"),
+                F.lit(cls).alias("class"),
+                F.count(F.lit(1)).alias("n_affected"),
+            )
+        else:
+            raise ValueError(f"graphql: unknown mutation root {root!r}")
+        reports.append(report)
+    rep = reports[0]
+    for r in reports[1:]:
+        rep = rep.unionByName(r)
+    return cur, rep

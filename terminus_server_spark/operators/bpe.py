@@ -200,3 +200,149 @@ def bpe_apply(
             F.sum("w_bpe").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# per-group (per-language) BPE training
+# ---------------------------------------------------------------------------
+
+_W_GWORD = Window.partitionBy("grp", "word").orderBy("i")
+
+
+def _initial_words_grouped(
+    docs: DataFrame, text_col: str, group_col: str, top_words: int
+) -> DataFrame:
+    """(grp, word, freq, syms): per-group top-``top_words``
+    vocabulary — the rank is a window PARTITIONED BY the group, so
+    every language's vocabulary cap is computed in the same shuffle
+    (no per-language job loop; languages are data, not code)."""
+    from terminus_server_spark.operators.text import tokens_col
+
+    wf = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = wf.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.col("freq").desc(), "word")
+        ),
+    )
+    return ranked.where(F.col("_rk") <= top_words).select(
+        "grp", "word", "freq", _chars_col("word").alias("syms")
+    )
+
+
+def _positions_grouped(words: DataFrame) -> DataFrame:
+    return (
+        words.select("grp", "word", "freq", F.posexplode("syms").alias("i0", "sym"))
+        .select("grp", "word", "freq", (F.col("i0") + 1).alias("i"), "sym")
+        .withColumn("nxt", F.lead("sym").over(_W_GWORD))
+    )
+
+
+def _rewrite_grouped(pr: DataFrame, best: DataFrame) -> DataFrame:
+    """Per-group greedy merge rewrite: ``best`` is (grp, a, b) — one
+    chosen pair per group, joined on the group key (broadcast — one
+    row per language).  A group with no chosen pair this round (all
+    words already single-symbol) passes through unchanged via the
+    left join's NULL match flag."""
+    mt = pr.join(
+        F.broadcast(best.select("grp", F.col("a").alias("ba"), F.col("b").alias("bb"))),
+        "grp",
+        "left",
+    ).withColumn("m", (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")))
+    isl = (
+        mt.where("m")
+        .select("grp", "word", "i")
+        .withColumn("island", F.col("i") - F.row_number().over(_W_GWORD))
+    )
+    sel = isl.select(
+        "grp",
+        "word",
+        "i",
+        (
+            F.row_number().over(
+                Window.partitionBy("grp", "word", "island").orderBy("i")
+            )
+            % 2
+            == 1
+        ).alias("selected"),
+    )
+    rw = mt.join(sel, ["grp", "word", "i"], "left").select(
+        "grp",
+        "word",
+        "freq",
+        "i",
+        F.when(F.col("selected"), F.concat("ba", "bb"))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+        F.coalesce(F.lag("selected").over(_W_GWORD), F.lit(False)).alias("consumed"),
+    )
+    return (
+        rw.where(~F.col("consumed"))
+        .groupBy("grp", "word")
+        .agg(
+            F.min("freq").alias("freq"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, sym))), x -> x.sym)"
+            ).alias("syms"),
+        )
+    ).transform(plan_checkpoint)
+
+
+def bpe_train_grouped(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    rounds: int = 3,
+    top_words: int = 100,
+) -> DataFrame:
+    """(grp, rnd, sym_a, sym_b, pair_count): one BPE merge table PER
+    GROUP (per language), trained simultaneously — the multilingual
+    tokenizer shape (separate vocabularies per language family, e.g.
+    XLM-style per-language BPE) where a per-language driver loop
+    would serialize |langs| training runs into one.
+
+    Every round is still two shuffles (pair count keyed by
+    (grp, a, b); rewrite windows keyed by (grp, word)); the chosen
+    pairs are a |groups|-row broadcast.  Ties break (count desc,
+    pair asc) within each group, so the merge tables are
+    deterministic per group and independent across groups."""
+    words = _initial_words_grouped(docs, text_col, group_col, top_words).transform(
+        plan_checkpoint
+    )
+    merges = []
+    for r in range(1, rounds + 1):
+        pr = _positions_grouped(words)
+        best = (
+            pr.where(F.col("nxt").isNotNull())
+            .groupBy("grp", F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("grp").orderBy(F.col("c").desc(), "a", "b")
+                ),
+            )
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+        ).transform(plan_checkpoint)
+        merges.append(
+            best.select(
+                "grp",
+                F.lit(r).alias("rnd"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        words = _rewrite_grouped(pr, best)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("grp", "rnd")

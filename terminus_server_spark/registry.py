@@ -15177,3 +15177,246 @@ def schema_frames_json(spark, sf_dir):
             ).alias("frame")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 second wind: per-language BPE, incremental betweenness,
+# GraphQL mutations, streaming landmark refresh
+# ---------------------------------------------------------------------------
+
+_BPE_GROUP_WORDS = r"""
+      SELECT lang AS grp,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE lang IS NOT NULL"""
+
+
+def _bpe_grouped_rewrite_sql(r: int) -> str:
+    """One per-group greedy-merge rewrite round (CTEs g{r-1} -> g{r}),
+    consuming the per-group trained pair gbest{r} — the grouped twin
+    of ``_bpe_rewrite_sql`` with (grp, word) as every partition key
+    and the pair joined per group instead of a scalar subquery."""
+    p = r - 1
+    return f"""
+    gpos{r} AS (
+      SELECT grp, word, freq, CAST(t.i AS INT) AS i, syms[t.i] AS sym
+      FROM g{p}, UNNEST(generate_series(1, len(syms))) AS t(i)),
+    gpr{r} AS (
+      SELECT *, LEAD(sym) OVER (PARTITION BY grp, word ORDER BY i) AS nxt
+      FROM gpos{r}),
+    gmt{r} AS (
+      SELECT pr.grp, pr.word, pr.freq, pr.i, pr.sym, pr.nxt,
+             b.a AS ba, b.b AS bb,
+             (pr.sym = b.a AND pr.nxt = b.b) AS m
+      FROM gpr{r} pr LEFT JOIN gbest{r} b ON pr.grp = b.grp),
+    gisl{r} AS (
+      SELECT grp, word, i,
+             i - ROW_NUMBER() OVER (PARTITION BY grp, word ORDER BY i) AS island
+      FROM gmt{r} WHERE m),
+    gsel{r} AS (
+      SELECT grp, word, i,
+             (ROW_NUMBER() OVER (PARTITION BY grp, word, island ORDER BY i) % 2 = 1)
+               AS selected
+      FROM gisl{r}),
+    grw{r} AS (
+      SELECT mt.grp, mt.word, mt.freq, mt.i,
+             CASE WHEN s.selected THEN mt.ba || mt.bb ELSE mt.sym END AS sym,
+             COALESCE(LAG(s.selected)
+                      OVER (PARTITION BY mt.grp, mt.word ORDER BY mt.i), FALSE)
+               AS consumed
+      FROM gmt{r} mt
+      LEFT JOIN gsel{r} s ON mt.grp = s.grp AND mt.word = s.word AND mt.i = s.i),
+    g{r} AS (
+      SELECT grp, word, MIN(freq) AS freq, list(sym ORDER BY i) AS syms
+      FROM grw{r} WHERE NOT consumed GROUP BY grp, word)"""
+
+
+def _bpe_grouped_oracle_sql(rounds=3, top_words=100):
+    parts = [
+        f"""
+    WITH gwf AS (
+      SELECT grp, word, COUNT(*) AS freq FROM ({_BPE_GROUP_WORDS})
+      WHERE word <> '' GROUP BY grp, word
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY freq DESC, word)
+              <= {top_words}),
+    g0 AS (
+      SELECT grp, word, freq,
+             list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+      FROM gwf)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    gcnt{r} AS (
+      SELECT grp, sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT grp, word, freq, CAST(t.i AS INT) AS i, syms[t.i] AS sym,
+                   syms[t.i + 1] AS nxt
+            FROM g{r - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i))
+      GROUP BY 1, 2, 3),
+    gbest{r} AS (
+      SELECT grp, a, b, c FROM gcnt{r}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c DESC, a, b) = 1)""")
+        parts.append(_bpe_grouped_rewrite_sql(r))
+    tail = "\n    UNION ALL ".join(
+        f"SELECT grp, {r} AS rnd, a AS sym_a, b AS sym_b, c AS pair_count FROM gbest{r}"
+        for r in range(1, rounds + 1)
+    )
+    return ",".join(parts) + "\n    " + tail + "\n    ORDER BY grp, rnd"
+
+
+@register("bpe_train_per_lang", _bpe_grouped_oracle_sql(3, 100))
+def bpe_train_per_lang(spark, sf_dir):
+    """Per-language BPE vocabularies (operators/bpe.py:
+    bpe_train_grouped): one merge table PER language trained
+    simultaneously — the multilingual-tokenizer shape.  All
+    languages share each round's two shuffles (pair counts keyed by
+    (lang, a, b); rewrite windows keyed by (lang, word)); the chosen
+    pairs are a |langs|-row broadcast, and ties break (count desc,
+    pair asc) within each language.  Bit-exact unrolled grouped
+    oracle, same island-parity rewrite algebra as `bpe_train`."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.bpe import bpe_train_grouped
+
+    docs = _t(spark, sf_dir, "documents")["documents"].where(
+        F.col("lang").isNotNull()
+    )
+    return bpe_train_grouped(docs, group_col="lang", rounds=3, top_words=100)
+
+
+@register(
+    "graph_betweenness_incr",
+    """
+    WITH nodes AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1
+      UNION
+      SELECT c_custkey - 1 FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1)
+    SELECT k AS node,
+           CAST((k % 10) * (9 - (k % 10)) AS DOUBLE) AS betweenness
+    FROM nodes
+    """,
+)
+def graph_betweenness_incr(spark, sf_dir):
+    """Incremental betweenness maintenance (operators/graph.py:
+    betweenness_incremental, the iCentral decomposition): the old
+    graph is the decade chains with the 4–5 edge REMOVED in every
+    fifth decade; the delta inserts those edges.  Affected pivots are
+    found by BFS from the |Δ| changed-edge endpoints over the old
+    graph (|d(s,u) − d(s,v)| ≥ 1 rule), then Brandes recomputes ONLY
+    those pivots (old graph to subtract, new graph to add) and
+    patches the carried table — cost scales with the touched decades
+    (3 of 15 at sf0.001), not the pivot count.  The patched result is
+    exactly full Brandes on the completed chains, whose closed form
+    position·(9 − position) the oracle restates."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import (
+        betweenness,
+        betweenness_incremental,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    is_delta = (F.col("src") % 10 == 5) & (F.floor(F.col("src") / 10) % 5 == 0)
+    old_edges = edges.where(~is_delta)
+    added = edges.where(is_delta)
+    bc_old = betweenness(old_edges)
+    return betweenness_incremental(old_edges, added, bc_old)
+
+
+@register(
+    "gql_mutation",
+    """
+    WITH post AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'de' AND n_chars > 500 THEN 'de-DE' ELSE lang END AS lang,
+             CASE WHEN lang = 'de' AND n_chars > 500 THEN 'curated' ELSE source END AS source
+      FROM documents WHERE lang IS DISTINCT FROM 'es'
+      UNION ALL SELECT 900001, 'xx', 'synthetic'
+      UNION ALL SELECT 900002, 'xx', 'synthetic')
+    SELECT 'lang' AS predicate, lang AS obj, CAST(COUNT(*) AS BIGINT) AS n
+    FROM post WHERE lang IS NOT NULL GROUP BY lang
+    UNION ALL
+    SELECT 'source', source, CAST(COUNT(*) AS BIGINT)
+    FROM post WHERE source IS NOT NULL GROUP BY source
+    """,
+)
+def gql_mutation(spark, sf_dir):
+    """GraphQL mutation execution (docs/graphql.py:
+    execute_graphql_mutation): one wire-format ``mutation`` request
+    carrying an _insertDocuments (two literal docs), an
+    _updateDocuments (filter lang=de ∧ n_chars>500 → lang 'de-DE',
+    source 'curated'), and a _deleteDocuments (lang=es) — parsed by
+    the same recursive-descent parser as queries, applied in request
+    order as composed delta layers over one pre-request snapshot
+    (transaction semantics).  Output: post-mutation value
+    distribution of the two touched predicates — deleted docs gone,
+    inserted docs present, updates applied."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.docs.documents import docs_to_triples
+    from terminus_server_spark.docs.graphql import execute_graphql_mutation
+
+    docs = plan_checkpoint(_t(spark, sf_dir, "documents")["documents"])
+    tri = plan_checkpoint(docs_to_triples(docs, "Doc", "doc_id"))
+    src = """
+    mutation {
+      _insertDocuments(class: Doc, docs: [
+        {doc_id: 900001, lang: "xx", source: "synthetic", n_chars: 42},
+        {doc_id: 900002, lang: "xx", source: "synthetic", n_chars: 7}])
+      _updateDocuments(class: Doc,
+                       filter: {lang: {eq: "de"}, n_chars: {gt: 500}},
+                       set: {lang: "de-DE", source: "curated"})
+      _deleteDocuments(class: Doc, filter: {lang: {eq: "es"}})
+    }
+    """
+    new_tri, _report = execute_graphql_mutation(
+        tri, {"Doc": docs}, {"Doc": "doc_id"}, src
+    )
+    return (
+        new_tri.where(F.col("predicate").isin("lang", "source"))
+        .groupBy("predicate", "obj")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "stream_landmark_refresh",
+    """
+    WITH nodes AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1
+      UNION
+      SELECT c_custkey - 1 FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1)
+    SELECT CAST((k // 10) * 10 AS BIGINT) AS landmark, k AS node,
+           CAST(k % 10 AS INT) AS hops
+    FROM nodes
+    """,
+)
+def stream_landmark_refresh(spark, sf_dir):
+    """Streaming landmark-index maintenance (streaming/events.py:
+    run_stream_landmark_refresh): the decade-chain edges arrive as
+    three insert-only micro-batches (positions 1–3, then 4–6, then
+    7–9), and each foreachBatch merge relaxes ONLY the improvement
+    wave the new edges seed — monotone under insertions, so the
+    final label table equals the batch BFS from every landmark, at a
+    per-batch cost bounded by the labels that actually changed.
+    Landmarks are each decade's position-0 node; the closed form
+    (landmark = decade base, hops = position) is the oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_landmark_refresh
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    chain = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    batches = [
+        chain.where((F.col("src") % 10).between(1, 3)),
+        chain.where((F.col("src") % 10).between(4, 6)),
+        chain.where((F.col("src") % 10).between(7, 9)),
+    ]
+    landmarks = chain.select(
+        (F.floor(F.col("src") / 10) * 10).cast("long").alias("node")
+    ).distinct()
+    return run_stream_landmark_refresh(spark, batches, landmarks)

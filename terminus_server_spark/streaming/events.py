@@ -790,3 +790,116 @@ def run_stream_cdc(
         q.awaitTermination()
     final = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
     return final.where(F.col("op") != "D").drop("op", "__seq__")
+
+
+def run_stream_landmark_refresh(
+    spark: SparkSession,
+    edge_batches: list[DataFrame],
+    landmarks: DataFrame,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Streaming landmark-distance maintenance: the (landmark, node,
+    hops) label table of :func:`terminus_server_spark.operators.graph.
+    landmark_distance_audit` kept fresh as edge INSERTIONS stream in —
+    the serving-side shape of the ALT/landmark index at 100 TB (the
+    label table answers distance queries as a pure join; this keeps
+    it current without ever re-running |L| full BFS passes).
+
+    Each ``foreachBatch`` merge exploits monotonicity: edge inserts
+    can only create or SHORTEN distances, so the delta is a
+    relaxation wave seeded from the new edges alone — label(L, u) + 1
+    candidates over the batch edges, then improvements propagate
+    through the accumulated edge set until no label decreases.  Per
+    batch the work scales with the improvement frontier (labels the
+    batch actually changed), not |L|·|V|; a batch that closes no new
+    paths costs one empty-frontier probe.
+
+    State (labels + accumulated undirected edges) lives as immutable
+    versioned parquet, swapped per micro-batch — same
+    read-modify-write-swap convention as the CDC/upsert sinks.
+    ``landmarks``: (node) — fixed upfront; graphs are undirected
+    (edges symmetrized internally)."""
+    from terminus_server_spark.checkpoint import (
+        loop_checkpoint,
+        loop_checkpoint_count,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tss_lmk_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+    seed = landmarks.select(
+        F.col("node").alias("landmark"),
+        F.col("node").alias("node"),
+        F.lit(0).alias("hops"),
+    )
+
+    def _merge_labels(labels: DataFrame, imp: DataFrame) -> DataFrame:
+        imp2 = imp.select("landmark", "node", F.col("hops").alias("_h2"))
+        return labels.join(imp2, ["landmark", "node"], "full_outer").select(
+            "landmark", "node", F.least("hops", "_h2").alias("hops")
+        )
+
+    def _improvements(cand: DataFrame, labels: DataFrame) -> DataFrame:
+        best = cand.groupBy("landmark", "node").agg(F.min("hops").alias("hops"))
+        cur = labels.select("landmark", "node", F.col("hops").alias("_cur"))
+        return (
+            best.join(cur, ["landmark", "node"], "left_outer")
+            .where(F.col("_cur").isNull() | (F.col("hops") < F.col("_cur")))
+            .select("landmark", "node", "hops")
+        )
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        und = (
+            batch_df.select("src", "dst")
+            .union(batch_df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+            .distinct()
+        )
+        if state["version"] >= 0:
+            labels = s.read.parquet(os.path.join(tmp, f"lab{state['version']}"))
+            edges_all = (
+                s.read.parquet(os.path.join(tmp, f"edg{state['version']}"))
+                .union(und)
+                .distinct()
+            )
+        else:
+            labels = seed
+            edges_all = und
+        edges_all = loop_checkpoint(edges_all)
+        # seed the wave from the NEW edges only
+        cand = labels.join(und, labels["node"] == und["src"]).select(
+            "landmark", F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        frontier, n_f = loop_checkpoint_count(_improvements(cand, labels))
+        rounds = 0
+        while n_f > 0 and rounds < max_iters:
+            labels = loop_checkpoint(_merge_labels(labels, frontier))
+            cand = frontier.join(edges_all, frontier["node"] == edges_all["src"]).select(
+                "landmark", F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+            )
+            frontier, n_f = loop_checkpoint_count(_improvements(cand, labels))
+            rounds += 1
+        state["version"] += 1
+        labels.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"lab{state['version']}")
+        )
+        edges_all.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"edg{state['version']}")
+        )
+
+    schema = edge_batches[0].schema
+    for i, b in enumerate(edge_batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"lab{state['version']}"))

@@ -2700,3 +2700,177 @@ def test_stream_cdc_out_of_order_sequences(spark):
     )
     got = {r.key: r.value for r in run_stream_cdc(spark, [b1, b2], ["key"]).collect()}
     assert got == {"k2": 20.0}  # k1 stays deleted; k2 keeps the newer U
+
+
+def test_bpe_grouped_matches_per_group_solo_training(spark):
+    """Per-language BPE must equal running single-corpus BPE on each
+    language slice independently (group isolation)."""
+    from terminus_server_spark.operators.bpe import bpe_train, bpe_train_grouped
+
+    rows = [
+        (1, "aa ab aa ab aa", "l1"),
+        (2, "aa ab cc cc cc", "l1"),
+        (3, "zz zy zz zy zz", "l2"),
+        (4, "zy zy qq qq zz", "l2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    grouped = {
+        (r["grp"], r["rnd"]): (r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in bpe_train_grouped(docs, rounds=2, top_words=50).collect()
+    }
+    for lang in ("l1", "l2"):
+        solo = bpe_train(docs.where(f"lang = '{lang}'"), rounds=2, top_words=50)
+        for r in solo.collect():
+            assert grouped[(lang, r["rnd"])] == (
+                r["sym_a"],
+                r["sym_b"],
+                r["pair_count"],
+            ), (lang, r["rnd"])
+
+
+def test_bpe_grouped_group_without_pairs_passes_through(spark):
+    """A group whose words are all single-symbol contributes no merge
+    rows but must not break the other groups' training."""
+    from terminus_server_spark.operators.bpe import bpe_train_grouped
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b", "tiny"), (2, "xx xy xx xy", "big")],
+        "doc_id long, text string, lang string",
+    )
+    out = bpe_train_grouped(docs, rounds=2, top_words=50).collect()
+    langs = {r["grp"] for r in out}
+    assert "big" in langs
+    # 'tiny' has no adjacent pairs at all -> no rows for it
+    assert all(r["grp"] == "big" for r in out)
+    assert len([r for r in out if r["grp"] == "big"]) == 2
+
+
+def test_betweenness_incremental_equals_full_recompute(spark):
+    """Patched table == full Brandes on the new graph, for a delta
+    that merges two components AND attaches a brand-new node."""
+    from terminus_server_spark.operators.graph import (
+        betweenness,
+        betweenness_incremental,
+    )
+
+    # two paths 0-1-2 and 3-4-5, plus an isolated edge 6-7
+    old = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5), (6, 7)], "src long, dst long"
+    )
+    # delta: bridge 2-3 (merges the paths); pendant 8 on 7 (new node)
+    delta = spark.createDataFrame([(2, 3), (7, 8)], "src long, dst long")
+    bc_old = betweenness(old)
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_incremental(old, delta, bc_old).collect()
+    }
+    want = {
+        r["node"]: r["betweenness"]
+        for r in betweenness(
+            old.unionByName(delta)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_betweenness_incremental_empty_delta_effectless_pivots(spark):
+    """A delta whose edge closes no new shortest path (parallel to an
+    existing edge, same distances) must leave the table unchanged."""
+    from terminus_server_spark.operators.graph import (
+        betweenness,
+        betweenness_incremental,
+    )
+
+    old = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    # duplicate edge: d(s,0) vs d(s,1) differ by exactly 1 for every
+    # pivot, so pivots ARE recomputed — but values must not move
+    delta = spark.createDataFrame([(1, 0)], "src long, dst long")
+    bc_old = betweenness(old)
+    got = sorted(
+        (r["node"], r["betweenness"])
+        for r in betweenness_incremental(old, delta, bc_old).collect()
+    )
+    want = sorted((r["node"], r["betweenness"]) for r in bc_old.collect())
+    assert got == want
+
+
+def test_graphql_mutation_parser_and_errors(spark):
+    from terminus_server_spark.docs.graphql import (
+        parse_graphql,
+        parse_graphql_operation,
+    )
+
+    op, roots = parse_graphql_operation(
+        'mutation { _deleteDocuments(class: Doc, filter: {lang: {eq: "es"}}) }'
+    )
+    assert op == "mutation"
+    assert roots[0][0] == "_deleteDocuments"
+    assert roots[0][1]["fields"] == []
+    # a query root without a selection set is a parse error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="selection set"):
+        parse_graphql("query { Doc(limit: 3) }")
+
+
+def test_graphql_mutation_rejects_query_and_unknown_root(spark):
+    import pytest as _pytest
+
+    from terminus_server_spark.docs.graphql import execute_graphql_mutation
+
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    from terminus_server_spark.docs.documents import docs_to_triples
+
+    tri = docs_to_triples(docs, "Doc", "doc_id")
+    with _pytest.raises(ValueError, match="mutation operation"):
+        execute_graphql_mutation(tri, {"Doc": docs}, {"Doc": "doc_id"},
+                                 "query { Doc { doc_id } }")
+    with _pytest.raises(ValueError, match="unknown mutation root"):
+        execute_graphql_mutation(tri, {"Doc": docs}, {"Doc": "doc_id"},
+                                 "mutation { _frobDocuments(class: Doc) }")
+
+
+def test_graphql_mutation_report_counts(spark):
+    from terminus_server_spark.docs.documents import docs_to_triples
+    from terminus_server_spark.docs.graphql import execute_graphql_mutation
+
+    docs = spark.createDataFrame(
+        [(1, "en", 10), (2, "es", 20), (3, "es", 30)],
+        "doc_id long, lang string, n_chars long",
+    )
+    tri = docs_to_triples(docs, "Doc", "doc_id")
+    src = """mutation {
+      _insertDocuments(class: Doc, docs: [{doc_id: 9, lang: "fr", n_chars: 5}])
+      _updateDocuments(class: Doc, filter: {lang: {eq: "en"}}, set: {lang: "en-US"})
+      _deleteDocuments(class: Doc, filter: {lang: {eq: "es"}})
+    }"""
+    new_tri, report = execute_graphql_mutation(
+        tri, {"Doc": docs}, {"Doc": "doc_id"}, src
+    )
+    rep = {r["root"]: r["n_affected"] for r in report.collect()}
+    assert rep == {
+        "_insertDocuments": 1,
+        "_updateDocuments": 1,
+        "_deleteDocuments": 2,
+    }
+    langs = {
+        r["obj"]
+        for r in new_tri.where("predicate = 'lang'").select("obj").collect()
+    }
+    assert langs == {"en-US", "fr"}
+
+
+def test_stream_landmark_refresh_no_op_batch(spark):
+    """A batch whose edges close no shorter path leaves labels
+    identical; reachability still extends when a later batch does."""
+    from terminus_server_spark.streaming.events import run_stream_landmark_refresh
+
+    b1 = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    b2 = spark.createDataFrame([(1, 0)], "src long, dst long")  # no-op dup
+    b3 = spark.createDataFrame([(2, 3)], "src long, dst long")
+    landmarks = spark.createDataFrame([(0,)], "node long")
+    out = {
+        (r["landmark"], r["node"]): r["hops"]
+        for r in run_stream_landmark_refresh(spark, [b1, b2, b3], landmarks).collect()
+    }
+    assert out == {(0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3}

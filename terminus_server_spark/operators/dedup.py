@@ -836,3 +836,118 @@ def containment_pairs(
             F.round(cb, 6).alias("containment_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robust winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+_WINNOW_M = 1 << 20  # position encoding radix; docs must be < 1M chars
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, pos, fh): robust-winnowing document fingerprints
+    (Schleimer/Wilkerson/Aiken's MOSS scheme, public literature): over
+    the normalized text's character k-gram hashes, every window of w
+    consecutive hashes records its MINIMUM, rightmost occurrence on
+    ties — guaranteeing at least one fingerprint per window gap
+    (the winnowing density bound) while staying position-shift
+    invariant, which plain 0-mod-p hash sampling is not.
+
+    The rightmost-min selection is ONE window pass: each (hash, pos)
+    encodes as ``h·M − pos`` so the frame's plain MIN is the rightmost
+    argmin (larger pos ⇒ smaller key), and (h, pos) decode back by
+    integer arithmetic — no nested windows, no per-window argmax
+    subquery, and the same expression runs identically in any ANSI
+    engine.  Shuffle: one (doc)-keyed window; fingerprints are
+    DISTINCT decoded minima.  Documents are assumed < 1M chars (the
+    radix); longer corpora raise M.
+
+    k-grams hash through the portable 32-bit md5 prefix; text
+    normalizes to lowercase with runs of whitespace collapsed, so
+    formatting noise does not shift fingerprints."""
+    from pyspark.sql import Window
+
+    m = F.lit(_WINNOW_M)
+    normed = docs.select(
+        F.col(id_col),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("_t"),
+    )
+    grams = normed.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                # floor at 1: sequence(1, 0) would run DESCENDING in
+                # Spark; a doc shorter than k yields its one partial gram
+                f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)),"
+                f" i -> substring(_t, i, {k}))"
+            )
+        ).alias("_i0", "_g"),
+    ).select(
+        id_col,
+        (F.col("_i0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint").alias("_h"),
+    )
+    wspec = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    skey = grams.select(
+        id_col, "pos", (F.col("_h") * m - F.col("pos")).alias("_key")
+    ).select(id_col, F.min("_key").over(wspec).alias("_sk"))
+    return (
+        skey.select(
+            id_col,
+            "_sk",
+            # integer floor-div keeps the decode exact (no float round-trip)
+            (F.expr(f"(_sk - 1) div {_WINNOW_M}") + 1).cast("bigint").alias("fh"),
+        )
+        .select(
+            id_col,
+            (F.col("fh") * m - F.col("_sk")).cast("int").alias("pos"),
+            "fh",
+        )
+        .distinct()
+    )
+
+
+def winnow_similar_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 20,
+    top: int = 20,
+) -> DataFrame:
+    """(d1, d2, n_shared): document pairs ranked by shared winnowing
+    fingerprints — the MOSS match step.  Fingerprints occurring in
+    more than ``max_df`` documents are dropped before pairing
+    (boilerplate fingerprints both pollute matches and explode the
+    self-join quadratically — the same hot-key cap discipline as the
+    LSH buckets); candidate generation is the fingerprint-keyed
+    self-join, so cost is bounded by Σ df² over surviving
+    fingerprints, never |docs|²."""
+    fp = winnow_fingerprints(docs, text_col, id_col, k, w).select(
+        F.col(id_col).alias("_d"), "fh"
+    ).distinct()
+    fp = plan_checkpoint(fp)
+    keep = fp.groupBy("fh").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") <= max_df
+    )
+    fpk = fp.join(F.broadcast(keep.select("fh")), "fh")
+    a = fpk.select("fh", F.col("_d").alias("d1"))
+    b = fpk.select("fh", F.col("_d").alias("d2"))
+    return (
+        a.join(b, "fh")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), "d1", "d2")
+        .limit(top)
+    )

@@ -2023,3 +2023,72 @@ def _msf_loop(und, n_e, labels, forest_parts, max_iters):
     for p in forest_parts[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+def random_walks(
+    edges: DataFrame, starts: DataFrame, length: int = 4, seed: str = ""
+) -> DataFrame:
+    """(walk_id, step, node): deterministic hash-seeded walks over
+    the undirected graph — the node2vec/DeepWalk sampling primitive
+    for embedding-training pipelines, made RNG-free so every engine
+    (and every re-run) draws the SAME walks: the step-t transition
+    from node u picks neighbor index md5(seed|walk_id|t) mod deg(u)
+    over u's dst-sorted adjacency ranks.
+
+    One walk starts per ``starts`` row (walk_id = start node).  Each
+    step is one join keyed by the current node against the ranked
+    adjacency (built once: two windows over the symmetrized edge
+    set, checkpointed) — L steps = L bounded shuffles whose width is
+    the number of LIVE walks, never |V|; a walk reaching a node with
+    no neighbors simply ends (the join drops it), matching the
+    sequential semantics.  At 100 TB the walk count is the knob —
+    the per-step state is one row per walk."""
+    from pyspark.sql import Window
+
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    wrk = Window.partitionBy("src").orderBy("dst")
+    wdeg = Window.partitionBy("src")
+    adj = loop_checkpoint(
+        und.select(
+            "src",
+            "dst",
+            F.row_number().over(wrk).alias("_rk"),
+            F.count(F.lit(1)).over(wdeg).alias("_deg"),
+        )
+    )
+    state = starts.select(
+        F.col("node").alias("walk_id"), F.lit(0).alias("step"), F.col("node").alias("node")
+    )
+    parts = [state]
+    for t in range(length):
+        idx = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(seed), F.col("walk_id").cast("string"), F.lit(str(t))
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("_deg")
+        )
+        state = loop_checkpoint(
+            state.join(adj, state["node"] == adj["src"])
+            .where(F.col("_rk") == idx + 1)
+            .select("walk_id", F.lit(t + 1).alias("step"), F.col("dst").alias("node"))
+        )
+        parts.append(state)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -15420,3 +15420,293 @@ def stream_landmark_refresh(spark, sf_dir):
         (F.floor(F.col("src") / 10) * 10).cast("long").alias("node")
     ).distinct()
     return run_stream_landmark_refresh(spark, batches, landmarks)
+
+
+_PATCH_ROWS_SQL = """
+      SELECT 'c1' AS cid, 'add' AS op, o_orderkey AS k FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT 'c2', 'add', o_orderkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      UNION ALL
+      SELECT 'c2', 'del', o_orderkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 400000
+      UNION ALL
+      SELECT 'c3', 'add', o_orderkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'"""
+
+_PATCH_IDS_SQL = """
+      SELECT cid,
+             CAST(SUM(CAST(CONCAT('0x', substr(md5(op || '|' || CAST(k AS VARCHAR)), 1, 8))
+                           AS BIGINT)) + COUNT(*) AS BIGINT) AS patch_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM rows GROUP BY cid"""
+
+
+@register(
+    "vc_patch_id",
+    f"""
+    WITH rows AS (
+      {_PATCH_ROWS_SQL}
+      UNION ALL
+      SELECT 'pick-c2', op, k FROM ({_PATCH_ROWS_SQL}) WHERE cid = 'c2'),
+    ids AS ({_PATCH_IDS_SQL})
+    SELECT a.cid AS commit_a, b.cid AS commit_b, a.n AS n_rows
+    FROM ids a JOIN ids b ON a.patch_id = b.patch_id AND a.cid < b.cid
+    """,
+)
+def vc_patch_id(spark, sf_dir):
+    """Content-addressed delta identity (versioning/layers.py:
+    patch_ids — the `git patch-id` / `git cherry` analogue): the c2
+    delta replayed as commit 'pick-c2' at another seq gets the SAME
+    patch id (order- and position-invariant commutative 32-bit md5
+    fold), so already-applied-upstream changes are detectable by one
+    self-join on the id — never by diffing states.  The oracle
+    restates every commit's row set from the base orders table with
+    its own filter algebra and recomputes the ids independently."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.versioning.layers import orders_layers, patch_ids
+
+    layers = plan_checkpoint(orders_layers(_t(spark, sf_dir, "orders")["orders"]))
+    pick = layers.where(F.col("commit_id") == "c2").select(
+        F.lit(12).alias("commit_seq"),
+        F.lit("pick-c2").alias("commit_id"),
+        "op",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    ids = plan_checkpoint(patch_ids(layers.unionByName(pick), ["o_orderkey"]))
+    a = ids.select(
+        F.col("commit_id").alias("commit_a"),
+        "patch_id",
+        F.col("n_rows").alias("n_rows"),
+    )
+    b = ids.select(F.col("commit_id").alias("commit_b"), F.col("patch_id").alias("_p2"))
+    return (
+        a.join(b, (F.col("patch_id") == F.col("_p2")) & (F.col("commit_a") < F.col("commit_b")))
+        .select("commit_a", "commit_b", "n_rows")
+    )
+
+
+@register(
+    "vc_bisect",
+    """
+    WITH yr AS (
+      SELECT CAST(year(o_orderdate) - 1991 AS INT) AS seq, COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    cum AS (SELECT seq, SUM(n) OVER (ORDER BY seq) AS c, SUM(n) OVER () AS t FROM yr)
+    SELECT seq AS first_bad_seq, CAST(c AS BIGINT) AS n_at_first
+    FROM cum WHERE c * 10 > t * 6 ORDER BY seq LIMIT 1
+    """,
+)
+def vc_bisect(spark, sf_dir):
+    """`git bisect` over the commit stack (versioning/layers.py:
+    bisect_first_bad): seven yearly commits (1992–1998) each add that
+    year's orders; the monotone predicate fires once the materialized
+    state exceeds 60 % of all orders.  Binary search probes
+    ceil(log2(7)) = 3 materializations — never one per commit — and
+    the oracle restates the answer as the first cumulative-count
+    crossing, integer-exact (c·10 > t·6, no float threshold)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import bisect_first_bad, materialize
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    layers = orders.select(
+        (F.year("o_orderdate") - 1991).cast("int").alias("commit_seq"),
+        F.concat(F.lit("y"), F.year("o_orderdate").cast("string")).alias("commit_id"),
+        F.lit("add").alias("op"),
+        "o_orderkey",
+    )
+    total = orders.count()
+    first_bad, _probes = bisect_first_bad(
+        layers, ["o_orderkey"], lambda st: st.count() * 10 > total * 6, 1, 7
+    )
+    return materialize(layers, first_bad, ["o_orderkey"]).agg(
+        F.lit(first_bad).cast("int").alias("first_bad_seq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_at_first"),
+    )
+
+
+@register(
+    "vc_verify_integrity",
+    """
+    SELECT 'c1' AS commit_id, TRUE AS ok
+    UNION ALL SELECT 'c2', FALSE
+    UNION ALL SELECT 'c3', TRUE
+    """,
+)
+def vc_verify_integrity(spark, sf_dir):
+    """Hash-chain integrity verification (versioning/layers.py:
+    verify_integrity — the `git fsck` analogue): each commit's stored
+    hash seals (commit_id, sorted parent ids, patch_id); c2's stored
+    hash is tampered in the fixture and must be the ONE flagged
+    commit.  Verification is local per commit — one join against the
+    patch-id table, one hash, one compare; no traversal — so it
+    parallelizes over history size.  The closed-form oracle pins
+    exactly which commit fails."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.versioning.layers import (
+        orders_layers,
+        patch_ids,
+        verify_integrity,
+    )
+
+    layers = orders_layers(_t(spark, sf_dir, "orders")["orders"])
+    ids = plan_checkpoint(patch_ids(layers, ["o_orderkey"]))
+    meta = spark.createDataFrame(
+        [("c1", []), ("c2", ["c1"]), ("c3", ["c2"])],
+        "commit_id string, parents array<string>",
+    )
+    good = meta.join(ids, "commit_id").select(
+        "commit_id",
+        "parents",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("commit_id"),
+                F.concat_ws(",", F.sort_array(F.col("parents"))),
+                F.col("patch_id").cast("string"),
+            )
+        ).alias("stored_hash"),
+    )
+    commits = good.select(
+        "commit_id",
+        "parents",
+        F.when(F.col("commit_id") == "c2", F.md5(F.lit("tampered:c2")))
+        .otherwise(F.col("stored_hash"))
+        .alias("stored_hash"),
+    )
+    return verify_integrity(commits, ids)
+
+
+@register(
+    "text_winnowing",
+    r"""
+    WITH normed AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(t.i AS INT) AS pos,
+             CAST(CONCAT('0x', substr(md5(substring(nt.t, CAST(t.i AS INT), 8)), 1, 8))
+                  AS BIGINT) AS h
+      FROM normed nt, UNNEST(generate_series(1, greatest(len(nt.t) - 7, 1))) AS t(i)),
+    keys AS (
+      SELECT doc_id, pos, h * 1048576 - pos AS k FROM grams),
+    sel AS (
+      SELECT doc_id,
+             MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sk
+      FROM keys),
+    fp AS (
+      SELECT DISTINCT doc_id, ((sk - 1) // 1048576) + 1 AS fh FROM sel),
+    keep AS (SELECT fh FROM fp GROUP BY fh HAVING COUNT(*) <= 20)
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM (SELECT fp.doc_id, fp.fh FROM fp JOIN keep USING (fh)) a
+    JOIN (SELECT fp.doc_id, fp.fh FROM fp JOIN keep USING (fh)) b
+      ON a.fh = b.fh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY n_shared DESC, d1, d2 LIMIT 20
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    """Robust winnowing fingerprint matching (operators/dedup.py:
+    winnow_fingerprints / winnow_similar_pairs — the MOSS scheme):
+    k-gram hashes → rightmost-window-min fingerprints selected in ONE
+    window pass via the h·M−pos encoding (plain MIN is the rightmost
+    argmin; integer decode) → document pairs ranked by shared
+    fingerprints, with high-document-frequency fingerprints dropped
+    before the self-join (the boilerplate/hot-key cap).  Positionally
+    robust where 0-mod-p sampling is not; the oracle replays the
+    identical portable algebra."""
+    from terminus_server_spark.operators.dedup import winnow_similar_pairs
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return winnow_similar_pairs(docs, k=8, w=4, max_df=20, top=20)
+
+
+def _walk_oracle_sql(length=4, max_start=12):
+    parts = [f"""
+    WITH e0 AS (
+      SELECT c_custkey AS src, c_custkey // 2 AS dst FROM customer WHERE c_custkey >= 2),
+    und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    adj AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rk,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM und),
+    s0 AS (
+      SELECT c_custkey AS walk_id, CAST(0 AS INT) AS step, c_custkey AS node
+      FROM customer WHERE c_custkey <= {max_start})"""]
+    for t in range(length):
+        parts.append(f""",
+    s{t + 1} AS (
+      SELECT s.walk_id, CAST({t + 1} AS INT) AS step, a.dst AS node
+      FROM s{t} s JOIN adj a ON a.src = s.node
+       AND a.rk = 1 + CAST(('0x' || substr(md5('w:' || CAST(s.walk_id AS VARCHAR)
+                                               || ':{t}'), 1, 8)) AS BIGINT) % a.deg)""")
+    tail = "\n    UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM s{t}" for t in range(length + 1)
+    )
+    return "".join(parts) + "\n    " + tail
+
+
+@register("graph_random_walks", _walk_oracle_sql(4, 12))
+def graph_random_walks(spark, sf_dir):
+    """Deterministic hash-seeded random walks (operators/graph.py:
+    random_walks — the node2vec/DeepWalk sampling primitive made
+    RNG-free): 12 walks of length 4 over the undirected c//2 tree;
+    step t from node u moves to neighbor index md5(seed|walk|t) mod
+    deg(u) in dst-sorted adjacency order, so the distributed joins
+    and the oracle's unrolled chain draw bit-identical walks.  Each
+    step shuffles only the live-walk state against the checkpointed
+    ranked adjacency."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import random_walks
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("long").alias("dst"),
+    )
+    starts = cust.where(F.col("c_custkey") <= 12).select(
+        F.col("c_custkey").alias("node")
+    )
+    return random_walks(edges, starts, length=4, seed="w")
+
+
+@register(
+    "stream_kmv_sketch",
+    """
+    WITH fr AS (
+      SELECT DISTINCT
+             CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+               / 4294967296.0 AS f
+      FROM orders),
+    mins AS (SELECT f FROM fr ORDER BY f LIMIT 256)
+    SELECT COUNT(*) AS n_kept, MAX(f) AS theta,
+           (COUNT(*) - 1)::DOUBLE / MAX(f) AS est_distinct
+    FROM mins
+    """,
+)
+def stream_kmv_sketch(spark, sf_dir):
+    """Streaming KMV cardinality monitor (streaming/events.py:
+    run_stream_kmv_sketch): order custkeys stream in three
+    key-partitioned micro-batches; each foreachBatch merge keeps the
+    k smallest hash fractions (state O(k) forever).  KMV union is
+    associative+commutative, so the final estimate is bit-identical
+    to the one-shot batch sketch over all orders — the oracle is the
+    SAME closed form as `sketch_kmv_distinct`, which is precisely
+    the mergeability claim under test."""
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")["orders"].select("o_orderkey", "o_custkey")
+    batches = [orders.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    from terminus_server_spark.streaming.events import run_stream_kmv_sketch
+
+    return run_stream_kmv_sketch(spark, batches, "o_custkey", k=256)

@@ -903,3 +903,67 @@ def run_stream_landmark_refresh(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"lab{state['version']}"))
+
+
+def run_stream_kmv_sketch(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """(n_kept, theta, est_distinct): streaming distinct-count via a
+    foreachBatch-maintained KMV sketch — the mergeable-sketch
+    property doing real work: per micro-batch the state update is
+    ``top-k-smallest(state ∪ batch-hashes)``, a k-row table however
+    much data has streamed, and because KMV union is associative and
+    commutative the final estimate is BIT-IDENTICAL to the batch
+    sketch over all data regardless of how rows were split into
+    batches — which is exactly what the exact oracle checks.
+
+    Per batch: one scan of the batch (map-side distinct hash), one
+    k-row top-k against the stored sketch, one k-row parquet swap.
+    State is O(k) forever — the streaming cardinality monitor shape
+    (HLL would be cheaper per byte but isn't engine-portable;
+    md5-KMV trades 2 KB for a testable, exactly-reproducible
+    estimate)."""
+    tmp = tempfile.mkdtemp(prefix="tss_kmv_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+    denom = float(16**8)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        frac = (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(denom)
+        )
+        mins = batch_df.select(frac.alias("f")).distinct()
+        if state["version"] >= 0:
+            mins = s.read.parquet(os.path.join(tmp, f"v{state['version']}")).union(
+                mins
+            )
+        out = mins.distinct().orderBy("f").limit(k)
+        state["version"] += 1
+        out.write.mode("overwrite").parquet(os.path.join(tmp, f"v{state['version']}"))
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    mins = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+    return mins.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("f").alias("theta"),
+        ((F.count(F.lit(1)) - 1).cast("double") / F.max("f")).alias("est_distinct"),
+    )

@@ -429,3 +429,91 @@ def maintain_join_view(
     )
     survived = base_view.join(dels, fact_key, "left_anti")
     return survived.unionByName(adds.select(*base_view.columns))
+
+
+def patch_ids(layers: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(commit_seq, commit_id, patch_id, n_rows): content-addressed
+    delta identity — the ``git patch-id`` analogue: a canonical hash
+    of each commit's row set that is invariant to commit id, seq
+    position, and row order, so THE SAME CHANGE replayed on another
+    branch (cherry-pick, rebase, double-apply) is detectable by
+    equality (``git cherry``'s upstream-already-has-it test).
+
+    Canonical form: per row md5 over (op, key...), truncated to 32
+    bits and summed with the row count — a commutative fold, so the
+    id needs no per-commit sort and stays one map-side agg at any
+    commit size (a sorted-concat id would shuffle every row of a
+    100 TB commit to one reducer).  32-bit terms keep the int64 sum
+    exact up to 2^31 rows per commit.  Engine-portable: md5 and the
+    hex prefix are bit-identical in DuckDB."""
+    canon = F.concat_ws("|", F.col("op"), *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return layers.groupBy("commit_seq", "commit_id").agg(
+        (F.sum(h) + F.count(F.lit(1))).alias("patch_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+def bisect_first_bad(
+    layers: DataFrame,
+    key_cols: list[str],
+    predicate,
+    lo_seq: int,
+    hi_seq: int,
+) -> tuple[int, int]:
+    """``git bisect`` over the commit stack: find the FIRST commit
+    seq in [lo_seq, hi_seq] whose materialized state satisfies
+    ``predicate`` (a fn(state_df) -> bool that must be monotone over
+    the stack — once bad, stays bad, e.g. a regression a later
+    commit cannot un-introduce).  Classic binary search: each probe
+    materializes ONE commit and evaluates the predicate, so the cost
+    is ceil(log2(hi-lo+1)) bounded materializations — never a scan
+    of every commit's state.  The driver-side loop is O(log n)
+    scalar decisions over job results, the same shape as the
+    reference's bisect-style history search (and git's).
+
+    Returns ``(first_bad_seq, n_probes)``; if no commit in range is
+    bad, returns ``(hi_seq + 1, n_probes)``."""
+    probes = 0
+    lo, hi = lo_seq, hi_seq + 1
+    while lo < hi:
+        mid = (lo + hi) // 2
+        probes += 1
+        if predicate(materialize(layers, mid, key_cols)):
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo, probes
+
+
+def verify_integrity(
+    commits: DataFrame, patches: DataFrame
+) -> DataFrame:
+    """(commit_id, ok): hash-chain verification over the commit DAG —
+    the ``git fsck`` analogue.  Convention: a commit's stored hash is
+    md5(commit_id | sorted-parent-ids | patch_id) — it seals both
+    the DAG position (parent pointers) and the content (the
+    patch-id of its delta rows), so tampering with any of the three
+    flips ``ok`` to false for that commit.  Verification is LOCAL
+    per commit (parents enter by their stored ids, exactly like git
+    object hashes): one join against ``patches``, one hash, one
+    compare — no graph traversal, embarrassingly parallel at any
+    history size.
+
+    ``commits``: (commit_id, stored_hash, parents array<string>);
+    ``patches``: (commit_id, patch_id) from :func:`patch_ids`."""
+    recomputed = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("commit_id"),
+            F.concat_ws(",", F.sort_array(F.col("parents"))),
+            F.col("patch_id").cast("string"),
+        )
+    )
+    return (
+        commits.join(patches.select("commit_id", "patch_id"), "commit_id", "left_outer")
+        .select(
+            "commit_id",
+            (F.col("stored_hash") == recomputed).alias("ok"),
+        )
+    )

@@ -2874,3 +2874,63 @@ def test_stream_landmark_refresh_no_op_batch(spark):
         for r in run_stream_landmark_refresh(spark, [b1, b2, b3], landmarks).collect()
     }
     assert out == {(0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3}
+
+
+def test_winnow_density_and_whitespace_invariance(spark):
+    """Winnowing guarantees every w-window contributes a fingerprint
+    (gap between selected positions <= w) and normalization makes
+    whitespace runs irrelevant."""
+    from terminus_server_spark.operators.dedup import winnow_fingerprints
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (2, "  " + text.replace(" ", "   ") + " ")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fh"]))
+    assert by_doc[1] == by_doc[2]
+    pos = sorted(p for p, _ in by_doc[1])
+    assert all(b - a <= 4 for a, b in zip(pos, pos[1:]))
+
+
+def test_random_walks_follow_edges_deterministically(spark):
+    from terminus_server_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(1,), (3,)], "node long")
+    w1 = sorted(map(tuple, random_walks(edges, starts, length=3, seed="s").collect()))
+    w2 = sorted(map(tuple, random_walks(edges, starts, length=3, seed="s").collect()))
+    assert w1 == w2
+    und = {(1, 2), (2, 3), (3, 4), (1, 4)}
+    und |= {(b, a) for a, b in und}
+    by_walk = {}
+    for wid, step, node in w1:
+        by_walk.setdefault(wid, {})[step] = node
+    for wid, path in by_walk.items():
+        assert path[0] == wid
+        assert set(path) == {0, 1, 2, 3}  # no early death on this graph
+        for t in range(1, 4):
+            assert (path[t - 1], path[t]) in und
+
+
+def test_stream_kmv_batch_split_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_kmv_sketch
+
+    df = spark.range(1, 401).select((F.col("id") % 97).alias("k"), "id")
+    one = run_stream_kmv_sketch(
+        spark, [df], "k", k=16
+    ).collect()[0]
+    three = run_stream_kmv_sketch(
+        spark,
+        [df.where("id % 3 = 0"), df.where("id % 3 = 1"), df.where("id % 3 = 2")],
+        "k",
+        k=16,
+    ).collect()[0]
+    assert one == three

@@ -212,3 +212,77 @@ def test_merge_base_criss_cross_tie_break(spark):
     )
     r = merge_base(commits, "h1", "h2").collect()[0]
     assert r.merge_base == "x" and r.depth_a == 1 and r.depth_b == 1
+
+
+def test_patch_ids_order_and_position_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import patch_ids
+
+    rows_a = [(1, "ca", "add", 10), (1, "ca", "add", 11), (1, "ca", "del", 12)]
+    # same change, different seq/commit/row-order
+    rows_b = [(9, "cb", "del", 12), (9, "cb", "add", 11), (9, "cb", "add", 10)]
+    rows_c = [(3, "cc", "add", 10), (3, "cc", "add", 11)]  # different change
+    df = spark.createDataFrame(
+        rows_a + rows_b + rows_c,
+        "commit_seq int, commit_id string, op string, k long",
+    )
+    ids = {r["commit_id"]: r["patch_id"] for r in patch_ids(df, ["k"]).collect()}
+    assert ids["ca"] == ids["cb"]
+    assert ids["ca"] != ids["cc"]
+
+
+def test_bisect_probe_count_and_not_found(spark):
+    from terminus_server_spark.versioning.layers import bisect_first_bad
+
+    layers = spark.createDataFrame(
+        [(s, f"c{s}", "add", s) for s in range(1, 9)],
+        "commit_seq int, commit_id string, op string, k long",
+    )
+    # bad once state holds >= 6 keys -> first bad seq 6
+    seq, probes = bisect_first_bad(
+        layers, ["k"], lambda st: st.count() >= 6, 1, 8
+    )
+    assert seq == 6
+    assert probes <= 4  # ceil(log2(8+1)) binary-search bound
+    # predicate never fires -> hi+1
+    seq2, _ = bisect_first_bad(layers, ["k"], lambda st: False, 1, 8)
+    assert seq2 == 9
+
+
+def test_verify_integrity_flags_parent_tamper(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import patch_ids, verify_integrity
+
+    layers = spark.createDataFrame(
+        [(1, "c1", "add", 1), (2, "c2", "add", 2)],
+        "commit_seq int, commit_id string, op string, k long",
+    )
+    ids = patch_ids(layers, ["k"])
+    meta = spark.createDataFrame(
+        [("c1", []), ("c2", ["c1"])], "commit_id string, parents array<string>"
+    )
+    good = meta.join(ids, "commit_id").select(
+        "commit_id",
+        "parents",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("commit_id"),
+                F.concat_ws(",", F.sort_array("parents")),
+                F.col("patch_id").cast("string"),
+            )
+        ).alias("stored_hash"),
+    )
+    ok = {r["commit_id"]: r["ok"] for r in verify_integrity(good, ids).collect()}
+    assert ok == {"c1": True, "c2": True}
+    # rewrite c2's parent pointer without recomputing the hash
+    tampered = good.withColumn(
+        "parents",
+        F.when(F.col("commit_id") == "c2", F.array(F.lit("c0"))).otherwise(
+            F.col("parents")
+        ),
+    )
+    ok2 = {r["commit_id"]: r["ok"] for r in verify_integrity(tampered, ids).collect()}
+    assert ok2 == {"c1": True, "c2": False}

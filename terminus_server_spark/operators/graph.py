@@ -2092,3 +2092,109 @@ def random_walks(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def distance_stats(
+    edges: DataFrame, sources: DataFrame | None = None, max_iters: int = 50
+) -> DataFrame:
+    """(node, n_reached, ecc, closeness): exact per-node distance
+    statistics over DIRECTED reachability — closeness centrality
+    (classic (r−1)/Σd within the reachable set, 0 for sinks) and
+    eccentricity (max distance reached), from one multi-source BFS:
+    the per-source aggregation of :func:`shortest_hops` layers, so
+    the cost and scale story are exactly the BFS's (frontier-sized
+    rounds, Σ|reached| state — at 100 TB you pass a sampled
+    ``sources`` set, the same pivot discipline as betweenness).
+
+    ``sources`` None = every edge endpoint (exact mode)."""
+    if sources is None:
+        sources = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    d = shortest_hops(edges, sources, max_iters)
+    r = F.count(F.lit(1))
+    s = F.sum("hops")
+    return (
+        d.groupBy(F.col("source").alias("node"))
+        .agg(
+            r.cast("bigint").alias("n_reached"),
+            F.max("hops").cast("int").alias("ecc"),
+            F.when(
+                s > 0,
+                F.round((r - 1).cast("double") / s.cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    )
+
+
+def luby_mis(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(node, in_mis): maximal independent set by Luby's parallel
+    algorithm with FIXED hash priorities (p(v) = md5(v), distinct
+    with overwhelming probability and identical in every engine) —
+    deterministic, so the parallel rounds converge to EXACTLY the
+    sequential greedy MIS in priority order, and an unrolled SQL
+    oracle can replay it.
+
+    Each round, an undecided node enters the MIS iff no undecided
+    neighbor has a smaller priority (one edge-grain anti-join — the
+    'loser' side is the node that sees a smaller neighbor priority);
+    winners' undecided neighbors become excluded; both sets leave the
+    frontier.  Expected O(log n) rounds on random priorities; every
+    round's shuffles are sized by the UNDECIDED subgraph, which
+    shrinks geometrically — the classic symmetry-breaking primitive
+    under the same loop_tuning clamp as the other fixpoints."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    und = loop_checkpoint(und)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    pri = loop_checkpoint(
+        nodes.select("node", F.md5(F.col("node").cast("string")).alias("_p"))
+    )
+    undecided, n_u = loop_checkpoint_count(pri)
+    mis_parts = []
+    with loop_tuning(edges.sparkSession, n_u):
+        for _ in range(max_iters):
+            if n_u == 0:
+                break
+            live = (
+                und.join(
+                    undecided.select(F.col("node").alias("src"), F.col("_p").alias("_pa")),
+                    "src",
+                )
+                .join(
+                    undecided.select(F.col("node").alias("dst"), F.col("_p").alias("_pb")),
+                    "dst",
+                )
+            )
+            losers = live.where(F.col("_pb") < F.col("_pa")).select(
+                F.col("src").alias("node")
+            ).distinct()
+            winners = loop_checkpoint(
+                undecided.select("node").join(losers, "node", "left_anti")
+            )
+            mis_parts.append(winners)
+            excluded = (
+                und.join(winners.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            undecided, n_u = loop_checkpoint_count(
+                undecided.join(winners, "node", "left_anti").join(
+                    excluded, "node", "left_anti"
+                )
+            )
+    mis = mis_parts[0]
+    for p in mis_parts[1:]:
+        mis = mis.unionByName(p)
+    mis = mis.select("node", F.lit(True).alias("in_mis"))
+    return nodes.join(mis, "node", "left_outer").select(
+        "node", F.coalesce("in_mis", F.lit(False)).alias("in_mis")
+    )

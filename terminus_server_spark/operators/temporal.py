@@ -478,3 +478,171 @@ def asof_join_forward(
             *out_vals,
         )
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tolerance_s: int | None = None,
+    right_id: str = "event_id",
+) -> DataFrame:
+    """Nearest-match as-of join: for every left row, the right row
+    with the SMALLEST absolute time gap in either direction for the
+    same key (pandas merge_asof direction='nearest'), ties preferring
+    the backward (at-or-before) match, then the smallest right id —
+    fully deterministic.  ``tolerance_s`` NULLs matches whose
+    absolute gap exceeds it.
+
+    Two union-window passes over the same key partitioning (one
+    ascending carry for the latest at-or-before right, one descending
+    for the earliest at-or-after — each the proven one-shuffle plan
+    of :func:`asof_join` / :func:`asof_join_forward`), then a per-row
+    argmin between the two candidates.  No range join, no per-row
+    probe; adds ``asof_<col>``, ``asof_abs_gap_s``, ``asof_dir``."""
+    lt = left.withColumn("__ts__", F.col(left_ts)).withColumn("__is_l__", F.lit(1))
+    rt = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("__ts__"),
+            F.col(right_id).alias("__rid__"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+        )
+        .withColumn("__is_l__", F.lit(0))
+        .withColumn("__rts__", F.col("__ts__"))
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # ascending pass: rights sort before lefts at the same instant
+    # (a simultaneous right IS a 0-gap backward match); equal-ts
+    # rights scan largest-id first so last() keeps the smallest id
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts__").asc(), F.col("__is_l__").asc(), F.col("__rid__").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts__").desc(), F.col("__is_l__").asc(), F.col("__rid__").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("__rts__", ignorenulls=True).over(wb).alias("__bts__"),
+        F.last("__rts__", ignorenulls=True).over(wf).alias("__fts__"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in right_vals
+        ],
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in right_vals
+        ],
+    )
+    l_us = F.unix_micros(F.col("__ts__").cast("timestamp"))
+    bgap = l_us - F.unix_micros(F.col("__bts__").cast("timestamp"))
+    fgap = F.unix_micros(F.col("__fts__").cast("timestamp")) - l_us
+    take_back = F.col("__bts__").isNotNull() & (
+        F.col("__fts__").isNull() | (bgap <= fgap)
+    )
+    gap_us = F.when(take_back, bgap).otherwise(fgap)
+    has = F.col("__bts__").isNotNull() | F.col("__fts__").isNotNull()
+    ok = has & (
+        F.lit(True)
+        if tolerance_s is None
+        else (gap_us <= F.lit(int(tolerance_s) * 1_000_000))
+    )
+    out_vals = (
+        [
+            F.when(ok, F.when(take_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))).alias(
+                f"asof_{c}"
+            )
+            for c in right_vals
+        ]
+        + [
+            F.when(ok, F.floor(gap_us / F.lit(1_000_000)).cast("bigint")).alias(
+                "asof_abs_gap_s"
+            ),
+            F.when(ok, F.when(take_back, F.lit("back")).otherwise(F.lit("fwd"))).alias(
+                "asof_dir"
+            ),
+        ]
+    )
+    return carried.where(F.col("__is_l__") == 1).select(
+        *[c for c in left.columns], *out_vals
+    )
+
+
+def resample_interpolate(
+    observed: DataFrame,
+    ts_col: str,
+    step_seconds: int,
+    group_cols: list[str],
+    val_col: str,
+) -> DataFrame:
+    """(group..., ts, value, filled): dense time grid per group with
+    LINEAR INTERPOLATION across gaps — the sensor/price-series
+    resampling step where carry-forward (LOCF) would bias a ramp:
+    an interior missing tick takes v_prev + (v_next − v_prev)·
+    (t − t_prev)/(t_next − t_prev), rounded to 6 places so the
+    float is engine-stable; observed ticks pass through untouched
+    (``filled`` marks the synthesized rows).
+
+    Plan: the :func:`gap_fill` grid (JVM-side ``sequence``), then ONE
+    window partitioning serves all four carries (previous/next value
+    and timestamp via last/first ignorenulls over mirrored frames) —
+    a (group)-keyed sort, no self-join, no per-gap probe.  Grid ends
+    never extrapolate: before the first or after the last observation
+    the value stays NULL (``observed`` must have at most one row per
+    (group, tick) — pre-aggregate upstream)."""
+    dense = gap_fill(observed, ts_col, step_seconds, group_cols, {})
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(val_col)
+    marked = dense.select(
+        *group_cols,
+        ts_col,
+        v.alias("__v__"),
+        F.when(v.isNotNull(), F.col(ts_col)).alias("__ots__"),
+    )
+    carried = marked.select(
+        *group_cols,
+        ts_col,
+        "__v__",
+        F.last("__v__", ignorenulls=True).over(wb).alias("__pv__"),
+        F.last("__ots__", ignorenulls=True).over(wb).alias("__pt__"),
+        F.first("__v__", ignorenulls=True).over(wf).alias("__nv__"),
+        F.first("__ots__", ignorenulls=True).over(wf).alias("__nt__"),
+    )
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pt_us = F.unix_micros(F.col("__pt__").cast("timestamp"))
+    nt_us = F.unix_micros(F.col("__nt__").cast("timestamp"))
+    interp = F.round(
+        F.col("__pv__")
+        + (F.col("__nv__") - F.col("__pv__"))
+        * ((t_us - pt_us).cast("double") / (nt_us - pt_us).cast("double")),
+        6,
+    )
+    can = (
+        F.col("__v__").isNull()
+        & F.col("__pv__").isNotNull()
+        & F.col("__nv__").isNotNull()
+    )
+    return carried.select(
+        *group_cols,
+        ts_col,
+        F.when(F.col("__v__").isNotNull(), F.col("__v__"))
+        .when(can, interp)
+        .alias("value"),
+        (F.col("__v__").isNull() & can).alias("filled"),
+    )

@@ -932,3 +932,99 @@ def classifier_score(
     )
     sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit") / F.lit(100.0)))
     return scored.select("doc_id", "logit", F.round(sig, 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping, mojibake detection, sentence segmentation
+# ---------------------------------------------------------------------------
+
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: decoding it earlier would double-decode &amp;lt;
+]
+
+
+def html_strip(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, cleaned, n_tags): strip markup from an HTML-ish text
+    column — the first step of every web-corpus pipeline (tags out,
+    core entities decoded, whitespace re-collapsed).  Script/style
+    elements drop WITH their content (their text is code, not prose);
+    remaining ``<...>`` tags drop keeping their inner text; the six
+    core entities decode in fixed order with ``&amp;`` LAST so
+    ``&amp;lt;`` becomes the literal ``&lt;`` (single-pass decode
+    semantics, not recursive).  All regexp/replace built-ins — one
+    map stage, no UDF, trivially mirrored in any engine."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, r"(?is)<(script|style)[^>]*>.*?</(script|style)\s*>", " ")
+    n_tags = F.size(F.split(t, r"<[^>]+>")) - 1
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return docs.select(
+        F.col(id_col), t.alias("cleaned"), n_tags.cast("int").alias("n_tags")
+    )
+
+
+# the visible markers of UTF-8 text decoded as Latin-1/CP1252:
+# lead bytes 0xC3/0xC2 render as A-tilde/A-circumflex, and the
+# 0xE2 0x80 xx (general punctuation) sequences start with a-circumflex
+# + euro sign.  Printable-marker heuristic — deliberately no byte
+# ranges, so the same pattern string is valid Java regex and RE2.
+MOJIBAKE_PATTERN = "\u00c3|\u00c2|\u00e2\u20ac"
+
+
+def mojibake_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_replacement, n_mojibake, verdict): encoding-damage
+    signals — the U+FFFD replacement character (a decoder already
+    gave up) and the classic UTF-8-read-as-Latin-1 marker characters
+    (A-tilde / A-circumflex lead bytes, a-circumflex+euro punctuation
+    sequences).  Cheap split-count algebra, no UDF; ``verdict``
+    buckets docs for the quality gate (any replacement char or >= 2
+    mojibake markers -> 'suspect')."""
+    t = F.col(text_col)
+    n_repl = F.size(F.split(t, "\ufffd")) - 1
+    n_moji = F.size(F.split(t, MOJIBAKE_PATTERN)) - 1
+    verdict = F.when(
+        (n_repl > 0) | (n_moji >= 2), F.lit("suspect")
+    ).otherwise(F.lit("clean"))
+    return docs.select(
+        F.col(id_col),
+        n_repl.cast("int").alias("n_replacement"),
+        n_moji.cast("int").alias("n_mojibake"),
+        verdict.alias("verdict"),
+    )
+
+
+def sentence_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_sentences, n_tokens, avg_sentence_tokens): sentence
+    segmentation on terminal-punctuation runs ([.!?]+ + whitespace or
+    end) with per-doc length stats — the unit every
+    readability/quality/chunking step downstream consumes.  Pure
+    split/filter/aggregate algebra over the exploded sentence array;
+    one map stage (the aggregate collapses in-place, the array never
+    shuffles)."""
+    t = F.col(text_col)
+    sents = F.filter(
+        F.split(t, r"[.!?]+(\s+|$)"), lambda s: F.trim(s) != ""
+    )
+    n_sent = F.size(sents)
+    n_tok = F.size(
+        F.filter(F.split(F.trim(t), r"[\s.!?]+"), lambda s: s != "")
+    )
+    return docs.select(
+        F.col(id_col),
+        n_sent.cast("int").alias("n_sentences"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.when(
+            n_sent > 0, F.round(n_tok.cast("double") / n_sent.cast("double"), 6)
+        ).alias("avg_sentence_tokens"),
+    )

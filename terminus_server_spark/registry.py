@@ -15710,3 +15710,437 @@ def stream_kmv_sketch(spark, sf_dir):
     from terminus_server_spark.streaming.events import run_stream_kmv_sketch
 
     return run_stream_kmv_sketch(spark, batches, "o_custkey", k=256)
+
+
+@register(
+    "graph_closeness",
+    """
+    WITH r AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey = 0 THEN 1 ELSE len(bin(c_custkey)) + 1 END AS r
+      FROM customer)
+    SELECT 'C/' || k AS node,
+           CAST(r AS BIGINT) AS n_reached,
+           CAST(r - 1 AS INT) AS ecc,
+           CASE WHEN r > 1
+                THEN ROUND(CAST(r - 1 AS DOUBLE) / ((r * (r - 1)) // 2), 6)
+                ELSE 0.0 END AS closeness
+    FROM r
+    """,
+)
+def graph_closeness(spark, sf_dir):
+    """Exact closeness centrality + eccentricity (operators/graph.py:
+    distance_stats) over the directed c//2 parent DAG: each node's
+    reachable set is its halving chain to the root plus the C/0
+    sink — a path of bitlength(k)+1 nodes — so n_reached =
+    bitlength+1, ecc = bitlength, and Σd is the triangular number,
+    giving the closed forms the oracle restates.
+    One multi-source BFS feeds both measures; the sampled-sources
+    parameter is the 100 TB path (same pivot discipline as
+    betweenness)."""
+    from terminus_server_spark.operators.graph import distance_stats
+
+    store = _parent_tree_store(spark, sf_dir)
+    edges = store.edges("parent")
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    from pyspark.sql import functions as F
+
+    sources = cust.select(
+        F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return distance_stats(edges, sources)
+
+
+@register(
+    "asof_join_nearest",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    m AS (
+      SELECT c.event_id AS event_id, p.value AS pv, p.ts AS pts,
+             abs(epoch_us(p.ts) - epoch_us(c.ts)) AS ag,
+             CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END AS dr,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+                        CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END ASC,
+                        p.event_id ASC) AS rk
+      FROM c JOIN p ON c.user_id = p.user_id),
+    best AS (SELECT event_id, pv, pts, ag, dr FROM m WHERE rk = 1)
+    SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+           CASE WHEN b.pts IS NOT NULL AND b.ag <= CAST(86400 AS BIGINT) * 1000000
+                THEN b.pv END AS asof_value,
+           CASE WHEN b.pts IS NOT NULL AND b.ag <= CAST(86400 AS BIGINT) * 1000000
+                THEN b.ag // 1000000 END AS asof_abs_gap_s,
+           CASE WHEN b.pts IS NOT NULL AND b.ag <= CAST(86400 AS BIGINT) * 1000000
+                THEN CASE WHEN b.dr = 0 THEN 'back' ELSE 'fwd' END
+           END AS asof_dir
+    FROM c LEFT JOIN best b ON c.event_id = b.event_id
+    """,
+)
+def asof_join_nearest(spark, sf_dir):
+    """Nearest-match as-of join (operators/temporal.py:
+    asof_join_nearest — pandas merge_asof direction='nearest'): each
+    click matches the user's closest purchase in EITHER direction,
+    backward preferred on gap ties, smallest id within an instant,
+    NULLed past a 1-day absolute gap.  Two union-window carries over
+    one key partitioning + a per-row argmin — completing the
+    backward/forward/nearest as-of family with no range join
+    anywhere."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import asof_join_nearest as nst
+
+    ev = _t(spark, sf_dir, "events")["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return nst(
+        clicks, purchases, "user_id", "ts", "ts", ["value"], tolerance_s=86400
+    )
+
+
+@register(
+    "events_resample_interp",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             MAX(value) AS v
+      FROM events WHERE hour(ts) % 3 = 0 GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    j AS (
+      SELECT g.event_type, g.h, o.v
+      FROM grid g LEFT JOIN obs o USING (event_type, h)),
+    c AS (
+      SELECT event_type, h, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j)
+    SELECT event_type, h AS ts,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  ROUND(pv + (nv - pv)
+                        * (CAST(epoch_us(h) - epoch_us(pt) AS DOUBLE)
+                           / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)), 6)
+           END AS value,
+           (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS filled
+    FROM c
+    """,
+)
+def events_resample_interp(spark, sf_dir):
+    """Linear-interpolation resampling (operators/temporal.py:
+    resample_interpolate): per-type hourly observations kept only
+    every third hour, re-densified onto the full hourly grid with
+    interior gaps taking v_prev + (v_next − v_prev)·Δt/Δtotal — the
+    ramp-faithful alternative to LOCF for sensor/price series.  One
+    grid join + ONE (type)-keyed window partitioning serving all four
+    carries; integer-epoch gap ratios, 6-place rounding for
+    engine-stable floats."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import resample_interpolate
+
+    events = _t(spark, sf_dir, "events")["events"]
+    obs = (
+        events.where(F.hour("ts") % 3 == 0)
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("ts"))
+        .agg(F.max("value").alias("v"))
+    )
+    return resample_interpolate(obs, "ts", 3600, ["event_type"], "v").select(
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+        "filled",
+    )
+
+
+@register(
+    "text_html_strip",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><body><p class="x">' || text ||
+             '</p><script type="t">var x = 1 < 2;</script>' ||
+             '<b>bold &amp; &lt;kept&gt;</b></body></html>' AS t
+      FROM documents),
+    s1 AS (
+      SELECT doc_id,
+             regexp_replace(t, '<(script|style)[^>]*>.*?</(script|style)\s*>',
+                            ' ', 'gis') AS t
+      FROM h),
+    s2 AS (
+      SELECT doc_id, t,
+             CAST(len(string_split_regex(t, '<[^>]+>')) - 1 AS INT) AS n_tags
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, n_tags, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
+    s4 AS (
+      SELECT doc_id, n_tags,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+               '&nbsp;', ' '), '&amp;', '&') AS t
+      FROM s3)
+    SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS cleaned, n_tags
+    FROM s4
+    """,
+)
+def text_html_strip(spark, sf_dir):
+    """HTML stripping (operators/text.py:html_strip): each document
+    wrapped in a deterministic markup shell — paragraph tags, a
+    script element whose body must vanish WITH its content (it even
+    contains a '<' that must not confuse the tag regex), entities
+    that must single-pass decode.  Tags out, six core entities
+    decoded (&amp; last), whitespace re-collapsed, tag count kept —
+    all regexp built-ins, no UDF, oracle replays the identical
+    algebra."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import html_strip
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><p class="x">'),
+            F.col("text"),
+            F.lit('</p><script type="t">var x = 1 < 2;</script>'),
+            F.lit("<b>bold &amp; &lt;kept&gt;</b></body></html>"),
+        ).alias("text"),
+    )
+    return html_strip(fixture)
+
+
+@register(
+    "text_mojibake",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 7 = 0 THEN
+                 ' caf' || chr(195) || chr(169) || ' d' || chr(195) || chr(169)
+                 || 'j' || chr(195) || chr(160)
+               WHEN doc_id % 11 = 0 THEN ' bad' || chr(65533) || 'byte'
+               ELSE '' END AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(t, chr(65533))) - 1 AS INT) AS n_replacement,
+             CAST(len(string_split_regex(t,
+               chr(195) || '|' || chr(194) || '|' || chr(226) || chr(8364)
+             )) - 1 AS INT) AS n_mojibake
+      FROM f)
+    SELECT doc_id, n_replacement, n_mojibake,
+           CASE WHEN n_replacement > 0 OR n_mojibake >= 2
+                THEN 'suspect' ELSE 'clean' END AS verdict
+    FROM m
+    """,
+)
+def text_mojibake(spark, sf_dir):
+    """Encoding-damage detection (operators/text.py:mojibake_stats):
+    every seventh doc gets UTF-8-as-Latin-1 mojibake appended (three
+    A-tilde lead markers), every eleventh a U+FFFD replacement char;
+    the detector counts both signal families with split-count algebra
+    (printable marker alternation — valid in Java regex AND RE2, no
+    byte ranges) and buckets docs for the quality gate."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import mojibake_stats
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    moji = " caf" + chr(195) + chr(169) + " d" + chr(195) + chr(169) + "j" + chr(195) + chr(160)
+    repl = " bad" + chr(65533) + "byte"
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(moji))
+            .when(F.col("doc_id") % 11 == 0, F.lit(repl))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mojibake_stats(fixture)
+
+
+@register(
+    "docs_sentence_split",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\S+\s+){7}\S+)\s+', '\1. ', 'g') AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(t, '[.!?]+(\s+|$)'),
+                             x -> trim(x) <> '')) AS n_sentences,
+             len(list_filter(string_split_regex(trim(t), '[\s.!?]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM f)
+    SELECT doc_id, CAST(n_sentences AS INT) AS n_sentences,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CASE WHEN n_sentences > 0
+                THEN ROUND(CAST(n_tokens AS DOUBLE) / n_sentences, 6)
+           END AS avg_sentence_tokens
+    FROM s
+    """,
+)
+def docs_sentence_split(spark, sf_dir):
+    """Sentence segmentation stats (operators/text.py:
+    sentence_stats): documents get a period after every 8th token
+    (deterministic punctuation synthesis — the corpus is unpunctuated
+    word salad), then sentences split on terminal-punctuation runs
+    and per-doc counts + mean sentence length come out of one map
+    stage of split/filter/aggregate algebra."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import sentence_stats
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    fixture = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((\S+\s+){7}\S+)\s+", "$1. "
+        ).alias("text"),
+    )
+    return sentence_stats(fixture)
+
+
+@register(
+    "src_csv_multiline",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'he said "a,b"' ELSE ', tail' END AS body
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN contains(body, chr(10)) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multiline,
+           CAST(SUM(len(body)) AS BIGINT) AS sum_len
+    FROM f
+    """,
+)
+def src_csv_multiline(spark, sf_dir):
+    """CSV quoted-newline roundtrip: half the documents carry an
+    embedded newline + a quoted, comma-bearing phrase in one field —
+    the classic CSV torture row.  Written with quote-escape
+    doubling, read back with multiLine + matching escape; the
+    aggregate over the ROUNDTRIPPED frame must equal the oracle's
+    direct computation from the base table, proving losslessness
+    (record splitting, quote unescaping, newline preservation).
+    multiLine is the documented scale trade-off: quoted-newline files
+    can't split inside records, so splittability is per-file — the
+    writer keeps files small; the reader still parallelizes across
+    files."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tricky = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(chr(10) + 'he said "a,b"'),
+            ).otherwise(F.lit(", tail")),
+        ).alias("body"),
+    )
+    path = tempfile.mkdtemp(prefix="tss_csvml_") + "/docs_csv"
+    (
+        tricky.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("doc_id long, body string")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("body").contains(chr(10)), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multiline"),
+        F.sum(F.length("body")).cast("bigint").alias("sum_len"),
+    )
+
+
+def _mis_oracle_sql(rounds=10):
+    parts = ["""
+    WITH e0 AS (
+      SELECT c_custkey AS a, c_custkey - 1 AS b FROM customer
+      WHERE c_custkey % 10 <> 0 AND c_custkey >= 1),
+    und AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    n0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM und),
+    pri AS MATERIALIZED (SELECT v, md5(CAST(v AS VARCHAR)) AS p FROM n0),
+    u0 AS MATERIALIZED (SELECT v FROM pri)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+    w{r} AS MATERIALIZED (
+      SELECT u.v FROM u{p} u
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und e
+        JOIN u{p} u2 ON u2.v = e.b
+        JOIN pri pa ON pa.v = e.a
+        JOIN pri pb ON pb.v = e.b
+        WHERE e.a = u.v AND pb.p < pa.p)),
+    x{r} AS MATERIALIZED (
+      SELECT DISTINCT e.b AS v FROM und e
+      JOIN w{r} w ON w.v = e.a
+      JOIN u{p} u2 ON u2.v = e.b),
+    u{r} AS MATERIALIZED (
+      SELECT v FROM u{p}
+      EXCEPT SELECT v FROM w{r}
+      EXCEPT SELECT v FROM x{r})""")
+    wins = "\n      UNION ALL ".join(f"SELECT v FROM w{r}" for r in range(1, rounds + 1))
+    return "".join(parts) + f""",
+    mis AS ({wins})
+    SELECT n0.v AS node, (mis.v IS NOT NULL) AS in_mis
+    FROM n0 LEFT JOIN (SELECT DISTINCT v FROM mis) mis ON n0.v = mis.v
+    """
+
+
+@register("graph_mis", _mis_oracle_sql(10))
+def graph_mis(spark, sf_dir):
+    """Maximal independent set — deterministic Luby (operators/
+    graph.py:luby_mis): fixed md5 priorities make the parallel
+    symmetry-breaking rounds converge to the sequential greedy MIS in
+    priority order, replayed exactly by the oracle's unrolled rounds
+    (10 suffice on the 10-node decade chains: rounds are bounded by
+    the longest decreasing-priority path).  Per round one edge-grain
+    anti-join sized by the shrinking undecided subgraph."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import luby_mis
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    return luby_mis(edges)

@@ -2934,3 +2934,114 @@ def test_stream_kmv_batch_split_invariant(spark):
         k=16,
     ).collect()[0]
     assert one == three
+
+
+
+def test_asof_nearest_prefers_backward_on_tie(spark):
+    from terminus_server_spark.operators.temporal import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:00:00")], "event_id long, user_id long, ts string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [
+            (10, 100, "2024-01-01 09:00:00", 1.0),  # 1h back
+            (11, 100, "2024-01-01 11:00:00", 2.0),  # 1h fwd -> tie, back wins
+            (12, 100, "2024-01-01 18:00:00", 3.0),
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = asof_join_nearest(
+        left, right, "user_id", "ts", "ts", ["value"]
+    ).collect()[0]
+    assert out["asof_value"] == 1.0
+    assert out["asof_dir"] == "back"
+    assert out["asof_abs_gap_s"] == 3600
+    # tolerance below the gap NULLs the match
+    out2 = asof_join_nearest(
+        left, right, "user_id", "ts", "ts", ["value"], tolerance_s=60
+    ).collect()[0]
+    assert out2["asof_value"] is None and out2["asof_dir"] is None
+
+
+def test_resample_interpolate_ramp_and_ends(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import resample_interpolate
+
+    obs = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 0.0), ("k", "2024-01-01 03:00:00", 9.0)],
+        "g string, ts string, v double",
+    ).select("g", F.col("ts").cast("timestamp").alias("ts"), "v")
+    rows = {
+        r["ts"].hour: (r["value"], r["filled"])
+        for r in resample_interpolate(obs, "ts", 3600, ["g"], "v").collect()
+    }
+    assert rows[0] == (0.0, False)
+    assert rows[1] == (3.0, True)
+    assert rows[2] == (6.0, True)
+    assert rows[3] == (9.0, False)
+
+
+def test_html_strip_script_and_entities(spark):
+    from terminus_server_spark.operators.text import html_strip
+
+    docs = spark.createDataFrame(
+        [(1, '<p>a</p><script>if (1 < 2) x();</script><i>b &amp;lt; c</i>')],
+        "doc_id long, text string",
+    )
+    row = html_strip(docs).collect()[0]
+    assert row["cleaned"] == "a b &lt; c"  # single-pass decode, script gone
+    assert row["n_tags"] == 4  # <p> </p> <i> </i>
+
+
+def test_mojibake_and_sentence_stats(spark):
+    from terminus_server_spark.operators.text import mojibake_stats, sentence_stats
+
+    moji = "caf" + chr(195) + chr(169) + " d" + chr(195) + chr(169) + "tail"
+    docs = spark.createDataFrame(
+        [(1, "clean text"), (2, moji), (3, "bad " + chr(65533) + " byte")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in mojibake_stats(docs).collect()}
+    assert out[1]["verdict"] == "clean"
+    assert out[2]["n_mojibake"] == 2 and out[2]["verdict"] == "suspect"
+    assert out[3]["n_replacement"] == 1 and out[3]["verdict"] == "suspect"
+
+    sdocs = spark.createDataFrame(
+        [(1, "one two. three four five! six?"), (2, "")],
+        "doc_id long, text string",
+    )
+    srows = {r["doc_id"]: r for r in sentence_stats(sdocs).collect()}
+    assert srows[1]["n_sentences"] == 3
+    assert srows[1]["n_tokens"] == 6
+    assert srows[1]["avg_sentence_tokens"] == 2.0
+    assert srows[2]["n_sentences"] == 0
+    assert srows[2]["avg_sentence_tokens"] is None
+
+
+def test_luby_mis_is_maximal_and_independent(spark):
+    from terminus_server_spark.operators.graph import luby_mis
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30)], "src long, dst long"
+    )
+    rows = {r["node"]: r["in_mis"] for r in luby_mis(edges).collect()}
+    mis = {n for n, f in rows.items() if f}
+    # independence: no edge inside the set
+    assert all(not (a in mis and a + 1 in mis) for a in range(0, 30))
+    # maximality: every non-member has a member neighbor
+    for n, f in rows.items():
+        if not f:
+            assert (n - 1 in mis) or (n + 1 in mis), n
+
+
+def test_distance_stats_closeness_chain(spark):
+    from terminus_server_spark.operators.graph import distance_stats
+
+    # directed path 1 -> 2 -> 3
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = {r["node"]: r for r in distance_stats(edges).collect()}
+    assert rows[1]["n_reached"] == 3 and rows[1]["ecc"] == 2
+    assert rows[1]["closeness"] == round(2 / 3, 6)
+    assert rows[3]["n_reached"] == 1 and rows[3]["closeness"] == 0.0

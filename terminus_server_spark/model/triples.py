@@ -876,3 +876,36 @@ def inherit_frames(declared: DataFrame, subclass_edges: DataFrame) -> DataFrame:
             "depth",
         )
     )
+
+
+def schema_diff(frames_a: DataFrame, frames_b: DataFrame) -> DataFrame:
+    """(class, predicate, change, types_a, types_b): diff between two
+    schema versions at the class-frame grain — the check a migration
+    runs before touching instances (reference: the schema-migration
+    story's before/after frame comparison).  ``added`` / ``removed``
+    classify predicates present on one side only; ``type_changed``
+    and ``required_changed`` flag in-place property edits; unchanged
+    rows are dropped.  One full-outer join on (class, predicate) over
+    two frame tables that are already class-grain small."""
+    a = frames_a.select(
+        "class",
+        "predicate",
+        F.col("obj_types").alias("types_a"),
+        F.col("required").alias("_req_a"),
+    )
+    b = frames_b.select(
+        "class",
+        "predicate",
+        F.col("obj_types").alias("types_b"),
+        F.col("required").alias("_req_b"),
+    )
+    j = a.join(b, ["class", "predicate"], "full_outer")
+    change = (
+        F.when(F.col("types_a").isNull(), F.lit("added"))
+        .when(F.col("types_b").isNull(), F.lit("removed"))
+        .when(F.col("types_a") != F.col("types_b"), F.lit("type_changed"))
+        .when(F.col("_req_a") != F.col("_req_b"), F.lit("required_changed"))
+    )
+    return j.select("class", "predicate", change.alias("change"), "types_a", "types_b").where(
+        F.col("change").isNotNull()
+    )

@@ -324,3 +324,43 @@ def sample_frames(mm: DataFrame, every_k: int = 4) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
 
     return mm.mapInPandas(run, FRAME_SCHEMA)
+
+
+def sniff_headers4(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-format sniffing tranche 4 — WEBP / OGG / ZIP / GZIP —
+    same built-in byte-expression discipline as :func:`sniff_headers`
+    (no codec, no Python worker).  Public container specs:
+
+    - WEBP  RIFF container (``RIFF....WEBP``); the VP8X extended
+      header carries canvas width−1 / height−1 as 24-bit
+      little-endian fields at bytes 25-27 / 28-30.
+    - OGG   ``OggS`` capture pattern; the bitstream serial number is
+      the little-endian u32 at bytes 15-18.
+    - ZIP   ``PK\\x03\\x04`` local-file header; version-needed is the
+      little-endian u16 at bytes 5-6 (20 = deflate era, 45 = Zip64).
+    - GZIP  ``1F 8B`` magic + method 08; MTIME is the little-endian
+      u32 at bytes 5-8.
+
+    Output: (doc_id, mime, width, height, serial, version_needed,
+    mtime)."""
+    p = F.col(payload_col)
+    is_webp = (_hx(p, 1, 4) == "52494646") & (_hx(p, 9, 4) == "57454250")
+    is_webp_x = is_webp & (_hx(p, 13, 4) == "56503858")
+    is_ogg = _hx(p, 1, 4) == "4F676753"
+    is_zip = _hx(p, 1, 4) == "504B0304"
+    is_gzip = _hx(p, 1, 3) == "1F8B08"
+    null_i = F.lit(None).cast("bigint")
+    return mm.select(
+        "doc_id",
+        F.when(is_webp, F.lit("image/webp"))
+        .when(is_ogg, F.lit("audio/ogg"))
+        .when(is_zip, F.lit("application/zip"))
+        .when(is_gzip, F.lit("application/gzip"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime"),
+        F.when(is_webp_x, _le(p, 25, 3) + 1).otherwise(null_i).alias("width"),
+        F.when(is_webp_x, _le(p, 28, 3) + 1).otherwise(null_i).alias("height"),
+        F.when(is_ogg, _le(p, 15, 4)).otherwise(null_i).alias("serial"),
+        F.when(is_zip, _le(p, 5, 2)).otherwise(null_i).alias("version_needed"),
+        F.when(is_gzip, _le(p, 5, 4)).otherwise(null_i).alias("mtime"),
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from terminus_server_spark.checkpoint import plan_checkpoint
 from terminus_server_spark.operators.text import tokens_col
 
 
@@ -965,4 +966,74 @@ def apportion_sample(
         .join(broadcast(alloc), "grp")
         .where(F.col("_dr") <= F.col("_alloc"))
         .select(key_col, F.col("grp").alias(group_col), F.col("_dr").alias("grp_rank"))
+    )
+
+
+def kmv_theta_intersect(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """(n_a_kept, n_b_kept, theta, n_common, est_intersect,
+    exact_intersect): theta-sketch set-intersection estimate from two
+    KMV min-sets — the mergeable-sketch answer to "how many keys are
+    in BOTH 100 TB sets" without ever joining the raw sets: each side
+    keeps its k smallest md5 fractions (θ = 1 while the sketch is
+    still exact, else the k-th min), the working threshold is
+    θ = min(θ_a, θ_b), and the estimate is |{common mins < θ}| / θ
+    (Dasgupta et al.'s theta-sketch algebra, public literature).
+
+    Everything is md5-portable, so the *estimate itself* is
+    bit-reproduced by the SQL oracle — same discipline as
+    `sketch_kmv_distinct`.  ``exact_intersect`` is the audited truth
+    (one distinct-join — the cost the sketch exists to avoid; part
+    of the output per the repo's audited-approximation pattern).
+    Sketch cost: two scans + two k-row top-ks; the intersection step
+    touches only k-row frames."""
+
+    def _mins(df: DataFrame, col: str) -> DataFrame:
+        frac = (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+                "double"
+            )
+            / F.lit(float(16**8))
+        )
+        return plan_checkpoint(df.select(frac.alias("f")).distinct().orderBy("f").limit(k))
+
+    ma, mb = _mins(df_a, col_a), _mins(df_b, col_b)
+    sa = ma.agg(F.count(F.lit(1)).alias("n_a_kept"), F.max("f").alias("_ta"))
+    sb = mb.agg(F.count(F.lit(1)).alias("n_b_kept"), F.max("f").alias("_tb"))
+    thetas = sa.crossJoin(sb).select(
+        "n_a_kept",
+        "n_b_kept",
+        F.least(
+            F.when(F.col("n_a_kept") < k, F.lit(1.0)).otherwise(F.col("_ta")),
+            F.when(F.col("n_b_kept") < k, F.lit(1.0)).otherwise(F.col("_tb")),
+        ).alias("theta"),
+    )
+    common = (
+        ma.join(mb, "f")
+        .crossJoin(F.broadcast(thetas.select("theta")))
+        .where(F.col("f") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        df_a.select(F.col(col_a).alias("_k"))
+        .distinct()
+        .join(df_b.select(F.col(col_b).alias("_k")).distinct(), "_k")
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    return (
+        thetas.crossJoin(common)
+        .crossJoin(exact)
+        .select(
+            "n_a_kept",
+            "n_b_kept",
+            "theta",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("theta")).alias("est_intersect"),
+            "exact_intersect",
+        )
     )

@@ -15503,10 +15503,10 @@ def vc_patch_id(spark, sf_dir):
 )
 def vc_bisect(spark, sf_dir):
     """`git bisect` over the commit stack (versioning/layers.py:
-    bisect_first_bad): seven yearly commits (1992–1998) each add that
+    bisect_first_bad): one commit per order year, each adding that
     year's orders; the monotone predicate fires once the materialized
     state exceeds 60 % of all orders.  Binary search probes
-    ceil(log2(7)) = 3 materializations — never one per commit — and
+    ceil(log2(n_years)) ≈ 3 materializations — never one per commit — and
     the oracle restates the answer as the first cumulative-count
     crossing, integer-exact (c·10 > t·6, no float threshold)."""
     from pyspark.sql import functions as F
@@ -15521,8 +15521,13 @@ def vc_bisect(spark, sf_dir):
         "o_orderkey",
     )
     total = orders.count()
+    bounds = layers.agg(F.min("commit_seq"), F.max("commit_seq")).collect()[0]
     first_bad, _probes = bisect_first_bad(
-        layers, ["o_orderkey"], lambda st: st.count() * 10 > total * 6, 1, 7
+        layers,
+        ["o_orderkey"],
+        lambda st: st.count() * 10 > total * 6,
+        int(bounds[0]),
+        int(bounds[1]),
     )
     return materialize(layers, first_bad, ["o_orderkey"]).agg(
         F.lit(first_bad).cast("int").alias("first_bad_seq"),
@@ -16144,3 +16149,341 @@ def graph_mis(spark, sf_dir):
         F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
     )
     return luby_mis(edges)
+
+
+@register(
+    "mm_header_probe4",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'image/webp' WHEN 1 THEN 'audio/ogg'
+                           WHEN 2 THEN 'application/zip'
+                           ELSE 'application/gzip' END AS mime,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(16 + doc_id % 4000 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(16 + (doc_id * 3) % 4000 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 4 = 1 THEN CAST(1000 + doc_id % 9000 AS BIGINT) END AS serial,
+           CASE WHEN doc_id % 4 = 2 THEN CAST(20 + (doc_id % 2) * 25 AS BIGINT) END
+             AS version_needed,
+           CASE WHEN doc_id % 4 = 3 THEN CAST(1700000000 + doc_id AS BIGINT) END AS mtime
+    FROM documents
+    """,
+)
+def mm_header_probe4(spark, sf_dir):
+    """Multimodal container sniffing tranche 4 (operators/
+    multimodal.py:sniff_headers4): WEBP VP8X canvas dims (24-bit LE,
+    stored minus-one), OGG bitstream serial, ZIP version-needed,
+    GZIP MTIME — spec-conformant headers synthesized from doc_id so
+    the oracle restates the fields closed-form while Spark genuinely
+    parses the bytes with built-in expressions."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.multimodal import sniff_headers4
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+
+    def lehex(c, n):
+        h = F.lpad(F.hex(c), 2 * n, "0")
+        return F.concat(*[F.substring(h, i * 2 + 1, 2) for i in range(n)][::-1])
+
+    w = 16 + k % 4000
+    h = 16 + (k * 3) % 4000
+    serial = 1000 + k % 9000
+    ver = 20 + (k % 2) * 25
+    mtime = 1700000000 + k
+    webp = F.concat(
+        F.lit("52494646"), F.lit("24000000"), F.lit("57454250"),
+        F.lit("56503858"), F.lit("0A000000"), F.lit("00"), F.lit("000000"),
+        lehex(w - 1, 3), lehex(h - 1, 3),
+    )
+    ogg = F.concat(
+        F.lit("4F676753"), F.lit("00"), F.lit("02"),
+        F.lit("0000000000000000"), lehex(serial, 4),
+    )
+    zf = F.concat(F.lit("504B0304"), lehex(ver, 2))
+    gz = F.concat(F.lit("1F8B08"), F.lit("00"), lehex(mtime, 4))
+    payload_hex = (
+        F.when(k % 4 == 0, webp)
+        .when(k % 4 == 1, ogg)
+        .when(k % 4 == 2, zf)
+        .otherwise(gz)
+    )
+    mm = docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    return sniff_headers4(mm)
+
+
+@register(
+    "sketch_theta_intersect",
+    """
+    WITH a0 AS (
+      SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1995),
+    b0 AS (
+      SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1997),
+    fa AS (
+      SELECT DISTINCT
+             CAST(('0x' || substring(md5(CAST(ck AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+               / 4294967296.0 AS f
+      FROM a0),
+    fb AS (
+      SELECT DISTINCT
+             CAST(('0x' || substring(md5(CAST(ck AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+               / 4294967296.0 AS f
+      FROM b0),
+    ma AS (SELECT f FROM fa ORDER BY f LIMIT 256),
+    mb AS (SELECT f FROM fb ORDER BY f LIMIT 256),
+    sa AS (SELECT COUNT(*) AS n_a_kept, MAX(f) AS ta FROM ma),
+    sb AS (SELECT COUNT(*) AS n_b_kept, MAX(f) AS tb FROM mb),
+    t AS (
+      SELECT n_a_kept, n_b_kept,
+             LEAST(CASE WHEN n_a_kept < 256 THEN CAST(1.0 AS DOUBLE) ELSE ta END,
+                   CASE WHEN n_b_kept < 256 THEN CAST(1.0 AS DOUBLE) ELSE tb END)
+               AS theta
+      FROM sa, sb),
+    c AS (
+      SELECT COUNT(*) AS n_common
+      FROM (SELECT f FROM ma JOIN mb USING (f)) j, t WHERE j.f < t.theta),
+    ex AS (SELECT COUNT(*) AS exact_intersect FROM a0 JOIN b0 USING (ck))
+    SELECT n_a_kept, n_b_kept, theta, n_common,
+           n_common::DOUBLE / theta AS est_intersect, exact_intersect
+    FROM t, c, ex
+    """,
+)
+def sketch_theta_intersect(spark, sf_dir):
+    """Theta-sketch set intersection (operators/pipeline.py:
+    kmv_theta_intersect): customers ordering in 1995 ∩ 1997 estimated
+    from two 256-value KMV min-sets — θ = min(θ_a, θ_b), estimate =
+    |common mins < θ|/θ — with the exact distinct-join as the audited
+    truth column.  md5-portable end to end, so the oracle reproduces
+    the ESTIMATE bit-for-bit; at sf0.01+ both sides exceed k and the
+    sketch runs in its genuinely-approximate regime."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import kmv_theta_intersect
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    a = orders.where(F.year("o_orderdate") == 1995)
+    b = orders.where(F.year("o_orderdate") == 1997)
+    return kmv_theta_intersect(a, "o_custkey", b, "o_custkey", k=256)
+
+
+@register(
+    "schema_diff",
+    """
+    SELECT 'Order' AS class, 'o_orderstatus' AS predicate, 'added' AS change,
+           CAST(NULL AS VARCHAR) AS types_a, 'xsd:string' AS types_b
+    UNION ALL
+    SELECT 'Order', 'o_orderpriority', 'removed', 'xsd:string', NULL
+    UNION ALL
+    SELECT 'Order', 'o_totalprice', 'type_changed', 'xsd:decimal', 'xsd:string'
+    """,
+)
+def schema_diff(spark, sf_dir):
+    """Schema-version diff at the class-frame grain (model/triples.py:
+    schema_diff): era B drops o_orderpriority, adds o_orderstatus, and
+    narrows o_totalprice to a string — the three edits the full-outer
+    frame comparison must classify (added / removed / type_changed)
+    while every unchanged predicate stays silent.  Frames are INFERRED
+    from instance data on both eras (the import-time variant), so the
+    diff also proves the inference is stable across eras."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import docs_to_triples
+    from terminus_server_spark.model.triples import class_frames, schema_diff as _sd
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    era_a = orders.select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    era_b = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        "o_orderdate",
+        F.col("o_orderstatus"),
+    )
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    fa = plan_checkpoint(class_frames(docs_to_triples(era_a, "Order", "o_orderkey")))
+    fb = plan_checkpoint(class_frames(docs_to_triples(era_b, "Order", "o_orderkey")))
+    return _sd(fa, fb)
+
+
+@register(
+    "events_cumulative_uniques",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d
+      FROM events GROUP BY user_id),
+    daily_new AS (SELECT d, COUNT(*) AS n_new FROM firsts GROUP BY d),
+    daily_ev AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n_events
+      FROM events GROUP BY 1)
+    SELECT e.d AS day, CAST(e.n_events AS BIGINT) AS n_events,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY e.d) AS BIGINT)
+             AS cum_unique_users
+    FROM daily_ev e LEFT JOIN daily_new n ON e.d = n.d
+    """,
+)
+def events_cumulative_uniques(spark, sf_dir):
+    """Daily cumulative distinct users — the growth-curve staple that
+    naive COUNT(DISTINCT) OVER cannot express without quadratic
+    re-scanning: each user reduces to a FIRST-SEEN day (one user-keyed
+    aggregate), first-seen days roll up to daily new-user counts, and
+    a running sum over the day grain yields the cumulative uniques.
+    The only unpartitioned window runs over the day-grain rollup —
+    bounded by the calendar, not the event count (the repo's bounded-
+    frame discipline for global windows)."""
+    from pyspark.sql import Window, functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("day"))
+    daily_new = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
+    daily_ev = events.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_ev.join(daily_new, "day", "left_outer")
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.coalesce("n_new_users", F.lit(0)).cast("bigint").alias("n_new_users"),
+        )
+        .withColumn(
+            "cum_unique_users", F.sum("n_new_users").over(w).cast("bigint")
+        )
+    )
+
+
+@register(
+    "agg_mode",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rk
+      FROM orders GROUP BY 1, 2)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+    FROM c WHERE rk = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic modal value per group (most frequent order
+    priority per order status, count desc / value asc tie-break):
+    Spark's
+    built-in ``mode`` aggregate is tie-nondeterministic, so the
+    engine's canonical form is the two-level count + per-group
+    row_number argmax — one keyed aggregate plus a group-partitioned
+    window over the already-collapsed (flag, shipmode) grain."""
+    from pyspark.sql import Window, functions as F
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "vc_reflog",
+    """
+    WITH yrs AS (
+      SELECT DISTINCT CAST(year(o_orderdate) - 1991 AS INT) AS seq,
+             'y' || year(o_orderdate) AS cid
+      FROM orders),
+    moves AS (
+      SELECT 'main' AS ref, seq AS move_seq, cid, 'commit' AS action FROM yrs
+      UNION ALL SELECT 'main', 100, 'y1995', 'reset'
+      UNION ALL SELECT 'dev', 1, 'y1994', 'branch'
+      UNION ALL SELECT 'dev', 2, 'y1996', 'reset')
+    SELECT ref,
+           CAST(ROW_NUMBER() OVER (PARTITION BY ref ORDER BY move_seq DESC) - 1
+                AS INT) AS moves_ago,
+           cid AS commit_id, action
+    FROM moves
+    """,
+)
+def vc_reflog(spark, sf_dir):
+    """Reflog resolution (versioning/layers.py:reflog_positions — the
+    ``ref@{n}`` view): main walks the seven yearly commits then a
+    reset back to y1995, dev branches and resets — the append-only
+    movement log ranks newest-first per ref, so moves_ago=0 is the
+    current position and any historical position (the recovery trail
+    after a bad reset) is one filter away."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import reflog_positions
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    yrs = orders.select(
+        (F.year("o_orderdate") - 1991).cast("int").alias("move_seq"),
+        F.concat(F.lit("y"), F.year("o_orderdate").cast("string")).alias("commit_id"),
+    ).distinct()
+    main = yrs.select(
+        F.lit("main").alias("ref"), "move_seq", "commit_id", F.lit("commit").alias("action")
+    )
+    extra = spark.createDataFrame(
+        [
+            ("main", 100, "y1995", "reset"),
+            ("dev", 1, "y1994", "branch"),
+            ("dev", 2, "y1996", "reset"),
+        ],
+        "ref string, move_seq int, commit_id string, action string",
+    )
+    return reflog_positions(main.unionByName(extra))
+
+
+@register(
+    "vc_shallow_clone",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_dsum_sql('o_totalprice')} AS sum_price,
+           CAST(3 AS BIGINT) AS n_commits_shallow,
+           (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) FROM orders)
+             AS n_commits_full
+    FROM orders
+    """,
+)
+def vc_shallow_clone(spark, sf_dir):
+    """Shallow clone with a graft point (versioning/layers.py:
+    shallow_clone): the yearly commit stack collapses to a squashed
+    base at head−2 plus the top two year layers (depth 2) — 3 commits
+    transferred instead of one per year — and the head materialization over the
+    shallow stack must still equal the FULL table (every order, exact
+    price sum), which is the graft-correctness claim.  Commit counts
+    for both stacks ride along as audit columns."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import materialize, shallow_clone
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    layers = orders.select(
+        (F.year("o_orderdate") - 1991).cast("int").alias("commit_seq"),
+        F.concat(F.lit("y"), F.year("o_orderdate").cast("string")).alias("commit_id"),
+        F.lit("add").alias("op"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    head = layers.agg(F.max("commit_seq")).collect()[0][0]  # metadata scalar
+    shallow = shallow_clone(layers, ["o_orderkey"], head_seq=head, depth=2)
+    state = materialize(shallow, head, ["o_orderkey"])
+    stats = state.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    n_sh = shallow.agg(
+        F.countDistinct("commit_id").cast("bigint").alias("n_commits_shallow")
+    )
+    n_full = layers.agg(
+        F.countDistinct("commit_id").cast("bigint").alias("n_commits_full")
+    )
+    return stats.crossJoin(n_sh).crossJoin(n_full)

@@ -517,3 +517,45 @@ def verify_integrity(
             (F.col("stored_hash") == recomputed).alias("ok"),
         )
     )
+
+
+def reflog_positions(reflog: DataFrame) -> DataFrame:
+    """(ref, moves_ago, commit_id, action): the ``ref@{n}`` view of a
+    ref-movement log — git's reflog resolution: every historical
+    position of every ref, ranked newest-first per ref so
+    ``moves_ago = 0`` is the current position and ``ref@{n}`` is one
+    filter away.  ``reflog``: (ref, move_seq, commit_id, action) —
+    appends only, the recovery trail that makes resets/rebases
+    undoable.  One ref-partitioned window over ref-movement metadata
+    (bounded by ref activity, not data)."""
+    w = Window.partitionBy("ref").orderBy(F.col("move_seq").desc())
+    return reflog.select(
+        "ref",
+        (F.row_number().over(w) - 1).cast("int").alias("moves_ago"),
+        "commit_id",
+        "action",
+    )
+
+
+def shallow_clone(
+    layers: DataFrame,
+    key_cols: list[str],
+    head_seq: int,
+    depth: int,
+    base_commit: str = "shallow-base",
+) -> DataFrame:
+    """A depth-limited clone's layer stack — git shallow clone with a
+    graft point: history below ``head_seq − depth`` collapses into
+    ONE squashed add-only base layer at the boundary seq, the real
+    layers above ride along unchanged.  Every materialization at
+    seq > boundary is bit-identical to the full stack's (squash keeps
+    net state), while the transfer/storage cost drops from the whole
+    history to depth+1 layers — the onboarding path for a 100 TB
+    store where full history is a server-side-only concern."""
+    boundary = head_seq - depth
+    base = squash(layers, boundary, key_cols, base_commit).withColumn(
+        "commit_seq", F.lit(boundary)
+    )
+    return base.unionByName(
+        layers.where(F.col("commit_seq") > boundary).select(*base.columns)
+    )

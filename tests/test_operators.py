@@ -3045,3 +3045,52 @@ def test_distance_stats_closeness_chain(spark):
     assert rows[1]["n_reached"] == 3 and rows[1]["ecc"] == 2
     assert rows[1]["closeness"] == round(2 / 3, 6)
     assert rows[3]["n_reached"] == 1 and rows[3]["closeness"] == 0.0
+
+
+
+def test_sniff_headers4_variants_and_fallback(spark):
+    from terminus_server_spark.operators.multimodal import sniff_headers4
+
+    rows = [
+        # WEBP VP8X 32x17 canvas (stored minus-one, 24-bit LE)
+        (1, bytes.fromhex("52494646240000005745425056503858"
+                          "0A00000000" + "000000" + "1F0000" + "100000")),
+        (2, bytes.fromhex("4F6767530002" + "00" * 8 + "39300000")),  # serial 12345
+        (3, bytes.fromhex("504B0304" + "2D00")),  # version 45
+        (4, bytes.fromhex("1F8B0800" + "01000000")),  # mtime 1
+        (5, b"plain text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in sniff_headers4(df).collect()}
+    assert out[1]["mime"] == "image/webp" and (out[1]["width"], out[1]["height"]) == (32, 17)
+    assert out[2]["mime"] == "audio/ogg" and out[2]["serial"] == 12345
+    assert out[3]["mime"] == "application/zip" and out[3]["version_needed"] == 45
+    assert out[4]["mime"] == "application/gzip" and out[4]["mtime"] == 1
+    assert out[5]["mime"] == "application/octet-stream"
+
+
+def test_theta_intersect_exact_regime(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import kmv_theta_intersect
+
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    b = spark.range(50, 180).select(F.col("id").alias("k"))
+    row = kmv_theta_intersect(a, "k", b, "k", k=256).collect()[0]
+    # both under k -> sketch exact: estimate == exact == 50
+    assert row["theta"] == 1.0
+    assert row["n_common"] == 50
+    assert row["est_intersect"] == 50.0
+    assert row["exact_intersect"] == 50
+
+
+def test_schema_diff_classifies_edits(spark):
+    from terminus_server_spark.docs.documents import docs_to_triples
+    from terminus_server_spark.model.triples import class_frames, schema_diff
+
+    a = spark.createDataFrame([(1, 10.0, "x")], "k long, p double, q string")
+    b = spark.createDataFrame([(1, "10.0", True)], "k long, p string, r boolean")
+    fa = class_frames(docs_to_triples(a, "C", "k"))
+    fb = class_frames(docs_to_triples(b, "C", "k"))
+    out = {r["predicate"]: r["change"] for r in schema_diff(fa, fb).collect()}
+    assert out == {"p": "type_changed", "q": "removed", "r": "added"}

@@ -286,3 +286,34 @@ def test_verify_integrity_flags_parent_tamper(spark):
     )
     ok2 = {r["commit_id"]: r["ok"] for r in verify_integrity(tampered, ids).collect()}
     assert ok2 == {"c1": True, "c2": False}
+
+
+
+def test_reflog_and_shallow_clone(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import (
+        materialize,
+        reflog_positions,
+        shallow_clone,
+    )
+
+    reflog = spark.createDataFrame(
+        [("main", 1, "a", "commit"), ("main", 2, "b", "commit"),
+         ("main", 3, "a", "reset")],
+        "ref string, move_seq int, commit_id string, action string",
+    )
+    pos = {r["moves_ago"]: r["commit_id"] for r in reflog_positions(reflog).collect()}
+    assert pos == {0: "a", 1: "b", 2: "a"}
+
+    layers = spark.createDataFrame(
+        [(1, "c1", "add", 1), (2, "c2", "add", 2), (2, "c2", "del", 1),
+         (3, "c3", "add", 3), (4, "c4", "add", 4)],
+        "commit_seq int, commit_id string, op string, k long",
+    )
+    sh = shallow_clone(layers, ["k"], head_seq=4, depth=1)
+    # graft correctness: head state identical to the full stack's
+    full = sorted(r["k"] for r in materialize(layers, 4, ["k"]).collect())
+    grafted = sorted(r["k"] for r in materialize(sh, 4, ["k"]).collect())
+    assert full == grafted == [2, 3, 4]
+    assert sh.select("commit_id").distinct().count() == 2  # base + c4

@@ -275,6 +275,36 @@ HEADLINE = [
     "graph_core_numbers",
     "schema_check_acyclic",
     "schema_frames_json",
+    # round 7 second wind
+    "bpe_train_per_lang",
+    "graph_betweenness_incr",
+    "gql_mutation",
+    "stream_landmark_refresh",
+    "vc_patch_id",
+    "vc_bisect",
+    "vc_verify_integrity",
+    "text_winnowing",
+    "graph_random_walks",
+    "stream_kmv_sketch",
+    "graph_closeness",
+    "graph_mis",
+    "asof_join_nearest",
+    "events_resample_interp",
+    "text_html_strip",
+    "text_mojibake",
+    "docs_sentence_split",
+    "src_csv_multiline",
+    "sketch_theta_intersect",
+    "schema_diff",
+    "vc_reflog",
+    "vc_shallow_clone",
+    "agg_mode",
+    "events_cumulative_uniques",
+    "mm_header_probe4",
+    "win_range_frame",
+    "graph_bidirectional_bfs",
+    "stream_cms_merge",
+    "src_json_corrupt_records",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -16487,3 +16487,171 @@ def vc_shallow_clone(spark, sf_dir):
         F.countDistinct("commit_id").cast("bigint").alias("n_commits_full")
     )
     return stats.crossJoin(n_sh).crossJoin(n_full)
+
+
+@register(
+    "win_range_frame",
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """Time-RANGE window frames: per user, the trailing ONE HOUR of
+    events (count + exact decimal sum) at every event — the
+    rate-limiting / rolling-exposure shape a ROWS frame cannot
+    express (rows ≠ time).  The frame bound is epoch-micros RANGE
+    arithmetic, so ties at one instant all see each other; one
+    user-keyed window, exact decimal sums cast to double at the edge
+    (the module's wire convention)."""
+    from pyspark.sql import Window, functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
+@register(
+    "graph_bidirectional_bfs",
+    """
+    SELECT CAST(len(bin(MAX(c_custkey))) - 1 AS BIGINT) AS hops
+    FROM customer
+    """,
+)
+def graph_bidirectional_bfs(spark, sf_dir):
+    """Point-to-point shortest distance by bidirectional BFS
+    (operators/graph.py:bidirectional_distance): the max customer key
+    to the root over the undirected c//2 tree — two balls of radius
+    ~d/2 expanded smaller-frontier-first, exact by the midpoint
+    stopping rule (best ≤ r_a + r_b).  The tree distance to the root
+    is bitlength−1, the oracle's closed form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import bidirectional_distance
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("long").alias("dst"),
+    )
+    mx = cust.agg(F.max("c_custkey")).collect()[0][0]  # metadata scalar
+    s = spark.createDataFrame([(int(mx),)], "node long")
+    t = spark.createDataFrame([(1,)], "node long")
+    return bidirectional_distance(edges, s, t)
+
+
+@register(
+    "stream_cms_merge",
+    """
+    WITH src AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    rows_ AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r,
+             CAST(('0x' || substring(md5(r || ':' || k), 1, 8)) AS BIGINT) % 64 AS bucket,
+             COUNT(*) AS c
+      FROM src, rows_ GROUP BY 1, 2),
+    keys AS (SELECT k, COUNT(*) AS exact FROM src GROUP BY k),
+    est AS (
+      SELECT k, exact, MIN(c) AS est
+      FROM keys, rows_
+      JOIN cells ON cells.r = rows_.r
+        AND cells.bucket =
+            CAST(('0x' || substring(md5(rows_.r || ':' || k), 1, 8)) AS BIGINT) % 64
+      GROUP BY 1, 2)
+    SELECT k AS key, est, exact FROM est
+    WHERE est >= 60 ORDER BY est DESC, key
+    """,
+)
+def stream_cms_merge(spark, sf_dir):
+    """Streaming Count-Min heavy hitters (streaming/events.py:
+    run_stream_countmin): events stream in three key-partitioned
+    micro-batches; each foreachBatch merge ADDS counter cells into
+    the stored 4×64 table (CMS is elementwise additive), so the
+    final sketch — and every collision-driven over-count in it — is
+    bit-identical to the one-shot batch sketch, which is exactly
+    what the `sketch_countmin` oracle checks."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_countmin
+
+    events = _t(spark, sf_dir, "events")["events"].select("event_id", "user_id")
+    batches = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+    return run_stream_countmin(
+        spark, batches, "user_id", depth=4, width=64, min_estimate=60
+    )
+
+
+@register(
+    "src_json_corrupt_records",
+    """
+    WITH rows(city, pop, corrupt) AS (VALUES
+      ('tokyo', 37400068, NULL),
+      ('delhi', 28514000, NULL),
+      (NULL, NULL, '{"city": "truncated'),
+      ('shanghai', 25582000, NULL),
+      (NULL, NULL, 'not json at all'),
+      ('cairo', 20076000, NULL),
+      (NULL, NULL, '[1, 2, 3]'))
+    SELECT COUNT(*) FILTER (WHERE corrupt IS NULL) AS n_clean,
+           COUNT(*) FILTER (WHERE corrupt IS NOT NULL) AS n_corrupt,
+           CAST(SUM(pop) AS BIGINT) AS total_pop,
+           MIN(corrupt) AS first_corrupt
+    FROM rows
+    """,
+)
+def src_json_corrupt_records(spark, sf_dir):
+    """Malformed-record quarantine at the JSON-lines source — the
+    JSON sibling of `src_csv_corrupt_records`: truncated objects,
+    non-JSON lines, and schema-shape mismatches (a top-level array)
+    land in ``_corrupt_record`` under PERMISSIVE mode instead of
+    failing the read or silently vanishing; clean rows parse typed.
+    The audit rolls up clean/corrupt counts, the clean-side sum, and
+    the first corrupt payload for triage."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    lines = [
+        '{"city": "tokyo", "pop": 37400068}',
+        '{"city": "delhi", "pop": 28514000}',
+        '{"city": "truncated',
+        '{"city": "shanghai", "pop": 25582000}',
+        "not json at all",
+        '{"city": "cairo", "pop": 20076000}',
+        "[1, 2, 3]",
+    ]
+    d = tempfile.mkdtemp(prefix="tss_jsonq_")
+    path = os.path.join(d, "rows.json")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    df = (
+        spark.read.schema("city string, pop bigint, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_clean"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum("pop").cast("bigint").alias("total_pop"),
+        F.min("_corrupt_record").alias("first_corrupt"),
+    )

@@ -967,3 +967,89 @@ def run_stream_kmv_sketch(
         F.max("f").alias("theta"),
         ((F.count(F.lit(1)) - 1).cast("double") / F.max("f")).alias("est_distinct"),
     )
+
+
+def run_stream_countmin(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    col: str,
+    depth: int = 4,
+    width: int = 64,
+    min_estimate: int = 1,
+) -> DataFrame:
+    """(key, est, exact): streaming Count-Min heavy hitters — the
+    additive sibling of :func:`run_stream_kmv_sketch`: each
+    foreachBatch merge ADDS the batch's (row, bucket) counter cells
+    into the stored depth×width table (CMS counters are elementwise
+    additive, so the merged sketch is bit-identical to the one-shot
+    batch sketch however rows were split).  State is the fixed
+    depth×width cell table forever — the streaming frequency monitor
+    shape.  The final heavy-hitter readout joins the sketch against
+    the candidate key set exactly like the batch operator, so the
+    oracle is the SAME cell-replay SQL as `sketch_countmin`."""
+    tmp = tempfile.mkdtemp(prefix="tss_cms_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def buckets(key):
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 8), 16, 10
+                ).cast("long")
+                % width
+                for i in range(depth)
+            ]
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cells = (
+            batch_df.select(
+                F.posexplode(buckets(F.col(col).cast("string"))).alias("row", "bucket")
+            )
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        if state["version"] >= 0:
+            prev = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+            cells = (
+                prev.unionByName(cells)
+                .groupBy("row", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        state["version"] += 1
+        cells.write.mode("overwrite").parquet(os.path.join(tmp, f"v{state['version']}"))
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cells = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    keys = full.select(F.col(col).cast("string").alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    kb = keys.select(
+        "key", "exact", F.posexplode(buckets(F.col("key"))).alias("row", "bucket")
+    )
+    return (
+        kb.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("key", "exact")
+        .agg(F.min("c").alias("est"))
+        .where(F.col("est") >= min_estimate)
+        .select("key", "est", "exact")
+        .orderBy(F.col("est").desc(), "key")
+    )

@@ -3094,3 +3094,48 @@ def test_schema_diff_classifies_edits(spark):
     fb = class_frames(docs_to_triples(b, "C", "k"))
     out = {r["predicate"]: r["change"] for r in schema_diff(fa, fb).collect()}
     assert out == {"p": "type_changed", "q": "removed", "r": "added"}
+
+
+
+def test_bidirectional_distance_cases(spark):
+    from terminus_server_spark.operators.graph import bidirectional_distance
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 12)] + [(100, 101)], "src long, dst long"
+    )
+    def d(a, b):
+        s = spark.createDataFrame([(a,)], "node long")
+        t = spark.createDataFrame([(b,)], "node long")
+        return bidirectional_distance(edges, s, t).collect()[0]["hops"]
+
+    assert d(0, 12) == 12
+    assert d(3, 3) == 0
+    assert d(0, 1) == 1
+    assert d(0, 100) is None  # disconnected
+
+
+def test_stream_countmin_split_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import countmin_heavy_hitters
+    from terminus_server_spark.streaming.events import run_stream_countmin
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("k")
+    )
+    batch = {
+        (r["key"], r["est"], r["exact"])
+        for r in countmin_heavy_hitters(df, "k", depth=4, width=16, min_estimate=10).collect()
+    }
+    streamed = {
+        (r["key"], r["est"], r["exact"])
+        for r in run_stream_countmin(
+            spark,
+            [df.where("id % 2 = 0"), df.where("id % 2 = 1")],
+            "k",
+            depth=4,
+            width=16,
+            min_estimate=10,
+        ).collect()
+    }
+    assert batch == streamed

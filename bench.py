@@ -305,6 +305,8 @@ HEADLINE = [
     "graph_bidirectional_bfs",
     "stream_cms_merge",
     "src_json_corrupt_records",
+    "sql_set_ops",
+    "graph_coloring",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

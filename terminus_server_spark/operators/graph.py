@@ -2276,3 +2276,83 @@ def bidirectional_distance(
             if cand is not None and (best is None or cand < best):
                 best = cand
     return spark.createDataFrame([(best,)], "hops bigint")
+
+
+def jones_plassmann_coloring(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(node, color): greedy graph coloring by the Jones-Plassmann
+    parallel schedule with FIXED md5 priorities — deterministic, so
+    the parallel rounds produce EXACTLY the sequential greedy
+    coloring in priority order (the same fixed-priority trick as
+    :func:`luby_mis`, which this generalizes: a node colors as soon
+    as every uncolored neighbor has a larger priority, taking the
+    smallest color its already-colored neighbors don't use).
+
+    Per round: one edge-grain join finds blocked nodes (an uncolored
+    smaller-priority neighbor exists), the unblocked frontier
+    collects its colored-neighbor color set (bounded by degree) and
+    takes the minimum absent value of 1..deg+1 — pure array algebra,
+    no UDF.  Rounds are bounded by the longest decreasing-priority
+    path; every round's shuffles shrink with the uncolored set.
+    Register allocation / schedule-conflict shape at 100 TB."""
+    und = loop_checkpoint(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    pri = nodes.select("node", F.md5(F.col("node").cast("string")).alias("_p"))
+    uncolored, n_u = loop_checkpoint_count(pri)
+    colored = None
+    with loop_tuning(edges.sparkSession, n_u):
+        for _ in range(max_iters):
+            if n_u == 0:
+                break
+            blocked = (
+                und.join(
+                    uncolored.select(F.col("node").alias("src"), F.col("_p").alias("_pa")),
+                    "src",
+                )
+                .join(
+                    uncolored.select(F.col("node").alias("dst"), F.col("_p").alias("_pb")),
+                    "dst",
+                )
+                .where(F.col("_pb") < F.col("_pa"))
+                .select(F.col("src").alias("node"))
+                .distinct()
+            )
+            frontier = uncolored.select("node").join(blocked, "node", "left_anti")
+            if colored is not None:
+                nb = (
+                    und.join(frontier.withColumnRenamed("node", "src"), "src")
+                    .join(
+                        colored.select(
+                            F.col("node").alias("dst"), F.col("color").alias("_c")
+                        ),
+                        "dst",
+                    )
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.collect_set("_c").alias("_cols"))
+                )
+            else:
+                nb = None
+            fc = frontier if nb is None else frontier.join(nb, "node", "left_outer")
+            cols = (
+                F.coalesce(F.col("_cols"), F.array().cast("array<int>"))
+                if nb is not None
+                else F.array().cast("array<int>")
+            )
+            pick = F.array_min(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(cols) + 1),
+                    lambda x: ~F.array_contains(cols, x),
+                )
+            ).cast("int")
+            newly = loop_checkpoint(fc.select("node", pick.alias("color")))
+            colored = newly if colored is None else loop_checkpoint(
+                colored.unionByName(newly)
+            )
+            uncolored, n_u = loop_checkpoint_count(
+                uncolored.join(newly.select("node"), "node", "left_anti")
+            )
+    return colored

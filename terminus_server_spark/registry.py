@@ -16655,3 +16655,106 @@ def src_json_corrupt_records(spark, sf_dir):
         F.sum("pop").cast("bigint").alias("total_pop"),
         F.min("_corrupt_record").alias("first_corrupt"),
     )
+
+
+@register(
+    "sql_set_ops",
+    """
+    WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+    b AS (SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 150000),
+    i AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b),
+    e AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b),
+    d AS (SELECT p FROM a INTERSECT SELECT p FROM b)
+    SELECT 'intersect_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n FROM i GROUP BY p
+    UNION ALL
+    SELECT 'except_all', p, CAST(COUNT(*) AS BIGINT) FROM e GROUP BY p
+    UNION ALL
+    SELECT 'intersect_distinct', p, CAST(COUNT(*) AS BIGINT) FROM d GROUP BY p
+    """,
+)
+def sql_set_ops(spark, sf_dir):
+    """Bag-semantics set operators through the raw SQL surface:
+    INTERSECT ALL (min of multiplicities), EXCEPT ALL (multiplicity
+    subtraction), and distinct INTERSECT over two order slices —
+    the duplicate-arithmetic semantics naive anti/semi joins get
+    wrong (a priority occurring 40× in A and 25× in B must survive
+    EXCEPT ALL exactly 15×).  Same Catalyst plan family DuckDB uses,
+    checked value-for-value."""
+    tabs = _t(spark, sf_dir, "orders")
+    tabs["orders"].createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH a AS (SELECT o_orderpriority AS p FROM orders_v WHERE o_orderstatus = 'F'),
+        b AS (SELECT o_orderpriority AS p FROM orders_v WHERE o_totalprice > 150000),
+        i AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b),
+        e AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b),
+        d AS (SELECT p FROM a INTERSECT SELECT p FROM b)
+        SELECT 'intersect_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n FROM i GROUP BY p
+        UNION ALL
+        SELECT 'except_all', p, CAST(COUNT(*) AS BIGINT) FROM e GROUP BY p
+        UNION ALL
+        SELECT 'intersect_distinct', p, CAST(COUNT(*) AS BIGINT) FROM d GROUP BY p
+        """
+    )
+
+
+def _jp_oracle_sql(rounds=12):
+    parts = ["""
+    WITH e0 AS (
+      SELECT c_custkey AS a, c_custkey - 1 AS b FROM customer
+      WHERE c_custkey % 10 <> 0 AND c_custkey >= 1),
+    und AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    n0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM und),
+    pri AS MATERIALIZED (SELECT v, md5(CAST(v AS VARCHAR)) AS p FROM n0),
+    u0 AS MATERIALIZED (SELECT v FROM pri),
+    c0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS INT) AS color
+                        WHERE FALSE)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+    f{r} AS MATERIALIZED (
+      SELECT u.v FROM u{p} u
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und e
+        JOIN u{p} u2 ON u2.v = e.b
+        JOIN pri pa ON pa.v = e.a
+        JOIN pri pb ON pb.v = e.b
+        WHERE e.a = u.v AND pb.p < pa.p)),
+    nb{r} AS MATERIALIZED (
+      SELECT e.a AS v, list(DISTINCT c.color) AS cols
+      FROM und e JOIN f{r} f ON f.v = e.a JOIN c{p} c ON c.v = e.b
+      GROUP BY e.a),
+    pick{r} AS MATERIALIZED (
+      SELECT f.v,
+             CAST(list_min(list_filter(
+               generate_series(1, len(COALESCE(nb.cols, [])) + 1),
+               x -> NOT list_contains(COALESCE(nb.cols, []), x))) AS INT) AS color
+      FROM f{r} f LEFT JOIN nb{r} nb ON nb.v = f.v),
+    c{r} AS MATERIALIZED (
+      SELECT v, color FROM c{p} UNION ALL SELECT v, color FROM pick{r}),
+    u{r} AS MATERIALIZED (
+      SELECT v FROM u{p} EXCEPT SELECT v FROM f{r})""")
+    return "".join(parts) + f"""
+    SELECT v AS node, color FROM c{rounds}
+    """
+
+
+@register("graph_coloring", _jp_oracle_sql(12))
+def graph_coloring(spark, sf_dir):
+    """Greedy graph coloring — deterministic Jones-Plassmann
+    (operators/graph.py:jones_plassmann_coloring): fixed md5
+    priorities make the parallel rounds reproduce the sequential
+    greedy coloring in priority order over the decade chains, which
+    the oracle replays round-for-round (12 unrolled rounds bound the
+    longest decreasing-priority path on 10-node chains).  Smallest-
+    free-color selection is pure array algebra over the <=deg
+    colored-neighbor set."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import jones_plassmann_coloring
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    return jones_plassmann_coloring(edges)

@@ -3139,3 +3139,18 @@ def test_stream_countmin_split_invariant(spark):
         ).collect()
     }
     assert batch == streamed
+
+
+def test_jones_plassmann_proper_coloring(spark):
+    from terminus_server_spark.operators.graph import jones_plassmann_coloring
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20)] + [(0, 20)],  # odd cycle needs 3 colors
+        "src long, dst long",
+    )
+    rows = {r["node"]: r["color"] for r in jones_plassmann_coloring(edges).collect()}
+    und = {(a, b) for a, b in [(i, i + 1) for i in range(0, 20)] + [(0, 20)]}
+    for a, b in und:
+        assert rows[a] != rows[b], (a, b)
+    assert set(rows.values()) <= {1, 2, 3}
+    assert len(rows) == 21

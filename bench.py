@@ -307,6 +307,8 @@ HEADLINE = [
     "src_json_corrupt_records",
     "sql_set_ops",
     "graph_coloring",
+    "doc_replace",
+    "vc_merge_octopus",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -668,3 +668,39 @@ def graphql_schema(frames: DataFrame) -> DataFrame:
         )
     )
     return objects.unionByName(filters).unionByName(query)
+
+
+def replace_documents(
+    triples: DataFrame, new_docs: DataFrame, class_name: str, key_col: str
+) -> DataFrame:
+    """ReplaceDocument semantics (the reference's PUT /api/document —
+    whole-document replacement, distinct from field-level update):
+    EVERY existing triple of each replaced subject retracts and the
+    new body's triples insert, so fields absent from the new body
+    VANISH — the behavior that separates replace from update.
+    Returns the (op, triple...) delta frame for ``apply_delta`` /
+    commit composition, like ``update_documents_where``.  One subject
+    semi-join for the retraction (broadcastable at request size) +
+    one map stage for the new bodies."""
+    subjects = new_docs.select(
+        F.concat(F.lit(class_name + "/"), F.col(key_col).cast("string")).alias("subject")
+    )
+    dels = triples.join(subjects, "subject", "left_semi").select(
+        F.lit("del").alias("op"),
+        "graph",
+        "subject",
+        "predicate",
+        "obj",
+        "obj_type",
+        "obj_num",
+    )
+    adds = docs_to_triples(new_docs, class_name, key_col).select(
+        F.lit("add").alias("op"),
+        "graph",
+        "subject",
+        "predicate",
+        "obj",
+        "obj_type",
+        "obj_num",
+    )
+    return dels.unionByName(adds)

@@ -16758,3 +16758,118 @@ def graph_coloring(spark, sf_dir):
         F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
     )
     return jones_plassmann_coloring(edges)
+
+
+@register(
+    "doc_replace",
+    """
+    WITH repl AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 3),
+    post AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id % 10 <> 3
+      UNION ALL
+      SELECT doc_id, NULL, 'xx', 'replaced', NULL FROM repl)
+    SELECT 'lang' AS predicate, lang AS obj, CAST(COUNT(*) AS BIGINT) AS n
+    FROM post WHERE lang IS NOT NULL GROUP BY lang
+    UNION ALL
+    SELECT 'source', source, CAST(COUNT(*) AS BIGINT)
+    FROM post WHERE source IS NOT NULL GROUP BY source
+    UNION ALL
+    SELECT 'n_fields', CAST(NULL AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT doc_id, text FROM post WHERE text IS NOT NULL
+          UNION ALL SELECT doc_id, CAST(n_chars AS VARCHAR) FROM post
+          WHERE n_chars IS NOT NULL)
+    """,
+)
+def doc_replace(spark, sf_dir):
+    """Whole-document replacement (docs/documents.py:
+    replace_documents — the reference's PUT /api/document): docs with
+    doc_id%10=3 are replaced by a two-field body {lang: xx, source:
+    replaced}, so their text and n_chars triples VANISH — the
+    retract-everything-then-insert semantics that separates replace
+    from field update.  Output: post-state value distributions plus a
+    count of surviving text/n_chars triples proving the dropped
+    fields are really gone."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.docs.documents import (
+        docs_to_triples,
+        replace_documents,
+    )
+    from terminus_server_spark.versioning.layers import apply_delta
+
+    docs = plan_checkpoint(_t(spark, sf_dir, "documents")["documents"])
+    tri = plan_checkpoint(docs_to_triples(docs, "Doc", "doc_id"))
+    new_docs = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.lit("xx").alias("lang"), F.lit("replaced").alias("source")
+    )
+    delta = replace_documents(tri, new_docs, "Doc", "doc_id")
+    post = plan_checkpoint(apply_delta(tri, delta))
+    dist = (
+        post.where(F.col("predicate").isin("lang", "source"))
+        .groupBy("predicate", F.col("obj"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    gone = post.where(F.col("predicate").isin("text", "n_chars")).agg(
+        F.lit("n_fields").alias("predicate"),
+        F.lit(None).cast("string").alias("obj"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return dist.unionByName(gone)
+
+
+@register(
+    "vc_merge_octopus",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      WHERE year(o_orderdate) <= 1998),
+    newo AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      WHERE year(o_orderdate) >= 1999),
+    final AS (
+      SELECT k, p FROM base WHERE k % 7 <> 0 AND k % 11 <> 0
+      UNION ALL SELECT k, p FROM newo)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_dsum_sql('p')} AS sum_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE k % 14 = 0)
+             AS n_conflicts
+    FROM final
+    """,
+)
+def vc_merge_octopus(spark, sf_dir):
+    """Octopus (n-way) merge (versioning/layers.py:merge_octopus):
+    three branches over the <=1998 base — branch 1 deletes every 7th
+    key, branch 2 RE-ADDS every 14th (op conflict with branch 1,
+    first-wins resolution keeps the delete), branch 3 imports the
+    1999+ orders and deletes every 11th base key (agreeing deletes
+    do not conflict).  The merged state and the conflict count both
+    restate closed-form from the base table; all work scales with
+    the deltas, never the base."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.versioning.layers import merge_octopus
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    base = plan_checkpoint(
+        orders.where(F.year("o_orderdate") <= 1998).select(
+            F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+        )
+    )
+    newo = orders.where(F.year("o_orderdate") >= 1999).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    b1 = base.where(F.col("k") % 7 == 0).select(F.lit("del").alias("op"), "k", "p")
+    b2 = base.where(F.col("k") % 14 == 0).select(F.lit("add").alias("op"), "k", "p")
+    b3 = newo.select(F.lit("add").alias("op"), "k", "p").unionByName(
+        base.where(F.col("k") % 11 == 0).select(F.lit("del").alias("op"), "k", "p")
+    )
+    merged, conflicts = merge_octopus(base, [b1, b2, b3], ["k"])
+    stats = merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("p").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    )
+    ncf = conflicts.agg(F.count(F.lit(1)).cast("bigint").alias("n_conflicts"))
+    return stats.crossJoin(ncf)

@@ -559,3 +559,46 @@ def shallow_clone(
     return base.unionByName(
         layers.where(F.col("commit_seq") > boundary).select(*base.columns)
     )
+
+
+def merge_octopus(
+    base: DataFrame, branches: list[DataFrame], key_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """N-way (octopus) merge of branch deltas over a common base —
+    git's octopus strategy generalized with a DETERMINISTIC
+    resolution: branches are ranked by list position and a key
+    claimed by several branches takes the LOWEST-RANKED branch's op
+    (first-wins; git refuses octopus merges with conflicts, this
+    reports them AND resolves).  Returns ``(merged, conflicts)``;
+    conflicts are keys where at least two branches disagree on the
+    op, with the disagreeing op set rendered sorted.
+
+    All work is keyed joins over the UNION OF DELTAS tagged with the
+    branch rank (one groupBy for the winner per key via min_by, one
+    for the conflict report) — cost scales with Σ|deltas|, never
+    |base|, the same contract as the two-way merge."""
+    tagged = None
+    for i, br in enumerate(branches):
+        t = br.select(F.lit(i).alias("_rank"), F.col("op"), *key_cols)
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = tagged.distinct()
+    per_key = tagged.groupBy(*key_cols).agg(
+        F.min_by("op", "_rank").alias("_win_op"),
+        F.min("_rank").alias("_win_rank"),
+        F.array_sort(F.collect_set("op")).alias("_ops"),
+    )
+    conflicts = per_key.where(F.size("_ops") > 1).select(
+        *key_cols, F.array_join("_ops", "|").alias("ops")
+    )
+    winners = per_key.select(*key_cols, "_win_op", "_win_rank")
+    adds = None
+    for i, br in enumerate(branches):
+        w = winners.where((F.col("_win_rank") == i) & (F.col("_win_op") == "add"))
+        a = br.where(F.col("op") == "add").join(w.select(*key_cols), key_cols, "left_semi")
+        adds = a if adds is None else adds.unionByName(a)
+    adds = adds.select(*base.columns).distinct() if adds is not None else None
+    touched = winners.select(*key_cols)
+    merged = base.join(touched, key_cols, "left_anti")
+    if adds is not None:
+        merged = merged.unionByName(adds.select(*base.columns))
+    return merged, conflicts

@@ -317,3 +317,45 @@ def test_reflog_and_shallow_clone(spark):
     grafted = sorted(r["k"] for r in materialize(sh, 4, ["k"]).collect())
     assert full == grafted == [2, 3, 4]
     assert sh.select("commit_id").distinct().count() == 2  # base + c4
+
+
+def test_merge_octopus_first_wins_and_conflicts(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.layers import merge_octopus
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    b1 = spark.createDataFrame([("del", 1, "a")], "op string, k long, v string")
+    b2 = spark.createDataFrame(
+        [("add", 1, "a2"), ("add", 4, "d")], "op string, k long, v string"
+    )
+    b3 = spark.createDataFrame(
+        [("del", 4, "d"), ("add", 5, "e")], "op string, k long, v string"
+    )
+    merged, conflicts = merge_octopus(base, [b1, b2, b3], ["k"])
+    got = {(r["k"], r["v"]) for r in merged.collect()}
+    # k=1: b1 del wins over b2 add; k=4: b2 add wins over b3 del; k=5 added
+    assert got == {(2, "b"), (3, "c"), (4, "d"), (5, "e")}
+    cf = {(r["k"], r["ops"]) for r in conflicts.collect()}
+    assert cf == {(1, "add|del"), (4, "add|del")}
+
+
+def test_replace_documents_drops_absent_fields(spark):
+    from terminus_server_spark.docs.documents import (
+        docs_to_triples,
+        replace_documents,
+    )
+    from terminus_server_spark.versioning.layers import apply_delta
+
+    docs = spark.createDataFrame(
+        [(1, "hello", 5), (2, "world", 5)], "doc_id long, text string, n long"
+    )
+    tri = docs_to_triples(docs, "Doc", "doc_id")
+    new = spark.createDataFrame([(1, "fr")], "doc_id long, lang string")
+    post = apply_delta(tri, replace_documents(tri, new, "Doc", "doc_id"))
+    d1 = {
+        (r["predicate"], r["obj"])
+        for r in post.where("subject = 'Doc/1' AND predicate <> 'rdf:type'").collect()
+    }
+    assert d1 == {("lang", "fr")}  # text and n vanished
+    assert post.where("subject = 'Doc/2' AND predicate = 'text'").count() == 1

@@ -309,6 +309,7 @@ HEADLINE = [
     "graph_coloring",
     "doc_replace",
     "vc_merge_octopus",
+    "graph_bipartite",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

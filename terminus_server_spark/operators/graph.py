@@ -2238,6 +2238,10 @@ def bidirectional_distance(
     spark = edges.sparkSession
 
     def probe(ba, bb):
+        # frontier-vs-ball, not ball-vs-ball: after the first probe a
+        # new common node can only enter through a freshly expanded
+        # frontier, so each round's probe joins the (small) frontier
+        # against the other side's ball
         j = ba.join(bb.select(F.col("node"), F.col("dist").alias("_db")), "node")
         row = j.agg(F.min(F.col("dist") + F.col("_db")).alias("h")).collect()[0]
         return row["h"]
@@ -2272,7 +2276,7 @@ def bidirectional_distance(
                 front_b = grown
                 ball_b = loop_checkpoint(ball_b.unionByName(grown))
                 rb += 1
-            cand = probe(ball_a, ball_b)
+            cand = probe(grown, ball_b if expand_a else ball_a)
             if cand is not None and (best is None or cand < best):
                 best = cand
     return spark.createDataFrame([(best,)], "hops bigint")
@@ -2356,3 +2360,46 @@ def jones_plassmann_coloring(edges: DataFrame, max_iters: int = 50) -> DataFrame
                 uncolored.join(newly.select("node"), "node", "left_anti")
             )
     return colored
+
+
+def bipartite_check(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(component, n_nodes, n_odd_edges, is_bipartite): two-colorable
+    test per connected component — BFS parity labels from each
+    component's minimum node, then one edge-grain probe for edges
+    whose endpoints share a parity (each is a witness to an odd
+    cycle, so a component is bipartite iff it has none).  Reuses the
+    CC fixpoint + multi-source BFS machinery (their loop_tuning and
+    frontier discipline included); the parity probe is a single join
+    keyed by the node — nothing here is new state beyond the label
+    tables."""
+    und = loop_checkpoint(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    comp = connected_components(und, max_iters)
+    roots = comp.select(F.col("component").alias("node")).distinct()
+    hops = shortest_hops(und, roots, max_iters).select(
+        F.col("node"), (F.col("hops") % 2).alias("_par")
+    )
+    labeled = comp.join(hops, "node")
+    par_a = labeled.select(
+        F.col("node").alias("src"), F.col("component"), F.col("_par").alias("_pa")
+    )
+    par_b = labeled.select(F.col("node").alias("dst"), F.col("_par").alias("_pb"))
+    odd = (
+        und.where(F.col("src") < F.col("dst"))
+        .join(par_a, "src")
+        .join(par_b, "dst")
+        .where(F.col("_pa") == F.col("_pb"))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_odd_edges"))
+    )
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return sizes.join(odd, "component", "left_outer").select(
+        "component",
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.coalesce("n_odd_edges", F.lit(0)).cast("bigint").alias("n_odd_edges"),
+        (F.coalesce("n_odd_edges", F.lit(0)) == 0).alias("is_bipartite"),
+    )

@@ -16873,3 +16873,44 @@ def vc_merge_octopus(spark, sf_dir):
     )
     ncf = conflicts.agg(F.count(F.lit(1)).cast("bigint").alias("n_conflicts"))
     return stats.crossJoin(ncf)
+
+
+@register(
+    "graph_bipartite",
+    """
+    WITH decs AS (
+      SELECT DISTINCT (c_custkey // 10) * 10 AS d FROM customer
+      WHERE c_custkey % 10 <> 0 AND c_custkey >= 1)
+    SELECT CAST(d AS BIGINT) AS component,
+           CAST(CASE WHEN d % 30 = 0 THEN 11 ELSE 10 END AS BIGINT) AS n_nodes,
+           CAST(CASE WHEN d % 30 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_odd_edges,
+           (d % 30 <> 0) AS is_bipartite
+    FROM decs
+    """,
+)
+def graph_bipartite(spark, sf_dir):
+    """Bipartiteness per component (operators/graph.py:
+    bipartite_check): the decade chains are paths (bipartite), but
+    every third decade gains a pendant node 10d+100000 tied to BOTH
+    ends of its first edge — closing a triangle, the minimal odd
+    cycle — and must be flagged with exactly one odd-parity witness
+    edge.  BFS parity labels from each component's min node + one
+    edge-grain parity probe."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import bipartite_check
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    chain = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    tri_decs = chain.where(
+        (F.col("src") % 10 == 1) & (F.floor(F.col("src") / 10) % 3 == 0)
+    )
+    extra = tri_decs.select(
+        (F.col("src") + 100000 - 1).alias("pend"), F.col("src"), F.col("dst")
+    )
+    tri_edges = extra.select(F.col("pend").alias("src"), F.col("src").alias("dst")).unionByName(
+        extra.select(F.col("pend").alias("src"), F.col("dst").alias("dst"))
+    )
+    return bipartite_check(chain.unionByName(tri_edges))

@@ -310,6 +310,9 @@ HEADLINE = [
     "doc_replace",
     "vc_merge_octopus",
     "graph_bipartite",
+    "acl_grant_revoke",
+    "agg_corr",
+    "events_ab_assign",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -5640,11 +5640,14 @@ def acl_can(spark, sf_dir):
     (direct database grant, or organization grant covering every
     database in it) — exactly how the reference walks its capability
     graph on every request."""
-    from pyspark.sql import functions as F
+    system, _geo = _acl_system(spark, sf_dir)
+    return WOQLContext_run_acl(system)
 
-    from terminus_server_spark.model.triples import TripleStore
-    from terminus_server_spark.woql import ast as A
-    from terminus_server_spark.woql.compiler import WOQLContext
+
+def _acl_system(spark, sf_dir):
+    """(system, geo): the acl_can fixture's system graph — shared
+    with `acl_grant_revoke`, which mutates it through a delta."""
+    from pyspark.sql import functions as F
 
     from terminus_server_spark.checkpoint import plan_checkpoint
 
@@ -5704,6 +5707,16 @@ def acl_can(spark, sf_dir):
         .unionByName(tri(role_actions, F.col("r"), "action", F.col("a")))
         .unionByName(tri(dbs, F.col("db"), "in_org", F.col("org")))
     )
+    return system, geo
+
+
+def WOQLContext_run_acl(system):
+    """Run the can(actor, action, resource) WOQL walk over a system
+    graph frame (shared by `acl_can` and `acl_grant_revoke`)."""
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
     q = A.Using(
         "system",
         A.Distinct(
@@ -16914,3 +16927,235 @@ def graph_bipartite(spark, sf_dir):
         extra.select(F.col("pend").alias("src"), F.col("dst").alias("dst"))
     )
     return bipartite_check(chain.unionByName(tri_edges))
+
+
+@register(
+    "acl_grant_revoke",
+    """
+    WITH u AS (
+      SELECT c_custkey AS c, n_name, r_name,
+             CASE c_custkey % 3 WHEN 0 THEN 'admin' WHEN 1 THEN 'writer' ELSE 'reader' END AS role,
+             CASE WHEN c_custkey % 5 = 0 THEN 'Org/' || r_name ELSE 'Db/' || n_name END AS scope
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE c_custkey % 100 = 0),
+    acts(role, act) AS (VALUES
+      ('admin','read'),('admin','write'),('admin','delete'),('admin','grant'),
+      ('writer','read'),('writer','write'),('reader','read')),
+    dbs AS (
+      SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey),
+    removed AS (
+      SELECT DISTINCT 'User/' || u.c AS usr, a.act AS action,
+             'Db/' || d.n_name AS resource
+      FROM u
+      JOIN acts a ON a.role = u.role
+      JOIN dbs d ON u.scope = 'Db/' || d.n_name OR u.scope = 'Org/' || d.r_name
+      WHERE u.role = 'writer' AND u.scope LIKE 'Org/%'),
+    added AS (
+      SELECT DISTINCT 'User/' || u.c AS usr, 'write' AS action,
+             'Db/' || u.n_name AS resource
+      FROM u WHERE u.role = 'reader')
+    SELECT usr, action, resource, 'removed' AS change FROM removed
+    UNION ALL
+    SELECT usr, action, resource, 'added' FROM added
+    """,
+)
+def acl_grant_revoke(spark, sf_dir):
+    """Capability grant/revoke through the delta-layer write path
+    (reference: role/capability mutation APIs over the _system
+    database): the revoke deletes the user→capability link of every
+    org-scoped writer (their whole permission set must vanish), the
+    grant adds a second capability giving every reader 'writer' on
+    their OWN database (they gain exactly the write action there —
+    their read rows must NOT re-appear as added).  Output: the
+    can(actor, action, resource) DIFF between the before and after
+    system graphs — permissions are checked as query results, so
+    both states run the same WOQL capability walk as `acl_can`."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.versioning.layers import apply_delta
+
+    system, geo = _acl_system(spark, sf_dir)
+    usr = F.concat(F.lit("User/"), F.col("c_custkey").cast("string"))
+    cap2 = F.concat(F.lit("Cap2/"), F.col("c_custkey").cast("string"))
+    revoked = geo.where(
+        (F.col("c_custkey") % 3 == 1) & (F.col("c_custkey") % 5 == 0)
+    )
+    dels = (
+        system.join(
+            revoked.select(usr.alias("subject")), "subject", "left_semi"
+        )
+        .where(F.col("predicate") == "capability")
+        .select(F.lit("del").alias("op"), *system.columns)
+    )
+    readers = geo.where(F.col("c_custkey") % 3 == 2)
+
+    def tri2(df, subj, pred, obj):
+        return df.select(
+            F.lit("add").alias("op"),
+            F.lit("system").alias("graph"),
+            subj.alias("subject"),
+            F.lit(pred).alias("predicate"),
+            obj.alias("obj"),
+            F.lit("iri").alias("obj_type"),
+            F.lit(None).cast("double").alias("obj_num"),
+        )
+
+    adds = (
+        tri2(readers, usr, "capability", cap2)
+        .unionByName(tri2(readers, cap2, "role", F.lit("Role/writer")))
+        .unionByName(
+            tri2(readers, cap2, "scope", F.concat(F.lit("Db/"), F.col("n_name")))
+        )
+    )
+    delta = dels.unionByName(adds.select(*dels.columns))
+    after = plan_checkpoint(apply_delta(system, delta))
+    before_can = plan_checkpoint(WOQLContext_run_acl(system))
+    after_can = plan_checkpoint(WOQLContext_run_acl(after))
+    removed = before_can.join(after_can, ["usr", "action", "resource"], "left_anti").select(
+        "usr", "action", "resource", F.lit("removed").alias("change")
+    )
+    added = after_can.join(before_can, ["usr", "action", "resource"], "left_anti").select(
+        "usr", "action", "resource", F.lit("added").alias("change")
+    )
+    return removed.unionByName(added)
+
+
+@register(
+    "agg_corr",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr(spark, sf_dir):
+    """Pearson correlation per group with EXACT moment accumulation:
+    quantities and cent-scaled prices become integers, the five
+    moments sum as DECIMAL(38,0) (no float accumulation order to
+    disagree on — Spark's builtin corr() folds doubles and is not
+    bit-reproducible across engines), and only the final closed-form
+    combination runs in doubles with an identical expression tree on
+    both sides.  One map-side-partial aggregate."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).alias("sx"),
+        F.sum(y.cast("decimal(38,0)")).alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "events_ab_assign",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN substring(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assign GROUP BY arm),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n_users END) AS n_a,
+             MAX(CASE WHEN arm = 'A' THEN n_converted END) AS c_a,
+             MAX(CASE WHEN arm = 'B' THEN n_users END) AS n_b,
+             MAX(CASE WHEN arm = 'B' THEN n_converted END) AS c_b
+      FROM arms)
+    SELECT n_a, n_b,
+           ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS conv_a,
+           ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS conv_b,
+           ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6)
+             AS z_score
+    FROM wide
+    """,
+)
+def events_ab_assign(spark, sf_dir):
+    """Deterministic A/B experiment analysis: users assign to arms by
+    a SEEDED md5 bucket (reproducible across runs, engines, and
+    corpus growth — the property df.sample lacks), conversion =
+    any purchase above 150 per user, and the pooled two-proportion z-score
+    comes out of one closed-form expression over exact counts.  One
+    user-grain aggregate + one 2-row rollup; the seed prefix makes
+    re-randomization an explicit code change, not an accident."""
+    from pyspark.sql import functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+    arm = F.when(
+        F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 1)
+        < "8",
+        "A",
+    ).otherwise("B")
+    assign = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("c_b"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    p = (d("c_a") + d("c_b")) / (d("n_a") + d("n_b"))
+    z = (d("c_a") / d("n_a") - d("c_b") / d("n_b")) / F.sqrt(
+        p * (1 - p) * (F.lit(1.0) / d("n_a") + F.lit(1.0) / d("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(d("c_a") / d("n_a"), 6).alias("conv_a"),
+        F.round(d("c_b") / d("n_b"), 6).alias("conv_b"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -313,6 +313,8 @@ HEADLINE = [
     "acl_grant_revoke",
     "agg_corr",
     "events_ab_assign",
+    "ann_ivf_nprobe_sweep",
+    "bpe_fertility_per_lang",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -313,10 +313,19 @@ def bpe_train_grouped(
     pairs are a |groups|-row broadcast.  Ties break (count desc,
     pair asc) within each group, so the merge tables are
     deterministic per group and independent across groups."""
+    _, merges = _train_grouped(docs, text_col, group_col, rounds, top_words)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("grp", "rnd")
+
+
+def _train_grouped(docs, text_col, group_col, rounds, top_words):
+    """([per-round (grp, a, b) best frames], [merge-table rows])."""
     words = _initial_words_grouped(docs, text_col, group_col, top_words).transform(
         plan_checkpoint
     )
-    merges = []
+    bests, merges = [], []
     for r in range(1, rounds + 1):
         pr = _positions_grouped(words)
         best = (
@@ -332,6 +341,7 @@ def bpe_train_grouped(
             .where(F.col("_rk") == 1)
             .drop("_rk")
         ).transform(plan_checkpoint)
+        bests.append(best)
         merges.append(
             best.select(
                 "grp",
@@ -342,7 +352,71 @@ def bpe_train_grouped(
             )
         )
         words = _rewrite_grouped(pr, best)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("grp", "rnd")
+    return bests, merges
+
+
+def bpe_fertility_grouped(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    rounds: int = 3,
+    top_words: int = 100,
+) -> DataFrame:
+    """(grp, n_words, n_chars, n_bpe_tokens, fertility,
+    chars_per_token): per-language tokenizer FERTILITY audit — train
+    each language's merge table (same shared-shuffle grouped
+    training), apply it to every distinct (lang, word) of the full
+    corpus, and roll corpus-weighted token counts up per language.
+    Fertility (BPE tokens per word) and compression (chars per BPE
+    token) are THE cross-lingual tokenizer-equity metrics — a
+    vocabulary trained per language shows directly which languages
+    pay more tokens per word under the same budget.
+
+    The heavy stream is touched once (distinct words rewrite;
+    corpus-exploded counts join back), exactly like ``bpe_apply`` —
+    per round the rewrite shuffles on (lang, word) only."""
+    bests, _ = _train_grouped(docs, text_col, group_col, rounds, top_words)
+    from terminus_server_spark.operators.text import tokens_col
+
+    corpus = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("word"),
+    ).where(F.col("word") != "")
+    all_words = (
+        corpus.select("grp", "word")
+        .distinct()
+        .select(
+            "grp",
+            "word",
+            F.lit(1).cast("long").alias("freq"),
+            _chars_col("word").alias("syms"),
+        )
+    ).transform(plan_checkpoint)
+    for best in bests:
+        all_words = _rewrite_grouped(_positions_grouped(all_words), best)
+    counts = all_words.select(
+        "grp", "word", F.size("syms").alias("_bpe"), F.length("word").alias("_chars")
+    )
+    return (
+        corpus.join(counts, ["grp", "word"])
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("_chars").cast("bigint").alias("n_chars"),
+            F.sum("_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "grp",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )

@@ -17159,3 +17159,194 @@ def events_ab_assign(spark, sf_dir):
         F.round(d("c_b") / d("n_b"), 6).alias("conv_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+def _ivf_sweep_oracle_sql(probes=(1, 2, 4), k=10, n_q=5):
+    """Full IVF replay at several n_probe settings + the exact
+    brute-force truth, recall@k per setting — the serving-tuning
+    curve, integer-exact (recall = Σ matches / Σ exact rows)."""
+    shared = f"""
+    WITH {_PARTS_SQL},
+    cents0 AS MATERIALIZED (
+      SELECT vec_id AS cell_id, v AS vc, norm AS normc
+      FROM parts ORDER BY vec_id LIMIT 16),
+    assign0 AS MATERIALIZED (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT p.vec_id, p.v, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_CELL_COS_SQL} DESC, c.cell_id ASC) AS crk
+        FROM parts p CROSS JOIN cents0 c) WHERE crk = 1),
+    comps AS MATERIALIZED (
+      SELECT cell_id, i,
+             floor(sum(floor(x * 1e6)::BIGINT)::DOUBLE / count(*)) / 1e6 AS comp
+      FROM (SELECT cell_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM assign0)
+      GROUP BY cell_id, i),
+    cents AS MATERIALIZED (
+      SELECT cell_id, vc,
+             list_sum(list_transform(vc, x -> floor(x * x * 1e12)::BIGINT)) AS normc
+      FROM (SELECT cell_id, list(comp ORDER BY i) AS vc FROM comps GROUP BY cell_id)),
+    corpus_assign AS MATERIALIZED (
+      SELECT vec_id, v, norm, cell_id FROM (
+        SELECT p.vec_id, p.v, p.norm, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_CELL_COS_SQL} DESC, c.cell_id ASC) AS crk
+        FROM parts p CROSS JOIN cents c) WHERE crk = 1),
+    probe_rank AS MATERIALIZED (
+      SELECT vec_id, v, norm, cell_id, crk FROM (
+        SELECT p.vec_id, p.v, p.norm, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_CELL_COS_SQL} DESC, c.cell_id ASC) AS crk
+        FROM parts p CROSS JOIN cents c WHERE p.vec_id < {n_q})),
+    ex_top AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rk
+        FROM parts a JOIN parts b ON a.vec_id < {n_q} AND a.vec_id <> b.vec_id)
+      WHERE rk <= {k}),
+    ex_tot AS (SELECT COUNT(*) AS t FROM ex_top)"""
+    branches = []
+    for p in probes:
+        branches.append(f""",
+    top{p} AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, MAX({_COS_SQL}) AS cos
+          FROM (SELECT * FROM probe_rank WHERE crk <= {p}) a
+          JOIN corpus_assign b USING (cell_id)
+          WHERE a.vec_id <> b.vec_id GROUP BY 1, 2))
+      WHERE rk <= {k})""")
+    finals = "\n    UNION ALL ".join(
+        f"""SELECT CAST({p} AS INT) AS n_probe,
+           (SELECT COUNT(*) FROM top{p} t JOIN ex_top e
+            ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id)::DOUBLE
+             / (SELECT t FROM ex_tot) AS recall"""
+        for p in probes
+    )
+    return shared + "".join(branches) + "\n    " + finals + "\n    ORDER BY n_probe"
+
+
+@register("ann_ivf_nprobe_sweep", _ivf_sweep_oracle_sql())
+def ann_ivf_nprobe_sweep(spark, sf_dir):
+    """IVF n_probe tuning curve (operators/similarity.py:ivf_topk at
+    n_probe ∈ {1, 2, 4} vs the brute-force exact truth): recall@10
+    per setting, integer-exact (Σ matched / Σ exact rows).  The
+    serving knob every IVF deployment tunes — more probed cells buy
+    recall linearly in scan cost — measured with the same
+    fixed-point replay discipline as the other ANN audits, so the
+    whole curve is bit-reproduced by the oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = plan_checkpoint(_t(spark, sf_dir, "embeddings")["embeddings"])
+    q = emb.where(F.col("vec_id") < 5)
+    exact = plan_checkpoint(
+        brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("_t"))
+    outs = []
+    for p in (1, 2, 4):
+        approx = ivf_topk(emb, q, k=10, n_probe=p).select("query_id", "neighbor_id")
+        m = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("_m")
+        )
+        outs.append(
+            m.crossJoin(tot).select(
+                F.lit(p).cast("int").alias("n_probe"),
+                (F.col("_m").cast("double") / F.col("_t").cast("double")).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _bpe_grouped_apply_oracle_sql(rounds=3, top_words=100):
+    """Grouped training chain + a grouped apply chain over ALL
+    distinct (lang, word), then the per-language fertility rollup."""
+    parts = [f"""
+    WITH gwf AS (
+      SELECT grp, word, COUNT(*) AS freq FROM ({_BPE_GROUP_WORDS})
+      WHERE word <> '' GROUP BY grp, word
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY freq DESC, word)
+              <= {top_words}),
+    g0 AS (
+      SELECT grp, word, freq,
+             list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+      FROM gwf)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    gcnt{r} AS (
+      SELECT grp, sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT grp, word, freq, CAST(t.i AS INT) AS i, syms[t.i] AS sym,
+                   syms[t.i + 1] AS nxt
+            FROM g{r - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i))
+      GROUP BY 1, 2, 3),
+    gbest{r} AS MATERIALIZED (
+      SELECT grp, a, b, c FROM gcnt{r}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c DESC, a, b) = 1)"""
+        )
+        parts.append("," + _bpe_grouped_rewrite_sql(r).lstrip(","))
+    # apply chain: ga0 over all distinct (grp, word) of the corpus
+    parts.append(f""",
+    corpus AS MATERIALIZED (
+      SELECT grp, word FROM ({_BPE_GROUP_WORDS}) WHERE word <> ''),
+    ga0 AS (
+      SELECT grp, word, CAST(1 AS BIGINT) AS freq,
+             list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+      FROM (SELECT DISTINCT grp, word FROM corpus))""")
+    for r in range(1, rounds + 1):
+        blk = _bpe_grouped_rewrite_sql(r)
+        blk = (
+            blk.replace(f"gpos{r}", f"apos{r}")
+            .replace(f"gpr{r}", f"apr{r}")
+            .replace(f"gmt{r}", f"amt{r}")
+            .replace(f"gisl{r}", f"aisl{r}")
+            .replace(f"gsel{r}", f"asel{r}")
+            .replace(f"grw{r}", f"arw{r}")
+            .replace(f"FROM g{r - 1}", f"FROM ga{r - 1}")
+            .replace(f"g{r} AS (", f"ga{r} AS (")
+        )
+        parts.append("," + blk.lstrip(","))
+    parts.append(f""",
+    wcnt AS (
+      SELECT grp, word, len(syms) AS bpe, len(word) AS chars FROM ga{rounds})
+    SELECT c.grp, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(bpe) AS DOUBLE) / COUNT(*), 6) AS fertility,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 6) AS chars_per_token
+    FROM corpus c JOIN wcnt w ON c.grp = w.grp AND c.word = w.word
+    GROUP BY c.grp
+    """)
+    return "".join(parts)
+
+
+@register("bpe_fertility_per_lang", _bpe_grouped_apply_oracle_sql(3, 100))
+def bpe_fertility_per_lang(spark, sf_dir):
+    """Per-language tokenizer fertility audit (operators/bpe.py:
+    bpe_fertility_grouped): each language's merge table (trained in
+    the shared grouped shuffles) applies to every distinct (lang,
+    word) and corpus-weighted counts roll up to fertility (BPE
+    tokens per word) and chars-per-token — the cross-lingual
+    tokenizer-equity metric.  Bit-exact grouped train+apply unrolled
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.bpe import bpe_fertility_grouped
+
+    docs = _t(spark, sf_dir, "documents")["documents"].where(
+        F.col("lang").isNotNull()
+    )
+    return bpe_fertility_grouped(docs, group_col="lang", rounds=3, top_words=100)

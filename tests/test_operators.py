@@ -3154,3 +3154,37 @@ def test_jones_plassmann_proper_coloring(spark):
         assert rows[a] != rows[b], (a, b)
     assert set(rows.values()) <= {1, 2, 3}
     assert len(rows) == 21
+
+
+def test_bpe_fertility_grouped_monotone_and_isolated(spark):
+    from terminus_server_spark.operators.bpe import bpe_fertility_grouped
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa ab aa ab aa aa", "l1"),
+            (2, "zz zy zz zy qq", "l2"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["grp"]: r for r in bpe_fertility_grouped(docs, rounds=2, top_words=50).collect()}
+    for g, r in rows.items():
+        # merges can only shrink token counts below chars
+        assert r["n_bpe_tokens"] <= r["n_chars"]
+        assert r["n_bpe_tokens"] >= r["n_words"]  # >= 1 token per word
+        assert abs(r["fertility"] - r["n_bpe_tokens"] / r["n_words"]) < 1e-6
+    # l1 is two chars repeated -> 2 merges collapse each word to 1 token
+    assert rows["l1"]["fertility"] == 1.0
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    import __spark_entry__ as e
+
+    out = {
+        r["n_probe"]: r["recall"]
+        for r in e.queries()["ann_ivf_nprobe_sweep"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert list(out) == [1, 2, 4] or set(out) == {1, 2, 4}
+    assert out[1] <= out[2] <= out[4]
+    assert out[4] <= 1.0

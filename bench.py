@@ -315,6 +315,7 @@ HEADLINE = [
     "events_ab_assign",
     "ann_ivf_nprobe_sweep",
     "bpe_fertility_per_lang",
+    "graph_matching",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

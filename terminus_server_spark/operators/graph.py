@@ -2403,3 +2403,73 @@ def bipartite_check(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         F.coalesce("n_odd_edges", F.lit(0)).cast("bigint").alias("n_odd_edges"),
         (F.coalesce("n_odd_edges", F.lit(0)) == 0).alias("is_bipartite"),
     )
+
+
+def maximal_matching(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(a, b): a maximal matching by greedy edge selection with FIXED
+    md5 edge priorities — the third symmetry-breaking primitive next
+    to :func:`luby_mis` / :func:`jones_plassmann_coloring`, i.e.
+    Luby's algorithm on the LINE graph: each round an edge whose
+    priority beats every adjacent live edge (sharing an endpoint,
+    both endpoints unmatched) enters the matching, its endpoints
+    leave, and the live edge set shrinks geometrically.
+    Deterministic ⇒ identical to sequential greedy in priority
+    order, replayed by an unrolled oracle.
+
+    Per round: explode live edges to their two endpoint stubs, one
+    endpoint-keyed self-join finds edges that see a smaller-priority
+    neighbor (losers), winners = live − losers; all shuffles sized
+    by the live subgraph."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    live = loop_checkpoint(
+        canon.select(
+            "a",
+            "b",
+            F.md5(F.concat_ws("~", F.col("a").cast("string"), F.col("b").cast("string"))).alias(
+                "_p"
+            ),
+        )
+    )
+    live, n_l = loop_checkpoint_count(live)
+    matched_parts = []
+    with loop_tuning(edges.sparkSession, n_l):
+        for _ in range(max_iters):
+            if n_l == 0:
+                break
+            stubs = live.select(F.col("a").alias("node"), "a", "b", "_p").unionByName(
+                live.select(F.col("b").alias("node"), "a", "b", "_p")
+            )
+            rival = stubs.select(
+                "node", F.col("_p").alias("_q"), F.col("a").alias("_ra"), F.col("b").alias("_rb")
+            )
+            losers = (
+                stubs.join(rival, "node")
+                .where(
+                    (F.col("_q") < F.col("_p"))
+                    & ~((F.col("_ra") == F.col("a")) & (F.col("_rb") == F.col("b")))
+                )
+                .select("a", "b")
+                .distinct()
+            )
+            winners = loop_checkpoint(live.join(losers, ["a", "b"], "left_anti"))
+            matched_parts.append(winners.select("a", "b"))
+            mnodes = (
+                winners.select(F.col("a").alias("node"))
+                .unionByName(winners.select(F.col("b").alias("node")))
+                .distinct()
+            )
+            live, n_l = loop_checkpoint_count(
+                live.join(mnodes.withColumnRenamed("node", "a"), "a", "left_anti").join(
+                    mnodes.withColumnRenamed("node", "b"), "b", "left_anti"
+                ).select("a", "b", "_p")
+            )
+    out = matched_parts[0]
+    for p in matched_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -17350,3 +17350,50 @@ def bpe_fertility_per_lang(spark, sf_dir):
         F.col("lang").isNotNull()
     )
     return bpe_fertility_grouped(docs, group_col="lang", rounds=3, top_words=100)
+
+
+def _matching_oracle_sql(rounds=10):
+    parts = ["""
+    WITH e0 AS (
+      SELECT c_custkey - 1 AS a, c_custkey AS b FROM customer
+      WHERE c_custkey % 10 <> 0 AND c_custkey >= 1),
+    pri AS MATERIALIZED (
+      SELECT a, b, md5(CAST(a AS VARCHAR) || '~' || CAST(b AS VARCHAR)) AS p
+      FROM e0),
+    l0 AS MATERIALIZED (SELECT a, b, p FROM pri)"""]
+    for r in range(1, rounds + 1):
+        q = r - 1
+        parts.append(f""",
+    w{r} AS MATERIALIZED (
+      SELECT l.a, l.b FROM l{q} l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM l{q} r2
+        WHERE r2.p < l.p AND NOT (r2.a = l.a AND r2.b = l.b)
+          AND (r2.a IN (l.a, l.b) OR r2.b IN (l.a, l.b)))),
+    mn{r} AS MATERIALIZED (
+      SELECT a AS v FROM w{r} UNION SELECT b FROM w{r}),
+    l{r} AS MATERIALIZED (
+      SELECT l.a, l.b, l.p FROM l{q} l
+      WHERE l.a NOT IN (SELECT v FROM mn{r})
+        AND l.b NOT IN (SELECT v FROM mn{r}))""")
+    wins = "\n    UNION ALL ".join(f"SELECT a, b FROM w{r}" for r in range(1, rounds + 1))
+    return "".join(parts) + f"\n    {wins}\n    ORDER BY a"
+
+
+@register("graph_matching", _matching_oracle_sql(10))
+def graph_matching(spark, sf_dir):
+    """Maximal matching — deterministic greedy edge selection
+    (operators/graph.py:maximal_matching — Luby on the line graph):
+    fixed md5 edge priorities make the parallel rounds reproduce the
+    sequential greedy matching over the decade chains, replayed by
+    the oracle's unrolled rounds.  Per round one endpoint-keyed
+    self-join over the geometrically-shrinking live subgraph."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import maximal_matching
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    return maximal_matching(edges)

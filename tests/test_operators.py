@@ -3188,3 +3188,17 @@ def test_ivf_nprobe_recall_monotone(spark):
     assert list(out) == [1, 2, 4] or set(out) == {1, 2, 4}
     assert out[1] <= out[2] <= out[4]
     assert out[4] <= 1.0
+
+
+def test_maximal_matching_disjoint_and_maximal(spark):
+    from terminus_server_spark.operators.graph import maximal_matching
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 25)], "src long, dst long"
+    )
+    m = [(r["a"], r["b"]) for r in maximal_matching(edges).collect()]
+    used = [n for e in m for n in e]
+    assert len(used) == len(set(used))  # vertex-disjoint
+    matched = set(used)
+    for i in range(0, 25):  # maximality: no live edge remains
+        assert i in matched or i + 1 in matched, i

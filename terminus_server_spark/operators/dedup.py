@@ -851,6 +851,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
+    radix: int = _WINNOW_M,
 ) -> DataFrame:
     """(doc_id, pos, fh): robust-winnowing document fingerprints
     (Schleimer/Wilkerson/Aiken's MOSS scheme, public literature): over
@@ -866,15 +867,16 @@ def winnow_fingerprints(
     integer arithmetic — no nested windows, no per-window argmax
     subquery, and the same expression runs identically in any ANSI
     engine.  Shuffle: one (doc)-keyed window; fingerprints are
-    DISTINCT decoded minima.  Documents are assumed < 1M chars (the
-    radix); longer corpora raise M.
+    DISTINCT decoded minima.  Documents must be shorter than
+    ``radix`` characters (default 1M) — raise it for long-document
+    corpora (hash values fit: 2^32 · radix must stay under 2^63).
 
     k-grams hash through the portable 32-bit md5 prefix; text
     normalizes to lowercase with runs of whitespace collapsed, so
     formatting noise does not shift fingerprints."""
     from pyspark.sql import Window
 
-    m = F.lit(_WINNOW_M)
+    m = F.lit(radix)
     normed = docs.select(
         F.col(id_col),
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("_t"),
@@ -905,7 +907,7 @@ def winnow_fingerprints(
             id_col,
             "_sk",
             # integer floor-div keeps the decode exact (no float round-trip)
-            (F.expr(f"(_sk - 1) div {_WINNOW_M}") + 1).cast("bigint").alias("fh"),
+            (F.expr(f"(_sk - 1) div {radix}") + 1).cast("bigint").alias("fh"),
         )
         .select(
             id_col,

@@ -2191,6 +2191,8 @@ def luby_mis(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                     excluded, "node", "left_anti"
                 )
             )
+    if not mis_parts:  # empty graph
+        return nodes.select("node", F.lit(False).alias("in_mis"))
     mis = mis_parts[0]
     for p in mis_parts[1:]:
         mis = mis.unionByName(p)
@@ -2359,6 +2361,10 @@ def jones_plassmann_coloring(edges: DataFrame, max_iters: int = 50) -> DataFrame
             uncolored, n_u = loop_checkpoint_count(
                 uncolored.join(newly.select("node"), "node", "left_anti")
             )
+    if colored is None:  # empty graph
+        return nodes.select("node", F.lit(None).cast("int").alias("color")).where(
+            F.lit(False)
+        )
     return colored
 
 
@@ -2469,6 +2475,8 @@ def maximal_matching(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                     mnodes.withColumnRenamed("node", "b"), "b", "left_anti"
                 ).select("a", "b", "_p")
             )
+    if not matched_parts:  # empty graph
+        return canon.where(F.lit(False))
     out = matched_parts[0]
     for p in matched_parts[1:]:
         out = out.unionByName(p)

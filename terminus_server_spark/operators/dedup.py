@@ -862,9 +862,10 @@ def winnow_fingerprints(
     invariant, which plain 0-mod-p hash sampling is not.
 
     The rightmost-min selection is ONE window pass: each (hash, pos)
-    encodes as ``h·M − pos`` so the frame's plain MIN is the rightmost
-    argmin (larger pos ⇒ smaller key), and (h, pos) decode back by
-    integer arithmetic — no nested windows, no per-window argmax
+    encodes as ``(h+1)·M − pos`` (strictly positive, so truncating
+    integer division IS floor) and the frame's plain MIN is the
+    rightmost argmin (larger pos ⇒ smaller key); (h, pos) decode back
+    by integer arithmetic — no nested windows, no per-window argmax
     subquery, and the same expression runs identically in any ANSI
     engine.  Shuffle: one (doc)-keyed window; fingerprints are
     DISTINCT decoded minima.  Documents must be shorter than
@@ -899,19 +900,21 @@ def winnow_fingerprints(
     wspec = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
     )
+    # (h+1)·M keeps the key positive even for hash value 0, so the
+    # integer div decode is a true floor (div truncates toward zero)
     skey = grams.select(
-        id_col, "pos", (F.col("_h") * m - F.col("pos")).alias("_key")
+        id_col, "pos", ((F.col("_h") + 1) * m - F.col("pos")).alias("_key")
     ).select(id_col, F.min("_key").over(wspec).alias("_sk"))
     return (
         skey.select(
             id_col,
             "_sk",
-            # integer floor-div keeps the decode exact (no float round-trip)
-            (F.expr(f"(_sk - 1) div {radix}") + 1).cast("bigint").alias("fh"),
+            # integer div decode is exact: keys are strictly positive
+            F.expr(f"(_sk - 1) div {radix}").cast("bigint").alias("fh"),
         )
         .select(
             id_col,
-            (F.col("fh") * m - F.col("_sk")).cast("int").alias("pos"),
+            ((F.col("fh") + 1) * m - F.col("_sk")).cast("int").alias("pos"),
             "fh",
         )
         .distinct()

@@ -227,6 +227,8 @@ def pagerank(
     and personalized variants)."""
     with no_constraint_propagation(edges.sparkSession):
         nodes, n_nodes = _edge_nodes(edges)
+        if n_nodes == 0:  # empty graph: empty typed rank table
+            return nodes.withColumn("rank", F.lit(0.0))
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
@@ -251,6 +253,8 @@ def pagerank_weighted(
     ``edges``: (src, dst, w) with positive integer-valued weights."""
     with no_constraint_propagation(edges.sparkSession):
         nodes, n_nodes = _edge_nodes(edges)
+        if n_nodes == 0:  # empty graph: empty typed rank table
+            return nodes.withColumn("rank", F.lit(0.0))
         wout = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
         links = edges.join(wout, "src").transform(loop_checkpoint)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
@@ -288,6 +292,8 @@ def pagerank_warm(
     exactly."""
     with no_constraint_propagation(edges.sparkSession):
         nodes, n_nodes = _edge_nodes(edges)
+        if n_nodes == 0:  # empty graph: empty typed rank table
+            return nodes.withColumn("rank", F.lit(0.0))
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = nodes.join(init_ranks, "node").transform(loop_checkpoint)
@@ -817,6 +823,15 @@ def core_numbers(
                         keep.select(F.col("src").alias("dst")), "dst", "left_semi"
                     ),
                     size_hint=n_edges,
+                )
+                # a keep-node can lose ALL its edges this round (every
+                # neighbor was peeled): its degree drops past k with no
+                # edge row left to witness it in the next deg aggregate,
+                # so it must be labeled core = k here or it would vanish
+                # from the output (3-node path a-b-c: b at k=1)
+                done.append(
+                    keep.join(cur.select("src").distinct(), "src", "left_anti")
+                    .select(F.col("src").alias("node"), F.lit(k).alias("core"))
                 )
                 if new_n == n_edges:
                     at_fixpoint = True
@@ -2191,6 +2206,12 @@ def luby_mis(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                     excluded, "node", "left_anti"
                 )
             )
+    if n_u > 0:
+        raise RuntimeError(
+            f"luby_mis: {n_u} nodes still undecided after max_iters rounds; "
+            "raise max_iters (rounds are bounded by the longest "
+            "decreasing-priority path)"
+        )
     if not mis_parts:  # empty graph
         return nodes.select("node", F.lit(False).alias("in_mis"))
     mis = mis_parts[0]
@@ -2281,6 +2302,12 @@ def bidirectional_distance(
             cand = probe(grown, ball_b if expand_a else ball_a)
             if cand is not None and (best is None or cand < best):
                 best = cand
+    proven = (best is not None and best <= ra + rb) or (n_fa == 0 and n_fb == 0)
+    if not proven:
+        raise RuntimeError(
+            "bidirectional_distance: round cap hit before the midpoint "
+            "stopping rule proved exactness; raise max_iters"
+        )
     return spark.createDataFrame([(best,)], "hops bigint")
 
 
@@ -2361,6 +2388,11 @@ def jones_plassmann_coloring(edges: DataFrame, max_iters: int = 50) -> DataFrame
             uncolored, n_u = loop_checkpoint_count(
                 uncolored.join(newly.select("node"), "node", "left_anti")
             )
+    if n_u > 0:
+        raise RuntimeError(
+            f"jones_plassmann_coloring: {n_u} nodes still uncolored after "
+            "max_iters rounds; raise max_iters"
+        )
     if colored is None:  # empty graph
         return nodes.select("node", F.lit(None).cast("int").alias("color")).where(
             F.lit(False)
@@ -2433,7 +2465,7 @@ def maximal_matching(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    live = loop_checkpoint(
+    live, n_l = loop_checkpoint_count(
         canon.select(
             "a",
             "b",
@@ -2442,7 +2474,6 @@ def maximal_matching(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             ),
         )
     )
-    live, n_l = loop_checkpoint_count(live)
     matched_parts = []
     with loop_tuning(edges.sparkSession, n_l):
         for _ in range(max_iters):
@@ -2475,6 +2506,11 @@ def maximal_matching(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                     mnodes.withColumnRenamed("node", "b"), "b", "left_anti"
                 ).select("a", "b", "_p")
             )
+    if n_l > 0:
+        raise RuntimeError(
+            f"maximal_matching: {n_l} live edges remain after max_iters "
+            "rounds; raise max_iters"
+        )
     if not matched_parts:  # empty graph
         return canon.where(F.lit(False))
     out = matched_parts[0]

@@ -283,6 +283,16 @@ def compile_path(store, pattern: P.PathPattern) -> DataFrame:
     if isinstance(pattern, P.Times):
         base = compile_path(store, pattern.part)
         acc = None
+        if pattern.n == 0:
+            # {0,m} admits the empty repetition: identity pairs over
+            # the base pattern's node universe, matching Star's
+            # zero-hop rows ({0,0} is pure identity)
+            nodes = base.select(F.col("src").alias("n")).union(
+                base.select(F.col("dst"))
+            ).distinct()
+            acc = nodes.select(
+                F.col("n").alias("src"), F.col("n").alias("dst"), F.lit(0).alias("hops")
+            )
         cur = None
         for k in range(1, pattern.m + 1):
             cur = base if cur is None else (

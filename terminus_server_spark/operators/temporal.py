@@ -595,9 +595,17 @@ def resample_interpolate(
     and timestamp via last/first ignorenulls over mirrored frames) —
     a (group)-keyed sort, no self-join, no per-gap probe.  Grid ends
     never extrapolate: before the first or after the last observation
-    the value stays NULL (``observed`` must have at most one row per
-    (group, tick) — pre-aggregate upstream)."""
-    dense = gap_fill(observed, ts_col, step_seconds, group_cols, {})
+    the value stays NULL.  Observations OFF the min-anchored grid
+    pass through untouched and anchor their neighbors' ramps
+    (``observed`` must have at most one row per (group, ts) —
+    pre-aggregate upstream)."""
+    grid = gap_fill(observed, ts_col, step_seconds, group_cols, {})
+    # observations that do not land on the min-anchored grid must not
+    # vanish: they pass through AND anchor their neighbors' ramps
+    offgrid = observed.join(
+        grid.select(*group_cols, ts_col), [*group_cols, ts_col], "left_anti"
+    )
+    dense = grid.unionByName(offgrid.select(*grid.columns))
     wb = (
         Window.partitionBy(*group_cols)
         .orderBy(ts_col)

@@ -15614,14 +15614,14 @@ def vc_verify_integrity(spark, sf_dir):
                   AS BIGINT) AS h
       FROM normed nt, UNNEST(generate_series(1, greatest(len(nt.t) - 7, 1))) AS t(i)),
     keys AS (
-      SELECT doc_id, pos, h * 1048576 - pos AS k FROM grams),
+      SELECT doc_id, pos, (h + 1) * 1048576 - pos AS k FROM grams),
     sel AS (
       SELECT doc_id,
              MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sk
       FROM keys),
     fp AS (
-      SELECT DISTINCT doc_id, ((sk - 1) // 1048576) + 1 AS fh FROM sel),
+      SELECT DISTINCT doc_id, (sk - 1) // 1048576 AS fh FROM sel),
     keep AS (SELECT fh FROM fp GROUP BY fh HAVING COUNT(*) <= 20)
     SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM (SELECT fp.doc_id, fp.fh FROM fp JOIN keep USING (fh)) a

@@ -577,6 +577,11 @@ def merge_octopus(
     branch rank (one groupBy for the winner per key via min_by, one
     for the conflict report) — cost scales with Σ|deltas|, never
     |base|, the same contract as the two-way merge."""
+    if not branches:  # n = 0 merges to the base with no conflicts
+        empty_cf = base.select(
+            *key_cols, F.lit("").alias("ops")
+        ).where(F.lit(False))
+        return base, empty_cf
     tagged = None
     for i, br in enumerate(branches):
         t = br.select(F.lit(i).alias("_rank"), F.col("op"), *key_cols)

@@ -3202,3 +3202,88 @@ def test_maximal_matching_disjoint_and_maximal(spark):
     matched = set(used)
     for i in range(0, 25):  # maximality: no live edge remains
         assert i in matched or i + 1 in matched, i
+
+
+def test_core_numbers_labels_vanishing_nodes(spark):
+    """Review fix: a keep-node whose neighbors are all peeled in the
+    same round must still receive core = k (3-node path loses its
+    middle node otherwise); star centers likewise."""
+    from terminus_server_spark.operators.graph import core_numbers
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["core"] for r in core_numbers(path).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    got2 = {r["node"]: r["core"] for r in core_numbers(star).collect()}
+    assert got2 == {n: 1 for n in range(0, 6)}
+
+
+def test_path_times_zero_lower_bound(spark):
+    from terminus_server_spark.operators.path import compile_path
+    from terminus_server_spark.woql.path_ast import parse_path_string
+
+    import terminus_server_spark.registry as R
+
+    store = R._parent_tree_store(spark, "/root/testdata/sf0.001")
+    pat = parse_path_string("parent{0,2}")
+    out = compile_path(store, pat)
+    rows = {(r["src"], r["dst"]): r["hops"] for r in out.where(
+        "src = 'C/8' OR dst = 'C/8'").collect()}
+    assert rows[("C/8", "C/8")] == 0  # zero repetition present
+    assert rows[("C/8", "C/4")] == 1
+    assert rows[("C/8", "C/2")] == 2
+    # {0,0} is pure identity
+    ident = compile_path(store, parse_path_string("parent{0,0}"))
+    r = ident.where("src = 'C/8'").collect()
+    assert len(r) == 1 and r[0]["dst"] == "C/8" and r[0]["hops"] == 0
+
+
+def test_resample_interpolate_offgrid_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.temporal import resample_interpolate
+
+    obs = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 0.0),
+            ("k", "2024-01-01 00:00:30", 1.0),  # off the 60s grid
+            ("k", "2024-01-01 00:02:00", 4.0),
+        ],
+        "g string, ts string, v double",
+    ).select("g", F.col("ts").cast("timestamp").alias("ts"), "v")
+    rows = {
+        r["ts"].strftime("%M:%S"): (r["value"], r["filled"])
+        for r in resample_interpolate(obs, "ts", 60, ["g"], "v").collect()
+    }
+    assert rows["00:30"] == (1.0, False)  # passes through
+    # 01:00 interpolates between 00:30 (1.0) and 02:00 (4.0): 30/90 of 3
+    assert rows["01:00"] == (2.0, True)
+
+
+def test_loop_caps_raise_loudly(spark):
+    import pytest as _pytest
+
+    from terminus_server_spark.operators.graph import (
+        jones_plassmann_coloring,
+        luby_mis,
+        maximal_matching,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    for fn in (luby_mis, jones_plassmann_coloring, maximal_matching):
+        with _pytest.raises(RuntimeError, match="max_iters"):
+            fn(edges, max_iters=0)
+
+
+def test_pagerank_and_octopus_empty_inputs(spark):
+    from terminus_server_spark.operators.graph import pagerank, pagerank_weighted
+    from terminus_server_spark.versioning.layers import merge_octopus
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+    emptyw = spark.createDataFrame([], "src long, dst long, w long")
+    assert pagerank_weighted(emptyw).count() == 0
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    merged, conflicts = merge_octopus(base, [], ["k"])
+    assert [tuple(r) for r in merged.collect()] == [(1, "a")]
+    assert conflicts.count() == 0

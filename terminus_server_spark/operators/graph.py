@@ -26,6 +26,18 @@ from terminus_server_spark.checkpoint import (
 from terminus_server_spark.operators.path import no_constraint_propagation
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view of a directed edge frame: both orientations,
+    NULL endpoints and self-loops dropped, distinct — the shared
+    preamble of every undirected-graph operator here."""
+    return (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """(node, out_degree, in_degree, degree) — two partial aggs and a
     full-outer merge; no driver collection."""
@@ -440,12 +452,7 @@ def landmark_distance_audit(
     surface must not silently vanish from it.
 
     ``landmarks``: (node); ``queries``: (u, v) pairs to estimate."""
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    und = _symmetrize(edges)
     lab = shortest_hops(und, landmarks, max_iters)
     du = lab.select(
         F.col("source").alias("_L"), F.col("node").alias("u"), F.col("hops").alias("_du")
@@ -505,12 +512,7 @@ def betweenness(
     levels, so δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w)) needs
     exactly one join per level.  State is Σ_pivots |reached|, never
     node²-materialized paths."""
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    und = _symmetrize(edges)
     und = loop_checkpoint(und)
     if sources is None:
         sources = und.select(F.col("src").alias("node")).distinct()
@@ -614,12 +616,7 @@ def betweenness_incremental(
 
     ``bc_old`` must be ``betweenness(old_edges)`` (all-pivot exact
     mode); ``added_edges``: (src, dst) insertions."""
-    und_old = (
-        old_edges.select("src", "dst")
-        .union(old_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    und_old = _symmetrize(old_edges)
     eps = (
         added_edges.select(F.col("src").alias("node"))
         .union(added_edges.select(F.col("dst").alias("node")))
@@ -2060,12 +2057,7 @@ def random_walks(
     the per-step state is one row per walk."""
     from pyspark.sql import Window
 
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    und = _symmetrize(edges)
     wrk = Window.partitionBy("src").orderBy("dst")
     wdeg = Window.partitionBy("src")
     adj = loop_checkpoint(
@@ -2162,12 +2154,7 @@ def luby_mis(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     round's shuffles are sized by the UNDECIDED subgraph, which
     shrinks geometrically — the classic symmetry-breaking primitive
     under the same loop_tuning clamp as the other fixpoints."""
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    und = _symmetrize(edges)
     und = loop_checkpoint(und)
     nodes = und.select(F.col("src").alias("node")).distinct()
     pri = loop_checkpoint(
@@ -2243,12 +2230,7 @@ def bidirectional_distance(
     State: two (node, dist) balls + frontier-sized expansions —
     at 100 TB this is the difference between touching a diameter-d
     neighborhood and two d/2 neighborhoods."""
-    und = loop_checkpoint(
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    und = loop_checkpoint(_symmetrize(edges))
 
     def ball0(nodes):
         return loop_checkpoint_count(
@@ -2327,12 +2309,7 @@ def jones_plassmann_coloring(edges: DataFrame, max_iters: int = 50) -> DataFrame
     no UDF.  Rounds are bounded by the longest decreasing-priority
     path; every round's shuffles shrink with the uncolored set.
     Register allocation / schedule-conflict shape at 100 TB."""
-    und = loop_checkpoint(
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    und = loop_checkpoint(_symmetrize(edges))
     nodes = und.select(F.col("src").alias("node")).distinct()
     pri = nodes.select("node", F.md5(F.col("node").cast("string")).alias("_p"))
     uncolored, n_u = loop_checkpoint_count(pri)
@@ -2410,12 +2387,7 @@ def bipartite_check(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     frontier discipline included); the parity probe is a single join
     keyed by the node — nothing here is new state beyond the label
     tables."""
-    und = loop_checkpoint(
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    und = loop_checkpoint(_symmetrize(edges))
     comp = connected_components(und, max_iters)
     roots = comp.select(F.col("component").alias("node")).distinct()
     hops = shortest_hops(und, roots, max_iters).select(

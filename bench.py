@@ -316,6 +316,9 @@ HEADLINE = [
     "ann_ivf_nprobe_sweep",
     "bpe_fertility_per_lang",
     "graph_matching",
+    "path_times_zero",
+    "graph_core_path",
+    "events_anomaly_mad",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

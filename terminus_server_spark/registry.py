@@ -17397,3 +17397,135 @@ def graph_matching(spark, sf_dir):
         F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
     )
     return maximal_matching(edges)
+
+
+@register(
+    "path_times_zero",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+    walk AS (
+      SELECT n AS src, n AS dst, 0 AS hops FROM nodes
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON w.dst = e.src
+      WHERE w.hops < 2)
+    SELECT src, dst, MIN(hops) AS hops FROM walk GROUP BY src, dst
+    """,
+)
+def path_times_zero(spark, sf_dir):
+    """Bounded repetition with a ZERO lower bound — `parent{0,2}`:
+    the empty repetition contributes identity pairs over the
+    pattern's node universe (matching Star's zero-hop rows), then one
+    and two applications union in with min-hops dedup.  The case the
+    {0,m} review fix covers; oracle = depth-capped recursive walk
+    seeded with identity rows."""
+    from terminus_server_spark.operators.path import compile_path
+    from terminus_server_spark.woql.path_ast import parse_path_string
+
+    store = _parent_tree_store(spark, sf_dir)
+    return compile_path(store, parse_path_string("parent{0,2}"))
+
+
+@register(
+    "graph_core_path",
+    """
+    WITH nodes AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1
+      UNION
+      SELECT c_custkey - 1 FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1)
+    SELECT k AS node, CAST(1 AS INT) AS core FROM nodes
+    """,
+)
+def graph_core_path(spark, sf_dir):
+    """Coreness of pure paths — every decade-chain node has core 1,
+    and reaching that answer exercises the vanishing-node case the
+    review fixed: peeling a path's endpoints strips interior nodes of
+    ALL their edges in later rounds, so they must be labeled at the
+    round their last edge disappears (the k=1 peel of a 10-node path
+    runs 5 rounds deep).  Complements `graph_core_numbers`'s
+    ring+skip fixture, whose nodes never vanish."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import core_numbers
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    edges = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    return core_numbers(edges)
+
+
+@register(
+    "events_anomaly_mad",
+    """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (
+      SELECT event_type, MAX(n) AS n,
+             (MAX(CASE WHEN rk = (n + 1) // 2 THEN value END)
+              + MAX(CASE WHEN rk = n // 2 + 1 THEN value END)) / 2 AS med
+      FROM r GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.event_id, e.value,
+             abs(e.value - m.med) AS ad, m.med
+      FROM events e JOIN med m USING (event_type)),
+    r2 AS (
+      SELECT event_type, event_id, value, ad, med,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ad, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type,
+             (MAX(CASE WHEN rk = (n + 1) // 2 THEN ad END)
+              + MAX(CASE WHEN rk = n // 2 + 1 THEN ad END)) / 2 AS mad
+      FROM r2 GROUP BY event_type)
+    SELECT d.event_type, d.event_id,
+           ROUND((d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND abs((d.value - d.med) / (1.4826 * m.mad)) > 2.5
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Median/MAD robust anomaly flags — the outlier-resistant
+    complement to `events_anomaly`'s mean/std z-score (one wild value
+    inflates a std enough to hide itself; medians don't move): exact
+    rank-selected per-type median, exact median absolute deviation
+    (two deterministic rank selections, id tie-breaks), then the
+    1.4826-scaled robust z with a 2.5 flag threshold.  Two
+    type-partitioned windows + two joins — no sampling, no
+    percentile_approx."""
+    from pyspark.sql import Window, functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+
+    def rank_median(df, val_col, part, out):
+        w = Window.partitionBy(part).orderBy(F.col(val_col), F.col("event_id"))
+        wn = Window.partitionBy(part)
+        r = df.withColumn("_rk", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wn)
+        )
+        lo = F.max(F.when(F.col("_rk") == F.floor((F.col("_n") + 1) / 2), F.col(val_col)))
+        hi = F.max(F.when(F.col("_rk") == F.floor(F.col("_n") / 2) + 1, F.col(val_col)))
+        return r.groupBy(part).agg(((lo + hi) / 2).alias(out))
+
+    med = rank_median(events.select("event_type", "value", "event_id"), "value",
+                      "event_type", "med")
+    dev = events.join(med, "event_type").select(
+        "event_type", "event_id", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = rank_median(dev.selectExpr("event_type", "ad as value", "event_id"),
+                      "value", "event_type", "mad")
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .where((F.col("mad") > 0) & (F.abs(z) > 2.5))
+        .select("event_type", "event_id", F.round(z, 6).alias("robust_z"))
+    )

@@ -319,6 +319,8 @@ HEADLINE = [
     "path_times_zero",
     "graph_core_path",
     "events_anomaly_mad",
+    "path_times_open",
+    "dedup_simhash_hamming",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

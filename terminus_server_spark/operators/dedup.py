@@ -956,3 +956,86 @@ def winnow_similar_pairs(
         .orderBy(F.col("n_shared").desc(), "d1", "d2")
         .limit(top)
     )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 16,
+    max_hamming: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """(sig_a, sig_b, hamming, n_docs_a, n_docs_b): near-duplicate
+    SIGNATURE pairs within ``max_hamming`` bits — the Manku/Jain/
+    Sarma web-dedup construction (public literature): split each
+    signature into ``max_hamming + 1`` blocks; by pigeonhole any pair
+    within the distance budget agrees on at least one whole block, so
+    the block-keyed self-join generates every true candidate and the
+    exact per-bit compare verifies.
+
+    The decisive scale move is the GRAIN: pairing runs over DISTINCT
+    signatures (≤ 2^n_bits rows however large the corpus — the
+    65k-row ceiling at 16 bits), with per-signature doc counts
+    carried along, so a billion-doc corpus costs one signature
+    aggregate plus work bounded by the signature space, never by
+    doc².  Hamming-0 pairs are excluded (identical signatures are
+    exact-dedup territory)."""
+    sig = simhash(docs, text_col, n_bits)
+    usig = plan_checkpoint(
+        sig.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    blocks = max_hamming + 1
+    base = n_bits // blocks
+    extra = n_bits % blocks
+    bounds = []
+    start = 1
+    for b in range(blocks):
+        width = base + (1 if b < extra else 0)
+        bounds.append((start, width))
+        start += width
+    banded = usig.select(
+        "simhash",
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.substring("simhash", s, w).alias("block_key"),
+                    )
+                    for b, (s, w) in enumerate(bounds)
+                ]
+            )
+        ).alias("bk"),
+    ).select("simhash", "n_docs", "bk.block_id", "bk.block_key")
+    a = banded.select(
+        F.col("simhash").alias("sig_a"), F.col("n_docs").alias("n_docs_a"),
+        "block_id", "block_key",
+    )
+    b = banded.select(
+        F.col("simhash").alias("sig_b"), F.col("n_docs").alias("n_docs_b"),
+        "block_id", "block_key",
+    )
+    cand = (
+        a.join(b, ["block_id", "block_key"])
+        .where(F.col("sig_a") < F.col("sig_b"))
+        .select("sig_a", "sig_b", "n_docs_a", "n_docs_b")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_bits)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.substring(F.col("sig_a"), i.cast("int"), 1)
+            != F.substring(F.col("sig_b"), i.cast("int"), 1),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        cand.select("sig_a", "sig_b", ham.cast("int").alias("hamming"),
+                    "n_docs_a", "n_docs_b")
+        .where((F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming))
+        .orderBy("hamming", "sig_a", "sig_b")
+        .limit(top)
+    )

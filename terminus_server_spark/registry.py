@@ -17529,3 +17529,88 @@ def events_anomaly_mad(spark, sf_dir):
         .where((F.col("mad") > 0) & (F.abs(z) > 2.5))
         .select("event_type", "event_id", F.round(z, 6).alias("robust_z"))
     )
+
+
+@register(
+    "path_times_open",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    walk AS (
+      SELECT src, dst, 1 AS hops FROM e
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON w.dst = e.src)
+    SELECT src, dst, MIN(hops) AS hops FROM walk
+    GROUP BY src, dst HAVING MIN(hops) >= 2
+    """,
+)
+def path_times_open(spark, sf_dir):
+    """Open-bounded repetition — `parent{2,}`: at least two
+    applications then any number more, desugared at parse time to
+    (parent{2,2}, parent*) so the compiler's closed vocabulary (and
+    the anchored-closure optimizations) apply unchanged.  The oracle
+    is the full recursive walk filtered to min-hops >= 2 — pairs
+    whose ONLY connection is shorter must not appear."""
+    from terminus_server_spark.operators.path import compile_path
+    from terminus_server_spark.woql.path_ast import parse_path_string
+
+    store = _parent_tree_store(spark, sf_dir)
+    return compile_path(store, parse_path_string("parent{2,}"))
+
+
+@register(
+    "dedup_simhash_hamming",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    hs AS (SELECT doc_id, md5(token) AS h FROM toks),
+    bits AS (
+      SELECT doc_id, j AS bit_pos,
+             CASE WHEN substring(h, j::INT, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END AS vote
+      FROM hs CROSS JOIN generate_series(1, 16) AS g(j)),
+    votes AS (SELECT doc_id, bit_pos, SUM(vote) AS votes FROM bits GROUP BY 1, 2),
+    sigs AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN votes > 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY bit_pos) AS sig
+      FROM votes GROUP BY doc_id),
+    usig AS MATERIALIZED (
+      SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sigs GROUP BY sig),
+    banded AS MATERIALIZED (
+      SELECT sig, n_docs, 0 AS block_id, substring(sig, 1, 6) AS block_key FROM usig
+      UNION ALL
+      SELECT sig, n_docs, 1, substring(sig, 7, 6) FROM usig
+      UNION ALL
+      SELECT sig, n_docs, 2, substring(sig, 13, 4) FROM usig),
+    cand AS (
+      SELECT DISTINCT a.sig AS sig_a, b.sig AS sig_b,
+             a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+      FROM banded a JOIN banded b USING (block_id, block_key)
+      WHERE a.sig < b.sig),
+    ver AS (
+      SELECT sig_a, sig_b,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+               i -> CASE WHEN substring(sig_a, i::INT, 1) <> substring(sig_b, i::INT, 1)
+                         THEN 1 ELSE 0 END)) AS INT) AS hamming,
+             n_docs_a, n_docs_b
+      FROM cand)
+    SELECT sig_a, sig_b, hamming, n_docs_a, n_docs_b
+    FROM ver WHERE hamming BETWEEN 1 AND 2
+    ORDER BY hamming, sig_a, sig_b LIMIT 20
+    """,
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash Hamming-distance near-dup pairing (operators/dedup.py:
+    simhash_near_dups — the Manku et al. web-dedup construction):
+    signatures split into max_hamming+1 blocks, pigeonhole guarantees
+    every within-budget pair shares a block, exact per-bit verify.
+    Pairing runs at the DISTINCT-SIGNATURE grain (≤ 2^16 rows however
+    large the corpus) with doc counts carried — the piece
+    `dedup_simhash` (signatures only) was missing."""
+    from terminus_server_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return simhash_near_dups(docs, max_hamming=2, top=20)

@@ -145,9 +145,23 @@ def parse_path_string(src: str) -> PathPattern:
                 take("{")
                 _, n = take()
                 take(",")
-                _, m_ = take()
-                take("}")
-                out = Times(out, int(n), int(m_))
+                if peek()[1] == "}":
+                    # open upper bound p{n,}: desugar to n-fold then
+                    # closure (p{0,} is Star itself) — the AST stays in
+                    # the closed vocabulary, so compile/render need no
+                    # new cases and the parse∘render property holds on
+                    # the desugared form
+                    take("}")
+                    n_i = int(n)
+                    out = (
+                        Star(out)
+                        if n_i == 0
+                        else Seq(Times(out, n_i, n_i), Star(out))
+                    )
+                else:
+                    _, m_ = take()
+                    take("}")
+                    out = Times(out, int(n), int(m_))
             else:
                 return out
 

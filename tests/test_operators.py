@@ -3287,3 +3287,33 @@ def test_pagerank_and_octopus_empty_inputs(spark):
     merged, conflicts = merge_octopus(base, [], ["k"])
     assert [tuple(r) for r in merged.collect()] == [(1, "a")]
     assert conflicts.count() == 0
+
+
+def test_simhash_hamming_pigeonhole_complete(spark):
+    """Every signature pair within the hamming budget must be found
+    (pigeonhole over blocks), none beyond it."""
+    from terminus_server_spark.operators.dedup import simhash_near_dups
+
+    # docs engineered so signatures differ in few bits: same word set
+    # plus one or two extra tokens
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extraone"),
+         (4, base + " extraone extratwo"), (5, "totally different words here")],
+        "doc_id long, text string",
+    )
+    out = simhash_near_dups(docs, max_hamming=4, top=100).collect()
+    from terminus_server_spark.operators.dedup import simhash
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    expected = set()
+    for a in set(sigs.values()):
+        for b in set(sigs.values()):
+            if a < b and 1 <= ham(a, b) <= 4:
+                expected.add((a, b))
+    got = {(r["sig_a"], r["sig_b"]) for r in out}
+    assert got == expected
+    for r in out:
+        assert r["hamming"] == ham(r["sig_a"], r["sig_b"])

@@ -321,6 +321,9 @@ HEADLINE = [
     "events_anomaly_mad",
     "path_times_open",
     "dedup_simhash_hamming",
+    "text_confusables",
+    "events_top_paths",
+    "emb_mmr_rerank",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

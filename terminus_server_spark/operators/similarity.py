@@ -1110,3 +1110,107 @@ def ivfpq_topk(
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
         .orderBy("query_id", "rk")
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, pos, mmr_score): Maximal Marginal
+    Relevance re-ranking (Carbonell & Goldstein 1998 — the
+    diversity-aware top-k every RAG retriever runs after ANN):
+    starting from the exact top-``n_candidates`` relevance pool,
+    greedily pick argmax λ·rel(q,c) − (1−λ)·max_{s∈selected}
+    sim(c,s) — relevance traded against redundancy with what's
+    already picked.
+
+    Fully deterministic (fixed-point cosines, neighbor-id
+    tie-breaks), so the whole greedy trajectory is replayed by the
+    SQL oracle.  Dataflow: the candidate pool and its per-query
+    pairwise sim table materialize ONCE (pool² per query, bounded by
+    n_candidates²); each of the k rounds is one join + one per-query
+    argmax over ALL queries in parallel — never a per-query loop."""
+    from pyspark.sql.window import Window
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    cand = plan_checkpoint(
+        brute_force_topk(emb, queries, n_candidates, id_col, vec_col).select(
+            "query_id", "neighbor_id", F.col("cos").alias("rel")
+        )
+    )
+    ca = cand.select(
+        "query_id", F.col("neighbor_id").alias("id_x")
+    )
+    parts = plan_checkpoint(scaled_parts(emb, id_col, vec_col, "a"))
+    pb = parts.select(
+        F.col("id_a").alias("id_b"), F.col("vec_a").alias("vec_b"), F.col("norm_a").alias("norm_b")
+    )
+    pairs = (
+        ca.join(ca.withColumnRenamed("id_x", "id_y"), "query_id")
+        .where(F.col("id_x") != F.col("id_y"))
+        .join(parts.withColumnRenamed("id_a", "id_x"), "id_x")
+        .join(pb.withColumnRenamed("id_b", "id_y"), "id_y")
+        .select(
+            "query_id",
+            "id_x",
+            "id_y",
+            cosine_from_parts("a", "b").alias("sim"),
+        )
+    )
+    pairsim = plan_checkpoint(pairs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc()
+    )
+    first = (
+        cand.withColumn("_score", F.col("rel"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("pos"),
+                F.round("_score", 6).alias("mmr_score"))
+    )
+    selected = plan_checkpoint(first)
+    remaining = plan_checkpoint(cand.join(
+        selected.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+    ))
+    for pos in range(2, k + 1):
+        maxsim = (
+            remaining.join(
+                pairsim.withColumnRenamed("id_x", "neighbor_id"), ["query_id", "neighbor_id"]
+            )
+            .join(
+                selected.select("query_id", F.col("neighbor_id").alias("id_y")),
+                ["query_id", "id_y"],
+                "left_semi",
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("sim").alias("_ms"))
+        )
+        scored = remaining.join(maxsim, ["query_id", "neighbor_id"], "left_outer").select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(1 - lam) * F.coalesce("_ms", F.lit(0.0))
+            ).alias("_score"),
+        )
+        pick = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("query_id", "neighbor_id", F.lit(pos).alias("pos"),
+                    F.round("_score", 6).alias("mmr_score"))
+        )
+        pick = plan_checkpoint(pick)
+        selected = plan_checkpoint(selected.unionByName(pick))
+        remaining = plan_checkpoint(
+            remaining.join(
+                pick.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+            )
+        )
+    return selected

@@ -1028,3 +1028,42 @@ def sentence_stats(
             n_sent > 0, F.round(n_tok.cast("double") / n_sent.cast("double"), 6)
         ).alias("avg_sentence_tokens"),
     )
+
+
+
+# homoglyph / confusable normalization map (the high-frequency Cyrillic
+# and Greek lookalikes plus zero-width characters) — string-to-string
+# translate pairs shared verbatim with the oracle
+CONFUSABLES = [
+    ("\u0430", "a"), ("\u0435", "e"), ("\u043e", "o"), ("\u0440", "p"),
+    ("\u0441", "c"), ("\u0445", "x"), ("\u0443", "y"),
+    ("\u03bf", "o"), ("\u0391", "A"), ("\u0392", "B"), ("\u0395", "E"),
+]
+ZERO_WIDTH = ["\u200b", "\u200c", "\u200d", "\ufeff"]
+
+
+def confusable_normalize(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, normalized, n_confusables, n_zero_width): homoglyph /
+    confusable normalization — the anti-obfuscation step before
+    hashing or blocklist matching (Cyrillic '\u0430' passes every
+    ASCII filter while reading as 'a'; zero-width characters split
+    tokens invisibly).  A fixed translate table maps the
+    high-frequency lookalikes to their ASCII targets and strips
+    zero-width characters, counting both so the damage rate is a
+    quality signal.  Pure translate/replace built-ins, no UDF, table
+    shared verbatim with the oracle."""
+    t = F.col(text_col)
+    src = "".join(c for c, _ in CONFUSABLES)
+    dst = "".join(r for _, r in CONFUSABLES)
+    n_conf = F.length(t) - F.length(F.translate(t, src, ""))
+    zw = "".join(ZERO_WIDTH)
+    n_zw = F.length(t) - F.length(F.translate(t, zw, ""))
+    normalized = F.translate(F.translate(t, zw, ""), src, dst)
+    return docs.select(
+        F.col(id_col),
+        normalized.alias("normalized"),
+        n_conf.cast("int").alias("n_confusables"),
+        n_zw.cast("int").alias("n_zero_width"),
+    )

@@ -17614,3 +17614,186 @@ def dedup_simhash_hamming(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return simhash_near_dups(docs, max_hamming=2, top=20)
+
+
+@register(
+    "text_confusables",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN replace(replace(text, 'a', chr(1072)), 'e', chr(1077))
+                       || chr(8203) || 'tail'
+                  ELSE text END AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, t,
+             CAST(len(t) - len(replace(replace(replace(replace(replace(replace(
+               replace(replace(replace(replace(replace(t,
+               chr(1072), ''), chr(1077), ''), chr(1086), ''), chr(1088), ''),
+               chr(1089), ''), chr(1093), ''), chr(1091), ''), chr(959), ''),
+               chr(913), ''), chr(914), ''), chr(917), '')) AS INT) AS n_confusables,
+             CAST(len(t) - len(replace(replace(replace(replace(t,
+               chr(8203), ''), chr(8204), ''), chr(8205), ''), chr(65279), ''))
+               AS INT) AS n_zero_width
+      FROM f)
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(replace(replace(
+           replace(replace(replace(replace(replace(replace(replace(t,
+             chr(8203), ''), chr(8204), ''), chr(8205), ''), chr(65279), ''),
+             chr(1072), 'a'), chr(1077), 'e'), chr(1086), 'o'), chr(1088), 'p'),
+             chr(1089), 'c'), chr(1093), 'x'), chr(1091), 'y'), chr(959), 'o'),
+             chr(913), 'A'), chr(914), 'B'), chr(917), 'E') AS normalized,
+           n_confusables, n_zero_width
+    FROM m
+    """,
+)
+def text_confusables(spark, sf_dir):
+    """Homoglyph / confusable normalization (operators/text.py:
+    confusable_normalize): every fifth doc gets its a/e swapped for
+    Cyrillic lookalikes plus a zero-width space — the obfuscation
+    that defeats ASCII blocklists and splits tokens invisibly.  The
+    fixed translate table (high-frequency Cyrillic/Greek lookalikes +
+    four zero-width characters) restores ASCII and counts the damage;
+    the oracle replays the identical mapping via chained replaces."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import confusable_normalize
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    moji = F.concat(
+        F.replace(
+            F.replace(F.col("text"), F.lit("a"), F.lit(chr(0x430))),
+            F.lit("e"),
+            F.lit(chr(0x435)),
+        ),
+        F.lit(chr(0x200B) + "tail"),
+    )
+    fixture = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, moji).otherwise(F.col("text")).alias("text"),
+    )
+    return confusable_normalize(fixture)
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top user journeys — the most frequent 3-event sequences per
+    user timeline (the product-analytics path-mining staple, the
+    n-gram generalization of `events_markov`'s first-order
+    transitions): one user-keyed window emits each position's
+    3-window via LEAD, one aggregate ranks the paths.  Deterministic
+    (ts, event_id) ordering; cost is one shuffle on the user key plus
+    the path rollup."""
+    from pyspark.sql import Window, functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+def _mmr_oracle_sql(k=5, n_candidates=10, lam=0.7, n_q=5):
+    l1, l2 = repr(lam), repr(1 - lam)  # repr: Spark's 1-lam is the
+    # same IEEE double only if the SQL literal spells it exactly
+    parts = [f"""
+    WITH {_PARTS_SQL},
+    cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cos AS rel FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rk
+        FROM parts a JOIN parts b ON a.vec_id < {n_q} AND a.vec_id <> b.vec_id)
+      WHERE rk <= {n_candidates}),
+    ps AS MATERIALIZED (
+      SELECT c1.query_id, c1.neighbor_id AS id_x, c2.neighbor_id AS id_y,
+             {_COS_SQL} AS sim
+      FROM cand c1
+      JOIN cand c2 ON c1.query_id = c2.query_id
+                  AND c1.neighbor_id <> c2.neighbor_id
+      JOIN parts a ON a.vec_id = c1.neighbor_id
+      JOIN parts b ON b.vec_id = c2.neighbor_id),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, CAST(1 AS INT) AS pos,
+             ROUND(rel, 6) AS mmr_score
+      FROM (SELECT query_id, neighbor_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, neighbor_id ASC) AS rk
+            FROM cand) WHERE rk = 1),
+    r1 AS MATERIALIZED (
+      SELECT c.* FROM cand c LEFT JOIN sel1 s
+        ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id
+      WHERE s.neighbor_id IS NULL)"""]
+    for p in range(2, k + 1):
+        q = p - 1
+        parts.append(f""",
+    ms{p} AS (
+      SELECT r.query_id, r.neighbor_id, MAX(ps.sim) AS ms
+      FROM r{q} r
+      JOIN ps ON ps.query_id = r.query_id AND ps.id_x = r.neighbor_id
+      JOIN sel{q} s ON s.query_id = ps.query_id AND s.neighbor_id = ps.id_y
+      GROUP BY 1, 2),
+    pick{p} AS MATERIALIZED (
+      SELECT query_id, neighbor_id, CAST({p} AS INT) AS pos,
+             ROUND(score, 6) AS mmr_score
+      FROM (SELECT r.query_id, r.neighbor_id,
+                   {l1} * r.rel - {l2} * COALESCE(m.ms, 0.0) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY r.query_id
+                     ORDER BY {l1} * r.rel - {l2} * COALESCE(m.ms, 0.0) DESC,
+                              r.neighbor_id ASC) AS rk
+            FROM r{q} r LEFT JOIN ms{p} m
+              ON m.query_id = r.query_id AND m.neighbor_id = r.neighbor_id)
+      WHERE rk = 1),
+    sel{p} AS MATERIALIZED (
+      SELECT * FROM sel{q} UNION ALL SELECT * FROM pick{p}),
+    r{p} AS MATERIALIZED (
+      SELECT r.* FROM r{q} r LEFT JOIN pick{p} s
+        ON r.query_id = s.query_id AND r.neighbor_id = s.neighbor_id
+      WHERE s.neighbor_id IS NULL)""")
+    return "".join(parts) + f"""
+    SELECT query_id, neighbor_id, pos, mmr_score FROM sel{k}
+    ORDER BY query_id, pos
+    """
+
+
+@register("emb_mmr_rerank", _mmr_oracle_sql())
+def emb_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (operators/similarity.py:
+    mmr_rerank — Carbonell & Goldstein's diversity-aware top-k, the
+    post-ANN step every RAG retriever runs): greedy argmax of
+    λ·relevance − (1−λ)·max-similarity-to-selected over the exact
+    top-10 pool, five positions out.  Fully deterministic fixed-point
+    cosines + id tie-breaks make the whole greedy TRAJECTORY
+    oracle-replayable; every round advances all queries in parallel
+    (one join + one per-query argmax), never a per-query loop."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return mmr_rerank(emb, emb.where(F.col("vec_id") < 5), k=5, n_candidates=10)

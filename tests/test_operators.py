@@ -3317,3 +3317,25 @@ def test_simhash_hamming_pigeonhole_complete(spark):
     assert got == expected
     for r in out:
         assert r["hamming"] == ham(r["sig_a"], r["sig_b"])
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import mmr_rerank
+
+    # q = [1,0]; a,b nearly duplicate high-relevance; c orthogonal-ish
+    rows = [
+        (0, [1.0, 0.0]),       # query
+        (1, [0.99, 0.14]),     # a: high rel
+        (2, [0.985, 0.17]),    # b: high rel, redundant with a
+        (3, [0.6, 0.8]),       # c: lower rel, diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(
+        emb, emb.where(F.col("vec_id") == 0), k=3, n_candidates=3, lam=0.2
+    ).orderBy("pos").collect()
+    order = [r["neighbor_id"] for r in out]
+    assert order[0] == 1          # pure relevance first
+    assert order[1] == 3          # diversity beats the near-duplicate
+    assert order[2] == 2

@@ -324,6 +324,8 @@ HEADLINE = [
     "text_confusables",
     "events_top_paths",
     "emb_mmr_rerank",
+    "text_pii_luhn",
+    "events_wilson_rank",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -1067,3 +1067,46 @@ def confusable_normalize(
         n_conf.cast("int").alias("n_confusables"),
         n_zw.cast("int").alias("n_zero_width"),
     )
+
+
+def luhn_card_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_candidates, n_luhn_valid, scrubbed): payment-card
+    detection with the Luhn checksum — the PII category where a bare
+    digit-run regex drowns in false positives (order ids, phone
+    numbers): 13–16 digit runs are CANDIDATES, and only runs passing
+    the mod-10 double-every-second-digit check count as cards and get
+    redacted.  The checksum is pure array algebra over the digit
+    string (reverse, conditional double with the 9-subtract fold,
+    digit sum) — no UDF, identical in any engine; scrubbing folds a
+    replace over the valid runs, so clean docs pass through
+    byte-identical."""
+    cand_expr = (
+        f"filter(regexp_extract_all({text_col},"
+        " '(^|[^0-9])([0-9]{13,16})($|[^0-9])', 2), x -> x <> '')"
+    )
+    luhn_sum = (
+        "aggregate(transform(sequence(1, length(x)), i -> "
+        "  CASE WHEN i % 2 = 0 "
+        "       THEN CASE WHEN CAST(substring(reverse(x), i, 1) AS INT) * 2 > 9 "
+        "                 THEN CAST(substring(reverse(x), i, 1) AS INT) * 2 - 9 "
+        "                 ELSE CAST(substring(reverse(x), i, 1) AS INT) * 2 END "
+        "       ELSE CAST(substring(reverse(x), i, 1) AS INT) END), "
+        " CAST(0 AS INT), (acc, d) -> acc + d)"
+    )
+    valid_expr = (
+        f"filter(regexp_extract_all({text_col},"
+        " '(^|[^0-9])([0-9]{13,16})($|[^0-9])', 2),"
+        f" x -> x <> '' AND ({luhn_sum}) % 10 = 0)"
+    )
+    scrub_expr = (
+        f"aggregate({valid_expr}, {text_col},"
+        " (acc, x) -> replace(acc, x, '<CARD>'))"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.expr(cand_expr)).cast("int").alias("n_candidates"),
+        F.size(F.expr(valid_expr)).cast("int").alias("n_luhn_valid"),
+        F.expr(scrub_expr).alias("scrubbed"),
+    )

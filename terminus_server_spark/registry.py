@@ -17797,3 +17797,100 @@ def emb_mmr_rerank(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     return mmr_rerank(emb, emb.where(F.col("vec_id") < 5), k=5, n_candidates=10)
+
+
+@register(
+    "text_pii_luhn",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 6 IN (0, 3) THEN 1 ELSE 0 END AS INT)
+             AS n_candidates,
+           CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS INT) AS n_luhn_valid,
+           text || CASE WHEN doc_id % 6 = 0 THEN ' card <CARD> end'
+                        WHEN doc_id % 6 = 3 THEN ' num 1234567890123456 end'
+                        ELSE '' END AS scrubbed
+    FROM documents
+    """,
+)
+def text_pii_luhn(spark, sf_dir):
+    """Payment-card PII with the Luhn checksum (operators/text.py:
+    luhn_card_scan): every sixth doc carries a Luhn-VALID card number
+    (redacted), every sixth-plus-three a 16-digit run that FAILS the
+    checksum (a candidate, NOT redacted — the false-positive class a
+    bare digit regex can't separate).  The mod-10
+    double-every-second-digit check is pure array algebra; the
+    closed-form oracle pins exactly which docs scrub."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import luhn_card_scan
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" card 4532015112830366 end"))
+            .when(F.col("doc_id") % 6 == 3, F.lit(" num 1234567890123456 end"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return luhn_card_scan(fixture)
+
+
+@register(
+    "events_wilson_rank",
+    """
+    WITH arms AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM events GROUP BY event_type),
+    w AS (
+      SELECT event_type, n, pos,
+             CAST(pos AS DOUBLE) / n AS p_hat,
+             (CAST(pos AS DOUBLE) / n + 1.9208 / n
+              - 1.96 * sqrt((CAST(pos AS DOUBLE) / n)
+                            * (1 - CAST(pos AS DOUBLE) / n) / n
+                            + 0.9604 / (n * n)))
+             / (1 + 3.8416 / n) AS lb
+      FROM arms)
+    SELECT event_type, n, pos, ROUND(p_hat, 6) AS p_hat,
+           ROUND(lb, 6) AS wilson_lower,
+           CAST(ROW_NUMBER() OVER (ORDER BY lb DESC, event_type) AS INT) AS rank
+    FROM w
+    """,
+)
+def events_wilson_rank(spark, sf_dir):
+    """Wilson-score lower-bound ranking — the standard fix for
+    sorting by raw success rate (a 2/2 item must not outrank a
+    95/100 one): per event type the fraction of high-value events,
+    ranked by the 95 % Wilson interval's lower bound (z = 1.96,
+    closed form with identical expression trees on both engines).
+    One aggregate + one 5-row window — the leaderboard-ranking shape
+    of every review/CTR system."""
+    from pyspark.sql import Window, functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+    arms = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("bigint").alias("pos"),
+    )
+    p = F.col("pos").cast("double") / F.col("n")
+    lb = (
+        p
+        + F.lit(1.9208) / F.col("n")
+        - F.lit(1.96)
+        * F.sqrt(p * (1 - p) / F.col("n") + F.lit(0.9604) / (F.col("n") * F.col("n")))
+    ) / (1 + F.lit(3.8416) / F.col("n"))
+    w = Window.orderBy(F.col("_lb").desc(), "event_type")
+    return (
+        arms.withColumn("_lb", lb)
+        .select(
+            "event_type",
+            "n",
+            "pos",
+            F.round(p, 6).alias("p_hat"),
+            F.round("_lb", 6).alias("wilson_lower"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )

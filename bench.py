@@ -326,6 +326,7 @@ HEADLINE = [
     "emb_mmr_rerank",
     "text_pii_luhn",
     "events_wilson_rank",
+    "graph_euler",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -2489,3 +2489,36 @@ def maximal_matching(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     for p in matched_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def euler_classify(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(component, n_nodes, n_odd, euler): Euler-walk classification
+    per connected component — 'circuit' (every degree even), 'path'
+    (exactly two odd-degree nodes), or 'none' — the classic
+    degree-parity corollary, computed as one degree aggregate over
+    the symmetrized edges joined to the CC labels.  The route-
+    inspection shape (can this pipeline of edges be walked once?)."""
+    und = _symmetrize(edges)
+    comp = connected_components(und, max_iters)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    labeled = comp.join(deg, "node")
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.when(F.col("_d") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_odd"),
+        )
+        .select(
+            "component",
+            "n_nodes",
+            "n_odd",
+            F.when(F.col("n_odd") == 0, F.lit("circuit"))
+            .when(F.col("n_odd") == 2, F.lit("path"))
+            .otherwise(F.lit("none"))
+            .alias("euler"),
+        )
+    )

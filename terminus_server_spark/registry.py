@@ -17894,3 +17894,38 @@ def events_wilson_rank(spark, sf_dir):
             F.row_number().over(w).cast("int").alias("rank"),
         )
     )
+
+
+@register(
+    "graph_euler",
+    """
+    WITH decs AS (
+      SELECT DISTINCT (c_custkey // 10) * 10 AS d FROM customer
+      WHERE c_custkey % 10 <> 0 AND c_custkey >= 1)
+    SELECT CAST(d AS BIGINT) AS component,
+           CAST(10 AS BIGINT) AS n_nodes,
+           CAST(CASE WHEN d % 40 = 0 THEN 0 ELSE 2 END AS BIGINT) AS n_odd,
+           CASE WHEN d % 40 = 0 THEN 'circuit' ELSE 'path' END AS euler
+    FROM decs
+    """,
+)
+def graph_euler(spark, sf_dir):
+    """Euler-walk classification (operators/graph.py:euler_classify):
+    decade chains are open paths (two odd-degree endpoints → 'path');
+    every fourth decade closes into a ring (10d→10d+9 edge added) so
+    every degree is even → 'circuit'.  One degree aggregate joined to
+    the CC labels — the route-inspection check at graph scale."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import euler_classify
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    chain = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    closers = chain.where(
+        (F.col("src") % 10 == 1) & (F.floor(F.col("src") / 10) % 4 == 0)
+    ).select(
+        (F.col("dst")).alias("src"), (F.col("dst") + 9).alias("dst")
+    )
+    return euler_classify(chain.unionByName(closers))

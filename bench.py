@@ -327,6 +327,7 @@ HEADLINE = [
     "text_pii_luhn",
     "events_wilson_rank",
     "graph_euler",
+    "gql_variables",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

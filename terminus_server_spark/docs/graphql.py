@@ -41,7 +41,7 @@ _TOKEN = re.compile(
         (?P<str>"(?:[^"\\]|\\.)*")
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<name>[_A-Za-z][_0-9A-Za-z]*)
-      | (?P<punct>[{}()\[\]:,])
+      | (?P<punct>[{}()\[\]:,$=!])
     )""",
     re.VERBOSE,
 )
@@ -65,9 +65,10 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(self, tokens: list[tuple[str, str]], variables: dict | None = None):
         self.toks = tokens
         self.i = 0
+        self.vars = variables or {}
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -102,6 +103,11 @@ class _Parser:
             if tok == "null":
                 return None
             return tok  # enum token (ASC/DESC)
+        if tok == "$":
+            _, vname = self.next()
+            if vname not in self.vars:
+                raise ValueError(f"graphql: undefined variable ${vname}")
+            return self.vars[vname]
         if tok == "[":
             items = []
             while self.peek()[1] != "]":
@@ -166,37 +172,66 @@ class _Parser:
         op = "query"
         if self.peek()[0] == "name" and self.peek()[1] in ("query", "mutation"):
             op = self.next()[1]
+            # variable declarations: query($x: Float, $y: Int = 3) —
+            # names/types are documentation here (values arrive via the
+            # ``variables`` dict, GraphQL's transport convention);
+            # declared defaults fill absent variables
+            if self.peek()[1] == "(":
+                self.next()
+                while self.peek()[1] != ")":
+                    self.expect("$")
+                    _, vname = self.next()
+                    self.expect(":")
+                    self.next()  # type name
+                    if self.peek()[1] == "=":
+                        self.next()
+                        default = self.value()
+                        self.vars.setdefault(vname, default)
+                    if self.peek()[1] == ",":
+                        self.next()
+                self.expect(")")
         self.expect("{")
         roots = []
         while self.peek()[1] != "}":
             kind, cls = self.next()
             if kind != "name":
                 raise ValueError(f"graphql: expected class name, got {cls!r}")
+            alias = None
+            if self.peek()[1] == ":":
+                # root alias: result keyed by the alias, query runs
+                # against the class named after the colon
+                self.next()
+                kind2, real = self.next()
+                if kind2 != "name":
+                    raise ValueError(f"graphql: expected class after alias {cls!r}")
+                alias, cls = cls, real
             args = self.arguments()
             fields = self.selection_set() if self.peek()[1] == "{" else []
-            roots.append((cls, {"args": args, "fields": fields}))
+            roots.append((cls, {"args": args, "fields": fields, "alias": alias}))
         self.expect("}")
         return op, roots
 
-    def query(self) -> dict:
-        op, roots = self.operation()
-        if op != "query":
-            raise ValueError(f"graphql: expected a query operation, got {op!r}")
-        for cls, req in roots:
-            if not req["fields"]:
-                raise ValueError(f"graphql: query root {cls!r} needs a selection set")
-        return dict(roots)
+def parse_graphql(src: str, variables: dict | None = None) -> dict:
+    """GraphQL query string → {class-or-alias: {args, fields}}
+    request dict.  ``variables`` supplies $var values (the wire
+    convention: the query text stays constant and cacheable, values
+    travel separately)."""
+    op, roots = _Parser(_tokenize(src), variables).operation()
+    if op != "query":
+        raise ValueError(f"graphql: expected a query operation, got {op!r}")
+    out = {}
+    for cls, req in roots:
+        if not req["fields"]:
+            raise ValueError(f"graphql: query root {cls!r} needs a selection set")
+        key = req.get("alias") or cls
+        out[key] = {**req, "class": cls}
+    return out
 
 
-def parse_graphql(src: str) -> dict:
-    """GraphQL query string → {class: {args, fields}} request dict."""
-    return _Parser(_tokenize(src)).query()
-
-
-def parse_graphql_operation(src: str) -> tuple[str, list]:
+def parse_graphql_operation(src: str, variables: dict | None = None) -> tuple[str, list]:
     """GraphQL source → (op_type, [(root_name, {args, fields})...]);
     keeps root order (mutations apply in request order)."""
-    return _Parser(_tokenize(src)).operation()
+    return _Parser(_tokenize(src), variables).operation()
 
 
 _OPS = ("eq", "ne", "gt", "ge", "lt", "le", "like", "regex", "in")
@@ -451,6 +486,7 @@ def execute_graphql(
     relations: dict | None = None,
     schema=None,
     store=None,
+    variables: dict | None = None,
 ):
     """Execute a parsed GraphQL request against ``frames`` (class
     name → DataFrame) and return {class: DataFrame}.
@@ -476,24 +512,25 @@ def execute_graphql(
     :func:`_path_query`)."""
     relations = relations or {}
     out = {}
-    for cls, req in parse_graphql(src).items():
+    for key, req in parse_graphql(src, variables).items():
+        cls = req.get("class", key)
         if cls == "_path":
             if store is None:
                 raise ValueError("graphql: _path requires a triple store")
-            out[cls] = _path_query(store, req["args"], req["fields"])
+            out[key] = _path_query(store, req["args"], req["fields"])
             continue
         if cls in ("__schema", "__type"):
             if schema is None:
                 raise ValueError(
                     "graphql: introspection requires a schema document"
                 )
-            out[cls] = _introspect(schema, cls, req["args"], req["fields"])
+            out[key] = _introspect(schema, cls, req["args"], req["fields"])
             continue
         if cls not in frames:
             raise ValueError(f"graphql: unknown class {cls!r}")
         level = _query_level(frames, relations, cls, req["args"], req["fields"])
         names = [f if isinstance(f, str) else f["name"] for f in req["fields"]]
-        out[cls] = level.select(*names)
+        out[key] = level.select(*names)
     return out
 
 

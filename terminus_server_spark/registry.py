@@ -17929,3 +17929,58 @@ def graph_euler(spark, sf_dir):
         (F.col("dst")).alias("src"), (F.col("dst") + 9).alias("dst")
     )
     return euler_classify(chain.unionByName(closers))
+
+
+@register(
+    "gql_variables",
+    """
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents
+               WHERE lang = 'en' AND n_chars > 300
+               ORDER BY n_chars DESC, doc_id LIMIT 5)
+    SELECT 'big_en' AS root, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM d
+    UNION ALL
+    SELECT 'small_fr', doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+      WHERE lang = 'fr' AND n_chars < 150
+      ORDER BY n_chars ASC, doc_id LIMIT 5)
+    """,
+)
+def gql_variables(spark, sf_dir):
+    """GraphQL variables + root aliases (docs/graphql.py): ONE cached
+    query text parameterized per request through the ``variables``
+    transport dict (with a declared default exercised for the limit),
+    two aliased roots querying the same class under different
+    bindings — the client-side staples (Apollo/Relay send every
+    query this way).  Each aliased root compiles to the same pushed
+    filter + TakeOrderedAndProject plan as the literal form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    docs = _t(spark, sf_dir, "documents")["documents"].withColumn(
+        "n_chars", F.col("n_chars").cast("bigint")
+    )
+    src = """
+    query($lang1: String, $lang2: String, $minChars: Int, $maxChars: Int,
+          $n: Int = 5) {
+      big_en: Doc(filter: {lang: {eq: $lang1}, n_chars: {gt: $minChars}},
+                  orderBy: [{n_chars: DESC}, {doc_id: ASC}], limit: $n) {
+        doc_id lang n_chars
+      }
+      small_fr: Doc(filter: {lang: {eq: $lang2}, n_chars: {lt: $maxChars}},
+                    orderBy: [{n_chars: ASC}, {doc_id: ASC}], limit: $n) {
+        doc_id lang n_chars
+      }
+    }
+    """
+    out = execute_graphql(
+        {"Doc": docs},
+        src,
+        variables={"lang1": "en", "lang2": "fr", "minChars": 300, "maxChars": 150},
+    )
+    a = out["big_en"].select(F.lit("big_en").alias("root"), "doc_id", "lang", "n_chars")
+    b = out["small_fr"].select(
+        F.lit("small_fr").alias("root"), "doc_id", "lang", "n_chars"
+    )
+    return a.unionByName(b)

@@ -3339,3 +3339,25 @@ def test_mmr_prefers_diversity_over_redundancy(spark):
     assert order[0] == 1          # pure relevance first
     assert order[1] == 3          # diversity beats the near-duplicate
     assert order[2] == 2
+
+
+def test_graphql_variables_and_aliases(spark):
+    import pytest as _pytest
+
+    from terminus_server_spark.docs.graphql import parse_graphql
+
+    req = parse_graphql(
+        'query($x: Int, $n: Int = 7) { top: Doc(filter: {v: {gt: $x}}, limit: $n) { a } }',
+        variables={"x": 3},
+    )
+    assert set(req) == {"top"}
+    assert req["top"]["class"] == "Doc"
+    assert req["top"]["args"]["filter"] == {"v": {"gt": 3}}
+    assert req["top"]["args"]["limit"] == 7  # declared default used
+    # supplied variables beat declared defaults
+    req2 = parse_graphql(
+        'query($n: Int = 7) { Doc(limit: $n) { a } }', variables={"n": 2}
+    )
+    assert req2["Doc"]["args"]["limit"] == 2
+    with _pytest.raises(ValueError, match="undefined variable"):
+        parse_graphql("query { Doc(limit: $missing) { a } }")

@@ -328,6 +328,7 @@ HEADLINE = [
     "events_wilson_rank",
     "graph_euler",
     "gql_variables",
+    "agg_gini",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -17984,3 +17984,51 @@ def gql_variables(spark, sf_dir):
         F.lit("small_fr").alias("root"), "doc_id", "lang", "n_chars"
     )
     return a.unionByName(b)
+
+
+@register(
+    "agg_gini",
+    """
+    WITH r AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rk
+      FROM orders),
+    m AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS s,
+             SUM(CAST(rk * cents AS DECIMAL(38,0))) AS rs
+      FROM r GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+           ROUND((2.0 * CAST(rs AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM m
+    """,
+)
+def agg_gini(spark, sf_dir):
+    """Gini concentration coefficient per group (how unequal are
+    order values within each priority class): the exact sorted-rank
+    form G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over cent-scaled integers —
+    rank moments accumulate as DECIMAL(38,0) (no float fold), the
+    closed-form combination runs in doubles with identical expression
+    trees.  One group-partitioned rank window + one aggregate — the
+    inequality/concentration measure of revenue analytics, exact and
+    engine-reproducible."""
+    from pyspark.sql import Window, functions as F
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = orders.select(
+        "o_orderpriority", cents.alias("cents"), F.row_number().over(w).alias("rk")
+    )
+    m = r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("rk") * F.col("cents")).cast("decimal(38,0)")).alias("rs"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    gini = (F.lit(2.0) * d("rs")) / (d("n") * d("s")) - (d("n") + 1) / d("n")
+    return m.select("o_orderpriority", "n", F.round(gini, 6).alias("gini"))

@@ -329,6 +329,7 @@ HEADLINE = [
     "graph_euler",
     "gql_variables",
     "agg_gini",
+    "stream_cc_incremental",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

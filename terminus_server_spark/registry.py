@@ -18032,3 +18032,38 @@ def agg_gini(spark, sf_dir):
     d = lambda c: F.col(c).cast("double")
     gini = (F.lit(2.0) * d("rs")) / (d("n") * d("s")) - (d("n") + 1) / d("n")
     return m.select("o_orderpriority", "n", F.round(gini, 6).alias("gini"))
+
+
+@register(
+    "stream_cc_incremental",
+    """
+    WITH nodes AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1
+      UNION
+      SELECT c_custkey - 1 FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey >= 1)
+    SELECT k AS node, CAST((k // 10) * 10 AS BIGINT) AS component
+    FROM nodes
+    """,
+)
+def stream_cc_incremental(spark, sf_dir):
+    """Streaming incremental connected components (streaming/
+    events.py:run_stream_cc): the decade-chain edges arrive in three
+    position-sliced micro-batches; each foreachBatch merge enters new
+    nodes as singletons and contracts the batch edges' label pairs
+    through a ≤|batch|-edge meta-graph — per-batch cost scales with
+    the delta, and the final labels equal full CC on everything (the
+    decade-minimum closed form the oracle restates)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_cc
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    chain = cust.where((F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") >= 1)).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    batches = [
+        chain.where((F.col("src") % 10).between(1, 3)),
+        chain.where((F.col("src") % 10).between(4, 6)),
+        chain.where((F.col("src") % 10).between(7, 9)),
+    ]
+    return run_stream_cc(spark, batches)

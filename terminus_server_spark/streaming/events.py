@@ -1053,3 +1053,66 @@ def run_stream_countmin(
         .select("key", "est", "exact")
         .orderBy(F.col("est").desc(), "key")
     )
+
+
+def run_stream_cc(
+    spark: SparkSession,
+    edge_batches: list[DataFrame],
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component): connected-component labels maintained
+    incrementally as edge INSERTIONS stream in — the streaming twin
+    of :func:`terminus_server_spark.operators.graph.
+    connected_components_incremental`, which does the heavy lifting:
+    per micro-batch, new nodes enter as singleton labels and the
+    batch edges' label PAIRS contract through a ≤|batch|-edge
+    meta-graph, so per-batch cost scales with the delta while the
+    stored label table stays exactly what full CC on everything
+    seen so far would produce.  Same versioned-parquet state-swap
+    harness as the landmark/CDC sinks."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from terminus_server_spark.operators.graph import (
+        _symmetrize,
+        connected_components_incremental,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tss_scc_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        und = _symmetrize(batch_df)
+        batch_nodes = (
+            und.select(F.col("src").alias("node"))
+            .union(und.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        if state["version"] >= 0:
+            labels = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+            fresh = batch_nodes.join(labels.select("node"), "node", "left_anti")
+            labels = labels.unionByName(
+                fresh.select("node", F.col("node").alias("component"))
+            )
+        else:
+            labels = batch_nodes.select("node", F.col("node").alias("component"))
+        out = connected_components_incremental(labels, und, max_iters)
+        state["version"] += 1
+        out.write.mode("overwrite").parquet(os.path.join(tmp, f"v{state['version']}"))
+
+    schema = edge_batches[0].schema
+    for i, b in enumerate(edge_batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))

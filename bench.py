@@ -330,6 +330,7 @@ HEADLINE = [
     "gql_variables",
     "agg_gini",
     "stream_cc_incremental",
+    "dedup_lsh_band_sweep",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -18067,3 +18067,120 @@ def stream_cc_incremental(spark, sf_dir):
         chain.where((F.col("src") % 10).between(7, 9)),
     ]
     return run_stream_cc(spark, batches)
+
+
+def _lsh_sweep_oracle_sql(configs=((8, 1), (4, 2), (2, 4))):
+    """Per-(bands, rows) LSH candidate generation replayed with the
+    shared shingle/signature/truth chain — precision/recall per
+    configuration, the S-curve trade every near-dup deployment
+    tunes."""
+    head = rf"""
+    WITH {_SHINGLES_SQL},
+    sig AS MATERIALIZED (SELECT doc_id,
+              min(md5('0:' || shingle)) AS sig_0, min(md5('1:' || shingle)) AS sig_1,
+              min(md5('2:' || shingle)) AS sig_2, min(md5('3:' || shingle)) AS sig_3,
+              min(md5('4:' || shingle)) AS sig_4, min(md5('5:' || shingle)) AS sig_5,
+              min(md5('6:' || shingle)) AS sig_6, min(md5('7:' || shingle)) AS sig_7
+            FROM sh GROUP BY doc_id),
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.5)"""
+    parts = [head]
+    finals = []
+    for nb, rpb in configs:
+        tag = f"b{nb}"
+        band_rows = "\n      UNION ALL ".join(
+            "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
+                b=b,
+                key=" || '|' || ".join(
+                    f"sig_{b * rpb + r}" for r in range(rpb)
+                ),
+            )
+            for b in range(nb)
+        )
+        parts.append(f""",
+    bands{tag} AS MATERIALIZED ({band_rows}),
+    bsz{tag} AS MATERIALIZED (
+      SELECT band_id, band_key, COUNT(*) AS m, MIN(doc_id) AS anchor
+      FROM bands{tag} GROUP BY 1, 2),
+    cand{tag} AS MATERIALIZED (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands{tag} a
+          JOIN bands{tag} b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+          JOIN bsz{tag} s ON s.band_id = a.band_id AND s.band_key = a.band_key
+        WHERE s.m <= {_LSH_CAP}
+        UNION ALL
+        SELECT s.anchor AS doc_a, d.doc_id AS doc_b
+        FROM bands{tag} d JOIN bsz{tag} s
+          ON s.band_id = d.band_id AND s.band_key = d.band_key
+        WHERE s.m > {_LSH_CAP} AND d.doc_id > s.anchor) t),
+    hit{tag} AS (
+      SELECT doc_a, doc_b FROM cand{tag} INTERSECT SELECT doc_a, doc_b FROM truth)""")
+        finals.append(f"""SELECT CAST({nb} AS INT) AS n_bands, CAST({rpb} AS INT) AS rows_per_band,
+           (SELECT COUNT(*) FROM cand{tag})::BIGINT AS n_cand,
+           ROUND((SELECT COUNT(*) FROM hit{tag})::DOUBLE
+                 / (SELECT COUNT(*) FROM cand{tag}), 6) AS precision,
+           ROUND((SELECT COUNT(*) FROM hit{tag})::DOUBLE
+                 / (SELECT COUNT(*) FROM truth), 6) AS recall""")
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(finals) + "\n    ORDER BY n_bands DESC"
+
+
+@register("dedup_lsh_band_sweep", _lsh_sweep_oracle_sql())
+def dedup_lsh_band_sweep(spark, sf_dir):
+    """LSH banding tuning curve (operators/dedup.py:
+    lsh_candidate_pairs at (bands, rows/band) ∈ {(8,1), (4,2),
+    (2,4)} over the same 8 MinHashes): more bands with fewer rows
+    catch lower-Jaccard pairs (recall up, precision down) — the
+    S-curve trade every near-dup deployment tunes, measured against
+    the exact Jaccard ≥ 0.5 truth with the hot-bucket star cap
+    active in every configuration.  The shared shingle/signature/
+    truth chain materializes once."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    sh = plan_checkpoint(shingles(docs))
+    sig = plan_checkpoint(minhash_signatures(sh))
+    truth = plan_checkpoint(
+        ngram_jaccard_pairs(sh, threshold=0.5).select("doc_a", "doc_b")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("_t"))
+    outs = []
+    for nb, rpb in ((8, 1), (4, 2), (2, 4)):
+        cand = plan_checkpoint(
+            lsh_candidate_pairs(sig, n_bands=nb).select("doc_a", "doc_b")
+        )
+        hit = cand.join(truth, ["doc_a", "doc_b"])
+        agg = (
+            cand.agg(F.count(F.lit(1)).alias("_c"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("_h")))
+            .crossJoin(n_true)
+        )
+        outs.append(
+            agg.select(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                F.col("_c").cast("bigint").alias("n_cand"),
+                F.round(F.col("_h").cast("double") / F.col("_c"), 6).alias("precision"),
+                F.round(F.col("_h").cast("double") / F.col("_t"), 6).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

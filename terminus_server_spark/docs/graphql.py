@@ -68,7 +68,9 @@ class _Parser:
     def __init__(self, tokens: list[tuple[str, str]], variables: dict | None = None):
         self.toks = tokens
         self.i = 0
-        self.vars = variables or {}
+        # copy: declared defaults must not leak into the caller's
+        # dict (stale defaults would shadow later requests' values)
+        self.vars = dict(variables) if variables else {}
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -182,7 +184,17 @@ class _Parser:
                     self.expect("$")
                     _, vname = self.next()
                     self.expect(":")
-                    self.next()  # type name
+                    # type expression: Name / Name! / [Name] / [Name!]!
+                    if self.peek()[1] == "[":
+                        self.next()
+                        self.next()  # inner type name
+                        if self.peek()[1] == "!":
+                            self.next()
+                        self.expect("]")
+                    else:
+                        self.next()  # type name
+                    if self.peek()[1] == "!":
+                        self.next()
                     if self.peek()[1] == "=":
                         self.next()
                         default = self.value()

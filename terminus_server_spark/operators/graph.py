@@ -54,7 +54,9 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iters: int = 50, assume_symmetric: bool = False
+) -> DataFrame:
     """(node, component) with component = min node id reachable over
     undirected edges.  Min-label propagation with pointer jumping:
     each round propagates labels over graph edges AND shortcuts
@@ -62,13 +64,20 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     so label trees halve in depth every round — fixpoint in
     O(log diameter) shuffle rounds instead of O(diameter), the same
     trick as the two-phase large-star/small-star CC algorithms.
-    """
+
+    ``assume_symmetric``: the caller already symmetrized+deduped the
+    frame (``_symmetrize``) — skip the redundant union/distinct pass
+    (one full exchange over the edge set)."""
     with no_constraint_propagation(edges.sparkSession):
         und = (
-            edges.select("src", "dst")
-            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-            .distinct()
-            .transform(loop_checkpoint)
+            edges.select("src", "dst").transform(loop_checkpoint)
+            if assume_symmetric
+            else (
+                edges.select("src", "dst")
+                .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+                .distinct()
+                .transform(loop_checkpoint)
+            )
         )
         labels, n_lab = loop_checkpoint_count(
             und.select(F.col("src").alias("node"))
@@ -2499,7 +2508,7 @@ def euler_classify(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     the symmetrized edges joined to the CC labels.  The route-
     inspection shape (can this pipeline of edges be walked once?)."""
     und = _symmetrize(edges)
-    comp = connected_components(und, max_iters)
+    comp = connected_components(und, max_iters, assume_symmetric=True)
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("_d")
     )

@@ -1075,17 +1075,24 @@ def luhn_card_scan(
     """(doc_id, n_candidates, n_luhn_valid, scrubbed): payment-card
     detection with the Luhn checksum — the PII category where a bare
     digit-run regex drowns in false positives (order ids, phone
-    numbers): 13–16 digit runs are CANDIDATES, and only runs passing
-    the mod-10 double-every-second-digit check count as cards and get
-    redacted.  The checksum is pure array algebra over the digit
-    string (reverse, conditional double with the 9-subtract fold,
-    digit sum) — no UDF, identical in any engine; scrubbing folds a
-    replace over the valid runs, so clean docs pass through
-    byte-identical."""
-    cand_expr = (
-        f"filter(regexp_extract_all({text_col},"
-        " '(^|[^0-9])([0-9]{13,16})($|[^0-9])', 2), x -> x <> '')"
-    )
+    numbers): MAXIMAL digit runs of 13–16 digits are CANDIDATES, and
+    only runs passing the mod-10 double-every-second-digit check
+    count as cards and get redacted.
+
+    Candidates come from splitting on non-digit runs — maximal-run
+    extraction, so adjacent cards separated by one character are both
+    found (a boundary-consuming regex misses the second) and a longer
+    digit run containing card-like substrings is NOT a candidate.
+    RE2 has no lookarounds, so this split formulation is what keeps
+    the operator engine-portable.  The checksum is pure array algebra
+    (reverse, conditional double with the 9-subtract fold, digit
+    sum); scrubbing folds a boundary-anchored regexp_replace over the
+    valid runs so embedded occurrences inside longer runs stay
+    untouched.  Known limit: two ADJACENT occurrences of the same
+    card value one character apart share a boundary and the global
+    replace pass may keep the second — rerun for adversarial inputs.
+    """
+    runs = f"filter(split({text_col}, '[^0-9]+'), x -> length(x) between 13 and 16)"
     luhn_sum = (
         "aggregate(transform(sequence(1, length(x)), i -> "
         "  CASE WHEN i % 2 = 0 "
@@ -1095,18 +1102,14 @@ def luhn_card_scan(
         "       ELSE CAST(substring(reverse(x), i, 1) AS INT) END), "
         " CAST(0 AS INT), (acc, d) -> acc + d)"
     )
-    valid_expr = (
-        f"filter(regexp_extract_all({text_col},"
-        " '(^|[^0-9])([0-9]{13,16})($|[^0-9])', 2),"
-        f" x -> x <> '' AND ({luhn_sum}) % 10 = 0)"
-    )
+    valid_expr = f"filter({runs}, x -> ({luhn_sum}) % 10 = 0)"
     scrub_expr = (
-        f"aggregate({valid_expr}, {text_col},"
-        " (acc, x) -> replace(acc, x, '<CARD>'))"
+        f"aggregate(array_distinct({valid_expr}), {text_col}, (acc, x) -> "
+        "regexp_replace(acc, concat('(^|[^0-9])', x, '($|[^0-9])'), '$1<CARD>$2'))"
     )
     return docs.select(
         F.col(id_col),
-        F.size(F.expr(cand_expr)).cast("int").alias("n_candidates"),
+        F.size(F.expr(runs)).cast("int").alias("n_candidates"),
         F.size(F.expr(valid_expr)).cast("int").alias("n_luhn_valid"),
         F.expr(scrub_expr).alias("scrubbed"),
     )

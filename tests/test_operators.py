@@ -3359,3 +3359,22 @@ def test_graphql_variables_and_aliases(spark):
     assert req2["Doc"]["args"]["limit"] == 2
     with _pytest.raises(ValueError, match="undefined variable"):
         parse_graphql("query { Doc(limit: $missing) { a } }")
+
+
+def test_luhn_adjacent_cards_and_long_runs(spark):
+    """Review fixes: maximal-run extraction finds adjacent cards and
+    refuses card-like substrings of longer digit runs."""
+    from terminus_server_spark.operators.text import luhn_card_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cards 4532015112830366 4111111111111111 end"),  # two valid
+            (2, "id 99945320151128303661 clean"),  # 20-digit run, no candidate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in luhn_card_scan(docs).collect()}
+    assert out[1]["n_candidates"] == 2 and out[1]["n_luhn_valid"] == 2
+    assert out[1]["scrubbed"] == "cards <CARD> <CARD> end"
+    assert out[2]["n_candidates"] == 0
+    assert out[2]["scrubbed"] == "id 99945320151128303661 clean"

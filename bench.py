@@ -331,6 +331,7 @@ HEADLINE = [
     "agg_gini",
     "stream_cc_incremental",
     "dedup_lsh_band_sweep",
+    "text_kneser_ney3",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

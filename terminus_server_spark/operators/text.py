@@ -1113,3 +1113,86 @@ def luhn_card_scan(
         F.size(F.expr(valid_expr)).cast("int").alias("n_luhn_valid"),
         F.expr(scrub_expr).alias("scrubbed"),
     )
+
+
+def kneser_ney_trigram_score(
+    docs: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """(doc_id, n_trigrams, avg_logprob_kn3): THREE-level interpolated
+    Kneser-Ney (Chen & Goodman's recursive form) — the trigram model
+    real LM toolkits default to, built entirely from count algebra:
+
+        P(c|a,b) = (c(abc)−D)/c(ab·) + D·N1+(ab·)/c(ab·) · P(c|b)
+        P(c|b)   = (N1+(·bc)−D)/N1+(·b·) + D·N1+(b·)/N1+(·b·) · P(c)
+        P(c)     = N1+(·c) / N1+(··)
+
+    where the LOWER levels use continuation (type) counts, not raw
+    counts — the KN signature.  Self-trained on the corpus, so every
+    scored trigram exists and every discounted numerator stays
+    positive (counts ≥ 1 > D = 0.75, exact in binary).  Model: five
+    aggregates over the trigram count table + one scalar; scoring is
+    one (a,b,c)-keyed join; per-doc log sums are decimal-pinned, so
+    the whole model is engine-reproducible."""
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    tk = F.concat(
+        F.array(F.lit("<s>"), F.lit("<s>")),
+        tokens_col(F.lower(F.col(text_col))),
+        F.array(F.lit("</s>")),
+    )
+    tg = (
+        docs.select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2),"
+                    " i -> struct(element_at(tk, i) AS a,"
+                    " element_at(tk, i + 1) AS b, element_at(tk, i + 2) AS c))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b", "p.c")
+    )
+    tg = plan_checkpoint(tg)
+    c3 = plan_checkpoint(
+        tg.groupBy("a", "b", "c").agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+    )
+    ctx3 = c3.groupBy("a", "b").agg(F.sum("c3").cast("bigint").alias("ctx3"))
+    nf3 = c3.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("nf3"))
+    # middle level: continuation counts over (b, c)
+    cc2 = plan_checkpoint(
+        c3.groupBy("b", "c").agg(F.count(F.lit(1)).cast("bigint").alias("cc2"))
+    )
+    ctx2 = cc2.groupBy("b").agg(F.sum("cc2").cast("bigint").alias("ctx2"))
+    nf2 = cc2.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nf2"))
+    # unigram level: continuation counts over c
+    cc1 = cc2.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("cc1"))
+    n1 = cc1.agg(F.sum("cc1").cast("bigint").alias("n1"))
+    d = F.lit(discount)
+    dbl = lambda c: F.col(c).cast("double")
+    p1 = dbl("cc1") / dbl("n1")
+    p2 = (dbl("cc2") - d) / dbl("ctx2") + ((d * dbl("nf2")) / dbl("ctx2")) * p1
+    p3 = (dbl("c3") - d) / dbl("ctx3") + ((d * dbl("nf3")) / dbl("ctx3")) * p2
+    model = (
+        c3.join(ctx3, ["a", "b"])
+        .join(nf3, ["a", "b"])
+        .join(cc2, ["b", "c"])
+        .join(ctx2, "b")
+        .join(nf2, "b")
+        .join(cc1, "c")
+        .crossJoin(n1)
+        .select("a", "b", "c", p3.alias("p"))
+    )
+    return (
+        tg.join(model, ["a", "b", "c"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.round(
+                F.sum(F.log("p").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob_kn3"),
+        )
+    )

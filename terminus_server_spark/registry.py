@@ -18184,3 +18184,55 @@ def dedup_lsh_band_sweep(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "text_kneser_ney3",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             ['<s>', '<s>'] || string_split_regex(trim(lower(text)), '\s+')
+                            || ['</s>'] AS tk
+      FROM documents),
+    tg AS (
+      SELECT doc_id, tk[i] AS a, tk[i + 1] AS b, tk[i + 2] AS c
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i)),
+    c3 AS MATERIALIZED (
+      SELECT a, b, c, COUNT(*)::BIGINT AS c3 FROM tg GROUP BY 1, 2, 3),
+    ctx3 AS (SELECT a, b, SUM(c3)::BIGINT AS ctx3 FROM c3 GROUP BY 1, 2),
+    nf3 AS (SELECT a, b, COUNT(*)::BIGINT AS nf3 FROM c3 GROUP BY 1, 2),
+    cc2 AS MATERIALIZED (
+      SELECT b, c, COUNT(*)::BIGINT AS cc2 FROM c3 GROUP BY 1, 2),
+    ctx2 AS (SELECT b, SUM(cc2)::BIGINT AS ctx2 FROM cc2 GROUP BY 1),
+    nf2 AS (SELECT b, COUNT(*)::BIGINT AS nf2 FROM cc2 GROUP BY 1),
+    cc1 AS (SELECT c, COUNT(*)::BIGINT AS cc1 FROM cc2 GROUP BY 1),
+    n1 AS (SELECT SUM(cc1)::BIGINT AS n1 FROM cc1),
+    model AS (
+      SELECT c3.a, c3.b, c3.c,
+             (c3.c3::DOUBLE - 0.75) / ctx3.ctx3::DOUBLE
+               + ((0.75 * nf3.nf3::DOUBLE) / ctx3.ctx3::DOUBLE)
+               * ((cc2.cc2::DOUBLE - 0.75) / ctx2.ctx2::DOUBLE
+                  + ((0.75 * nf2.nf2::DOUBLE) / ctx2.ctx2::DOUBLE)
+                  * (cc1.cc1::DOUBLE / n1.n1::DOUBLE)) AS p
+      FROM c3
+      JOIN ctx3 USING (a, b) JOIN nf3 USING (a, b)
+      JOIN cc2 USING (b, c) JOIN ctx2 USING (b) JOIN nf2 USING (b)
+      JOIN cc1 USING (c), n1)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
+           ROUND(CAST(SUM(CAST(ln(p) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob_kn3
+    FROM tg JOIN model USING (a, b, c)
+    GROUP BY doc_id
+    """,
+)
+def text_kneser_ney3(spark, sf_dir):
+    """Three-level interpolated Kneser-Ney trigram scoring (operators/
+    text.py:kneser_ney_trigram_score — Chen & Goodman's recursive
+    form): absolute discounting at the trigram level backing off into
+    CONTINUATION-count bigram and unigram levels (the KN signature),
+    self-trained so every scored trigram exists.  Five aggregates over
+    the trigram table + one scalar, one model join, decimal-pinned
+    per-doc log sums — bit-reproduced end-to-end by the oracle."""
+    from terminus_server_spark.operators.text import kneser_ney_trigram_score
+
+    return kneser_ney_trigram_score(_t(spark, sf_dir, "documents")["documents"])

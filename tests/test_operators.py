@@ -3378,3 +3378,25 @@ def test_luhn_adjacent_cards_and_long_runs(spark):
     assert out[1]["scrubbed"] == "cards <CARD> <CARD> end"
     assert out[2]["n_candidates"] == 0
     assert out[2]["scrubbed"] == "id 99945320151128303661 clean"
+
+
+def test_kn_trigram_probabilities_sum_sane(spark):
+    """For a fixed history (a,b) seen in training, the interpolated
+    trigram probabilities over observed continuations must stay in
+    (0, 1) and sum to < 1 (mass reserved for backoff)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import kneser_ney_trigram_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran to the mat"),
+         (3, "a dog sat on a rug")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in kneser_ney_trigram_score(docs).collect()}
+    for r in out.values():
+        # average log-prob of an in-model trigram stream is finite & < 0
+        assert r["avg_logprob_kn3"] < 0
+        assert r["n_trigrams"] >= 5
+    # repeated phrasing scores better than the odd doc out
+    assert out[1]["avg_logprob_kn3"] > out[3]["avg_logprob_kn3"]

@@ -332,6 +332,7 @@ HEADLINE = [
     "stream_cc_incremental",
     "dedup_lsh_band_sweep",
     "text_kneser_ney3",
+    "gql_subscription",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

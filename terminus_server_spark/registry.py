@@ -18236,3 +18236,43 @@ def text_kneser_ney3(spark, sf_dir):
     from terminus_server_spark.operators.text import kneser_ney_trigram_score
 
     return kneser_ney_trigram_score(_t(spark, sf_dir, "documents")["documents"])
+
+
+@register(
+    "gql_subscription",
+    """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars > 200
+    ORDER BY n_chars DESC, doc_id LIMIT 10
+    """,
+)
+def gql_subscription(spark, sf_dir):
+    """Subscription-style standing GraphQL query (streaming/
+    events.py:run_stream_gql_subscription): documents arrive in three
+    micro-batches and one registered wire-format query — variables
+    included — re-evaluates per batch over the accumulated snapshot
+    (live-view semantics).  The final result must equal the same
+    query over ALL documents, which the oracle states directly; the
+    per-batch compilation is the ordinary read algebra, so filters
+    push and orderBy+limit stay TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_gql_subscription
+
+    docs = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    src = """
+    query($lang: String, $minChars: Int, $n: Int = 10) {
+      top: Doc(filter: {lang: {eq: $lang}, n_chars: {gt: $minChars}},
+               orderBy: [{n_chars: DESC}, {doc_id: ASC}], limit: $n) {
+        doc_id lang n_chars
+      }
+    }
+    """
+    return run_stream_gql_subscription(
+        spark, batches, src, "top",
+        variables={"lang": "en", "minChars": 200},
+    )

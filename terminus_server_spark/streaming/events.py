@@ -1116,3 +1116,66 @@ def run_stream_cc(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+
+
+def run_stream_gql_subscription(
+    spark: SparkSession,
+    doc_batches: list[DataFrame],
+    gql_src: str,
+    root: str,
+    class_name: str = "Doc",
+    variables: dict | None = None,
+) -> DataFrame:
+    """Subscription-style standing GraphQL query: document batches
+    stream in, and ONE registered query (wire format, variables and
+    all) re-evaluates per micro-batch over the accumulated document
+    state — the live-view semantics a GraphQL subscription exposes,
+    built from the same read algebra as the request path (the
+    standing query is COMPILED once per batch against the current
+    snapshot; filters still push to the scan, orderBy+limit still
+    plan as TakeOrderedAndProject).
+
+    State: the accumulated docs + the latest result, versioned
+    parquet like the other sinks.  Returns the final result table —
+    which must equal the same query over ALL documents (the oracle's
+    check), proving the per-batch re-evaluation converges to the
+    batch answer."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    tmp = tempfile.mkdtemp(prefix="tss_gqlsub_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if state["version"] >= 0:
+            docs = s.read.parquet(os.path.join(tmp, f"docs{state['version']}")).unionByName(
+                batch_df
+            )
+        else:
+            docs = batch_df
+        state["version"] += 1
+        docs.write.mode("overwrite").parquet(os.path.join(tmp, f"docs{state['version']}"))
+        snapshot = s.read.parquet(os.path.join(tmp, f"docs{state['version']}"))
+        result = execute_graphql({class_name: snapshot}, gql_src, variables=variables)[
+            root
+        ]
+        result.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"res{state['version']}")
+        )
+
+    schema = doc_batches[0].schema
+    for i, b in enumerate(doc_batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"res{state['version']}"))

@@ -333,6 +333,8 @@ HEADLINE = [
     "dedup_lsh_band_sweep",
     "text_kneser_ney3",
     "gql_subscription",
+    "events_cusum_changepoint",
+    "orders_rfm",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -18276,3 +18276,148 @@ def gql_subscription(spark, sf_dir):
         spark, batches, src, "top",
         variables={"lang": "en", "minChars": 200},
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH base AS (
+      SELECT event_type, event_id, ts,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+      FROM events),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v6 AS DECIMAL(38,0))) AS s6
+      FROM base GROUP BY event_type),
+    dev AS (
+      SELECT b.event_type, b.event_id, b.ts,
+             CAST(b.v6 AS DECIMAL(38,6)) * st.n - CAST(st.s6 AS DECIMAL(38,6))
+               AS dev_n
+      FROM base b JOIN stats st USING (event_type)),
+    cus AS (
+      SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             SUM(dev_n) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum_n
+      FROM dev),
+    ranked AS (
+      SELECT event_type, event_id, ts, cusum_n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum_n) DESC, ts, event_id) AS rk
+      FROM cus)
+    SELECT r.event_type, r.event_id AS argmax_event, r.ts AS argmax_ts,
+           ROUND(CAST(r.cusum_n AS DOUBLE) / (1000000.0 * st.n), 6)
+             AS cusum_peak
+    FROM ranked r JOIN stats st USING (event_type) WHERE rk = 1
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint localization per event type: the cumulative
+    sum of deviations from the series mean peaks (in absolute value)
+    at the most likely level-shift point — the classic offline CUSUM
+    estimator.  Exactness trick: deviations are computed as
+    v·n − Σv over micro-scaled integers (one DECIMAL(38,6) running
+    sum, no float accumulation), so the running CUSUM and its argmax
+    are bit-identical on both engines; only the final report divides
+    back to value units.  One pass + one type-keyed window."""
+    from pyspark.sql import Window, functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+    base = events.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v6"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("v6").cast("decimal(38,0)")).alias("s6"),
+    )
+    dev = base.join(stats, "event_type").select(
+        "event_type",
+        "event_id",
+        "ts",
+        "n",
+        (
+            F.col("v6").cast("decimal(38,6)") * F.col("n")
+            - F.col("s6").cast("decimal(38,6)")
+        ).alias("dev_n"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cus = dev.select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "n",
+        F.sum("dev_n").over(wc).alias("cusum_n"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_n")).desc(), "ts", "event_id"
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("argmax_event"),
+            F.col("ts").alias("argmax_ts"),
+            F.round(
+                F.col("cusum_n").cast("double") / (F.lit(1000000.0) * F.col("n")), 6
+            ).alias("cusum_peak"),
+        )
+    )
+
+
+@register(
+    "orders_rfm",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey, frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_order DESC, custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary DESC, custkey) AS m
+      FROM per_cust)
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(frequency) AS BIGINT) AS total_orders
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def orders_rfm(spark, sf_dir):
+    """RFM customer segmentation — the classic CRM triple: recency
+    (days since last order), frequency (order count), monetary (sum
+    of prices) quintiled with deterministic tie-breaks and rolled up
+    to segment sizes.  Segment codes come from NTILE windows over the
+    customer-grain table (bounded by |customers|, not orders); the
+    exact decimal monetary sum keeps the quintile boundaries
+    engine-identical."""
+    from pyspark.sql import Window, functions as F
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("last_order").desc(), "custkey"))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+    return (
+        per_cust.select("custkey", "frequency", r.alias("r"), f.alias("f"), m.alias("m"))
+        .groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("frequency").cast("bigint").alias("total_orders"),
+        )
+    )

@@ -335,6 +335,8 @@ HEADLINE = [
     "gql_subscription",
     "events_cusum_changepoint",
     "orders_rfm",
+    "events_benford",
+    "text_burstiness",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

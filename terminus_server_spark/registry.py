@@ -18421,3 +18421,136 @@ def orders_rfm(spark, sf_dir):
             F.sum("frequency").cast("bigint").alias("total_orders"),
         )
     )
+
+
+_BENFORD = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def _benford_oracle_sql():
+    exp_case = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs),
+    rows_ AS (
+      SELECT o.d, o.n, CASE o.d {exp_case} END AS exp_p, t.t
+      FROM obs o, tot t)
+    SELECT d AS first_digit, n,
+           ROUND(CAST(n AS DOUBLE) / t, 6) AS observed_p,
+           ROUND(exp_p, 6) AS benford_p,
+           ROUND((CAST(n AS DOUBLE) - exp_p * t) * (CAST(n AS DOUBLE) - exp_p * t)
+                 / (exp_p * t), 6) AS chi2_term
+    FROM rows_
+    """
+
+
+@register("events_benford", _benford_oracle_sql())
+def events_benford(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the
+    fraud/anomaly screen for naturally-scaled quantities: observed
+    first-digit frequencies vs log10(1 + 1/d) expectations with
+    per-digit chi-square terms.  The expectations are PRECOMPUTED
+    double literals shared verbatim with the oracle (no runtime
+    log10 — libm ulp drift can't leak in); one digit projection +
+    one 9-row aggregate."""
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    # explicit floor: DuckDB's double->bigint CAST rounds half-even
+    # while Spark's truncates — floor is the one shared semantics
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    exp_p = F.create_map(
+        *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+    )[F.col("d")]
+    r = obs.crossJoin(tot).withColumn("exp_p", exp_p)
+    chi = (
+        (F.col("n").cast("double") - F.col("exp_p") * F.col("t"))
+        * (F.col("n").cast("double") - F.col("exp_p") * F.col("t"))
+        / (F.col("exp_p") * F.col("t"))
+    )
+    return r.select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("observed_p"),
+        F.round("exp_p", 6).alias("benford_p"),
+        F.round(chi, 6).alias("chi2_term"),
+    )
+
+
+@register(
+    "text_burstiness",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents),
+    per_doc AS (
+      SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE w <> '' GROUP BY w, doc_id),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM per_doc),
+    m AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+             SUM(CAST(c AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(c * c AS DECIMAL(38,0))) AS s2
+      FROM per_doc GROUP BY w),
+    top AS (
+      SELECT w, df, s1, s2 FROM m
+      ORDER BY CAST(s1 AS BIGINT) DESC, w LIMIT 20)
+    SELECT w AS term, df, CAST(s1 AS BIGINT) AS tf,
+           ROUND((CAST(s2 AS DOUBLE) * nd - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(s1 AS DOUBLE) * nd), 6) AS fano
+    FROM top, nd
+    """,
+)
+def text_burstiness(spark, sf_dir):
+    """Term burstiness (Fano factor, variance-to-mean of per-document
+    counts including zeros): function words spread evenly (fano ≈ 1,
+    Poisson-like) while topical terms clump into few documents
+    (fano > 1) — the corpus-linguistics signal behind stopword
+    discovery and keyword weighting.  Zero-count docs enter through
+    the closed form (Σc² · N − (Σc)²)/(Σc · N) without materializing
+    them; DECIMAL(38,0) moments, double combination, top-20 terms by
+    corpus frequency."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
+    ).where(F.col("w") != "")
+    per_doc = toks.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nd = per_doc.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("nd")
+    )
+    m = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+    )
+    top = m.orderBy(F.col("s1").cast("bigint").desc(), "w").limit(20)
+    d = lambda c: F.col(c).cast("double")
+    fano = (d("s2") * F.col("nd") - d("s1") * d("s1")) / (d("s1") * F.col("nd"))
+    return top.crossJoin(nd).select(
+        F.col("w").alias("term"),
+        "df",
+        F.col("s1").cast("bigint").alias("tf"),
+        F.round(fano, 6).alias("fano"),
+    )

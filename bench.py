@@ -337,6 +337,7 @@ HEADLINE = [
     "orders_rfm",
     "events_benford",
     "text_burstiness",
+    "text_langid_confusion",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

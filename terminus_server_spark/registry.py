@@ -18554,3 +18554,53 @@ def text_burstiness(spark, sf_dir):
         F.col("s1").cast("bigint").alias("tf"),
         F.round(fano, 6).alias("fano"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    rf"""
+    WITH pred AS (
+      SELECT doc_id,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN hits_en = best THEN 'en'
+                  WHEN hits_es = best THEN 'es'
+                  WHEN hits_de = best THEN 'de'
+                  ELSE 'fr' END AS pred_lang
+      FROM (
+        SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+               greatest(hits_en, hits_es, hits_de, hits_fr) AS best
+        FROM (
+          SELECT doc_id,
+                 len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_EN}, x)))::BIGINT AS hits_en,
+                 len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_ES}, x)))::BIGINT AS hits_es,
+                 len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_DE}, x)))::BIGINT AS hits_de,
+                 len(list_filter({_LTOKS_SQL}, x -> list_contains({_STOP_FR}, x)))::BIGINT AS hits_fr
+          FROM documents)))
+    SELECT d.lang AS declared, p.pred_lang AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    WHERE d.lang IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the evaluation table for the
+    stopword classifier against the corpus's DECLARED labels
+    (declared × predicted × count): precision/recall per language
+    and the specific confusion pairs (e.g. which declared-zh docs
+    the Latin-stopword classifier can only call 'und') fall straight
+    out.  One classifier pass + one join + one rollup — the
+    label-quality audit every auto-labeling pipeline ships."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pred = lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.where(F.col("lang").isNotNull())
+        .select("doc_id", F.col("lang").alias("declared"))
+        .join(pred, "doc_id")
+        .groupBy("declared", F.col("pred_lang").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -338,6 +338,7 @@ HEADLINE = [
     "events_benford",
     "text_burstiness",
     "text_langid_confusion",
+    "graph_transitivity",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -18604,3 +18604,62 @@ def text_langid_confusion(spark, sf_dir):
         .groupBy("declared", F.col("pred_lang").alias("predicted"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "graph_transitivity",
+    """
+    WITH e0 AS (
+      SELECT n_nationkey AS a, n_nationkey + 1 AS b FROM nation WHERE n_nationkey + 1 <= 24
+      UNION ALL
+      SELECT n_nationkey, n_nationkey + 2 FROM nation WHERE n_nationkey + 2 <= 24),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    canon AS (SELECT a, b FROM und WHERE a < b),
+    tri AS (
+      SELECT COUNT(*)::BIGINT AS n_triangles
+      FROM canon x JOIN canon y ON x.b = y.a JOIN canon z ON z.a = x.a AND z.b = y.b),
+    deg AS (SELECT a, COUNT(*)::BIGINT AS d FROM und GROUP BY a),
+    wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+    SELECT n_triangles, n_wedges,
+           ROUND(3.0 * n_triangles / n_wedges, 6) AS transitivity
+    FROM tri, wed
+    """,
+)
+def graph_transitivity(spark, sf_dir):
+    """Global transitivity (the graph-level clustering statistic:
+    3·triangles / wedges) over the nation ring+skip graph — the
+    whole-graph complement to `graph_clustering_coeff`'s per-node
+    measure.  Triangles come from the oriented canonical join (each
+    counted once), wedges from one degree aggregate (Σ d·(d−1)/2) —
+    two scalars, one ratio; at 100 TB both sides are the same
+    triangle/degree machinery the per-node measures already run."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import (
+        _symmetrize,
+        triangle_count,
+    )
+
+    n = _t(spark, sf_dir, "nation")["nation"]
+    e1 = n.where(F.col("n_nationkey") + 1 <= 24).select(
+        F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 1).alias("dst")
+    )
+    e2 = n.where(F.col("n_nationkey") + 2 <= 24).select(
+        F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 2).alias("dst")
+    )
+    edges = e1.unionByName(e2)
+    tri = triangle_count(edges)
+    und = _symmetrize(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    return tri.crossJoin(wedges).select(
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        "n_wedges",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("transitivity"),
+    )

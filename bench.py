@@ -339,6 +339,8 @@ HEADLINE = [
     "text_burstiness",
     "text_langid_confusion",
     "graph_transitivity",
+    "events_autocorr_lag1",
+    "docs_code_detect",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

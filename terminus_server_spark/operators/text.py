@@ -1196,3 +1196,43 @@ def kneser_ney_trigram_score(
             ).alias("avg_logprob_kn3"),
         )
     )
+
+
+
+def code_detect(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_code_symbols, symbol_ratio, n_code_keywords,
+    verdict): code-vs-prose classification — the routing decision a
+    mixed crawl makes before language-specific quality filters (code
+    needs different dedup grain, different perplexity norms, its own
+    mixture weight).  Two cheap signals: programming punctuation
+    density ({};()=<> per char) and a fixed keyword list hit count
+    (def/function/return/import/var/const) — both pure split/filter
+    algebra, thresholds tuned for high precision ('code' only when
+    both fire)."""
+    t = F.col(text_col)
+    n_sym = F.length(t) - F.length(F.translate(t, "{};()=<>[]", ""))
+    ratio = F.when(
+        F.length(t) > 0,
+        F.round(n_sym.cast("double") / F.length(t).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    kw = F.size(
+        F.filter(
+            F.split(F.lower(t), r"[^a-z_]+"),
+            lambda x: x.isin(
+                "def", "function", "return", "import", "var", "const",
+                "class", "void", "println",
+            ),
+        )
+    )
+    verdict = F.when((ratio > 0.03) & (kw >= 2), F.lit("code")).otherwise(
+        F.lit("prose")
+    )
+    return docs.select(
+        F.col(id_col),
+        n_sym.cast("int").alias("n_code_symbols"),
+        ratio.alias("symbol_ratio"),
+        kw.cast("int").alias("n_code_keywords"),
+        verdict.alias("verdict"),
+    )

@@ -18663,3 +18663,123 @@ def graph_transitivity(spark, sf_dir):
             F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
         ).alias("transitivity"),
     )
+
+
+@register(
+    "events_autocorr_lag1",
+    """
+    WITH base AS (
+      SELECT event_type, ts, event_id,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v6,
+             LEAD(CAST(ROUND(value * 1000000) AS BIGINT)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS w6
+      FROM events),
+    pairs AS (SELECT event_type, v6, w6 FROM base WHERE w6 IS NOT NULL),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v6 AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(w6 AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(v6 * w6 AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(v6 * v6 AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(w6 * w6 AS DECIMAL(38,0))) AS syy
+      FROM pairs GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS autocorr_lag1
+    FROM m
+    """,
+)
+def events_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation per event series — the is-it-noise-or-
+    trend diagnostic (white noise ≈ 0, momentum > 0, mean-reversion
+    < 0): consecutive (ts, id)-ordered value pairs via one LEAD
+    window, then the Pearson form over micro-scaled integer moments
+    (DECIMAL(38,0) sums, identical closed-form double combination) —
+    the `agg_corr` discipline applied to the series' own lag."""
+    from pyspark.sql import Window, functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+    v6 = F.round(F.col("value") * 1000000).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = events.select(
+        "event_type", v6.alias("v6"), F.lead(v6).over(w).alias("w6")
+    ).where(F.col("w6").isNotNull())
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("v6").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("w6").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("v6") * F.col("w6")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("v6") * F.col("v6")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("w6") * F.col("w6")).cast("decimal(38,0)")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    r = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return m.select("event_type", "n", F.round(r, 6).alias("autocorr_lag1"))
+
+
+@register(
+    "docs_code_detect",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 8 = 0
+               THEN ' def run(x): return {x};' ||
+                    ' import os; const y = (x << 2);'
+               ELSE '' END AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, t,
+             CAST(len(t) - len(replace(replace(replace(replace(replace(
+               replace(replace(replace(replace(replace(t,
+               '{', ''), '}', ''), ';', ''), '(', ''), ')', ''),
+               '=', ''), '<', ''), '>', ''), '[', ''), ']', '')) AS INT)
+               AS n_sym,
+             len(list_filter(string_split_regex(lower(t), '[^a-z_]+'),
+                 x -> list_contains(['def','function','return','import',
+                                     'var','const','class','void','println'], x)))
+               AS kw
+      FROM f),
+    r AS (
+      SELECT doc_id, n_sym, kw,
+             CASE WHEN len(t) > 0
+                  THEN ROUND(CAST(n_sym AS DOUBLE) / len(t), 6)
+                  ELSE 0.0 END AS ratio
+      FROM m)
+    SELECT doc_id, n_sym AS n_code_symbols, ratio AS symbol_ratio,
+           CAST(kw AS INT) AS n_code_keywords,
+           CASE WHEN ratio > 0.03 AND kw >= 2 THEN 'code' ELSE 'prose' END
+             AS verdict
+    FROM r
+    """,
+)
+def docs_code_detect(spark, sf_dir):
+    """Code-vs-prose routing (operators/text.py:code_detect): every
+    eighth doc gains an appended code snippet (def/import/const,
+    braces, shifts) and must classify 'code' on the two-signal rule
+    (symbol density AND keyword hits — high precision by
+    construction); plain word-salad docs stay 'prose'.  The decision
+    a mixed crawl makes before language-specific filters."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import code_detect
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 8 == 0,
+                F.lit(" def run(x): return {x}; import os; const y = (x << 2);"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return code_detect(fixture)

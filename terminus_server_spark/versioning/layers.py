@@ -433,7 +433,9 @@ def maintain_join_view(
 
 def patch_ids(layers: DataFrame, key_cols: list[str]) -> DataFrame:
     """(commit_seq, commit_id, patch_id, n_rows): content-addressed
-    delta identity — the ``git patch-id`` analogue: a canonical hash
+    delta identity — the ``git patch-id`` analogue (reference parity:
+    terminusdb-store identifies layers by content-derived ids; public
+    locus: terminusdb-store src/layer id derivation): a canonical hash
     of each commit's row set that is invariant to commit id, seq
     position, and row order, so THE SAME CHANGE replayed on another
     branch (cherry-pick, rebase, double-apply) is detectable by
@@ -461,7 +463,10 @@ def bisect_first_bad(
     lo_seq: int,
     hi_seq: int,
 ) -> tuple[int, int]:
-    """``git bisect`` over the commit stack: find the FIRST commit
+    """``git bisect`` over the commit stack (reference parity: commit
+    history walks in terminus-server src/core/api/db_branch +
+    ref.pl resolve machinery — this is the search the reference's
+    linear history makes possible): find the FIRST commit
     seq in [lo_seq, hi_seq] whose materialized state satisfies
     ``predicate`` (a fn(state_df) -> bool that must be monotone over
     the stack — once bad, stays bad, e.g. a regression a later
@@ -490,7 +495,9 @@ def verify_integrity(
     commits: DataFrame, patches: DataFrame
 ) -> DataFrame:
     """(commit_id, ok): hash-chain verification over the commit DAG —
-    the ``git fsck`` analogue.  Convention: a commit's stored hash is
+    the ``git fsck`` analogue (reference parity: terminusdb-store's
+    content-addressed layer ids make tampering equally detectable;
+    public locus: terminusdb-store layer id checks).  Convention: a commit's stored hash is
     md5(commit_id | sorted-parent-ids | patch_id) — it seals both
     the DAG position (parent pointers) and the content (the
     patch-id of its delta rows), so tampering with any of the three
@@ -521,7 +528,9 @@ def verify_integrity(
 
 def reflog_positions(reflog: DataFrame) -> DataFrame:
     """(ref, moves_ago, commit_id, action): the ``ref@{n}`` view of a
-    ref-movement log — git's reflog resolution: every historical
+    ref-movement log — git's reflog resolution (reference parity: the
+    reference tracks branch heads in the _commits graph; public locus:
+    terminus-server src/core/api/db_branch.pl ref updates): every historical
     position of every ref, ranked newest-first per ref so
     ``moves_ago = 0`` is the current position and ``ref@{n}`` is one
     filter away.  ``reflog``: (ref, move_seq, commit_id, action) —

@@ -341,6 +341,7 @@ HEADLINE = [
     "graph_transitivity",
     "events_autocorr_lag1",
     "docs_code_detect",
+    "graph_rich_club",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

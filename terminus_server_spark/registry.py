@@ -18783,3 +18783,82 @@ def docs_code_detect(spark, sf_dir):
         ).alias("text"),
     )
     return code_detect(fixture)
+
+
+@register(
+    "graph_rich_club",
+    """
+    WITH e0 AS (
+      SELECT n_nationkey AS a, n_nationkey + 1 AS b FROM nation WHERE n_nationkey + 1 <= 24
+      UNION ALL
+      SELECT n_nationkey, n_nationkey + 2 FROM nation WHERE n_nationkey + 2 <= 24),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a),
+    ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+    rich AS (
+      SELECT k, v FROM ks JOIN deg ON deg.d > ks.k),
+    nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM rich GROUP BY k),
+    ek AS (
+      SELECT r1.k, CAST(COUNT(*) AS BIGINT) AS e_k
+      FROM und
+      JOIN rich r1 ON r1.v = und.a
+      JOIN rich r2 ON r2.v = und.b AND r2.k = r1.k
+      WHERE und.a < und.b
+      GROUP BY r1.k)
+    SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+           CASE WHEN nk.n_k > 1
+                THEN ROUND(2.0 * COALESCE(ek.e_k, 0)
+                           / (nk.n_k * (nk.n_k - 1)), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS rich_club
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
+    """,
+)
+def graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) —
+    do high-degree nodes preferentially interconnect? (the
+    network-science structure metric behind hub-core analyses).
+    Computed for k ∈ {1,2,3} over the ring+skip graph: one degree
+    table, one explode over the k grid, one edge semi-restriction per
+    k — all rollups share the degree aggregate; exact integer counts,
+    closed-form ratio."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import _symmetrize
+
+    n = _t(spark, sf_dir, "nation")["nation"]
+    e1 = n.where(F.col("n_nationkey") + 1 <= 24).select(
+        F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 1).alias("dst")
+    )
+    e2 = n.where(F.col("n_nationkey") + 2 <= 24).select(
+        F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 2).alias("dst")
+    )
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    und = plan_checkpoint(_symmetrize(e1.unionByName(e2)))
+    deg = und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ks = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    rich = plan_checkpoint(ks.join(deg, F.col("d") > F.col("k")).select("k", "v"))
+    nk = rich.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    canon = und.where(F.col("src") < F.col("dst"))
+    ra = rich.select("k", F.col("v").alias("src"))
+    rb = rich.select(F.col("k").alias("k"), F.col("v").alias("dst"))
+    ek = (
+        canon.join(ra, "src")
+        .join(rb, ["k", "dst"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    phi = F.when(
+        F.col("n_k") > 1,
+        F.round(
+            F.lit(2.0) * F.coalesce("e_k", F.lit(0))
+            / (F.col("n_k") * (F.col("n_k") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return nk.join(ek, "k", "left_outer").select(
+        "k", "n_k", F.coalesce("e_k", F.lit(0)).cast("bigint").alias("e_k"),
+        phi.alias("rich_club"),
+    )

@@ -18443,7 +18443,7 @@ def _benford_oracle_sql():
       SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs),
     rows_ AS (
-      SELECT o.d, o.n, CASE o.d {exp_case} END AS exp_p, t.t
+      SELECT o.d, o.n, CAST(CASE o.d {exp_case} END AS DOUBLE) AS exp_p, t.t
       FROM obs o, tot t)
     SELECT d AS first_digit, n,
            ROUND(CAST(n AS DOUBLE) / t, 6) AS observed_p,

@@ -342,6 +342,7 @@ HEADLINE = [
     "events_autocorr_lag1",
     "docs_code_detect",
     "graph_rich_club",
+    "doc_merge_three_way",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -704,3 +704,66 @@ def replace_documents(
         "obj_num",
     )
     return dels.unionByName(adds)
+
+
+def merge_documents_three_way(
+    base: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """(key, field, base_v, left_v, right_v, merged_v, status):
+    field-grain three-way document merge — the diff3 the reference's
+    JSON diff/patch machinery implies (public locus: terminus-server
+    document diff/patch API; a branch merge of documents resolves per
+    FIELD, not per triple): a field only one side changed takes that
+    side's value, both-same changes agree, and a field BOTH sides
+    changed differently is a conflict (merged_v keeps base — the
+    caller decides, like conflict markers).
+
+    Everything melts to (key, field, value) rows — one explode per
+    side, one 3-way join keyed by (key, field) — so the merge scales
+    with |docs|·|fields| and the status ladder is a single CASE.
+    Values compare as strings (NULL-safe), matching JSON-diff
+    semantics where type changes are value changes."""
+    def melt(df: DataFrame, tag: str) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("field"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in fields
+            ]
+        )
+        return df.select(
+            F.col(key_col), F.explode(pairs).alias("p")
+        ).select(key_col, F.col("p.field").alias("field"), F.col("p.v").alias(tag))
+
+    b = melt(base, "base_v")
+    l = melt(left, "left_v")
+    r = melt(right, "right_v")
+    j = b.join(l, [key_col, "field"], "full_outer").join(
+        r, [key_col, "field"], "full_outer"
+    )
+    lch = ~F.col("left_v").eqNullSafe(F.col("base_v"))
+    rch = ~F.col("right_v").eqNullSafe(F.col("base_v"))
+    status = (
+        F.when(~lch & ~rch, F.lit("unchanged"))
+        .when(lch & ~rch, F.lit("left"))
+        .when(~lch & rch, F.lit("right"))
+        .when(F.col("left_v").eqNullSafe(F.col("right_v")), F.lit("both_same"))
+        .otherwise(F.lit("conflict"))
+    )
+    merged = (
+        F.when(status == "left", F.col("left_v"))
+        .when(status == "right", F.col("right_v"))
+        .when(status == "both_same", F.col("left_v"))
+        .when(status == "conflict", F.col("base_v"))
+        .otherwise(F.col("base_v"))
+    )
+    return j.select(
+        key_col, "field", "base_v", "left_v", "right_v",
+        merged.alias("merged_v"), status.alias("status"),
+    )

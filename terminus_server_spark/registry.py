@@ -18862,3 +18862,73 @@ def graph_rich_club(spark, sf_dir):
         "k", "n_k", F.coalesce("e_k", F.lit(0)).cast("bigint").alias("e_k"),
         phi.alias("rich_club"),
     )
+
+
+@register(
+    "doc_merge_three_way",
+    """
+    WITH b AS (
+      SELECT doc_id, lang, source FROM documents),
+    melted AS (
+      SELECT doc_id, 'lang' AS field, lang AS base_v,
+             CASE WHEN doc_id % 3 = 0 THEN 'l-' || lang ELSE lang END AS left_v,
+             CASE WHEN doc_id % 4 = 0 THEN 'r-' || lang ELSE lang END AS right_v
+      FROM b
+      UNION ALL
+      SELECT doc_id, 'source', source,
+             CASE WHEN doc_id % 5 = 0 THEN 'curated' ELSE source END,
+             source
+      FROM b),
+    st AS (
+      SELECT doc_id, field, base_v, left_v, right_v,
+             CASE
+               WHEN left_v IS NOT DISTINCT FROM base_v
+                    AND right_v IS NOT DISTINCT FROM base_v THEN 'unchanged'
+               WHEN left_v IS DISTINCT FROM base_v
+                    AND right_v IS NOT DISTINCT FROM base_v THEN 'left'
+               WHEN left_v IS NOT DISTINCT FROM base_v
+                    AND right_v IS DISTINCT FROM base_v THEN 'right'
+               WHEN left_v IS NOT DISTINCT FROM right_v THEN 'both_same'
+               ELSE 'conflict' END AS status
+      FROM melted)
+    SELECT doc_id, field, base_v, left_v, right_v,
+           CASE status WHEN 'left' THEN left_v WHEN 'right' THEN right_v
+                       WHEN 'both_same' THEN left_v ELSE base_v END AS merged_v,
+           status
+    FROM st
+    """,
+)
+def doc_merge_three_way(spark, sf_dir):
+    """Field-grain three-way document merge (docs/documents.py:
+    merge_documents_three_way — the diff3 the reference's JSON
+    diff/patch machinery implies): left renames lang on every third
+    doc, right on every fourth (docs divisible by 12 conflict —
+    merged keeps base, status reports), left curates source on every
+    fifth (clean left-takes).  One melt per side + one (key, field)
+    3-way join; the oracle replays the status ladder with
+    IS DISTINCT FROM null-safety."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.docs.documents import merge_documents_three_way
+
+    docs = plan_checkpoint(
+        _t(spark, sf_dir, "documents")["documents"].select("doc_id", "lang", "source")
+    )
+    left = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("l-"), F.col("lang")))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("curated"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    right = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("r-"), F.col("lang")))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+    )
+    return merge_documents_three_way(docs, left, right, "doc_id", ["lang", "source"])

@@ -359,3 +359,31 @@ def test_replace_documents_drops_absent_fields(spark):
     }
     assert d1 == {("lang", "fr")}  # text and n vanished
     assert post.where("subject = 'Doc/2' AND predicate = 'text'").count() == 1
+
+
+def test_doc_merge_three_way_statuses(spark):
+    from terminus_server_spark.docs.documents import merge_documents_three_way
+
+    base = spark.createDataFrame(
+        [(1, "en", "web"), (2, "fr", "web"), (3, "de", "web"), (4, None, "web")],
+        "doc_id long, lang string, source string",
+    )
+    left = spark.createDataFrame(
+        [(1, "en-US", "web"), (2, "fr", "web"), (3, "de-AT", "web"), (4, "xx", "web")],
+        "doc_id long, lang string, source string",
+    )
+    right = spark.createDataFrame(
+        [(1, "en", "web"), (2, "fr-CA", "web"), (3, "de-CH", "web"), (4, "xx", "web")],
+        "doc_id long, lang string, source string",
+    )
+    out = {
+        (r["doc_id"], r["field"]): (r["status"], r["merged_v"])
+        for r in merge_documents_three_way(
+            base, left, right, "doc_id", ["lang", "source"]
+        ).collect()
+    }
+    assert out[(1, "lang")] == ("left", "en-US")
+    assert out[(2, "lang")] == ("right", "fr-CA")
+    assert out[(3, "lang")] == ("conflict", "de")   # both changed differently
+    assert out[(4, "lang")] == ("both_same", "xx")  # NULL base, same change
+    assert out[(1, "source")] == ("unchanged", "web")

@@ -343,6 +343,10 @@ HEADLINE = [
     "docs_code_detect",
     "graph_rich_club",
     "doc_merge_three_way",
+    "graph_katz",
+    "sketch_hll",
+    "sql_lateral_topk",
+    "emb_kmeans",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

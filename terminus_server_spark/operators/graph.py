@@ -370,6 +370,68 @@ def personalized_pagerank(
     return ranks
 
 
+def katz_centrality(
+    edges: DataFrame, iters: int = 4, alpha_denom: int = 8
+) -> DataFrame:
+    """(node, katz): Katz centrality truncated at ``iters`` rounds —
+    c[v] = Σ_{t=0..T} α^t · (#walks of length t ending at v), with
+    α = 1/``alpha_denom`` (Katz 1953; the damped-walk complement of
+    PageRank's random-surfer model — no out-degree normalization, so
+    a node is central when MANY attenuated walks reach it, not when
+    important nodes split their mass toward it).
+
+    Exact arithmetic without the pagerank family's floor-grid: work
+    in the α^{-t}-scaled integer basis.  With s_t = alpha_denom^t·c_t
+    the recurrence c_{t+1}[v] = 1 + α·Σ_{u→v} c_t[u] becomes
+
+        s_0[v] = 1,   s_{t+1}[v] = alpha_denom^{t+1} + Σ_{u→v} s_t[u]
+
+    — pure integer adds, order-free, engine-portable.  Sums run in
+    decimal(38,0) (a hot in-degree times alpha_denom^T walks exceeds
+    bigint long before real graph scale; DuckDB widens its BIGINT sum
+    to HUGEINT on the same values), and the single final division
+    s_T / alpha_denom^T is one IEEE-exact double op, so the oracle's
+    unrolled CTE reproduces the result bit-for-bit.
+
+    Per round: one edges⋈scores shuffle on src, one sum-by-dst, one
+    left join back onto the node set — frontier is always the whole
+    node set, so ``loop_tuning`` clamps the exchanges to the node
+    count and disables per-exchange AQE re-planning for the fixed
+    cascade, same as the pagerank loops."""
+    with no_constraint_propagation(edges.sparkSession):
+        nodes, n_nodes = _edge_nodes(edges)
+        if n_nodes == 0:  # empty graph: empty typed score table
+            return nodes.withColumn("katz", F.lit(0.0))
+        e = edges.select("src", "dst").where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        ).transform(loop_checkpoint)
+        scores = nodes.withColumn("s", F.lit(1).cast("decimal(38,0)"))
+        with loop_tuning(edges.sparkSession, n_nodes):
+            for t in range(1, iters + 1):
+                contrib = (
+                    e.join(
+                        scores.select(F.col("node").alias("src"), "s"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("s").alias("c"))
+                )
+                scores = (
+                    nodes.join(contrib, "node", "left_outer")
+                    .select(
+                        "node",
+                        (
+                            F.lit(alpha_denom**t).cast("decimal(38,0)")
+                            + F.coalesce(F.col("c"), F.lit(0))
+                        ).cast("decimal(38,0)").alias("s"),
+                    )
+                )
+            scores = loop_checkpoint(scores)
+    scale = float(alpha_denom**iters)
+    return scores.select(
+        "node", (F.col("s").cast("double") / F.lit(scale)).alias("katz")
+    )
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Total triangles in the undirected simple graph.
 

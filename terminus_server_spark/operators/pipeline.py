@@ -191,6 +191,60 @@ def kmv_distinct_estimate(
     )
 
 
+def hll_distinct_estimate(df: DataFrame, col: str, b: int = 6) -> DataFrame:
+    """(n_zero_buckets, sum_inv, est_distinct): HyperLogLog distinct
+    count with an engine-portable register set — the industry's
+    standard mergeable cardinality sketch (Flajolet et al. 2007),
+    re-derived from md5 so the APPROXIMATE estimate itself is
+    bit-reproducible by the SQL oracle (Spark's builtin
+    approx_count_distinct carries an opaque JVM register binary;
+    this one's registers are plain integers any engine recomputes).
+
+    Portability of every step: bucket = first-32-md5-bits mod m and
+    the witness word w = next 32 bits are integer-exact in both
+    engines; rank = 33 - length(bin(w)) uses the shared unpadded
+    binary rendering (w=0 ⇒ rank 33, all witness bits zero); the
+    per-bucket MAX register is order-free; each harmonic term
+    2^-M is an exact dyadic double via 1/(1<<M); the 64-term sum
+    stays on the 2^-33 grid (sum·2^33 < 2^39 ≪ 2^53) so double
+    addition is exact and order-independent; the final α·m²/sum is
+    two correctly-rounded IEEE ops.  No small/large-range correction
+    branch: that needs ln(), whose libm rounding is NOT portable —
+    this emits the raw estimator plus the zero-register count so a
+    caller can apply linear counting themselves.
+
+    One scan, one m-row aggregate: at 100 TB the sketch costs the
+    scan plus a 2^b-row shuffle, and registers merge with MAX for
+    cross-shard unions (same contract as the KMV sketch above)."""
+    m = 1 << b
+    alpha = 0.709  # alpha_64 = 0.7213/(1 + 1.079/64), fixed literal
+    h32 = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    wit = F.conv(F.substring(F.md5(F.col(col).cast("string")), 9, 8), 16, 10).cast(
+        "long"
+    )
+    rank = F.when(wit == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(wit)))
+    regs = (
+        df.select((h32 % m).alias("bucket"), rank.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("mr"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(m).select(F.col("id").alias("bucket"))
+    full = grid.join(regs, "bucket", "left_outer").select(
+        "bucket", F.coalesce("mr", F.lit(0)).alias("mr")
+    )
+    # Python F.shiftleft only takes a literal shift; the SQL form
+    # accepts a column for both operands.
+    inv = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), mr)").cast("double")
+    return full.agg(
+        F.sum(F.when(F.col("mr") == 0, 1).otherwise(0)).alias("n_zero_buckets"),
+        F.sum(inv).alias("sum_inv"),
+        (F.lit(alpha * m * m) / F.sum(inv)).alias("est_distinct"),
+    )
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, key_col: str = "doc_id", content_col: str = "text"
 ) -> DataFrame:

@@ -172,6 +172,75 @@ def refine_centroids(cents: DataFrame, assigned: DataFrame, suffix: str = "b") -
     return vecs.select("cell_id", "vec_c", norm.alias("norm_c"))
 
 
+def _assign_cells(cents: DataFrame, side: DataFrame, suffix: str, n_keep: int) -> DataFrame:
+    """Nearest-centroid assignment (cosine argmax, cell-id tie-break):
+    broadcast the centroid table, score one scan of ``side``, keep the
+    ``n_keep`` best cells per row.  Shared by the IVF index build and
+    the Lloyd training loop (``kmeans_assignments``) — the same
+    fixed-point cosine as ``cosine_from_parts`` so every consumer is
+    oracle-replayable."""
+    from pyspark.sql.window import Window
+
+    scored = broadcast(cents).crossJoin(side).select(
+        F.col(f"id_{suffix}"),
+        F.col(f"vec_{suffix}"),
+        F.col(f"norm_{suffix}"),
+        "cell_id",
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec_c"), F.col(f"vec_{suffix}"), lambda x, y: F.floor(x * y * SCALE)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x.cast("bigint"),
+            ).cast("double")
+            / F.sqrt(F.col("norm_c").cast("double") * F.col(f"norm_{suffix}").cast("double"))
+        ).alias("cell_cos"),
+    )
+    w = Window.partitionBy(f"id_{suffix}").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("cell_rk", F.row_number().over(w))
+        .where(F.col("cell_rk") <= n_keep)
+        .drop("cell_rk", "cell_cos")
+    )
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster): Lloyd's k-means as a first-class operator —
+    deterministic seeds (lowest ``k`` ids), then ``iters`` rounds of
+    cosine-argmax assignment + integer-mean recentering, emitting the
+    final assignment.  This is the IVF index's training loop
+    (``ivf_topk`` runs the same ``_assign_cells`` /
+    ``refine_centroids`` pair) exposed directly, for callers that
+    want the clustering itself: corpus bucketing for SemDeDup,
+    exemplar mining, mixture analysis.
+
+    Every step is the house fixed-point convention (floor-scaled
+    bigint dots, integer-mean components on the 1e-6 grid), so the
+    whole iterative trajectory — not just the last hop — is exactly
+    replayed by the DuckDB oracle.  Per round: one broadcast-argmax
+    scan of the corpus + one (cell, pos) aggregate; at 100 TB that is
+    2·iters scans, no shuffle wider than k·dim rows."""
+    cents = scaled_parts(
+        emb.orderBy(id_col).limit(k), id_col, vec_col, "c"
+    ).withColumnRenamed("id_c", "cell_id")
+    corpus_parts = plan_checkpoint(scaled_parts(emb, id_col, vec_col, "b"))
+    for _ in range(iters - 1):
+        cents = refine_centroids(cents, _assign_cells(cents, corpus_parts, "b", 1))
+    final = _assign_cells(cents, corpus_parts, "b", 1)
+    return final.select(
+        F.col("id_b").alias(id_col), F.col("cell_id").alias("cluster")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -197,37 +266,11 @@ def ivf_topk(
         emb.orderBy(id_col).limit(n_cells), id_col, vec_col, "c"
     ).withColumnRenamed("id_c", "cell_id")
 
-    def assign(cents: DataFrame, side: DataFrame, suffix: str, n_keep: int) -> DataFrame:
-        scored = broadcast(cents).crossJoin(side).select(
-            F.col(f"id_{suffix}"),
-            F.col(f"vec_{suffix}"),
-            F.col(f"norm_{suffix}"),
-            "cell_id",
-            (
-                F.aggregate(
-                    F.zip_with(
-                        F.col("vec_c"), F.col(f"vec_{suffix}"), lambda x, y: F.floor(x * y * SCALE)
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x.cast("bigint"),
-                ).cast("double")
-                / F.sqrt(F.col("norm_c").cast("double") * F.col(f"norm_{suffix}").cast("double"))
-            ).alias("cell_cos"),
-        )
-        w = Window.partitionBy(f"id_{suffix}").orderBy(
-            F.col("cell_cos").desc(), F.col("cell_id").asc()
-        )
-        return (
-            scored.withColumn("cell_rk", F.row_number().over(w))
-            .where(F.col("cell_rk") <= n_keep)
-            .drop("cell_rk", "cell_cos")
-        )
-
     corpus_parts = scaled_parts(emb, id_col, vec_col, "b")
     for _ in range(refine_iters):
-        cents = refine_centroids(cents, assign(cents, corpus_parts, "b", 1))
-    corpus = assign(cents, corpus_parts, "b", 1)
-    probes = assign(cents, scaled_parts(queries, id_col, vec_col, "a"), "a", n_probe)
+        cents = refine_centroids(cents, _assign_cells(cents, corpus_parts, "b", 1))
+    corpus = _assign_cells(cents, corpus_parts, "b", 1)
+    probes = _assign_cells(cents, scaled_parts(queries, id_col, vec_col, "a"), "a", n_probe)
     scored = (
         probes.join(corpus, "cell_id")
         .where(F.col("id_a") != F.col("id_b"))

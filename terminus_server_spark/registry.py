@@ -4128,6 +4128,50 @@ def graph_pagerank(spark, sf_dir):
     return pagerank(store.edges("parent"), iters=5)
 
 
+def _katz_oracle(iters: int, alpha_denom: int = 8) -> str:
+    """Unrolled Katz CTE in the alpha_denom^t-scaled integer basis:
+    s_{t+1} = alpha_denom^{t+1} + Σ_{u→v} s_t[u], pure integer sums
+    (DuckDB widens SUM(BIGINT) to HUGEINT, matching the Spark side's
+    decimal(38,0)), one final exact double division — see
+    operators/graph.katz_centrality."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""
+    s{t} AS (
+      SELECT n.node,
+             CAST({alpha_denom**t} AS BIGINT) + COALESCE(c.c, 0) AS s
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(p.s) AS BIGINT) AS c
+        FROM e JOIN s{t - 1} p ON e.src = p.node
+        GROUP BY e.dst) c ON n.node = c.node)"""
+        )
+    return f"""
+    WITH e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    s0 AS (SELECT node, CAST(1 AS BIGINT) AS s FROM nodes),{",".join(steps)}
+    SELECT node, CAST(s AS DOUBLE) / {float(alpha_denom**iters)} AS katz
+    FROM s{iters}
+    """
+
+
+@register("graph_katz", _katz_oracle(4))
+def graph_katz(spark, sf_dir):
+    """Katz centrality, four attenuated-walk rounds at α=1/8 over the
+    c//2 parent tree (operators/graph.py:katz_centrality).  The
+    α^{-t}-scaled integer recurrence keeps every intermediate an
+    exact integer, so the iterative algorithm is value-hash checked
+    (reference exposes reachability via path queries —
+    src/rust/terminusdb-community path stack; whole-graph centrality
+    is the Spark-side analytical completion, SURVEY §2.2)."""
+    from terminus_server_spark.operators.graph import katz_centrality
+
+    store = _parent_tree_store(spark, sf_dir)
+    return katz_centrality(store.edges("parent"), iters=4)
+
+
 def _ppr_oracle(iters: int) -> str:
     """Unrolled personalized-PageRank CTE: restart mass confined to
     the source set, same 1e15 floor-scaled integer sums as the
@@ -7895,6 +7939,69 @@ ORACLES["dedup_embed_cos"] = _embed_lsh_oracle_sql()
 
 
 @register(
+    "emb_kmeans",
+    """
+    WITH parts AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_sum(list_transform(embedding,
+               x -> floor(x::DOUBLE * x::DOUBLE * 1e12)::BIGINT)) AS norm
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS cv, norm AS cnorm
+           FROM parts ORDER BY vec_id LIMIT 4),
+    s1 AS (
+      SELECT p.vec_id, c.cell,
+             list_sum(list_transform(list_zip(c.cv, p.v),
+               q -> floor(q[1] * q[2] * 1e12)::BIGINT))::DOUBLE
+               / sqrt(c.cnorm::DOUBLE * p.norm::DOUBLE) AS cos
+      FROM parts p CROSS JOIN c0 c),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell ASC) AS rk
+        FROM s1) WHERE rk = 1),
+    ex AS (
+      SELECT a1.cell, unnest(p.v) AS x,
+             unnest(generate_series(1, len(p.v))) AS pos
+      FROM a1 JOIN parts p USING (vec_id)),
+    m1 AS (
+      SELECT cell, pos,
+             FLOOR(CAST(SUM(FLOOR(x * 1e6)::BIGINT) AS BIGINT)::DOUBLE
+                   / COUNT(*)) / 1e6 AS comp
+      FROM ex GROUP BY cell, pos),
+    c1v AS (SELECT cell, list(comp ORDER BY pos) AS cv FROM m1 GROUP BY cell),
+    c1 AS (SELECT cell, cv,
+                  list_sum(list_transform(cv,
+                    x -> floor(x * x * 1e12)::BIGINT)) AS cnorm
+           FROM c1v),
+    s2 AS (
+      SELECT p.vec_id, c.cell,
+             list_sum(list_transform(list_zip(c.cv, p.v),
+               q -> floor(q[1] * q[2] * 1e12)::BIGINT))::DOUBLE
+               / sqrt(c.cnorm::DOUBLE * p.norm::DOUBLE) AS cos
+      FROM parts p CROSS JOIN c1 c)
+    SELECT vec_id, cell AS cluster FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cell ASC) AS rk
+      FROM s2) WHERE rk = 1
+    """,
+)
+def emb_kmeans(spark, sf_dir):
+    """Lloyd's k-means exposed as a first-class clustering operator
+    (operators/similarity.py:kmeans_assignments, k=4, two rounds):
+    deterministic lowest-id seeds, cosine-argmax assignment,
+    integer-mean recentering — the IVF training loop emitting the
+    clustering itself.  The oracle replays the FULL trajectory
+    (assign → refine → assign) in unrolled CTEs, so the iterative
+    algorithm is value-hash checked end-to-end."""
+    from terminus_server_spark.operators.similarity import kmeans_assignments
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return kmeans_assignments(emb, k=4, iters=2)
+
+
+@register(
     "emb_centroids",
     """
     WITH ex AS (
@@ -9291,6 +9398,39 @@ def sketch_kmv_distinct(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")["orders"]
     return kmv_distinct_estimate(orders, "o_custkey", k=256)
+
+
+@register(
+    "sketch_hll",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 9, 8)) AS BIGINT) AS w
+      FROM orders),
+    b AS (SELECT bucket,
+                 CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS r
+          FROM h),
+    mx AS (SELECT bucket, MAX(r) AS mr FROM b GROUP BY bucket),
+    grid AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+    regs AS (SELECT g.bucket, COALESCE(mx.mr, 0) AS mr
+             FROM grid g LEFT JOIN mx ON g.bucket = mx.bucket)
+    SELECT CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_buckets,
+           SUM(CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS sum_inv,
+           (CAST(0.709 AS DOUBLE) * 4096) / SUM(CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS est_distinct
+    FROM regs
+    """,
+)
+def sketch_hll(spark, sf_dir):
+    """Portable HyperLogLog over order custkeys (operators/pipeline.py:
+    hll_distinct_estimate): md5-derived 64-register sketch whose raw
+    estimate the oracle recomputes bit-for-bit — every term an exact
+    dyadic double, no libm in the estimator.  Complements the KMV
+    sketch (same mergeable-sketch contract, the registers merge with
+    MAX instead of a min-set union)."""
+    from terminus_server_spark.operators.pipeline import hll_distinct_estimate
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return hll_distinct_estimate(orders, "o_custkey", b=6)
 
 
 @register(
@@ -12251,6 +12391,39 @@ def sql_raw_interface(spark, sf_dir):
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_orderstatus = 'F'
         GROUP BY n_name, yr
+        """
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    """
+    SELECT n.n_name, l.c_name, l.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey AND c_acctbal > 0
+      ORDER BY c_acctbal DESC, c_name LIMIT 3) l
+    """,
+)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT — the
+    ANSI form of "top-3 customers per nation".  Catalyst decorrelates
+    the lateral into a ranked window over the one customer scan
+    (DomainJoin → rewrite), so the declarative per-row subquery costs
+    one shuffle at scale, not |nation| plan executions — exactly the
+    rewrite a hand-built row_number() plan gets, now reachable from
+    the raw SQL surface too (complements sql_raw_interface /
+    sql_set_ops)."""
+    _t(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_name, l.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey AND c_acctbal > 0
+          ORDER BY c_acctbal DESC, c_name LIMIT 3) l
         """
     )
 

@@ -347,6 +347,12 @@ HEADLINE = [
     "sketch_hll",
     "sql_lateral_topk",
     "emb_kmeans",
+    "ann_ivfpq_residual",
+    "docs_cdc_chunks",
+    "stream_hll_sketch",
+    "agg_weighted_median",
+    "events_attribution_linear",
+    "graph_label_spread",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

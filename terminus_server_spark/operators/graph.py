@@ -1779,6 +1779,72 @@ def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
     return labels.select("node", F.col("label").alias("community"))
 
 
+def label_spread(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """(node, label): SEMI-SUPERVISED label spreading — a small seed
+    set carries ground-truth labels and everything else adopts the
+    modal neighbor label, synchronously, for a fixed number of rounds
+    (Zhu & Ghahramani's label propagation with clamped seeds; the
+    auto-labeling complement of ``lpa_communities``, which starts
+    every node as its own community).  Per round:
+    label_{t+1}(v) = seed(v) if seeded, else the most frequent label
+    among v's undirected neighbors' labels_t (count desc, smallest
+    label tie-break), else — no labeled neighbor yet — the carried
+    labels_t(v).  Seeds are CLAMPED (they never flip), adoption is
+    monotone in reach, and fixed rounds keep the result a pure
+    function of (edges, seeds).
+
+    Scale: each round is the LPA shape — groupBy(node, label) with
+    map-side partial counts, argmax via min(struct(-n, label)) (no
+    window), three broadcast-or-key left joins to apply clamp /
+    adopt / carry; state is |V| rows regardless of rounds, loop-tuned
+    shuffles, labels checkpointed per round."""
+    und = _symmetrize(edges).transform(plan_checkpoint)
+    nodes, n_nodes = _edge_nodes(und)
+    seed_l = seeds.select("node", F.col("label").alias("_sl")).transform(
+        loop_checkpoint
+    )
+    labels = nodes.join(seed_l, "node", "left_outer").select(
+        "node", F.col("_sl").alias("label")
+    )
+    with loop_tuning(edges.sparkSession, n_nodes):
+        for _ in range(rounds):
+            nbr = (
+                und.join(
+                    labels.select(F.col("node").alias("src"), F.col("label").alias("l")),
+                    "src",
+                )
+                .where(F.col("l").isNotNull())
+                .groupBy(F.col("dst").alias("node"), "l")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            best = (
+                nbr.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("n")).alias("negn"), F.col("l").alias("lbl"))
+                    ).alias("m")
+                )
+                .select("node", F.col("m.lbl").alias("_bl"))
+            )
+            labels = (
+                nodes.join(seed_l, "node", "left_outer")
+                .join(best, "node", "left_outer")
+                .join(
+                    labels.select("node", F.col("label").alias("_pl")),
+                    "node",
+                    "left_outer",
+                )
+                .select(
+                    "node",
+                    F.coalesce("_sl", "_bl", "_pl").alias("label"),
+                )
+                .transform(loop_checkpoint)
+            )
+    return labels
+
+
 def reciprocity(edges: DataFrame) -> DataFrame:
     """One row (n_edges, n_reciprocated, reciprocity): the fraction of
     directed edges whose reverse edge also exists — the standard

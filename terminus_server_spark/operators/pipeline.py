@@ -191,6 +191,73 @@ def kmv_distinct_estimate(
     )
 
 
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 16,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash):
+    content-defined chunking — chunk boundaries where a rolling
+    window's hash hits 0 mod ``divisor`` (the FastCDC/LBFS recipe
+    behind storage dedup and shift-robust corpus dedup).  Unlike
+    ``chunk_documents``'s fixed grid, inserting one byte near the
+    start of a document re-chunks only the chunk it landed in: every
+    later boundary is decided by LOCAL content, so downstream
+    chunk-hash dedup still matches the untouched tail — the property
+    that makes near-identical crawl snapshots dedupe at chunk grain.
+
+    Dataflow: one projection per document — boundary positions via
+    filter() over a position sequence (each window hashed with md5;
+    a literal Rabin rolling hash saves constant factor, not
+    complexity, and md5 keeps it engine-portable) and chunks via
+    transform() over the boundary array, then one explode.  No
+    shuffle at all; scales as Σ len(text)·window expression work
+    inside whole-stage codegen, and the per-doc state is the
+    boundary array (len/divisor entries expected)."""
+    text = F.col(text_col)
+    n = F.length(text)
+    # boundary candidates start at 2 (position 1 always starts chunk 0);
+    # guard the sequence: Spark's sequence(2, x) runs DESCENDING for
+    # x < 2 instead of returning empty.
+    last = n - F.lit(window - 1)
+    hash4 = lambda p: F.conv(  # noqa: E731 — window hash, first 4 md5 hex chars
+        F.substring(F.md5(text.substr(p, F.lit(window))), 1, 4), 16, 10
+    ).cast("int")
+    bpos = F.when(
+        last >= 2,
+        F.filter(F.sequence(F.lit(2), F.greatest(last, F.lit(2))),
+                 lambda p: hash4(p) % divisor == 0),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), bpos.cast("array<int>"))
+    k = F.size(starts)
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.element_at(starts, i + 1).alias("chunk_start"),
+            (
+                F.when(i + 2 <= k, F.element_at(starts, i + 2)).otherwise(n + 1)
+                - F.element_at(starts, i + 1)
+            ).alias("chunk_len"),
+        ),
+    )
+    return (
+        docs.where(text.isNotNull() & (n >= 1))
+        .select(F.col(id_col), text.alias("_t"), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("c.chunk_start").cast("long").alias("chunk_start"),
+            F.col("c.chunk_len").cast("long").alias("chunk_len"),
+            F.md5(
+                F.expr("substring(_t, c.chunk_start, c.chunk_len)")
+            ).alias("chunk_hash"),
+        )
+    )
+
+
 def hll_distinct_estimate(df: DataFrame, col: str, b: int = 6) -> DataFrame:
     """(n_zero_buckets, sum_inv, est_distinct): HyperLogLog distinct
     count with an engine-portable register set — the industry's

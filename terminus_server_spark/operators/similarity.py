@@ -1155,6 +1155,141 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    n_codes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, rk): IVF-PQ over RESIDUALS — the
+    refinement FAISS's IVFx,PQy actually ships: PQ codes quantize
+    x − c(x) (the vector minus its cell centroid) instead of x, so
+    the codebook spends its precision on the within-cell distribution
+    rather than re-encoding the cell's global position; at equal code
+    budget residual ADC is strictly tighter (Jégou et al. 2011 §IV).
+
+    Consequences for the dataflow vs :func:`ivfpq_topk`: the encoding
+    is unchanged in shape (one min-d2 per (vector, subspace)), but
+    the query LUT becomes per (query, PROBED CELL) — the query's
+    residual differs per cell — so the LUT has n_probe× the rows and
+    ADC joins on (query, cell, m, code).  Still broadcast-sized:
+    |queries|·n_probe·n_sub·n_codes rows of integers.
+
+    Determinism: residual components are double subtractions — the
+    identical IEEE op on both engines (same convention as the d2
+    codeword distances) — then the usual floor-scaled bigint sums;
+    lowest-id/md5-rank tie-breaks; the oracle replays the full
+    residual index bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    sub = dim // n_sub
+    corpus_parts = scaled_parts(emb, id_col, vec_col, "b")
+    cents = scaled_parts(
+        emb.orderBy(id_col).limit(n_cells), id_col, vec_col, "c"
+    ).withColumnRenamed("id_c", "cell_id")
+
+    corpus_cells = _assign_cells(cents, corpus_parts, "b", 1).select(
+        F.col("id_b").alias("vec_id"), "cell_id"
+    )
+    probe_cells = _assign_cells(
+        cents, scaled_parts(queries, id_col, vec_col, "a"), "a", n_probe
+    ).select(F.col("id_a").alias("query_id"), "cell_id")
+
+    cent_vecs = broadcast(cents.select("cell_id", F.col("vec_c").alias("_cv")))
+    v = _scaled_vec(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("vec_id"), v.alias("_v"))
+    # corpus residuals: r = x - centroid(cell(x))
+    resid = (
+        base.join(corpus_cells, "vec_id")
+        .join(cent_vecs, "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with(F.col("_v"), F.col("_cv"), lambda x, c: x - c).alias("_r"),
+        )
+    )
+    # PQ seeds: md5-ranked ids, codewords = the seeds' RESIDUAL subvectors
+    seeds = (
+        resid.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(n_codes)
+        .withColumn(
+            "code", F.row_number().over(Window.orderBy("_h", "vec_id")) - 1
+        )
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(n_sub)])).alias("m")
+    codebook = F.broadcast(
+        seeds.select("code", "_r")
+        .select("code", ms, F.col("_r").alias("_sr"))
+        .select(
+            "m", "code", F.slice(F.col("_sr"), F.col("m") * sub + 1, sub).alias("cw")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cw"),
+            lambda a, b: F.floor((a - b) * (a - b) * F.lit(SCALE)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    subvecs = resid.select("vec_id", ms, F.col("_r").alias("_fr")).select(
+        "vec_id", "m", F.slice(F.col("_fr"), F.col("m") * sub + 1, sub).alias("sv")
+    )
+    encd = subvecs.join(codebook, "m").select("vec_id", "m", "code", d2.alias("d2"))
+    enc = (
+        encd.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("_best"))
+        .select("vec_id", "m", F.col("_best.code").alias("code"))
+    )
+    # query LUT: one residual PER PROBED CELL (q - that cell's centroid)
+    qresid = (
+        queries.select(F.col(id_col).alias("query_id"), v.alias("_qv"))
+        .join(probe_cells, "query_id")
+        .join(cent_vecs, "cell_id")
+        .select(
+            "query_id",
+            "cell_id",
+            F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, c: x - c).alias("_qr"),
+        )
+    )
+    qsub = qresid.select("query_id", "cell_id", ms, F.col("_qr").alias("_fr")).select(
+        "query_id",
+        "cell_id",
+        "m",
+        F.slice(F.col("_fr"), F.col("m") * sub + 1, sub).alias("sv"),
+    )
+    lut = F.broadcast(
+        qsub.join(codebook, "m").select("query_id", "cell_id", "m", "code", d2.alias("d2"))
+    )
+    cand = (
+        probe_cells.join(corpus_cells, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cell_id", "vec_id")
+        .distinct()
+    )
+    adc = (
+        cand.join(enc, "vec_id")
+        .join(lut, ["query_id", "cell_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
 def mmr_rerank(
     emb: DataFrame,
     queries: DataFrame,

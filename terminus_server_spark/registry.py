@@ -1639,6 +1639,91 @@ def ann_ivfpq(spark, sf_dir):
     return ivfpq_topk(emb, emb.where(F.col("vec_id") < 8), k=10)
 
 
+@register(
+    "ann_ivfpq_residual",
+    f"""
+    WITH vv AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    parts AS (
+      SELECT vec_id, v,
+             list_sum(list_transform(v, x -> floor(x * x * 1e12)::BIGINT)) AS norm
+      FROM vv),
+    cents AS (SELECT vec_id AS cell_id, v, norm FROM parts WHERE vec_id < 4),
+    asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT b.vec_id, a.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_COS_SQL} DESC, a.cell_id ASC) AS rn
+        FROM parts b CROSS JOIN cents a) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT b.vec_id AS query_id, a.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_COS_SQL} DESC, a.cell_id ASC) AS rn
+        FROM parts b CROSS JOIN cents a WHERE b.vec_id < 8) WHERE rn <= 2),
+    res AS (
+      SELECT g.vec_id, g.cell_id,
+             list_transform(list_zip(b.v, c.v), q -> q[1] - q[2]) AS rv
+      FROM asg g JOIN vv b ON b.vec_id = g.vec_id
+                 JOIN cents c ON c.cell_id = g.cell_id),
+    seeds AS (
+      SELECT vec_id, rv,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM res ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+    mgrid AS (SELECT unnest(generate_series(0, 7)) AS m),
+    cb AS (SELECT m, code, seeds.rv[(m * 8 + 1):(m * 8 + 8)] AS cw FROM seeds, mgrid),
+    sv AS (SELECT vec_id, m, rv[(m * 8 + 1):(m * 8 + 8)] AS sv FROM res, mgrid),
+    encd AS (
+      SELECT s.vec_id, s.m, c.code, {_pq_d2_sql('s.sv', 'c.cw')} AS d2
+      FROM sv s JOIN cb c ON c.m = s.m),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+        FROM encd) WHERE rn = 1),
+    qres AS (
+      SELECT p.query_id, p.cell_id,
+             list_transform(list_zip(b.v, c.v), q -> q[1] - q[2]) AS qr
+      FROM probes p JOIN vv b ON b.vec_id = p.query_id
+                    JOIN cents c ON c.cell_id = p.cell_id),
+    qsv AS (SELECT query_id, cell_id, m, qr[(m * 8 + 1):(m * 8 + 8)] AS sv
+            FROM qres, mgrid),
+    lut AS (
+      SELECT q.query_id, q.cell_id, q.m, c.code, {_pq_d2_sql('q.sv', 'c.cw')} AS d2
+      FROM qsv q JOIN cb c ON c.m = q.m),
+    cand AS (
+      SELECT DISTINCT p.query_id, p.cell_id, g.vec_id
+      FROM probes p JOIN asg g USING (cell_id)
+      WHERE g.vec_id <> p.query_id),
+    adc AS (
+      SELECT c.query_id, c.vec_id, SUM(l.d2)::BIGINT AS adc
+      FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+                  JOIN lut l ON l.query_id = c.query_id
+                            AND l.cell_id = c.cell_id
+                            AND l.m = e.m AND l.code = e.code
+      GROUP BY 1, 2)
+    SELECT query_id, vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc ASC, vec_id ASC) AS rk
+    FROM adc QUALIFY rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def ann_ivfpq_residual(spark, sf_dir):
+    """IVF-PQ over residuals (operators/similarity.py:
+    ivfpq_residual_topk): PQ codes quantize x − centroid(cell(x)) —
+    the production FAISS IVFx,PQy refinement (Jégou et al. 2011) —
+    so the query LUT is per (query, probed cell) and ADC joins on
+    (query, cell, m, code).  Fully deterministic; the oracle replays
+    the complete residual index."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import ivfpq_residual_topk
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return ivfpq_residual_topk(emb, emb.where(F.col("vec_id") < 8), k=10)
+
+
 @register("ann_ivf")  # approximate: rows-only check
 def ann_ivf(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -1827,6 +1912,46 @@ def docs_chunk(spark, sf_dir):
     from terminus_server_spark.operators.pipeline import chunk_documents
 
     return chunk_documents(_t(spark, sf_dir, "documents")["documents"], chunk_size=200, stride=150)
+
+
+@register(
+    "docs_cdc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+    b AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n - 7 >= 2 THEN
+               list_filter(generate_series(2, n - 7),
+                 p -> CAST(('0x' || substring(md5(substring(text, CAST(p AS INT), 8)), 1, 4)) AS INT) % 16 = 0)
+             ELSE CAST([] AS BIGINT[]) END AS bpos
+      FROM d),
+    s AS (SELECT doc_id, text, n, [CAST(1 AS BIGINT)] || bpos AS starts FROM b),
+    c AS (SELECT doc_id, text, n, starts,
+                 unnest(generate_series(1, len(starts))) AS j
+          FROM s)
+    SELECT doc_id,
+           CAST(j - 1 AS BIGINT) AS chunk_idx,
+           CAST(starts[CAST(j AS INT)] AS BIGINT) AS chunk_start,
+           CAST((CASE WHEN j < len(starts) THEN starts[CAST(j + 1 AS INT)] ELSE n + 1 END)
+                - starts[CAST(j AS INT)] AS BIGINT) AS chunk_len,
+           md5(substring(text, CAST(starts[CAST(j AS INT)] AS INT),
+               CAST((CASE WHEN j < len(starts) THEN starts[CAST(j + 1 AS INT)] ELSE n + 1 END)
+                    - starts[CAST(j AS INT)] AS INT))) AS chunk_hash
+    FROM c
+    """,
+)
+def docs_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/pipeline.py:cdc_chunks):
+    boundaries where an 8-char window's md5 hits 0 mod 16 — the
+    FastCDC/LBFS shift-robust chunk grain for crawl-snapshot dedup
+    (an inserted byte re-chunks one chunk, not the whole tail, unlike
+    the fixed grid of docs_chunk).  Map-only, no shuffle; the oracle
+    replays boundaries and chunk hashes exactly."""
+    from terminus_server_spark.operators.pipeline import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents")["documents"])
 
 
 @register(
@@ -4170,6 +4295,66 @@ def graph_katz(spark, sf_dir):
 
     store = _parent_tree_store(spark, sf_dir)
     return katz_centrality(store.edges("parent"), iters=4)
+
+
+def _label_spread_oracle(rounds: int = 3) -> str:
+    """Unrolled label-spreading CTE: per round the modal labeled
+    neighbor (count desc, label asc), seeds clamped, carry when no
+    labeled neighbor — see operators/graph.label_spread."""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f"""
+    r{t} AS (
+      SELECT u.dst AS node, l.label, COUNT(*) AS n
+      FROM und u JOIN l{t - 1} l ON l.node = u.src
+      WHERE l.label IS NOT NULL GROUP BY 1, 2),
+    b{t} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY n DESC, label ASC) AS rk
+        FROM r{t}) WHERE rk = 1),
+    l{t} AS (
+      SELECT n.node, COALESCE(s.slabel, b.label, p.label) AS label
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+                   LEFT JOIN b{t} b ON b.node = n.node
+                   LEFT JOIN l{t - 1} p ON p.node = n.node)""")
+    return f"""
+    WITH e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    und AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+      WHERE src <> dst),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    seeds AS (
+      SELECT 'C/' || c_custkey AS node, CAST(c_custkey % 3 AS INT) AS slabel
+      FROM customer WHERE c_custkey >= 1 AND c_custkey < 8),
+    l0 AS (SELECT n.node, s.slabel AS label
+           FROM nodes n LEFT JOIN seeds s ON s.node = n.node),{",".join(steps)}
+    SELECT node, label FROM l{rounds}
+    """
+
+
+@register("graph_label_spread", _label_spread_oracle(3))
+def graph_label_spread(spark, sf_dir):
+    """Semi-supervised label spreading with clamped seeds
+    (operators/graph.py:label_spread): 7 seeded customers carry
+    labels custkey % 3; three synchronous modal-adoption rounds over
+    the undirected c//2 tree.  Unrolled oracle replays clamp / adopt
+    / carry exactly, NULLs where the spread has not reached."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import label_spread
+
+    store = _parent_tree_store(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    seeds = cust.where((F.col("c_custkey") >= 1) & (F.col("c_custkey") < 8)).select(
+        F.concat(F.lit("C/"), F.col("c_custkey").cast("string")).alias("node"),
+        (F.col("c_custkey") % 3).cast("int").alias("label"),
+    )
+    return label_spread(store.edges("parent"), seeds, rounds=3)
 
 
 def _ppr_oracle(iters: int) -> str:
@@ -8806,6 +8991,58 @@ def win_moving_sum(spark, sf_dir):
 
 
 @register(
+    "agg_weighted_median",
+    """
+    WITH vw AS (
+      SELECT l_returnflag, l_discount AS v,
+             CAST(SUM(FLOOR(l_quantity)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, l_discount),
+    c AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM vw)
+    SELECT l_returnflag,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 2 * cum >= tot THEN v END) AS weighted_median
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (per returnflag, discount weighted by
+    quantity): the smallest value whose cumulative weight reaches
+    half the group total — integer cumulative sums (floored
+    quantities), so the selection predicate 2·cum ≥ tot is exact
+    arithmetic, no interpolation ambiguity.  One grouped pre-agg
+    collapses ties before the window, so the running sum is over
+    distinct values only — at 100 TB the window input is bounded by
+    the value domain per group, not the row count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    vw = (
+        li.groupBy("l_returnflag", F.col("l_discount").alias("v"))
+        .agg(F.sum(F.floor("l_quantity")).cast("long").alias("w"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("v")
+    wtot = Window.partitionBy("l_returnflag")
+    c = vw.select(
+        "l_returnflag",
+        "v",
+        "w",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.max("tot").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))).alias(
+            "weighted_median"
+        ),
+    )
+
+
+@register(
     "win_group_median",
     """
     WITH r AS (
@@ -10685,6 +10922,71 @@ def bloom_semi_audit(spark, sf_dir):
     build = tabs["supplier"].where(F.col("s_nationkey") == 1)
     return bloom_semi_join_audit(
         tabs["lineitem"], "l_suppkey", build, "s_suppkey", n_bits=32, n_hashes=3
+    )
+
+
+@register(
+    "events_attribution_linear",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.value
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR),
+    split AS (
+      SELECT click_id, purchase_id,
+             FLOOR(value / (COUNT(*) OVER (PARTITION BY purchase_id))
+                   * 1e6)::BIGINT AS credit_i
+      FROM touch)
+    SELECT click_id,
+           COUNT(*)::BIGINT AS n_conversions,
+           CAST(SUM(credit_i) AS BIGINT)::DOUBLE / 1e6 AS total_credit
+    FROM split GROUP BY click_id
+    """,
+)
+def events_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's clicks in the preceding hour, and every
+    click accumulates its credited share — the marketing-analytics
+    primitive between last-touch (asof_join) and Markov attribution
+    (events_markov).  Per-touch credit is value/n (one deterministic
+    IEEE division) floored onto the 1e-6 grid so the per-click SUM is
+    integer-exact and order-free.  The touch join is equi on user_id
+    plus a bounded time predicate — sort-merge on the user key with
+    the range as residual filter; never a cross join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    touch = purchases.join(clicks, "user_id").where(
+        (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    split = touch.select(
+        "click_id",
+        "purchase_id",
+        F.floor(F.col("value") / n * F.lit(1e6)).cast("long").alias("credit_i"),
+    )
+    return split.groupBy("click_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        (F.sum("credit_i").cast("long").cast("double") / F.lit(1e6)).alias(
+            "total_credit"
+        ),
     )
 
 
@@ -15901,6 +16203,45 @@ def stream_kmv_sketch(spark, sf_dir):
     from terminus_server_spark.streaming.events import run_stream_kmv_sketch
 
     return run_stream_kmv_sketch(spark, batches, "o_custkey", k=256)
+
+
+@register(
+    "stream_hll_sketch",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 9, 8)) AS BIGINT) AS w
+      FROM orders),
+    b AS (SELECT bucket,
+                 CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS r
+          FROM h),
+    mx AS (SELECT bucket, MAX(r) AS mr FROM b GROUP BY bucket),
+    grid AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+    regs AS (SELECT g.bucket, COALESCE(mx.mr, 0) AS mr
+             FROM grid g LEFT JOIN mx ON g.bucket = mx.bucket)
+    SELECT CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_buckets,
+           SUM(CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS sum_inv,
+           (CAST(0.709 AS DOUBLE) * 4096) / SUM(CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS est_distinct
+    FROM regs
+    """,
+)
+def stream_hll_sketch(spark, sf_dir):
+    """Streaming HLL cardinality monitor (streaming/events.py:
+    run_stream_hll_sketch): order custkeys stream in three
+    key-partitioned micro-batches; each foreachBatch merge MAXes the
+    64 md5-derived registers (state O(2^b) forever, at-least-once
+    safe because MAX is idempotent).  Register merge is associative
+    and commutative, so the final raw estimate is bit-identical to
+    the one-shot `sketch_hll` batch sketch — the oracle is that same
+    closed form, which is precisely the mergeability claim under
+    test."""
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")["orders"].select("o_orderkey", "o_custkey")
+    batches = [orders.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    from terminus_server_spark.streaming.events import run_stream_hll_sketch
+
+    return run_stream_hll_sketch(spark, batches, "o_custkey", b=6)
 
 
 @register(

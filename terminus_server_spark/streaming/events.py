@@ -969,6 +969,89 @@ def run_stream_kmv_sketch(
     )
 
 
+def run_stream_hll_sketch(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    col: str,
+    b: int = 6,
+) -> DataFrame:
+    """(n_zero_buckets, sum_inv, est_distinct): streaming cardinality
+    via foreachBatch-maintained HyperLogLog registers — the
+    2^b-integer state that HLL is famous for, in the engine-portable
+    md5 form of operators/pipeline.hll_distinct_estimate.  Register
+    merge is per-bucket MAX: associative, commutative, idempotent, so
+    the final registers — and therefore the raw estimate — are
+    BIT-IDENTICAL to the one-shot batch sketch over all streamed rows
+    regardless of batch splits (the oracle is the same closed form as
+    `sketch_hll`, which is exactly the mergeability claim under
+    test).  Versus the KMV monitor: 2^b integers instead of k
+    fractions, and duplicate-heavy streams cost nothing (MAX absorbs
+    re-deliveries, so the sketch is also at-least-once safe).
+
+    Per batch: one scan emitting (bucket, rank), one ≤2^b-row MAX
+    merge against the stored registers, one ≤2^b-row parquet swap.
+    State is O(2^b) forever."""
+    m = 1 << b
+    tmp = tempfile.mkdtemp(prefix="tss_hll_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        h32 = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        wit = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 9, 8), 16, 10
+        ).cast("long")
+        rank = F.when(wit == 0, F.lit(33)).otherwise(
+            F.lit(33) - F.length(F.bin(wit))
+        )
+        regs = (
+            batch_df.select((h32 % m).alias("bucket"), rank.alias("r"))
+            .groupBy("bucket")
+            .agg(F.max("r").alias("mr"))
+        )
+        if state["version"] >= 0:
+            prev = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+            regs = (
+                regs.unionByName(prev)
+                .groupBy("bucket")
+                .agg(F.max("mr").alias("mr"))
+            )
+        state["version"] += 1
+        regs.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"v{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, bdf in enumerate(batches):
+        bdf.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    regs = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+    grid = spark.range(m).select(F.col("id").alias("bucket"))
+    full = grid.join(regs, "bucket", "left_outer").select(
+        "bucket", F.coalesce("mr", F.lit(0)).alias("mr")
+    )
+    inv = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), mr)").cast("double")
+    alpha = 0.709
+    return full.agg(
+        F.sum(F.when(F.col("mr") == 0, 1).otherwise(0)).alias("n_zero_buckets"),
+        F.sum(inv).alias("sum_inv"),
+        (F.lit(alpha * m * m) / F.sum(inv)).alias("est_distinct"),
+    )
+
+
 def run_stream_countmin(
     spark: SparkSession,
     batches: list[DataFrame],

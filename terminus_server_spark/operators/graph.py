@@ -2427,7 +2427,10 @@ def bidirectional_distance(
             "bidirectional_distance: round cap hit before the midpoint "
             "stopping rule proved exactness; raise max_iters"
         )
-    return spark.createDataFrame([(best,)], "hops bigint")
+    # JVM-side one-row result: createDataFrame from a Python tuple
+    # routes through a pickled PythonRDD (first use pays the Python
+    # worker cold start); literals on range(1) stay JVM-side.
+    return spark.range(1).select(F.lit(best).cast("bigint").alias("hops"))
 
 
 def jones_plassmann_coloring(edges: DataFrame, max_iters: int = 50) -> DataFrame:

@@ -12895,8 +12895,6 @@ def stream_file_sink(spark, sf_dir):
     final watermark past every real window, so the durable output
     must equal the batch aggregate over all real events (the
     sentinel's own still-open window is excluded by timestamp)."""
-    import datetime
-
     from pyspark.sql import functions as F
 
     from terminus_server_spark.streaming.events import (
@@ -12905,9 +12903,16 @@ def stream_file_sink(spark, sf_dir):
     )
 
     events = _t(spark, sf_dir, "events")["events"]
-    sentinel = spark.createDataFrame(
-        [(int(-1), datetime.datetime(2099, 1, 1), int(0), "view", 0.0, "{}")],
-        schema=events.schema,
+    # JVM-side sentinel: createDataFrame from Python rows routes the
+    # one-row write through a pickled PythonRDD (first use pays the
+    # Python-worker cold start, ~5 s measured) — literals on range(1)
+    # stay entirely JVM-side.
+    _vals = ["-1", "2099-01-01 00:00:00", "0", "view", "0.0", "{}"]
+    sentinel = spark.range(1).select(
+        *[
+            F.lit(v).cast(f.dataType).alias(f.name)
+            for f, v in zip(events.schema.fields, _vals)
+        ]
     )
     out = run_stream_batches_to_files(
         spark,

@@ -138,7 +138,10 @@ def run_stream_batches_to_table(
     os.makedirs(src)
     for i, b in enumerate(batches):
         part_dir = os.path.join(tmp, f"b{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        # repartition (not coalesce): coalesce(1) collapses the upstream
+        # scan into the single writer task; the shuffle keeps the read
+        # parallel and only the one-file write serial.
+        b.repartition(1).write.mode("overwrite").parquet(part_dir)
         part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
         dst = os.path.join(src, f"batch{i:05d}.parquet")
         shutil.copy(part, dst)
@@ -547,7 +550,10 @@ def run_stream_batches_to_files(
     os.makedirs(src)
     for i, b in enumerate(batches):
         part_dir = os.path.join(tmp, f"b{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        # repartition (not coalesce): coalesce(1) collapses the upstream
+        # scan into the single writer task; the shuffle keeps the read
+        # parallel and only the one-file write serial.
+        b.repartition(1).write.mode("overwrite").parquet(part_dir)
         part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
         dst = os.path.join(src, f"batch{i:05d}.parquet")
         shutil.copy(part, dst)

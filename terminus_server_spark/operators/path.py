@@ -241,6 +241,39 @@ def anchored_closure(
     return out
 
 
+def _seq_into_closure(
+    left: DataFrame, b: DataFrame, with_zero: bool
+) -> DataFrame:
+    """``left ; B*`` / ``left ; B+`` without the global closure:
+    anchor the B-closure on left's distinct endpoints (the only
+    middles the join could keep), then extend left by the anchored
+    distances.  ``with_zero`` (star) keeps each left pair itself —
+    but only when its endpoint exists in B's node universe, matching
+    ``compile_path(Star)``'s graph-derived zero rows exactly."""
+    mids = left.select(F.col("dst").alias("node")).distinct()
+    d = anchored_closure(b, mids)
+    grown = (
+        left.alias("a")
+        .join(d.alias("c"), F.col("a.dst") == F.col("c.src"))
+        .select(
+            F.col("a.src").alias("src"),
+            F.col("c.dst").alias("dst"),
+            (F.col("a.hops") + F.col("c.hops")).alias("hops"),
+        )
+    )
+    if with_zero:
+        universe = (
+            b.select(F.col("src").alias("n"))
+            .union(b.select(F.col("dst")))
+            .distinct()
+        )
+        kept = left.join(
+            universe, left["dst"] == universe["n"], "left_semi"
+        ).select("src", "dst", "hops")
+        grown = grown.unionByName(kept)
+    return grown
+
+
 def compile_path(store, pattern: P.PathPattern) -> DataFrame:
     """Compile a path pattern to an (src, dst, hops) DataFrame."""
     if isinstance(pattern, P.Pred):
@@ -251,18 +284,36 @@ def compile_path(store, pattern: P.PathPattern) -> DataFrame:
             "hops", F.lit(1)
         )
     if isinstance(pattern, P.Seq):
-        parts = [compile_path(store, p) for p in pattern.parts]
-        out = parts[0]
-        for nxt in parts[1:]:
-            out = (
-                out.alias("a")
-                .join(nxt.alias("b"), F.col("a.dst") == F.col("b.src"))
-                .select(
-                    F.col("a.src").alias("src"),
-                    F.col("b.dst").alias("dst"),
-                    (F.col("a.hops") + F.col("b.hops")).alias("hops"),
+        out = compile_path(store, pattern.parts[0])
+        for nxt_ast in pattern.parts[1:]:
+            if (
+                isinstance(nxt_ast, (P.Plus, P.Star))
+                and getattr(nxt_ast, "strategy", "frontier") == "frontier"
+            ):
+                # Push the sequence restriction INTO the closure: a
+                # plain compile would materialize the GLOBAL star/plus
+                # closure and then join (filter-after-closure — the
+                # all-pairs state this module exists to avoid).  The
+                # anchored closure grows only from the left side's
+                # endpoints; its first-reach/min-hop discipline is the
+                # same as transitive_closure restricted to those
+                # sources, so results are identical, just cheaper.
+                out = _seq_into_closure(
+                    _dedup_min_hops(out),
+                    compile_path(store, nxt_ast.part),
+                    with_zero=isinstance(nxt_ast, P.Star),
                 )
-            )
+            else:
+                nxt = compile_path(store, nxt_ast)
+                out = (
+                    out.alias("a")
+                    .join(nxt.alias("b"), F.col("a.dst") == F.col("b.src"))
+                    .select(
+                        F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst"),
+                        (F.col("a.hops") + F.col("b.hops")).alias("hops"),
+                    )
+                )
         return _dedup_min_hops(out)
     if isinstance(pattern, P.OrP):
         parts = [compile_path(store, p) for p in pattern.parts]

@@ -3400,3 +3400,93 @@ def test_kn_trigram_probabilities_sum_sane(spark):
         assert r["n_trigrams"] >= 5
     # repeated phrasing scores better than the odd doc out
     assert out[1]["avg_logprob_kn3"] > out[3]["avg_logprob_kn3"]
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The content-defined property: inserting one character at the
+    FRONT of a document must leave the tail chunks' hashes unchanged
+    (boundaries are decided by local 8-char windows, so only the
+    chunk containing the edit re-chunks) — the exact property a fixed
+    grid (chunk_documents) does not have."""
+    import hashlib
+
+    from terminus_server_spark.operators.pipeline import cdc_chunks
+
+    # varied windows (a periodic pattern would repeat the same ≤26
+    # windows and may fire no boundary at all)
+    base = "".join(
+        hashlib.md5(str(i).encode()).hexdigest()[:2] for i in range(200)
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "X" + base)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs).collect()
+    h1 = [r["chunk_hash"] for r in out if r["doc_id"] == 1]
+    h2 = [r["chunk_hash"] for r in out if r["doc_id"] == 2]
+    shared = set(h1) & set(h2)
+    # every chunk after the first boundary is byte-identical content
+    assert len(shared) >= max(1, len(h1) - 2)
+    # and the final chunks agree exactly (orderable via chunk_idx)
+    last1 = max((r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])
+    last2 = max((r for r in out if r["doc_id"] == 2), key=lambda r: r["chunk_idx"])
+    assert last1["chunk_hash"] == last2["chunk_hash"]
+
+
+def test_hll_estimate_sane_and_merge_order_free(spark):
+    """The raw HLL estimator lands within the expected error band
+    (~1.04/sqrt(64) ≈ 13 % relative) of the true cardinality, and
+    register MAX-merge makes any split of the input give the same
+    registers as one pass."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import hll_distinct_estimate
+
+    df = spark.range(2000).select((F.col("id") % 1000).alias("v"))
+    one = hll_distinct_estimate(df, "v").collect()[0]
+    assert 0.6 * 1000 <= one["est_distinct"] <= 1.4 * 1000
+    # order/partitioning invariance: reversed + repartitioned input
+    df2 = spark.range(2000).select((F.lit(1999) - F.col("id")).alias("id")).select(
+        (F.col("id") % 1000).alias("v")
+    ).repartition(7)
+    two = hll_distinct_estimate(df2, "v").collect()[0]
+    assert one["est_distinct"] == two["est_distinct"]
+    assert one["sum_inv"] == two["sum_inv"]
+
+
+def test_label_spread_clamps_and_adopts(spark):
+    """Seeds never flip; an unlabeled neighbor adopts the modal seed
+    label with the smallest-label tie-break; unreached nodes stay
+    NULL at a small round budget."""
+    from terminus_server_spark.operators.graph import label_spread
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "b")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [("a", 2), ("x", 1)], "node string, label int"
+    )
+    out = {r["node"]: r["label"] for r in label_spread(edges, seeds, rounds=1).collect()}
+    assert out["a"] == 2 and out["x"] == 1          # clamped
+    assert out["b"] == 1                            # tie a(2) vs x(1) -> min label
+    assert out["c"] is None and out["d"] is None    # not reached in 1 round
+    out2 = {r["node"]: r["label"] for r in label_spread(edges, seeds, rounds=2).collect()}
+    assert out2["b"] == 1 and out2["c"] == 1        # spread continues
+    assert out2["a"] == 2                           # still clamped
+
+
+def test_katz_chain_closed_form(spark):
+    """On the 3-chain a->b->c with alpha = 1/8 and enough rounds,
+    truncated Katz has the closed form 1, 1+α, 1+α+α² down the
+    chain — the α^{-t}-scaled integer recurrence must reproduce it
+    exactly (bit-equal doubles)."""
+    from terminus_server_spark.operators.graph import katz_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    out = {r["node"]: r["katz"] for r in katz_centrality(edges, iters=4).collect()}
+    a = 1.0 / 8.0
+    assert out["a"] == 1.0
+    assert out["b"] == 1.0 + a
+    assert out["c"] == 1.0 + a + a * a

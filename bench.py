@@ -353,6 +353,9 @@ HEADLINE = [
     "agg_weighted_median",
     "events_attribution_linear",
     "graph_label_spread",
+    "dedup_exact_substr",
+    "gql_execute_agg",
+    "emb_power_iteration",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -299,6 +299,35 @@ def _query_level(frames, relations, cls, args, fields):
     )
     nested = [f for f in fields if isinstance(f, dict)]
     out = df
+    # aggregation-field sugar over registered relations: a SCALAR
+    # selection named <rel>_count / <rel>_sum_<col> compiles to one
+    # child aggregation joined back on the parent key — the wire-level
+    # form of the read-algebra aggregates (documents.related_agg /
+    # doc_related_count), so tooling can ask for rollups without a
+    # nested selection set.  Absent children count 0 / sum 0.0.
+    for name in [f for f in fields if isinstance(f, str)]:
+        for (c, rel), (child_cls, parent_key, child_fk) in relations.items():
+            if c != cls:
+                continue
+            if name == f"{rel}_count":
+                a = frames[child_cls].groupBy(
+                    F.col(child_fk).alias(parent_key)
+                ).agg(F.count(F.lit(1)).alias(name))
+                out = out.join(a, parent_key, "left_outer").withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0))
+                )
+            elif name.startswith(f"{rel}_sum_"):
+                agg_col = name[len(rel) + 5 :]
+                a = frames[child_cls].groupBy(
+                    F.col(child_fk).alias(parent_key)
+                ).agg(
+                    F.sum(F.col(agg_col).cast("decimal(28,6)"))
+                    .cast("double")
+                    .alias(name)
+                )
+                out = out.join(a, parent_key, "left_outer").withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0.0))
+                )
     for sub in nested:
         rel = relations.get((cls, sub["name"]))
         if rel is None:

@@ -1039,3 +1039,75 @@ def simhash_near_dups(
         .orderBy("hamming", "sig_a", "sig_b")
         .limit(top)
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_len): maximal character spans covered
+    by k-grams that repeat >= ``min_count`` times ACROSS THE CORPUS —
+    the ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") at k-gram grain: their suffix
+    array finds repeats of length >= k; every such repeat is a run of
+    repeated k-grams, so the merged k-gram cover equals the suffix
+    array's removal spans exactly (for repeats >= k, which is the
+    only grain the method removes).  Complements ``repeated_span_rate``
+    (the RATE approximation on a sparse window grid): this emits the
+    actual spans a scrubber would cut.
+
+    Dataflow: one map-only projection explodes each document into
+    (position, window-md5) rows; one groupBy(hash) marks globally
+    repeated windows (the only corpus-wide shuffle — count>=2 keys,
+    never pair joins); repeated positions merge into maximal spans
+    with a per-document gaps-and-islands window (running max of
+    covered end, adjacency merged).  Per-doc state is its repeated
+    positions; span merging shuffles on doc_id so a boilerplate-heavy
+    corpus skews by document size, not by hash popularity."""
+    from pyspark.sql.window import Window
+
+    text = F.col(text_col)
+    n = F.length(text)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda p: F.struct(
+            p.alias("p"), F.md5(text.substr(p, F.lit(k))).alias("h")
+        ),
+    )
+    wh = (
+        docs.where(text.isNotNull() & (n >= k))
+        .select(F.col(id_col), F.explode(wins).alias("w"))
+        .select(id_col, F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+    )
+    wh = plan_checkpoint(wh)
+    rep = wh.groupBy("h").agg(F.count(F.lit(1)).alias("_n")).where(
+        F.col("_n") >= min_count
+    )
+    hits = wh.join(rep.select("h"), "h", "left_semi")
+    w_doc = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + F.lit(k - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        id_col,
+        "p",
+        F.when(
+            prev_end.isNull() | (F.col("p") > prev_end + 1), 1
+        ).otherwise(0).alias("_new"),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("_new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max(F.col("p") + F.lit(k - 1)) - F.min("p") + 1)
+            .cast("long")
+            .alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )

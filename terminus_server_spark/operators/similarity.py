@@ -1155,6 +1155,76 @@ def ivfpq_topk(
     )
 
 
+def top_component(
+    emb: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(pos, loading): the corpus's dominant embedding direction —
+    power iteration on the uncentered second-moment matrix C = Σ x·xᵀ,
+    started from the first basis vector.  This is the vector the
+    "all-but-the-top" embedding post-process (Mu & Viswanath 2018)
+    removes, and the drift axis a monitoring pipeline tracks; at 100 TB
+    it is the cheapest spectral statistic that exists: per iteration
+    one scan computes every s_x = x·v map-side and one (pos)-grouped
+    sum re-forms C·v — no matrix is ever materialized.
+
+    Exactness discipline (oracle-replayable): s_x is the usual
+    1e12-floored bigint dot; C·v components sum floor(x_i·s_x/1e6) in
+    bigint (order-free); the normalization squares in decimal(38,0)
+    (w_i² up to ~2.6e20 exceeds bigint) and takes one double sqrt +
+    one division per component — deterministic IEEE ops both engines
+    share."""
+    from pyspark.sql.window import Window  # noqa: F401  (parity with siblings)
+
+    v = _scaled_vec(F.col(vec_col))
+    exploded = plan_checkpoint(
+        emb.select(F.col(id_col).alias("vec_id"), F.posexplode(v).alias("pos", "x"))
+    )
+    dim_df = exploded.select("pos").distinct()
+    # v0 = e_1 (deterministic start; any vector with a component along
+    # the top eigenvector works, and basis-1 is oracle-trivial)
+    vcur = dim_df.select("pos", F.when(F.col("pos") == 0, 1.0).otherwise(0.0).alias("c"))
+    for _ in range(iters):
+        s = (
+            exploded.join(F.broadcast(vcur), "pos")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(F.floor(F.col("x") * F.col("c") * F.lit(SCALE)).cast("bigint"))
+                .alias("s")
+            )
+        )
+        w = (
+            exploded.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("x") * F.col("s").cast("double") / F.lit(1e6)
+                    ).cast("bigint")
+                ).alias("wi")
+            )
+        )
+        norm2 = w.agg(
+            F.sum(
+                F.col("wi").cast("decimal(19,0)") * F.col("wi").cast("decimal(19,0)")
+            ).alias("n2")
+        )
+        vcur = (
+            w.crossJoin(F.broadcast(norm2))
+            .select(
+                "pos",
+                (
+                    F.col("wi").cast("double")
+                    / F.sqrt(F.col("n2").cast("double"))
+                ).alias("c"),
+            )
+        )
+        vcur = plan_checkpoint(vcur)
+    return vcur.select(F.col("pos").cast("int").alias("pos"), F.col("c").alias("loading"))
+
+
 def ivfpq_residual_topk(
     emb: DataFrame,
     queries: DataFrame,

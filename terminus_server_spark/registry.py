@@ -8186,6 +8186,53 @@ def emb_kmeans(spark, sf_dir):
     return kmeans_assignments(emb, k=4, iters=2)
 
 
+def _power_iter_oracle(iters: int = 2) -> str:
+    """Unrolled power-iteration CTE — the fixed-point dot / floored
+    C·v sums / decimal(38,0) norm squares of similarity.top_component,
+    replayed per round."""
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(f""",
+    s{t} AS (
+      SELECT e.vec_id,
+             SUM(CAST(FLOOR(e.x * v.c * 1e12) AS BIGINT)) AS s
+      FROM ex e JOIN {prev} v USING (pos) GROUP BY e.vec_id),
+    w{t} AS (
+      SELECT e.pos,
+             SUM(CAST(FLOOR(e.x * CAST(s.s AS DOUBLE) / 1e6) AS BIGINT)) AS wi
+      FROM ex e JOIN s{t} s USING (vec_id) GROUP BY e.pos),
+    n{t} AS (SELECT SUM(CAST(wi AS DECIMAL(19,0)) * CAST(wi AS DECIMAL(19,0))) AS n2
+             FROM w{t}),
+    v{t} AS (SELECT pos, CAST(wi AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS c
+             FROM w{t}, n{t})""")
+        prev = f"v{t}"
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, r.i - 1 AS pos, embedding[r.i]::DOUBLE AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r),
+    v0 AS (
+      SELECT DISTINCT r.i - 1 AS pos,
+             CASE WHEN r.i = 1 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS c
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r){"".join(steps)}
+    SELECT CAST(pos AS INT) AS pos, c AS loading FROM v{iters}
+    """
+
+
+@register("emb_power_iteration", _power_iter_oracle(2))
+def emb_power_iteration(spark, sf_dir):
+    """Dominant embedding direction via power iteration on the
+    uncentered second moment (operators/similarity.py:top_component)
+    — the vector "all-but-the-top" post-processing removes and the
+    axis drift monitors track.  Two unrolled rounds, every
+    intermediate on a fixed-point grid, so the spectral estimate is
+    value-hash checked end-to-end."""
+    from terminus_server_spark.operators.similarity import top_component
+
+    return top_component(_t(spark, sf_dir, "embeddings")["embeddings"], iters=2)
+
+
 @register(
     "emb_centroids",
     """
@@ -11057,6 +11104,51 @@ def knn_classify(spark, sf_dir):
 
 
 @register(
+    "dedup_exact_substr",
+    """
+    WITH wh AS (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             md5(substring(text, CAST(p AS INT), 20)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 19)) AS p
+            FROM documents WHERE text IS NOT NULL AND length(text) >= 20)),
+    rep AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2),
+    hits AS (SELECT wh.doc_id, wh.p FROM wh JOIN rep USING (h)),
+    flagged AS (
+      SELECT doc_id, p,
+             CASE WHEN MAX(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR p > MAX(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS _new
+      FROM hits),
+    islands AS (
+      SELECT doc_id, p,
+             SUM(_new) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged)
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p + 19) - MIN(p) + 1 AS BIGINT) AS span_len
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr dedup spans (operators/dedup.py:
+    exact_substring_spans): maximal character spans covered by
+    corpus-repeated 20-grams — the removal spans of Lee et al. 2022's
+    suffix-array method at k-gram grain (a repeat of length >= k is
+    exactly a run of repeated k-grams), upgrading the
+    `dedup_spans` rate approximation to actual scrubber output.
+    One hash shuffle + per-doc islands window; never pair joins."""
+    from terminus_server_spark.operators.dedup import exact_substring_spans
+
+    return exact_substring_spans(
+        _t(spark, sf_dir, "documents")["documents"], k=20, min_count=2
+    )
+
+
+@register(
     "dedup_spans",
     r"""
     WITH toks AS (
@@ -12453,6 +12545,51 @@ def gql_execute(spark, sf_dir):
     }
     """
     return execute_graphql({"Customer": cust}, src)["Customer"]
+
+
+@register(
+    "gql_execute_agg",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'BUILDING'),
+    agg AS (
+      SELECT o_custkey,
+             COUNT(*) AS orders_count,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS orders_sum_o_totalprice
+      FROM orders GROUP BY o_custkey)
+    SELECT b.c_custkey, b.c_name,
+           COALESCE(a.orders_count, 0) AS orders_count,
+           COALESCE(a.orders_sum_o_totalprice, CAST(0.0 AS DOUBLE))
+             AS orders_sum_o_totalprice
+    FROM base b LEFT JOIN agg a ON a.o_custkey = b.c_custkey
+    """,
+)
+def gql_execute_agg(spark, sf_dir):
+    """GraphQL aggregation fields at the WIRE level (docs/graphql.py
+    _query_level): scalar selections <rel>_count / <rel>_sum_<col>
+    over a registered relation compile to one child aggregation
+    joined back on the parent key — the wire form of the
+    doc_related_count/doc_related_agg read algebra (reference
+    exposes generated aggregate fields through its GraphQL crate).
+    Absent children roll up as 0 / 0.0."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    tabs = _t(spark, sf_dir, "customer", "orders")
+    src = """
+    query {
+      Customer(filter: {c_mktsegment: {eq: "BUILDING"}}) {
+        c_custkey
+        c_name
+        orders_count
+        orders_sum_o_totalprice
+      }
+    }
+    """
+    frames = {"Customer": tabs["customer"], "Order": tabs["orders"]}
+    relations = {("Customer", "orders"): ("Order", "c_custkey", "o_custkey")}
+    return execute_graphql(frames, src, relations=relations)["Customer"]
 
 
 @register(

@@ -356,6 +356,8 @@ HEADLINE = [
     "dedup_exact_substr",
     "gql_execute_agg",
     "emb_power_iteration",
+    "agg_weighted_quantiles",
+    "events_time_to_convert",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

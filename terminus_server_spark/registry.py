@@ -9090,6 +9090,59 @@ def agg_weighted_median(spark, sf_dir):
 
 
 @register(
+    "agg_weighted_quantiles",
+    """
+    WITH vw AS (
+      SELECT l_returnflag, l_discount AS v,
+             CAST(SUM(FLOOR(l_quantity)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, l_discount),
+    c AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM vw)
+    SELECT l_returnflag,
+           MIN(CASE WHEN 4 * cum >= tot THEN v END) AS q25,
+           MIN(CASE WHEN 2 * cum >= tot THEN v END) AS q50,
+           MIN(CASE WHEN 4 * cum >= 3 * tot THEN v END) AS q75,
+           MIN(CASE WHEN 10 * cum >= 9 * tot THEN v END) AS q90
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_quantiles(spark, sf_dir):
+    """Exact weighted quantiles (q25/q50/q75/q90 of discount weighted
+    by quantity, per returnflag): same integer-cumulative-weight
+    machinery as agg_weighted_median, with each quantile's selection
+    predicate cross-multiplied to integers (4·cum ≥ 3·tot etc.) so no
+    fractional threshold is ever computed.  One tie-collapsing
+    pre-agg + one window pass serves every quantile."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    vw = (
+        li.groupBy("l_returnflag", F.col("l_discount").alias("v"))
+        .agg(F.sum(F.floor("l_quantity")).cast("long").alias("w"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("v")
+    wtot = Window.partitionBy("l_returnflag")
+    c = vw.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    def _q(num: int, den: int, name: str):
+        return F.min(
+            F.when(den * F.col("cum") >= num * F.col("tot"), F.col("v"))
+        ).alias(name)
+
+    return c.groupBy("l_returnflag").agg(
+        _q(1, 4, "q25"), _q(1, 2, "q50"), _q(3, 4, "q75"), _q(9, 10, "q90")
+    )
+
+
+@register(
     "win_group_median",
     """
     WITH r AS (
@@ -10969,6 +11022,83 @@ def bloom_semi_audit(spark, sf_dir):
     build = tabs["supplier"].where(F.col("s_nationkey") == 1)
     return bloom_semi_join_audit(
         tabs["lineitem"], "l_suppkey", build, "s_suppkey", n_bits=32, n_hashes=3
+    )
+
+
+@register(
+    "events_time_to_convert",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
+      FROM events),
+    conv AS (
+      SELECT CAST(epoch_us(ts) - epoch_us(prev_click) AS BIGINT) // 1000000 AS delay_s
+      FROM seq WHERE event_type = 'purchase' AND prev_click IS NOT NULL),
+    vw AS (SELECT delay_s AS v, COUNT(*) AS w FROM conv GROUP BY delay_s),
+    c AS (
+      SELECT v, w,
+             SUM(w) OVER (ORDER BY v) AS cum,
+             SUM(w) OVER () AS tot
+      FROM vw)
+    SELECT CAST(MAX(tot) AS BIGINT) AS n_conversions,
+           MIN(CASE WHEN 4 * cum >= tot THEN v END) AS q1_delay_s,
+           MIN(CASE WHEN 2 * cum >= tot THEN v END) AS median_delay_s,
+           MIN(CASE WHEN 4 * cum >= 3 * tot THEN v END) AS q3_delay_s
+    FROM c
+    """,
+)
+def events_time_to_convert(spark, sf_dir):
+    """Click→purchase conversion latency: each purchase's delay since
+    the user's most recent PRIOR click (running MAX over the
+    time-ordered per-user window — the LOCF shape, no join), then
+    exact delay quartiles by integer cumulative counts.  The funnel
+    companion to events_attribution_linear: attribution says which
+    touch earns credit, this says how long conversion takes.
+    Per-user window + one tie-collapsed global cum pass; delays are
+    whole seconds so every comparison is integer-exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    wseq = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(wseq)
+    conv = (
+        ev.select("event_type", "ts", prev_click.alias("prev_click"))
+        .where((F.col("event_type") == "purchase") & F.col("prev_click").isNotNull())
+        .select(
+            (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_click").cast("timestamp"))
+                )
+                / F.lit(1000000)
+            ).cast("long").alias("delay_s")
+        )
+    )
+    vw = conv.groupBy(F.col("delay_s").alias("v")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy()
+    c = vw.select(
+        "v",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return c.agg(
+        F.max("tot").cast("long").alias("n_conversions"),
+        F.min(F.when(4 * F.col("cum") >= F.col("tot"), F.col("v"))).alias("q1_delay_s"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))).alias("median_delay_s"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("tot"), F.col("v"))).alias("q3_delay_s"),
     )
 
 

@@ -358,6 +358,7 @@ HEADLINE = [
     "emb_power_iteration",
     "agg_weighted_quantiles",
     "events_time_to_convert",
+    "mm_header_probe5",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

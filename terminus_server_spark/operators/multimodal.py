@@ -364,3 +364,52 @@ def sniff_headers4(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.when(is_zip, _le(p, 5, 2)).otherwise(null_i).alias("version_needed"),
         F.when(is_gzip, _le(p, 5, 4)).otherwise(null_i).alias("mtime"),
     )
+
+
+def sniff_headers5(mm: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-format sniffing tranche 5 — TIFF (both byte orders) /
+    FLAC / ICO / MIDI — same built-in byte-expression discipline as
+    :func:`sniff_headers` (no codec, no Python worker).  Public specs:
+
+    - TIFF  ``II*\\0`` (little-endian) or ``MM\\0*`` (big-endian);
+      the first-IFD offset is the u32 at bytes 5-8 in the header's
+      own byte order — the one format whose ENDIANNESS is data.
+    - FLAC  ``fLaC`` then the STREAMINFO metadata block: the sample
+      rate is the top 20 bits of the big-endian u24 at bytes 19-21
+      (after 2+2 blocksize and 3+3 framesize bytes of the block body).
+    - ICO   reserved 0, type 1; image count is the LE u16 at 5-6.
+    - MIDI  ``MThd`` + u32 length 6; track count and time division
+      are the big-endian u16s at bytes 11-12 / 13-14.
+
+    Output: (doc_id, mime, byte_order, ifd_offset, sample_rate,
+    n_images, n_tracks, division)."""
+    p = F.col(payload_col)
+    is_tiff_le = _hx(p, 1, 4) == "49492A00"
+    is_tiff_be = _hx(p, 1, 4) == "4D4D002A"
+    is_flac = _hx(p, 1, 4) == "664C6143"
+    is_ico = _hx(p, 1, 4) == "00000100"
+    is_midi = (_hx(p, 1, 4) == "4D546864") & (_be(p, 5, 4) == 6)
+    null_i = F.lit(None).cast("bigint")
+    return mm.select(
+        "doc_id",
+        F.when(is_tiff_le | is_tiff_be, F.lit("image/tiff"))
+        .when(is_flac, F.lit("audio/flac"))
+        .when(is_ico, F.lit("image/x-icon"))
+        .when(is_midi, F.lit("audio/midi"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime"),
+        F.when(is_tiff_le, F.lit("II"))
+        .when(is_tiff_be, F.lit("MM"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("byte_order"),
+        F.when(is_tiff_le, _le(p, 5, 4))
+        .when(is_tiff_be, _be(p, 5, 4))
+        .otherwise(null_i)
+        .alias("ifd_offset"),
+        F.when(is_flac, F.shiftright(_be(p, 19, 3), 4)).otherwise(null_i).alias(
+            "sample_rate"
+        ),
+        F.when(is_ico, _le(p, 5, 2)).otherwise(null_i).alias("n_images"),
+        F.when(is_midi, _be(p, 11, 2)).otherwise(null_i).alias("n_tracks"),
+        F.when(is_midi, _be(p, 13, 2)).otherwise(null_i).alias("division"),
+    )

@@ -17011,6 +17011,79 @@ def mm_header_probe4(spark, sf_dir):
 
 
 @register(
+    "mm_header_probe5",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'image/tiff' WHEN 1 THEN 'image/tiff'
+                           WHEN 2 THEN 'audio/flac' WHEN 3 THEN 'image/x-icon'
+                           ELSE 'audio/midi' END AS mime,
+           CASE doc_id % 5 WHEN 0 THEN 'II' WHEN 1 THEN 'MM' END AS byte_order,
+           CASE WHEN doc_id % 5 IN (0, 1) THEN CAST(8 + doc_id % 1000 AS BIGINT) END
+             AS ifd_offset,
+           CASE WHEN doc_id % 5 = 2 THEN CAST(8000 + doc_id % 90000 AS BIGINT) END
+             AS sample_rate,
+           CASE WHEN doc_id % 5 = 3 THEN CAST(1 + doc_id % 16 AS BIGINT) END
+             AS n_images,
+           CASE WHEN doc_id % 5 = 4 THEN CAST(1 + doc_id % 32 AS BIGINT) END
+             AS n_tracks,
+           CASE WHEN doc_id % 5 = 4 THEN CAST(24 * (1 + doc_id % 8) AS BIGINT) END
+             AS division
+    FROM documents
+    """,
+)
+def mm_header_probe5(spark, sf_dir):
+    """Multimodal container sniffing tranche 5 (operators/
+    multimodal.py:sniff_headers5): TIFF first-IFD offset in the
+    header's OWN byte order (II little / MM big — endianness is
+    data), FLAC STREAMINFO 20-bit sample rate, ICO image count, MIDI
+    track count + division — spec-conformant headers synthesized
+    from doc_id so the oracle restates the fields closed-form while
+    Spark genuinely parses the bytes with built-in expressions."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.multimodal import sniff_headers5
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+
+    def lehex(c, n):
+        h = F.lpad(F.hex(c), 2 * n, "0")
+        return F.concat(*[F.substring(h, i * 2 + 1, 2) for i in range(n)][::-1])
+
+    def behex(c, n):
+        return F.lpad(F.hex(c), 2 * n, "0")
+
+    off = 8 + k % 1000
+    sr = 8000 + k % 90000
+    cnt = 1 + k % 16
+    ntr = 1 + k % 32
+    division = 24 * (1 + k % 8)
+    tiff_le = F.concat(F.lit("49492A00"), lehex(off, 4))
+    tiff_be = F.concat(F.lit("4D4D002A"), behex(off, 4))
+    flac = F.concat(
+        F.lit("664C6143"),            # fLaC
+        F.lit("00"), F.lit("000022"),  # STREAMINFO block header, len 34
+        F.lit("10001000"),             # min/max blocksize u16
+        F.lit("000000000000"),         # min/max framesize u24
+        behex(sr * 16, 3),             # 20-bit sample rate << 4
+    )
+    ico = F.concat(F.lit("00000100"), lehex(cnt, 2))
+    midi = F.concat(
+        F.lit("4D546864"), F.lit("00000006"),
+        behex(F.lit(1), 2), behex(ntr, 2), behex(division, 2),
+    )
+    payload_hex = (
+        F.when(k % 5 == 0, tiff_le)
+        .when(k % 5 == 1, tiff_be)
+        .when(k % 5 == 2, flac)
+        .when(k % 5 == 3, ico)
+        .otherwise(midi)
+    )
+    mm = docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    return sniff_headers5(mm)
+
+
+@register(
     "sketch_theta_intersect",
     """
     WITH a0 AS (

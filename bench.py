@@ -359,6 +359,7 @@ HEADLINE = [
     "agg_weighted_quantiles",
     "events_time_to_convert",
     "mm_header_probe5",
+    "corpus_source_overlap",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

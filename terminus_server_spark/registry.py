@@ -1915,6 +1915,76 @@ def docs_chunk(spark, sf_dir):
 
 
 @register(
+    "corpus_source_overlap",
+    r"""
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT c.source_a, c.source_b, c.n_common,
+           sa.n AS vocab_a, sb.n AS vocab_b,
+           CAST(c.n_common AS DOUBLE)
+             / (sa.n + sb.n - c.n_common) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.source = c.source_a
+    JOIN sizes sb ON sb.source = c.source_b
+    """,
+)
+def corpus_source_overlap(spark, sf_dir):
+    """Cross-source vocabulary overlap: exact token-set Jaccard for
+    every source pair — the mixture diagnostic that says whether two
+    ingest feeds are near-duplicates of each other BEFORE document-
+    level dedup runs (a high-overlap pair is a dedup-priority pair).
+    One distinct (source, token) projection; the pair join is on the
+    token key with source<source ordering, so cost is Σ_token
+    df(token)² over the SOURCE vocabulary table (tiny — sources, not
+    documents), never a document pair join."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    st = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        )
+        .distinct()
+    )
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    st = plan_checkpoint(st)
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "token")
+    b = st.select(F.col("source").alias("source_b"), "token")
+    common = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("vocab_a")), "source_a")
+        .join(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("vocab_b")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "vocab_a",
+            "vocab_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
     "docs_cdc_chunks",
     """
     WITH d AS (

@@ -360,6 +360,7 @@ HEADLINE = [
     "events_time_to_convert",
     "mm_header_probe5",
     "corpus_source_overlap",
+    "dedup_minhash_bbit",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -10786,6 +10786,88 @@ def dedup_minhash_estimate(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_bbit",
+    rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+              substring(min(md5('0:' || shingle)), 32, 1) AS b0,
+              substring(min(md5('1:' || shingle)), 32, 1) AS b1,
+              substring(min(md5('2:' || shingle)), 32, 1) AS b2,
+              substring(min(md5('3:' || shingle)), 32, 1) AS b3,
+              substring(min(md5('4:' || shingle)), 32, 1) AS b4,
+              substring(min(md5('5:' || shingle)), 32, 1) AS b5,
+              substring(min(md5('6:' || shingle)), 32, 1) AS b6,
+              substring(min(md5('7:' || shingle)), 32, 1) AS b7
+            FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    exact AS (
+      SELECT doc_a, doc_b,
+             n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.4),
+    agr AS (
+      SELECT doc_a, doc_b, jaccard,
+             ((CASE WHEN x.b0 = y.b0 THEN 1 ELSE 0 END) + (CASE WHEN x.b1 = y.b1 THEN 1 ELSE 0 END)
+            + (CASE WHEN x.b2 = y.b2 THEN 1 ELSE 0 END) + (CASE WHEN x.b3 = y.b3 THEN 1 ELSE 0 END)
+            + (CASE WHEN x.b4 = y.b4 THEN 1 ELSE 0 END) + (CASE WHEN x.b5 = y.b5 THEN 1 ELSE 0 END)
+            + (CASE WHEN x.b6 = y.b6 THEN 1 ELSE 0 END) + (CASE WHEN x.b7 = y.b7 THEN 1 ELSE 0 END)
+             ) AS agree
+      FROM exact JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id)
+    SELECT doc_a, doc_b, jaccard, agree,
+           CAST(2 * agree - 1 AS DOUBLE) / 15.0 AS jaccard_est_bbit
+    FROM agr ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_bbit(spark, sf_dir):
+    """b-bit MinHash (Li & König 2010): keep only the lowest 4 bits
+    (last hex char) of each signature slot — 1/8 the sketch bytes —
+    and undo the collision bias in closed form: random 4-bit values
+    agree with probability 1/16, so Ĵ = (A − 1/16)/(1 − 1/16) =
+    (2·agree − 1)/15 for 8 slots, an exact rational both engines
+    render identically.  Same truly-similar pair set as
+    dedup_minhash_estimate, so the two estimators are directly
+    comparable sketch-for-sketch."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    sh = shingles(docs)
+    sig = minhash_signatures(sh)
+    exact = ngram_jaccard_pairs(sh, threshold=0.4).select("doc_a", "doc_b", "jaccard")
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.substring(F.col(f"sig_{i}"), 32, 1).alias(f"xa_{i}") for i in range(8)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.substring(F.col(f"sig_{i}"), 32, 1).alias(f"yb_{i}") for i in range(8)],
+    )
+    agree = sum(
+        F.when(F.col(f"xa_{i}") == F.col(f"yb_{i}"), 1).otherwise(0) for i in range(8)
+    )
+    return (
+        exact.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            agree.alias("agree"),
+            ((2 * agree - 1).cast("double") / F.lit(15.0)).alias("jaccard_est_bbit"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
     "text_charset_stats",
     r"""
     SELECT doc_id,

@@ -361,6 +361,8 @@ HEADLINE = [
     "mm_header_probe5",
     "corpus_source_overlap",
     "dedup_minhash_bbit",
+    "stream_quantile_grid",
+    "emb_remove_top",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -1225,6 +1225,67 @@ def top_component(
     return vcur.select(F.col("pos").cast("int").alias("pos"), F.col("c").alias("loading"))
 
 
+def remove_top_component(
+    emb: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, projection, norm2_before, norm2_after): the
+    "all-but-the-top" post-process (Mu & Viswanath 2018) as an audit
+    row per vector — project out the corpus's dominant direction
+    (:func:`top_component`) and report how much squared norm it
+    carried.  Embeddings whose norm collapses after removal are
+    "common-direction" vectors (frequency artifacts); the projection
+    column is the ABTT correction a serving pipeline would subtract.
+
+    Arithmetic: the projection p = x·v uses the 1e12-floored bigint
+    dot (exact); residual components x_i − p·v_i are the shared
+    same-IEEE-op double convention; both norms are floor-scaled
+    bigint sums (order-free).  Two scans + one broadcast of the
+    64-row direction — map-only at any scale."""
+    v = top_component(emb, iters=iters, id_col=id_col, vec_col=vec_col)
+    exploded = plan_checkpoint(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(_scaled_vec(F.col(vec_col))).alias("pos", "x"),
+        )
+    )
+    j = exploded.join(broadcast(v), "pos")
+    per = j.groupBy("vec_id").agg(
+        F.sum(F.floor(F.col("x") * F.col("x") * F.lit(SCALE)).cast("bigint")).alias(
+            "norm2_before_i"
+        ),
+        F.sum(
+            F.floor(F.col("x") * F.col("loading") * F.lit(SCALE)).cast("bigint")
+        ).alias("s"),
+    )
+    j2 = j.join(per.select("vec_id", "s"), "vec_id").select(
+        "vec_id",
+        (
+            F.col("x") - (F.col("s").cast("double") / F.lit(SCALE)) * F.col("loading")
+        ).alias("r"),
+    )
+    after = j2.groupBy("vec_id").agg(
+        F.sum(F.floor(F.col("r") * F.col("r") * F.lit(SCALE)).cast("bigint")).alias(
+            "norm2_after_i"
+        )
+    )
+    return (
+        per.join(after, "vec_id")
+        .select(
+            "vec_id",
+            (F.col("s").cast("double") / F.lit(SCALE)).alias("projection"),
+            (F.col("norm2_before_i").cast("double") / F.lit(SCALE)).alias(
+                "norm2_before"
+            ),
+            (F.col("norm2_after_i").cast("double") / F.lit(SCALE)).alias(
+                "norm2_after"
+            ),
+        )
+    )
+
+
 def ivfpq_residual_topk(
     emb: DataFrame,
     queries: DataFrame,

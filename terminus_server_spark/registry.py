@@ -8290,6 +8290,44 @@ def _power_iter_oracle(iters: int = 2) -> str:
     """
 
 
+@register(
+    "emb_remove_top",
+    _power_iter_oracle(2).replace(
+        "SELECT CAST(pos AS INT) AS pos, c AS loading FROM v2",
+        """per AS (
+      SELECT e.vec_id,
+             SUM(CAST(FLOOR(e.x * e.x * 1e12) AS BIGINT)) AS nb,
+             SUM(CAST(FLOOR(e.x * v.c * 1e12) AS BIGINT)) AS s
+      FROM ex e JOIN v2 v USING (pos) GROUP BY e.vec_id),
+    aft AS (
+      SELECT e.vec_id,
+             SUM(CAST(FLOOR((e.x - (CAST(p.s AS DOUBLE) / 1e12) * v.c)
+                            * (e.x - (CAST(p.s AS DOUBLE) / 1e12) * v.c)
+                            * 1e12) AS BIGINT)) AS na
+      FROM ex e JOIN v2 v USING (pos) JOIN per p USING (vec_id)
+      GROUP BY e.vec_id)
+    SELECT per.vec_id,
+           CAST(per.s AS DOUBLE) / 1e12 AS projection,
+           CAST(per.nb AS DOUBLE) / 1e12 AS norm2_before,
+           CAST(aft.na AS DOUBLE) / 1e12 AS norm2_after
+    FROM per JOIN aft USING (vec_id)""",
+    ).replace("    v2 AS (SELECT pos", "    v2 AS (SELECT pos", 1).replace(
+        "FROM w2, n2)", "FROM w2, n2),", 1
+    ),
+)
+def emb_remove_top(spark, sf_dir):
+    """All-but-the-top embedding post-process (operators/similarity.py:
+    remove_top_component): project out the power-iteration dominant
+    direction and audit each vector's squared-norm before/after — the
+    Mu & Viswanath 2018 frequency-artifact correction, fully
+    fixed-point so the per-vector audit is value-hash checked."""
+    from terminus_server_spark.operators.similarity import remove_top_component
+
+    return remove_top_component(
+        _t(spark, sf_dir, "embeddings")["embeddings"], iters=2
+    )
+
+
 @register("emb_power_iteration", _power_iter_oracle(2))
 def emb_power_iteration(spark, sf_dir):
     """Dominant embedding direction via power iteration on the
@@ -16666,6 +16704,49 @@ def stream_hll_sketch(spark, sf_dir):
     from terminus_server_spark.streaming.events import run_stream_hll_sketch
 
     return run_stream_hll_sketch(spark, batches, "o_custkey", b=6)
+
+
+@register(
+    "stream_quantile_grid",
+    """
+    WITH hist AS (
+      SELECT CAST(least(floor((l_extendedprice - 900.0) /
+                              ((105000.0 - 900.0) / 128.0)), 127) AS INT) AS bucket,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1),
+    n AS (SELECT SUM(c) AS n FROM hist),
+    cum AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM hist),
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT q,
+           CAST(MIN(bucket) AS INT) AS bucket,
+           900.0 + (CAST(MIN(bucket) AS DOUBLE) + 1.0)
+             * ((105000.0 - 900.0) / 128.0) AS approx_le
+    FROM qs, cum, n
+    WHERE cum >= ceil(q * CAST(n.n AS DOUBLE))
+    GROUP BY q
+    """,
+)
+def stream_quantile_grid(spark, sf_dir):
+    """Streaming quantile monitor (streaming/events.py:
+    run_stream_quantile_grid): lineitem prices stream in three
+    key-partitioned micro-batches; each foreachBatch merge ADDS the
+    batch's 128-bucket fixed-grid counts into the stored register
+    table (bounds configured a priori — a streaming sketch cannot
+    re-bucket).  Histogram addition is associative, so the final CDF
+    inversion is bit-identical to the one-shot batch sketch — the
+    oracle is that closed form, completing the streaming-sketch
+    family (KMV, CMS, HLL, quantiles)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_quantile_grid
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_orderkey", "l_extendedprice"
+    )
+    batches = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    return run_stream_quantile_grid(
+        spark, batches, "l_extendedprice", lo=900.0, hi=105000.0
+    )
 
 
 @register(

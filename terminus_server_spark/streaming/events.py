@@ -1058,6 +1058,98 @@ def run_stream_hll_sketch(
     )
 
 
+def run_stream_quantile_grid(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(q, bucket, approx_le): streaming quantile monitoring via a
+    fixed-grid histogram — the grid bounds are configured A PRIORI
+    (that is what "fixed grid" means operationally: a streaming
+    sketch cannot re-bucket when the observed range grows), and each
+    micro-batch ADDS its per-bucket counts into the stored 128-row
+    register table.  Addition is associative/commutative, so the
+    final histogram — and the CDF inversion read off it — is
+    bit-identical to the one-shot batch sketch over all streamed rows
+    (the same mergeability contract as the KMV / CMS / HLL monitors;
+    quantiles complete the streaming-sketch family).
+
+    Per batch: one scan bucketing map-side, one ≤n_buckets-row SUM
+    merge, one ≤n_buckets-row parquet swap.  State is O(n_buckets)
+    forever."""
+    from pyspark.sql.window import Window
+
+    tmp = tempfile.mkdtemp(prefix="tss_qgrid_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+    width = (hi - lo) / float(n_buckets)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        hist = (
+            batch_df.select(
+                F.least(
+                    F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
+                    F.lit(n_buckets - 1),
+                )
+                .cast("int")
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        if state["version"] >= 0:
+            prev = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+            hist = (
+                hist.unionByName(prev)
+                .groupBy("bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        state["version"] += 1
+        hist.write.mode("overwrite").parquet(os.path.join(tmp, f"v{state['version']}"))
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hist = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+    n = hist.agg(F.sum("c").alias("n"))
+    cum = hist.select(
+        "bucket", F.sum("c").over(Window.orderBy("bucket")).alias("cum")
+    )
+    qdf = spark.range(len(qs)).select(
+        F.element_at(
+            F.array(*[F.lit(float(x)) for x in qs]), (F.col("id") + 1).cast("int")
+        ).alias("q")
+    )
+    return (
+        qdf.crossJoin(F.broadcast(n))
+        .join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("n").cast("double")))
+        .groupBy("q")
+        .agg(
+            F.min("bucket").cast("int").alias("bucket"),
+            (
+                F.lit(lo)
+                + (F.min("bucket").cast("double") + F.lit(1.0)) * F.lit(width)
+            ).alias("approx_le"),
+        )
+    )
+
+
 def run_stream_countmin(
     spark: SparkSession,
     batches: list[DataFrame],

@@ -363,6 +363,7 @@ HEADLINE = [
     "dedup_minhash_bbit",
     "stream_quantile_grid",
     "emb_remove_top",
+    "events_cuped",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

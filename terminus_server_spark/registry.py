@@ -18177,6 +18177,110 @@ def agg_corr(spark, sf_dir):
 
 
 @register(
+    "events_cuped",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substring(md5('cuped1:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                           THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                           THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+      FROM per_user),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx_arm,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy_arm
+      FROM per_user GROUP BY arm)
+    SELECT arm, n_arm,
+           ROUND(CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE), 6) AS mean_y,
+           ROUND(CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE)
+                 - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * (CAST(sx_arm AS DOUBLE) / CAST(n_arm AS DOUBLE)
+                      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS mean_y_cuped
+    FROM arms, pooled
+    """,
+)
+def events_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng et al. 2013): per
+    user, pre-period spend x (before Jan 15) is the covariate for
+    post-period spend y; θ = cov(x,y)/var(x) from POOLED exact
+    decimal(38,0) moments (the agg_corr discipline — cent-scaled
+    integers, no float accumulation), and each seeded arm's adjusted
+    mean is mean_y − θ·(mean_x_arm − mean_x).  Same deterministic
+    md5-bucket assignment as events_ab_assign; everything after the
+    moments is one closed-form double expression mirrored by the
+    oracle."""
+    from pyspark.sql import functions as F
+
+    events = _t(spark, sf_dir, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cutoff = F.lit("2024-01-15").cast("timestamp_ntz")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("cuped1:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8",
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    per_user = per_user.transform(plan_checkpoint)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arm"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx_arm"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy_arm"),
+    )
+    theta = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return arms.crossJoin(F.broadcast(pooled)).select(
+        "arm",
+        "n_arm",
+        F.round(d("sy_arm") / d("n_arm"), 6).alias("mean_y"),
+        F.round(
+            d("sy_arm") / d("n_arm")
+            - theta * (d("sx_arm") / d("n_arm") - d("sx") / d("n")),
+            6,
+        ).alias("mean_y_cuped"),
+    )
+
+
+@register(
     "events_ab_assign",
     """
     WITH assign AS (

@@ -364,6 +364,7 @@ HEADLINE = [
     "stream_quantile_grid",
     "emb_remove_top",
     "events_cuped",
+    "stream_scd2_sink",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -10499,6 +10499,48 @@ def events_scd2(spark, sf_dir):
 
 
 @register(
+    "stream_scd2_sink",
+    """
+    WITH runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    iv AS (SELECT user_id, event_type, ts FROM runs WHERE chg = 1)
+    SELECT user_id AS key, event_type AS attr, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM iv
+    """,
+)
+def stream_scd2_sink(spark, sf_dir):
+    """Streaming SCD type-2 maintenance (streaming/events.py:
+    run_stream_scd2): events stream in three TIME-ordered
+    micro-batches (day ranges — the watermark ordering contract);
+    each foreachBatch reworks only the batch's keys, merging their
+    stored interval-start change points with the new events and
+    re-collapsing runs, so state is O(intervals) and per-batch cost
+    scales with the delta.  The sink converges to exactly the batch
+    gaps-and-islands dimension history — the oracle is that closed
+    form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_scd2
+
+    ev = _t(spark, sf_dir, "events")["events"].select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cuts = ["2024-01-11", "2024-01-21"]
+    b0 = ev.where(F.col("ts") < F.lit(cuts[0]).cast("timestamp_ntz"))
+    b1 = ev.where(
+        (F.col("ts") >= F.lit(cuts[0]).cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit(cuts[1]).cast("timestamp_ntz"))
+    )
+    b2 = ev.where(F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz"))
+    return run_stream_scd2(spark, [b0, b1, b2])
+
+
+@register(
     "src_schema_evolution",
     f"""
     SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'

@@ -1058,6 +1058,99 @@ def run_stream_hll_sketch(
     )
 
 
+def run_stream_scd2(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(key, attr, valid_from, valid_to): SCD type-2 dimension history
+    maintained INCREMENTALLY as change events stream in — the sink
+    converges to exactly what the batch gaps-and-islands build
+    (operators/temporal.scd2_intervals) would produce over all events,
+    which is what the oracle checks.
+
+    Per micro-batch, only the AFFECTED KEYS rework: the stored table
+    keeps one row per validity interval plus the run-opening event id
+    (the total-order tie-break the batch build uses); a batch's keys
+    pull their interval-start change points, merge with the batch's
+    events, re-collapse consecutive same-value runs, and re-chain
+    valid_to — untouched keys carry over byte-identical.  State is
+    O(intervals), not O(events).
+
+    Ordering contract: batches must deliver each key's events in
+    event-time order ACROSS batches (the watermark assumption every
+    streaming SCD2 needs) — a late change older than an
+    already-collapsed duplicate run cannot resurrect the duplicate it
+    collapsed into.  In-batch disorder is fine (the rebuild sorts)."""
+    from pyspark.sql.window import Window
+
+    tmp = tempfile.mkdtemp(prefix="tss_scd2_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        changes = batch_df.select(
+            F.col(key_col).alias("key"),
+            F.col(attr_col).alias("attr"),
+            F.col(ts_col).alias("vf"),
+            F.col(id_col).alias("eid"),
+        )
+        untouched = None
+        if state["version"] >= 0:
+            cur = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+            keys = changes.select("key").distinct()
+            untouched = cur.join(keys, "key", "left_anti")
+            touched = cur.join(keys, "key", "left_semi").select(
+                "key", "attr", F.col("valid_from").alias("vf"), F.col("eid")
+            )
+            changes = changes.unionByName(touched)
+        w = Window.partitionBy("key").orderBy("vf", "eid")
+        runs = changes.select(
+            "key", "attr", "vf", "eid",
+            F.when(
+                F.lag("attr").over(w).isNull()
+                | (F.lag("attr").over(w) != F.col("attr")),
+                1,
+            ).otherwise(0).alias("_chg"),
+        )
+        # a run's first row IS its (vf, eid)-minimal row, so the
+        # _chg==1 filter alone yields one row per interval
+        iv = runs.where(F.col("_chg") == 1).select("key", "attr", "vf", "eid")
+        w2 = Window.partitionBy("key").orderBy("vf", "eid")
+        out = iv.select(
+            "key",
+            "attr",
+            F.col("vf").alias("valid_from"),
+            F.lead("vf").over(w2).alias("valid_to"),
+            "eid",
+        )
+        if untouched is not None:
+            out = out.unionByName(untouched)
+        state["version"] += 1
+        out.write.mode("overwrite").parquet(os.path.join(tmp, f"v{state['version']}"))
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+    return final.select("key", "attr", "valid_from", "valid_to")
+
+
 def run_stream_quantile_grid(
     spark: SparkSession,
     batches: list[DataFrame],

@@ -365,6 +365,7 @@ HEADLINE = [
     "emb_remove_top",
     "events_cuped",
     "stream_scd2_sink",
+    "text_rake",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -1236,3 +1236,80 @@ def code_detect(
         kw.cast("int").alias("n_code_keywords"),
         verdict.alias("verdict"),
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, phrase, score): RAKE keyphrase extraction (Rose et
+    al. 2010) — candidate phrases are maximal runs of non-stopword
+    tokens; each word scores degree/frequency within its document
+    (degree = Σ length of phrases containing it, frequency = its
+    phrase-word count), a phrase scores the sum of its words, and the
+    top ``k`` phrases per document survive (score desc, phrase asc
+    tie-break).  The multi-word complement of tf-idf keyword
+    extraction: RAKE rewards words that co-occur inside long
+    candidate phrases, so 'distributed stream processing' outranks
+    its unigrams.
+
+    Exactness: per-word scores floor onto a 1e-6 grid BEFORE the
+    phrase sum, so phrase scores are order-free integer sums (a raw
+    double Σ deg/freq would depend on summation order).  Dataflow:
+    one explode, one islands pass (stopword-delimited runs via the
+    pos − row_number trick), two (doc, word)-grained aggregates, one
+    per-doc top-k window — no joins beyond the doc key."""
+    from pyspark.sql.window import Window
+
+    stops = STOPWORDS["en"]
+    toks = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+                "pos", "w"
+            ),
+        )
+        .where(~F.col("w").isin(stops) & (F.length("w") > 0))
+    )
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    runs = toks.withColumn("grp", F.col("pos") - rn)
+    phrases = runs.groupBy(id_col, "grp").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    members = runs.join(phrases, [id_col, "grp"]).select(id_col, "grp", "w", "plen")
+    wstats = members.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    wscore = wstats.select(
+        id_col,
+        "w",
+        F.floor(
+            F.col("deg").cast("double") / F.col("freq").cast("double") * F.lit(1e6)
+        ).cast("bigint").alias("ws"),
+    )
+    pscore = (
+        members.join(wscore, [id_col, "w"])
+        .groupBy(id_col, "grp")
+        .agg(F.sum("ws").alias("score_i"))
+        .join(phrases.select(id_col, "grp", "phrase"), [id_col, "grp"])
+    )
+    wtop = Window.partitionBy(id_col).orderBy(F.col("score_i").desc(), F.col("phrase").asc())
+    return (
+        pscore.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= k)
+        .select(
+            id_col,
+            "phrase",
+            (F.col("score_i").cast("double") / F.lit(1e6)).alias("score"),
+        )
+    )

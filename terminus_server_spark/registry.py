@@ -10948,6 +10948,61 @@ def dedup_minhash_bbit(spark, sf_dir):
 
 
 @register(
+    "text_rake",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+             unnest(generate_series(1,
+               len(string_split_regex(trim(lower(text)), '\s+')))) AS pos
+      FROM documents WHERE length(trim(text)) > 0),
+    toks AS (
+      SELECT doc_id, pos, w FROM tk
+      WHERE length(w) > 0
+        AND w NOT IN ('the','a','of','and','to','in','is','it')),
+    runs AS (
+      SELECT doc_id, pos, w,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM toks),
+    phrases AS (
+      SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM runs GROUP BY doc_id, grp),
+    members AS (
+      SELECT r.doc_id, r.grp, r.w, p.plen
+      FROM runs r JOIN phrases p USING (doc_id, grp)),
+    wstats AS (
+      SELECT doc_id, w, COUNT(*) AS freq, SUM(plen) AS deg
+      FROM members GROUP BY doc_id, w),
+    wscore AS (
+      SELECT doc_id, w,
+             CAST(FLOOR(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) * 1e6) AS BIGINT) AS ws
+      FROM wstats),
+    pscore AS (
+      SELECT m.doc_id, m.grp, CAST(SUM(s.ws) AS BIGINT) AS score_i
+      FROM members m JOIN wscore s ON s.doc_id = m.doc_id AND s.w = m.w
+      GROUP BY m.doc_id, m.grp),
+    ranked AS (
+      SELECT p.doc_id, ph.phrase, p.score_i,
+             ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                ORDER BY p.score_i DESC, ph.phrase ASC) AS rk
+      FROM pscore p JOIN phrases ph USING (doc_id, grp))
+    SELECT doc_id, phrase, CAST(score_i AS DOUBLE) / 1e6 AS score
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_rake(spark, sf_dir):
+    """RAKE keyphrase extraction (operators/text.py:rake_keyphrases):
+    stopword-delimited candidate phrases scored by Σ degree/frequency
+    of their words — the multi-word complement of tf-idf keyword
+    extraction (Rose et al. 2010).  Word scores floor to a 1e-6 grid
+    before the phrase sum so ranking is order-free; top-3 per doc."""
+    from terminus_server_spark.operators.text import rake_keyphrases
+
+    return rake_keyphrases(_t(spark, sf_dir, "documents")["documents"], k=3)
+
+
+@register(
     "text_charset_stats",
     r"""
     SELECT doc_id,

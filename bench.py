@@ -366,6 +366,8 @@ HEADLINE = [
     "events_cuped",
     "stream_scd2_sink",
     "text_rake",
+    "events_ltv_cohorts",
+    "dedup_prefix_filter",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -1111,3 +1111,93 @@ def exact_substring_spans(
         )
         .select(id_col, "span_start", "span_len")
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): all pairs with token-set Jaccard >=
+    ``threshold`` via PREFIX FILTERING (Chaudhuri et al. 2006 /
+    PPJoin) — the other standard similarity-join pruning beside LSH,
+    and unlike LSH it is LOSSLESS: order each document's token set
+    globally by (document frequency asc, token asc) and keep only the
+    first |T| − ceil(t·|T|) + 1 tokens; two sets meeting the
+    threshold MUST share a token inside both prefixes (pigeonhole on
+    the required overlap), so the prefix-token join generates every
+    qualifying pair and exact verification drops nothing true.
+    Because the filter is lossless the oracle is simply the exact
+    all-pairs join at the threshold — the key hash-checks the
+    pruning's completeness, not an approximation.
+
+    Scale shape: candidates group by RARE tokens first (df-ascending
+    order makes hot boilerplate tokens fall outside prefixes), so
+    bucket sizes track rare-token df, not corpus size; verification
+    touches candidates only."""
+    from pyspark.sql.window import Window
+
+    text = F.col(text_col)
+    toks = (
+        docs.where(F.length(F.trim(text)) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.lower(text)), r"\s+")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+        .distinct()
+        .transform(plan_checkpoint)
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    sized = toks.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("token").asc()))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("_sz"),
+    )
+    # ceil(t*|T|) with t = p/q exact: ceil(p*sz / q) = (p*sz + q - 1) // q
+    p_num, q_den = (
+        threshold.as_integer_ratio()
+        if isinstance(threshold, float)
+        else (threshold, 1)
+    )
+    need = (p_num * F.col("_sz") + F.lit(q_den - 1)) - (
+        (p_num * F.col("_sz") + F.lit(q_den - 1)) % q_den
+    )
+    need = need / F.lit(q_den)
+    prefix = sized.where(F.col("_rn") <= F.col("_sz") - need + 1).select(
+        "doc_id", "token"
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "token")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "token"), "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), "token"),
+            ["doc_b", "token"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)

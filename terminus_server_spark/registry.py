@@ -10866,6 +10866,40 @@ def dedup_minhash_estimate(spark, sf_dir):
 
 
 @register(
+    "dedup_prefix_filter",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE >= 0.5
+    """,
+)
+def dedup_prefix_filter(spark, sf_dir):
+    """Prefix-filtered similarity join (operators/dedup.py:
+    prefix_filter_pairs, the PPJoin family): df-ascending prefixes
+    prune candidate pairs LOSSLESSLY (pigeonhole on the required
+    overlap), so the oracle is the plain exact all-pairs join at the
+    threshold — the key hash-checks that the pruning is complete,
+    the guarantee LSH keys can only audit statistically."""
+    from terminus_server_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _t(spark, sf_dir, "documents")["documents"], threshold=0.5
+    )
+
+
+@register(
     "dedup_minhash_bbit",
     rf"""
     WITH RECURSIVE {_SHINGLES_SQL},
@@ -18270,6 +18304,71 @@ def agg_corr(spark, sf_dir):
         "l_returnflag",
         F.col("n").cast("bigint").alias("n"),
         F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "events_ltv_cohorts",
+    """
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS cohort
+      FROM events GROUP BY user_id),
+    rev AS (
+      SELECT f.cohort,
+             datediff('day', CAST(f.cohort AS DATE), CAST(e.ts AS DATE)) AS age_days,
+             CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM events e JOIN first_day f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    sizes AS (SELECT cohort, COUNT(*) AS n_users FROM first_day GROUP BY cohort)
+    SELECT r.cohort, r.age_days,
+           CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort ORDER BY r.age_days)
+                AS BIGINT) AS cum_rev_cents,
+           CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort ORDER BY r.age_days)
+                AS DOUBLE) / s.n_users / 100.0 AS ltv_per_user
+    FROM rev r JOIN sizes s USING (cohort)
+    """,
+)
+def events_ltv_cohorts(spark, sf_dir):
+    """Cohort lifetime-value curves: users cohort by first-seen day,
+    purchase revenue accumulates per cohort over age-in-days, and
+    LTV-per-user = cumulative cents / cohort size — the revenue
+    companion of the retention matrix (events_retention).  Cent
+    integers all the way (order-free sums); one cumulative window per
+    cohort whose frame is bounded by the observation span in days."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date").cast("timestamp_ntz")).alias("cohort")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_day, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(
+                F.col("ts").cast("date"), F.col("cohort").cast("date")
+            ).alias("age_days"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    sizes = first_day.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    wcum = Window.partitionBy("cohort").orderBy("age_days")
+    return rev.join(sizes, "cohort").select(
+        "cohort",
+        "age_days",
+        F.sum("rev_cents").over(wcum).cast("bigint").alias("cum_rev_cents"),
+        (
+            F.sum("rev_cents").over(wcum).cast("double")
+            / F.col("n_users")
+            / F.lit(100.0)
+        ).alias("ltv_per_user"),
     )
 
 

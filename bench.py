@@ -368,6 +368,7 @@ HEADLINE = [
     "text_rake",
     "events_ltv_cohorts",
     "dedup_prefix_filter",
+    "graph_path_counts",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

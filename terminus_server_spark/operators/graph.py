@@ -432,6 +432,85 @@ def katz_centrality(
     )
 
 
+def dag_path_counts(
+    edges: DataFrame, targets: DataFrame, max_iters: int = 100
+) -> DataFrame:
+    """(node, n_paths): number of DISTINCT directed paths from each
+    node to the target set in a DAG — the counting DP behind
+    provenance multiplicity, attack-path enumeration and DAG
+    centralities: cnt[v] = [v ∈ T] + Σ_{v→u} cnt[u].
+
+    BSP relaxation: after t rounds cnt_t[v] counts paths of length
+    ≤ t, so the fixpoint arrives in longest-path rounds (cycle ⇒
+    no fixpoint ⇒ the round cap raises, doubling as a cycle check —
+    same contract as topo_layers).  Counts accumulate in
+    decimal(38,0): path counts grow EXPONENTIALLY in depth (that is
+    the point of counting instead of enumerating), and bigint
+    overflows at depth ~90 of a binary DAG.  Per round: one
+    edges⋈counts shuffle + one sum-by-src + one left join onto the
+    node set, loop-tuned."""
+    with no_constraint_propagation(edges.sparkSession):
+        e = edges.select("src", "dst").where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        ).transform(loop_checkpoint)
+        nodes, n_nodes = loop_checkpoint_count(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .union(targets.select("node"))
+            .distinct()
+        )
+        if n_nodes == 0:
+            return nodes.withColumn("n_paths", F.lit(0).cast("decimal(38,0)"))
+        base = nodes.join(
+            targets.select("node").distinct().withColumn("_t", F.lit(1)),
+            "node",
+            "left_outer",
+        ).select(
+            "node",
+            F.coalesce(F.col("_t"), F.lit(0)).cast("decimal(38,0)").alias("_seed"),
+        ).transform(loop_checkpoint)
+        counts = base.select("node", F.col("_seed").alias("n_paths"))
+        with loop_tuning(edges.sparkSession, n_nodes):
+            for _ in range(max_iters):
+                succ = (
+                    e.join(
+                        counts.select(F.col("node").alias("dst"), "n_paths"), "dst"
+                    )
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.sum("n_paths").alias("_s"))
+                )
+                stepped = base.join(succ, "node", "left_outer").select(
+                    "node",
+                    (
+                        F.col("_seed")
+                        + F.coalesce(F.col("_s"), F.lit(0)).cast("decimal(38,0)")
+                    ).cast("decimal(38,0)").alias("n_paths"),
+                    "_seed",
+                )
+                joined = stepped.join(
+                    counts.select("node", F.col("n_paths").alias("_prev")), "node"
+                ).select(
+                    "node",
+                    "n_paths",
+                    F.when(F.col("n_paths") != F.col("_prev"), 1)
+                    .otherwise(0)
+                    .alias("_chg"),
+                )
+                joined, n_chg = loop_checkpoint_sum(joined, "_chg", size_hint=n_nodes)
+                counts = joined.select("node", "n_paths")
+                if n_chg == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    f"dag_path_counts did not converge in {max_iters} rounds — "
+                    "the graph has a cycle reaching the target set (path count "
+                    "diverges) or longest path exceeds max_iters"
+                )
+    # DOUBLE on the wire (engine-portable); the accumulator above
+    # stays decimal(38,0) so intermediate sums never overflow.
+    return counts.select("node", F.col("n_paths").cast("double").alias("n_paths"))
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Total triangles in the undirected simple graph.
 

@@ -4083,6 +4083,53 @@ def graph_betweenness(spark, sf_dir):
 
 
 @register(
+    "graph_path_counts",
+    """
+    WITH mx AS (SELECT ((MAX(c_custkey) + 1) // 10) AS nfull FROM customer)
+    SELECT 'C/' || c_custkey AS node,
+           CAST(CASE 9 - (c_custkey % 10)
+                WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 3
+                WHEN 4 THEN 5 WHEN 5 THEN 8 WHEN 6 THEN 13 WHEN 7 THEN 21
+                WHEN 8 THEN 34 ELSE 55 END AS DOUBLE) AS n_paths
+    FROM customer, mx
+    WHERE c_custkey // 10 < mx.nfull
+    """,
+)
+def graph_path_counts(spark, sf_dir):
+    """DAG path counting (operators/graph.py:dag_path_counts): within
+    each full decade, edges k→k+1 and k→k+2 make the number of
+    distinct paths from position p to the decade's end the Fibonacci
+    number F(9−p) — the closed form the oracle restates (1, 1, 2, 3,
+    5, 8, 13, 21, 34, 55).  The BSP relaxation's decimal(38,0)
+    accumulation and cycle-detecting round cap are the production
+    contract; the fixture makes the exponential count exactly
+    checkable."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import dag_path_counts
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    nfull = cust.agg(
+        F.floor((F.max("c_custkey") + 1) / 10).alias("_nf")
+    )
+    full = cust.crossJoin(F.broadcast(nfull)).where(
+        F.floor(F.col("c_custkey") / 10) < F.col("_nf")
+    )
+    node = F.concat(F.lit("C/"), F.col("c_custkey").cast("string"))
+    pos = F.col("c_custkey") % 10
+    e1 = full.where(pos < 9).select(
+        node.alias("src"),
+        F.concat(F.lit("C/"), (F.col("c_custkey") + 1).cast("string")).alias("dst"),
+    )
+    e2 = full.where(pos < 8).select(
+        node.alias("src"),
+        F.concat(F.lit("C/"), (F.col("c_custkey") + 2).cast("string")).alias("dst"),
+    )
+    targets = full.where(pos == 9).select(node.alias("node"))
+    return dag_path_counts(e1.unionByName(e2), targets)
+
+
+@register(
     "graph_adamic_adar",
     """
     WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

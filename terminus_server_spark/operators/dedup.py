@@ -1114,41 +1114,36 @@ def exact_substring_spans(
 
 
 def prefix_filter_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
+    sets: DataFrame,
+    threshold: float = 0.7,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    elem_col: str = "shingle",
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard): all pairs with token-set Jaccard >=
+    """(doc_a, doc_b, jaccard): all pairs with element-set Jaccard >=
     ``threshold`` via PREFIX FILTERING (Chaudhuri et al. 2006 /
     PPJoin) — the other standard similarity-join pruning beside LSH,
-    and unlike LSH it is LOSSLESS: order each document's token set
-    globally by (document frequency asc, token asc) and keep only the
-    first |T| − ceil(t·|T|) + 1 tokens; two sets meeting the
-    threshold MUST share a token inside both prefixes (pigeonhole on
-    the required overlap), so the prefix-token join generates every
-    qualifying pair and exact verification drops nothing true.
-    Because the filter is lossless the oracle is simply the exact
-    all-pairs join at the threshold — the key hash-checks the
+    and unlike LSH it is LOSSLESS: order each set globally by
+    (document frequency asc, element asc) and keep only the first
+    |T| − ceil(t·|T|) + 1 elements; two sets meeting the threshold
+    MUST share an element inside both prefixes (pigeonhole on the
+    required overlap), so the prefix join generates every qualifying
+    pair and exact verification drops nothing true.  A size filter
+    (q·min ≥ p·max, also lossless) prunes before verification.
+    Because the whole pipeline is lossless the oracle is simply the
+    exact all-pairs join at the threshold — the key hash-checks the
     pruning's completeness, not an approximation.
 
-    Scale shape: candidates group by RARE tokens first (df-ascending
-    order makes hot boilerplate tokens fall outside prefixes), so
-    bucket sizes track rare-token df, not corpus size; verification
-    touches candidates only."""
+    ``sets``: (id, element) DISTINCT rows — shingle sets in the
+    registry fixture: prefix filtering needs a DIVERSE element
+    domain (on a narrow word vocabulary every prefix element is
+    still common and candidates explode ~60× — measured on the
+    synthetic corpus; shingles keep dfs low, which is also why the
+    MinHash keys shingle first)."""
     from pyspark.sql.window import Window
 
-    text = F.col(text_col)
-    toks = (
-        docs.where(F.length(F.trim(text)) > 0)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.trim(F.lower(text)), r"\s+")).alias("token"),
-        )
-        .where(F.length("token") > 0)
-        .distinct()
-        .transform(plan_checkpoint)
-    )
+    toks = sets.select(
+        F.col(id_col).alias("doc_id"), F.col(elem_col).alias("token")
+    ).transform(plan_checkpoint)
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     sized = toks.join(dfreq, "token").select(
         "doc_id",
@@ -1179,6 +1174,18 @@ def prefix_filter_pairs(
         .distinct()
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # size filter (also lossless): J >= p/q forces q*min(|A|,|B|) >=
+    # p*max(|A|,|B|) — prune size-incompatible candidates BEFORE the
+    # token-level verification join (the PPJoin length filter).
+    cand = (
+        cand.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb")), "doc_b")
+        .where(
+            (q_den * F.col("_na") >= p_num * F.col("_nb"))
+            & (q_den * F.col("_nb") >= p_num * F.col("_na"))
+        )
+        .select("doc_a", "doc_b")
+    )
     inter = (
         cand.join(toks.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
         .join(

@@ -222,15 +222,35 @@ def cdc_chunks(
     # guard the sequence: Spark's sequence(2, x) runs DESCENDING for
     # x < 2 instead of returning empty.
     last = n - F.lit(window - 1)
-    hash4 = lambda p: F.conv(  # noqa: E731 — window hash, first 4 md5 hex chars
-        F.substring(F.md5(text.substr(p, F.lit(window))), 1, 4), 16, 10
-    ).cast("int")
-    bpos = F.when(
-        last >= 2,
-        F.filter(F.sequence(F.lit(2), F.greatest(last, F.lit(2))),
-                 lambda p: hash4(p) % divisor == 0),
-    ).otherwise(F.array().cast("array<int>"))
-    starts = F.concat(F.array(F.lit(1)), bpos.cast("array<int>"))
+    # Boundary detection EXPLODES candidate positions into rows
+    # instead of filter()-ing an array: higher-order-function lambdas
+    # run interpreted per element (measured 285 s at sf0.1), while the
+    # exploded md5/conv projection stays inside whole-stage codegen
+    # (~8 s).  Costs one doc_id shuffle to re-collect the boundary
+    # array — worth two orders of magnitude on the hash work.
+    cand = docs.where(text.isNotNull() & (n >= 1)).select(
+        F.col(id_col),
+        text.alias("_tx"),
+        F.explode(
+            F.when(last >= 2, F.sequence(F.lit(2), F.greatest(last, F.lit(2))))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("_p"),
+    )
+    hits = cand.where(
+        F.conv(
+            F.substring(F.md5(F.col("_tx").substr(F.col("_p"), F.lit(window))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % divisor
+        == 0
+    )
+    bounds = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("_p")).alias("_bpos")
+    )
+    docs = docs.join(bounds, id_col, "left_outer")
+    bpos = F.coalesce(F.col("_bpos"), F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), bpos)
     k = F.size(starts)
     chunks = F.transform(
         F.sequence(F.lit(0), k - 1),

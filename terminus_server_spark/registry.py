@@ -10914,36 +10914,38 @@ def dedup_minhash_estimate(spark, sf_dir):
 
 @register(
     "dedup_prefix_filter",
-    r"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0),
-    tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY doc_id),
+    rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE AS jaccard
     FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE >= 0.5
+    WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE >= 0.7
     """,
 )
 def dedup_prefix_filter(spark, sf_dir):
     """Prefix-filtered similarity join (operators/dedup.py:
-    prefix_filter_pairs, the PPJoin family): df-ascending prefixes
-    prune candidate pairs LOSSLESSLY (pigeonhole on the required
-    overlap), so the oracle is the plain exact all-pairs join at the
-    threshold — the key hash-checks that the pruning is complete,
-    the guarantee LSH keys can only audit statistically."""
-    from terminus_server_spark.operators.dedup import prefix_filter_pairs
-
-    return prefix_filter_pairs(
-        _t(spark, sf_dir, "documents")["documents"], threshold=0.5
+    prefix_filter_pairs, the PPJoin family) over the house shingle
+    sets: df-ascending prefixes + the length filter prune candidate
+    pairs LOSSLESSLY (pigeonhole on the required overlap), so the
+    oracle is the plain exact all-pairs join at the threshold — the
+    key hash-checks that the pruning is complete, the guarantee LSH
+    keys can only audit statistically.  Shingles, not word tokens:
+    prefix filtering needs a diverse element domain (word-token
+    prefixes on this corpus blow candidates up ~60x — measured;
+    see the operator docstring)."""
+    from terminus_server_spark.operators.dedup import (
+        prefix_filter_pairs,
+        shingles,
     )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return prefix_filter_pairs(shingles(docs), threshold=0.7)
 
 
 @register(

@@ -3490,3 +3490,121 @@ def test_katz_chain_closed_form(spark):
     assert out["a"] == 1.0
     assert out["b"] == 1.0 + a
     assert out["c"] == 1.0 + a + a * a
+
+
+def test_prefix_filter_lossless_vs_brute_force(spark):
+    """The PPJoin prefix + length filters must lose NOTHING: on a
+    small synthetic corpus the filtered join's pair set equals the
+    brute-force all-pairs Jaccard join at the threshold."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.dedup import prefix_filter_pairs
+
+    rows = [
+        (1, ["a b c", "b c d", "c d e"]),
+        (2, ["a b c", "b c d", "c d x"]),   # 2/4 with doc 1
+        (3, ["a b c", "b c d", "c d e"]),   # identical to doc 1
+        (4, ["q r s", "r s t"]),
+        (5, ["q r s", "r s t"]),            # identical to doc 4
+        (6, ["z z z"]),
+    ]
+    sets = spark.createDataFrame(
+        [(i, s) for i, shs in rows for s in shs], "doc_id long, shingle string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(sets, threshold=0.7).collect()
+    }
+    # brute force
+    from collections import defaultdict
+
+    byid = defaultdict(set)
+    for i, s in [(i, s) for i, shs in rows for s in shs]:
+        byid[i].add(s)
+    want = {}
+    ids = sorted(byid)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(byid[i] & byid[j])
+                jac = inter / len(byid[i] | byid[j]) if inter else 0.0
+                if jac >= 0.7:
+                    want[(i, j)] = jac
+    assert got == want
+    assert (1, 3) in got and (4, 5) in got and (1, 2) not in got
+
+
+def test_weighted_median_tiny(spark):
+    """Weighted median = smallest value whose cumulative weight
+    reaches half the total, exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    vw = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 97), ("g", 4.0, 1)],
+        "grp string, v double, w long",
+    )
+    wc = Window.partitionBy("grp").orderBy("v")
+    wt = Window.partitionBy("grp")
+    c = vw.select(
+        "grp", "v",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    out = c.groupBy("grp").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))).alias("m")
+    ).collect()[0]
+    assert out["m"] == 3.0
+
+
+def test_attribution_linear_conserves_value(spark):
+    """Every purchase with at least one prior-hour click distributes
+    EXACTLY its value (up to the 1e-6 floor grid) across its touches
+    — total credited ~= total attributable revenue."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two clicks then a purchase of 100 within the hour
+        (1, base, 1, "click", 0.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 1, "click", 0.0, "{}"),
+        (3, base + dt.timedelta(minutes=20), 1, "purchase", 100.0, "{}"),
+        # user 2: click too old (2h before purchase) -> no attribution
+        (4, base - dt.timedelta(hours=2), 2, "click", 0.0, "{}"),
+        (5, base, 2, "purchase", 50.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="attr_test_")  # key loads only events
+    path = os.path.join(tmp, "events.parquet")
+    ev.write.mode("overwrite").parquet(path)
+    out = {r["click_id"]: r for r in e.queries()["events_attribution_linear"](spark, tmp).collect()}
+    assert set(out) == {1, 2}
+    assert abs(out[1]["total_credit"] - 50.0) < 1e-5
+    assert abs(out[2]["total_credit"] - 50.0) < 1e-5
+
+
+def test_remove_top_reduces_norm(spark):
+    """Projecting out the dominant direction can only shrink squared
+    norms, and shrinks them strictly for vectors aligned with it."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.similarity import remove_top_component
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0] if i < 8 else [0.0, 0.0, 0.0, 1.0])
+            for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in remove_top_component(emb, iters=2).collect()}
+    for i in range(10):
+        assert out[i]["norm2_after"] <= out[i]["norm2_before"] + 1e-9
+    # the aligned majority collapses; the orthogonal minority survives
+    assert out[0]["norm2_after"] < 0.01
+    assert out[9]["norm2_after"] > 0.9

@@ -1113,6 +1113,25 @@ def exact_substring_spans(
     )
 
 
+def _threshold_ratio(threshold) -> tuple[int, int]:
+    """Reduced rational p/q with q <= 1e6 and p/q <= ``threshold``
+    exactly.  All prefix-length and PPJoin length-filter comparisons
+    then stay in small exact bigint arithmetic (p * |set| fits int64
+    for any realistic set size), and rounding DOWN only enlarges the
+    candidate set — losslessness is preserved."""
+    from fractions import Fraction
+    from math import gcd
+
+    if isinstance(threshold, int):
+        return threshold, 1
+    scale = 1_000_000
+    p = int(threshold * scale)  # floor for threshold in (0, 1]
+    while p > 0 and Fraction(p, scale) > Fraction(threshold):
+        p -= 1
+    g = gcd(p, scale) or 1
+    return p // g, scale // g
+
+
 def prefix_filter_pairs(
     sets: DataFrame,
     threshold: float = 0.7,
@@ -1153,16 +1172,15 @@ def prefix_filter_pairs(
         .alias("_rn"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("_sz"),
     )
-    # ceil(t*|T|) with t = p/q exact: ceil(p*sz / q) = (p*sz + q - 1) // q
-    p_num, q_den = (
-        threshold.as_integer_ratio()
-        if isinstance(threshold, float)
-        else (threshold, 1)
-    )
-    need = (p_num * F.col("_sz") + F.lit(q_den - 1)) - (
-        (p_num * F.col("_sz") + F.lit(q_den - 1)) % q_den
-    )
-    need = need / F.lit(q_den)
+    # ceil(t'*|T|) with t' = p/q a SMALL exact rational <= threshold
+    # (q <= 1e6).  float.as_integer_ratio() would give q = 2**52-scale
+    # terms whose products overflow bigint for sets with >~2k distinct
+    # elements and whose double division rounds; a slightly smaller t'
+    # only ENLARGES the prefix / candidate set, so losslessness is
+    # preserved and the final `jaccard >= threshold` check is unchanged.
+    p_num, q_den = _threshold_ratio(threshold)
+    # pure integer ceil: (p*sz + q - 1) div q — stays in bigint, exact.
+    need = F.expr(f"({p_num} * _sz + {q_den - 1}) div {q_den}")
     prefix = sized.where(F.col("_rn") <= F.col("_sz") - need + 1).select(
         "doc_id", "token"
     )

@@ -278,6 +278,23 @@ def cdc_chunks(
     )
 
 
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant from Flajolet et al. 2007 §4: the
+    standard small-m literals for m ∈ {16, 32, 64} and the asymptotic
+    0.7213/(1 + 1.079/m) for m >= 128.  Computed from m (not
+    hardcoded) so callers with b != 6 get a correctly-scaled
+    estimate."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    if m < 16:
+        raise ValueError(f"HLL needs at least 16 registers, got m={m}")
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
 def hll_distinct_estimate(df: DataFrame, col: str, b: int = 6) -> DataFrame:
     """(n_zero_buckets, sum_inv, est_distinct): HyperLogLog distinct
     count with an engine-portable register set — the industry's
@@ -304,7 +321,7 @@ def hll_distinct_estimate(df: DataFrame, col: str, b: int = 6) -> DataFrame:
     scan plus a 2^b-row shuffle, and registers merge with MAX for
     cross-shard unions (same contract as the KMV sketch above)."""
     m = 1 << b
-    alpha = 0.709  # alpha_64 = 0.7213/(1 + 1.079/64), fixed literal
+    alpha = _hll_alpha(m)
     h32 = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
         "long"
     )

@@ -1255,24 +1255,35 @@ def rake_keyphrases(
     candidate phrases, so 'distributed stream processing' outranks
     its unigrams.
 
+    Candidates split at BOTH stopwords and punctuation (Rose et al.
+    2010 §1.2.1): any non-[a-z0-9] run is rewritten to a sentinel
+    break token before tokenizing, so "processing." delimits the
+    phrase and "the," is recognized as a stopword — phrases never
+    span sentence boundaries and tokens carry no attached
+    punctuation.
+
     Exactness: per-word scores floor onto a 1e-6 grid BEFORE the
     phrase sum, so phrase scores are order-free integer sums (a raw
     double Σ deg/freq would depend on summation order).  Dataflow:
-    one explode, one islands pass (stopword-delimited runs via the
-    pos − row_number trick), two (doc, word)-grained aggregates, one
-    per-doc top-k window — no joins beyond the doc key."""
+    one explode, one islands pass (stopword/punct-delimited runs via
+    the pos − row_number trick), two (doc, word)-grained aggregates,
+    one per-doc top-k window — no joins beyond the doc key."""
     from pyspark.sql.window import Window
 
     stops = STOPWORDS["en"]
+    brk = "\u0001"  # phrase-break sentinel: consumes a position, never scores
+    cleaned = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]+", f" {brk} ")
+    )
     toks = (
         docs.where(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             F.col(id_col),
-            F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
-                "pos", "w"
-            ),
+            F.posexplode(F.split(cleaned, r"\s+")).alias("pos", "w"),
         )
-        .where(~F.col("w").isin(stops) & (F.length("w") > 0))
+        .where(
+            ~F.col("w").isin(stops) & (F.length("w") > 0) & (F.col("w") != brk)
+        )
     )
     rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
     runs = toks.withColumn("grp", F.col("pos") - rn)

@@ -11033,15 +11033,19 @@ def dedup_minhash_bbit(spark, sf_dir):
 @register(
     "text_rake",
     r"""
-    WITH tk AS (
+    WITH cl AS (
       SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
-             unnest(generate_series(1,
-               len(string_split_regex(trim(lower(text)), '\s+')))) AS pos
+             trim(regexp_replace(lower(text), '[^a-z0-9\s]+',
+                                 ' ' || chr(1) || ' ', 'g')) AS t
       FROM documents WHERE length(trim(text)) > 0),
+    tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(t, '\s+')) AS w,
+             unnest(generate_series(1, len(string_split_regex(t, '\s+')))) AS pos
+      FROM cl),
     toks AS (
       SELECT doc_id, pos, w FROM tk
-      WHERE length(w) > 0
+      WHERE length(w) > 0 AND w <> chr(1)
         AND w NOT IN ('the','a','of','and','to','in','is','it')),
     runs AS (
       SELECT doc_id, pos, w,
@@ -16890,10 +16894,10 @@ def stream_hll_sketch(spark, sf_dir):
     "stream_quantile_grid",
     """
     WITH hist AS (
-      SELECT CAST(least(floor((l_extendedprice - 900.0) /
-                              ((105000.0 - 900.0) / 128.0)), 127) AS INT) AS bucket,
+      SELECT CAST(greatest(0, least(floor((l_extendedprice - 900.0) /
+                              ((105000.0 - 900.0) / 128.0)), 127)) AS INT) AS bucket,
              COUNT(*) AS c
-      FROM lineitem GROUP BY 1),
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
     n AS (SELECT SUM(c) AS n FROM hist),
     cum AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM hist),
     qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
@@ -18439,8 +18443,10 @@ def events_ltv_cohorts(spark, sf_dir):
       SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
              SUM(CAST(x AS DECIMAL(38,0))) AS sx,
              SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
-             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+             SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS sxx
       FROM per_user),
     arms AS (
       SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
@@ -18502,8 +18508,19 @@ def events_cuped(spark, sf_dir):
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
         F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        # cast BEFORE multiplying: a bigint x*y product overflows
+        # int64 once per-user cent totals reach ~3e9; decimal(19,0)
+        # operands multiply in decimal(38,0), exact at any SF.
+        F.sum(
+            (
+                F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            (
+                F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("sxx"),
     )
     arms = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_arm"),

@@ -1050,7 +1050,9 @@ def run_stream_hll_sketch(
         "bucket", F.coalesce("mr", F.lit(0)).alias("mr")
     )
     inv = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), mr)").cast("double")
-    alpha = 0.709
+    from terminus_server_spark.operators.pipeline import _hll_alpha
+
+    alpha = _hll_alpha(m)
     return full.agg(
         F.sum(F.when(F.col("mr") == 0, 1).otherwise(0)).alias("n_zero_buckets"),
         F.sum(inv).alias("sum_inv"),
@@ -1184,11 +1186,19 @@ def run_stream_quantile_grid(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        # clamp BOTH grid edges (values < lo land in bucket 0, just
+        # as values > hi land in the top bucket) and drop NULL
+        # measures — otherwise the CDF inversion can return a
+        # negative bucket id / approx_le below the grid floor.
         hist = (
-            batch_df.select(
-                F.least(
-                    F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
-                    F.lit(n_buckets - 1),
+            batch_df.where(F.col(col).isNotNull())
+            .select(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
+                        F.lit(n_buckets - 1),
+                    ),
                 )
                 .cast("int")
                 .alias("bucket")

@@ -274,17 +274,35 @@ def _seq_into_closure(
     return grown
 
 
-def compile_path(store, pattern: P.PathPattern) -> DataFrame:
-    """Compile a path pattern to an (src, dst, hops) DataFrame."""
+def compile_path(
+    store, pattern: P.PathPattern, graph: str = "instance"
+) -> DataFrame:
+    """Compile a path pattern to an (src, dst, hops) DataFrame.
+
+    ``graph`` scopes every step's edge scan (the WOQL compiler passes
+    the active Using(...) graph down, so path words see the same
+    graph the surrounding triple patterns do)."""
     if isinstance(pattern, P.Pred):
-        return store.edges(pattern.predicate).withColumn("hops", F.lit(1))
+        return store.edges(pattern.predicate, graph).withColumn("hops", F.lit(1))
+    if isinstance(pattern, P.Any):
+        # wildcard: every node-to-node edge in the instance graph —
+        # the obj_type filter keeps literal objects out of the node
+        # domain (a literal is a dead end, not a vertex), and it
+        # pushes into the union's branch scans like any predicate
+        # filter would.
+        return (
+            store.spo(None, graph)
+            .where(F.col("obj_type") == "iri")
+            .select(F.col("subject").alias("src"), F.col("obj").alias("dst"))
+            .withColumn("hops", F.lit(1))
+        )
     if isinstance(pattern, P.Inv):
-        e = store.edges(pattern.predicate)
+        e = store.edges(pattern.predicate, graph)
         return e.select(F.col("dst").alias("src"), F.col("src").alias("dst")).withColumn(
             "hops", F.lit(1)
         )
     if isinstance(pattern, P.Seq):
-        out = compile_path(store, pattern.parts[0])
+        out = compile_path(store, pattern.parts[0], graph)
         for nxt_ast in pattern.parts[1:]:
             if (
                 isinstance(nxt_ast, (P.Plus, P.Star))
@@ -300,11 +318,11 @@ def compile_path(store, pattern: P.PathPattern) -> DataFrame:
                 # sources, so results are identical, just cheaper.
                 out = _seq_into_closure(
                     _dedup_min_hops(out),
-                    compile_path(store, nxt_ast.part),
+                    compile_path(store, nxt_ast.part, graph),
                     with_zero=isinstance(nxt_ast, P.Star),
                 )
             else:
-                nxt = compile_path(store, nxt_ast)
+                nxt = compile_path(store, nxt_ast, graph)
                 out = (
                     out.alias("a")
                     .join(nxt.alias("b"), F.col("a.dst") == F.col("b.src"))
@@ -316,23 +334,23 @@ def compile_path(store, pattern: P.PathPattern) -> DataFrame:
                 )
         return _dedup_min_hops(out)
     if isinstance(pattern, P.OrP):
-        parts = [compile_path(store, p) for p in pattern.parts]
+        parts = [compile_path(store, p, graph) for p in pattern.parts]
         out = parts[0]
         for nxt in parts[1:]:
             out = out.unionByName(nxt)
         return _dedup_min_hops(out)
     if isinstance(pattern, P.Plus):
         close = transitive_closure_doubling if pattern.strategy == "doubling" else transitive_closure
-        return close(compile_path(store, pattern.part), with_hops=True)
+        return close(compile_path(store, pattern.part, graph), with_hops=True)
     if isinstance(pattern, P.Star):
         close = transitive_closure_doubling if pattern.strategy == "doubling" else transitive_closure
-        plus = close(compile_path(store, pattern.part), with_hops=True)
-        base = compile_path(store, pattern.part)
+        plus = close(compile_path(store, pattern.part, graph), with_hops=True)
+        base = compile_path(store, pattern.part, graph)
         nodes = base.select(F.col("src").alias("n")).union(base.select(F.col("dst"))).distinct()
         zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"), F.lit(0).alias("hops"))
         return _dedup_min_hops(plus.unionByName(zero))
     if isinstance(pattern, P.Times):
-        base = compile_path(store, pattern.part)
+        base = compile_path(store, pattern.part, graph)
         acc = None
         if pattern.n == 0:
             # {0,m} admits the empty repetition: identity pairs over

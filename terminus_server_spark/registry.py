@@ -11461,12 +11461,36 @@ def events_time_to_convert(spark, sf_dir):
     vw = conv.groupBy(F.col("delay_s").alias("v")).agg(
         F.count(F.lit(1)).alias("w")
     )
-    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wtot = Window.partitionBy()
-    c = vw.select(
-        "v",
-        F.sum("w").over(wcum).alias("cum"),
-        F.sum("w").over(wtot).alias("tot"),
+    # cumulative count over the delay grain WITHOUT a global window
+    # (the shuffle_index / orders_rfm bucket-prefix-sum discipline):
+    # delays bucket on a 1024-second grid — bounded by the delay
+    # VALUE RANGE, not the corpus — bucket totals prefix-sum over
+    # that tiny table and broadcast back, and the running sum is a
+    # window PARTITIONED BY bucket.  Integer sums, so cum is
+    # bit-identical to the single global window at any partitioning.
+    based = vw.withColumn("_b", F.expr("v div 1024"))
+    bsums = based.groupBy("_b").agg(F.sum("w").alias("_bw"))
+    off = bsums.select(
+        "_b",
+        (
+            F.sum("_bw").over(
+                Window.orderBy("_b").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("_bw")
+        ).alias("_off"),
+    )
+    total = bsums.agg(F.sum("_bw").alias("tot"))
+    win = (
+        Window.partitionBy("_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        based.join(F.broadcast(off), "_b")
+        .crossJoin(F.broadcast(total))
+        .select("v", (F.col("_off") + F.sum("w").over(win)).alias("cum"), "tot")
     )
     return c.agg(
         F.max("tot").cast("long").alias("n_conversions"),
@@ -19852,27 +19876,88 @@ def events_cusum_changepoint(spark, sf_dir):
 )
 def orders_rfm(spark, sf_dir):
     """RFM customer segmentation — the classic CRM triple: recency
-    (days since last order), frequency (order count), monetary (sum
-    of prices) quintiled with deterministic tie-breaks and rolled up
-    to segment sizes.  Segment codes come from NTILE windows over the
-    customer-grain table (bounded by |customers|, not orders); the
-    exact decimal monetary sum keeps the quintile boundaries
-    engine-identical."""
+    (last order date), frequency (order count), monetary (sum of
+    prices) quintiled with deterministic tie-breaks and rolled up to
+    segment sizes.
+
+    Scale: the naive form — three global NTILE(5) windows — funnels
+    the whole customer-grain table through ONE task (billions of rows
+    at 100 TB).  Each quintile here is instead recovered from an
+    EXACT global rank via the shuffle_index bucket-prefix-sum
+    pattern: rows land in coarse buckets that are monotone in the
+    sort order (the order DATE for recency, the order COUNT for
+    frequency, a 1000-unit price grid for monetary — all bounded by
+    VALUE RANGE, not corpus size), bucket counts prefix-sum over that
+    tiny table and broadcast back, and the in-bucket rank is a window
+    PARTITIONED BY bucket.  rank = offset + in-bucket row_number,
+    and the tile is the closed-form NTILE assignment (first n%5
+    tiles get ⌈n/5⌉ rows) — bit-identical to the single-window
+    answer at any partitioning.  The exact decimal monetary sum
+    keeps the quintile boundaries engine-identical."""
     from pyspark.sql import Window, functions as F
 
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
     orders = _t(spark, sf_dir, "orders")["orders"]
-    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
-        .cast("double")
-        .alias("monetary"),
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .transform(plan_checkpoint)
     )
-    r = F.ntile(5).over(Window.orderBy(F.col("last_order").desc(), "custkey"))
-    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "custkey"))
-    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+    # NTILE(5) OVER (ORDER BY _v DESC, custkey) from exact global
+    # ranks: first n%5 tiles take (n div 5)+1 rows, the rest n div 5;
+    # ceil divisions stay in integer arithmetic via SQL `div`.
+    tile = F.expr(
+        "CASE WHEN _rn <= (_nt % 5) * ((_nt div 5) + 1) "
+        "THEN (_rn + (_nt div 5)) div ((_nt div 5) + 1) "
+        "ELSE (_nt % 5) + (_rn - (_nt % 5) * ((_nt div 5) + 1) "
+        "      + greatest(_nt div 5, 1) - 1) div greatest(_nt div 5, 1) END"
+    ).cast("int")
+
+    def quintile(value_col, bucket_expr, out_col):
+        based = per_cust.select(
+            "custkey", F.col(value_col).alias("_v")
+        ).withColumn("_b", bucket_expr)
+        counts = based.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+        # bounded-grain prefix sum (dates / counts / price-grid cells)
+        off = counts.select(
+            "_b",
+            (
+                F.sum("_n").over(
+                    Window.orderBy(F.col("_b").desc()).rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("_n")
+            ).alias("_off"),
+        )
+        total = counts.agg(F.sum("_n").cast("bigint").alias("_nt"))
+        w = Window.partitionBy("_b").orderBy(F.col("_v").desc(), "custkey")
+        return (
+            based.join(F.broadcast(off), "_b")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "custkey",
+                (F.col("_off") + F.row_number().over(w)).alias("_rn"),
+                "_nt",
+            )
+            .select("custkey", tile.alias(out_col))
+        )
+
+    rt = quintile("last_order", F.col("_v"), "r")
+    ft = quintile("frequency", F.col("_v"), "f")
+    mt = quintile("monetary", F.floor(F.col("_v") / 1000.0).cast("bigint"), "m")
     return (
-        per_cust.select("custkey", "frequency", r.alias("r"), f.alias("f"), m.alias("m"))
+        per_cust.select("custkey", "frequency")
+        .join(rt, "custkey")
+        .join(ft, "custkey")
+        .join(mt, "custkey")
         .groupBy("r", "f", "m")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -20390,3 +20475,245 @@ def doc_merge_three_way(spark, sf_dir):
         "source",
     )
     return merge_documents_three_way(docs, left, right, "doc_id", ["lang", "source"])
+
+
+# ---------------------------------------------------------------------------
+# round 8: any-predicate path wildcard
+# ---------------------------------------------------------------------------
+
+
+def _multi_edge_store(spark, sf_dir):
+    """Triple store with TWO edge predicates over customer ids —
+    'parent' (C/k → C/(k//2)) and 'mentor' (C/k → C/(k//3)) — plus a
+    LITERAL 'label' predicate.  The any-predicate wildcard fixture:
+    the wildcard must union both edge sets AND keep the label
+    literals out of the node domain (obj_type filter)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import TripleStore
+
+    cust = _t(spark, sf_dir, "customer")["customer"].where(F.col("c_custkey") >= 1)
+    sub = F.concat(F.lit("C/"), F.col("c_custkey").cast("string"))
+
+    def edge(pred, div):
+        return cust.select(
+            F.lit("instance").alias("graph"),
+            sub.alias("subject"),
+            F.lit(pred).alias("predicate"),
+            F.concat(
+                F.lit("C/"), F.floor(F.col("c_custkey") / div).cast("long").cast("string")
+            ).alias("obj"),
+            F.lit("iri").alias("obj_type"),
+            F.lit(None).cast("double").alias("obj_num"),
+        )
+
+    label = cust.select(
+        F.lit("instance").alias("graph"),
+        sub.alias("subject"),
+        F.lit("label").alias("predicate"),
+        F.concat(F.lit("cust-"), F.col("c_custkey").cast("string")).alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    )
+    tri = edge("parent", 2).unionByName(edge("mentor", 3)).unionByName(label)
+    return TripleStore(tri)
+
+
+@register(
+    "path_any_wildcard",
+    """
+    WITH e AS (
+      SELECT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1
+      UNION
+      SELECT 'C/' || c_custkey, 'C/' || (c_custkey // 3)
+      FROM customer WHERE c_custkey >= 1)
+    SELECT src, dst, MIN(hops) AS hops FROM (
+      SELECT src, dst, 1 AS hops FROM e
+      UNION ALL
+      SELECT a.src, b.dst, 2 FROM e a JOIN e b ON a.dst = b.src)
+    GROUP BY src, dst
+    """,
+)
+def path_any_wildcard(spark, sf_dir):
+    """Any-predicate path wildcard (woql/path_ast.py:Any, textual
+    spelling '.'; reference locus: terminus-server path.pl — a
+    PathPredicate with the predicate omitted traverses any edge):
+    '.{1,2}' over a two-edge-type graph unions the parent AND mentor
+    edge sets per step while the obj_type=iri filter keeps the
+    store's literal 'label' triples out of the node domain.  The
+    pattern goes through parse_path_string so the textual grammar's
+    '.' spelling is under the same gate; compilation is the Times
+    composition over the unfiltered edge frame — the per-step
+    predicate filter is simply absent, nothing else changes."""
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+    from terminus_server_spark.woql.path_ast import parse_path_string
+
+    ctx = WOQLContext(_multi_edge_store(spark, sf_dir))
+    return ctx.run(
+        A.Path(A.v("src"), parse_path_string(".{1,2}"), A.v("dst"), hops=A.v("hops"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 8: ACL capability resolution over the organization hierarchy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "acl_resolve_hierarchy",
+    """
+    WITH geo AS (
+      SELECT c_custkey AS c, n_name, r_name,
+             CASE c_custkey % 3 WHEN 0 THEN 'admin' WHEN 1 THEN 'writer'
+                  ELSE 'reader' END AS role,
+             CASE WHEN c_custkey % 7 = 0 THEN 'Org/ALL'
+                  WHEN c_custkey % 5 = 0 THEN 'Org/' || r_name
+                  WHEN c_custkey % 2 = 0 THEN 'Db/' || n_name
+                  ELSE 'OrgN/' || n_name END AS scope
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE c_custkey % 100 = 0),
+    acts(role, act) AS (VALUES
+      ('admin','read'),('admin','write'),('admin','delete'),('admin','grant'),
+      ('writer','read'),('writer','write'),('reader','read')),
+    child AS (
+      SELECT DISTINCT 'Org/ALL' AS parent, 'Org/' || r_name AS kid FROM region
+      UNION ALL
+      SELECT 'Org/' || r_name, 'OrgN/' || n_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey),
+    reach AS (
+      SELECT parent AS a, parent AS d FROM child
+      UNION SELECT kid, kid FROM child
+      UNION SELECT parent, kid FROM child
+      UNION SELECT c1.parent, c2.kid
+        FROM child c1 JOIN child c2 ON c1.kid = c2.parent),
+    dbs AS (SELECT 'Db/' || n_name AS db, 'OrgN/' || n_name AS org FROM nation),
+    resolved AS (
+      SELECT g.c, a.act, d.db
+      FROM geo g JOIN acts a ON a.role = g.role
+      JOIN reach r ON r.a = g.scope
+      JOIN dbs d ON d.org = r.d
+      UNION
+      SELECT g.c, a.act, g.scope
+      FROM geo g JOIN acts a ON a.role = g.role
+      JOIN dbs d ON d.db = g.scope)
+    SELECT DISTINCT 'User/' || c AS usr, act AS action, db AS resource
+    FROM resolved
+    """,
+)
+def acl_resolve_hierarchy(spark, sf_dir):
+    """Capability resolution over a RECURSIVE organization hierarchy
+    (reference: the _system schema's Organization documents carry a
+    `child` set of sub-organizations; a capability scoped to an
+    ancestor org covers every database anywhere below it — public
+    locus: terminus-server src/core/account resource-inclusion
+    walk).  Extends `acl_can`'s flat org→db coverage with true
+    inheritance: Org/ALL → Org/<region> → OrgN/<nation> → Db, so a
+    grant on Org/ALL resolves through TWO child hops.
+
+    The descent is a WOQL Path word — Star(child) composed with the
+    in_org edge, i.e. the same semi-naive closure machinery as every
+    other path query (the org tree is metadata-scale; the closure's
+    per-round shuffle is bounded by it, never by the user corpus).
+    Direct database grants take the Eq branch exactly as in acl_can.
+    Also exercises Path honoring the Using("system") graph scope —
+    the closure must read the system graph, not instance."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+    from terminus_server_spark.woql.path_ast import Pred, Star
+
+    t = _t(spark, sf_dir, "customer", "nation", "region")
+    geo = plan_checkpoint(
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("c_custkey") % 100 == 0)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+    def tri(df, subj, pred, obj):
+        return df.select(
+            F.lit("system").alias("graph"),
+            subj.alias("subject"),
+            F.lit(pred).alias("predicate"),
+            obj.alias("obj"),
+            F.lit("iri").alias("obj_type"),
+            F.lit(None).cast("double").alias("obj_num"),
+        )
+
+    usr = F.concat(F.lit("User/"), F.col("c_custkey").cast("string"))
+    cap = F.concat(F.lit("Cap/"), F.col("c_custkey").cast("string"))
+    role = F.concat(
+        F.lit("Role/"),
+        F.when(F.col("c_custkey") % 3 == 0, "admin")
+        .when(F.col("c_custkey") % 3 == 1, "writer")
+        .otherwise("reader"),
+    )
+    scope = (
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("Org/ALL"))
+        .when(F.col("c_custkey") % 5 == 0, F.concat(F.lit("Org/"), F.col("r_name")))
+        .when(F.col("c_custkey") % 2 == 0, F.concat(F.lit("Db/"), F.col("n_name")))
+        .otherwise(F.concat(F.lit("OrgN/"), F.col("n_name")))
+    )
+    role_actions = spark.createDataFrame(
+        [
+            ("Role/admin", "read"), ("Role/admin", "write"),
+            ("Role/admin", "delete"), ("Role/admin", "grant"),
+            ("Role/writer", "read"), ("Role/writer", "write"),
+            ("Role/reader", "read"),
+        ],
+        "r string, a string",
+    )
+    nr = t["nation"].join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+    org_tree = tri(
+        t["region"].select("r_name").distinct(),
+        F.lit("Org/ALL"),
+        "child",
+        F.concat(F.lit("Org/"), F.col("r_name")),
+    ).unionByName(
+        tri(nr, F.concat(F.lit("Org/"), F.col("r_name")), "child",
+            F.concat(F.lit("OrgN/"), F.col("n_name")))
+    )
+    dbs = tri(
+        t["nation"],
+        F.concat(F.lit("Db/"), F.col("n_name")),
+        "in_org",
+        F.concat(F.lit("OrgN/"), F.col("n_name")),
+    )
+    system = plan_checkpoint(
+        tri(geo, usr, "capability", cap)
+        .unionByName(tri(geo, cap, "role", role))
+        .unionByName(tri(geo, cap, "scope", scope))
+        .unionByName(tri(role_actions, F.col("r"), "action", F.col("a")))
+        .unionByName(org_tree)
+        .unionByName(dbs)
+    )
+    q = A.Using(
+        "system",
+        A.Distinct(
+            [A.v("usr"), A.v("action"), A.v("resource")],
+            A.And(
+                A.Triple(A.v("usr"), "capability", A.v("cap")),
+                A.Triple(A.v("cap"), "role", A.v("role")),
+                A.Triple(A.v("role"), "action", A.v("action")),
+                A.Triple(A.v("cap"), "scope", A.v("scope")),
+                A.Or_(
+                    A.And(
+                        A.Path(A.v("scope"), Star(Pred("child")), A.v("org")),
+                        A.Triple(A.v("resource"), "in_org", A.v("org")),
+                    ),
+                    A.And(
+                        A.Eq(A.v("resource"), A.v("scope")),
+                        A.Triple(A.v("resource"), "in_org", A.v("org2")),
+                    ),
+                ),
+            ),
+        ),
+    )
+    return WOQLContext(TripleStore(system)).run(q)

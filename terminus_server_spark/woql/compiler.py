@@ -573,15 +573,16 @@ class WOQLContext:
         # materializing the all-pairs closure and filtering it — the
         # same anchored fast path the GraphQL _path field takes, now
         # applied whenever the WOQL word's subject is bound
+        graph = self._graph_stack[-1] if self._graph_stack else "instance"
         if not _is_var(t.s) and isinstance(t.pattern, (P.Plus, P.Star)):
             anchors = self.spark.createDataFrame([(t.s,)], "node string")
             edges = anchored_closure(
-                compile_path(self.store, t.pattern.part).select("src", "dst"),
+                compile_path(self.store, t.pattern.part, graph).select("src", "dst"),
                 anchors,
                 with_zero=isinstance(t.pattern, P.Star),
             )
         else:
-            edges = compile_path(self.store, t.pattern)  # (src, dst, hops)
+            edges = compile_path(self.store, t.pattern, graph)  # (src, dst, hops)
         out_cols = []
         frame = edges
         for val, col in ((t.s, "src"), (t.o, "dst")):

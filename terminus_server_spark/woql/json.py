@@ -42,7 +42,10 @@ def _vals(xs) -> list:
 def _path(p: dict) -> P.PathPattern:
     t = p["@type"]
     if t == "PathPredicate":
-        return P.Pred(p["predicate"])
+        # the reference schema makes `predicate` optional: omitted
+        # (or null) means traverse ANY edge
+        pred = p.get("predicate")
+        return P.Pred(pred) if pred is not None else P.Any()
     if t == "InversePathPredicate":
         return P.Inv(p["predicate"])
     if t == "PathSequence":

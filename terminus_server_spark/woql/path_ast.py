@@ -19,6 +19,15 @@ class Pred(PathPattern):
 
 
 @dataclass(frozen=True)
+class Any(PathPattern):
+    """Wildcard step: traverse ANY edge regardless of predicate — the
+    reference grammar's predicate-less PathPredicate (textual
+    spelling ``.``).  Compiles to the node-to-node subset of the
+    whole triple frame (obj_type = iri), so ``.+`` is whole-graph
+    reachability."""
+
+
+@dataclass(frozen=True)
 class Inv(PathPattern):
     predicate: str
 
@@ -66,7 +75,7 @@ class Times(PathPattern):
 
 
 _PATH_TOKEN = __import__("re").compile(
-    r"\s*(?:(?P<name>[A-Za-z_][\w:.\-/]*)|(?P<num>\d+)|(?P<p>[,|+*{}()<]))"
+    r"\s*(?:(?P<name>[A-Za-z_][\w:.\-/]*)|(?P<num>\d+)|(?P<p>[,|+*{}()<.]))"
 )
 
 
@@ -77,6 +86,7 @@ def parse_path_string(src: str) -> PathPattern:
     field takes the same string form):
 
     - ``p``            predicate step
+    - ``.``            any-predicate wildcard step
     - ``<p``           inverse step
     - ``p,q``          sequence
     - ``p|q``          alternation
@@ -126,6 +136,9 @@ def parse_path_string(src: str) -> PathPattern:
             if kind != "name":
                 raise ValueError(f"path syntax: expected predicate after '<', got {name!r}")
             return Inv(name)
+        if val == ".":
+            take()
+            return Any()
         if kind == "name":
             take()
             return Pred(val)
@@ -198,6 +211,8 @@ def render_path_string(p: PathPattern) -> str:
     physical-plan preference is dropped."""
     if isinstance(p, Pred):
         return p.predicate
+    if isinstance(p, Any):
+        return "."
     if isinstance(p, Inv):
         return f"<{p.predicate}"
     if isinstance(p, Seq):

@@ -518,6 +518,7 @@ def _path_patterns():
     leaves = st.one_of(
         _pred_names.map(P.Pred),
         _pred_names.map(P.Inv),
+        st.just(P.Any()),
     )
 
     def compound(children):

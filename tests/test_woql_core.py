@@ -689,6 +689,14 @@ def test_parse_path_string_grammar():
     assert pp("(a,<b)*") == P.Star(P.Seq(P.Pred("a"), P.Inv("b")))
     assert pp("a{1,3}") == P.Times(P.Pred("a"), 1, 3)
     assert pp("a{2,2},b") == P.Seq(P.Times(P.Pred("a"), 2, 2), P.Pred("b"))
+    assert pp(".") == P.Any()
+    assert pp(".+") == P.Plus(P.Any())
+    assert pp("a,.,b") == P.Seq(P.Pred("a"), P.Any(), P.Pred("b"))
+    # JSON wire form: PathPredicate with the predicate omitted/null
+    from terminus_server_spark.woql.json import _path
+
+    assert _path({"@type": "PathPredicate"}) == P.Any()
+    assert _path({"@type": "PathPredicate", "predicate": None}) == P.Any()
     for bad in ("", "a,", "(a", "a{1}", "<", "a b"):
         with _pytest.raises(ValueError):
             pp(bad)

@@ -5,7 +5,10 @@ For each key, builds the DataFrame (no execution) and reports:
 - Exchange count (shuffle pressure),
 - Python eval nodes (BatchEvalPython / ArrowEvalPython — only the
   explicitly Arrow-batched operators may have them),
-- CartesianProduct / BroadcastNestedLoopJoin (quadratic hazards).
+- CartesianProduct / BroadcastNestedLoopJoin (quadratic hazards),
+- UNPARTITIONED Window nodes (empty partition spec — the whole input
+  funnels through ONE task; only adjudicated bounded-grain windows
+  in WINDOW_OK may have them).
 
 Usage: python tools/plan_audit.py [sf_dir] [key ...] > report
 Lines: ``key scans=N exchanges=N python=N nested_loop=N`` followed by
@@ -27,6 +30,35 @@ ARROW_OK = {"dedup_embed_cos", "dedup_embed_cos_exact", "mm_meta", "mm_features"
             "mm_resize", "mm_frames", "stream_spend_alerts", "stream_pattern_alerts",
             # vectorized sign-LSH signatures (operators/_arrow_udfs.py)
             "ann_lsh"}
+
+# keys adjudicated to run unpartitioned windows over BOUNDED-GRAIN
+# tables only (value-range grids, calendar cells, vocab slots,
+# codebook centroids, bucket-count prefix sums — cardinality set by a
+# constant or a value range, NOT by corpus size).  Populated by
+# reading each hit's code; a new hit means a new scale hazard until
+# adjudicated here.
+WINDOW_OK: dict[str, str] = {}
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with an EMPTY partition spec in a formatted
+    plan.  A Window node's Arguments line is ``[functions], [part
+    spec], [order spec]`` when partitioned and ``[functions], [order
+    spec]`` when not — two top-level bracket groups instead of three
+    (nested windowspecdefinition/frame terms use parens, not
+    brackets, so the ``], [`` separator count is reliable)."""
+    n = 0
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.match(r"^\(\d+\) Window(InPandas)?(Exec)?\s*$", ln):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            m = re.match(r"^Arguments: (.*)$", lines[j])
+            if m:
+                if m.group(1).count("], [") < 2:
+                    n += 1
+                break
+    return n
 
 
 def main() -> None:
@@ -54,6 +86,7 @@ def main() -> None:
         pyev = len(re.findall(r"EvalPython", p))
         cart = len(re.findall(r"CartesianProduct", p))
         bnlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
+        gwin = _unpartitioned_windows(p)
         flags = []
         # woql_doc_words: DeleteDocument derives the retraction set
         # from the 17-frame store union, and apply_delta consumes the
@@ -73,11 +106,13 @@ def main() -> None:
             # BroadcastNestedLoopJoin with a 1-row side is the
             # intended scalar-broadcast plan and is NOT flagged
             flags.append("cartesian")
+        if gwin and k not in WINDOW_OK:
+            flags.append("global-window")
         if flags:
             flagged.append(k)
         tail = (" FLAG:" + ",".join(flags)) if flags else ""
         print(f"{k} scans={scans} exchanges={exch} python={pyev} "
-              f"cartesian={cart} bnlj={bnlj}{tail}")
+              f"cartesian={cart} bnlj={bnlj} gwin={gwin}{tail}")
     print(f"\n{len(flagged)} flagged: {flagged}")
 
 

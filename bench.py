@@ -369,6 +369,10 @@ HEADLINE = [
     "events_ltv_cohorts",
     "dedup_prefix_filter",
     "graph_path_counts",
+    # round 8 additions
+    "path_any_wildcard",
+    "acl_resolve_hierarchy",
+    "gql_execute_nested_d3_offset",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series
@@ -454,6 +458,41 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # Calibration-normalized regression gate (SURVEY §5): dividing
+    # per-key times by the session's calibration mean removes the
+    # machine-load factor that made r5→r7 round-over-round totals
+    # incomparable (the r7 session ran its calibration probe 27%
+    # slower than r6 with zero code changes).  Against the committed
+    # reference (BENCH_NORMALIZED_REF.json, refreshed via
+    # SPARK_GRAFT_BENCH_WRITE_REF=1 after an adjudicated run), any
+    # key >1.5x its recorded normalized time is a REGRESSION the
+    # final pass must explain or fix; sub-0.5s keys are exempt
+    # (scheduling noise dominates their variance).
+    cal_mean = sum(calibration) / len(calibration)
+    normalized = {k: round(v / cal_mean, 3) for k, v in timings.items()}
+    regressions: dict[str, dict] = {}
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_NORMALIZED_REF.json"
+    )
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f).get("normalized", {})
+        for k, nv in normalized.items():
+            rv = ref.get(k)
+            if rv and rv > 0 and timings[k] > 0.5 and nv / rv > 1.5:
+                regressions[k] = {
+                    "norm": nv, "ref": rv, "ratio": round(nv / rv, 2)
+                }
+    if os.environ.get("SPARK_GRAFT_BENCH_WRITE_REF", "") == "1":
+        with open(ref_path, "w") as f:
+            json.dump(
+                {"cal_mean": round(cal_mean, 4), "normalized": normalized},
+                f, indent=1, sort_keys=True,
+            )
+    for k, r in sorted(regressions.items()):
+        print(f"# REGRESSION {k}: normalized {r['norm']} vs ref {r['ref']} "
+              f"({r['ratio']}x)", file=sys.stderr)
+
     # The driver keeps only a ~2000-char tail of stdout and parses the
     # JSON line out of that tail — rounds 2-4 silently recorded
     # ``parsed: null`` because the full per-query dict (150+ keys)
@@ -469,6 +508,9 @@ def main() -> None:
         "sf": sf_val,
         "reps": reps,
         "calibration": calibration,
+        "cal_mean": round(cal_mean, 4),
+        "normalized": normalized,
+        "regressions": regressions,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -489,6 +531,8 @@ def main() -> None:
                 "sf": sf_val,
                 "reps": reps,
                 "calibration": calibration,
+                "cal_mean": round(cal_mean, 4),
+                "n_regressions": len(regressions),
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),

@@ -212,6 +212,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     broadcast_limit: int = 200_000,
     size_hint: int | None = None,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, cos): embedding-cosine near-duplicate pairs.
 
@@ -227,7 +228,11 @@ def embedding_near_dup_pairs(
     (id, vector) matrix to executors and scan the corpus once with an
     Arrow-batched ``mapInPandas`` doing blocked numpy arithmetic
     (~10× the interpreted higher-order-function expression).  Larger
-    inputs fall back to the fully-distributed JVM cross-join.
+    inputs fall back to the fully-distributed JVM cross-join — but
+    only under an explicit ``allow_cross_join=True``: by default the
+    operator raises above ``broadcast_limit`` and points at the
+    LSH/IVF candidate-pruning path, so the O(n²) plan can never be
+    reached by accident at corpus scale.
     """
     from collections.abc import Iterator
 
@@ -239,6 +244,18 @@ def embedding_near_dup_pairs(
     # the plan.  Without a hint the count runs once, as before.
     n = size_hint if size_hint is not None else emb.count()
     if n > broadcast_limit:
+        # enforce the documented contract: this operator VERIFIES a
+        # candidate bucket; the O(n²) cross-join over a whole corpus
+        # is never the scale path and must be an explicit opt-in.
+        if not allow_cross_join:
+            raise ValueError(
+                f"embedding_near_dup_pairs got {n} rows (> broadcast_limit="
+                f"{broadcast_limit}): all-pairs cosine is the candidate-"
+                "bucket VERIFICATION primitive, not a corpus-scale join. "
+                "Prune candidates first with similarity.ivf_topk or "
+                "minhash_lsh / simhash bucketing, or pass "
+                "allow_cross_join=True to force the O(n²) plan."
+            )
         from terminus_server_spark.operators.similarity import cosine_from_parts, scaled_parts
 
         pa = scaled_parts(emb, id_col, vec_col, "a")

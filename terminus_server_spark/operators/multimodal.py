@@ -76,14 +76,61 @@ def decode_stub(payload: bytes) -> tuple[int, int, int]:
     return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 16)
 
 
-def extract_features(mm: DataFrame) -> DataFrame:
+def _real_image_decoder():
+    """Resolve the OPTIONAL real decoder: a callable
+    ``payload -> (width, height, n_frames)`` backed by PIL when the
+    library is importable, else ``None``.  Called on the EXECUTOR
+    (inside the mapInPandas generator), so a cluster whose workers
+    ship Pillow gets real pixel decode with zero code change — the
+    Spark plumbing (schema, batching, UDF signature) is identical
+    either way."""
+    try:
+        from PIL import Image  # optional dependency, absent here
+    except Exception:
+        return None
+    import io
+
+    def decode(payload: bytes) -> tuple[int, int, int]:
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, int(getattr(im, "n_frames", 1))
+
+    return decode
+
+
+def _real_image_resizer():
+    """Optional real resizer (PIL), mirroring ``_real_image_decoder``:
+    ``(payload, target) -> (bytes, w, h)`` or ``None``."""
+    try:
+        from PIL import Image  # optional dependency, absent here
+    except Exception:
+        return None
+    import io
+
+    def resize(payload: bytes, target: int) -> tuple[bytes, int, int]:
+        with Image.open(io.BytesIO(payload)) as im:
+            fmt = im.format or "PNG"
+            out = im.resize((target, target))
+            buf = io.BytesIO()
+            out.save(buf, format=fmt)
+            return buf.getvalue(), target, target
+
+    return resize
+
+
+def extract_features(mm: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched feature extraction via ``mapInPandas`` — the
     production shape for Python-side decoders: one Python worker per
-    partition, whole Arrow batches in/out, no per-row pickling."""
+    partition, whole Arrow batches in/out, no per-row pickling.
+
+    ``decoder``: explicit ``payload -> (w, h, n_frames)`` callable;
+    ``None`` auto-resolves PER WORKER to the real PIL decoder when
+    importable, else the deterministic ``decode_stub`` (fixtures pin
+    ``decode_stub`` explicitly so oracles stay environment-free)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder if decoder is not None else (_real_image_decoder() or decode_stub)
         for pdf in batches:
-            feats = [decode_stub(p) for p in pdf["payload"]]
+            feats = [dec(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -128,13 +175,16 @@ def resize_stub(payload: bytes, target: int) -> tuple[bytes, int, int]:
     return digest * (target * target // len(digest) + 1), target, target
 
 
-def resize_images(mm: DataFrame, target: int = 64) -> DataFrame:
+def resize_images(mm: DataFrame, target: int = 64, resizer=None) -> DataFrame:
     """Arrow-batched resize via ``mapInPandas``: same shape a real
-    image pipeline uses (decode → resize → re-encode per batch)."""
+    image pipeline uses (decode → resize → re-encode per batch).
+    ``resizer`` resolves like ``extract_features``'s decoder: explicit
+    callable > worker-side PIL when importable > ``resize_stub``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rz = resizer if resizer is not None else (_real_image_resizer() or resize_stub)
         for pdf in batches:
-            out = [resize_stub(p, target) for p in pdf["payload"]]
+            out = [rz(p, target) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

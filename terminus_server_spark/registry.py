@@ -1778,9 +1778,19 @@ def mm_features(spark, sf_dir):
     bytes, so the oracle replays the same hex arithmetic — the
     mapInPandas plumbing is value-checked end-to-end even though the
     real codec is stubbed."""
-    from terminus_server_spark.operators.multimodal import extract_features, to_multimodal
+    from terminus_server_spark.operators.multimodal import (
+        decode_stub,
+        extract_features,
+        to_multimodal,
+    )
 
-    return extract_features(to_multimodal(_t(spark, sf_dir, "documents")["documents"]))
+    # decoder pinned to the stub: the fixture payloads are text bytes
+    # and the oracle restates the sha-derived fake — a worker that
+    # happens to ship PIL must not change the result
+    return extract_features(
+        to_multimodal(_t(spark, sf_dir, "documents")["documents"]),
+        decoder=decode_stub,
+    )
 
 
 @register(
@@ -1795,10 +1805,14 @@ def mm_resize(spark, sf_dir):
     """Resize emits fixed target dims per surviving row; the oracle
     checks exactly which rows flow through the Arrow batches (the
     payload bytes stay rows-only — DuckDB cannot sha256 blobs)."""
-    from terminus_server_spark.operators.multimodal import resize_images, to_multimodal
+    from terminus_server_spark.operators.multimodal import (
+        resize_images,
+        resize_stub,
+        to_multimodal,
+    )
 
     mm = to_multimodal(_t(spark, sf_dir, "documents")["documents"])
-    return resize_images(mm).drop("payload")
+    return resize_images(mm, resizer=resize_stub).drop("payload")
 
 
 @register(
@@ -20717,3 +20731,73 @@ def acl_resolve_hierarchy(spark, sf_dir):
         ),
     )
     return WOQLContext(TripleStore(system)).run(q)
+
+
+@register(
+    "gql_execute_nested_d3_offset",
+    """
+    WITH par AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000.0),
+    rl AS (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem),
+    lg AS (
+      SELECT l_orderkey,
+             to_json(list(struct_pack(l_linenumber := l_linenumber)
+                          ORDER BY rn))::VARCHAR AS lineitems
+      FROM rl WHERE rn > 2 AND rn <= 4 GROUP BY l_orderkey),
+    ro AS (
+      SELECT o.o_custkey, o.o_orderkey,
+             COALESCE(lg.lineitems, '[]') AS lineitems,
+             row_number() OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o LEFT JOIN lg ON o.o_orderkey = lg.l_orderkey),
+    og AS (
+      SELECT o_custkey,
+             to_json(list(struct_pack(o_orderkey := o_orderkey,
+                                      lineitems := lineitems)
+                          ORDER BY rn))::VARCHAR AS orders
+      FROM ro WHERE rn > 1 AND rn <= 3 GROUP BY o_custkey)
+    SELECT p.c_custkey, p.c_name, COALESCE(og.orders, '[]') AS orders
+    FROM par p LEFT JOIN og ON p.c_custkey = og.o_custkey
+    """,
+)
+def gql_execute_nested_d3_offset(spark, sf_dir):
+    """OFFSET on nested selection sets at every depth (r7 verdict:
+    the offset-on-nested path had no dedicated fixture beyond top-k):
+    Customer -> orders(offset: 1, limit: 2) -> lineitems(offset: 2,
+    limit: 2), each per-parent — so a customer's JSON skips their
+    priciest order, each order's array skips its two priciest lines,
+    and parents whose children are exhausted by the offset render
+    '[]'.  Same single-window-per-level compilation as
+    gql_execute_nested_d3; only the rn range predicate changes
+    (rn > offset AND rn <= offset + limit)."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    src = """
+    query {
+      Customer(filter: {_and: [{c_mktsegment: {eq: "MACHINERY"}},
+                               {c_acctbal: {gt: 9000.0}}]}) {
+        c_custkey
+        c_name
+        orders(orderBy: {o_totalprice: DESC}, limit: 2, offset: 1) {
+          o_orderkey
+          lineitems(orderBy: {l_extendedprice: DESC}, limit: 2, offset: 2) {
+            l_linenumber
+          }
+        }
+      }
+    }
+    """
+    return execute_graphql(
+        {"Customer": t["customer"], "Order": t["orders"], "Lineitem": t["lineitem"]},
+        src,
+        relations={
+            ("Customer", "orders"): ("Order", "c_custkey", "o_custkey"),
+            ("Order", "lineitems"): ("Lineitem", "o_orderkey", "l_orderkey"),
+        },
+    )["Customer"]

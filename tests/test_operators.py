@@ -158,6 +158,51 @@ def test_multimodal_features_deterministic(spark):
     assert f1 == f2 and len(f1) == 2
 
 
+def test_multimodal_optional_decoder_dispatch():
+    """The real-codec hook: _real_image_decoder/_real_image_resizer
+    resolve to None without PIL (stub path), and to a PIL-backed
+    callable when a module supplying PIL.Image is importable — the
+    optional-dependency seam a real cluster flips by shipping
+    Pillow, with no Spark-side change."""
+    import sys
+    import types
+
+    from terminus_server_spark.operators import multimodal as M
+
+    assert "PIL" not in sys.modules  # this container has no Pillow
+    assert M._real_image_decoder() is None
+    assert M._real_image_resizer() is None
+
+    class _FakeImg:
+        width, height, n_frames, format = 8, 6, 3, "PNG"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def resize(self, wh):
+            return self
+
+        def save(self, buf, format):
+            buf.write(b"fake-" + format.encode())
+
+    fake_image_mod = types.SimpleNamespace(open=lambda b: _FakeImg())
+    pil = types.ModuleType("PIL")
+    pil.Image = fake_image_mod
+    sys.modules["PIL"] = pil
+    sys.modules["PIL.Image"] = types.ModuleType("PIL.Image")
+    try:
+        dec = M._real_image_decoder()
+        assert dec is not None and dec(b"xx") == (8, 6, 3)
+        rz = M._real_image_resizer()
+        payload, w, h = rz(b"xx", 4)
+        assert (payload, w, h) == (b"fake-PNG", 4, 4)
+    finally:
+        del sys.modules["PIL"], sys.modules["PIL.Image"]
+
+
 def test_versioning_roundtrip(spark):
     from terminus_server_spark.versioning.layers import diff, materialize, rebase, squash
 
@@ -2048,10 +2093,16 @@ def test_embed_near_dup_size_hint_lazy_paths_agree(spark):
     dist = {
         (r.id_a, r.id_b, round(r.cos, 9))
         for r in embedding_near_dup_pairs(
-            emb, threshold=0.5, size_hint=10**9
+            emb, threshold=0.5, size_hint=10**9, allow_cross_join=True
         ).collect()
     }
     assert bcast == dist and len(bcast) > 0
+    # r7 verdict: above the broadcast budget the O(n²) plan must be an
+    # explicit opt-in — the default raises and points at the LSH path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ivf_topk"):
+        embedding_near_dup_pairs(emb, threshold=0.5, size_hint=10**9)
 
 
 # ---------------------------------------------------------------------------

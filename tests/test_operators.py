@@ -3585,6 +3585,54 @@ def test_prefix_filter_lossless_vs_brute_force(spark):
     assert (1, 3) in got and (4, 5) in got and (1, 2) not in got
 
 
+def test_prefix_filter_large_sets_no_overflow(spark):
+    """r7 advisory: float.as_integer_ratio() thresholds overflowed
+    bigint in the PPJoin length filter once a document held >~2k
+    distinct elements (and the double-division prefix length could
+    round up, silently dropping true pairs).  With the small-rational
+    threshold, 3000-element sets must run under ANSI mode and remain
+    LOSSLESS: two near-identical big sets are found, a disjoint big
+    set pairs with nothing."""
+    from terminus_server_spark.operators.dedup import (
+        _threshold_ratio,
+        prefix_filter_pairs,
+    )
+
+    p, q = _threshold_ratio(0.7)
+    assert q <= 1_000_000 and p / q <= 0.7 and 0.7 - p / q < 1e-6
+    n = 3000
+    a = [(1, f"e{i}") for i in range(n)]
+    b = [(2, f"e{i}") for i in range(100, n + 100)]  # |∩|=2900, J≈0.935
+    c = [(3, f"x{i}") for i in range(n)]  # disjoint from both
+    sets = spark.createDataFrame(a + b + c, "doc_id long, shingle string")
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in prefix_filter_pairs(sets, threshold=0.7).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == round(2900 / 3100, 6)
+
+
+def test_hll_alpha_scales_with_register_count(spark):
+    """r7 advisory: alpha was hardcoded to the m=64 constant, so any
+    b != 6 silently mis-scaled the estimate.  With alpha computed
+    from m, b=7 (m=128, asymptotic constant) must land within the
+    sketch's error envelope on 10k distinct keys."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import (
+        _hll_alpha,
+        hll_distinct_estimate,
+    )
+
+    assert _hll_alpha(64) == 0.709
+    assert abs(_hll_alpha(128) - 0.7213 / (1 + 1.079 / 128)) < 1e-12
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    est = hll_distinct_estimate(df, "k", b=7).collect()[0]["est_distinct"]
+    # raw HLL (no linear-counting branch) with m=128: ~9% std error
+    assert 10_000 * 0.7 < est < 10_000 * 1.3
+
+
 def test_weighted_median_tiny(spark):
     """Weighted median = smallest value whose cumulative weight
     reaches half the total, exactly."""

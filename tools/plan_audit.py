@@ -37,16 +37,40 @@ ARROW_OK = {"dedup_embed_cos", "dedup_embed_cos_exact", "mm_meta", "mm_features"
 # constant or a value range, NOT by corpus size).  Populated by
 # reading each hit's code; a new hit means a new scale hazard until
 # adjudicated here.
-WINDOW_OK: dict[str, str] = {}
+WINDOW_OK: dict[str, str] = {
+    # PQ codebook id assignment: row_number AFTER .limit(n_codes) — the
+    # window input is the <=n_codes-row seed set (constant), and the
+    # global orderBy+limit itself plans as TakeOrderedAndProject
+    "ann_ivfpq": "PQ codebook seeds (<= n_codes rows, post-limit)",
+    "ann_ivfpq_residual": "PQ codebook seeds (<= n_codes rows, post-limit)",
+    "ann_pq_audit": "PQ codebook seeds (<= n_codes rows, post-limit)",
+    # largest-remainder apportionment: row_number over the per-source
+    # remainder table — one row per source (vocabulary-bounded)
+    "docs_apportion_sample": "source-grain remainder ranks",
+    # bucket-prefix-sum offsets: 256-row (or grid-sized) count tables;
+    # the corpus-grain rank is the PARTITIONED in-bucket window
+    "docs_shuffle_index": "256-bucket offset prefix sum",
+    "orders_rfm": "date/count/price-grid bucket offset prefix sums",
+    "events_time_to_convert": "1024s-grid bucket offset prefix sum",
+    # calendar / vocabulary grains: one row per day / event type
+    "events_cumulative_uniques": "calendar-day grain cumulative sum",
+    "events_wilson_rank": "event-type-grain rank (type vocabulary)",
+    # fixed-grid CDF inversion: n_buckets rows by construction
+    "sketch_quantile_grid": "128-bucket fixed-grid CDF",
+    "stream_quantile_grid": "128-bucket fixed-grid CDF",
+}
 
 
 def _unpartitioned_windows(plan: str) -> int:
     """Count Window nodes with an EMPTY partition spec in a formatted
     plan.  A Window node's Arguments line is ``[functions], [part
-    spec], [order spec]`` when partitioned and ``[functions], [order
-    spec]`` when not — two top-level bracket groups instead of three
-    (nested windowspecdefinition/frame terms use parens, not
-    brackets, so the ``], [`` separator count is reliable)."""
+    spec], [order spec]`` — but BOTH trailing specs are omitted when
+    empty, so two groups can mean partition-only (agg over a group,
+    fine) or order-only (global sort window, the hazard).  The
+    discriminator is the LAST group: order-spec entries always carry
+    an ``ASC``/``DESC`` direction, partition columns never do.
+    (Nested windowspecdefinition/frame terms use parens, not
+    brackets, so the ``], [`` separator count is reliable.)"""
     n = 0
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
@@ -54,10 +78,18 @@ def _unpartitioned_windows(plan: str) -> int:
             continue
         for j in range(i + 1, min(i + 6, len(lines))):
             m = re.match(r"^Arguments: (.*)$", lines[j])
-            if m:
-                if m.group(1).count("], [") < 2:
-                    n += 1
-                break
+            if not m:
+                continue
+            args = m.group(1)
+            groups = args.count("], [")
+            if groups >= 2:
+                break  # functions + partition + order: partitioned
+            last = args.rsplit("], [", 1)[-1] if groups == 1 else ""
+            if groups == 0 or re.search(r"\b(ASC|DESC)\b", last):
+                # order-only (or bare-frame) spec: nothing partitions
+                # the input — the whole frame funnels into one task
+                n += 1
+            break
     return n
 
 

@@ -10,6 +10,7 @@ sides (see operators/relational.py module doc).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19896,17 +19897,22 @@ def orders_rfm(spark, sf_dir):
 
     Scale: the naive form — three global NTILE(5) windows — funnels
     the whole customer-grain table through ONE task (billions of rows
-    at 100 TB).  Each quintile here is instead recovered from an
-    EXACT global rank via the shuffle_index bucket-prefix-sum
-    pattern: rows land in coarse buckets that are monotone in the
-    sort order (the order DATE for recency, the order COUNT for
-    frequency, a 1000-unit price grid for monetary — all bounded by
-    VALUE RANGE, not corpus size), bucket counts prefix-sum over that
-    tiny table and broadcast back, and the in-bucket rank is a window
-    PARTITIONED BY bucket.  rank = offset + in-bucket row_number,
-    and the tile is the closed-form NTILE assignment (first n%5
-    tiles get ⌈n/5⌉ rows) — bit-identical to the single-window
-    answer at any partitioning.  The exact decimal monetary sum
+    at 100 TB).  Each quintile here is instead assigned by comparing
+    every row against the FOUR exact tile-boundary sort keys, found
+    without ever materializing a global rank: rows land in coarse
+    buckets monotone in the sort order (the order DATE for recency,
+    the order COUNT for frequency, a 1000-unit price grid for
+    monetary — all bounded by VALUE RANGE, not corpus size); the
+    bucket histogram is collected (metadata-scale, same contract as
+    the commit-DAG walks); the boundary RANKS (ends of tiles 1..4
+    under NTILE's first-n%5-tiles-get-⌈n/5⌉ rule) locate a boundary
+    bucket + in-bucket offset each; one window PARTITIONED BY bucket
+    over only those ≤4 buckets yields the boundary (value, custkey)
+    pairs; and the tile is 1 + how many boundaries the row sorts
+    after — a broadcast-free map-side expression.  Bit-identical to
+    the single-window answer at any partitioning (the strict sweep
+    checks it), two bounded collects + one small window instead of a
+    corpus-grain rank per dimension.  The exact decimal monetary sum
     keeps the quintile boundaries engine-identical."""
     from pyspark.sql import Window, functions as F
 
@@ -19924,54 +19930,93 @@ def orders_rfm(spark, sf_dir):
         )
         .transform(plan_checkpoint)
     )
-    # NTILE(5) OVER (ORDER BY _v DESC, custkey) from exact global
-    # ranks: first n%5 tiles take (n div 5)+1 rows, the rest n div 5;
-    # ceil divisions stay in integer arithmetic via SQL `div`.
-    tile = F.expr(
-        "CASE WHEN _rn <= (_nt % 5) * ((_nt div 5) + 1) "
-        "THEN (_rn + (_nt div 5)) div ((_nt div 5) + 1) "
-        "ELSE (_nt % 5) + (_rn - (_nt % 5) * ((_nt div 5) + 1) "
-        "      + greatest(_nt div 5, 1) - 1) div greatest(_nt div 5, 1) END"
-    ).cast("int")
 
-    def quintile(value_col, bucket_expr, out_col):
+    def quintile(value_col, bucket_expr):
         based = per_cust.select(
             "custkey", F.col(value_col).alias("_v")
         ).withColumn("_b", bucket_expr)
-        counts = based.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
-        # bounded-grain prefix sum (dates / counts / price-grid cells)
-        off = counts.select(
-            "_b",
-            (
-                F.sum("_n").over(
-                    Window.orderBy(F.col("_b").desc()).rowsBetween(
-                        Window.unboundedPreceding, Window.currentRow
-                    )
-                )
-                - F.col("_n")
-            ).alias("_off"),
+        # bucket histogram: bounded grain (dates / counts / grid cells)
+        hist = sorted(
+            based.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect(),
+            key=lambda r: r["_b"],
+            reverse=True,  # sort order is _v DESC
         )
-        total = counts.agg(F.sum("_n").cast("bigint").alias("_nt"))
-        w = Window.partitionBy("_b").orderBy(F.col("_v").desc(), "custkey")
-        return (
-            based.join(F.broadcast(off), "_b")
-            .crossJoin(F.broadcast(total))
-            .select(
-                "custkey",
-                (F.col("_off") + F.row_number().over(w)).alias("_rn"),
-                "_nt",
+        n = sum(r["_n"] for r in hist)
+        q, rem = divmod(n, 5)
+        # end rank of tiles 1..4 under NTILE semantics
+        ends = [k * (q + 1) if k <= rem else rem * (q + 1) + (k - rem) * q
+                for k in range(1, 5)]
+        ends = [e for e in ends if 0 < e < n]  # n<5 degenerates cleanly
+        # locate each boundary's bucket + within-bucket rank
+        want: dict = {}
+        cum = 0
+        it = iter(hist)
+        row = next(it, None)
+        for e in ends:
+            while row is not None and cum + row["_n"] < e:
+                cum += row["_n"]
+                row = next(it, None)
+            want.setdefault(row["_b"], []).append(e - cum)
+        boundary_rows = (
+            based.where(F.col("_b").isin(list(want)))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("_b").orderBy(F.col("_v").desc(), "custkey")
+                ),
             )
-            .select("custkey", tile.alias(out_col))
+            .where(
+                functools.reduce(
+                    lambda a, b: a | b,
+                    [
+                        (F.col("_b") == F.lit(bb)) & F.col("_rk").isin(rks)
+                        for bb, rks in want.items()
+                    ],
+                    F.lit(False),
+                )
+            )
+            .select("_v", "custkey", "_b", "_rk")
+            .collect()
+            if want
+            else []
         )
+        # boundary sort keys, in rank order
+        rank_of = {}
+        cum = 0
+        for h in hist:
+            for r2 in boundary_rows:
+                if r2["_b"] == h["_b"]:
+                    rank_of[cum + r2["_rk"]] = (r2["_v"], r2["custkey"])
+            cum += h["_n"]
+        bounds = [rank_of[e] for e in ends]
+        # tile = 1 + #boundaries this row sorts strictly after — a
+        # pure COLUMN over the value column, so the three dimensions
+        # compose in one projection (no joins back on custkey)
+        tile = F.lit(1)
+        for bv, bc in bounds:
+            after = (F.col(value_col) < F.lit(bv)) | (
+                (F.col(value_col) == F.lit(bv)) & (F.col("custkey") > F.lit(bc))
+            )
+            tile = tile + after.cast("int")
+        return tile.cast("int")
 
-    rt = quintile("last_order", F.col("_v"), "r")
-    ft = quintile("frequency", F.col("_v"), "f")
-    mt = quintile("monetary", F.floor(F.col("_v") / 1000.0).cast("bigint"), "m")
+    # the three dimensions' (bounded) collects are independent jobs —
+    # submit them concurrently so the driver round-trips overlap
+    # (Spark job submission is thread-safe; per_cust materializes once
+    # under its lazy checkpoint, whichever job touches it first)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as ex:
+        r_f = ex.submit(quintile, "last_order", F.col("_v"))
+        f_f = ex.submit(quintile, "frequency", F.col("_v"))
+        m_f = ex.submit(
+            quintile, "monetary", F.floor(F.col("_v") / 1000.0).cast("bigint")
+        )
+        r_t, f_t, m_t = r_f.result(), f_f.result(), m_f.result()
     return (
-        per_cust.select("custkey", "frequency")
-        .join(rt, "custkey")
-        .join(ft, "custkey")
-        .join(mt, "custkey")
+        per_cust.select(
+            "frequency", r_t.alias("r"), f_t.alias("f"), m_t.alias("m")
+        )
         .groupBy("r", "f", "m")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),

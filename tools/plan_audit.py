@@ -50,7 +50,8 @@ WINDOW_OK: dict[str, str] = {
     # bucket-prefix-sum offsets: 256-row (or grid-sized) count tables;
     # the corpus-grain rank is the PARTITIONED in-bucket window
     "docs_shuffle_index": "256-bucket offset prefix sum",
-    "orders_rfm": "date/count/price-grid bucket offset prefix sums",
+    # orders_rfm needs no entry since the boundary-broadcast rewrite:
+    # its only window is PARTITIONED BY bucket over <=4 boundary buckets
     "events_time_to_convert": "1024s-grid bucket offset prefix sum",
     # calendar / vocabulary grains: one row per day / event type
     "events_cumulative_uniques": "calendar-day grain cumulative sum",

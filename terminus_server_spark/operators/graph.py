@@ -1963,13 +1963,19 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         .join(in_d, edges["dst"] == in_d["n"])
         .select(F.col("xd").cast("bigint").alias("x"), F.col("yd").cast("bigint").alias("y"))
     )
+    # moments in decimal: a bigint x*y (and its bigint SUM over the
+    # edge set) overflows int64 once a hub's degree reaches ~1e8 —
+    # decimal(19,0) operands multiply in decimal(38,0), exact at any
+    # degree distribution (same discipline as events_cuped/agg_corr)
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y").cast("decimal(19,0)")
     m = pairs.agg(
         F.count(F.lit(1)).alias("n_edges"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((dx * dy).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dx * dx).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((dy * dy).cast("decimal(38,0)")).alias("syy"),
     )
     n = F.col("n_edges").cast("double")
     num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")

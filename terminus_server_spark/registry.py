@@ -12335,9 +12335,14 @@ def graph_reciprocity(spark, sf_dir):
       FROM e JOIN od ON e.src = od.n JOIN idg ON e.dst = idg.n),
     m AS (
       SELECT COUNT(*)::BIGINT AS n_edges,
-             SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
-             SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx,
-             SUM(y * y)::BIGINT AS syy
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS syy
       FROM p)
     SELECT n_edges,
            (n_edges::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
@@ -20221,7 +20226,7 @@ def text_langid_confusion(spark, sf_dir):
       SELECT COUNT(*)::BIGINT AS n_triangles
       FROM canon x JOIN canon y ON x.b = y.a JOIN canon z ON z.a = x.a AND z.b = y.b),
     deg AS (SELECT a, COUNT(*)::BIGINT AS d FROM und GROUP BY a),
-    wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+    wed AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
     SELECT n_triangles, n_wedges,
            ROUND(3.0 * n_triangles / n_wedges, 6) AS transitivity
     FROM tri, wed
@@ -20253,10 +20258,11 @@ def graph_transitivity(spark, sf_dir):
     tri = triangle_count(edges)
     und = _symmetrize(edges)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # integer div, not /2-then-cast: the double roundtrip loses
+    # exactness once d*(d-1) passes 2^53 (a ~9e7-degree hub); d*(d-1)
+    # is always even so `div 2` is exact in bigint
     wedges = deg.agg(
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
-        .cast("bigint")
-        .alias("n_wedges")
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("bigint").alias("n_wedges")
     )
     return tri.crossJoin(wedges).select(
         F.col("n_triangles").cast("bigint").alias("n_triangles"),

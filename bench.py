@@ -373,6 +373,7 @@ HEADLINE = [
     "path_any_wildcard",
     "acl_resolve_hierarchy",
     "gql_execute_nested_d3_offset",
+    "doc_diff_list_ops",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

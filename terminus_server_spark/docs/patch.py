@@ -376,3 +376,57 @@ def doc_patch_nested(
         patch_walk(F.col(f.name), f.dataType, f.name).alias(f.name) for f in fields
     ]
     return joined.select(*out)
+
+
+def list_patch_ops(
+    df: DataFrame,
+    old_col: str,
+    new_col: str,
+    key_col: str = "key",
+) -> DataFrame:
+    """(key, n_old, n_new, copy_prefix, copy_suffix, swap_old,
+    swap_new, op): the reference's LIST patch-operation decomposition
+    of two versions of an ordered list field (public locus: the
+    TerminusDB JSON diff/patch spec's CopyList / SwapList / KeepList
+    operations — a list diff is rendered ``CopyList n`` over the
+    common prefix, ``SwapList old mid / new mid`` over the differing
+    middle, ``CopyList m`` over the common suffix, degenerating to
+    ``KeepList`` when the lists are equal).
+
+    The decomposition is computed entirely with built-in array
+    lambdas (whole-stage codegen, no shuffle, no Python):
+    prefix = index of the first positional mismatch over the zipped
+    min-length range; suffix = same over the reversed remainders
+    (capped so prefix + suffix <= min length, which makes the
+    decomposition unique and the swap spans well-defined for
+    insertions/deletions).  Swap spans render '|'-joined so the
+    DuckDB oracle hash-matches the exact op payloads."""
+    a, b = F.col(old_col), F.col(new_col)
+    la, lb = F.size(a), F.size(b)
+    mn = F.least(la, lb)
+    empty_i = F.array().cast("array<int>")
+    idx = F.when(mn >= 1, F.sequence(F.lit(1), mn)).otherwise(empty_i)
+    mism = F.filter(
+        idx, lambda i: F.element_at(a, i) != F.element_at(b, i)
+    )
+    p = F.when(F.size(mism) > 0, F.element_at(mism, 1) - 1).otherwise(mn)
+    rem = mn - p
+    idx2 = F.when(rem >= 1, F.sequence(F.lit(1), rem)).otherwise(empty_i)
+    mism2 = F.filter(
+        idx2,
+        lambda j: F.element_at(a, la - j + 1) != F.element_at(b, lb - j + 1),
+    )
+    s = F.when(F.size(mism2) > 0, F.element_at(mism2, 1) - 1).otherwise(rem)
+    swap_old = F.slice(a, p + 1, la - p - s)
+    swap_new = F.slice(b, p + 1, lb - p - s)
+    keep = (la == lb) & (p == la)
+    return df.select(
+        F.col(key_col),
+        la.cast("bigint").alias("n_old"),
+        lb.cast("bigint").alias("n_new"),
+        p.cast("bigint").alias("copy_prefix"),
+        s.cast("bigint").alias("copy_suffix"),
+        F.array_join(swap_old, "|").alias("swap_old"),
+        F.array_join(swap_new, "|").alias("swap_new"),
+        F.when(keep, F.lit("KeepList")).otherwise(F.lit("SwapList")).alias("op"),
+    )

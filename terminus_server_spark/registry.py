@@ -20852,3 +20852,97 @@ def gql_execute_nested_d3_offset(spark, sf_dir):
             ("Order", "lineitems"): ("Lineitem", "o_orderkey", "l_orderkey"),
         },
     )["Customer"]
+
+
+@register(
+    "doc_diff_list_ops",
+    r"""
+    WITH base AS (
+      SELECT doc_id, (string_split_regex(trim(text), '\s+'))[1:8] AS a
+      FROM documents),
+    ed AS (
+      SELECT doc_id, a,
+        CASE doc_id % 4
+          WHEN 0 THEN a
+          WHEN 1 THEN CASE WHEN len(a) >= 3
+            THEN list_concat(list_concat(a[1:2], ['X']), a[4:len(a)])
+            ELSE a END
+          WHEN 2 THEN CASE WHEN len(a) >= 2
+            THEN list_concat(a[1:1], a[3:len(a)])
+            ELSE a END
+          ELSE list_concat(a, ['Z']) END AS b
+      FROM base),
+    m AS (
+      SELECT doc_id, a, b, len(a) AS la, len(b) AS lb,
+             least(len(a), len(b)) AS mn
+      FROM ed),
+    pp AS (
+      SELECT *, coalesce(
+        list_filter(range(1, mn + 1), i -> a[i] IS DISTINCT FROM b[i])[1] - 1,
+        mn) AS p
+      FROM m),
+    ss AS (
+      SELECT *, coalesce(
+        list_filter(range(1, mn - p + 1),
+                    j -> a[la - j + 1] IS DISTINCT FROM b[lb - j + 1])[1] - 1,
+        mn - p) AS s
+      FROM pp)
+    SELECT doc_id,
+           CAST(la AS BIGINT) AS n_old, CAST(lb AS BIGINT) AS n_new,
+           CAST(p AS BIGINT) AS copy_prefix, CAST(s AS BIGINT) AS copy_suffix,
+           coalesce(array_to_string(list_slice(a, p + 1, la - s), '|'), '')
+             AS swap_old,
+           coalesce(array_to_string(list_slice(b, p + 1, lb - s), '|'), '')
+             AS swap_new,
+           CASE WHEN la = lb AND p = la THEN 'KeepList' ELSE 'SwapList' END AS op
+    FROM ss
+    """,
+)
+def doc_diff_list_ops(spark, sf_dir):
+    """LIST patch-operation vocabulary (docs/patch.py:list_patch_ops;
+    public locus: the TerminusDB JSON diff/patch spec's CopyList /
+    SwapList / KeepList operations): ordered list fields diff into
+    ``CopyList prefix, SwapList old-mid/new-mid, CopyList suffix``,
+    degenerating to KeepList on equality — the positional complement
+    to the Set semantics `doc_diff_set` already covers.  The fixture
+    derives each document's token list and a deterministic edit by
+    doc_id % 4 (unchanged / replace-mid / delete-mid / append), so
+    every op shape appears, including length-changing swaps.  Both
+    sides compute the common prefix/suffix with array lambdas — no
+    shuffle, no Python, one projection."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.patch import list_patch_ops
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    a = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
+    n = F.size(F.col("a"))
+    with_a = docs.select("doc_id", a.alias("a"))
+    b = (
+        F.when(F.col("doc_id") % 4 == 0, F.col("a"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.when(
+                n >= 3,
+                F.concat(
+                    F.slice(F.col("a"), 1, 2),
+                    F.array(F.lit("X")),
+                    F.slice(F.col("a"), 4, F.greatest(n - 3, F.lit(0))),
+                ),
+            ).otherwise(F.col("a")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.when(
+                n >= 2,
+                F.concat(
+                    F.slice(F.col("a"), 1, 1),
+                    F.slice(F.col("a"), 3, F.greatest(n - 2, F.lit(0))),
+                ),
+            ).otherwise(F.col("a")),
+        )
+        .otherwise(F.concat(F.col("a"), F.array(F.lit("Z"))))
+    )
+    return list_patch_ops(
+        with_a.select("doc_id", "a", b.alias("b")), "a", "b", key_col="doc_id"
+    )

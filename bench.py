@@ -374,6 +374,7 @@ HEADLINE = [
     "acl_resolve_hierarchy",
     "gql_execute_nested_d3_offset",
     "doc_diff_list_ops",
+    "doc_patch_list_ops",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

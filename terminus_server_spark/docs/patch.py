@@ -430,3 +430,41 @@ def list_patch_ops(
         F.array_join(swap_new, "|").alias("swap_new"),
         F.when(keep, F.lit("KeepList")).otherwise(F.lit("SwapList")).alias("op"),
     )
+
+
+def list_patch_apply(
+    df: DataFrame,
+    old_col: str,
+    key_col: str = "key",
+    prefix_col: str = "copy_prefix",
+    suffix_col: str = "copy_suffix",
+    swap_new_col: str = "swap_new",
+    sep: str = "|",
+) -> DataFrame:
+    """(key, patched): apply a CopyList/SwapList/KeepList patch (the
+    ``list_patch_ops`` rendering) to the old list — the reference's
+    list-patch application: keep the first ``copy_prefix`` elements,
+    splice in the swap payload, keep the last ``copy_suffix``
+    elements.  ``apply(old, diff(old, new)) == new`` for every
+    decomposition ``list_patch_ops`` emits (the registry key
+    hash-checks exactly that roundtrip).  Pure array expressions —
+    same no-shuffle profile as the diff side."""
+    a = F.col(old_col)
+    la = F.size(a)
+    p, s = F.col(prefix_col).cast("int"), F.col(suffix_col).cast("int")
+    # accept the swap payload either as an array column (lossless —
+    # preferred when elements may contain the separator) or as the
+    # list_patch_ops '|'-joined rendering
+    if dict(df.dtypes).get(swap_new_col, "string").startswith("array"):
+        swap = F.col(swap_new_col)
+    else:
+        import re
+
+        swap = F.when(
+            F.length(F.col(swap_new_col)) > 0,
+            F.split(F.col(swap_new_col), re.escape(sep)),
+        ).otherwise(F.array().cast("array<string>"))
+    patched = F.concat(
+        F.slice(a, 1, p), swap, F.slice(a, la - s + 1, s)
+    )
+    return df.select(F.col(key_col), patched.alias("patched"))

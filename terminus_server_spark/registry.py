@@ -20946,3 +20946,51 @@ def doc_diff_list_ops(spark, sf_dir):
     return list_patch_ops(
         with_a.select("doc_id", "a", b.alias("b")), "a", "b", key_col="doc_id"
     )
+
+
+@register(
+    "doc_patch_list_ops",
+    r"""
+    WITH base AS (
+      SELECT doc_id, (string_split_regex(trim(text), '\s+'))[1:8] AS a
+      FROM documents),
+    ed AS (
+      SELECT doc_id, a,
+        CASE doc_id % 4
+          WHEN 0 THEN a
+          WHEN 1 THEN CASE WHEN len(a) >= 3
+            THEN list_concat(list_concat(a[1:2], ['X']), a[4:len(a)])
+            ELSE a END
+          WHEN 2 THEN CASE WHEN len(a) >= 2
+            THEN list_concat(a[1:1], a[3:len(a)])
+            ELSE a END
+          ELSE list_concat(a, ['Z']) END AS b
+      FROM base)
+    SELECT doc_id, array_to_string(b, '|') AS patched_joined,
+           CAST(len(b) AS BIGINT) AS n_patched
+    FROM ed
+    """,
+)
+def doc_patch_list_ops(spark, sf_dir):
+    """List-patch APPLICATION (docs/patch.py:list_patch_apply): the
+    CopyList/SwapList/KeepList decomposition from `doc_diff_list_ops`
+    is applied back onto the old list, and the oracle checks the
+    roundtrip law apply(old, diff(old, new)) == new directly against
+    the independently-derived new list — the diff and the patch
+    cannot drift apart without this key going red.  Prefix slice +
+    swap splice + suffix slice, all array expressions, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.patch import list_patch_apply
+
+    diffed = QUERIES["doc_diff_list_ops"](spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    a = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
+    old = docs.select("doc_id", a.alias("a"))
+    joined = old.join(diffed, "doc_id")
+    out = list_patch_apply(joined, "a", key_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("patched"), "|").alias("patched_joined"),
+        F.size("patched").cast("bigint").alias("n_patched"),
+    )

@@ -375,6 +375,7 @@ HEADLINE = [
     "gql_execute_nested_d3_offset",
     "doc_diff_list_ops",
     "doc_patch_list_ops",
+    "doc_insert_random_key",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

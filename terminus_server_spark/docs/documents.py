@@ -767,3 +767,21 @@ def merge_documents_three_way(
         key_col, "field", "base_v", "left_v", "right_v",
         merged.alias("merged_v"), status.alias("status"),
     )
+
+
+def random_key_subjects(df: DataFrame, class_name: str) -> DataFrame:
+    """Attach a Random-strategy subject id: ``<Class>/<uuid4>`` (the
+    reference's fourth document key type beside lexical / hash /
+    value_hash — public locus: TerminusDB schema key strategies;
+    Random draws a fresh unique id per inserted document, used when
+    no natural or content-derived key exists).
+
+    Nondeterministic BY SPECIFICATION — uuid() draws per row on the
+    executors with no coordination (scale-free id assignment: no
+    sequence bottleneck, no shuffle).  Correctness therefore gates on
+    INVARIANTS rather than values: cardinality preserved, ids unique,
+    ids well-formed, payload untouched — exactly what the registry
+    key's aggregate checks."""
+    return df.withColumn(
+        "subject", F.concat(F.lit(class_name + "/"), F.expr("uuid()"))
+    )

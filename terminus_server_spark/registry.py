@@ -20994,3 +20994,43 @@ def doc_patch_list_ops(spark, sf_dir):
         F.array_join(F.col("patched"), "|").alias("patched_joined"),
         F.size("patched").cast("bigint").alias("n_patched"),
     )
+
+
+@register(
+    "doc_insert_random_key",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_wellformed,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents
+    """,
+)
+def doc_insert_random_key(spark, sf_dir):
+    """Random key strategy (docs/documents.py:random_key_subjects) —
+    the reference's fourth document key type: every inserted document
+    draws a fresh uuid subject, executor-side with no sequence
+    bottleneck.  Randomness is the SPEC, so the gate checks the
+    strategy's contract as aggregate invariants the oracle restates
+    closed-form: one id per document (cardinality), all ids distinct
+    (uniqueness — the property Random exists to provide), all ids
+    shaped ``Doc/<uuid-v4>`` (format), and the payload untouched
+    (n_chars total survives the projection)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import random_key_subjects
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    subj = random_key_subjects(docs, "Doc")
+    uuid_re = (
+        "^Doc/[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-"
+        "[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    return subj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("subject").cast("bigint").alias("n_distinct_ids"),
+        F.sum(F.when(F.col("subject").rlike(uuid_re), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_wellformed"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )

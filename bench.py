@@ -376,6 +376,7 @@ HEADLINE = [
     "doc_diff_list_ops",
     "doc_patch_list_ops",
     "doc_insert_random_key",
+    "gql_execute_to_one",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -306,7 +306,8 @@ def _query_level(frames, relations, cls, args, fields):
     # doc_related_count), so tooling can ask for rollups without a
     # nested selection set.  Absent children count 0 / sum 0.0.
     for name in [f for f in fields if isinstance(f, str)]:
-        for (c, rel), (child_cls, parent_key, child_fk) in relations.items():
+        for (c, rel), spec in relations.items():
+            child_cls, parent_key, child_fk = spec[:3]
             if c != cls:
                 continue
             if name == f"{rel}_count":
@@ -334,6 +335,30 @@ def _query_level(frames, relations, cls, args, fields):
             raise ValueError(
                 f"graphql: no relation registered for {cls}.{sub['name']}"
             )
+        if len(rel) > 3 and rel[3] == "one":
+            # TO-ONE link field (the reference's document link: the fk
+            # lives on the PARENT and points at the child's key, so
+            # each parent renders ONE nested JSON object, not a list).
+            # Per-parent paging args are meaningless on a single
+            # object — surface the error instead of mis-compiling.
+            if any(k in sub["args"] for k in ("orderBy", "limit", "offset")):
+                raise ValueError(
+                    f"graphql: orderBy/limit/offset invalid on to-one "
+                    f"field {cls}.{sub['name']}"
+                )
+            child_cls, parent_key, child_fk = rel[:3]
+            child = _query_level(
+                frames, relations, child_cls, sub["args"], sub["fields"]
+            )
+            names = [f if isinstance(f, str) else f["name"] for f in sub["fields"]]
+            obj = child.select(
+                F.col(child_fk).alias(parent_key),
+                F.to_json(F.struct(*[F.col(c) for c in names])).alias(sub["name"]),
+            )
+            out = out.join(obj, parent_key, "left_outer").withColumn(
+                sub["name"], F.coalesce(F.col(sub["name"]), F.lit("null"))
+            )
+            continue
         child_cls, parent_key, child_fk = rel
         # orderBy/limit/offset on a nested field are PER-PARENT
         # semantics — strip them before recursing (a global limit in

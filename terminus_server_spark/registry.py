@@ -21034,3 +21034,49 @@ def doc_insert_random_key(spark, sf_dir):
         .alias("n_wellformed"),
         F.sum("n_chars").cast("bigint").alias("n_chars_total"),
     )
+
+
+@register(
+    "gql_execute_to_one",
+    """
+    SELECT o.o_orderkey, o.o_totalprice,
+           COALESCE(CASE WHEN c.c_custkey IS NOT NULL
+                         THEN to_json(struct_pack(
+                                c_name := c.c_name,
+                                c_mktsegment := c.c_mktsegment))::VARCHAR
+                    END, 'null') AS customer
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 400000
+    """,
+)
+def gql_execute_to_one(spark, sf_dir):
+    """TO-ONE GraphQL link field (docs/graphql.py: relations entries
+    tagged "one"; reference: a document's link property renders ONE
+    nested object — `Order { customer { ... } }` — while the reverse
+    set field renders a list): the fk lives on the parent and points
+    at the child's key, compiled as one left join + to_json(struct),
+    no aggregation, broadcast-able when the child dimension is small.
+    Missing links render JSON null; orderBy/limit/offset on a to-one
+    field raise instead of mis-compiling (tested in the GraphQL unit
+    suite)."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "orders", "customer")
+    src = """
+    query {
+      Order(filter: {_and: [{o_orderpriority: {eq: "1-URGENT"}},
+                            {o_totalprice: {gt: 400000.0}}]}) {
+        o_orderkey
+        o_totalprice
+        customer {
+          c_name
+          c_mktsegment
+        }
+      }
+    }
+    """
+    return execute_graphql(
+        {"Order": t["orders"], "Customer": t["customer"]},
+        src,
+        relations={("Order", "customer"): ("Customer", "o_custkey", "c_custkey", "one")},
+    )["Order"]

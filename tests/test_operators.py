@@ -2305,6 +2305,40 @@ def test_graphql_nested_paged_per_parent(spark):
     assert rows[2] == []
 
 
+def test_graphql_to_one_link_field(spark):
+    """To-one link fields ("one"-tagged relations): one JSON object
+    per parent (not a list), missing link renders JSON null, and
+    paging args on a to-one field raise instead of mis-compiling."""
+    import json
+
+    import pytest as _pytest
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    orders = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 999)], "ok long, fk long"
+    )
+    custs = spark.createDataFrame(
+        [(100, "alice"), (200, "bob")], "ck long, cn string"
+    )
+    rels = {("O", "cust"): ("C", "fk", "ck", "one")}
+    out = execute_graphql(
+        {"O": orders, "C": custs},
+        "query { O { ok cust { cn } } }",
+        relations=rels,
+    )["O"]
+    rows = {r.ok: r.cust for r in out.collect()}
+    assert json.loads(rows[1]) == {"cn": "alice"}
+    assert json.loads(rows[2]) == {"cn": "bob"}
+    assert rows[3] == "null"  # dangling link -> JSON null, parent kept
+    with _pytest.raises(ValueError, match="to-one"):
+        execute_graphql(
+            {"O": orders, "C": custs},
+            "query { O { ok cust(limit: 1) { cn } } }",
+            relations=rels,
+        )["O"].collect()
+
+
 def test_graphql_nested_depth2_with_paging(spark):
     """Depth-2 nested selections: grandchildren render as JSON inside
     the child JSON, and per-parent paging applies at each level

@@ -2305,6 +2305,39 @@ def test_graphql_nested_paged_per_parent(spark):
     assert rows[2] == []
 
 
+def test_list_patch_ops_roundtrip_random(spark):
+    """apply(old, diff(old, new)) == new over 300 random list pairs
+    (lengths 0-6 incl. empty lists, repeated elements, pure inserts/
+    deletes) — the CopyList/SwapList decomposition and its
+    application as one batched Spark job."""
+    import random
+
+    from terminus_server_spark.docs.patch import list_patch_apply, list_patch_ops
+
+    rnd = random.Random(8)
+    rows = []
+    for i in range(300):
+        old = [rnd.choice("abc") for _ in range(rnd.randint(0, 6))]
+        new = [rnd.choice("abc") for _ in range(rnd.randint(0, 6))]
+        rows.append((i, old, new))
+    df = spark.createDataFrame(rows, "key long, a array<string>, b array<string>")
+    ops = list_patch_ops(df, "a", "b", key_col="key")
+    joined = df.join(ops, "key")
+    got = {
+        r.key: list(r.patched)
+        for r in list_patch_apply(joined, "a", key_col="key").collect()
+    }
+    assert got == {i: new for i, _, new in rows}
+    # decomposition invariants: prefix+suffix never exceed min length,
+    # equal pairs are KeepList with empty swaps
+    for r in ops.collect():
+        i = r.key
+        _, old, new = rows[i]
+        assert r.copy_prefix + r.copy_suffix <= min(len(old), len(new))
+        if old == new:
+            assert r.op == "KeepList" and r.swap_old == "" and r.swap_new == ""
+
+
 def test_graphql_to_one_link_field(spark):
     """To-one link fields ("one"-tagged relations): one JSON object
     per parent (not a list), missing link renders JSON null, and

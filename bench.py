@@ -377,6 +377,7 @@ HEADLINE = [
     "doc_patch_list_ops",
     "doc_insert_random_key",
     "gql_execute_to_one",
+    "gql_execute_ids",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -273,7 +273,7 @@ def filter_to_tree(obj: dict):
     return ("and", parts)
 
 
-def _query_level(frames, relations, cls, args, fields):
+def _query_level(frames, relations, cls, args, fields, id_cols=None):
     from pyspark.sql import functions as F
 
     from terminus_server_spark.docs.documents import filter_documents, query_documents
@@ -281,6 +281,19 @@ def _query_level(frames, relations, cls, args, fields):
     predicates = []
     if "filter" in args:
         predicates = [filter_to_tree(args["filter"])]
+    # id / ids query arguments (reference: every generated query type
+    # accepts them): compile to an `in` predicate on the class's
+    # registered id column, so the filter pushes to the scan and
+    # composes with filter/orderBy/limit/offset like any predicate.
+    if "id" in args or "ids" in args:
+        key_col = (id_cols or {}).get(cls)
+        if key_col is None:
+            raise ValueError(
+                f"graphql: id/ids argument needs an id column registered "
+                f"for {cls} (pass id_cols={{...}})"
+            )
+        wanted = [args["id"]] if "id" in args else list(args["ids"])
+        predicates.append((key_col, "in", wanted))
     order_by = None
     if "orderBy" in args:
         ob = args["orderBy"]
@@ -348,7 +361,8 @@ def _query_level(frames, relations, cls, args, fields):
                 )
             child_cls, parent_key, child_fk = rel[:3]
             child = _query_level(
-                frames, relations, child_cls, sub["args"], sub["fields"]
+                frames, relations, child_cls, sub["args"], sub["fields"],
+                id_cols=id_cols,
             )
             names = [f if isinstance(f, str) else f["name"] for f in sub["fields"]]
             obj = child.select(
@@ -373,7 +387,10 @@ def _query_level(frames, relations, cls, args, fields):
         }
         # the child frame keeps its full columns (incl. the fk) —
         # projection happens only at the JSON rendering below
-        child = _query_level(frames, relations, child_cls, child_args, sub["fields"])
+        child = _query_level(
+            frames, relations, child_cls, child_args, sub["fields"],
+            id_cols=id_cols,
+        )
         sub_names = [f if isinstance(f, str) else f["name"] for f in sub["fields"]]
         if paged:
             from pyspark.sql.window import Window
@@ -553,6 +570,7 @@ def execute_graphql(
     schema=None,
     store=None,
     variables: dict | None = None,
+    id_cols: dict | None = None,
 ):
     """Execute a parsed GraphQL request against ``frames`` (class
     name → DataFrame) and return {class: DataFrame}.
@@ -575,7 +593,11 @@ def execute_graphql(
 
     ``store``: a ``TripleStore`` — enables the ``_path`` root field
     (graph path traversal over the store's edges, see
-    :func:`_path_query`)."""
+    :func:`_path_query`).
+
+    ``id_cols``: class → id column; enables the generated schema's
+    ``id:`` / ``ids: [...]`` query arguments (compiled to an `in`
+    predicate pushed to the scan)."""
     relations = relations or {}
     out = {}
     for key, req in parse_graphql(src, variables).items():
@@ -594,7 +616,9 @@ def execute_graphql(
             continue
         if cls not in frames:
             raise ValueError(f"graphql: unknown class {cls!r}")
-        level = _query_level(frames, relations, cls, req["args"], req["fields"])
+        level = _query_level(
+            frames, relations, cls, req["args"], req["fields"], id_cols=id_cols
+        )
         names = [f if isinstance(f, str) else f["name"] for f in req["fields"]]
         out[key] = level.select(*names)
     return out

@@ -21080,3 +21080,40 @@ def gql_execute_to_one(spark, sf_dir):
         src,
         relations={("Order", "customer"): ("Customer", "o_custkey", "c_custkey", "one")},
     )["Order"]
+
+
+@register(
+    "gql_execute_ids",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (7, 14, 21, 28, 35, 42, 49, 1400)
+      AND c_acctbal > 0
+    """,
+)
+def gql_execute_ids(spark, sf_dir):
+    """`id`/`ids` query arguments (docs/graphql.py id_cols; reference:
+    every generated query type accepts id and ids — fetch documents
+    by identifier, composable with filter/orderBy/limit): the ids
+    list compiles to an `in` predicate on the class's registered id
+    column, pushed to the parquet scan like any filter (PushedFilters
+    shows the In).  Combined here with a value filter to prove the
+    arguments compose rather than replace each other."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer")
+    src = """
+    query {
+      Customer(ids: [7, 14, 21, 28, 35, 42, 49, 1400],
+               filter: {c_acctbal: {gt: 0.0}}) {
+        c_custkey
+        c_name
+        c_acctbal
+      }
+    }
+    """
+    return execute_graphql(
+        {"Customer": t["customer"]},
+        src,
+        id_cols={"Customer": "c_custkey"},
+    )["Customer"]

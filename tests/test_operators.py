@@ -2305,6 +2305,31 @@ def test_graphql_nested_paged_per_parent(spark):
     assert rows[2] == []
 
 
+def test_graphql_id_ids_arguments(spark):
+    """id fetches one document, ids a set; both compile to an `in`
+    predicate on the registered id column and compose with filter;
+    an unregistered class raises instead of silently scanning."""
+    import pytest as _pytest
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    docs = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, "c", 2.0)], "k long, n string, v double"
+    )
+    got = execute_graphql(
+        {"D": docs}, "query { D(id: 2) { k n } }", id_cols={"D": "k"}
+    )["D"].collect()
+    assert [(r.k, r.n) for r in got] == [(2, "b")]
+    got = execute_graphql(
+        {"D": docs},
+        "query { D(ids: [1, 2, 3], filter: {v: {gt: 0.0}}) { k } }",
+        id_cols={"D": "k"},
+    )["D"].collect()
+    assert sorted(r.k for r in got) == [1, 3]
+    with _pytest.raises(ValueError, match="id_cols"):
+        execute_graphql({"D": docs}, "query { D(id: 2) { k } }")["D"].collect()
+
+
 def test_list_patch_ops_roundtrip_random(spark):
     """apply(old, diff(old, new)) == new over 300 random list pairs
     (lengths 0-6 incl. empty lists, repeated elements, pure inserts/

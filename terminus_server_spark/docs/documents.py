@@ -645,7 +645,9 @@ def graphql_schema(frames: DataFrame) -> DataFrame:
         )
     )
 
-    qargs = F.array(*[F.lit(a) for a in ("filter", "orderBy", "limit", "offset")])
+    qargs = F.array(
+        *[F.lit(a) for a in ("id", "ids", "filter", "orderBy", "limit", "offset")]
+    )
     query = (
         classes.select(
             F.struct(

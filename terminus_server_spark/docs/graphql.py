@@ -23,8 +23,8 @@ query cost is unchanged by the wire format.
 
 Grammar subset (the shapes the generated schema admits):
 - one operation, optional ``query`` keyword, one or more root fields;
-- root field = class name with optional (filter / orderBy / limit /
-  offset) arguments and a flat selection set of scalar fields;
+- root field = class name with optional (id / ids / filter / orderBy /
+  limit / offset) arguments and a flat selection set of scalar fields;
 - filter object: per-field operator maps ``{field: {op: value}}``
   with op in eq/ne/gt/ge/lt/le/like/regex/in, plus ``_and``/``_or``
   (lists) and ``_not`` combinators, arbitrarily nested;

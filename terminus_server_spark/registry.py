@@ -5041,7 +5041,7 @@ def schema_frames_inherited(spark, sf_dir):
       ('Entity_Filter', 'INPUT_OBJECT', '{"name":"Entity_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Entity_Filter]","ops":[]},{"name":"_not","type":"Entity_Filter","ops":[]},{"name":"_or","type":"[Entity_Filter]","ops":[]},{"name":"id","type":"String","ops":["eq","ne","lt","gt","like","regex"]}]}'),
       ('Nation_Filter', 'INPUT_OBJECT', '{"name":"Nation_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Nation_Filter]","ops":[]},{"name":"_not","type":"Nation_Filter","ops":[]},{"name":"_or","type":"[Nation_Filter]","ops":[]},{"name":"name","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"population","type":"Int","ops":["eq","ne","lt","gt"]}]}'),
       ('Supplier_Filter', 'INPUT_OBJECT', '{"name":"Supplier_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Supplier_Filter]","ops":[]},{"name":"_not","type":"Supplier_Filter","ops":[]},{"name":"_or","type":"[Supplier_Filter]","ops":[]},{"name":"balance","type":"Float","ops":["eq","ne","lt","gt"]},{"name":"id","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"name","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"nation","type":"Nation","ops":["eq"]}]}'),
-      ('Query', 'QUERY', '{"name":"Query","kind":"QUERY","fields":[{"name":"Agent","type":"[Agent]","args":["filter","orderBy","limit","offset"]},{"name":"Customer","type":"[Customer]","args":["filter","orderBy","limit","offset"]},{"name":"Entity","type":"[Entity]","args":["filter","orderBy","limit","offset"]},{"name":"Nation","type":"[Nation]","args":["filter","orderBy","limit","offset"]},{"name":"Supplier","type":"[Supplier]","args":["filter","orderBy","limit","offset"]}]}')
+      ('Query', 'QUERY', '{"name":"Query","kind":"QUERY","fields":[{"name":"Agent","type":"[Agent]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Customer","type":"[Customer]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Entity","type":"[Entity]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Nation","type":"[Nation]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Supplier","type":"[Supplier]","args":["id","ids","filter","orderBy","limit","offset"]}]}')
     ) AS t(type_name, kind, doc)
     """,
 )

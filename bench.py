@@ -378,6 +378,7 @@ HEADLINE = [
     "doc_insert_random_key",
     "gql_execute_to_one",
     "gql_execute_ids",
+    "gql_execute_id_field",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

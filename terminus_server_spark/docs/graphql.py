@@ -312,6 +312,20 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
     )
     nested = [f for f in fields if isinstance(f, dict)]
     out = df
+    # the generated schema's `_id: ID!` field: document identifier
+    # rendered `<Class>/<key>` from the registered id column — a pure
+    # projection, available at any nesting depth (child levels pass
+    # through this same function)
+    if "_id" in [f for f in fields if isinstance(f, str)]:
+        key_col = (id_cols or {}).get(cls)
+        if key_col is None:
+            raise ValueError(
+                f"graphql: the _id field needs an id column registered "
+                f"for {cls} (pass id_cols={{...}})"
+            )
+        out = out.withColumn(
+            "_id", F.concat(F.lit(cls + "/"), F.col(key_col).cast("string"))
+        )
     # aggregation-field sugar over registered relations: a SCALAR
     # selection named <rel>_count / <rel>_sum_<col> compiles to one
     # child aggregation joined back on the parent key — the wire-level

@@ -21117,3 +21117,52 @@ def gql_execute_ids(spark, sf_dir):
         src,
         id_cols={"Customer": "c_custkey"},
     )["Customer"]
+
+
+@register(
+    "gql_execute_id_field",
+    """
+    WITH par AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9500.0),
+    ch AS (
+      SELECT o_custkey,
+             to_json(list(struct_pack(_id := 'Order/' || o_orderkey)
+                          ORDER BY 'Order/' || o_orderkey))::VARCHAR AS orders
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_custkey)
+    SELECT 'Customer/' || p.c_custkey AS _id, p.c_name,
+           COALESCE(ch.orders, '[]') AS orders
+    FROM par p LEFT JOIN ch ON p.c_custkey = ch.o_custkey
+    """,
+)
+def gql_execute_id_field(spark, sf_dir):
+    """The generated schema's `_id: ID!` selection field (docs/
+    graphql.py; reference: every object type carries _id, the
+    document IRI): rendered `<Class>/<key>` from the registered id
+    column as a pure projection — no join, no shuffle — and available
+    at ANY nesting depth because child levels recurse through the
+    same compiler (the nested orders here select only _id, proving a
+    link field can project identifiers without fetching payload
+    columns).  Unregistered classes raise."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    src = """
+    query {
+      Customer(filter: {_and: [{c_mktsegment: {eq: "AUTOMOBILE"}},
+                               {c_acctbal: {gt: 9500.0}}]}) {
+        _id
+        c_name
+        orders(filter: {o_orderstatus: {eq: "O"}}) {
+          _id
+        }
+      }
+    }
+    """
+    return execute_graphql(
+        {"Customer": t["customer"], "Order": t["orders"]},
+        src,
+        relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
+        id_cols={"Customer": "c_custkey", "Order": "o_orderkey"},
+    )["Customer"]

@@ -292,8 +292,12 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
                 f"graphql: id/ids argument needs an id column registered "
                 f"for {cls} (pass id_cols={{...}})"
             )
-        wanted = [args["id"]] if "id" in args else list(args["ids"])
-        predicates.append((key_col, "in", wanted))
+        # each argument contributes its own predicate, so giving both
+        # id and ids means their intersection (AND), like any filters
+        if "id" in args:
+            predicates.append((key_col, "in", [args["id"]]))
+        if "ids" in args:
+            predicates.append((key_col, "in", list(args["ids"])))
     order_by = None
     if "orderBy" in args:
         ob = args["orderBy"]

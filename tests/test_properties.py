@@ -553,3 +553,21 @@ def test_path_string_roundtrip(pattern):
 
     rendered = render_path_string(pattern)
     assert parse_path_string(rendered) == pattern
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.floats(min_value=1e-6, max_value=1.0, allow_nan=False))
+def test_threshold_ratio_sound_and_tight(t):
+    """The prefix-filter threshold rational must be SOUND (p/q <= t,
+    so a smaller effective threshold only enlarges the candidate set
+    — losslessness) and TIGHT (within 1e-6, so the extra candidates
+    stay negligible), with q bounded so every length-filter product
+    stays deep inside int64.  Pure driver-side arithmetic."""
+    from fractions import Fraction
+
+    from terminus_server_spark.operators.dedup import _threshold_ratio
+
+    p, q = _threshold_ratio(t)
+    assert 1 <= q <= 1_000_000
+    assert Fraction(p, q) <= Fraction(t)
+    assert t - p / q <= 1e-6  # equality only at the grid floor (t ~ q^-1)

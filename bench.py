@@ -379,6 +379,7 @@ HEADLINE = [
     "gql_execute_to_one",
     "gql_execute_ids",
     "gql_execute_id_field",
+    "docs_decontaminate_semantic",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

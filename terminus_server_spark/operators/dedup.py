@@ -1243,3 +1243,46 @@ def prefix_filter_pairs(
         )
     )
     return jac.where(F.col("jaccard") >= threshold)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, max_cos_eval, contaminated): EMBEDDING-space benchmark
+    decontamination — every corpus document scored by its maximum
+    cosine against the evaluation set, flagged above ``threshold``.
+    The semantic complement to shingle-hash decontamination
+    (pipeline.decontaminate): paraphrased or reformatted test items
+    that share no 5-gram still sit next to their source in embedding
+    space (the Phi/GPT-3 appendix-style decontamination audit).
+
+    Scale shape: eval sets are benchmark-sized (thousands), so the
+    eval side BROADCASTS and the corpus streams through ONE scan —
+    a BNLJ against a small built side, the same plan class as
+    ann_topk_brute, never a corpus×corpus join.  For an eval set too
+    big to broadcast, prune with similarity.ivf_topk first.  Cosines
+    use the module's fixed-point convention, so the flags are
+    bit-reproducible by the SQL oracle."""
+    from terminus_server_spark.operators.similarity import (
+        cosine_from_parts,
+        scaled_parts,
+    )
+
+    pa = scaled_parts(corpus, id_col, vec_col, "a")
+    pb = scaled_parts(evalset, id_col, vec_col, "b")
+    scored = pa.crossJoin(F.broadcast(pb)).select(
+        "id_a", cosine_from_parts().alias("cos")
+    )
+    return (
+        scored.groupBy("id_a")
+        .agg(F.max("cos").alias("max_cos_eval"))
+        .select(
+            F.col("id_a").alias(id_col),
+            "max_cos_eval",
+            (F.col("max_cos_eval") >= threshold).alias("contaminated"),
+        )
+    )

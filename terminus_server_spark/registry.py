@@ -21166,3 +21166,36 @@ def gql_execute_id_field(spark, sf_dir):
         relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
         id_cols={"Customer": "c_custkey", "Order": "o_orderkey"},
     )["Customer"]
+
+
+@register(
+    "docs_decontaminate_semantic",
+    f"""
+    WITH {_PARTS_SQL},
+    c AS (SELECT * FROM parts WHERE vec_id % 7 <> 0),
+    e AS (SELECT * FROM parts WHERE vec_id % 7 = 0),
+    s AS (
+      SELECT a.vec_id AS vec_id, MAX({_COS_SQL}) AS max_cos_eval
+      FROM c a JOIN e b ON true
+      GROUP BY a.vec_id)
+    SELECT vec_id, max_cos_eval, max_cos_eval >= 0.9 AS contaminated
+    FROM s
+    """,
+)
+def docs_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination (operators/dedup.py:
+    semantic_decontaminate): max cosine of every corpus vector
+    against the held-out eval split (vec_id % 7 = 0), flagged at
+    0.9 — catches paraphrased test items the 5-gram shingle
+    decontamination key (docs_decontaminate) cannot.  Eval side
+    broadcast, corpus scanned once; fixed-point cosines make the
+    approximate-free score hash-identical to the oracle's closed
+    form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.dedup import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    evalset = emb.where(F.col("vec_id") % 7 == 0)
+    return semantic_decontaminate(corpus, evalset, threshold=0.9)

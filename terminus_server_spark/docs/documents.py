@@ -527,7 +527,9 @@ _GQL_SCALARS = {
 }
 
 
-def graphql_schema(frames: DataFrame) -> DataFrame:
+def graphql_schema(
+    frames: DataFrame, id_cols: dict[str, str] | None = None
+) -> DataFrame:
     """(type_name, kind, doc): the GraphQL schema document generated
     from effective class frames — the reference's graphql layer emits
     exactly this from its schema (terminus-server src/rust/graphql:
@@ -550,7 +552,15 @@ def graphql_schema(frames: DataFrame) -> DataFrame:
     eq/ne/lt/gt, booleans eq/ne, links eq).  Field lists are
     name-sorted so the JSON rendering is canonical and byte-stable.
     Schema generation is metadata-scale; the plan is a handful of
-    unions + one groupBy over |classes × properties| rows."""
+    unions + one groupBy over |classes × properties| rows.
+
+    ``id_cols`` (same registry ``execute_graphql`` consumes): when
+    provided, the ``id``/``ids`` query arguments are advertised ONLY
+    for classes with a registered id column — the executor raises for
+    any other class, and the published schema must not promise what
+    the executor rejects.  When ``None`` (legacy call shape) every
+    class advertises id/ids and the caller is responsible for
+    registering an id column per class before executing them."""
     is_link = ~F.col("obj_types").startswith("xsd:")
     ftype = F.lit(None).cast("string")
     for x, g in sorted(_GQL_SCALARS.items()):
@@ -645,9 +655,15 @@ def graphql_schema(frames: DataFrame) -> DataFrame:
         )
     )
 
-    qargs = F.array(
-        *[F.lit(a) for a in ("id", "ids", "filter", "orderBy", "limit", "offset")]
-    )
+    base_args = ("filter", "orderBy", "limit", "offset")
+    full_args = F.array(*[F.lit(a) for a in ("id", "ids") + base_args])
+    if id_cols is None:
+        qargs = full_args
+    else:
+        with_id = F.col("type_name").isin(*id_cols.keys()) if id_cols else F.lit(False)
+        qargs = F.when(with_id, full_args).otherwise(
+            F.array(*[F.lit(a) for a in base_args])
+        )
     query = (
         classes.select(
             F.struct(

@@ -383,9 +383,22 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
                 id_cols=id_cols,
             )
             names = [f if isinstance(f, str) else f["name"] for f in sub["fields"]]
-            obj = child.select(
-                F.col(child_fk).alias(parent_key),
-                F.to_json(F.struct(*[F.col(c) for c in names])).alias(sub["name"]),
+            # To-one PRECONDITION: the child key is unique.  A plain
+            # left join would silently FAN OUT parent rows if the
+            # child frame violated it; aggregate to one row per key
+            # (deterministic min over the rendered JSON) so the
+            # parent cardinality is invariant by construction and a
+            # duplicate-key child resolves deterministically instead
+            # of duplicating parents.
+            obj = (
+                child.select(
+                    F.col(child_fk).alias(parent_key),
+                    F.to_json(
+                        F.struct(*[F.col(c) for c in names])
+                    ).alias(sub["name"]),
+                )
+                .groupBy(parent_key)
+                .agg(F.min(sub["name"]).alias(sub["name"]))
             )
             out = out.join(obj, parent_key, "left_outer").withColumn(
                 sub["name"], F.coalesce(F.col(sub["name"]), F.lit("null"))

@@ -400,21 +400,29 @@ def list_patch_ops(
     (capped so prefix + suffix <= min length, which makes the
     decomposition unique and the swap spans well-defined for
     insertions/deletions).  Swap spans render '|'-joined so the
-    DuckDB oracle hash-matches the exact op payloads."""
+    DuckDB oracle hash-matches the exact op payloads.
+
+    Mismatch scans use NULL-SAFE inequality (the oracle's
+    ``IS DISTINCT FROM``): a plain ``!=`` yields NULL against a NULL
+    element and ``F.filter`` drops NULL predicates, so old=[null],
+    new=['x'] would silently render KeepList and break the
+    apply∘diff roundtrip law."""
     a, b = F.col(old_col), F.col(new_col)
     la, lb = F.size(a), F.size(b)
     mn = F.least(la, lb)
     empty_i = F.array().cast("array<int>")
     idx = F.when(mn >= 1, F.sequence(F.lit(1), mn)).otherwise(empty_i)
     mism = F.filter(
-        idx, lambda i: F.element_at(a, i) != F.element_at(b, i)
+        idx, lambda i: ~F.element_at(a, i).eqNullSafe(F.element_at(b, i))
     )
     p = F.when(F.size(mism) > 0, F.element_at(mism, 1) - 1).otherwise(mn)
     rem = mn - p
     idx2 = F.when(rem >= 1, F.sequence(F.lit(1), rem)).otherwise(empty_i)
     mism2 = F.filter(
         idx2,
-        lambda j: F.element_at(a, la - j + 1) != F.element_at(b, lb - j + 1),
+        lambda j: ~F.element_at(a, la - j + 1).eqNullSafe(
+            F.element_at(b, lb - j + 1)
+        ),
     )
     s = F.when(F.size(mism2) > 0, F.element_at(mism2, 1) - 1).otherwise(rem)
     swap_old = F.slice(a, p + 1, la - p - s)
@@ -440,6 +448,7 @@ def list_patch_apply(
     suffix_col: str = "copy_suffix",
     swap_new_col: str = "swap_new",
     sep: str = "|",
+    n_new_col: str | None = None,
 ) -> DataFrame:
     """(key, patched): apply a CopyList/SwapList/KeepList patch (the
     ``list_patch_ops`` rendering) to the old list — the reference's
@@ -448,7 +457,17 @@ def list_patch_apply(
     elements.  ``apply(old, diff(old, new)) == new`` for every
     decomposition ``list_patch_ops`` emits (the registry key
     hash-checks exactly that roundtrip).  Pure array expressions —
-    same no-shuffle profile as the diff side."""
+    same no-shuffle profile as the diff side.
+
+    The '|'-joined string rendering of the swap payload cannot by
+    itself distinguish an EMPTY swap from a single empty-string
+    element (both join to "").  Pass ``n_new_col`` (the diff's
+    ``n_new`` column) and the swap element count is derived exactly
+    as ``n_new - copy_prefix - copy_suffix``, which restores the
+    roundtrip for empty-string elements; without it the string path
+    falls back to a length>0 guard and is LOSSY for lists containing
+    "" (and, always, for elements containing the separator — use the
+    array-typed swap column for full losslessness)."""
     a = F.col(old_col)
     la = F.size(a)
     p, s = F.col(prefix_col).cast("int"), F.col(suffix_col).cast("int")
@@ -460,10 +479,16 @@ def list_patch_apply(
     else:
         import re
 
-        swap = F.when(
-            F.length(F.col(swap_new_col)) > 0,
-            F.split(F.col(swap_new_col), re.escape(sep)),
-        ).otherwise(F.array().cast("array<string>"))
+        split_swap = F.split(F.col(swap_new_col), re.escape(sep))
+        if n_new_col is not None:
+            n_swap = F.col(n_new_col).cast("int") - p - s
+            swap = F.when(n_swap > 0, split_swap).otherwise(
+                F.array().cast("array<string>")
+            )
+        else:
+            swap = F.when(
+                F.length(F.col(swap_new_col)) > 0, split_swap
+            ).otherwise(F.array().cast("array<string>"))
     patched = F.concat(
         F.slice(a, 1, p), swap, F.slice(a, la - s + 1, s)
     )

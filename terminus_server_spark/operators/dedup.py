@@ -1266,7 +1266,15 @@ def semantic_decontaminate(
     ann_topk_brute, never a corpus×corpus join.  For an eval set too
     big to broadcast, prune with similarity.ivf_topk first.  Cosines
     use the module's fixed-point convention, so the flags are
-    bit-reproducible by the SQL oracle."""
+    bit-reproducible by the SQL oracle.
+
+    Output cardinality always equals the corpus: the broadcast pairing
+    is a LEFT-OUTER nested-loop join, so an EMPTY eval set yields
+    every document with max_cos_eval NULL and contaminated=false — a
+    decontamination gate must report all-clear explicitly, never by
+    silently dropping the corpus (an inner crossJoin would emit zero
+    rows).  Same single-shuffle profile as before: one BNLJ scan +
+    one groupBy."""
     from terminus_server_spark.operators.similarity import (
         cosine_from_parts,
         scaled_parts,
@@ -1274,8 +1282,11 @@ def semantic_decontaminate(
 
     pa = scaled_parts(corpus, id_col, vec_col, "a")
     pb = scaled_parts(evalset, id_col, vec_col, "b")
-    scored = pa.crossJoin(F.broadcast(pb)).select(
-        "id_a", cosine_from_parts().alias("cos")
+    scored = pa.join(F.broadcast(pb), F.lit(True), "left_outer").select(
+        "id_a",
+        F.when(
+            F.col("id_b").isNotNull(), cosine_from_parts()
+        ).alias("cos"),
     )
     return (
         scored.groupBy("id_a")
@@ -1283,6 +1294,8 @@ def semantic_decontaminate(
         .select(
             F.col("id_a").alias(id_col),
             "max_cos_eval",
-            (F.col("max_cos_eval") >= threshold).alias("contaminated"),
+            F.coalesce(
+                F.col("max_cos_eval") >= threshold, F.lit(False)
+            ).alias("contaminated"),
         )
     )

@@ -20988,7 +20988,7 @@ def doc_patch_list_ops(spark, sf_dir):
     a = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
     old = docs.select("doc_id", a.alias("a"))
     joined = old.join(diffed, "doc_id")
-    out = list_patch_apply(joined, "a", key_col="doc_id")
+    out = list_patch_apply(joined, "a", key_col="doc_id", n_new_col="n_new")
     return out.select(
         "doc_id",
         F.array_join(F.col("patched"), "|").alias("patched_joined"),

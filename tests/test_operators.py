@@ -3799,3 +3799,108 @@ def test_remove_top_reduces_norm(spark):
     # the aligned majority collapses; the orthogonal minority survives
     assert out[0]["norm2_after"] < 0.01
     assert out[9]["norm2_after"] > 0.9
+
+
+def test_list_patch_null_and_empty_string_elements(spark):
+    """r8 ADVICE regressions: (1) a NULL element mismatch must be
+    detected (null-safe inequality — plain != made old=[null],
+    new=['x'] render KeepList); (2) an empty-string swap element must
+    survive the string-rendered roundtrip when the exact swap count
+    (n_new - prefix - suffix) is supplied via ``n_new_col``."""
+    from terminus_server_spark.docs.patch import list_patch_apply, list_patch_ops
+
+    rows = [
+        (0, [None], ["x"]),          # NULL vs value: must be SwapList
+        (1, ["x"], [None]),          # value vs NULL
+        (2, [None, "a"], [None, "a"]),  # equal incl. NULL: KeepList
+        (3, ["a"], [""]),            # empty-string element swap
+        (4, ["a", "b"], ["a", "", "b"]),  # empty-string insert
+        (5, [""], []),               # empty-string delete
+    ]
+    df = spark.createDataFrame(rows, "key long, a array<string>, b array<string>")
+    ops = list_patch_ops(df, "a", "b", key_col="key")
+    by_key = {r.key: r for r in ops.collect()}
+    assert by_key[0].op == "SwapList"
+    assert by_key[1].op == "SwapList"
+    assert by_key[2].op == "KeepList"
+    joined = df.join(ops, "key")
+    got = {
+        r.key: list(r.patched)
+        for r in list_patch_apply(
+            joined, "a", key_col="key", n_new_col="n_new"
+        ).collect()
+    }
+    # NULL payloads go through the '|'-joined string rendering, which
+    # cannot carry NULL itself (array_join drops it) — only check the
+    # structural keys whose payloads are representable
+    for k in (2, 3, 4, 5):
+        assert got[k] == rows[k][2], (k, got[k])
+
+
+def test_semantic_decontaminate_empty_eval_set(spark):
+    """r8 ADVICE regression: an empty eval split must report every
+    corpus document uncontaminated (corpus-cardinality output,
+    max_cos_eval NULL) — not silently emit zero rows."""
+    from terminus_server_spark.operators.dedup import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_decontaminate(corpus, empty).collect()
+    assert len(out) == 2
+    assert all(r.max_cos_eval is None for r in out)
+    assert all(r.contaminated is False for r in out)
+    # non-empty eval unchanged: identical vector -> contaminated
+    hit = semantic_decontaminate(corpus, corpus.limit(1)).collect()
+    by_id = {r.vec_id: r for r in hit}
+    assert by_id[1].contaminated is True
+    assert by_id[2].contaminated is False
+
+
+def test_graphql_schema_id_args_follow_id_cols(spark):
+    """r8 ADVICE regression: with id_cols threaded in, only classes
+    with a registered id column advertise the id/ids query arguments
+    (the executor raises for the rest — schema must not promise what
+    execution rejects)."""
+    import json
+
+    from terminus_server_spark.docs.documents import graphql_schema
+
+    frames = spark.createDataFrame(
+        [("A", "x", "xsd:integer", True), ("B", "y", "xsd:string", False)],
+        "class string, predicate string, obj_types string, required boolean",
+    )
+    doc = graphql_schema(frames, id_cols={"A": "x"})
+    [qrow] = [r for r in doc.collect() if r.kind == "QUERY"]
+    fields = {f["name"]: f["args"] for f in json.loads(qrow.doc)["fields"]}
+    assert "id" in fields["A"] and "ids" in fields["A"]
+    assert "id" not in fields["B"] and "ids" not in fields["B"]
+    assert "filter" in fields["B"]
+    # legacy call shape (no id_cols): every class advertises id/ids
+    legacy = graphql_schema(frames)
+    [qrow2] = [r for r in legacy.collect() if r.kind == "QUERY"]
+    for f in json.loads(qrow2.doc)["fields"]:
+        assert "id" in f["args"]
+
+
+def test_graphql_to_one_duplicate_child_keys_no_fanout(spark):
+    """r8 ADVICE regression: duplicate child-key rows must not fan
+    out parents through the to-one left join — the child side
+    aggregates to one deterministic JSON per key."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    orders = spark.createDataFrame([(1, 100), (2, 200)], "ok long, fk long")
+    custs = spark.createDataFrame(
+        [(100, "alice"), (100, "alice2"), (200, "bob")], "ck long, cn string"
+    )
+    out = execute_graphql(
+        {"O": orders, "C": custs},
+        "query { O { ok cust { cn } } }",
+        relations={("O", "cust"): ("C", "fk", "ck", "one")},
+    )["O"].collect()
+    assert len(out) == 2  # parent cardinality invariant
+    rows = {r.ok: r.cust for r in out}
+    assert rows[1] == '{"cn":"alice"}'  # deterministic min pick
+    assert rows[2] == '{"cn":"bob"}'

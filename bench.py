@@ -442,6 +442,15 @@ def main() -> None:
     names = list(HEADLINE)
     if os.environ.get("SPARK_GRAFT_BENCH_ALL", "") == "1":
         names = names + sorted(k for k in QUERIES if k not in set(HEADLINE))
+        # The closing bench must cover the registry exactly: a key
+        # registered AFTER the closing bench has no normalized
+        # reference and the next round's regression gate is blind to
+        # it (r8 shipped docs_decontaminate_semantic that way).
+        # Fail loudly instead.
+        assert set(names) == set(QUERIES), (
+            sorted(set(QUERIES) - set(names)),
+            sorted(set(names) - set(QUERIES)),
+        )
 
     def run_once(name: str) -> tuple[float, int]:
         t0 = time.perf_counter()
@@ -490,6 +499,13 @@ def main() -> None:
                 regressions[k] = {
                     "norm": nv, "ref": rv, "ratio": round(nv / rv, 2)
                 }
+        # Registry keys with NO reference entry are invisible to the
+        # gate — name them so a post-closing-bench registration can't
+        # slip through silently again.
+        for k in sorted(set(QUERIES) - set(ref)):
+            print(f"# NOREF {k}: no normalized reference — regression "
+                  f"gate blind until the next SPARK_GRAFT_BENCH_WRITE_REF "
+                  f"closing run", file=sys.stderr)
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_REF", "") == "1":
         with open(ref_path, "w") as f:
             json.dump(

@@ -380,6 +380,9 @@ HEADLINE = [
     "gql_execute_ids",
     "gql_execute_id_field",
     "docs_decontaminate_semantic",
+    # round 9 additions
+    "doc_json_schemaless",
+    "doc_json_field_diff",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

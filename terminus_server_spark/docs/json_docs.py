@@ -1,0 +1,244 @@
+"""Schemaless JSON documents (``sys:JSON``) — SURVEY §2.3 extension.
+
+Parity: public TerminusDB v10.1+ stores arbitrary UNTYPED JSON
+documents (class ``sys:JSON``) and JSON-valued fields alongside
+schema-checked classes (docs.terminusdb.com "JSON documents"): a JSON
+document inserts without a class frame, reads back as the same JSON,
+and diffs/patches at the JSON grain.  The rest of this package's
+document API is schema-typed (plan-time recursive unroll over a known
+StructType); this module is the schemaless complement, where the
+document structure is only known per-row at RUNTIME.
+
+Spark-first design — Spark 4's semi-structured answer is VariantType:
+
+- ``parse_json`` → variant; ``to_json(variant)`` is the CANONICAL
+  compact rendering (whitespace stripped, key order preserved,
+  minimal number forms) — canonicalization is one JVM expression.
+- The leaf flattener chains ``variant_explode_outer`` lateral joins
+  ``max_depth`` times over ONE frame: a scalar (or an
+  already-finished leaf) explodes to a single all-NULL row and flows
+  through unchanged, a non-empty container fans out to its children,
+  an empty container ({} / []) surfaces as its own leaf.  The whole
+  walk is ONE SCAN followed by ``max_depth`` generator stages — no
+  second pass, no Python, no driver loop over data, and row count
+  converges to the leaf count (never the product of levels).
+- Content addressing (``JSONDocument/<md5(canonical)>``) is the
+  ValueHash key strategy applied at the document grain — the
+  deterministic analogue of the reference's random JSON document
+  keys, and what makes insert idempotent (a re-inserted document is
+  the SAME subject, so ``distinct()`` dedups the store).
+
+Scale shape: everything is map-side except the idempotence
+``distinct()`` (one shuffle at the leaf-triple grain) and the diff's
+full-outer join keyed by (id, path).  Depth caps at ``max_depth``;
+containers still unexploded at the cap surface as single JSON-blob
+leaves (obj_type ``sys:json``) rather than being dropped.  Object
+keys containing '.', '[' or ']' would make paths ambiguous — the
+JSONPath rendering targets interop with engines whose path syntax
+shares that limitation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def canonical_json(col: F.Column | str) -> F.Column:
+    """The canonical compact rendering: parse → re-serialize.
+    Whitespace-insensitive, KEY-SORTED (variant objects store fields
+    ordered by name — measured, not assumed), minimal number forms —
+    so two semantically equal JSON objects canonicalize
+    byte-identically regardless of their original key order, which is
+    exactly the property content addressing needs."""
+    return F.to_json(F.parse_json(F.col(col) if isinstance(col, str) else col))
+
+
+def _schema_of_variant(c: F.Column) -> F.Column:
+    return F.schema_of_variant(c)
+
+
+def _leaf_vtype(sv: F.Column) -> F.Column:
+    """Variant leaf schema string → this store's obj_type vocabulary."""
+    return (
+        F.when(sv == "VOID", F.lit("sys:null"))
+        .when(sv == "STRING", F.lit("xsd:string"))
+        .when(sv == "BOOLEAN", F.lit("xsd:boolean"))
+        .when(sv.isin("BIGINT", "INT", "SMALLINT", "TINYINT"), F.lit("xsd:integer"))
+        .when(
+            sv.startswith("DECIMAL") | sv.isin("DOUBLE", "FLOAT"),
+            F.lit("xsd:decimal"),
+        )
+        .otherwise(F.lit("sys:json"))  # depth-capped OBJECT/ARRAY blobs
+    )
+
+
+def json_leaves(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    json_col: str = "json",
+    max_depth: int = 8,
+) -> DataFrame:
+    """(id, path, value, vtype): every leaf of every document, paths
+    in JSONPath form ('$', '$.meta.chars', '$.tags[1]'), values as
+    canonical JSON renderings ('"x"', '1', 'null', 'true' — and '{}'
+    / '[]' for empty containers, which are leaves of their own).
+
+    One scan + ``max_depth`` chained variant_explode_outer stages
+    (see module doc for why finished leaves flow through unchanged).
+    """
+    spark = df.sparkSession
+    cur = df.select(
+        F.col(id_col).alias("id"),
+        F.lit("$").alias("path"),
+        F.parse_json(F.col(json_col)).alias("v"),
+    )
+    for _ in range(max_depth):
+        sv = _schema_of_variant(F.col("v"))
+        is_container = sv.startswith("OBJECT") | sv.startswith("ARRAY")
+        step = cur.withColumn(
+            "vin", F.when(is_container, F.col("v"))
+        ).lateralJoin(spark.tvf.variant_explode_outer(F.col("vin").outer()))
+        # value NULL (SQL null, not JSON null): the row was a leaf or
+        # an EMPTY container — keep its path and variant unchanged.
+        # JSON null children arrive as a VARIANT null (non-SQL-null)
+        # and classify as leaves on the next round via VOID.
+        cur = step.select(
+            "id",
+            F.when(F.col("value").isNull(), F.col("path"))
+            .otherwise(
+                F.when(
+                    F.col("key").isNotNull(),
+                    F.concat(F.col("path"), F.lit("."), F.col("key")),
+                ).otherwise(
+                    F.concat(
+                        F.col("path"),
+                        F.lit("["),
+                        F.col("pos").cast("string"),
+                        F.lit("]"),
+                    )
+                )
+            )
+            .alias("path"),
+            F.when(F.col("value").isNull(), F.col("v"))
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+    sv = _schema_of_variant(F.col("v"))
+    return cur.select(
+        "id",
+        "path",
+        F.to_json(F.col("v")).alias("value"),
+        _leaf_vtype(sv).alias("vtype"),
+    )
+
+
+def schemaless_to_triples(
+    docs: DataFrame,
+    json_col: str,
+    doc_id_col: str | None = None,
+    prefix: str = "JSONDocument",
+    graph: str = "instance",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Arbitrary JSON documents → (graph, subject, predicate, obj,
+    obj_type, obj_num) triples, no class frame required — the
+    ``sys:JSON`` insert path.
+
+    Each document yields one BODY triple (predicate ``sys:value``,
+    obj = canonical JSON, obj_type ``sys:JSON`` — byte-identical read
+    is a projection of this row) plus one LEAF triple per JSON leaf
+    (predicate = JSONPath, obj = canonical leaf rendering, obj_type
+    from the leaf's variant type, numeric leaves shadowed into
+    obj_num) — the leaf index is what makes schemaless documents
+    WOQL-queryable like typed ones.
+
+    ``doc_id_col`` None → content-addressed subjects
+    ``<prefix>/<md5(canonical)>`` and a ``distinct()`` making insert
+    idempotent; with an id column, subjects are ``<prefix>/<id>`` and
+    rows pass through un-deduped (caller owns key uniqueness)."""
+    canon = canonical_json(F.col(json_col))
+    if doc_id_col is None:
+        subject = F.concat(F.lit(prefix + "/"), F.md5(canon))
+    else:
+        subject = F.concat(
+            F.lit(prefix + "/"), F.col(doc_id_col).cast("string")
+        )
+    base = docs.select(subject.alias("subject"), canon.alias("canon"))
+    body = base.select(
+        F.lit(graph).alias("graph"),
+        F.col("subject"),
+        F.lit("sys:value").alias("predicate"),
+        F.col("canon").alias("obj"),
+        F.lit("sys:JSON").alias("obj_type"),
+        F.lit(None).cast("double").alias("obj_num"),
+    )
+    leaves = json_leaves(base, "subject", "canon", max_depth=max_depth)
+    leaf_triples = leaves.select(
+        F.lit(graph).alias("graph"),
+        F.col("id").alias("subject"),
+        F.col("path").alias("predicate"),
+        F.col("value").alias("obj"),
+        F.col("vtype").alias("obj_type"),
+        F.when(
+            F.col("vtype").isin("xsd:integer", "xsd:decimal"),
+            F.col("value").cast("double"),
+        ).alias("obj_num"),
+    )
+    out = body.unionByName(leaf_triples)
+    if doc_id_col is None:
+        out = out.distinct()
+    return out
+
+
+def schemaless_read(
+    triples: DataFrame, prefix: str = "JSONDocument"
+) -> DataFrame:
+    """(subject, json): read schemaless documents back — a filtered
+    projection of the body triples (predicate pushdown reaches the
+    scan; the leaf index is untouched).  Byte-identical to the
+    canonical insert rendering by construction."""
+    return triples.where(
+        (F.col("predicate") == "sys:value")
+        & F.col("subject").startswith(prefix + "/")
+    ).select("subject", F.col("obj").alias("json"))
+
+
+def json_field_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    json_col: str = "json",
+    max_depth: int = 8,
+) -> DataFrame:
+    """(id, path, op, old_value, new_value): diff two versions of
+    schemaless JSON documents at the JSON-leaf grain — op ∈ {added,
+    removed, changed}, values as canonical JSON renderings (so a JSON
+    null leaf is the STRING 'null', distinct from an absent leaf,
+    which is SQL NULL — the distinction `added` vs `changed` needs).
+
+    Both sides flatten with ``json_leaves`` (one scan each), then one
+    full-outer join keyed by (id, path).  Documents present on only
+    one side diff as all-added / all-removed leaf sets."""
+    lo = json_leaves(old, id_col, json_col, max_depth=max_depth).select(
+        "id", "path", F.col("value").alias("old_value")
+    )
+    ln = json_leaves(new, id_col, json_col, max_depth=max_depth).select(
+        "id", "path", F.col("value").alias("new_value")
+    )
+    joined = lo.join(ln, ["id", "path"], "full_outer")
+    op = (
+        F.when(
+            F.col("old_value").isNull() & F.col("new_value").isNotNull(),
+            F.lit("added"),
+        )
+        .when(
+            F.col("old_value").isNotNull() & F.col("new_value").isNull(),
+            F.lit("removed"),
+        )
+        .when(F.col("old_value") != F.col("new_value"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select("id", "path", "op", "old_value", "new_value")
+    )

@@ -21199,3 +21199,148 @@ def docs_decontaminate_semantic(spark, sf_dir):
     corpus = emb.where(F.col("vec_id") % 7 != 0)
     evalset = emb.where(F.col("vec_id") % 7 == 0)
     return semantic_decontaminate(corpus, evalset, threshold=0.9)
+
+
+@register(
+    "doc_json_schemaless",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_extract(text, '[A-Za-z]+') AS w,
+             lang, source, n_chars
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+        '{"meta":{"chars":' || n_chars || ',"lang":"' || lang ||
+        '"},"note":null,"tags":["' || source ||
+        '","x"],"title":"' || w || '"}' AS json
+      FROM base)
+    SELECT doc_id, 'JSONDocument/' || md5(json) AS subject, json,
+           CAST(6 AS BIGINT) AS n_leaves
+    FROM canon
+    """,
+)
+def doc_json_schemaless(spark, sf_dir):
+    """Schemaless JSON documents — the reference's ``sys:JSON`` class
+    (public TerminusDB v10.1+, docs.terminusdb.com "JSON documents"):
+    arbitrary untyped JSON inserts WITHOUT a class frame and reads
+    back byte-identically.  docs/json_docs.py: canonicalization is
+    ``to_json(parse_json(x))`` (one JVM expression), subjects are
+    content-addressed ``JSONDocument/<md5(canonical)>`` (ValueHash at
+    the document grain — insert is idempotent), and every document
+    also indexes one LEAF triple per JSON leaf via a chained
+    variant_explode_outer flattener (one scan, no Python) so
+    schemaless documents stay WOQL-queryable.
+
+    The fixture builds a noisy-whitespace JSON per document (nested
+    object, array, null field), inserts through the sys:JSON triple
+    path, reads back with schemaless_read, and joins the per-subject
+    leaf-triple count; the oracle restates the canonical rendering,
+    the md5 subject, and the leaf count (6 per doc by construction)
+    closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.json_docs import (
+        schemaless_read,
+        schemaless_to_triples,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    raw = F.concat(
+        F.lit('{"title": "'),
+        F.regexp_extract(F.col("text"), "[A-Za-z]+", 0),
+        F.lit('",  "meta": {"lang": "'),
+        F.col("lang"),
+        F.lit('", "chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit('},\n "tags": ["'),
+        F.col("source"),
+        F.lit('", "x"], "note": null}'),
+    )
+    staged = docs.select("doc_id", raw.alias("raw"))
+    triples = schemaless_to_triples(staged, "raw")
+    bodies = schemaless_read(triples)
+    n_leaves = (
+        triples.where(F.col("predicate") != "sys:value")
+        .groupBy("subject")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaves"))
+    )
+    from terminus_server_spark.docs.json_docs import canonical_json
+
+    keyed = staged.select(
+        "doc_id",
+        F.concat(
+            F.lit("JSONDocument/"), F.md5(canonical_json(F.col("raw")))
+        ).alias("subject"),
+    )
+    return (
+        keyed.join(bodies, "subject")
+        .join(n_leaves, "subject")
+        .select("doc_id", "subject", "json", "n_leaves")
+    )
+
+
+@register(
+    "doc_json_field_diff",
+    """
+    SELECT doc_id, '$.meta.chars' AS path, 'changed' AS op,
+           CAST(n_chars AS VARCHAR) AS old_value,
+           CAST(n_chars + 1 AS VARCHAR) AS new_value
+    FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id, '$.new', 'added', NULL, 'true'
+    FROM documents WHERE doc_id % 4 = 2
+    UNION ALL
+    SELECT doc_id, '$.tags[1]', 'removed', '"x"', NULL
+    FROM documents WHERE doc_id % 4 = 3
+    """,
+)
+def doc_json_field_diff(spark, sf_dir):
+    """Schemaless JSON diff at the JSON-leaf grain (docs/json_docs.py:
+    json_field_diff) — the diff/patch half of the reference's
+    ``sys:JSON`` support: two versions of an untyped document diff
+    into (path, op, old, new) rows with op ∈ added/removed/changed,
+    values as canonical JSON renderings (a JSON null leaf is the
+    string 'null', distinct from an absent leaf).  Both versions
+    flatten through the one-scan variant walker; the diff is one
+    full-outer join keyed by (id, path).
+
+    Fixture: v2 edits per doc_id % 4 — unchanged / nested-field
+    change ($.meta.chars) / top-level addition ($.new) / array-tail
+    removal ($.tags[1]) — so every op and every path shape (nested
+    object, top level, array index) appears; the oracle restates the
+    expected rows closed-form per case."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.json_docs import json_field_diff
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+
+    def body(chars, tags_two, extra):
+        return F.concat(
+            F.lit('{"title": "'),
+            F.regexp_extract(F.col("text"), "[A-Za-z]+", 0),
+            F.lit('", "meta": {"lang": "'),
+            F.col("lang"),
+            F.lit('", "chars": '),
+            chars.cast("string"),
+            F.lit('}, "tags": ["'),
+            F.col("source"),
+            F.lit('", "x"]' if tags_two else '"]'),
+            F.lit(', "note": null'),
+            F.lit(', "new": true}' if extra else "}"),
+        )
+
+    m = F.col("doc_id") % 4
+    v1 = docs.select("doc_id", body(F.col("n_chars"), True, False).alias("j"))
+    v2 = docs.select(
+        "doc_id",
+        F.when(m == 1, body(F.col("n_chars") + 1, True, False))
+        .when(m == 2, body(F.col("n_chars"), True, True))
+        .when(m == 3, body(F.col("n_chars"), False, False))
+        .otherwise(body(F.col("n_chars"), True, False))
+        .alias("j"),
+    )
+    out = json_field_diff(v1, v2, "doc_id", "j")
+    return out.select(
+        F.col("id").alias("doc_id"), "path", "op", "old_value", "new_value"
+    )

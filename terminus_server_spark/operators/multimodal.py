@@ -97,6 +97,40 @@ def _real_image_decoder():
     return decode
 
 
+def _stdlib_png_decoder():
+    """Second optional real backend (r8 verdict task 4): the
+    pure-stdlib PNG codec — FULL pixel reconstruction (zlib inflate +
+    filter reversal), not header sniffing — for PNG payloads, falling
+    through to ``decode_stub`` for every other format.  This is the
+    branch that lets the real-decode path run green in a container
+    with no codec library."""
+    from terminus_server_spark.operators.png_codec import is_png, png_decode
+
+    def decode(payload: bytes) -> tuple[int, int, int]:
+        if payload and is_png(payload):
+            w, h, _ch, _rows = png_decode(payload)
+            return w, h, 1
+        return decode_stub(payload)
+
+    return decode
+
+
+def _stdlib_png_resizer():
+    """Stdlib resize backend: nearest-neighbor resample + PNG
+    re-encode for PNG payloads, ``resize_stub`` otherwise."""
+    from terminus_server_spark.operators.png_codec import (
+        is_png,
+        png_resize_nearest,
+    )
+
+    def resize(payload: bytes, target: int) -> tuple[bytes, int, int]:
+        if payload and is_png(payload):
+            return png_resize_nearest(payload, target), target, target
+        return resize_stub(payload, target)
+
+    return resize
+
+
 def _real_image_resizer():
     """Optional real resizer (PIL), mirroring ``_real_image_decoder``:
     ``(payload, target) -> (bytes, w, h)`` or ``None``."""
@@ -123,12 +157,16 @@ def extract_features(mm: DataFrame, decoder=None) -> DataFrame:
     partition, whole Arrow batches in/out, no per-row pickling.
 
     ``decoder``: explicit ``payload -> (w, h, n_frames)`` callable;
-    ``None`` auto-resolves PER WORKER to the real PIL decoder when
-    importable, else the deterministic ``decode_stub`` (fixtures pin
-    ``decode_stub`` explicitly so oracles stay environment-free)."""
+    ``None`` auto-resolves PER WORKER: the real PIL decoder when
+    importable, else the stdlib PNG codec for PNG payloads (full
+    pixel reconstruction, stub for other formats — see
+    ``_stdlib_png_decoder``).  Fixtures pin ``decode_stub``
+    explicitly so oracles stay environment-free."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dec = decoder if decoder is not None else (_real_image_decoder() or decode_stub)
+        dec = decoder if decoder is not None else (
+            _real_image_decoder() or _stdlib_png_decoder()
+        )
         for pdf in batches:
             feats = [dec(p) for p in pdf["payload"]]
             yield pd.DataFrame(
@@ -179,10 +217,13 @@ def resize_images(mm: DataFrame, target: int = 64, resizer=None) -> DataFrame:
     """Arrow-batched resize via ``mapInPandas``: same shape a real
     image pipeline uses (decode → resize → re-encode per batch).
     ``resizer`` resolves like ``extract_features``'s decoder: explicit
-    callable > worker-side PIL when importable > ``resize_stub``."""
+    callable > worker-side PIL when importable > stdlib PNG codec for
+    PNG payloads (``resize_stub`` for other formats)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rz = resizer if resizer is not None else (_real_image_resizer() or resize_stub)
+        rz = resizer if resizer is not None else (
+            _real_image_resizer() or _stdlib_png_resizer()
+        )
         for pdf in batches:
             out = [rz(p, target) for p in pdf["payload"]]
             yield pd.DataFrame(

@@ -3973,3 +3973,136 @@ def test_schemaless_json_diff_one_sided_docs(spark):
         (1, "$.x"): ("removed", "1", None),
         (2, "$.y"): ("added", None, '"z"'),
     }
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Stdlib PNG codec: decode reconstructs hand-filtered streams
+    for every filter type and color type; encode→decode is the
+    identity; malformed inputs raise."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from terminus_server_spark.operators.png_codec import (
+        is_png,
+        png_decode,
+        png_encode,
+        png_resize_nearest,
+    )
+
+    # encode -> decode identity across color types
+    for ch in (1, 2, 3, 4):
+        w, h = 5, 4
+        rows = [
+            bytearray(((x * 31 + y * 17 + k * 7) % 256)
+                      for x in range(w) for k in range(ch))
+            for y in range(h)
+        ]
+        enc = png_encode(w, h, ch, rows)
+        assert is_png(enc)
+        w2, h2, ch2, rows2 = png_decode(enc)
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert rows2 == rows
+    # hand-filtered stream: craft each filter type and check decode
+    # reverses it (forward filter restated inline per the spec)
+    w, h, ch = 4, 5, 3
+    rows = [
+        bytearray(((x * 29 + y * 13) % 256) for x in range(w * ch))
+        for y in range(h)
+    ]
+    stride = w * ch
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, row in enumerate(rows):
+        f = y % 5  # filters 0..4, one per row
+        raw.append(f)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = (x - a) & 0xFF
+            elif f == 2:
+                v = (x - b) & 0xFF
+            elif f == 3:
+                v = (x - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (x - pred) & 0xFF
+            raw.append(v)
+        prev = row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    w2, h2, ch2, rows2 = png_decode(payload)
+    assert rows2 == rows
+    # resize: nearest-neighbor to 2x2 keeps exact source pixels
+    small = png_resize_nearest(payload, 2)
+    w3, h3, ch3, rows3 = png_decode(small)
+    assert (w3, h3, ch3) == (2, 2, 3)
+    for ty in (0, 1):
+        src = rows[ty * h // 2]
+        for tx in (0, 1):
+            sx = tx * w // 2
+            assert rows3[ty][tx * 3:(tx + 1) * 3] == src[sx * 3:(sx + 1) * 3]
+    # malformed: bad magic, truncated chunk, 16-bit depth all raise
+    with _pytest.raises(ValueError):
+        png_decode(b"notapng")
+    with _pytest.raises(ValueError):
+        png_decode(payload[:40])
+    bad_depth = (b"\x89PNG\r\n\x1a\n"
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)))
+    with _pytest.raises(ValueError):
+        png_decode(bad_depth)
+
+
+def test_multimodal_real_decode_branch_in_ci(spark):
+    """r8 verdict task 4: the REAL-decode branch (not the stub) runs
+    green in this container — PNG payloads through decoder=None
+    auto-resolution hit the stdlib codec's full pixel reconstruction;
+    non-PNG payloads in the same batch fall through to the stub."""
+    from terminus_server_spark.operators.multimodal import (
+        decode_stub,
+        extract_features,
+        resize_images,
+    )
+    from terminus_server_spark.operators.png_codec import (
+        png_decode,
+        png_encode,
+    )
+
+    def mk(w, h, seed):
+        rows = [bytearray(((x + y * w + seed) % 256) for x in range(w * 3))
+                for y in range(h)]
+        return png_encode(w, h, 3, rows)
+
+    payloads = [(1, mk(20, 10, 3)), (2, mk(7, 7, 9)), (3, b"not a png at all")]
+    mm = spark.createDataFrame(
+        [(i, "image/png" if i < 3 else "application/octet-stream", p, len(p), "x")
+         for i, p in payloads],
+        "doc_id long, mime string, payload binary, byte_len long, sha string",
+    )
+    feats = {r.doc_id: r for r in extract_features(mm).collect()}
+    assert (feats[1].width, feats[1].height, feats[1].n_frames) == (20, 10, 1)
+    assert (feats[2].width, feats[2].height) == (7, 7)
+    # non-PNG fell through to the deterministic stub
+    sw, sh, sn = decode_stub(payloads[2][1])
+    assert (feats[3].width, feats[3].height, feats[3].n_frames) == (sw, sh, sn)
+    # resize: output payloads are REAL PNGs at target dims
+    rz = {r.doc_id: r for r in resize_images(mm, target=4).collect()}
+    for did in (1, 2):
+        w2, h2, ch2, _rows = png_decode(bytes(rz[did].payload))
+        assert (w2, h2) == (4, 4)
+        assert (rz[did].width, rz[did].height) == (4, 4)

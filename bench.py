@@ -383,6 +383,8 @@ HEADLINE = [
     # round 9 additions
     "doc_json_schemaless",
     "doc_json_field_diff",
+    "gql_execute_cursor",
+    "gql_execute_backlink_named",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -528,7 +528,9 @@ _GQL_SCALARS = {
 
 
 def graphql_schema(
-    frames: DataFrame, id_cols: dict[str, str] | None = None
+    frames: DataFrame,
+    id_cols: dict[str, str] | None = None,
+    backlink_names: dict[tuple[str, str], str] | None = None,
 ) -> DataFrame:
     """(type_name, kind, doc): the GraphQL schema document generated
     from effective class frames — the reference's graphql layer emits
@@ -560,7 +562,15 @@ def graphql_schema(
     any other class, and the published schema must not promise what
     the executor rejects.  When ``None`` (legacy call shape) every
     class advertises id/ids and the caller is responsible for
-    registering an id column per class before executing them."""
+    registering an id column per class before executing them.
+
+    ``backlink_names``: (source_class, predicate) → declared field
+    name — back-link naming sugar (the reference's configurable
+    reverse-field names): the reverse field a link property generates
+    on its TARGET class renders under the declared name instead of
+    the default ``_of_<Source>``.  Execution needs no special case —
+    a declared back-link registers with the executor as an ordinary
+    relation under the same name."""
     is_link = ~F.col("obj_types").startswith("xsd:")
     ftype = F.lit(None).cast("string")
     for x, g in sorted(_GQL_SCALARS.items()):
@@ -581,10 +591,16 @@ def graphql_schema(
     ids = classes.select(
         "type_name", fld(F.lit("_id"), F.lit("ID"), F.lit(True)).alias("field")
     )
+    rev_name = F.concat(F.lit("_of_"), F.col("class"))
+    for (src_cls, pred), declared in sorted((backlink_names or {}).items()):
+        rev_name = F.when(
+            (F.col("class") == src_cls) & (F.col("predicate") == pred),
+            F.lit(declared),
+        ).otherwise(rev_name)
     rev = frames.where(is_link).select(
         F.col("obj_types").alias("type_name"),
         fld(
-            F.concat(F.lit("_of_"), F.col("class")),
+            rev_name,
             F.concat(F.lit("["), F.col("class"), F.lit("]")),
             F.lit(False),
         ).alias("field"),

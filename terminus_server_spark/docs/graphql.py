@@ -298,8 +298,33 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
             predicates.append((key_col, "in", [args["id"]]))
         if "ids" in args:
             predicates.append((key_col, "in", list(args["ids"])))
+    # Relay-style cursor pagination (first/after): KEYSET paging over
+    # the registered id column.  `after` compiles to a pushed-down
+    # `>` predicate — the scan skips the cursor prefix instead of
+    # materializing and discarding it (what offset does, and why
+    # cursor beats offset at depth) — and `first` is the page size;
+    # results order by the id column so pages are stable.  The cursor
+    # is the id value itself (Relay treats cursors as opaque; this
+    # schema documents them as the document key).
+    limit_val, offset_val = args.get("limit"), args.get("offset")
     order_by = None
-    if "orderBy" in args:
+    if "first" in args or "after" in args:
+        key_col = (id_cols or {}).get(cls)
+        if key_col is None:
+            raise ValueError(
+                f"graphql: cursor args (first/after) need an id column "
+                f"registered for {cls} (pass id_cols={{...}})"
+            )
+        if any(k in args for k in ("orderBy", "limit", "offset")):
+            raise ValueError(
+                "graphql: cursor args (first/after) do not combine with "
+                "orderBy/limit/offset — pick one paging style"
+            )
+        if "after" in args:
+            predicates.append((key_col, "gt", args["after"]))
+        order_by = [(key_col, "asc")]
+        limit_val = args.get("first")
+    elif "orderBy" in args:
         ob = args["orderBy"]
         items = ob if isinstance(ob, list) else [ob]
         order_by = [
@@ -311,8 +336,8 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
         frames[cls],
         predicates=predicates,
         order_by=order_by,
-        limit=args.get("limit"),
-        offset=args.get("offset"),
+        limit=limit_val,
+        offset=offset_val,
     )
     nested = [f for f in fields if isinstance(f, dict)]
     out = df
@@ -410,11 +435,14 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
         # query_documents would be wrong) and apply them here as one
         # row_number window partitioned by the fk, never a per-parent
         # subquery.
-        paged = any(k in sub["args"] for k in ("orderBy", "limit", "offset"))
+        cursor = any(k in sub["args"] for k in ("first", "after"))
+        paged = cursor or any(
+            k in sub["args"] for k in ("orderBy", "limit", "offset")
+        )
         child_args = {
             k: v
             for k, v in sub["args"].items()
-            if k not in ("orderBy", "limit", "offset")
+            if k not in ("orderBy", "limit", "offset", "first", "after")
         }
         # the child frame keeps its full columns (incl. the fk) —
         # projection happens only at the JSON rendering below
@@ -426,21 +454,48 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
         if paged:
             from pyspark.sql.window import Window
 
-            ob = sub["args"].get("orderBy")
-            items = ob if isinstance(ob, list) else ([ob] if ob else [])
-            order_cols = [
-                F.col(field).asc()
-                if str(direction).upper() == "ASC"
-                else F.col(field).desc()
-                for item in items
-                for field, direction in item.items()
-            ]
-            # deterministic tie-break on the selected fields so the
-            # page content is partitioning-independent
-            order_cols += [F.col(c).asc() for c in sub_names]
+            if cursor:
+                # per-parent Relay cursor paging: the `after` bound is
+                # a MAP-SIDE keyset predicate applied before the
+                # window (pushes to the child scan — rows before the
+                # cursor are never ranked, which is what makes cursor
+                # cheaper than offset at depth), then the same
+                # row_number-over-fk window caps each parent's page
+                # at `first`, ordered by the child's id column.
+                ckey = (id_cols or {}).get(child_cls)
+                if ckey is None:
+                    raise ValueError(
+                        f"graphql: cursor args (first/after) need an id "
+                        f"column registered for {child_cls} (pass "
+                        f"id_cols={{...}})"
+                    )
+                if any(
+                    k in sub["args"] for k in ("orderBy", "limit", "offset")
+                ):
+                    raise ValueError(
+                        "graphql: cursor args (first/after) do not combine "
+                        "with orderBy/limit/offset — pick one paging style"
+                    )
+                if "after" in sub["args"]:
+                    child = child.where(F.col(ckey) > F.lit(sub["args"]["after"]))
+                order_cols = [F.col(ckey).asc()]
+                off, lim = 0, sub["args"].get("first")
+            else:
+                ob = sub["args"].get("orderBy")
+                items = ob if isinstance(ob, list) else ([ob] if ob else [])
+                order_cols = [
+                    F.col(field).asc()
+                    if str(direction).upper() == "ASC"
+                    else F.col(field).desc()
+                    for item in items
+                    for field, direction in item.items()
+                ]
+                # deterministic tie-break on the selected fields so the
+                # page content is partitioning-independent
+                order_cols += [F.col(c).asc() for c in sub_names]
+                off = int(sub["args"].get("offset", 0))
+                lim = sub["args"].get("limit")
             w = Window.partitionBy(child_fk).orderBy(*order_cols)
-            off = int(sub["args"].get("offset", 0))
-            lim = sub["args"].get("limit")
             keep = F.col("__rn") > F.lit(off)
             if lim is not None:
                 keep = keep & (F.col("__rn") <= F.lit(off + int(lim)))

@@ -21344,3 +21344,150 @@ def doc_json_field_diff(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"), "path", "op", "old_value", "new_value"
     )
+
+
+@register(
+    "gql_execute_cursor",
+    """
+    WITH par AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey > 500
+      ORDER BY c_custkey LIMIT 40),
+    ranked AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey > 5000),
+    ch AS (
+      SELECT o_custkey,
+             to_json(list(struct_pack(o_orderkey := o_orderkey)
+                          ORDER BY rn))::VARCHAR AS orders
+      FROM ranked WHERE rn <= 2
+      GROUP BY o_custkey)
+    SELECT p.c_custkey, p.c_name,
+           COALESCE(ch.orders, '[]') AS orders
+    FROM par p LEFT JOIN ch ON p.c_custkey = ch.o_custkey
+    """,
+)
+def gql_execute_cursor(spark, sf_dir):
+    """Relay-style CURSOR pagination (docs/graphql.py `first`/`after`
+    args; public locus: the GraphQL ecosystem's connection paging the
+    reference's offset args sit beside): at the ROOT, `after`
+    compiles to a keyset `>` predicate on the registered id column
+    PUSHED TO THE SCAN — rows before the cursor are never read past
+    the filter, which is what makes cursor paging cheaper than
+    offset at depth — with `first` as the page size and id-ordered
+    stable pages; on a NESTED selection, the same keyset predicate
+    applies map-side BEFORE the one row_number-over-fk window that
+    caps each parent's page.  Cursors are the document key values
+    (Relay treats them as opaque).  Mixing first/after with
+    orderBy/limit/offset raises instead of guessing."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    src = """
+    query {
+      Customer(first: 40, after: 500,
+               filter: {c_mktsegment: {eq: "BUILDING"}}) {
+        c_custkey
+        c_name
+        orders(first: 2, after: 5000) {
+          o_orderkey
+        }
+      }
+    }
+    """
+    return execute_graphql(
+        {"Customer": t["customer"], "Order": t["orders"]},
+        src,
+        relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
+        id_cols={"Customer": "c_custkey", "Order": "o_orderkey"},
+    )["Customer"]
+
+
+@register(
+    "gql_execute_backlink_named",
+    """
+    WITH par AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+    ranked AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderstatus = 'F'),
+    ch AS (
+      SELECT o_custkey,
+             to_json(list(struct_pack(o_orderkey := o_orderkey)
+                          ORDER BY rn))::VARCHAR AS orders
+      FROM ranked WHERE rn <= 3
+      GROUP BY o_custkey)
+    SELECT p.c_custkey, COALESCE(ch.orders, '[]') AS orders,
+           '[Order]' AS backlink_type
+    FROM par p LEFT JOIN ch ON p.c_custkey = ch.o_custkey
+    """,
+)
+def gql_execute_backlink_named(spark, sf_dir):
+    """Back-link field NAMING sugar (docs/documents.py
+    graphql_schema backlink_names; reference: configurable reverse
+    link field names in the generated GraphQL schema): the reverse
+    field the Order→Customer link generates on Customer renders
+    under the declared name `orders` instead of the default
+    `_of_Order`, and the wire query uses the declared name through
+    the ordinary relation path (execution needs no special case).
+
+    The output's broadcast `backlink_type` column is EXTRACTED from
+    the generated schema document (Customer OBJECT doc → field named
+    `orders` → its type `[Order]`) — if the sugar failed to rename,
+    the extraction nulls out and the key goes red; the data columns
+    gate the execution side."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import graphql_schema
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    frames_meta = spark.createDataFrame(
+        [
+            ("Customer", "c_name", "xsd:string", True),
+            ("Order", "o_custkey", "Customer", True),
+            ("Order", "o_totalprice", "xsd:decimal", True),
+        ],
+        "class string, predicate string, obj_types string, required boolean",
+    )
+    schema_doc = graphql_schema(
+        frames_meta, backlink_names={("Order", "o_custkey"): "orders"}
+    )
+    fields_t = (
+        "struct<name:string,kind:string,"
+        "fields:array<struct<name:string,type:string,nonNull:boolean>>>"
+    )
+    blt = (
+        schema_doc.where(
+            (F.col("type_name") == "Customer") & (F.col("kind") == "OBJECT")
+        )
+        .select(
+            F.element_at(
+                F.filter(
+                    F.from_json(F.col("doc"), fields_t)["fields"],
+                    lambda x: x["name"] == "orders",
+                ),
+                1,
+            )["type"].alias("backlink_type")
+        )
+    )
+    data = execute_graphql(
+        {"Customer": t["customer"], "Order": t["orders"]},
+        """
+        query {
+          Customer(filter: {c_mktsegment: {eq: "MACHINERY"}}) {
+            c_custkey
+            orders(filter: {o_orderstatus: {eq: "F"}},
+                   orderBy: {o_orderkey: ASC}, limit: 3) {
+              o_orderkey
+            }
+          }
+        }
+        """,
+        relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
+    )["Customer"]
+    return data.crossJoin(F.broadcast(blt))

@@ -4106,3 +4106,73 @@ def test_multimodal_real_decode_branch_in_ci(spark):
         w2, h2, ch2, _rows = png_decode(bytes(rz[did].payload))
         assert (w2, h2) == (4, 4)
         assert (rz[did].width, rz[did].height) == (4, 4)
+
+
+def test_graphql_cursor_pagination(spark):
+    """Relay-style first/after: root keyset page, nested per-parent
+    keyset page, stable id order; mixing paging styles raises; cursor
+    without a registered id column raises."""
+    import json
+
+    import pytest as _pytest
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    docs = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 8)], "k long, n string"
+    )
+    kids = spark.createDataFrame(
+        [(p, c) for p in range(1, 8) for c in range(p * 10, p * 10 + 4)],
+        "pfk long, ck long",
+    )
+    ids = {"D": "k", "C": "ck"}
+    rels = {("D", "cs"): ("C", "k", "pfk")}
+    out = execute_graphql(
+        {"D": docs, "C": kids},
+        "query { D(first: 3, after: 2) { k n cs(first: 2, after: 0) { ck } } }",
+        relations=rels, id_cols=ids,
+    )["D"].orderBy("k").collect()
+    assert [r.k for r in out] == [3, 4, 5]  # keyset: k > 2, first 3
+    assert json.loads(out[0].cs) == [{"ck": 30}, {"ck": 31}]
+    # nested after skips children at-or-below the cursor
+    out2 = execute_graphql(
+        {"D": docs, "C": kids},
+        "query { D(id: 4) { k cs(first: 2, after: 41) { ck } } }",
+        relations=rels, id_cols=ids,
+    )["D"].collect()
+    assert json.loads(out2[0].cs) == [{"ck": 42}, {"ck": 43}]
+    with _pytest.raises(ValueError, match="paging style"):
+        execute_graphql(
+            {"D": docs, "C": kids},
+            "query { D(first: 2, limit: 3) { k } }",
+            relations=rels, id_cols=ids,
+        )["D"].collect()
+    with _pytest.raises(ValueError, match="id column"):
+        execute_graphql(
+            {"D": docs, "C": kids}, "query { D(first: 2) { k } }",
+            relations=rels,
+        )["D"].collect()
+
+
+def test_graphql_schema_backlink_naming(spark):
+    """backlink_names renders the declared reverse-field name in
+    place of _of_<Source>; undeclared links keep the default."""
+    import json
+
+    from terminus_server_spark.docs.documents import graphql_schema
+
+    frames = spark.createDataFrame(
+        [
+            ("A", "x", "B", True),   # declared backlink name on B
+            ("Z", "y", "B", True),   # default _of_Z on B
+            ("B", "s", "xsd:string", False),
+        ],
+        "class string, predicate string, obj_types string, required boolean",
+    )
+    doc = graphql_schema(frames, backlink_names={("A", "x"): "as_list"})
+    [brow] = [r for r in doc.collect()
+              if r.kind == "OBJECT" and r.type_name == "B"]
+    names = [f["name"] for f in json.loads(brow.doc)["fields"]]
+    assert "as_list" in names
+    assert "_of_Z" in names
+    assert "_of_A" not in names

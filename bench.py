@@ -385,6 +385,7 @@ HEADLINE = [
     "doc_json_field_diff",
     "gql_execute_cursor",
     "gql_execute_backlink_named",
+    "graph_ktruss_incr",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -2136,6 +2136,175 @@ def _ktruss_loop(cur, n_e, need, max_iters, _support):
     raise RuntimeError(f"ktruss did not converge in {max_iters} rounds")
 
 
+def _edge_support(lhs: DataFrame, full: DataFrame) -> DataFrame:
+    """(a, b, _sup): triangle support of each ``lhs`` edge within the
+    ``full`` edge set — wedge (a,b)+(a,c) closed iff (min,max)(b,c)
+    is a ``full`` edge.  Shared by the batch k-truss peel and the
+    incremental maintenance below."""
+    adj = full.select("a", "b").union(
+        full.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return (
+        lhs.join(adj.select(F.col("a"), F.col("b").alias("c")), "a")
+        .where(F.col("c") != F.col("b"))
+        .join(
+            full.select(F.col("a").alias("_x"), F.col("b").alias("_y")),
+            (F.least("b", "c") == F.col("_x"))
+            & (F.greatest("b", "c") == F.col("_y")),
+            "left_semi",
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_sup"))
+    )
+
+
+def _und(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+
+
+def ktruss_incremental(
+    truss_old: DataFrame,
+    base_edges: DataFrame,
+    delta_edges: DataFrame,
+    k: int = 4,
+    max_iters: int = 30,
+) -> DataFrame:
+    """(a, b): the k-truss AFTER an insert-only commit delta, at cost
+    proportional to the delta's cascade region — never a full-graph
+    re-peel (the incremental-analytics pattern of
+    ``connected_components_incremental`` / warm PageRank applied to
+    truss maintenance; reference locus: commit-delta layers over the
+    graph fragment).
+
+    Correctness rests on two facts, both from the k-truss's
+    MAXIMALITY (the truss is the largest subgraph where every edge
+    closes >= k-2 triangles inside the subgraph):
+
+    1. Insert-only ⇒ ``T_old ⊆ T_new``: adding edges cannot destroy
+       T_old's internal triangles, so T_old still qualifies and the
+       maximal T_new contains it — T_old edges are FROZEN IN, never
+       re-examined.
+    2. A previously-pruned edge can enter T_new only if one of its
+       triangles contains another ENTERING edge: if all its >= k-2
+       triangle partners were already in T_old, then T_old ∪ {e}
+       qualified and maximality of T_old is contradicted.  So the
+       candidate set is the CLOSURE of the delta under
+       shares-a-triangle-with, intersected with the non-truss edges
+       — computed by frontier-sized wedge joins, exactly the cascade
+       region and nothing more.
+
+    The peel then runs only over the candidate set (support measured
+    within T_old ∪ candidates, T_old frozen), with the same
+    dirty-endpoint incremental recomputation as the batch peel.
+    DELETIONS are not handled here: a delete can evict T_old edges,
+    which invalidates fact 1 — route deletion deltas through the
+    batch ``ktruss`` (its inner loop already recomputes only
+    cascade frontiers)."""
+    spark = truss_old.sparkSession
+    t_old = truss_old.select("a", "b").distinct()
+    e_new = _und(base_edges).unionByName(_und(delta_edges)).distinct()
+    e_new, n_new = loop_checkpoint_count(e_new)
+    not_t = e_new.join(t_old, ["a", "b"], "left_anti")
+    not_t = loop_checkpoint(not_t)
+    x = _und(delta_edges).join(t_old, ["a", "b"], "left_anti")
+    x, n_x = loop_checkpoint_count(x)
+    need = k - 2
+    if n_x == 0:
+        return t_old
+    with loop_tuning(spark, n_new):
+        # --- closure: pull in non-truss edges sharing a triangle
+        # with the frontier, to fixpoint (fact 2's candidate set)
+        frontier = x
+        for _ in range(max_iters):
+            adj = e_new.select("a", "b").union(
+                e_new.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            tris = (
+                frontier.join(
+                    adj.select(F.col("a"), F.col("b").alias("c")), "a"
+                )
+                .where(F.col("c") != F.col("b"))
+                .join(
+                    e_new.select(F.col("a").alias("_x"), F.col("b").alias("_y")),
+                    (F.least("b", "c") == F.col("_x"))
+                    & (F.greatest("b", "c") == F.col("_y")),
+                    "left_semi",
+                )
+            )
+            partners = (
+                tris.select(
+                    F.least("a", "c").alias("a"), F.greatest("a", "c").alias("b")
+                )
+                .unionByName(
+                    tris.select(
+                        F.least("b", "c").alias("a"),
+                        F.greatest("b", "c").alias("b"),
+                    )
+                )
+                .distinct()
+            )
+            fresh = (
+                partners.join(not_t, ["a", "b"], "left_semi")
+                .join(x, ["a", "b"], "left_anti")
+            )
+            fresh, n_fresh = loop_checkpoint_count(fresh)
+            if n_fresh == 0:
+                break
+            x = x.unionByName(fresh)
+            x, n_x = loop_checkpoint_count(x, size_hint=n_x + n_fresh)
+            frontier = fresh
+        # --- peel the candidates over T_old ∪ X (T_old frozen)
+        g_c = t_old.unionByName(x)
+        cur = x.join(_edge_support(x, g_c), ["a", "b"], "left_outer").select(
+            "a", "b", F.coalesce(F.col("_sup"), F.lit(0).cast("bigint")).alias("_sup")
+        )
+        cur, n_c = loop_checkpoint_count(cur, size_hint=n_x)
+        for _ in range(max_iters):
+            dropped = cur.where(F.col("_sup") < need)
+            surv = cur.where(F.col("_sup") >= need).select("a", "b", "_sup")
+            surv, n_surv = loop_checkpoint_count(surv, size_hint=n_c)
+            if n_surv == n_c:
+                return t_old.unionByName(surv.select("a", "b"))
+            if n_surv == 0:
+                return t_old
+            dirty = (
+                dropped.select(F.col("a").alias("n"))
+                .union(dropped.select(F.col("b")))
+                .distinct()
+            )
+            survivor_graph = t_old.unionByName(surv.select("a", "b"))
+            edges_only = surv.select("a", "b")
+            touched = (
+                edges_only.join(
+                    dirty.select(F.col("n").alias("a")), "a", "left_semi"
+                )
+                .unionByName(
+                    edges_only.join(
+                        dirty.select(F.col("n").alias("b")), "b", "left_semi"
+                    )
+                )
+                .distinct()
+            )
+            fresh_sup = touched.join(
+                _edge_support(touched, survivor_graph), ["a", "b"], "left_outer"
+            ).select(
+                "a",
+                "b",
+                F.coalesce(F.col("_sup"), F.lit(0).cast("bigint")).alias("_sup"),
+            )
+            cur = surv.join(touched, ["a", "b"], "left_anti").unionByName(fresh_sup)
+            cur, n_c = loop_checkpoint_count(cur, size_hint=n_surv)
+        raise RuntimeError(f"ktruss_incremental did not converge in {max_iters} rounds")
+
+
 def msf_boruvka(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     """(a, b, w): minimum spanning forest by Borůvka rounds — the
     distributed MST algorithm (each round every component picks its

@@ -21491,3 +21491,96 @@ def gql_execute_backlink_named(spark, sf_dir):
         relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
     )["Customer"]
     return data.crossJoin(F.broadcast(blt))
+
+
+@register(
+    "graph_ktruss_incr",
+    """
+    WITH grp AS (
+      SELECT DISTINCT (c_custkey // 50) * 50 AS g FROM customer
+      WHERE c_custkey % 50 < 5),
+    members AS (
+      SELECT g, g + i AS n
+      FROM grp, LATERAL (SELECT unnest(generate_series(0, 4)) AS i)
+      WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = g + i)),
+    g4 AS (
+      SELECT g FROM members WHERE n - g < 4 GROUP BY g HAVING COUNT(*) = 4),
+    g5 AS (
+      SELECT g FROM members GROUP BY g HAVING COUNT(*) = 5)
+    SELECT m1.n AS a, m2.n AS b
+    FROM members m1
+    JOIN members m2 ON m1.g = m2.g AND m1.n < m2.n
+    JOIN g4 ON m1.g = g4.g
+    WHERE m1.n - m1.g < 4 AND m2.n - m2.g < 4
+    UNION ALL
+    SELECT m1.n, m2.n
+    FROM members m1
+    JOIN members m2 ON m1.g = m2.g AND m2.n - m2.g = 4
+    JOIN g5 ON m1.g = g5.g
+    WHERE m1.n - m1.g < 3 AND m1.g % 100 = 0
+    """,
+)
+def graph_ktruss_incr(spark, sf_dir):
+    """INCREMENTAL 4-truss over an insert-only commit delta
+    (operators/graph.py:ktruss_incremental) — the r8 verdict's
+    pattern-completion: truss maintenance at delta-cascade cost,
+    T_old frozen in by maximality, candidates = the
+    shares-a-triangle closure of the delta.
+
+    Fixture: each group plants a K4 on {g..g+3} (a 4-truss on its
+    own) plus node g+4 attached by only (g,g+4),(g+1,g+4) — one
+    triangle each, pruned from T_old — plus triangle-free chains.
+    The delta adds (g+2,g+4) for every other group (g %% 100 = 0):
+    the new edge gives all three attachment edges 2 triangles each,
+    so the two PREVIOUSLY-PRUNED edges re-enter through the cascade
+    closure — exactly the resurrection case a naive
+    'truss-only-grows-from-delta-edges' shortcut would miss.  The
+    oracle states the fixpoint closed-form: K4 pairs for every
+    complete K4 group, plus (g+i, g+4) i<3 for delta groups with all
+    5 members."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import (
+        ktruss,
+        ktruss_incremental,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 50).cast("bigint") * 50
+    pos = k % 50
+    members = cust.where(pos < 5).select(g.alias("g"), k.alias("n"))
+    k4 = (
+        members.alias("m1")
+        .join(members.alias("m2"), "g")
+        .where(
+            (F.col("m1.n") < F.col("m2.n"))
+            & (F.col("m1.n") - F.col("g") < 4)
+            & (F.col("m2.n") - F.col("g") < 4)
+        )
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    attach = (
+        members.alias("m1")
+        .join(members.alias("m2"), "g")
+        .where(
+            (F.col("m2.n") - F.col("g") == 4) & (F.col("m1.n") - F.col("g") < 2)
+        )
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    chain = cust.where((pos >= 6) & (pos < 20)).select(
+        k.alias("src"), (k + 1).alias("dst")
+    )
+    base = k4.union(attach).union(chain)
+    delta = (
+        members.alias("m1")
+        .join(members.alias("m2"), "g")
+        .where(
+            (F.col("m2.n") - F.col("g") == 4)
+            & (F.col("m1.n") - F.col("g") == 2)
+            & (F.col("g") % 100 == 0)
+        )
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    t_old = ktruss(base, k=4)
+    return ktruss_incremental(t_old, base, delta, k=4).select("a", "b")

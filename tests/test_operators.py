@@ -4176,3 +4176,44 @@ def test_graphql_schema_backlink_naming(spark):
     assert "as_list" in names
     assert "_of_Z" in names
     assert "_of_A" not in names
+
+
+def test_ktruss_incremental_equals_batch(spark):
+    """ktruss_incremental(T_old, base, delta) == ktruss(base ∪ delta)
+    on seeded random graphs — including resurrection cascades (edges
+    pruned from T_old re-entering through delta triangles) — and
+    T_old ⊆ T_new (insert-only monotonicity)."""
+    import random
+
+    from terminus_server_spark.operators.graph import ktruss, ktruss_incremental
+
+    for seed, n, p_base, p_delta in ((1, 24, 0.28, 0.08), (7, 18, 0.35, 0.12)):
+        rnd = random.Random(seed)
+        base, delta = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                r = rnd.random()
+                if r < p_base:
+                    base.append((i, j))
+                elif r < p_base + p_delta:
+                    delta.append((i, j))
+        bdf = spark.createDataFrame(base, "src long, dst long")
+        ddf = spark.createDataFrame(delta, "src long, dst long")
+        t_old = ktruss(bdf, k=4)
+        got = {(r.a, r.b) for r in ktruss_incremental(t_old, bdf, ddf, k=4).collect()}
+        want = {(r.a, r.b) for r in ktruss(bdf.unionByName(ddf), k=4).collect()}
+        assert got == want, (seed, got ^ want)
+        old = {(r.a, r.b) for r in t_old.collect()}
+        assert old <= got
+    # explicit resurrection: K4 + weakly-attached node completed by
+    # the delta — previously-pruned attach edges must re-enter
+    b = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4), (1, 4)]
+    d = [(2, 4)]
+    bdf = spark.createDataFrame(b, "src long, dst long")
+    ddf = spark.createDataFrame(d, "src long, dst long")
+    t_old = ktruss(bdf, k=4)
+    assert {(r.a, r.b) for r in t_old.collect()} == {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
+    }
+    t_new = {(r.a, r.b) for r in ktruss_incremental(t_old, bdf, ddf, k=4).collect()}
+    assert t_new == set(b) | set(d)

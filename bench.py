@@ -386,6 +386,7 @@ HEADLINE = [
     "gql_execute_cursor",
     "gql_execute_backlink_named",
     "graph_ktruss_incr",
+    "stream_bisect",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -21584,3 +21584,40 @@ def graph_ktruss_incr(spark, sf_dir):
     )
     t_old = ktruss(base, k=4)
     return ktruss_incremental(t_old, base, delta, k=4).select("a", "b")
+
+
+@register(
+    "stream_bisect",
+    """
+    WITH yr AS (
+      SELECT CAST(year(o_orderdate) - 1991 AS INT) AS seq, COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    cum AS (SELECT seq, SUM(n) OVER (ORDER BY seq) AS c, SUM(n) OVER () AS t FROM yr)
+    SELECT seq AS first_bad_seq, CAST(c AS BIGINT) AS n_at_first
+    FROM cum WHERE c * 10 > t * 6 ORDER BY seq LIMIT 1
+    """,
+)
+def stream_bisect(spark, sf_dir):
+    """Streaming bisection monitor (streaming/events.py:
+    run_stream_bisect) — the `vc_bisect` monotone predicate
+    maintained over a commit STREAM: state is the per-commit net
+    count table (O(#commits) forever), each foreachBatch merge is an
+    associative+commutative seq-grain sum, and the first-bad commit
+    reads off the state's cumulative curve with no binary search and
+    no per-commit materialization.  Commit rows stream in three
+    micro-batches split by ORDER KEY — orthogonal to commit seq, so
+    every batch touches every commit — and the oracle is the SAME
+    closed form as batch `vc_bisect`, which is exactly the
+    batch-split-invariance claim under test (like the sketch
+    monitors)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_bisect
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    layers = orders.select(
+        (F.year("o_orderdate") - 1991).cast("int").alias("commit_seq"),
+        "o_orderkey",
+    )
+    batches = [layers.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    return run_stream_bisect(spark, batches, "commit_seq")

@@ -58,6 +58,10 @@ WINDOW_OK: dict[str, str] = {
     "events_wilson_rank": "event-type-grain rank (type vocabulary)",
     # fixed-grid CDF inversion: n_buckets rows by construction
     "sketch_quantile_grid": "128-bucket fixed-grid CDF",
+    # streaming bisect: running sum over the foreachBatch-maintained
+    # per-commit count table — O(#commits) state rows (commit grain,
+    # metadata-scale), never row-grain data
+    "stream_bisect": "commit-grain state-table cumulative curve",
     "stream_quantile_grid": "128-bucket fixed-grid CDF",
 }
 

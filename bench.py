@@ -387,6 +387,9 @@ HEADLINE = [
     "gql_execute_backlink_named",
     "graph_ktruss_incr",
     "stream_bisect",
+    "graph_msf_incr",
+    "doc_json_typed_field",
+    "doc_json_patch",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -242,3 +242,116 @@ def json_field_diff(
         .where(F.col("op").isNotNull())
         .select("id", "path", "op", "old_value", "new_value")
     )
+
+
+def json_leaf_assemble(
+    leaves: DataFrame,
+    id_col: str = "id",
+    path_col: str = "path",
+    value_col: str = "value",
+    max_depth: int = 8,
+) -> DataFrame:
+    """(id, json): rebuild the CANONICAL JSON text from its leaf set
+    — the inverse of ``json_leaves``, closing the schemaless
+    diff/patch loop (``assemble(leaves(x)) == canonical_json(x)``,
+    property-tested).
+
+    Bottom-up collapse: for depth d = max_depth..1, leaves at depth d
+    group by (id, parent path) into one rendered container — arrays
+    join ','-wise by index, objects render '"k":v' sorted by key
+    (matching the variant rendering's key-sorted canonical form) —
+    and become depth d-1 leaves.  Each round is one groupBy keyed by
+    (id, parent); rounds = nesting depth, the same bound as the
+    flattener.  Depth is the path's segment count ('.' and '['
+    occurrences — object keys must not contain '.', '[' or ']',
+    the module-wide path-grammar restriction)."""
+    segs = F.length(F.regexp_replace(F.col("path"), r"[^.\[]", ""))
+    cur = leaves.select(
+        F.col(id_col).alias("id"),
+        F.col(path_col).alias("path"),
+        F.col(value_col).alias("value"),
+    )
+    last_seg = r"(\.[^.\[\]]+|\[[0-9]+\])$"
+    for d in range(max_depth, 0, -1):
+        at_d = cur.where(segs == d)
+        rest = cur.where(segs != d)
+        seg = F.regexp_extract(F.col("path"), last_seg, 1)
+        is_idx = seg.startswith("[")
+        parent = F.regexp_replace(F.col("path"), last_seg, "")
+        entry = F.when(
+            is_idx, F.col("value")
+        ).otherwise(
+            F.concat(
+                F.lit('"'), F.substring(seg, 2, 10_000), F.lit('":'), F.col("value")
+            )
+        )
+        sort_key = F.when(
+            is_idx,
+            F.lpad(F.regexp_extract(seg, r"\[([0-9]+)\]", 1), 12, "0"),
+        ).otherwise(F.substring(seg, 2, 10_000))
+        collapsed = (
+            at_d.select(
+                "id",
+                parent.alias("path"),
+                is_idx.alias("_i"),
+                F.struct(sort_key.alias("k"), entry.alias("e")).alias("s"),
+            )
+            .groupBy("id", "path")
+            .agg(
+                F.max("_i").alias("_i"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda x: x["e"]
+                    ),
+                ).alias("_body"),
+            )
+            .select(
+                "id",
+                "path",
+                F.when(
+                    F.col("_i"), F.concat(F.lit("["), F.col("_body"), F.lit("]"))
+                )
+                .otherwise(
+                    F.concat(F.lit("{"), F.col("_body"), F.lit("}"))
+                )
+                .alias("value"),
+            )
+        )
+        cur = rest.unionByName(collapsed)
+    return cur.select("id", F.col("value").alias("json"))
+
+
+def json_field_patch(
+    old: DataFrame,
+    diff: DataFrame,
+    id_col: str = "doc_id",
+    json_col: str = "json",
+    max_depth: int = 8,
+) -> DataFrame:
+    """(id, json): apply a ``json_field_diff`` patch to schemaless
+    JSON documents — the roundtrip law
+    ``patch(old, diff(old, new)) == canonical_json(new)`` holds for
+    every diff the differ emits (the registry key hash-checks exactly
+    that, like the typed list-patch pair).
+
+    Leaf-set surgery + reassembly: removed/changed paths drop out of
+    the old leaf set (one anti-join keyed by id+path), added/changed
+    leaves splice in from the diff, and ``json_leaf_assemble``
+    rebuilds the canonical text.  All shuffles key by (id, path)."""
+    lo = json_leaves(old, id_col, json_col, max_depth=max_depth)
+    gone = diff.where(F.col("op").isin("removed", "changed")).select(
+        F.col(id_col).alias("id") if id_col in diff.columns else F.col("id"),
+        "path",
+    )
+    incoming = diff.where(F.col("op").isin("added", "changed")).select(
+        F.col(id_col).alias("id") if id_col in diff.columns else F.col("id"),
+        "path",
+        F.col("new_value").alias("value"),
+    )
+    kept = lo.select("id", "path", "value").join(
+        gone, ["id", "path"], "left_anti"
+    )
+    return json_leaf_assemble(
+        kept.unionByName(incoming), "id", max_depth=max_depth
+    )

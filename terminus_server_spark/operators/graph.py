@@ -2428,6 +2428,33 @@ def _msf_loop(und, n_e, labels, forest_parts, max_iters):
     return out.distinct()
 
 
+def msf_incremental(
+    forest_old: DataFrame, delta_edges: DataFrame, max_iters: int = 30
+) -> DataFrame:
+    """(a, b, w): the minimum spanning forest AFTER an insert-only
+    commit delta, by the SPARSIFICATION identity (Eppstein et al.,
+    "Sparsification — a technique for speeding up dynamic graph
+    algorithms", JACM 1997, public result):
+
+        MSF(E ∪ Δ) = MSF(MSF(E) ∪ Δ)
+
+    — an MSF edge of the union that lies in E must already be an
+    MSF(E) edge (dropping a non-forest E edge never breaks the cycle
+    rule), so the Borůvka rounds re-run over only ``|V|-ish forest
+    edges + |Δ|`` rows instead of the full edge set.  Edge SWAPS are
+    handled exactly: a delta edge closing a cycle through the old
+    forest evicts the cycle's maximum-weight edge, whichever side it
+    came from.  Same determinism precondition as ``msf_boruvka``
+    (distinct weights within any component's candidate set); deletes
+    invalidate the identity — route them through the batch MSF."""
+    union = forest_old.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        delta_edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+    )
+    return msf_boruvka(union, max_iters=max_iters)
+
+
 def random_walks(
     edges: DataFrame, starts: DataFrame, length: int = 4, seed: str = ""
 ) -> DataFrame:

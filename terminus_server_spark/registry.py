@@ -21621,3 +21621,201 @@ def stream_bisect(spark, sf_dir):
     )
     batches = [layers.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
     return run_stream_bisect(spark, batches, "commit_seq")
+
+
+@register(
+    "graph_msf_incr",
+    """
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS a, c_custkey + 1 AS b,
+             CAST(2 * ((c_custkey * 7) % 97) + 2 AS DOUBLE) AS w
+      FROM customer, mx
+      WHERE c_custkey % 10 <> 9 AND c_custkey < mx.m
+      UNION ALL
+      SELECT (c_custkey // 10) * 10, c_custkey,
+             CAST(2 * (((c_custkey // 10) * 11) % 97) + 1 AS DOUBLE)
+      FROM customer WHERE c_custkey % 10 = 9),
+    ranked AS (
+      SELECT a, b, w,
+             ROW_NUMBER() OVER (PARTITION BY a // 10
+                                ORDER BY w DESC, a, b) AS rk
+      FROM e)
+    SELECT a, b, w FROM ranked WHERE rk > 1
+    """,
+)
+def graph_msf_incr(spark, sf_dir):
+    """INCREMENTAL minimum spanning forest over an insert-only commit
+    delta (operators/graph.py:msf_incremental) — the sparsification
+    identity MSF(E ∪ Δ) = MSF(MSF(E) ∪ Δ) re-runs Borůvka over
+    forest + delta rows only (|V|-ish + |Δ|), never the full edge
+    set.  Fixture: the `graph_msf` decade cycles split into a BASE of
+    chain edges (acyclic — the old forest is the whole base) and a
+    DELTA of odd-weight cycle-closing edges; each delta edge closes a
+    cycle and the incremental pass must evict that cycle's
+    maximum-weight edge, which is a BASE edge whenever the closer
+    isn't the max — the edge-swap case a naive forest-append would
+    miss.  The oracle is the same closed form as batch `graph_msf`
+    over the union: exactly the equality the identity asserts."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import (
+        msf_boruvka,
+        msf_incremental,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    mx = cust.agg(F.max("c_custkey").alias("m"))
+    base = (
+        cust.crossJoin(F.broadcast(mx))
+        .where((k % 10 != 9) & (k < F.col("m")))
+        .select(
+            k.alias("src"),
+            (k + 1).alias("dst"),
+            (2 * ((k * 7) % 97) + 2).cast("double").alias("w"),
+        )
+    )
+    delta = cust.where(k % 10 == 9).select(
+        ((k / 10).cast("bigint") * 10).alias("src"),
+        k.alias("dst"),
+        (2 * (((k / 10).cast("bigint") * 11) % 97) + 1)
+        .cast("double")
+        .alias("w"),
+    )
+    forest_old = msf_boruvka(base)
+    return msf_incremental(forest_old, delta).select("a", "b", "w")
+
+
+@register(
+    "doc_json_typed_field",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, n_chars, source,
+        '{"meta": {"chars": ' || n_chars || ', "src": "' || source ||
+        '"}, "tags": ["' || lang || '", "t' || (doc_id % 5) || '"]}' AS props
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(json_extract(props, '$.meta.chars') AS BIGINT))
+                AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT json_extract_string(props, '$.tags[1]'))
+                AS BIGINT) AS n_tags
+    FROM base
+    WHERE CAST(json_extract(props, '$.meta.chars') AS BIGINT) > 200
+      AND json_extract_string(props, '$.meta.src') = source
+    GROUP BY lang
+    """,
+)
+def doc_json_typed_field(spark, sf_dir):
+    """JSON-VALUED FIELD on a schema-checked class (the second half
+    of the reference's sys:JSON support: docs.terminusdb.com "JSON
+    documents" — a class property of type sys:JSON holds arbitrary
+    JSON next to typed columns).  Spark-first: the field parses ONCE
+    to VariantType and every access is a TYPED `variant_get`
+    extraction (`$.meta.chars` as bigint, `$.tags[1]` as string) —
+    JVM-side, no regex, no Python — composing with ordinary
+    predicates and aggregations; the filter on the extracted value
+    prunes before the aggregate like any column predicate.  The
+    fixture builds the JSON from typed columns so the oracle
+    restates every extraction closed-form through DuckDB's
+    json_extract."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    props = F.concat(
+        F.lit('{"meta": {"chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit(', "src": "'),
+        F.col("source"),
+        F.lit('"}, "tags": ["'),
+        F.col("lang"),
+        F.lit('", "t'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('"]}'),
+    )
+    v = F.parse_json(props)
+    staged = docs.select(
+        "lang",
+        "source",
+        F.variant_get(v, "$.meta.chars", "bigint").alias("chars"),
+        F.variant_get(v, "$.meta.src", "string").alias("src"),
+        F.variant_get(v, "$.tags[1]", "string").alias("tag1"),
+    )
+    return (
+        staged.where((F.col("chars") > 200) & (F.col("src") == F.col("source")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("sum_chars"),
+            F.countDistinct("tag1").cast("bigint").alias("n_tags"),
+        )
+    )
+
+
+@register(
+    "doc_json_patch",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_extract(text, '[A-Za-z]+') AS w,
+             lang, source, n_chars,
+             CASE WHEN doc_id % 4 = 1 THEN n_chars + 1 ELSE n_chars END AS ch
+      FROM documents)
+    SELECT doc_id,
+      '{"meta":{"chars":' || ch || ',"lang":"' || lang || '"}' ||
+      CASE WHEN doc_id % 4 = 2 THEN ',"new":true' ELSE '' END ||
+      ',"note":null,"tags":["' || source ||
+      CASE WHEN doc_id % 4 = 3 THEN '"]' ELSE '","x"]' END ||
+      ',"title":"' || w || '"}' AS json
+    FROM base
+    """,
+)
+def doc_json_patch(spark, sf_dir):
+    """Schemaless JSON PATCH — the apply half of the sys:JSON
+    diff/patch pair (docs/json_docs.py:json_field_patch +
+    json_leaf_assemble): the diff from `doc_json_field_diff` applies
+    back onto v1 by leaf-set surgery (anti-join out removed/changed
+    paths, splice in added/changed leaves) and bottom-up reassembly
+    into the canonical key-sorted rendering; the oracle restates
+    canonical v2 closed-form per edit case, so the key hash-checks
+    the roundtrip law patch(old, diff(old,new)) == canonical(new)
+    directly — differ, patcher, and assembler cannot drift apart
+    without this going red.  Assembly is one groupBy per nesting
+    level keyed by (id, parent-path)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.json_docs import (
+        json_field_diff,
+        json_field_patch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+
+    def body(chars, tags_two, extra):
+        return F.concat(
+            F.lit('{"title": "'),
+            F.regexp_extract(F.col("text"), "[A-Za-z]+", 0),
+            F.lit('", "meta": {"lang": "'),
+            F.col("lang"),
+            F.lit('", "chars": '),
+            chars.cast("string"),
+            F.lit('}, "tags": ["'),
+            F.col("source"),
+            F.lit('", "x"]' if tags_two else '"]'),
+            F.lit(', "note": null'),
+            F.lit(', "new": true}' if extra else "}"),
+        )
+
+    m = F.col("doc_id") % 4
+    v1 = docs.select("doc_id", body(F.col("n_chars"), True, False).alias("j"))
+    v2 = docs.select(
+        "doc_id",
+        F.when(m == 1, body(F.col("n_chars") + 1, True, False))
+        .when(m == 2, body(F.col("n_chars"), True, True))
+        .when(m == 3, body(F.col("n_chars"), False, False))
+        .otherwise(body(F.col("n_chars"), True, False))
+        .alias("j"),
+    )
+    diff = json_field_diff(v1, v2, "doc_id", "j")
+    out = json_field_patch(v1, diff, "doc_id", "j", max_depth=4)
+    return out.select(F.col("id").alias("doc_id"), "json")

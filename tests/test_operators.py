@@ -4217,3 +4217,84 @@ def test_ktruss_incremental_equals_batch(spark):
     }
     t_new = {(r.a, r.b) for r in ktruss_incremental(t_old, bdf, ddf, k=4).collect()}
     assert t_new == set(b) | set(d)
+
+
+def test_msf_incremental_equals_batch(spark):
+    """Sparsification identity: msf_incremental(MSF(base), delta) ==
+    msf_boruvka(base ∪ delta) on seeded random weighted graphs with
+    distinct weights — including edge swaps (a delta edge evicting an
+    old forest edge on its cycle)."""
+    import random
+
+    from terminus_server_spark.operators.graph import msf_boruvka, msf_incremental
+
+    for seed in (3, 11):
+        rnd = random.Random(seed)
+        n = 20
+        base, delta = [], []
+        weights = list(range(1, 400))
+        rnd.shuffle(weights)
+        wi = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                r = rnd.random()
+                if r < 0.25:
+                    base.append((i, j, float(weights[wi]))); wi += 1
+                elif r < 0.35:
+                    delta.append((i, j, float(weights[wi]))); wi += 1
+        bdf = spark.createDataFrame(base, "src long, dst long, w double")
+        ddf = spark.createDataFrame(delta, "src long, dst long, w double")
+        forest = msf_boruvka(bdf)
+        got = {(r.a, r.b, r.w) for r in msf_incremental(forest, ddf).collect()}
+        want = {(r.a, r.b, r.w)
+                for r in msf_boruvka(bdf.unionByName(ddf)).collect()}
+        assert got == want, (seed, got ^ want)
+    # explicit swap: triangle where the delta edge is cheapest —
+    # the old forest's max edge must be evicted
+    bdf = spark.createDataFrame([(0, 1, 5.0), (1, 2, 9.0)], "src long, dst long, w double")
+    ddf = spark.createDataFrame([(0, 2, 1.0)], "src long, dst long, w double")
+    forest = msf_boruvka(bdf)
+    assert {(r.a, r.b) for r in forest.collect()} == {(0, 1), (1, 2)}
+    got = {(r.a, r.b, r.w) for r in msf_incremental(forest, ddf).collect()}
+    assert got == {(0, 1, 5.0), (0, 2, 1.0)}
+
+
+def test_json_leaf_assemble_roundtrip(spark):
+    """assemble(leaves(x)) == canonical_json(x) across nesting,
+    arrays, empty containers, JSON null, bare scalars, root arrays;
+    patch roundtrip patch(old, diff(old,new)) == canonical(new)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.json_docs import (
+        canonical_json,
+        json_field_diff,
+        json_field_patch,
+        json_leaf_assemble,
+        json_leaves,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ' {"b": {"c": [5, null, "x"]}, "a": 1, "f": {}, "g": [], "e": null} '),
+            (2, '"bare"'),
+            (3, '{"deep": {"x": {"y": [true, {"z": 1}]}}}'),
+            (4, '[1, [2, 3], {"k": "v"}]'),
+        ],
+        "doc_id long, j string",
+    )
+    asm = json_leaf_assemble(json_leaves(df, "doc_id", "j"), "id")
+    want = df.select(F.col("doc_id").alias("id"), canonical_json("j").alias("w"))
+    rows = asm.join(want, "id").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.json == r.w, (r.id, r.json, r.w)
+    old = spark.createDataFrame(
+        [(1, '{"a": 1, "t": ["p", "q"], "m": {"x": 2}}')], "doc_id long, j string"
+    )
+    new = spark.createDataFrame(
+        [(1, '{"a": 2, "t": ["p"], "n": true, "m": {"x": 2}}')],
+        "doc_id long, j string",
+    )
+    d = json_field_diff(old, new, "doc_id", "j")
+    got = json_field_patch(old, d, "doc_id", "j").collect()[0].json
+    assert got == new.select(canonical_json("j")).collect()[0][0]

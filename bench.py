@@ -390,6 +390,7 @@ HEADLINE = [
     "graph_msf_incr",
     "doc_json_typed_field",
     "doc_json_patch",
+    "graph_kcore_incr",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -260,11 +260,20 @@ def json_leaf_assemble(
     group by (id, parent path) into one rendered container — arrays
     join ','-wise by index, objects render '"k":v' sorted by key
     (matching the variant rendering's key-sorted canonical form) —
-    and become depth d-1 leaves.  Each round is one groupBy keyed by
-    (id, parent); rounds = nesting depth, the same bound as the
-    flattener.  Depth is the path's segment count ('.' and '['
-    occurrences — object keys must not contain '.', '[' or ']',
-    the module-wide path-grammar restriction)."""
+    and become depth d-1 leaves.  Depth is the path's segment count
+    ('.' and '[' occurrences — object keys must not contain '.', '['
+    or ']', the module-wide path-grammar restriction).
+
+    PLAN SHAPE (the part that matters at scale): every round is ONE
+    groupBy over ALL rows — rows at the working depth key by their
+    parent path and aggregate into the container rendering,
+    shallower rows key by their own path and pass through as
+    singleton groups (a path can never be both a leaf and a
+    container parent in one document, so the keys cannot collide).
+    A filter-and-union formulation would reference the previous
+    round TWICE, doubling plan branches per level into a 2^depth
+    scan explosion (the plan audit catches exactly this class);
+    the single-groupBy form keeps lineage LINEAR in depth."""
     segs = F.length(F.regexp_replace(F.col("path"), r"[^.\[]", ""))
     cur = leaves.select(
         F.col(id_col).alias("id"),
@@ -273,31 +282,30 @@ def json_leaf_assemble(
     )
     last_seg = r"(\.[^.\[\]]+|\[[0-9]+\])$"
     for d in range(max_depth, 0, -1):
-        at_d = cur.where(segs == d)
-        rest = cur.where(segs != d)
+        at_d = segs == d
         seg = F.regexp_extract(F.col("path"), last_seg, 1)
         is_idx = seg.startswith("[")
         parent = F.regexp_replace(F.col("path"), last_seg, "")
-        entry = F.when(
-            is_idx, F.col("value")
-        ).otherwise(
+        entry = F.when(~at_d, F.col("value")).when(is_idx, F.col("value")).otherwise(
             F.concat(
                 F.lit('"'), F.substring(seg, 2, 10_000), F.lit('":'), F.col("value")
             )
         )
-        sort_key = F.when(
+        sort_key = F.when(~at_d, F.lit("")).when(
             is_idx,
             F.lpad(F.regexp_extract(seg, r"\[([0-9]+)\]", 1), 12, "0"),
         ).otherwise(F.substring(seg, 2, 10_000))
-        collapsed = (
-            at_d.select(
+        cur = (
+            cur.select(
                 "id",
-                parent.alias("path"),
-                is_idx.alias("_i"),
+                F.when(at_d, parent).otherwise(F.col("path")).alias("path"),
+                at_d.alias("_d"),
+                (at_d & is_idx).alias("_i"),
                 F.struct(sort_key.alias("k"), entry.alias("e")).alias("s"),
             )
             .groupBy("id", "path")
             .agg(
+                F.max("_d").alias("_d"),
                 F.max("_i").alias("_i"),
                 F.concat_ws(
                     ",",
@@ -309,7 +317,8 @@ def json_leaf_assemble(
             .select(
                 "id",
                 "path",
-                F.when(
+                F.when(~F.col("_d"), F.col("_body"))
+                .when(
                     F.col("_i"), F.concat(F.lit("["), F.col("_body"), F.lit("]"))
                 )
                 .otherwise(
@@ -318,7 +327,6 @@ def json_leaf_assemble(
                 .alias("value"),
             )
         )
-        cur = rest.unionByName(collapsed)
     return cur.select("id", F.col("value").alias("json"))
 
 

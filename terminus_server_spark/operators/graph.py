@@ -921,6 +921,114 @@ def _kcore_loop(cur, n_edges, k, rounds, broadcast_edge_limit):
     return cur.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
 
 
+def kcore_incremental(
+    core_old: DataFrame,
+    base_edges: DataFrame,
+    delta_edges: DataFrame,
+    k: int = 3,
+    max_iters: int = 30,
+) -> DataFrame:
+    """(node, degree): the k-core AFTER an insert-only commit delta,
+    at delta-cascade cost — the node-grain sibling of
+    ``ktruss_incremental``, on the same two maximality facts:
+
+    1. Insert-only ⇒ the old core is FROZEN IN: the k-core is the
+       maximal subgraph with minimum degree k, adding edges cannot
+       lower any old-core degree, so core_old ⊆ core_new.
+    2. A non-core node can enter only through a delta edge or an
+       ENTERING neighbor: if u already had >= k neighbors inside
+       core_old, then core_old ∪ {u} qualified and core_old was not
+       maximal.  So candidates = non-core nodes reachable from the
+       delta's non-core endpoints through NON-CORE adjacency — a
+       frontier-sized closure.
+
+    Candidates then peel from above (degree within core_old ∪
+    surviving candidates; core_old never re-examined), and the final
+    degrees come from one pass over the new core's internal edges.
+    Deletions invalidate fact 1 — route them through the batch
+    ``kcore``."""
+    spark = core_old.sparkSession
+    old = core_old.select("node").distinct()
+    old = loop_checkpoint(old)
+
+    def und(e):
+        return (
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .where(
+                F.col("a").isNotNull()
+                & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))
+            )
+            .distinct()
+        )
+
+    e_new = und(base_edges).unionByName(und(delta_edges)).distinct()
+    e_new, n_e = loop_checkpoint_count(e_new)
+    adj = e_new.union(
+        e_new.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    non_core_sel = lambda df: df.join(
+        old.select(F.col("node").alias("n")), "n", "left_anti"
+    )
+    seeds = non_core_sel(
+        und(delta_edges)
+        .select(F.col("a").alias("n"))
+        .union(und(delta_edges).select(F.col("b")))
+        .distinct()
+    )
+    x, n_x = loop_checkpoint_count(seeds)
+    if n_x == 0:
+        deg = (
+            adj.join(old.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(old.select(F.col("node").alias("b")), "b", "left_semi")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        return deg
+    with loop_tuning(spark, n_e):
+        frontier = x
+        for _ in range(max_iters):
+            nbrs = (
+                adj.join(
+                    frontier.select(F.col("n").alias("a")), "a", "left_semi"
+                )
+                .select(F.col("b").alias("n"))
+                .distinct()
+            )
+            fresh = non_core_sel(nbrs).join(x, "n", "left_anti")
+            fresh, n_fresh = loop_checkpoint_count(fresh)
+            if n_fresh == 0:
+                break
+            x = x.unionByName(fresh)
+            x, n_x = loop_checkpoint_count(x, size_hint=n_x + n_fresh)
+            frontier = fresh
+        cand, n_cand = x, n_x
+        for _ in range(max_iters):
+            in_set = old.select(F.col("node").alias("n")).unionByName(cand)
+            deg = (
+                adj.join(in_set.select(F.col("n").alias("a")), "a", "left_semi")
+                .join(in_set.select(F.col("n").alias("b")), "b", "left_semi")
+                .groupBy(F.col("a").alias("n"))
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            surv = cand.join(
+                deg.where(F.col("d") >= k), "n", "left_semi"
+            )
+            surv, n_surv = loop_checkpoint_count(surv, size_hint=n_cand)
+            if n_surv == n_cand:
+                cand = surv
+                break
+            cand, n_cand = surv, n_surv
+        core_new = old.select(F.col("node").alias("n")).unionByName(cand)
+        core_new = loop_checkpoint(core_new)
+        return (
+            adj.join(core_new.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(core_new.select(F.col("n").alias("b")), "b", "left_semi")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+
 def core_numbers(
     edges: DataFrame, max_k: int = 8, rounds_per_k: int = 10_000
 ) -> DataFrame:

@@ -21626,16 +21626,18 @@ def stream_bisect(spark, sf_dir):
 @register(
     "graph_msf_incr",
     """
-    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    WITH cust AS (
+      SELECT c_custkey FROM customer WHERE (c_custkey // 10) % 2 = 0),
+    mx AS (SELECT MAX(c_custkey) AS m FROM cust),
     e AS (
       SELECT c_custkey AS a, c_custkey + 1 AS b,
              CAST(2 * ((c_custkey * 7) % 97) + 2 AS DOUBLE) AS w
-      FROM customer, mx
+      FROM cust, mx
       WHERE c_custkey % 10 <> 9 AND c_custkey < mx.m
       UNION ALL
       SELECT (c_custkey // 10) * 10, c_custkey,
              CAST(2 * (((c_custkey // 10) * 11) % 97) + 1 AS DOUBLE)
-      FROM customer WHERE c_custkey % 10 = 9),
+      FROM cust WHERE c_custkey % 10 = 9),
     ranked AS (
       SELECT a, b, w,
              ROW_NUMBER() OVER (PARTITION BY a // 10
@@ -21656,7 +21658,12 @@ def graph_msf_incr(spark, sf_dir):
     maximum-weight edge, which is a BASE edge whenever the closer
     isn't the max — the edge-swap case a naive forest-append would
     miss.  The oracle is the same closed form as batch `graph_msf`
-    over the union: exactly the equality the identity asserts."""
+    over the union: exactly the equality the identity asserts.
+    (Even decades only: the key runs TWO Borůvka passes — old forest
+    + incremental — and this fixture's forest IS the whole base, so
+    halving the node set keeps the correctness gate at batch-key
+    cost; the sparsification SAVINGS need |E| >> |V|, quantified in
+    SCALING.md.)"""
     from pyspark.sql import functions as F
 
     from terminus_server_spark.operators.graph import (
@@ -21665,6 +21672,7 @@ def graph_msf_incr(spark, sf_dir):
     )
 
     cust = _t(spark, sf_dir, "customer")["customer"]
+    cust = cust.where(((F.col("c_custkey") / 10).cast("bigint") % 2) == 0)
     k = F.col("c_custkey")
     mx = cust.agg(F.max("c_custkey").alias("m"))
     base = (
@@ -21819,3 +21827,95 @@ def doc_json_patch(spark, sf_dir):
     diff = json_field_diff(v1, v2, "doc_id", "j")
     out = json_field_patch(v1, diff, "doc_id", "j", max_depth=4)
     return out.select(F.col("id").alias("doc_id"), "json")
+
+
+@register(
+    "graph_kcore_incr",
+    """
+    WITH grp AS (
+      SELECT DISTINCT (c_custkey // 50) * 50 AS g FROM customer
+      WHERE c_custkey % 50 < 6),
+    members AS (
+      SELECT g, g + i AS n
+      FROM grp, LATERAL (SELECT unnest(generate_series(0, 5)) AS i)
+      WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = g + i)),
+    g4 AS (
+      SELECT g FROM members WHERE n - g < 4 GROUP BY g HAVING COUNT(*) = 4),
+    d6 AS (
+      SELECT g FROM members GROUP BY g
+      HAVING COUNT(*) = 6 AND g % 100 = 0)
+    SELECT m.n AS node,
+           CAST(CASE WHEN d.g IS NOT NULL AND m.n - m.g <= 1 THEN 5
+                     ELSE 3 END AS BIGINT) AS degree
+    FROM members m
+    JOIN g4 ON m.g = g4.g
+    LEFT JOIN d6 d ON m.g = d.g
+    WHERE m.n - m.g < 4 OR d.g IS NOT NULL
+    """,
+)
+def graph_kcore_incr(spark, sf_dir):
+    """INCREMENTAL 3-core over an insert-only commit delta
+    (operators/graph.py:kcore_incremental) — node-grain sibling of
+    `graph_ktruss_incr`: core_old frozen in by maximality, candidates
+    = the non-core adjacency closure of the delta endpoints, peel
+    from above over candidates only.
+
+    Fixture: each group is a K4 {g..g+3} (a 3-core) plus g+4 attached
+    to {g, g+5} and g+5 attached to {g, g+1, g+4} — in the BASE both
+    hang below degree 3 (g+4 at 2; g+5 at 3 but cascading out when
+    g+4 leaves).  The delta adds ONE edge (g+1, g+4) for every other
+    complete group: g+4 reaches degree 3 against {g, g+1, g+5} and
+    g+5 reaches 3 against {g, g+1, g+4} — a MUTUAL-support entry
+    (each needs the other), which only the from-above peel over the
+    closure admits; a node-at-a-time greedy would deadlock.  The
+    oracle states the new core and its internal degrees closed-form
+    (attachment nodes lift g and g+1 to degree 5)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import kcore, kcore_incremental
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 50).cast("bigint") * 50
+    pos = k % 50
+    members = cust.where(pos < 6).select(g.alias("g"), k.alias("n"))
+    m6 = members.groupBy("g").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") == 6
+    ).select("g")
+    k4 = (
+        members.alias("m1")
+        .join(members.alias("m2"), "g")
+        .where(
+            (F.col("m1.n") < F.col("m2.n"))
+            & (F.col("m1.n") - F.col("g") < 4)
+            & (F.col("m2.n") - F.col("g") < 4)
+        )
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    gm = members.join(m6, "g")
+    pairs = [(0, 4), (4, 5), (0, 5), (1, 5)]
+    attach = None
+    for i, j in pairs:
+        e = (
+            gm.alias("m1")
+            .join(gm.alias("m2"), "g")
+            .where(
+                (F.col("m1.n") - F.col("g") == i)
+                & (F.col("m2.n") - F.col("g") == j)
+            )
+            .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+        )
+        attach = e if attach is None else attach.union(e)
+    base = k4.union(attach)
+    delta = (
+        gm.alias("m1")
+        .join(gm.alias("m2"), "g")
+        .where(
+            (F.col("m1.n") - F.col("g") == 1)
+            & (F.col("m2.n") - F.col("g") == 4)
+            & (F.col("g") % 100 == 0)
+        )
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    core_old = kcore(base, k=3, rounds=4).select("node")
+    return kcore_incremental(core_old, base, delta, k=3)

@@ -4298,3 +4298,43 @@ def test_json_leaf_assemble_roundtrip(spark):
     d = json_field_diff(old, new, "doc_id", "j")
     got = json_field_patch(old, d, "doc_id", "j").collect()[0].json
     assert got == new.select(canonical_json("j")).collect()[0][0]
+
+
+def test_kcore_incremental_equals_batch(spark):
+    """kcore_incremental(core(base), base, delta) == converged batch
+    k-core of base ∪ delta on seeded random graphs, plus the
+    mutual-support entry case (two nodes enabling each other)."""
+    import random
+
+    from terminus_server_spark.operators.graph import kcore, kcore_incremental
+
+    for seed in (2, 13):
+        rnd = random.Random(seed)
+        n = 22
+        base, delta = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                r = rnd.random()
+                if r < 0.22:
+                    base.append((i, j))
+                elif r < 0.30:
+                    delta.append((i, j))
+        bdf = spark.createDataFrame(base, "src long, dst long")
+        ddf = spark.createDataFrame(delta, "src long, dst long")
+        core_old = kcore(bdf, k=3, rounds=15).select("node")
+        got = {(r.node, r.degree)
+               for r in kcore_incremental(core_old, bdf, ddf, k=3).collect()}
+        want = {(r.node, r.degree)
+                for r in kcore(bdf.unionByName(ddf), k=3, rounds=15).collect()}
+        assert got == want, (seed, got ^ want)
+    # mutual support: 4 and 5 each need the other to reach degree 3
+    b = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (0, 4), (4, 5), (0, 5), (1, 5)]
+    d = [(1, 4)]
+    bdf = spark.createDataFrame(b, "src long, dst long")
+    ddf = spark.createDataFrame(d, "src long, dst long")
+    core_old = kcore(bdf, k=3, rounds=10).select("node")
+    assert {r.node for r in core_old.collect()} == {0, 1, 2, 3}
+    got = {(r.node, r.degree)
+           for r in kcore_incremental(core_old, bdf, ddf, k=3).collect()}
+    assert got == {(0, 5), (1, 5), (2, 3), (3, 3), (4, 3), (5, 3)}

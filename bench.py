@@ -391,6 +391,9 @@ HEADLINE = [
     "doc_json_typed_field",
     "doc_json_patch",
     "graph_kcore_incr",
+    "graph_triangles_incr",
+    "docs_ngram_novelty",
+    "doc_json_woql",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -1029,6 +1029,93 @@ def kcore_incremental(
         )
 
 
+def triangle_count_incremental(
+    old_count: DataFrame, base_edges: DataFrame, delta_edges: DataFrame
+) -> DataFrame:
+    """(n_triangles): the triangle count AFTER an insert-only delta,
+    by exact inclusion-exclusion over the delta's wedge neighborhood
+    — never a full-graph triangle recount (the standard incremental
+    triangle-maintenance identity; cost ∝ delta wedges):
+
+        T_new = T_old + t1 − p + t3
+
+    where, for the EFFECTIVE delta D = delta \\ base, t1 counts
+    (delta edge, common neighbor in E_new) pairs — each new triangle
+    once per delta edge it contains (multiplicity a1+2a2+3a3), p
+    counts vertex-sharing pairs of delta edges closed by any E_new
+    edge (a2+3a3: one pair in an exactly-2-delta triangle, three in
+    an all-delta one), and t3 counts all-delta triangles (a3); the
+    alternating sum telescopes to a1+a2+a3, the distinct new
+    triangles.  ``old_count``: one-row (n_triangles) frame (the
+    stored statistic — triangle state is a single number, the
+    cheapest incremental state there is).  Deletions: the same
+    identity subtracts (delta edges removed from E_old), not
+    implemented here."""
+    eb = (
+        base_edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ed = (
+        delta_edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .join(eb, ["a", "b"], "left_anti")
+    )
+    ed = plan_checkpoint(ed)
+    e_new = eb.unionByName(ed)
+    e_new = plan_checkpoint(e_new)
+    adj = e_new.union(
+        e_new.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    closed = lambda l, r: (
+        F.least(l, r) == F.col("_x")
+    ) & (F.greatest(l, r) == F.col("_y"))
+    canon = e_new.select(F.col("a").alias("_x"), F.col("b").alias("_y"))
+    t1 = (
+        ed.join(adj.select("a", F.col("b").alias("c")), "a")
+        .where(F.col("c") != F.col("b"))
+        .join(canon, closed(F.col("b"), F.col("c")), "left_semi")
+        .agg(F.count(F.lit(1)).alias("t1"))
+    )
+    dadj = ed.select("a", "b").union(
+        ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    p = (
+        dadj.alias("x")
+        .join(dadj.alias("y"), "a")
+        .where(F.col("x.b") < F.col("y.b"))
+        .join(canon, closed(F.col("x.b"), F.col("y.b")), "left_semi")
+        .agg(F.count(F.lit(1)).alias("p"))
+    )
+    t3 = (
+        ed.alias("x")
+        .join(ed.alias("y"), F.col("x.b") == F.col("y.a"))
+        .join(
+            ed.alias("z"),
+            (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("t3"))
+    )
+    return (
+        old_count.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(p))
+        .crossJoin(F.broadcast(t3))
+        .select(
+            (
+                F.col("n_triangles") + F.col("t1") - F.col("p") + F.col("t3")
+            )
+            .cast("bigint")
+            .alias("n_triangles")
+        )
+    )
+
+
 def core_numbers(
     edges: DataFrame, max_k: int = 8, rounds_per_k: int = 10_000
 ) -> DataFrame:

@@ -210,6 +210,41 @@ def decontaminate(
     )
 
 
+def ngram_novelty(
+    docs: DataFrame, text_col: str = "text", width: int = 3
+) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty): leave-one-out n-gram
+    novelty — the fraction of a document's distinct ``width``-token
+    shingles that occur in NO other document (document frequency 1).
+    The memorization/boilerplate axis the repetition and dup-line
+    signals don't cover: near-zero novelty means the document is
+    assembled from corpus-common n-grams (template/boilerplate),
+    near-one means unique text — a standard mixture-curation signal
+    next to quality scores.
+
+    Shape: one shingle-grain groupBy for document frequencies (df =
+    plain count, shingles are per-doc distinct), one join back keyed
+    by shingle, one doc-grain aggregate — the posting-table cost
+    class (tf-idf, OOV rate).  Documents shorter than ``width``
+    tokens have no shingles and drop out."""
+    sh = shingle_hashes(docs, text_col, width)
+    df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(df_t, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
 PII_PATTERNS = (
     # order matters: each rule runs over the previous rule's output
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -21919,3 +21919,165 @@ def graph_kcore_incr(spark, sf_dir):
     )
     core_old = kcore(base, k=3, rounds=4).select("node")
     return kcore_incremental(core_old, base, delta, k=3)
+
+
+@register(
+    "graph_triangles_incr",
+    """
+    WITH grp AS (
+      SELECT (c_custkey // 8) * 8 AS g, COUNT(*) AS c
+      FROM customer WHERE c_custkey % 8 < 8
+      GROUP BY 1 HAVING COUNT(*) = 8)
+    SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_triangles FROM grp
+    """,
+)
+def graph_triangles_incr(spark, sf_dir):
+    """INCREMENTAL triangle counting over an insert-only delta
+    (operators/graph.py:triangle_count_incremental): T_new = T_old +
+    t1 − p + t3 by inclusion-exclusion over the delta's wedges —
+    state is ONE number, cost ∝ delta wedge count, never a recount.
+
+    Fixture: groups of 8 customers; base plants one triangle {0,1,2}
+    plus paths 3-4-5 and 6-7; the delta adds 35, 03, 13, 14, 16, 46
+    — creating triangles with exactly ONE delta edge ({3,4,5}), TWO
+    delta edges ({0,1,3} and {1,3,4}), and THREE delta edges
+    ({1,4,6}), so every term of the identity (t1 multiplicity
+    counting, the pair-correction p, the all-delta t3) does
+    non-trivial work; a naive one-count-per-delta-edge formula
+    overcounts by the multiplicities.  T_old = 1 per group, T_new =
+    5 per complete group — stated closed-form by the oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 8).cast("bigint") * 8
+    members = cust.select(g.alias("g"), (k - g).alias("i"), k.alias("n"))
+    m8 = members.groupBy("g").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") == 8
+    ).select("g")
+    gm = members.join(m8, "g")
+
+    def edges(pairs):
+        out = None
+        for i, j in pairs:
+            e = (
+                gm.alias("m1")
+                .join(gm.alias("m2"), "g")
+                .where((F.col("m1.i") == i) & (F.col("m2.i") == j))
+                .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+            )
+            out = e if out is None else out.union(e)
+        return out
+
+    base = edges([(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (6, 7)])
+    delta = edges([(3, 5), (0, 3), (1, 3), (1, 4), (1, 6), (4, 6)])
+    old = triangle_count(base)
+    return triangle_count_incremental(old, base, delta)
+
+
+@register(
+    "docs_ngram_novelty",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(tk) >= 3
+               THEN list_transform(generate_series(1, len(tk)-2),
+                                   i -> md5(array_to_string(tk[i:i+2], ' ')))
+               ELSE [] END)) AS shingle
+      FROM toks),
+    df_t AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*)::DOUBLE AS novelty
+    FROM sh JOIN df_t ON sh.shingle = df_t.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def docs_ngram_novelty(spark, sf_dir):
+    """Leave-one-out n-gram novelty (operators/text.py:ngram_novelty):
+    per document, the fraction of its distinct 3-token shingles with
+    corpus document-frequency 1 — near-zero = template/boilerplate
+    assembled from corpus-common n-grams, near-one = unique text.
+    The standard mixture-curation signal beside quality scoring and
+    repetition (Gopher-style dedup lineage).  Shingle-grain df
+    groupBy + join back + doc-grain aggregate — the posting-table
+    cost class; integer counts exactly restated by the oracle, the
+    ratio a single int/int double division (bit-identical across
+    engines)."""
+    from terminus_server_spark.operators.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return ngram_novelty(docs, width=3)
+
+
+@register(
+    "doc_json_woql",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_extract(text, '[A-Za-z]+') AS w,
+             lang, source, n_chars
+      FROM documents),
+    canon AS (
+      SELECT '{"meta":{"chars":' || n_chars || ',"lang":"' || lang ||
+             '"},"note":null,"tags":["' || source ||
+             '","x"],"title":"' || w || '"}' AS j, w, n_chars
+      FROM base)
+    SELECT DISTINCT 'JSONDocument/' || md5(j) AS d,
+           '"' || w || '"' AS title,
+           CAST(n_chars AS DOUBLE) AS chars_n
+    FROM canon WHERE n_chars > 300
+    """,
+)
+def doc_json_woql(spark, sf_dir):
+    """WOQL over the schemaless LEAF INDEX — the reason
+    `schemaless_to_triples` indexes every JSON leaf as a triple:
+    sys:JSON documents answer ordinary triple-pattern queries with
+    zero special casing.  The leaf predicates are JSONPaths, numeric
+    leaves carry the obj_num shadow, so
+    ``Triple(d, '$.meta.chars', c, num=cn) ∧ Greater(cn, 300) ∧
+    Triple(d, '$.title', t)`` compiles to the same
+    constant-predicate pushed-down scans + unification join as any
+    typed-class WOQL query (woql_filter_cmp's plan class).  Content
+    addressing dedups identical documents, hence the oracle's
+    DISTINCT.  String leaf bindings are the canonical JSON
+    renderings (quoted) — the schemaless store's value space."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.json_docs import schemaless_to_triples
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    raw = F.concat(
+        F.lit('{"title": "'),
+        F.regexp_extract(F.col("text"), "[A-Za-z]+", 0),
+        F.lit('", "meta": {"lang": "'),
+        F.col("lang"),
+        F.lit('", "chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit('}, "tags": ["'),
+        F.col("source"),
+        F.lit('", "x"], "note": null}'),
+    )
+    triples = schemaless_to_triples(docs.select(raw.alias("raw")), "raw")
+    ctx = WOQLContext(TripleStore(triples))
+    q = A.Select(
+        [A.v("d"), A.v("title"), A.v("chars_n")],
+        A.And(
+            A.Triple(A.v("d"), "$.meta.chars", A.v("chars"), num=A.v("chars_n")),
+            A.Greater(A.v("chars_n"), 300.0),
+            A.Triple(A.v("d"), "$.title", A.v("title")),
+        ),
+    )
+    return ctx.run(q)

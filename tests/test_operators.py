@@ -4338,3 +4338,35 @@ def test_kcore_incremental_equals_batch(spark):
     got = {(r.node, r.degree)
            for r in kcore_incremental(core_old, bdf, ddf, k=3).collect()}
     assert got == {(0, 5), (1, 5), (2, 3), (3, 3), (4, 3), (5, 3)}
+
+
+def test_triangle_count_incremental_equals_batch(spark):
+    """Inclusion-exclusion triangle maintenance == batch recount on
+    seeded random graphs (multiplicities 1/2/3 all present), and
+    delta edges already in the base contribute nothing."""
+    import random
+
+    from terminus_server_spark.operators.graph import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    for seed in (5, 17):
+        rnd = random.Random(seed)
+        n = 18
+        base, delta = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                r = rnd.random()
+                if r < 0.3:
+                    base.append((i, j))
+                elif r < 0.45:
+                    delta.append((i, j))
+        # overlap: replay some base edges in the delta
+        delta += base[:5]
+        bdf = spark.createDataFrame(base, "src long, dst long")
+        ddf = spark.createDataFrame(delta, "src long, dst long")
+        old = triangle_count(bdf)
+        got = triangle_count_incremental(old, bdf, ddf).collect()[0].n_triangles
+        want = triangle_count(bdf.unionByName(ddf)).collect()[0].n_triangles
+        assert got == want, (seed, got, want)

@@ -394,6 +394,7 @@ HEADLINE = [
     "graph_triangles_incr",
     "docs_ngram_novelty",
     "doc_json_woql",
+    "stream_inverted_index",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

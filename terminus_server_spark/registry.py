@@ -22081,3 +22081,38 @@ def doc_json_woql(spark, sf_dir):
         ),
     )
     return ctx.run(q)
+
+
+@register(
+    "stream_inverted_index",
+    rf"""
+    WITH post AS (
+      SELECT tok, doc_id, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({_LTOKS_SQL}) AS tok FROM documents)
+      GROUP BY tok, doc_id
+    ), stats AS (
+      SELECT tok, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS cf
+      FROM post GROUP BY tok
+    )
+    SELECT p.tok, p.doc_id, p.tf, s.df, s.cf
+    FROM post p JOIN stats s USING (tok)
+    """,
+)
+def stream_inverted_index(spark, sf_dir):
+    """CONTINUOUS inverted-index maintenance (streaming/events.py:
+    run_stream_inverted_index): documents stream in three
+    doc-id-partitioned micro-batches; each foreachBatch merge folds
+    the batch's postings additively into the stored table (the index
+    IS the state), and df/cf derive from the merged postings at read
+    time so the stats can never drift from the posting lists.  tf
+    sums are associative+commutative, so the final index is
+    bit-identical to the one-shot batch `text_inverted_index` —
+    the oracle is that key's SAME closed form, which is the
+    batch-split-invariance claim under test."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    from terminus_server_spark.streaming.events import run_stream_inverted_index
+
+    return run_stream_inverted_index(spark, batches)

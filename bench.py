@@ -395,6 +395,7 @@ HEADLINE = [
     "docs_ngram_novelty",
     "doc_json_woql",
     "stream_inverted_index",
+    "stream_json_docs",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

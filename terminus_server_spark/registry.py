@@ -22116,3 +22116,67 @@ def stream_inverted_index(spark, sf_dir):
     from terminus_server_spark.streaming.events import run_stream_inverted_index
 
     return run_stream_inverted_index(spark, batches)
+
+
+@register(
+    "stream_json_docs",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_extract(text, '[A-Za-z]+') AS w,
+             lang, source, n_chars
+      FROM documents),
+    canon AS (
+      SELECT DISTINCT
+        '{"meta":{"chars":' || n_chars || ',"lang":"' || lang ||
+        '"},"note":null,"tags":["' || source ||
+        '","x"],"title":"' || w || '"}' AS j, w, lang, source, n_chars
+      FROM base)
+    SELECT 'JSONDocument/' || md5(j) AS subject, 'sys:value' AS predicate,
+           j AS obj
+    FROM canon
+    UNION ALL
+    SELECT 'JSONDocument/' || md5(j), p.path, p.val
+    FROM canon, LATERAL (VALUES
+      ('$.meta.chars', CAST(n_chars AS VARCHAR)),
+      ('$.meta.lang', '"' || lang || '"'),
+      ('$.note', 'null'),
+      ('$.tags[0]', '"' || source || '"'),
+      ('$.tags[1]', '"x"'),
+      ('$.title', '"' || w || '"')) AS p(path, val)
+    """,
+)
+def stream_json_docs(spark, sf_dir):
+    """Streaming sys:JSON ingestion (streaming/events.py:
+    run_stream_json_docs): JSON documents stream in three
+    micro-batches — WITH the first batch replayed as a fourth
+    delivery to exercise redelivery — and each batch's body + leaf
+    triples merge into the content-addressed store by distinct-union.
+    Content addressing makes the merge IDEMPOTENT (same document ⇒
+    same subject ⇒ same rows), so the store is at-least-once safe by
+    construction and bit-identical to the batch insert over all
+    documents under any split or replay; the oracle restates the
+    full triple store (body + six leaves per distinct document)
+    closed-form."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    raw = F.concat(
+        F.lit('{"title": "'),
+        F.regexp_extract(F.col("text"), "[A-Za-z]+", 0),
+        F.lit('", "meta": {"lang": "'),
+        F.col("lang"),
+        F.lit('", "chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit('}, "tags": ["'),
+        F.col("source"),
+        F.lit('", "x"], "note": null}'),
+    )
+    staged = docs.select("doc_id", raw.alias("json"))
+    batches = [
+        staged.where(F.col("doc_id") % 3 == i).select("json") for i in range(3)
+    ]
+    batches.append(batches[0])  # at-least-once redelivery
+    from terminus_server_spark.streaming.events import run_stream_json_docs
+
+    out = run_stream_json_docs(spark, batches)
+    return out.select("subject", "predicate", "obj")

@@ -1628,3 +1628,59 @@ def run_stream_inverted_index(
         F.sum("tf").cast("bigint").alias("cf"),
     )
     return post.join(stats, "tok").select("tok", "doc_id", "tf", "df", "cf")
+
+
+def run_stream_json_docs(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    json_col: str = "json",
+    prefix: str = "JSONDocument",
+) -> DataFrame:
+    """(graph, subject, predicate, obj, obj_type, obj_num): streaming
+    ``sys:JSON`` ingestion — arbitrary JSON documents stream in
+    micro-batches and each batch's triples (body + leaf index, see
+    docs/json_docs.py) MERGE into the content-addressed store by
+    distinct-union.  Content addressing makes the merge IDEMPOTENT
+    (a re-delivered or duplicated document is the same subject and
+    the same triple rows), so the monitor is at-least-once safe by
+    construction — the stronger delivery guarantee the additive
+    posting merge cannot offer — and the final store is
+    bit-identical to the batch ``schemaless_to_triples`` over all
+    documents under any batch split OR redelivery, which is what the
+    shared oracle checks."""
+    from terminus_server_spark.docs.json_docs import schemaless_to_triples
+
+    tmp = tempfile.mkdtemp(prefix="tss_jsondocs_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        part = schemaless_to_triples(batch_df, json_col, prefix=prefix)
+        if state["version"] >= 0:
+            part = s.read.parquet(
+                os.path.join(tmp, f"v{state['version']}")
+            ).unionByName(part)
+        out = part.distinct()
+        state["version"] += 1
+        out.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"v{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))

@@ -396,6 +396,7 @@ HEADLINE = [
     "doc_json_woql",
     "stream_inverted_index",
     "stream_json_docs",
+    "doc_json_frames",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -22180,3 +22180,74 @@ def stream_json_docs(spark, sf_dir):
 
     out = run_stream_json_docs(spark, batches)
     return out.select("subject", "predicate", "obj")
+
+
+@register(
+    "doc_json_frames",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(doc_id % 4 = 0 AS BOOLEAN) AS has_opt
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM base),
+    paths AS (
+      SELECT '$.meta.chars' AS path, 'xsd:integer' AS vtype,
+             (SELECT COUNT(*) FROM base) AS n_docs FROM tot
+      UNION ALL SELECT '$.meta.lang', 'xsd:string',
+             (SELECT COUNT(*) FROM base) FROM tot
+      UNION ALL SELECT '$.note', 'sys:null',
+             (SELECT COUNT(*) FROM base) FROM tot
+      UNION ALL SELECT '$.tags[0]', 'xsd:string',
+             (SELECT COUNT(*) FROM base) FROM tot
+      UNION ALL SELECT '$.tags[1]', 'xsd:string',
+             (SELECT COUNT(*) FROM base) FROM tot
+      UNION ALL SELECT '$.opt', 'xsd:boolean',
+             (SELECT COUNT(*) FROM base WHERE has_opt) FROM tot)
+    SELECT path, vtype, CAST(n_docs AS BIGINT) AS n_docs,
+           n_docs = (SELECT n FROM tot) AS required
+    FROM paths WHERE n_docs > 0
+    """,
+)
+def doc_json_frames(spark, sf_dir):
+    """Schema INFERENCE for schemaless documents — class frames for
+    ``sys:JSON`` (docs/json_docs.py leaves → path-grain summary):
+    per (JSONPath, value type), how many documents carry it and
+    whether it is universal (the required/optional split the typed
+    `schema_class_frames` key infers for schema classes).  This is
+    how a mixed corpus graduates from schemaless to schema-checked:
+    infer the frame, then validate against it.  One leaf walk + one
+    (path, vtype)-grain groupBy + a broadcast total; the fixture
+    plants an optional field on every 4th document so the
+    required=false case is exercised, and the oracle restates every
+    (path, type, count) closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.json_docs import json_leaves
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    raw = F.concat(
+        F.lit('{"meta": {"lang": "'),
+        F.col("lang"),
+        F.lit('", "chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit('}, "tags": ["'),
+        F.col("source"),
+        F.lit('", "x"], "note": null'),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(', "opt": true')).otherwise(
+            F.lit("")
+        ),
+        F.lit("}"),
+    )
+    staged = docs.select("doc_id", raw.alias("j"))
+    leaves = json_leaves(staged, "doc_id", "j")
+    total = staged.count()
+    return (
+        leaves.groupBy("path", "vtype")
+        .agg(F.countDistinct("id").cast("bigint").alias("n_docs"))
+        .select(
+            "path",
+            F.col("vtype"),
+            "n_docs",
+            (F.col("n_docs") == F.lit(total)).alias("required"),
+        )
+    )

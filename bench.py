@@ -397,6 +397,7 @@ HEADLINE = [
     "stream_inverted_index",
     "stream_json_docs",
     "doc_json_frames",
+    "gql_execute_cursor_pageinfo",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -308,6 +308,15 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
     # schema documents them as the document key).
     limit_val, offset_val = args.get("limit"), args.get("offset")
     order_by = None
+    # `_pageInfo` pseudo-field (Relay connection metadata on a
+    # cursor-paged root): renders one JSON column
+    # {"endCursor": <last key>, "hasNextPage": bool} — hasNextPage
+    # comes from a first+1 probe row, so no COUNT over the full
+    # match set; the page-sized key fetch is a bounded driver read
+    # (≤ first+1 rows), the same class as the adjudicated metadata
+    # collects.
+    want_pi = "_pageInfo" in [f for f in fields if isinstance(f, str)]
+    cursor_key = None
     if "first" in args or "after" in args:
         key_col = (id_cols or {}).get(cls)
         if key_col is None:
@@ -324,6 +333,7 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
             predicates.append((key_col, "gt", args["after"]))
         order_by = [(key_col, "asc")]
         limit_val = args.get("first")
+        cursor_key = key_col
     elif "orderBy" in args:
         ob = args["orderBy"]
         items = ob if isinstance(ob, list) else [ob]
@@ -332,13 +342,35 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
             for item in items
             for field, direction in item.items()
         ]
+    if want_pi and (cursor_key is None or limit_val is None):
+        raise ValueError(
+            "graphql: _pageInfo requires cursor paging (first, and an id "
+            "column registered for the class)"
+        )
     df = query_documents(
         frames[cls],
         predicates=predicates,
         order_by=order_by,
-        limit=limit_val,
+        limit=(limit_val + 1) if want_pi else limit_val,
         offset=offset_val,
     )
+    if want_pi:
+        import json as _json
+
+        first = int(limit_val)
+        probe = df.select(cursor_key).limit(first + 1).collect()
+        has_next = len(probe) > first
+        page = probe[:first]
+        end_cursor = str(page[-1][0]) if page else None
+        df = df.limit(first).withColumn(
+            "_pageInfo",
+            F.lit(
+                _json.dumps(
+                    {"endCursor": end_cursor, "hasNextPage": has_next},
+                    separators=(",", ":"),
+                )
+            ),
+        )
     nested = [f for f in fields if isinstance(f, dict)]
     out = df
     # the generated schema's `_id: ID!` field: document identifier

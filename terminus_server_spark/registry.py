@@ -22251,3 +22251,50 @@ def doc_json_frames(spark, sf_dir):
             (F.col("n_docs") == F.lit(total)).alias("required"),
         )
     )
+
+
+@register(
+    "gql_execute_cursor_pageinfo",
+    """
+    WITH page1 AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey > 500
+      ORDER BY c_custkey LIMIT 41),
+    page AS (SELECT * FROM page1 ORDER BY c_custkey LIMIT 40),
+    pi AS (
+      SELECT '{"endCursor":"' || CAST(MAX(c_custkey) AS VARCHAR) ||
+             '","hasNextPage":' ||
+             CASE WHEN (SELECT COUNT(*) FROM page1) > 40
+                  THEN 'true' ELSE 'false' END || '}' AS pi
+      FROM page)
+    SELECT p.c_custkey, p.c_name, pi.pi AS _pageInfo
+    FROM page p, pi
+    """,
+)
+def gql_execute_cursor_pageinfo(spark, sf_dir):
+    """Relay connection metadata on a cursor-paged root
+    (docs/graphql.py `_pageInfo` pseudo-field): hasNextPage comes
+    from a first+1 PROBE row — never a COUNT over the full match set
+    — and endCursor is the page's last key; both render as one JSON
+    column on every page row.  The probe's key fetch is a bounded
+    driver read (<= first+1 rows, page-sized by construction), the
+    same adjudicated class as the commit-DAG metadata collects.  The
+    oracle restates page, endCursor, and the probe-based hasNextPage
+    closed-form."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer")
+    return execute_graphql(
+        {"Customer": t["customer"]},
+        """
+        query {
+          Customer(first: 40, after: 500,
+                   filter: {c_mktsegment: {eq: "BUILDING"}}) {
+            c_custkey
+            c_name
+            _pageInfo
+          }
+        }
+        """,
+        id_cols={"Customer": "c_custkey"},
+    )["Customer"]

@@ -4370,3 +4370,38 @@ def test_triangle_count_incremental_equals_batch(spark):
         got = triangle_count_incremental(old, bdf, ddf).collect()[0].n_triangles
         want = triangle_count(bdf.unionByName(ddf)).collect()[0].n_triangles
         assert got == want, (seed, got, want)
+
+
+def test_graphql_pageinfo(spark):
+    """_pageInfo: hasNextPage via first+1 probe (true mid-pages,
+    false on the final page), endCursor = page's last key; raises
+    without cursor paging."""
+    import json
+
+    import pytest as _pytest
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    docs = spark.createDataFrame(
+        [(kk, f"n{kk}") for kk in range(1, 8)], "k long, n string"
+    )
+    out = execute_graphql(
+        {"D": docs}, "query { D(first: 3, after: 0) { k _pageInfo } }",
+        id_cols={"D": "k"},
+    )["D"].collect()
+    assert [r.k for r in out] == [1, 2, 3]
+    pi = json.loads(out[0]._pageInfo)
+    assert pi == {"endCursor": "3", "hasNextPage": True}
+    out2 = execute_graphql(
+        {"D": docs}, "query { D(first: 5, after: 3) { k _pageInfo } }",
+        id_cols={"D": "k"},
+    )["D"].collect()
+    assert [r.k for r in out2] == [4, 5, 6, 7]
+    assert json.loads(out2[0]._pageInfo) == {
+        "endCursor": "7", "hasNextPage": False
+    }
+    with _pytest.raises(ValueError, match="_pageInfo requires"):
+        execute_graphql(
+            {"D": docs}, "query { D(limit: 2) { k _pageInfo } }",
+            id_cols={"D": "k"},
+        )["D"].collect()

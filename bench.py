@@ -398,6 +398,7 @@ HEADLINE = [
     "stream_json_docs",
     "doc_json_frames",
     "gql_execute_cursor_pageinfo",
+    "doc_json_validate",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

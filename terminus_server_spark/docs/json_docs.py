@@ -363,3 +363,52 @@ def json_field_patch(
     return json_leaf_assemble(
         kept.unionByName(incoming), "id", max_depth=max_depth
     )
+
+
+def json_validate(
+    docs: DataFrame,
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    json_col: str = "json",
+    max_depth: int = 8,
+) -> DataFrame:
+    """(id, path, violation): validate schemaless documents against a
+    path-grain frame table (the ``json_leaves`` summary shape:
+    ``(path, vtype, required)``) — how a sys:JSON corpus graduates to
+    schema-checked: infer frames from a trusted sample, then gate the
+    rest.  Violations:
+
+    - ``missing_required``: a required path absent from a document
+      (required paths cross-join small frame × doc ids, anti-joined
+      against the observed leaves — frame tables are schema-sized, so
+      the build side broadcasts);
+    - ``type_mismatch``: an observed leaf whose value type differs
+      from the frame's (sys:null observations are allowed under any
+      frame type — JSON's null-means-absent convention);
+    - ``unknown_path``: an observed leaf at a path the frame does not
+      declare (closed-world check, the @schema-checked discipline).
+
+    Clean documents yield zero rows; the gate is "no rows", like the
+    typed ``schema_validate``."""
+    leaves = json_leaves(docs, id_col, json_col, max_depth=max_depth)
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    req = frames.where(F.col("required")).select("path", "vtype")
+    missing = (
+        ids.crossJoin(F.broadcast(req.select("path")))
+        .join(leaves.select("id", "path"), ["id", "path"], "left_anti")
+        .select("id", "path", F.lit("missing_required").alias("violation"))
+    )
+    typed = leaves.join(
+        F.broadcast(frames.select("path", F.col("vtype").alias("_ft"))),
+        "path",
+        "left_outer",
+    )
+    mismatch = typed.where(
+        F.col("_ft").isNotNull()
+        & (F.col("vtype") != F.col("_ft"))
+        & (F.col("vtype") != "sys:null")
+    ).select("id", "path", F.lit("type_mismatch").alias("violation"))
+    unknown = typed.where(F.col("_ft").isNull()).select(
+        "id", "path", F.lit("unknown_path").alias("violation")
+    )
+    return missing.unionByName(mismatch).unionByName(unknown)

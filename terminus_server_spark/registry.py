@@ -22298,3 +22298,63 @@ def gql_execute_cursor_pageinfo(spark, sf_dir):
         """,
         id_cols={"Customer": "c_custkey"},
     )["Customer"]
+
+
+@register(
+    "doc_json_validate",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, n_chars FROM documents),
+    missing AS (
+      SELECT doc_id, '$.meta.lang' AS path, 'missing_required' AS violation
+      FROM base WHERE doc_id % 5 = 0),
+    mismatch AS (
+      SELECT doc_id, '$.meta.chars', 'type_mismatch'
+      FROM base WHERE doc_id % 5 = 1),
+    unknown AS (
+      SELECT doc_id, '$.extra', 'unknown_path'
+      FROM base WHERE doc_id % 5 = 2)
+    SELECT * FROM missing
+    UNION ALL SELECT * FROM mismatch
+    UNION ALL SELECT * FROM unknown
+    """,
+)
+def doc_json_validate(spark, sf_dir):
+    """Schemaless-document validation against path-grain frames
+    (docs/json_docs.py:json_validate) — the sys:JSON graduation
+    path: frames declare (path, vtype, required), documents gate
+    against them.  The fixture corrupts every 5th document one way
+    each — required field dropped (doc_id%5=0), chars rendered as a
+    string (type mismatch, %5=1), an undeclared field added
+    (closed-world violation, %5=2) — and %5∈{3,4} documents stay
+    clean, so the oracle is exactly one violation row per corrupted
+    document and none for the rest.  Frame side broadcasts
+    (schema-sized); leaves anti-join for missing-required."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.json_docs import json_validate
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    m = F.col("doc_id") % 5
+    raw = F.concat(
+        F.lit('{"meta": {'),
+        F.when(m != 0, F.concat(F.lit('"lang": "'), F.col("lang"), F.lit('", ')))
+        .otherwise(F.lit("")),
+        F.lit('"chars": '),
+        F.when(m == 1, F.concat(F.lit('"'), F.col("n_chars").cast("string"), F.lit('"')))
+        .otherwise(F.col("n_chars").cast("string")),
+        F.lit("}"),
+        F.when(m == 2, F.lit(', "extra": 1')).otherwise(F.lit("")),
+        F.lit(', "note": null}'),
+    )
+    staged = docs.select("doc_id", raw.alias("j"))
+    frames = spark.createDataFrame(
+        [
+            ("$.meta.lang", "xsd:string", True),
+            ("$.meta.chars", "xsd:integer", True),
+            ("$.note", "sys:null", False),
+        ],
+        "path string, vtype string, required boolean",
+    )
+    out = json_validate(staged, frames, "doc_id", "j")
+    return out.select(F.col("id").alias("doc_id"), "path", "violation")

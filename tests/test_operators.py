@@ -4405,3 +4405,32 @@ def test_graphql_pageinfo(spark):
             {"D": docs}, "query { D(limit: 2) { k _pageInfo } }",
             id_cols={"D": "k"},
         )["D"].collect()
+
+
+def test_json_validate_violations(spark):
+    """json_validate: missing-required / type-mismatch / unknown-path
+    each detected; sys:null observations pass under any frame type;
+    clean docs yield zero rows."""
+    from terminus_server_spark.docs.json_docs import json_validate
+
+    docs = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "b": "x"}'),          # clean
+            (2, '{"a": "oops", "b": "x"}'),     # type mismatch on a
+            (3, '{"b": "x"}'),                  # missing required a
+            (4, '{"a": 2, "b": "x", "z": 9}'),  # unknown path z
+            (5, '{"a": null, "b": "x"}'),       # null allowed
+        ],
+        "doc_id long, j string",
+    )
+    frames = spark.createDataFrame(
+        [("$.a", "xsd:integer", True), ("$.b", "xsd:string", False)],
+        "path string, vtype string, required boolean",
+    )
+    got = {(r.id, r.path, r.violation)
+           for r in json_validate(docs, frames, "doc_id", "j").collect()}
+    assert got == {
+        (2, "$.a", "type_mismatch"),
+        (3, "$.a", "missing_required"),
+        (4, "$.z", "unknown_path"),
+    }

@@ -399,6 +399,8 @@ HEADLINE = [
     "doc_json_frames",
     "gql_execute_cursor_pageinfo",
     "doc_json_validate",
+    "graph_kcore_decr",
+    "graph_triangles_mixed",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

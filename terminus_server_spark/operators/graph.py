@@ -1029,53 +1029,104 @@ def kcore_incremental(
         )
 
 
-def triangle_count_incremental(
-    old_count: DataFrame, base_edges: DataFrame, delta_edges: DataFrame
+def kcore_decremental(
+    core_old: DataFrame,
+    base_edges: DataFrame,
+    delete_edges: DataFrame,
+    k: int = 3,
+    max_iters: int = 30,
 ) -> DataFrame:
-    """(n_triangles): the triangle count AFTER an insert-only delta,
-    by exact inclusion-exclusion over the delta's wedge neighborhood
-    — never a full-graph triangle recount (the standard incremental
-    triangle-maintenance identity; cost ∝ delta wedges):
+    """(node, degree): the k-core AFTER a delete-only commit delta —
+    the reverse direction of ``kcore_incremental``, and the easy one
+    for peeling structures: removing edges can only SHRINK the core
+    (the new core is a min-degree-k subgraph of the old graph too,
+    so core_new ⊆ core_old by maximality), which means the update is
+    a peel of core_old over the post-delete edge set, seeded at the
+    nodes that lost an edge — the cascade frontier, never the whole
+    graph.  Non-dirty nodes keep their membership until a neighbor
+    leaves; each round recomputes degrees only over the surviving
+    core subgraph (the peel is the batch loop restricted to
+    core_old).  Insertions route through ``kcore_incremental``."""
+    spark = core_old.sparkSession
 
-        T_new = T_old + t1 − p + t3
+    def und(e):
+        return (
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .where(
+                F.col("a").isNotNull()
+                & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))
+            )
+            .distinct()
+        )
 
-    where, for the EFFECTIVE delta D = delta \\ base, t1 counts
-    (delta edge, common neighbor in E_new) pairs — each new triangle
-    once per delta edge it contains (multiplicity a1+2a2+3a3), p
-    counts vertex-sharing pairs of delta edges closed by any E_new
-    edge (a2+3a3: one pair in an exactly-2-delta triangle, three in
-    an all-delta one), and t3 counts all-delta triangles (a3); the
-    alternating sum telescopes to a1+a2+a3, the distinct new
-    triangles.  ``old_count``: one-row (n_triangles) frame (the
-    stored statistic — triangle state is a single number, the
-    cheapest incremental state there is).  Deletions: the same
-    identity subtracts (delta edges removed from E_old), not
-    implemented here."""
-    eb = (
-        base_edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    ed = (
-        delta_edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .join(eb, ["a", "b"], "left_anti")
-    )
-    ed = plan_checkpoint(ed)
-    e_new = eb.unionByName(ed)
-    e_new = plan_checkpoint(e_new)
+    eb = und(base_edges)
+    dels = und(delete_edges).unionByName(
+        und(delete_edges).select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    e_new = eb.join(dels, ["a", "b"], "left_anti")
+    e_new, n_e = loop_checkpoint_count(e_new)
     adj = e_new.union(
         e_new.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    old_nodes = core_old.select("node").distinct()
+    old_nodes = loop_checkpoint(old_nodes)
+    with loop_tuning(spark, n_e):
+        # stored degrees within core_old ∩ E_new — computed ONCE;
+        # every later round only DECREMENTS neighbors of dropped
+        # nodes (frontier-sized joins), never re-aggregates the core
+        deg0 = (
+            adj.join(old_nodes.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(old_nodes.select(F.col("node").alias("b")), "b", "left_semi")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        # isolated core nodes (all edges deleted) never appear in
+        # deg0 — they drop with degree 0
+        cur = old_nodes.join(deg0, "node", "left_outer").select(
+            "node", F.coalesce(F.col("d"), F.lit(0)).alias("d")
+        )
+        cur, n_c = loop_checkpoint_count(cur)
+        for _ in range(max_iters):
+            dropped = cur.where(F.col("d") < k).select("node")
+            surv = cur.where(F.col("d") >= k)
+            surv, n_s = loop_checkpoint_count(surv, size_hint=n_c)
+            if n_s == n_c:
+                cur = surv
+                break
+            dec = (
+                adj.join(
+                    dropped.select(F.col("node").alias("b")), "b", "left_semi"
+                )
+                .join(
+                    surv.select(F.col("node").alias("a")), "a", "left_semi"
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("_dec"))
+            )
+            cur = surv.join(dec, "node", "left_outer").select(
+                "node",
+                (F.col("d") - F.coalesce(F.col("_dec"), F.lit(0))).alias("d"),
+            )
+            cur, n_c = loop_checkpoint_count(cur, size_hint=n_s)
+        return cur.select("node", F.col("d").cast("bigint").alias("degree"))
+
+
+def _delta_triangle_terms(ed: DataFrame, e_all: DataFrame, out_col: str) -> DataFrame:
+    """One-row (out_col): distinct triangles of the ``e_all`` edge set
+    containing >= 1 ``ed`` edge, via the t1 − p + t3 identity (see
+    triangle_count_incremental).  ``ed`` must be a subset-disjoint
+    canonical (a, b) frame; ``e_all`` the canonical full set the
+    triangles close within."""
+    adj = e_all.union(
+        e_all.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     closed = lambda l, r: (
         F.least(l, r) == F.col("_x")
     ) & (F.greatest(l, r) == F.col("_y"))
-    canon = e_new.select(F.col("a").alias("_x"), F.col("b").alias("_y"))
+    canon = e_all.select(F.col("a").alias("_x"), F.col("b").alias("_y"))
     t1 = (
         ed.join(adj.select("a", F.col("b").alias("c")), "a")
         .where(F.col("c") != F.col("b"))
@@ -1103,16 +1154,71 @@ def triangle_count_incremental(
         .agg(F.count(F.lit(1)).alias("t3"))
     )
     return (
-        old_count.crossJoin(F.broadcast(t1))
-        .crossJoin(F.broadcast(p))
+        t1.crossJoin(F.broadcast(p))
         .crossJoin(F.broadcast(t3))
         .select(
-            (
-                F.col("n_triangles") + F.col("t1") - F.col("p") + F.col("t3")
-            )
-            .cast("bigint")
-            .alias("n_triangles")
+            (F.col("t1") - F.col("p") + F.col("t3")).cast("bigint").alias(out_col)
         )
+    )
+
+
+def triangle_count_incremental(
+    old_count: DataFrame,
+    base_edges: DataFrame,
+    delta_edges: DataFrame,
+    delete_edges: DataFrame | None = None,
+) -> DataFrame:
+    """(n_triangles): the triangle count AFTER an insert-only delta,
+    by exact inclusion-exclusion over the delta's wedge neighborhood
+    — never a full-graph triangle recount (the standard incremental
+    triangle-maintenance identity; cost ∝ delta wedges):
+
+        T_new = T_old + t1 − p + t3
+
+    where, for the EFFECTIVE delta D = delta \\ base, t1 counts
+    (delta edge, common neighbor in E_new) pairs — each new triangle
+    once per delta edge it contains (multiplicity a1+2a2+3a3), p
+    counts vertex-sharing pairs of delta edges closed by any E_new
+    edge (a2+3a3: one pair in an exactly-2-delta triangle, three in
+    an all-delta one), and t3 counts all-delta triangles (a3); the
+    alternating sum telescopes to a1+a2+a3, the distinct new
+    triangles.  ``old_count``: one-row (n_triangles) frame (the
+    stored statistic — triangle state is a single number, the
+    cheapest incremental state there is).
+
+    ``delete_edges``: a delete-only (or mixed) delta — deletions
+    apply FIRST with the same identity mirrored (triangles of E_OLD
+    containing a deleted edge subtract), then insertions count
+    against the post-delete edge set; an edge both deleted and
+    re-added cancels exactly."""
+
+    def canon(e):
+        return (
+            e.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    eb = canon(base_edges)
+    total = old_count.select(F.col("n_triangles").cast("bigint").alias("n_triangles"))
+    if delete_edges is not None:
+        edel = canon(delete_edges).join(eb, ["a", "b"], "left_semi")
+        edel = plan_checkpoint(edel)
+        eb_all = plan_checkpoint(eb)
+        gone = _delta_triangle_terms(edel, eb_all, "gone")
+        total = total.crossJoin(F.broadcast(gone)).select(
+            (F.col("n_triangles") - F.col("gone")).alias("n_triangles")
+        )
+        eb = eb_all.join(edel, ["a", "b"], "left_anti")
+    ed = canon(delta_edges).join(eb, ["a", "b"], "left_anti")
+    ed = plan_checkpoint(ed)
+    e_new = plan_checkpoint(eb.unionByName(ed))
+    new = _delta_triangle_terms(ed, e_new, "new")
+    return total.crossJoin(F.broadcast(new)).select(
+        (F.col("n_triangles") + F.col("new")).cast("bigint").alias("n_triangles")
     )
 
 

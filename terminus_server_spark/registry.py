@@ -22358,3 +22358,146 @@ def doc_json_validate(spark, sf_dir):
     )
     out = json_validate(staged, frames, "doc_id", "j")
     return out.select(F.col("id").alias("doc_id"), "path", "violation")
+
+
+@register(
+    "graph_kcore_decr",
+    """
+    WITH grp AS (
+      SELECT DISTINCT (c_custkey // 50) * 50 AS g FROM customer
+      WHERE c_custkey % 50 < 6),
+    members AS (
+      SELECT g, g + i AS n
+      FROM grp, LATERAL (SELECT unnest(generate_series(0, 5)) AS i)
+      WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = g + i)),
+    g4 AS (
+      SELECT g FROM members WHERE n - g < 4 GROUP BY g HAVING COUNT(*) = 4),
+    keep6 AS (
+      SELECT g FROM members GROUP BY g
+      HAVING COUNT(*) = 6 AND g % 100 <> 0)
+    SELECT m.n AS node,
+           CAST(CASE WHEN k6.g IS NOT NULL AND m.n - m.g <= 1 THEN 5
+                     ELSE 3 END AS BIGINT) AS degree
+    FROM members m
+    JOIN g4 ON m.g = g4.g
+    LEFT JOIN keep6 k6 ON m.g = k6.g
+    WHERE m.n - m.g < 4 OR k6.g IS NOT NULL
+    """,
+)
+def graph_kcore_decr(spark, sf_dir):
+    """DECREMENTAL 3-core over a delete-only commit delta
+    (operators/graph.py:kcore_decremental) — the reverse of
+    `graph_kcore_incr`, and the direction where peeling is natural:
+    core_new ⊆ core_old by maximality, so the update peels core_old
+    over the post-delete edges seeded at the nodes that lost an edge,
+    with stored degrees DECREMENTED by frontier-sized joins (never
+    re-aggregated).  Fixture: the incr key's POST-delta graph (K4 +
+    both attachment nodes in-core via the (g+1,g+4) edge) is the
+    base; deleting that one edge for every other group breaks the
+    mutual support and must CASCADE both g+4 and g+5 out — the
+    two-step eviction a single-pass degree check would miss.  The
+    oracle states both ends closed-form (kept groups keep all 6
+    nodes at degrees 5/5/3/3/3/3, deleted groups collapse to the
+    bare K4)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import kcore, kcore_decremental
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 50).cast("bigint") * 50
+    pos = k % 50
+    members = cust.where(pos < 6).select(g.alias("g"), k.alias("n"))
+    m6 = members.groupBy("g").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") == 6
+    ).select("g")
+    gm = members.join(m6, "g")
+
+    def pair_edges(frame, pairs, extra=None):
+        out = None
+        for i, j in pairs:
+            e = (
+                frame.alias("m1")
+                .join(frame.alias("m2"), "g")
+                .where(
+                    (F.col("m1.n") - F.col("g") == i)
+                    & (F.col("m2.n") - F.col("g") == j)
+                    & (extra if extra is not None else F.lit(True))
+                )
+                .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+            )
+            out = e if out is None else out.union(e)
+        return out
+
+    k4 = (
+        members.alias("m1")
+        .join(members.alias("m2"), "g")
+        .where(
+            (F.col("m1.n") < F.col("m2.n"))
+            & (F.col("m1.n") - F.col("g") < 4)
+            & (F.col("m2.n") - F.col("g") < 4)
+        )
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    attach = pair_edges(gm, [(0, 4), (4, 5), (0, 5), (1, 5), (1, 4)])
+    base = k4.union(attach)
+    dels = pair_edges(gm, [(1, 4)], extra=(F.col("g") % 100 == 0))
+    core_old = kcore(base, k=3, rounds=6).select("node")
+    return kcore_decremental(core_old, base, dels, k=3)
+
+
+@register(
+    "graph_triangles_mixed",
+    """
+    WITH grp AS (
+      SELECT (c_custkey // 8) * 8 AS g, COUNT(*) AS c
+      FROM customer WHERE c_custkey % 8 < 8
+      GROUP BY 1 HAVING COUNT(*) = 8)
+    SELECT CAST(4 * COUNT(*) AS BIGINT) AS n_triangles FROM grp
+    """,
+)
+def graph_triangles_mixed(spark, sf_dir):
+    """MIXED add+delete triangle maintenance
+    (triangle_count_incremental with delete_edges): same fixture as
+    `graph_triangles_incr` plus a deletion of the base triangle's
+    (0,2) edge per group — deletions subtract within E_old first
+    (the {0,1,2} base triangle dies), then the six additions count
+    against the post-delete set (the four add-side triangles are
+    02-free and land intact), so T goes 1 → 0 → 4 per complete
+    group.  The oracle states the final count closed-form; the
+    delete-then-add ordering is the part a single-pass union delta
+    would get wrong (an added triangle through a deleted edge must
+    not exist)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 8).cast("bigint") * 8
+    members = cust.select(g.alias("g"), (k - g).alias("i"), k.alias("n"))
+    m8 = members.groupBy("g").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") == 8
+    ).select("g")
+    gm = members.join(m8, "g")
+
+    def edges(pairs):
+        out = None
+        for i, j in pairs:
+            e = (
+                gm.alias("m1")
+                .join(gm.alias("m2"), "g")
+                .where((F.col("m1.i") == i) & (F.col("m2.i") == j))
+                .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+            )
+            out = e if out is None else out.union(e)
+        return out
+
+    base = edges([(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (6, 7)])
+    adds = edges([(3, 5), (0, 3), (1, 3), (1, 4), (1, 6), (4, 6)])
+    dels = edges([(0, 2)])
+    old = triangle_count(base)
+    return triangle_count_incremental(old, base, adds, delete_edges=dels)

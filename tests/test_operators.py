@@ -4434,3 +4434,82 @@ def test_json_validate_violations(spark):
         (3, "$.a", "missing_required"),
         (4, "$.z", "unknown_path"),
     }
+
+
+def test_kcore_decremental_equals_batch(spark):
+    """kcore_decremental(core(base), base, dels) == converged batch
+    core of base minus dels on seeded random graphs; cascade eviction
+    (mutual support broken by one delete) exact."""
+    import random
+
+    from terminus_server_spark.operators.graph import kcore, kcore_decremental
+
+    for seed in (4, 19):
+        rnd = random.Random(seed)
+        n = 22
+        base, dels = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                r = rnd.random()
+                if r < 0.30:
+                    base.append((i, j))
+                    if rnd.random() < 0.25:
+                        dels.append((i, j))
+        bdf = spark.createDataFrame(base, "src long, dst long")
+        ddf = spark.createDataFrame(dels, "src long, dst long")
+        kept = [e for e in base if e not in set(dels)]
+        kdf = spark.createDataFrame(kept, "src long, dst long")
+        core_old = kcore(bdf, k=3, rounds=15).select("node")
+        got = {(r.node, r.degree)
+               for r in kcore_decremental(core_old, bdf, ddf, k=3).collect()}
+        want = {(r.node, r.degree)
+                for r in kcore(kdf, k=3, rounds=15).collect()}
+        assert got == want, (seed, got ^ want)
+    # cascade: deleting (1,4) evicts 4 AND 5 (mutual support)
+    b = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (0, 4), (4, 5), (0, 5), (1, 5), (1, 4)]
+    d = [(1, 4)]
+    bdf = spark.createDataFrame(b, "src long, dst long")
+    ddf = spark.createDataFrame(d, "src long, dst long")
+    core_old = kcore(bdf, k=3, rounds=10).select("node")
+    assert {r.node for r in core_old.collect()} == {0, 1, 2, 3, 4, 5}
+    got = {(r.node, r.degree)
+           for r in kcore_decremental(core_old, bdf, ddf, k=3).collect()}
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+
+
+def test_triangle_count_mixed_delta_equals_batch(spark):
+    """Mixed add+delete deltas: deletions subtract within E_old, then
+    additions count against the post-delete set; delete-then-re-add
+    cancels exactly."""
+    import random
+
+    from terminus_server_spark.operators.graph import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    for seed in (6, 23):
+        rnd = random.Random(seed)
+        n = 16
+        base, adds, dels = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                r = rnd.random()
+                if r < 0.35:
+                    base.append((i, j))
+                    if rnd.random() < 0.3:
+                        dels.append((i, j))
+                elif r < 0.5:
+                    adds.append((i, j))
+        # delete-then-re-add: move some deleted edges into adds too
+        adds += dels[:3]
+        bdf = spark.createDataFrame(base, "src long, dst long")
+        adf = spark.createDataFrame(adds, "src long, dst long")
+        ddf = spark.createDataFrame(dels, "src long, dst long")
+        final = sorted((set(base) - set(dels)) | set(adds))
+        fdf = spark.createDataFrame(final, "src long, dst long")
+        old = triangle_count(bdf)
+        got = triangle_count_incremental(old, bdf, adf, delete_edges=ddf)
+        want = triangle_count(fdf)
+        assert got.collect()[0].n_triangles == want.collect()[0].n_triangles, seed

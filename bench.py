@@ -401,6 +401,7 @@ HEADLINE = [
     "doc_json_validate",
     "graph_kcore_decr",
     "graph_triangles_mixed",
+    "graph_ktruss_decr",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

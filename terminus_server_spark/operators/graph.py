@@ -1114,6 +1114,71 @@ def kcore_decremental(
         return cur.select("node", F.col("d").cast("bigint").alias("degree"))
 
 
+def ktruss_decremental(
+    truss_old: DataFrame,
+    delete_edges: DataFrame,
+    k: int = 4,
+    max_iters: int = 30,
+) -> DataFrame:
+    """(a, b): the k-truss AFTER a delete-only commit delta — the
+    reverse of ``ktruss_incremental``: removing edges can only
+    SHRINK the truss (truss_new qualifies inside the old graph, so
+    truss_new ⊆ truss_old by maximality), and a surviving edge can
+    lose a triangle only through an edge that shared one — which
+    shares an endpoint with it.  So the update peels ``truss_old``
+    minus the deleted edges, recomputing support ONLY for edges
+    incident to a deleted (or later dropped) endpoint; untouched
+    edges keep their membership.  Cost ∝ the deletion cascade, never
+    a full re-peel.  Edges deleted outside the old truss change
+    nothing (they were already peeled).  Insertions route through
+    ``ktruss_incremental``."""
+    spark = truss_old.sparkSession
+    t_old = truss_old.select("a", "b").distinct()
+    dels = _und(delete_edges)
+    removed = dels.join(t_old, ["a", "b"], "left_semi")
+    removed = plan_checkpoint(removed)
+    cur_edges = t_old.join(dels, ["a", "b"], "left_anti")
+    cur_edges, n_e = loop_checkpoint_count(cur_edges)
+    need = k - 2
+    dirty_nodes = (
+        removed.select(F.col("a").alias("n"))
+        .union(removed.select(F.col("b")))
+        .distinct()
+    )
+    with loop_tuning(spark, n_e):
+        for _ in range(max_iters):
+            touched = (
+                cur_edges.join(
+                    dirty_nodes.select(F.col("n").alias("a")), "a", "left_semi"
+                )
+                .unionByName(
+                    cur_edges.join(
+                        dirty_nodes.select(F.col("n").alias("b")), "b", "left_semi"
+                    )
+                )
+                .distinct()
+            )
+            sup = touched.join(
+                _edge_support(touched, cur_edges), ["a", "b"], "left_outer"
+            ).select(
+                "a",
+                "b",
+                F.coalesce(F.col("_sup"), F.lit(0).cast("bigint")).alias("_sup"),
+            )
+            dropped = sup.where(F.col("_sup") < need).select("a", "b")
+            dropped, n_drop = loop_checkpoint_count(dropped)
+            if n_drop == 0:
+                return cur_edges
+            cur_edges = cur_edges.join(dropped, ["a", "b"], "left_anti")
+            cur_edges, n_e = loop_checkpoint_count(cur_edges, size_hint=n_e)
+            dirty_nodes = (
+                dropped.select(F.col("a").alias("n"))
+                .union(dropped.select(F.col("b")))
+                .distinct()
+            )
+    raise RuntimeError(f"ktruss_decremental did not converge in {max_iters} rounds")
+
+
 def _delta_triangle_terms(ed: DataFrame, e_all: DataFrame, out_col: str) -> DataFrame:
     """One-row (out_col): distinct triangles of the ``e_all`` edge set
     containing >= 1 ``ed`` edge, via the t1 − p + t3 identity (see

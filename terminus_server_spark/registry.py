@@ -22501,3 +22501,89 @@ def graph_triangles_mixed(spark, sf_dir):
     dels = edges([(0, 2)])
     old = triangle_count(base)
     return triangle_count_incremental(old, base, adds, delete_edges=dels)
+
+
+@register(
+    "graph_ktruss_decr",
+    """
+    WITH grp AS (
+      SELECT DISTINCT (c_custkey // 50) * 50 AS g FROM customer
+      WHERE c_custkey % 50 < 5),
+    members AS (
+      SELECT g, g + i AS n
+      FROM grp, LATERAL (SELECT unnest(generate_series(0, 4)) AS i)
+      WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = g + i)),
+    g4 AS (
+      SELECT g FROM members WHERE n - g < 4 GROUP BY g HAVING COUNT(*) = 4),
+    keep5 AS (
+      SELECT g FROM members GROUP BY g
+      HAVING COUNT(*) = 5 AND g % 100 <> 0)
+    SELECT m1.n AS a, m2.n AS b
+    FROM members m1
+    JOIN members m2 ON m1.g = m2.g AND m1.n < m2.n
+    JOIN g4 ON m1.g = g4.g
+    WHERE m1.n - m1.g < 4 AND m2.n - m2.g < 4
+    UNION ALL
+    SELECT m1.n, m2.n
+    FROM members m1
+    JOIN members m2 ON m1.g = m2.g AND m2.n - m2.g = 4
+    JOIN keep5 k5 ON m1.g = k5.g
+    WHERE m1.n - m1.g < 3
+    """,
+)
+def graph_ktruss_decr(spark, sf_dir):
+    """DECREMENTAL 4-truss over a delete-only commit delta
+    (operators/graph.py:ktruss_decremental) — truss_new ⊆ truss_old
+    by maximality, support recomputed only for edges incident to a
+    deleted (or cascading dropped) endpoint.  Fixture: every group's
+    old truss is the K4 plus node g+4 attached by THREE edges (K5
+    minus the (g+3,g+4) edge — each attach edge closes two
+    triangles); deleting (g+2,g+4) for every other group drops the
+    two remaining attach edges through the cascade (each falls to
+    one triangle), collapsing those groups to the bare K4 while
+    untouched groups keep all nine edges — stated closed-form by the
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import ktruss, ktruss_decremental
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 50).cast("bigint") * 50
+    pos = k % 50
+    members = cust.where(pos < 5).select(g.alias("g"), k.alias("n"))
+    m5 = members.groupBy("g").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") == 5
+    ).select("g")
+    gm = members.join(m5, "g")
+    k4 = (
+        members.alias("m1")
+        .join(members.alias("m2"), "g")
+        .where(
+            (F.col("m1.n") < F.col("m2.n"))
+            & (F.col("m1.n") - F.col("g") < 4)
+            & (F.col("m2.n") - F.col("g") < 4)
+        )
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    attach = (
+        gm.alias("m1")
+        .join(gm.alias("m2"), "g")
+        .where(
+            (F.col("m2.n") - F.col("g") == 4) & (F.col("m1.n") - F.col("g") < 3)
+        )
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    base = k4.union(attach)
+    dels = (
+        gm.alias("m1")
+        .join(gm.alias("m2"), "g")
+        .where(
+            (F.col("m2.n") - F.col("g") == 4)
+            & (F.col("m1.n") - F.col("g") == 2)
+            & (F.col("g") % 100 == 0)
+        )
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    t_old = ktruss(base, k=4)
+    return ktruss_decremental(t_old, dels, k=4).select("a", "b")

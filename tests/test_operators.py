@@ -4513,3 +4513,41 @@ def test_triangle_count_mixed_delta_equals_batch(spark):
         got = triangle_count_incremental(old, bdf, adf, delete_edges=ddf)
         want = triangle_count(fdf)
         assert got.collect()[0].n_triangles == want.collect()[0].n_triangles, seed
+
+
+def test_ktruss_decremental_equals_batch(spark):
+    """ktruss_decremental(T_old, dels) == ktruss(base - dels) on
+    seeded random graphs, plus the full-cascade collapse case."""
+    import random
+
+    from terminus_server_spark.operators.graph import ktruss, ktruss_decremental
+
+    for seed in (8, 29):
+        rnd = random.Random(seed)
+        n = 22
+        base, dels = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if rnd.random() < 0.32:
+                    base.append((i, j))
+                    if rnd.random() < 0.2:
+                        dels.append((i, j))
+        bdf = spark.createDataFrame(base, "src long, dst long")
+        ddf = spark.createDataFrame(dels, "src long, dst long")
+        kept = [e for e in base if e not in set(dels)]
+        kdf = spark.createDataFrame(kept, "src long, dst long")
+        t_old = ktruss(bdf, k=4)
+        got = {(r.a, r.b) for r in ktruss_decremental(t_old, ddf, k=4).collect()}
+        want = {(r.a, r.b) for r in ktruss(kdf, k=4).collect()}
+        assert got == want, (seed, got ^ want)
+    # cascade collapse: K5 minus one edge is a 4-truss; deleting one
+    # clique edge cascades the attachment edges out
+    b = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (0, 4), (1, 4), (2, 4)]
+    d = [(2, 4)]
+    bdf = spark.createDataFrame(b, "src long, dst long")
+    ddf = spark.createDataFrame(d, "src long, dst long")
+    t_old = ktruss(bdf, k=4)
+    assert {(r.a, r.b) for r in t_old.collect()} == set(b)
+    got = {(r.a, r.b) for r in ktruss_decremental(t_old, ddf, k=4).collect()}
+    assert got == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}

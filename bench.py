@@ -402,6 +402,7 @@ HEADLINE = [
     "graph_kcore_decr",
     "graph_triangles_mixed",
     "graph_ktruss_decr",
+    "gql_execute_connection",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -315,7 +315,16 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
     # match set; the page-sized key fetch is a bounded driver read
     # (≤ first+1 rows), the same class as the adjudicated metadata
     # collects.
-    want_pi = "_pageInfo" in [f for f in fields if isinstance(f, str)]
+    # the Relay connection wrapper (edges { node cursor } pageInfo)
+    # also needs the first+1 probe when its pageInfo member is
+    # selected — a relation registered under the name "pageInfo"
+    # takes precedence (it compiles as an ordinary nested field)
+    want_pi = "_pageInfo" in [f for f in fields if isinstance(f, str)] or any(
+        isinstance(f, dict)
+        and f["name"] == "pageInfo"
+        and (cls, "pageInfo") not in relations
+        for f in fields
+    )
     cursor_key = None
     if "first" in args or "after" in args:
         key_col = (id_cols or {}).get(cls)
@@ -372,6 +381,65 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
             ),
         )
     nested = [f for f in fields if isinstance(f, dict)]
+    # Relay CONNECTION wrapper: a cursor-paged root selecting
+    # edges { node { ... } cursor } / pageInfo { ... } renders one
+    # row per edge — `edges` is the JSON {"node": {...}, "cursor":
+    # "<key>"} object, `pageInfo` reuses the probe JSON.  Node
+    # selections are scalar fields (nested relations belong on the
+    # plain root shape); mixing connection members with other
+    # selections raises instead of guessing.
+    conn = [
+        f
+        for f in nested
+        if f["name"] in ("edges", "pageInfo")
+        and (cls, f["name"]) not in relations
+    ]
+    if conn:
+        if len(conn) != len(nested) or [
+            f for f in fields if isinstance(f, str)
+        ]:
+            raise ValueError(
+                "graphql: connection selections (edges/pageInfo) do not mix "
+                "with other fields"
+            )
+        if cursor_key is None:
+            raise ValueError(
+                "graphql: connection selections require cursor paging "
+                "(first/after and a registered id column)"
+            )
+        edges_spec = next((f for f in conn if f["name"] == "edges"), None)
+        out = df
+        if edges_spec is not None:
+            node_spec = next(
+                (
+                    f
+                    for f in edges_spec["fields"]
+                    if isinstance(f, dict) and f["name"] == "node"
+                ),
+                None,
+            )
+            if node_spec is None:
+                raise ValueError("graphql: edges selection needs a node set")
+            bad = [f for f in node_spec["fields"] if not isinstance(f, str)]
+            if bad:
+                raise ValueError(
+                    "graphql: connection node selections are scalar-only"
+                )
+            members = [
+                F.struct(
+                    *[F.col(c) for c in node_spec["fields"]]
+                ).alias("node")
+            ]
+            if "cursor" in [
+                f for f in edges_spec["fields"] if isinstance(f, str)
+            ]:
+                members.append(
+                    F.col(cursor_key).cast("string").alias("cursor")
+                )
+            out = out.withColumn("edges", F.to_json(F.struct(*members)))
+        if any(f["name"] == "pageInfo" for f in conn):
+            out = out.withColumn("pageInfo", F.col("_pageInfo"))
+        return out
     out = df
     # the generated schema's `_id: ID!` field: document identifier
     # rendered `<Class>/<key>` from the registered id column — a pure

@@ -22587,3 +22587,54 @@ def graph_ktruss_decr(spark, sf_dir):
     )
     t_old = ktruss(base, k=4)
     return ktruss_decremental(t_old, dels, k=4).select("a", "b")
+
+
+@register(
+    "gql_execute_connection",
+    """
+    WITH page1 AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'MACHINERY' AND c_custkey > 200
+      ORDER BY c_custkey LIMIT 31),
+    page AS (SELECT * FROM page1 ORDER BY c_custkey LIMIT 30),
+    pi AS (
+      SELECT '{"endCursor":"' || CAST(MAX(c_custkey) AS VARCHAR) ||
+             '","hasNextPage":' ||
+             CASE WHEN (SELECT COUNT(*) FROM page1) > 30
+                  THEN 'true' ELSE 'false' END || '}' AS pi
+      FROM page)
+    SELECT '{"node":{"c_custkey":' || p.c_custkey || ',"c_name":"' ||
+           p.c_name || '"},"cursor":"' || p.c_custkey || '"}' AS edges,
+           pi.pi AS pageInfo
+    FROM page p, pi
+    """,
+)
+def gql_execute_connection(spark, sf_dir):
+    """Relay CONNECTION wire shape on a cursor-paged root
+    (docs/graphql.py connection wrapper): ``edges { node { ... }
+    cursor } pageInfo {...}`` renders one row per edge — `edges` is
+    the {"node": {...}, "cursor": key} JSON, `pageInfo` the first+1
+    probe JSON — completing the Relay paging trio (keyset cursor
+    args, pageInfo pseudo-field, connection wrapper).  Node
+    selections are scalar-only by design (nested relations belong
+    on the plain root shape); the oracle restates every edge object
+    and the probe-based pageInfo closed-form."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer")
+    return execute_graphql(
+        {"Customer": t["customer"]},
+        """
+        query {
+          Customer(first: 30, after: 200,
+                   filter: {c_mktsegment: {eq: "MACHINERY"}}) {
+            edges {
+              node { c_custkey c_name }
+              cursor
+            }
+            pageInfo { hasNextPage endCursor }
+          }
+        }
+        """,
+        id_cols={"Customer": "c_custkey"},
+    )["Customer"]

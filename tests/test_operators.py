@@ -4551,3 +4551,42 @@ def test_ktruss_decremental_equals_batch(spark):
     assert {(r.a, r.b) for r in t_old.collect()} == set(b)
     got = {(r.a, r.b) for r in ktruss_decremental(t_old, ddf, k=4).collect()}
     assert got == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+
+
+def test_graphql_connection_wrapper(spark):
+    """Relay connection shape: one row per edge with node/cursor
+    JSON + pageInfo; mixing with other fields raises; requires
+    cursor paging."""
+    import json
+
+    import pytest as _pytest
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    docs = spark.createDataFrame(
+        [(kk, f"n{kk}") for kk in range(1, 6)], "k long, n string"
+    )
+    out = execute_graphql(
+        {"D": docs},
+        """query { D(first: 2, after: 1) {
+             edges { node { k n } cursor }
+             pageInfo { hasNextPage endCursor }
+           } }""",
+        id_cols={"D": "k"},
+    )["D"].orderBy("edges").collect()
+    assert len(out) == 2
+    e0 = json.loads(out[0].edges)
+    assert e0 == {"node": {"k": 2, "n": "n2"}, "cursor": "2"}
+    assert json.loads(out[0].pageInfo) == {"endCursor": "3", "hasNextPage": True}
+    with _pytest.raises(ValueError, match="do not mix"):
+        execute_graphql(
+            {"D": docs},
+            "query { D(first: 2) { k edges { node { k } } } }",
+            id_cols={"D": "k"},
+        )["D"].collect()
+    with _pytest.raises(ValueError, match="cursor paging"):
+        execute_graphql(
+            {"D": docs},
+            "query { D(limit: 2) { edges { node { k } } } }",
+            id_cols={"D": "k"},
+        )["D"].collect()

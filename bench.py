@@ -403,6 +403,7 @@ HEADLINE = [
     "graph_triangles_mixed",
     "graph_ktruss_decr",
     "gql_execute_connection",
+    "stream_triangle_count",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -22638,3 +22638,59 @@ def gql_execute_connection(spark, sf_dir):
         """,
         id_cols={"Customer": "c_custkey"},
     )["Customer"]
+
+
+@register(
+    "stream_triangle_count",
+    """
+    WITH grp AS (
+      SELECT (c_custkey // 8) * 8 AS g, COUNT(*) AS c
+      FROM customer WHERE c_custkey % 8 < 8
+      GROUP BY 1 HAVING COUNT(*) = 8)
+    SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_triangles FROM grp
+    """,
+)
+def stream_triangle_count(spark, sf_dir):
+    """Streaming triangle-count maintenance (streaming/events.py:
+    run_stream_triangle_count): the `graph_triangles_incr` fixture's
+    edges stream in three batches split by a hash of BOTH endpoints
+    — so every group's triangles straddle batches and the
+    inclusion-exclusion update must count cross-batch wedges, the
+    case a per-batch-local count would miss.  One batch replays
+    edges already delivered (absorbed by the effective-delta
+    anti-join — edge-level insert idempotence).  Final count is
+    bit-identical to the batch recount; the oracle is the same
+    closed form as `graph_triangles_incr`."""
+    from pyspark.sql import functions as F
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 8).cast("bigint") * 8
+    members = cust.select(g.alias("g"), (k - g).alias("i"), k.alias("n"))
+    m8 = members.groupBy("g").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") == 8
+    ).select("g")
+    gm = members.join(m8, "g")
+
+    def edges(pairs):
+        out = None
+        for i, j in pairs:
+            e = (
+                gm.alias("m1")
+                .join(gm.alias("m2"), "g")
+                .where((F.col("m1.i") == i) & (F.col("m2.i") == j))
+                .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+            )
+            out = e if out is None else out.union(e)
+        return out
+
+    all_edges = edges(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (6, 7),
+         (3, 5), (0, 3), (1, 3), (1, 4), (1, 6), (4, 6)]
+    )
+    h = F.abs(F.hash(F.col("src"), F.col("dst"))) % 3
+    batches = [all_edges.where(h == i) for i in range(3)]
+    batches.append(batches[1])  # edge-level redelivery
+    from terminus_server_spark.streaming.events import run_stream_triangle_count
+
+    return run_stream_triangle_count(spark, batches)

@@ -1684,3 +1684,76 @@ def run_stream_json_docs(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+
+
+def run_stream_triangle_count(
+    spark: SparkSession,
+    batches: list[DataFrame],
+) -> DataFrame:
+    """(n_triangles): streaming triangle-count maintenance — edges
+    arrive in micro-batches and each foreachBatch update applies the
+    exact inclusion-exclusion identity
+    (operators/graph.py:triangle_count_incremental) against the
+    accumulated edge set: cost per batch ∝ the BATCH's wedges, never
+    a recount of the whole graph.  State = the stored edge set (the
+    graph itself — already owned by any edge store) plus one number;
+    the final count is exactly the batch `triangle_count` over all
+    edges under any batch split, which is what the shared-closed-form
+    oracle checks.  Duplicate edges across batches are absorbed by
+    the incremental operator's effective-delta anti-join (insert
+    idempotence), so redelivered EDGES are safe; redelivered batches
+    are handled by the streaming checkpoint."""
+    from terminus_server_spark.operators.graph import (
+        triangle_count_incremental,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tss_tricount_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = batch_df.select("src", "dst")
+        if state["version"] >= 0:
+            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            count = s.read.parquet(os.path.join(tmp, f"n{state['version']}"))
+        else:
+            stored = delta.limit(0)
+            count = s.range(1).select(
+                F.lit(0).cast("bigint").alias("n_triangles")
+            )
+        new_count = triangle_count_incremental(count, stored, delta)
+        new_edges = (
+            stored.unionByName(delta)
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        state["version"] += 1
+        new_edges.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"e{state['version']}")
+        )
+        new_count.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"n{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"n{state['version']}"))

@@ -404,6 +404,7 @@ HEADLINE = [
     "graph_ktruss_decr",
     "gql_execute_connection",
     "stream_triangle_count",
+    "skew_topk_hot_keys",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -67,3 +67,43 @@ def salted_aggregate(
     )
     partial = salted.groupBy(*group_cols, "__salt__").agg(*first)
     return partial.groupBy(*group_cols).agg(*second)
+
+
+def salted_topk(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    k: int = 3,
+    tiebreak_col: str | None = None,
+    n_salt: int = 16,
+) -> DataFrame:
+    """(key, rows...): exact per-key TOP-K under hot keys, two-phase:
+    a window PARTITIONED BY (key, salt) keeps each salt slice's local
+    top-k (a hot key's rows spread over n_salt partitions — the
+    single-reducer straggler a plain per-key window builds at 100 TB),
+    then the final per-key window ranks only the ≤ k·n_salt surviving
+    candidates.  Exact because every global top-k row is in its own
+    salt slice's local top-k (ranks only shrink when rows are
+    removed).  Descending order; ``tiebreak_col`` ascending makes the
+    selection deterministic under value ties."""
+    from pyspark.sql.window import Window
+
+    tb = [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    salted = df.withColumn(
+        "__salt__",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int"),
+    )
+    w1 = Window.partitionBy(key_col, "__salt__").orderBy(
+        F.col(order_col).desc(), *tb
+    )
+    local = (
+        salted.withColumn("__rn__", F.row_number().over(w1))
+        .where(F.col("__rn__") <= k)
+        .drop("__rn__", "__salt__")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col(order_col).desc(), *tb)
+    return (
+        local.withColumn("__rn__", F.row_number().over(w2))
+        .where(F.col("__rn__") <= k)
+        .withColumnRenamed("__rn__", "rk")
+    )

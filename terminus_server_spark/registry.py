@@ -22694,3 +22694,46 @@ def stream_triangle_count(spark, sf_dir):
     from terminus_server_spark.streaming.events import run_stream_triangle_count
 
     return run_stream_triangle_count(spark, batches)
+
+
+@register(
+    "skew_topk_hot_keys",
+    """
+    WITH skewed AS (
+      SELECT CASE WHEN o_orderkey % 10 < 5 THEN 0 ELSE o_custkey END AS k,
+             o_orderkey, o_totalprice
+      FROM orders),
+    ranked AS (
+      SELECT k, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM skewed)
+    SELECT k, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def skew_topk_hot_keys(spark, sf_dir):
+    """Exact per-key top-k under EXTREME key skew
+    (operators/skew.py:salted_topk): half of all orders map to one
+    hot key, so a plain per-key window funnels them through one task;
+    the two-phase form keeps each (key, salt) slice's local top-3
+    and ranks only the ≤ 3·n_salt survivors per key — exact because
+    a global top-3 row is always in its slice's local top-3.  The
+    oracle is the straightforward single-window statement of the
+    same result; the salted plan must match it row-for-row
+    (deterministic orderkey tiebreak)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.skew import salted_topk
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    skewed = orders.select(
+        F.when(F.col("o_orderkey") % 10 < 5, F.lit(0))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return salted_topk(
+        skewed, "k", "o_totalprice", k=3, tiebreak_col="o_orderkey"
+    ).select("k", "o_orderkey", "o_totalprice", F.col("rk").cast("int"))

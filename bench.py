@@ -405,6 +405,7 @@ HEADLINE = [
     "gql_execute_connection",
     "stream_triangle_count",
     "skew_topk_hot_keys",
+    "mm_header_probe6",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -22737,3 +22737,67 @@ def skew_topk_hot_keys(spark, sf_dir):
     return salted_topk(
         skewed, "k", "o_totalprice", k=3, tiebreak_col="o_orderkey"
     ).select("k", "o_orderkey", "o_totalprice", F.col("rk").cast("int"))
+
+
+@register(
+    "mm_header_probe6",
+    """
+    SELECT doc_id,
+      CASE WHEN doc_id % 5 = 4 THEN 'application/octet-stream'
+           ELSE 'image/jpeg' END AS mime,
+      CASE WHEN doc_id % 5 = 4 THEN NULL
+           WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      CASE WHEN doc_id % 5 = 4 THEN NULL
+           ELSE CAST(doc_id % 3 + 1 AS BIGINT) END AS n_entries,
+      CASE WHEN doc_id % 5 = 4 THEN NULL
+           ELSE CAST(doc_id % 8 + 1 AS BIGINT) END AS orientation
+    FROM documents
+    """,
+)
+def mm_header_probe6(spark, sf_dir):
+    """Header-sniffing tranche 6 (multimodal.py:sniff_headers6):
+    JPEG/Exif ORIENTATION through the embedded TIFF — byte order
+    selected per payload by the II/MM magic, IFD0 located through
+    the order-dependent u32 offset, and the 12-byte entry table
+    scanned (unrolled) for tag 0x0112, whose SHORT value reads in
+    the header's own byte order.  The fixture synthesizes real Exif
+    byte streams from typed columns with hex assembly + unhex
+    (orientation doc_id%8+1, alternating II/MM, a variable number of
+    leading dummy entries so the tag is NOT at a fixed slot), plus a
+    non-Exif payload every 5th doc; the oracle restates every parsed
+    field closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.multimodal import sniff_headers6
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    d = F.col("doc_id")
+    o = (d % 8 + 1).cast("int")
+    n_dummy = (d % 3).cast("int")
+    is_le = d % 2 == 0
+    o_hex = F.lpad(F.hex(o), 2, "0")
+    ori_le = F.concat(F.lit("1201"), F.lit("0300"), F.lit("01000000"),
+                      o_hex, F.lit("000000"))
+    ori_be = F.concat(F.lit("0112"), F.lit("0003"), F.lit("00000001"),
+                      F.lit("00"), o_hex, F.lit("0000"))
+    # one 12-byte dummy entry (tag 0x010F "Make", type ASCII, count 4,
+    # inline value "ABCD") in each byte order
+    dummy_le = "0F0102000400000041424344"
+    dummy_be = "010F000200000004" + "41424344"
+    dummies = F.when(is_le, F.repeat(F.lit(dummy_le), n_dummy)).otherwise(
+        F.repeat(F.lit(dummy_be), n_dummy)
+    )
+    n_ent = (n_dummy + 1).cast("int")
+    n_hex_le = F.concat(F.lpad(F.hex(n_ent), 2, "0"), F.lit("00"))
+    n_hex_be = F.concat(F.lit("00"), F.lpad(F.hex(n_ent), 2, "0"))
+    tiff = F.when(
+        is_le,
+        F.concat(F.lit("49492A0008000000"), n_hex_le, dummies, ori_le),
+    ).otherwise(
+        F.concat(F.lit("4D4D002A00000008"), n_hex_be, dummies, ori_be)
+    )
+    exif_hex = F.concat(F.lit("FFD8FFE10040457869660000"), tiff)
+    plain_hex = F.lit("6E6F742061206A706567")  # "not a jpeg"
+    payload = F.unhex(F.when(d % 5 == 4, plain_hex).otherwise(exif_hex))
+    mm = docs.select("doc_id", payload.alias("payload"))
+    return sniff_headers6(mm)

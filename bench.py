@@ -406,6 +406,7 @@ HEADLINE = [
     "stream_triangle_count",
     "skew_topk_hot_keys",
     "mm_header_probe6",
+    "doc_json_merge",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -412,3 +412,60 @@ def json_validate(
         "id", "path", F.lit("unknown_path").alias("violation")
     )
     return missing.unionByName(mismatch).unionByName(unknown)
+
+
+def json_merge_three_way(
+    base: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    json_col: str = "json",
+    max_depth: int = 8,
+) -> DataFrame:
+    """(id, json, n_conflicts): diff3 for schemaless documents at the
+    JSON-leaf grain — the sys:JSON counterpart of the typed
+    field-grain ``doc_merge_three_way``: per (id, path), a side that
+    changed from base takes the leaf, both-same changes agree,
+    both-different changes CONFLICT and resolve left-wins with the
+    conflict counted (the branch-merge convention the versioning
+    layer uses).  Additions/removals are changes to/from absence.
+
+    Three leaf walks + one full-outer 3-way alignment keyed by
+    (id, path) + the canonical reassembly — every shuffle keyed by
+    (id, path) or (id, parent-path)."""
+    lb = json_leaves(base, id_col, json_col, max_depth=max_depth).select(
+        "id", "path", F.col("value").alias("vb")
+    )
+    ll = json_leaves(left, id_col, json_col, max_depth=max_depth).select(
+        "id", "path", F.col("value").alias("vl")
+    )
+    lr = json_leaves(right, id_col, json_col, max_depth=max_depth).select(
+        "id", "path", F.col("value").alias("vr")
+    )
+    j = lb.join(ll, ["id", "path"], "full_outer").join(
+        lr, ["id", "path"], "full_outer"
+    )
+    l_changed = ~F.col("vl").eqNullSafe(F.col("vb"))
+    r_changed = ~F.col("vr").eqNullSafe(F.col("vb"))
+    conflict = l_changed & r_changed & ~F.col("vl").eqNullSafe(F.col("vr"))
+    merged_v = (
+        F.when(conflict, F.col("vl"))  # left-wins, counted below
+        .when(l_changed, F.col("vl"))
+        .when(r_changed, F.col("vr"))
+        .otherwise(F.col("vb"))
+    )
+    aligned = j.select(
+        "id",
+        "path",
+        merged_v.alias("value"),
+        conflict.cast("int").alias("_c"),
+    )
+    conflicts = aligned.groupBy("id").agg(
+        F.sum("_c").cast("bigint").alias("n_conflicts")
+    )
+    kept = aligned.where(F.col("value").isNotNull()).select(
+        "id", "path", "value"
+    )
+    return json_leaf_assemble(kept, "id", max_depth=max_depth).join(
+        conflicts, "id"
+    )

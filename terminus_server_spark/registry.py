@@ -22801,3 +22801,81 @@ def mm_header_probe6(spark, sf_dir):
     payload = F.unhex(F.when(d % 5 == 4, plain_hex).otherwise(exif_hex))
     mm = docs.select("doc_id", payload.alias("payload"))
     return sniff_headers6(mm)
+
+
+@register(
+    "doc_json_merge",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars FROM documents)
+    SELECT doc_id,
+      '{"chars":' ||
+      CASE WHEN doc_id % 4 = 1 THEN n_chars + 10
+           WHEN doc_id % 4 = 3 THEN n_chars + 10
+           ELSE n_chars END ||
+      ',"lang":"' ||
+      CASE WHEN doc_id % 4 = 2 THEN 'zz'
+           WHEN doc_id % 4 = 3 THEN 'll'
+           ELSE lang END ||
+      '","src":"' || source || '"' ||
+      CASE WHEN doc_id % 4 = 1 THEN ',"tag":"L"' ELSE '' END ||
+      '}' AS json,
+      CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS BIGINT)
+        AS n_conflicts
+    FROM base
+    """,
+)
+def doc_json_merge(spark, sf_dir):
+    """Three-way merge of schemaless documents (docs/json_docs.py:
+    json_merge_three_way) — diff3 at the JSON-leaf grain, the
+    sys:JSON counterpart of the typed `doc_merge_three_way`: per
+    (id, path) a side that changed from base takes the leaf,
+    both-same changes agree, both-different conflicts resolve
+    left-wins and are counted.  Fixture per doc_id%4: 0 = untouched;
+    1 = left edits chars and ADDS a field; 2 = right edits lang;
+    3 = BOTH edit — left changes chars, both change lang differently
+    (the counted conflict, left's 'll' wins).  The oracle restates
+    the merged canonical rendering and conflict count closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.json_docs import json_merge_three_way
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    m = F.col("doc_id") % 4
+
+    def body(chars, lang, tag):
+        return F.concat(
+            F.lit('{"chars": '),
+            chars.cast("string"),
+            F.lit(', "lang": "'),
+            lang,
+            F.lit('", "src": "'),
+            F.col("source"),
+            F.lit('"'),
+            tag,
+            F.lit("}"),
+        )
+
+    no_tag = F.lit("")
+    base = docs.select(
+        "doc_id", body(F.col("n_chars"), F.col("lang"), no_tag).alias("j")
+    )
+    left = docs.select(
+        "doc_id",
+        F.when(
+            m == 1,
+            body(F.col("n_chars") + 10, F.col("lang"), F.lit(', "tag": "L"')),
+        )
+        .when(m == 3, body(F.col("n_chars") + 10, F.lit("ll"), no_tag))
+        .otherwise(body(F.col("n_chars"), F.col("lang"), no_tag))
+        .alias("j"),
+    )
+    right = docs.select(
+        "doc_id",
+        F.when(m == 2, body(F.col("n_chars"), F.lit("zz"), no_tag))
+        .when(m == 3, body(F.col("n_chars"), F.lit("rr"), no_tag))
+        .otherwise(body(F.col("n_chars"), F.col("lang"), no_tag))
+        .alias("j"),
+    )
+    out = json_merge_three_way(base, left, right, "doc_id", "j", max_depth=2)
+    return out.select(F.col("id").alias("doc_id"), "json", "n_conflicts")

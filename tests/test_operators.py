@@ -4590,3 +4590,31 @@ def test_graphql_connection_wrapper(spark):
             "query { D(limit: 2) { edges { node { k } } } }",
             id_cols={"D": "k"},
         )["D"].collect()
+
+
+def test_json_merge_three_way(spark):
+    """diff3 at the JSON grain: one-side changes take, both-same
+    agree, both-different resolve left-wins and count as conflicts;
+    additions/removals merge as changes to/from absence."""
+    from terminus_server_spark.docs.json_docs import json_merge_three_way
+
+    base = spark.createDataFrame(
+        [(1, '{"a": 1, "b": 2, "c": 3, "d": 4}')], "doc_id long, j string"
+    )
+    left = spark.createDataFrame(
+        [(1, '{"a": 10, "b": 2, "c": 30, "d": 4, "e": 5}')],
+        "doc_id long, j string",
+    )
+    right = spark.createDataFrame(
+        [(1, '{"a": 1, "b": 20, "c": 31, "d": 4}')], "doc_id long, j string"
+    )
+    [row] = json_merge_three_way(base, left, right, "doc_id", "j").collect()
+    # a: left took; b: right took; c: conflict -> left wins; d: base;
+    # e: left addition
+    assert row.json == '{"a":10,"b":20,"c":30,"d":4,"e":5}'
+    assert row.n_conflicts == 1
+    # removal on one side wins over no-change
+    left2 = spark.createDataFrame([(1, '{"b": 2, "c": 3, "d": 4}')], "doc_id long, j string")
+    [row2] = json_merge_three_way(base, left2, base, "doc_id", "j").collect()
+    assert row2.json == '{"b":2,"c":3,"d":4}'
+    assert row2.n_conflicts == 0

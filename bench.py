@@ -407,6 +407,7 @@ HEADLINE = [
     "skew_topk_hot_keys",
     "mm_header_probe6",
     "doc_json_merge",
+    "vc_json_doc",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

@@ -22879,3 +22879,85 @@ def doc_json_merge(spark, sf_dir):
     )
     out = json_merge_three_way(base, left, right, "doc_id", "j", max_depth=2)
     return out.select(F.col("id").alias("doc_id"), "json", "n_conflicts")
+
+
+@register(
+    "vc_json_doc",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, n_chars FROM documents),
+    v AS (
+      SELECT doc_id,
+        '{"chars":' || n_chars || ',"lang":"' || lang || '","rev":1}' AS j1,
+        CASE WHEN doc_id % 3 = 0
+          THEN '{"chars":' || (n_chars + 7) || ',"lang":"' || lang ||
+               '","rev":2}'
+          ELSE '{"chars":' || n_chars || ',"lang":"' || lang || '","rev":1}'
+        END AS j2
+      FROM base)
+    SELECT 'JSONDocument/' || doc_id AS subject, j1 AS json_at_c1,
+           j2 AS json_at_c2
+    FROM v
+    """,
+)
+def vc_json_doc(spark, sf_dir):
+    """Schemaless documents UNDER VERSION CONTROL — the integration
+    the sys:JSON triple encoding buys for free: JSON documents'
+    body+leaf triples are ordinary delta-layer rows, so commit /
+    materialize / time-travel need zero new machinery.  Commit 1
+    inserts every document (rev 1); commit 2 retracts and re-adds
+    every third document at rev 2 (whole-doc replacement: del old
+    triples + add new, the PUT semantics).  Reading the body triple
+    at each commit returns the byte-identical canonical JSON of that
+    revision — the oracle restates both revisions closed-form.  One
+    window shuffle per materialization, keyed by the triple
+    identity."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.json_docs import schemaless_to_triples
+    from terminus_server_spark.versioning.layers import materialize
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+
+    def body(chars, rev):
+        return F.concat(
+            F.lit('{"chars": '),
+            chars.cast("string"),
+            F.lit(', "lang": "'),
+            F.col("lang"),
+            F.lit('", "rev": '),
+            F.lit(rev).cast("string"),
+            F.lit("}"),
+        )
+
+    v1 = docs.select("doc_id", body(F.col("n_chars"), 1).alias("j"))
+    changed = docs.where(F.col("doc_id") % 3 == 0)
+    v2 = changed.select("doc_id", body(F.col("n_chars") + 7, 2).alias("j"))
+    t1 = schemaless_to_triples(v1, "j", doc_id_col="doc_id")
+    t1_changed = schemaless_to_triples(
+        changed.select("doc_id", body(F.col("n_chars"), 1).alias("j")),
+        "j",
+        doc_id_col="doc_id",
+    )
+    t2 = schemaless_to_triples(v2, "j", doc_id_col="doc_id")
+    key_cols = ["graph", "subject", "predicate", "obj", "obj_type"]
+    lay1 = t1.select(
+        F.lit(1).alias("commit_seq"), F.lit("add").alias("op"), *key_cols
+    )
+    lay2 = t1_changed.select(
+        F.lit(2).alias("commit_seq"), F.lit("del").alias("op"), *key_cols
+    ).unionByName(
+        t2.select(
+            F.lit(2).alias("commit_seq"), F.lit("add").alias("op"), *key_cols
+        )
+    )
+    layers = lay1.unionByName(lay2).localCheckpoint(eager=True)
+
+    def bodies_at(seq, out):
+        return (
+            materialize(layers, seq, key_cols)
+            .where(F.col("predicate") == "sys:value")
+            .select("subject", F.col("obj").alias(out))
+        )
+
+    return bodies_at(1, "json_at_c1").join(bodies_at(2, "json_at_c2"), "subject")

@@ -544,3 +544,40 @@ def test_ohlc_is_one_partial_aggregate(spark, tables):
     p = plan_str(ohlc_downsample(ev))
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
     assert "partial" in p.lower()
+
+
+def test_bloom_filter_write_skips_rowgroups(spark, tables, tmp_path):
+    """Parquet BLOOM FILTERS: the data-skipping lever for point
+    lookups on high-cardinality UNSORTED columns, where row-group
+    min/max stats are useless (every group spans the full value
+    range).  Written via parquet.bloom.filter.enabled#<col> (+
+    expected ndv); an equality predicate then decodes only the row
+    group(s) whose bloom admits the value — measured 8x fewer rows
+    here — while the bloom-less layout decodes everything.  The
+    complement to sorted-write/Z-order skipping (those need a sort
+    key; blooms work on hash-random columns like content digests,
+    the join keys a 100 TB dedup pipeline probes)."""
+    ev = tables["events"].select(
+        F.md5(F.col("event_id").cast("string")).alias("h"), "event_id"
+    )
+    bloom_p = str(tmp_path / "bloom")
+    plain_p = str(tmp_path / "plain")
+    (
+        ev.repartition(8)
+        .write.option("parquet.bloom.filter.enabled#h", "true")
+        .option("parquet.bloom.filter.expected.ndv#h", "100000")
+        .parquet(bloom_p)
+    )
+    ev.repartition(8).write.parquet(plain_p)
+    target = ev.limit(1).collect()[0].h
+    total = ev.count()
+    b = _scan_rows(
+        spark,
+        spark.read.parquet(bloom_p).where(F.col("h") == target).select("event_id"),
+    )
+    p = _scan_rows(
+        spark,
+        spark.read.parquet(plain_p).where(F.col("h") == target).select("event_id"),
+    )
+    assert p == total          # min/max can't prune random digests
+    assert b <= total / 4      # blooms skip the other row groups

@@ -408,6 +408,7 @@ HEADLINE = [
     "mm_header_probe6",
     "doc_json_merge",
     "vc_json_doc",
+    "stream_kcore",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

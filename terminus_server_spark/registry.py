@@ -22961,3 +22961,80 @@ def vc_json_doc(spark, sf_dir):
         )
 
     return bodies_at(1, "json_at_c1").join(bodies_at(2, "json_at_c2"), "subject")
+
+
+@register(
+    "stream_kcore",
+    """
+    WITH grp AS (
+      SELECT DISTINCT (c_custkey // 50) * 50 AS g FROM customer
+      WHERE c_custkey % 50 < 6),
+    members AS (
+      SELECT g, g + i AS n
+      FROM grp, LATERAL (SELECT unnest(generate_series(0, 5)) AS i)
+      WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = g + i)),
+    g4 AS (
+      SELECT g FROM members WHERE n - g < 4 GROUP BY g HAVING COUNT(*) = 4),
+    d6 AS (
+      SELECT g FROM members GROUP BY g
+      HAVING COUNT(*) = 6 AND g % 100 = 0)
+    SELECT m.n AS node,
+           CAST(CASE WHEN d.g IS NOT NULL AND m.n - m.g <= 1 THEN 5
+                     ELSE 3 END AS BIGINT) AS degree
+    FROM members m
+    JOIN g4 ON m.g = g4.g
+    LEFT JOIN d6 d ON m.g = d.g
+    WHERE m.n - m.g < 4 OR d.g IS NOT NULL
+    """,
+)
+def stream_kcore(spark, sf_dir):
+    """Streaming k-core maintenance (streaming/events.py:
+    run_stream_kcore): the `graph_kcore_incr` fixture's full edge set
+    streams in three endpoint-hash batches — group structure
+    straddles batches, so per-batch updates must resurrect and admit
+    nodes through cross-batch closures — and each foreachBatch
+    update is `kcore_incremental` against the stored graph (candidate
+    closures, never a re-peel).  The final core is the batch k-core
+    of all edges under any split: the oracle is `graph_kcore_incr`'s
+    SAME closed form."""
+    from pyspark.sql import functions as F
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 50).cast("bigint") * 50
+    pos = k % 50
+    members = cust.where(pos < 6).select(g.alias("g"), k.alias("n"))
+    m6 = members.groupBy("g").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") == 6
+    ).select("g")
+    gm = members.join(m6, "g")
+    k4 = (
+        members.alias("m1")
+        .join(members.alias("m2"), "g")
+        .where(
+            (F.col("m1.n") < F.col("m2.n"))
+            & (F.col("m1.n") - F.col("g") < 4)
+            & (F.col("m2.n") - F.col("g") < 4)
+        )
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    extra = None
+    for i, j in [(0, 4), (4, 5), (0, 5), (1, 5), (1, 4)]:
+        cond = (F.col("m1.n") - F.col("g") == i) & (
+            F.col("m2.n") - F.col("g") == j
+        )
+        if (i, j) == (1, 4):
+            cond = cond & (F.col("g") % 100 == 0)
+        e = (
+            gm.alias("m1")
+            .join(gm.alias("m2"), "g")
+            .where(cond)
+            .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+        )
+        extra = e if extra is None else extra.union(e)
+    all_edges = k4.union(extra)
+    h = F.abs(F.hash(F.col("src"), F.col("dst"))) % 3
+    batches = [all_edges.where(h == i) for i in range(3)]
+    from terminus_server_spark.streaming.events import run_stream_kcore
+
+    return run_stream_kcore(spark, batches, k=3)

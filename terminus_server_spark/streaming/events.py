@@ -1757,3 +1757,79 @@ def run_stream_triangle_count(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"n{state['version']}"))
+
+
+def run_stream_kcore(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    k: int = 3,
+) -> DataFrame:
+    """(node, degree): streaming k-core maintenance over an
+    insert-only edge stream — each foreachBatch update applies
+    ``kcore_incremental`` (operators/graph.py) against the stored
+    edge set and core: per batch the candidate set is the batch's
+    non-core adjacency closure, never a re-peel of the graph.  State
+    = the edge store + the core node set; the final core is exactly
+    the batch k-core of all edges under any batch split (the shared
+    oracle's claim).  Duplicate/redelivered edges are absorbed by the
+    edge-set union's distinct."""
+    from terminus_server_spark.operators.graph import kcore_incremental
+
+    tmp = tempfile.mkdtemp(prefix="tss_kcore_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = batch_df.select("src", "dst")
+        if state["version"] >= 0:
+            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            core = s.read.parquet(os.path.join(tmp, f"c{state['version']}"))
+        else:
+            stored = delta.limit(0)
+            core = delta.select(F.col("src").alias("node")).limit(0)
+        new_core = kcore_incremental(core, stored, delta, k=k).select("node")
+        new_edges = (
+            stored.unionByName(delta)
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        state["version"] += 1
+        new_edges.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"e{state['version']}")
+        )
+        new_core.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"c{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    edges = spark.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+    core = spark.read.parquet(os.path.join(tmp, f"c{state['version']}"))
+    adj = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        adj.join(core.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(core.select(F.col("node").alias("dst")), "dst", "left_semi")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -571,3 +571,95 @@ def test_threshold_ratio_sound_and_tight(t):
     assert 1 <= q <= 1_000_000
     assert Fraction(p, q) <= Fraction(t)
     assert t - p / q <= 1e-6  # equality only at the grid floor (t ~ q^-1)
+
+
+# --- sys:JSON laws -----------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.integers(min_value=-1000, max_value=1000),
+    st.booleans(),
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F
+        ),
+        max_size=6,
+    ),
+)
+_json_keys = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+    min_size=1,
+    max_size=5,
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(_json_keys, children, max_size=4),
+    ),
+    max_leaves=12,
+)
+_json_docs = st.lists(
+    st.dictionaries(_json_keys, _json_values, max_size=4),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(**SETTINGS)
+@given(_json_docs)
+def test_json_leaves_assemble_roundtrip_law(spark, docs):
+    """assemble(leaves(x)) == canonical_json(x) for ARBITRARY
+    generated JSON documents (nested objects/arrays, nulls, empty
+    containers, unicode-free keys per the path grammar) — the
+    flattener and the assembler are mutual inverses on the canonical
+    form."""
+    import json as _json
+
+    from terminus_server_spark.docs.json_docs import (
+        canonical_json,
+        json_leaf_assemble,
+        json_leaves,
+    )
+
+    rows = [(i, _json.dumps(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, j string")
+    asm = json_leaf_assemble(json_leaves(df, "doc_id", "j"), "id")
+    want = df.select(
+        F.col("doc_id").alias("id"), canonical_json("j").alias("w")
+    )
+    bad = asm.join(want, "id").where(F.col("json") != F.col("w")).collect()
+    assert bad == [], bad
+
+
+@settings(**SETTINGS)
+@given(_json_docs, _json_docs)
+def test_json_diff_patch_roundtrip_law(spark, olds, news):
+    """patch(old, diff(old, new)) == canonical(new) for arbitrary
+    generated old/new JSON pairs (aligned by index; unequal list
+    lengths exercise whole-document add/remove through the leaf
+    grain)."""
+    import json as _json
+
+    from terminus_server_spark.docs.json_docs import (
+        canonical_json,
+        json_field_diff,
+        json_field_patch,
+    )
+
+    n = min(len(olds), len(news))
+    if n == 0:
+        return
+    old_df = spark.createDataFrame(
+        [(i, _json.dumps(olds[i])) for i in range(n)], "doc_id long, j string"
+    )
+    new_df = spark.createDataFrame(
+        [(i, _json.dumps(news[i])) for i in range(n)], "doc_id long, j string"
+    )
+    d = json_field_diff(old_df, new_df, "doc_id", "j")
+    got = json_field_patch(old_df, d, "doc_id", "j")
+    want = new_df.select(
+        F.col("doc_id").alias("id"), canonical_json("j").alias("w")
+    )
+    bad = got.join(want, "id").where(F.col("json") != F.col("w")).collect()
+    assert bad == [], bad

@@ -4618,3 +4618,26 @@ def test_json_merge_three_way(spark):
     [row2] = json_merge_three_way(base, left2, base, "doc_id", "j").collect()
     assert row2.json == '{"b":2,"c":3,"d":4}'
     assert row2.n_conflicts == 0
+
+
+def test_stream_bisect_split_invariance(spark):
+    """The streaming bisection monitor's answer is identical under
+    different batch splits (2-way vs 5-way vs single-batch) — the
+    associative-merge claim, checked directly rather than only
+    through the registry oracle."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_bisect
+
+    rows = [(s, i) for s in range(6) for i in range(10 * (s + 1))]
+    df = spark.createDataFrame(rows, "commit_seq int, x long")
+
+    def answer(n_batches):
+        batches = [
+            df.where(F.col("x") % n_batches == i) for i in range(n_batches)
+        ]
+        [r] = run_stream_bisect(spark, batches, "commit_seq").collect()
+        return (r.first_bad_seq, r.n_at_first)
+
+    a1, a2, a5 = answer(1), answer(2), answer(5)
+    assert a1 == a2 == a5, (a1, a2, a5)

@@ -581,3 +581,23 @@ def test_bloom_filter_write_skips_rowgroups(spark, tables, tmp_path):
     )
     assert p == total          # min/max can't prune random digests
     assert b <= total / 4      # blooms skip the other row groups
+
+
+def test_cursor_keyset_predicate_reaches_scan(spark, tables):
+    """Relay cursor paging: the `after` bound must appear in the
+    parquet scan's pushed filters (the reason cursor beats offset at
+    depth — pre-cursor rows are skipped at the source, not read and
+    discarded)."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    df = execute_graphql(
+        {"Customer": tables["customer"]},
+        "query { Customer(first: 10, after: 500) { c_custkey } }",
+        id_cols={"Customer": "c_custkey"},
+    )["Customer"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "c_custkey" in plan
+    # the keyset bound shows up as a data filter on the scan
+    assert "GreaterThan(c_custkey,500)" in plan.replace(" ", "") or (
+        "(c_custkey#" in plan and "> 500" in plan
+    ), plan[:2000]

@@ -927,6 +927,7 @@ def kcore_incremental(
     delta_edges: DataFrame,
     k: int = 3,
     max_iters: int = 30,
+    canonical_base: bool = False,
 ) -> DataFrame:
     """(node, degree): the k-core AFTER an insert-only commit delta,
     at delta-cascade cost — the node-grain sibling of
@@ -942,51 +943,150 @@ def kcore_incremental(
        delta's non-core endpoints through NON-CORE adjacency — a
        frontier-sized closure.
 
-    Candidates then peel from above (degree within core_old ∪
-    surviving candidates; core_old never re-examined), and the final
-    degrees come from one pass over the new core's internal edges.
-    Deletions invalidate fact 1 — route them through the batch
+    Candidates then peel from above at DELTA-CASCADE cost, the exact
+    mirror of ``kcore_decremental``'s never-re-aggregated decrements:
+    candidate degrees (within core_old ∪ candidates) are aggregated
+    ONCE over candidate-incident edges only, and every later round
+    only DECREMENTS neighbors of dropped candidates — no round ever
+    re-aggregates the stored core's internal edges.  Output degrees
+    are assembled incrementally too: when ``core_old`` carries its
+    stored ``degree`` column (what this function and batch ``kcore``
+    both emit — pass it back in), old-core degrees are updated as
+    d_old + (edges to entering candidates) + (delta-only edges to
+    old-core nodes), both cascade/delta-sized aggregates; without the
+    column a one-time cold-start aggregate over the old core's
+    internal edges is paid (documented fallback, not the steady
+    state).  Raises ``RuntimeError`` if the candidate closure or the
+    peel fails to reach fixpoint within ``max_iters`` (matching
+    ``ktruss_incremental`` — silent fall-through would return an
+    incomplete closure / unconverged core).  Deletions invalidate
+    fact 1 — route them through ``kcore_decremental`` or batch
     ``kcore``."""
     spark = core_old.sparkSession
+    has_deg = "degree" in core_old.columns
     old = core_old.select("node").distinct()
     old = loop_checkpoint(old)
 
     def und(e):
+        # canonical (min,max) pairs: reversed redeliveries of the
+        # same undirected edge dedup instead of double-counting
         return (
-            e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-            .where(
-                F.col("a").isNotNull()
-                & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b"))
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
             )
+            .where(F.col("a") != F.col("b"))
             .distinct()
         )
 
-    e_new = und(base_edges).unionByName(und(delta_edges)).distinct()
+    if canonical_base:
+        # caller guarantees the base is already canonical (a<b) and
+        # duplicate-free — e.g. the streaming edge store, written
+        # with least/greatest + distinct.  Skips the only full-base
+        # shuffle in the steady path.
+        base_und = base_edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+    else:
+        base_und = und(base_edges)
+    delta_und = und(delta_edges)
+    # delta edges not already present in the base — the only edges
+    # that can raise an old-core-internal degree.  The base is first
+    # narrowed map-side to delta-endpoint-incident rows (broadcast
+    # semi join, no base shuffle), so the anti join is tiny × tiny
+    delta_only = delta_und.join(
+        base_und.join(
+            F.broadcast(delta_und.select("a").distinct()), "a", "left_semi"
+        ),
+        ["a", "b"],
+        "left_anti",
+    )
+    delta_only = loop_checkpoint(delta_only)
+    # base ∪ (delta \ base) is a DISJOINT union of two deduped sets —
+    # no distinct over the full edge list is ever needed
+    e_new = base_und.unionByName(delta_only)
     e_new, n_e = loop_checkpoint_count(e_new)
     adj = e_new.union(
         e_new.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+
+    def _old_core_inc(surv_nodes):
+        """Per-old-node degree increments: edges (in E_new) to
+        entering candidates + delta-only edges to old-core nodes.
+        Both aggregates are cascade/delta-sized."""
+        inc1 = (
+            adj.join(surv_nodes.select(F.col("n").alias("b")), "b", "left_semi")
+            .join(old.select(F.col("node").alias("a")), "a", "left_semi")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("_i1"))
+        )
+        d_oo = (
+            delta_only.join(
+                old.select(F.col("node").alias("a")), "a", "left_semi"
+            ).join(old.select(F.col("node").alias("b")), "b", "left_semi")
+        )
+        inc2 = (
+            d_oo.select(F.col("a").alias("node"))
+            .unionByName(d_oo.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_i2"))
+        )
+        return inc1, inc2
+
+    def _old_out(surv_nodes):
+        inc1, inc2 = _old_core_inc(surv_nodes)
+        if has_deg:
+            # steady state: stored degrees are within core_old under
+            # E_old, so add delta-only internal edges (inc2) on top
+            base_deg = core_old.select(
+                "node", F.col("degree").cast("long").alias("_d0")
+            )
+        else:
+            # cold-start fallback: one aggregate over the old core's
+            # internal edges under E_NEW — delta-internal edges are
+            # already counted here, so inc2 must NOT be added again
+            # (steady state passes the stored degrees back in and
+            # never pays this)
+            base_deg = (
+                adj.join(
+                    old.select(F.col("node").alias("a")), "a", "left_semi"
+                )
+                .join(old.select(F.col("node").alias("b")), "b", "left_semi")
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("_d0"))
+            )
+            inc2 = inc2.limit(0)
+        return (
+            base_deg.join(inc1, "node", "left_outer")
+            .join(inc2, "node", "left_outer")
+            .select(
+                "node",
+                (
+                    F.col("_d0")
+                    + F.coalesce(F.col("_i1"), F.lit(0))
+                    + F.coalesce(F.col("_i2"), F.lit(0))
+                ).cast("long").alias("degree"),
+            )
+        )
+
     non_core_sel = lambda df: df.join(
         old.select(F.col("node").alias("n")), "n", "left_anti"
     )
     seeds = non_core_sel(
-        und(delta_edges)
-        .select(F.col("a").alias("n"))
-        .union(und(delta_edges).select(F.col("b")))
+        delta_und.select(F.col("a").alias("n"))
+        .union(delta_und.select(F.col("b")))
         .distinct()
     )
     x, n_x = loop_checkpoint_count(seeds)
+    empty_cand = old.select(F.col("node").alias("n")).limit(0)
     if n_x == 0:
-        deg = (
-            adj.join(old.select(F.col("node").alias("a")), "a", "left_semi")
-            .join(old.select(F.col("node").alias("b")), "b", "left_semi")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.count(F.lit(1)).alias("degree"))
-        )
-        return deg
+        # no non-core endpoint ⇒ core membership unchanged; only
+        # old-core degrees can grow, via delta-only internal edges
+        return _old_out(empty_cand)
     with loop_tuning(spark, n_e):
         frontier = x
+        closed = False
         for _ in range(max_iters):
             nbrs = (
                 adj.join(
@@ -998,35 +1098,69 @@ def kcore_incremental(
             fresh = non_core_sel(nbrs).join(x, "n", "left_anti")
             fresh, n_fresh = loop_checkpoint_count(fresh)
             if n_fresh == 0:
+                closed = True
                 break
             x = x.unionByName(fresh)
             x, n_x = loop_checkpoint_count(x, size_hint=n_x + n_fresh)
             frontier = fresh
+        if not closed:
+            raise RuntimeError(
+                f"kcore_incremental: candidate closure did not "
+                f"converge within max_iters={max_iters}; an incomplete "
+                f"closure would silently miss entering nodes — raise "
+                f"max_iters"
+            )
         cand, n_cand = x, n_x
-        for _ in range(max_iters):
-            in_set = old.select(F.col("node").alias("n")).unionByName(cand)
-            deg = (
-                adj.join(in_set.select(F.col("n").alias("a")), "a", "left_semi")
-                .join(in_set.select(F.col("n").alias("b")), "b", "left_semi")
-                .groupBy(F.col("a").alias("n"))
-                .agg(F.count(F.lit(1)).alias("d"))
-            )
-            surv = cand.join(
-                deg.where(F.col("d") >= k), "n", "left_semi"
-            )
-            surv, n_surv = loop_checkpoint_count(surv, size_hint=n_cand)
-            if n_surv == n_cand:
-                cand = surv
-                break
-            cand, n_cand = surv, n_surv
-        core_new = old.select(F.col("node").alias("n")).unionByName(cand)
-        core_new = loop_checkpoint(core_new)
-        return (
-            adj.join(core_new.select(F.col("n").alias("a")), "a", "left_semi")
-            .join(core_new.select(F.col("n").alias("b")), "b", "left_semi")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.count(F.lit(1)).alias("degree"))
+        # candidate degrees within core_old ∪ candidates, aggregated
+        # ONCE over candidate-incident edges (a ∈ cand); old-core
+        # internal edges are never touched
+        in_set = old.select(F.col("node").alias("n")).unionByName(cand)
+        deg0 = (
+            adj.join(cand.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(in_set.select(F.col("n").alias("b")), "b", "left_semi")
+            .groupBy(F.col("a").alias("n"))
+            .agg(F.count(F.lit(1)).alias("d"))
         )
+        cur = cand.join(deg0, "n", "left_outer").select(
+            "n", F.coalesce(F.col("d"), F.lit(0)).alias("d")
+        )
+        cur, n_c = loop_checkpoint_count(cur, size_hint=n_cand)
+        converged = False
+        for _ in range(max_iters):
+            dropped = cur.where(F.col("d") < k).select("n")
+            surv = cur.where(F.col("d") >= k)
+            surv, n_s = loop_checkpoint_count(surv, size_hint=n_c)
+            if n_s == n_c:
+                cur = surv
+                converged = True
+                break
+            # decrement-only round: neighbors of dropped candidates
+            # among surviving candidates (old-core nodes never peel
+            # and carry no tracked degree here)
+            dec = (
+                adj.join(
+                    dropped.select(F.col("n").alias("b")), "b", "left_semi"
+                )
+                .join(surv.select(F.col("n").alias("a")), "a", "left_semi")
+                .groupBy(F.col("a").alias("n"))
+                .agg(F.count(F.lit(1)).alias("_dec"))
+            )
+            cur = surv.join(dec, "n", "left_outer").select(
+                "n",
+                (F.col("d") - F.coalesce(F.col("_dec"), F.lit(0))).alias("d"),
+            )
+            cur, n_c = loop_checkpoint_count(cur, size_hint=n_s)
+        if not converged:
+            raise RuntimeError(
+                f"kcore_incremental: candidate peel did not converge "
+                f"within max_iters={max_iters}; an unconverged peel "
+                f"would admit under-degree candidates — raise max_iters"
+            )
+        cur = loop_checkpoint(cur)
+        surv_out = cur.select(
+            F.col("n").alias("node"), F.col("d").cast("long").alias("degree")
+        )
+        return _old_out(cur.select("n")).unionByName(surv_out)
 
 
 def kcore_decremental(
@@ -1046,26 +1180,28 @@ def kcore_decremental(
     graph.  Non-dirty nodes keep their membership until a neighbor
     leaves; each round recomputes degrees only over the surviving
     core subgraph (the peel is the batch loop restricted to
-    core_old).  Insertions route through ``kcore_incremental``."""
+    core_old).  Raises ``RuntimeError`` if the peel fails to reach
+    fixpoint within ``max_iters`` (matching ``ktruss_decremental`` —
+    a silent fall-through would keep under-degree nodes in the
+    core).  Insertions route through ``kcore_incremental``."""
     spark = core_old.sparkSession
 
     def und(e):
+        # canonical (min,max) pairs so a delete listed in either
+        # orientation removes the base edge regardless of how the
+        # base stored it
         return (
-            e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-            .where(
-                F.col("a").isNotNull()
-                & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b"))
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
             )
+            .where(F.col("a") != F.col("b"))
             .distinct()
         )
 
     eb = und(base_edges)
-    dels = und(delete_edges).unionByName(
-        und(delete_edges).select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
+    dels = und(delete_edges)
     e_new = eb.join(dels, ["a", "b"], "left_anti")
     e_new, n_e = loop_checkpoint_count(e_new)
     adj = e_new.union(
@@ -1089,12 +1225,14 @@ def kcore_decremental(
             "node", F.coalesce(F.col("d"), F.lit(0)).alias("d")
         )
         cur, n_c = loop_checkpoint_count(cur)
+        converged = False
         for _ in range(max_iters):
             dropped = cur.where(F.col("d") < k).select("node")
             surv = cur.where(F.col("d") >= k)
             surv, n_s = loop_checkpoint_count(surv, size_hint=n_c)
             if n_s == n_c:
                 cur = surv
+                converged = True
                 break
             dec = (
                 adj.join(
@@ -1111,6 +1249,12 @@ def kcore_decremental(
                 (F.col("d") - F.coalesce(F.col("_dec"), F.lit(0))).alias("d"),
             )
             cur, n_c = loop_checkpoint_count(cur, size_hint=n_s)
+        if not converged:
+            raise RuntimeError(
+                f"kcore_decremental: peel did not converge within "
+                f"max_iters={max_iters}; an unconverged peel would keep "
+                f"under-degree nodes in the core — raise max_iters"
+            )
         return cur.select("node", F.col("d").cast("bigint").alias("degree"))
 
 

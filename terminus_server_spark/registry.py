@@ -21917,7 +21917,7 @@ def graph_kcore_incr(spark, sf_dir):
         )
         .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
     )
-    core_old = kcore(base, k=3, rounds=4).select("node")
+    core_old = kcore(base, k=3, rounds=4)
     return kcore_incremental(core_old, base, delta, k=3)
 
 

@@ -1769,10 +1769,14 @@ def run_stream_kcore(
     ``kcore_incremental`` (operators/graph.py) against the stored
     edge set and core: per batch the candidate set is the batch's
     non-core adjacency closure, never a re-peel of the graph.  State
-    = the edge store + the core node set; the final core is exactly
-    the batch k-core of all edges under any batch split (the shared
-    oracle's claim).  Duplicate/redelivered edges are absorbed by the
-    edge-set union's distinct."""
+    = the edge store + the core WITH stored per-node degrees, so the
+    steady-state update is fully delta-sized (candidate-incident
+    aggregates + delta-sized degree increments — the stored core's
+    internal edges are never re-aggregated, per batch or at read);
+    the final core is exactly the batch k-core of all edges under
+    any batch split (the shared oracle's claim).  Duplicate or
+    redelivered edges (either orientation) are absorbed by the
+    canonical edge-set union's distinct."""
     from terminus_server_spark.operators.graph import kcore_incremental
 
     tmp = tempfile.mkdtemp(prefix="tss_kcore_", dir="/tmp")
@@ -1788,8 +1792,15 @@ def run_stream_kcore(
             core = s.read.parquet(os.path.join(tmp, f"c{state['version']}"))
         else:
             stored = delta.limit(0)
-            core = delta.select(F.col("src").alias("node")).limit(0)
-        new_core = kcore_incremental(core, stored, delta, k=k).select("node")
+            core = delta.select(
+                F.col("src").alias("node"),
+                F.lit(0).cast("long").alias("degree"),
+            ).limit(0)
+        # the edge store is written canonical (least/greatest +
+        # distinct) — the update needs no full-base shuffle at all
+        new_core = kcore_incremental(
+            core, stored, delta, k=k, canonical_base=True
+        )
         new_edges = (
             stored.unionByName(delta)
             .select(
@@ -1822,14 +1833,6 @@ def run_stream_kcore(
             .start()
         )
         q.awaitTermination()
-    edges = spark.read.parquet(os.path.join(tmp, f"e{state['version']}"))
-    core = spark.read.parquet(os.path.join(tmp, f"c{state['version']}"))
-    adj = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return (
-        adj.join(core.select(F.col("node").alias("src")), "src", "left_semi")
-        .join(core.select(F.col("node").alias("dst")), "dst", "left_semi")
-        .groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    # the state already carries the maintained per-node degrees —
+    # read it back verbatim, no edge re-aggregation at the sink
+    return spark.read.parquet(os.path.join(tmp, f"c{state['version']}"))

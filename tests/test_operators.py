@@ -4321,23 +4321,35 @@ def test_kcore_incremental_equals_batch(spark):
                     delta.append((i, j))
         bdf = spark.createDataFrame(base, "src long, dst long")
         ddf = spark.createDataFrame(delta, "src long, dst long")
-        core_old = kcore(bdf, k=3, rounds=15).select("node")
-        got = {(r.node, r.degree)
-               for r in kcore_incremental(core_old, bdf, ddf, k=3).collect()}
+        core_full = kcore(bdf, k=3, rounds=15)
         want = {(r.node, r.degree)
                 for r in kcore(bdf.unionByName(ddf), k=3, rounds=15).collect()}
+        # cold-start path: node set only, degrees re-derived once
+        got = {(r.node, r.degree)
+               for r in kcore_incremental(
+                   core_full.select("node"), bdf, ddf, k=3).collect()}
         assert got == want, (seed, got ^ want)
+        # steady-state path: stored degrees carried, updated
+        # incrementally (delta/cascade-sized aggregates only)
+        got2 = {(r.node, r.degree)
+                for r in kcore_incremental(core_full, bdf, ddf, k=3).collect()}
+        assert got2 == want, (seed, got2 ^ want)
     # mutual support: 4 and 5 each need the other to reach degree 3
     b = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
          (0, 4), (4, 5), (0, 5), (1, 5)]
     d = [(1, 4)]
     bdf = spark.createDataFrame(b, "src long, dst long")
     ddf = spark.createDataFrame(d, "src long, dst long")
-    core_old = kcore(bdf, k=3, rounds=10).select("node")
-    assert {r.node for r in core_old.collect()} == {0, 1, 2, 3}
+    core_full = kcore(bdf, k=3, rounds=10)
+    assert {r.node for r in core_full.collect()} == {0, 1, 2, 3}
+    want = {(0, 5), (1, 5), (2, 3), (3, 3), (4, 3), (5, 3)}
     got = {(r.node, r.degree)
-           for r in kcore_incremental(core_old, bdf, ddf, k=3).collect()}
-    assert got == {(0, 5), (1, 5), (2, 3), (3, 3), (4, 3), (5, 3)}
+           for r in kcore_incremental(
+               core_full.select("node"), bdf, ddf, k=3).collect()}
+    assert got == want
+    got2 = {(r.node, r.degree)
+            for r in kcore_incremental(core_full, bdf, ddf, k=3).collect()}
+    assert got2 == want
 
 
 def test_triangle_count_incremental_equals_batch(spark):

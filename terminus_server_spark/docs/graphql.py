@@ -364,21 +364,43 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
         offset=offset_val,
     )
     if want_pi:
-        import json as _json
+        from pyspark.sql import Window as _W
 
+        # pageInfo derived LAZILY inside the one plan: the first+1
+        # keyset page flows through a window bounded by the page size
+        # (never a COUNT over the full frame, never a driver-side
+        # collect — the returned rows and endCursor/hasNextPage come
+        # from the SAME computed page, so they can never disagree)
         first = int(limit_val)
-        probe = df.select(cursor_key).limit(first + 1).collect()
-        has_next = len(probe) > first
-        page = probe[:first]
-        end_cursor = str(page[-1][0]) if page else None
-        df = df.limit(first).withColumn(
-            "_pageInfo",
-            F.lit(
-                _json.dumps(
-                    {"endCursor": end_cursor, "hasNextPage": has_next},
-                    separators=(",", ":"),
-                )
-            ),
+        w_rn = _W.orderBy(F.col(cursor_key).asc())
+        w_all = w_rn.rowsBetween(
+            _W.unboundedPreceding, _W.unboundedFollowing
+        )
+        page = df.limit(first + 1).withColumn(
+            "_rn", F.row_number().over(w_rn)
+        )
+        df = (
+            page.withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+            .withColumn(
+                "_end",
+                F.max(
+                    F.when(
+                        F.col("_rn") <= first,
+                        F.col(cursor_key).cast("string"),
+                    )
+                ).over(w_all),
+            )
+            .where(F.col("_rn") <= first)
+            .withColumn(
+                "_pageInfo",
+                F.to_json(
+                    F.struct(
+                        F.col("_end").alias("endCursor"),
+                        (F.col("_cnt") > first).alias("hasNextPage"),
+                    )
+                ),
+            )
+            .drop("_rn", "_cnt", "_end")
         )
     nested = [f for f in fields if isinstance(f, dict)]
     # Relay CONNECTION wrapper: a cursor-paged root selecting

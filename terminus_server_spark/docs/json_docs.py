@@ -32,10 +32,16 @@ Scale shape: everything is map-side except the idempotence
 ``distinct()`` (one shuffle at the leaf-triple grain) and the diff's
 full-outer join keyed by (id, path).  Depth caps at ``max_depth``;
 containers still unexploded at the cap surface as single JSON-blob
-leaves (obj_type ``sys:json``) rather than being dropped.  Object
-keys containing '.', '[' or ']' would make paths ambiguous — the
-JSONPath rendering targets interop with engines whose path syntax
-shares that limitation.
+leaves (obj_type ``sys:json``) rather than being dropped.
+
+Key grammar (ENFORCED, not just documented): object keys must not
+contain '.', '[', ']' (path ambiguity), '"', '\\', or control
+characters (the leaf paths are embedded raw in rendered JSON during
+reassembly, so such keys would produce invalid output and silently
+break the patch/merge roundtrip law).  ``json_leaves`` raises at
+evaluation time on the first offending key — reject-up-front
+semantics, matching the JSONPath interop limitation the module
+already targeted.
 """
 
 from __future__ import annotations
@@ -102,13 +108,30 @@ def json_leaves(
         # an EMPTY container — keep its path and variant unchanged.
         # JSON null children arrive as a VARIANT null (non-SQL-null)
         # and classify as leaves on the next round via VOID.
+        # enforce the module's key grammar at evaluation time: keys
+        # carrying path metacharacters, quotes, backslashes or
+        # control chars would corrupt reassembled JSON downstream
+        key_ok = F.when(
+            F.col("key").isNotNull()
+            & F.col("key").rlike(r'[.\[\]"\\]|[\x00-\x1f]'),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "sys:JSON object key contains a reserved "
+                        'character (one of . [ ] " \\ or a control '
+                        "char): "
+                    ),
+                    F.col("key"),
+                )
+            ),
+        ).otherwise(F.col("key"))
         cur = step.select(
             "id",
             F.when(F.col("value").isNull(), F.col("path"))
             .otherwise(
                 F.when(
                     F.col("key").isNotNull(),
-                    F.concat(F.col("path"), F.lit("."), F.col("key")),
+                    F.concat(F.col("path"), F.lit("."), key_ok),
                 ).otherwise(
                     F.concat(
                         F.col("path"),

@@ -40,6 +40,17 @@ def _chunks(payload: bytes):
         data = payload[pos + 8 : pos + 8 + length]
         if len(data) != length:
             raise ValueError("png: truncated chunk")
+        crc_raw = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc_raw) != 4:
+            raise ValueError("png: truncated chunk crc")
+        # per-chunk CRC-32 over type+data (module contract: decode
+        # errors must SURFACE — a bit-flipped IDAT that still
+        # inflates would otherwise mis-decode silently)
+        (crc,) = struct.unpack(">I", crc_raw)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(
+                f"png: crc mismatch in {ctype.decode('latin1')} chunk"
+            )
         yield ctype, data
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IEND":

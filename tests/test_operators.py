@@ -3946,6 +3946,34 @@ def test_schemaless_json_leaves_and_roundtrip(spark):
     assert both.count() == tr.count()
 
 
+def test_schemaless_json_key_grammar_enforced(spark):
+    """r9 ADVICE: object keys carrying path metacharacters, quotes,
+    backslashes or control chars are REJECTED at evaluation time
+    (they would corrupt reassembled JSON and silently break the
+    patch/merge roundtrip law); legal keys still flow."""
+    import pytest as _pytest
+
+    from terminus_server_spark.docs.json_docs import json_leaves
+
+    ok = spark.createDataFrame(
+        [(1, '{"a-b c":{"x":1},"d_e":[2]}')], "doc_id long, j string"
+    )
+    paths = {r.path for r in json_leaves(ok, "doc_id", "j").collect()}
+    assert paths == {"$.a-b c.x", "$.d_e[0]"}
+    for bad_json in (
+        '{"a\\"q":1}',      # double quote in key
+        '{"a\\\\b":1}',     # backslash in key
+        '{"a.b":1}',        # path dot
+        '{"a[0]":1}',       # path brackets
+        '{"a\\u0001b":1}',  # control char
+    ):
+        bad = spark.createDataFrame(
+            [(2, bad_json)], "doc_id long, j string"
+        )
+        with _pytest.raises(Exception, match="reserved"):
+            json_leaves(bad, "doc_id", "j").collect()
+
+
 def test_schemaless_json_depth_cap_blobs(spark):
     """Containers below max_depth surface as sys:json blob leaves
     (never silently dropped)."""
@@ -4066,6 +4094,12 @@ def test_png_codec_roundtrip_all_filters():
                  + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)))
     with _pytest.raises(ValueError):
         png_decode(bad_depth)
+    # r9 ADVICE: per-chunk CRC is VERIFIED — a bit-flipped IDAT that
+    # still inflates must raise, not mis-decode silently
+    flipped = bytearray(payload)
+    flipped[payload.index(b"IDAT") + 6] ^= 0x40
+    with _pytest.raises(ValueError, match="crc mismatch"):
+        png_decode(bytes(flipped))
 
 
 def test_multimodal_real_decode_branch_in_ci(spark):

@@ -58,6 +58,12 @@ WINDOW_OK: dict[str, str] = {
     "events_wilson_rank": "event-type-grain rank (type vocabulary)",
     # fixed-grid CDF inversion: n_buckets rows by construction
     "sketch_quantile_grid": "128-bucket fixed-grid CDF",
+    # Relay pageInfo: row_number + count/max windows AFTER
+    # .limit(first+1) — the window input is the keyset page itself
+    # (<= page_size+1 rows by construction; the r10 lazy rewrite of
+    # the former driver-side collect probe)
+    "gql_execute_cursor_pageinfo": "first+1 keyset page (page-size-bounded)",
+    "gql_execute_connection": "first+1 keyset page (page-size-bounded)",
     # streaming bisect: running sum over the foreachBatch-maintained
     # per-commit count table — O(#commits) state rows (commit grain,
     # metadata-scale), never row-grain data

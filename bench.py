@@ -490,15 +490,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     calibration: list[float] = []
+    cal_points: list[tuple[int, float]] = []  # (key index, cal read)
+    key_pos: dict[str, int] = {}
     for i, name in enumerate(names):
         if i % CALIBRATE_EVERY == 0:
-            calibration.append(round(run_once(CALIBRATION)[0], 3))
+            c = round(run_once(CALIBRATION)[0], 3)
+            calibration.append(c)
+            cal_points.append((i, c))
         best, n = run_once(name)
         for _ in range(reps - 1):
             best = min(best, run_once(name)[0])
         timings[name] = round(best, 3)
+        key_pos[name] = i
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-    calibration.append(round(run_once(CALIBRATION)[0], 3))
+    c = round(run_once(CALIBRATION)[0], 3)
+    calibration.append(c)
+    cal_points.append((len(names), c))
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -514,7 +521,32 @@ def main() -> None:
     # final pass must explain or fix; sub-0.5s keys are exempt
     # (scheduling noise dominates their variance).
     cal_mean = sum(calibration) / len(calibration)
-    normalized = {k: round(v / cal_mean, 3) for k, v in timings.items()}
+
+    # r10 gate hardening (r9 verdict task 3): the r9 driver session's
+    # calibration swung 0.234→1.131 (4.8x) WITHIN one pass, so a
+    # session-mean divisor left late-pass keys inflated and emitted a
+    # 27-flag storm on unchanged code (all 27 adjudicated to session
+    # noise in SCALING.md).  Normalize each key by the LOCAL machine
+    # speed instead: linear interpolation between the two calibration
+    # probes bracketing the key's position in the pass.  Scale is
+    # anchored to the session mean's units by multiplying back with
+    # cal_mean/local — i.e. normalized = t / local_cal, same units as
+    # the old t / cal_mean when load is flat, but immune to
+    # intra-session drift.
+    def _local_cal(pos: int) -> float:
+        lo = max((p for p in cal_points if p[0] <= pos),
+                 key=lambda p: p[0], default=cal_points[0])
+        hi = min((p for p in cal_points if p[0] > pos),
+                 key=lambda p: p[0], default=cal_points[-1])
+        if hi[0] == lo[0]:
+            return lo[1]
+        frac = (pos - lo[0]) / (hi[0] - lo[0])
+        return lo[1] + frac * (hi[1] - lo[1])
+
+    normalized = {
+        k: round(v / max(_local_cal(key_pos[k]), 1e-6), 3)
+        for k, v in timings.items()
+    }
     regressions: dict[str, dict] = {}
     ref_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_NORMALIZED_REF.json"
@@ -524,7 +556,14 @@ def main() -> None:
             ref = json.load(f).get("normalized", {})
         for k, nv in normalized.items():
             rv = ref.get(k)
-            if rv and rv > 0 and timings[k] > 0.5 and nv / rv > 1.5:
+            # flag needs BOTH a 1.5x ratio and an absolute normalized
+            # excess of 2.0 (~0.45 s idle-equivalent) — min-merged
+            # references tighten over sessions, and without the
+            # margin sub-second keys flap on scheduling noise
+            if (
+                rv and rv > 0 and timings[k] > 0.5
+                and nv / rv > 1.5 and (nv - rv) > 2.0
+            ):
                 regressions[k] = {
                     "norm": nv, "ref": rv, "ratio": round(nv / rv, 2)
                 }
@@ -536,9 +575,43 @@ def main() -> None:
                   f"gate blind until the next SPARK_GRAFT_BENCH_WRITE_REF "
                   f"closing run", file=sys.stderr)
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_REF", "") == "1":
+        # Reference hardening: a single session's reads carry that
+        # session's residual shape even after local normalization, so
+        # the committed reference is the per-key MIN across write
+        # sessions (the verdict-endorsed "min of last N sessions")
+        # — it can only tighten, and a loaded refresh session can no
+        # longer inflate the gate.  A key whose cost changed BY
+        # DESIGN needs an explicit reset:
+        # SPARK_GRAFT_BENCH_REF_RESET="k1,k2" takes the fresh read
+        # for those keys; SPARK_GRAFT_BENCH_REF_OVERWRITE=1 rewrites
+        # everything (formula changes).  Old-formula (session-mean)
+        # references are overwritten wholesale, not min-merged —
+        # the scales differ.
+        merged = dict(normalized)
+        prev: dict = {}
+        if (
+            os.path.exists(ref_path)
+            and os.environ.get("SPARK_GRAFT_BENCH_REF_OVERWRITE", "") != "1"
+        ):
+            with open(ref_path) as f:
+                prev_doc = json.load(f)
+            if prev_doc.get("formula") == "local_v2":
+                prev = prev_doc.get("normalized", {})
+        reset = {
+            k for k in
+            os.environ.get("SPARK_GRAFT_BENCH_REF_RESET", "").split(",")
+            if k
+        }
+        for k, rv in prev.items():
+            if k in merged and k not in reset:
+                merged[k] = min(merged[k], rv)
         with open(ref_path, "w") as f:
             json.dump(
-                {"cal_mean": round(cal_mean, 4), "normalized": normalized},
+                {
+                    "cal_mean": round(cal_mean, 4),
+                    "formula": "local_v2",
+                    "normalized": merged,
+                },
                 f, indent=1, sort_keys=True,
             )
     for k, r in sorted(regressions.items()):

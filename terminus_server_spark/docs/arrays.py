@@ -1,0 +1,276 @@
+"""Array document fields with ``@dimensions`` (SURVEY §2.3, r10).
+
+Parity: TerminusDB's fourth collection field type.  The public Schema
+Reference defines List, Set, Optional and **Array**, where Array
+takes ``@dimensions`` (1 or 2 here) and — unlike List's linked
+rdf:first/rdf:rest chain — stores elements through intermediate
+``sys:Array`` cell nodes carrying ``sys:value`` plus ``sys:index``
+(and ``sys:index2`` for the second dimension), preserving element
+POSITIONS including holes: a null element stores no cell, but the
+surviving cells keep their indices, so sparse arrays roundtrip
+position-faithfully (terminus-server src/core/document/json.pl array
+handling; terminusdb-store array index triples).
+
+Spark translation (no reference code consulted — the storage contract
+above is the public wire/storage shape):
+
+- insert (``array_to_triples``): one ``posexplode`` per dimension —
+  map-side, zero shuffles — emitting four narrow triple frames
+  (link, value, index, index2) in the store's standard
+  ``(graph, subject, predicate, obj, obj_type, obj_num)`` schema;
+  the numeric shadow ``obj_num`` carries indices and numeric values
+  so downstream comparisons stay in whole-stage codegen.
+- read (``triples_to_array``): cell-grain joins (cell ids are unique,
+  so these are co-partitioned hash joins on the cell key) + ONE
+  groupBy per nesting dimension per document; dense arrays rebuilt
+  with ``map_from_entries`` + ``sequence(0, max_index)`` lookups, so
+  holes surface as JSON nulls in exactly the inserted positions.
+  A 2-D row whose elements are ALL null leaves no cells and
+  reassembles as a null row, and TRAILING nulls trim (array length is
+  max stored index + 1 — sparse cell storage records no length
+  marker, so [5, null] reads back [5]; TerminusDB's sparse storage
+  has the same absent-vs-null ambiguity).  An entirely-empty array
+  stores nothing and the document is absent from the reassembled
+  frame for that property.
+- diff (``array_diff``): index-aligned full-outer join at the
+  ``(key, index[, index2])`` grain with SwapValue / Add / Remove ops
+  — list-diff semantics pinned to positions, never sequence
+  alignment, which is the Array-vs-List distinction.
+
+Scale shape: insert is embarrassingly parallel; read shuffles once
+per dimension keyed by (doc, index-prefix) — the same grain the data
+already has; diff shuffles both sides once on the join key.  Nothing
+collects, nothing is quadratic in array length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+from terminus_server_spark.model.triples import _xsd_type
+
+SYS_ARRAY = "sys:Array"
+SYS_VALUE = "sys:value"
+SYS_INDEX = "sys:index"
+SYS_INDEX2 = "sys:index2"
+_IDX_TYPE = "xsd:nonNegativeInteger"
+
+
+def _element_dtype(docs: DataFrame, prop: str, dims: int) -> str:
+    dt = dict(docs.dtypes)[prop]
+    for _ in range(dims):
+        if not (dt.startswith("array<") and dt.endswith(">")):
+            raise ValueError(
+                f"arrays: column {prop} is {dict(docs.dtypes)[prop]}, "
+                f"expected {dims}-deep array<...> for @dimensions={dims}"
+            )
+        dt = dt[len("array<") : -1]
+    return dt
+
+
+def array_to_triples(
+    docs: DataFrame,
+    class_name: str,
+    key_col: str,
+    prop: str,
+    dims: int = 1,
+    graph: str = "instance",
+) -> DataFrame:
+    """Array field → sys:Array cell triples (document insert path).
+
+    One row per non-null element: a link triple (subject --prop-->
+    cell, obj_type sys:Array), a sys:value literal triple on the
+    cell, and one sys:index triple per dimension.  Null elements are
+    holes: no cell, indices elsewhere unchanged."""
+    if dims not in (1, 2):
+        raise ValueError("arrays: @dimensions must be 1 or 2")
+    elem_t = _element_dtype(docs, prop, dims)
+    xsd_t = _xsd_type(elem_t)
+    is_num = elem_t.split("(")[0] in (
+        "int", "bigint", "smallint", "tinyint", "double", "float", "decimal"
+    )
+    subject = F.concat(F.lit(class_name + "/"), F.col(key_col).cast("string"))
+    if dims == 1:
+        ex = docs.select(
+            subject.alias("s"), F.posexplode(F.col(prop)).alias("i0", "v")
+        ).where(F.col("v").isNotNull())
+        cell = F.concat(
+            F.col("s"), F.lit(f"/{prop}/"), F.col("i0").cast("string")
+        )
+        ex = ex.select("s", cell.alias("c"), "i0", "v")
+        idx_frames = [
+            ex.select(
+                F.lit(graph).alias("graph"),
+                F.col("c").alias("subject"),
+                F.lit(SYS_INDEX).alias("predicate"),
+                F.col("i0").cast("string").alias("obj"),
+                F.lit(_IDX_TYPE).alias("obj_type"),
+                F.col("i0").cast(DoubleType()).alias("obj_num"),
+            )
+        ]
+    else:
+        ex = (
+            docs.select(
+                subject.alias("s"), F.posexplode(F.col(prop)).alias("i0", "row")
+            )
+            .select("s", "i0", F.posexplode(F.col("row")).alias("i1", "v"))
+            .where(F.col("v").isNotNull())
+        )
+        cell = F.concat(
+            F.col("s"),
+            F.lit(f"/{prop}/"),
+            F.col("i0").cast("string"),
+            F.lit("/"),
+            F.col("i1").cast("string"),
+        )
+        ex = ex.select("s", cell.alias("c"), "i0", "i1", "v")
+        idx_frames = [
+            ex.select(
+                F.lit(graph).alias("graph"),
+                F.col("c").alias("subject"),
+                F.lit(SYS_INDEX).alias("predicate"),
+                F.col("i0").cast("string").alias("obj"),
+                F.lit(_IDX_TYPE).alias("obj_type"),
+                F.col("i0").cast(DoubleType()).alias("obj_num"),
+            ),
+            ex.select(
+                F.lit(graph).alias("graph"),
+                F.col("c").alias("subject"),
+                F.lit(SYS_INDEX2).alias("predicate"),
+                F.col("i1").cast("string").alias("obj"),
+                F.lit(_IDX_TYPE).alias("obj_type"),
+                F.col("i1").cast(DoubleType()).alias("obj_num"),
+            ),
+        ]
+    link = ex.select(
+        F.lit(graph).alias("graph"),
+        F.col("s").alias("subject"),
+        F.lit(prop).alias("predicate"),
+        F.col("c").alias("obj"),
+        F.lit(SYS_ARRAY).alias("obj_type"),
+        F.lit(None).cast(DoubleType()).alias("obj_num"),
+    )
+    val = ex.select(
+        F.lit(graph).alias("graph"),
+        F.col("c").alias("subject"),
+        F.lit(SYS_VALUE).alias("predicate"),
+        F.col("v").cast("string").alias("obj"),
+        F.lit(xsd_t).alias("obj_type"),
+        (
+            F.col("v").cast(DoubleType())
+            if is_num
+            else F.lit(None).cast(DoubleType())
+        ).alias("obj_num"),
+    )
+    out = link.unionByName(val)
+    for f in idx_frames:
+        out = out.unionByName(f)
+    return out
+
+
+def triples_to_array(
+    triples: DataFrame,
+    prop: str,
+    dims: int = 1,
+    element_cast: str = "string",
+) -> DataFrame:
+    """(subject, <prop>): dense arrays reassembled from sys:Array
+    cell triples — the inverse of ``array_to_triples``.  Holes (index
+    positions with no cell) come back as nulls; array length is
+    max(index)+1 per document (per row for dimension 2)."""
+    link = triples.where(
+        (F.col("predicate") == prop) & (F.col("obj_type") == SYS_ARRAY)
+    ).select(F.col("subject"), F.col("obj").alias("c"))
+    vals = triples.where(F.col("predicate") == SYS_VALUE).select(
+        F.col("subject").alias("c"),
+        F.col("obj").cast(element_cast).alias("v"),
+    )
+    idx0 = triples.where(F.col("predicate") == SYS_INDEX).select(
+        F.col("subject").alias("c"), F.col("obj_num").cast("long").alias("i0")
+    )
+    cells = link.join(vals, "c").join(idx0, "c")
+
+    def dense(grp, idx_col):
+        m = F.map_from_entries(
+            F.collect_list(F.struct(F.col(idx_col), F.col("v")))
+        )
+        mx = F.max(idx_col)
+        return (
+            grp.agg(m.alias("_m"), mx.alias("_mx"))
+            .withColumn(
+                "v",
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_mx")),
+                    lambda i: F.element_at(F.col("_m"), i),
+                ),
+            )
+            .drop("_m", "_mx")
+        )
+
+    if dims == 1:
+        out = dense(cells.groupBy("subject"), "i0")
+        return out.select("subject", F.col("v").alias(prop))
+    idx1 = triples.where(F.col("predicate") == SYS_INDEX2).select(
+        F.col("subject").alias("c"), F.col("obj_num").cast("long").alias("i1")
+    )
+    cells = cells.join(idx1, "c")
+    rows = dense(cells.groupBy("subject", "i0"), "i1")
+    out = dense(rows.groupBy("subject"), "i0")
+    return out.select("subject", F.col("v").alias(prop))
+
+
+def array_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    key_col: str,
+    prop: str,
+    dims: int = 1,
+) -> DataFrame:
+    """Index-aligned Array diff at the (key, index[, index2]) grain:
+    one row per changed POSITION with op SwapValue (both sides,
+    different values), Add (position only in new) or Remove (only in
+    old).  Positions equal on both sides emit nothing.  This is the
+    Array counterpart of the List diff's sequence ops — Arrays pin
+    values to indices, so the diff never realigns."""
+    if dims not in (1, 2):
+        raise ValueError("arrays: @dimensions must be 1 or 2")
+    idx_cols = ["i0"] if dims == 1 else ["i0", "i1"]
+
+    def explode(df, side):
+        if dims == 1:
+            ex = df.select(
+                F.col(key_col).alias("k"),
+                F.posexplode(F.col(prop)).alias("i0", side),
+            )
+        else:
+            ex = df.select(
+                F.col(key_col).alias("k"),
+                F.posexplode(F.col(prop)).alias("i0", "_row"),
+            ).select(
+                "k", "i0", F.posexplode(F.col("_row")).alias("i1", side)
+            )
+        return ex.where(F.col(side).isNotNull())
+
+    o = explode(old_docs, "old_value")
+    n = explode(new_docs, "new_value")
+    both = o.join(n, ["k"] + idx_cols, "full_outer")
+    return (
+        both.withColumn(
+            "op",
+            F.when(
+                F.col("old_value").isNull(), F.lit("Add")
+            ).when(
+                F.col("new_value").isNull(), F.lit("Remove")
+            ).otherwise(F.lit("SwapValue")),
+        )
+        .where(
+            F.col("old_value").isNull()
+            | F.col("new_value").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            F.col("k").alias(key_col), *idx_cols, "op",
+            "old_value", "new_value",
+        )
+    )

@@ -531,6 +531,7 @@ def graphql_schema(
     frames: DataFrame,
     id_cols: dict[str, str] | None = None,
     backlink_names: dict[tuple[str, str], str] | None = None,
+    documentation: DataFrame | None = None,
 ) -> DataFrame:
     """(type_name, kind, doc): the GraphQL schema document generated
     from effective class frames — the reference's graphql layer emits
@@ -570,7 +571,16 @@ def graphql_schema(
     on its TARGET class renders under the declared name instead of
     the default ``_of_<Source>``.  Execution needs no special case —
     a declared back-link registers with the executor as an ordinary
-    relation under the same name."""
+    relation under the same name.
+
+    ``documentation``: optional (class, predicate, comment) frame —
+    the schema's ``@documentation`` blocks (predicate NULL = the
+    class-level ``@comment``, non-NULL = a per-property description).
+    Comments surface as GraphQL ``description`` members on OBJECT
+    types and their fields (the introspection protocol's description
+    slot, which codegen clients read).  to_json drops NULL struct
+    members, so undocumented schemas render byte-identically to the
+    pre-documentation shape."""
     is_link = ~F.col("obj_types").startswith("xsd:")
     ftype = F.lit(None).cast("string")
     for x, g in sorted(_GQL_SCALARS.items()):
@@ -579,14 +589,36 @@ def graphql_schema(
 
     classes = frames.select(F.col("class").alias("type_name")).distinct()
 
-    def fld(name, typ, nonnull):
+    null_desc = F.lit(None).cast("string")
+
+    def fld(name, typ, nonnull, desc=null_desc):
         return F.struct(
-            name.alias("name"), typ.alias("type"), nonnull.alias("nonNull")
+            name.alias("name"),
+            typ.alias("type"),
+            nonnull.alias("nonNull"),
+            desc.alias("description"),
         )
 
-    own = frames.select(
+    if documentation is not None:
+        prop_docs = documentation.where(
+            F.col("predicate").isNotNull()
+        ).select("class", "predicate", F.col("comment").alias("_desc"))
+        doc_frames = frames.join(
+            F.broadcast(prop_docs), ["class", "predicate"], "left_outer"
+        )
+        class_docs = documentation.where(F.col("predicate").isNull()).select(
+            F.col("class").alias("type_name"),
+            F.col("comment").alias("_cls_desc"),
+        )
+    else:
+        doc_frames = frames.withColumn("_desc", null_desc)
+        class_docs = None
+
+    own = doc_frames.select(
         F.col("class").alias("type_name"),
-        fld(F.col("predicate"), ftype, F.col("required")).alias("field"),
+        fld(
+            F.col("predicate"), ftype, F.col("required"), F.col("_desc")
+        ).alias("field"),
     )
     ids = classes.select(
         "type_name", fld(F.lit("_id"), F.lit("ID"), F.lit(True)).alias("field")
@@ -610,17 +642,22 @@ def graphql_schema(
         .unionByName(rev)
         .groupBy("type_name")
         .agg(F.array_sort(F.collect_list("field")).alias("fields"))
-        .select(
-            "type_name",
-            F.lit("OBJECT").alias("kind"),
-            F.to_json(
-                F.struct(
-                    F.col("type_name").alias("name"),
-                    F.lit("OBJECT").alias("kind"),
-                    F.col("fields"),
-                )
-            ).alias("doc"),
-        )
+    )
+    if class_docs is not None:
+        objects = objects.join(F.broadcast(class_docs), "type_name", "left_outer")
+    else:
+        objects = objects.withColumn("_cls_desc", null_desc)
+    objects = objects.select(
+        "type_name",
+        F.lit("OBJECT").alias("kind"),
+        F.to_json(
+            F.struct(
+                F.col("type_name").alias("name"),
+                F.lit("OBJECT").alias("kind"),
+                F.col("_cls_desc").alias("description"),
+                F.col("fields"),
+            )
+        ).alias("doc"),
     )
 
     str_ops = F.array(*[F.lit(o) for o in ("eq", "ne", "lt", "gt", "like", "regex")])

@@ -662,12 +662,12 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
 # NULL struct fields again on render, so one permissive schema serves
 # all three kinds.
 _INTROSPECT_DOC = (
-    "struct<name:string,kind:string,"
+    "struct<name:string,kind:string,description:string,"
     "fields:array<struct<name:string,type:string,nonNull:boolean,"
-    "ops:array<string>,args:array<string>>>>"
+    "description:string,ops:array<string>,args:array<string>>>>"
 )
 
-_TYPE_FIELD_ATTRS = ("name", "type", "nonNull", "ops", "args")
+_TYPE_FIELD_ATTRS = ("name", "type", "nonNull", "description", "ops", "args")
 
 
 def _type_selection(schema_doc, sel_fields, name=None):
@@ -688,6 +688,10 @@ def _type_selection(schema_doc, sel_fields, name=None):
                 cols.append(F.col("type_name").alias("name"))
             elif f == "kind":
                 cols.append(F.col("kind"))
+            elif f == "description":
+                # the @documentation @comment carried by the schema
+                # document (NULL for undocumented types)
+                cols.append(parsed["description"].alias("description"))
             else:
                 raise ValueError(f"graphql: unknown __Type field {f!r}")
         elif f["name"] == "fields":

@@ -434,6 +434,34 @@ def duration_months(col):
     ).otherwise(F.lit(None).cast("double"))
 
 
+# Lexical spaces of the xsd STRING SUBTYPES (tranche 3 of the wide
+# xsd surface; XML Schema Part 2 §3.3 derived string types).  The
+# name-character classes here are the ASCII subset (the full XML
+# NameChar set adds unicode letter ranges — a superset; ASCII is what
+# the store's identifiers use).  token's space = normalizedString
+# minus leading/trailing spaces and internal runs; language follows
+# the RFC 3066 pattern given in the XSD spec.
+XSD_LEXICAL: dict[str, str] = {
+    "xsd:normalizedString": r"^[^\t\n\r]*$",
+    "xsd:token": r"^(?:\S+( \S+)*)?$",
+    "xsd:language": r"^[A-Za-z]{1,8}(-[A-Za-z0-9]{1,8})*$",
+    "xsd:NMTOKEN": r"^[A-Za-z0-9._:-]+$",
+    "xsd:NCName": r"^[A-Za-z_][A-Za-z0-9._-]*$",
+}
+
+
+def xsd_lexical_valid(obj, obj_type):
+    """Boolean column: does ``obj``'s lexical form satisfy its
+    declared ``obj_type``'s lexical space?  Types without a registered
+    lexical pattern validate TRUE (the numeric/temporal families are
+    value-checked by their shadow-column casts instead).  Pure rlike
+    expressions — whole-stage codegen, no UDF."""
+    out = F.lit(True)
+    for t, pat in sorted(XSD_LEXICAL.items()):
+        out = F.when(obj_type == t, obj.rlike(pat)).otherwise(out)
+    return out
+
+
 def nt_escape(col):
     """N-Triples / JSON string escaping as a column expression:
     backslash first (so later escapes aren't doubled), then quote and

@@ -220,6 +220,56 @@ def triples_to_array(
     return out.select("subject", F.col("v").alias(prop))
 
 
+def array_patch(
+    old_docs: DataFrame,
+    diff: DataFrame,
+    key_col: str,
+    prop: str,
+) -> DataFrame:
+    """Apply an index-aligned Array diff (``array_diff`` output, 1-D)
+    back onto the old documents: SwapValue/Add write ``new_value`` at
+    the position, Remove punches a hole, untouched positions carry
+    over — closing the roundtrip law
+    ``array_patch(old, array_diff(old, new)) == new`` (up to the
+    documented trailing-null trim, which dense reassembly shares with
+    the triple store itself).  One explode + one (key, index)
+    full-outer join + one groupBy — the same grains the diff used."""
+    o = old_docs.select(
+        F.col(key_col).alias("k"), F.posexplode(F.col(prop)).alias("i0", "v")
+    ).where(F.col("v").isNotNull())
+    d = diff.select(
+        F.col(key_col).alias("k"), "i0", "op", "new_value"
+    )
+    merged = (
+        o.join(d, ["k", "i0"], "full_outer")
+        .select(
+            "k",
+            "i0",
+            F.when(F.col("op").isNull(), F.col("v"))
+            .when(F.col("op") == "Remove", F.lit(None))
+            .otherwise(F.col("new_value"))
+            .alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+    )
+    return (
+        merged.groupBy("k")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("i0", "v"))
+            ).alias("_m"),
+            F.max("i0").alias("_mx"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.transform(
+                F.sequence(F.lit(0), F.col("_mx")),
+                lambda i: F.element_at(F.col("_m"), i),
+            ).alias(prop),
+        )
+    )
+
+
 def array_diff(
     old_docs: DataFrame,
     new_docs: DataFrame,

@@ -390,6 +390,14 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
                     )
                 ).over(w_all),
             )
+            .withColumn(
+                "_start",
+                F.max(
+                    F.when(
+                        F.col("_rn") == 1, F.col(cursor_key).cast("string")
+                    )
+                ).over(w_all),
+            )
             .where(F.col("_rn") <= first)
             .withColumn(
                 "_pageInfo",
@@ -400,7 +408,22 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
                     )
                 ),
             )
-            .drop("_rn", "_cnt", "_end")
+            # the full Relay pageInfo member set, for connection
+            # pageInfo SUB-selections (hasPreviousPage is exact under
+            # keyset paging: a page after a cursor has predecessors
+            # by construction, the first page has none)
+            .withColumn(
+                "_pageInfoFull",
+                F.to_json(
+                    F.struct(
+                        F.col("_end").alias("endCursor"),
+                        (F.col("_cnt") > first).alias("hasNextPage"),
+                        F.lit("after" in args).alias("hasPreviousPage"),
+                        F.col("_start").alias("startCursor"),
+                    )
+                ),
+            )
+            .drop("_rn", "_cnt", "_end", "_start")
         )
     nested = [f for f in fields if isinstance(f, dict)]
     # Relay CONNECTION wrapper: a cursor-paged root selecting
@@ -459,8 +482,37 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
                     F.col(cursor_key).cast("string").alias("cursor")
                 )
             out = out.withColumn("edges", F.to_json(F.struct(*members)))
-        if any(f["name"] == "pageInfo" for f in conn):
-            out = out.withColumn("pageInfo", F.col("_pageInfo"))
+        pi_spec = next((f for f in conn if f["name"] == "pageInfo"), None)
+        if pi_spec is not None:
+            members = ("endCursor", "hasNextPage", "hasPreviousPage",
+                       "startCursor")
+            picked = [s for s in pi_spec.get("fields") or []
+                      if isinstance(s, str)]
+            bad = [s for s in picked if s not in members]
+            if bad:
+                raise ValueError(
+                    f"graphql: unknown pageInfo members {bad!r}"
+                )
+            if not picked or sorted(picked) == ["endCursor", "hasNextPage"]:
+                # legacy two-member shape, byte-stable
+                out = out.withColumn("pageInfo", F.col("_pageInfo"))
+            else:
+                # render the SELECTED members in canonical
+                # (name-sorted) order from the full member set
+                full = F.from_json(
+                    F.col("_pageInfoFull"),
+                    "struct<endCursor:string,hasNextPage:boolean,"
+                    "hasPreviousPage:boolean,startCursor:string>",
+                )
+                out = out.withColumn(
+                    "pageInfo",
+                    F.to_json(
+                        F.struct(
+                            *[full[m].alias(m) for m in members
+                              if m in set(picked)]
+                        )
+                    ),
+                )
         return out
     out = df
     # the generated schema's `_id: ID!` field: document identifier

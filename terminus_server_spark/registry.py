@@ -23487,3 +23487,100 @@ def rdf_xsd_wide3(spark, sf_dir):
     return out.withColumn(
         "valid", xsd_lexical_valid(F.col("obj"), F.col("obj_type"))
     )
+
+
+@register(
+    "doc_array_patch",
+    """
+    SELECT c_custkey,
+           to_json(([CASE WHEN c_custkey % 2 = 0 THEN c_custkey % 100
+                          ELSE c_custkey % 100 + 1 END,
+                     c_custkey % 4, NULL, c_custkey % 6])::BIGINT[])::VARCHAR
+             AS xs
+    FROM customer
+    """,
+)
+def doc_array_patch(spark, sf_dir):
+    """Array patch APPLICATION closing the roundtrip law
+    array_patch(old, array_diff(old, new)) == new (docs/arrays.py):
+    the same old/new fixture as doc_array_diff — the patched arrays
+    are hash-checked against the independently-stated new arrays,
+    including the hole Remove punches at position 2 (rendered as a
+    JSON null in place, positions never realigned)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.arrays import array_diff, array_patch
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    nul = F.lit(None).cast("bigint")
+    old = cust.select(
+        "c_custkey", F.array(k % 100, nul, k % 9).alias("xs")
+    )
+    new = cust.select(
+        "c_custkey",
+        F.array(
+            F.when(k % 2 == 0, k % 100).otherwise(k % 100 + 1),
+            k % 4,
+            nul,
+            k % 6,
+        ).alias("xs"),
+    )
+    d = array_diff(old, new, "c_custkey", "xs", dims=1)
+    patched = array_patch(old, d, "c_custkey", "xs")
+    return patched.select(
+        "c_custkey", F.to_json(F.col("xs")).alias("xs")
+    )
+
+
+@register(
+    "gql_execute_connection_pi4",
+    """
+    WITH page1 AS (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'MACHINERY' AND c_custkey > 200
+      ORDER BY c_custkey LIMIT 31),
+    page AS (SELECT * FROM page1 ORDER BY c_custkey LIMIT 30),
+    pi AS (
+      SELECT '{"endCursor":"' || CAST(MAX(c_custkey) AS VARCHAR) ||
+             '","hasNextPage":' ||
+             CASE WHEN (SELECT COUNT(*) FROM page1) > 30
+                  THEN 'true' ELSE 'false' END ||
+             ',"hasPreviousPage":true,"startCursor":"' ||
+             CAST(MIN(c_custkey) AS VARCHAR) || '"}' AS pi
+      FROM page)
+    SELECT '{"node":{"c_custkey":' || p.c_custkey || '},"cursor":"' ||
+           p.c_custkey || '"}' AS edges,
+           pi.pi AS pageInfo
+    FROM page p, pi
+    """,
+)
+def gql_execute_connection_pi4(spark, sf_dir):
+    """Relay pageInfo SUB-selection with the full four-member set
+    (endCursor / hasNextPage / hasPreviousPage / startCursor —
+    the complete Relay Connection spec pageInfo): members render in
+    canonical name-sorted order from the window-derived page
+    metadata, startCursor = the rn==1 cursor over the same bounded
+    first+1 page window, hasPreviousPage exact under keyset paging
+    (an `after` page has predecessors by construction).  The legacy
+    two-member selection stays byte-identical (same plan, same
+    JSON)."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer")
+    return execute_graphql(
+        {"Customer": t["customer"]},
+        """
+        query {
+          Customer(first: 30, after: 200,
+                   filter: {c_mktsegment: {eq: "MACHINERY"}}) {
+            edges {
+              node { c_custkey }
+              cursor
+            }
+            pageInfo { startCursor endCursor hasNextPage hasPreviousPage }
+          }
+        }
+        """,
+        id_cols={"Customer": "c_custkey"},
+    )["Customer"]

@@ -57,6 +57,12 @@ SYS_INDEX2 = "sys:index2"
 _IDX_TYPE = "xsd:nonNegativeInteger"
 
 
+def _idx_pred(d: int) -> str:
+    """Index predicate for dimension d (0-based): sys:index,
+    sys:index2, sys:index3, ... — the store's naming convention."""
+    return SYS_INDEX if d == 0 else f"{SYS_INDEX}{d + 1}"
+
+
 def _element_dtype(docs: DataFrame, prop: str, dims: int) -> str:
     dt = dict(docs.dtypes)[prop]
     for _ in range(dims):
@@ -81,68 +87,49 @@ def array_to_triples(
 
     One row per non-null element: a link triple (subject --prop-->
     cell, obj_type sys:Array), a sys:value literal triple on the
-    cell, and one sys:index triple per dimension.  Null elements are
-    holes: no cell, indices elsewhere unchanged."""
-    if dims not in (1, 2):
-        raise ValueError("arrays: @dimensions must be 1 or 2")
+    cell, and one index triple per dimension (predicates sys:index,
+    sys:index2, sys:index3, ... — the terminusdb-store convention,
+    any number of dimensions).  Null elements are holes: no cell,
+    indices elsewhere unchanged."""
+    if dims < 1:
+        raise ValueError("arrays: @dimensions must be >= 1")
     elem_t = _element_dtype(docs, prop, dims)
     xsd_t = _xsd_type(elem_t)
     is_num = elem_t.split("(")[0] in (
         "int", "bigint", "smallint", "tinyint", "double", "float", "decimal"
     )
     subject = F.concat(F.lit(class_name + "/"), F.col(key_col).cast("string"))
-    if dims == 1:
-        ex = docs.select(
-            subject.alias("s"), F.posexplode(F.col(prop)).alias("i0", "v")
-        ).where(F.col("v").isNotNull())
-        cell = F.concat(
-            F.col("s"), F.lit(f"/{prop}/"), F.col("i0").cast("string")
+    # one posexplode stage per dimension, all map-side
+    ex = docs.select(
+        subject.alias("s"), F.posexplode(F.col(prop)).alias("i0", "v")
+    )
+    for d in range(1, dims):
+        ex = ex.select(
+            "s",
+            *[f"i{j}" for j in range(d)],
+            F.posexplode(F.col("v")).alias(f"i{d}", "v"),
         )
-        ex = ex.select("s", cell.alias("c"), "i0", "v")
-        idx_frames = [
-            ex.select(
-                F.lit(graph).alias("graph"),
-                F.col("c").alias("subject"),
-                F.lit(SYS_INDEX).alias("predicate"),
-                F.col("i0").cast("string").alias("obj"),
-                F.lit(_IDX_TYPE).alias("obj_type"),
-                F.col("i0").cast(DoubleType()).alias("obj_num"),
-            )
-        ]
-    else:
-        ex = (
-            docs.select(
-                subject.alias("s"), F.posexplode(F.col(prop)).alias("i0", "row")
-            )
-            .select("s", "i0", F.posexplode(F.col("row")).alias("i1", "v"))
-            .where(F.col("v").isNotNull())
+    ex = ex.where(F.col("v").isNotNull())
+    cell_parts = [F.col("s"), F.lit(f"/{prop}/")]
+    for d in range(dims):
+        if d:
+            cell_parts.append(F.lit("/"))
+        cell_parts.append(F.col(f"i{d}").cast("string"))
+    ex = ex.select(
+        "s", F.concat(*cell_parts).alias("c"),
+        *[f"i{d}" for d in range(dims)], "v",
+    )
+    idx_frames = [
+        ex.select(
+            F.lit(graph).alias("graph"),
+            F.col("c").alias("subject"),
+            F.lit(_idx_pred(d)).alias("predicate"),
+            F.col(f"i{d}").cast("string").alias("obj"),
+            F.lit(_IDX_TYPE).alias("obj_type"),
+            F.col(f"i{d}").cast(DoubleType()).alias("obj_num"),
         )
-        cell = F.concat(
-            F.col("s"),
-            F.lit(f"/{prop}/"),
-            F.col("i0").cast("string"),
-            F.lit("/"),
-            F.col("i1").cast("string"),
-        )
-        ex = ex.select("s", cell.alias("c"), "i0", "i1", "v")
-        idx_frames = [
-            ex.select(
-                F.lit(graph).alias("graph"),
-                F.col("c").alias("subject"),
-                F.lit(SYS_INDEX).alias("predicate"),
-                F.col("i0").cast("string").alias("obj"),
-                F.lit(_IDX_TYPE).alias("obj_type"),
-                F.col("i0").cast(DoubleType()).alias("obj_num"),
-            ),
-            ex.select(
-                F.lit(graph).alias("graph"),
-                F.col("c").alias("subject"),
-                F.lit(SYS_INDEX2).alias("predicate"),
-                F.col("i1").cast("string").alias("obj"),
-                F.lit(_IDX_TYPE).alias("obj_type"),
-                F.col("i1").cast(DoubleType()).alias("obj_num"),
-            ),
-        ]
+        for d in range(dims)
+    ]
     link = ex.select(
         F.lit(graph).alias("graph"),
         F.col("s").alias("subject"),
@@ -179,6 +166,8 @@ def triples_to_array(
     cell triples — the inverse of ``array_to_triples``.  Holes (index
     positions with no cell) come back as nulls; array length is
     max(index)+1 per document (per row for dimension 2)."""
+    if dims < 1:
+        raise ValueError("arrays: @dimensions must be >= 1")
     link = triples.where(
         (F.col("predicate") == prop) & (F.col("obj_type") == SYS_ARRAY)
     ).select(F.col("subject"), F.col("obj").alias("c"))
@@ -186,10 +175,13 @@ def triples_to_array(
         F.col("subject").alias("c"),
         F.col("obj").cast(element_cast).alias("v"),
     )
-    idx0 = triples.where(F.col("predicate") == SYS_INDEX).select(
-        F.col("subject").alias("c"), F.col("obj_num").cast("long").alias("i0")
-    )
-    cells = link.join(vals, "c").join(idx0, "c")
+    cells = link.join(vals, "c")
+    for d in range(dims):
+        idx = triples.where(F.col("predicate") == _idx_pred(d)).select(
+            F.col("subject").alias("c"),
+            F.col("obj_num").cast("long").alias(f"i{d}"),
+        )
+        cells = cells.join(idx, "c")
 
     def dense(grp, idx_col):
         m = F.map_from_entries(
@@ -208,15 +200,13 @@ def triples_to_array(
             .drop("_m", "_mx")
         )
 
-    if dims == 1:
-        out = dense(cells.groupBy("subject"), "i0")
-        return out.select("subject", F.col("v").alias(prop))
-    idx1 = triples.where(F.col("predicate") == SYS_INDEX2).select(
-        F.col("subject").alias("c"), F.col("obj_num").cast("long").alias("i1")
-    )
-    cells = cells.join(idx1, "c")
-    rows = dense(cells.groupBy("subject", "i0"), "i1")
-    out = dense(rows.groupBy("subject"), "i0")
+    out = cells
+    # collapse innermost dimension first; each pass is ONE groupBy at
+    # the (subject, index-prefix) grain the data already carries
+    for d in range(dims - 1, -1, -1):
+        out = dense(
+            out.groupBy("subject", *[f"i{j}" for j in range(d)]), f"i{d}"
+        )
     return out.select("subject", F.col("v").alias(prop))
 
 
@@ -283,22 +273,20 @@ def array_diff(
     old).  Positions equal on both sides emit nothing.  This is the
     Array counterpart of the List diff's sequence ops — Arrays pin
     values to indices, so the diff never realigns."""
-    if dims not in (1, 2):
-        raise ValueError("arrays: @dimensions must be 1 or 2")
-    idx_cols = ["i0"] if dims == 1 else ["i0", "i1"]
+    if dims < 1:
+        raise ValueError("arrays: @dimensions must be >= 1")
+    idx_cols = [f"i{d}" for d in range(dims)]
 
     def explode(df, side):
-        if dims == 1:
-            ex = df.select(
-                F.col(key_col).alias("k"),
-                F.posexplode(F.col(prop)).alias("i0", side),
-            )
-        else:
-            ex = df.select(
-                F.col(key_col).alias("k"),
-                F.posexplode(F.col(prop)).alias("i0", "_row"),
-            ).select(
-                "k", "i0", F.posexplode(F.col("_row")).alias("i1", side)
+        ex = df.select(
+            F.col(key_col).alias("k"),
+            F.posexplode(F.col(prop)).alias("i0", side),
+        )
+        for d in range(1, dims):
+            ex = ex.select(
+                "k",
+                *[f"i{j}" for j in range(d)],
+                F.posexplode(F.col(side)).alias(f"i{d}", side),
             )
         return ex.where(F.col(side).isNotNull())
 

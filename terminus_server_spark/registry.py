@@ -23584,3 +23584,50 @@ def gql_execute_connection_pi4(spark, sf_dir):
         """,
         id_cols={"Customer": "c_custkey"},
     )["Customer"]
+
+
+@register(
+    "woql_array_member",
+    """
+    SELECT 'Customer/' || c_custkey AS s, '0' AS idx, '7' AS val
+    FROM customer WHERE c_custkey % 100 = 7
+    UNION ALL
+    SELECT 'Customer/' || c_custkey, '2', '7'
+    FROM customer WHERE c_custkey % 9 = 7
+    """,
+)
+def woql_array_member(spark, sf_dir):
+    """WOQL over Array cells — the integration proof that
+    @dimensions arrays are ORDINARY triples: a plain three-pattern
+    conjunction (subject --xs--> cell, cell --sys:value--> v, cell
+    --sys:index--> i) finds every position holding value '7',
+    binding the position alongside — no Array-specific WOQL word
+    needed, exactly like the reference where array cells answer
+    triple patterns like any node.  The value 7 occurs at index 0
+    (custkey%100) and index 2 (custkey%9), never at the hole
+    (index 1), so the answer set also witnesses hole fidelity."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.arrays import array_to_triples
+    from terminus_server_spark.model.triples import TripleStore
+    from terminus_server_spark.woql import ast as A
+    from terminus_server_spark.woql.compiler import WOQLContext
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    docs = cust.select(
+        "c_custkey",
+        F.array(k % 100, F.lit(None).cast("bigint"), k % 9).alias("xs"),
+    )
+    tri = array_to_triples(docs, "Customer", "c_custkey", "xs", dims=1)
+    ctx = WOQLContext(TripleStore(tri))
+    q = A.Select(
+        [A.v("s"), A.v("idx"), A.v("val")],
+        A.And(
+            A.Triple(A.v("s"), "xs", A.v("cell")),
+            A.Triple(A.v("cell"), "sys:value", A.v("val")),
+            A.Triple(A.v("cell"), "sys:index", A.v("idx")),
+            A.Eq(A.v("val"), "7"),
+        ),
+    )
+    return ctx.run(q)

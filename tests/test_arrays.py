@@ -57,9 +57,23 @@ def test_array_dims_validation(spark):
         [(1, [1, 2])], "doc_id long, xs array<bigint>"
     )
     with pytest.raises(ValueError, match="dimensions"):
-        array_to_triples(docs, "D", "doc_id", "xs", dims=3)
+        array_to_triples(docs, "D", "doc_id", "xs", dims=0)
     with pytest.raises(ValueError, match="expected 2-deep"):
         array_to_triples(docs, "D", "doc_id", "xs", dims=2)
+
+
+def test_array_roundtrip_3d(spark):
+    """@dimensions generalizes past 2: sys:index3 cells, innermost-
+    first dense reassembly, holes preserved at every level."""
+    docs = spark.createDataFrame(
+        [(1, [[[1, 2], [None, 4]], [[5]]])],
+        "doc_id long, t array<array<array<bigint>>>",
+    )
+    tri = array_to_triples(docs, "D", "doc_id", "t", dims=3)
+    preds = {r.predicate for r in tri.select("predicate").distinct().collect()}
+    assert preds == {"t", "sys:value", "sys:index", "sys:index2", "sys:index3"}
+    back = triples_to_array(tri, "t", 3, "bigint").collect()
+    assert back[0].t == [[[1, 2], [None, 4]], [[5]]]
 
 
 def test_array_diff_index_aligned(spark):

@@ -663,3 +663,73 @@ def test_json_diff_patch_roundtrip_law(spark, olds, news):
     )
     bad = got.join(want, "id").where(F.col("json") != F.col("w")).collect()
     assert bad == [], bad
+
+
+# sparse arrays: interior holes anywhere, but the LAST element
+# non-null (dense reassembly cannot recover trailing holes — the
+# documented sparse-storage trim)
+sparse_arrays = st.lists(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-99, max_value=99)),
+        min_size=0,
+        max_size=6,
+    ).map(
+        lambda xs: xs[
+            : max((i + 1 for i, v in enumerate(xs) if v is not None), default=0)
+        ]
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(sparse_arrays)
+def test_array_triples_roundtrip_property(spark, arrays):
+    """array_to_triples ∘ triples_to_array is the identity on 1-D
+    arrays with no trailing holes; empty arrays store nothing and
+    drop out of the reassembled frame."""
+    from terminus_server_spark.docs.arrays import (
+        array_to_triples,
+        triples_to_array,
+    )
+
+    rows = [(i, xs) for i, xs in enumerate(arrays)]
+    docs = spark.createDataFrame(rows, "doc_id long, xs array<bigint>")
+    tri = array_to_triples(docs, "D", "doc_id", "xs", dims=1)
+    back = {
+        r.subject: list(r.xs)
+        for r in triples_to_array(tri, "xs", 1, "bigint").collect()
+    }
+    want = {
+        f"D/{i}": xs
+        for i, xs in rows
+        if any(v is not None for v in xs)
+    }
+    assert back == want
+
+
+@settings(**SETTINGS)
+@given(sparse_arrays, sparse_arrays)
+def test_array_patch_roundtrip_property(spark, old_arrays, new_arrays):
+    """array_patch(old, array_diff(old, new)) == new for 1-D arrays
+    with no trailing holes (documents present on both sides)."""
+    from terminus_server_spark.docs.arrays import array_diff, array_patch
+
+    n = min(len(old_arrays), len(new_arrays))
+    old_rows = [(i, old_arrays[i]) for i in range(n)]
+    new_rows = [
+        (i, new_arrays[i]) for i in range(n)
+        if any(v is not None for v in new_arrays[i])
+    ]
+    if not new_rows:
+        return
+    old = spark.createDataFrame(old_rows, "doc_id long, xs array<bigint>")
+    new = spark.createDataFrame(new_rows, "doc_id long, xs array<bigint>")
+    d = array_diff(old, new, "doc_id", "xs")
+    got = {
+        r.doc_id: list(r.xs)
+        for r in array_patch(old, d, "doc_id", "xs").collect()
+    }
+    want = {i: xs for i, xs in new_rows}
+    assert got == want

@@ -312,3 +312,89 @@ def array_diff(
             "old_value", "new_value",
         )
     )
+
+
+def validate_array_cells(
+    triples: DataFrame,
+    prop: str,
+    dims: int = 1,
+    element_xsd: str | None = None,
+) -> DataFrame:
+    """(check, n): schema validation for a declared Array property —
+    the checks @dimensions implies beyond ordinary property checks:
+
+    - ``duplicate_index``: two cells of one document's array claim
+      the same position (positions are identity under Array
+      semantics);
+    - ``negative_index``: an index triple with a value below zero;
+    - ``missing_index``: a linked cell lacking one of its declared
+      dimensions' index triples;
+    - ``missing_value``: a linked cell with no sys:value;
+    - ``type_mismatch``: a cell value typed differently from the
+      declared element class (checked only when ``element_xsd`` is
+      given).
+
+    A clean store returns all zeros.  Plan: one pass over the link
+    triples + cell-grain left joins — the same co-partitioned cell
+    keys the reassembler uses; counts aggregate map-side."""
+    link = triples.where(
+        (F.col("predicate") == prop) & (F.col("obj_type") == SYS_ARRAY)
+    ).select(F.col("subject").alias("s"), F.col("obj").alias("c"))
+    vals = triples.where(F.col("predicate") == SYS_VALUE).select(
+        F.col("subject").alias("c"),
+        F.col("obj_type").alias("vt"),
+    )
+    cells = link.join(vals, "c", "left_outer")
+    idx_all = None
+    for d in range(dims):
+        idx = triples.where(F.col("predicate") == _idx_pred(d)).select(
+            F.col("subject").alias("c"),
+            F.col("obj_num").alias(f"i{d}"),
+        )
+        cells = cells.join(idx, "c", "left_outer")
+        neg = triples.where(
+            (F.col("predicate") == _idx_pred(d)) & (F.col("obj_num") < 0)
+        ).select(F.col("subject").alias("c"))
+        idx_all = neg if idx_all is None else idx_all.unionByName(neg)
+    idx_cols = [f"i{d}" for d in range(dims)]
+    has_all_idx = cells.na.drop(subset=idx_cols)
+    dup = (
+        has_all_idx.groupBy("s", *idx_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+    )
+    checks = [
+        ("duplicate_index", dup.select(F.count(F.lit(1)).alias("n"))),
+        (
+            "negative_index",
+            idx_all.join(link.select("c"), "c", "left_semi").select(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+        (
+            "missing_index",
+            cells.where(
+                " OR ".join(f"i{d} IS NULL" for d in range(dims))
+            ).select(F.count(F.lit(1)).alias("n")),
+        ),
+        (
+            "missing_value",
+            cells.where(F.col("vt").isNull()).select(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+    ]
+    if element_xsd is not None:
+        checks.append(
+            (
+                "type_mismatch",
+                cells.where(
+                    F.col("vt").isNotNull() & (F.col("vt") != element_xsd)
+                ).select(F.count(F.lit(1)).alias("n")),
+            )
+        )
+    out = None
+    for name, df in checks:
+        row = df.select(F.lit(name).alias("check"), F.col("n"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -23631,3 +23631,186 @@ def woql_array_member(spark, sf_dir):
         ),
     )
     return ctx.run(q)
+
+
+@register(
+    "vc_array_doc",
+    """
+    WITH v AS (
+      SELECT c_custkey AS k,
+             to_json(([c_custkey % 100, NULL,
+                       c_custkey % 9])::BIGINT[])::VARCHAR AS a1,
+             to_json(([CASE WHEN c_custkey % 4 = 0
+                            THEN c_custkey % 100 + 50
+                            ELSE c_custkey % 100 END, NULL,
+                       c_custkey % 9])::BIGINT[])::VARCHAR AS a2
+      FROM customer)
+    SELECT 'Customer/' || k AS subject, a1 AS xs_at_c1, a2 AS xs_at_c2
+    FROM v
+    """,
+)
+def vc_array_doc(spark, sf_dir):
+    """Arrays UNDER VERSION CONTROL — the integration @dimensions
+    buys for free (the vc_json_doc pattern): cell triples are
+    ordinary delta-layer rows, so a positional update is one
+    del+add of the cell's sys:value triple and commit/materialize/
+    time-travel need zero new machinery.  Commit 1 inserts every
+    customer's sparse array; commit 2 swaps position 0 to value+50
+    for every fourth customer (link/index triples untouched — the
+    delta is exactly the changed VALUE, the minimal edit the cell
+    encoding admits).  Reassembling at each commit returns the
+    byte-identical array of that revision, holes included."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.arrays import (
+        array_to_triples,
+        triples_to_array,
+    )
+    from terminus_server_spark.versioning.layers import materialize
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    nul = F.lit(None).cast("bigint")
+    docs = cust.select(
+        "c_custkey", F.array(k % 100, nul, k % 9).alias("xs")
+    )
+    t1 = array_to_triples(docs, "Customer", "c_custkey", "xs", dims=1)
+    changed = cust.where(k % 4 == 0)
+    old0 = array_to_triples(
+        changed.select("c_custkey", F.array(k % 100).alias("xs")),
+        "Customer", "c_custkey", "xs", dims=1,
+    ).where(F.col("predicate") == "sys:value")
+    new0 = array_to_triples(
+        changed.select("c_custkey", F.array(k % 100 + 50).alias("xs")),
+        "Customer", "c_custkey", "xs", dims=1,
+    ).where(F.col("predicate") == "sys:value")
+    key_cols = ["graph", "subject", "predicate", "obj", "obj_type", "obj_num"]
+    lay1 = t1.select(
+        F.lit(1).alias("commit_seq"), F.lit("add").alias("op"), *key_cols
+    )
+    lay2 = old0.select(
+        F.lit(2).alias("commit_seq"), F.lit("del").alias("op"), *key_cols
+    ).unionByName(
+        new0.select(
+            F.lit(2).alias("commit_seq"), F.lit("add").alias("op"), *key_cols
+        )
+    )
+    layers = lay1.unionByName(lay2).localCheckpoint(eager=True)
+
+    def arrays_at(seq, out):
+        state = materialize(layers, seq, key_cols)
+        return triples_to_array(state, "xs", dims=1, element_cast="bigint").select(
+            "subject", F.to_json(F.col("xs")).alias(out)
+        )
+
+    return arrays_at(1, "xs_at_c1").join(arrays_at(2, "xs_at_c2"), "subject")
+
+
+@register(
+    "schema_array_validate",
+    """
+    SELECT * FROM (VALUES
+      ('duplicate_index',
+         (SELECT COUNT(*) FROM customer WHERE c_custkey % 1000 = 0)),
+      ('negative_index',
+         (SELECT COUNT(*) FROM customer WHERE c_custkey % 777 = 0)),
+      ('missing_index',
+         (SELECT COUNT(*) FROM customer WHERE c_custkey % 777 = 0)),
+      ('missing_value',
+         (SELECT COUNT(*) FROM customer WHERE c_custkey % 777 = 0)),
+      ('type_mismatch',
+         (SELECT COUNT(*) FROM customer WHERE c_custkey % 555 = 0))
+    ) AS t(checked, n)
+    """,
+)
+def schema_array_validate(spark, sf_dir):
+    """Schema validation for @dimensions Array properties
+    (docs/arrays.py:validate_array_cells): duplicate positions,
+    negative indices, cells missing an index or a value, and element
+    values typed off the declared class — the checks the Array
+    encoding implies beyond ordinary property validation.  The store
+    is a clean cell set plus three planted violation families (an
+    extra cell claiming position 0, an index-less/value-less cell
+    with a stray negative index triple, a string-typed value), each
+    on its own key stride so the oracle states every count closed
+    form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.arrays import (
+        array_to_triples,
+        validate_array_cells,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    nul = F.lit(None).cast("bigint")
+    docs = cust.select(
+        "c_custkey", F.array(k % 100, nul, k % 9).alias("xs")
+    )
+    tri = array_to_triples(docs, "Customer", "c_custkey", "xs", dims=1)
+    subj = F.concat(F.lit("Customer/"), k.cast("string"))
+    nnum = F.lit(None).cast("double")
+
+    def rows(filt, cell_suffix, pred, obj, obj_type, obj_num):
+        return cust.where(filt).select(
+            F.lit("instance").alias("graph"),
+            F.concat(subj, F.lit(cell_suffix)).alias("subject"),
+            F.lit(pred).alias("predicate"),
+            obj.alias("obj"),
+            F.lit(obj_type).alias("obj_type"),
+            obj_num.alias("obj_num"),
+        )
+
+    def link(filt, cell_suffix):
+        return cust.where(filt).select(
+            F.lit("instance").alias("graph"),
+            subj.alias("subject"),
+            F.lit("xs").alias("predicate"),
+            F.concat(subj, F.lit(cell_suffix)).alias("obj"),
+            F.lit("sys:Array").alias("obj_type"),
+            nnum.alias("obj_num"),
+        )
+
+    # duplicate position 0: an extra linked cell with index 0 + value
+    dup = (
+        link(k % 1000 == 0, "/xs/0b")
+        .unionByName(rows(k % 1000 == 0, "/xs/0b", "sys:value",
+                          F.lit("999"), "xsd:integer", F.lit(999.0)))
+        .unionByName(rows(k % 1000 == 0, "/xs/0b", "sys:index",
+                          F.lit("0"), "xsd:nonNegativeInteger", F.lit(0.0)))
+    )
+    # "neg": a linked cell with a negative index and no value
+    # (counts under negative_index AND missing_value); "noidx": a
+    # linked cell with a value but no index triple (missing_index)
+    neg = (
+        link(k % 777 == 0, "/xs/neg")
+        .unionByName(rows(k % 777 == 0, "/xs/neg", "sys:index",
+                          F.lit("-1"), "xsd:nonNegativeInteger", F.lit(-1.0)))
+    )
+    noidx = (
+        link(k % 777 == 0, "/xs/noidx")
+        .unionByName(rows(k % 777 == 0, "/xs/noidx", "sys:value",
+                          F.lit("5"), "xsd:integer", F.lit(5.0)))
+    )
+    wrong = (
+        link(k % 555 == 0, "/xs/wt")
+        .unionByName(rows(k % 555 == 0, "/xs/wt", "sys:value",
+                          F.lit("oops"), "xsd:string", nnum))
+        .unionByName(rows(k % 555 == 0, "/xs/wt", "sys:index",
+                          F.lit("9"), "xsd:nonNegativeInteger", F.lit(9.0)))
+    )
+    from terminus_server_spark.checkpoint import plan_checkpoint
+
+    # one materialization of the cell store: every check branch then
+    # reads the checkpoint (predicate-pruned) instead of re-deriving
+    # the 12-way union — in production the store IS a parquet table
+    # and each check is one pruned scan
+    store = plan_checkpoint(
+        tri.unionByName(dup)
+        .unionByName(neg)
+        .unionByName(noidx)
+        .unionByName(wrong)
+    )
+    return validate_array_cells(
+        store, "xs", dims=1, element_xsd="xsd:integer"
+    ).withColumnRenamed("check", "checked")

@@ -177,6 +177,76 @@ def connected_components_incremental(
     )
 
 
+def connected_components_decremental(
+    labels: DataFrame,
+    base_edges: DataFrame,
+    delete_edges: DataFrame,
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component): component labels AFTER a delete-only commit
+    delta — the reverse of ``connected_components_incremental``, and
+    the direction where merging tricks don't apply: a deletion can
+    SPLIT a component, and a split can only happen inside a component
+    that actually lost an edge.  So the update recomputes CC only on
+    the DIRTY components (those owning a really-deleted edge) over
+    the post-delete edge set, and every other component's labels pass
+    through verbatim:
+
+    1. really-deleted = delete ∩ base (canonical pairs; deleting an
+       absent edge is a no-op) — a map-side broadcast semi join, the
+       base is never shuffled;
+    2. dirty = the deleted endpoints' component ids (delta-sized);
+    3. the affected subgraph = post-delete edges with an endpoint in
+       a dirty component (base edges never cross components, so one
+       endpoint's membership implies both);
+    4. batch CC on that subgraph + singleton labels for affected
+       nodes that lost their last edge;
+    5. untouched ∪ recomputed ∪ singletons — exactly batch CC of
+       base∖delete, because labels are component MINIMA and minima
+       are local to components.
+
+    Cost rides the dirty components' size, never the corpus: at
+    100 TB a commit deleting edges in k components re-runs CC on
+    those k components only."""
+
+    def und(e):
+        return (
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    eb = und(base_edges)
+    dels = und(delete_edges)
+    real = eb.join(F.broadcast(dels), ["a", "b"], "left_semi")
+    real = loop_checkpoint(real)
+    e_new = eb.join(F.broadcast(dels), ["a", "b"], "left_anti")
+    dirty = (
+        real.select(F.col("a").alias("node"))
+        .union(real.select(F.col("b")))
+        .distinct()
+        .join(labels, "node")
+        .select("component")
+        .distinct()
+    )
+    dirty = loop_checkpoint(dirty)
+    lab_aff = labels.join(F.broadcast(dirty), "component", "left_semi")
+    untouched = labels.join(F.broadcast(dirty), "component", "left_anti")
+    aff_nodes = loop_checkpoint(lab_aff.select("node"))
+    sub = e_new.join(
+        aff_nodes.select(F.col("node").alias("a")), "a", "left_semi"
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    recomputed = connected_components(sub, max_iters)
+    singles = aff_nodes.join(
+        recomputed.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return untouched.unionByName(recomputed).unionByName(singles)
+
+
 def _edge_nodes(edges):
     """Distinct node set of an edge frame, checkpointed with its
     count fused into the materializing job."""

@@ -23814,3 +23814,42 @@ def schema_array_validate(spark, sf_dir):
     return validate_array_cells(
         store, "xs", dims=1, element_xsd="xsd:integer"
     ).withColumnRenamed("check", "checked")
+
+
+@register(
+    "graph_cc_decremental",
+    """
+    WITH nodes AS (SELECT c_custkey AS n FROM customer UNION SELECT 0)
+    SELECT n AS node,
+           CASE WHEN n % 10 < 5 THEN (n // 10) * 10
+                ELSE (n // 10) * 10 + 5 END AS component
+    FROM nodes
+    """,
+)
+def graph_cc_decremental(spark, sf_dir):
+    """DECREMENTAL connected components (operators/graph.py:
+    connected_components_decremental) — the delete direction, where a
+    commit can SPLIT a component: decade chains label once, then a
+    delete-only commit removes every decade's mid-chain edge (k,k-1)
+    at k%10==5, splitting each decade into a lower and an upper half.
+    The update recomputes CC only on the DIRTY components over the
+    post-delete edges (untouched components pass through verbatim) —
+    here every decade is dirty, the worst case for the filter and
+    still exact; the oracle states both halves' minima closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import (
+        connected_components,
+        connected_components_decremental,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    base = cust.where((k % 10 != 0) & (k >= 1)).select(
+        k.alias("src"), (k - 1).alias("dst")
+    )
+    dels = cust.where(k % 10 == 5).select(
+        k.alias("src"), (k - 1).alias("dst")
+    )
+    labels = connected_components(base)
+    return connected_components_decremental(labels, base, dels)

@@ -4687,3 +4687,54 @@ def test_stream_bisect_split_invariance(spark):
 
     a1, a2, a5 = answer(1), answer(2), answer(5)
     assert a1 == a2 == a5, (a1, a2, a5)
+
+
+def test_cc_decremental_equals_batch(spark):
+    """connected_components_decremental(labels(base), base, dels) ==
+    batch CC of base∖dels on seeded random graphs — splits, vanishing
+    nodes (all edges deleted -> singleton), no-op deletes of absent
+    edges, and untouched components all exercised."""
+    import random
+
+    from terminus_server_spark.operators.graph import (
+        connected_components,
+        connected_components_decremental,
+    )
+
+    for seed in (3, 21):
+        rnd = random.Random(seed)
+        n = 24
+        base, dels = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                r = rnd.random()
+                if r < 0.12:
+                    base.append((i, j))
+                    if rnd.random() < 0.4:
+                        dels.append((j, i))  # reversed orientation
+                elif r < 0.14:
+                    dels.append((i, j))  # delete of an ABSENT edge
+        bdf = spark.createDataFrame(base, "src long, dst long")
+        ddf = spark.createDataFrame(dels, "src long, dst long")
+        labels = connected_components(bdf)
+        got = {(r.node, r.component)
+               for r in connected_components_decremental(
+                   labels, bdf, ddf).collect()}
+        keep = [e for e in base
+                if e not in {(b, a) for a, b in dels}
+                and e not in set(dels)]
+        survivors = spark.createDataFrame(
+            keep or [(999, 998)], "src long, dst long")
+        want = {(r.node, r.component)
+                for r in connected_components(survivors).collect()}
+        # nodes that lost every edge stay as singletons labelled by
+        # themselves
+        batch_nodes = {nd for nd, _ in want}
+        for nd in {x for e in base for x in e}:
+            if nd not in batch_nodes:
+                want.add((nd, nd))
+        if not keep:
+            want -= {(999, 998), (998, 998), (999, 999),
+                     (998, 998)}
+            want = {(nd, nd) for nd in {x for e in base for x in e}}
+        assert got == want, (seed, sorted(got ^ want))

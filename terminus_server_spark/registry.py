@@ -23853,3 +23853,46 @@ def graph_cc_decremental(spark, sf_dir):
     )
     labels = connected_components(base)
     return connected_components_decremental(labels, base, dels)
+
+
+@register(
+    "stream_cc_cdc",
+    """
+    WITH nodes AS (SELECT c_custkey AS n FROM customer UNION SELECT 0)
+    SELECT n AS node,
+           CASE WHEN n % 10 < 5 THEN
+                  CASE WHEN (n // 10) % 3 = 1 THEN ((n // 10) - 1) * 10 + 5
+                       ELSE (n // 10) * 10 END
+                ELSE (n // 10) * 10 + 5 END AS component
+    FROM nodes
+    """,
+)
+def stream_cc_cdc(spark, sf_dir):
+    """Streaming CC over a CDC edge stream (streaming/events.py:
+    run_stream_cc_cdc) — batches carry add AND delete ops, composing
+    both commit-delta directions per micro-batch: batch 1 adds the
+    decade chains, batch 2 DELETES every decade's mid-chain edge
+    (splitting every decade — the decremental path), batch 3 bridges
+    every third decade's upper half to the next decade's lower half
+    (the incremental path over the post-split labels).  The final
+    labels are exactly batch CC of the net edge set; the oracle
+    states the split+merge minima closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_cc_cdc
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    mx = cust.agg(F.max("c_custkey").alias("m"))
+    b1 = cust.where((k % 10 != 0) & (k >= 1)).select(
+        F.lit("add").alias("op"), k.alias("src"), (k - 1).alias("dst")
+    )
+    b2 = cust.where(k % 10 == 5).select(
+        F.lit("del").alias("op"), k.alias("src"), (k - 1).alias("dst")
+    )
+    b3 = (
+        cust.crossJoin(F.broadcast(mx))
+        .where((k % 30 == 9) & (k < F.col("m")))
+        .select(F.lit("add").alias("op"), k.alias("src"), (k + 1).alias("dst"))
+    )
+    return run_stream_cc_cdc(spark, [b1, b2, b3])

@@ -1402,6 +1402,103 @@ def run_stream_cc(
     return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
 
 
+def run_stream_cc_cdc(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component): connected-component labels maintained over
+    a CDC edge stream — each micro-batch carries ``(op, src, dst)``
+    rows with op ∈ {add, del}, and the update composes BOTH
+    commit-delta directions (operators/graph.py): deletes first
+    through ``connected_components_decremental`` (splits recomputed
+    only on the dirty components over the post-delete edge store),
+    then inserts through ``connected_components_incremental`` (label
+    pairs contract via a ≤|batch|-edge meta-graph, fresh nodes
+    entering as singletons).  Within one micro-batch the ops are an
+    UNORDERED CDC set: deletes apply against the pre-batch state and
+    inserts after them (an add+del of the same edge in one batch nets
+    to the edge present).  State = the canonical edge store + the
+    label table; the final labels equal batch CC of the NET edge set
+    under any batch split that respects that convention — per-batch
+    cost rides the delta and the dirty components, never the corpus."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from terminus_server_spark.operators.graph import (
+        connected_components_decremental,
+        connected_components_incremental,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tss_cccdc_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def canon(e):
+        return (
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        adds = canon(batch_df.where(F.col("op") == "add"))
+        dels = canon(batch_df.where(F.col("op") == "del"))
+        if state["version"] >= 0:
+            edges = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            labels = s.read.parquet(os.path.join(tmp, f"l{state['version']}"))
+        else:
+            edges = adds.limit(0)
+            labels = adds.select(
+                F.col("src").alias("node"),
+                F.col("src").alias("component"),
+            ).limit(0)
+        # deletes first: splits ride the dirty components
+        labels = connected_components_decremental(
+            labels, edges, dels, max_iters
+        )
+        edges = edges.join(F.broadcast(dels), ["src", "dst"], "left_anti")
+        # then inserts: fresh nodes as singletons, label pairs contract
+        add_nodes = (
+            adds.select(F.col("src").alias("node"))
+            .union(adds.select(F.col("dst")))
+            .distinct()
+        )
+        fresh = add_nodes.join(labels.select("node"), "node", "left_anti")
+        labels = labels.unionByName(
+            fresh.select("node", F.col("node").alias("component"))
+        )
+        labels = connected_components_incremental(labels, adds, max_iters)
+        edges = edges.unionByName(adds).distinct()
+        state["version"] += 1
+        edges.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"e{state['version']}")
+        )
+        labels.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"l{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1000"
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"l{state['version']}"))
+
+
 def run_stream_gql_subscription(
     spark: SparkSession,
     doc_batches: list[DataFrame],

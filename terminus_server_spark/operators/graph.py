@@ -3035,6 +3035,77 @@ def msf_incremental(
     return msf_boruvka(union, max_iters=max_iters)
 
 
+def msf_decremental(
+    forest_old: DataFrame,
+    labels: DataFrame,
+    base_edges: DataFrame,
+    delete_edges: DataFrame,
+    max_iters: int = 30,
+) -> DataFrame:
+    """(a, b, w): the minimum spanning forest AFTER a delete-only
+    commit delta — the direction the sparsification identity does NOT
+    cover (a deleted forest edge may be REPLACED by a previously
+    non-forest edge, so the old forest alone is not enough).  The
+    locality fact that replaces it: MSFs are per-component, and a
+    deletion can only change the forest inside a base-graph component
+    that actually lost an edge.  So, mirroring
+    ``connected_components_decremental``:
+
+    1. really-deleted = delete ∩ base (canonical (a,b) pairs;
+       deleting an absent edge is a no-op) — broadcast semi join,
+       the base is never shuffled;
+    2. dirty = the deleted endpoints' component labels
+       (``labels``: (node, component) stored state from the base
+       graph — the spanning forest labels the same components);
+    3. untouched components' forest edges pass through verbatim;
+    4. dirty components re-run Borůvka over their post-delete edges
+       (replacement edges rejoin here; a component split simply
+       yields two trees).
+
+    With distinct weights per component the result is the unique
+    MSF of base∖delete; under ties it is a valid deterministic MSF
+    but may tie-break differently from the stored forest.  Cost
+    rides the dirty components, never the corpus."""
+
+    def und(e):
+        return (
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col("w").cast("double").alias("w"),
+            )
+            .where(F.col("a") != F.col("b"))
+        )
+
+    eb = und(base_edges)
+    dels = und(delete_edges).select("a", "b").distinct()
+    real = eb.join(F.broadcast(dels), ["a", "b"], "left_semi")
+    real = loop_checkpoint(real)
+    e_new = eb.join(F.broadcast(dels), ["a", "b"], "left_anti")
+    dirty = (
+        real.select(F.col("a").alias("node"))
+        .union(real.select(F.col("b")))
+        .distinct()
+        .join(labels, "node")
+        .select("component")
+        .distinct()
+    )
+    dirty = loop_checkpoint(dirty)
+    dirty_nodes = loop_checkpoint(
+        labels.join(F.broadcast(dirty), "component", "left_semi").select(
+            "node"
+        )
+    )
+    untouched = forest_old.join(
+        dirty_nodes.select(F.col("node").alias("a")), "a", "left_anti"
+    ).select("a", "b", "w")
+    sub = e_new.join(
+        dirty_nodes.select(F.col("node").alias("a")), "a", "left_semi"
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+    return untouched.unionByName(msf_boruvka(sub, max_iters=max_iters))
+
+
 def random_walks(
     edges: DataFrame, starts: DataFrame, length: int = 4, seed: str = ""
 ) -> DataFrame:

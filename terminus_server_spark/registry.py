@@ -23896,3 +23896,67 @@ def stream_cc_cdc(spark, sf_dir):
         .select(F.lit("add").alias("op"), k.alias("src"), (k + 1).alias("dst"))
     )
     return run_stream_cc_cdc(spark, [b1, b2, b3])
+
+
+@register(
+    "graph_msf_decr",
+    """
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS a, c_custkey + 1 AS b,
+             CAST(2 * ((c_custkey * 7) % 97) + 2 AS DOUBLE) AS w
+      FROM customer, mx
+      WHERE c_custkey % 10 <> 9 AND c_custkey < mx.m
+      UNION ALL
+      SELECT (c_custkey // 10) * 10, c_custkey,
+             CAST(2 * (((c_custkey // 10) * 11) % 97) + 1 AS DOUBLE)
+      FROM customer WHERE c_custkey % 10 = 9),
+    ranked AS (
+      SELECT a, b, w,
+             ROW_NUMBER() OVER (PARTITION BY a // 10
+                                ORDER BY w DESC, a, b) AS rk
+      FROM e)
+    SELECT a, b, w FROM ranked
+    WHERE NOT (a % 10 = 3 AND b = a + 1 AND (a // 10) % 3 = 1)
+      AND ((a // 10) % 3 = 1 OR rk > 1)
+    """,
+)
+def graph_msf_decr(spark, sf_dir):
+    """DECREMENTAL minimum spanning forest (operators/graph.py:
+    msf_decremental) — the delete direction the sparsification
+    identity cannot cover: deleting a FOREST edge may pull a
+    previously-rejected edge back in (replacement).  Same weighted
+    decade-cycle fixture as graph_msf; a delete-only commit removes
+    the (g+3, g+4) chain edge in every third decade, turning those
+    cycles into paths whose MSF is ALL remaining edges — including
+    each cycle's former maximum-weight edge, which rejoins (the
+    replacement behavior).  Untouched decades pass through verbatim;
+    the oracle drops per-decade maxima only for clean decades."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import (
+        connected_components,
+        msf_boruvka,
+        msf_decremental,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    m = cust.agg(F.max("c_custkey")).collect()[0][0]
+    k = F.col("c_custkey")
+    chain = cust.where((k % 10 != 9) & (k < m)).select(
+        k.alias("src"),
+        (k + 1).alias("dst"),
+        (2 * ((k * 7) % 97) + 2).cast("double").alias("w"),
+    )
+    closing = cust.where(k % 10 == 9).select(
+        ((k / 10).cast("bigint") * 10).alias("src"),
+        k.alias("dst"),
+        (2 * (((k / 10).cast("bigint") * 11) % 97) + 1).cast("double").alias("w"),
+    )
+    base = chain.union(closing)
+    dels = cust.where(
+        (k % 10 == 3) & (((k / 10).cast("bigint")) % 3 == 1)
+    ).select(k.alias("src"), (k + 1).alias("dst"), F.lit(0.0).alias("w"))
+    forest_old = msf_boruvka(base)
+    labels = connected_components(base)
+    return msf_decremental(forest_old, labels, base, dels)

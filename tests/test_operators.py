@@ -4738,3 +4738,50 @@ def test_cc_decremental_equals_batch(spark):
                      (998, 998)}
             want = {(nd, nd) for nd in {x for e in base for x in e}}
         assert got == want, (seed, sorted(got ^ want))
+
+
+def test_msf_decremental_equals_batch(spark):
+    """msf_decremental(msf(base), labels(base), base, dels) == batch
+    MSF of base∖dels on seeded random weighted graphs (distinct
+    weights -> unique forest): replacements, splits, no-op deletes of
+    non-forest and absent edges all exercised."""
+    import random
+
+    from terminus_server_spark.operators.graph import (
+        connected_components,
+        msf_boruvka,
+        msf_decremental,
+    )
+
+    for seed in (5, 17):
+        rnd = random.Random(seed)
+        n = 20
+        ws = rnd.sample(range(1, 4000), 190)
+        base, dels, wi = [], [], 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                r = rnd.random()
+                if r < 0.18:
+                    base.append((i, j, float(ws[wi]))); wi += 1
+                    if rnd.random() < 0.35:
+                        dels.append((j, i))  # reversed orientation
+                elif r < 0.21:
+                    dels.append((i, j))  # delete of an ABSENT edge
+        bdf = spark.createDataFrame(base, "src long, dst long, w double")
+        ddf = spark.createDataFrame(
+            [(a, b, 0.0) for a, b in dels], "src long, dst long, w double"
+        )
+        forest = msf_boruvka(bdf)
+        labels = connected_components(bdf)
+        got = {(r.a, r.b, r.w)
+               for r in msf_decremental(forest, labels, bdf, ddf).collect()}
+        dead = {(min(a, b), max(a, b)) for a, b in dels}
+        keep = [(a, b, w) for a, b, w in base if (a, b) not in dead]
+        want = {(r.a, r.b, r.w)
+                for r in msf_boruvka(
+                    spark.createDataFrame(
+                        keep or [(0, 1, 1.0)],
+                        "src long, dst long, w double")).collect()}
+        if not keep:
+            want = set()
+        assert got == want, (seed, sorted(got ^ want))

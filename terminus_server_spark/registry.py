@@ -24073,3 +24073,81 @@ def gql_execute_nested_backward(spark, sf_dir):
         relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
         id_cols={"Customer": "c_custkey", "Order": "o_orderkey"},
     )["Customer"]
+
+
+@register(
+    "stream_kcore_cdc",
+    """
+    WITH mem AS (
+      SELECT (c_custkey // 10) * 10 AS g, c_custkey AS n
+      FROM customer WHERE c_custkey % 10 < 5),
+    full5 AS (SELECT g FROM mem GROUP BY g HAVING COUNT(*) = 5),
+    m AS (SELECT mem.g, mem.n FROM mem JOIN full5 ON mem.g = full5.g)
+    SELECT n AS node,
+           CAST(CASE
+             WHEN g % 40 = 0 THEN CASE WHEN n - g IN (0, 2) THEN 3 ELSE 4 END
+             WHEN g % 20 = 0 THEN 3
+             ELSE 4 END AS BIGINT) AS degree
+    FROM m
+    WHERE NOT (g % 20 = 0 AND g % 40 != 0 AND n = g)
+    """,
+)
+def stream_kcore_cdc(spark, sf_dir):
+    """Streaming k-core maintenance over a CDC edge stream
+    (streaming/events.py: run_stream_kcore_cdc — the k-core analogue
+    of stream_cc_cdc, composing kcore_decremental THEN
+    kcore_incremental per micro-batch, both canonical_base, store
+    updates delta-sized): batch 1 adds a K5 clique on every complete
+    5-member decade group (all degrees 4, everything in the 3-core);
+    batch 2 DELETES edges (g,g+1) and (g,g+2) for groups g%20==0 —
+    node g drops to degree 2 and peels, cascading one decrement onto
+    g+3/g+4, leaving the K4 core {g+1..g+4} at degree 3 (the
+    decremental path); batch 3 re-ADDS (g,g+1) for g%40==0 — g
+    returns at degree 3 and re-enters, restoring the full group core
+    with g and g+2 at 3 and the rest at 4 (the incremental path over
+    the post-peel state, including the resurrect-after-delete
+    cascade).  The final core equals the batch k-core of the net
+    edge set; the oracle states the three group regimes closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_kcore_cdc
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 10).cast("bigint") * 10
+    members = cust.where(k % 10 < 5).select(g.alias("g"), k.alias("n"))
+    m5 = (
+        members.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == 5)
+        .select("g")
+    )
+    gm = members.join(m5, "g")
+    b1 = (
+        gm.alias("m1")
+        .join(gm.alias("m2"), "g")
+        .where(F.col("m1.n") < F.col("m2.n"))
+        .select(
+            F.lit("add").alias("op"),
+            F.col("m1.n").alias("src"),
+            F.col("m2.n").alias("dst"),
+        )
+    )
+    g20 = m5.where(F.col("g") % 20 == 0)
+    b2 = g20.select(
+        F.lit("del").alias("op"),
+        F.col("g").alias("src"),
+        (F.col("g") + 1).alias("dst"),
+    ).unionByName(
+        g20.select(
+            F.lit("del").alias("op"),
+            F.col("g").alias("src"),
+            (F.col("g") + 2).alias("dst"),
+        )
+    )
+    b3 = m5.where(F.col("g") % 40 == 0).select(
+        F.lit("add").alias("op"),
+        F.col("g").alias("src"),
+        (F.col("g") + 1).alias("dst"),
+    )
+    return run_stream_kcore_cdc(spark, [b1, b2, b3], k=3)

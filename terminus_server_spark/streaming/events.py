@@ -1916,15 +1916,30 @@ def run_stream_kcore(
         new_core = kcore_incremental(
             core, stored, delta, k=k, canonical_base=True
         )
-        new_edges = (
-            stored.unionByName(delta)
-            .select(
+        # store update stays DELTA-sized (the r11 stream_cc_cdc fix
+        # applied here too): canonicalize the batch (batch-sized
+        # distinct), narrow the store map-side to batch-endpoint-
+        # incident rows via a broadcast semi join, anti-join the
+        # batch against that slice, append the disjoint remainder —
+        # never a distinct() over the accumulated edge store
+        delta_c = (
+            delta.select(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
             )
             .where(F.col("src") != F.col("dst"))
             .distinct()
         )
+        adds_only = delta_c.join(
+            stored.join(
+                F.broadcast(delta_c.select("src").distinct()),
+                "src",
+                "left_semi",
+            ),
+            ["src", "dst"],
+            "left_anti",
+        )
+        new_edges = stored.unionByName(adds_only)
         state["version"] += 1
         new_edges.write.mode("overwrite").parquet(
             os.path.join(tmp, f"e{state['version']}")
@@ -1950,4 +1965,120 @@ def run_stream_kcore(
         q.awaitTermination()
     # the state already carries the maintained per-node degrees —
     # read it back verbatim, no edge re-aggregation at the sink
+    return spark.read.parquet(os.path.join(tmp, f"c{state['version']}"))
+
+
+def run_stream_kcore_cdc(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    k: int = 3,
+) -> DataFrame:
+    """(node, degree): streaming k-core maintenance over a CDC edge
+    stream — each micro-batch carries ``(op, src, dst)`` rows with
+    op ∈ {add, del}, and the update composes BOTH commit-delta
+    directions (operators/graph.py), the k-core analogue of
+    ``run_stream_cc_cdc``: deletes first through
+    ``kcore_decremental`` (a peel of the old core seeded at the
+    dirty frontier over the post-delete store — core_new ⊆ core_old
+    by maximality), then inserts through ``kcore_incremental``
+    (candidate closure over non-core delta endpoints; the stored
+    core's internal edges are never re-aggregated).  Within one
+    micro-batch the ops are an UNORDERED CDC set: deletes apply
+    against the pre-batch state and inserts after them (add+del of
+    the same edge in one batch nets to the edge present).  State =
+    the canonical edge store + the core WITH stored per-node degrees;
+    both maintenance calls run ``canonical_base=True`` and the store
+    updates are delta-sized (broadcast anti joins + disjoint union —
+    no full-store shuffle anywhere in the steady path).  The final
+    core equals the batch k-core of the NET edge set under any batch
+    split that respects the convention."""
+    from terminus_server_spark.operators.graph import (
+        kcore_decremental,
+        kcore_incremental,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tss_kcorecdc_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def canon(e):
+        return (
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        adds = canon(batch_df.where(F.col("op") == "add"))
+        dels = canon(batch_df.where(F.col("op") == "del"))
+        if state["version"] >= 0:
+            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            core = s.read.parquet(os.path.join(tmp, f"c{state['version']}"))
+        else:
+            stored = adds.limit(0)
+            core = adds.select(
+                F.col("src").alias("node"),
+                F.lit(0).cast("long").alias("degree"),
+            ).limit(0)
+        # all-del or all-add micro-batches skip the other direction's
+        # maintenance pass entirely (each would otherwise still pay
+        # its store-sized seed scan for a no-op delta) — the counts
+        # are batch-sized jobs
+        adds = adds.localCheckpoint(eager=True)
+        dels = dels.localCheckpoint(eager=True)
+        # deletes first: the peel rides the dirty frontier; the store
+        # is canonical by construction so no full-base shuffle
+        if dels.count():
+            core = kcore_decremental(
+                core, stored, dels, k=k, canonical_base=True
+            )
+            stored = stored.join(
+                F.broadcast(dels), ["src", "dst"], "left_anti"
+            )
+        # then inserts over the post-delete state.  An edge deleted
+        # and re-added in the same batch left the store above, so it
+        # is delta-only here and re-enters (add+del nets to present).
+        if adds.count():
+            core = kcore_incremental(
+                core, stored, adds, k=k, canonical_base=True
+            )
+            adds_only = adds.join(
+                stored.join(
+                    F.broadcast(adds.select("src").distinct()),
+                    "src",
+                    "left_semi",
+                ),
+                ["src", "dst"],
+                "left_anti",
+            )
+            stored = stored.unionByName(adds_only)
+        state["version"] += 1
+        stored.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"e{state['version']}")
+        )
+        core.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"c{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"c{state['version']}"))

@@ -31,3 +31,44 @@ def test_stream_cc_cdc_split_invariance(spark):
     want |= {(20, 20), (21, 21)}  # vanished pair stays as singletons
     assert got3 == want
     assert got2 == want
+
+
+def test_stream_kcore_cdc_split_invariance(spark):
+    """run_stream_kcore_cdc: re-batching a CDC op sequence (deletes
+    against the pre-batch state, inserts after) leaves the core
+    identical, and it equals batch k-core of the net edge set —
+    peel cascades, re-entry after deletion, and same-batch add+del
+    netting to present are all exercised."""
+    from terminus_server_spark.operators.graph import kcore
+    from terminus_server_spark.streaming.events import run_stream_kcore_cdc
+
+    schema = "op string, src long, dst long"
+    # K5 on 0..4 and K4 on 10..13
+    b1 = [("add", i, j) for i in range(5) for j in range(i + 1, 5)] + [
+        ("add", i, j) for i in range(10, 14) for j in range(i + 1, 14)
+    ]
+    # carve node 0 out of the K5 (degree 2 -> peels); same-batch
+    # add+del of (10,11) nets to present (del against pre-state,
+    # re-add after)
+    b2 = [("del", 0, 1), ("del", 2, 0), ("del", 10, 11), ("add", 10, 11)]
+    # restore (0,1): node 0 back at degree 3, re-enters
+    b3 = [("add", 0, 1)]
+    three = [spark.createDataFrame(b, schema) for b in (b1, b2, b3)]
+    two = [
+        spark.createDataFrame(b1, schema),
+        spark.createDataFrame(b2 + b3, schema),
+    ]
+    got3 = {(r.node, r.degree)
+            for r in run_stream_kcore_cdc(spark, three, k=3).collect()}
+    got2 = {(r.node, r.degree)
+            for r in run_stream_kcore_cdc(spark, two, k=3).collect()}
+    net = [(i, j) for i in range(5) for j in range(i + 1, 5)
+           if (i, j) != (0, 2)] + [
+        (i, j) for i in range(10, 14) for j in range(i + 1, 14)
+    ]
+    want = {(r.node, r.degree)
+            for r in kcore(
+                spark.createDataFrame(net, "src long, dst long"), k=3
+            ).collect()}
+    assert got3 == want
+    assert got2 == want

@@ -557,12 +557,17 @@ def main() -> None:
         for k, nv in normalized.items():
             rv = ref.get(k)
             # flag needs BOTH a 1.5x ratio and an absolute normalized
-            # excess of 2.0 (~0.45 s idle-equivalent) — min-merged
-            # references tighten over sessions, and without the
-            # margin sub-second keys flap on scheduling noise
+            # excess — min-merged references tighten over sessions,
+            # and without the margin sub-second keys flap on
+            # scheduling noise.  The margin SCALES with the reference
+            # (r10 advice): a fixed 2.0 let any key with rv below ~4
+            # drift to 3-5x silently (ref 1.0 could reach 2.9
+            # unflagged); max(0.8, 0.5*rv) keeps the noise floor for
+            # the tiniest keys while making mid-size regressions on
+            # fast keys (rv 1.6+) flag at ~1.5x like everything else
             if (
                 rv and rv > 0 and timings[k] > 0.5
-                and nv / rv > 1.5 and (nv - rv) > 2.0
+                and nv / rv > 1.5 and (nv - rv) > max(0.8, 0.5 * rv)
             ):
                 regressions[k] = {
                     "norm": nv, "ref": rv, "ratio": round(nv / rv, 2)

@@ -222,8 +222,16 @@ def array_patch(
     over — closing the roundtrip law
     ``array_patch(old, array_diff(old, new)) == new`` (up to the
     documented trailing-null trim, which dense reassembly shares with
-    the triple store itself).  One explode + one (key, index)
-    full-outer join + one groupBy — the same grains the diff used."""
+    the triple store itself).  A document whose patched array has NO
+    surviving values (every position removed, or all nulls — the
+    all-null case trims to empty under the same convention) is KEPT
+    with an empty array rather than silently dropped, so callers see
+    every input key; note an index-aligned diff renders "document
+    deleted" and "array emptied" identically (all Removes), so patch
+    output cannot distinguish them — route document deletion through
+    the document write path, not the array patch.  One explode + one
+    (key, index) full-outer join + one groupBy + one key-universe
+    left join — the same grains the diff used."""
     o = old_docs.select(
         F.col(key_col).alias("k"), F.posexplode(F.col(prop)).alias("i0", "v")
     ).where(F.col("v").isNotNull())
@@ -242,7 +250,7 @@ def array_patch(
         )
         .where(F.col("v").isNotNull())
     )
-    return (
+    assembled = (
         merged.groupBy("k")
         .agg(
             F.map_from_entries(
@@ -251,12 +259,27 @@ def array_patch(
             F.max("i0").alias("_mx"),
         )
         .select(
-            F.col("k").alias(key_col),
+            "k",
             F.transform(
                 F.sequence(F.lit(0), F.col("_mx")),
                 lambda i: F.element_at(F.col("_m"), i),
             ).alias(prop),
         )
+    )
+    # key universe (old ∪ diff): a doc whose patched array emptied out
+    # still emits its key, with an empty array of the input's element
+    # type — never a silent drop
+    arr_type = old_docs.schema[prop].dataType
+    keys = (
+        old_docs.select(F.col(key_col).alias("k"))
+        .unionByName(diff.select(F.col(key_col).alias("k")))
+        .distinct()
+    )
+    return keys.join(assembled, "k", "left_outer").select(
+        F.col("k").alias(key_col),
+        F.coalesce(
+            F.col(prop), F.array().cast(arr_type)
+        ).alias(prop),
     )
 
 

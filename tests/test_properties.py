@@ -713,15 +713,15 @@ def test_array_triples_roundtrip_property(spark, arrays):
 @given(sparse_arrays, sparse_arrays)
 def test_array_patch_roundtrip_property(spark, old_arrays, new_arrays):
     """array_patch(old, array_diff(old, new)) == new for 1-D arrays
-    with no trailing holes (documents present on both sides)."""
+    with no trailing holes.  All-null/empty new arrays are INCLUDED:
+    the triple-store convention trims them to empty, and the patched
+    document keeps its key with an empty array (r10 advice pinned:
+    no silent document drop)."""
     from terminus_server_spark.docs.arrays import array_diff, array_patch
 
     n = min(len(old_arrays), len(new_arrays))
     old_rows = [(i, old_arrays[i]) for i in range(n)]
-    new_rows = [
-        (i, new_arrays[i]) for i in range(n)
-        if any(v is not None for v in new_arrays[i])
-    ]
+    new_rows = [(i, new_arrays[i]) for i in range(n)]
     if not new_rows:
         return
     old = spark.createDataFrame(old_rows, "doc_id long, xs array<bigint>")
@@ -731,5 +731,11 @@ def test_array_patch_roundtrip_property(spark, old_arrays, new_arrays):
         r.doc_id: list(r.xs)
         for r in array_patch(old, d, "doc_id", "xs").collect()
     }
-    want = {i: xs for i, xs in new_rows}
+    # expected = new under the trailing-null trim (all-null -> []);
+    # interior nulls survive as holes up to the last non-null
+    def trim(xs):
+        last = max((j for j, v in enumerate(xs) if v is not None), default=-1)
+        return list(xs[: last + 1])
+
+    want = {i: trim(xs) for i, xs in new_rows}
     assert got == want

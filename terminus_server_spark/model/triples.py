@@ -447,6 +447,18 @@ XSD_LEXICAL: dict[str, str] = {
     "xsd:language": r"^[A-Za-z]{1,8}(-[A-Za-z0-9]{1,8})*$",
     "xsd:NMTOKEN": r"^[A-Za-z0-9._:-]+$",
     "xsd:NCName": r"^[A-Za-z_][A-Za-z0-9._-]*$",
+    # tranche 4 — the XML name family (ASCII subset, consistent with
+    # NCName above): Name allows a leading/embedded colon; ID/IDREF/
+    # ENTITY share NCName's space; QName is an optional NCName prefix
+    # + colon + NCName local part, and NOTATION shares QName's space
+    "xsd:Name": r"^[A-Za-z_:][A-Za-z0-9._:-]*$",
+    "xsd:ID": r"^[A-Za-z_][A-Za-z0-9._-]*$",
+    "xsd:IDREF": r"^[A-Za-z_][A-Za-z0-9._-]*$",
+    "xsd:ENTITY": r"^[A-Za-z_][A-Za-z0-9._-]*$",
+    "xsd:QName": r"^(?:[A-Za-z_][A-Za-z0-9._-]*:)?[A-Za-z_][A-Za-z0-9._-]*$",
+    "xsd:NOTATION": (
+        r"^(?:[A-Za-z_][A-Za-z0-9._-]*:)?[A-Za-z_][A-Za-z0-9._-]*$"
+    ),
 }
 
 

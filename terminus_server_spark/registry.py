@@ -24151,3 +24151,138 @@ def stream_kcore_cdc(spark, sf_dir):
         (F.col("g") + 1).alias("dst"),
     )
     return run_stream_kcore_cdc(spark, [b1, b2, b3], k=3)
+
+
+@register(
+    "rdf_xsd_wide4",
+    """
+    WITH fixture AS (
+      SELECT 'Part/' || p_partkey AS subject,
+             CASE WHEN p_partkey % 4 = 0 THEN '9bad'
+                  WHEN p_partkey % 4 = 1 THEN 'x:y.z-ok'
+                  ELSE 'n_' || (p_partkey % 7) END AS nm,
+             CASE WHEN p_partkey % 5 = 0 THEN 'a:b'
+                  WHEN p_partkey % 5 = 1 THEN '-lead'
+                  ELSE '_id' || (p_partkey % 9) END AS idv,
+             CASE WHEN p_partkey % 3 = 0 THEN 'has space'
+                  ELSE 'ref.x' || (p_partkey % 5) END AS idr,
+             CASE WHEN p_partkey % 6 = 2 THEN '.dot'
+                  ELSE 'e-' || (p_partkey % 4) END AS ent,
+             CASE WHEN p_partkey % 5 = 3 THEN 'ex:9bad'
+                  WHEN p_partkey % 7 = 1 THEN ':lead'
+                  ELSE 'ex:local' || (p_partkey % 6) END AS qn,
+             CASE WHEN p_partkey % 4 = 2 THEN 'two:colons:x'
+                  ELSE 'fmt:png' || (p_partkey % 3) END AS nota
+      FROM part),
+    trip(subject, predicate, obj, obj_type) AS (
+      SELECT subject, 'rdf:type', 'Part', 'iri' FROM fixture
+      UNION ALL SELECT subject, 'nm', nm, 'xsd:Name' FROM fixture
+      UNION ALL SELECT subject, 'idv', idv, 'xsd:ID' FROM fixture
+      UNION ALL SELECT subject, 'idr', idr, 'xsd:IDREF' FROM fixture
+      UNION ALL SELECT subject, 'ent', ent, 'xsd:ENTITY' FROM fixture
+      UNION ALL SELECT subject, 'qn', qn, 'xsd:QName' FROM fixture
+      UNION ALL SELECT subject, 'nota', nota, 'xsd:NOTATION' FROM fixture)
+    SELECT fmt, subject, predicate, obj, obj_type,
+           CASE obj_type
+             WHEN 'xsd:Name' THEN
+               regexp_matches(obj, '^[A-Za-z_:][A-Za-z0-9._:-]*$')
+             WHEN 'xsd:ID' THEN
+               regexp_matches(obj, '^[A-Za-z_][A-Za-z0-9._-]*$')
+             WHEN 'xsd:IDREF' THEN
+               regexp_matches(obj, '^[A-Za-z_][A-Za-z0-9._-]*$')
+             WHEN 'xsd:ENTITY' THEN
+               regexp_matches(obj, '^[A-Za-z_][A-Za-z0-9._-]*$')
+             WHEN 'xsd:QName' THEN
+               regexp_matches(obj,
+                 '^([A-Za-z_][A-Za-z0-9._-]*:)?[A-Za-z_][A-Za-z0-9._-]*$')
+             WHEN 'xsd:NOTATION' THEN
+               regexp_matches(obj,
+                 '^([A-Za-z_][A-Za-z0-9._-]*:)?[A-Za-z_][A-Za-z0-9._-]*$')
+             ELSE true
+           END AS valid
+    FROM trip CROSS JOIN (VALUES ('nt'), ('ttl')) AS f(fmt)
+    """,
+)
+def rdf_xsd_wide4(spark, sf_dir):
+    """Fourth wide-xsd tranche (r10 verdict missing-item 2): the XML
+    NAME FAMILY — xsd:Name, xsd:ID, xsd:IDREF, xsd:ENTITY,
+    xsd:QName, xsd:NOTATION — the last of the XSD built-in
+    vocabulary, through the same shape as rdf_xsd_wide3:
+    triples_from_table type overrides, BOTH dump/load roundtrips
+    (N-Triples and Turtle), and per-literal lexical-space validation
+    (model/triples.py:XSD_LEXICAL, ASCII subset consistent with the
+    tranche-3 NCName space: Name admits colons anywhere after a
+    NameStart, ID/IDREF/ENTITY share NCName's space, QName is an
+    optional NCName prefix + ':' + NCName local part, NOTATION
+    shares QName's space).  Planted violations: digit-led Name,
+    colon and hyphen-led ID, space in IDREF, dot-led ENTITY,
+    digit-led QName local part and empty QName prefix, double-colon
+    NOTATION."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.model.triples import (
+        from_ntriples,
+        from_turtle,
+        to_ntriples,
+        to_turtle,
+        triples_from_table,
+        xsd_lexical_valid,
+    )
+
+    part = _t(spark, sf_dir, "part")["part"]
+    k = F.col("p_partkey")
+    fixture = part.select(
+        "p_partkey",
+        F.when(k % 4 == 0, F.lit("9bad"))
+        .when(k % 4 == 1, F.lit("x:y.z-ok"))
+        .otherwise(F.concat(F.lit("n_"), (k % 7).cast("string")))
+        .alias("nm"),
+        F.when(k % 5 == 0, F.lit("a:b"))
+        .when(k % 5 == 1, F.lit("-lead"))
+        .otherwise(F.concat(F.lit("_id"), (k % 9).cast("string")))
+        .alias("idv"),
+        F.when(k % 3 == 0, F.lit("has space"))
+        .otherwise(F.concat(F.lit("ref.x"), (k % 5).cast("string")))
+        .alias("idr"),
+        F.when(k % 6 == 2, F.lit(".dot"))
+        .otherwise(F.concat(F.lit("e-"), (k % 4).cast("string")))
+        .alias("ent"),
+        F.when(k % 5 == 3, F.lit("ex:9bad"))
+        .when(k % 7 == 1, F.lit(":lead"))
+        .otherwise(F.concat(F.lit("ex:local"), (k % 6).cast("string")))
+        .alias("qn"),
+        F.when(k % 4 == 2, F.lit("two:colons:x"))
+        .otherwise(F.concat(F.lit("fmt:png"), (k % 3).cast("string")))
+        .alias("nota"),
+    )
+    trips = triples_from_table(
+        fixture,
+        "Part",
+        "p_partkey",
+        value_cols=["nm", "idv", "idr", "ent", "qn", "nota"],
+        type_overrides={
+            "nm": "xsd:Name",
+            "idv": "xsd:ID",
+            "idr": "xsd:IDREF",
+            "ent": "xsd:ENTITY",
+            "qn": "xsd:QName",
+            "nota": "xsd:NOTATION",
+        },
+    )
+    width = spark.sparkContext.defaultParallelism
+    nt_lines = plan_checkpoint(
+        to_ntriples(trips, base=_NT_B).select("line").repartition(width)
+    )
+    ttl_lines = plan_checkpoint(
+        to_turtle(trips, base=_NT_B).select("line").repartition(width)
+    )
+    nt = plan_checkpoint(from_ntriples(nt_lines, base=_NT_B))
+    ttl = plan_checkpoint(from_turtle(ttl_lines))
+    cols = ["subject", "predicate", "obj", "obj_type"]
+    out = nt.select(F.lit("nt").alias("fmt"), *cols).unionByName(
+        ttl.select(F.lit("ttl").alias("fmt"), *cols)
+    )
+    return out.withColumn(
+        "valid", xsd_lexical_valid(F.col("obj"), F.col("obj_type"))
+    )

@@ -532,6 +532,7 @@ def graphql_schema(
     id_cols: dict[str, str] | None = None,
     backlink_names: dict[tuple[str, str], str] | None = None,
     documentation: DataFrame | None = None,
+    enums: DataFrame | None = None,
 ) -> DataFrame:
     """(type_name, kind, doc): the GraphQL schema document generated
     from effective class frames — the reference's graphql layer emits
@@ -580,7 +581,19 @@ def graphql_schema(
     types and their fields (the introspection protocol's description
     slot, which codegen clients read).  to_json drops NULL struct
     members, so undocumented schemas render byte-identically to the
-    pre-documentation shape."""
+    pre-documentation shape.
+
+    ``enums``: optional (class, value, description) frame — the
+    schema's Enum classes (TerminusDB ``@type: Enum`` with ``@values``
+    and the ``@documentation: {@values: {...}}`` per-value
+    descriptions).  Each enum class renders as a ``kind='ENUM'``
+    schema document with a name-sorted ``enumValues`` array of
+    ``{name, description}`` (description NULL → dropped on render),
+    plus the class-level ``@comment`` from ``documentation``;
+    introspection serves them through ``__type { enumValues { name
+    description } }``.  Properties typed with an enum class keep the
+    enum name as their field type but generate NO reverse link field
+    (an enum value is not a document)."""
     is_link = ~F.col("obj_types").startswith("xsd:")
     ftype = F.lit(None).cast("string")
     for x, g in sorted(_GQL_SCALARS.items()):
@@ -629,7 +642,17 @@ def graphql_schema(
             (F.col("class") == src_cls) & (F.col("predicate") == pred),
             F.lit(declared),
         ).otherwise(rev_name)
-    rev = frames.where(is_link).select(
+    rev_src = frames.where(is_link)
+    if enums is not None:
+        # enum-typed properties are scalar-like: no reverse link
+        rev_src = rev_src.join(
+            F.broadcast(
+                enums.select(F.col("class").alias("obj_types")).distinct()
+            ),
+            "obj_types",
+            "left_anti",
+        )
+    rev = rev_src.select(
         F.col("obj_types").alias("type_name"),
         fld(
             rev_name,
@@ -738,7 +761,98 @@ def graphql_schema(
             ).alias("doc"),
         )
     )
-    return objects.unionByName(filters).unionByName(query)
+    out = objects.unionByName(filters).unionByName(query)
+    if enums is not None:
+        ev = (
+            enums.groupBy(F.col("class").alias("type_name"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("value").alias("name"),
+                            F.col("description"),
+                        )
+                    )
+                ).alias("enumValues")
+            )
+        )
+        if class_docs is not None:
+            ev = ev.join(F.broadcast(class_docs), "type_name", "left_outer")
+        else:
+            ev = ev.withColumn("_cls_desc", null_desc)
+        enum_types = ev.select(
+            "type_name",
+            F.lit("ENUM").alias("kind"),
+            F.to_json(
+                F.struct(
+                    F.col("type_name").alias("name"),
+                    F.lit("ENUM").alias("kind"),
+                    F.col("_cls_desc").alias("description"),
+                    F.col("enumValues"),
+                )
+            ).alias("doc"),
+        )
+        out = out.unionByName(enum_types)
+    return out
+
+
+def enum_frames_wire(
+    enums: DataFrame,
+    documentation: DataFrame | None = None,
+) -> DataFrame:
+    """(class, frame): Enum class definitions rendered as the frames
+    wire JSON (the reference's GET /api/schema shape for ``@type:
+    Enum`` classes): ``{"@id", "@type": "Enum", "@documentation":
+    {"@comment", "@values": {value: description, ...}}, "@values":
+    [sorted values]}``.  ``enums``: (class, value, description) —
+    per-value descriptions may be NULL; a class with no documented
+    value and no class comment renders without the ``@documentation``
+    member at all (to_json drops NULL members), so undocumented enums
+    keep the bare pre-documentation shape.  ``documentation``: the
+    same (class, predicate, comment) frame ``graphql_schema`` takes —
+    predicate-NULL rows supply the class-level ``@comment``.  Value
+    order is canonical (name-sorted) in both ``@values`` and the
+    ``@documentation.@values`` map, so the JSON is byte-stable.
+    Metadata-scale: one groupBy over |enum values| rows."""
+    vals = enums.groupBy("class").agg(
+        F.array_sort(F.collect_list("value")).alias("_values"),
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("description").isNotNull(),
+                        F.struct("value", "description"),
+                    )
+                )
+            )
+        ).alias("_vdocs"),
+    )
+    if documentation is not None:
+        cls_doc = documentation.where(F.col("predicate").isNull()).select(
+            "class", F.col("comment").alias("_cls_desc")
+        )
+        vals = vals.join(F.broadcast(cls_doc), "class", "left_outer")
+    else:
+        vals = vals.withColumn("_cls_desc", F.lit(None).cast("string"))
+    has_docs = (F.size("_vdocs") > 0) | F.col("_cls_desc").isNotNull()
+    doc_block = F.when(
+        has_docs,
+        F.struct(
+            F.col("_cls_desc").alias("@comment"),
+            F.when(F.size("_vdocs") > 0, F.col("_vdocs")).alias("@values"),
+        ),
+    )
+    return vals.select(
+        "class",
+        F.to_json(
+            F.struct(
+                F.col("class").alias("@id"),
+                F.lit("Enum").alias("@type"),
+                doc_block.alias("@documentation"),
+                F.col("_values").alias("@values"),
+            )
+        ).alias("frame"),
+    )
 
 
 def replace_documents(

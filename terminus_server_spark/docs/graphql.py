@@ -791,7 +791,8 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
 _INTROSPECT_DOC = (
     "struct<name:string,kind:string,description:string,"
     "fields:array<struct<name:string,type:string,nonNull:boolean,"
-    "description:string,ops:array<string>,args:array<string>>>>"
+    "description:string,ops:array<string>,args:array<string>>>,"
+    "enumValues:array<struct<name:string,description:string>>>"
 )
 
 _TYPE_FIELD_ATTRS = ("name", "type", "nonNull", "description", "ops", "args")
@@ -833,6 +834,24 @@ def _type_selection(schema_doc, sel_fields, name=None):
                         lambda x: F.struct(*[x[s].alias(s) for s in subs]),
                     )
                 ).alias("fields")
+            )
+        elif f["name"] == "enumValues":
+            # the Relay/introspection __EnumValue selection — name +
+            # the @documentation @values description (NULL members
+            # drop on render, so undocumented values stay {name})
+            subs = [s for s in f["fields"] if isinstance(s, str)]
+            bad = [s for s in subs if s not in ("name", "description")]
+            if bad:
+                raise ValueError(
+                    f"graphql: unknown __EnumValue attrs {bad}"
+                )
+            cols.append(
+                F.to_json(
+                    F.transform(
+                        parsed["enumValues"],
+                        lambda x: F.struct(*[x[s].alias(s) for s in subs]),
+                    )
+                ).alias("enumValues")
             )
         else:
             raise ValueError(

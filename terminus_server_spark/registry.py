@@ -24286,3 +24286,94 @@ def rdf_xsd_wide4(spark, sf_dir):
     return out.withColumn(
         "valid", xsd_lexical_valid(F.col("obj"), F.col("obj_type"))
     )
+
+
+@register(
+    "gql_introspect_enum",
+    """
+    SELECT 'Status' AS name, 'ENUM' AS kind,
+           'Order lifecycle state' AS description,
+           '[{"name":"F","description":"Fulfilled"},'
+           || '{"name":"O","description":"Open"},'
+           || '{"name":"P"}]' AS "enumValues"
+    """,
+)
+def gql_introspect_enum(spark, sf_dir):
+    """Enum ``@documentation`` ``@values`` through GraphQL
+    introspection (r10 verdict missing-item 3, wire half): enum
+    classes render as kind='ENUM' schema documents with a name-sorted
+    enumValues array carrying the per-value descriptions, served via
+    ``__type(name:) { name kind description enumValues { name
+    description } }`` — the introspection slot GraphQL tooling reads
+    for enum docs.  An undocumented value renders bare ``{name}``
+    (to_json drops NULL members); the class-level description comes
+    from the same (class, NULL-predicate, comment) documentation
+    frame the OBJECT types use.  A property typed with the enum
+    generates NO reverse link field (an enum value is not a
+    document)."""
+    from terminus_server_spark.docs.documents import graphql_schema
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    frames = spark.createDataFrame(
+        [("Order", "status", "Status", True),
+         ("Order", "price", "xsd:decimal", True)],
+        "class string, predicate string, obj_types string, required boolean",
+    )
+    enums = spark.createDataFrame(
+        [("Status", "O", "Open"), ("Status", "F", "Fulfilled"),
+         ("Status", "P", None)],
+        "class string, value string, description string",
+    )
+    documentation = spark.createDataFrame(
+        [("Status", None, "Order lifecycle state")],
+        "class string, predicate string, comment string",
+    )
+    schema = graphql_schema(
+        frames, documentation=documentation, enums=enums
+    )
+    src = """
+    query {
+      __type(name: "Status") {
+        name kind description enumValues { name description }
+      }
+    }
+    """
+    return execute_graphql({}, src, schema=schema)["__type"]
+
+
+@register(
+    "schema_frames_enum",
+    """
+    SELECT * FROM (VALUES
+      ('Plain', '{"@id":"Plain","@type":"Enum","@values":["a","b"]}'),
+      ('Status', '{"@id":"Status","@type":"Enum","@documentation":'
+       || '{"@comment":"Order lifecycle state",'
+       || '"@values":{"F":"Fulfilled","O":"Open"}},'
+       || '"@values":["F","O","P"]}')
+    ) AS t(class, frame)
+    """,
+)
+def schema_frames_enum(spark, sf_dir):
+    """Enum class definitions rendered as the frames wire JSON
+    (r10 verdict missing-item 3, schema-API half —
+    docs/documents.py:enum_frames_wire): ``{"@id", "@type": "Enum",
+    "@documentation": {"@comment", "@values": {value: description}},
+    "@values": [sorted]}`` — the reference's GET /api/schema shape
+    for Enum classes with ``@documentation`` value blocks.
+    Undocumented values drop from the ``@values`` description map;
+    a fully undocumented enum (Plain) renders WITHOUT the
+    ``@documentation`` member at all, byte-identical to the
+    pre-documentation shape."""
+    from terminus_server_spark.docs.documents import enum_frames_wire
+
+    enums = spark.createDataFrame(
+        [("Status", "O", "Open"), ("Status", "F", "Fulfilled"),
+         ("Status", "P", None),
+         ("Plain", "a", None), ("Plain", "b", None)],
+        "class string, value string, description string",
+    )
+    documentation = spark.createDataFrame(
+        [("Status", None, "Order lifecycle state")],
+        "class string, predicate string, comment string",
+    )
+    return enum_frames_wire(enums, documentation)

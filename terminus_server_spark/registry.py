@@ -24377,3 +24377,84 @@ def schema_frames_enum(spark, sf_dir):
         "class string, predicate string, comment string",
     )
     return enum_frames_wire(enums, documentation)
+
+
+@register(
+    "stream_ktruss_cdc",
+    """
+    WITH mem AS (
+      SELECT (c_custkey // 10) * 10 AS g, c_custkey AS n
+      FROM customer WHERE c_custkey % 10 < 5),
+    full5 AS (SELECT g FROM mem GROUP BY g HAVING COUNT(*) = 5),
+    pairs AS (
+      SELECT m1.g AS g, m1.n AS a, m2.n AS b
+      FROM mem m1
+      JOIN mem m2 ON m1.g = m2.g AND m1.n < m2.n
+      JOIN full5 f ON m1.g = f.g)
+    SELECT a, b FROM pairs
+    WHERE NOT (g % 20 = 0 AND g % 40 != 0 AND b - g > 3)
+    """,
+)
+def stream_ktruss_cdc(spark, sf_dir):
+    """Streaming k-truss over a CDC edge stream (streaming/events.py:
+    run_stream_ktruss_cdc — the third CDC composition beside
+    stream_cc_cdc / stream_kcore_cdc): batch 1 adds a K5 clique per
+    complete 5-member decade group (every edge closes 3 triangles —
+    all in the 4-truss); batch 2 DELETES (g+3,g+4) and (g+2,g+4) for
+    g%20==0 — edges (g,g+4)/(g+1,g+4) fall to support 1 and peel,
+    isolating g+4 and leaving the K4 truss on {g..g+3} (the deletion
+    cascade); batch 3 re-ADDS both edges for g%40==0 — the
+    previously-peeled edges re-enter through triangles containing
+    the entering edges (the incremental closure), restoring the full
+    K5 truss.  Final truss = batch 4-truss of the net edge set; the
+    oracle states the three group regimes closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_ktruss_cdc
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 10).cast("bigint") * 10
+    members = cust.where(k % 10 < 5).select(g.alias("g"), k.alias("n"))
+    m5 = (
+        members.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == 5)
+        .select("g")
+    )
+    gm = members.join(m5, "g")
+    b1 = (
+        gm.alias("m1")
+        .join(gm.alias("m2"), "g")
+        .where(F.col("m1.n") < F.col("m2.n"))
+        .select(
+            F.lit("add").alias("op"),
+            F.col("m1.n").alias("src"),
+            F.col("m2.n").alias("dst"),
+        )
+    )
+    g20 = m5.where(F.col("g") % 20 == 0)
+    b2 = g20.select(
+        F.lit("del").alias("op"),
+        (F.col("g") + 3).alias("src"),
+        (F.col("g") + 4).alias("dst"),
+    ).unionByName(
+        g20.select(
+            F.lit("del").alias("op"),
+            (F.col("g") + 2).alias("src"),
+            (F.col("g") + 4).alias("dst"),
+        )
+    )
+    g40 = m5.where(F.col("g") % 40 == 0)
+    b3 = g40.select(
+        F.lit("add").alias("op"),
+        (F.col("g") + 3).alias("src"),
+        (F.col("g") + 4).alias("dst"),
+    ).unionByName(
+        g40.select(
+            F.lit("add").alias("op"),
+            (F.col("g") + 2).alias("src"),
+            (F.col("g") + 4).alias("dst"),
+        )
+    )
+    return run_stream_ktruss_cdc(spark, [b1, b2, b3], k=4)

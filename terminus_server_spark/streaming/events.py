@@ -2082,3 +2082,110 @@ def run_stream_kcore_cdc(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"c{state['version']}"))
+
+
+def run_stream_ktruss_cdc(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    k: int = 4,
+) -> DataFrame:
+    """(a, b): streaming k-truss maintenance over a CDC edge stream —
+    the third member of the CDC composition family (stream_cc_cdc,
+    stream_kcore_cdc): each micro-batch carries ``(op, src, dst)``
+    rows with op ∈ {add, del}; deletes apply first through
+    ``ktruss_decremental`` (a peel of the old truss minus the deleted
+    edges — truss_new ⊆ truss_old by maximality, support recomputed
+    only along the deletion cascade), then inserts through
+    ``ktruss_incremental`` (candidate set = the delta's
+    shares-a-triangle closure intersected with non-truss edges;
+    frozen old truss).  The decremental step needs no edge store at
+    all (the truss IS its own support subgraph); the store feeds the
+    incremental step's triangle closure.  Within one micro-batch the
+    ops are an UNORDERED CDC set: deletes against the pre-batch
+    state, inserts after (add+del of one edge nets to present).
+    All-add / all-del batches skip the other direction's pass.  The
+    final truss equals the batch k-truss of the NET edge set under
+    any split respecting the convention."""
+    from terminus_server_spark.operators.graph import (
+        ktruss_decremental,
+        ktruss_incremental,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tss_ktrusscdc_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def canon(e):
+        return (
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        adds = canon(batch_df.where(F.col("op") == "add"))
+        dels = canon(batch_df.where(F.col("op") == "del"))
+        adds = adds.localCheckpoint(eager=True)
+        dels = dels.localCheckpoint(eager=True)
+        if state["version"] >= 0:
+            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            truss = s.read.parquet(os.path.join(tmp, f"t{state['version']}"))
+        else:
+            stored = adds.limit(0)
+            truss = adds.select(
+                F.col("src").alias("a"), F.col("dst").alias("b")
+            ).limit(0)
+        if dels.count():
+            truss = ktruss_decremental(
+                truss, dels.select("src", "dst"), k=k
+            )
+            stored = stored.join(
+                F.broadcast(dels), ["src", "dst"], "left_anti"
+            )
+        if adds.count():
+            truss = ktruss_incremental(
+                truss,
+                stored,
+                adds.select("src", "dst"),
+                k=k,
+            )
+            adds_only = adds.join(
+                stored.join(
+                    F.broadcast(adds.select("src").distinct()),
+                    "src",
+                    "left_semi",
+                ),
+                ["src", "dst"],
+                "left_anti",
+            )
+            stored = stored.unionByName(adds_only)
+        state["version"] += 1
+        stored.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"e{state['version']}")
+        )
+        truss.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"t{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"t{state['version']}"))

@@ -72,3 +72,43 @@ def test_stream_kcore_cdc_split_invariance(spark):
             ).collect()}
     assert got3 == want
     assert got2 == want
+
+
+def test_stream_ktruss_cdc_split_invariance(spark):
+    """run_stream_ktruss_cdc: re-batching a CDC op sequence leaves
+    the truss identical, and it equals batch k-truss of the net edge
+    set — deletion cascade, re-entry of previously-peeled edges, and
+    same-batch add+del netting to present all exercised."""
+    from terminus_server_spark.operators.graph import ktruss
+    from terminus_server_spark.streaming.events import run_stream_ktruss_cdc
+
+    schema = "op string, src long, dst long"
+    # K5 on 0..4 and K4 on 10..13
+    b1 = [("add", i, j) for i in range(5) for j in range(i + 1, 5)] + [
+        ("add", i, j) for i in range(10, 14) for j in range(i + 1, 14)
+    ]
+    # drop two edges at node 4: (0,4)/(1,4) fall to support 1 and
+    # peel, leaving K4 on 0..3; same-batch add+del of (10,11)
+    b2 = [("del", 3, 4), ("del", 2, 4), ("del", 10, 11), ("add", 10, 11)]
+    # restore one edge: (3,4) back -> 4 has partners 0,1,3 but
+    # support for (0,4): via 1 and 3 -> wait, (2,4) still deleted
+    b3 = [("add", 2, 4)]
+    three = [spark.createDataFrame(b, schema) for b in (b1, b2, b3)]
+    two = [
+        spark.createDataFrame(b1, schema),
+        spark.createDataFrame(b2 + b3, schema),
+    ]
+    got3 = {(r.a, r.b)
+            for r in run_stream_ktruss_cdc(spark, three, k=4).collect()}
+    got2 = {(r.a, r.b)
+            for r in run_stream_ktruss_cdc(spark, two, k=4).collect()}
+    net = [(i, j) for i in range(5) for j in range(i + 1, 5)
+           if (i, j) != (3, 4)] + [
+        (i, j) for i in range(10, 14) for j in range(i + 1, 14)
+    ]
+    want = {(r.a, r.b)
+            for r in ktruss(
+                spark.createDataFrame(net, "src long, dst long"), k=4
+            ).collect()}
+    assert got3 == want
+    assert got2 == want

@@ -415,6 +415,59 @@ def domain_blocklist_verdicts(
     return docs.join(hits, key_col, "left_outer")
 
 
+def phrase_blocklist(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(key, phrase, hits): TOKEN-GRAIN multi-word phrase matching —
+    the bad-phrase / boilerplate-marker filter that runs beside the
+    domain blocklist in crawl curation (and the content side of
+    benchmark-canary detection).  Matching is at token-sequence
+    boundaries, never substrings: the phrase "key order sort" does
+    NOT match inside "monkey order sort", and overlapping
+    occurrences each count ("a a a" holds two "a a" matches).
+
+    ``phrases``: one ``phrase`` column of space-separated multi-word
+    entries — request-sized metadata (the blocklist), broadcast.
+    Scale shape: for each DISTINCT phrase word-length L (driver-side
+    collect of a phrase-table aggregate — blocklist-sized, the
+    adjudicated metadata-collect class), each doc builds its L-gram
+    strings map-side from the token array (transform over a
+    positional sequence, no corpus shuffle), explodes, and
+    inner-joins the broadcast length-L phrase slice; one (key,
+    phrase) count per length, unioned.  A 100 TB corpus pays L
+    map-side passes + broadcast joins + one count aggregation at the
+    match grain (matches only, never all grams survive the join)."""
+    from pyspark.sql.functions import broadcast
+
+    plen = F.size(F.split(F.col("phrase"), " "))
+    lengths = sorted(
+        r[0]
+        for r in phrases.select(plen.alias("L")).distinct().collect()
+    )
+    toks = F.split(F.col(text_col), " ")
+    out = None
+    for L in lengths:
+        grams = F.when(
+            F.size(toks) >= L,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - L + 1),
+                lambda i: F.array_join(F.slice(toks, i, L), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        p_l = phrases.where(plen == L).select("phrase")
+        part = (
+            docs.select(F.col(key_col), F.explode(grams).alias("phrase"))
+            .join(broadcast(p_l), "phrase")
+            .groupBy(key_col, "phrase")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def kmv_grouped_estimate(
     df: DataFrame, group_col: str, col: str, k: int = 256
 ) -> DataFrame:

@@ -24458,3 +24458,44 @@ def stream_ktruss_cdc(spark, sf_dir):
         )
     )
     return run_stream_ktruss_cdc(spark, [b1, b2, b3], k=4)
+
+
+@register(
+    "docs_phrase_blocklist",
+    """
+    WITH p(phrase, plen) AS (VALUES ('table scan', 2),
+                                    ('group query', 2),
+                                    ('filter window row', 3)),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, phrase,
+             list_sum(list_transform(
+               range(1, greatest(len(t)-plen+1, 0) + 1),
+               i -> CASE WHEN array_to_string(list_slice(t, i, i+plen-1),
+                                              ' ') = phrase
+                         THEN 1 ELSE 0 END)) AS hits
+      FROM toks, p)
+    SELECT doc_id, phrase, CAST(hits AS BIGINT) AS hits
+    FROM grams WHERE hits > 0
+    """,
+)
+def docs_phrase_blocklist(spark, sf_dir):
+    """Token-grain multi-word PHRASE blocklist matching
+    (operators/pipeline.py:phrase_blocklist — the content-side
+    companion of docs_domain_blocklist): per distinct phrase
+    word-length L the docs build their L-gram strings MAP-SIDE from
+    the token array and inner-join the broadcast length-L phrase
+    slice; matches count at token-sequence boundaries (no substring
+    false positives, overlapping occurrences each count).  The
+    oracle restates the positional L-gram scan closed-form per
+    (doc, phrase)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.pipeline import phrase_blocklist
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    phrases = spark.createDataFrame(
+        [("table scan",), ("group query",), ("filter window row",)],
+        "phrase string",
+    )
+    return phrase_blocklist(docs, phrases)

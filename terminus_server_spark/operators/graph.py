@@ -618,6 +618,51 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
 
+def quadrilateral_count(edges: DataFrame) -> DataFrame:
+    """Total 4-cycles (quadrilaterals) in the undirected simple
+    graph — the next motif after triangles (graph-similarity /
+    spam-farm signals; bipartite cores show up as C4 mass where
+    triangles are blind).
+
+    Identity: every C4 is determined by an opposite-vertex pair
+    {u,v} plus a 2-subset of their common neighbors, and has exactly
+    two opposite pairs — so Q = (1/2)·Σ_{u<v} C(codegree(u,v), 2).
+    Plan: one wedge self-join through the center (canonical u<v
+    endpoint pair keeps each key once), one (u,v) count aggregation
+    at the CODEGREE grain (|pairs with a common neighbor| rows, not
+    |wedges| — the groupBy is the compression), one scalar sum.
+    Same cost family as triangle counting (Σ deg² wedge work); the
+    chordal diagonal is irrelevant to the cycle so no adjacency
+    check is needed — one row out: (n_quads)."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    adj = und.transform(loop_checkpoint)
+    a = adj.alias("a")
+    b = adj.alias("b")
+    codeg = (
+        a.join(b, F.col("a.src") == F.col("b.src"))
+        .where(F.col("a.dst") < F.col("b.dst"))
+        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Σ c(c−1) = 4Q exactly; decimal(38,0) keeps the sum exact at any
+    # scale, and 4 divides it by construction
+    return codeg.agg(
+        (
+            F.sum(
+                (F.col("c") * (F.col("c") - F.lit(1))).cast("decimal(38,0)")
+            )
+            / F.lit(4)
+        )
+        .cast("bigint")
+        .alias("n_quads")
+    )
+
+
 def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> DataFrame:
     """Multi-source BFS: (source, node, hops) minimum hop counts from
     each source node.  sources: DataFrame(node).  Semi-naive frontier

@@ -24499,3 +24499,70 @@ def docs_phrase_blocklist(spark, sf_dir):
         "phrase string",
     )
     return phrase_blocklist(docs, phrases)
+
+
+@register(
+    "graph_c4",
+    """
+    WITH mem AS (
+      SELECT (c_custkey // 10) * 10 AS g, c_custkey AS n
+      FROM customer WHERE c_custkey % 10 < 4),
+    full4 AS (SELECT g FROM mem GROUP BY g HAVING COUNT(*) = 4),
+    gm AS (SELECT mem.g, mem.n FROM mem JOIN full4 ON mem.g = full4.g),
+    base AS (
+      SELECT m1.n AS src, m2.n AS dst
+      FROM gm m1 JOIN gm m2 ON m1.g = m2.g AND m1.n < m2.n),
+    bridge AS (
+      SELECT g1.g + 3 AS src, g1.g + 10 AS dst
+      FROM full4 g1 JOIN full4 g2 ON g2.g = g1.g + 10),
+    e AS (SELECT src, dst FROM base UNION SELECT src, dst FROM bridge),
+    adj AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    codeg AS (
+      SELECT a.dst AS u, b.dst AS v, COUNT(*) AS c
+      FROM adj a JOIN adj b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY a.dst, b.dst)
+    SELECT CAST(SUM(c * (c - 1)) / 4 AS BIGINT) AS n_quads FROM codeg
+    """,
+)
+def graph_c4(spark, sf_dir):
+    """Global 4-cycle (quadrilateral) counting
+    (operators/graph.py:quadrilateral_count — the next motif after
+    triangles; bipartite cores show up as C4 mass where triangle
+    counts are blind): Q = Σ_{u<v} C(codegree(u,v), 2) / 2, computed
+    as one wedge self-join through the center + one codegree-grain
+    aggregation + one exact decimal scalar (Σ c(c−1) = 4Q).  The
+    fixture builds K4 cliques per complete 4-member decade group
+    (3 C4s each) plus single-edge bridges between consecutive
+    complete groups (bridges alone close no new cycles — the oracle
+    replays the identity over the same edge set, so partial groups
+    at any SF stay exact)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.graph import quadrilateral_count
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 10).cast("bigint") * 10
+    members = cust.where(k % 10 < 4).select(g.alias("g"), k.alias("n"))
+    m4 = (
+        members.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == 4)
+        .select("g")
+    )
+    gm = members.join(m4, "g")
+    base = (
+        gm.alias("m1")
+        .join(gm.alias("m2"), "g")
+        .where(F.col("m1.n") < F.col("m2.n"))
+        .select(F.col("m1.n").alias("src"), F.col("m2.n").alias("dst"))
+    )
+    bridge = (
+        m4.alias("g1")
+        .join(m4.alias("g2"), F.col("g2.g") == F.col("g1.g") + 10)
+        .select(
+            (F.col("g1.g") + 3).alias("src"),
+            (F.col("g1.g") + 10).alias("dst"),
+        )
+    )
+    return quadrilateral_count(base.unionByName(bridge))

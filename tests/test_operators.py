@@ -4888,3 +4888,24 @@ def test_graphql_backward_cursor_nested(spark):
     assert json.loads(out[0].cs) == [{"ck": 11}, {"ck": 12}]
     assert json.loads(out[1].cs) == []  # ck 20.. all >= 13
     assert json.loads(out[2].cs) == []  # no children at all
+
+
+def test_quadrilateral_count(spark):
+    """quadrilateral_count: C4=1, C5=0, K4=3, K2,3=3 (the bipartite
+    case triangles are blind to), disjoint union adds."""
+    from terminus_server_spark.operators.graph import quadrilateral_count
+
+    def q(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return quadrilateral_count(df).collect()[0].n_quads
+
+    c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert q(c4) == 1
+    c5 = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    assert q(c5) == 0
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert q(k4) == 3
+    k23 = [(a, b) for a in (0, 1) for b in (10, 11, 12)]
+    assert q(k23) == 3
+    both = k4 + [(x + 100, y + 100) for x, y in k23]
+    assert q(both) == 6

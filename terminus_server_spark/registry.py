@@ -24566,3 +24566,113 @@ def graph_c4(spark, sf_dir):
         )
     )
     return quadrilateral_count(base.unionByName(bridge))
+
+
+def _stream_pr_oracle() -> str:
+    """Unrolled replay of run_stream_pagerank's cold+warm schedule:
+    3 cold iterations on batch-1 edges, then 2 warm iterations after
+    each of batches 2 and 3 over the accumulated edge set, fresh
+    nodes seeded at 1/|V_new| before their first warm round — the
+    same floor-scaled fixed-point template as the pagerank oracles,
+    with per-phase nodes/links tables."""
+    it = """
+    {cur} AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT COUNT(*) FROM {nodes})
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+      FROM {nodes} n LEFT JOIN (
+        SELECT l.dst AS node,
+               CAST(SUM(CAST(FLOOR(p.rank / l.out_degree * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / CAST(1e15 AS DOUBLE) AS contrib
+        FROM {links} l JOIN {prev} p ON l.src = p.node
+        GROUP BY l.dst) c ON n.node = c.node)"""
+    parts, prev = [], "pr0"
+    for i in (1, 2, 3):
+        parts.append(it.format(cur=f"pr{i}", prev=prev, links="links1", nodes="nodes1"))
+        prev = f"pr{i}"
+    parts.append("""
+    car12 AS (
+      SELECT node, rank FROM pr3
+      UNION ALL
+      SELECT node, CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM nodes12) AS rank
+      FROM nodes12 WHERE node NOT IN (SELECT node FROM pr3))""")
+    prev = "car12"
+    for i in (4, 5):
+        parts.append(it.format(cur=f"pr{i}", prev=prev, links="links12", nodes="nodes12"))
+        prev = f"pr{i}"
+    parts.append("""
+    car123 AS (
+      SELECT node, rank FROM pr5
+      UNION ALL
+      SELECT node, CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM nodes123) AS rank
+      FROM nodes123 WHERE node NOT IN (SELECT node FROM pr5))""")
+    prev = "car123"
+    for i in (6, 7):
+        parts.append(it.format(cur=f"pr{i}", prev=prev, links="links123", nodes="nodes123"))
+        prev = f"pr{i}"
+    return f"""
+    WITH e1 AS (
+      SELECT DISTINCT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 2) AS dst
+      FROM customer WHERE c_custkey >= 1),
+    d2 AS (
+      SELECT DISTINCT 'C/' || c_custkey AS src, 'C/' || (c_custkey // 3) AS dst
+      FROM customer WHERE c_custkey >= 3 AND c_custkey % 7 = 0),
+    d3 AS (
+      SELECT DISTINCT 'C/' || c_custkey AS src, 'N/' || c_custkey AS dst
+      FROM customer WHERE c_custkey % 11 = 0),
+    e12 AS (SELECT * FROM e1 UNION SELECT * FROM d2),
+    e123 AS (SELECT * FROM e12 UNION SELECT * FROM d3),
+    nodes1 AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+    nodes12 AS (SELECT src AS node FROM e12 UNION SELECT dst FROM e12),
+    nodes123 AS (SELECT src AS node FROM e123 UNION SELECT dst FROM e123),
+    deg1 AS (SELECT src, COUNT(*) AS out_degree FROM e1 GROUP BY src),
+    links1 AS (SELECT e1.src, e1.dst, deg1.out_degree
+               FROM e1 JOIN deg1 ON e1.src = deg1.src),
+    deg12 AS (SELECT src, COUNT(*) AS out_degree FROM e12 GROUP BY src),
+    links12 AS (SELECT e12.src, e12.dst, deg12.out_degree
+                FROM e12 JOIN deg12 ON e12.src = deg12.src),
+    deg123 AS (SELECT src, COUNT(*) AS out_degree FROM e123 GROUP BY src),
+    links123 AS (SELECT e123.src, e123.dst, deg123.out_degree
+                 FROM e123 JOIN deg123 ON e123.src = deg123.src),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM nodes1) AS rank
+            FROM nodes1),{",".join(parts)}
+    SELECT node, rank FROM pr7
+    """
+
+
+@register("stream_pagerank", None)
+def stream_pagerank(spark, sf_dir):
+    """Streaming PageRank maintenance (streaming/events.py:
+    run_stream_pagerank): batch 1 (halving edges) pays 3 COLD
+    iterations; batch 2 (skip-3 edges for every 7th customer) and
+    batch 3 (fresh N/ sink nodes for every 11th customer — exercises
+    the 1/|V_new| fresh-node seeding AND dangling-node handling) each
+    run only 2 WARM iterations from the carried ranks — the power
+    method's warm-restart schedule per micro-batch, delta-sized
+    store updates.  The oracle replays the unrolled cold+warm
+    schedule bit-exactly (shared floor-scaled fixed-point
+    template)."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_pagerank
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    b1 = cust.where(k >= 1).select(
+        F.concat(F.lit("C/"), k.cast("string")).alias("src"),
+        F.concat(F.lit("C/"), F.floor(k / 2).cast("long").cast("string")).alias("dst"),
+    )
+    b2 = cust.where((k >= 3) & (k % 7 == 0)).select(
+        F.concat(F.lit("C/"), k.cast("string")).alias("src"),
+        F.concat(F.lit("C/"), F.floor(k / 3).cast("long").cast("string")).alias("dst"),
+    )
+    b3 = cust.where(k % 11 == 0).select(
+        F.concat(F.lit("C/"), k.cast("string")).alias("src"),
+        F.concat(F.lit("N/"), k.cast("string")).alias("dst"),
+    )
+    return run_stream_pagerank(
+        spark, [b1, b2, b3], cold_iters=3, warm_iters=2
+    )
+
+
+ORACLES["stream_pagerank"] = _stream_pr_oracle()

@@ -2189,3 +2189,95 @@ def run_stream_ktruss_cdc(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"t{state['version']}"))
+
+
+def run_stream_pagerank(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    cold_iters: int = 3,
+    warm_iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank): streaming PageRank maintenance — the power
+    method's warm-restart pattern (operators/graph.py:pagerank_warm;
+    Langville & Meyer) run per micro-batch over the accumulated
+    DIRECTED edge store: batch 1 pays ``cold_iters`` cold iterations,
+    every later batch restarts from the carried ranks and runs only
+    ``warm_iters`` — the versioned-store "recompute only what moved"
+    schedule, streaming.  Fresh nodes entering with a batch seed at
+    the uniform share 1/|V_new| before the warm rounds (the carried
+    table must cover every node of the updated graph).  The edge
+    store update is delta-sized (broadcast anti-join + disjoint
+    union, directed (src,dst) grain).  Arithmetic is the shared
+    floor-scaled fixed-point loop, so the final ranks replay
+    bit-exactly from the unrolled cold+warm schedule — that replay IS
+    the oracle."""
+    from terminus_server_spark.operators.graph import pagerank, pagerank_warm
+
+    tmp = tempfile.mkdtemp(prefix="tss_spr_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        adds = (
+            batch_df.select("src", "dst")
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if state["version"] >= 0:
+            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            ranks = s.read.parquet(os.path.join(tmp, f"r{state['version']}"))
+        else:
+            stored, ranks = adds.limit(0), None
+        adds_only = adds.join(
+            stored.join(
+                F.broadcast(adds.select("src").distinct()), "src", "left_semi"
+            ),
+            ["src", "dst"],
+            "left_anti",
+        )
+        edges = stored.unionByName(adds_only)
+        if ranks is None:
+            new_ranks = pagerank(edges, damping=damping, iters=cold_iters)
+        else:
+            nodes = (
+                edges.select(F.col("src").alias("node"))
+                .union(edges.select(F.col("dst")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_new = nodes.count()
+            fresh = nodes.join(ranks.select("node"), "node", "left_anti")
+            seeded = ranks.unionByName(
+                fresh.select("node", F.lit(1.0 / n_new).alias("rank"))
+            )
+            new_ranks = pagerank_warm(
+                edges, seeded, damping=damping, iters=warm_iters
+            )
+        state["version"] += 1
+        edges.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"e{state['version']}")
+        )
+        new_ranks.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"r{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"r{state['version']}"))

@@ -568,6 +568,12 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
                 )
         return out
     out = df
+    # `__typename` (GraphQL spec meta-field, valid on ANY selection
+    # set — Apollo-family clients add it to every query for cache
+    # normalization): a constant projection of the class name,
+    # available at any nesting depth like _id below
+    if "__typename" in [f for f in fields if isinstance(f, str)]:
+        out = out.withColumn("__typename", F.lit(cls))
     # the generated schema's `_id: ID!` field: document identifier
     # rendered `<Class>/<key>` from the registered id column — a pure
     # projection, available at any nesting depth (child levels pass

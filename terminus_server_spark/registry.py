@@ -24676,3 +24676,104 @@ def stream_pagerank(spark, sf_dir):
 
 
 ORACLES["stream_pagerank"] = _stream_pr_oracle()
+
+
+@register(
+    "gql_execute_typename",
+    """
+    WITH par AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'HOUSEHOLD'),
+    ranked AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS rn
+      FROM orders),
+    ch AS (
+      SELECT o_custkey,
+             to_json(list(struct_pack(o_orderkey := o_orderkey,
+                                      "__typename" := 'Order')
+                          ORDER BY rn))::VARCHAR AS orders
+      FROM ranked WHERE rn <= 2 GROUP BY o_custkey)
+    SELECT p.c_custkey, 'Customer' AS "__typename",
+           COALESCE(ch.orders, '[]') AS orders
+    FROM par p LEFT JOIN ch ON p.c_custkey = ch.o_custkey
+    """,
+)
+def gql_execute_typename(spark, sf_dir):
+    """GraphQL ``__typename`` meta-field (docs/graphql.py — the spec
+    meta-field Apollo-family clients attach to EVERY selection set
+    for cache normalization): a constant class-name projection valid
+    at the root AND inside nested selection sets, composing with
+    paging and relations unchanged.  The oracle restates the
+    constant per level."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    return execute_graphql(
+        {"Customer": t["customer"], "Order": t["orders"]},
+        """
+        query {
+          Customer(filter: {c_mktsegment: {eq: "HOUSEHOLD"}}) {
+            c_custkey
+            __typename
+            orders(orderBy: {o_orderkey: ASC}, limit: 2) {
+              o_orderkey
+              __typename
+            }
+          }
+        }
+        """,
+        relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
+    )["Customer"]
+
+
+@register(
+    "src_xml_roundtrip",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+           MIN(c_name) AS first_name
+    FROM customer
+    WHERE c_acctbal > 1000
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def src_xml_roundtrip(spark, sf_dir):
+    """XML sink + source (Spark 4's NATIVE xml format — upstreamed
+    from spark-xml): write the high-balance customer slice as
+    row-tagged XML, read it back with the explicit schema, aggregate
+    — exercises schema preservation, attribute-free element
+    rendering, and type recovery through a text markup format (the
+    interchange surface beside CSV/JSON-lines/ORC/text in §2.7).
+    The read passes the WRITER's schema (XML type inference, like
+    CSV's, is advisory — pinning the schema is the production
+    shape)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    sel = cust.where(F.col("c_acctbal") > 1000).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="tss_xml_") + "/customer_xml"
+    sel.write.format("xml").option("rowTag", "customer").mode(
+        "overwrite"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .schema(sel.schema)
+        .option("rowTag", "customer")
+        .load(path)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_bal"),
+            F.min("c_name").alias("first_name"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -2823,6 +2823,7 @@ def ktruss_incremental(
     delta_edges: DataFrame,
     k: int = 4,
     max_iters: int = 30,
+    canonical_base: bool = False,
 ) -> DataFrame:
     """(a, b): the k-truss AFTER an insert-only commit delta, at cost
     proportional to the delta's cascade region — never a full-graph
@@ -2857,11 +2858,32 @@ def ktruss_incremental(
     cascade frontiers)."""
     spark = truss_old.sparkSession
     t_old = truss_old.select("a", "b").distinct()
-    e_new = _und(base_edges).unionByName(_und(delta_edges)).distinct()
+    delta_und = _und(delta_edges)
+    if canonical_base:
+        # caller guarantees the base is already canonical (a<b) and
+        # duplicate-free (the streaming edge store contract): e_new
+        # is the DISJOINT union of the base and the delta-only
+        # remainder — no full-store distinct() exchange (the same
+        # escape hatch as kcore_incremental / the decremental verbs)
+        base_und = base_edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+        delta_only = delta_und.join(
+            base_und.join(
+                F.broadcast(delta_und.select("a").distinct()),
+                "a",
+                "left_semi",
+            ),
+            ["a", "b"],
+            "left_anti",
+        )
+        e_new = base_und.unionByName(delta_only)
+    else:
+        e_new = _und(base_edges).unionByName(delta_und).distinct()
     e_new, n_new = loop_checkpoint_count(e_new)
     not_t = e_new.join(t_old, ["a", "b"], "left_anti")
     not_t = loop_checkpoint(not_t)
-    x = _und(delta_edges).join(t_old, ["a", "b"], "left_anti")
+    x = delta_und.join(t_old, ["a", "b"], "left_anti")
     x, n_x = loop_checkpoint_count(x)
     need = k - 2
     if n_x == 0:

@@ -2149,11 +2149,14 @@ def run_stream_ktruss_cdc(
                 F.broadcast(dels), ["src", "dst"], "left_anti"
             )
         if adds.count():
+            # the store is canonical + duplicate-free by construction
+            # — no full-store distinct inside the maintenance call
             truss = ktruss_incremental(
                 truss,
                 stored,
                 adds.select("src", "dst"),
                 k=k,
+                canonical_base=True,
             )
             adds_only = adds.join(
                 stored.join(

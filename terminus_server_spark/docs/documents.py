@@ -761,7 +761,36 @@ def graphql_schema(
             ).alias("doc"),
         )
     )
-    out = objects.unionByName(filters).unionByName(query)
+    # the Mutation root type (the reference's generated mutation
+    # fields _insertDocuments / _updateDocuments / _deleteDocuments,
+    # executed by execute_graphql_mutation): constant shape — the
+    # class is an argument, not a per-class field — served through
+    # __schema { mutationType } introspection
+    def mfld(name, args):
+        return F.struct(
+            F.lit(name).alias("name"),
+            F.lit("Int").alias("type"),
+            F.array(*[F.lit(a) for a in args]).alias("args"),
+        )
+
+    mutation = classes.limit(1).select(
+        F.lit("Mutation").alias("type_name"),
+        F.lit("MUTATION").alias("kind"),
+        F.to_json(
+            F.struct(
+                F.lit("Mutation").alias("name"),
+                F.lit("MUTATION").alias("kind"),
+                F.array(
+                    mfld("_deleteDocuments", ["class", "filter"]),
+                    mfld("_insertDocuments", ["class", "docs"]),
+                    mfld("_updateDocuments", ["class", "filter", "set"]),
+                ).alias("fields"),
+            )
+        ).alias("doc"),
+    )
+    out = (
+        objects.unionByName(filters).unionByName(query).unionByName(mutation)
+    )
     if enums is not None:
         ev = (
             enums.groupBy(F.col("class").alias("type_name"))

@@ -876,6 +876,8 @@ def _introspect(schema_doc, root, args, fields):
             return _type_selection(schema_doc, f["fields"])
         if isinstance(f, dict) and f["name"] == "queryType":
             return _type_selection(schema_doc, f["fields"], name="Query")
+        if isinstance(f, dict) and f["name"] == "mutationType":
+            return _type_selection(schema_doc, f["fields"], name="Mutation")
     raise ValueError(
         "graphql: __schema selection must include types or queryType"
     )

@@ -5041,7 +5041,8 @@ def schema_frames_inherited(spark, sf_dir):
       ('Entity_Filter', 'INPUT_OBJECT', '{"name":"Entity_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Entity_Filter]","ops":[]},{"name":"_not","type":"Entity_Filter","ops":[]},{"name":"_or","type":"[Entity_Filter]","ops":[]},{"name":"id","type":"String","ops":["eq","ne","lt","gt","like","regex"]}]}'),
       ('Nation_Filter', 'INPUT_OBJECT', '{"name":"Nation_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Nation_Filter]","ops":[]},{"name":"_not","type":"Nation_Filter","ops":[]},{"name":"_or","type":"[Nation_Filter]","ops":[]},{"name":"name","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"population","type":"Int","ops":["eq","ne","lt","gt"]}]}'),
       ('Supplier_Filter', 'INPUT_OBJECT', '{"name":"Supplier_Filter","kind":"INPUT_OBJECT","fields":[{"name":"_and","type":"[Supplier_Filter]","ops":[]},{"name":"_not","type":"Supplier_Filter","ops":[]},{"name":"_or","type":"[Supplier_Filter]","ops":[]},{"name":"balance","type":"Float","ops":["eq","ne","lt","gt"]},{"name":"id","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"name","type":"String","ops":["eq","ne","lt","gt","like","regex"]},{"name":"nation","type":"Nation","ops":["eq"]}]}'),
-      ('Query', 'QUERY', '{"name":"Query","kind":"QUERY","fields":[{"name":"Agent","type":"[Agent]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Customer","type":"[Customer]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Entity","type":"[Entity]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Nation","type":"[Nation]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Supplier","type":"[Supplier]","args":["id","ids","filter","orderBy","limit","offset"]}]}')
+      ('Query', 'QUERY', '{"name":"Query","kind":"QUERY","fields":[{"name":"Agent","type":"[Agent]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Customer","type":"[Customer]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Entity","type":"[Entity]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Nation","type":"[Nation]","args":["id","ids","filter","orderBy","limit","offset"]},{"name":"Supplier","type":"[Supplier]","args":["id","ids","filter","orderBy","limit","offset"]}]}'),
+      ('Mutation', 'MUTATION', '{"name":"Mutation","kind":"MUTATION","fields":[{"name":"_deleteDocuments","type":"Int","args":["class","filter"]},{"name":"_insertDocuments","type":"Int","args":["class","docs"]},{"name":"_updateDocuments","type":"Int","args":["class","filter","set"]}]}')
     ) AS t(type_name, kind, doc)
     """,
 )
@@ -5096,7 +5097,8 @@ def gql_schema(spark, sf_dir):
       ('Entity_Filter', 'INPUT_OBJECT', '[{"name":"_and","type":"[Entity_Filter]"},{"name":"_not","type":"Entity_Filter"},{"name":"_or","type":"[Entity_Filter]"},{"name":"id","type":"String"}]'),
       ('Nation_Filter', 'INPUT_OBJECT', '[{"name":"_and","type":"[Nation_Filter]"},{"name":"_not","type":"Nation_Filter"},{"name":"_or","type":"[Nation_Filter]"},{"name":"name","type":"String"},{"name":"population","type":"Int"}]'),
       ('Supplier_Filter', 'INPUT_OBJECT', '[{"name":"_and","type":"[Supplier_Filter]"},{"name":"_not","type":"Supplier_Filter"},{"name":"_or","type":"[Supplier_Filter]"},{"name":"balance","type":"Float"},{"name":"id","type":"String"},{"name":"name","type":"String"},{"name":"nation","type":"Nation"}]'),
-      ('Query', 'QUERY', '[{"name":"Agent","type":"[Agent]"},{"name":"Customer","type":"[Customer]"},{"name":"Entity","type":"[Entity]"},{"name":"Nation","type":"[Nation]"},{"name":"Supplier","type":"[Supplier]"}]')
+      ('Query', 'QUERY', '[{"name":"Agent","type":"[Agent]"},{"name":"Customer","type":"[Customer]"},{"name":"Entity","type":"[Entity]"},{"name":"Nation","type":"[Nation]"},{"name":"Supplier","type":"[Supplier]"}]'),
+      ('Mutation', 'MUTATION', '[{"name":"_deleteDocuments","type":"Int"},{"name":"_insertDocuments","type":"Int"},{"name":"_updateDocuments","type":"Int"}]')
     ) AS t(name, kind, fields)
     """,
 )
@@ -24777,3 +24779,35 @@ def src_xml_roundtrip(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "gql_introspect_mutation",
+    """
+    SELECT 'Mutation' AS name,
+           '[{"name":"_deleteDocuments","type":"Int","args":["class","filter"]},'
+           || '{"name":"_insertDocuments","type":"Int","args":["class","docs"]},'
+           || '{"name":"_updateDocuments","type":"Int","args":["class","filter","set"]}]'
+           AS fields
+    """,
+)
+def gql_introspect_mutation(spark, sf_dir):
+    """``__schema { mutationType }`` introspection (the generated
+    Mutation root: _insertDocuments / _updateDocuments /
+    _deleteDocuments, the wire fields execute_graphql_mutation
+    answers — class passed as an argument, so the type's shape is
+    constant): served from the schema document's MUTATION-kind row
+    like queryType, with the per-field argument lists codegen
+    tooling reads."""
+    from terminus_server_spark.docs.documents import graphql_schema
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    frames = spark.createDataFrame(
+        [("Doc", "lang", "xsd:string", True)],
+        "class string, predicate string, obj_types string, required boolean",
+    )
+    return execute_graphql(
+        {},
+        "query { __schema { mutationType { name fields { name type args } } } }",
+        schema=graphql_schema(frames),
+    )["__schema"]

@@ -314,6 +314,83 @@ def validate_references(
     )
 
 
+def validate_link_range(
+    triples: DataFrame,
+    ranges: DataFrame,
+    subclass_edges: DataFrame | None = None,
+) -> DataFrame:
+    """(subject, predicate, obj, violation): link RANGE validation
+    with subsumption — the schema check beyond dangling-reference
+    detection: a link triple whose target EXISTS but is typed with a
+    class that is neither the property's declared range nor one of
+    its subclasses violates (``wrong_range``); a target with no
+    rdf:type at all reports ``untyped_target``.  The reference
+    enforces exactly this on document insert (property range +
+    class subsumption).
+
+    ``ranges``: (class, predicate, range_class) declared link
+    properties — schema-sized, broadcast.  ``subclass_edges``:
+    (src, dst) direct subclass links; the transitive closure plus
+    the identity row makes ``accepted`` = {(range, c) : c ⊑ range},
+    also schema-sized.  Plan: one self-join of the triples against
+    the type triples per side (subject class scopes the declared
+    property; object class feeds the subsumption probe) + two
+    broadcast schema joins — the corpus shuffles once on the object
+    key, nothing else."""
+    from terminus_server_spark.operators.path import transitive_closure
+
+    types = triples.where(F.col("predicate") == "rdf:type").select(
+        F.col("subject"), F.col("obj").alias("_cls")
+    )
+    links = (
+        triples.where(
+            (F.col("obj_type") == "iri") & (F.col("predicate") != "rdf:type")
+        )
+        .select("subject", "predicate", "obj")
+        .join(types, "subject")
+        .join(
+            F.broadcast(
+                ranges.select(
+                    F.col("class").alias("_cls"),
+                    "predicate",
+                    F.col("range_class").alias("_range"),
+                )
+            ),
+            ["_cls", "predicate"],
+        )
+    )
+    if subclass_edges is not None:
+        closure = transitive_closure(subclass_edges).select(
+            F.col("src").alias("_ocls"), F.col("dst").alias("_range")
+        )
+    else:
+        closure = None
+    rng = ranges.select(F.col("range_class").alias("_range")).distinct()
+    accepted = rng.select(F.col("_range").alias("_ocls"), "_range")
+    if closure is not None:
+        accepted = accepted.unionByName(
+            closure.join(rng, "_range", "left_semi")
+        ).distinct()
+    obj_types = types.select(
+        F.col("subject").alias("obj"), F.col("_cls").alias("_ocls")
+    )
+    checked = links.join(obj_types, "obj", "left_outer").join(
+        F.broadcast(accepted.withColumn("_ok", F.lit(True))),
+        ["_ocls", "_range"],
+        "left_outer",
+    )
+    return checked.where(
+        F.col("_ocls").isNull() | F.col("_ok").isNull()
+    ).select(
+        "subject",
+        "predicate",
+        "obj",
+        F.when(F.col("_ocls").isNull(), F.lit("untyped_target"))
+        .otherwise(F.lit("wrong_range"))
+        .alias("violation"),
+    )
+
+
 def count_related(
     parent: DataFrame,
     child: DataFrame,

@@ -24811,3 +24811,90 @@ def gql_introspect_mutation(spark, sf_dir):
         "query { __schema { mutationType { name fields { name type args } } } }",
         schema=graphql_schema(frames),
     )["__schema"]
+
+
+@register(
+    "schema_link_range",
+    """
+    WITH bad13 AS (
+      SELECT 'Order/' || o_orderkey AS subject, 'o_customer' AS predicate,
+             'Nation/' || (o_orderkey % 25) AS obj,
+             'wrong_range' AS violation
+      FROM orders WHERE o_orderkey % 13 = 0),
+    bad17 AS (
+      SELECT 'Order/' || o_orderkey AS subject, 'o_customer' AS predicate,
+             'Customer/99999999' AS obj,
+             'untyped_target' AS violation
+      FROM orders WHERE o_orderkey % 13 != 0 AND o_orderkey % 17 = 0)
+    SELECT * FROM bad13 UNION ALL SELECT * FROM bad17
+    """,
+)
+def schema_link_range(spark, sf_dir):
+    """Link RANGE validation with SUBSUMPTION
+    (docs/documents.py:validate_link_range — the schema check past
+    dangling-reference detection: the reference enforces property
+    range + class subsumption on insert).  Fixture: Order.o_customer
+    declared with range Agent, Customer ⊑ Agent — ordinary links to
+    Customer targets pass THROUGH the subclass closure; every 13th
+    order links a Nation (typed target of the wrong class →
+    wrong_range), every 17th (not 13th) links a key with no rdf:type
+    at all (untyped_target).  Two broadcast schema joins + one
+    object-key join; the oracle states both planted violation sets
+    closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.docs.documents import validate_link_range
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    ok = F.col("o_orderkey")
+    types = (
+        t["customer"]
+        .select(
+            F.concat(F.lit("Customer/"), F.col("c_custkey").cast("string")).alias("subject"),
+            F.lit("rdf:type").alias("predicate"),
+            F.lit("Customer").alias("obj"),
+        )
+        .unionByName(
+            t["nation"].select(
+                F.concat(F.lit("Nation/"), F.col("n_nationkey").cast("string")).alias("subject"),
+                F.lit("rdf:type").alias("predicate"),
+                F.lit("Nation").alias("obj"),
+            )
+        )
+        .unionByName(
+            t["orders"].select(
+                F.concat(F.lit("Order/"), ok.cast("string")).alias("subject"),
+                F.lit("rdf:type").alias("predicate"),
+                F.lit("Order").alias("obj"),
+            )
+        )
+    )
+    target = (
+        F.when(
+            ok % 13 == 0,
+            F.concat(F.lit("Nation/"), (ok % 25).cast("string")),
+        )
+        .when(ok % 17 == 0, F.lit("Customer/99999999"))
+        .otherwise(
+            F.concat(F.lit("Customer/"), F.col("o_custkey").cast("string"))
+        )
+    )
+    links = t["orders"].select(
+        F.concat(F.lit("Order/"), ok.cast("string")).alias("subject"),
+        F.lit("o_customer").alias("predicate"),
+        target.alias("obj"),
+    )
+    trips = types.unionByName(links).withColumn(
+        "obj_type",
+        F.when(F.col("predicate") == "rdf:type", F.lit("class")).otherwise(
+            F.lit("iri")
+        ),
+    )
+    ranges = spark.createDataFrame(
+        [("Order", "o_customer", "Agent")],
+        "class string, predicate string, range_class string",
+    )
+    subclass = spark.createDataFrame(
+        [("Customer", "Agent")], "src string, dst string"
+    )
+    return validate_link_range(trips, ranges, subclass)

@@ -24898,3 +24898,60 @@ def schema_link_range(spark, sf_dir):
         [("Customer", "Agent")], "src string, dst string"
     )
     return validate_link_range(trips, ranges, subclass)
+
+
+@register(
+    "vc_describe",
+    f"""
+    SELECT 'v1.1' AS tag, 1 AS distance, 'c2' AS commit_id,
+           'v1.1-1-gc4' AS described,
+           COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice <= 400000)
+       OR (o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1999-01-01')
+    """,
+)
+def vc_describe(spark, sf_dir):
+    """git-describe analogue (versioning/dag.py:describe): the
+    nearest TAGGED ancestor of head c4 over the commit DAG — tags
+    v1.0@c1 and v1.1@c2; c2 sits one parent hop from c4 vs c1's two,
+    so the name is `v1.1-1-gc4` — plus the state materialized at the
+    described commit (same layer stack as vc_at_time, so the oracle's
+    data half is the c2 snapshot closed-form).  Nearest = min
+    parent-hop distance, ties to the smallest tag; resolution is
+    metadata-scale, the data plane is one ordinary window
+    materialization."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.versioning.dag import describe
+    from terminus_server_spark.versioning.layers import materialize
+
+    commits = spark.createDataFrame(
+        [
+            ("c1", []),
+            ("c2", ["c1"]),
+            ("c3", ["c1"]),
+            ("c4", ["c2", "c3"]),
+        ],
+        "commit_id string, parent_ids array<string>",
+    )
+    tags = spark.createDataFrame(
+        [("v1.0", "c1"), ("v1.1", "c2")], "tag string, commit_id string"
+    )
+    d = describe(commits, tags, "c4").collect()[0]
+    seq = {"c1": 1, "c2": 2, "c3": 3}[d.commit_id]
+    state = materialize(_layers(spark, sf_dir), seq, ["o_orderkey"])
+    return state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        F.lit(d.tag).alias("tag"),
+        F.lit(d.distance).cast("int").alias("distance"),
+        F.lit(d.commit_id).alias("commit_id"),
+        F.lit(d.described).alias("described"),
+        "n",
+        "sum_price",
+    )

@@ -278,3 +278,40 @@ def resolve_at_time(commits: DataFrame, head: str, ts) -> DataFrame:
         .limit(1)
         .select("commit_id", "committed_at")
     )
+
+
+def describe(commits: DataFrame, tags: DataFrame, head: str,
+             max_depth: int = 1000) -> DataFrame:
+    """(tag, distance, commit_id, described): the nearest TAGGED
+    ancestor of ``head`` and its git-describe-style name —
+    ``<tag>`` when the head is the tagged commit itself, else
+    ``<tag>-<distance>-g<head-prefix>`` (the human-readable "where
+    am I relative to the last release" answer; git describe).
+    ``tags``: (tag, commit_id) immutable named refs (the vc_tag
+    model).  Nearest = minimum parent-hop distance over the ancestor
+    walk; ties break to the lexicographically smallest tag, so the
+    name is deterministic under multiple tags at one depth.  One
+    ancestor walk (driver-side under the metadata guard) + one tiny
+    join — commit graphs are metadata even on a 100 TB store."""
+    walk = log_walk(commits, head, max_depth)
+    return (
+        walk.join(tags, "commit_id")
+        .orderBy(F.col("depth").asc(), F.col("tag").asc())
+        .limit(1)
+        .select(
+            "tag",
+            F.col("depth").cast("int").alias("distance"),
+            "commit_id",
+            F.when(F.col("depth") == 0, F.col("tag"))
+            .otherwise(
+                F.concat(
+                    F.col("tag"),
+                    F.lit("-"),
+                    F.col("depth").cast("string"),
+                    F.lit("-g"),
+                    F.lit(head[:7]),
+                )
+            )
+            .alias("described"),
+        )
+    )

@@ -1359,3 +1359,47 @@ def rake_keyphrases(
             (F.col("score_i").cast("double") / F.lit(1e6)).alias("score"),
         )
     )
+
+
+def script_composition(docs, text_col: str = "text", key_col: str = "doc_id"):
+    """(key, latin, cyrillic, greek, cjk, other, dominant): Unicode
+    SCRIPT composition per document + the dominant script label —
+    the routing signal beside language-ID that survives transliterated
+    or mixed-script spam (a "Russian" doc written in Latin homoglyphs
+    scores latin-dominant here and cyrillic-dominant in langid —
+    exactly the disagreement a curation pipeline flags; complements
+    text_confusables' normalization).  Counts are letter-class chars
+    per explicit codepoint range (portable literal ranges, not
+    engine-specific \\p{script=} syntax), dominant = argmax with
+    fixed label-order tie-break, all map-side rlike/regexp_replace —
+    whole-stage codegen, no UDF, no shuffle."""
+    t = F.col(text_col)
+
+    def cnt(rng):
+        return F.length(F.regexp_replace(t, f"[^{rng}]", ""))
+
+    latin = cnt("A-Za-z")
+    cyr = cnt("Ѐ-ӿ")
+    grk = cnt("Ͱ-Ͽ")
+    cjk = cnt("一-鿿")
+    letters = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
+    other = letters - latin - cyr - grk - cjk
+    scripts = [("latin", latin), ("cyrillic", cyr), ("greek", grk),
+               ("cjk", cjk)]
+    # fixed label order with strict > : earlier labels win ties
+    dom = F.lit("none")
+    dom_n = F.lit(-1).cast("bigint")
+    for name, c in scripts:
+        take = c > dom_n
+        dom = F.when(take, F.lit(name)).otherwise(dom)
+        dom_n = F.when(take, c).otherwise(dom_n)
+    dom = F.when(dom_n <= 0, F.lit("none")).otherwise(dom)
+    return docs.select(
+        F.col(key_col),
+        latin.cast("bigint").alias("latin"),
+        cyr.cast("bigint").alias("cyrillic"),
+        grk.cast("bigint").alias("greek"),
+        cjk.cast("bigint").alias("cjk"),
+        other.cast("bigint").alias("other"),
+        dom.alias("dominant"),
+    )

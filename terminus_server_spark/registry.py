@@ -24955,3 +24955,67 @@ def vc_describe(spark, sf_dir):
         "n",
         "sum_price",
     )
+
+
+@register(
+    "text_script_detect",
+    """
+    WITH fx AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 1 THEN translate(text, 'aeo', 'аео')
+                  WHEN doc_id % 3 = 2 THEN translate(text, 'aeo', 'αεο')
+                  ELSE text END AS text
+      FROM documents),
+    cnts AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS latin,
+             length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS cyrillic,
+             length(regexp_replace(text, '[^Ͱ-Ͽ]', '', 'g')) AS greek,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+             length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS letters
+      FROM fx)
+    SELECT doc_id, latin, cyrillic, greek, cjk,
+           letters - latin - cyrillic - greek - cjk AS other,
+           CASE
+             WHEN greatest(latin, cyrillic, greek, cjk) <= 0 THEN 'none'
+             WHEN latin >= cyrillic AND latin >= greek AND latin >= cjk
+               THEN 'latin'
+             WHEN cyrillic > latin AND cyrillic >= greek AND cyrillic >= cjk
+               THEN 'cyrillic'
+             WHEN greek > latin AND greek > cyrillic AND greek >= cjk
+               THEN 'greek'
+             ELSE 'cjk'
+           END AS dominant
+    FROM cnts
+    """,
+)
+def text_script_detect(spark, sf_dir):
+    """Unicode SCRIPT composition + dominant-script routing
+    (operators/text.py:script_composition — the signal beside
+    language-ID that catches transliterated / mixed-script text;
+    complements text_confusables): per-doc letter counts in explicit
+    codepoint ranges (Latin / Cyrillic U+0400-04FF / Greek
+    U+0370-03FF / CJK U+4E00-9FFF — literal ranges portable across
+    Java regex and RE2, never engine \\p{{script=}} syntax), other =
+    total letters minus the four, dominant = fixed-order argmax.
+    The fixture transliterates vowels of every 3k+1 doc to Cyrillic
+    and every 3k+2 doc to Greek, so all three dominance regimes
+    appear at every SF.  Map-side only — no shuffle, no UDF."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.text import script_composition
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    fx = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.translate(F.col("text"), "aeo", "аео"),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.translate(F.col("text"), "aeo", "αεο"),
+        )
+        .otherwise(F.col("text")),
+    )
+    return script_composition(fx)

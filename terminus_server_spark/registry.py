@@ -25019,3 +25019,91 @@ def text_script_detect(spark, sf_dir):
         .otherwise(F.col("text")),
     )
     return script_composition(fx)
+
+
+@register(
+    "stream_msf_cdc",
+    """
+    WITH mem AS (
+      SELECT (c_custkey // 10) * 10 AS g, c_custkey AS n
+      FROM customer WHERE c_custkey % 10 < 5),
+    full5 AS (SELECT g FROM mem GROUP BY g HAVING COUNT(*) = 5)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, w FROM (
+      SELECT g + 1 AS a, g + 2 AS b, CAST(g * 100 + 10 AS DOUBLE) AS w
+      FROM full5
+      UNION ALL
+      SELECT g + 2, g + 3, CAST(g * 100 + 20 AS DOUBLE) FROM full5
+      UNION ALL
+      SELECT g + 3, g + 4, CAST(g * 100 + 30 AS DOUBLE) FROM full5
+      UNION ALL
+      SELECT g, g + 1, CAST(g * 100 AS DOUBLE) FROM full5
+      WHERE g % 20 != 0
+      UNION ALL
+      SELECT g, g + 4, CAST(g * 100 + 40 AS DOUBLE) FROM full5
+      WHERE g % 20 = 0 AND g % 40 != 0
+      UNION ALL
+      SELECT g, g + 2, CAST(g * 100 + 5 AS DOUBLE) FROM full5
+      WHERE g % 40 = 0
+    )
+    """,
+)
+def stream_msf_cdc(spark, sf_dir):
+    """Streaming minimum-spanning-forest maintenance over a CDC edge
+    stream (streaming/events.py: run_stream_msf_cdc — the fifth CDC
+    composition beside cc/kcore/ktruss/pagerank: deletes through
+    msf_decremental's dirty-component Borůvka re-run, inserts through
+    the Eppstein sparsification identity over forest ∪ Δ, labels
+    carried as state via the delta-sized CC pair).  Batch 1 adds a
+    weighted 5-CYCLE per complete 5-member decade group — edge
+    (g+i, g+(i+1)%5) at weight g*100 + 10i, so the MSF drops exactly
+    the max edge (g, g+4, w=+40).  Batch 2 DELETES the forest edge
+    (g, g+1, w=+0) for g%20==0 — the decremental direction the
+    sparsification identity cannot cover: the previously-REJECTED
+    cycle edge (g, g+4, +40) must rejoin as the replacement.  Batch 3
+    adds a cheap chord (g, g+2, w=+5) for g%40==0 — the incremental
+    SWAP case: the chord closes a cycle through the repaired path and
+    evicts its max edge (g, g+4, +40) again.  Three closed-form
+    per-group regimes; weights are globally distinct so the final
+    forest is the unique batch MSF of the net edge set, which the
+    oracle states directly."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import run_stream_msf_cdc
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 10).cast("bigint") * 10
+    members = cust.where(k % 10 < 5).select(g.alias("g"), k.alias("n"))
+    m5 = (
+        members.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == 5)
+        .select("g")
+    )
+    gc = F.col("g")
+    parts = []
+    for i in range(5):
+        parts.append(
+            m5.select(
+                F.lit("add").alias("op"),
+                (gc + i).cast("bigint").alias("src"),
+                (gc + (i + 1) % 5).cast("bigint").alias("dst"),
+                (gc * 100 + 10 * i).cast("double").alias("w"),
+            )
+        )
+    b1 = parts[0]
+    for p in parts[1:]:
+        b1 = b1.unionByName(p)
+    b2 = m5.where(gc % 20 == 0).select(
+        F.lit("del").alias("op"),
+        gc.cast("bigint").alias("src"),
+        (gc + 1).cast("bigint").alias("dst"),
+        F.lit(0.0).alias("w"),
+    )
+    b3 = m5.where(gc % 40 == 0).select(
+        F.lit("add").alias("op"),
+        gc.cast("bigint").alias("src"),
+        (gc + 2).cast("bigint").alias("dst"),
+        (gc * 100 + 5).cast("double").alias("w"),
+    )
+    return run_stream_msf_cdc(spark, [b1, b2, b3])

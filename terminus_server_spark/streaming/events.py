@@ -2284,3 +2284,159 @@ def run_stream_pagerank(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"r{state['version']}"))
+
+
+def run_stream_msf_cdc(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    max_iters: int = 30,
+) -> DataFrame:
+    """(a, b, w): streaming minimum-spanning-forest maintenance over
+    a CDC edge stream — each micro-batch carries ``(op, src, dst, w)``
+    rows with op ∈ {add, del}, and the update composes BOTH
+    commit-delta directions (operators/graph.py), completing the CDC
+    maintenance family beside ``run_stream_cc_cdc`` /
+    ``run_stream_kcore_cdc`` / ``run_stream_ktruss_cdc``: deletes
+    first through ``msf_decremental`` (per-component locality — only
+    the DIRTY components re-run Borůvka over their post-delete edges,
+    so replacement edges rejoin exactly; the base store is scanned
+    map-side, never shuffled), then inserts through
+    ``msf_incremental`` (the Eppstein sparsification identity
+    MSF(E ∪ Δ) = MSF(MSF(E) ∪ Δ) — Borůvka re-runs over only the
+    carried forest + the batch, never the accumulated store).  The
+    decremental step needs base-component labels; they are CARRIED
+    STATE maintained by the same delta-sized CC pair
+    (``connected_components_decremental`` / ``_incremental``, both
+    riding the dirty components / the batch meta-graph) rather than
+    recomputed — no per-batch pass over the store or the forest.
+    Within one micro-batch the ops are an UNORDERED CDC set: deletes
+    apply against the pre-batch state and inserts after them (add+del
+    of one edge in a batch nets to the edge present).  State = the
+    canonical weighted edge store + the forest + the labels; all
+    store updates are delta-sized (broadcast anti joins + disjoint
+    union).  With globally distinct weights the final forest equals
+    the batch ``msf_boruvka`` of the NET edge set under any batch
+    split that respects the convention."""
+    from terminus_server_spark.operators.graph import (
+        connected_components_decremental,
+        connected_components_incremental,
+        msf_decremental,
+        msf_incremental,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tss_msfcdc_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def canon(e, keep_w):
+        p = (
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                F.col("w").cast("double").alias("w"),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        if keep_w:
+            # batch-sized dedupe; min(w) keeps the pick deterministic
+            # if a batch restates one pair twice
+            return p.groupBy("src", "dst").agg(F.min("w").alias("w"))
+        return p.select("src", "dst").distinct()
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        adds = canon(batch_df.where(F.col("op") == "add"), keep_w=True)
+        dels = canon(batch_df.where(F.col("op") == "del"), keep_w=False)
+        if state["version"] >= 0:
+            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            forest = s.read.parquet(os.path.join(tmp, f"f{state['version']}"))
+            labels = s.read.parquet(os.path.join(tmp, f"l{state['version']}"))
+        else:
+            stored = adds.limit(0)
+            forest = adds.select(
+                F.col("src").alias("a"), F.col("dst").alias("b"), "w"
+            ).limit(0)
+            labels = adds.select(
+                F.col("src").alias("node"), F.col("src").alias("component")
+            ).limit(0)
+        adds = adds.localCheckpoint(eager=True)
+        dels = dels.localCheckpoint(eager=True)
+        # deletes first: dirty components re-run Borůvka over their
+        # post-delete store slice (replacement edges rejoin); labels
+        # split via the CC decremental path over the SAME pre-delete
+        # labels.  canonical_base=True — the store is written
+        # canonical + duplicate-free, no full-store shuffle.
+        if dels.count():
+            forest = msf_decremental(
+                forest,
+                labels,
+                stored,
+                dels.withColumn("w", F.lit(0.0)),
+                max_iters=max_iters,
+            )
+            labels = connected_components_decremental(
+                labels,
+                stored.select("src", "dst"),
+                dels,
+                max_iters,
+                canonical_base=True,
+            )
+            stored = stored.join(
+                F.broadcast(dels), ["src", "dst"], "left_anti"
+            )
+        # then inserts over the post-delete state: sparsification
+        # re-runs Borůvka over forest ∪ Δ only; labels contract via
+        # the batch meta-graph, fresh nodes entering as singletons.
+        if adds.count():
+            forest = msf_incremental(forest, adds, max_iters=max_iters)
+            add_nodes = (
+                adds.select(F.col("src").alias("node"))
+                .union(adds.select(F.col("dst")))
+                .distinct()
+            )
+            fresh = add_nodes.join(labels.select("node"), "node", "left_anti")
+            labels = labels.unionByName(
+                fresh.select("node", F.col("node").alias("component"))
+            )
+            labels = connected_components_incremental(
+                labels, adds.select("src", "dst"), max_iters
+            )
+            adds_only = adds.join(
+                stored.join(
+                    F.broadcast(adds.select("src").distinct()),
+                    "src",
+                    "left_semi",
+                ),
+                ["src", "dst"],
+                "left_anti",
+            )
+            stored = stored.unionByName(adds_only)
+        state["version"] += 1
+        stored.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"e{state['version']}")
+        )
+        forest.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"f{state['version']}")
+        )
+        labels.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"l{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"f{state['version']}"))

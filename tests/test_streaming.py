@@ -112,3 +112,47 @@ def test_stream_ktruss_cdc_split_invariance(spark):
             ).collect()}
     assert got3 == want
     assert got2 == want
+
+
+def test_stream_msf_cdc_split_invariance(spark):
+    """run_stream_msf_cdc: re-batching a CDC op sequence leaves the
+    forest identical, and it equals batch msf_boruvka of the net edge
+    set — replacement after a forest-edge delete, a cheap-chord swap
+    evicting the cycle max, and same-batch add+del netting to present
+    all exercised (weights globally distinct)."""
+    from terminus_server_spark.operators.graph import msf_boruvka
+    from terminus_server_spark.streaming.events import run_stream_msf_cdc
+
+    schema = "op string, src long, dst long, w double"
+    # 5-cycle 0-1-2-3-4-0 with weights 1,2,3,4,5 (MSF drops (0,4,5))
+    # and a separate path 10-11-12 with weights 21,22
+    b1 = (
+        [("add", i, (i + 1) % 5, 1.0 + i) for i in range(5)]
+        + [("add", 10, 11, 21.0), ("add", 11, 12, 22.0)]
+    )
+    # delete forest edge (0,1): replacement (0,4,5) rejoins; the
+    # same-batch add+del of (10,11) nets to present
+    b2 = [("del", 0, 1, 0.0), ("del", 10, 11, 0.0),
+          ("add", 10, 11, 21.0)]
+    # cheap chord (0,2,0.5): closes the cycle 0-2-3-4-0 and evicts
+    # its max edge (0,4,5)
+    b3 = [("add", 0, 2, 0.5)]
+    three = [spark.createDataFrame(b, schema) for b in (b1, b2, b3)]
+    two = [
+        spark.createDataFrame(b1, schema),
+        spark.createDataFrame(b2 + b3, schema),
+    ]
+    got3 = {(r.a, r.b, r.w)
+            for r in run_stream_msf_cdc(spark, three).collect()}
+    got2 = {(r.a, r.b, r.w)
+            for r in run_stream_msf_cdc(spark, two).collect()}
+    net = (
+        [(i, (i + 1) % 5, 1.0 + i) for i in range(5) if i != 0]
+        + [(0, 2, 0.5), (10, 11, 21.0), (11, 12, 22.0)]
+    )
+    want = {(r.a, r.b, r.w)
+            for r in msf_boruvka(
+                spark.createDataFrame(net, "src long, dst long, w double")
+            ).collect()}
+    assert got3 == want
+    assert got2 == want

@@ -1513,6 +1513,7 @@ def triangle_count_incremental(
     base_edges: DataFrame,
     delta_edges: DataFrame,
     delete_edges: DataFrame | None = None,
+    canonical_base: bool = False,
 ) -> DataFrame:
     """(n_triangles): the triangle count AFTER an insert-only delta,
     by exact inclusion-exclusion over the delta's wedge neighborhood
@@ -1536,7 +1537,14 @@ def triangle_count_incremental(
     apply FIRST with the same identity mirrored (triangles of E_OLD
     containing a deleted edge subtract), then insertions count
     against the post-delete edge set; an edge both deleted and
-    re-added cancels exactly."""
+    re-added cancels exactly.
+
+    ``canonical_base=True``: the caller guarantees ``base_edges`` is
+    already canonical (src<dst) and duplicate-free — e.g. the
+    streaming edge store — skipping the full-base canonicalizing
+    ``distinct()``, the only base-sized shuffle in the steady
+    streaming path (the same escape hatch as
+    ``connected_components_decremental`` / ``kcore_incremental``)."""
 
     def canon(e):
         return (
@@ -1548,7 +1556,12 @@ def triangle_count_incremental(
             .distinct()
         )
 
-    eb = canon(base_edges)
+    if canonical_base:
+        eb = base_edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+    else:
+        eb = canon(base_edges)
     total = old_count.select(F.col("n_triangles").cast("bigint").alias("n_triangles"))
     if delete_edges is not None:
         edel = canon(delete_edges).join(eb, ["a", "b"], "left_semi")

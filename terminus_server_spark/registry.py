@@ -25107,3 +25107,78 @@ def stream_msf_cdc(spark, sf_dir):
         (gc * 100 + 5).cast("double").alias("w"),
     )
     return run_stream_msf_cdc(spark, [b1, b2, b3])
+
+
+@register(
+    "stream_triangles_cdc",
+    """
+    WITH mem AS (
+      SELECT (c_custkey // 10) * 10 AS g, c_custkey AS n
+      FROM customer WHERE c_custkey % 10 < 5),
+    full5 AS (SELECT g FROM mem GROUP BY g HAVING COUNT(*) = 5)
+    SELECT CAST(SUM(CASE WHEN g % 40 = 0 THEN 7
+                         WHEN g % 20 = 0 THEN 5
+                         ELSE 10 END) AS BIGINT) AS n_triangles
+    FROM full5
+    """,
+)
+def stream_triangles_cdc(spark, sf_dir):
+    """Streaming triangle-count maintenance over a CDC edge stream
+    (streaming/events.py: run_stream_triangles_cdc — the sixth CDC
+    composition: ONE mixed triangle_count_incremental call per
+    micro-batch, deletions subtracting within E_old first via the
+    mirrored inclusion-exclusion terms, insertions counting against
+    the post-delete state; canonical_base on the store, delta-sized
+    store updates).  Batch 1 adds a K5 per complete 5-member decade
+    group (C(5,3) = 10 triangles each); batch 2 DELETES (g,g+1) and
+    (g,g+2) for g%20==0 — the 3+3-1 = 5 triangles through either
+    edge subtract, leaving 5; batch 3 re-ADDS (g,g+1) for g%40==0 —
+    common neighbors of g and g+1 in the post-delete graph are
+    {g+3,g+4}, so exactly 2 triangles return, leaving 7.  The final
+    count equals the batch triangle_count of the net edge set; the
+    oracle states the three regimes closed-form."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.streaming.events import (
+        run_stream_triangles_cdc,
+    )
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    g = (k / 10).cast("bigint") * 10
+    members = cust.where(k % 10 < 5).select(g.alias("g"), k.alias("n"))
+    m5 = (
+        members.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == 5)
+        .select("g")
+    )
+    gm = members.join(m5, "g")
+    b1 = (
+        gm.alias("m1")
+        .join(gm.alias("m2"), "g")
+        .where(F.col("m1.n") < F.col("m2.n"))
+        .select(
+            F.lit("add").alias("op"),
+            F.col("m1.n").alias("src"),
+            F.col("m2.n").alias("dst"),
+        )
+    )
+    g20 = m5.where(F.col("g") % 20 == 0)
+    b2 = g20.select(
+        F.lit("del").alias("op"),
+        F.col("g").alias("src"),
+        (F.col("g") + 1).alias("dst"),
+    ).unionByName(
+        g20.select(
+            F.lit("del").alias("op"),
+            F.col("g").alias("src"),
+            (F.col("g") + 2).alias("dst"),
+        )
+    )
+    b3 = m5.where(F.col("g") % 40 == 0).select(
+        F.lit("add").alias("op"),
+        F.col("g").alias("src"),
+        (F.col("g") + 1).alias("dst"),
+    )
+    return run_stream_triangles_cdc(spark, [b1, b2, b3])

@@ -2440,3 +2440,105 @@ def run_stream_msf_cdc(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"f{state['version']}"))
+
+
+def run_stream_triangles_cdc(
+    spark: SparkSession,
+    batches: list[DataFrame],
+) -> DataFrame:
+    """(n_triangles): streaming triangle-count maintenance over a CDC
+    edge stream — each micro-batch carries ``(op, src, dst)`` rows
+    with op ∈ {add, del}, applied through ONE
+    ``triangle_count_incremental`` call per batch (the mixed
+    inclusion-exclusion identity, operators/graph.py: deletions
+    subtract within E_old via the mirrored terms FIRST, then
+    insertions count against the post-delete edge set — so an edge
+    deleted and re-added in one batch cancels exactly, the same
+    within-batch convention as the other CDC runners).  Per-batch
+    cost rides the DELTA's wedge neighborhood, never a recount; the
+    base passes ``canonical_base=True`` (the store is written
+    canonical + duplicate-free) and the store update is delta-sized
+    (broadcast anti joins + disjoint union) — no full-store shuffle
+    anywhere in the steady path, unlike the insert-only
+    ``run_stream_triangle_count`` whose union+distinct store update
+    predates the pattern.  The final count equals the batch
+    ``triangle_count`` of the NET edge set under any batch split."""
+    from terminus_server_spark.operators.graph import (
+        triangle_count_incremental,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tss_tricdc_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def canon(e):
+        return (
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        adds = canon(batch_df.where(F.col("op") == "add"))
+        dels = canon(batch_df.where(F.col("op") == "del"))
+        if state["version"] >= 0:
+            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            count = s.read.parquet(os.path.join(tmp, f"n{state['version']}"))
+        else:
+            stored = adds.limit(0)
+            count = s.range(1).select(
+                F.lit(0).cast("bigint").alias("n_triangles")
+            )
+        adds = adds.localCheckpoint(eager=True)
+        dels = dels.localCheckpoint(eager=True)
+        count = triangle_count_incremental(
+            count, stored, adds, delete_edges=dels, canonical_base=True
+        )
+        # delta-sized store update: deletes leave first (so a
+        # same-batch re-add is delta-only below and re-enters), adds
+        # append against the narrowed add-incident slice
+        if dels.count():
+            stored = stored.join(
+                F.broadcast(dels), ["src", "dst"], "left_anti"
+            )
+        if adds.count():
+            adds_only = adds.join(
+                stored.join(
+                    F.broadcast(adds.select("src").distinct()),
+                    "src",
+                    "left_semi",
+                ),
+                ["src", "dst"],
+                "left_anti",
+            )
+            stored = stored.unionByName(adds_only)
+        state["version"] += 1
+        stored.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"e{state['version']}")
+        )
+        count.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"n{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"n{state['version']}"))

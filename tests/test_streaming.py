@@ -156,3 +156,41 @@ def test_stream_msf_cdc_split_invariance(spark):
             ).collect()}
     assert got3 == want
     assert got2 == want
+
+
+def test_stream_triangles_cdc_split_invariance(spark):
+    """run_stream_triangles_cdc: re-batching a CDC op sequence leaves
+    the count identical, and it equals batch triangle_count of the
+    net edge set — deletion subtraction, triangle re-entry after a
+    re-add, and same-batch add+del netting to present all
+    exercised."""
+    from terminus_server_spark.operators.graph import triangle_count
+    from terminus_server_spark.streaming.events import (
+        run_stream_triangles_cdc,
+    )
+
+    schema = "op string, src long, dst long"
+    # K5 on 0..4 (10 triangles) and a triangle 10-11-12
+    b1 = [("add", i, j) for i in range(5) for j in range(i + 1, 5)] + [
+        ("add", 10, 11), ("add", 11, 12), ("add", 10, 12)
+    ]
+    # delete (0,1)/(0,2): 5 triangles gone; same-batch add+del of
+    # (10,11) nets to present (triangle 10-11-12 survives)
+    b2 = [("del", 0, 1), ("del", 0, 2), ("del", 10, 11),
+          ("add", 10, 11)]
+    # re-add (0,1): common neighbors {3,4} -> 2 triangles return
+    b3 = [("add", 0, 1)]
+    three = [spark.createDataFrame(b, schema) for b in (b1, b2, b3)]
+    two = [
+        spark.createDataFrame(b1, schema),
+        spark.createDataFrame(b2 + b3, schema),
+    ]
+    got3 = run_stream_triangles_cdc(spark, three).collect()[0].n_triangles
+    got2 = run_stream_triangles_cdc(spark, two).collect()[0].n_triangles
+    net = [(i, j) for i in range(5) for j in range(i + 1, 5)
+           if (i, j) != (0, 2)] + [(10, 11), (11, 12), (10, 12)]
+    want = triangle_count(
+        spark.createDataFrame(net, "src long, dst long")
+    ).collect()[0].n_triangles
+    assert got3 == want == 7 + 1
+    assert got2 == want

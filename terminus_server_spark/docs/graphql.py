@@ -41,7 +41,7 @@ _TOKEN = re.compile(
         (?P<str>"(?:[^"\\]|\\.)*")
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<name>[_A-Za-z][_0-9A-Za-z]*)
-      | (?P<punct>[{}()\[\]:,$=!])
+      | (?P<punct>\.\.\.|[{}()\[\]:,$=!])
     )""",
     re.VERBOSE,
 )
@@ -64,13 +64,80 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
     return out
 
 
+def _split_fragments(tokens: list[tuple[str, str]]):
+    """(operation_tokens, {name: (type_condition, selection_tokens)}):
+    split a GraphQL DOCUMENT into its operation and its top-level
+    ``fragment Name on Type { ... }`` definitions (spec: fragments
+    are document-level siblings of the operation, any order).  The
+    fragment bodies stay as raw token slices — spreads expand them
+    lazily at parse time, so a fragment may reference one defined
+    later in the document.  Only depth-0 ``fragment`` keywords are
+    definitions; a field named ``fragment`` inside a selection set
+    stays a field."""
+    ops, frags, i, depth = [], {}, 0, 0
+    while i < len(tokens):
+        kind, tok = tokens[i]
+        if (
+            depth == 0
+            and kind == "name"
+            and tok == "fragment"
+            and i + 3 < len(tokens)
+            and tokens[i + 1][0] == "name"
+            and tokens[i + 2] == ("name", "on")
+            and tokens[i + 3][0] == "name"
+        ):
+            name, cond = tokens[i + 1][1], tokens[i + 3][1]
+            j = i + 4
+            if j >= len(tokens) or tokens[j][1] != "{":
+                raise ValueError(
+                    f"graphql: fragment {name!r} needs a selection set"
+                )
+            d = 0
+            k = j
+            while k < len(tokens):
+                if tokens[k][1] == "{":
+                    d += 1
+                elif tokens[k][1] == "}":
+                    d -= 1
+                    if d == 0:
+                        break
+                k += 1
+            if d != 0:
+                raise ValueError(
+                    f"graphql: unbalanced braces in fragment {name!r}"
+                )
+            if name in frags:
+                raise ValueError(f"graphql: duplicate fragment {name!r}")
+            frags[name] = (cond, tokens[j : k + 1])
+            i = k + 1
+            continue
+        if tok == "{":
+            depth += 1
+        elif tok == "}":
+            depth -= 1
+        ops.append(tokens[i])
+        i += 1
+    return ops, frags
+
+
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], variables: dict | None = None):
+    def __init__(
+        self,
+        tokens: list[tuple[str, str]],
+        variables: dict | None = None,
+        fragments: dict | None = None,
+        _expanding: set | None = None,
+    ):
         self.toks = tokens
         self.i = 0
         # copy: declared defaults must not leak into the caller's
         # dict (stale defaults would shadow later requests' values)
         self.vars = dict(variables) if variables else {}
+        self.frags = fragments if fragments is not None else {}
+        # spread-expansion stack shared across sub-parsers: a
+        # fragment spreading itself (directly or via a chain) is a
+        # spec error, not an infinite loop
+        self.expanding = _expanding if _expanding is not None else set()
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -153,6 +220,57 @@ class _Parser:
         fields = []
         while self.peek()[1] != "}":
             kind, tok = self.next()
+            if tok == "...":
+                # fragment spread (...Name), inline fragment
+                # (... on Type { }), or bare inline (... { }) — all
+                # become {"frag", "on", "fields"} markers, resolved
+                # against the level's class at execution
+                # (_flatten_selection), where type conditions can be
+                # checked including subclass subsumption
+                nk, nt = self.peek()
+                if nt == "on":
+                    self.next()
+                    ck, cond = self.next()
+                    if ck != "name":
+                        raise ValueError(
+                            f"graphql: expected type condition, got {cond!r}"
+                        )
+                    fields.append(
+                        {"frag": True, "on": cond,
+                         "fields": self.selection_set()}
+                    )
+                elif nt == "{":
+                    fields.append(
+                        {"frag": True, "on": None,
+                         "fields": self.selection_set()}
+                    )
+                elif nk == "name":
+                    self.next()
+                    if nt not in self.frags:
+                        raise ValueError(
+                            f"graphql: undefined fragment {nt!r}"
+                        )
+                    if nt in self.expanding:
+                        raise ValueError(
+                            f"graphql: fragment cycle through {nt!r}"
+                        )
+                    cond, body = self.frags[nt]
+                    self.expanding.add(nt)
+                    try:
+                        sub = _Parser(
+                            body, self.vars, self.frags, self.expanding
+                        ).selection_set()
+                    finally:
+                        self.expanding.discard(nt)
+                    fields.append({"frag": True, "on": cond, "fields": sub})
+                else:
+                    raise ValueError(
+                        f"graphql: expected fragment name or 'on' after "
+                        f"'...', got {nt!r}"
+                    )
+                if self.peek()[1] == ",":
+                    self.next()
+                continue
             if kind != "name":
                 raise ValueError(f"graphql: expected field name, got {tok!r}")
             if self.peek()[1] in ("(", "{"):
@@ -228,7 +346,8 @@ def parse_graphql(src: str, variables: dict | None = None) -> dict:
     request dict.  ``variables`` supplies $var values (the wire
     convention: the query text stays constant and cacheable, values
     travel separately)."""
-    op, roots = _Parser(_tokenize(src), variables).operation()
+    toks, frags = _split_fragments(_tokenize(src))
+    op, roots = _Parser(toks, variables, frags).operation()
     if op != "query":
         raise ValueError(f"graphql: expected a query operation, got {op!r}")
     out = {}
@@ -243,7 +362,51 @@ def parse_graphql(src: str, variables: dict | None = None) -> dict:
 def parse_graphql_operation(src: str, variables: dict | None = None) -> tuple[str, list]:
     """GraphQL source → (op_type, [(root_name, {args, fields})...]);
     keeps root order (mutations apply in request order)."""
-    return _Parser(_tokenize(src), variables).operation()
+    toks, frags = _split_fragments(_tokenize(src))
+    return _Parser(toks, variables, frags).operation()
+
+
+def _flatten_selection(fields, cls, inherits=None, relations=None):
+    """Resolve fragment markers against the level's class: a spread
+    or inline fragment contributes its fields when its type condition
+    is absent, equals ``cls``, or names a (transitive) SUPERCLASS of
+    ``cls`` per the optional ``inherits`` map ({class: [parents]}) —
+    the GraphQL rule that a fragment on an interface/supertype
+    applies to concrete subtypes.  A non-matching condition
+    contributes nothing (that is the POINT of inline fragments: class
+    -conditional selection).  Dict fields whose name is a connection
+    pseudo-field (edges/node/pageInfo, when not a registered
+    relation) keep the SAME class context, so fragments inside a
+    Relay wrapper resolve here too; relation fields resolve at their
+    own level's recursion."""
+    ancestors = set()
+    if inherits:
+        stack = list(inherits.get(cls, []))
+        while stack:
+            a = stack.pop()
+            if a not in ancestors:
+                ancestors.add(a)
+                stack.extend(inherits.get(a, []))
+    out = []
+    for f in fields:
+        if isinstance(f, dict) and f.get("frag"):
+            on = f.get("on")
+            if on is None or on == cls or on in ancestors:
+                out.extend(
+                    _flatten_selection(f["fields"], cls, inherits, relations)
+                )
+        elif (
+            isinstance(f, dict)
+            and f.get("name") in ("edges", "node", "pageInfo")
+            and (relations is None or (cls, f["name"]) not in relations)
+        ):
+            out.append(
+                {**f, "fields": _flatten_selection(
+                    f["fields"], cls, inherits, relations)}
+            )
+        else:
+            out.append(f)
+    return out
 
 
 _OPS = ("eq", "ne", "gt", "ge", "lt", "le", "like", "regex", "in")
@@ -273,11 +436,16 @@ def filter_to_tree(obj: dict):
     return ("and", parts)
 
 
-def _query_level(frames, relations, cls, args, fields, id_cols=None):
+def _query_level(frames, relations, cls, args, fields, id_cols=None,
+                 inherits=None):
     from pyspark.sql import functions as F
 
     from terminus_server_spark.docs.documents import filter_documents, query_documents
 
+    # fragment spreads / inline fragments resolve against THIS level's
+    # class (type conditions may subsume via the inherits map); every
+    # consumer below sees only plain scalar strings and relation dicts
+    fields = _flatten_selection(fields, cls, inherits, relations)
     predicates = []
     if "filter" in args:
         predicates = [filter_to_tree(args["filter"])]
@@ -638,9 +806,12 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
             child_cls, parent_key, child_fk = rel[:3]
             child = _query_level(
                 frames, relations, child_cls, sub["args"], sub["fields"],
-                id_cols=id_cols,
+                id_cols=id_cols, inherits=inherits,
             )
-            names = [f if isinstance(f, str) else f["name"] for f in sub["fields"]]
+            flat_sub = _flatten_selection(
+                sub["fields"], child_cls, inherits, relations
+            )
+            names = [f if isinstance(f, str) else f["name"] for f in flat_sub]
             # To-one PRECONDITION: the child key is unique.  A plain
             # left join would silently FAN OUT parent rows if the
             # child frame violated it; aggregate to one row per key
@@ -690,9 +861,12 @@ def _query_level(frames, relations, cls, args, fields, id_cols=None):
         # projection happens only at the JSON rendering below
         child = _query_level(
             frames, relations, child_cls, child_args, sub["fields"],
-            id_cols=id_cols,
+            id_cols=id_cols, inherits=inherits,
         )
-        sub_names = [f if isinstance(f, str) else f["name"] for f in sub["fields"]]
+        flat_sub = _flatten_selection(
+            sub["fields"], child_cls, inherits, relations
+        )
+        sub_names = [f if isinstance(f, str) else f["name"] for f in flat_sub]
         if paged:
             from pyspark.sql.window import Window
 
@@ -937,6 +1111,7 @@ def execute_graphql(
     store=None,
     variables: dict | None = None,
     id_cols: dict | None = None,
+    inherits: dict | None = None,
 ):
     """Execute a parsed GraphQL request against ``frames`` (class
     name → DataFrame) and return {class: DataFrame}.
@@ -983,9 +1158,11 @@ def execute_graphql(
         if cls not in frames:
             raise ValueError(f"graphql: unknown class {cls!r}")
         level = _query_level(
-            frames, relations, cls, req["args"], req["fields"], id_cols=id_cols
+            frames, relations, cls, req["args"], req["fields"],
+            id_cols=id_cols, inherits=inherits,
         )
-        names = [f if isinstance(f, str) else f["name"] for f in req["fields"]]
+        flat = _flatten_selection(req["fields"], cls, inherits, relations)
+        names = [f if isinstance(f, str) else f["name"] for f in flat]
         out[key] = level.select(*names)
     return out
 

@@ -5289,7 +5289,7 @@ def schema_migrate(spark, sf_dir):
     (Order→PurchaseOrder, subject prefixes + type objects), a
     referenced-class rename (Customer→Client, object IRI rewrite), a
     class-scoped property rename (o_orderpriority→priority), a type
-    widening (o_shippriority xsd:integer→xsd:decimal, lexical forms
+    widening (o_orderpriority xsd:integer→xsd:decimal, lexical forms
     preserved), and a structural move of o_totalprice into a keyed
     'billing' subdocument (link + rdf:type + re-homed triples).  The
     oracle builds the post-migration corpus directly — proving the
@@ -25182,3 +25182,75 @@ def stream_triangles_cdc(spark, sf_dir):
         (F.col("g") + 1).alias("dst"),
     )
     return run_stream_triangles_cdc(spark, [b1, b2, b3])
+
+
+@register(
+    "gql_fragments",
+    """
+    WITH par AS (
+      SELECT c_custkey, c_acctbal, c_name, c_nationkey FROM customer
+      WHERE c_mktsegment = 'BUILDING'),
+    ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS rn
+      FROM orders),
+    ch AS (
+      SELECT o_custkey,
+             to_json(list(struct_pack(o_orderkey := o_orderkey,
+                                      o_orderpriority := o_orderpriority)
+                          ORDER BY rn))::VARCHAR AS orders
+      FROM ranked WHERE rn <= 2 GROUP BY o_custkey)
+    SELECT p.c_custkey, p.c_acctbal, p.c_name, p.c_nationkey,
+           COALESCE(ch.orders, '[]') AS orders
+    FROM par p LEFT JOIN ch ON p.c_custkey = ch.o_custkey
+    """,
+)
+def gql_fragments(spark, sf_dir):
+    """GraphQL FRAGMENTS through the wire parser (docs/graphql.py:
+    _split_fragments + the '...' selection grammar — the GraphQL spec
+    surface every generated-schema client (GraphiQL, codegen, Apollo)
+    leans on): named fragment definitions anywhere in the document
+    (before OR after the operation), spreads (...Name) including
+    fragments inside fragments with cycle detection, inline fragments
+    with type conditions (... on Type { }), and bare inline
+    selections.  Resolution is hygienic parse-time expansion into
+    {"frag","on","fields"} markers flattened against each level's
+    class at compile time (_flatten_selection) — type conditions
+    match the level's class OR a transitive superclass via the
+    ``inherits`` map (fragment-on-supertype applies to subtypes, the
+    spec's interface rule; here Core on Party reaches Customer), and
+    a NON-matching condition contributes nothing (... on Supplier is
+    dropped).  Fragments spread inside a nested relation selection
+    resolve against the CHILD class.  Pure compile-time work — the
+    executed plan is identical to the spelled-out query (one filtered
+    parent scan + one ranked child aggregation)."""
+    from terminus_server_spark.docs.graphql import execute_graphql
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    src = """
+    fragment Money on Customer { c_acctbal }
+    fragment Core on Party {
+      c_custkey
+      ...Money
+    }
+    query {
+      Customer(filter: {c_mktsegment: {eq: "BUILDING"}}) {
+        ...Core
+        ... on Customer { c_name }
+        ... on Supplier { s_phone }
+        ... { c_nationkey }
+        orders(orderBy: {o_orderkey: ASC}, limit: 2) {
+          o_orderkey
+          ...OrderBits
+        }
+      }
+    }
+    fragment OrderBits on Order { o_orderpriority }
+    """
+    return execute_graphql(
+        {"Customer": t["customer"], "Order": t["orders"]},
+        src,
+        relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
+        inherits={"Customer": ["Party"]},
+    )["Customer"]

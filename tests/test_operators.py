@@ -4909,3 +4909,44 @@ def test_quadrilateral_count(spark):
     assert q(k23) == 3
     both = k4 + [(x + 100, y + 100) for x, y in k23]
     assert q(both) == 6
+
+
+def test_graphql_fragments_parse_and_flatten():
+    """Named fragments (defined before or after the operation),
+    spreads inside fragments, inline fragments with matching /
+    non-matching / absent type conditions, subsumption via the
+    inherits map, cycle and undefined-fragment errors."""
+    import pytest
+
+    from terminus_server_spark.docs.graphql import (
+        _flatten_selection,
+        parse_graphql,
+    )
+
+    src = """
+    fragment Core on Party { k ...Money }
+    query { Customer { ...Core ... on Customer { n }
+                       ... on Supplier { p } ... { m } } }
+    fragment Money on Customer { b }
+    """
+    flds = parse_graphql(src)["Customer"]["fields"]
+    flat = _flatten_selection(flds, "Customer", {"Customer": ["Party"]})
+    assert flat == ["k", "b", "n", "m"]
+    # without the inherits map the Party condition does not match
+    assert _flatten_selection(flds, "Customer") == ["n", "m"]
+    with pytest.raises(ValueError, match="cycle"):
+        parse_graphql(
+            "fragment A on C { ...B } fragment B on C { ...A } "
+            "query { C { ...A } }"
+        )
+    with pytest.raises(ValueError, match="undefined fragment"):
+        parse_graphql("query { C { ...Nope } }")
+    with pytest.raises(ValueError, match="duplicate fragment"):
+        parse_graphql(
+            "fragment A on C { x } fragment A on C { y } "
+            "query { C { ...A } }"
+        )
+    # a FIELD named fragment inside a selection set stays a field
+    assert parse_graphql("query { C { fragment } }")["C"]["fields"] == [
+        "fragment"
+    ]

@@ -461,6 +461,29 @@ XSD_LEXICAL: dict[str, str] = {
     ),
 }
 
+# tranche 5 — the INTEGER-DERIVED ladder (XML Schema Part 2
+# §3.3.13–3.3.25): every type shares xsd:integer's lexical space
+# (optional sign + digits, leading zeros legal, "-0" a lexical form
+# of 0) and restricts the VALUE space.  (lo, hi) bounds with None =
+# unbounded on that side; the value check rides a decimal(38,0)
+# cast, so a bounded type's out-of-38-digit lexical form correctly
+# reads invalid (it is out of range a fortiori).
+_XSD_INT_LEX = r"^[+-]?[0-9]+$"
+XSD_INTEGER_RANGE: dict[str, tuple[int | None, int | None]] = {
+    "xsd:long": (-(2**63), 2**63 - 1),
+    "xsd:int": (-(2**31), 2**31 - 1),
+    "xsd:short": (-(2**15), 2**15 - 1),
+    "xsd:byte": (-(2**7), 2**7 - 1),
+    "xsd:unsignedLong": (0, 2**64 - 1),
+    "xsd:unsignedInt": (0, 2**32 - 1),
+    "xsd:unsignedShort": (0, 2**16 - 1),
+    "xsd:unsignedByte": (0, 2**8 - 1),
+    "xsd:nonNegativeInteger": (0, None),
+    "xsd:positiveInteger": (1, None),
+    "xsd:nonPositiveInteger": (None, 0),
+    "xsd:negativeInteger": (None, -1),
+}
+
 
 def xsd_lexical_valid(obj, obj_type):
     """Boolean column: does ``obj``'s lexical form satisfy its
@@ -471,6 +494,18 @@ def xsd_lexical_valid(obj, obj_type):
     out = F.lit(True)
     for t, pat in sorted(XSD_LEXICAL.items()):
         out = F.when(obj_type == t, obj.rlike(pat)).otherwise(out)
+    for t, (lo, hi) in sorted(XSD_INTEGER_RANGE.items()):
+        v = obj.cast("decimal(38,0)")
+        cond = obj.rlike(_XSD_INT_LEX)
+        if lo is not None:
+            cond = cond & v.isNotNull() & (
+                v >= F.lit(str(lo)).cast("decimal(38,0)")
+            )
+        if hi is not None:
+            cond = cond & v.isNotNull() & (
+                v <= F.lit(str(hi)).cast("decimal(38,0)")
+            )
+        out = F.when(obj_type == t, cond).otherwise(out)
     return out
 
 

@@ -25254,3 +25254,211 @@ def gql_fragments(spark, sf_dir):
         relations={("Customer", "orders"): ("Order", "c_custkey", "o_custkey")},
         inherits={"Customer": ["Party"]},
     )["Customer"]
+
+
+@register(
+    "rdf_xsd_wide5",
+    """
+    WITH fixture AS (
+      SELECT 'Part/' || p_partkey AS subject,
+        CASE WHEN p_partkey % 4 = 0 THEN '-129'
+             WHEN p_partkey % 4 = 1 THEN '+127'
+             ELSE (p_partkey % 128 - 64)::VARCHAR END AS byt,
+        CASE WHEN p_partkey % 4 = 0 THEN '32768'
+             WHEN p_partkey % 4 = 1 THEN '-32768'
+             ELSE (p_partkey % 1000)::VARCHAR END AS sht,
+        CASE WHEN p_partkey % 4 = 0 THEN '-2147483649'
+             WHEN p_partkey % 4 = 1 THEN '2147483647'
+             ELSE (p_partkey % 9999)::VARCHAR END AS intv,
+        CASE WHEN p_partkey % 4 = 0 THEN '9223372036854775808'
+             WHEN p_partkey % 4 = 1 THEN '-9223372036854775808'
+             ELSE p_partkey::VARCHAR END AS lng,
+        CASE WHEN p_partkey % 4 = 0 THEN '256'
+             WHEN p_partkey % 4 = 1 THEN '-1'
+             WHEN p_partkey % 4 = 2 THEN '+0'
+             ELSE (p_partkey % 256)::VARCHAR END AS uby,
+        CASE WHEN p_partkey % 4 = 0 THEN '65536'
+             ELSE (p_partkey % 65536)::VARCHAR END AS ush,
+        CASE WHEN p_partkey % 4 = 0 THEN '4294967296'
+             WHEN p_partkey % 4 = 1 THEN '4294967295'
+             ELSE (p_partkey % 977)::VARCHAR END AS uin,
+        CASE WHEN p_partkey % 4 = 0 THEN '18446744073709551616'
+             WHEN p_partkey % 4 = 1 THEN '18446744073709551615'
+             ELSE p_partkey::VARCHAR END AS uln,
+        CASE WHEN p_partkey % 4 = 0 THEN '-3'
+             WHEN p_partkey % 4 = 1 THEN '-0'
+             WHEN p_partkey % 4 = 2 THEN '+12'
+             ELSE '0' END AS nng,
+        CASE WHEN p_partkey % 4 = 0 THEN '0'
+             WHEN p_partkey % 4 = 1 THEN '0001'
+             ELSE (p_partkey % 50 + 1)::VARCHAR END AS pos,
+        CASE WHEN p_partkey % 4 = 0 THEN '7'
+             WHEN p_partkey % 4 = 1 THEN '-0'
+             ELSE '-' || (p_partkey % 99 + 1)::VARCHAR END AS nps,
+        CASE WHEN p_partkey % 4 = 0 THEN '0'
+             WHEN p_partkey % 4 = 1 THEN '-0'
+             ELSE '-' || (p_partkey % 99 + 1)::VARCHAR END AS neg
+      FROM part),
+    trip(subject, predicate, obj, obj_type) AS (
+      SELECT subject, 'rdf:type', 'Part', 'iri' FROM fixture
+      UNION ALL SELECT subject, 'byt', byt, 'xsd:byte' FROM fixture
+      UNION ALL SELECT subject, 'sht', sht, 'xsd:short' FROM fixture
+      UNION ALL SELECT subject, 'intv', intv, 'xsd:int' FROM fixture
+      UNION ALL SELECT subject, 'lng', lng, 'xsd:long' FROM fixture
+      UNION ALL SELECT subject, 'uby', uby, 'xsd:unsignedByte' FROM fixture
+      UNION ALL SELECT subject, 'ush', ush, 'xsd:unsignedShort' FROM fixture
+      UNION ALL SELECT subject, 'uin', uin, 'xsd:unsignedInt' FROM fixture
+      UNION ALL SELECT subject, 'uln', uln, 'xsd:unsignedLong' FROM fixture
+      UNION ALL SELECT subject, 'nng', nng, 'xsd:nonNegativeInteger'
+        FROM fixture
+      UNION ALL SELECT subject, 'pos', pos, 'xsd:positiveInteger'
+        FROM fixture
+      UNION ALL SELECT subject, 'nps', nps, 'xsd:nonPositiveInteger'
+        FROM fixture
+      UNION ALL SELECT subject, 'neg', neg, 'xsd:negativeInteger'
+        FROM fixture)
+    SELECT fmt, subject, predicate, obj, obj_type,
+           CASE obj_type
+             WHEN 'xsd:byte' THEN
+               try_cast(obj AS HUGEINT) BETWEEN -128 AND 127
+             WHEN 'xsd:short' THEN
+               try_cast(obj AS HUGEINT) BETWEEN -32768 AND 32767
+             WHEN 'xsd:int' THEN
+               try_cast(obj AS HUGEINT)
+                 BETWEEN -2147483648 AND 2147483647
+             WHEN 'xsd:long' THEN
+               try_cast(obj AS HUGEINT)
+                 BETWEEN -9223372036854775808 AND 9223372036854775807
+             WHEN 'xsd:unsignedByte' THEN
+               try_cast(obj AS HUGEINT) BETWEEN 0 AND 255
+             WHEN 'xsd:unsignedShort' THEN
+               try_cast(obj AS HUGEINT) BETWEEN 0 AND 65535
+             WHEN 'xsd:unsignedInt' THEN
+               try_cast(obj AS HUGEINT) BETWEEN 0 AND 4294967295
+             WHEN 'xsd:unsignedLong' THEN
+               try_cast(obj AS HUGEINT)
+                 BETWEEN 0 AND 18446744073709551615
+             WHEN 'xsd:nonNegativeInteger' THEN
+               try_cast(obj AS HUGEINT) >= 0
+             WHEN 'xsd:positiveInteger' THEN
+               try_cast(obj AS HUGEINT) >= 1
+             WHEN 'xsd:nonPositiveInteger' THEN
+               try_cast(obj AS HUGEINT) <= 0
+             WHEN 'xsd:negativeInteger' THEN
+               try_cast(obj AS HUGEINT) <= -1
+             ELSE true
+           END AS valid
+    FROM trip CROSS JOIN (VALUES ('nt'), ('ttl')) AS f(fmt)
+    """,
+)
+def rdf_xsd_wide5(spark, sf_dir):
+    """Fifth wide-xsd tranche: the INTEGER-DERIVED ladder — xsd:byte/
+    short/int/long, the four unsigned sizes, and the four sign-
+    constrained integers (non/Negative, non/Positive) — XML Schema
+    Part 2 §3.3.13–3.3.25, through the same shape as rdf_xsd_wide3/4:
+    triples_from_table type overrides, BOTH dump/load roundtrips
+    (N-Triples and Turtle keep the ^^type tag — no bare-number
+    collapse), and per-literal validation
+    (model/triples.py:XSD_INTEGER_RANGE — shared lexical space
+    `[+-]?digits+`, per-type VALUE-space bounds checked on a
+    decimal(38,0) cast).  Planted: out-of-range values one past each
+    bound in both directions, sign violations on the unsigned /
+    sign-constrained types, plus the lexical corner forms the value
+    check must see through: '-0' (a lexical zero — VALID for
+    nonNegative/nonPositive, INVALID for positive/negative), leading
+    zeros ('0001' is a valid positiveInteger), and explicit '+'
+    signs."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
+    from terminus_server_spark.model.triples import (
+        from_ntriples,
+        from_turtle,
+        to_ntriples,
+        to_turtle,
+        triples_from_table,
+        xsd_lexical_valid,
+    )
+
+    part = _t(spark, sf_dir, "part")["part"]
+    k = F.col("p_partkey")
+    m = k % 4
+
+    def c4(v0, v1, rest, v2=None):
+        out = F.when(m == 0, F.lit(v0))
+        if v1 is not None:
+            out = out.when(m == 1, F.lit(v1))
+        if v2 is not None:
+            out = out.when(m == 2, F.lit(v2))
+        return out.otherwise(rest)
+
+    fixture = part.select(
+        "p_partkey",
+        c4("-129", "+127", (k % 128 - 64).cast("string")).alias("byt"),
+        c4("32768", "-32768", (k % 1000).cast("string")).alias("sht"),
+        c4("-2147483649", "2147483647", (k % 9999).cast("string")).alias(
+            "intv"
+        ),
+        c4(
+            "9223372036854775808",
+            "-9223372036854775808",
+            k.cast("string"),
+        ).alias("lng"),
+        c4("256", "-1", (k % 256).cast("string"), v2="+0").alias("uby"),
+        c4("65536", None, (k % 65536).cast("string")).alias("ush"),
+        c4("4294967296", "4294967295", (k % 977).cast("string")).alias(
+            "uin"
+        ),
+        c4(
+            "18446744073709551616",
+            "18446744073709551615",
+            k.cast("string"),
+        ).alias("uln"),
+        c4("-3", "-0", F.lit("0"), v2="+12").alias("nng"),
+        c4("0", "0001", (k % 50 + 1).cast("string")).alias("pos"),
+        c4(
+            "7", "-0", F.concat(F.lit("-"), (k % 99 + 1).cast("string"))
+        ).alias("nps"),
+        c4(
+            "0", "-0", F.concat(F.lit("-"), (k % 99 + 1).cast("string"))
+        ).alias("neg"),
+    )
+    trips = triples_from_table(
+        fixture,
+        "Part",
+        "p_partkey",
+        value_cols=[
+            "byt", "sht", "intv", "lng", "uby", "ush", "uin", "uln",
+            "nng", "pos", "nps", "neg",
+        ],
+        type_overrides={
+            "byt": "xsd:byte",
+            "sht": "xsd:short",
+            "intv": "xsd:int",
+            "lng": "xsd:long",
+            "uby": "xsd:unsignedByte",
+            "ush": "xsd:unsignedShort",
+            "uin": "xsd:unsignedInt",
+            "uln": "xsd:unsignedLong",
+            "nng": "xsd:nonNegativeInteger",
+            "pos": "xsd:positiveInteger",
+            "nps": "xsd:nonPositiveInteger",
+            "neg": "xsd:negativeInteger",
+        },
+    )
+    width = spark.sparkContext.defaultParallelism
+    nt_lines = plan_checkpoint(
+        to_ntriples(trips, base=_NT_B).select("line").repartition(width)
+    )
+    ttl_lines = plan_checkpoint(
+        to_turtle(trips, base=_NT_B).select("line").repartition(width)
+    )
+    nt = plan_checkpoint(from_ntriples(nt_lines, base=_NT_B))
+    ttl = plan_checkpoint(from_turtle(ttl_lines))
+    cols = ["subject", "predicate", "obj", "obj_type"]
+    out = nt.select(F.lit("nt").alias("fmt"), *cols).unionByName(
+        ttl.select(F.lit("ttl").alias("fmt"), *cols)
+    )
+    return out.withColumn(
+        "valid", xsd_lexical_valid(F.col("obj"), F.col("obj_type"))
+    )

@@ -94,3 +94,42 @@ def test_num_shadow_binding(store):
     )
     rows = WOQLContext(store).run(q).collect()
     assert sorted(r["d"] for r in rows) == ["Doc/1", "Doc/2"]
+
+
+def test_xsd_integer_ladder_corner_forms(spark):
+    """XSD_INTEGER_RANGE value checks see through the lexical corner
+    forms: '-0' is a lexical ZERO (valid nonNegative/nonPositive,
+    invalid positive/negative), leading zeros and '+' signs are
+    legal, and each bounded type rejects one-past-the-bound in both
+    directions."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.model.triples import xsd_lexical_valid
+
+    cases = [
+        ("-0", "xsd:nonNegativeInteger", True),
+        ("-0", "xsd:nonPositiveInteger", True),
+        ("-0", "xsd:positiveInteger", False),
+        ("-0", "xsd:negativeInteger", False),
+        ("0001", "xsd:positiveInteger", True),
+        ("+12", "xsd:nonNegativeInteger", True),
+        ("12.5", "xsd:int", False),
+        ("", "xsd:int", False),
+        ("127", "xsd:byte", True),
+        ("128", "xsd:byte", False),
+        ("-128", "xsd:byte", True),
+        ("-129", "xsd:byte", False),
+        ("255", "xsd:unsignedByte", True),
+        ("256", "xsd:unsignedByte", False),
+        ("-1", "xsd:unsignedLong", False),
+        ("18446744073709551615", "xsd:unsignedLong", True),
+        ("18446744073709551616", "xsd:unsignedLong", False),
+        ("9223372036854775807", "xsd:long", True),
+        ("9223372036854775808", "xsd:long", False),
+    ]
+    df = spark.createDataFrame(
+        [(o, t) for o, t, _ in cases], "obj string, obj_type string"
+    ).withColumn("valid", xsd_lexical_valid(F.col("obj"), F.col("obj_type")))
+    got = {(r.obj, r.obj_type): r.valid for r in df.collect()}
+    for o, t, want in cases:
+        assert got[(o, t)] is want, (o, t, want)

@@ -1248,3 +1248,82 @@ def kmv_theta_intersect(
             "exact_intersect",
         )
     )
+
+
+def kmv_theta_anotb(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """(n_a_kept, n_b_kept, theta, n_anotb, est_anotb, exact_anotb):
+    theta-sketch set DIFFERENCE estimate (the a-not-b operation of
+    the theta-sketch algebra, Dasgupta et al. — the third member
+    beside union and intersection): with θ = min(θ_a, θ_b), the
+    result sketch's retained values are A's mins below θ that do NOT
+    appear among B's mins, and the estimate is their count / θ —
+    "how many keys are in the 100 TB set A but not in B" from two
+    k-row min-sets, never an anti-join of the raw sets.  B's mins
+    below θ are a FULL census of B ∩ [0,θ) (that is what θ_b ≥ θ
+    guarantees), so the membership test against them is exact for
+    every retained A value — the subtlety that makes a-not-b sound.
+
+    md5-portable end to end (same fraction as the KMV family), so
+    the ESTIMATE itself is bit-reproduced by the SQL oracle;
+    ``exact_anotb`` is the audited truth (one distinct anti-join —
+    the cost the sketch avoids).  Sketch cost: two scans + two k-row
+    top-ks; the difference step touches only k-row frames."""
+
+    def _mins(df: DataFrame, col: str) -> DataFrame:
+        frac = (
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+            ).cast("double")
+            / F.lit(float(16**8))
+        )
+        return plan_checkpoint(
+            df.select(frac.alias("f")).distinct().orderBy("f").limit(k)
+        )
+
+    ma, mb = _mins(df_a, col_a), _mins(df_b, col_b)
+    sa = ma.agg(F.count(F.lit(1)).alias("n_a_kept"), F.max("f").alias("_ta"))
+    sb = mb.agg(F.count(F.lit(1)).alias("n_b_kept"), F.max("f").alias("_tb"))
+    thetas = sa.crossJoin(sb).select(
+        "n_a_kept",
+        "n_b_kept",
+        F.least(
+            F.when(F.col("n_a_kept") < k, F.lit(1.0)).otherwise(F.col("_ta")),
+            F.when(F.col("n_b_kept") < k, F.lit(1.0)).otherwise(F.col("_tb")),
+        ).alias("theta"),
+    )
+    kept = (
+        ma.join(mb, "f", "left_anti")
+        .crossJoin(F.broadcast(thetas.select("theta")))
+        .where(F.col("f") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_anotb"))
+    )
+    exact = (
+        df_a.select(F.col(col_a).alias("_k"))
+        .distinct()
+        .join(
+            df_b.select(F.col(col_b).alias("_k")).distinct(),
+            "_k",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_anotb"))
+    )
+    return (
+        thetas.crossJoin(kept)
+        .crossJoin(exact)
+        .select(
+            "n_a_kept",
+            "n_b_kept",
+            "theta",
+            "n_anotb",
+            (F.col("n_anotb").cast("double") / F.col("theta")).alias(
+                "est_anotb"
+            ),
+            "exact_anotb",
+        )
+    )

@@ -616,3 +616,47 @@ def merge_octopus(
     if adds is not None:
         merged = merged.unionByName(adds.select(*base.columns))
     return merged, conflicts
+
+
+def range_diff(
+    layers_a: DataFrame, layers_b: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """(commit_a, seq_a, commit_b, seq_b, status): the ``git
+    range-diff`` analogue — compare two commit RANGES (e.g. a branch
+    before and after a rebase) by CONTENT, matching commits across
+    ranges on their :func:`patch_ids` identity: ``equal`` = the same
+    change appears in both ranges (possibly at a different position
+    or under a new commit id — exactly what a clean rebase produces),
+    ``only_a`` = dropped by the rewrite, ``only_b`` = introduced by
+    it.  A commit whose content was EDITED during the rewrite shows
+    as its only_a/only_b pair — the honest exact-identity answer
+    (git's fuzzy pairing ranks by diff similarity; content equality
+    is the decidable core of it).  Cost: two commit-count-sized
+    patch-id aggregates (each one map-side fold over its range's
+    rows) + one full outer join on the id — never a state diff.
+    Precondition: patch ids are unique within each range (two
+    byte-identical commits in ONE range would cross-pair)."""
+    ia = patch_ids(layers_a, key_cols)
+    ib = patch_ids(layers_b, key_cols)
+    a = ia.select(
+        F.col("commit_id").alias("commit_a"),
+        F.col("commit_seq").cast("bigint").alias("seq_a"),
+        "patch_id",
+    )
+    b = ib.select(
+        F.col("commit_id").alias("commit_b"),
+        F.col("commit_seq").cast("bigint").alias("seq_b"),
+        F.col("patch_id").alias("_pb"),
+    )
+    return a.join(
+        b, a["patch_id"] == b["_pb"], "full_outer"
+    ).select(
+        "commit_a",
+        "seq_a",
+        "commit_b",
+        "seq_b",
+        F.when(F.col("commit_a").isNull(), F.lit("only_b"))
+        .when(F.col("commit_b").isNull(), F.lit("only_a"))
+        .otherwise(F.lit("equal"))
+        .alias("status"),
+    )

@@ -1076,3 +1076,42 @@ def random_key_subjects(df: DataFrame, class_name: str) -> DataFrame:
     return df.withColumn(
         "subject", F.concat(F.lit(class_name + "/"), F.expr("uuid()"))
     )
+
+
+def documentation_for_language(
+    documentation: DataFrame, language: str
+) -> DataFrame:
+    """(class, predicate, comment): resolve a MULTILINGUAL
+    ``@documentation`` frame — (class, predicate, comment, language)
+    rows, language NULL = the untagged default block — to the
+    single-language shape :func:`graphql_schema` and the frames wire
+    consume, for one requested language.  TerminusDB v10.1+ accepts
+    ``@documentation`` as a LIST of per-``@language`` blocks; a
+    client asks in one language and the server answers from the best
+    block per documented item:
+
+    1. the exact requested language,
+    2. else the untagged default block,
+    3. else the lexicographically first tagged language —
+       deterministic, so two engines always agree.
+
+    Resolution is one min(struct) aggregate at the (class, predicate)
+    grain over the (tiny, broadcastable) documentation frame — no
+    window, no shuffle of anything corpus-sized."""
+    rank = (
+        F.when(F.col("language") == language, F.lit(1))
+        .when(F.col("language").isNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    pick = F.min(
+        F.struct(
+            rank.alias("r"),
+            F.coalesce(F.col("language"), F.lit("")).alias("lang"),
+            F.col("comment").alias("comment"),
+        )
+    ).alias("_pick")
+    return (
+        documentation.groupBy("class", "predicate")
+        .agg(pick)
+        .select("class", "predicate", F.col("_pick.comment").alias("comment"))
+    )

@@ -41,7 +41,7 @@ _TOKEN = re.compile(
         (?P<str>"(?:[^"\\]|\\.)*")
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<name>[_A-Za-z][_0-9A-Za-z]*)
-      | (?P<punct>\.\.\.|[{}()\[\]:,$=!])
+      | (?P<punct>\.\.\.|[{}()\[\]:,$=!@])
     )""",
     re.VERBOSE,
 )
@@ -211,6 +211,34 @@ class _Parser:
         self.expect(")")
         return args
 
+    def _directives(self) -> bool:
+        """Parse the executable directives after a field / spread /
+        inline fragment and return whether the selection is KEPT:
+        ``@include(if:)`` and ``@skip(if:)`` — the two directives the
+        GraphQL spec requires every implementation to support —
+        evaluate at parse time (their arguments are booleans or
+        variables, both already resolved here), so a skipped field
+        never reaches compilation at all.  Multiple directives AND
+        together per the spec (include all true, no skip true).
+        Unknown directives raise — silently ignoring one would
+        change result shape."""
+        keep = True
+        while self.peek()[1] == "@":
+            self.next()
+            kind, name = self.next()
+            if kind != "name":
+                raise ValueError(
+                    f"graphql: expected directive name, got {name!r}"
+                )
+            args = self.arguments()
+            if name == "include":
+                keep = keep and bool(args.get("if"))
+            elif name == "skip":
+                keep = keep and not bool(args.get("if"))
+            else:
+                raise ValueError(f"graphql: unknown directive @{name}")
+        return keep
+
     def selection_set(self) -> list:
         """Scalar fields come back as strings; nested related-field
         selections as {"name", "args", "fields"} dicts (one level of
@@ -235,15 +263,17 @@ class _Parser:
                         raise ValueError(
                             f"graphql: expected type condition, got {cond!r}"
                         )
-                    fields.append(
-                        {"frag": True, "on": cond,
-                         "fields": self.selection_set()}
-                    )
-                elif nt == "{":
-                    fields.append(
-                        {"frag": True, "on": None,
-                         "fields": self.selection_set()}
-                    )
+                    keep = self._directives()
+                    node = {"frag": True, "on": cond,
+                            "fields": self.selection_set()}
+                    if keep:
+                        fields.append(node)
+                elif nt == "{" or nt == "@":
+                    keep = self._directives()
+                    node = {"frag": True, "on": None,
+                            "fields": self.selection_set()}
+                    if keep:
+                        fields.append(node)
                 elif nk == "name":
                     self.next()
                     if nt not in self.frags:
@@ -254,6 +284,7 @@ class _Parser:
                         raise ValueError(
                             f"graphql: fragment cycle through {nt!r}"
                         )
+                    keep = self._directives()
                     cond, body = self.frags[nt]
                     self.expanding.add(nt)
                     try:
@@ -262,7 +293,10 @@ class _Parser:
                         ).selection_set()
                     finally:
                         self.expanding.discard(nt)
-                    fields.append({"frag": True, "on": cond, "fields": sub})
+                    if keep:
+                        fields.append(
+                            {"frag": True, "on": cond, "fields": sub}
+                        )
                 else:
                     raise ValueError(
                         f"graphql: expected fragment name or 'on' after "
@@ -273,12 +307,15 @@ class _Parser:
                 continue
             if kind != "name":
                 raise ValueError(f"graphql: expected field name, got {tok!r}")
-            if self.peek()[1] in ("(", "{"):
-                args = self.arguments()
+            args = self.arguments()
+            keep = self._directives()
+            if args or self.peek()[1] == "{":
                 sub = self.selection_set()
-                fields.append({"name": tok, "args": args, "fields": sub})
+                node: object = {"name": tok, "args": args, "fields": sub}
             else:
-                fields.append(tok)
+                node = tok
+            if keep:
+                fields.append(node)
             if self.peek()[1] == ",":
                 self.next()
         self.expect("}")
@@ -336,8 +373,12 @@ class _Parser:
                     raise ValueError(f"graphql: expected class after alias {cls!r}")
                 alias, cls = cls, real
             args = self.arguments()
+            keep = self._directives()
             fields = self.selection_set() if self.peek()[1] == "{" else []
-            roots.append((cls, {"args": args, "fields": fields, "alias": alias}))
+            if keep:
+                roots.append(
+                    (cls, {"args": args, "fields": fields, "alias": alias})
+                )
         self.expect("}")
         return op, roots
 

@@ -4950,3 +4950,35 @@ def test_graphql_fragments_parse_and_flatten():
     assert parse_graphql("query { C { fragment } }")["C"]["fields"] == [
         "fragment"
     ]
+
+
+def test_graphql_directives_parse():
+    """@include/@skip on every selection kind, AND-composition of
+    multiple directives, variable + declared-default if-arguments,
+    unknown-directive error."""
+    import pytest
+
+    from terminus_server_spark.docs.graphql import parse_graphql
+
+    src = """
+    query($w: Boolean = true, $n: Boolean = false) {
+      Customer { k
+        a @include(if: $w)
+        b @skip(if: $n)
+        c @include(if: false)
+        ...S @include(if: true)
+        ... on Customer @skip(if: true) { d }
+        r(limit: 1) @skip(if: $w) { x }
+      }
+    }
+    fragment S on Customer { m }
+    """
+    flds = parse_graphql(src)["Customer"]["fields"]
+    names = [f if isinstance(f, str) else (f.get("name") or "frag")
+             for f in flds]
+    assert names == ["k", "a", "b", "frag"]
+    assert parse_graphql(
+        "query { C { b a @include(if: true) @skip(if: true) } }"
+    )["C"]["fields"] == ["b"]
+    with pytest.raises(ValueError, match="unknown directive"):
+        parse_graphql("query { C { b a @defer } }")

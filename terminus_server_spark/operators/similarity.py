@@ -1523,3 +1523,122 @@ def mmr_rerank(
             )
         )
     return selected
+
+
+def nn_descent_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    max_bucket: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(node_id, neighbor_id, cos, rk): approximate k-NN GRAPH over
+    the whole corpus by one NN-DESCENT refinement round (Dong, Moses
+    & Li, "Efficient k-nearest neighbor graph construction for
+    generic similarity measures", WWW 2011 — the construction behind
+    the HNSW/NN-descent index family): seed each node's neighbor
+    list from banded sign-LSH buckets, then improve it with the
+    algorithm's local rule — "my neighbor's neighbors are probably
+    my neighbors" — rescoring each node against its FORWARD
+    neighbors, its REVERSE neighbors, and its neighbors-of-neighbors
+    and keeping the exact-cosine top-k.
+
+    The scale contract is the point: candidates are never all-pairs.
+    Init pairs ride the band buckets with a DETERMINISTIC per-bucket
+    cap (the ``max_bucket`` lexicographically-smallest ids — a hot
+    bucket degrades init quality instead of exploding deg²; the
+    refine round is what restores recall).  The round's candidate
+    set is ≤ k (forward) + k (reverse expected) + k² (NoN) per node
+    — LINEAR in the corpus with a constant factor, the same shape at
+    500 rows and 100 TB.  Exact fixed-point cosine everywhere, ties
+    by neighbor id, so the whole graph (not just a recall number) is
+    engine-reproducible.  A node whose buckets gave it no candidate
+    stays absent — honest init sparsity, visible to the caller."""
+    from pyspark.sql.window import Window
+
+    rows_per_band = n_planes // n_bands
+    pa = scaled_parts(emb, id_col, vec_col, "a")
+    pb = scaled_parts(emb, id_col, vec_col, "b")
+    if dim is not None:
+        sig = pandas_lsh_signature(n_planes, dim)(F.col("vec_b"))
+    else:
+        sig = expr_lsh_signature(F.col("vec_b"), n_planes, dim=dim)
+    banded = pb.withColumn("sig", sig).select(
+        "id_b",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring(
+                            "sig", b * rows_per_band + 1, rows_per_band
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id_b", "bk.band_id", "bk.band_key")
+    wb = Window.partitionBy("band_id", "band_key").orderBy("id_b")
+    capped = (
+        banded.withColumn("_r", F.row_number().over(wb))
+        .where(F.col("_r") <= max_bucket)
+        .drop("_r")
+    )
+    pairs0 = (
+        capped.select(
+            F.col("id_b").alias("node_id"), "band_id", "band_key"
+        )
+        .join(capped, ["band_id", "band_key"])
+        .where(F.col("node_id") != F.col("id_b"))
+        .select("node_id", F.col("id_b").alias("neighbor_id"))
+        .distinct()
+    )
+
+    def topk(cands: DataFrame) -> DataFrame:
+        scored = (
+            cands.join(
+                pa.select(F.col("id_a").alias("node_id"), "vec_a", "norm_a"),
+                "node_id",
+            )
+            .join(
+                pb.select(
+                    F.col("id_b").alias("neighbor_id"), "vec_b", "norm_b"
+                ),
+                "neighbor_id",
+            )
+            .select("node_id", "neighbor_id", cosine_from_parts().alias("cos"))
+        )
+        w = Window.partitionBy("node_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return scored.withColumn("rk", F.row_number().over(w)).where(
+            F.col("rk") <= k
+        )
+
+    g0 = plan_checkpoint(topk(pairs0).select("node_id", "neighbor_id"))
+    rev = g0.select(
+        F.col("neighbor_id").alias("node_id"),
+        F.col("node_id").alias("neighbor_id"),
+    )
+    non = (
+        g0.alias("x")
+        .join(
+            g0.alias("y"),
+            F.col("x.neighbor_id") == F.col("y.node_id"),
+        )
+        .select(
+            F.col("x.node_id").alias("node_id"),
+            F.col("y.neighbor_id").alias("neighbor_id"),
+        )
+    )
+    cands1 = (
+        g0.unionByName(rev)
+        .unionByName(non)
+        .where(F.col("node_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    return topk(cands1).orderBy("node_id", "rk")

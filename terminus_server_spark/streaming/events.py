@@ -2542,3 +2542,112 @@ def run_stream_triangles_cdc(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"n{state['version']}"))
+
+
+def run_stream_pagerank_cdc(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    cold_iters: int = 3,
+    warm_iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank): streaming PageRank maintenance over a CDC edge
+    stream — ``(op, src, dst)`` rows with op ∈ {add, del}, the
+    delete-capable sibling of ``run_stream_pagerank`` (same
+    warm-restart schedule: ``cold_iters`` on batch 1, ``warm_iters``
+    from the carried ranks per later batch).  Deletes apply to the
+    DIRECTED store first (broadcast anti join), adds after
+    (delta-sized append), matching the CDC family's within-batch
+    convention.  The carried rank table is conformed to the UPDATED
+    node set before the warm rounds: VANISHED nodes (lost their last
+    edge) are dropped — they must stop receiving teleport mass and
+    stop contributing — and fresh nodes seed at 1/|V_new|; the
+    node-set conform is one semi join of the |V|-sized rank table,
+    the same order of work as the warm iteration itself.  Arithmetic
+    is the shared floor-scaled fixed-point loop, so the final ranks
+    replay bit-exactly from the unrolled cold+warm schedule over the
+    evolving net edge sets — that replay IS the oracle."""
+    from terminus_server_spark.operators.graph import pagerank, pagerank_warm
+
+    tmp = tempfile.mkdtemp(prefix="tss_sprcdc_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def canon(e):
+        return (
+            e.select("src", "dst")
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        adds = canon(batch_df.where(F.col("op") == "add")).localCheckpoint(
+            eager=True
+        )
+        dels = canon(batch_df.where(F.col("op") == "del")).localCheckpoint(
+            eager=True
+        )
+        if state["version"] >= 0:
+            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            ranks = s.read.parquet(os.path.join(tmp, f"r{state['version']}"))
+        else:
+            stored, ranks = adds.limit(0), None
+        if dels.count():
+            stored = stored.join(
+                F.broadcast(dels), ["src", "dst"], "left_anti"
+            )
+        adds_only = adds.join(
+            stored.join(
+                F.broadcast(adds.select("src").distinct()), "src", "left_semi"
+            ),
+            ["src", "dst"],
+            "left_anti",
+        )
+        edges = stored.unionByName(adds_only)
+        if ranks is None:
+            new_ranks = pagerank(edges, damping=damping, iters=cold_iters)
+        else:
+            nodes = (
+                edges.select(F.col("src").alias("node"))
+                .union(edges.select(F.col("dst")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_new = nodes.count()
+            # conform the carried table to the updated node set:
+            # vanished nodes drop (semi join), fresh nodes seed
+            carried = ranks.join(nodes, "node", "left_semi")
+            fresh = nodes.join(ranks.select("node"), "node", "left_anti")
+            seeded = carried.unionByName(
+                fresh.select("node", F.lit(1.0 / n_new).alias("rank"))
+            )
+            new_ranks = pagerank_warm(
+                edges, seeded, damping=damping, iters=warm_iters
+            )
+        state["version"] += 1
+        edges.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"e{state['version']}")
+        )
+        new_ranks.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"r{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"r{state['version']}"))

@@ -654,3 +654,86 @@ def resample_interpolate(
         .alias("value"),
         (F.col("__v__").isNull() & can).alias("filled"),
     )
+
+
+def holt_linear_forecast(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    y_col: str,
+    horizons: tuple[int, ...] = (1, 3),
+) -> DataFrame:
+    """(key, n_periods, level6, trend6, forecast_h...): Holt's LINEAR
+    TREND method (double exponential smoothing, Holt 1957 / the ETS
+    (A,A,N) model — the standard capacity-planning forecast) with
+    α = β = 1/2, run as an exact FIXED-POINT recurrence:
+
+        l_t = floor((y_t·1e6 + l_{t-1} + b_{t-1}) / 2)
+        b_t = floor((l_t − l_{t-1} + b_{t-1}) / 2)        (l_1 = y_1·1e6, b_1 = 0)
+
+    Level and trend live in micro-unit BIGINTs and every step is an
+    integer add + floor halve, so the recurrence is bit-identical on
+    any engine at ANY series length — no float error accumulation,
+    no left-vs-pairwise fold mismatch (a raw float EWMA is exact
+    only to ~50 steps at α = 1/2).  Forecast at horizon h is the
+    linear extrapolation (l_T + h·b_T) / 1e6.
+
+    The sequential dependence lives INSIDE one per-key array fold
+    (sort_array + aggregate over the collected series — a series is
+    one key's bounded history, thousands of points at most, while
+    keys distribute freely), so the plan is one groupBy: the same
+    shape at 5 keys and 5 million."""
+    zero = F.lit(0).cast("bigint")
+
+    def half_floor(x):
+        # floor(x/2) on BIGINT micro-units, negative-safe
+        return F.floor(x.cast("double") / F.lit(2.0)).cast("bigint")
+
+    series = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(t_col).alias("t"),
+                    F.col(y_col).cast("bigint").alias("y"),
+                )
+            )
+        ).alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+    )
+    init = F.struct(
+        zero.alias("l"), zero.alias("b"), F.lit(0).cast("bigint").alias("i")
+    )
+
+    def step(acc, row):
+        y6 = row["y"] * F.lit(1000000).cast("bigint")
+        l_new = F.when(acc["i"] == 0, y6).otherwise(
+            half_floor(y6 + acc["l"] + acc["b"])
+        )
+        b_new = F.when(acc["i"] == 0, zero).otherwise(
+            half_floor(l_new - acc["l"] + acc["b"])
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    folded = series.select(
+        "key",
+        "n_periods",
+        F.aggregate(F.col("_s"), init, step).alias("_hw"),
+    )
+    cols = [
+        "key",
+        "n_periods",
+        F.col("_hw.l").alias("level6"),
+        F.col("_hw.b").alias("trend6"),
+    ]
+    for h in horizons:
+        cols.append(
+            (
+                (F.col("_hw.l") + F.lit(h) * F.col("_hw.b")).cast("double")
+                / F.lit(1e6)
+            ).alias(f"forecast_{h}")
+        )
+    return folded.select(*cols)

@@ -581,3 +581,98 @@ def sniff_headers6(mm: DataFrame, payload_col: str = "payload", max_entries: int
         F.when(ok, n_entries).otherwise(null_i).alias("n_entries"),
         F.when(ok, orientation).otherwise(null_i).alias("orientation"),
     )
+
+
+def wav_pcm_energy(
+    mm: DataFrame,
+    payload_col: str = "payload",
+    window_samples: int = 16,
+) -> DataFrame:
+    """(…, sample_rate, n_channels, n_samples, window_id, energy_ssq):
+    decode canonical 16-bit PCM WAV payloads (44-byte RIFF header,
+    mono, the format every TTS/ASR corpus normalizes to) and compute
+    per-window signal ENERGY — the sum of squared samples over fixed
+    windows of ``window_samples`` — the primitive behind silence
+    trimming, voice-activity gating, and clip detection in an audio
+    training pipeline.  NO codec, NO Python: byte access is one
+    hex() of the payload + substring/conv expressions (the
+    sniff_headers discipline extended from header fields to the DATA
+    chunk), samples are two's-complement LE16 recovered with integer
+    arithmetic, and the window sum-of-squares is an integer
+    aggregate over a per-window sequence — whole-stage codegen end
+    to end, windows exploded to rows only after the fold.
+
+    Integer energies are exact (|sample| ≤ 2^15 ⇒ a window of 2^16
+    samples still fits bigint), so the output is engine-portable
+    with no float in sight.  Non-PCM / non-mono payloads pass
+    through with NULL windows rather than mis-decoding: the caller
+    routes them to the real decoder seam (extract_features)."""
+    p = F.col(payload_col)
+    hx = F.hex(p)
+
+    def byte_at(i):
+        # i: 1-based byte position, as a COLUMN
+        return F.conv(F.substring(hx, (i - 1) * 2 + 1, 2), 16, 10).cast(
+            "bigint"
+        )
+
+    is_wav = (_hx(p, 1, 4) == F.lit("52494646")) & (
+        _hx(p, 9, 4) == F.lit("57415645")
+    )
+    audio_fmt = _le(p, 21, 2)
+    n_channels = _le(p, 23, 2)
+    sample_rate = _le(p, 25, 4)
+    bits = _le(p, 35, 2)
+    data_size = _le(p, 41, 4)
+    decodable = (
+        is_wav
+        & (audio_fmt == 1)
+        & (n_channels == 1)
+        & (bits == 16)
+        & (_hx(p, 37, 4) == F.lit("64617461"))
+    )
+    n_samples = (data_size / 2).cast("bigint")
+    w = F.lit(window_samples).cast("bigint")
+    n_windows = F.ceil(n_samples / w).cast("int")
+
+    def sample(i):
+        # i: 0-based sample index column; data starts at byte 45
+        lo = byte_at(F.lit(45) + 2 * i)
+        hi = byte_at(F.lit(46) + 2 * i)
+        v = lo + 256 * hi
+        return v - F.when(v >= 32768, F.lit(65536)).otherwise(F.lit(0))
+
+    def window_ssq(wi):
+        first = wi.cast("bigint") * w
+        count = F.least(w, n_samples - first)
+        return F.aggregate(
+            F.sequence(F.lit(0).cast("bigint"), count - 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc + F.pow(sample(first + j), 2).cast("bigint"),
+        )
+
+    windows = F.when(
+        decodable,
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda wi: F.struct(
+                wi.cast("int").alias("window_id"),
+                window_ssq(wi).alias("energy_ssq"),
+            ),
+        ),
+    )
+    out = mm.select(
+        *[c for c in mm.columns if c != payload_col],
+        F.when(decodable, sample_rate).alias("sample_rate"),
+        F.when(decodable, n_channels).alias("n_channels"),
+        F.when(decodable, n_samples).alias("n_samples"),
+        windows.alias("_w"),
+    )
+    return out.select(
+        *[c for c in out.columns if c != "_w"],
+        F.explode_outer("_w").alias("_win"),
+    ).select(
+        *[c for c in out.columns if c != "_w"],
+        F.col("_win.window_id").alias("window_id"),
+        F.col("_win.energy_ssq").alias("energy_ssq"),
+    )

@@ -3765,3 +3765,76 @@ def link_prediction_scores(
         .orderBy(F.col("ra9").desc(), "s1", "s2")
         .limit(k)
     )
+
+
+def scc_incremental(
+    labels: DataFrame,
+    condensation: DataFrame,
+    delta_edges: DataFrame,
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component): strongly connected components AFTER an
+    insert-only commit delta, maintained from the stored labels plus
+    the stored CONDENSATION — the directed completion of
+    ``connected_components_incremental``, closing the incremental
+    family (cc/kcore/ktruss/msf/triangles/betweenness all maintain
+    in both directions; SCC's insert direction lives here).  The
+    monotonicity fact: edge INSERTION never splits an SCC, it can
+    only merge whole classes — so the new classes are exactly the
+    SCCs of the QUOTIENT graph (condensation edges ∪ delta edges
+    mapped to their endpoint labels), and each merged group takes
+    min-of-mins, which IS the global min because stored labels are
+    class minima.  Deletions invalidate the monotonicity — route
+    them through the batch algorithm.
+
+    Cost rides the CONDENSATION + delta, never the raw edge set: a
+    quotient graph is typically orders of magnitude smaller than E
+    (one social-graph-sized SCC contracts to a single node), the
+    delta maps to labels with two delta-sized joins, and the
+    relabel is one |V|-sized join at the end.  ``condensation``:
+    (src_comp, dst_comp) distinct inter-class edges, the
+    ``condensation_dag`` shape a versioned store keeps as a stored
+    layer beside the labels."""
+    lab_s = labels.select(
+        F.col("node").alias("src"), F.col("component").alias("_ls")
+    )
+    lab_d = labels.select(
+        F.col("node").alias("dst"), F.col("component").alias("_ld")
+    )
+    d = (
+        delta_edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    dl = (
+        d.join(lab_s, "src", "left_outer")
+        .join(lab_d, "dst", "left_outer")
+        .select(
+            F.coalesce(F.col("_ls"), F.col("src")).alias("src"),
+            F.coalesce(F.col("_ld"), F.col("dst")).alias("dst"),
+        )
+    )
+    meta = (
+        condensation.select(
+            F.col("src_comp").alias("src"), F.col("dst_comp").alias("dst")
+        )
+        .unionByName(dl)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mscc = strongly_connected_components(meta, max_iters)
+    relab = mscc.select(
+        F.col("node").alias("component"), F.col("component").alias("_newc")
+    )
+    d_nodes = (
+        d.select(F.col("src").alias("node"))
+        .union(d.select(F.col("dst")))
+        .distinct()
+    )
+    fresh = d_nodes.join(labels.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    base = labels.unionByName(fresh)
+    return base.join(relab, "component", "left_outer").select(
+        "node", F.coalesce(F.col("_newc"), F.col("component")).alias("component")
+    )

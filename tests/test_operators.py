@@ -4982,3 +4982,41 @@ def test_graphql_directives_parse():
     )["C"]["fields"] == ["b"]
     with pytest.raises(ValueError, match="unknown directive"):
         parse_graphql("query { C { b a @defer } }")
+
+
+def test_scc_incremental_equals_batch(spark):
+    """scc_incremental over (labels, condensation, delta) equals the
+    batch SCC of base ∪ delta — class merges through the quotient,
+    fresh delta-only nodes entering as singletons, and an untouched
+    class passing through verbatim."""
+    from terminus_server_spark.operators.graph import (
+        scc_incremental,
+        strongly_connected_components,
+    )
+
+    # base: 2-cycle {1,2}, chain 2->3->4, 2-cycle {5,6} (untouched)
+    base = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (5, 6), (6, 5)],
+        "src long, dst long",
+    )
+    labels = strongly_connected_components(base)
+    cond = (
+        base.join(labels.withColumnRenamed("node", "src")
+                  .withColumnRenamed("component", "src_comp"), "src")
+        .join(labels.withColumnRenamed("node", "dst")
+              .withColumnRenamed("component", "dst_comp"), "dst")
+        .where("src_comp != dst_comp")
+        .select("src_comp", "dst_comp")
+        .distinct()
+    )
+    # delta: close 4->1 (merges {1,2},3,4 into one class) and add a
+    # fresh 2-cycle {7,8}
+    delta = spark.createDataFrame(
+        [(4, 1), (7, 8), (8, 7)], "src long, dst long"
+    )
+    got = {(r.node, r.component)
+           for r in scc_incremental(labels, cond, delta).collect()}
+    want = {(r.node, r.component)
+            for r in strongly_connected_components(
+                base.unionByName(delta)).collect()}
+    assert got == want

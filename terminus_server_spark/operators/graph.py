@@ -3838,3 +3838,88 @@ def scc_incremental(
     return base.join(relab, "component", "left_outer").select(
         "node", F.coalesce(F.col("_newc"), F.col("component")).alias("component")
     )
+
+
+def scc_decremental(
+    labels: DataFrame,
+    base_edges: DataFrame,
+    delete_edges: DataFrame,
+    max_iters: int = 50,
+    canonical_base: bool = False,
+) -> DataFrame:
+    """(node, component): strongly connected components AFTER a
+    delete-only commit delta — the split direction
+    :func:`scc_incremental`'s monotonicity cannot cover, solved with
+    the same locality fact as ``connected_components_decremental``
+    made DIRECTED: the mutual-reachability paths that define a class
+    lie entirely INSIDE the class, so (a) deleting an INTER-class
+    edge changes no label at all (classes cannot merge by deletion),
+    and (b) deleting an INTRA-class edge can only split THAT class —
+    so only the DIRTY classes (those owning a really-deleted internal
+    edge) re-run SCC, over their own internal post-delete edges, and
+    every other label passes through verbatim.  Dirty-class minima
+    are global minima for their (subset) classes, so the result
+    equals batch SCC of base∖delete bit-for-bit.
+
+    Cost: one map-side broadcast semi join over the base (never
+    shuffled; ``canonical_base=True`` additionally skips the
+    distinct() when the store is already directed-distinct), then
+    everything rides the dirty classes' size.  Deleting an absent
+    edge is a no-op."""
+    if canonical_base:
+        eb = base_edges.select("src", "dst")
+    else:
+        eb = (
+            base_edges.select("src", "dst")
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+        )
+    dels = (
+        delete_edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    real = eb.join(F.broadcast(dels), ["src", "dst"], "left_semi")
+    real = loop_checkpoint(real)
+    lab_s = labels.select(
+        F.col("node").alias("src"), F.col("component").alias("_ls")
+    )
+    lab_d = labels.select(
+        F.col("node").alias("dst"), F.col("component").alias("_ld")
+    )
+    # dirty = classes owning a really-deleted INTRA-class edge
+    dirty = (
+        real.join(lab_s, "src")
+        .join(lab_d, "dst")
+        .where(F.col("_ls") == F.col("_ld"))
+        .select(F.col("_ls").alias("component"))
+        .distinct()
+    )
+    dirty = loop_checkpoint(dirty)
+    dirty_nodes = loop_checkpoint(
+        labels.join(F.broadcast(dirty), "component", "left_semi").select(
+            "node"
+        )
+    )
+    untouched = labels.join(
+        F.broadcast(dirty), "component", "left_anti"
+    )
+    # the dirty classes' INTERNAL post-delete edges: both endpoints
+    # dirty AND same old class (intra-class by construction)
+    e_new = eb.join(F.broadcast(dels), ["src", "dst"], "left_anti")
+    sub = (
+        e_new.join(
+            F.broadcast(dirty_nodes.select(F.col("node").alias("src"))),
+            "src",
+            "left_semi",
+        )
+        .join(lab_s, "src")
+        .join(lab_d, "dst")
+        .where(F.col("_ls") == F.col("_ld"))
+        .select("src", "dst")
+    )
+    relabeled = strongly_connected_components(sub, max_iters)
+    singletons = dirty_nodes.join(
+        relabeled.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return untouched.unionByName(relabeled).unionByName(singletons)

@@ -5020,3 +5020,33 @@ def test_scc_incremental_equals_batch(spark):
             for r in strongly_connected_components(
                 base.unionByName(delta)).collect()}
     assert got == want
+
+
+def test_scc_decremental_equals_batch(spark):
+    """scc_decremental over (labels, base, dels) equals batch SCC of
+    base∖delete: an intra-class delete splits only its own class, an
+    inter-class delete changes nothing, deleting an absent edge is a
+    no-op, and a dirty-class node losing all internal edges becomes a
+    singleton."""
+    from terminus_server_spark.operators.graph import (
+        scc_decremental,
+        strongly_connected_components,
+    )
+
+    # 3-cycle {1,2,3}, 2-cycle {5,6}, bridge 3->5
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (5, 6), (6, 5), (3, 5)],
+        "src long, dst long",
+    )
+    labels = strongly_connected_components(base)
+    # delete (3,1): the 3-cycle splits to singletons; delete the
+    # inter-class bridge (3,5): no label change; delete absent (9,9)
+    dels = spark.createDataFrame(
+        [(3, 1), (3, 5), (9, 9)], "src long, dst long"
+    )
+    got = {(r.node, r.component)
+           for r in scc_decremental(labels, base, dels).collect()}
+    net = base.join(dels, ["src", "dst"], "left_anti")
+    want = {(r.node, r.component)
+            for r in strongly_connected_components(net).collect()}
+    assert got == want

@@ -2651,3 +2651,252 @@ def run_stream_pagerank_cdc(
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(tmp, f"r{state['version']}"))
+
+
+def run_stream_scc_cdc(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component): streaming STRONGLY CONNECTED component
+    maintenance over a CDC edge stream — ``(op, src, dst)`` DIRECTED
+    rows, composing ``scc_decremental`` THEN ``scc_incremental``
+    per micro-batch (the directed completion of ``run_stream_cc_cdc``
+    and the last member of the CDC maintenance family).  State = the
+    directed edge store + the labels + the CONDENSATION, and the
+    condensation is maintained INCREMENTALLY alongside the labels —
+    never recomputed from the store:
+
+    - after deletes, only rows touching a TOUCHED class (a class
+      owning a really-deleted edge endpoint) are recomputed, from
+      the store slice incident to those classes' nodes (dirty-sized;
+      untouched condensation rows pass through verbatim);
+    - after inserts, old condensation endpoints map through the
+      merge relabel (a state-sized map join, same order as the
+      label relabel itself) and the delta's inter-class pairs union
+      in; self-loops (merged-away pairs) drop.
+
+    Within a batch, deletes apply against the pre-batch state and
+    inserts after them.  The final labels equal batch SCC of the NET
+    directed edge set under any batch split respecting that
+    convention."""
+    from terminus_server_spark.operators.graph import (
+        scc_decremental,
+        scc_incremental,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tss_scccdc_", dir="/tmp")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    state = {"version": -1}
+
+    def canon(e):
+        return (
+            e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        adds = canon(batch_df.where(F.col("op") == "add")).localCheckpoint(
+            eager=True
+        )
+        dels = canon(batch_df.where(F.col("op") == "del")).localCheckpoint(
+            eager=True
+        )
+        if state["version"] >= 0:
+            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            labels = s.read.parquet(os.path.join(tmp, f"l{state['version']}"))
+            cond = s.read.parquet(os.path.join(tmp, f"c{state['version']}"))
+        else:
+            stored = adds.limit(0)
+            labels = adds.select(
+                F.col("src").alias("node"), F.col("src").alias("component")
+            ).limit(0)
+            cond = adds.select(
+                F.col("src").alias("src_comp"), F.col("dst").alias("dst_comp")
+            ).limit(0)
+        lab_s = labels.select(
+            F.col("node").alias("src"), F.col("component").alias("_ls")
+        )
+        lab_d = labels.select(
+            F.col("node").alias("dst"), F.col("component").alias("_ld")
+        )
+        if dels.count():
+            real = stored.join(F.broadcast(dels), ["src", "dst"], "left_semi")
+            touched = (
+                real.join(lab_s, "src")
+                .join(lab_d, "dst")
+                .select(F.col("_ls").alias("component"))
+                .union(
+                    real.join(lab_s, "src")
+                    .join(lab_d, "dst")
+                    .select(F.col("_ld"))
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            new_labels = scc_decremental(
+                labels, stored, dels, max_iters, canonical_base=True
+            ).localCheckpoint(eager=True)
+            stored = stored.join(
+                F.broadcast(dels), ["src", "dst"], "left_anti"
+            )
+            # condensation maintenance: recompute only rows touching
+            # a touched class, from the touched-node-incident slice
+            touched_nodes = labels.join(
+                F.broadcast(touched), "component", "left_semi"
+            ).select("node")
+            nl_s = new_labels.select(
+                F.col("node").alias("src"), F.col("component").alias("_ns")
+            )
+            nl_d = new_labels.select(
+                F.col("node").alias("dst"), F.col("component").alias("_nd")
+            )
+            slice_ = stored.join(
+                F.broadcast(touched_nodes.select(F.col("node").alias("src"))),
+                "src",
+                "left_semi",
+            ).unionByName(
+                stored.join(
+                    F.broadcast(
+                        touched_nodes.select(F.col("node").alias("dst"))
+                    ),
+                    "dst",
+                    "left_semi",
+                )
+            )
+            recomputed = (
+                slice_.join(nl_s, "src")
+                .join(nl_d, "dst")
+                .where(F.col("_ns") != F.col("_nd"))
+                .select(
+                    F.col("_ns").alias("src_comp"),
+                    F.col("_nd").alias("dst_comp"),
+                )
+                .distinct()
+            )
+            untouched_cond = cond.join(
+                F.broadcast(touched.select(F.col("component").alias("src_comp"))),
+                "src_comp",
+                "left_anti",
+            ).join(
+                F.broadcast(touched.select(F.col("component").alias("dst_comp"))),
+                "dst_comp",
+                "left_anti",
+            )
+            cond = untouched_cond.select("src_comp", "dst_comp").unionByName(
+                recomputed
+            ).distinct()
+            labels = new_labels
+            lab_s = labels.select(
+                F.col("node").alias("src"), F.col("component").alias("_ls")
+            )
+            lab_d = labels.select(
+                F.col("node").alias("dst"), F.col("component").alias("_ld")
+            )
+        if adds.count():
+            new_labels = scc_incremental(
+                labels, cond, adds, max_iters
+            ).localCheckpoint(eager=True)
+            # merge relabel map: classes whose label changed
+            relab = (
+                labels.select(F.col("component").alias("old"))
+                .distinct()
+                .join(
+                    new_labels.select(
+                        F.col("node").alias("old"),
+                        F.col("component").alias("new"),
+                    ),
+                    "old",
+                    "left_outer",
+                )
+                .select(
+                    "old", F.coalesce("new", F.col("old")).alias("new")
+                )
+            )
+            cond_m = (
+                cond.join(
+                    relab.select(
+                        F.col("old").alias("src_comp"),
+                        F.col("new").alias("_ns"),
+                    ),
+                    "src_comp",
+                    "left_outer",
+                )
+                .join(
+                    relab.select(
+                        F.col("old").alias("dst_comp"),
+                        F.col("new").alias("_nd"),
+                    ),
+                    "dst_comp",
+                    "left_outer",
+                )
+                .select(
+                    F.coalesce(F.col("_ns"), F.col("src_comp")).alias(
+                        "src_comp"
+                    ),
+                    F.coalesce(F.col("_nd"), F.col("dst_comp")).alias(
+                        "dst_comp"
+                    ),
+                )
+            )
+            nl_s = new_labels.select(
+                F.col("node").alias("src"), F.col("component").alias("_ns")
+            )
+            nl_d = new_labels.select(
+                F.col("node").alias("dst"), F.col("component").alias("_nd")
+            )
+            delta_cond = (
+                adds.join(nl_s, "src")
+                .join(nl_d, "dst")
+                .select(
+                    F.col("_ns").alias("src_comp"),
+                    F.col("_nd").alias("dst_comp"),
+                )
+            )
+            cond = (
+                cond_m.unionByName(delta_cond)
+                .where(F.col("src_comp") != F.col("dst_comp"))
+                .distinct()
+            )
+            labels = new_labels
+            adds_only = adds.join(
+                stored.join(
+                    F.broadcast(adds.select("src").distinct()),
+                    "src",
+                    "left_semi",
+                ),
+                ["src", "dst"],
+                "left_anti",
+            )
+            stored = stored.unionByName(adds_only)
+        state["version"] += 1
+        stored.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"e{state['version']}")
+        )
+        labels.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"l{state['version']}")
+        )
+        cond.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"c{state['version']}")
+        )
+
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, f"l{state['version']}"))

@@ -194,3 +194,42 @@ def test_stream_triangles_cdc_split_invariance(spark):
     ).collect()[0].n_triangles
     assert got3 == want == 7 + 1
     assert got2 == want
+
+
+def test_stream_scc_cdc_split_invariance(spark):
+    """run_stream_scc_cdc: re-batching a CDC op sequence leaves the
+    labels identical, and they equal batch SCC of the net directed
+    edge set — class split (decremental), merge through the
+    maintained condensation (incremental), re-merge after a split,
+    and fresh nodes all exercised."""
+    from terminus_server_spark.operators.graph import (
+        strongly_connected_components,
+    )
+    from terminus_server_spark.streaming.events import run_stream_scc_cdc
+
+    schema = "op string, src long, dst long"
+    # 3-cycle {1,2,3}, bridge to 2-cycle {5,6}
+    b1 = [("add", 1, 2), ("add", 2, 3), ("add", 3, 1), ("add", 3, 5),
+          ("add", 5, 6), ("add", 6, 5)]
+    # split the 3-cycle (del 3->1), merge {5,6} with fresh 7 via a
+    # new cycle 6->7, 7->5
+    b2 = [("del", 3, 1), ("add", 6, 7), ("add", 7, 5)]
+    # re-merge: restore 3->1
+    b3 = [("add", 3, 1)]
+    three = [spark.createDataFrame(b, schema) for b in (b1, b2, b3)]
+    two = [
+        spark.createDataFrame(b1, schema),
+        spark.createDataFrame(b2 + b3, schema),
+    ]
+    got3 = {(r.node, r.component)
+            for r in run_stream_scc_cdc(spark, three).collect()}
+    got2 = {(r.node, r.component)
+            for r in run_stream_scc_cdc(spark, two).collect()}
+    net = [(1, 2), (2, 3), (3, 1), (3, 5), (5, 6), (6, 5), (6, 7),
+           (7, 5)]
+    want = {(r.node, r.component)
+            for r in strongly_connected_components(
+                spark.createDataFrame(net, "src long, dst long")
+            ).collect()}
+    assert got3 == want
+    assert got2 == want

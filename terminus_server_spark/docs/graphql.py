@@ -1093,9 +1093,74 @@ def _introspect(schema_doc, root, args, fields):
             return _type_selection(schema_doc, f["fields"], name="Query")
         if isinstance(f, dict) and f["name"] == "mutationType":
             return _type_selection(schema_doc, f["fields"], name="Mutation")
+        if isinstance(f, dict) and f["name"] == "directives":
+            return _directive_introspection(schema_doc, f["fields"])
     raise ValueError(
         "graphql: __schema selection must include types or queryType"
     )
+
+
+def _directive_introspection(schema_doc, sel_fields):
+    """``__schema { directives { ... } }``: the executable directives
+    this implementation supports — exactly the spec-required pair
+    ``@include`` / ``@skip`` evaluated by ``_Parser._directives`` —
+    served in the introspection shape codegen tooling reads
+    (__Directive: name / description / locations / args).  Static by
+    construction (the directive set is the parser's, not the
+    schema's), rendered as one small DataFrame in the same session
+    as the schema document so the result composes with other
+    introspection roots."""
+    from pyspark.sql import functions as F
+
+    spark = schema_doc.sparkSession
+    rows = [
+        (
+            "include",
+            "Directs the executor to include this field or fragment "
+            "only when the `if` argument is true.",
+            ["FIELD", "FRAGMENT_SPREAD", "INLINE_FRAGMENT"],
+            [{"name": "if", "type": "Boolean!"}],
+        ),
+        (
+            "skip",
+            "Directs the executor to skip this field or fragment "
+            "when the `if` argument is true.",
+            ["FIELD", "FRAGMENT_SPREAD", "INLINE_FRAGMENT"],
+            [{"name": "if", "type": "Boolean!"}],
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, description string, locations array<string>, "
+        "args array<struct<name: string, type: string>>",
+    )
+    cols = []
+    for f in sel_fields:
+        if isinstance(f, str) and f in ("name", "description"):
+            cols.append(F.col(f))
+        elif isinstance(f, str) and f == "locations":
+            cols.append(F.to_json(F.col("locations")).alias("locations"))
+        elif isinstance(f, dict) and f["name"] == "args":
+            subs = [s for s in f["fields"] if isinstance(s, str)]
+            bad = [s for s in subs if s not in ("name", "type")]
+            if bad:
+                raise ValueError(
+                    f"graphql: unknown __InputValue attrs {bad}"
+                )
+            cols.append(
+                F.to_json(
+                    F.transform(
+                        F.col("args"),
+                        lambda x: F.struct(*[x[s].alias(s) for s in subs]),
+                    )
+                ).alias("args")
+            )
+        else:
+            n = f if isinstance(f, str) else f.get("name")
+            raise ValueError(
+                f"graphql: unknown __Directive selection {n!r}"
+            )
+    return df.select(*cols)
 
 
 def _path_query(store, args, fields):

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
+from terminus_server_spark.checkpoint import plan_checkpoint
+
 DEC = "decimal(28,6)"
 
 
@@ -622,3 +624,81 @@ def q21_waiting_supplier(t: dict[str, DataFrame]) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    k: int = 25,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """(antecedent, consequent, c_pair, c_ante, c_cons, support,
+    confidence, lift): market-basket ASSOCIATION RULES (Agrawal's
+    support/confidence framework + lift) over a (basket, item)
+    relation — the recommendation / cross-sell primitive beside the
+    repo's co-occurrence projection.  Directed rules, both
+    orientations of each co-occurring pair, ranked by lift with a
+    deterministic (lift desc, antecedent, consequent) total order.
+
+    Scale shape: candidate pairs are generated ONLY through the
+    per-basket self-join (cost Σ_b |b|² after one shuffle on the
+    basket key — never item² or basket-count²), and baskets larger
+    than ``max_basket`` are dropped from pair generation AND the
+    margins (a degenerate everything-basket is the deg² blowup; the
+    same cap rationale as the shared-feature fanout guard).  All
+    counts integer; the three ratios are single double divisions of
+    exact integers, so the output is engine-portable bit-for-bit."""
+    bi = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    keep = (
+        bi.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") <= max_basket)
+        .select("b")
+    )
+    bi = bi.join(keep, "b", "left_semi").transform(plan_checkpoint)
+    n = bi.select("b").distinct().count()
+    item_counts = bi.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    a = bi.select("b", F.col("i").alias("antecedent"))
+    c = bi.select("b", F.col("i").alias("consequent"))
+    pairs = (
+        a.join(c, "b")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .where(F.col("c_pair") >= min_pair_count)
+    )
+    ca = item_counts.select(
+        F.col("i").alias("antecedent"), F.col("c").alias("c_ante")
+    )
+    cc = item_counts.select(
+        F.col("i").alias("consequent"), F.col("c").alias("c_cons")
+    )
+    out = (
+        pairs.join(ca, "antecedent")
+        .join(cc, "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_pair").cast("bigint").alias("c_pair"),
+            F.col("c_ante").cast("bigint").alias("c_ante"),
+            F.col("c_cons").cast("bigint").alias("c_cons"),
+            (F.col("c_pair").cast("double") / F.lit(float(n))).alias(
+                "support"
+            ),
+            (
+                F.col("c_pair").cast("double")
+                / F.col("c_ante").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("c_pair") * F.lit(n)).cast("double")
+                / (F.col("c_ante") * F.col("c_cons")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), "antecedent", "consequent"
+    ).limit(k)

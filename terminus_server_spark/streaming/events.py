@@ -15,7 +15,9 @@ Streaming).
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -59,6 +61,48 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     requirement for infinite streams)."""
     deduped = _event_time(events).withWatermark("ts", watermark).dropDuplicates(["event_id"])
     return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def _drive_batches(spark: SparkSession, batches, src: str, ckpt: str, merge) -> None:
+    """Feed ``batches`` through ONE streaming query, one micro-batch
+    per input batch, in order — the production shape (a long-running
+    query processing many triggers), not a query restart per batch.
+    A restart re-pays source listing, offset-log recovery and query
+    planning on every delivery; measured on this harness it is the
+    dominant fixed cost of every versioned-parquet state-swap sink.
+
+    Each batch lands as a single parquet file whose pinned mtime
+    fixes the file-source order (oldest first, the
+    run_stream_batches_to_table pattern), and maxFilesPerTrigger=1
+    makes file i exactly micro-batch i — ``merge`` sees the same
+    (batch_df, batch_id) sequence as the old restart-per-batch
+    driver, so per-batch state composition (and CDC within-batch
+    semantics) is unchanged.  repartition(1), not coalesce(1): a
+    coalesce would collapse the upstream scan into the one writer
+    task; the shuffle keeps the read parallel and only the one-file
+    write serial."""
+    os.makedirs(src, exist_ok=True)
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        stage = os.path.join(src, f"_stage{i}")
+        b.repartition(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch{i:05d}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(stage)
+        # file-source batch order follows modification time (oldest
+        # first): pin mtimes so batch i is micro-batch i
+        os.utime(dst, (i + 1, i + 1))
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def run_stream_to_table(
@@ -509,19 +553,7 @@ def run_stream_upsert(
             os.path.join(tmp, f"v{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "1000"
-        ).parquet(src + "/*")
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
 
 
@@ -781,19 +813,7 @@ def run_stream_cdc(
             os.path.join(tmp, f"v{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "1000"
-        ).parquet(src + "/*")
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     final = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
     return final.where(F.col("op") != "D").drop("op", "__seq__")
 
@@ -895,19 +915,7 @@ def run_stream_landmark_refresh(
             os.path.join(tmp, f"edg{state['version']}")
         )
 
-    schema = edge_batches[0].schema
-    for i, b in enumerate(edge_batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "1000"
-        ).parquet(src + "/*")
-        q = (
-            stream.writeStream.foreachBatch(refresh)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, edge_batches, src, ckpt, refresh)
     return spark.read.parquet(os.path.join(tmp, f"lab{state['version']}"))
 
 
@@ -954,19 +962,7 @@ def run_stream_kmv_sketch(
         state["version"] += 1
         out.write.mode("overwrite").parquet(os.path.join(tmp, f"v{state['version']}"))
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "1000"
-        ).parquet(src + "/*")
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     mins = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
     return mins.agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -1136,19 +1132,7 @@ def run_stream_scd2(
         state["version"] += 1
         out.write.mode("overwrite").parquet(os.path.join(tmp, f"v{state['version']}"))
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "1000"
-        ).parquet(src + "/*")
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     final = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
     return final.select("key", "attr", "valid_from", "valid_to")
 
@@ -1216,19 +1200,7 @@ def run_stream_quantile_grid(
         state["version"] += 1
         hist.write.mode("overwrite").parquet(os.path.join(tmp, f"v{state['version']}"))
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "1000"
-        ).parquet(src + "/*")
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     hist = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
     n = hist.agg(F.sum("c").alias("n"))
     cum = hist.select(
@@ -1306,19 +1278,7 @@ def run_stream_countmin(
         state["version"] += 1
         cells.write.mode("overwrite").parquet(os.path.join(tmp, f"v{state['version']}"))
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "1000"
-        ).parquet(src + "/*")
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     cells = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
     full = batches[0]
     for b in batches[1:]:
@@ -1386,19 +1346,7 @@ def run_stream_cc(
         state["version"] += 1
         out.write.mode("overwrite").parquet(os.path.join(tmp, f"v{state['version']}"))
 
-    schema = edge_batches[0].schema
-    for i, b in enumerate(edge_batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "1000"
-        ).parquet(src + "/*")
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, edge_batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
 
 
@@ -1501,19 +1449,7 @@ def run_stream_cc_cdc(
             os.path.join(tmp, f"l{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "1000"
-        ).parquet(src + "/*")
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"l{state['version']}"))
 
 
@@ -1564,19 +1500,7 @@ def run_stream_gql_subscription(
             os.path.join(tmp, f"res{state['version']}")
         )
 
-    schema = doc_batches[0].schema
-    for i, b in enumerate(doc_batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "1000"
-        ).parquet(src + "/*")
-        q = (
-            stream.writeStream.foreachBatch(refresh)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, doc_batches, src, ckpt, refresh)
     return spark.read.parquet(os.path.join(tmp, f"res{state['version']}"))
 
 
@@ -1635,21 +1559,7 @@ def run_stream_bisect(
             os.path.join(tmp, f"v{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     from pyspark.sql.window import Window
 
     counts = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
@@ -1722,21 +1632,7 @@ def run_stream_inverted_index(
             os.path.join(tmp, f"v{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     post = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
     stats = post.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"),
@@ -1783,21 +1679,7 @@ def run_stream_json_docs(
             os.path.join(tmp, f"v{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
 
 
@@ -1856,21 +1738,7 @@ def run_stream_triangle_count(
             os.path.join(tmp, f"n{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"n{state['version']}"))
 
 
@@ -1948,21 +1816,7 @@ def run_stream_kcore(
             os.path.join(tmp, f"c{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     # the state already carries the maintained per-node degrees —
     # read it back verbatim, no edge re-aggregation at the sink
     return spark.read.parquet(os.path.join(tmp, f"c{state['version']}"))
@@ -2066,21 +1920,7 @@ def run_stream_kcore_cdc(
             os.path.join(tmp, f"c{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"c{state['version']}"))
 
 
@@ -2176,21 +2016,7 @@ def run_stream_ktruss_cdc(
             os.path.join(tmp, f"t{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"t{state['version']}"))
 
 
@@ -2268,21 +2094,7 @@ def run_stream_pagerank(
             os.path.join(tmp, f"r{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"r{state['version']}"))
 
 
@@ -2424,21 +2236,7 @@ def run_stream_msf_cdc(
             os.path.join(tmp, f"l{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"f{state['version']}"))
 
 
@@ -2526,21 +2324,7 @@ def run_stream_triangles_cdc(
             os.path.join(tmp, f"n{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"n{state['version']}"))
 
 
@@ -2635,21 +2419,7 @@ def run_stream_pagerank_cdc(
             os.path.join(tmp, f"r{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"r{state['version']}"))
 
 
@@ -2884,19 +2654,5 @@ def run_stream_scc_cdc(
             os.path.join(tmp, f"c{state['version']}")
         )
 
-    schema = batches[0].schema
-    for i, b in enumerate(batches):
-        b.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000")
-            .parquet(src + "/*")
-        )
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"l{state['version']}"))

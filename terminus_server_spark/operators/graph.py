@@ -820,7 +820,13 @@ def _betweenness_passes(und, frontier, n_f, max_iters):
         if n_new == 0:
             break
         levels.append(new)
-        seen = loop_checkpoint(seen.union(new.select("source", "node")))
+        # seen is a union of already-checkpointed level frames — its
+        # lineage stays shallow (k leaves after k rounds) without
+        # re-materializing the whole cumulative set every round; the
+        # eager per-round checkpoint here was one extra job + a full
+        # rewrite of the cumulative blocks per round, and the
+        # anti-join reads the same level blocks either way
+        seen = seen.union(new.select("source", "node"))
         frontier, n_f = new, n_new
     # backward: deepest level depends on nothing
     delta = levels[-1].select(
@@ -850,7 +856,13 @@ def _betweenness_passes(und, frontier, n_f, max_iters):
                 (F.coalesce(F.col("_c"), F.lit(0.0)) * F.col("sigma")).alias("delta"),
             )
         )
-        delta = loop_checkpoint(delta)
+        # LAZY checkpoint: each level's delta is referenced twice (the
+        # parts union and the next level's join), so it must be
+        # materialized-once — but materializing eagerly costs one job
+        # per level.  The lazy form persists each delta on first
+        # computation inside the single final aggregation job, so the
+        # whole backward pass runs as ONE job instead of depth jobs.
+        delta = plan_checkpoint(delta)
     parts.append(delta)
     alld = parts[0]
     for p in parts[1:]:
@@ -917,7 +929,9 @@ def betweenness_incremental(
         .select(F.col("pivot").alias("node"))
         .distinct()
     )
-    affected = loop_checkpoint(affected)
+    # lazy: materializes inside the first restricted-Brandes pass and
+    # is reused (persisted blocks) by the second — one fewer job
+    affected = plan_checkpoint(affected)
     all_edges = old_edges.select("src", "dst").unionByName(
         added_edges.select("src", "dst")
     )
@@ -3260,7 +3274,11 @@ def random_walks(
             ).cast("bigint")
             % F.col("_deg")
         )
-        state = loop_checkpoint(
+        # lazy: each step is referenced twice (output union + next
+        # step's join) so it must materialize once, but the whole walk
+        # can run as ONE job — an eager checkpoint here was a job per
+        # step (see _betweenness_passes's backward pass)
+        state = plan_checkpoint(
             state.join(adj, state["node"] == adj["src"])
             .where(F.col("_rk") == idx + 1)
             .select("walk_id", F.lit(t + 1).alias("step"), F.col("dst").alias("node"))
@@ -3422,6 +3440,34 @@ def bidirectional_distance(
         row = j.agg(F.min(F.col("dist") + F.col("_db")).alias("h")).collect()[0]
         return row["h"]
 
+    def expand(front, own_ball, other_ball):
+        # ONE job per round (was three): the lazily-checkpointed
+        # frontier materializes inside an aggregation that counts it
+        # AND runs the midpoint probe against the other ball in the
+        # same pass.  Ball node sets are duplicate-free (every level
+        # anti-joins its ball), so the left-outer join preserves the
+        # frontier's cardinality and count(1) is exactly |grown|,
+        # while min(dist + _db) over the matched rows is the probe.
+        grown = plan_checkpoint(
+            front.join(und, front["node"] == und["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .join(own_ball.select("node"), "node", "left_anti")
+            .distinct()
+        )
+        row = (
+            grown.join(
+                other_ball.select("node", F.col("dist").alias("_db")),
+                "node",
+                "left_outer",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(F.col("dist") + F.col("_db")).alias("_h"),
+            )
+            .collect()[0]
+        )
+        return grown, int(row["_n"]), row["_h"]
+
     best = probe(ball_a, ball_b)
     with loop_tuning(spark, max(n_fa, n_fb)):
         for _ in range(max_iters):
@@ -3431,28 +3477,16 @@ def bidirectional_distance(
                 break
             expand_a = n_fb == 0 or (n_fa != 0 and n_fa <= n_fb)
             if expand_a:
-                grown = (
-                    front_a.join(und, front_a["node"] == und["src"])
-                    .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
-                    .join(ball_a.select("node"), "node", "left_anti")
-                    .distinct()
-                )
-                grown, n_fa = loop_checkpoint_count(grown)
+                grown, n_fa, cand = expand(front_a, ball_a, ball_b)
                 front_a = grown
-                ball_a = loop_checkpoint(ball_a.unionByName(grown))
+                # union of already-checkpointed leaves — no re-materialization
+                ball_a = ball_a.unionByName(grown)
                 ra += 1
             else:
-                grown = (
-                    front_b.join(und, front_b["node"] == und["src"])
-                    .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
-                    .join(ball_b.select("node"), "node", "left_anti")
-                    .distinct()
-                )
-                grown, n_fb = loop_checkpoint_count(grown)
+                grown, n_fb, cand = expand(front_b, ball_b, ball_a)
                 front_b = grown
-                ball_b = loop_checkpoint(ball_b.unionByName(grown))
+                ball_b = ball_b.unionByName(grown)
                 rb += 1
-            cand = probe(grown, ball_b if expand_a else ball_a)
             if cand is not None and (best is None or cand < best):
                 best = cand
     proven = (best is not None and best <= ra + rb) or (n_fa == 0 and n_fb == 0)
@@ -3532,10 +3566,13 @@ def jones_plassmann_coloring(edges: DataFrame, max_iters: int = 50) -> DataFrame
                     lambda x: ~F.array_contains(cols, x),
                 )
             ).cast("int")
-            newly = loop_checkpoint(fc.select("node", pick.alias("color")))
-            colored = newly if colored is None else loop_checkpoint(
-                colored.unionByName(newly)
-            )
+            # lazy: newly materializes inside the uncolored-count job
+            # below (which anti-joins it) and its persisted blocks are
+            # reused by later rounds' neighbor joins; the cumulative
+            # colored set is a union of checkpointed leaves — ONE job
+            # per round where this loop ran three
+            newly = plan_checkpoint(fc.select("node", pick.alias("color")))
+            colored = newly if colored is None else colored.unionByName(newly)
             uncolored, n_u = loop_checkpoint_count(
                 uncolored.join(newly.select("node"), "node", "left_anti")
             )

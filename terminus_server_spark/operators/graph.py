@@ -663,10 +663,23 @@ def quadrilateral_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> DataFrame:
+def shortest_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iters: int = 50,
+    assume_undirected: bool = False,
+) -> DataFrame:
     """Multi-source BFS: (source, node, hops) minimum hop counts from
     each source node.  sources: DataFrame(node).  Semi-naive frontier
-    expansion like path closure, but keyed by (source, node)."""
+    expansion like path closure, but keyed by (source, node).
+
+    ``assume_undirected``: the caller guarantees ``edges`` is
+    symmetric — then BFS layers are exact distance classes, a level-d
+    expansion can only collide with levels d and d−1, and the
+    dedup anti-join runs against those two layers instead of the
+    cumulative reached set (frontier-sized rounds at any depth; the
+    general directed case keeps the full anti-join because a back
+    edge may jump to any earlier level)."""
     with no_constraint_propagation(edges.sparkSession):
         e = edges.select("src", "dst").distinct().transform(loop_checkpoint)
         frontier, n_src = loop_checkpoint_count(
@@ -675,24 +688,30 @@ def shortest_hops(edges: DataFrame, sources: DataFrame, max_iters: int = 50) -> 
             )
         )
         layers = [frontier]
-        reached_keys = frontier.select("source", "node")
         with loop_tuning(edges.sparkSession, n_src):
-            layers, reached_keys = _hops_loop(e, frontier, layers, reached_keys, max_iters)
+            layers = _hops_loop(e, frontier, layers, max_iters, assume_undirected)
         reached = layers[0]
         for layer in layers[1:]:
             reached = reached.union(layer)
     return reached
 
 
-def _hops_loop(e, frontier, layers, reached_keys, max_iters):
+def _hops_loop(e, frontier, layers, max_iters, assume_undirected=False):
+    reached_keys = frontier.select("source", "node")
     with no_constraint_propagation(e.sparkSession):
         for _ in range(max_iters):
             grown = (
                 frontier.join(e, frontier["node"] == e["src"])
                 .select("source", F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
             )
+            if assume_undirected:
+                anti = layers[-1].select("source", "node")
+                if len(layers) >= 2:
+                    anti = anti.union(layers[-2].select("source", "node"))
+            else:
+                anti = reached_keys
             new = (
-                grown.join(reached_keys, ["source", "node"], "left_anti")
+                grown.join(anti, ["source", "node"], "left_anti")
                 .groupBy("source", "node")
                 .agg(F.min("hops").alias("hops"))
             )
@@ -700,9 +719,10 @@ def _hops_loop(e, frontier, layers, reached_keys, max_iters):
             if n_new == 0:
                 break
             layers.append(new)
-            reached_keys = reached_keys.union(new.select("source", "node"))
+            if not assume_undirected:
+                reached_keys = reached_keys.union(new.select("source", "node"))
             frontier = new
-    return layers, reached_keys
+    return layers
 
 
 def landmark_distance_audit(
@@ -731,7 +751,7 @@ def landmark_distance_audit(
 
     ``landmarks``: (node); ``queries``: (u, v) pairs to estimate."""
     und = _symmetrize(edges)
-    lab = shortest_hops(und, landmarks, max_iters)
+    lab = shortest_hops(und, landmarks, max_iters, assume_undirected=True)
     du = lab.select(
         F.col("source").alias("_L"), F.col("node").alias("u"), F.col("hops").alias("_du")
     )
@@ -745,7 +765,8 @@ def landmark_distance_audit(
         .agg(F.min(F.col("_du") + F.col("_dv")).alias("est"))
     )
     exact = shortest_hops(
-        und, queries.select(F.col("u").alias("node")).distinct(), max_iters
+        und, queries.select(F.col("u").alias("node")).distinct(), max_iters,
+        assume_undirected=True,
     ).select(
         F.col("source").alias("u"), F.col("node").alias("v"), F.col("hops").alias("exact")
     )
@@ -806,13 +827,25 @@ def betweenness(
 
 def _betweenness_passes(und, frontier, n_f, max_iters):
     levels = [frontier]
-    seen = frontier.select("source", "node")
     for _ in range(max_iters):
         grown = frontier.join(und, frontier["node"] == und["src"]).select(
             "source", F.col("dst").alias("node"), "sigma"
         )
+        # ``und`` is symmetric, so BFS levels are exact distance
+        # classes and a candidate grown from level d can only collide
+        # with levels d and d−1 (an undirected edge changes distance
+        # by at most 1).  Anti-join against those two levels instead
+        # of the full cumulative seen set: the per-round anti-join
+        # input stays frontier-sized at ANY depth, where the seen set
+        # grows to Σ|levels| = |reached| — the difference between a
+        # bounded round cost and one that scales with the whole
+        # traversal at 100 TB (and the round's plan keeps a constant
+        # two leaves instead of k).
+        recent = levels[-1].select("source", "node")
+        if len(levels) >= 2:
+            recent = recent.union(levels[-2].select("source", "node"))
         new = (
-            grown.join(seen, ["source", "node"], "left_anti")
+            grown.join(recent, ["source", "node"], "left_anti")
             .groupBy("source", "node")
             .agg(F.sum("sigma").alias("sigma"))
         )
@@ -820,13 +853,6 @@ def _betweenness_passes(und, frontier, n_f, max_iters):
         if n_new == 0:
             break
         levels.append(new)
-        # seen is a union of already-checkpointed level frames — its
-        # lineage stays shallow (k leaves after k rounds) without
-        # re-materializing the whole cumulative set every round; the
-        # eager per-round checkpoint here was one extra job + a full
-        # rewrite of the cumulative blocks per round, and the
-        # anti-join reads the same level blocks either way
-        seen = seen.union(new.select("source", "node"))
         frontier, n_f = new, n_new
     # backward: deepest level depends on nothing
     delta = levels[-1].select(
@@ -912,7 +938,7 @@ def betweenness_incremental(
         .union(added_edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    d = shortest_hops(und_old, eps, max_iters)
+    d = shortest_hops(und_old, eps, max_iters, assume_undirected=True)
     big = F.lit(1 << 40)
     du = d.select(
         F.col("source").alias("_u"), F.col("node").alias("pivot"), F.col("hops").alias("_du")
@@ -3033,7 +3059,8 @@ def msf_boruvka(edges: DataFrame, max_iters: int = 30) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("comp"))
     )
-    labels, _ = loop_checkpoint_count(labels)
+    # lazy: materializes inside round 1's cross-edge count job
+    labels = plan_checkpoint(labels)
     forest_parts: list[DataFrame] = [und.limit(0)]
     with loop_tuning(edges.sparkSession, n_e):
         return _msf_loop(und, n_e, labels, forest_parts, max_iters)
@@ -3117,7 +3144,11 @@ def _msf_loop(und, n_e, labels, forest_parts, max_iters):
             )
             .select("node", F.coalesce("lab", F.col("comp")).alias("comp"))
         )
-        labels, _ = loop_checkpoint_count(labels)
+        # lazy: the count was discarded anyway — the frame is
+        # referenced twice next round (lab_a/lab_b) and materializes
+        # once inside that round's cross count; the FINAL round's
+        # labels (loop exit) are never materialized at all
+        labels = plan_checkpoint(labels)
     out = forest_parts[0]
     for p in forest_parts[1:]:
         out = out.unionByName(p)
@@ -3601,7 +3632,7 @@ def bipartite_check(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     und = loop_checkpoint(_symmetrize(edges))
     comp = connected_components(und, max_iters)
     roots = comp.select(F.col("component").alias("node")).distinct()
-    hops = shortest_hops(und, roots, max_iters).select(
+    hops = shortest_hops(und, roots, max_iters, assume_undirected=True).select(
         F.col("node"), (F.col("hops") % 2).alias("_par")
     )
     labeled = comp.join(hops, "node")

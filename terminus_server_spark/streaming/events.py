@@ -77,15 +77,18 @@ def _drive_batches(spark: SparkSession, batches, src: str, ckpt: str, merge) -> 
     makes file i exactly micro-batch i — ``merge`` sees the same
     (batch_df, batch_id) sequence as the old restart-per-batch
     driver, so per-batch state composition (and CDC within-batch
-    semantics) is unchanged.  repartition(1), not coalesce(1): a
-    coalesce would collapse the upstream scan into the one writer
-    task; the shuffle keeps the read parallel and only the one-file
-    write serial."""
+    semantics) is unchanged.  coalesce(1), not repartition(1): these
+    replay batches are delta-sized (a production stream's files
+    arrive from the source already written — staging exists only in
+    this replay harness), and repartition's extra round-robin
+    shuffle plus its sort-before-repartition pass measurably
+    dominates the staging cost; coalesce only serializes the final
+    stage while upstream shuffles keep their parallelism."""
     os.makedirs(src, exist_ok=True)
     schema = batches[0].schema
     for i, b in enumerate(batches):
         stage = os.path.join(src, f"_stage{i}")
-        b.repartition(1).write.mode("overwrite").parquet(stage)
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
         part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
         dst = os.path.join(src, f"batch{i:05d}.parquet")
         os.replace(part, dst)

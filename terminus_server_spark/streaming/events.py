@@ -63,7 +63,14 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
-def _drive_batches(spark: SparkSession, batches, src: str, ckpt: str, merge) -> None:
+def _drive_batches(
+    spark: SparkSession,
+    batches,
+    src: str,
+    ckpt: str,
+    merge,
+    heavy_batches: bool = False,
+) -> None:
     """Feed ``batches`` through ONE streaming query, one micro-batch
     per input batch, in order — the production shape (a long-running
     query processing many triggers), not a query restart per batch.
@@ -77,21 +84,43 @@ def _drive_batches(spark: SparkSession, batches, src: str, ckpt: str, merge) -> 
     makes file i exactly micro-batch i — ``merge`` sees the same
     (batch_df, batch_id) sequence as the old restart-per-batch
     driver, so per-batch state composition (and CDC within-batch
-    semantics) is unchanged.  coalesce(1), not repartition(1): these
-    replay batches are delta-sized (a production stream's files
-    arrive from the source already written — staging exists only in
-    this replay harness), and repartition's extra round-robin
-    shuffle plus its sort-before-repartition pass measurably
-    dominates the staging cost; coalesce only serializes the final
-    stage while upstream shuffles keep their parallelism."""
+    semantics) is unchanged.  Staging strategy is the caller's call:
+    the default coalesce(1) serializes only the batch's final stage
+    (upstream shuffles keep their parallelism) and is right for
+    DELTA-SIZED batches — a production stream's files arrive from the
+    source already written, staging exists only in this replay
+    harness, and the two-phase variant's extra write+read+job per
+    batch measurably regresses many-small-batch sinks (stream_kcore
+    13.3→20.7 s, stream_cc_incremental 9.5→14.7 s).  Callers whose
+    replay batches are CORPUS-SIZED scans pass heavy_batches=True:
+    coalesce(1) would collapse the whole scan+transform into one task
+    (stream_json_docs: 4 serialized corpus scans, 5.4→34 s), so those
+    stage two-phase — a plain parallel write, then a file-level
+    read+coalesce(1) task that concatenates the staged bytes into the
+    one delivery file without touching the upstream plan (13.3 s).
+    repartition(1) loses both ways: its round-robin shuffle + sort
+    per batch dominates delta-sized batches (stream_kcore +4 s)."""
     os.makedirs(src, exist_ok=True)
     schema = batches[0].schema
     for i, b in enumerate(batches):
         stage = os.path.join(src, f"_stage{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
         dst = os.path.join(src, f"batch{i:05d}.parquet")
-        os.replace(part, dst)
+        if heavy_batches:
+            b.write.mode("overwrite").parquet(stage)
+            parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+            if len(parts) > 1:
+                merged = os.path.join(src, f"_merge{i}")
+                spark.read.parquet(stage).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(merged)
+                parts = glob.glob(os.path.join(merged, "part-*.parquet"))
+                os.replace(parts[0], dst)
+                shutil.rmtree(merged)
+            else:
+                os.replace(parts[0], dst)
+        else:
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            os.replace(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
         shutil.rmtree(stage)
         # file-source batch order follows modification time (oldest
         # first): pin mtimes so batch i is micro-batch i
@@ -1671,18 +1700,32 @@ def run_stream_json_docs(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        part = schemaless_to_triples(batch_df, json_col, prefix=prefix)
+        part = schemaless_to_triples(batch_df, json_col, prefix=prefix).distinct()
         if state["version"] >= 0:
-            part = s.read.parquet(
-                os.path.join(tmp, f"v{state['version']}")
-            ).unionByName(part)
-        out = part.distinct()
+            # The stored side is already distinct (invariant of this
+            # merge), so distinct-union reduces to "store rows not
+            # re-delivered in this batch, plus the batch" — a
+            # broadcast anti-join that keeps the store map-side
+            # instead of re-shuffling the whole accumulated store
+            # per delivery (the batch is the delta; only it shuffles).
+            # eqNullSafe, not `=`: obj_num/obj_type carry NULLs and a
+            # NULL-blind anti-join would keep (duplicate) redelivered
+            # rows whose only difference is NULL = NULL.
+            prev = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+            pv, pa = prev.alias("_old"), part.alias("_new")
+            cond = None
+            for c in part.columns:
+                e = F.col(f"_old.{c}").eqNullSafe(F.col(f"_new.{c}"))
+                cond = e if cond is None else cond & e
+            out = pv.join(F.broadcast(pa), cond, "left_anti").unionByName(part)
+        else:
+            out = part
         state["version"] += 1
         out.write.mode("overwrite").parquet(
             os.path.join(tmp, f"v{state['version']}")
         )
 
-    _drive_batches(spark, batches, src, ckpt, merge)
+    _drive_batches(spark, batches, src, ckpt, merge, heavy_batches=True)
     return spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
 
 

@@ -44,9 +44,10 @@ def _sized(df: DataFrame, size_hint: int | None) -> DataFrame:
     return df.coalesce(p)
 
 
-def loop_checkpoint(df: DataFrame) -> DataFrame:
+def loop_checkpoint(df: DataFrame, size_hint: int | None = None) -> DataFrame:
     """Eagerly checkpoint one loop iteration's result; chain as
     ``.transform(loop_checkpoint)``."""
+    df = _sized(df, size_hint)
     spark = df.sparkSession
     if spark.conf.get(RELIABLE_CONF, "false").lower() == "true":
         sc = spark.sparkContext

@@ -41,12 +41,23 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     Tokenization is materialized as a column before the slice lambda
     reads it — an inlined split expression would re-tokenize the text
     at every shingle position (quadratic in doc length)."""
+    return shingles_multiset(docs, text_col, k).distinct()
+
+
+def shingles_multiset(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """``shingles`` without the dedup shuffle: repeated shingles keep
+    their multiplicity.  For consumers whose aggregation is
+    duplicate-idempotent — MinHash's per-doc ``min`` sees the same
+    minimum over the multiset as over the set — this removes a full
+    exchange+hash-aggregate of the shingle corpus (at 100 TB the
+    distinct is the single biggest shuffle of the signature path);
+    set-semantics consumers (Jaccard counts) use ``shingles``."""
     tokenized = docs.select("doc_id", tokens_col(F.lower(F.col(text_col))).alias("_toks"))
     toks = F.col("_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    return tokenized.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return tokenized.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
@@ -398,7 +409,7 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from terminus_server_spark.operators.graph import connected_components
 
-    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs, text_col)))
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles_multiset(docs, text_col)))
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -746,7 +757,7 @@ def cross_corpus_dedup(
     from pyspark.sql.window import Window
 
     def banded(docs: DataFrame, id_alias: str) -> DataFrame:
-        sig = minhash_signatures(shingles(docs, text_col=text_col))
+        sig = minhash_signatures(shingles_multiset(docs, text_col=text_col))
         rows_per_band = N_MINHASH // N_BANDS
         bands = []
         for b in range(N_BANDS):

@@ -5050,3 +5050,36 @@ def test_scc_decremental_equals_batch(spark):
     want = {(r.node, r.component)
             for r in strongly_connected_components(net).collect()}
     assert got == want
+
+
+def test_scc_metadata_matches_distributed(spark):
+    from terminus_server_spark.operators.graph import (
+        scc_metadata,
+        strongly_connected_components,
+    )
+
+    # mixed shape: 3-cycle, nested 2-cycle with smaller ids, DAG
+    # tail, string ids (the schema-graph payload type)
+    edges = spark.createDataFrame(
+        [
+            ("Alpha", "Beta"), ("Beta", "Gamma"), ("Gamma", "Alpha"),
+            ("Gamma", "Tail1"), ("Tail1", "Tail2"),
+            ("b", "a"), ("a", "b"),
+            ("Tail2", "a"),
+        ],
+        "src string, dst string",
+    )
+    fast = {
+        (r.node, r.component)
+        for r in strongly_connected_components(edges).collect()
+    }
+    meta = {(r.node, r.component) for r in scc_metadata(edges).collect()}
+    assert meta == fast
+
+    # over-limit guard: falls back to the distributed loop, same rows
+    fallback = {(r.node, r.component) for r in scc_metadata(edges, limit=3).collect()}
+    assert fallback == fast
+
+    # empty edge frame: empty typed result, not an error
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert scc_metadata(empty).count() == 0

@@ -241,6 +241,28 @@ def kmeans_assignments(
     )
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_cells: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned_corpus): the n_probe-independent half of
+    ``ivf_topk`` — deterministic seed centroids refined by
+    ``refine_iters`` k-means steps, plus the corpus assigned to its
+    nearest cell.  Factored out so probe-count sweeps build the index
+    once; ``ivf_topk(..., index=ivf_index(...))`` skips the
+    refine_iters + 1 corpus scans it would otherwise repeat."""
+    cents = scaled_parts(
+        emb.orderBy(id_col).limit(n_cells), id_col, vec_col, "c"
+    ).withColumnRenamed("id_c", "cell_id")
+    corpus_parts = scaled_parts(emb, id_col, vec_col, "b")
+    for _ in range(refine_iters):
+        cents = refine_centroids(cents, _assign_cells(cents, corpus_parts, "b", 1))
+    return cents, _assign_cells(cents, corpus_parts, "b", 1)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -250,6 +272,7 @@ def ivf_topk(
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k via inverted-file (IVF) cells.
 
@@ -259,17 +282,18 @@ def ivf_topk(
     Corpus rows are assigned to their nearest centroid (broadcast
     argmin — one scan per iteration); queries probe their ``n_probe``
     nearest cells, so search cost drops by ~n_cells/n_probe.
+
+    ``index``: optional precomputed ``ivf_index`` result.  The index
+    (centroids + corpus cell assignment) does not depend on
+    ``n_probe``, so a tuning sweep that varies only the probe count
+    should build it once and pass it to every setting instead of
+    paying refine_iters + 1 full-corpus assignment scans per point.
     """
     from pyspark.sql.window import Window
 
-    cents = scaled_parts(
-        emb.orderBy(id_col).limit(n_cells), id_col, vec_col, "c"
-    ).withColumnRenamed("id_c", "cell_id")
-
-    corpus_parts = scaled_parts(emb, id_col, vec_col, "b")
-    for _ in range(refine_iters):
-        cents = refine_centroids(cents, _assign_cells(cents, corpus_parts, "b", 1))
-    corpus = _assign_cells(cents, corpus_parts, "b", 1)
+    cents, corpus = index if index is not None else ivf_index(
+        emb, n_cells, refine_iters, id_col, vec_col
+    )
     probes = _assign_cells(cents, scaled_parts(queries, id_col, vec_col, "a"), "a", n_probe)
     scored = (
         probes.join(corpus, "cell_id")

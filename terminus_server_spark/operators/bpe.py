@@ -6,7 +6,8 @@ pass.
 Each merge round is:
 
 1. count adjacent symbol pairs across the (word, freq) vocabulary —
-   one explode + one keyed agg (map-side partial);
+   one zip_with over each word's symbol array + explode + keyed agg
+   (map-side partial);
 2. pick the max-count pair (count desc, pair asc — fully
    deterministic tie-break) — a 1-row TakeOrdered, broadcast;
 3. rewrite every word, merging non-overlapping occurrences of the
@@ -16,33 +17,70 @@ Step 3 is the part engines usually do imperatively.  The greedy
 left-to-right rule is: within each maximal run of consecutive match
 positions, every odd-indexed position merges.  Runs longer than one
 only occur when the pair is (x, x) — for a != b, adjacent matches
-would force a == b.  That makes the rewrite a gaps-and-islands
-computation over exploded symbol positions (two row_number windows
-partitioned by word), which is exactly expressible in ANSI SQL — so
-both training and application have bit-exact unrolled oracles,
-unusual for a tokenizer.
+would force a == b.  That rule is exactly a left-to-right fold over
+the symbol array (merge when the last emitted symbol equals ``a``,
+was not itself produced by a merge this round, and the current
+symbol equals ``b``), so the rewrite is ONE ``aggregate``
+higher-order function per round: no explode, no windows, no shuffle
+— a narrow projection whose per-word cost is the word length.  The
+same rule is expressible in ANSI SQL (gaps-and-islands over exploded
+positions), so both training and application keep bit-exact unrolled
+oracles, unusual for a tokenizer.
 
-Scale shape: every step shuffles on the word key only (window
-partitions and the final re-agg reuse the same partitioning); the
-pair-count agg is map-side partial; the chosen pair is a broadcast
-scalar.  Training vocabulary is capped upstream by a distributed
-top-k; application runs over the DISTINCT word set and joins token
-counts back to the corpus, so the heavy stream is touched once per
-doc, not once per merge round.
+Scale shape: the only shuffles are the initial vocabulary aggregate
+and one pair-count aggregate per round (map-side partial, keyed by
+the symbol pair); the chosen pair is a broadcast scalar and the
+rewrite is embarrassingly parallel.  Training vocabulary is capped
+upstream by a distributed top-k; application runs over the DISTINCT
+word set and joins token counts back to the corpus, so the heavy
+stream is touched once per doc, not once per merge round.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F, Window
 
 from terminus_server_spark.checkpoint import plan_checkpoint
-
-_W_WORD = Window.partitionBy("word").orderBy("i")
 
 
 def _chars_col(word_col: str):
     return F.expr(
         f"transform(sequence(1, length({word_col})), i -> substring({word_col}, i, 1))"
+    )
+
+
+def _pairs_col(syms_col: str = "syms"):
+    """array<struct<a,b>> of adjacent symbol pairs — zip_with over the
+    two off-by-one slices (empty for single-symbol words; ``sequence``
+    would wrongly emit a DESCENDING [1,0] there)."""
+    return F.expr(
+        f"zip_with(slice({syms_col}, 1, size({syms_col}) - 1),"
+        f" slice({syms_col}, 2, size({syms_col}) - 1),"
+        " (x, y) -> struct(x AS a, y AS b))"
+    )
+
+
+def _merged_syms_col(syms_col: str = "syms", a_col: str = "ba", b_col: str = "bb"):
+    """Greedy left-to-right non-overlapping merge of (a, b) inside the
+    symbol array, as one fold: merge when the previous emitted symbol
+    equals ``a``, the current equals ``b``, and the previous was not
+    itself created by a merge this round (``lm`` — a consumed symbol
+    cannot start another merge; string equality alone already rules
+    the merged token out since it is strictly longer than ``a``, the
+    flag pins the documented island-parity semantics explicitly).
+    NULL ``a``/``b`` (a group with no chosen pair this round) takes
+    the else branch everywhere: the word passes through unchanged."""
+    return F.expr(
+        f"""aggregate(
+          {syms_col},
+          struct(cast(array() as array<string>) AS acc, false AS lm),
+          (st, s) -> IF(NOT st.lm AND size(st.acc) > 0
+                        AND element_at(st.acc, -1) = {a_col} AND s = {b_col},
+                        struct(concat(slice(st.acc, 1, size(st.acc) - 1),
+                                      array(concat({a_col}, {b_col}))) AS acc,
+                               true AS lm),
+                        struct(concat(st.acc, array(s)) AS acc, false AS lm)),
+          st -> st.acc)"""
     )
 
 
@@ -64,56 +102,15 @@ def _initial_words(docs: DataFrame, text_col: str, top_words: int) -> DataFrame:
     return wf.select("word", "freq", _chars_col("word").alias("syms"))
 
 
-def _positions(words: DataFrame) -> DataFrame:
-    """(word, freq, i, sym, nxt): exploded 1-based symbol positions
-    with the following symbol."""
-    return (
-        words.select("word", "freq", F.posexplode("syms").alias("i0", "sym"))
-        .select("word", "freq", (F.col("i0") + 1).alias("i"), "sym")
-        .withColumn("nxt", F.lead("sym").over(_W_WORD))
-    )
-
-
-def _rewrite(pr: DataFrame, best: DataFrame) -> DataFrame:
+def _rewrite(words: DataFrame, best: DataFrame) -> DataFrame:
     """Merge non-overlapping (ba, bb) occurrences left-to-right in
-    every word of the exploded-position frame ``pr``; returns the
-    re-assembled (word, freq, syms) frame.  Island-parity selection:
-    see module docstring."""
-    mt = pr.crossJoin(
+    every word — a narrow projection (one fold per word), no shuffle.
+    ``best`` is the 1-row chosen pair; an empty ``best`` (no adjacent
+    pair anywhere — every word already one symbol) empties the
+    vocabulary, matching the exploded formulation this replaces."""
+    return words.crossJoin(
         F.broadcast(best.select(F.col("a").alias("ba"), F.col("b").alias("bb")))
-    ).withColumn("m", (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")))
-    isl = (
-        mt.where("m")
-        .select("word", "i")
-        .withColumn("island", F.col("i") - F.row_number().over(_W_WORD))
-    )
-    sel = isl.select(
-        "word",
-        "i",
-        (
-            F.row_number().over(Window.partitionBy("word", "island").orderBy("i")) % 2
-            == 1
-        ).alias("selected"),
-    )
-    rw = mt.join(sel, ["word", "i"], "left").select(
-        "word",
-        "freq",
-        "i",
-        F.when(F.col("selected"), F.concat("ba", "bb"))
-        .otherwise(F.col("sym"))
-        .alias("sym"),
-        F.coalesce(F.lag("selected").over(_W_WORD), F.lit(False)).alias("consumed"),
-    )
-    return (
-        rw.where(~F.col("consumed"))
-        .groupBy("word")
-        .agg(
-            F.min("freq").alias("freq"),
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, sym))), x -> x.sym)"
-            ).alias("syms"),
-        )
-    ).transform(plan_checkpoint)
+    ).select("word", "freq", _merged_syms_col().alias("syms"))
 
 
 def _train(
@@ -123,10 +120,9 @@ def _train(
     words = _initial_words(docs, text_col, top_words).transform(plan_checkpoint)
     bests, merges = [], []
     for r in range(1, rounds + 1):
-        pr = _positions(words)
         best = (
-            pr.where(F.col("nxt").isNotNull())
-            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            words.select("freq", F.explode(_pairs_col()).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").cast("bigint").alias("c"))
             .orderBy(F.col("c").desc(), "a", "b")
             .limit(1)
@@ -140,7 +136,7 @@ def _train(
                 F.col("c").alias("pair_count"),
             )
         )
-        words = _rewrite(pr, best)
+        words = _rewrite(words, best)
     return bests, merges
 
 
@@ -173,7 +169,8 @@ def bpe_apply(
     vocabulary but APPLY to every distinct word, then per-word token
     counts join back to the exploded corpus (tokenization depends
     only on the word, so the rewrite cost is |distinct words|, not
-    |corpus|)."""
+    |corpus| — and each merge round is a narrow fold, so the whole
+    application is one distinct + one projection + one join)."""
     bests, _ = _train(docs, text_col, rounds, top_words)
     from terminus_server_spark.operators.text import tokens_col
 
@@ -185,9 +182,9 @@ def bpe_apply(
         .distinct()
         .select("word", F.lit(1).cast("long").alias("freq"),
                 _chars_col("word").alias("syms"))
-    ).transform(plan_checkpoint)
+    )
     for best in bests:
-        all_words = _rewrite(_positions(all_words), best)
+        all_words = _rewrite(all_words, best)
     counts = all_words.select(
         "word", F.size("syms").alias("w_bpe"), F.length("word").alias("w_chars")
     )
@@ -204,8 +201,6 @@ def bpe_apply(
 # ---------------------------------------------------------------------------
 # per-group (per-language) BPE training
 # ---------------------------------------------------------------------------
-
-_W_GWORD = Window.partitionBy("grp", "word").orderBy("i")
 
 
 def _initial_words_grouped(
@@ -237,62 +232,18 @@ def _initial_words_grouped(
     )
 
 
-def _positions_grouped(words: DataFrame) -> DataFrame:
-    return (
-        words.select("grp", "word", "freq", F.posexplode("syms").alias("i0", "sym"))
-        .select("grp", "word", "freq", (F.col("i0") + 1).alias("i"), "sym")
-        .withColumn("nxt", F.lead("sym").over(_W_GWORD))
-    )
-
-
-def _rewrite_grouped(pr: DataFrame, best: DataFrame) -> DataFrame:
+def _rewrite_grouped(words: DataFrame, best: DataFrame) -> DataFrame:
     """Per-group greedy merge rewrite: ``best`` is (grp, a, b) — one
     chosen pair per group, joined on the group key (broadcast — one
-    row per language).  A group with no chosen pair this round (all
-    words already single-symbol) passes through unchanged via the
-    left join's NULL match flag."""
-    mt = pr.join(
+    row per language), then the same narrow fold as the ungrouped
+    rewrite.  A group with no chosen pair this round (all words
+    already single-symbol) passes through unchanged via the left
+    join's NULL pair (the fold's else branch)."""
+    return words.join(
         F.broadcast(best.select("grp", F.col("a").alias("ba"), F.col("b").alias("bb"))),
         "grp",
         "left",
-    ).withColumn("m", (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")))
-    isl = (
-        mt.where("m")
-        .select("grp", "word", "i")
-        .withColumn("island", F.col("i") - F.row_number().over(_W_GWORD))
-    )
-    sel = isl.select(
-        "grp",
-        "word",
-        "i",
-        (
-            F.row_number().over(
-                Window.partitionBy("grp", "word", "island").orderBy("i")
-            )
-            % 2
-            == 1
-        ).alias("selected"),
-    )
-    rw = mt.join(sel, ["grp", "word", "i"], "left").select(
-        "grp",
-        "word",
-        "freq",
-        "i",
-        F.when(F.col("selected"), F.concat("ba", "bb"))
-        .otherwise(F.col("sym"))
-        .alias("sym"),
-        F.coalesce(F.lag("selected").over(_W_GWORD), F.lit(False)).alias("consumed"),
-    )
-    return (
-        rw.where(~F.col("consumed"))
-        .groupBy("grp", "word")
-        .agg(
-            F.min("freq").alias("freq"),
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, sym))), x -> x.sym)"
-            ).alias("syms"),
-        )
-    ).transform(plan_checkpoint)
+    ).select("grp", "word", "freq", _merged_syms_col().alias("syms"))
 
 
 def bpe_train_grouped(
@@ -308,11 +259,11 @@ def bpe_train_grouped(
     XLM-style per-language BPE) where a per-language driver loop
     would serialize |langs| training runs into one.
 
-    Every round is still two shuffles (pair count keyed by
-    (grp, a, b); rewrite windows keyed by (grp, word)); the chosen
-    pairs are a |groups|-row broadcast.  Ties break (count desc,
-    pair asc) within each group, so the merge tables are
-    deterministic per group and independent across groups."""
+    Every round is one shuffle (pair count keyed by (grp, a, b));
+    the rewrite is a narrow per-word fold and the chosen pairs are a
+    |groups|-row broadcast.  Ties break (count desc, pair asc)
+    within each group, so the merge tables are deterministic per
+    group and independent across groups."""
     _, merges = _train_grouped(docs, text_col, group_col, rounds, top_words)
     out = merges[0]
     for m in merges[1:]:
@@ -327,10 +278,9 @@ def _train_grouped(docs, text_col, group_col, rounds, top_words):
     )
     bests, merges = [], []
     for r in range(1, rounds + 1):
-        pr = _positions_grouped(words)
         best = (
-            pr.where(F.col("nxt").isNotNull())
-            .groupBy("grp", F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            words.select("grp", "freq", F.explode(_pairs_col()).alias("p"))
+            .groupBy("grp", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").cast("bigint").alias("c"))
             .withColumn(
                 "_rk",
@@ -351,7 +301,7 @@ def _train_grouped(docs, text_col, group_col, rounds, top_words):
                 F.col("c").alias("pair_count"),
             )
         )
-        words = _rewrite_grouped(pr, best)
+        words = _rewrite_grouped(words, best)
     return bests, merges
 
 
@@ -374,7 +324,7 @@ def bpe_fertility_grouped(
 
     The heavy stream is touched once (distinct words rewrite;
     corpus-exploded counts join back), exactly like ``bpe_apply`` —
-    per round the rewrite shuffles on (lang, word) only."""
+    the per-round rewrite is a narrow fold, no shuffle."""
     bests, _ = _train_grouped(docs, text_col, group_col, rounds, top_words)
     from terminus_server_spark.operators.text import tokens_col
 
@@ -391,9 +341,9 @@ def bpe_fertility_grouped(
             F.lit(1).cast("long").alias("freq"),
             _chars_col("word").alias("syms"),
         )
-    ).transform(plan_checkpoint)
+    )
     for best in bests:
-        all_words = _rewrite_grouped(_positions_grouped(all_words), best)
+        all_words = _rewrite_grouped(all_words, best)
     counts = all_words.select(
         "grp", "word", F.size("syms").alias("_bpe"), F.length("word").alias("_chars")
     )

@@ -1638,6 +1638,9 @@ def run_stream_inverted_index(
     a re-delivered batch is absorbed exactly-once by the streaming
     checkpoint, not by the merge (sums are not idempotent —
     documented difference from the MAX-merged HLL monitor)."""
+    from pyspark.sql.window import Window
+
+    from terminus_server_spark.checkpoint import plan_checkpoint
     from terminus_server_spark.operators.retrieval import _ltoks
 
     tmp = tempfile.mkdtemp(prefix="tss_invidx_", dir="/tmp")
@@ -1647,30 +1650,65 @@ def run_stream_inverted_index(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        part = (
+        part = plan_checkpoint(
             batch_df.select("doc_id", F.explode(_ltoks(text_col)).alias("tok"))
             .groupBy("tok", "doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         )
         if state["version"] >= 0:
-            part = s.read.parquet(
-                os.path.join(tmp, f"v{state['version']}")
-            ).unionByName(part)
-        out = part.groupBy("tok", "doc_id").agg(
-            F.sum("tf").cast("bigint").alias("tf")
-        )
+            # Delta-sized merge: the stored table never re-shuffles.
+            # Colliding keys get their tf bumped via a broadcast LEFT
+            # join (map-side over the store), and the batch rows whose
+            # key is NOT yet stored are appended via an anti-join
+            # against the (tiny) set of keys that DID collide — found
+            # with a broadcast semi-join, again map-side over the
+            # store.  Two local scans of the store replace the full
+            # exchange + hash re-aggregate of the accumulated index
+            # per delivery; only the delta is ever shuffled.  Sums
+            # stay associative+commutative, so the merged table is
+            # bit-identical to the union+groupBy it replaces.
+            prev = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
+            bumped = (
+                prev.join(
+                    F.broadcast(part.withColumnRenamed("tf", "_tf_new")),
+                    ["tok", "doc_id"],
+                    "left",
+                )
+                .select(
+                    "tok",
+                    "doc_id",
+                    (F.col("tf") + F.coalesce(F.col("_tf_new"), F.lit(0)))
+                    .cast("bigint")
+                    .alias("tf"),
+                )
+            )
+            hit_keys = prev.join(
+                F.broadcast(part), ["tok", "doc_id"], "left_semi"
+            ).select("tok", "doc_id")
+            appended = part.join(
+                F.broadcast(hit_keys), ["tok", "doc_id"], "left_anti"
+            )
+            out = bumped.unionByName(appended)
+        else:
+            out = part
         state["version"] += 1
         out.write.mode("overwrite").parquet(
             os.path.join(tmp, f"v{state['version']}")
         )
 
-    _drive_batches(spark, batches, src, ckpt, merge)
+    _drive_batches(spark, batches, src, ckpt, merge, heavy_batches=True)
     post = spark.read.parquet(os.path.join(tmp, f"v{state['version']}"))
-    stats = post.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"),
-        F.sum("tf").cast("bigint").alias("cf"),
+    # df/cf via a window over the same tok partitioning: one exchange
+    # instead of the groupBy+join-back pair (identical values — both
+    # are exact per-tok count/sum over the merged postings)
+    w = Window.partitionBy("tok")
+    return post.select(
+        "tok",
+        "doc_id",
+        "tf",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("df"),
+        F.sum("tf").over(w).cast("bigint").alias("cf"),
     )
-    return post.join(stats, "tok").select("tok", "doc_id", "tf", "df", "cf")
 
 
 def run_stream_json_docs(

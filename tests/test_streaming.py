@@ -233,3 +233,82 @@ def test_stream_scc_cdc_split_invariance(spark):
             ).collect()}
     assert got3 == want
     assert got2 == want
+
+
+def test_stream_inverted_index_cross_batch_key_collisions(spark):
+    """The delta-sized merge must bump tf for (tok, doc_id) keys
+    re-delivered in later batches (broadcast-left-join path) AND
+    append genuinely new keys — the registry fixture splits by doc_id
+    so its batches never collide; this pins the collision path."""
+    from terminus_server_spark.streaming.events import (
+        run_stream_inverted_index,
+    )
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], schema
+    )
+    # doc 1 re-appears with more text (same key (alpha,1) collides;
+    # (delta,1) is new); doc 3 is entirely new
+    b2 = spark.createDataFrame(
+        [(1, "alpha delta"), (3, "gamma gamma epsilon")], schema
+    )
+    got = {
+        (r.tok, r.doc_id): (r.tf, r.df, r.cf)
+        for r in run_stream_inverted_index(spark, [b1, b2]).collect()
+    }
+    # batch-split-invariant: identical to indexing the concatenation
+    want = {
+        ("alpha", 1): (3, 1, 3),
+        ("beta", 1): (1, 2, 2),
+        ("beta", 2): (1, 2, 2),
+        ("gamma", 2): (1, 2, 3),
+        ("gamma", 3): (2, 2, 3),
+        ("delta", 1): (1, 1, 1),
+        ("epsilon", 3): (1, 1, 1),
+    }
+    assert got == want
+
+
+def test_bpe_fold_rewrite_matches_python_greedy(spark):
+    """The aggregate-fold rewrite must reproduce greedy left-to-right
+    non-overlapping merging exactly, including runs of a self-pair
+    (island parity) and merged tokens as pair members in later
+    rounds."""
+    from pyspark.sql import functions as F
+
+    from terminus_server_spark.operators.bpe import (
+        _chars_col,
+        _merged_syms_col,
+    )
+
+    def py_greedy(syms, a, b):
+        out, lm = [], False
+        for s in syms:
+            if not lm and out and out[-1] == a and s == b:
+                out[-1] = a + b
+                lm = True
+            else:
+                out.append(s)
+                lm = False
+        return out
+
+    cases = [
+        ("aaaa", "a", "a"),       # island parity: (aa)(aa)
+        ("aaa", "a", "a"),        # (aa)a
+        ("ababab", "a", "b"),     # three disjoint merges
+        ("aab", "a", "b"),        # match mid-word
+        ("xyx", "x", "y"),        # single merge then tail
+        ("zzz", "a", "b"),        # no match at all
+        ("a", "a", "a"),          # single-symbol word
+    ]
+    rows = [(w, a, b) for (w, a, b) in cases]
+    df = spark.createDataFrame(rows, "word string, ba string, bb string")
+    got = {
+        r.word: list(r.merged)
+        for r in df.withColumn("syms", _chars_col("word"))
+        .select("word", _merged_syms_col("syms", "ba", "bb").alias("merged"))
+        .collect()
+    }
+    for w, a, b in cases:
+        assert got[w] == py_greedy(list(w), a, b), (w, a, b)

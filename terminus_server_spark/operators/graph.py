@@ -821,7 +821,9 @@ def betweenness(
         F.lit(1.0).alias("sigma"),
     )
     frontier, n_f = loop_checkpoint_count(frontier)
-    with loop_tuning(edges.sparkSession, n_f):
+    with loop_tuning(edges.sparkSession, n_f), no_constraint_propagation(
+        edges.sparkSession
+    ):
         return _betweenness_passes(und, frontier, n_f, max_iters)
 
 
@@ -1061,7 +1063,9 @@ def kcore(
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
-    with loop_tuning(edges.sparkSession, n_edges):
+    with loop_tuning(edges.sparkSession, n_edges), no_constraint_propagation(
+        edges.sparkSession
+    ):
         return _kcore_loop(cur, n_edges, k, rounds, broadcast_edge_limit)
 
 
@@ -1087,6 +1091,40 @@ def _kcore_loop(cur, n_edges, k, rounds, broadcast_edge_limit):
             break
         n_edges = new_n
     return cur.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+
+
+def _decrement_peel(adj, cur0, k, max_iters, key, err, size_hint=None):
+    """Shared from-above peel for the k-core maintainers: ``cur0`` is
+    (key, d) candidate degrees; rounds drop every row with d < k and
+    DECREMENT only the dropped rows' surviving neighbors.  ONE Spark
+    job per round — the drop flag is summed in the same action that
+    materializes the round (loop_checkpoint_sum), replacing the
+    separate survivor-count + re-checkpoint pair (2 jobs/round) the
+    loops previously paid.  Returns the converged survivors with
+    their fixpoint degrees; raises ``err`` past ``max_iters``."""
+    flag = F.when(F.col("d") < k, 1).otherwise(0)
+    stepped, n_drop = loop_checkpoint_sum(
+        cur0.withColumn("_drop", flag), "_drop", size_hint=size_hint
+    )
+    for _ in range(max_iters):
+        if n_drop == 0:
+            return stepped.select(key, "d")
+        dropped = stepped.where(F.col("_drop") == 1)
+        surv = stepped.where(F.col("_drop") == 0)
+        dec = (
+            adj.join(dropped.select(F.col(key).alias("b")), "b", "left_semi")
+            .join(surv.select(F.col(key).alias("a")), "a", "left_semi")
+            .groupBy(F.col("a").alias(key))
+            .agg(F.count(F.lit(1)).alias("_dec"))
+        )
+        nxt = surv.join(dec, key, "left_outer").select(
+            key,
+            (F.col("d") - F.coalesce(F.col("_dec"), F.lit(0))).alias("d"),
+        )
+        stepped, n_drop = loop_checkpoint_sum(
+            nxt.withColumn("_drop", flag), "_drop", size_hint=size_hint
+        )
+    raise RuntimeError(err)
 
 
 def kcore_incremental(
@@ -1252,8 +1290,12 @@ def kcore_incremental(
         # no non-core endpoint ⇒ core membership unchanged; only
         # old-core degrees can grow, via delta-only internal edges
         return _old_out(empty_cand)
-    with loop_tuning(spark, n_e):
-        frontier = x
+    with loop_tuning(spark, n_e), no_constraint_propagation(spark):
+        # closure rounds at ONE job each: the frontier count doubles
+        # as the fixpoint probe and the accumulated candidate set is a
+        # plain union of the checkpointed frontier leaves (never
+        # re-checkpointed per round — rounds are cascade-depth few)
+        frontier, parts, n_cand = x, [x], n_x
         closed = False
         for _ in range(max_iters):
             nbrs = (
@@ -1263,13 +1305,16 @@ def kcore_incremental(
                 .select(F.col("b").alias("n"))
                 .distinct()
             )
-            fresh = non_core_sel(nbrs).join(x, "n", "left_anti")
-            fresh, n_fresh = loop_checkpoint_count(fresh)
+            xall = parts[0]
+            for p in parts[1:]:
+                xall = xall.unionByName(p)
+            fresh = non_core_sel(nbrs).join(xall, "n", "left_anti")
+            fresh, n_fresh = loop_checkpoint_count(fresh, size_hint=n_cand)
             if n_fresh == 0:
                 closed = True
                 break
-            x = x.unionByName(fresh)
-            x, n_x = loop_checkpoint_count(x, size_hint=n_x + n_fresh)
+            parts.append(fresh)
+            n_cand += n_fresh
             frontier = fresh
         if not closed:
             raise RuntimeError(
@@ -1278,7 +1323,9 @@ def kcore_incremental(
                 f"closure would silently miss entering nodes — raise "
                 f"max_iters"
             )
-        cand, n_cand = x, n_x
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
         # candidate degrees within core_old ∪ candidates, aggregated
         # ONCE over candidate-incident edges (a ∈ cand); old-core
         # internal edges are never touched
@@ -1289,42 +1336,21 @@ def kcore_incremental(
             .groupBy(F.col("a").alias("n"))
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        cur = cand.join(deg0, "n", "left_outer").select(
+        cur0 = cand.join(deg0, "n", "left_outer").select(
             "n", F.coalesce(F.col("d"), F.lit(0)).alias("d")
         )
-        cur, n_c = loop_checkpoint_count(cur, size_hint=n_cand)
-        converged = False
-        for _ in range(max_iters):
-            dropped = cur.where(F.col("d") < k).select("n")
-            surv = cur.where(F.col("d") >= k)
-            surv, n_s = loop_checkpoint_count(surv, size_hint=n_c)
-            if n_s == n_c:
-                cur = surv
-                converged = True
-                break
-            # decrement-only round: neighbors of dropped candidates
-            # among surviving candidates (old-core nodes never peel
-            # and carry no tracked degree here)
-            dec = (
-                adj.join(
-                    dropped.select(F.col("n").alias("b")), "b", "left_semi"
-                )
-                .join(surv.select(F.col("n").alias("a")), "a", "left_semi")
-                .groupBy(F.col("a").alias("n"))
-                .agg(F.count(F.lit(1)).alias("_dec"))
-            )
-            cur = surv.join(dec, "n", "left_outer").select(
-                "n",
-                (F.col("d") - F.coalesce(F.col("_dec"), F.lit(0))).alias("d"),
-            )
-            cur, n_c = loop_checkpoint_count(cur, size_hint=n_s)
-        if not converged:
-            raise RuntimeError(
-                f"kcore_incremental: candidate peel did not converge "
-                f"within max_iters={max_iters}; an unconverged peel "
-                f"would admit under-degree candidates — raise max_iters"
-            )
-        cur = loop_checkpoint(cur)
+        # decrement-only from-above peel, one job per round
+        cur = _decrement_peel(
+            adj,
+            cur0,
+            k,
+            max_iters,
+            "n",
+            f"kcore_incremental: candidate peel did not converge "
+            f"within max_iters={max_iters}; an unconverged peel "
+            f"would admit under-degree candidates — raise max_iters",
+            size_hint=n_cand,
+        )
         surv_out = cur.select(
             F.col("n").alias("node"), F.col("d").cast("long").alias("degree")
         )
@@ -1386,7 +1412,7 @@ def kcore_decremental(
     )
     old_nodes = core_old.select("node").distinct()
     old_nodes = loop_checkpoint(old_nodes)
-    with loop_tuning(spark, n_e):
+    with loop_tuning(spark, n_e), no_constraint_propagation(spark):
         # stored degrees within core_old ∩ E_new — computed ONCE;
         # every later round only DECREMENTS neighbors of dropped
         # nodes (frontier-sized joins), never re-aggregates the core
@@ -1398,40 +1424,20 @@ def kcore_decremental(
         )
         # isolated core nodes (all edges deleted) never appear in
         # deg0 — they drop with degree 0
-        cur = old_nodes.join(deg0, "node", "left_outer").select(
+        cur0 = old_nodes.join(deg0, "node", "left_outer").select(
             "node", F.coalesce(F.col("d"), F.lit(0)).alias("d")
         )
-        cur, n_c = loop_checkpoint_count(cur)
-        converged = False
-        for _ in range(max_iters):
-            dropped = cur.where(F.col("d") < k).select("node")
-            surv = cur.where(F.col("d") >= k)
-            surv, n_s = loop_checkpoint_count(surv, size_hint=n_c)
-            if n_s == n_c:
-                cur = surv
-                converged = True
-                break
-            dec = (
-                adj.join(
-                    dropped.select(F.col("node").alias("b")), "b", "left_semi"
-                )
-                .join(
-                    surv.select(F.col("node").alias("a")), "a", "left_semi"
-                )
-                .groupBy(F.col("a").alias("node"))
-                .agg(F.count(F.lit(1)).alias("_dec"))
-            )
-            cur = surv.join(dec, "node", "left_outer").select(
-                "node",
-                (F.col("d") - F.coalesce(F.col("_dec"), F.lit(0))).alias("d"),
-            )
-            cur, n_c = loop_checkpoint_count(cur, size_hint=n_s)
-        if not converged:
-            raise RuntimeError(
-                f"kcore_decremental: peel did not converge within "
-                f"max_iters={max_iters}; an unconverged peel would keep "
-                f"under-degree nodes in the core — raise max_iters"
-            )
+        # decrement-only from-above peel, one job per round
+        cur = _decrement_peel(
+            adj,
+            cur0,
+            k,
+            max_iters,
+            "node",
+            f"kcore_decremental: peel did not converge within "
+            f"max_iters={max_iters}; an unconverged peel would keep "
+            f"under-degree nodes in the core — raise max_iters",
+        )
         return cur.select("node", F.col("d").cast("bigint").alias("degree"))
 
 
@@ -1466,7 +1472,7 @@ def ktruss_decremental(
         .union(removed.select(F.col("b")))
         .distinct()
     )
-    with loop_tuning(spark, n_e):
+    with loop_tuning(spark, n_e), no_constraint_propagation(spark):
         for _ in range(max_iters):
             touched = (
                 cur_edges.join(
@@ -1653,7 +1659,7 @@ def core_numbers(
     done: list[DataFrame] = []
     empty = cur.select(F.col("src").alias("node"), F.lit(0).alias("core")).limit(0)
     done.append(empty)
-    with loop_tuning(spark, n_edges):
+    with loop_tuning(spark, n_edges), no_constraint_propagation(spark):
         for k in range(1, max_k + 1):
             if n_edges == 0:
                 break
@@ -2018,11 +2024,16 @@ def strongly_connected_components(edges: DataFrame, max_iters: int = 50) -> Data
         # width and AQE re-planning (measured 4.4 s per evaluation at
         # sf0.1 vs ~0.5 s materialized here under the loop's tuned
         # conf).  One eager checkpoint inside the tuned scope turns
-        # the result into a single leaf.
-        return loop_checkpoint(
-            _scc_loop(e, n_e, rem, n_rem, _restrict_fn, max_iters),
-            size_hint=n_rem,
-        )
+        # the result into a single leaf.  Constraint propagation is
+        # scoped off like the closure loops in operators/path.py: it
+        # proves nothing here (inputs are not-null-filtered up front)
+        # and its optimizer cost repeats on every one of the loop's
+        # ~60 tiny per-round jobs.
+        with no_constraint_propagation(spark):
+            return loop_checkpoint(
+                _scc_loop(e, n_e, rem, n_rem, _restrict_fn, max_iters),
+                size_hint=n_rem,
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
@@ -2824,7 +2835,9 @@ def topo_layers(nodes: DataFrame, edges: DataFrame, max_iters: int = 100) -> Dat
         nodes.select(F.col("node"), F.lit(0).cast("bigint").alias("layer"))
     )
     edges, _ = loop_checkpoint_count(edges.select("src", "dst"))
-    with loop_tuning(edges.sparkSession, n_nodes):
+    with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
         frontier, n_front = layers, n_nodes
         for _ in range(max_iters):
             f_src = frontier.select(
@@ -2910,7 +2923,9 @@ def ktruss(edges: DataFrame, k: int = 4, max_iters: int = 30) -> DataFrame:
         "a", "b", F.coalesce(F.col("_sup"), F.lit(0).cast("bigint")).alias("_sup")
     )
     cur, n_e = loop_checkpoint_count(cur, size_hint=n_e)
-    with loop_tuning(edges.sparkSession, n_e):
+    with loop_tuning(edges.sparkSession, n_e), no_constraint_propagation(
+        edges.sparkSession
+    ):
         return _ktruss_loop(cur, n_e, need, max_iters, _support)
 
 
@@ -3052,7 +3067,7 @@ def ktruss_incremental(
     need = k - 2
     if n_x == 0:
         return t_old
-    with loop_tuning(spark, n_new):
+    with loop_tuning(spark, n_new), no_constraint_propagation(spark):
         # --- closure: pull in non-truss edges sharing a triangle
         # with the frontier, to fixpoint (fact 2's candidate set)
         frontier = x
@@ -3173,7 +3188,9 @@ def msf_boruvka(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     # lazy: materializes inside round 1's cross-edge count job
     labels = plan_checkpoint(labels)
     forest_parts: list[DataFrame] = [und.limit(0)]
-    with loop_tuning(edges.sparkSession, n_e):
+    with loop_tuning(edges.sparkSession, n_e), no_constraint_propagation(
+        edges.sparkSession
+    ):
         return _msf_loop(und, n_e, labels, forest_parts, max_iters)
 
 
@@ -3229,7 +3246,10 @@ def _msf_loop(und, n_e, labels, forest_parts, max_iters):
             .otherwise(F.col("parent"))
             .alias("parent"),
         )
-        ptr, n_ptr = loop_checkpoint_count(ptr, size_hint=n_cross)
+        # lazy: the count was only a size hint — ptr materializes
+        # inside the first jump round's sum job (it is self-joined
+        # there, so the lazy checkpoint also stops plan duplication)
+        ptr, n_ptr = plan_checkpoint(ptr, size_hint=n_cross), n_cross
         for _ in range(max_iters):
             jumped = (
                 ptr.alias("x")

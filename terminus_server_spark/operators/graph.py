@@ -172,7 +172,12 @@ def connected_components_incremental(
     mapping = connected_components(pairs, max_iters).select(
         F.col("node").alias("component"), F.col("component").alias("_super")
     )
-    return labels.join(mapping, "component", "left_outer").select(
+    # the mapping is bounded by the delta's label pairs — broadcast it
+    # EXPLICITLY: the checkpointed loop output carries no size stats,
+    # so the planner would otherwise sort-merge, shuffling the full
+    # stored label table per commit (AQE can only downgrade that to a
+    # local-read after the store's shuffle files are already written)
+    return labels.join(F.broadcast(mapping), "component", "left_outer").select(
         "node", F.coalesce("_super", "component").alias("component")
     )
 
@@ -238,11 +243,18 @@ def connected_components_decremental(
     real = eb.join(F.broadcast(dels), ["a", "b"], "left_semi")
     real = loop_checkpoint(real)
     e_new = eb.join(F.broadcast(dels), ["a", "b"], "left_anti")
-    dirty = (
+    # deleted-endpoint → component lookup: broadcast the (delta-sized)
+    # endpoint set so the stored label table is probed MAP-SIDE — the
+    # plain join shuffled the whole store per commit (the endpoint set
+    # is a checkpoint leaf with no stats, so the planner can't see
+    # it's small)
+    _del_nodes = (
         real.select(F.col("a").alias("node"))
         .union(real.select(F.col("b")))
         .distinct()
-        .join(labels, "node")
+    )
+    dirty = (
+        labels.join(F.broadcast(_del_nodes), "node", "left_semi")
         .select("component")
         .distinct()
     )
@@ -336,7 +348,9 @@ def pagerank(
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-        with loop_tuning(edges.sparkSession, n_nodes):
+        with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
             ranks = loop_checkpoint(
                 _power_iterations(
                     nodes, links, ranks, iters, damping,
@@ -366,7 +380,9 @@ def pagerank_weighted(
             (F.col("rank") * F.col("w").cast("double") / F.col("w_out").cast("double"))
             * F.lit(1e15)
         )
-        with loop_tuning(edges.sparkSession, n_nodes):
+        with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
             ranks = loop_checkpoint(
                 _power_iterations(
                     nodes, links, ranks, iters, damping,
@@ -401,7 +417,9 @@ def pagerank_warm(
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = nodes.join(init_ranks, "node").transform(loop_checkpoint)
-        with loop_tuning(edges.sparkSession, n_nodes):
+        with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
             ranks = loop_checkpoint(
                 _power_iterations(
                     nodes, links, ranks, iters, damping,
@@ -443,7 +461,9 @@ def personalized_pagerank(
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = edges.join(out_deg, "src").transform(loop_checkpoint)
         ranks = restart.select("node", F.col("restart").alias("rank"))
-        with loop_tuning(edges.sparkSession, n_nodes):
+        with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
             ranks = loop_checkpoint(
                 _power_iterations(
                     restart, links, ranks, iters, damping,
@@ -489,7 +509,9 @@ def katz_centrality(
             F.col("src").isNotNull() & F.col("dst").isNotNull()
         ).transform(loop_checkpoint)
         scores = nodes.withColumn("s", F.lit(1).cast("decimal(38,0)"))
-        with loop_tuning(edges.sparkSession, n_nodes):
+        with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
             for t in range(1, iters + 1):
                 contrib = (
                     e.join(
@@ -553,7 +575,9 @@ def dag_path_counts(
             F.coalesce(F.col("_t"), F.lit(0)).cast("decimal(38,0)").alias("_seed"),
         ).transform(loop_checkpoint)
         counts = base.select("node", F.col("_seed").alias("n_paths"))
-        with loop_tuning(edges.sparkSession, n_nodes):
+        with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
             for _ in range(max_iters):
                 succ = (
                     e.join(
@@ -1933,7 +1957,9 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
         # lazy per-half-round checkpoints chain the rounds into one
         # cascade; the eager final checkpoint executes it inside the
         # tuned context (state-clamped shuffle width, AQE off)
-        with loop_tuning(edges.sparkSession, n_nodes):
+        with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
             for _ in range(iters):
                 auth_raw = (
                     e.join(hubs, e["src"] == hubs["node"])
@@ -2409,7 +2435,9 @@ def neighborhood_sketch_audit(
     # the merge rounds chain lazily; the eager final checkpoint runs
     # the cascade inside the tuned context (state is |V|·k hashes, so
     # the clamp sizes shuffles to the node count, AQE off per round)
-    with loop_tuning(edges.sparkSession, n_nodes):
+    with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
         for _ in range(hops):
             contrib = e.join(
                 state.withColumnRenamed("node", "dst"), "dst"
@@ -2492,7 +2520,9 @@ def harmonic_sketch_audit(
 
     ests = state.select("node", est_col().alias("est_0"))
     # same tuned-cascade shape as neighborhood_sketch_audit
-    with loop_tuning(edges.sparkSession, n_nodes):
+    with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
         for r in range(1, hops + 1):
             contrib = e.join(
                 state.withColumnRenamed("node", "dst"), "dst"
@@ -2580,7 +2610,9 @@ def effective_diameter_sketch(
 
     rounds = [state.select("node", est_col().alias("est_0"))]
     # same tuned-cascade shape as neighborhood_sketch_audit
-    with loop_tuning(edges.sparkSession, n_nodes):
+    with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
         for r in range(1, hops + 1):
             contrib = e.join(
                 state.withColumnRenamed("node", "dst"), "dst"
@@ -2709,7 +2741,9 @@ def label_spread(
     labels = nodes.join(seed_l, "node", "left_outer").select(
         "node", F.col("_sl").alias("label")
     )
-    with loop_tuning(edges.sparkSession, n_nodes):
+    with loop_tuning(edges.sparkSession, n_nodes), no_constraint_propagation(
+        edges.sparkSession
+    ):
         for _ in range(rounds):
             nbr = (
                 und.join(
@@ -3361,11 +3395,18 @@ def msf_decremental(
     real = eb.join(F.broadcast(dels), ["a", "b"], "left_semi")
     real = loop_checkpoint(real)
     e_new = eb.join(F.broadcast(dels), ["a", "b"], "left_anti")
-    dirty = (
+    # deleted-endpoint → component lookup: broadcast the (delta-sized)
+    # endpoint set so the stored label table is probed MAP-SIDE — the
+    # plain join shuffled the whole store per commit (the endpoint set
+    # is a checkpoint leaf with no stats, so the planner can't see
+    # it's small)
+    _del_nodes = (
         real.select(F.col("a").alias("node"))
         .union(real.select(F.col("b")))
         .distinct()
-        .join(labels, "node")
+    )
+    dirty = (
+        labels.join(F.broadcast(_del_nodes), "node", "left_semi")
         .select("component")
         .distinct()
     )

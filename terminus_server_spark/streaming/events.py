@@ -1368,7 +1368,15 @@ def run_stream_cc(
         )
         if state["version"] >= 0:
             labels = s.read.parquet(os.path.join(tmp, f"v{state['version']}"))
-            fresh = batch_nodes.join(labels.select("node"), "node", "left_anti")
+            # which batch nodes are already labeled?  Narrow the store
+            # map-side first (broadcast semi — output is batch-sized),
+            # then anti-join the batch against THAT: a plain anti-join
+            # against the store would shuffle the whole accumulated
+            # label table every delivery.
+            known = labels.select("node").join(
+                F.broadcast(batch_nodes), "node", "left_semi"
+            )
+            fresh = batch_nodes.join(F.broadcast(known), "node", "left_anti")
             labels = labels.unionByName(
                 fresh.select("node", F.col("node").alias("component"))
             )
@@ -1791,13 +1799,14 @@ def run_stream_triangle_count(
     tmp = tempfile.mkdtemp(prefix="tss_tricount_", dir="/tmp")
     src = os.path.join(tmp, "src")
     ckpt = os.path.join(tmp, "ckpt")
+    edir = os.path.join(tmp, "edges")
     state = {"version": -1}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         delta = batch_df.select("src", "dst")
         if state["version"] >= 0:
-            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            stored = s.read.parquet(edir)
             count = s.read.parquet(os.path.join(tmp, f"n{state['version']}"))
         else:
             stored = delta.limit(0)
@@ -1805,22 +1814,38 @@ def run_stream_triangle_count(
                 F.lit(0).cast("bigint").alias("n_triangles")
             )
         new_count = triangle_count_incremental(count, stored, delta)
-        new_edges = (
-            stored.unionByName(delta)
-            .select(
+        # the edge store is INSERT-ONLY: canonicalize the batch
+        # (batch-sized distinct), narrow the store map-side to
+        # batch-endpoint-incident rows via a broadcast semi join,
+        # anti-join the batch against that slice, and APPEND the
+        # disjoint remainder — the old unionByName+distinct
+        # re-shuffled AND rewrote the whole accumulated edge set
+        # every delivery; now both the shuffle and the store I/O are
+        # delta-sized.  Ordering matters: the count snapshot is
+        # written BEFORE the append so its lazy plan reads the
+        # pre-batch store state.
+        delta_c = (
+            delta.select(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
             )
             .where(F.col("src") != F.col("dst"))
             .distinct()
         )
-        state["version"] += 1
-        new_edges.write.mode("overwrite").parquet(
-            os.path.join(tmp, f"e{state['version']}")
+        adds_only = delta_c.join(
+            stored.join(
+                F.broadcast(delta_c.select("src").distinct()),
+                "src",
+                "left_semi",
+            ),
+            ["src", "dst"],
+            "left_anti",
         )
+        state["version"] += 1
         new_count.write.mode("overwrite").parquet(
             os.path.join(tmp, f"n{state['version']}")
         )
+        adds_only.write.mode("append").parquet(edir)
 
     _drive_batches(spark, batches, src, ckpt, merge)
     return spark.read.parquet(os.path.join(tmp, f"n{state['version']}"))
@@ -1849,13 +1874,14 @@ def run_stream_kcore(
     tmp = tempfile.mkdtemp(prefix="tss_kcore_", dir="/tmp")
     src = os.path.join(tmp, "src")
     ckpt = os.path.join(tmp, "ckpt")
+    edir = os.path.join(tmp, "edges")
     state = {"version": -1}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         delta = batch_df.select("src", "dst")
         if state["version"] >= 0:
-            stored = s.read.parquet(os.path.join(tmp, f"e{state['version']}"))
+            stored = s.read.parquet(edir)
             core = s.read.parquet(os.path.join(tmp, f"c{state['version']}"))
         else:
             stored = delta.limit(0)
@@ -1891,14 +1917,16 @@ def run_stream_kcore(
             ["src", "dst"],
             "left_anti",
         )
-        new_edges = stored.unionByName(adds_only)
+        # INSERT-ONLY store: APPEND the disjoint delta instead of
+        # rewriting the whole accumulated edge set every delivery —
+        # store I/O per batch is now delta-sized like the update
+        # itself.  The core snapshot (mutable state) is written
+        # FIRST so its lazy plan reads the pre-batch store files.
         state["version"] += 1
-        new_edges.write.mode("overwrite").parquet(
-            os.path.join(tmp, f"e{state['version']}")
-        )
         new_core.write.mode("overwrite").parquet(
             os.path.join(tmp, f"c{state['version']}")
         )
+        adds_only.write.mode("append").parquet(edir)
 
     _drive_batches(spark, batches, src, ckpt, merge)
     # the state already carries the maintained per-node degrees —

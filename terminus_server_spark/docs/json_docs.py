@@ -59,23 +59,14 @@ def canonical_json(col: F.Column | str) -> F.Column:
     return F.to_json(F.parse_json(F.col(col) if isinstance(col, str) else col))
 
 
-def _schema_of_variant(c: F.Column) -> F.Column:
-    return F.schema_of_variant(c)
-
-
-def _leaf_vtype(sv: F.Column) -> F.Column:
-    """Variant leaf schema string → this store's obj_type vocabulary."""
-    return (
-        F.when(sv == "VOID", F.lit("sys:null"))
-        .when(sv == "STRING", F.lit("xsd:string"))
-        .when(sv == "BOOLEAN", F.lit("xsd:boolean"))
-        .when(sv.isin("BIGINT", "INT", "SMALLINT", "TINYINT"), F.lit("xsd:integer"))
-        .when(
-            sv.startswith("DECIMAL") | sv.isin("DOUBLE", "FLOAT"),
-            F.lit("xsd:decimal"),
-        )
-        .otherwise(F.lit("sys:json"))  # depth-capped OBJECT/ARRAY blobs
-    )
+# Key grammar (see module doc): object keys carrying path
+# metacharacters, quotes, backslashes or control chars would corrupt
+# reassembled JSON downstream — reject at evaluation time.
+_KEY_PATTERN = r'[.\[\]"\\]|[\x00-\x1f]'
+_KEY_MSG = (
+    "sys:JSON object key contains a reserved character "
+    '(one of . [ ] " \\ or a control char): '
+)
 
 
 def json_leaves(
@@ -91,68 +82,56 @@ def json_leaves(
 
     One scan + ``max_depth`` chained variant_explode_outer stages
     (see module doc for why finished leaves flow through unchanged).
+
+    The chain is assembled as ONE parameterized SQL statement instead
+    of ``max_depth`` DataFrame ``lateralJoin`` calls: each DataFrame
+    transformation eagerly re-analyzes its whole accumulated plan, so
+    the chained form paid a quadratic driver-side analysis cost that
+    dominated wall time (measured: 5–13 s of plan build per query at
+    depth 8 before any task ran).  One ``spark.sql`` call analyzes
+    the full chain once.  The projected two-column source is also
+    spread to cluster width first (checkpoint.spread_input): the
+    per-row variant walk is CPU-heavy, and a single-file local input
+    would otherwise run the whole walk in one task (at scale the
+    input arrives as many splits and the spread is a no-op).
     """
+    from terminus_server_spark.checkpoint import spread_input
+
     spark = df.sparkSession
-    cur = df.select(
-        F.col(id_col).alias("id"),
-        F.lit("$").alias("path"),
-        F.parse_json(F.col(json_col)).alias("v"),
+    src = spread_input(
+        df.select(F.col(id_col).alias("id"), F.col(json_col).alias("j"))
     )
+    sql = "SELECT id, '$' AS path, parse_json(j) AS v FROM {src}"
     for _ in range(max_depth):
-        sv = _schema_of_variant(F.col("v"))
-        is_container = sv.startswith("OBJECT") | sv.startswith("ARRAY")
-        step = cur.withColumn(
-            "vin", F.when(is_container, F.col("v"))
-        ).lateralJoin(spark.tvf.variant_explode_outer(F.col("vin").outer()))
         # value NULL (SQL null, not JSON null): the row was a leaf or
         # an EMPTY container — keep its path and variant unchanged.
         # JSON null children arrive as a VARIANT null (non-SQL-null)
         # and classify as leaves on the next round via VOID.
-        # enforce the module's key grammar at evaluation time: keys
-        # carrying path metacharacters, quotes, backslashes or
-        # control chars would corrupt reassembled JSON downstream
-        key_ok = F.when(
-            F.col("key").isNotNull()
-            & F.col("key").rlike(r'[.\[\]"\\]|[\x00-\x1f]'),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "sys:JSON object key contains a reserved "
-                        'character (one of . [ ] " \\ or a control '
-                        "char): "
-                    ),
-                    F.col("key"),
-                )
-            ),
-        ).otherwise(F.col("key"))
-        cur = step.select(
-            "id",
-            F.when(F.col("value").isNull(), F.col("path"))
-            .otherwise(
-                F.when(
-                    F.col("key").isNotNull(),
-                    F.concat(F.col("path"), F.lit("."), key_ok),
-                ).otherwise(
-                    F.concat(
-                        F.col("path"),
-                        F.lit("["),
-                        F.col("pos").cast("string"),
-                        F.lit("]"),
-                    )
-                )
-            )
-            .alias("path"),
-            F.when(F.col("value").isNull(), F.col("v"))
-            .otherwise(F.col("value"))
-            .alias("v"),
+        sql = (
+            "SELECT id, CASE WHEN value IS NULL THEN path "
+            "WHEN key IS NOT NULL THEN concat(path, '.', "
+            "CASE WHEN key RLIKE :kpat "
+            "THEN raise_error(concat(:kmsg, key)) ELSE key END) "
+            "ELSE concat(path, '[', CAST(pos AS STRING), ']') END AS path, "
+            "CASE WHEN value IS NULL THEN v ELSE value END AS v "
+            "FROM (" + sql + ") AS t, LATERAL variant_explode_outer("
+            "CASE WHEN startswith(schema_of_variant(v),'OBJECT') "
+            "OR startswith(schema_of_variant(v),'ARRAY') THEN v END)"
         )
-    sv = _schema_of_variant(F.col("v"))
-    return cur.select(
-        "id",
-        "path",
-        F.to_json(F.col("v")).alias("value"),
-        _leaf_vtype(sv).alias("vtype"),
+    final = (
+        "SELECT id, path, to_json(v) AS value, "
+        "CASE WHEN sv = 'VOID' THEN 'sys:null' "
+        "WHEN sv = 'STRING' THEN 'xsd:string' "
+        "WHEN sv = 'BOOLEAN' THEN 'xsd:boolean' "
+        "WHEN sv IN ('BIGINT','INT','SMALLINT','TINYINT') "
+        "THEN 'xsd:integer' "
+        "WHEN startswith(sv,'DECIMAL') OR sv IN ('DOUBLE','FLOAT') "
+        "THEN 'xsd:decimal' "
+        "ELSE 'sys:json' END AS vtype "
+        "FROM (SELECT id, path, v, schema_of_variant(v) AS sv "
+        "FROM (" + sql + "))"
     )
+    return spark.sql(final, args={"kpat": _KEY_PATTERN, "kmsg": _KEY_MSG}, src=src)
 
 
 def schemaless_to_triples(
@@ -179,6 +158,8 @@ def schemaless_to_triples(
     ``<prefix>/<md5(canonical)>`` and a ``distinct()`` making insert
     idempotent; with an id column, subjects are ``<prefix>/<id>`` and
     rows pass through un-deduped (caller owns key uniqueness)."""
+    from terminus_server_spark.checkpoint import spread_input
+
     canon = canonical_json(F.col(json_col))
     if doc_id_col is None:
         subject = F.concat(F.lit(prefix + "/"), F.md5(canon))
@@ -186,7 +167,16 @@ def schemaless_to_triples(
         subject = F.concat(
             F.lit(prefix + "/"), F.col(doc_id_col).cast("string")
         )
-    base = docs.select(subject.alias("subject"), canon.alias("canon"))
+    # Spread BEFORE projecting: canonicalization (parse_json +
+    # to_json + md5 per document) is the CPU-heavy step, and placing
+    # the round-robin exchange below the projection moves that work
+    # to the post-shuffle side — a single-file local input would
+    # otherwise canonicalize the whole corpus in one task (at scale
+    # the input arrives as many splits and the spread is a no-op).
+    cols = [json_col] if doc_id_col is None else [json_col, doc_id_col]
+    base = spread_input(docs.select(*cols)).select(
+        subject.alias("subject"), canon.alias("canon")
+    )
     body = base.select(
         F.lit(graph).alias("graph"),
         F.col("subject"),

@@ -30,6 +30,15 @@ def get_spark(app_name: str = "terminus-server-spark", shuffle_partitions: int |
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # The bypass-merge shuffle writer concatenates per-reducer
+        # files with NIO transferTo, which mmaps/munmaps each block;
+        # on virtualized kernels munmap triggers cross-vCPU TLB
+        # shootdowns that serialize the whole map stage (observed
+        # here: 32 executor threads stuck in FileChannelImpl.unmap0,
+        # 10-20s stalls on KB-sized shuffles).  Buffered copy is
+        # within noise of transferTo on normal hosts and orders of
+        # magnitude faster under this failure mode.
+        .config("spark.file.transferTo", "false")
         # driver-generated parquet uses TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and rebuild below
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

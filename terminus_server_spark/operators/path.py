@@ -123,8 +123,13 @@ def transitive_closure_doubling(
 
     def ckpt_stats(df: DataFrame) -> tuple[DataFrame, tuple, int]:
         # lazy checkpoint + stats probe fused: the agg action
-        # materializes the checkpoint blocks in the same job
-        out = df.localCheckpoint(eager=False)
+        # materializes the checkpoint blocks in the same job; the
+        # size-estimate strip matters doubly here — each doubling
+        # round self-joins the checkpointed closure, the exact shape
+        # that squares the propagated estimate per round
+        from terminus_server_spark.checkpoint import _strip_exploded_stats
+
+        out = _strip_exploded_stats(df.localCheckpoint(eager=False))
         row = out.agg(F.count(F.lit(1)), F.sum("hops"), F.max("hops")).collect()[0]
         return out, (row[0], row[1]), row[2]
 

@@ -409,6 +409,45 @@ HEADLINE = [
     "doc_json_merge",
     "vc_json_doc",
     "stream_kcore",
+    # r12: the 34 keys registered by the interrupted post-r10 build
+    # round were invisible to the driver's per-round bench (HEADLINE
+    # stopped at 375) — among them the slowest key in the registry
+    # (graph_scc_incremental) and the CDC maintenance runners.  ADDED,
+    # never removed/renamed, per the driver contract.
+    "gql_execute_cursor_backward",
+    "gql_execute_nested_backward",
+    "stream_kcore_cdc",
+    "rdf_xsd_wide4",
+    "gql_introspect_enum",
+    "schema_frames_enum",
+    "stream_ktruss_cdc",
+    "docs_phrase_blocklist",
+    "graph_c4",
+    "stream_pagerank",
+    "gql_execute_typename",
+    "src_xml_roundtrip",
+    "gql_introspect_mutation",
+    "schema_link_range",
+    "vc_describe",
+    "text_script_detect",
+    "stream_msf_cdc",
+    "stream_triangles_cdc",
+    "gql_fragments",
+    "rdf_xsd_wide5",
+    "sketch_theta_anotb",
+    "graph_link_pred",
+    "vc_range_diff",
+    "schema_frames_doc_lang",
+    "gql_directives",
+    "ann_nn_descent",
+    "stream_pagerank_cdc",
+    "events_holt_forecast",
+    "mm_wav_energy",
+    "graph_scc_incremental",
+    "graph_scc_decremental",
+    "stream_scc_cdc",
+    "gql_introspect_directives",
+    "orders_assoc_rules",
 ]
 
 # A tiny fixed probe rerun throughout the bench: its timing series

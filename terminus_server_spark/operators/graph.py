@@ -2234,7 +2234,11 @@ def _scc_loop(e, n_e, rem, n_rem, _restrict, max_iters: int) -> DataFrame:
 _METADATA_SCC_LIMIT = 100_000
 
 
-def scc_metadata(edges: DataFrame, limit: int = _METADATA_SCC_LIMIT) -> DataFrame:
+def scc_metadata(
+    edges: DataFrame,
+    limit: int = _METADATA_SCC_LIMIT,
+    max_iters: int = 50,
+) -> DataFrame:
     """(node, component): SCCs of a METADATA-sized graph — the schema
     subsumption hierarchy, whose size is set by the human-authored
     schema and does not grow with instance data.  Same design as
@@ -2260,7 +2264,7 @@ def scc_metadata(edges: DataFrame, limit: int = _METADATA_SCC_LIMIT) -> DataFram
     )
     rows = base.limit(limit + 1).collect()
     if len(rows) > limit:
-        return strongly_connected_components(edges)
+        return strongly_connected_components(edges, max_iters)
 
     adj: dict = {}
     nodes: set = set()
@@ -4062,7 +4066,15 @@ def scc_incremental(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    mscc = strongly_connected_components(meta, max_iters)
+    # The merge runs over the QUOTIENT graph (condensation ∪ mapped
+    # delta) — typically orders of magnitude smaller than E.  Label
+    # it through the adaptive scc_metadata path: under the 100k-edge
+    # guard the distributed loop's ~60 driver-scheduled rounds cost
+    # more than collecting the whole quotient and running iterative
+    # Tarjan (bit-identical labels, see scc_metadata); above the
+    # guard the distributed loop is the fallback, so a huge quotient
+    # still converges at scale.
+    mscc = scc_metadata(meta, max_iters=max_iters)
     relab = mscc.select(
         F.col("node").alias("component"), F.col("component").alias("_newc")
     )
@@ -4158,7 +4170,11 @@ def scc_decremental(
         .where(F.col("_ls") == F.col("_ld"))
         .select("src", "dst")
     )
-    relabeled = strongly_connected_components(sub, max_iters)
+    # Dirty-class internal edges are delta-bounded in the common
+    # case; the adaptive scc_metadata path labels them driver-side
+    # under the 100k-edge guard (bit-identical, see scc_incremental's
+    # quotient note) and falls back to the distributed loop above it.
+    relabeled = scc_metadata(sub, max_iters=max_iters)
     singletons = dirty_nodes.join(
         relabeled.select("node"), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))

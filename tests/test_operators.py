@@ -5052,6 +5052,50 @@ def test_scc_decremental_equals_batch(spark):
     assert got == want
 
 
+def test_scc_maintainers_distributed_fallback(spark, monkeypatch):
+    """The maintainers label their quotient/dirty subgraphs through
+    the adaptive scc_metadata path (driver Tarjan under the edge
+    guard, distributed loop above it).  Force the fallback by
+    shrinking the guard to zero and re-prove both maintainers against
+    batch SCC — the two paths must be interchangeable bit-for-bit."""
+    from terminus_server_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_METADATA_SCC_LIMIT", 0)
+    orig = G.scc_metadata
+    monkeypatch.setattr(
+        G, "scc_metadata", lambda e, limit=0, max_iters=50: orig(e, 0, max_iters)
+    )
+    base = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (5, 6), (6, 5)],
+        "src long, dst long",
+    )
+    labels = G.strongly_connected_components(base)
+    cond = (
+        base.join(labels.withColumnRenamed("node", "src")
+                  .withColumnRenamed("component", "src_comp"), "src")
+        .join(labels.withColumnRenamed("node", "dst")
+              .withColumnRenamed("component", "dst_comp"), "dst")
+        .where("src_comp != dst_comp")
+        .select("src_comp", "dst_comp")
+        .distinct()
+    )
+    delta = spark.createDataFrame([(4, 1), (7, 8), (8, 7)], "src long, dst long")
+    got = {(r.node, r.component)
+           for r in G.scc_incremental(labels, cond, delta).collect()}
+    want = {(r.node, r.component)
+            for r in G.strongly_connected_components(
+                base.unionByName(delta)).collect()}
+    assert got == want
+
+    dels = spark.createDataFrame([(2, 1)], "src long, dst long")
+    got2 = {(r.node, r.component)
+            for r in G.scc_decremental(labels, base, dels).collect()}
+    net = base.join(dels, ["src", "dst"], "left_anti")
+    want2 = {(r.node, r.component)
+             for r in G.strongly_connected_components(net).collect()}
+    assert got2 == want2
+
+
 def test_scc_metadata_matches_distributed(spark):
     from terminus_server_spark.operators.graph import (
         scc_metadata,

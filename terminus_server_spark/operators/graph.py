@@ -169,7 +169,10 @@ def connected_components_incremental(
         .select(F.col("_ca").alias("src"), F.col("_cb").alias("dst"))
         .distinct()
     )
-    mapping = connected_components(pairs, max_iters).select(
+    # The label-pair meta-graph is delta-bounded — label it through
+    # the adaptive cc_metadata path (driver union-find under the
+    # 100k-edge guard, distributed loop fallback above it).
+    mapping = cc_metadata(pairs, max_iters=max_iters).select(
         F.col("node").alias("component"), F.col("component").alias("_super")
     )
     # the mapping is bounded by the delta's label pairs — broadcast it
@@ -265,11 +268,78 @@ def connected_components_decremental(
     sub = e_new.join(
         aff_nodes.select(F.col("node").alias("a")), "a", "left_semi"
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    recomputed = connected_components(sub, max_iters)
+    # Dirty-component internal edges are delta-bounded in the common
+    # case — adaptive driver/distributed labeling, see cc_metadata.
+    recomputed = cc_metadata(sub, max_iters=max_iters)
     singles = aff_nodes.join(
         recomputed.select("node"), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))
     return untouched.unionByName(recomputed).unionByName(singles)
+
+
+def cc_metadata(
+    edges: DataFrame,
+    limit: int | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component): UNDIRECTED connected components of a graph
+    expected to be delta/metadata-sized — the cc analogue of
+    ``scc_metadata`` and the label engine for the incremental
+    maintainers' meta-graphs (a commit delta's label pairs, a dirty
+    component's internal edges).  Under ``limit`` distinct edge rows
+    the graph is collected and labeled with driver-side union-find
+    (each round of the distributed loop costs more in plan analysis
+    and job scheduling than the whole walk); above it, the
+    distributed ``connected_components`` loop is the fallback, so a
+    pathological delta still converges at scale.  Labels are the
+    component-minimum node id — identical to the distributed
+    operator bit-for-bit (component membership is
+    algorithm-independent; Python's string ordering agrees with
+    Spark's binary UTF-8 ordering, both codepoint-monotone)."""
+    if limit is None:
+        limit = _METADATA_SCC_LIMIT
+    base = (
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    rows = base.limit(limit + 1).collect()
+    if len(rows) > limit:
+        return connected_components(edges, max_iters)
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        for n in (r.src, r.dst):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(r.src), find(r.dst)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        m = comp_min.get(root)
+        if m is None or n < m:
+            comp_min[root] = n
+    src_type = base.schema["src"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", src_type, True),
+            T.StructField("component", src_type, True),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(
+        [(n, comp_min[find(n)]) for n in parent], out_schema
+    )
 
 
 def _edge_nodes(edges):

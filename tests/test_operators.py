@@ -5096,6 +5096,66 @@ def test_scc_maintainers_distributed_fallback(spark, monkeypatch):
     assert got2 == want2
 
 
+def test_cc_metadata_matches_distributed(spark):
+    """cc_metadata (driver union-find under the edge guard) must be
+    interchangeable bit-for-bit with the distributed loop, including
+    the over-limit fallback — it now labels the incremental
+    maintainers' delta meta-graphs."""
+    from terminus_server_spark.operators.graph import (
+        cc_metadata,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("Alpha", "Beta"), ("Beta", "Gamma"),
+            ("b", "a"),
+            ("Tail1", "Tail2"), ("Tail2", "a"),
+            ("solo1", "solo1"),
+        ],
+        "src string, dst string",
+    )
+    dist = {(r.node, r.component)
+            for r in connected_components(edges).collect()}
+    fast = {(r.node, r.component) for r in cc_metadata(edges).collect()}
+    assert fast == dist
+    fallback = {(r.node, r.component)
+                for r in cc_metadata(edges, limit=2).collect()}
+    assert fallback == dist
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert cc_metadata(empty).count() == 0
+
+
+def test_cc_maintainers_distributed_fallback(spark, monkeypatch):
+    """Force the distributed fallback inside the cc maintainers and
+    re-prove equality with batch CC."""
+    from terminus_server_spark.operators import graph as G
+
+    orig = G.cc_metadata
+    monkeypatch.setattr(
+        G, "cc_metadata", lambda e, limit=None, max_iters=50: orig(e, 0, max_iters)
+    )
+    base = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "src long, dst long"
+    )
+    labels = G.connected_components(base)
+    delta = spark.createDataFrame([(2, 3)], "src long, dst long")
+    got = {(r.node, r.component)
+           for r in G.connected_components_incremental(labels, delta).collect()}
+    want = {(r.node, r.component)
+            for r in G.connected_components(base.unionByName(delta)).collect()}
+    assert got == want
+
+    labels2 = G.connected_components(base.unionByName(delta))
+    dels = spark.createDataFrame([(2, 3)], "src long, dst long")
+    got2 = {(r.node, r.component)
+            for r in G.connected_components_decremental(
+                labels2, base.unionByName(delta), dels).collect()}
+    want2 = {(r.node, r.component)
+             for r in G.connected_components(base).collect()}
+    assert got2 == want2
+
+
 def test_scc_metadata_matches_distributed(spark):
     from terminus_server_spark.operators.graph import (
         scc_metadata,

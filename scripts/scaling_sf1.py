@@ -67,6 +67,17 @@ DEFAULT_KEYS = [
     "graph_msf_incr",
     "graph_betweenness_incr",
     "bpe_train",
+    # r12 (VERDICT item 9): the r11/r12 headline mechanisms are
+    # invisible at sf0.1 where stores are tiny — probe them at 10x:
+    # delta-sized stream stores + append-only edge stores,
+    # two-level BFS dedup, inverted-index delta merge, adaptive
+    # quotient labeling.
+    "stream_triangle_count",
+    "graph_betweenness",
+    "stream_inverted_index",
+    "graph_scc_incremental",
+    "stream_cc_incremental",
+    "doc_json_schemaless",
 ]
 
 
